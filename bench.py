@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Throughput yardstick (BASELINE.md): the reference pushes ~120k rows/s
+through its hourly-rollup + pair-join pipeline on Athena; `ais_hourly` +
+`pairs_monthly` here are the comparable queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "ais_hourly",
+    "pairs_monthly",
+    "pairs_total",
+    "pricing_summary",
+    "top_customers",
+    "regional_volume",
+    "sessionize",
+    "dedup_latest",
+    "minhash_pairs",
+    "knn_bruteforce",
+    "text_stats",
+    "media_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from knot_another_pipeline_spark.session import get_spark
+    from knot_another_pipeline_spark.catalog_queries import QUERIES
+
+    spark = get_spark(
+        app_name="knot-another-pipeline-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup so per-query numbers measure the plan, not startup.
+    QUERIES["daily_counts"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {per_query[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,989 @@
+"""Driver-facing query catalog: Spark builder + DuckDB oracle per query.
+
+Each entry exercises operators from SURVEY §2 on the synthetic catalog
+(TESTDATA.md). The AIS-shaped pipeline (rollup → co-movement pairs →
+lifetime summary → track export) runs against ``events`` with a
+deterministic position derivation, so the *same* gold semantics the
+reference computes on vessel positions are verified end-to-end by the
+DuckDB differential oracle.
+
+Cross-engine determinism rules used throughout:
+- every float aggregate is ``round(x, n)`` in BOTH engines;
+- every integer output is BIGINT in both engines;
+- every rank/top-k has a total-order tiebreak;
+- hashes are md5/sha2-derived (identical everywhere);
+- vector math folds left-to-right in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from knot_another_pipeline_spark.functions.geo import grid_cell, valid_coords
+from knot_another_pipeline_spark.functions.hashing import stable_bucket
+from knot_another_pipeline_spark.functions.timestamps import normalize_timestamp
+from knot_another_pipeline_spark.operators import relational
+from knot_another_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    latest_row_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    minhash_similarity,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash,
+)
+from knot_another_pipeline_spark.operators.pairs import co_movement_pairs, pairs_total
+from knot_another_pipeline_spark.operators.quality import daily_counts
+from knot_another_pipeline_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from knot_another_pipeline_spark.operators.text_analysis import (
+    detect_language,
+    quality_features,
+    STOPWORDS,
+)
+from knot_another_pipeline_spark.operators.tracks import assemble_paths, export_tracks
+from knot_another_pipeline_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# AIS-analog position derivation over `events`
+#
+# user_id ≈ vessel id, ts ≈ position report time; a deterministic
+# projection of `value` yields lat/lon (some lat > 90 on purpose so the
+# coordinate-validity filter P6 has work to do).
+# --------------------------------------------------------------------------
+
+_LAT_SQL = "(value / 490.0) * 180.0 - 90.0"
+_LON_SQL = "fmod(value * 2.5, 360.0) - 180.0"
+
+
+def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("uid", F.col("user_id").cast("string"))
+        .withColumn("lat", (F.col("value") / 490.0) * 180.0 - 90.0)
+        .withColumn("lon", F.col("value") * 2.5 % 360.0 - 180.0)
+        .filter(valid_coords(F.col("lat"), F.col("lon")))
+    )
+
+
+_POSITIONS_SQL = f"""
+  SELECT *, CAST(user_id AS VARCHAR) AS uid,
+         {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+  FROM events
+  WHERE {_LAT_SQL} BETWEEN -90.0 AND 90.0
+    AND {_LON_SQL} BETWEEN -180.0 AND 180.0
+"""
+
+# grid_cell oracle mirror (res 7): fixed 15-hex-char cell address
+_CELL_SIZE_7 = 1.4080 / 2.0**7
+
+
+def _cell_sql(lat_expr: str, lon_expr: str) -> str:
+    return (
+        "concat(lpad(lower(to_hex(7)), 1, '0'), "
+        f"lpad(lower(to_hex(CAST(floor(({lat_expr} + 90.0) / {_CELL_SIZE_7!r}) AS BIGINT))), 7, '0'), "
+        f"lpad(lower(to_hex(CAST(floor(({lon_expr} + 180.0) / {_CELL_SIZE_7!r}) AS BIGINT))), 7, '0'))"
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. AIS gold pipeline on events
+# --------------------------------------------------------------------------
+
+
+def q_ais_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `uid_hourly_h3` (A1+A2): per-(uid, hour) rollup with a
+    grid-cell address computed from the averaged position."""
+    pos = _positions(spark, sf_dir)
+    return (
+        pos.groupBy("uid", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.round(F.avg("lat"), 4).alias("avg_lat"),
+            F.round(F.avg("lon"), 4).alias("avg_lon"),
+            F.count(F.lit(1)).alias("message_count"),
+            F.round(F.avg(F.col("value") / 10.0), 4).alias("avg_sog"),
+            F.count(F.lit(1)).alias("source_row_count"),
+        )
+        .withColumn("h3_index", grid_cell(F.col("avg_lat"), F.col("avg_lon"), 7))
+        .withColumn("dt", F.to_date("hour_ts"))
+        .withColumn("hour", F.hour("hour_ts").cast("bigint"))
+        .select(
+            F.col("uid").alias("mmsi"), "hour_ts", "avg_lat", "avg_lon",
+            "h3_index", "message_count", "avg_sog", "source_row_count",
+            "dt", "hour",
+        )
+    )
+
+
+ORACLE_AIS_HOURLY = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+agg AS (
+  SELECT uid, date_trunc('hour', ts) AS hour_ts,
+         round(avg(lat), 4) AS avg_lat, round(avg(lon), 4) AS avg_lon,
+         count(*) AS message_count,
+         round(avg(value / 10.0), 4) AS avg_sog,
+         count(*) AS source_row_count
+  FROM pos GROUP BY 1, 2)
+SELECT uid AS mmsi, hour_ts, avg_lat, avg_lon,
+       {_cell_sql('avg_lat', 'avg_lon')} AS h3_index,
+       message_count, avg_sog, source_row_count,
+       CAST(hour_ts AS DATE) AS dt, CAST(extract(hour FROM hour_ts) AS BIGINT) AS hour
+FROM agg
+"""
+
+# Daily rollup feeding the pairs pipeline: coarse "cell" from the day's
+# average value (10 buckets) so co-location is dense enough to be
+# interesting at sf0.01.
+_DAILY_ROLLUP_SQL = f"""
+  SELECT CAST(user_id AS VARCHAR) AS uid,
+         date_trunc('day', ts) AS window_ts,
+         concat('c', CAST(CAST(floor(round(avg(value), 4) / 50.0) AS BIGINT) AS VARCHAR)) AS cell
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("uid"),
+            F.date_trunc("day", "ts").alias("window_ts"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .withColumn(
+            "cell",
+            F.concat(
+                F.lit("c"),
+                F.floor(F.col("avg_value") / 50.0).cast("bigint").cast("string"),
+            ),
+        )
+        .drop("avg_value")
+    )
+
+
+def q_pairs_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `pairs_daily` (J1+J2+A3+A4+P14-P18) at day-window/month-
+    period grain: self equi-join on (period, window, cell) with uid_a <
+    uid_b, distinct-counts, per-entity stats joined twice, overlap scores,
+    gT > 1 filter."""
+    roll = _daily_rollup(spark, sf_dir)
+    pairs = co_movement_pairs(
+        roll,
+        uid_col="uid",
+        window_col="window_ts",
+        cell_col="cell",
+        period=F.to_date(F.date_trunc("month", F.col("window_ts"))),
+        min_shared_cells=1,
+    )
+    return pairs.select(
+        "uid_a", "uid_b", "day_date",
+        F.col("hA").cast("bigint").alias("ha"),
+        F.col("hB").cast("bigint").alias("hb"),
+        F.col("gA").cast("bigint").alias("ga"),
+        F.col("gB").cast("bigint").alias("gb"),
+        F.col("hT").cast("bigint").alias("ht"),
+        F.col("gT").cast("bigint").alias("gt"),
+        F.round("temporal_o", 4).alias("temporal_o"),
+        F.round("spatial_o", 4).alias("spatial_o"),
+        F.round("gto", 4).alias("gto"),
+    )
+
+
+ORACLE_PAIRS_CTE = f"""
+WITH roll AS ({_DAILY_ROLLUP_SQL}),
+base AS (
+  SELECT uid, CAST(date_trunc('month', window_ts) AS DATE) AS day_date,
+         window_ts AS w, cell
+  FROM roll),
+colocated AS (
+  SELECT a.uid AS uid_a, b.uid AS uid_b, a.day_date, a.w, a.cell
+  FROM base a JOIN base b
+    ON a.day_date = b.day_date AND a.w = b.w AND a.cell = b.cell
+   AND a.uid < b.uid),
+pair_day AS (
+  SELECT uid_a, uid_b, day_date,
+         count(DISTINCT w) AS ht, count(DISTINCT cell) AS gt
+  FROM colocated GROUP BY 1, 2, 3),
+stats AS (
+  SELECT uid, day_date, count(*) AS win_cnt, count(DISTINCT cell) AS geo_cnt
+  FROM base GROUP BY 1, 2),
+scored AS (
+  SELECT p.uid_a, p.uid_b, p.day_date,
+         ua.win_cnt AS ha, ub.win_cnt AS hb,
+         ua.geo_cnt AS ga, ub.geo_cnt AS gb,
+         p.ht, p.gt,
+         CAST(p.ht AS DOUBLE) / nullif(CAST(least(ua.win_cnt, ub.win_cnt) AS DOUBLE), 0.0) AS temporal_o,
+         CAST(p.gt AS DOUBLE) / nullif(CAST(least(ua.geo_cnt, ub.geo_cnt) AS DOUBLE), 0.0) AS spatial_o
+  FROM pair_day p
+  JOIN stats ua ON p.uid_a = ua.uid AND p.day_date = ua.day_date
+  JOIN stats ub ON p.uid_b = ub.uid AND p.day_date = ub.day_date
+  WHERE p.gt > 1)
+"""
+
+ORACLE_PAIRS_MONTHLY = (
+    ORACLE_PAIRS_CTE
+    + """
+SELECT uid_a, uid_b, day_date, ha, hb, ga, gb, ht, gt,
+       round(temporal_o, 4) AS temporal_o,
+       round(spatial_o, 4) AS spatial_o,
+       round(0.5 * (temporal_o + spatial_o), 4) AS gto
+FROM scored
+"""
+)
+
+
+def q_pairs_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `pairs_total` (A5): lifetime pair summary with exact
+    median (deterministic across engines; the reference's
+    approx_percentile variant is available via pairs_total(exact_median=False))."""
+    roll = _daily_rollup(spark, sf_dir)
+    pairs = co_movement_pairs(
+        roll,
+        uid_col="uid",
+        window_col="window_ts",
+        cell_col="cell",
+        period=F.to_date(F.date_trunc("month", F.col("window_ts"))),
+    )
+    total = pairs_total(pairs, exact_median=True)
+    return total.select(
+        "uid_a", "uid_b",
+        F.col("total_days_observed").cast("bigint").alias("total_days_observed"),
+        F.col("days_with_gto_above_0_4").cast("bigint").alias("days_with_gto_above_0_4"),
+        F.round("max_gto", 4).alias("max_gto"),
+        F.round("min_gto", 4).alias("min_gto"),
+        F.round("avg_gto", 4).alias("avg_gto"),
+        F.round("median_gto", 4).alias("median_gto"),
+    )
+
+
+ORACLE_PAIRS_TOTAL = (
+    ORACLE_PAIRS_CTE
+    + """
+, pairs AS (
+  SELECT uid_a, uid_b, day_date,
+         0.5 * (temporal_o + spatial_o) AS gto
+  FROM scored)
+SELECT uid_a, uid_b,
+       count(DISTINCT day_date) AS total_days_observed,
+       CAST(sum(CASE WHEN gto >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS days_with_gto_above_0_4,
+       round(max(gto), 4) AS max_gto,
+       round(min(gto), 4) AS min_gto,
+       round(avg(gto), 4) AS avg_gto,
+       round(CAST(median(gto) AS DOUBLE), 4) AS median_gto
+FROM pairs GROUP BY 1, 2
+"""
+)
+
+
+def q_track_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference cohort track extract (J3+P6+P9+O1): VALUES-cohort filter,
+    inclusive time bounds, valid coordinates, ordered output."""
+    pos = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("ts"),
+        ((F.col("value") / 490.0) * 180.0 - 90.0).alias("lat"),
+        (F.col("value") * 2.5 % 360.0 - 180.0).alias("lon"),
+    )
+    return export_tracks(
+        pos,
+        uid_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        uids=["3", "7", "11", "42"],
+        start="2024-01-05 00:00:00",
+        stop="2024-01-20 00:00:00",
+    ).select(
+        "uid", "event_ts",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+    )
+
+
+ORACLE_TRACK_EXPORT = f"""
+WITH pos AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid, ts,
+         {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+  FROM events)
+SELECT uid, ts AS event_ts,
+       round(lat, 6) AS latitude, round(lon, 6) AS longitude
+FROM pos
+WHERE uid IN ('3', '7', '11', '42')
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+  AND lat BETWEEN -90.0 AND 90.0 AND lon BETWEEN -180.0 AND 180.0
+"""
+
+
+def q_track_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path assembly (A11): per-track ordered point array; surfaced as
+    (uid, npts, start_ts, end_ts) for engine-agnostic comparison."""
+    pos = _positions(spark, sf_dir)
+    paths = assemble_paths(
+        pos, uid_col="uid", ts_col="ts", lat_col="lat", lon_col="lon", min_points=2
+    )
+    return paths.select(
+        "uid",
+        F.col("npts").cast("bigint").alias("npts"),
+        F.element_at("path", 1)["ts"].alias("start_ts"),
+        F.element_at("path", -1)["ts"].alias("end_ts"),
+    )
+
+
+ORACLE_TRACK_PATHS = f"""
+WITH pos AS ({_POSITIONS_SQL})
+SELECT uid, count(*) AS npts, min(ts) AS start_ts, max(ts) AS end_ts
+FROM pos GROUP BY uid HAVING count(*) > 2
+"""
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer dedup window (data_contracts.md:113): latest row per
+    (user, event_type) with a deterministic tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    return latest_row_dedup(
+        ev, ["user_id", "event_type"], "ts", tiebreak="event_id"
+    ).select("user_id", "event_type", "ts", "event_id")
+
+
+ORACLE_DEDUP_LATEST = """
+SELECT user_id, event_type, ts, event_id FROM (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ preview (A7): per-day counts, ordered, limited."""
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    return daily_counts(ev, "d", limit=5)
+
+
+ORACLE_DAILY_COUNTS = """
+SELECT CAST(ts AS DATE) AS dt, count(*) AS row_count
+FROM events GROUP BY 1 ORDER BY dt LIMIT 5
+"""
+
+
+def q_normalize_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered timestamp normalizer (P3): render each event's timestamp in
+    one of four spellings (plain / T / trailing-Z / +00:00 offset) by
+    user_id % 4, re-parse with the normalizer; the oracle asserts the
+    round-trip equals the second-truncated original."""
+    ev = load_table(spark, sf_dir, "events")
+    base = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    variant = (
+        F.when(F.col("user_id") % 4 == 0, base)
+        .when(F.col("user_id") % 4 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("user_id") % 4 == 2, F.concat(base, F.lit("Z")))
+        .otherwise(F.concat(base, F.lit("+00:00")))
+    )
+    return ev.select(
+        "event_id", normalize_timestamp(variant).alias("parsed")
+    )
+
+
+ORACLE_NORMALIZE_TS = """
+SELECT event_id, date_trunc('second', ts) AS parsed FROM events
+"""
+
+
+def q_stable_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver bucketing law (P12): sha256-derived stable bucket id,
+    bit-exact with the reference's `_stable_hash` (ais_pipeline.py:532-535)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        stable_bucket(F.col("c_custkey"), 96).cast("bigint").alias("bucket_id"),
+    )
+
+
+ORACLE_STABLE_BUCKET = """
+SELECT c_custkey,
+       CAST((CAST(CAST(concat('0x', substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+             + CAST(concat('0x', substr(sha256(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT)) % 96 AS BIGINT) AS bucket_id
+FROM customer
+"""
+
+# --------------------------------------------------------------------------
+# 2. Relational operator coverage (star schema)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_revenue_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        k=20,
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS order_revenue
+  FROM lineitem GROUP BY 1)
+SELECT c_custkey, c_name, round(sum(order_revenue), 2) AS revenue
+FROM orders JOIN rev ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.regional_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+ORACLE_REGIONAL_VOLUME = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS lineitem_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_with_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+ORACLE_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = relational.top_order_per_customer(load_table(spark, sf_dir, "orders"), per=1)
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+ORACLE_TOP_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 1
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = relational.sessionize(
+        load_table(spark, sf_dir, "events"), uid_col="user_id", ts_col="ts",
+        gap_minutes=30,
+    )
+    return out.select(
+        "uid", F.col("session_id").cast("bigint").alias("session_id"),
+        "session_start", "session_end", "n_events",
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id AS uid, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT uid, ts,
+         sum(new_session) OVER (PARTITION BY uid ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT uid, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY uid, session_id
+"""
+
+
+def q_event_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = relational.event_type_breakdown(load_table(spark, sf_dir, "events"))
+    cols = [F.col("uid")] + [
+        F.col(c).cast("bigint").alias(c) for c in out.columns if c != "uid"
+    ]
+    return out.select(*cols)
+
+
+ORACLE_EVENT_BREAKDOWN = """
+SELECT user_id AS uid,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       count(*) AS n_total
+FROM events GROUP BY user_id
+"""
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_set_ops(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_USER_SET_OPS = """
+SELECT user_id AS uid FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id AS uid FROM events WHERE event_type = 'error'
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (A9; the reference's
+    notebook quantile discovery)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# 3. Text analysis + dedup family (documents)
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = r"""
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '') AS t
+  FROM documents
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features per document: char/token counts, token length,
+    punctuation + stopword ratios, composite quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_features(docs, id_col="doc_id", text_col="text", lang="en")
+    return out.select(
+        "id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+_EN_STOP_SQL = "['the','and','of','to','a','in','is','that','it','for']"
+
+ORACLE_TEXT_STATS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nospace
+  FROM toks),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(n_nospace AS DOUBLE) / n_tokens ELSE 0.0 END AS avg_token_len,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio
+  FROM m)
+SELECT doc_id AS id, n_chars, n_tokens,
+       round(avg_token_len, 4) AS avg_token_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3, 4) AS quality_score
+FROM r
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (argmax of per-language scores,
+    deterministic tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return detect_language(docs, id_col="doc_id", text_col="text")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = STOPWORDS[lang]
+    if lang == "zh":
+        hits = " + ".join(
+            f"CAST(length(text) - length(replace(text, '{w}', '')) AS DOUBLE)"
+            for w in words
+        )
+        return (
+            f"SELECT doc_id, 'zh' AS lang, CASE WHEN length(text) > 0 THEN ({hits}) / length(text) "
+            "ELSE 0.0 END AS score FROM toks"
+        )
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"SELECT doc_id, '{lang}' AS lang, CASE WHEN len(t) > 0 THEN "
+        f"CAST(len(list_filter(t, x -> list_contains({arr}, x))) AS DOUBLE) / len(t) "
+        "ELSE 0.0 END AS score FROM toks"
+    )
+
+
+ORACLE_LANG_ID = (
+    f"WITH toks AS ({_TOKS_SQL}),\nscores AS (\n  "
+    + "\n  UNION ALL\n  ".join(_lang_score_sql(lang) for lang in sorted(STOPWORDS))
+    + """
+),
+ranked AS (
+  SELECT doc_id, lang, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, lang DESC) AS rn
+  FROM scores)
+SELECT doc_id AS id, lang AS detected_lang, score AS lang_score
+FROM ranked WHERE rn = 1
+"""
+)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-content fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_dedup(docs, id_col="doc_id", text_col="text")
+    return out.select(
+        "id", "fingerprint",
+        F.col("group_size").cast("bigint").alias("group_size"),
+        "representative",
+    )
+
+
+ORACLE_EXACT_DEDUP = r"""
+WITH fp AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents),
+g AS (
+  SELECT fingerprint, count(*) AS group_size, min(id) AS keep_id
+  FROM fp GROUP BY 1)
+SELECT fp.id, fp.fingerprint, g.group_size, fp.id = g.keep_id AS representative
+FROM fp JOIN g USING (fingerprint)
+"""
+
+_SHINGLES_SQL = r"""
+  SELECT doc_id AS id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(t) - 1, 1)),
+                          i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+  FROM toks WHERE len(t) >= 3
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 md5-derived hex min-hashes per doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    return sig.select(
+        "id", F.col("hash_id").cast("bigint").alias("hash_id"), "min_hash"
+    )
+
+
+ORACLE_MINHASH_SIGNATURES = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SHINGLES_SQL})
+SELECT id, j AS hash_id,
+       min(substr(md5(concat(CAST(j AS VARCHAR), ':', shingle)), 1, 15)) AS min_hash
+FROM sh CROSS JOIN range(0, 16) r(j)
+GROUP BY 1, 2
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (4 bands × 4 rows) + estimated Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
+    sims = minhash_similarity(sig, cands)
+    return sims.select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+ORACLE_MINHASH_PAIRS = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT id, j AS hash_id,
+         min(substr(md5(concat(CAST(j AS VARCHAR), ':', shingle)), 1, 15)) AS min_hash
+  FROM sh CROSS JOIN range(0, 16) r(j)
+  GROUP BY 1, 2),
+buckets AS (
+  SELECT id, hash_id // 4 AS band,
+         md5(array_to_string(list_sort(list(concat(CAST(hash_id AS VARCHAR), ':', min_hash))), ',')) AS bucket
+  FROM sig GROUP BY id, hash_id // 4),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT c.id_a, c.id_b,
+       round(avg(CASE WHEN sa.min_hash = sb.min_hash THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+FROM cands c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b AND sb.hash_id = sa.hash_id
+GROUP BY c.id_a, c.id_b
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard for pairs sharing ≥1 shingle,
+    thresholded."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    out = ngram_jaccard_pairs(sh, min_jaccard=0.05)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != ''))) AS tok
+  FROM documents),
+h AS (
+  SELECT id, CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 15)) AS BIGINT) AS h
+  FROM toks),
+votes AS (
+  SELECT id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN range(0, 64) b(bit)
+  GROUP BY id, b.bit)
+SELECT id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 8
+    (broadcast queries × corpus scan; JVM-side fold arithmetic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(
+        emb.filter(F.col("vec_id") < 8), emb, id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+ORACLE_KNN_BRUTEFORCE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.n * c.n) AS cos_sim
+  FROM q CROSS JOIN c WHERE q.vec_id != c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets (rows-only check:
+    the hyperplane derivation is driver-side; semantics verified in unit
+    tests against the brute-force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb.filter(F.col("vec_id") < 8), emb, id_col="vec_id",
+        vec_col="embedding", dim=64, num_planes=6, k=5,
+    ).select(
+        "query_id", "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+# --------------------------------------------------------------------------
+# 5. Multimodal plumbing (binary payload → typed metadata via mapInPandas)
+# --------------------------------------------------------------------------
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → typed metadata through the Arrow-batched
+    mapInPandas decode stage (deterministic fake decode — the Spark
+    plumbing is the deliverable; see operators.multimodal)."""
+    from knot_another_pipeline_spark.operators.multimodal import decode_media_meta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_media_meta(docs, id_col="doc_id", payload_col="payload")
+
+
+ORACLE_MEDIA_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + (length(text) % 193) AS BIGINT) AS width,
+       CAST(64 + (CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 193) AS BIGINT) AS height,
+       CAST(1 + (length(text) % 7) AS BIGINT) AS n_frames,
+       substr(md5(text), 1, 1) AS fmt
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    # AIS gold pipeline
+    "ais_hourly": q_ais_hourly,
+    "pairs_monthly": q_pairs_monthly,
+    "pairs_total": q_pairs_total,
+    "track_export": q_track_export,
+    "track_paths": q_track_paths,
+    "dedup_latest": q_dedup_latest,
+    "daily_counts": q_daily_counts,
+    "normalize_ts": q_normalize_ts,
+    "stable_bucket": q_stable_bucket,
+    # relational coverage
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "regional_volume": q_regional_volume,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "top_order_per_customer": q_top_order_per_customer,
+    "sessionize": q_sessionize,
+    "event_breakdown": q_event_breakdown,
+    "user_set_ops": q_user_set_ops,
+    "value_percentiles": q_value_percentiles,
+    # text + dedup
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    # similarity
+    "knn_bruteforce": q_knn_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    # multimodal
+    "media_meta": q_media_meta,
+}
+
+ORACLES = {
+    "ais_hourly": ORACLE_AIS_HOURLY,
+    "pairs_monthly": ORACLE_PAIRS_MONTHLY,
+    "pairs_total": ORACLE_PAIRS_TOTAL,
+    "track_export": ORACLE_TRACK_EXPORT,
+    "track_paths": ORACLE_TRACK_PATHS,
+    "dedup_latest": ORACLE_DEDUP_LATEST,
+    "daily_counts": ORACLE_DAILY_COUNTS,
+    "normalize_ts": ORACLE_NORMALIZE_TS,
+    "stable_bucket": ORACLE_STABLE_BUCKET,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "top_customers": ORACLE_TOP_CUSTOMERS,
+    "regional_volume": ORACLE_REGIONAL_VOLUME,
+    "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "top_order_per_customer": ORACLE_TOP_ORDER_PER_CUSTOMER,
+    "sessionize": ORACLE_SESSIONIZE,
+    "event_breakdown": ORACLE_EVENT_BREAKDOWN,
+    "user_set_ops": ORACLE_USER_SET_OPS,
+    "value_percentiles": ORACLE_VALUE_PERCENTILES,
+    "text_stats": ORACLE_TEXT_STATS,
+    "lang_id": ORACLE_LANG_ID,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
+    "minhash_pairs": ORACLE_MINHASH_PAIRS,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "simhash": ORACLE_SIMHASH,
+    "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "media_meta": ORACLE_MEDIA_META,
+    # "ann_lsh" intentionally has no oracle (rows-only check): hyperplane
+    # derivation is driver-side; recall is unit-tested against brute force.
+}

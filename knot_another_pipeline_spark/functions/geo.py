@@ -1,0 +1,102 @@
+"""Spatial discretization — the join-key trick at the heart of the reference.
+
+The reference snaps positions to H3 resolution-7 hexagons so that
+"co-located" becomes an *equi-join* on a cell string instead of a distance
+predicate (``/root/reference/README.md:130``; used as the join key at
+``sql/gold/create_pairs_daily.sql:51``; emitted by a Lambda-hosted scalar
+UDF ``lat_lng_to_cell_address(lat, lon, 7)``,
+``sql/gold/create_uid_hourly_h3.sql:24-26,61``).
+
+Two implementations, same contract (STRING cell address; equal cells ⇔
+same neighborhood):
+
+- :func:`grid_cell` — pure built-in expression discretizer (no UDF, stays in
+  whole-stage codegen, SQL-mirrorable for differential testing). This is the
+  engine default: at 100 TB the cell encode runs on every row, so keeping it
+  JVM-side matters more than hex-shaped cells.
+- :func:`h3_cell` — true H3 via an Arrow-batched pandas UDF when ``h3-py``
+  is importable (same process-boundary shape as the reference's Lambda, but
+  per-batch instead of per-invocation). Falls back to :func:`grid_cell`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+try:  # optional dependency — not in the baked image
+    import h3 as _h3  # type: ignore
+
+    HAS_H3 = True
+except Exception:  # pragma: no cover
+    _h3 = None
+    HAS_H3 = False
+
+#: Approximate edge length (degrees) per "resolution", chosen so res=7 is
+#: ~1.2 km like H3 res-7 (data_contracts.md:88). Each +1 res halves the cell.
+_BASE_DEG = 1.4080
+
+
+def _cell_size_deg(res: int) -> float:
+    return _BASE_DEG / (2.0**res)
+
+
+def grid_cell(lat: Column | str, lon: Column | str, res: int = 7) -> Column:
+    """Deterministic lat/lon grid cell address as a 15-hex-char string.
+
+    Matches the reference's output contract ("valid resolution-7 H3 string,
+    15 hex chars", ``docs/data_contracts.md:88``) in shape: a fixed-width
+    hex string whose equality means spatial co-location at ``res``.
+    Built entirely from built-in expressions: floor-divide lat/lon by the
+    cell size, pack the two 3-hex-digit-safe integers plus the resolution
+    into a single hex literal.
+    """
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    size = _cell_size_deg(res)
+    # offset to non-negative so hex formatting is stable: lat+90 in [0,180],
+    # lon+180 in [0,360] → cell indices < 2^20 for res ≤ 11
+    lat_i = F.floor((la + F.lit(90.0)) / F.lit(size)).cast("long")
+    lon_i = F.floor((lo + F.lit(180.0)) / F.lit(size)).cast("long")
+    return F.concat(
+        F.lpad(F.lower(F.hex(F.lit(res))), 1, "0"),
+        F.lpad(F.lower(F.hex(lat_i)), 7, "0"),
+        F.lpad(F.lower(F.hex(lon_i)), 7, "0"),
+    )
+
+
+def h3_cell(lat: Column | str, lon: Column | str, res: int = 7) -> Column:
+    """True H3 cell address when h3-py is available, else :func:`grid_cell`.
+
+    Parity target: the reference Lambda's ``lat_lng_to_cell_address`` —
+    both are standard H3, so addresses agree bit-for-bit when h3-py is
+    installed.
+    """
+    if not HAS_H3:
+        return grid_cell(lat, lon, res)
+
+    import pandas as pd  # local import: only on the UDF path
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def _encode(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        out = []
+        for la, lo in zip(lat_s, lon_s):
+            if la is None or lo is None or pd.isna(la) or pd.isna(lo):
+                out.append(None)
+            else:
+                out.append(_h3.latlng_to_cell(float(la), float(lo), res))
+        return pd.Series(out)
+
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    return _encode(la, lo)
+
+
+def valid_coords(lat: Column | str, lon: Column | str) -> Column:
+    """``lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180``
+    (``create_uid_hourly_h3.sql:53-54``)."""
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    return la.between(-90.0, 90.0) & lo.between(-180.0, 180.0)

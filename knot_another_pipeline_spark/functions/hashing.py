@@ -1,0 +1,67 @@
+"""Deterministic hashing: bucket ids, fingerprints, 64-bit content hashes.
+
+The reference's silver layer is hash-bucketed by vessel id with
+``int(sha256(str(mmsi)).hexdigest()[:16], 16) % num_buckets``
+(``/root/reference/pipelines/ais_pipeline.py:517-518,532-535``), a layout
+contract consumers rely on (``docs/data_contracts.md:44`` — stable across
+runs). :func:`stable_bucket` reproduces it bit-exactly with built-in
+expressions (sha2 → first 16 hex chars → unsigned 64-bit decimal via conv →
+pmod), no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def stable_bucket(col: Column | str, num_buckets: int = 96) -> Column:
+    """Bit-exact port of the reference ``_stable_hash``: sha256 of the
+    string value, first 64 bits as an unsigned int, mod ``num_buckets``.
+
+    ``conv(hex, 16, 10)`` yields an unsigned decimal *string* (up to
+    2^64-1); going through decimal(20,0) avoids signed-long overflow before
+    the modulo.
+    """
+    h16 = F.substring(F.sha2(_c(col).cast("string"), 256), 1, 16)
+    as_dec = F.conv(h16, 16, 10).cast("decimal(20,0)")
+    return F.pmod(as_dec, F.lit(num_buckets)).cast("int")
+
+
+def hash64(col: Column | str, seed: int | Column = 0) -> Column:
+    """Deterministic signed 60-bit hash of a string (+optional seed),
+    built from md5 so it is reproducible in any engine with md5()
+    (our DuckDB differential oracle included). 15 hex chars = 60 bits,
+    always fits a signed BIGINT."""
+    seed_c = F.lit(seed) if isinstance(seed, int) else seed
+    payload = F.concat(seed_c.cast("string"), F.lit(":"), _c(col).cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def hash_hex(col: Column | str, seed: int | Column = 0, width: int = 15) -> Column:
+    """Fixed-width lowercase hex hash string of ``seed:value``.
+
+    Because the width is fixed, *lexicographic* order equals numeric
+    order — so ``min(hash_hex(...))`` is a valid min-hash in any engine
+    with md5(), no base conversion needed (DuckDB oracle parity)."""
+    seed_c = F.lit(seed) if isinstance(seed, int) else seed
+    payload = F.concat(seed_c.cast("string"), F.lit(":"), _c(col).cast("string"))
+    return F.substring(F.md5(payload), 1, width)
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace/punct-normalized lowercase
+    text. Equal fingerprints ⇔ textually-identical-after-normalization
+    documents (exact-dedup key)."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(_c(col)), r"[^\p{L}\p{N}\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return F.md5(normalized)

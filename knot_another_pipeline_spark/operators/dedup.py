@@ -1,0 +1,241 @@
+"""Deduplication family: window dedup, exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+The reference's only dedup semantic is the consumer-side "keep latest
+``ingested_at`` per (mmsi, base_date_time)" window contract
+(``/root/reference/docs/data_contracts.md:49,89,113`` — recommended, never
+implemented there; implemented here as :func:`latest_row_dedup`).
+
+The rest is the training-data-pipeline extension set (BASELINE.json north
+star): exact/near-duplicate detection over a document corpus, designed so
+the candidate-generation step is an equi-join (the same discretize-then-
+equi-join trick the reference plays with H3 cells):
+
+- exact:    md5 of normalized text → groupBy. One shuffle of (hash, id).
+- MinHash:  shingles → k md5-derived min-hashes → band buckets → pairs
+            join on (band, band_hash). Never compares all N² docs.
+- SimHash:  64-bit weighted-bit fingerprint; near-dups share the
+            fingerprint (or a band of it).
+- n-gram Jaccard: explode distinct shingles → self-join on shingle →
+            |A∩B| / |A∪B|. Exact, for verification of candidates.
+
+All hashes derive from md5 so every step is reproducible in any engine
+with md5() — including the DuckDB differential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from knot_another_pipeline_spark.functions.hashing import (
+    content_fingerprint,
+    hash64,
+    hash_hex,
+)
+
+
+def latest_row_dedup(
+    df: DataFrame, keys: list[str], order_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """Keep the latest row per key group (``row_number`` window,
+    data_contracts.md:113). ``tiebreak`` breaks order ties
+    deterministically. At scale this shuffles once on ``keys`` — the same
+    partitioning the silver layer's bucket-by-entity layout already has,
+    so with bucketed storage it is shuffle-free."""
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-normalized duplicate groups: fingerprint → min-id
+    representative. Output: id, fingerprint, group_size, representative
+    (is this row the keeper)."""
+    with_fp = df.select(
+        F.col(id_col).alias("id"), content_fingerprint(text_col).alias("fingerprint")
+    )
+    groups = with_fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("id").alias("keep_id")
+    )
+    return (
+        with_fp.join(groups, "fingerprint")
+        .withColumn("representative", F.col("id") == F.col("keep_id"))
+        .select("id", "fingerprint", "group_size", "representative")
+    )
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles of lowercase text as array<string>.
+    Pure built-ins: split → sliding slice via transform(sequence(...))."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) table — the base relation for MinHash and
+    Jaccard. Distinct shingles per doc (set semantics)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, *, num_hashes: int = 16
+) -> DataFrame:
+    """k independent min-hashes per doc.
+
+    Each "permutation" j is the fixed-width md5 hex hash of ``j:shingle``
+    (functions.hashing.hash_hex — lexicographic min ≡ numeric min, so the
+    same signature is computable in any engine with md5); the signature
+    component is the min over the doc's shingles. Implemented as one
+    explode×k + one groupBy — at scale the shuffle carries (id, j, min)
+    partial aggregates thanks to map-side combine.
+    Output: id, hash_id, min_hash (hex string).
+    """
+    hashes = shingles.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id"),
+        F.col("shingle"),
+    ).select(
+        "id", "hash_id", hash_hex(F.col("shingle"), F.col("hash_id")).alias("h")
+    )
+    return hashes.groupBy("id", "hash_id").agg(F.min("h").alias("min_hash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: concatenate each band's signature rows into a bucket
+    key; docs sharing any (band, bucket) are candidates. The pair search is
+    an equi-join on the bucket key — never all-pairs.
+    Output: id_a, id_b (id_a < id_b), distinct."""
+    banded = signatures.withColumn(
+        "band", (F.col("hash_id") / F.lit(rows_per_band)).cast("int")
+    )
+    buckets = banded.groupBy("id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("hash_id").cast("string"), F.col("min_hash").cast("string"))
+                    )
+                ),
+            )
+        ).alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(
+    signatures: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal signature
+    components. Output: id_a, id_b, est_jaccard."""
+    sa = signatures.select(
+        F.col("id").alias("id_a"), "hash_id", F.col("min_hash").alias("ha")
+    )
+    sb = signatures.select(
+        F.col("id").alias("id_b"), "hash_id", F.col("min_hash").alias("hb")
+    )
+    joined = candidates.join(sa, "id_a").join(sb, ["id_b", "hash_id"])
+    return joined.groupBy("id_a", "id_b").agg(
+        F.avg(F.when(F.col("ha") == F.col("hb"), 1.0).otherwise(0.0)).alias(
+            "est_jaccard"
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, *, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact pairwise Jaccard over docs sharing ≥1 shingle.
+
+    |A∩B| from the self-join on shingle; |A| and |B| joined from per-doc
+    set sizes; J = inter / (|A|+|B|-inter). The self-join explodes on hot
+    shingles — at scale, drop ultra-common shingles first (document-
+    frequency cap), exactly the stop-shingle trick used in production
+    dedup pipelines. Output: id_a, id_b, jaccard.
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: for each bit position, sum ±1 over token
+    hashes; bit set where the sum is positive.
+
+    Built-ins only: tokens → per-token 60-bit md5 hash → explode bit
+    positions → weighted sum per bit → reassemble. Output: id, simhash
+    (bigint). Near-duplicates differ in few bits (hamming distance).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", hash64(F.col("tok")))
+    # shiftright/shiftleft with a *column* shift amount only exist in SQL
+    # form, hence F.expr here.
+    bit_votes = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(h, bit) & 1)") == 1, 1).otherwise(-1),
+    )
+    per_bit = bit_votes.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,162 @@
+"""Co-movement pair detection — the reference's core analytic.
+
+Reference semantics (``/root/reference/sql/gold/create_pairs_daily.sql``,
+programmatic form ``pipelines/refresh_gold_tables.py:184-262``; math spec
+``README.md:157-168``):
+
+1. Self equi-join of the hourly rollup on (dt, hour, h3_index) with the
+   anti-symmetry predicate ``a.mmsi < b.mmsi`` (halves output, kills
+   self-pairs, ``README.md:132``) → co-located vessel-hours.   [J1]
+2. Per (pair, day): ``hT = COUNT(DISTINCT hour)``,
+   ``gT = COUNT(DISTINCT h3)``.                                [A3]
+3. Per (vessel, day) activity stats ``win_cnt``/``geo_cnt`` — computed
+   once, joined twice (the reference repeats the subquery for ua/ub;
+   here the DataFrame is built once so Catalyst reuses the exchange). [A4, J2]
+4. Overlap scores: ``temporal_o = hT / NULLIF(LEAST(hA,hB),0)``,
+   ``spatial_o = gT / NULLIF(LEAST(gA,gB),0)``,
+   ``gto = 0.5*(temporal_o+spatial_o)``; keep pairs with ``gT > 1``
+   (drop single-cell coincidences, ``create_pairs_daily.sql:79``). [P14-P18]
+
+Scale design (100 TB story):
+- The join input is the *pre-aggregated* rollup (one row per entity-window),
+  never raw positions — the same shrink-before-join decision the reference
+  makes (``README.md:130``).
+- Both join sides shuffle on (period, window, cell); hot cells (ports,
+  anchorages) are skewed → AQE skew-join splitting is enabled in the
+  session factory. For extreme skew, cap pairs per cell upstream by
+  salting or filtering mega-cells before the join.
+- The per-entity stats table is orders of magnitude smaller than the pair
+  table; Catalyst picks broadcast automatically below the threshold, and
+  both stats joins reuse one aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def co_movement_pairs(
+    rollup: DataFrame,
+    *,
+    uid_col: str = "uid",
+    window_col: str = "window_ts",
+    cell_col: str = "cell",
+    period: Column | str | None = None,
+    min_shared_cells: int = 1,
+) -> DataFrame:
+    """Build the pairs-per-period table from a windowed rollup.
+
+    ``period`` defaults to ``to_date(window_col)`` — the reference's
+    hour-windows-grouped-by-day shape. Pass a coarser expression (e.g.
+    ``F.trunc(window_col, 'month')``) for sparser data.
+
+    Output: uid_a, uid_b, day_date, hA, hB, gA, gB, hT, gT,
+    temporal_o, spatial_o, gto — exactly FIXTURES.md F4.
+    """
+    if period is None:
+        period_expr = F.to_date(F.col(window_col))
+    elif isinstance(period, str):
+        period_expr = F.col(period)
+    else:
+        period_expr = period
+
+    base = rollup.select(
+        F.col(uid_col).cast("string").alias("uid"),
+        period_expr.alias("day_date"),
+        F.col(window_col).alias("w"),
+        F.col(cell_col).alias("cell"),
+    )
+
+    a = base.alias("a")
+    b = base.alias("b")
+    # Equi keys (day_date, w, cell) → hash/sort-merge joinable; the `<` is
+    # evaluated as a post-match filter inside the join (SURVEY §2.3 J1).
+    co_located = a.join(
+        b,
+        (F.col("a.day_date") == F.col("b.day_date"))
+        & (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.uid") < F.col("b.uid")),
+        "inner",
+    ).select(
+        F.col("a.uid").alias("uid_a"),
+        F.col("b.uid").alias("uid_b"),
+        F.col("a.day_date").alias("day_date"),
+        F.col("a.w").alias("w"),
+        F.col("a.cell").alias("cell"),
+    )
+
+    pair_day = co_located.groupBy("uid_a", "uid_b", "day_date").agg(
+        F.countDistinct("w").alias("hT"),
+        F.countDistinct("cell").alias("gT"),
+    )
+
+    # Per-entity per-period activity stats — built once, joined twice.
+    stats = base.groupBy("uid", "day_date").agg(
+        F.count(F.lit(1)).alias("win_cnt"),
+        F.countDistinct("cell").alias("geo_cnt"),
+    )
+
+    ua = stats.select(
+        F.col("uid").alias("uid_a"),
+        F.col("day_date").alias("day_date"),
+        F.col("win_cnt").alias("hA"),
+        F.col("geo_cnt").alias("gA"),
+    )
+    ub = stats.select(
+        F.col("uid").alias("uid_b"),
+        F.col("day_date").alias("day_date"),
+        F.col("win_cnt").alias("hB"),
+        F.col("geo_cnt").alias("gB"),
+    )
+
+    joined = pair_day.join(ua, ["uid_a", "day_date"], "inner").join(
+        ub, ["uid_b", "day_date"], "inner"
+    )
+
+    temporal_o = F.col("hT").cast("double") / F.nullif(
+        F.least("hA", "hB").cast("double"), F.lit(0.0)
+    )
+    spatial_o = F.col("gT").cast("double") / F.nullif(
+        F.least("gA", "gB").cast("double"), F.lit(0.0)
+    )
+
+    return (
+        joined.withColumn("temporal_o", temporal_o)
+        .withColumn("spatial_o", spatial_o)
+        .withColumn("gto", 0.5 * (F.col("temporal_o") + F.col("spatial_o")))
+        .filter(F.col("gT") > F.lit(min_shared_cells))
+        .select(
+            "uid_a", "uid_b", "day_date",
+            "hA", "hB", "gA", "gB", "hT", "gT",
+            "temporal_o", "spatial_o", "gto",
+        )
+    )
+
+
+def pairs_total(
+    pairs_daily: DataFrame,
+    *,
+    gto_threshold: float = 0.4,
+    exact_median: bool = True,
+) -> DataFrame:
+    """Lifetime pair summary (``sql/gold/create_pairs_total.sql:11-21``).
+
+    ``exact_median=True`` uses ``F.median`` (deterministic; matches any
+    exact-median oracle). ``False`` matches the reference literally with
+    ``approx_percentile(gto, 0.5)`` — cheaper at extreme scale, value may
+    differ in low digits.
+    """
+    median_expr = (
+        F.median("gto") if exact_median else F.percentile_approx("gto", 0.5)
+    )
+    return pairs_daily.groupBy("uid_a", "uid_b").agg(
+        F.countDistinct("day_date").alias("total_days_observed"),
+        F.sum(
+            F.when(F.col("gto") >= F.lit(gto_threshold), 1).otherwise(0)
+        ).alias(f"days_with_gto_above_0_4"),
+        F.max("gto").alias("max_gto"),
+        F.min("gto").alias("min_gto"),
+        F.avg("gto").alias("avg_gto"),
+        median_expr.alias("median_gto"),
+    )

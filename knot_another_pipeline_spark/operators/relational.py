@@ -1,0 +1,202 @@
+"""General relational operator coverage on the star-schema catalog.
+
+The reference's SQL surface (SURVEY §2.2-2.6) is scans → filters → scalar
+exprs → equi/self/semi joins → hash aggregates → sort/limit. These
+queries exercise that inventory on the driver's TPC-H-ish tables, written
+the way one would for a 1000-executor cluster:
+
+- dimension tables are explicitly ``broadcast()`` (region/nation/customer
+  sides) so fact scans never shuffle for them;
+- aggregations run as partial+final hash aggregates (automatic);
+- top-k uses orderBy().limit() → TakeOrderedAndProject (no global sort);
+- filters sit directly on scan columns so Catalyst pushes them into the
+  parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pricing_summary(lineitem: DataFrame, *, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan→filter→hash-agg
+    pattern (reference analog: hourly rollup A1)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, *, k: int = 20
+) -> DataFrame:
+    """Revenue per customer with broadcast dimension joins + top-k."""
+    revenue = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "order_revenue"
+            )
+        )
+    )
+    joined = orders.join(revenue, orders.o_orderkey == revenue.l_orderkey).join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("order_revenue"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def regional_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: fact table joins to broadcast dims;
+    customer and supplier must share the nation (extra equi constraint)."""
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+        .orderBy(F.col("r_name").asc(), F.col("revenue").desc())
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join (the reference's IN-subquery cohort filter, J3)."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join — NOT EXISTS."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def top_order_per_customer(orders: DataFrame, *, per: int = 1) -> DataFrame:
+    """Window ranking: highest-value order(s) per customer
+    (row_number over partitioned desc sort — SURVEY §2.4 note: the one
+    windowed operator the reference contracts mandate)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    uid_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the previous
+    event of the same user is more than ``gap_minutes`` older. One window
+    partitioned by user (single shuffle on user_id); session ids are a
+    running conditional sum — the standard lag+cumsum idiom.
+    Output: uid, session_id, session_start, session_end, n_events."""
+    # Order by (ts, uid) with a microsecond-integer gap comparison:
+    # unix_micros is exact, unlike second-truncating unix_timestamp.
+    w = Window.partitionBy(uid_col).orderBy(ts_col)
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
+    with_breaks = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(w))
+                > gap
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(w))
+    return (
+        with_breaks.groupBy(
+            F.col(uid_col).alias("uid"), F.col("session_seq").alias("session_id")
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("uid", "session_id")
+    )
+
+
+def event_type_breakdown(events: DataFrame) -> DataFrame:
+    """Conditional aggregation (CASE-WHEN pivot, reference P18 pattern):
+    per-user counts of each event type in one pass."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in types
+    ]
+    return (
+        events.groupBy(F.col("user_id").alias("uid"))
+        .agg(*aggs, F.count(F.lit(1)).alias("n_total"))
+        .orderBy("uid")
+    )
+
+
+def user_set_ops(events: DataFrame) -> DataFrame:
+    """Set operators: users who purchased but never errored —
+    EXCEPT-distinct (``subtract``), the classic build-a-cohort set op."""
+    purchasers = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid")
+    )
+    error_users = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("uid")
+    )
+    return purchasers.subtract(error_users).orderBy("uid")

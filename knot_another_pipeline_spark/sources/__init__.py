@@ -1,0 +1,1 @@
+from knot_another_pipeline_spark.sources.tables import load_table, register_views  # noqa: F401

@@ -1,0 +1,163 @@
+"""Reference-parity tests on an AIS-shaped fixture (FIXTURES.md F1/F1b):
+hourly rollup contracts, co-movement pair math (incl. the dense/sparse
+overlap-coefficient case and the gT>1 filter), dedup window, gold refresh
+reconciliation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ais_fixture(spark):
+    """Two days; vessels A/B co-moving (same positions hourly), C dense +
+    D sparse on the same path, E a singleton-hex coincidence with A, F far
+    away, plus junk rows (bad ts, bad coords, null mmsi)."""
+    rows = []
+    # A and B co-move: hours 0..5 both days, same position per hour
+    for day in (1, 2):
+        for h in range(6):
+            lat, lon = 10.0 + h * 0.5, 20.0 + h * 0.5
+            rows.append(("A", f"2025-01-0{day} 0{h}:10:00", lat, lon, 8.0))
+            rows.append(("B", f"2025-01-0{day} 0{h}:20:00", lat, lon, 8.5))
+    # C dense (6 msgs/hour) vs D sparse (1 msg/hour), same path, day 1, hours 0..3
+    for h in range(4):
+        lat, lon = -30.0 + h, 50.0 + h
+        for m in range(6):
+            rows.append(("C", f"2025-01-01 0{h}:{10+m*5}:00", lat, lon, 10.0))
+        rows.append(("D", f"2025-01-01 0{h}:30:00", lat, lon, 10.0))
+    # E meets A exactly once (one shared hex-hour on day 1, hour 0)
+    rows.append(("E", "2025-01-01 00:40:00", 10.0, 20.0, 5.0))
+    # F alone far away
+    rows.append(("F", "2025-01-01 03:00:00", 60.0, -150.0, 3.0))
+    # junk: unparsable ts, invalid coords, null mmsi
+    rows.append(("G", "not-a-date", 10.0, 10.0, 1.0))
+    rows.append(("H", "2025-01-01 01:00:00", 99.0, 10.0, 1.0))
+    rows.append((None, "2025-01-01 01:00:00", 10.0, 10.0, 1.0))
+    return spark.createDataFrame(
+        rows,
+        "mmsi string, base_date_time string, latitude double, longitude double, sog double",
+    )
+
+
+@pytest.fixture(scope="module")
+def hourly(spark):
+    from knot_another_pipeline_spark.operators.rollup import build_uid_hourly_h3
+
+    return build_uid_hourly_h3(_ais_fixture(spark)).cache()
+
+
+def test_hourly_contracts(hourly):
+    rows = hourly.collect()
+    assert rows, "hourly rollup empty"
+    for r in rows:
+        # data_contracts.md:86-90: positive counts, valid coords, hour
+        # alignment, 15-hex-char cell
+        assert r["message_count"] > 0
+        assert -90 <= r["avg_lat"] <= 90 and -180 <= r["avg_lon"] <= 180
+        assert r["hour_ts"].minute == 0 and r["hour_ts"].second == 0
+        assert len(r["h3_index"]) == 15
+        assert r["hour"] == r["hour_ts"].hour
+        assert r["dt"] == r["hour_ts"].date()
+    # junk rows dropped: G (bad ts), H (lat 99), null mmsi
+    uids = {r["mmsi"] for r in rows}
+    assert "G" not in uids and "H" not in uids and None not in uids
+
+
+def test_hourly_counts_reconcile(spark, hourly):
+    # A reports 6 msgs/day × 2 days; C 24 msgs; D 4
+    per_uid = {
+        r["mmsi"]: r["n"]
+        for r in hourly.groupBy("mmsi").agg(F.sum("message_count").alias("n")).collect()
+    }
+    assert per_uid["A"] == 12 and per_uid["B"] == 12
+    assert per_uid["C"] == 24 and per_uid["D"] == 4
+
+
+@pytest.fixture(scope="module")
+def pairs(spark, hourly):
+    from knot_another_pipeline_spark.operators.pairs import co_movement_pairs
+
+    return co_movement_pairs(
+        hourly.select(
+            F.col("mmsi").alias("uid"),
+            F.col("hour_ts").alias("window_ts"),
+            F.col("h3_index").alias("cell"),
+        ),
+    ).cache()
+
+
+def test_pairs_ab_co_moving(pairs):
+    ab = {(r["uid_a"], r["uid_b"], str(r["day_date"])): r for r in pairs.collect()}
+    # A-B share 6 hours × 6 hexes both days → perfect overlap
+    for day in ("2025-01-01", "2025-01-02"):
+        r = ab[("A", "B", day)]
+        assert r["hT"] == 6 and r["gT"] == 6
+        assert r["temporal_o"] == pytest.approx(1.0)
+        assert r["spatial_o"] == pytest.approx(1.0)
+        assert r["gto"] == pytest.approx(1.0)
+
+
+def test_pairs_dense_sparse_overlap_not_jaccard(pairs):
+    """README.md:157-168: overlap coefficient uses min() denominators, so
+    the sparse vessel's full containment scores 1.0 where Jaccard would
+    dilute it."""
+    r = next(
+        r for r in pairs.collect() if r["uid_a"] == "C" and r["uid_b"] == "D"
+    )
+    assert r["hT"] == 4 and r["gT"] == 4
+    # D has 4 hour-rows, C has 4 too (dense msgs collapse per hour)
+    assert r["temporal_o"] == pytest.approx(1.0)
+    assert r["spatial_o"] == pytest.approx(1.0)
+
+
+def test_singleton_hex_pairs_filtered(pairs):
+    """gT > 1 drops single-shared-hex coincidences
+    (create_pairs_daily.sql:79): A-E met exactly once."""
+    assert not [
+        r for r in pairs.collect() if r["uid_a"] == "A" and r["uid_b"] == "E"
+    ]
+    # anti-symmetry: uid_a < uid_b always
+    for r in pairs.collect():
+        assert r["uid_a"] < r["uid_b"]
+
+
+def test_pairs_total_summary(spark, pairs):
+    from knot_another_pipeline_spark.operators.pairs import pairs_total
+
+    totals = {(r["uid_a"], r["uid_b"]): r for r in pairs_total(pairs).collect()}
+    ab = totals[("A", "B")]
+    assert ab["total_days_observed"] == 2
+    assert ab["days_with_gto_above_0_4"] == 2
+    assert ab["max_gto"] == pytest.approx(1.0)
+    assert ab["median_gto"] == pytest.approx(1.0)
+
+
+def test_gold_refresh_reconciliation(spark):
+    from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+
+    result = refresh_gold(spark, _ais_fixture(spark), run_checks=True)
+    report = {r["check_name"]: r for r in result.report.collect()}
+    assert report["sum_message_count_matches_silver"]["passed"]
+    assert report["sum_source_row_count_matches_silver"]["passed"]
+    assert report["uid_hourly_rows_positive"]["passed"]
+
+
+def test_latest_row_dedup(spark):
+    from knot_another_pipeline_spark.operators.dedup import latest_row_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 00:00:00", 1),
+            ("A", "2025-01-01 00:00:00", 2),  # same key+ts, later ingest wins
+            ("A", "2025-01-02 00:00:00", 3),
+            ("B", "2025-01-01 00:00:00", 4),
+        ],
+        "mmsi string, ts string, ingest long",
+    )
+    out = latest_row_dedup(df, ["mmsi", "ts"], "ingest")
+    got = {(r["mmsi"], r["ts"]): r["ingest"] for r in out.collect()}
+    assert got[("A", "2025-01-01 00:00:00")] == 2
+    assert got[("A", "2025-01-02 00:00:00")] == 3
+    assert got[("B", "2025-01-01 00:00:00")] == 4

@@ -1,0 +1,73 @@
+"""Differential gate: every catalog query vs its DuckDB oracle at sf0.01.
+
+Mirrors the driver's comparison: sort columns by name, canonicalize
+values, order-insensitive compare of full result multisets.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
+from tests.conftest import SF_TEST
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / representation noise after the query-side rounding
+        return round(v, 9)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if hasattr(v, "as_py"):
+        v = v.as_py()
+    if isinstance(v, (int, str, bytes)):
+        return v
+    try:  # Decimal etc.
+        return round(float(v), 9)
+    except Exception:
+        return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_TEST)
+    srows = sdf.collect()
+    scols, scanon = _canon_rows(sdf.columns, [tuple(r) for r in srows])
+
+    cur = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    ocols, ocanon = _canon_rows(ocols, orows)
+
+    assert scols == ocols, f"{name}: column names differ: {scols} vs {ocols}"
+    assert len(scanon) == len(ocanon), (
+        f"{name}: row count {len(scanon)} vs oracle {len(ocanon)}"
+    )
+    mismatches = [
+        (s, o) for s, o in zip(scanon, ocanon) if s != o
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_TEST)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

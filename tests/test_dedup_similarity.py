@@ -1,0 +1,143 @@
+"""Semantic tests for the dedup family and similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # 1-word edit → high jaccard
+    far = "completely unrelated text about spark sql execution engines and plans"
+    dup = "The  quick brown fox jumps over the lazy dog near the river bank today!"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, dup)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(spark, docs):
+    from knot_another_pipeline_spark.operators.dedup import exact_dedup
+
+    out = {r["id"]: r for r in exact_dedup(docs, id_col="doc_id", text_col="text").collect()}
+    # 1 and 4 normalize identically → one group, min-id representative
+    assert out[1]["fingerprint"] == out[4]["fingerprint"]
+    assert out[1]["group_size"] == 2 and out[4]["group_size"] == 2
+    assert out[1]["representative"] is True
+    assert out[4]["representative"] is False
+    assert out[3]["group_size"] == 1
+
+
+def test_ngram_jaccard_ranks_near_dups(spark, docs):
+    from knot_another_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sh).collect()
+    }
+    assert pairs[(1, 2)] > 0.5  # near-dup
+    assert (1, 3) not in pairs or pairs[(1, 3)] < 0.1  # unrelated
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from knot_another_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+        shingle_table,
+    )
+
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    assert sig.count() == 4 * 16
+    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in cand_set  # near-dups share a band
+    sims = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_similarity(sig, cands).collect()
+    }
+    assert sims[(1, 2)] > 0.4
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    from knot_another_pipeline_spark.operators.dedup import simhash
+
+    out = {r["id"]: r["simhash"] for r in simhash(docs, id_col="doc_id", text_col="text").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+    assert hamming(out[1], out[4]) <= hamming(out[1], out[3])
+
+
+def test_cosine_topk_exact(spark):
+    from knot_another_pipeline_spark.operators.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),   # closest to 1
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(
+        vecs.filter(F.col("vec_id") == 1), vecs, id_col="vec_id",
+        vec_col="embedding", k=3,
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 2 and ranked[-1] == 4
+    assert out[0]["query_id"] == 1
+
+
+def test_lsh_ann_recall_against_bruteforce(spark):
+    """LSH ANN must recover most of the true top-k on clustered data."""
+    import random
+
+    from knot_another_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket_topk,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(120):
+        center = [1.0, 0, 0, 0] if i % 2 == 0 else [0, 0, 0, 1.0]
+        rows.append(
+            (i, [c + rnd.gauss(0, 0.15) for c in center])
+        )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, vecs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk(queries, vecs, dim=4, num_planes=2, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_decode_plumbing(spark):
+    from knot_another_pipeline_spark.operators.multimodal import decode_media_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_media_meta(df, id_col="doc_id", payload_col="payload").collect()}
+    assert out[1]["n_bytes"] == 11
+    assert 64 <= out[1]["width"] < 257
+    assert out[1]["fmt"] is not None
+    assert out[2]["width"] is None

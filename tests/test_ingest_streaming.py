@@ -1,0 +1,136 @@
+"""Silver ingest (CSV + zip demux) and Structured Streaming parity tests."""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+CSV_TEXT = """MMSI,BaseDateTime,LAT,LON,SOG,VesselName
+111000111,2025-01-01 00:10:00,10.0,20.0,5.0,ALPHA
+111000111,2025-01-01 01:10:00,10.1,20.1,5.5,ALPHA
+222000222,2025-01-01T00:20:00,11.0,21.0,6.0,BRAVO
+222000222,2025-01-02 00:20:00Z,11.5,21.5,6.5,BRAVO
+333000333,not-a-date,12.0,22.0,7.0,JUNK
+,2025-01-01 05:00:00,13.0,23.0,8.0,NOID
+"""
+
+# header-variant file: different column spellings (FIXTURES.md F1)
+CSV_VARIANT = """mmsi,BaseDateTimeUTC,LAT,LON,SOG
+444000444,2025-01-03 10:00:00,14.0,24.0,9.0
+"""
+
+
+def test_csv_silver_ingest(spark, tmp_path):
+    from knot_another_pipeline_spark.sources.ingest import read_csv_auto, to_silver
+
+    p = tmp_path / "day1.csv"
+    p.write_text(CSV_TEXT)
+    silver = to_silver(read_csv_auto(spark, str(p)), source_url="http://x/day1")
+    rows = silver.collect()
+    # junk ts + null mmsi dropped
+    assert {r["mmsi"] for r in rows} == {"111000111", "222000222"}
+    for r in rows:
+        assert r["event_ts"] is not None
+        assert r["year"] == 2025 and r["month"] == 1
+        assert 0 <= r["bucket_id"] < 96
+        assert r["source_url"] == "http://x/day1"
+        assert r["source_file"]
+    # partition key from record timestamp, not file
+    days = {r["mmsi"]: set() for r in rows}
+    for r in rows:
+        days[r["mmsi"]].add(r["day"])
+    assert days["222000222"] == {1, 2}
+
+
+def test_header_variant_alias_resolution(spark, tmp_path):
+    from knot_another_pipeline_spark.sources.ingest import read_csv_auto, to_silver
+
+    p = tmp_path / "variant.csv"
+    p.write_text(CSV_VARIANT)
+    silver = to_silver(read_csv_auto(spark, str(p)))
+    rows = silver.collect()
+    assert rows[0]["mmsi"] == "444000444"
+    assert rows[0]["event_ts"].hour == 10
+
+
+def test_zip_ingest(spark, tmp_path):
+    from knot_another_pipeline_spark.sources.ingest import read_zip_csv, to_silver
+
+    zpath = tmp_path / "archive.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("a.csv", CSV_TEXT)
+        zf.writestr("b.csv", CSV_VARIANT.replace("BaseDateTimeUTC", "BaseDateTime"))
+        zf.writestr("readme.txt", "ignore me")
+    raw = read_zip_csv(spark, str(zpath))
+    assert "source_member" in raw.columns
+    members = {r["source_member"] for r in raw.select("source_member").collect()}
+    assert members == {"a.csv", "b.csv"}
+    silver = to_silver(raw)
+    uids = {r["mmsi"] for r in silver.collect()}
+    assert uids == {"111000111", "222000222", "444000444"}
+
+
+def test_silver_partitioned_write_roundtrip(spark, tmp_path):
+    from knot_another_pipeline_spark.sources.ingest import (
+        read_csv_auto,
+        to_silver,
+        write_silver,
+    )
+
+    p = tmp_path / "day1.csv"
+    p.write_text(CSV_TEXT)
+    silver = to_silver(read_csv_auto(spark, str(p)))
+    root = str(tmp_path / "silver")
+    write_silver(silver, root)
+    # Hive layout on disk: partition dirs, partition cols not in files
+    assert any(d.startswith("year=") for d in os.listdir(root))
+    back = spark.read.parquet(root)
+    assert back.count() == silver.count()
+    assert {"year", "month", "day", "bucket_id"} <= set(back.columns)
+    # append is additive (reference's append-only contract)
+    write_silver(silver, root)
+    assert spark.read.parquet(root).count() == 2 * silver.count()
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """The streaming tumbling-window rollup must agree with the batch
+    date_trunc rollup on the same (bounded) input."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_windowed_rollup,
+    )
+
+    src = tmp_path / "stream_in"
+    df = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 00:10:00", 1.0),
+            ("A", "2025-01-01 00:50:00", 3.0),
+            ("A", "2025-01-01 01:10:00", 5.0),
+            ("B", "2025-01-01 00:30:00", 7.0),
+        ],
+        "uid string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    rolled = streaming_windowed_rollup(
+        stream, uid_col="uid", ts_col="ts", value_col="v"
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["uid"], r["window_ts"].hour): (r["avg_value"], r["message_count"])
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    assert got[("A", 0)] == (2.0, 2)
+    assert got[("A", 1)] == (5.0, 1)
+    assert got[("B", 0)] == (7.0, 1)
