@@ -725,23 +725,37 @@ _SHINGLES_SQL = r"""
 """
 
 
+# Carter-Wegman signature SQL shared by both minhash oracles: two 40-bit
+# md5 base hashes per shingle, permutation j = h1 + j·h2, one min per j.
+_SIG_SQL = (
+    """
+  SELECT id,
+"""
+    + ",\n".join(
+        f"         min(h1 + {j} * h2) AS m{j}" for j in range(16)
+    )
+    + """
+  FROM (
+    SELECT id,
+           CAST(concat('0x', substr(md5(concat('1:', shingle)), 1, 10)) AS BIGINT) AS h1,
+           CAST(concat('0x', substr(md5(concat('2:', shingle)), 1, 10)) AS BIGINT) AS h2
+    FROM sh)
+  GROUP BY id
+"""
+)
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 md5-derived hex min-hashes per doc)."""
+    """MinHash signatures: 16 Carter-Wegman min-hashes per doc (wide)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
-    sig = minhash_signatures(sh, num_hashes=16)
-    return sig.select(
-        "id", F.col("hash_id").cast("bigint").alias("hash_id"), "min_hash"
-    )
+    return minhash_signatures(sh, num_hashes=16)
 
 
 ORACLE_MINHASH_SIGNATURES = f"""
 WITH toks AS ({_TOKS_SQL}),
 sh AS ({_SHINGLES_SQL})
-SELECT id, j AS hash_id,
-       min(substr(md5(concat(CAST(j AS VARCHAR), ':', shingle)), 1, 15)) AS min_hash
-FROM sh CROSS JOIN range(0, 16) r(j)
-GROUP BY 1, 2
+{_SIG_SQL}
 """
 
 
@@ -751,35 +765,47 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
     sig = minhash_signatures(sh, num_hashes=16)
     cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
-    sims = minhash_similarity(sig, cands)
+    sims = minhash_similarity(sig, cands, num_hashes=16)
     return sims.select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 
 
-ORACLE_MINHASH_PAIRS = f"""
+def _band_bucket_sql(band: int, rows_per_band: int = 4) -> str:
+    cols = ", ".join(
+        f"CAST(m{band * rows_per_band + r} AS VARCHAR)"
+        for r in range(rows_per_band)
+    )
+    return (
+        f"SELECT id, {band} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+    )
+
+
+ORACLE_MINHASH_PAIRS = (
+    f"""
 WITH toks AS ({_TOKS_SQL}),
 sh AS ({_SHINGLES_SQL}),
-sig AS (
-  SELECT id, j AS hash_id,
-         min(substr(md5(concat(CAST(j AS VARCHAR), ':', shingle)), 1, 15)) AS min_hash
-  FROM sh CROSS JOIN range(0, 16) r(j)
-  GROUP BY 1, 2),
+sig AS ({_SIG_SQL}),
 buckets AS (
-  SELECT id, hash_id // 4 AS band,
-         md5(array_to_string(list_sort(list(concat(CAST(hash_id AS VARCHAR), ':', min_hash))), ',')) AS bucket
-  FROM sig GROUP BY id, hash_id // 4),
+  """
+    + "\n  UNION ALL\n  ".join(_band_bucket_sql(b) for b in range(4))
+    + """
+),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
 SELECT c.id_a, c.id_b,
-       round(avg(CASE WHEN sa.min_hash = sb.min_hash THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+       round(("""
+    + " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(16)
+    )
+    + """) / 16.0, 4) AS est_jaccard
 FROM cands c
 JOIN sig sa ON sa.id = c.id_a
-JOIN sig sb ON sb.id = c.id_b AND sb.hash_id = sa.hash_id
-GROUP BY c.id_a, c.id_b
+JOIN sig sb ON sb.id = c.id_b
 """
+)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,48 +94,51 @@ def shingle_table(
 def minhash_signatures(
     shingles: DataFrame, *, num_hashes: int = 16
 ) -> DataFrame:
-    """k independent min-hashes per doc.
+    """k min-hashes per doc, Carter-Wegman style, no row blowup.
 
-    Each "permutation" j is the fixed-width md5 hex hash of ``j:shingle``
-    (functions.hashing.hash_hex — lexicographic min ≡ numeric min, so the
-    same signature is computable in any engine with md5); the signature
-    component is the min over the doc's shingles. Implemented as one
-    explode×k + one groupBy — at scale the shuffle carries (id, j, min)
-    partial aggregates thanks to map-side combine.
-    Output: id, hash_id, min_hash (hex string).
+    Two md5-derived 40-bit base hashes per shingle (h1 = md5('1:s'),
+    h2 = md5('2:s')); permutation j is the linear combination
+    ``h_j = h1 + j·h2`` (< 2^45 for k ≤ 16 — no overflow, and exactly
+    reproducible in any engine with md5). The signature is one hash
+    aggregate with k ``min`` expressions — the shuffle carries one
+    k-column row per doc (map-side combined), versus the naive
+    explode×k which multiplies the shingle table by k.
+
+    Output (wide): id, m0 … m{k-1} (bigint).
     """
-    hashes = shingles.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id"),
-        F.col("shingle"),
-    ).select(
-        "id", "hash_id", hash_hex(F.col("shingle"), F.col("hash_id")).alias("h")
-    )
-    return hashes.groupBy("id", "hash_id").agg(F.min("h").alias("min_hash"))
+    h1 = F.conv(F.substring(F.md5(F.concat(F.lit("1:"), F.col("shingle"))), 1, 10), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("2:"), F.col("shingle"))), 1, 10), 16, 10).cast("long")
+    based = shingles.select("id", h1.alias("h1"), h2.alias("h2"))
+    aggs = [
+        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"m{j}")
+        for j in range(num_hashes)
+    ]
+    return based.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: concatenate each band's signature rows into a bucket
-    key; docs sharing any (band, bucket) are candidates. The pair search is
-    an equi-join on the bucket key — never all-pairs.
-    Output: id_a, id_b (id_a < id_b), distinct."""
-    banded = signatures.withColumn(
-        "band", (F.col("hash_id") / F.lit(rows_per_band)).cast("int")
-    )
-    buckets = banded.groupBy("id", "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.sort_array(
-                    F.collect_list(
-                        F.concat_ws(":", F.col("hash_id").cast("string"), F.col("min_hash").cast("string"))
-                    )
-                ),
+    """LSH banding over wide signatures: each band's bucket key is the md5
+    of its signature slice; docs sharing any (band, bucket) are
+    candidates. The pair search is an equi-join on the bucket key — never
+    all-pairs. Output: id_a, id_b (id_a < id_b), distinct."""
+    band_rows = []
+    for b in range(bands):
+        cols = [
+            F.col(f"m{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_rows.append(
+            signatures.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
             )
-        ).alias("bucket")
-    )
+        )
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionAll(extra)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -151,20 +154,30 @@ def lsh_candidate_pairs(
 
 
 def minhash_similarity(
-    signatures: DataFrame, candidates: DataFrame
+    signatures: DataFrame, candidates: DataFrame, *, num_hashes: int = 16
 ) -> DataFrame:
     """Estimated Jaccard for candidate pairs = fraction of equal signature
-    components. Output: id_a, id_b, est_jaccard."""
+    components; one join per side, equality folded into a single column
+    expression (no explode). Output: id_a, id_b, est_jaccard."""
     sa = signatures.select(
-        F.col("id").alias("id_a"), "hash_id", F.col("min_hash").alias("ha")
+        F.col("id").alias("id_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(num_hashes)],
     )
     sb = signatures.select(
-        F.col("id").alias("id_b"), "hash_id", F.col("min_hash").alias("hb")
+        F.col("id").alias("id_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(num_hashes)],
     )
-    joined = candidates.join(sa, "id_a").join(sb, ["id_b", "hash_id"])
-    return joined.groupBy("id_a", "id_b").agg(
-        F.avg(F.when(F.col("ha") == F.col("hb"), 1.0).otherwise(0.0)).alias(
-            "est_jaccard"
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
 

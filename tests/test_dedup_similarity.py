@@ -55,13 +55,15 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
     sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
     sig = minhash_signatures(sh, num_hashes=16)
-    assert sig.count() == 4 * 16
+    rows = sig.collect()
+    assert len(rows) == 4  # wide: one row per doc
+    assert {c for c in sig.columns} == {"id"} | {f"m{j}" for j in range(16)}
     cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
     cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert (1, 2) in cand_set  # near-dups share a band
     sims = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
-        for r in minhash_similarity(sig, cands).collect()
+        for r in minhash_similarity(sig, cands, num_hashes=16).collect()
     }
     assert sims[(1, 2)] > 0.4
 
