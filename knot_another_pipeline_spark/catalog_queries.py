@@ -859,6 +859,111 @@ FROM votes GROUP BY id
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish subword
+    units (word/number/punct regex) — both pure codegen expressions."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        token_count("text").cast("bigint").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe_units"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = rf"""
+WITH toks AS ({_TOKS_SQL})
+SELECT doc_id AS id,
+       CAST(len(t) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '\p{{L}}+|\p{{N}}+|[^\p{{L}}\p{{N}}\s]')) AS BIGINT) AS n_bpe_units
+FROM toks
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint: md5 of punctuation/whitespace-normalized
+    lowercase text (the exact-dedup key, exposed standalone)."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        fingerprint_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_documents(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_DOC_FINGERPRINT = r"""
+SELECT doc_id AS id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=8-char grams, window=4):
+    the min gram-hash of every window survives; overlap between docs'
+    fingerprint sets localizes shared passages."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, id_col="doc_id", text_col="text", k=8, window=4)
+
+
+ORACLE_WINNOW_FINGERPRINT = r"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+g AS (
+  SELECT id, t, length(t) - 8 + 1 AS n_grams FROM norm
+  WHERE length(t) - 8 + 1 >= 4),
+grams AS (
+  SELECT id, n_grams, CAST(p AS INTEGER) AS pos,
+         CAST(concat('0x', substr(md5(substr(t, CAST(p AS INTEGER), 8)), 1, 10)) AS BIGINT) AS h
+  FROM (SELECT id, t, n_grams, unnest(range(1, n_grams + 1)) AS p FROM g)),
+wins AS (
+  SELECT id, pos, n_grams,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_hash
+  FROM grams)
+SELECT DISTINCT id, fp_hash FROM wins WHERE pos <= n_grams - 3
+"""
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bucket LSH blocking
+    (equi-join, never all-pairs) + exact cosine confirm at 0.35."""
+    from knot_another_pipeline_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35, sign_dims=8
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << (7 - i)} ELSE 0 END)" for i in range(8)
+)
+
+ORACLE_EMBEDDING_DEDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
+             {_SIGN_BUCKET_SQL} AS bucket
+      FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
+FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.35
+"""
+
+
 # --------------------------------------------------------------------------
 # 4. Similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -912,6 +1017,60 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"),
     )
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: deterministic centroids (every 50th vector),
+    nprobe=2 Voronoi cells searched per query, exact re-rank within."""
+    from knot_another_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 8), emb, id_col="vec_id",
+        vec_col="embedding", centroid_stride=50, nprobe=2, k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+ORACLE_IVF_ANN = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+cents AS (SELECT vec_id AS cent_id, v AS centv, nn AS centn
+          FROM n WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT neighbor_id, cv, cn, cell FROM (
+    SELECT n.vec_id AS neighbor_id, n.v AS cv, n.nn AS cn, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.centv) / (n.nn * c.centn) DESC,
+                      c.cent_id ASC) AS rn
+    FROM n CROSS JOIN cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.nn AS qn, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.centv) / (q.nn * c.centn) DESC,
+                      c.cent_id ASC) AS rn
+    FROM n q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos_sim
+  FROM probes p JOIN assigned a
+    ON p.cell = a.cell AND p.query_id != a.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # 5. Multimodal plumbing (binary payload → typed metadata via mapInPandas)
 # --------------------------------------------------------------------------
@@ -937,6 +1096,60 @@ SELECT doc_id,
        CAST(1 + (length(text) % 7) AS BIGINT) AS n_frames,
        substr(md5(text), 1, 1) AS fmt
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. Data-quality reconciliation (reference `_run_data_checks`, A6)
+# --------------------------------------------------------------------------
+
+
+def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's post-refresh reconciliation as one row: the hourly
+    gold table's SUM(message_count)/SUM(source_row_count) must equal the
+    filtered-silver row count (`refresh_gold_tables.py:472-558`)."""
+    hourly = q_ais_hourly(spark, sf_dir)
+    silver = _positions(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("silver_rows")
+    )
+    g = hourly.agg(
+        F.count(F.lit(1)).alias("hourly_rows"),
+        F.sum("message_count").alias("sum_message_count"),
+        F.sum("source_row_count").alias("sum_source_rows"),
+    )
+    return g.crossJoin(silver).select(
+        "hourly_rows",
+        "sum_message_count",
+        "sum_source_rows",
+        "silver_rows",
+        (F.col("sum_message_count") - F.col("silver_rows")).alias("delta_msg"),
+        (F.col("sum_source_rows") - F.col("silver_rows")).alias("delta_src"),
+        (
+            (F.col("sum_message_count") == F.col("silver_rows"))
+            & (F.col("sum_source_rows") == F.col("silver_rows"))
+            & (F.col("hourly_rows") >= 1)
+        ).alias("passed"),
+    )
+
+
+ORACLE_DQ_RECONCILE = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+agg AS (
+  SELECT uid, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS message_count, count(*) AS source_row_count
+  FROM pos GROUP BY 1, 2),
+g AS (
+  SELECT count(*) AS hourly_rows,
+         sum(message_count) AS sum_message_count,
+         sum(source_row_count) AS sum_source_rows
+  FROM agg),
+s AS (SELECT count(*) AS silver_rows FROM pos)
+SELECT hourly_rows, sum_message_count, sum_source_rows, silver_rows,
+       sum_message_count - silver_rows AS delta_msg,
+       sum_source_rows - silver_rows AS delta_src,
+       (sum_message_count = silver_rows AND sum_source_rows = silver_rows
+        AND hourly_rows >= 1) AS passed
+FROM g CROSS JOIN s
 """
 
 
@@ -974,11 +1187,18 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "embedding_dedup": q_embedding_dedup,
     # similarity
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ivf_ann": q_ivf_ann,
     # multimodal
     "media_meta": q_media_meta,
+    # data quality
+    "dq_reconcile": q_dq_reconcile,
 }
 
 ORACLES = {
@@ -1008,8 +1228,14 @@ ORACLES = {
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash": ORACLE_SIMHASH,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
+    "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "ivf_ann": ORACLE_IVF_ANN,
     "media_meta": ORACLE_MEDIA_META,
+    "dq_reconcile": ORACLE_DQ_RECONCILE,
     # "ann_lsh" intentionally has no oracle (rows-only check): hyperplane
     # derivation is driver-side; recall is unit-tested against brute force.
 }

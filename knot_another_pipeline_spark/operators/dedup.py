@@ -252,3 +252,57 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 64) -> Dat
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def sign_bucket(vec: F.Column, *, dims: int = 8) -> F.Column:
+    """Axis-aligned hyperplane LSH bucket for an embedding: bit i set ⇔
+    component i > 0. A degenerate (but portable and deterministic)
+    random-hyperplane sketch — vectors with high cosine similarity agree
+    on most component signs, so near-dups land in the same bucket."""
+    key = F.lit(0).cast("long")
+    for i in range(dims):
+        bit = F.when(F.element_at(vec, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
+        key = key * 2 + bit.cast("long")
+    return key
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    sign_dims: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LSH blocking.
+
+    Candidates come from an equi-join on the sign bucket of the first
+    ``sign_dims`` components (2^dims buckets), so the corpus never
+    cross-joins — the same blocking shape as MinHash banding, but over
+    the embedding column. Exact cosine then confirms candidates against
+    ``threshold``. Norms are precomputed once per side.
+    Output: id_a, id_b (id_a < id_b), cos_sim.
+    """
+    from knot_another_pipeline_spark.operators.similarity import dot, l2_norm
+
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
+        sign_bucket(F.col(vec_col), dims=sign_dims).alias("bucket"),
+    )
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "bucket",
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -150,3 +150,75 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi
+    cells around a small deterministic centroid set (every
+    ``centroid_stride``-th vector by id — reproducible without a
+    training step), then search only the ``nprobe`` cells nearest each
+    query.
+
+    Scale shape: the centroid table is tiny and broadcast, so cell
+    assignment is one corpus scan with no shuffle; the candidate join is
+    an equi-join on cell id touching ~nprobe/C of the corpus. Exact
+    cosine re-ranks within the probed cells (recall < 1 by design).
+    Output: query_id, neighbor_id, cos_sim, rank.
+    """
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("centv"),
+        l2_norm(F.col(vec_col)).alias("centn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn")))
+        .withColumn("cent_rank", F.row_number().over(assign_w))
+        .filter(F.col("cent_rank") == 1)
+        .select("neighbor_id", "cv", "cn", F.col("cent_id").alias("cell"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn")))
+        .withColumn("cent_rank", F.row_number().over(probe_w))
+        .filter(F.col("cent_rank") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -125,3 +125,49 @@ def fingerprint_documents(df: DataFrame, *, id_col: str, text_col: str) -> DataF
     return df.select(
         F.col(id_col).alias("id"), content_fingerprint(text_col).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, *, id_col: str, text_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et al.,
+    SIGMOD'03): hash every char ``k``-gram, slide a ``window``-wide frame
+    over consecutive gram hashes, keep the min of each frame, dedupe.
+    Near-identical documents share most selected hashes, so fingerprint
+    overlap ⇒ local similarity even when MinHash's bag-of-shingles view
+    would wash out ordering.
+
+    Gram hashes are 40-bit md5-derived bigints (portable to any engine
+    with md5). The frame-min is a window aggregate ordered by gram
+    position — one shuffle on the doc id; everything else is codegen'd
+    string/hash expressions. Output: id, fp_hash (distinct rows).
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_grams = (F.length(norm) - F.lit(k) + 1).alias("n_grams")
+    grams = (
+        df.select(F.col(id_col).alias("id"), norm.alias("t"), n_grams)
+        .filter(F.col("n_grams") >= window)
+        .select(
+            "id",
+            "n_grams",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substring(t, pos, {k})")), 1, 10), 16, 10
+            ).cast("long").alias("h"),
+        )
+    )
+    frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("fp_hash", F.min("h").over(frame))
+        .filter(F.col("pos") <= F.col("n_grams") - window + 1)
+        .select("id", "fp_hash")
+        .distinct()
+    )

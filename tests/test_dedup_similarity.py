@@ -143,3 +143,83 @@ def test_multimodal_decode_plumbing(spark):
     assert 64 <= out[1]["width"] < 257
     assert out[1]["fmt"] is not None
     assert out[2]["width"] is None
+
+
+def test_winnow_fingerprints_localize_overlap(spark, docs):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(docs, id_col="doc_id", text_col="text", k=8, window=4)
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r["id"], set()).add(r["fp_hash"])
+    # identical-after-whitespace docs share nearly all fingerprints;
+    # (1,4) differ only by double-space + trailing '!' in doc 4
+    inter_14 = len(by_id[1] & by_id[4]) / len(by_id[1] | by_id[4])
+    assert inter_14 > 0.7
+    # near-dup (one word changed) shares most; unrelated shares ~none
+    inter_12 = len(by_id[1] & by_id[2]) / len(by_id[1] | by_id[2])
+    inter_13 = len(by_id[1] & by_id[3]) / len(by_id[1] | by_id[3])
+    assert inter_12 > 0.5
+    assert inter_13 < 0.05
+    # winnowing must select far fewer hashes than there are grams
+    n_grams = len(docs.collect()[0]["text"]) - 8 + 1
+    assert 0 < len(by_id[1]) < n_grams
+
+
+def test_embedding_near_dup_blocking(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    base = [1.0, 2.0, -1.0, 0.5, 1.5, -0.5, 2.5, 1.0] + [0.1] * 8
+    near = list(base)
+    near[8] = 0.12  # tiny perturbation — same signs, cosine ≈ 1
+    flipped = [-x for x in base]  # opposite bucket, cosine = -1
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, flipped)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(
+            df, id_col="vec_id", vec_col="embedding", threshold=0.9, sign_dims=8
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+    assert (1, 3) not in out  # blocked: different sign bucket
+
+
+def test_ivf_topk_recall_against_bruteforce(spark):
+    import math
+    import random
+
+    from knot_another_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    # 4 well-separated cluster directions + jitter
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(qs, df, id_col="vec_id", vec_col="embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            qs, df, id_col="vec_id", vec_col="embedding",
+            centroid_stride=20, nprobe=2, k=5,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall} too low"
