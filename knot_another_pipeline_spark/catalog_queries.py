@@ -161,20 +161,35 @@ def _daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pairs_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference `pairs_daily` (J1+J2+A3+A4+P14-P18) at day-window/month-
-    period grain: self equi-join on (period, window, cell) with uid_a <
-    uid_b, distinct-counts, per-entity stats joined twice, overlap scores,
-    gT > 1 filter."""
-    roll = _daily_rollup(spark, sf_dir)
-    pairs = co_movement_pairs(
+def _pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `pairs_daily`-analog table, cached: the reference materializes
+    this as a gold table precisely because two consumers read it
+    (`pairs_total` + analysis). `.cache()` is the in-session equivalent —
+    Spark's cache manager keys on the analyzed plan, so `pairs_monthly`
+    and `pairs_total` share one materialization. At warehouse scale this
+    is a `saveAsTable` (plans/gold_refresh.py); the query shape is
+    identical.
+
+    The rollup itself is cached too: it feeds four subplans (join side a,
+    join side b, and the per-entity stats built for ua/ub) which would
+    otherwise each re-run the events aggregation."""
+    roll = _daily_rollup(spark, sf_dir).cache()
+    return co_movement_pairs(
         roll,
         uid_col="uid",
         window_col="window_ts",
         cell_col="cell",
         period=F.to_date(F.date_trunc("month", F.col("window_ts"))),
         min_shared_cells=1,
-    )
+    ).cache()
+
+
+def q_pairs_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `pairs_daily` (J1+J2+A3+A4+P14-P18) at day-window/month-
+    period grain: self equi-join on (period, window, cell) with uid_a <
+    uid_b, distinct-counts, per-entity stats joined twice, overlap scores,
+    gT > 1 filter."""
+    pairs = _pairs_base(spark, sf_dir)
     return pairs.select(
         "uid_a", "uid_b", "day_date",
         F.col("hA").cast("bigint").alias("ha"),
@@ -236,14 +251,7 @@ def q_pairs_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference `pairs_total` (A5): lifetime pair summary with exact
     median (deterministic across engines; the reference's
     approx_percentile variant is available via pairs_total(exact_median=False))."""
-    roll = _daily_rollup(spark, sf_dir)
-    pairs = co_movement_pairs(
-        roll,
-        uid_col="uid",
-        window_col="window_ts",
-        cell_col="cell",
-        period=F.to_date(F.date_trunc("month", F.col("window_ts"))),
-    )
+    pairs = _pairs_base(spark, sf_dir)
     total = pairs_total(pairs, exact_median=True)
     return total.select(
         "uid_a", "uid_b",
@@ -760,10 +768,13 @@ sh AS ({_SHINGLES_SQL})
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs (4 bands × 4 rows) + estimated Jaccard."""
+    """LSH candidates + estimated Jaccard. The signature table (one
+    narrow row per doc) is cached: candidate generation and similarity
+    scoring both read it, and without the cache the shingle explode +
+    aggregate lineage would re-execute for every reference."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
-    sig = minhash_signatures(sh, num_hashes=16)
+    sig = minhash_signatures(sh, num_hashes=16).cache()
     cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
     sims = minhash_similarity(sig, cands, num_hashes=16)
     return sims.select(

@@ -122,23 +122,25 @@ def lsh_candidate_pairs(
     """LSH banding over wide signatures: each band's bucket key is the md5
     of its signature slice; docs sharing any (band, bucket) are
     candidates. The pair search is an equi-join on the bucket key — never
-    all-pairs. Output: id_a, id_b (id_a < id_b), distinct."""
-    band_rows = []
-    for b in range(bands):
-        cols = [
-            F.col(f"m{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_rows.append(
-            signatures.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+    all-pairs. All band keys are computed in ONE pass over the signature
+    table (posexplode of a bands-wide array), not a per-band union that
+    would rescan the signature lineage `bands` times.
+    Output: id_a, id_b (id_a < id_b), distinct."""
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         )
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionAll(extra)
+        for b in range(bands)
+    ]
+    buckets = signatures.select(
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

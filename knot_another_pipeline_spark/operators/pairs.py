@@ -43,12 +43,23 @@ def co_movement_pairs(
     cell_col: str = "cell",
     period: Column | str | None = None,
     min_shared_cells: int = 1,
+    assume_unique_windows: bool = True,
 ) -> DataFrame:
     """Build the pairs-per-period table from a windowed rollup.
 
     ``period`` defaults to ``to_date(window_col)`` — the reference's
     hour-windows-grouped-by-day shape. Pass a coarser expression (e.g.
     ``F.trunc(window_col, 'month')``) for sparser data.
+
+    ``assume_unique_windows``: a *rollup* has one row per (entity,
+    window) by construction (it is the output of a groupBy on exactly
+    those keys — as the reference's ``uid_hourly_h3`` is). Under that
+    invariant every (pair, window) match occurs exactly once, so
+    ``hT = COUNT(*)`` — same value as the reference's
+    ``COUNT(DISTINCT hour)`` but without a second distinct aggregate,
+    which lets Spark skip the Expand (row-doubling) plan for
+    multi-distinct aggregation; only the cell-distinct remains. Pass
+    False if the input may carry duplicate (entity, window) rows.
 
     Output: uid_a, uid_b, day_date, hA, hB, gA, gB, hT, gT,
     temporal_o, spatial_o, gto — exactly FIXTURES.md F4.
@@ -71,6 +82,17 @@ def co_movement_pairs(
     b = base.alias("b")
     # Equi keys (day_date, w, cell) → hash/sort-merge joinable; the `<` is
     # evaluated as a post-match filter inside the join (SURVEY §2.3 J1).
+    # Under the unique-window invariant the post-join `w` column is never
+    # aggregated (hT = COUNT(*)), so don't even project it — narrower
+    # rows through the join → partial-agg pipeline.
+    out_cols = [
+        F.col("a.uid").alias("uid_a"),
+        F.col("b.uid").alias("uid_b"),
+        F.col("a.day_date").alias("day_date"),
+        F.col("a.cell").alias("cell"),
+    ]
+    if not assume_unique_windows:
+        out_cols.insert(3, F.col("a.w").alias("w"))
     co_located = a.join(
         b,
         (F.col("a.day_date") == F.col("b.day_date"))
@@ -78,16 +100,13 @@ def co_movement_pairs(
         & (F.col("a.cell") == F.col("b.cell"))
         & (F.col("a.uid") < F.col("b.uid")),
         "inner",
-    ).select(
-        F.col("a.uid").alias("uid_a"),
-        F.col("b.uid").alias("uid_b"),
-        F.col("a.day_date").alias("day_date"),
-        F.col("a.w").alias("w"),
-        F.col("a.cell").alias("cell"),
-    )
+    ).select(*out_cols)
 
+    ht_expr = (
+        F.count(F.lit(1)) if assume_unique_windows else F.countDistinct("w")
+    )
     pair_day = co_located.groupBy("uid_a", "uid_b", "day_date").agg(
-        F.countDistinct("w").alias("hT"),
+        ht_expr.alias("hT"),
         F.countDistinct("cell").alias("gT"),
     )
 

@@ -21,6 +21,10 @@ from pyspark.sql import SparkSession
 
 #: Configs that must be set before the JVM starts.
 _BUILD_CONF = {
+    # In local mode the driver JVM *is* the whole cluster; Spark's 1g
+    # default heap GC-thrashes with 32 concurrent task threads. On a real
+    # cluster this is superseded by the deployment's executor sizing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
