@@ -74,3 +74,22 @@ def to_utc_hour(ts: Column | str) -> Column:
     ``create_uid_hourly_h3.sql:58``)."""
     c = F.col(ts) if isinstance(ts, str) else ts
     return F.date_trunc("hour", c)
+
+
+def partition_date(year, month, day):
+    """Reconstruct a DATE from Hive partition key columns (P17) — the
+    reference formats ``%04d-%02d-%02d`` strings and parses them back
+    (``refresh_gold_tables.py:496-507``); ``make_date`` is the direct
+    Spark expression (NULL on invalid combinations, like the wrapped
+    TRY)."""
+    y = F.col(year) if isinstance(year, str) else year
+    m = F.col(month) if isinstance(month, str) else month
+    d = F.col(day) if isinstance(day, str) else day
+    # format + null-safe parse — the reference's literal shape; invalid
+    # combinations (Feb 29 in a non-leap year) yield NULL, not an error.
+    return F.try_to_date(
+        F.format_string(
+            "%04d-%02d-%02d", y.cast("int"), m.cast("int"), d.cast("int")
+        ),
+        "yyyy-MM-dd",
+    )
