@@ -1015,9 +1015,10 @@ FROM ranked WHERE rn <= 5
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH buckets (rows-only check:
-    the hyperplane derivation is driver-side; semantics verified in unit
-    tests against the brute-force baseline)."""
+    """Approximate NN via random-hyperplane LSH buckets. The ±1
+    hyperplane components derive from md5(plane:dim), so the whole
+    bucketing is reproducible in the DuckDB oracle — no rows-only
+    fallback needed."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucket_topk(
         emb.filter(F.col("vec_id") < 8), emb, id_col="vec_id",
@@ -1027,6 +1028,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+ORACLE_ANN_LSH = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT CAST(p AS INTEGER) AS p,
+         list_transform(range(0, 64), d ->
+           CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR),
+                      ':', CAST(d AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, 6) r(p)),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                       THEN CAST(power(2, 5 - pl.p) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nn, b.bucket
+      FROM e JOIN buckets b USING (vec_id)),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nn * c.nn) AS cos_sim
+  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 8),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 5
+"""
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: deterministic centroids (every 50th vector),
@@ -1244,9 +1278,8 @@ ORACLES = {
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "ann_lsh": ORACLE_ANN_LSH,
     "ivf_ann": ORACLE_IVF_ANN,
     "media_meta": ORACLE_MEDIA_META,
     "dq_reconcile": ORACLE_DQ_RECONCILE,
-    # "ann_lsh" intentionally has no oracle (rows-only check): hyperplane
-    # derivation is driver-side; recall is unit-tested against brute force.
 }
