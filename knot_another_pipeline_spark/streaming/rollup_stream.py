@@ -51,3 +51,106 @@ def streaming_windowed_rollup(
             "message_count",
         )
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    *,
+    uid_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+):
+    """Stateful gap-based sessionization via ``applyInPandasWithState``
+    (GroupState) — the custom-stateful-operator pattern the batch
+    ``operators.relational.sessionize`` window implements declaratively.
+
+    Per entity, events within ``gap_minutes`` of the previous event extend
+    the open session; a larger gap (or state timeout past the watermark)
+    closes it and emits one row. State per key is three scalars
+    (start/end/count) — bounded, watermark-evicted, and shuffled only on
+    the entity key, so at scale the operator behaves like any keyed
+    streaming aggregate.
+
+    Output stream: uid, session_start, session_end, n_events.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("uid", StringType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_ms = gap_minutes * 60_000
+
+    def update(key, pdfs, state: GroupState):
+        (uid,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((uid, s, e, n))
+                state.remove()
+        else:
+            ts_all = []
+            for pdf in pdfs:
+                ts_all.append(pd.to_datetime(pdf["ts"]))
+            ts = pd.concat(ts_all).sort_values()
+            ms = (ts.astype("int64") // 1_000_000).tolist()
+            if state.exists:
+                s, e, n = state.get
+            else:
+                s, e, n = ms[0], ms[0], 0
+            for t in ms:
+                if t - e > gap_ms:
+                    closed.append((uid, s, e, n))
+                    s, e, n = t, t, 1
+                else:
+                    e = max(e, t)
+                    n += 1
+            state.update((s, e, n))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "uid": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="ms"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="ms"
+                    ),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(uid_col).cast("string").alias("uid"), F.col(ts_col).alias("ts"))
+        .groupBy("uid")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

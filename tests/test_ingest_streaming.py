@@ -134,3 +134,50 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert got[("A", 0)] == (2.0, 2)
     assert got[("A", 1)] == (5.0, 1)
     assert got[("B", 0)] == (7.0, 1)
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState gap sessionizer: two batches of events; the
+    second batch's later events advance the watermark so the first
+    session times out and is emitted."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_sessionize,
+    )
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    df1 = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 00:00:00"),
+            ("A", "2025-01-01 00:10:00"),
+            ("A", "2025-01-01 00:20:00"),
+            ("B", "2025-01-01 00:05:00"),
+        ],
+        "uid string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df1.write.mode("append").parquet(str(src))
+    # events far in the future: watermark jumps past every open session
+    df2 = spark.createDataFrame(
+        [("C", "2025-01-02 12:00:00")], "uid string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df2.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(df1.schema).parquet(str(src))
+    sessions = streaming_sessionize(
+        stream, uid_col="uid", ts_col="ts", gap_minutes=30, watermark="1 minute"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessionize_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessionize_test").collect()
+    by_uid = {r["uid"]: r for r in rows}
+    assert "A" in by_uid, f"no closed session for A: {rows}"
+    a = by_uid["A"]
+    assert a["n_events"] == 3
+    assert a["session_start"].minute == 0 and a["session_end"].minute == 20
+    assert by_uid["B"]["n_events"] == 1
