@@ -1,0 +1,145 @@
+"""Thin CLI over the engine — the reference's three entry points.
+
+Reference commands → subcommands here:
+- ``ais_pipeline.py run``          → ``ingest``  (archives/CSV → silver)
+- ``refresh_gold_tables.py``       → ``refresh`` (silver → gold + DQ report)
+- ``export_tracks_to_explore.py``  → ``export-tracks`` (cohort → CSV)
+
+Everything heavy stays in the library; this module only parses arguments,
+builds the session, and wires DataFrames to paths.
+
+Usage::
+
+    python -m knot_another_pipeline_spark ingest --input data/*.csv --output silver/
+    python -m knot_another_pipeline_spark refresh --silver silver/ --output gold/
+    python -m knot_another_pipeline_spark export-tracks --silver silver/ \
+        --uids 111000111,222000222 --output tracks.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="knot_another_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="raw CSV/zip archives → silver parquet")
+    ing.add_argument("--input", required=True, help="CSV path/glob or .zip archive")
+    ing.add_argument("--output", required=True, help="silver root directory")
+    ing.add_argument("--source-url", default=None)
+    ing.add_argument("--buckets", type=int, default=96)
+    ing.add_argument("--mode", default="append", choices=["append", "overwrite"])
+
+    ref = sub.add_parser("refresh", help="silver → gold tables + DQ report")
+    ref.add_argument("--silver", required=True, help="silver root (parquet)")
+    ref.add_argument("--output", required=True, help="gold output root")
+    ref.add_argument("--mode", default="replace", choices=["replace", "append"])
+    ref.add_argument("--days", default=None, help="comma-separated YYYY-MM-DD")
+    ref.add_argument("--min-shared-cells", type=int, default=1)
+    ref.add_argument("--no-checks", action="store_true")
+
+    exp = sub.add_parser("export-tracks", help="cohort track extract → CSV")
+    exp.add_argument("--silver", required=True)
+    exp.add_argument("--uids", required=True, help="comma-separated entity ids")
+    exp.add_argument("--start", default=None)
+    exp.add_argument("--stop", default=None)
+    exp.add_argument("--output", required=True, help="output CSV file")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from knot_another_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name=f"knap-{args.cmd}")
+    try:
+        if args.cmd == "ingest":
+            from knot_another_pipeline_spark.sources.ingest import (
+                read_csv_auto,
+                read_zip_csv,
+                to_silver,
+                write_silver,
+            )
+
+            raw = (
+                read_zip_csv(spark, args.input)
+                if args.input.endswith(".zip")
+                else read_csv_auto(spark, args.input)
+            )
+            silver = to_silver(
+                raw, source_url=args.source_url, num_buckets=args.buckets
+            )
+            write_silver(silver, args.output, mode=args.mode)
+            print(f"silver written to {args.output}")
+        elif args.cmd == "refresh":
+            from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+            from knot_another_pipeline_spark.schema import (
+                ID_ALIASES,
+                LAT_ALIASES,
+                LON_ALIASES,
+                SOG_ALIASES,
+                TIMESTAMP_ALIASES,
+                resolve_column,
+            )
+
+            silver = spark.read.parquet(args.silver)
+            result = refresh_gold(
+                spark,
+                silver,
+                output_root=args.output,
+                mode=args.mode,
+                days=args.days.split(",") if args.days else None,
+                uid_col=resolve_column(silver, *ID_ALIASES) or "mmsi",
+                ts_col=resolve_column(silver, "event_ts", *TIMESTAMP_ALIASES)
+                or "event_ts",
+                lat_col=resolve_column(silver, *LAT_ALIASES) or "latitude",
+                lon_col=resolve_column(silver, *LON_ALIASES) or "longitude",
+                sog_col=resolve_column(silver, *SOG_ALIASES) or "sog",
+                run_checks=not args.no_checks,
+                min_shared_cells=args.min_shared_cells,
+            )
+            for name, path in result.written.items():
+                print(f"{name}: {path}")
+            if result.report is not None:
+                for r in result.report.collect():
+                    status = "PASS" if r["passed"] else "FAIL"
+                    print(
+                        f"[{status}] {r['check_name']}: observed={r['observed']}"
+                        f" expected={r['expected']} delta={r['delta']}"
+                    )
+                if any(not r["passed"] for r in result.report.collect()):
+                    return 1
+        elif args.cmd == "export-tracks":
+            from knot_another_pipeline_spark.operators.tracks import export_tracks
+            from knot_another_pipeline_spark.schema import (
+                ID_ALIASES,
+                LAT_ALIASES,
+                LON_ALIASES,
+                TIMESTAMP_ALIASES,
+                resolve_column,
+            )
+
+            silver = spark.read.parquet(args.silver)
+            out = export_tracks(
+                silver,
+                uid_col=resolve_column(silver, *ID_ALIASES) or "mmsi",
+                ts_col=resolve_column(silver, "event_ts", *TIMESTAMP_ALIASES)
+                or "event_ts",
+                lat_col=resolve_column(silver, *LAT_ALIASES) or "latitude",
+                lon_col=resolve_column(silver, *LON_ALIASES) or "longitude",
+                uids=args.uids.split(","),
+                start=args.start,
+                stop=args.stop,
+            )
+            out.toPandas().to_csv(args.output, index=False)
+            print(f"tracks written to {args.output}")
+        return 0
+    finally:
+        pass  # session is process-scoped; let exit tear it down
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,7 @@ def co_movement_pairs(
     period: Column | str | None = None,
     min_shared_cells: int = 1,
     assume_unique_windows: bool = True,
+    max_entities_per_cell: int | None = None,
 ) -> DataFrame:
     """Build the pairs-per-period table from a windowed rollup.
 
@@ -60,6 +61,15 @@ def co_movement_pairs(
     which lets Spark skip the Expand (row-doubling) plan for
     multi-distinct aggregation; only the cell-distinct remains. Pass
     False if the input may carry duplicate (entity, window) rows.
+
+    ``max_entities_per_cell``: skew guard for the self-join. A cell-window
+    with n entities emits n(n-1)/2 pairs — a single mega-cell (a port
+    anchorage at AIS scale) can dominate the whole job quadratically.
+    When set, cell-windows above the cap are dropped *before* the join
+    (they carry little pairing signal: everyone is "co-located" in a
+    mega-cell). AQE skew-join splitting handles moderate skew; this
+    handles the pathological tail. Note the per-entity stats still count
+    dropped windows — the denominators keep reference semantics.
 
     Output: uid_a, uid_b, day_date, hA, hB, gA, gB, hT, gT,
     temporal_o, spatial_o, gto — exactly FIXTURES.md F4.
@@ -78,8 +88,25 @@ def co_movement_pairs(
         F.col(cell_col).alias("cell"),
     )
 
-    a = base.alias("a")
-    b = base.alias("b")
+    join_input = base
+    if max_entities_per_cell is not None:
+        cell_sizes = base.groupBy("day_date", "w", "cell").agg(
+            F.count(F.lit(1)).alias("_n_entities")
+        )
+        join_input = (
+            base.join(
+                F.broadcast(
+                    cell_sizes.filter(
+                        F.col("_n_entities") <= max_entities_per_cell
+                    ).drop("_n_entities")
+                ),
+                ["day_date", "w", "cell"],
+                "left_semi",
+            )
+        )
+
+    a = join_input.alias("a")
+    b = join_input.alias("b")
     # Equi keys (day_date, w, cell) → hash/sort-merge joinable; the `<` is
     # evaluated as a post-match filter inside the join (SURVEY §2.3 J1).
     # Under the unique-window invariant the post-join `w` column is never

@@ -27,6 +27,9 @@ TIMESTAMP_ALIASES = (
     "time",
 )
 ID_ALIASES = ("mmsi", "uid", "vessel_id", "user_id", "id")
+LAT_ALIASES = ("latitude", "lat", "y")
+LON_ALIASES = ("longitude", "lon", "lng", "x")
+SOG_ALIASES = ("sog", "speed", "speed_over_ground")
 
 
 def resolve_column(df: DataFrame, *candidates: str) -> str | None:

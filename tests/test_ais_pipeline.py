@@ -161,3 +161,58 @@ def test_latest_row_dedup(spark):
     assert got[("A", "2025-01-01 00:00:00")] == 2
     assert got[("A", "2025-01-02 00:00:00")] == 3
     assert got[("B", "2025-01-01 00:00:00")] == 4
+
+
+def test_pairs_mega_cell_skew_guard(spark):
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.operators.pairs import co_movement_pairs
+
+    # hot cell: 5 entities co-located; quiet cell: 2 entities
+    rows = [(f"u{i}", "2025-01-01 00:00:00", "HOT") for i in range(5)]
+    rows += [("v1", "2025-01-01 00:00:00", "QUIET"), ("v2", "2025-01-01 00:00:00", "QUIET")]
+    roll = spark.createDataFrame(
+        rows, "uid string, window_ts string, cell string"
+    ).withColumn("window_ts", F.to_timestamp("window_ts"))
+
+    unguarded = co_movement_pairs(roll, min_shared_cells=0)
+    assert unguarded.count() == 10 + 1  # C(5,2) hot + 1 quiet
+
+    guarded = co_movement_pairs(roll, min_shared_cells=0, max_entities_per_cell=4)
+    got = {(r["uid_a"], r["uid_b"]) for r in guarded.collect()}
+    assert got == {("v1", "v2")}  # mega-cell pairs dropped pre-join
+    # denominators still count the dropped window (reference semantics)
+    r = guarded.collect()[0]
+    assert r["hA"] == 1 and r["hT"] == 1
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """ingest → refresh → export-tracks through the CLI entry point
+    (in-process; the session is reused via getOrCreate)."""
+    from knot_another_pipeline_spark.__main__ import main
+
+    csv = tmp_path / "day.csv"
+    csv.write_text(
+        "MMSI,BaseDateTime,LAT,LON,SOG\n"
+        "111000111,2025-01-01 00:10:00,10.0,20.0,5.0\n"
+        "111000111,2025-01-01 00:40:00,10.1,20.1,5.0\n"
+        "222000222,2025-01-01 00:20:00,10.0,20.0,6.0\n"
+    )
+    silver = tmp_path / "silver"
+    gold = tmp_path / "gold"
+    out_csv = tmp_path / "tracks.csv"
+
+    assert main(["ingest", "--input", str(csv), "--output", str(silver)]) == 0
+    assert main([
+        "refresh", "--silver", str(silver), "--output", str(gold),
+        "--min-shared-cells", "0",
+    ]) == 0
+    assert (gold / "uid_hourly_h3").exists()
+    assert (gold / "pairs_daily").exists()
+    assert main([
+        "export-tracks", "--silver", str(silver),
+        "--uids", "111000111", "--output", str(out_csv),
+    ]) == 0
+    content = out_csv.read_text()
+    assert content.count("111000111") == 2
+    assert "222000222" not in content
