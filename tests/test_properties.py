@@ -1,0 +1,175 @@
+"""Property-based tests (hypothesis): the expression library must agree
+with independent pure-Python reference implementations on arbitrary
+inputs — one batched Spark evaluation per property, bit-exact compare."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# stable_bucket ≡ the reference's _stable_hash (sha256 % n), bit-exact
+# ---------------------------------------------------------------------------
+
+
+def _ref_stable_hash(value: str, num_buckets: int) -> int:
+    # independent reimplementation of ais_pipeline.py:532-535
+    return int(hashlib.sha256(value.encode()).hexdigest()[:16], 16) % num_buckets
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=10**12).map(str),
+            st.text(
+                alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                min_size=1,
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.sampled_from([2, 64, 96, 256]),
+)
+def test_stable_bucket_bit_exact(spark, values, n):
+    from knot_another_pipeline_spark.functions.hashing import stable_bucket
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [
+        r["b"] for r in df.select(stable_bucket("v", n).alias("b")).collect()
+    ]
+    expected = [_ref_stable_hash(v, n) for v in values]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# normalize_timestamp parses every supported rendering of an instant to
+# the same UTC timestamp, and rejects garbage as NULL
+# ---------------------------------------------------------------------------
+
+
+_base_ts = st.datetimes(
+    min_value=datetime(1990, 1, 1), max_value=datetime(2100, 1, 1)
+).map(lambda d: d.replace(microsecond=0))
+
+
+def _renderings(dt: datetime) -> list[tuple[str, datetime]]:
+    """(string rendering, expected UTC instant) pairs for one instant."""
+    iso = dt.strftime("%Y-%m-%d %H:%M:%S")
+    out = [
+        (iso, dt),
+        (iso.replace(" ", "T"), dt),
+        (iso + "Z", dt),
+        (iso.replace(" ", "T") + "Z", dt),
+        (iso + "+00:00", dt),
+    ]
+    # a nonzero offset must shift the instant
+    shifted = dt + timedelta(hours=5)
+    out.append((shifted.strftime("%Y-%m-%d %H:%M:%S") + "+05:00", dt))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_base_ts, min_size=1, max_size=20))
+def test_normalize_timestamp_renderings(spark, instants):
+    from knot_another_pipeline_spark.functions.timestamps import (
+        normalize_timestamp,
+    )
+
+    rows = []
+    for dt in instants:
+        rows.extend(_renderings(dt))
+    df = spark.createDataFrame(
+        [(s,) for s, _ in rows], "raw string"
+    ).select("raw", normalize_timestamp("raw").alias("ts"))
+    got = [r["ts"] for r in df.collect()]
+    for (raw, expected), parsed in zip(rows, got):
+        assert parsed is not None, f"failed to parse {raw!r}"
+        assert parsed.replace(tzinfo=None) == expected, (
+            f"{raw!r} -> {parsed} != {expected}"
+        )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=1,
+            max_size=30,
+        ).filter(
+            lambda s: not s.strip()[:10].count("-") == 2  # crude date-shape veto
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_normalize_timestamp_garbage_is_null(spark, garbage):
+    from knot_another_pipeline_spark.functions.timestamps import (
+        normalize_timestamp,
+    )
+
+    df = spark.createDataFrame([(g,) for g in garbage], "raw string")
+    out = df.select(normalize_timestamp("raw").alias("ts")).collect()
+    for g, r in zip(garbage, out):
+        # a random ascii string is essentially never a valid timestamp;
+        # the property is "no crash, unparsable -> NULL"
+        if r["ts"] is not None:
+            # accept the rare accidental valid parse, but it must be a
+            # real date prefix
+            assert any(ch.isdigit() for ch in g)
+
+
+# ---------------------------------------------------------------------------
+# winnowing guarantee: every selected fingerprint is a real k-gram hash
+# and each doc yields ≥1 fingerprint iff it has ≥ window grams
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_winnow_fingerprint_coverage(spark, texts):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, id_col="doc_id", text_col="text", k=k, window=w)
+    by_id: dict[int, set] = {}
+    for r in fps.collect():
+        by_id.setdefault(r["id"], set()).add(r["fp_hash"])
+    import re
+
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        n_grams = len(norm) - k + 1
+        if n_grams >= w:
+            assert by_id.get(i), f"doc {i} ({norm!r}) produced no fingerprints"
+            # every fingerprint is the hash of some actual k-gram
+            gram_hashes = {
+                int(hashlib.md5(norm[p : p + k].encode()).hexdigest()[:10], 16)
+                for p in range(n_grams)
+            }
+            assert by_id[i] <= gram_hashes
+        else:
+            assert i not in by_id
