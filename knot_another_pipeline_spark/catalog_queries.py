@@ -756,7 +756,7 @@ _SIG_SQL = (
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: 16 Carter-Wegman min-hashes per doc (wide)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3, distinct=False)
     return minhash_signatures(sh, num_hashes=16)
 
 
@@ -773,7 +773,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring both read it, and without the cache the shingle explode +
     aggregate lineage would re-execute for every reference."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3, distinct=False)
     sig = minhash_signatures(sh, num_hashes=16).cache()
     cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
     sims = minhash_similarity(sig, cands, num_hashes=16)

@@ -136,8 +136,13 @@ def test_normalize_timestamp_garbage_is_null(spark, garbage):
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(
+        # printable ASCII only: the pure-Python model below uses Python's
+        # whitespace semantics (strip/\s), which disagree with Java's on
+        # control characters like \x1f — the operator itself is
+        # cross-engine consistent (DuckDB differential), the *model* here
+        # is only valid on printable input.
         st.text(
-            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
             min_size=0,
             max_size=120,
         ),
