@@ -242,24 +242,28 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 64) -> Dat
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         ).alias("tok"),
     ).withColumn("h", hash64(F.col("tok")))
-    # shiftright/shiftleft with a *column* shift amount only exist in SQL
-    # form, hence F.expr here.
-    bit_votes = toks.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(shiftright(h, bit) & 1)") == 1, 1).otherwise(-1),
-    )
-    per_bit = bit_votes.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
-    return per_bit.groupBy("id").agg(
+    # One wide aggregate: per bit j, sum of ±1 votes — no explode×bits
+    # (which would multiply the token table 64× through the shuffle);
+    # the shuffle carries one `bits`-column row per doc, map-side
+    # combined. hash64 is 60-bit, so bits 60..63 vote uniformly -1 and
+    # stay clear — same value the explode formulation produced.
+    votes = [
         F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1)") == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_bit = toks.groupBy("id").agg(*votes)
+    fingerprint = sum(
+        (
             F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                F.col(f"v{j}") > 0,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {j})"),
             ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+        )
+        for j in range(bits)
     )
+    return per_bit.select("id", fingerprint.alias("simhash"))
 
 
 def sign_bucket(vec: F.Column, *, dims: int = 8) -> F.Column:
