@@ -49,6 +49,7 @@ def refresh_gold(
     sog_col: str = "sog",
     run_checks: bool = True,
     min_shared_cells: int = 1,
+    catalog_tables: bool = False,
 ) -> GoldRefreshResult:
     """Rebuild the gold tables from silver.
 
@@ -60,6 +61,12 @@ def refresh_gold(
     - ``output_root``: when set, writes hourly/pairs/totals parquet under
       it, partitioned like the reference layout (dt/hour and
       year/month/day).
+    - ``catalog_tables``: write through the session catalog with the
+      reference's bucketing (`uid_hourly_h3` CLUSTERED BY mmsi ×64,
+      `pairs_daily` by (uid_a, uid_b) ×32 —
+      `refresh_gold_tables.py:306-358`) so later joins/aggs keyed on the
+      bucket columns read shuffle-free. Plain partitioned parquet
+      otherwise.
     """
     hourly = build_uid_hourly_h3(
         silver,
@@ -89,25 +96,53 @@ def refresh_gold(
     if output_root:
         write_mode = "overwrite" if mode == "replace" else "append"
         hourly_path = f"{output_root}/uid_hourly_h3"
-        (
-            hourly.withColumn("hour_part", F.col("hour"))
-            .write.mode(write_mode)
-            .partitionBy("dt", "hour_part")
-            .parquet(hourly_path)
-        )
-        written["uid_hourly_h3"] = hourly_path
         pairs_path = f"{output_root}/pairs_daily"
-        (
+        totals_path = f"{output_root}/pairs_total"
+        pairs_part = (
             pairs.withColumn("year", F.year("day_date"))
             .withColumn("month", F.month("day_date"))
             .withColumn("day", F.dayofmonth("day_date"))
-            .write.mode(write_mode)
-            .partitionBy("year", "month", "day")
-            .parquet(pairs_path)
         )
+        if catalog_tables:
+            from knot_another_pipeline_spark.sources.warehouse import (
+                save_bucketed_table,
+            )
+
+            save_bucketed_table(
+                hourly.withColumn("hour_part", F.col("hour")),
+                "uid_hourly_h3",
+                partition_by=("dt", "hour_part"),
+                bucket_by=("mmsi",),
+                num_buckets=64,
+                sort_by=("mmsi",),
+                mode=write_mode,
+                path=hourly_path,
+            )
+            save_bucketed_table(
+                pairs_part,
+                "pairs_daily",
+                partition_by=("year", "month", "day"),
+                bucket_by=("uid_a", "uid_b"),
+                num_buckets=32,
+                mode=write_mode,
+                path=pairs_path,
+            )
+            totals.write.mode("overwrite").option("path", totals_path).saveAsTable(
+                "pairs_total"
+            )
+        else:
+            (
+                hourly.withColumn("hour_part", F.col("hour"))
+                .write.mode(write_mode)
+                .partitionBy("dt", "hour_part")
+                .parquet(hourly_path)
+            )
+            pairs_part.write.mode(write_mode).partitionBy(
+                "year", "month", "day"
+            ).parquet(pairs_path)
+            totals.write.mode("overwrite").parquet(totals_path)
+        written["uid_hourly_h3"] = hourly_path
         written["pairs_daily"] = pairs_path
-        totals_path = f"{output_root}/pairs_total"
-        totals.write.mode("overwrite").parquet(totals_path)
         written["pairs_total"] = totals_path
 
     report = None

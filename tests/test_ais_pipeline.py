@@ -216,3 +216,31 @@ def test_cli_end_to_end(spark, tmp_path):
     content = out_csv.read_text()
     assert content.count("111000111") == 2
     assert "222000222" not in content
+
+
+def test_refresh_gold_catalog_tables(spark, tmp_path):
+    """catalog_tables=True writes the reference's bucketed layouts; the
+    hourly table then self-joins on mmsi without a shuffle."""
+    from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+    from knot_another_pipeline_spark.sources.warehouse import drop_table
+
+    result = refresh_gold(
+        spark, _ais_fixture(spark),
+        output_root=str(tmp_path / "gold"),
+        run_checks=False, min_shared_cells=0, catalog_tables=True,
+    )
+    assert set(result.written) == {"uid_hourly_h3", "pairs_daily", "pairs_total"}
+    hourly = spark.table("uid_hourly_h3")
+    assert hourly.count() == result.hourly.count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = hourly.alias("a").join(spark.table("uid_hourly_h3").alias("b"), "mmsi")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert spark.table("pairs_daily").count() == result.pairs.count()
+    assert spark.table("pairs_total").count() == result.totals.count()
+    for t in ("uid_hourly_h3", "pairs_daily", "pairs_total"):
+        drop_table(spark, t)
