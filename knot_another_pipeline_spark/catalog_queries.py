@@ -162,18 +162,17 @@ def _daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The `pairs_daily`-analog table, cached: the reference materializes
-    this as a gold table precisely because two consumers read it
-    (`pairs_total` + analysis). `.cache()` is the in-session equivalent —
-    Spark's cache manager keys on the analyzed plan, so `pairs_monthly`
-    and `pairs_total` share one materialization. At warehouse scale this
-    is a `saveAsTable` (plans/gold_refresh.py); the query shape is
-    identical.
-
-    The rollup itself is cached too: it feeds four subplans (join side a,
-    join side b, and the per-entity stats built for ua/ub) which would
-    otherwise each re-run the events aggregation."""
-    roll = _daily_rollup(spark, sf_dir).cache()
+    """The `pairs_daily`-analog table. Deliberately NOT `.cache()`d:
+    the rollup feeds four subplans (join side a, join side b, and the
+    per-entity stats joined as ua/ub), but those subtrees end in
+    identical shuffles, so physical-plan ReuseExchange materializes the
+    aggregation once — measured at sf0.1 the cached variant is ~2.5×
+    *slower* end-to-end (cache-block writes + storage-memory pressure)
+    and a leaked session-lifetime cache degrades every later
+    Arrow/Python stage in the same session. At warehouse scale the
+    multi-consumer answer is a materialized gold table
+    (plans/gold_refresh.py), not executor cache."""
+    roll = _daily_rollup(spark, sf_dir)
     return co_movement_pairs(
         roll,
         uid_col="uid",
@@ -181,7 +180,7 @@ def _pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_col="cell",
         period=F.to_date(F.date_trunc("month", F.col("window_ts"))),
         min_shared_cells=1,
-    ).cache()
+    )
 
 
 def q_pairs_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,13 +767,14 @@ sh AS ({_SHINGLES_SQL})
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates + estimated Jaccard. The signature table (one
-    narrow row per doc) is cached: candidate generation and similarity
-    scoring both read it, and without the cache the shingle explode +
-    aggregate lineage would re-execute for every reference."""
+    """LSH candidates + estimated Jaccard. The signature table feeds
+    three subplans (candidate generation + both sides of the scoring
+    join), but they share one materialization via ReuseExchange — an
+    explicit `.cache()` measured ~2× slower at sf0.1 and leaks
+    storage-memory pressure into the rest of the session."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3, distinct=False)
-    sig = minhash_signatures(sh, num_hashes=16).cache()
+    sig = minhash_signatures(sh, num_hashes=16)
     cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
     sims = minhash_similarity(sig, cands, num_hashes=16)
     return sims.select(
