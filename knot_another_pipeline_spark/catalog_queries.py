@@ -1144,6 +1144,84 @@ FROM documents
 """
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: binary video payload → one row per kept frame
+    (every 2nd frame) through the row-expanding mapInPandas stage
+    (operators.multimodal.sample_frames). The binary frame column stays
+    inside the stage; only id/idx/digest are compared."""
+    from knot_another_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = sample_frames(docs, id_col="doc_id", payload_col="payload", stride=2)
+    return frames.select("doc_id", "frame_idx", "frame_md5")
+
+
+# The fake decode derives n_frames = 1 + len % 7 and frame bytes =
+# md5(payload || '-' || idx); both re-derivable in SQL because the corpus
+# is ASCII (text == payload bytes).
+ORACLE_MEDIA_FRAMES = """
+SELECT d.doc_id,
+       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       md5(concat(d.text, '-', CAST(f.frame_idx AS VARCHAR))) AS frame_md5
+FROM documents d,
+     UNNEST(range(0, 1 + length(d.text) % 7, 2)) AS f(frame_idx)
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → fixed-dim feature vector (the batched-inference
+    slot); dims projected to flat columns for engine-to-engine value
+    comparison."""
+    from knot_another_pipeline_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_features(docs, id_col="doc_id", payload_col="payload")
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id,
+       """ + ",\n       ".join(
+    f"round(CAST(concat('0x', substr(md5(text), {4 * i + 1}, 4)) AS BIGINT) / 65535.0, 6) AS f{i}"
+    for i in range(8)
+) + """
+FROM documents
+"""
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail rendition: payload truncated to the 16x16 byte budget
+    through the payload-in/payload-out resize stage; compared on id,
+    rendition size, and rendition digest."""
+    from knot_another_pipeline_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    resized = resize_media(
+        docs, id_col="doc_id", payload_col="payload", width=16, height=16
+    )
+    return resized.select("doc_id", "n_bytes", F.md5("payload").alias("rendition_md5"))
+
+
+ORACLE_MEDIA_RESIZE = """
+SELECT doc_id,
+       CAST(least(length(text), 256) AS BIGINT) AS n_bytes,
+       md5(substr(text, 1, 256)) AS rendition_md5
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # 6. Data-quality reconciliation (reference `_run_data_checks`, A6)
 # --------------------------------------------------------------------------
@@ -1242,6 +1320,9 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     # multimodal
     "media_meta": q_media_meta,
+    "media_frames": q_media_frames,
+    "media_features": q_media_features,
+    "media_resize": q_media_resize,
     # data quality
     "dq_reconcile": q_dq_reconcile,
 }
@@ -1281,5 +1362,8 @@ ORACLES = {
     "ann_lsh": ORACLE_ANN_LSH,
     "ivf_ann": ORACLE_IVF_ANN,
     "media_meta": ORACLE_MEDIA_META,
+    "media_frames": ORACLE_MEDIA_FRAMES,
+    "media_features": ORACLE_MEDIA_FEATURES,
+    "media_resize": ORACLE_MEDIA_RESIZE,
     "dq_reconcile": ORACLE_DQ_RECONCILE,
 }

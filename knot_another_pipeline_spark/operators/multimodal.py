@@ -21,7 +21,9 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -97,3 +99,163 @@ def decode_media_meta(df: DataFrame, *, id_col: str, payload_col: str) -> DataFr
             yield out
 
     return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
+#: Frame-sampling output schema: one row per kept frame.
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame", BinaryType(), True),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, *, id_col: str, payload_col: str, stride: int = 1
+) -> DataFrame:
+    """Video → sampled frames: binary payload in, one row per kept frame
+    out (every ``stride``-th of the container's frames).
+
+    Row-count-changing (1 → n_frames/stride), so this is the UDTF shape:
+    mapInPandas emitting more rows than it consumes, with the binary
+    frame column materialized only here — downstream consumers that want
+    metadata alone prune it at the scan of this stage's output. A real
+    deployment replaces the fake frame synthesis with ``av``/ffmpeg
+    decode; the Spark plumbing (schema, batch iteration, stride
+    semantics) is identical.
+
+    FAKE frame content: ``md5(payload || '-' || frame_idx)`` digest bytes
+    (deterministic, differential-testable); frame count comes from
+    :func:`_decode_payload`'s ``n_frames``.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    id_name, payload_name = id_col, payload_col
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames, digests = [], [], [], []
+            for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
+                if payload is None:
+                    continue
+                n_frames = _decode_payload(payload)["n_frames"]
+                for i in range(0, n_frames, stride):
+                    d = hashlib.md5(payload + b"-" + str(i).encode()).digest()
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(d)
+                    digests.append(d.hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+#: Feature-extraction output schema: fixed-dim embedding per document.
+FEATURES_DIM = 8
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, *, id_col: str, payload_col: str
+) -> DataFrame:
+    """Binary payload → fixed-dimension feature vector (``array<double>``)
+    — the media half of the embedding pipeline; output plugs directly
+    into the similarity operators (knn/ivf/lsh over an embedding column).
+
+    FAKE featurizer: dimension *i* is the i-th 16-bit slice of
+    ``md5(payload)`` scaled to [0, 1] — a stand-in for a CLIP/ResNet
+    forward pass. Real code swaps the per-batch loop for a model call;
+    the Arrow batch boundary (whole pandas batch per worker invocation)
+    is exactly where batched GPU inference slots in.
+    """
+    id_name, payload_name = id_col, payload_col
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            vecs = []
+            for payload in pdf[payload_name]:
+                if payload is None:
+                    vecs.append(None)
+                    continue
+                digest = hashlib.md5(payload).hexdigest()
+                vecs.append(
+                    [
+                        int(digest[4 * i : 4 * i + 4], 16) / 65535.0
+                        for i in range(FEATURES_DIM)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "features": pd.Series(vecs, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+#: Resize output schema: payload replaced by the resized rendition.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, *, id_col: str, payload_col: str, width: int, height: int
+) -> DataFrame:
+    """Image resize: binary in, binary rendition out, capped at
+    ``width*height`` bytes.
+
+    FAKE resample: truncate the payload to the target byte budget (a real
+    deployment calls PIL ``Image.resize`` here). The plumbing mirrors the
+    thumbnailing stage of a training-data pipeline: payload-in/payload-out
+    through Arrow so renditions of a 100 TB corpus stream batch-at-a-time
+    per worker with constant memory.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+    id_name, payload_name = id_col, payload_col
+    budget = width * height
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            outs = [
+                None if p is None else bytes(p[:budget])
+                for p in pdf[payload_name]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "payload": pd.Series(outs, dtype="object"),
+                    "n_bytes": pd.Series(
+                        [None if o is None else len(o) for o in outs],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)

@@ -145,6 +145,66 @@ def test_multimodal_decode_plumbing(spark):
     assert out[2]["width"] is None
 
 
+def test_multimodal_frame_sampling(spark):
+    import hashlib
+
+    from knot_another_pipeline_spark.operators.multimodal import (
+        _decode_payload,
+        sample_frames,
+    )
+
+    payload = b"hello world video"  # 17 bytes -> n_frames = 1 + 17%7 = 4
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, None)], "doc_id long, payload binary"
+    )
+    assert _decode_payload(payload)["n_frames"] == 4
+    rows = sample_frames(
+        df, id_col="doc_id", payload_col="payload", stride=2
+    ).collect()
+    # null payload emits nothing; doc 1 keeps frames 0 and 2
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in rows) == [(1, 0), (1, 2)]
+    f0 = next(r for r in rows if r["frame_idx"] == 0)
+    expect = hashlib.md5(payload + b"-0").digest()
+    assert bytes(f0["frame"]) == expect
+    assert f0["frame_md5"] == expect.hex()
+    with pytest.raises(ValueError):
+        sample_frames(df, id_col="doc_id", payload_col="payload", stride=0)
+
+
+def test_multimodal_features_and_resize(spark):
+    from knot_another_pipeline_spark.operators.multimodal import (
+        FEATURES_DIM,
+        extract_features,
+        resize_media,
+    )
+
+    big = b"x" * 1000
+    df = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(b"tiny")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in extract_features(df, id_col="doc_id", payload_col="payload").collect()
+    }
+    assert feats[3] is None
+    assert len(feats[1]) == FEATURES_DIM
+    assert all(0.0 <= v <= 1.0 for v in feats[1])
+    assert feats[1] != feats[2]
+
+    resized = {
+        r["doc_id"]: r
+        for r in resize_media(
+            df, id_col="doc_id", payload_col="payload", width=4, height=4
+        ).collect()
+    }
+    assert resized[1]["n_bytes"] == 16 and bytes(resized[1]["payload"]) == b"x" * 16
+    assert resized[2]["n_bytes"] == 4  # smaller than budget: unchanged
+    assert resized[3]["payload"] is None and resized[3]["n_bytes"] is None
+    with pytest.raises(ValueError):
+        resize_media(df, id_col="doc_id", payload_col="payload", width=0, height=4)
+
+
 def test_winnow_fingerprints_localize_overlap(spark, docs):
     from knot_another_pipeline_spark.operators.text_analysis import (
         winnow_fingerprints,
