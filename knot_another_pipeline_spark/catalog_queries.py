@@ -284,12 +284,27 @@ FROM pairs GROUP BY 1, 2
 
 def q_track_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference cohort track extract (J3+P6+P9+O1): VALUES-cohort filter,
-    inclusive time bounds, valid coordinates, ordered output."""
-    pos = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("uid"),
-        F.col("ts"),
-        ((F.col("value") / 490.0) * 180.0 - 90.0).alias("lat"),
-        (F.col("value") * 2.5 % 360.0 - 180.0).alias("lon"),
+    inclusive time bounds, valid coordinates, ordered output.
+
+    Scan-level pruning: the cohort filter runs against the *typed*
+    user_id before the reference's to-string cast (a cast in the
+    predicate blocks parquet In-pushdown), and the time bounds load
+    through the raw-nanos sliced reader — both reach the parquet scan;
+    `export_tracks` then re-applies the exact string/timestamp
+    predicates for reference semantics."""
+    from knot_another_pipeline_spark.sources.tables import load_events_time_sliced
+
+    pos = (
+        load_events_time_sliced(
+            spark, sf_dir, "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+        )
+        .filter(F.col("user_id").isin([3, 7, 11, 42]))
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("ts"),
+            ((F.col("value") / 490.0) * 180.0 - 90.0).alias("lat"),
+            (F.col("value") * 2.5 % 360.0 - 180.0).alias("lon"),
+        )
     )
     return export_tracks(
         pos,

@@ -45,6 +45,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_time_sliced(
+    spark: SparkSession, sf_dir: str, start: str, stop: str
+) -> DataFrame:
+    """Load ``events`` with the time bounds pushed into the parquet scan.
+
+    ``ts`` is stored TIMESTAMP(NANOS) and surfaced as a *derived*
+    timestamp column (the div-1000 conversion above), so a filter written
+    against the converted column can never reach parquet row-group
+    statistics. At 100 TB, events is the table where that matters: this
+    helper applies a *coarse* [start, stop+1s) bound on the raw nanos
+    long *before* conversion, which Catalyst pushes to the scan
+    (min/max row-group pruning + predicate pushdown), then converts.
+    Deliberately one second wide at the top so the nanos→micros
+    truncation can never make the pushed bound narrower than a caller's
+    exact inclusive filter — callers keep their precise predicate on the
+    converted column (coarse-prune + exact-filter pattern). Bounds are
+    UTC wall-clock strings, same contract as the reference's track
+    exporter (`export_tracks_to_explore.py:65`).
+    """
+    tune_session(spark)
+    from datetime import datetime, timezone
+
+    def to_nanos(s: str) -> int:
+        d = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+        return int(d.timestamp()) * 1_000_000_000
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.filter(
+            (F.col("ts") >= F.lit(to_nanos(start)))
+            & (F.col("ts") < F.lit(to_nanos(stop) + 1_000_000_000))
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.filter(
+            (F.col("ts") >= F.lit(start))
+            & (F.col("ts") <= F.lit(stop))
+        )
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view so the SQL surface
     (``spark.sql``) sees the same names as the DataFrame API."""
