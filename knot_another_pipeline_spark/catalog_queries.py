@@ -885,6 +885,47 @@ FROM votes GROUP BY id
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming-LSH banding (4×16-bit
+    slices) + exact bit_count confirm at hamming ≤ 3 (recall-exact for
+    that threshold by pigeonhole)."""
+    from knot_another_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash(docs, id_col="doc_id", text_col="text")
+    return simhash_near_dup_pairs(fps, max_hamming=3, bands=4)
+
+
+ORACLE_SIMHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != ''))) AS tok
+  FROM documents),
+h AS (
+  SELECT id, CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 15)) AS BIGINT) AS h
+  FROM toks),
+votes AS (
+  SELECT id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN range(0, 64) b(bit)
+  GROUP BY id, b.bit),
+sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id),
+buckets AS (
+  SELECT id, simhash, b.band,
+         (simhash >> CAST(b.band * 16 AS BIGINT)) & 65535 AS bucket
+  FROM sig CROSS JOIN range(0, 4) b(band)),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM cands WHERE hamming <= 3
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and BPE-ish subword
     units (word/number/punct regex) — both pure codegen expressions."""
@@ -1325,6 +1366,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -1369,6 +1411,7 @@ ORACLES = {
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash": ORACLE_SIMHASH,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,

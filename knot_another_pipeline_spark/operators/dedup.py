@@ -266,6 +266,53 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 64) -> Dat
     return per_bit.select("id", fingerprint.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    fingerprints: DataFrame, *, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints: hamming-LSH
+    banding, then exact bit_count confirm.
+
+    The 64-bit fingerprint splits into ``bands`` contiguous slices; by
+    pigeonhole, any pair within hamming distance < ``bands`` shares at
+    least one identical slice, so candidates come from an equi-join on
+    (band, slice) — never all-pairs (same blocking shape as MinHash
+    banding; recall is exact for ``max_hamming < bands``, approximate
+    above). Both fingerprints ride through the bucket join so the
+    hamming confirm is a single ``bit_count(a^b)`` with no re-join.
+    Input: (id, simhash) from :func:`simhash`.
+    Output: id_a, id_b (id_a < id_b), hamming — distinct.
+    """
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+    band_keys = [
+        F.shiftright(F.col("simhash"), i * bits_per_band).bitwiseAND(F.lit(mask))
+        for i in range(bands)
+    ]
+    buckets = fingerprints.select(
+        "id",
+        "simhash",
+        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
 def sign_bucket(vec: F.Column, *, dims: int = 8) -> F.Column:
     """Axis-aligned hyperplane LSH bucket for an embedding: bit i set ⇔
     component i > 0. A degenerate (but portable and deterministic)

@@ -168,10 +168,18 @@ def ivf_topk(
     training step), then search only the ``nprobe`` cells nearest each
     query.
 
-    Scale shape: the centroid table is tiny and broadcast, so cell
-    assignment is one corpus scan with no shuffle; the candidate join is
-    an equi-join on cell id touching ~nprobe/C of the corpus. Exact
+    Scale shape: the centroid table is tiny and broadcast; cell
+    assignment is the broadcast cross product reduced by an *aggregate*
+    argmax (``max`` over ``struct(cos, -cent_id)``) — partial aggregation
+    collapses the C-per-row expansion map-side, so the one shuffle
+    carries a single row per corpus vector (a window/row_number
+    formulation would shuffle and sort all C× rows). The candidate join
+    is an equi-join on cell id touching ~nprobe/C of the corpus. Exact
     cosine re-ranks within the probed cells (recall < 1 by design).
+    ``centroid_stride`` keeps the demo centroid set deterministic without
+    a training step; a production deployment replaces it with a trained,
+    *fixed-size* centroid table (stride keeps C ∝ corpus, which stops
+    being broadcastable somewhere past 10⁶ cells).
     Output: query_id, neighbor_id, cos_sim, rank.
     """
     cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
@@ -184,15 +192,26 @@ def ivf_topk(
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
     )
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cent_id").asc()
-    )
+    # argmax by (cos desc, cent_id asc) — -cent_id makes struct-max break
+    # ties toward the lowest centroid id, matching the oracle's
+    # row_number ordering exactly.
     assigned = (
         c.crossJoin(F.broadcast(cents))
         .withColumn("cent_cos", dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn")))
-        .withColumn("cent_rank", F.row_number().over(assign_w))
-        .filter(F.col("cent_rank") == 1)
-        .select("neighbor_id", "cv", "cn", F.col("cent_id").alias("cell"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.first("cv").alias("cv"),
+            F.first("cn").alias("cn"),
+            F.max(
+                F.struct(
+                    F.col("cent_cos").alias("cos"),
+                    (-F.col("cent_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "neighbor_id", "cv", "cn", (-F.col("best.neg_id")).alias("cell")
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -145,6 +145,31 @@ def test_multimodal_decode_plumbing(spark):
     assert out[2]["width"] is None
 
 
+def test_simhash_pairs_recall_within_band_guarantee(spark):
+    """For max_hamming < bands, banding recall is exact: every pair with
+    hamming <= 3 must be found (pigeonhole on 4 bands)."""
+    from knot_another_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    fps = spark.createDataFrame(
+        [
+            (1, 0b1010),            # vs 2: 1 bit apart
+            (2, 0b1011),
+            (3, 0b1010 ^ (1 << 62) ^ (1 << 1)),  # vs 1: 2 bits apart
+            (4, -1),                # far from everything small
+        ],
+        "id long, simhash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(fps, max_hamming=3, bands=4).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(2, 3)] == 3
+    assert all(h <= 3 for h in got.values())
+    assert (1, 4) not in got
+
+
 def test_multimodal_frame_sampling(spark):
     import hashlib
 
