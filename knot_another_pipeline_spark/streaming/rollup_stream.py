@@ -53,6 +53,79 @@ def streaming_windowed_rollup(
     )
 
 
+def streaming_co_location(
+    stream: DataFrame,
+    *,
+    uid_col: str,
+    ts_col: str,
+    value_col: str,
+    output_path: str,
+    checkpoint_path: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    cell_divisor: float = 50.0,
+):
+    """The flagship co-movement analytic over an unbounded source: the
+    watermarked rollup stream feeds a per-micro-batch self-join that
+    appends co-located (uid_a, uid_b, window, cell) events to a parquet
+    log.
+
+    Why per-batch joining is *complete*: in append output mode a window
+    only leaves the streaming aggregation when the watermark passes its
+    end — at that point every entity's row for that window is finalized
+    and emitted in the same micro-batch, so the within-batch self-join
+    sees each window whole. Pairing never needs cross-batch state; the
+    day-grain scoring (hT/gT/overlaps — ``operators.pairs``) then runs
+    as a cheap batch job over the log, which is exactly the reference's
+    incremental shape ("append new day partitions",
+    ``refresh_gold_tables.py:579-584``) with the window-finalization
+    race handled by the watermark instead of day-boundary convention.
+
+    Returns the started ``StreamingQuery`` (caller awaits termination).
+    """
+    rolled = streaming_windowed_rollup(
+        stream,
+        uid_col=uid_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        window_duration=window_duration,
+        watermark=watermark,
+    ).withColumn(
+        "cell",
+        F.concat(
+            F.lit("c"),
+            F.floor(F.col("avg_value") / F.lit(cell_divisor))
+            .cast("bigint")
+            .cast("string"),
+        ),
+    )
+
+    def pair_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        a = batch_df.alias("a")
+        b = batch_df.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.window_ts") == F.col("b.window_ts"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.uid") < F.col("b.uid")),
+            "inner",
+        ).select(
+            F.col("a.uid").alias("uid_a"),
+            F.col("b.uid").alias("uid_b"),
+            F.col("a.window_ts").alias("window_ts"),
+            F.col("a.cell").alias("cell"),
+        )
+        pairs.write.mode("append").parquet(output_path)
+
+    return (
+        rolled.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(pair_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_sessionize(
     stream: DataFrame,
     *,

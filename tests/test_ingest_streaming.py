@@ -136,6 +136,51 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert got[("B", 0)] == (7.0, 1)
 
 
+def test_streaming_co_location_pairs(spark, tmp_path):
+    """Streaming co-movement: finalized rollup windows self-join per
+    micro-batch; the appended log holds exactly the batch-semantics
+    co-located pairs for watermark-passed windows (the far-future
+    sentinel advances the watermark and itself stays unfinalized)."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_co_location,
+    )
+
+    src = tmp_path / "colo_in"
+    # hour 0: A,B share cell c0 (10,20 -> floor/50 = 0); C in c2 (120).
+    # hour 1: A,C share cell c5 (260,270); B absent.
+    df = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 00:10:00", 10.0),
+            ("B", "2025-01-01 00:40:00", 20.0),
+            ("C", "2025-01-01 00:20:00", 120.0),
+            ("A", "2025-01-01 01:15:00", 260.0),
+            ("C", "2025-01-01 01:45:00", 270.0),
+            ("Z", "2025-01-03 00:00:00", 0.0),  # watermark sentinel
+        ],
+        "uid string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src))
+
+    out = str(tmp_path / "colo_out")
+    ckpt = str(tmp_path / "colo_ckpt")
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = streaming_co_location(
+        stream,
+        uid_col="uid",
+        ts_col="ts",
+        value_col="v",
+        output_path=out,
+        checkpoint_path=ckpt,
+        watermark="2 hours",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["uid_a"], r["uid_b"], r["window_ts"].hour, r["cell"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("A", "B", 0, "c0"), ("A", "C", 1, "c5")}
+
+
 def test_streaming_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState gap sessionizer: two batches of events; the
     second batch's later events advance the watermark so the first
