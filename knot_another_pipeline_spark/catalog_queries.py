@@ -1283,6 +1283,81 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def q_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data contracts as one executable row of violation
+    counts over the hourly gold table
+    (`/root/reference/docs/data_contracts.md:85-98`): message_count > 0,
+    coordinates in range, 15-hex-char cell address, hour_ts aligned to
+    the hour, dt/hour consistent with hour_ts. All-zero counts ⇔
+    `passed`."""
+    h = q_ais_hourly(spark, sf_dir)
+    zero = F.lit(0)
+    viol = h.agg(
+        F.count(F.lit(1)).alias("rows_checked"),
+        F.sum(F.when(F.col("message_count") <= 0, 1).otherwise(zero)).alias(
+            "bad_message_count"
+        ),
+        F.sum(
+            F.when(
+                ~(
+                    F.col("avg_lat").between(-90.0, 90.0)
+                    & F.col("avg_lon").between(-180.0, 180.0)
+                ),
+                1,
+            ).otherwise(zero)
+        ).alias("bad_coords"),
+        F.sum(
+            F.when(~F.col("h3_index").rlike("^[0-9a-f]{15}$"), 1).otherwise(zero)
+        ).alias("bad_cell"),
+        F.sum(
+            F.when(F.date_trunc("hour", "hour_ts") != F.col("hour_ts"), 1).otherwise(
+                zero
+            )
+        ).alias("bad_hour_align"),
+        F.sum(
+            F.when(
+                (F.to_date("hour_ts") != F.col("dt"))
+                | (F.hour("hour_ts").cast("bigint") != F.col("hour")),
+                1,
+            ).otherwise(zero)
+        ).alias("bad_partition_keys"),
+    )
+    return viol.select(
+        "rows_checked",
+        "bad_message_count",
+        "bad_coords",
+        "bad_cell",
+        "bad_hour_align",
+        "bad_partition_keys",
+        (
+            (F.col("rows_checked") > 0)
+            & (F.col("bad_message_count") == 0)
+            & (F.col("bad_coords") == 0)
+            & (F.col("bad_cell") == 0)
+            & (F.col("bad_hour_align") == 0)
+            & (F.col("bad_partition_keys") == 0)
+        ).alias("passed"),
+    )
+
+
+ORACLE_CONTRACT_CHECKS = f"""
+WITH h AS ({ORACLE_AIS_HOURLY})
+SELECT CAST(count(*) AS BIGINT) AS rows_checked,
+       CAST(sum(CASE WHEN message_count <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_message_count,
+       CAST(sum(CASE WHEN NOT (avg_lat BETWEEN -90.0 AND 90.0 AND avg_lon BETWEEN -180.0 AND 180.0) THEN 1 ELSE 0 END) AS BIGINT) AS bad_coords,
+       CAST(sum(CASE WHEN NOT regexp_matches(h3_index, '^[0-9a-f]{{15}}$') THEN 1 ELSE 0 END) AS BIGINT) AS bad_cell,
+       CAST(sum(CASE WHEN date_trunc('hour', hour_ts) != hour_ts THEN 1 ELSE 0 END) AS BIGINT) AS bad_hour_align,
+       CAST(sum(CASE WHEN CAST(hour_ts AS DATE) != dt OR CAST(extract(hour FROM hour_ts) AS BIGINT) != hour THEN 1 ELSE 0 END) AS BIGINT) AS bad_partition_keys,
+       count(*) > 0 AND sum(CASE WHEN message_count <= 0 THEN 1 ELSE 0 END) = 0
+         AND sum(CASE WHEN NOT (avg_lat BETWEEN -90.0 AND 90.0 AND avg_lon BETWEEN -180.0 AND 180.0) THEN 1 ELSE 0 END) = 0
+         AND sum(CASE WHEN NOT regexp_matches(h3_index, '^[0-9a-f]{{15}}$') THEN 1 ELSE 0 END) = 0
+         AND sum(CASE WHEN date_trunc('hour', hour_ts) != hour_ts THEN 1 ELSE 0 END) = 0
+         AND sum(CASE WHEN CAST(hour_ts AS DATE) != dt OR CAST(extract(hour FROM hour_ts) AS BIGINT) != hour THEN 1 ELSE 0 END) = 0
+         AS passed
+FROM h
+"""
+
+
 def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's post-refresh reconciliation as one row: the hourly
     gold table's SUM(message_count)/SUM(source_row_count) must equal the
@@ -1382,6 +1457,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     # data quality
     "dq_reconcile": q_dq_reconcile,
+    "contract_checks": q_contract_checks,
 }
 
 ORACLES = {
@@ -1424,4 +1500,5 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "dq_reconcile": ORACLE_DQ_RECONCILE,
+    "contract_checks": ORACLE_CONTRACT_CHECKS,
 }
