@@ -1398,9 +1398,12 @@ g AS (
          sum(source_row_count) AS sum_source_rows
   FROM agg),
 s AS (SELECT count(*) AS silver_rows FROM pos)
-SELECT hourly_rows, sum_message_count, sum_source_rows, silver_rows,
-       sum_message_count - silver_rows AS delta_msg,
-       sum_source_rows - silver_rows AS delta_src,
+SELECT hourly_rows,
+       CAST(sum_message_count AS BIGINT) AS sum_message_count,
+       CAST(sum_source_rows AS BIGINT) AS sum_source_rows,
+       silver_rows,
+       CAST(sum_message_count - silver_rows AS BIGINT) AS delta_msg,
+       CAST(sum_source_rows - silver_rows AS BIGINT) AS delta_src,
        (sum_message_count = silver_rows AND sum_source_rows = silver_rows
         AND hourly_rows >= 1) AS passed
 FROM g CROSS JOIN s
