@@ -21,17 +21,32 @@ same neighborhood):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-try:  # optional dependency — not in the baked image
-    import h3 as _h3  # type: ignore
 
-    HAS_H3 = True
-except Exception:  # pragma: no cover
-    _h3 = None
-    HAS_H3 = False
+def h3_module():
+    """Import and return ``h3`` (h3-py), or ``None`` when unavailable.
+
+    Resolved at *call* time, not import time, so a vendored or
+    test-injected module (``sys.path`` insertion + ``sc.addPyFile``)
+    is picked up without reloading this package.
+    """
+    try:  # optional dependency — not in the baked image
+        import h3  # type: ignore
+
+        return h3
+    except Exception:
+        return None
+
+
+#: Kept for callers that only need a cheap availability probe.
+HAS_H3 = h3_module() is not None
+
+_warned_grid_fallback = False
 
 #: Approximate edge length (degrees) per "resolution", chosen so res=7 is
 #: ~1.2 km like H3 res-7 (data_contracts.md:88). Each +1 res halves the cell.
@@ -66,21 +81,45 @@ def grid_cell(lat: Column | str, lon: Column | str, res: int = 7) -> Column:
     )
 
 
-def h3_cell(lat: Column | str, lon: Column | str, res: int = 7) -> Column:
+def h3_cell(
+    lat: Column | str, lon: Column | str, res: int = 7, *, strict: bool = False
+) -> Column:
     """True H3 cell address when h3-py is available, else :func:`grid_cell`.
 
     Parity target: the reference Lambda's ``lat_lng_to_cell_address`` —
     both are standard H3, so addresses agree bit-for-bit when h3-py is
-    installed.
+    installed. Without h3-py the square-grid fallback still satisfies the
+    15-hex-char / equality-means-co-location contract, but its addresses
+    will NOT join against reference-produced H3 values — so the fallback
+    warns once, and ``strict=True`` raises instead of falling back.
     """
-    if not HAS_H3:
+    if h3_module() is None:
+        if strict:
+            raise ImportError(
+                "h3-py is not installed: true-H3 cell addresses are "
+                "unavailable (h3_cell(strict=True)). Install h3-py or use "
+                "grid_cell() explicitly."
+            )
+        global _warned_grid_fallback
+        if not _warned_grid_fallback:
+            warnings.warn(
+                "h3-py not installed — h3_cell() is falling back to the "
+                "square grid_cell() encoding. Cell addresses satisfy the "
+                "same 15-hex-char contract but will NOT join against "
+                "reference-produced H3 res-%d values." % res,
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _warned_grid_fallback = True
         return grid_cell(lat, lon, res)
 
     import pandas as pd  # local import: only on the UDF path
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(StringType())
-    def _encode(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+    def _encode(lat_s, lon_s):
+        import h3 as _h3  # worker-side import (addPyFile/vendored safe)
+
         out = []
         for la, lo in zip(lat_s, lon_s):
             if la is None or lo is None or pd.isna(la) or pd.isna(lo):

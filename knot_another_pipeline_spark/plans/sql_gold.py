@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from knot_another_pipeline_spark.functions.geo import HAS_H3
+from knot_another_pipeline_spark.functions.geo import h3_module
 from knot_another_pipeline_spark.functions.timestamps import (
     _OFFSET_FORMATS,
     _PLAIN_FORMATS,
@@ -41,15 +41,15 @@ def register_sql_functions(spark: SparkSession) -> None:
     - ``normalize_ts(s)`` — the tiered timestamp normalizer (P3), same
       format ladder as ``functions.timestamps.normalize_timestamp``.
     """
-    if HAS_H3:  # pragma: no cover - h3 not in the test image
+    if h3_module() is not None:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import StringType
 
-        import h3 as _h3
-
         @pandas_udf(StringType())
-        def _encode(lat_s: pd.Series, lon_s: pd.Series, res_s: pd.Series) -> pd.Series:
+        def _encode(lat_s, lon_s, res_s):
+            import h3 as _h3  # worker-side import (addPyFile/vendored safe)
+
             out = []
             for la, lo, r in zip(lat_s, lon_s, res_s):
                 if la is None or lo is None or pd.isna(la) or pd.isna(lo):
