@@ -81,6 +81,13 @@ def streaming_co_location(
     ``refresh_gold_tables.py:579-584``) with the window-finalization
     race handled by the watermark instead of day-boundary convention.
 
+    Replay idempotence: ``foreachBatch`` is at-least-once — after a
+    failure the last micro-batch is re-run with the *same* ``epoch_id``.
+    Each batch therefore lands in its own ``epoch=<id>`` Hive partition
+    via dynamic partition overwrite, so a replay rewrites that one
+    partition in place instead of appending duplicate pair rows (which
+    would double-count hT/gT downstream).
+
     Returns the started ``StreamingQuery`` (caller awaits termination).
     """
     rolled = streaming_windowed_rollup(
@@ -100,6 +107,22 @@ def streaming_co_location(
         ),
     )
 
+    return (
+        rolled.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(co_location_pair_writer(output_path))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def co_location_pair_writer(output_path: str):
+    """``foreachBatch`` sink for :func:`streaming_co_location`: self-join
+    the finalized windows in the micro-batch and write the pair rows under
+    an ``epoch=<epoch_id>`` partition with dynamic overwrite, so replaying
+    the same epoch (foreachBatch's at-least-once contract) is a no-op
+    rather than an append of duplicates."""
+
     def pair_batch(batch_df: DataFrame, epoch_id: int) -> None:
         a = batch_df.alias("a")
         b = batch_df.alias("b")
@@ -114,16 +137,16 @@ def streaming_co_location(
             F.col("b.uid").alias("uid_b"),
             F.col("a.window_ts").alias("window_ts"),
             F.col("a.cell").alias("cell"),
+            F.lit(int(epoch_id)).alias("epoch"),
         )
-        pairs.write.mode("append").parquet(output_path)
+        (
+            pairs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(output_path)
+        )
 
-    return (
-        rolled.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_path)
-        .foreachBatch(pair_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return pair_batch
 
 
 def streaming_sessionize(

@@ -181,6 +181,47 @@ def test_streaming_co_location_pairs(spark, tmp_path):
     assert got == {("A", "B", 0, "c0"), ("A", "C", 1, "c5")}
 
 
+def test_co_location_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same epoch must not
+    duplicate pair rows. The sink writes each epoch as a dynamic-overwrite
+    Hive partition, so a replay rewrites in place."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        co_location_pair_writer,
+    )
+
+    out = str(tmp_path / "replay_out")
+    writer = co_location_pair_writer(out)
+    batch = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 00:00:00", 10.0, 2, "c0"),
+            ("B", "2025-01-01 00:00:00", 20.0, 1, "c0"),
+            ("C", "2025-01-01 00:00:00", 120.0, 1, "c2"),
+        ],
+        "uid string, window_ts string, avg_value double, message_count long, cell string",
+    ).withColumn("window_ts", F.to_timestamp("window_ts"))
+
+    writer(batch, 7)
+    first = [tuple(r) for r in spark.read.parquet(out).collect()]
+    writer(batch, 7)  # simulated failure replay of the same micro-batch
+    second = [tuple(r) for r in spark.read.parquet(out).collect()]
+    assert sorted(first) == sorted(second) and len(second) == 1
+
+    # a later epoch with different data appends, not clobbers
+    batch2 = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 01:00:00", 260.0, 1, "c5"),
+            ("C", "2025-01-01 01:00:00", 270.0, 1, "c5"),
+        ],
+        "uid string, window_ts string, avg_value double, message_count long, cell string",
+    ).withColumn("window_ts", F.to_timestamp("window_ts"))
+    writer(batch2, 8)
+    pairs = {
+        (r["uid_a"], r["uid_b"], r["epoch"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert pairs == {("A", "B", 7), ("A", "C", 8)}
+
+
 def test_streaming_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState gap sessionizer: two batches of events; the
     second batch's later events advance the watermark so the first
