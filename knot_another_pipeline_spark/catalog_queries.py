@@ -836,16 +836,20 @@ JOIN sig sb ON sb.id = c.id_b
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard for pairs sharing ≥1 shingle,
-    thresholded."""
+    thresholded, with the stop-shingle document-frequency cap active
+    (df ≤ 100) so a boilerplate shingle can never quadratic-blow the
+    self-join."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
-    out = ngram_jaccard_pairs(sh, min_jaccard=0.05)
+    out = ngram_jaccard_pairs(sh, min_jaccard=0.05, max_doc_freq=100)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 ORACLE_NGRAM_JACCARD = f"""
 WITH toks AS ({_TOKS_SQL}),
-sh AS ({_SHINGLES_SQL}),
+sh0 AS ({_SHINGLES_SQL}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -1002,32 +1006,59 @@ SELECT DISTINCT id, fp_hash FROM wins WHERE pos <= n_grams - 3
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-bucket LSH blocking
-    (equi-join, never all-pairs) + exact cosine confirm at 0.35."""
+    """Embedding-cosine near-duplicate pairs: banded multi-hyperplane LSH
+    blocking (4 bands × 8 planes — equi-join on (band, bucket), never
+    all-pairs) + exact cosine confirm at 0.35."""
     from knot_another_pipeline_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.35, sign_dims=8
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35,
+        dim=64, bands=4, rows_per_band=8,
     )
     return out.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 
-_SIGN_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << (7 - i)} ELSE 0 END)" for i in range(8)
-)
+def _planes_sql(num_planes: int, dim: int) -> str:
+    """DuckDB CTE body mirroring ``similarity._hyperplane``: ±1 component
+    d of plane p from the parity of md5('p:d')'s first 8 hex chars."""
+    return f"""SELECT CAST(p AS INTEGER) AS p,
+         list_transform(range(0, {dim}), d ->
+           CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR),
+                      ':', CAST(d AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, {num_planes}) r(p)"""
+
+
+def _band_buckets_sql(rows_per_band: int) -> str:
+    """DuckDB CTE body mirroring ``similarity.hyperplane_band_keys``:
+    per (vector, band), pack the sign bits of that band's planes with the
+    first plane most significant. Expects CTEs ``e`` (vec_id, v) and
+    ``planes`` in scope."""
+    r = rows_per_band
+    return f"""SELECT e.vec_id, CAST(pl.p // {r} AS INTEGER) AS band,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                       THEN CAST(power(2, {r - 1} - (pl.p % {r})) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.p // {r}"""
+
 
 ORACLE_EMBEDDING_DEDUP = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
-             {_SIGN_BUCKET_SQL} AS bucket
-      FROM e)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
-FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.35
+planes AS ({_planes_sql(32, 64)}),
+bukt AS ({_band_buckets_sql(8)}),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bukt a JOIN bukt b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       round(list_dot_product(x.v, y.v) / (x.nn * y.nn), 6) AS cos_sim
+FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+WHERE list_dot_product(x.v, y.v) / (x.nn * y.nn) >= 0.35
 """
 
 
@@ -1071,14 +1102,15 @@ FROM ranked WHERE rn <= 5
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH buckets. The ±1
-    hyperplane components derive from md5(plane:dim), so the whole
+    """Approximate NN via banded random-hyperplane LSH (4 bands × 8
+    planes): candidates share any band's bucket, exact cosine re-ranks.
+    The ±1 hyperplane components derive from md5(plane:dim), so the whole
     bucketing is reproducible in the DuckDB oracle — no rows-only
     fallback needed."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucket_topk(
         emb.filter(F.col("vec_id") < 8), emb, id_col="vec_id",
-        vec_col="embedding", dim=64, num_planes=6, k=5,
+        vec_col="embedding", dim=64, bands=4, rows_per_band=8, k=5,
     ).select(
         "query_id", "neighbor_id",
         F.round("cos_sim", 6).alias("cos_sim"),
@@ -1086,28 +1118,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN_LSH = """
+ORACLE_ANN_LSH = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-planes AS (
-  SELECT CAST(p AS INTEGER) AS p,
-         list_transform(range(0, 64), d ->
-           CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR),
-                      ':', CAST(d AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0
-                THEN 1.0 ELSE -1.0 END) AS plane
-  FROM range(0, 6) r(p)),
-buckets AS (
-  SELECT e.vec_id,
-         CAST(sum(CASE WHEN list_dot_product(e.v, pl.plane) > 0
-                       THEN CAST(power(2, 5 - pl.p) AS BIGINT) ELSE 0 END)
-              AS BIGINT) AS bucket
-  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
-n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nn, b.bucket
-      FROM e JOIN buckets b USING (vec_id)),
+planes AS ({_planes_sql(32, 64)}),
+bukt AS ({_band_buckets_sql(8)}),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bukt a JOIN bukt b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+  WHERE a.vec_id < 8),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.v, c.v) / (q.nn * c.nn) AS cos_sim
-  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-  WHERE q.vec_id < 8),
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.v, t.v) / (q.nn * t.nn) AS cos_sim
+  FROM cand c
+  JOIN n q ON q.vec_id = c.query_id
+  JOIN n t ON t.vec_id = c.neighbor_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id
@@ -1119,14 +1145,16 @@ FROM ranked WHERE rn <= 5
 """
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN: deterministic centroids (every 50th vector),
-    nprobe=2 Voronoi cells searched per query, exact re-rank within."""
+    """IVF approximate NN: fixed-size deterministic centroid set (the 64
+    vectors ranking lowest by md5(id) — corpus-size-independent, so the
+    broadcast stays bounded), nprobe=2 Voronoi cells searched per query,
+    exact re-rank within."""
     from knot_another_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_topk(
         emb.filter(F.col("vec_id") < 8), emb, id_col="vec_id",
-        vec_col="embedding", centroid_stride=50, nprobe=2, k=5,
+        vec_col="embedding", num_centroids=64, nprobe=2, k=5,
     )
     return out.select(
         "query_id", "neighbor_id",
@@ -1139,7 +1167,7 @@ ORACLE_IVF_ANN = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
 cents AS (SELECT vec_id AS cent_id, v AS centv, nn AS centn
-          FROM n WHERE vec_id % 50 = 0),
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 64),
 assigned AS (
   SELECT neighbor_id, cv, cn, cell FROM (
     SELECT n.vec_id AS neighbor_id, n.v AS cv, n.nn AS cn, c.cent_id AS cell,

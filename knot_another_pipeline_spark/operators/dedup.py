@@ -191,16 +191,35 @@ def minhash_similarity(
 
 
 def ngram_jaccard_pairs(
-    shingles: DataFrame, *, min_jaccard: float = 0.0
+    shingles: DataFrame,
+    *,
+    min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over docs sharing ≥1 shingle.
 
     |A∩B| from the self-join on shingle; |A| and |B| joined from per-doc
-    set sizes; J = inter / (|A|+|B|-inter). The self-join explodes on hot
-    shingles — at scale, drop ultra-common shingles first (document-
-    frequency cap), exactly the stop-shingle trick used in production
-    dedup pipelines. Output: id_a, id_b, jaccard.
+    set sizes; J = inter / (|A|+|B|-inter).
+
+    ``max_doc_freq`` is the stop-shingle cap: a shingle appearing in d
+    docs contributes d² rows to the self-join, so one boilerplate shingle
+    is a job-killer at corpus scale. With the cap set, shingle document
+    frequencies are pre-counted (one cheap aggregate) and shingles with
+    df > cap are dropped *before* the join; Jaccard is then computed over
+    the capped shingle sets on both the intersection and size sides, so
+    the metric stays internally consistent. Production default: a few
+    hundred (boilerplate lives in the df ≫ 10³ tail; true near-dup pairs
+    share plenty of rare shingles).
+    Output: id_a, id_b, jaccard.
     """
+    if max_doc_freq is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        shingles = shingles.join(keep, "shingle")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -313,55 +332,58 @@ def simhash_near_dup_pairs(
     )
 
 
-def sign_bucket(vec: F.Column, *, dims: int = 8) -> F.Column:
-    """Axis-aligned hyperplane LSH bucket for an embedding: bit i set ⇔
-    component i > 0. A degenerate (but portable and deterministic)
-    random-hyperplane sketch — vectors with high cosine similarity agree
-    on most component signs, so near-dups land in the same bucket."""
-    key = F.lit(0).cast("long")
-    for i in range(dims):
-        bit = F.when(F.element_at(vec, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
-        key = key * 2 + bit.cast("long")
-    return key
-
-
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
     id_col: str,
     vec_col: str,
     threshold: float = 0.35,
-    sign_dims: int = 8,
+    dim: int = 64,
+    bands: int = 4,
+    rows_per_band: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with LSH blocking.
+    """Embedding-cosine near-duplicate pairs with banded hyperplane LSH
+    blocking.
 
-    Candidates come from an equi-join on the sign bucket of the first
-    ``sign_dims`` components (2^dims buckets), so the corpus never
-    cross-joins — the same blocking shape as MinHash banding, but over
-    the embedding column. Exact cosine then confirms candidates against
-    ``threshold``. Norms are precomputed once per side.
+    Candidates come from an equi-join on (band, bucket) keys built from
+    bands × rows_per_band deterministic md5-derived hyperplanes
+    (``similarity.hyperplane_band_keys``) — the same bands×rows shape as
+    MinHash/SimHash banding, so the corpus never cross-joins and recall
+    vs blocking factor is tunable: per-band blocking is ``2^R`` (defaults
+    4×8 → 256 buckets/band; at ~10⁹ vectors raise R to 16 → 65 536
+    buckets/band), recall ``1-(1-s^R)^B`` for sign-agreement rate s.
+    Exact cosine then confirms candidates against ``threshold``; pairs
+    colliding in several bands dedupe once, after the cheap projection.
     Output: id_a, id_b (id_a < id_b), cos_sim.
     """
-    from knot_another_pipeline_spark.operators.similarity import dot, l2_norm
+    from knot_another_pipeline_spark.operators.similarity import (
+        dot,
+        hyperplane_band_keys,
+        l2_norm,
+    )
 
+    keys = hyperplane_band_keys(
+        F.col(vec_col), dim=dim, bands=bands, rows_per_band=rows_per_band
+    )
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("n"),
-        sign_bucket(F.col(vec_col), dims=sign_dims).alias("bucket"),
+        F.posexplode(F.array(*keys)).alias("band", "bucket"),
     )
     a = side.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("n").alias("na"), "bucket",
+        F.col("n").alias("na"), "band", "bucket",
     )
     b = side.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("n").alias("nb"), "bucket",
+        F.col("n").alias("nb"), "band", "bucket",
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+        .distinct()
     )

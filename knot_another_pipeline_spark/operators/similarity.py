@@ -100,16 +100,38 @@ def _hyperplane(plane_id: int, dim: int) -> list[float]:
     return comps
 
 
-def lsh_bucket_key(vec: Column, *, dim: int, num_planes: int = 8) -> Column:
-    """Sign-bit bucket key: bit p set ⇔ vec·plane_p > 0."""
-    key = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
-        bit = F.when(dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        key = key * 2 + bit
-    return key
+def hyperplane_band_keys(
+    vec: Column, *, dim: int, bands: int = 4, rows_per_band: int = 8
+) -> list[Column]:
+    """One bucket key per band, bands × rows_per_band hyperplanes total.
+
+    Band ``b``'s key packs the sign bits of planes ``b·R … b·R+R-1``
+    (first plane is the most significant bit). Two vectors collide when
+    *every* sign in at least one band agrees — the classic bands×rows
+    trade: per-band blocking factor is ``2^R`` (uniformly ~N/2^R
+    candidates per vector per band) while recall decays only as
+    ``1-(1-s^R)^B`` for sign-agreement rate ``s``. Scaling up means
+    raising ``rows_per_band`` (defaults: 4×8 → 256 buckets/band;
+    at ~10⁹ vectors use R=16 → 65 536 buckets/band, with B=4-8 bands to
+    buy recall back). Same banding shape as
+    ``dedup.simhash_near_dup_pairs`` / MinHash ``lsh_candidate_pairs``.
+
+    Planes are deterministic md5-derived ±1 vectors (:func:`_hyperplane`)
+    so the whole blocking reproduces in the DuckDB differential oracle.
+    """
+    keys = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            plane = F.array(
+                *[F.lit(v) for v in _hyperplane(b * rows_per_band + r, dim)]
+            )
+            bit = F.when(dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            key = key * 2 + bit
+        keys.append(key)
+    return keys
 
 
 def lsh_bucket_topk(
@@ -119,28 +141,43 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 6,
+    bands: int = 4,
+    rows_per_band: int = 8,
     k: int = 5,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket, then exact
-    cosine re-rank within bucket. Recall < 1 by design; the scan is an
-    equi-join on the bucket key instead of a cross join."""
+    """Approximate top-k via banded random-hyperplane LSH: each side
+    posexplodes its ``bands`` bucket keys, candidates come from the
+    (band, bucket) equi-join, duplicates across bands collapse once, and
+    exact cosine re-ranks the candidates. Recall < 1 by design; the
+    corpus never cross-joins — per query the candidate set is
+    ~``bands·N/2^rows_per_band`` for near-uniform buckets (see
+    :func:`hyperplane_band_keys` for the scale dial)."""
+    qkeys = hyperplane_band_keys(
+        F.col(vec_col), dim=dim, bands=bands, rows_per_band=rows_per_band
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
-        lsh_bucket_key(F.col(vec_col), dim=dim, num_planes=num_planes).alias("bucket"),
+        F.posexplode(F.array(*qkeys)).alias("band", "bucket"),
+    )
+    ckeys = hyperplane_band_keys(
+        F.col(vec_col), dim=dim, bands=bands, rows_per_band=rows_per_band
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
-        lsh_bucket_key(F.col(vec_col), dim=dim, num_planes=num_planes).alias("bucket"),
+        F.posexplode(F.array(*ckeys)).alias("band", "bucket"),
     )
-    scored = (
-        q.join(c, "bucket")
+    cands = (
+        q.join(c, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -158,15 +195,23 @@ def ivf_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_stride: int = 50,
+    num_centroids: int = 64,
     nprobe: int = 2,
     k: int = 5,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
-    cells around a small deterministic centroid set (every
-    ``centroid_stride``-th vector by id — reproducible without a
-    training step), then search only the ``nprobe`` cells nearest each
-    query.
+    cells around a *fixed-size* deterministic centroid set, then search
+    only the ``nprobe`` cells nearest each query.
+
+    Centroid selection is the ``num_centroids`` corpus vectors ranking
+    lowest by ``md5(id)`` — a deterministic hash-sample (reproducible in
+    the differential oracle, no training step) whose size is independent
+    of corpus size, so the broadcast stays bounded at any scale. Spark
+    executes the orderBy+limit as a per-partition top-C reduce
+    (TakeOrdered), one corpus pass, no global sort materialization. A
+    production deployment swaps in k-means-trained centroids of the same
+    shape; C ≈ √N capped to what broadcasts (~10⁵ rows) is the usual
+    sizing.
 
     Scale shape: the centroid table is tiny and broadcast; cell
     assignment is the broadcast cross product reduced by an *aggregate*
@@ -176,16 +221,16 @@ def ivf_topk(
     formulation would shuffle and sort all C× rows). The candidate join
     is an equi-join on cell id touching ~nprobe/C of the corpus. Exact
     cosine re-ranks within the probed cells (recall < 1 by design).
-    ``centroid_stride`` keeps the demo centroid set deterministic without
-    a training step; a production deployment replaces it with a trained,
-    *fixed-size* centroid table (stride keeps C ∝ corpus, which stops
-    being broadcastable somewhere past 10⁶ cells).
     Output: query_id, neighbor_id, cos_sim, rank.
     """
-    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("centv"),
-        l2_norm(F.col(vec_col)).alias("centn"),
+    cents = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("centv"),
+            l2_norm(F.col(vec_col)).alias("centn"),
+        )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

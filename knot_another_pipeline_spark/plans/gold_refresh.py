@@ -50,6 +50,7 @@ def refresh_gold(
     run_checks: bool = True,
     min_shared_cells: int = 1,
     catalog_tables: bool = False,
+    max_entities_per_cell: int | None = 10_000,
 ) -> GoldRefreshResult:
     """Rebuild the gold tables from silver.
 
@@ -67,6 +68,15 @@ def refresh_gold(
       `refresh_gold_tables.py:306-358`) so later joins/aggs keyed on the
       bucket columns read shuffle-free. Plain partitioned parquet
       otherwise.
+    - ``max_entities_per_cell``: mega-cell skew guard, ON by default. The
+      pairs self-join (reference skew point:
+      ``sql/gold/create_pairs_daily.sql:40-54``) emits n(n-1)/2 rows per
+      cell-window; at AIS scale one port anchorage goes quadratic before
+      AQE can split it. Cell-windows above the cap are dropped before the
+      join; per-entity denominators still count them (reference
+      semantics). 10 000 entities → ≤5·10⁷ pairs from a single
+      cell-window, the most a healthy task should absorb. ``None``
+      disables.
     """
     hourly = build_uid_hourly_h3(
         silver,
@@ -89,6 +99,7 @@ def refresh_gold(
         window_col="window_ts",
         cell_col="cell",
         min_shared_cells=min_shared_cells,
+        max_entities_per_cell=max_entities_per_cell,
     )
     totals = pairs_total(pairs)
 
@@ -127,9 +138,6 @@ def refresh_gold(
                 mode=write_mode,
                 path=pairs_path,
             )
-            totals.write.mode("overwrite").option("path", totals_path).saveAsTable(
-                "pairs_total"
-            )
         else:
             (
                 hourly.withColumn("hour_part", F.col("hour"))
@@ -140,6 +148,23 @@ def refresh_gold(
             pairs_part.write.mode(write_mode).partitionBy(
                 "year", "month", "day"
             ).parquet(pairs_path)
+        # In append/targeted-days runs this invocation's pairs cover only
+        # the refreshed days, but the lifetime summary must aggregate the
+        # WHOLE pairs_daily table (reference create_pairs_total.sql reads
+        # the full table) — recompute from the materialized table before
+        # overwriting pairs_total.
+        if mode != "replace" or days:
+            full_pairs = (
+                spark.table("pairs_daily")
+                if catalog_tables
+                else spark.read.parquet(pairs_path)
+            )
+            totals = pairs_total(full_pairs)
+        if catalog_tables:
+            totals.write.mode("overwrite").option("path", totals_path).saveAsTable(
+                "pairs_total"
+            )
+        else:
             totals.write.mode("overwrite").parquet(totals_path)
         written["uid_hourly_h3"] = hourly_path
         written["pairs_daily"] = pairs_path

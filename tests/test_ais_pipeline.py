@@ -186,6 +186,65 @@ def test_pairs_mega_cell_skew_guard(spark):
     assert r["hA"] == 1 and r["hT"] == 1
 
 
+def test_refresh_gold_skew_guard_on_by_default(spark):
+    """The mega-cell guard is wired through refresh_gold with a sane
+    default (VERDICT r1 #6) and actually reaches the pairs join."""
+    import inspect
+
+    from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+
+    default = inspect.signature(refresh_gold).parameters[
+        "max_entities_per_cell"
+    ].default
+    assert default == 10_000
+    # cap=1 → every co-located cell-window (always ≥2 entities) dropped
+    result = refresh_gold(
+        spark, _ais_fixture(spark), run_checks=False, max_entities_per_cell=1
+    )
+    assert result.pairs.count() == 0
+    # and the fixture's real pairs survive the default cap
+    result = refresh_gold(spark, _ais_fixture(spark), run_checks=False)
+    assert result.pairs.count() > 0
+
+
+def _mini_silver(spark, day: str):
+    rows = []
+    for h in (0, 1):
+        lat, lon = 10.0 + h, 20.0 + h
+        rows.append(("A", f"{day} 0{h}:10:00", lat, lon, 5.0))
+        rows.append(("B", f"{day} 0{h}:20:00", lat, lon, 5.5))
+    return spark.createDataFrame(
+        rows,
+        "mmsi string, base_date_time string, latitude double, longitude double, sog double",
+    )
+
+
+def test_refresh_append_totals_cover_full_history(spark, tmp_path):
+    """ADVICE r1: appending day 2 must rebuild pairs_total from the whole
+    materialized pairs_daily, not just the appended day."""
+    from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+
+    gold = str(tmp_path / "gold")
+    refresh_gold(
+        spark, _mini_silver(spark, "2025-01-01"),
+        output_root=gold, mode="replace", run_checks=False,
+    )
+    result = refresh_gold(
+        spark, _mini_silver(spark, "2025-01-02"),
+        output_root=gold, mode="append", run_checks=False,
+    )
+    totals = {
+        (r["uid_a"], r["uid_b"]): r
+        for r in spark.read.parquet(f"{gold}/pairs_total").collect()
+    }
+    assert totals[("A", "B")]["total_days_observed"] == 2
+    # the returned DataFrame reflects the recomputed summary too
+    in_memory = {
+        (r["uid_a"], r["uid_b"]): r for r in result.totals.collect()
+    }
+    assert in_memory[("A", "B")]["total_days_observed"] == 2
+
+
 def test_cli_end_to_end(spark, tmp_path):
     """ingest → refresh → export-tracks through the CLI entry point
     (in-process; the session is reused via getOrCreate)."""

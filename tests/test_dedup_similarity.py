@@ -45,6 +45,42 @@ def test_ngram_jaccard_ranks_near_dups(spark, docs):
     assert (1, 3) not in pairs or pairs[(1, 3)] < 0.1  # unrelated
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """max_doc_freq drops hot shingles BEFORE the self-join: a
+    boilerplate shingle shared by every doc must not create pairs, while
+    genuinely shared rare shingles still do."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha text one {boiler}"),
+            (2, f"unique beta text two {boiler}"),
+            (3, f"unique gamma text three {boiler}"),
+            (4, f"unique alpha text one {boiler}"),  # true near-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sh, max_doc_freq=3).collect()
+    }
+    # boilerplate-only overlaps (1,2), (1,3), (2,3) vanish: their shared
+    # shingles appear in all 4 docs (> cap); the true dup pair survives.
+    assert (1, 4) in capped and capped[(1, 4)] == 1.0
+    assert (1, 2) not in capped and (2, 3) not in capped
+    # uncapped, boilerplate creates the spurious pairs
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(sh).collect()
+    }
+    assert (1, 2) in uncapped
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     from knot_another_pipeline_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -125,7 +161,9 @@ def test_lsh_ann_recall_against_bruteforce(spark):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in lsh_bucket_topk(queries, vecs, dim=4, num_planes=2, k=5).collect()
+        for r in lsh_bucket_topk(
+            queries, vecs, dim=4, bands=2, rows_per_band=1, k=5
+        ).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
@@ -269,11 +307,13 @@ def test_embedding_near_dup_blocking(spark):
     out = {
         (r["id_a"], r["id_b"]): r["cos_sim"]
         for r in embedding_near_dup_pairs(
-            df, id_col="vec_id", vec_col="embedding", threshold=0.9, sign_dims=8
+            df, id_col="vec_id", vec_col="embedding", threshold=0.9, dim=16
         ).collect()
     }
     assert (1, 2) in out and out[(1, 2)] > 0.99
-    assert (1, 3) not in out  # blocked: different sign bucket
+    # blocked: every hyperplane dot flips sign for the negated vector, so
+    # all four band keys differ (and cosine -1 fails the confirm anyway)
+    assert (1, 3) not in out
 
 
 def test_ivf_topk_recall_against_bruteforce(spark):
@@ -303,7 +343,7 @@ def test_ivf_topk_recall_against_bruteforce(spark):
         (r["query_id"], r["neighbor_id"])
         for r in ivf_topk(
             qs, df, id_col="vec_id", vec_col="embedding",
-            centroid_stride=20, nprobe=2, k=5,
+            num_centroids=10, nprobe=2, k=5,
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
