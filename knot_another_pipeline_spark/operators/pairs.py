@@ -35,6 +35,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def oversize_cell_windows(
+    base: DataFrame, max_entities_per_cell: int
+) -> DataFrame:
+    """Cell-windows whose entity count exceeds the skew cap.
+
+    Columns: day_date, w, cell (keys only). Small by construction —
+    oversize cells ARE the skew the cap exists for — so the result is
+    safe to ``F.broadcast`` and to ``.count()`` for trim observability
+    (the count is one partial-agg pass over the pre-aggregated rollup).
+    """
+    return (
+        base.groupBy("day_date", "w", "cell")
+        .agg(F.count(F.lit(1)).alias("_n_entities"))
+        .filter(F.col("_n_entities") > max_entities_per_cell)
+        .drop("_n_entities")
+    )
+
+
 def co_movement_pairs(
     rollup: DataFrame,
     *,
@@ -90,19 +108,16 @@ def co_movement_pairs(
 
     join_input = base
     if max_entities_per_cell is not None:
-        cell_sizes = base.groupBy("day_date", "w", "cell").agg(
-            F.count(F.lit(1)).alias("_n_entities")
-        )
-        join_input = (
-            base.join(
-                F.broadcast(
-                    cell_sizes.filter(
-                        F.col("_n_entities") <= max_entities_per_cell
-                    ).drop("_n_entities")
-                ),
-                ["day_date", "w", "cell"],
-                "left_semi",
-            )
+        # Broadcast the OVERSIZE set, not the keep-list. The keep-list is
+        # nearly every distinct (day, window, cell) combo — at AIS month
+        # scale 10⁸-10⁹ rows, a driver OOM if broadcast. The over-cap set
+        # is tiny *by construction* (it is the skew being guarded), so its
+        # broadcast is bounded regardless of corpus size; remove matches
+        # with a left_anti join. Same semantics, scale-safe.
+        join_input = base.join(
+            F.broadcast(oversize_cell_windows(base, max_entities_per_cell)),
+            ["day_date", "w", "cell"],
+            "left_anti",
         )
 
     a = join_input.alias("a")

@@ -19,6 +19,7 @@ def reconciliation_report(
     silver_filtered_count: int,
     hourly: DataFrame,
     pairs: DataFrame,
+    trimmed_cell_windows: int | None = None,
 ) -> DataFrame:
     """One row per check: check_name, observed, expected, delta, passed.
 
@@ -48,6 +49,20 @@ def reconciliation_report(
         ),
         ("pairs_rows_nonnegative", pair_rows, 0, pair_rows >= 0),
     ]
+    if trimmed_cell_windows is not None:
+        # Informational: how many (day, window, cell) combos the mega-cell
+        # skew guard removed from the pairs join. Nonzero means capped
+        # data, a documented deviation from reference all-pairs output —
+        # observable here rather than silent (ADVICE r2). Always "passed";
+        # the delta column carries the signal.
+        checks.append(
+            (
+                "mega_cell_windows_trimmed",
+                trimmed_cell_windows,
+                0,
+                True,
+            )
+        )
     return spark.createDataFrame(
         [
             (name, int(obs or 0), int(exp), int(obs or 0) - int(exp), bool(ok))

@@ -148,18 +148,21 @@ def refresh_gold(
             pairs_part.write.mode(write_mode).partitionBy(
                 "year", "month", "day"
             ).parquet(pairs_path)
-        # In append/targeted-days runs this invocation's pairs cover only
-        # the refreshed days, but the lifetime summary must aggregate the
-        # WHOLE pairs_daily table (reference create_pairs_total.sql reads
-        # the full table) — recompute from the materialized table before
-        # overwriting pairs_total.
-        if mode != "replace" or days:
-            full_pairs = (
-                spark.table("pairs_daily")
-                if catalog_tables
-                else spark.read.parquet(pairs_path)
-            )
-            totals = pairs_total(full_pairs)
+        # The lifetime summary must aggregate the WHOLE materialized
+        # pairs_daily table (reference create_pairs_total.sql reads the
+        # full table) — unconditionally, not just for append/targeted
+        # runs: 'replace' uses dynamic partition overwrite, which keeps
+        # on-disk day partitions absent from this run's input, so even a
+        # replace run can cover fewer days than the table holds. Cheap
+        # relative to the refresh (one scan of the pre-built pairs table).
+        # Explicit schema: an empty pairs run writes no parquet footers,
+        # so schema inference on the read-back would fail.
+        full_pairs = (
+            spark.table("pairs_daily")
+            if catalog_tables
+            else spark.read.schema(pairs_part.schema).parquet(pairs_path)
+        )
+        totals = pairs_total(full_pairs)
         if catalog_tables:
             totals.write.mode("overwrite").option("path", totals_path).saveAsTable(
                 "pairs_total"
@@ -184,11 +187,26 @@ def refresh_gold(
                 F.col(lat_col).cast("double"), F.col(lon_col).cast("double")
             )
         ).count()
+        trimmed = None
+        if max_entities_per_cell is not None:
+            from knot_another_pipeline_spark.operators.pairs import (
+                oversize_cell_windows,
+            )
+
+            trimmed = oversize_cell_windows(
+                hourly.select(
+                    F.to_date("hour_ts").alias("day_date"),
+                    F.col("hour_ts").alias("w"),
+                    F.col("h3_index").alias("cell"),
+                ),
+                max_entities_per_cell,
+            ).count()
         report = reconciliation_report(
             spark,
             silver_filtered_count=silver_filtered,
             hourly=hourly,
             pairs=pairs,
+            trimmed_cell_windows=trimmed,
         )
 
     return GoldRefreshResult(

@@ -168,22 +168,54 @@ def test_pairs_mega_cell_skew_guard(spark):
 
     from knot_another_pipeline_spark.operators.pairs import co_movement_pairs
 
-    # hot cell: 5 entities co-located; quiet cell: 2 entities
+    # window t0, hot cell: 5 entities + v1 co-located (6 > cap);
+    # window t1, quiet cell: v1 and v2.
     rows = [(f"u{i}", "2025-01-01 00:00:00", "HOT") for i in range(5)]
-    rows += [("v1", "2025-01-01 00:00:00", "QUIET"), ("v2", "2025-01-01 00:00:00", "QUIET")]
+    rows += [("v1", "2025-01-01 00:00:00", "HOT")]
+    rows += [("v1", "2025-01-01 01:00:00", "QUIET"), ("v2", "2025-01-01 01:00:00", "QUIET")]
     roll = spark.createDataFrame(
         rows, "uid string, window_ts string, cell string"
     ).withColumn("window_ts", F.to_timestamp("window_ts"))
 
     unguarded = co_movement_pairs(roll, min_shared_cells=0)
-    assert unguarded.count() == 10 + 1  # C(5,2) hot + 1 quiet
+    assert unguarded.count() == 15 + 1  # C(6,2) hot + 1 quiet
 
     guarded = co_movement_pairs(roll, min_shared_cells=0, max_entities_per_cell=4)
     got = {(r["uid_a"], r["uid_b"]) for r in guarded.collect()}
     assert got == {("v1", "v2")}  # mega-cell pairs dropped pre-join
-    # denominators still count the dropped window (reference semantics)
+    # Denominators still count the dropped window (reference semantics:
+    # per-vessel stats in create_pairs_daily.sql:57-66 are computed before
+    # any cap) — v1 was active in 2 windows, only 1 shared.
     r = guarded.collect()[0]
-    assert r["hA"] == 1 and r["hT"] == 1
+    assert r["hA"] == 2 and r["gA"] == 2  # v1: HOT window counted
+    assert r["hB"] == 1 and r["hT"] == 1
+    assert r["temporal_o"] == 1.0  # hT / least(hA, hB) = 1/1
+
+
+def test_skew_guard_broadcasts_oversize_side(spark):
+    """Scale-safety plan assertion (VERDICT r2 'What's wrong' #1): the
+    guard must broadcast the tiny over-cap set and left_anti it away —
+    never the near-total keep-list (driver OOM at AIS scale)."""
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.operators.pairs import co_movement_pairs
+
+    rows = [(f"u{i}", "2025-01-01 00:00:00", "HOT") for i in range(5)]
+    rows += [("v1", "2025-01-01 01:00:00", "Q"), ("v2", "2025-01-01 01:00:00", "Q")]
+    roll = spark.createDataFrame(
+        rows, "uid string, window_ts string, cell string"
+    ).withColumn("window_ts", F.to_timestamp("window_ts"))
+
+    guarded = co_movement_pairs(roll, min_shared_cells=0, max_entities_per_cell=4)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    # anti-join against a broadcast build side...
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+    # ...and the broadcast relation is the count>cap filter (oversize),
+    # not a count<=cap keep-list.
+    assert "_n_entities" in plan
+    assert "> 4)" in plan and "<= 4)" not in plan
+    # no semi-join guard anywhere
+    assert "LeftSemi" not in plan
 
 
 def test_refresh_gold_skew_guard_on_by_default(spark):
@@ -205,6 +237,32 @@ def test_refresh_gold_skew_guard_on_by_default(spark):
     # and the fixture's real pairs survive the default cap
     result = refresh_gold(spark, _ais_fixture(spark), run_checks=False)
     assert result.pairs.count() > 0
+
+
+def test_skew_guard_trim_count_reported(spark):
+    """When the guard trims anything, the reconciliation report says how
+    much (ADVICE r2: capped data must be observable, not silent)."""
+    from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+
+    # default cap: fixture has no mega-cells → trimmed = 0
+    result = refresh_gold(spark, _ais_fixture(spark), run_checks=True)
+    report = {r["check_name"]: r for r in result.report.collect()}
+    row = report["mega_cell_windows_trimmed"]
+    assert row["observed"] == 0 and row["passed"]
+
+    # cap=1: every co-located cell-window (>=2 entities) is trimmed
+    result = refresh_gold(
+        spark, _ais_fixture(spark), run_checks=True, max_entities_per_cell=1
+    )
+    report = {r["check_name"]: r for r in result.report.collect()}
+    assert report["mega_cell_windows_trimmed"]["observed"] > 0
+
+    # guard off → no trim row at all
+    result = refresh_gold(
+        spark, _ais_fixture(spark), run_checks=True, max_entities_per_cell=None
+    )
+    report = {r["check_name"]: r for r in result.report.collect()}
+    assert "mega_cell_windows_trimmed" not in report
 
 
 def _mini_silver(spark, day: str):
