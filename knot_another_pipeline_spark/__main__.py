@@ -85,7 +85,9 @@ def main(argv: list[str] | None = None) -> int:
                 resolve_column,
             )
 
-            silver = spark.read.parquet(args.silver)
+            from knot_another_pipeline_spark.sources.ingest import read_silver
+
+            silver = read_silver(spark, args.silver)
             result = refresh_gold(
                 spark,
                 silver,
@@ -122,7 +124,9 @@ def main(argv: list[str] | None = None) -> int:
                 resolve_column,
             )
 
-            silver = spark.read.parquet(args.silver)
+            from knot_another_pipeline_spark.sources.ingest import read_silver
+
+            silver = read_silver(spark, args.silver)
             out = export_tracks(
                 silver,
                 uid_col=resolve_column(silver, *ID_ALIASES) or "mmsi",

@@ -246,12 +246,7 @@ FROM scored
 )
 
 
-def q_pairs_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference `pairs_total` (A5): lifetime pair summary with exact
-    median (deterministic across engines; the reference's
-    approx_percentile variant is available via pairs_total(exact_median=False))."""
-    pairs = _pairs_base(spark, sf_dir)
-    total = pairs_total(pairs, exact_median=True)
+def _pairs_total_select(total: DataFrame) -> DataFrame:
     return total.select(
         "uid_a", "uid_b",
         F.col("total_days_observed").cast("bigint").alias("total_days_observed"),
@@ -261,6 +256,35 @@ def q_pairs_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_gto", 4).alias("avg_gto"),
         F.round("median_gto", 4).alias("median_gto"),
     )
+
+
+def q_pairs_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `pairs_total` (A5): lifetime pair summary with exact
+    median (deterministic across engines; the reference's
+    approx_percentile variant is available via pairs_total(exact_median=False)).
+
+    Self-contained (recomputes the pairs chain) so the DuckDB oracle can
+    mirror it from the raw tables. For the warehouse shape — aggregate
+    over an already-materialized pairs_daily — see
+    ``stage_pairs_daily`` + ``q_pairs_total_from_table`` (what
+    plans/gold_refresh.py does, and what bench.py times)."""
+    pairs = _pairs_base(spark, sf_dir)
+    return _pairs_total_select(pairs_total(pairs, exact_median=True))
+
+
+def stage_pairs_daily(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the pairs_daily-analog table as parquet — the staged
+    warehouse shape (reference keeps `pairs_daily` as a gold table and
+    builds `pairs_total` FROM it, create_pairs_total.sql; mirrored by
+    plans/gold_refresh.py's read-back of the materialized table)."""
+    _pairs_base(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+
+def q_pairs_total_from_table(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """`pairs_total` over a materialized pairs_daily table: times/costs
+    only the lifetime aggregate, not a re-run of the upstream chain."""
+    pairs = spark.read.parquet(pairs_path)
+    return _pairs_total_select(pairs_total(pairs, exact_median=True))
 
 
 ORACLE_PAIRS_TOTAL = (

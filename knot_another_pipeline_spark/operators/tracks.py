@@ -50,6 +50,32 @@ def export_tracks(
     ).orderBy("event_ts", "uid")
 
 
+def backfill_track_ids(df: DataFrame, id_col: str = "track_id") -> DataFrame:
+    """Synthesize stable placeholder ids for missing track ids [P20].
+
+    Reference ``apps/track_explorer.py:179-185``: the id column is
+    stringified, ``'nan'/'None'/'NaT'`` count as missing, and missing rows
+    get ``"track_" + row_index``. Here the placeholder suffix is
+    ``monotonically_increasing_id()`` — unique per row and generated
+    entirely map-side (a ``row_number()`` over a global window would
+    shuffle everything to one partition at scale; the reference's pandas
+    index is just as arbitrary, only uniqueness+stability-within-run
+    matter to the app).
+    """
+    sid = F.col(id_col).cast("string")
+    missing = sid.isNull() | sid.isin("nan", "None", "NaT")
+    return df.withColumn(
+        id_col,
+        F.when(
+            missing,
+            F.concat(
+                F.lit("track_"),
+                F.monotonically_increasing_id().cast("string"),
+            ),
+        ).otherwise(sid),
+    )
+
+
 def assemble_paths(
     df: DataFrame,
     *,

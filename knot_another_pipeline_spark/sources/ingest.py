@@ -150,6 +150,23 @@ def to_silver(
     )
 
 
+def read_silver(spark: SparkSession, root: str) -> DataFrame:
+    """Silver read-back with schema-drift merge.
+
+    NOAA file generations drift (``docs/data_contracts.md:31`` — Arrow
+    infers types per file, so columns appear/disappear between
+    generations); the reference's Glue crawler opts into
+    ``CombineCompatibleSchemas``
+    (``infra/terraform/ais_glue_catalog/main.tf:120``). ``mergeSchema``
+    is the Spark equivalent: the read unions all part-file footers, so a
+    column added in a later generation is visible (NULL for older files)
+    instead of silently vanishing when the sampled footer predates it.
+    Footer merging is metadata-only — a distributed schema-merge job at
+    scale, no data read — so the option is safe to keep on for silver.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(root)
+
+
 def write_silver(df: DataFrame, root: str, *, mode: str = "append") -> None:
     """Append-only Hive-partitioned parquet (S9): partition columns leave
     the row data and live in the path, exactly the reference layout

@@ -303,6 +303,68 @@ def test_refresh_append_totals_cover_full_history(spark, tmp_path):
     assert in_memory[("A", "B")]["total_days_observed"] == 2
 
 
+def test_backfill_track_ids(spark):
+    """P20: missing ids (null or pandas' stringified nan/None/NaT) get
+    unique track_ placeholders; real ids pass through untouched."""
+    from knot_another_pipeline_spark.operators.tracks import backfill_track_ids
+
+    df = spark.createDataFrame(
+        [("A", 1), (None, 2), ("nan", 3), ("None", 4), ("NaT", 5), ("B", 6)],
+        "track_id string, v int",
+    )
+    out = {r["v"]: r["track_id"] for r in backfill_track_ids(df).collect()}
+    assert out[1] == "A" and out[6] == "B"
+    synthesized = [out[v] for v in (2, 3, 4, 5)]
+    assert all(t.startswith("track_") for t in synthesized)
+    assert len(set(synthesized)) == 4  # unique placeholders
+
+
+def test_silver_schema_drift_merge(spark, tmp_path):
+    """Two silver generations with drifted columns: read_silver must see
+    the union (reference parity: Glue CombineCompatibleSchemas,
+    infra/terraform/ais_glue_catalog/main.tf:120 — NOAA schema varies by
+    file generation, docs/data_contracts.md:31)."""
+    from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+    from knot_another_pipeline_spark.sources.ingest import (
+        read_silver,
+        to_silver,
+        write_silver,
+    )
+
+    root = str(tmp_path / "silver")
+    gen1 = spark.createDataFrame(
+        [("111", "2025-01-01 00:10:00", 10.0, 20.0, 5.0),
+         ("222", "2025-01-01 00:20:00", 10.0, 20.0, 6.0)],
+        "MMSI string, BaseDateTime string, LAT double, LON double, SOG double",
+    )
+    write_silver(to_silver(gen1), root)
+    # later generation adds a Heading column (different day → new partitions)
+    gen2 = spark.createDataFrame(
+        [("111", "2025-01-02 00:10:00", 11.0, 21.0, 5.0, 180.0),
+         ("222", "2025-01-02 00:20:00", 11.0, 21.0, 6.0, 90.0)],
+        "MMSI string, BaseDateTime string, LAT double, LON double, SOG double,"
+        " Heading double",
+    )
+    write_silver(to_silver(gen2), root)
+
+    merged = read_silver(spark, root)
+    assert "heading" in merged.columns  # drifted column visible...
+    by_day = {
+        (r["day"], r["mmsi"]): r["heading"]
+        for r in merged.select("day", "mmsi", "heading").collect()
+    }
+    assert by_day[(2, "111")] == 180.0
+    assert by_day[(1, "111")] is None  # ...NULL for the older generation
+
+    # refresh over the merged table covers both generations' days
+    result = refresh_gold(
+        spark, merged, run_checks=False,
+        ts_col="event_ts", lat_col="lat", lon_col="lon",
+    )
+    days = {str(r["dt"]) for r in result.hourly.select("dt").distinct().collect()}
+    assert days == {"2025-01-01", "2025-01-02"}
+
+
 def test_cli_end_to_end(spark, tmp_path):
     """ingest → refresh → export-tracks through the CLI entry point
     (in-process; the session is reused via getOrCreate)."""
