@@ -43,8 +43,15 @@ def h3_module():
         return None
 
 
-#: Kept for callers that only need a cheap availability probe.
-HAS_H3 = h3_module() is not None
+def __getattr__(name: str):
+    # ``HAS_H3`` is a live probe, not an import-time snapshot: a vendored
+    # or ``sc.addPyFile``-injected h3 that becomes importable after this
+    # module loads must flip it to True (module-level ``__getattr__``,
+    # PEP 562). Prefer calling ``h3_module()`` directly in new code.
+    if name == "HAS_H3":
+        return h3_module() is not None
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 _warned_grid_fallback = False
 

@@ -144,6 +144,32 @@ def co_movement_pairs(
         "inner",
     ).select(*out_cols)
 
+    return score_co_located(
+        co_located,
+        base,
+        min_shared_cells=min_shared_cells,
+        assume_unique_windows=assume_unique_windows,
+    )
+
+
+def score_co_located(
+    co_located: DataFrame,
+    base: DataFrame,
+    *,
+    min_shared_cells: int = 1,
+    assume_unique_windows: bool = True,
+) -> DataFrame:
+    """Day-grain pair scoring over an already-built co-located table.
+
+    ``co_located``: uid_a, uid_b, day_date, cell (plus ``w`` when
+    ``assume_unique_windows=False``) — the intermediate
+    :func:`co_movement_pairs` builds with its self-join, or the streaming
+    co-location log (``streaming.rollup_stream.read_co_location_log``)
+    whose per-micro-batch joins produced the same rows incrementally.
+    ``base``: uid, day_date, w, cell — the rollup the per-entity
+    denominators come from (reference computes vessel stats from the full
+    hourly table, ``create_pairs_daily.sql:57-66``, before any pairing).
+    """
     ht_expr = (
         F.count(F.lit(1)) if assume_unique_windows else F.countDistinct("w")
     )

@@ -149,6 +149,20 @@ def co_location_pair_writer(output_path: str):
     return pair_batch
 
 
+def read_co_location_log(spark, output_path: str) -> DataFrame:
+    """Batch reader for the streaming co-location log.
+
+    Drops the ``epoch`` partition column — a replay-idempotence artifact
+    of the sink (one Hive partition per micro-batch), not part of the
+    pair schema — so downstream batch scoring sees exactly the columns
+    the batch self-join produces: uid_a, uid_b, window_ts, cell. Feed the
+    result (with ``day_date = to_date(window_ts)``) to
+    ``operators.pairs.score_co_located`` for day-grain hT/gT/overlap
+    scoring identical to the non-streaming path.
+    """
+    return spark.read.parquet(output_path).drop("epoch")
+
+
 def streaming_sessionize(
     stream: DataFrame,
     *,

@@ -423,3 +423,35 @@ def test_refresh_gold_catalog_tables(spark, tmp_path):
     assert spark.table("pairs_total").count() == result.totals.count()
     for t in ("uid_hourly_h3", "pairs_daily", "pairs_total"):
         drop_table(spark, t)
+
+
+def test_refresh_gold_catalog_mode_dq_end_to_end(spark, tmp_path):
+    """Full catalog-mode refresh (saveAsTable + bucketing) with DQ checks
+    on, then the same reconciliation re-run against spark.table(...) —
+    guards the saveAsTable/path divergence the append fix touched."""
+    from knot_another_pipeline_spark.operators.quality import (
+        reconciliation_report,
+    )
+    from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+    from knot_another_pipeline_spark.sources.warehouse import drop_table
+
+    try:
+        result = refresh_gold(
+            spark, _ais_fixture(spark),
+            output_root=str(tmp_path / "gold_dq"),
+            run_checks=True, catalog_tables=True,
+        )
+        inline = {r["check_name"]: r for r in result.report.collect()}
+        assert all(r["passed"] for r in inline.values())
+        silver_count = inline["sum_message_count_matches_silver"]["expected"]
+        rerun = reconciliation_report(
+            spark,
+            silver_filtered_count=silver_count,
+            hourly=spark.table("uid_hourly_h3"),
+            pairs=spark.table("pairs_daily"),
+        )
+        for r in rerun.collect():
+            assert r["passed"], (r["check_name"], r["observed"], r["expected"])
+    finally:
+        for t in ("uid_hourly_h3", "pairs_daily", "pairs_total"):
+            drop_table(spark, t)

@@ -110,6 +110,25 @@ def test_sql_surface_uses_h3_udf(spark, h3_stub):
     assert all(_CELL_RE.fullmatch(c) for c in sql_cells.values())
 
 
+def test_has_h3_is_live_after_late_injection(h3_stub):
+    """HAS_H3 is a live probe (PEP 562 module __getattr__), not an
+    import-time snapshot: it must flip to True once a vendored/addPyFile
+    h3 becomes importable — the late-injection scenario the injectable
+    h3_module() exists for."""
+    from knot_another_pipeline_spark.functions import geo
+
+    assert geo.HAS_H3 is True
+
+
+def test_has_h3_false_when_module_missing(monkeypatch):
+    from knot_another_pipeline_spark.functions import geo
+
+    monkeypatch.setattr(geo, "h3_module", lambda: None)
+    assert geo.HAS_H3 is False
+    with pytest.raises(AttributeError):
+        geo.NO_SUCH_ATTR
+
+
 def test_fallback_warns_and_strict_raises(monkeypatch):
     """Without h3-py: one RuntimeWarning on fallback; strict=True raises."""
     from knot_another_pipeline_spark.functions import geo

@@ -181,6 +181,93 @@ def test_streaming_co_location_pairs(spark, tmp_path):
     assert got == {("A", "B", 0, "c0"), ("A", "C", 1, "c5")}
 
 
+def test_streaming_log_scores_like_batch_pairs(spark, tmp_path):
+    """Downstream batch scoring over the epoch-partitioned streaming log
+    (via read_co_location_log, which drops the sink-artifact epoch
+    column) equals the non-streaming co_movement_pairs result on the
+    same finalized windows — the streaming→batch handoff is loss-free."""
+    from knot_another_pipeline_spark.operators.pairs import (
+        co_movement_pairs,
+        score_co_located,
+    )
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        read_co_location_log,
+        streaming_co_location,
+    )
+
+    src = tmp_path / "parity_in"
+    df = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 00:10:00", 10.0),
+            ("A", "2025-01-01 00:30:00", 30.0),  # avg 20 -> c0
+            ("B", "2025-01-01 00:40:00", 20.0),  # c0
+            ("C", "2025-01-01 00:20:00", 120.0),  # c2
+            ("A", "2025-01-01 01:15:00", 260.0),  # c5
+            ("C", "2025-01-01 01:45:00", 270.0),  # c5
+            ("Z", "2025-01-03 00:00:00", 0.0),  # watermark sentinel
+        ],
+        "uid string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src))
+
+    out = str(tmp_path / "parity_out")
+    ckpt = str(tmp_path / "parity_ckpt")
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = streaming_co_location(
+        stream,
+        uid_col="uid",
+        ts_col="ts",
+        value_col="v",
+        output_path=out,
+        checkpoint_path=ckpt,
+        watermark="2 hours",
+    )
+    q.awaitTermination(180)
+
+    log = read_co_location_log(spark, out)
+    # schema parity: exactly the batch self-join's columns, no epoch
+    assert set(log.columns) == {"uid_a", "uid_b", "window_ts", "cell"}
+
+    # batch rollup over the finalized (watermark-passed) events, built the
+    # same way the stream builds it (hour trunc + avg-value cell)
+    finalized = df.filter(F.col("uid") != "Z")
+    roll = (
+        finalized.groupBy(
+            "uid", F.date_trunc("hour", "ts").alias("window_ts")
+        )
+        .agg(F.avg("v").alias("avg_v"))
+        .withColumn(
+            "cell",
+            F.concat(
+                F.lit("c"),
+                F.floor(F.col("avg_v") / 50.0).cast("bigint").cast("string"),
+            ),
+        )
+        .select("uid", "window_ts", "cell")
+    )
+    batch_pairs = co_movement_pairs(roll, min_shared_cells=0)
+
+    base = roll.select(
+        "uid",
+        F.to_date("window_ts").alias("day_date"),
+        F.col("window_ts").alias("w"),
+        "cell",
+    )
+    streamed = score_co_located(
+        log.select(
+            "uid_a", "uid_b", F.to_date("window_ts").alias("day_date"), "cell"
+        ),
+        base,
+        min_shared_cells=0,
+    )
+
+    def canon(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert canon(streamed) == canon(batch_pairs)
+    assert len(canon(streamed)) == 2  # (A,B) day1 + (A,C) day1
+
+
 def test_co_location_sink_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-running the same epoch must not
     duplicate pair rows. The sink writes each epoch as a dynamic-overwrite
