@@ -740,6 +740,87 @@ FROM ranked WHERE rn = 1
 )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per document: duplicate-line fraction +
+    most-frequent word-2-gram fraction — zero-shuffle expression folds
+    (operators.text_analysis.repetition_stats)."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_REPETITION_STATS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+b AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x != '') AS lines,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM toks),
+gr AS (SELECT doc_id, unnest(g) AS gram FROM b),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+topc AS (SELECT doc_id, max(c) AS top_c FROM gc GROUP BY 1)
+SELECT b.doc_id AS id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       round(CASE WHEN len(lines) > 0
+                  THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                  ELSE 0.0 END, 4) AS dup_line_frac,
+       CAST(len(g) AS BIGINT) AS n_2grams,
+       CAST(coalesce(top_c, 0) AS BIGINT) AS top_2gram_cnt,
+       round(CASE WHEN len(g) > 0
+                  THEN CAST(coalesce(top_c, 0) AS DOUBLE) / len(g)
+                  ELSE 0.0 END, 4) AS top_2gram_frac
+FROM b LEFT JOIN topc USING (doc_id)
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop verdict with failed-rule reasons
+    (min_tokens tuned to the synthetic corpus's 10-99 token range so the
+    fixture exercises both verdicts)."""
+    from knot_another_pipeline_spark.operators.text_analysis import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(
+        docs, id_col="doc_id", text_col="text", lang="en", min_tokens=20
+    )
+
+
+ORACLE_QUALITY_FILTER = rf"""
+WITH toks AS ({_TOKS_SQL}),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nospace
+  FROM toks),
+f AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens > 0 THEN CAST(n_nospace AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+         round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+         round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stop_ratio
+  FROM m),
+v AS (
+  SELECT doc_id, n_tokens,
+         concat_ws(',',
+           CASE WHEN n_tokens < 20 THEN 'too_few_tokens' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'avg_token_len_out_of_range' END,
+           CASE WHEN punct_ratio > 0.2 THEN 'punct_ratio_high' END,
+           CASE WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low' END) AS reasons
+  FROM f)
+SELECT doc_id AS id, n_tokens, reasons = '' AS keep, reasons
+FROM v
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-content fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1083,6 +1164,44 @@ SELECT id_a, id_b,
        round(list_dot_product(x.v, y.v) / (x.nn * y.nn), 6) AS cos_sim
 FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
 WHERE list_dot_product(x.v, y.v) / (x.nn * y.nn) >= 0.35
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicates: cluster embeddings around 16
+    deterministic centroids, pairwise cosine >= 0.4 within clusters only
+    (operators.dedup.semantic_dedup_pairs — never all-pairs)."""
+    from knot_another_pipeline_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", num_clusters=16,
+        threshold=0.4,
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+cents AS (SELECT vec_id AS cent_id, v AS centv, nn AS centn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+assigned AS (
+  SELECT vec_id, v, nn, cell FROM (
+    SELECT n.vec_id, n.v, n.nn, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.centv) / (n.nn * c.centn) DESC,
+                      c.cent_id ASC) AS rn
+    FROM n CROSS JOIN cents c) WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS BIGINT) AS cell,
+       round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS cos_sim
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.4
 """
 
 
@@ -1491,6 +1610,8 @@ QUERIES = {
     # text + dedup
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "repetition_stats": q_repetition_stats,
+    "quality_filter": q_quality_filter,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -1501,6 +1622,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
     "embedding_dedup": q_embedding_dedup,
+    "semantic_dedup": q_semantic_dedup,
     # similarity
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
@@ -1537,6 +1659,8 @@ ORACLES = {
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "text_stats": ORACLE_TEXT_STATS,
     "lang_id": ORACLE_LANG_ID,
+    "repetition_stats": ORACLE_REPETITION_STATS,
+    "quality_filter": ORACLE_QUALITY_FILTER,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
@@ -1547,6 +1671,7 @@ ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "ann_lsh": ORACLE_ANN_LSH,
     "ivf_ann": ORACLE_IVF_ANN,

@@ -387,3 +387,54 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cos_sim")
         .distinct()
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then pairwise cosine
+    *within clusters only* — never all-pairs.
+
+    Clustering reuses the fixed-size md5-ranked centroid selection and
+    aggregate-argmax cell assignment from ``similarity`` (deterministic →
+    mirrorable in the DuckDB oracle; a production run swaps in k-means
+    centroids of the same shape). The within-cluster self-join is an
+    equi-join on the cell id, so the quadratic term is bounded by cluster
+    size: with C clusters over N vectors the expected per-cluster pair
+    count is ``(N/C)²/2`` — the scale dial is C (SemDeDup used 50k
+    clusters for LAION-440M; C ≈ N/10⁴ keeps per-cluster work < 10⁸).
+    Output: id_a, id_b (id_a < id_b, same cluster), cell, cos_sim.
+    """
+    from knot_another_pipeline_spark.operators.similarity import (
+        assign_cells,
+        deterministic_centroids,
+        dot,
+    )
+
+    cents = deterministic_centroids(
+        df, id_col=id_col, vec_col=vec_col, num_centroids=num_clusters
+    )
+    assigned = assign_cells(df, cents, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cell", "cos_sim")
+    )

@@ -189,6 +189,76 @@ def lsh_bucket_topk(
     )
 
 
+def deterministic_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 64,
+) -> DataFrame:
+    """Fixed-size deterministic centroid set: the ``num_centroids`` corpus
+    vectors ranking lowest by ``md5(id)`` — a hash-sample reproducible in
+    the differential oracle, no training step, size independent of corpus
+    size so the broadcast stays bounded at any scale. Spark executes the
+    orderBy+limit as a per-partition top-C reduce (TakeOrdered), one
+    corpus pass. A production deployment swaps in k-means-trained
+    centroids of the same (cent_id, centv, centn) shape."""
+    return (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("centv"),
+            l2_norm(F.col(vec_col)).alias("centn"),
+        )
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    cents: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Voronoi cell assignment: each corpus vector → its max-cosine
+    centroid (ties toward the lowest cent_id).
+
+    The broadcast cross product is reduced by an *aggregate* argmax
+    (``max`` over ``struct(cos, -cent_id)``) — partial aggregation
+    collapses the C-per-row expansion map-side, so the one shuffle
+    carries a single row per corpus vector (a window/row_number
+    formulation would shuffle and sort all C× rows).
+    Output: id, v, n (precomputed norm), cell.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
+    )
+    # -cent_id makes struct-max break ties toward the lowest centroid id,
+    # matching the oracle's row_number ordering exactly.
+    return (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_cos",
+            dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn")),
+        )
+        .groupBy("id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("n").alias("n"),
+            F.max(
+                F.struct(
+                    F.col("cent_cos").alias("cos"),
+                    (-F.col("cent_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select("id", "v", "n", (-F.col("best.neg_id")).alias("cell"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -223,40 +293,14 @@ def ivf_topk(
     cosine re-ranks within the probed cells (recall < 1 by design).
     Output: query_id, neighbor_id, cos_sim, rank.
     """
-    cents = (
-        corpus.orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(num_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("centv"),
-            l2_norm(F.col(vec_col)).alias("centn"),
-        )
+    cents = deterministic_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
-    )
-    # argmax by (cos desc, cent_id asc) — -cent_id makes struct-max break
-    # ties toward the lowest centroid id, matching the oracle's
-    # row_number ordering exactly.
     assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("cent_cos", dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn")))
-        .groupBy("neighbor_id")
-        .agg(
-            F.first("cv").alias("cv"),
-            F.first("cn").alias("cn"),
-            F.max(
-                F.struct(
-                    F.col("cent_cos").alias("cos"),
-                    (-F.col("cent_id")).alias("neg_id"),
-                )
-            ).alias("best"),
-        )
-        .select(
-            "neighbor_id", "cv", "cn", (-F.col("best.neg_id")).alias("cell")
-        )
+        assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+        .withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("v", "cv")
+        .withColumnRenamed("n", "cn")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

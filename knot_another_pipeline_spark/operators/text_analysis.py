@@ -80,6 +80,112 @@ def quality_features(
     )
 
 
+def repetition_stats(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1): duplicate
+    -line fraction and most-frequent-word-2-gram fraction per document.
+
+    Everything is in-row array/fold expressions — **zero shuffles**: the
+    top-2-gram count comes from a run-length fold over the *sorted* gram
+    array instead of an explode → groupBy → window chain, so at 100 TB
+    this is a pure map stage inside whole-stage codegen.
+    Output: id, n_lines, dup_line_frac, n_2grams, top_2gram_cnt,
+    top_2gram_frac.
+    """
+    text = F.col(text_col)
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> x != '')"
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        _tokens(text).alias("t"),
+    )
+    grams = F.when(
+        F.size(F.col("t")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = base.withColumn("g", F.sort_array(grams))
+    # run-length fold: equal grams are adjacent after the sort, so the
+    # longest run IS the max frequency
+    top_cnt = F.expr(
+        "aggregate(g,"
+        " named_struct('prev', CAST('' AS STRING), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x = acc.prev, acc.run + 1, 1L),"
+        "   'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1L))),"
+        " acc -> acc.best)"
+    )
+    n_2grams = F.size(F.col("g"))
+    return with_grams.select(
+        "id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        "dup_line_frac",
+        n_2grams.cast("bigint").alias("n_2grams"),
+        top_cnt.cast("bigint").alias("top_2gram_cnt"),
+        F.round(
+            F.when(
+                n_2grams > 0, top_cnt.cast("double") / n_2grams
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_2gram_frac"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang: str = "en",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 10.0,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.02,
+) -> DataFrame:
+    """C4/Gopher-style document filter verdict (Raffel et al. 2020 §2.2;
+    Rae et al. 2021 §A1.1): apply the classic rule thresholds to
+    :func:`quality_features` metrics and emit keep/drop plus the failed
+    rules as a deterministic comma-joined reason string (stable column
+    shape for any engine — no array-encoding drift in differential
+    comparison). Defaults are the published Gopher numbers; callers tune
+    per corpus. Output: id, n_tokens, keep, reasons.
+    """
+    feats = quality_features(df, id_col=id_col, text_col=text_col, lang=lang)
+    rules = [
+        (F.col("n_tokens") < min_tokens, "too_few_tokens"),
+        (F.col("n_tokens") > max_tokens, "too_many_tokens"),
+        (
+            (F.col("avg_token_len") < min_avg_token_len)
+            | (F.col("avg_token_len") > max_avg_token_len),
+            "avg_token_len_out_of_range",
+        ),
+        (F.col("punct_ratio") > max_punct_ratio, "punct_ratio_high"),
+        (F.col("stopword_ratio") < min_stopword_ratio, "stopword_ratio_low"),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for cond, name in rules]
+    )
+    return feats.select(
+        "id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def language_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit fraction of tokens."""
     c = F.col(text) if isinstance(text, str) else text

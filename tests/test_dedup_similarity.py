@@ -348,3 +348,77 @@ def test_ivf_topk_recall_against_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall} too low"
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    """SemDeDup: pairs only form inside a cluster; identical vectors in
+    the same cluster always pair; the candidate space is the per-cluster
+    quadratic, never the global one."""
+    from knot_another_pipeline_spark.operators.dedup import semantic_dedup_pairs
+    from knot_another_pipeline_spark.operators.similarity import (
+        assign_cells,
+        deterministic_centroids,
+    )
+
+    # three well-separated directions, four copies each
+    emb = spark.createDataFrame(
+        [(i, [1.0 * (i % 3 == 0), 1.0 * (i % 3 == 1), 1.0 * (i % 3 == 2), 0.1])
+         for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = semantic_dedup_pairs(emb, num_clusters=3, threshold=0.99).collect()
+    cents = deterministic_centroids(emb, num_centroids=3)
+    cells = {
+        r["id"]: r["cell"] for r in assign_cells(emb, cents).collect()
+    }
+    assert pairs, "identical-direction vectors must pair"
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert cells[r["id_a"]] == cells[r["id_b"]] == r["cell"]
+        assert r["id_a"] % 3 == r["id_b"] % 3  # same direction group
+        assert r["cos_sim"] >= 0.99
+
+
+def test_repetition_stats_multiline(spark):
+    """Gopher repetition metrics on a multi-line, repeated-gram doc (the
+    synthetic corpus is single-line, so the line signal is pinned here)."""
+    from knot_another_pipeline_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),  # 3 x 'spam spam' of 3 2-grams
+         (2, "a\nb\na\nb\nc"),        # 5 lines, 2 dups
+         (3, "one token"),            # 1 2-gram
+         (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in repetition_stats(df, id_col="doc_id", text_col="text").collect()}
+    assert got[1]["n_2grams"] == 3 and got[1]["top_2gram_cnt"] == 3
+    assert got[1]["top_2gram_frac"] == 1.0
+    assert got[2]["n_lines"] == 5 and got[2]["dup_line_frac"] == 0.4
+    assert got[3]["n_2grams"] == 1 and got[3]["top_2gram_frac"] == 1.0
+    assert got[4]["n_2grams"] == 0 and got[4]["top_2gram_frac"] == 0.0
+
+
+def test_quality_filter_reasons(spark):
+    """C4/Gopher verdict: rule order is deterministic, keep means no
+    failed rule."""
+    from knot_another_pipeline_spark.operators.text_analysis import quality_filter
+
+    good = "the cat and the dog ran to the house of our kind friends " * 5
+    df = spark.createDataFrame(
+        [(1, good), (2, "tiny doc"), (3, "!!! ??? ... ;;; " * 40)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in quality_filter(
+            df, id_col="doc_id", text_col="text", min_tokens=20
+        ).collect()
+    }
+    assert got[1]["keep"] and got[1]["reasons"] == ""
+    assert not got[2]["keep"]
+    assert "too_few_tokens" in got[2]["reasons"]
+    assert not got[3]["keep"]
+    assert "punct_ratio_high" in got[3]["reasons"]
+    # reasons join in fixed rule order
+    assert got[2]["reasons"].index("too_few_tokens") == 0
