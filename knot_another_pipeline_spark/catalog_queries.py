@@ -824,6 +824,84 @@ FROM v
 """
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused training-data preparation pipeline: quality-filter →
+    exact-dedup (keep the min-id representative among survivors) →
+    per-doc token counts for the kept set.
+
+    Composition order is the scale decision: the cheap codegen quality
+    verdict prunes FIRST (left-semi join, no row widening), so the
+    fingerprint groupBy — the pipeline's only shuffle — moves survivors
+    only. Output: id, fingerprint, group_size, n_tokens.
+    """
+    from knot_another_pipeline_spark.operators.dedup import exact_dedup
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        quality_filter,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    verdict = quality_filter(
+        docs, id_col="doc_id", text_col="text", lang="en", min_tokens=20
+    )
+    kept = docs.join(
+        verdict.filter(F.col("keep")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    reps = exact_dedup(kept, id_col="doc_id", text_col="text").filter(
+        F.col("representative")
+    )
+    toks = kept.select(
+        F.col("doc_id").alias("id"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return reps.join(toks, "id").select(
+        "id", "fingerprint",
+        F.col("group_size").cast("bigint").alias("group_size"),
+        "n_tokens",
+    )
+
+
+ORACLE_CORPUS_PREP = rf"""
+WITH toks AS ({_TOKS_SQL}),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nospace
+  FROM toks),
+f AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens > 0 THEN CAST(n_nospace AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+         round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+         round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stop_ratio
+  FROM m),
+v AS (
+  SELECT doc_id, n_tokens,
+         concat_ws(',',
+           CASE WHEN n_tokens < 20 THEN 'too_few_tokens' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'avg_token_len_out_of_range' END,
+           CASE WHEN punct_ratio > 0.2 THEN 'punct_ratio_high' END,
+           CASE WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low' END) AS reasons
+  FROM f),
+kept AS (SELECT doc_id, n_tokens FROM v WHERE reasons = ''),
+fp AS (
+  SELECT k.doc_id AS id, k.n_tokens,
+         md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^\p{{L}}\p{{N}}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+  FROM kept k JOIN documents d ON d.doc_id = k.doc_id),
+g AS (SELECT fingerprint, count(*) AS group_size, min(id) AS keep_id
+      FROM fp GROUP BY 1)
+SELECT fp.id, fp.fingerprint, CAST(g.group_size AS BIGINT) AS group_size,
+       fp.n_tokens
+FROM fp JOIN g USING (fingerprint)
+WHERE fp.id = g.keep_id
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-content fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1615,6 +1693,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "repetition_stats": q_repetition_stats,
     "quality_filter": q_quality_filter,
+    "corpus_prep": q_corpus_prep,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -1664,6 +1743,7 @@ ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "quality_filter": ORACLE_QUALITY_FILTER,
+    "corpus_prep": ORACLE_CORPUS_PREP,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,

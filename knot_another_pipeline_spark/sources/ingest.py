@@ -150,6 +150,43 @@ def to_silver(
     )
 
 
+def read_jsonl(spark: SparkSession, path: str, *, schema=None) -> DataFrame:
+    """JSON-lines ingest — the de-facto training-corpus interchange
+    format. Spark's native json source splits files on newlines, so
+    parallelism is per input split exactly like the CSV path (S8). Pass
+    an explicit ``schema`` at scale: schema inference is a full extra
+    pass over the data (the same reason the reference pins dtypes on its
+    CSV reads, ``ais_pipeline.py:459``)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def to_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    source: str | None = None,
+) -> DataFrame:
+    """Normalize an arbitrary document batch to the ``documents`` table
+    contract (doc_id BIGINT, text, lang, source, n_chars) — the document
+    analog of :func:`to_silver`. Null/blank texts are kept (filtering is
+    the quality operators' job, not ingest's)."""
+    text = F.col(text_col).cast("string")
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        text.alias("text"),
+        (
+            F.col(lang_col).cast("string") if lang_col else F.lit(None).cast("string")
+        ).alias("lang"),
+        F.lit(source).cast("string").alias("source"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    )
+
+
 def read_silver(spark: SparkSession, root: str) -> DataFrame:
     """Silver read-back with schema-drift merge.
 

@@ -354,3 +354,70 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     assert a["n_events"] == 3
     assert a["session_start"].minute == 0 and a["session_end"].minute == 20
     assert by_uid["B"]["n_events"] == 1
+
+
+def test_streaming_dedup_keeps_first_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate (uid, ts) events collapse
+    to the first-seen row; distinct keys all survive."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import streaming_dedup
+
+    src = tmp_path / "dedup_in"
+    df = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 00:10:00", 1.0),
+            ("A", "2025-01-01 00:10:00", 2.0),  # replay duplicate
+            ("A", "2025-01-01 00:20:00", 3.0),
+            ("B", "2025-01-01 00:10:00", 4.0),
+            ("B", "2025-01-01 00:10:00", 5.0),  # replay duplicate
+        ],
+        "uid string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    deduped = streaming_dedup(stream, key_cols=["uid", "ts"], ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT uid, ts, v FROM dedup_test").collect()
+    keys = [(r["uid"], r["ts"].minute) for r in rows]
+    assert sorted(keys) == [("A", 10), ("A", 20), ("B", 10)]
+
+
+def test_jsonl_to_documents_contract(spark, tmp_path):
+    """JSONL corpus ingest normalizes to the documents-table contract;
+    blank text is kept (filtering belongs to the quality operators)."""
+    from knot_another_pipeline_spark.sources.ingest import read_jsonl, to_documents
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "hello world", "language": "en"}\n'
+        '{"id": 2, "text": "", "language": "fr"}\n'
+    )
+    docs = to_documents(
+        read_jsonl(spark, str(p)),
+        id_col="id", text_col="text", lang_col="language", source="unit",
+    )
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert got[1]["text"] == "hello world" and got[1]["n_chars"] == 11
+    assert got[1]["lang"] == "en" and got[1]["source"] == "unit"
+    assert got[2]["n_chars"] == 0
+
+    # explicit schema skips the inference pass (the at-scale path)
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType()),
+         StructField("language", StringType())]
+    )
+    docs2 = to_documents(
+        read_jsonl(spark, str(p), schema=schema),
+        id_col="id", text_col="text", lang_col="language",
+    )
+    assert docs2.count() == 2 and docs2.collect()[0]["source"] is None
