@@ -824,6 +824,112 @@ FROM v
 """
 
 
+def _stable_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB mirror of ``functions.hashing.stable_bucket`` for an
+    arbitrary SQL expression (sha256 first-64-bits mod n, via HUGEINT)."""
+    h = f"sha256(CAST({expr} AS VARCHAR))"
+    return (
+        f"CAST((CAST(CAST(concat('0x', substr({h}, 1, 8)) AS BIGINT) AS HUGEINT)"
+        f" * 4294967296 + CAST(concat('0x', substr({h}, 9, 8)) AS BIGINT))"
+        f" % {n} AS BIGINT)"
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample keyed on the stable sha256 bucket —
+    map-side filter, reproducible at any scale and across reruns
+    (operators.sampling.hash_sample)."""
+    from knot_another_pipeline_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, id_col="doc_id", percent=10).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE {_stable_bucket_sql('doc_id', 100)} < 10
+"""
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/5/5 train/val/test assignment by stable bucket
+    ranges — rows never migrate between splits across reruns or appends
+    (operators.sampling.split_by_hash)."""
+    from knot_another_pipeline_spark.operators.sampling import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_by_hash(
+        docs, id_col="doc_id", weights={"train": 90, "val": 5, "test": 5}
+    )
+    return out.select("doc_id", "split")
+
+
+ORACLE_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN {_stable_bucket_sql('doc_id', 100)} < 90 THEN 'train'
+            WHEN {_stable_bucket_sql('doc_id', 100)} < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered selection up to a 10k-token budget via the
+    distributed prefix-sum (per-score totals → tiny offset window →
+    partitioned within-score cumsum; no global single-partition window —
+    operators.sampling.token_budget_select)."""
+    from knot_another_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs, id_col="doc_id", text_col="text", lang="en")
+    return token_budget_select(
+        feats,
+        id_col="id",
+        score_col="quality_score",
+        token_col="n_tokens",
+        budget=10_000,
+    )
+
+
+ORACLE_TOKEN_BUDGET = rf"""
+WITH toks AS ({_TOKS_SQL}),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct
+  FROM toks),
+r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
+  FROM m),
+q AS (
+  SELECT doc_id AS id,
+         round(least(n_tokens / 100.0, 1.0) * 0.4
+               + least(stop_ratio * 5.0, 1.0) * 0.3
+               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3, 4) AS score,
+         n_tokens
+  FROM r),
+c AS (
+  SELECT id, score, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY score DESC, id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM q)
+SELECT id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused training-data preparation pipeline: quality-filter →
     exact-dedup (keep the min-id representative among survivors) →
@@ -1694,6 +1800,9 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "quality_filter": q_quality_filter,
     "corpus_prep": q_corpus_prep,
+    "hash_sample": q_hash_sample,
+    "split_assign": q_split_assign,
+    "token_budget": q_token_budget,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -1744,6 +1853,9 @@ ORACLES = {
     "repetition_stats": ORACLE_REPETITION_STATS,
     "quality_filter": ORACLE_QUALITY_FILTER,
     "corpus_prep": ORACLE_CORPUS_PREP,
+    "hash_sample": ORACLE_HASH_SAMPLE,
+    "split_assign": ORACLE_SPLIT_ASSIGN,
+    "token_budget": ORACLE_TOKEN_BUDGET,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,

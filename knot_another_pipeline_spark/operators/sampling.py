@@ -1,0 +1,103 @@
+"""Deterministic sampling, splitting, and budgeted selection.
+
+Training pipelines need *reproducible* subsets — a rerun must pick the
+same rows (`df.sample()` cannot promise that across partitionings, and a
+random split leaks between train and test on re-ingest). Everything here
+keys on the stable sha256 bucket (`functions.hashing.stable_bucket`, the
+same primitive the reference uses for its silver `bucket_id`,
+``/root/reference/pipelines/ais_pipeline.py:517-518``), so membership is
+a pure function of the row id: deterministic, engine-portable (the DuckDB
+oracle reproduces it), and stable under repartitioning, retries, and
+incremental appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from knot_another_pipeline_spark.functions.hashing import stable_bucket
+
+
+def hash_sample(
+    df: DataFrame, *, id_col: str, percent: int, buckets: int = 100
+) -> DataFrame:
+    """Deterministic ``percent``% sample: keep rows whose stable bucket
+    falls below the cutoff. A pure map-side filter — no shuffle, no RNG
+    state — so the same ids are sampled at any scale and on reruns."""
+    if not 0 <= percent <= buckets:
+        raise ValueError(f"percent must be in [0, {buckets}]")
+    return df.filter(
+        stable_bucket(F.col(id_col).cast("string"), buckets) < F.lit(percent)
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weights: dict[str, int],
+    buckets: int = 100,
+) -> DataFrame:
+    """Reproducible train/val/test assignment: bucket ranges in the given
+    order (e.g. ``{"train": 90, "val": 5, "test": 5}`` → buckets 0-89,
+    90-94, 95-99). Adds a ``split`` column; rows never migrate between
+    splits across reruns or appends — the leakage guarantee random
+    splitting can't give an incremental pipeline."""
+    if sum(weights.values()) != buckets:
+        raise ValueError(f"weights must sum to {buckets}: {weights}")
+    b = stable_bucket(F.col(id_col).cast("string"), buckets)
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for name, w in weights.items():
+        expr = F.when((b >= lo) & (b < lo + w), F.lit(name)).otherwise(expr)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def token_budget_select(
+    df: DataFrame,
+    *,
+    id_col: str,
+    score_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy quality-ordered selection up to a token budget: take
+    documents in (score DESC, id ASC) order while the running token sum
+    stays within ``budget`` — the standard data-mixing step when a
+    training run buys the best N tokens, not the best N documents.
+
+    Scale shape — a naive ``sum() OVER (ORDER BY score)`` is a
+    single-partition global window. Instead this runs the classic
+    distributed prefix-sum: (1) per-score token totals (tiny: bounded by
+    distinct score values), (2) an exclusive running offset over that
+    tiny table (the only single-partition window, ≤ a few thousand rows),
+    (3) offsets broadcast-joined back, and the within-score cumulative
+    sum windows partition BY score — so no stage ever funnels the corpus
+    through one task.
+    Output: id, score, n_tokens, cum_tokens (rows with cum_tokens ≤
+    budget).
+    """
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+    )
+    totals = s.groupBy("score").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    # exclusive prefix over the per-score totals (higher scores first)
+    w_off = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0))
+    ).select("score", "offset")
+    w_in = Window.partitionBy("score").orderBy(F.col("id").asc())
+    return (
+        s.join(F.broadcast(offsets), "score")
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_in)
+        )
+        .filter(F.col("cum_tokens") <= F.lit(budget))
+        .select("id", "score", "n_tokens", "cum_tokens")
+    )

@@ -422,3 +422,58 @@ def test_quality_filter_reasons(spark):
     assert "punct_ratio_high" in got[3]["reasons"]
     # reasons join in fixed rule order
     assert got[2]["reasons"].index("too_few_tokens") == 0
+
+
+def test_hash_sample_and_split_deterministic(spark):
+    """Sampling/splitting are pure functions of the id: stable across
+    reruns, splits partition the corpus, bad weights rejected."""
+    from knot_another_pipeline_spark.operators.sampling import (
+        hash_sample,
+        split_by_hash,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(df, id_col="doc_id", percent=10).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, id_col="doc_id", percent=10).collect()}
+    assert s1 == s2 and 0 < len(s1) < 1000
+    # a 20% sample is a superset of the 10% sample (bucket-prefix property)
+    s20 = {r["doc_id"] for r in hash_sample(df, id_col="doc_id", percent=20).collect()}
+    assert s1 <= s20
+
+    splits = split_by_hash(
+        df, id_col="doc_id", weights={"train": 90, "val": 5, "test": 5}
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in splits.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"]
+
+    with pytest.raises(ValueError):
+        split_by_hash(df, id_col="doc_id", weights={"train": 50})
+    with pytest.raises(ValueError):
+        hash_sample(df, id_col="doc_id", percent=101)
+
+
+def test_token_budget_select_greedy_order(spark):
+    """Budgeted selection takes the best-scored docs first and stops at
+    the budget; the distributed prefix-sum equals the naive global
+    cumulative sum."""
+    from knot_another_pipeline_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 40), (2, 0.9, 40), (3, 0.5, 40), (4, 0.2, 40)],
+        "id long, score double, toks long",
+    )
+    out = token_budget_select(
+        df, id_col="id", score_col="score", token_col="toks", budget=100
+    ).collect()
+    got = {r["id"]: r["cum_tokens"] for r in out}
+    # ids 1,2 (score .9, id order) then 3; 4 would exceed 100
+    assert got == {1: 40, 2: 80}
+    out2 = token_budget_select(
+        df, id_col="id", score_col="score", token_col="toks", budget=120
+    ).collect()
+    assert {r["id"] for r in out2} == {1, 2, 3}
