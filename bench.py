@@ -29,6 +29,10 @@ HEADLINE = [
     "knn_bruteforce",
     "text_stats",
     "media_meta",
+    # r3 additions: training-data extension families
+    "semantic_dedup",
+    "corpus_prep",
+    "token_budget",
 ]
 
 
