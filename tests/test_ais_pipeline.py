@@ -303,6 +303,39 @@ def test_refresh_append_totals_cover_full_history(spark, tmp_path):
     assert in_memory[("A", "B")]["total_days_observed"] == 2
 
 
+def test_refresh_replace_fewer_days_totals_cover_full_history(spark, tmp_path):
+    """ADVICE r2: 'replace' uses dynamic partition overwrite, which keeps
+    on-disk day partitions absent from this run's input — so a replace
+    run covering fewer days than the table holds must STILL rebuild
+    pairs_total from the whole materialized pairs_daily."""
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.plans.gold_refresh import refresh_gold
+
+    gold = str(tmp_path / "gold")
+    both = _mini_silver(spark, "2025-01-01").union(
+        _mini_silver(spark, "2025-01-02")
+    )
+    refresh_gold(spark, both, output_root=gold, mode="replace", run_checks=False)
+    # replace run with only day-2 input: overwrites day-2 partitions,
+    # day-1 partitions stay on disk
+    refresh_gold(
+        spark, _mini_silver(spark, "2025-01-02"),
+        output_root=gold, mode="replace", run_checks=False,
+    )
+    days_on_disk = {
+        str(r["day_date"])
+        for r in spark.read.parquet(f"{gold}/pairs_daily")
+        .select("day_date").distinct().collect()
+    }
+    assert days_on_disk == {"2025-01-01", "2025-01-02"}
+    totals = {
+        (r["uid_a"], r["uid_b"]): r
+        for r in spark.read.parquet(f"{gold}/pairs_total").collect()
+    }
+    assert totals[("A", "B")]["total_days_observed"] == 2
+
+
 def test_backfill_track_ids(spark):
     """P20: missing ids (null or pandas' stringified nan/None/NaT) get
     unique track_ placeholders; real ids pass through untouched."""
