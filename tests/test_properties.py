@@ -178,3 +178,78 @@ def test_winnow_fingerprint_coverage(spark, texts):
             assert by_id[i] <= gram_hashes
         else:
             assert i not in by_id
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats' sorted-array run-length fold ≡ naive Counter max
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_repetition_fold_matches_counter(spark, docs):
+    from collections import Counter
+
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_2grams"], r["top_2gram_cnt"])
+        for r in repetition_stats(df, id_col="doc_id", text_col="text").collect()
+    }
+    for i, toks in enumerate(docs):
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max(Counter(grams).values()) if grams else 0
+        assert got[i] == (len(grams), top), (i, toks)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select's distributed prefix-sum ≡ naive global cumsum
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False).map(
+                lambda x: round(x, 2)
+            ),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=500),
+)
+def test_token_budget_matches_naive_cumsum(spark, rows, budget):
+    from knot_another_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    data = [(i, score, toks) for i, (score, toks) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, score double, toks long")
+    got = {
+        r["id"]: r["cum_tokens"]
+        for r in token_budget_select(
+            df, id_col="id", score_col="score", token_col="toks", budget=budget
+        ).collect()
+    }
+    expected = {}
+    cum = 0
+    for i, score, toks in sorted(data, key=lambda t: (-t[1], t[0])):
+        cum += toks
+        if cum <= budget:
+            expected[i] = cum
+    assert got == expected
