@@ -930,6 +930,65 @@ SELECT id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
 """
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain data mixing: an independent greedy 1000-token budget
+    per source, quality-ordered (operators.sampling.token_budget_by_group
+    — the prefix-sum partitions by (source, score), so no group funnels
+    through one task)."""
+    from knot_another_pipeline_spark.operators.sampling import (
+        token_budget_by_group,
+    )
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(
+        docs, id_col="doc_id", text_col="text", lang="en"
+    ).join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+    return token_budget_by_group(
+        feats,
+        group_col="source",
+        id_col="id",
+        score_col="quality_score",
+        token_col="n_tokens",
+        budget_per_group=1_000,
+    )
+
+
+ORACLE_DOMAIN_MIX = rf"""
+WITH toks AS ({_TOKS_SQL}),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct
+  FROM toks),
+r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
+  FROM m),
+q AS (
+  SELECT d.source, r.doc_id AS id,
+         round(least(r.n_tokens / 100.0, 1.0) * 0.4
+               + least(r.stop_ratio * 5.0, 1.0) * 0.3
+               + (1.0 - least(r.punct_ratio * 4.0, 1.0)) * 0.3, 4) AS score,
+         r.n_tokens
+  FROM r JOIN documents d ON d.doc_id = r.doc_id),
+c AS (
+  SELECT source, id, score, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY score DESC, id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM q)
+SELECT source, id, score, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 1000
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused training-data preparation pipeline: quality-filter →
     exact-dedup (keep the min-id representative among survivors) →
@@ -1803,6 +1862,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "split_assign": q_split_assign,
     "token_budget": q_token_budget,
+    "domain_mix": q_domain_mix,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -1856,6 +1916,7 @@ ORACLES = {
     "hash_sample": ORACLE_HASH_SAMPLE,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "token_budget": ORACLE_TOKEN_BUDGET,
+    "domain_mix": ORACLE_DOMAIN_MIX,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,

@@ -101,3 +101,56 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= F.lit(budget))
         .select("id", "score", "n_tokens", "cum_tokens")
     )
+
+
+def token_budget_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    token_col: str,
+    budget_per_group: int,
+) -> DataFrame:
+    """Data mixing: an independent greedy token budget per group
+    (source/domain/language) — the standard recipe step "take the best N
+    tokens from each domain".
+
+    Same distributed prefix-sum as :func:`token_budget_select`, with the
+    group key prepended to every partitioning: per-(group, score) totals,
+    offset windows partitioned by group (rows per partition = that
+    group's distinct scores), within-(group, score) cumulative sums.
+    Nothing ever funnels a whole group's documents — let alone the corpus
+    — through one task.
+    Output: group, id, score, n_tokens, cum_tokens (rows within their
+    group's budget).
+    """
+    s = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+    )
+    totals = s.groupBy("grp", "score").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0))
+    ).select("grp", "score", "offset")
+    w_in = Window.partitionBy("grp", "score").orderBy(F.col("id").asc())
+    return (
+        s.join(F.broadcast(offsets), ["grp", "score"])
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_in)
+        )
+        .filter(F.col("cum_tokens") <= F.lit(budget_per_group))
+        .select(
+            F.col("grp").alias(group_col), "id", "score", "n_tokens",
+            "cum_tokens",
+        )
+    )

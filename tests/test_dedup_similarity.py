@@ -477,3 +477,27 @@ def test_token_budget_select_greedy_order(spark):
         df, id_col="id", score_col="score", token_col="toks", budget=120
     ).collect()
     assert {r["id"] for r in out2} == {1, 2, 3}
+
+
+def test_token_budget_by_group_independent_budgets(spark):
+    """Each group gets its own greedy budget; one group exhausting its
+    budget never affects another."""
+    from knot_another_pipeline_spark.operators.sampling import (
+        token_budget_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 0.9, 60), ("a", 2, 0.8, 60), ("a", 3, 0.7, 60),
+            ("b", 4, 0.1, 50), ("b", 5, 0.05, 40),
+        ],
+        "src string, id long, score double, toks long",
+    )
+    out = token_budget_by_group(
+        df, group_col="src", id_col="id", score_col="score",
+        token_col="toks", budget_per_group=100,
+    ).collect()
+    got = {(r["src"], r["id"]): r["cum_tokens"] for r in out}
+    # group a: best doc only (60; adding 2nd hits 120 > 100)
+    # group b: low scores but its own budget -> both fit (50, 90)
+    assert got == {("a", 1): 60, ("b", 4): 50, ("b", 5): 90}
