@@ -9,6 +9,7 @@ through its hourly-rollup + pair-join pipeline on Athena; `ais_hourly` +
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -65,6 +66,7 @@ def main() -> None:
     # ONCE here, untimed, and pairs_total times only the aggregate.
     # Timing the chain under both names double-bills the same work.
     pairs_stage = tempfile.mkdtemp(prefix="bench_pairs_daily_")
+    atexit.register(shutil.rmtree, pairs_stage, ignore_errors=True)
     stage_pairs_daily(spark, sf_dir, pairs_stage)
     bench_fns = dict(QUERIES)
     bench_fns["pairs_total"] = lambda s, _sf: q_pairs_total_from_table(
@@ -107,7 +109,6 @@ def main() -> None:
         )
     )
     spark.stop()
-    shutil.rmtree(pairs_stage, ignore_errors=True)
 
 
 if __name__ == "__main__":

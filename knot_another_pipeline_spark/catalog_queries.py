@@ -674,16 +674,39 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN_STOP_SQL = "['the','and','of','to','a','in','is','that','it','for']"
 
-ORACLE_TEXT_STATS = rf"""
-WITH toks AS ({_TOKS_SQL}),
-m AS (
+#: Shared per-doc metric CTE body (the DuckDB mirror of
+#: text_analysis.quality_features' raw counts) — single source for every
+#: quality-family oracle so query and oracle can't desynchronize.
+_QUAL_M_SQL = rf"""
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len(t) AS BIGINT) AS n_tokens,
          CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
          CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct,
          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nospace
-  FROM toks),
+  FROM toks"""
+
+#: Composite quality score over (n_tokens, stop_ratio, punct_ratio) —
+#: mirror of quality_features' score expression.
+_QUAL_SCORE_SQL = """round(least(n_tokens / 100.0, 1.0) * 0.4
+               + least(stop_ratio * 5.0, 1.0) * 0.3
+               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3, 4)"""
+
+
+def _reasons_sql(min_tokens: int) -> str:
+    """Failed-rule reason string over the *rounded* feature columns —
+    mirror of text_analysis.quality_filter's rule list and order."""
+    return f"""concat_ws(',',
+           CASE WHEN n_tokens < {min_tokens} THEN 'too_few_tokens' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'avg_token_len_out_of_range' END,
+           CASE WHEN punct_ratio > 0.2 THEN 'punct_ratio_high' END,
+           CASE WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low' END)"""
+
+
+ORACLE_TEXT_STATS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+m AS ({_QUAL_M_SQL}),
 r AS (
   SELECT doc_id, n_chars, n_tokens,
          CASE WHEN n_tokens > 0 THEN CAST(n_nospace AS DOUBLE) / n_tokens ELSE 0.0 END AS avg_token_len,
@@ -694,9 +717,7 @@ SELECT doc_id AS id, n_chars, n_tokens,
        round(avg_token_len, 4) AS avg_token_len,
        round(punct_ratio, 4) AS punct_ratio,
        round(stop_ratio, 4) AS stopword_ratio,
-       round(least(n_tokens / 100.0, 1.0) * 0.4
-             + least(stop_ratio * 5.0, 1.0) * 0.3
-             + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3, 4) AS quality_score
+       {_QUAL_SCORE_SQL} AS quality_score
 FROM r
 """
 
@@ -794,30 +815,22 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_QUALITY_FILTER = rf"""
-WITH toks AS ({_TOKS_SQL}),
-m AS (
-  SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(t) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
-         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct,
-         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nospace
-  FROM toks),
-f AS (
+#: Rounded-feature CTE (thresholds apply to the rounded values, exactly
+#: as quality_filter consumes quality_features' rounded outputs).
+_QUAL_F_SQL = """
   SELECT doc_id, n_tokens,
          round(CASE WHEN n_tokens > 0 THEN CAST(n_nospace AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
          round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
          round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stop_ratio
-  FROM m),
+  FROM m"""
+
+ORACLE_QUALITY_FILTER = f"""
+WITH toks AS ({_TOKS_SQL}),
+m AS ({_QUAL_M_SQL}),
+f AS ({_QUAL_F_SQL}),
 v AS (
   SELECT doc_id, n_tokens,
-         concat_ws(',',
-           CASE WHEN n_tokens < 20 THEN 'too_few_tokens' END,
-           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
-           CASE WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'avg_token_len_out_of_range' END,
-           CASE WHEN punct_ratio > 0.2 THEN 'punct_ratio_high' END,
-           CASE WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low' END) AS reasons
+         {_reasons_sql(20)} AS reasons
   FROM f)
 SELECT doc_id AS id, n_tokens, reasons = '' AS keep, reasons
 FROM v
@@ -901,13 +914,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_BUDGET = rf"""
 WITH toks AS ({_TOKS_SQL}),
-m AS (
-  SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(t) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
-         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct
-  FROM toks),
+m AS ({_QUAL_M_SQL}),
 r AS (
   SELECT doc_id, n_tokens,
          CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
@@ -915,9 +922,7 @@ r AS (
   FROM m),
 q AS (
   SELECT doc_id AS id,
-         round(least(n_tokens / 100.0, 1.0) * 0.4
-               + least(stop_ratio * 5.0, 1.0) * 0.3
-               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3, 4) AS score,
+         {_QUAL_SCORE_SQL} AS score,
          n_tokens
   FROM r),
 c AS (
@@ -958,25 +963,16 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOMAIN_MIX = rf"""
 WITH toks AS ({_TOKS_SQL}),
-m AS (
-  SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(t) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
-         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct
-  FROM toks),
+m AS ({_QUAL_M_SQL}),
 r AS (
   SELECT doc_id, n_tokens,
          CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
          CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
   FROM m),
 q AS (
-  SELECT d.source, r.doc_id AS id,
-         round(least(r.n_tokens / 100.0, 1.0) * 0.4
-               + least(r.stop_ratio * 5.0, 1.0) * 0.3
-               + (1.0 - least(r.punct_ratio * 4.0, 1.0)) * 0.3, 4) AS score,
-         r.n_tokens
-  FROM r JOIN documents d ON d.doc_id = r.doc_id),
+  SELECT d.source, qq.id, qq.score, qq.n_tokens
+  FROM (SELECT doc_id AS id, {_QUAL_SCORE_SQL} AS score, n_tokens FROM r) qq
+  JOIN documents d ON d.doc_id = qq.id),
 c AS (
   SELECT source, id, score, n_tokens,
          CAST(sum(n_tokens) OVER (
@@ -1002,26 +998,22 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knot_another_pipeline_spark.operators.dedup import exact_dedup
     from knot_another_pipeline_spark.operators.text_analysis import (
         quality_filter,
-        token_count,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     verdict = quality_filter(
         docs, id_col="doc_id", text_col="text", lang="en", min_tokens=20
     )
+    # the verdict already tokenized every doc — reuse its n_tokens rather
+    # than running the tokenizer a second time over the survivors
+    kept_tokens = verdict.filter(F.col("keep")).select("id", "n_tokens")
     kept = docs.join(
-        verdict.filter(F.col("keep")).select(F.col("id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
+        kept_tokens.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
     )
     reps = exact_dedup(kept, id_col="doc_id", text_col="text").filter(
         F.col("representative")
     )
-    toks = kept.select(
-        F.col("doc_id").alias("id"),
-        token_count("text").cast("bigint").alias("n_tokens"),
-    )
-    return reps.join(toks, "id").select(
+    return reps.join(kept_tokens, "id").select(
         "id", "fingerprint",
         F.col("group_size").cast("bigint").alias("group_size"),
         "n_tokens",
@@ -1030,28 +1022,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CORPUS_PREP = rf"""
 WITH toks AS ({_TOKS_SQL}),
-m AS (
-  SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(t) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS BIGINT) AS n_stop,
-         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT) AS n_punct,
-         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nospace
-  FROM toks),
-f AS (
-  SELECT doc_id, n_tokens,
-         round(CASE WHEN n_tokens > 0 THEN CAST(n_nospace AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
-         round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
-         round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stop_ratio
-  FROM m),
+m AS ({_QUAL_M_SQL}),
+f AS ({_QUAL_F_SQL}),
 v AS (
   SELECT doc_id, n_tokens,
-         concat_ws(',',
-           CASE WHEN n_tokens < 20 THEN 'too_few_tokens' END,
-           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
-           CASE WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'avg_token_len_out_of_range' END,
-           CASE WHEN punct_ratio > 0.2 THEN 'punct_ratio_high' END,
-           CASE WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low' END) AS reasons
+         {_reasons_sql(20)} AS reasons
   FROM f),
 kept AS (SELECT doc_id, n_tokens FROM v WHERE reasons = ''),
 fp AS (

@@ -43,6 +43,8 @@ def split_by_hash(
     90-94, 95-99). Adds a ``split`` column; rows never migrate between
     splits across reruns or appends — the leakage guarantee random
     splitting can't give an incremental pipeline."""
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
     if sum(weights.values()) != buckets:
         raise ValueError(f"weights must sum to {buckets}: {weights}")
     b = stable_bucket(F.col(id_col).cast("string"), buckets)
@@ -75,6 +77,10 @@ def token_budget_select(
     (3) offsets broadcast-joined back, and the within-score cumulative
     sum windows partition BY score — so no stage ever funnels the corpus
     through one task.
+    Rows with a NULL score are *not selectable* and are dropped up front
+    (explicitly — a NULL grouping key would otherwise silently vanish in
+    the offsets join): an unscorable document has no place in a
+    quality-ordered ranking.
     Output: id, score, n_tokens, cum_tokens (rows with cum_tokens ≤
     budget).
     """
@@ -82,7 +88,7 @@ def token_budget_select(
         F.col(id_col).alias("id"),
         F.col(score_col).alias("score"),
         F.col(token_col).cast("bigint").alias("n_tokens"),
-    )
+    ).filter(F.col("score").isNotNull())
     totals = s.groupBy("score").agg(F.sum("n_tokens").alias("bucket_tokens"))
     # exclusive prefix over the per-score totals (higher scores first)
     w_off = (
@@ -121,7 +127,12 @@ def token_budget_by_group(
     offset windows partitioned by group (rows per partition = that
     group's distinct scores), within-(group, score) cumulative sums.
     Nothing ever funnels a whole group's documents — let alone the corpus
-    — through one task.
+    — through one task. Unlike the single-budget variant, the offsets
+    table here is (groups × distinct scores) — unbounded in group count —
+    so it is NOT force-broadcast; Catalyst/AQE picks the join strategy
+    (broadcast while it fits, shuffle join beyond). NULL scores or group
+    keys are dropped up front (documented non-selectable, as in
+    :func:`token_budget_select`).
     Output: group, id, score, n_tokens, cum_tokens (rows within their
     group's budget).
     """
@@ -130,7 +141,7 @@ def token_budget_by_group(
         F.col(id_col).alias("id"),
         F.col(score_col).alias("score"),
         F.col(token_col).cast("bigint").alias("n_tokens"),
-    )
+    ).filter(F.col("score").isNotNull() & F.col("grp").isNotNull())
     totals = s.groupBy("grp", "score").agg(
         F.sum("n_tokens").alias("bucket_tokens")
     )
@@ -144,7 +155,7 @@ def token_budget_by_group(
     ).select("grp", "score", "offset")
     w_in = Window.partitionBy("grp", "score").orderBy(F.col("id").asc())
     return (
-        s.join(F.broadcast(offsets), ["grp", "score"])
+        s.join(offsets, ["grp", "score"])
         .withColumn(
             "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_in)
         )

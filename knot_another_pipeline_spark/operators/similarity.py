@@ -229,8 +229,20 @@ def assign_cells(
     collapses the C-per-row expansion map-side, so the one shuffle
     carries a single row per corpus vector (a window/row_number
     formulation would shuffle and sort all C× rows).
+
+    Requires a **numeric** id column: the tie-break negates ``cent_id``
+    inside the struct-max (the only struct-ordering trick that stays in
+    codegen); a string id would cast to NULL and silently assign every
+    row a NULL cell, so it is rejected here instead.
     Output: id, v, n (precomputed norm), cell.
     """
+    id_type = dict(corpus.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        raise TypeError(
+            f"assign_cells requires a numeric id column; {id_col!r} is "
+            f"{id_type!r} (hash string ids to a bigint first, e.g. "
+            "functions.hashing.hash64)"
+        )
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

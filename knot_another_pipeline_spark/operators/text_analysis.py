@@ -92,8 +92,9 @@ def repetition_stats(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     top_2gram_frac.
     """
     text = F.col(text_col)
-    lines = F.expr(
-        f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> x != '')"
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
     n_lines = F.size(lines)
     dup_line_frac = F.when(

@@ -34,10 +34,15 @@ def streaming_windowed_rollup(
 
     Output: uid, window_ts (window start), avg_value, message_count.
     """
+    # uid keeps its input type — same rule as the batch operators
+    # (operators.pairs): numeric ids group/compare as longs, and the
+    # streaming log's pair orientation (uid_a < uid_b in the sink's
+    # self-join) matches batch co_movement_pairs on the same data
+    # instead of diverging to lexicographic order.
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
-            F.col(uid_col).cast("string").alias("uid"),
+            F.col(uid_col).alias("uid"),
             F.window(F.col(ts_col), window_duration).alias("win"),
         )
         .agg(

@@ -421,3 +421,38 @@ def test_jsonl_to_documents_contract(spark, tmp_path):
         id_col="id", text_col="text", lang_col="language",
     )
     assert docs2.count() == 2 and docs2.collect()[0]["source"] is None
+
+
+def test_streaming_pair_orientation_matches_batch_for_numeric_uids(spark, tmp_path):
+    """uids 9 and 10 orient differently under lexicographic ('10' < '9')
+    vs numeric (9 < 10) ordering — the streaming rollup must keep native
+    id types so its log orients pairs exactly like batch
+    co_movement_pairs (review finding r3)."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_co_location,
+    )
+
+    src = tmp_path / "orient_in"
+    df = spark.createDataFrame(
+        [
+            (9, "2025-01-01 00:10:00", 10.0),
+            (10, "2025-01-01 00:40:00", 20.0),  # same cell c0 as uid 9
+            (7, "2025-01-03 00:00:00", 0.0),  # watermark sentinel
+        ],
+        "uid long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src))
+
+    q = streaming_co_location(
+        spark.readStream.schema(df.schema).parquet(str(src)),
+        uid_col="uid",
+        ts_col="ts",
+        value_col="v",
+        output_path=str(tmp_path / "orient_out"),
+        checkpoint_path=str(tmp_path / "orient_ckpt"),
+        watermark="2 hours",
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(tmp_path / "orient_out")).collect()
+    assert [(r["uid_a"], r["uid_b"]) for r in rows] == [(9, 10)]  # numeric order
+    assert rows[0].asDict()["uid_a"] == 9  # long, not '10' < '9' string
