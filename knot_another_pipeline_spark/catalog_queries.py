@@ -935,6 +935,38 @@ SELECT id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
 """
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding: id-ordered running token sum → shard
+    number every ~2000 tokens (operators.sampling.assign_shards — range
+    -bucketed distributed prefix-sum, no global single-partition
+    window)."""
+    from knot_another_pipeline_spark.operators.sampling import assign_shards
+    from knot_another_pipeline_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return assign_shards(
+        toks, id_col="doc_id", token_col="n_tokens", tokens_per_shard=2_000
+    ).select(F.col("id").alias("doc_id"), "n_tokens", "shard")
+
+
+ORACLE_SHARD_ASSIGN = rf"""
+WITH toks AS ({_TOKS_SQL}),
+n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM n)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard
+FROM c
+"""
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain data mixing: an independent greedy 1000-token budget
     per source, quality-ordered (operators.sampling.token_budget_by_group
@@ -1838,6 +1870,7 @@ QUERIES = {
     "split_assign": q_split_assign,
     "token_budget": q_token_budget,
     "domain_mix": q_domain_mix,
+    "shard_assign": q_shard_assign,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -1892,6 +1925,7 @@ ORACLES = {
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "token_budget": ORACLE_TOKEN_BUDGET,
     "domain_mix": ORACLE_DOMAIN_MIX,
+    "shard_assign": ORACLE_SHARD_ASSIGN,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,

@@ -109,6 +109,67 @@ def token_budget_select(
     )
 
 
+def assign_shards(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    tokens_per_shard: int,
+) -> DataFrame:
+    """Deterministic balanced sharding: assign documents (in id order) to
+    consecutive shards of ~``tokens_per_shard`` tokens — the writer-side
+    step that turns a filtered corpus into evenly sized training files.
+
+    ``shard = floor((cum_tokens - n_tokens) / tokens_per_shard)`` over
+    the id-ordered running sum, i.e. a document starts the shard its
+    first token falls in (a document may straddle a boundary; shards are
+    approximately, not exactly, equal — exact packing is a sequential
+    bin-pack no engine parallelizes deterministically).
+
+    The running sum is the distributed prefix-sum again, but the
+    partition key must preserve id ORDER (a hash bucket would interleave
+    ids across buckets and corrupt the cumsum), so it is the id *range*
+    bucket ``floor(id / bucket_width)`` — numeric ids required, same rule
+    (and same remedy: pre-hash to bigint) as ``similarity.assign_cells``.
+    Per-bucket totals, an exclusive offset window over the totals table
+    (``~N/bucket_width`` rows — ``bucket_width`` is the dial: size it to
+    ~√N so neither the totals window nor any bucket's in-partition window
+    exceeds ~√N rows), then within-bucket cumulative sums ordered by id.
+    Output: id, n_tokens, shard.
+    """
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"assign_shards requires an integral id column; {id_col!r} is "
+            f"{id_type!r} (hash string ids to a bigint first)"
+        )
+    bucket_width = 4096
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+    ).withColumn("b", F.floor(F.col("id") / F.lit(bucket_width)))
+    totals = s.groupBy("b").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_off = Window.orderBy(F.col("b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0))
+    ).select("b", "offset")
+    w_in = Window.partitionBy("b").orderBy(F.col("id").asc())
+    return (
+        s.join(F.broadcast(offsets), "b")
+        .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(w_in))
+        .withColumn(
+            "shard",
+            F.floor(
+                (F.col("cum") - F.col("n_tokens"))
+                / F.lit(tokens_per_shard)
+            ).cast("bigint"),
+        )
+        .select("id", "n_tokens", "shard")
+    )
+
+
 def token_budget_by_group(
     df: DataFrame,
     *,

@@ -501,3 +501,31 @@ def test_token_budget_by_group_independent_budgets(spark):
     # group a: best doc only (60; adding 2nd hits 120 > 100)
     # group b: low scores but its own budget -> both fit (50, 90)
     assert got == {("a", 1): 60, ("b", 4): 50, ("b", 5): 90}
+
+
+def test_assign_shards_matches_naive_cumsum(spark):
+    """Range-bucketed prefix-sum sharding equals the naive id-ordered
+    cumulative sum; shard boundaries land every tokens_per_shard."""
+    from knot_another_pipeline_spark.operators.sampling import assign_shards
+
+    rows = [(i, 30) for i in range(10)]  # 300 tokens, shards of 100
+    df = spark.createDataFrame(rows, "id long, toks long")
+    got = {
+        r["id"]: r["shard"]
+        for r in assign_shards(
+            df, id_col="id", token_col="toks", tokens_per_shard=100
+        ).collect()
+    }
+    cum = 0
+    expected = {}
+    for i, t in rows:
+        expected[i] = cum // 100
+        cum += t
+    assert got == expected
+    assert sorted(set(got.values())) == [0, 1, 2]
+
+    with pytest.raises(TypeError):
+        assign_shards(
+            df.withColumn("id", F.col("id").cast("string")),
+            id_col="id", token_col="toks", tokens_per_shard=100,
+        )
