@@ -47,6 +47,19 @@ def _build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--start", default=None)
     exp.add_argument("--stop", default=None)
     exp.add_argument("--output", required=True, help="output CSV file")
+
+    prep = sub.add_parser(
+        "prep-corpus",
+        help="documents parquet/JSONL → filtered, deduped, split, sharded parquet",
+    )
+    prep.add_argument("--input", required=True, help="documents parquet or .jsonl")
+    prep.add_argument("--output", required=True, help="output parquet root")
+    prep.add_argument("--min-tokens", type=int, default=50)
+    prep.add_argument("--tokens-per-shard", type=int, default=1_000_000)
+    prep.add_argument(
+        "--splits", default="train:90,val:5,test:5",
+        help="name:weight,... summing to 100",
+    )
     return p
 
 
@@ -140,6 +153,61 @@ def main(argv: list[str] | None = None) -> int:
             )
             out.toPandas().to_csv(args.output, index=False)
             print(f"tracks written to {args.output}")
+        elif args.cmd == "prep-corpus":
+            from pyspark.sql import functions as F
+
+            from knot_another_pipeline_spark.operators.dedup import exact_dedup
+            from knot_another_pipeline_spark.operators.sampling import (
+                assign_shards,
+                split_by_hash,
+            )
+            from knot_another_pipeline_spark.operators.text_analysis import (
+                quality_filter,
+            )
+            from knot_another_pipeline_spark.sources.ingest import (
+                read_jsonl,
+                to_documents,
+            )
+
+            if args.input.endswith((".jsonl", ".json")):
+                docs = to_documents(read_jsonl(spark, args.input))
+            else:
+                docs = spark.read.parquet(args.input)
+            verdict = quality_filter(
+                docs, id_col="doc_id", text_col="text",
+                min_tokens=args.min_tokens,
+            )
+            kept_tok = verdict.filter(F.col("keep")).select("id", "n_tokens")
+            kept = docs.join(
+                kept_tok.select(F.col("id").alias("doc_id")), "doc_id",
+                "left_semi",
+            )
+            reps = exact_dedup(kept, id_col="doc_id", text_col="text").filter(
+                F.col("representative")
+            ).select(F.col("id").alias("doc_id"))
+            final = kept.join(reps, "doc_id", "left_semi")
+            weights = {
+                name: int(w)
+                for name, w in (kv.split(":") for kv in args.splits.split(","))
+            }
+            final = split_by_hash(final, id_col="doc_id", weights=weights)
+            shards = assign_shards(
+                kept_tok.join(
+                    reps.select(F.col("doc_id").alias("id")), "id", "left_semi"
+                ),
+                id_col="id",
+                token_col="n_tokens",
+                tokens_per_shard=args.tokens_per_shard,
+            ).select(F.col("id").alias("doc_id"), "shard")
+            final = final.join(shards, "doc_id")
+            (
+                final.write.mode("overwrite")
+                .partitionBy("split")
+                .parquet(args.output)
+            )
+            # explicit schema: an all-filtered corpus writes no footers
+            n = spark.read.schema(final.schema).parquet(args.output).count()
+            print(f"prepared corpus written to {args.output} ({n} docs)")
         return 0
     finally:
         pass  # session is process-scoped; let exit tear it down

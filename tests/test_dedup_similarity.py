@@ -529,3 +529,34 @@ def test_assign_shards_matches_naive_cumsum(spark):
             df.withColumn("id", F.col("id").cast("string")),
             id_col="id", token_col="toks", tokens_per_shard=100,
         )
+
+
+def test_new_operators_on_empty_input(spark):
+    """Empty inputs flow through without errors and yield empty outputs
+    (schema intact) — the behavior a scheduled pipeline needs on a quiet
+    partition."""
+    from knot_another_pipeline_spark.operators.dedup import semantic_dedup_pairs
+    from knot_another_pipeline_spark.operators.sampling import (
+        assign_shards,
+        token_budget_select,
+    )
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        quality_filter,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert repetition_stats(docs, id_col="doc_id", text_col="text").count() == 0
+    assert quality_filter(docs, id_col="doc_id", text_col="text").count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup_pairs(emb, num_clusters=4).count() == 0
+
+    scored = spark.createDataFrame([], "id long, score double, toks long")
+    assert token_budget_select(
+        scored, id_col="id", score_col="score", token_col="toks", budget=10
+    ).count() == 0
+    assert assign_shards(
+        scored.select("id", "toks"), id_col="id", token_col="toks",
+        tokens_per_shard=10,
+    ).count() == 0

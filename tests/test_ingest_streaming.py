@@ -456,3 +456,72 @@ def test_streaming_pair_orientation_matches_batch_for_numeric_uids(spark, tmp_pa
     rows = spark.read.parquet(str(tmp_path / "orient_out")).collect()
     assert [(r["uid_a"], r["uid_b"]) for r in rows] == [(9, 10)]  # numeric order
     assert rows[0].asDict()["uid_a"] == 9  # long, not '10' < '9' string
+
+
+def test_cli_prep_corpus(spark, tmp_path):
+    """prep-corpus end-to-end: JSONL in → quality-filtered, deduped,
+    split-assigned, sharded parquet out, partitioned by split."""
+    import json
+    import os
+
+    from knot_another_pipeline_spark.__main__ import main
+
+    src = tmp_path / "corpus.jsonl"
+    lines = []
+    good = ("the quick brown foxes jumped over the sleeping dogs near "
+            "quiet river banks during autumn while the children watched ")
+    for i in range(20):
+        lines.append(json.dumps({"id": i, "text": good + f"document {i}"}))
+    lines.append(json.dumps({"id": 100, "text": good + "doc 0"}))  # near-dup? no: exact text differs
+    lines.append(json.dumps({"id": 101, "text": "tiny"}))  # fails min-tokens
+    src.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "prepped"
+    rc = main([
+        "prep-corpus", "--input", str(src), "--output", str(out),
+        "--min-tokens", "10", "--tokens-per-shard", "200",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(str(out))
+    ids = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert 101 not in ids  # quality-dropped
+    assert ids >= set(range(20))
+    assert {"split", "shard"} <= set(back.columns)
+    assert any(d.startswith("split=") for d in os.listdir(out))
+    assert back.select("shard").distinct().count() > 1
+
+
+def test_stateless_text_operators_apply_to_streams(spark, tmp_path):
+    """The quality/repetition operators are pure row-wise expressions, so
+    they apply unchanged to a readStream — Structured Streaming's unified
+    model needs no streaming variants for the stateless text family."""
+    import json
+
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        quality_filter,
+        repetition_stats,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    (src / "part.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "the quick brown foxes jumped over lazy sleeping dogs today"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "tiny"})
+        + "\n"
+    )
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    assert stream.isStreaming
+    verdict = quality_filter(stream, id_col="doc_id", text_col="text", min_tokens=5)
+    rep = repetition_stats(stream, id_col="doc_id", text_col="text")
+    for df, name in ((verdict, "qf_stream"), (rep, "rep_stream")):
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    got_v = {r["id"]: r["keep"] for r in spark.sql("SELECT * FROM qf_stream").collect()}
+    assert got_v[1] is True and got_v[2] is False
+    got_r = {r["id"]: r["n_2grams"] for r in spark.sql("SELECT * FROM rep_stream").collect()}
+    assert got_r[1] == 9 and got_r[2] == 0  # 10 tokens -> 9 2-grams
