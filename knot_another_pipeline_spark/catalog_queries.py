@@ -1702,6 +1702,38 @@ FROM documents
 """
 
 
+def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing: payload → 64-byte windows advanced by 48 bytes
+    (overlapping), one row per chunk through the row-expanding
+    mapInPandas stage (operators.multimodal.chunk_audio). The synthetic
+    corpus is ASCII, so the oracle's char-substrings mirror the engine's
+    byte slices exactly."""
+    from knot_another_pipeline_spark.operators.multimodal import chunk_audio
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    chunks = chunk_audio(
+        docs, id_col="doc_id", payload_col="payload",
+        chunk_bytes=64, hop_bytes=48,
+    )
+    return chunks.select(
+        "doc_id", "chunk_idx", "start_byte", "n_bytes", "chunk_md5"
+    )
+
+
+ORACLE_MEDIA_CHUNKS = """
+SELECT d.doc_id,
+       CAST(c.i AS BIGINT) AS chunk_idx,
+       CAST(c.i * 48 AS BIGINT) AS start_byte,
+       CAST(least(64, length(d.text) - c.i * 48) AS BIGINT) AS n_bytes,
+       md5(substr(d.text, CAST(c.i * 48 + 1 AS BIGINT), 64)) AS chunk_md5
+FROM documents d,
+     UNNEST(range(0, CAST(ceil(length(d.text) / 48.0) AS BIGINT))) AS c(i)
+WHERE length(d.text) > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # 6. Data-quality reconciliation (reference `_run_data_checks`, A6)
 # --------------------------------------------------------------------------
@@ -1891,6 +1923,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
+    "media_chunks": q_media_chunks,
     # data quality
     "dq_reconcile": q_dq_reconcile,
     "contract_checks": q_contract_checks,
@@ -1944,6 +1977,7 @@ ORACLES = {
     "media_frames": ORACLE_MEDIA_FRAMES,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
+    "media_chunks": ORACLE_MEDIA_CHUNKS,
     "dq_reconcile": ORACLE_DQ_RECONCILE,
     "contract_checks": ORACLE_CONTRACT_CHECKS,
 }

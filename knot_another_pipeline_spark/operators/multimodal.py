@@ -259,3 +259,76 @@ def resize_media(
             )
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+#: Audio-chunk output schema: one row per (possibly overlapping) window.
+CHUNKS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_idx", LongType(), False),
+        StructField("start_byte", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("chunk", BinaryType(), True),
+        StructField("chunk_md5", StringType(), True),
+    ]
+)
+
+
+def chunk_audio(
+    df: DataFrame,
+    *,
+    id_col: str,
+    payload_col: str,
+    chunk_bytes: int = 64,
+    hop_bytes: int = 48,
+) -> DataFrame:
+    """Audio → fixed-size overlapping windows: binary payload in, one row
+    per ``chunk_bytes`` window advanced by ``hop_bytes`` out (the
+    speech-pipeline framing step — e.g. 30 s windows with 10 s overlap).
+
+    Unlike the decode stages the slicing here IS the real operation (PCM
+    framing is byte arithmetic); only the upstream codec decode is the
+    stubbed part of this container's pipeline. Same UDTF shape as
+    :func:`sample_frames`: row-expanding iterator mapInPandas, binary
+    windows materialized only in this stage's output, constant memory per
+    worker. A doc shorter than one hop still yields its single partial
+    chunk; empty/NULL payloads yield nothing.
+    """
+    if chunk_bytes < 1 or hop_bytes < 1:
+        raise ValueError(
+            f"chunk_bytes and hop_bytes must be >= 1, got "
+            f"{chunk_bytes}/{hop_bytes}"
+        )
+    id_name, payload_name = id_col, payload_col
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, starts, sizes, chunks, digests = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
+                if payload is None or len(payload) == 0:
+                    continue
+                k = 0
+                while k * hop_bytes < len(payload):
+                    start = k * hop_bytes
+                    window = bytes(payload[start : start + chunk_bytes])
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    starts.append(start)
+                    sizes.append(len(window))
+                    chunks.append(window)
+                    digests.append(hashlib.md5(window).hexdigest())
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "start_byte": pd.Series(starts, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "chunk": pd.Series(chunks, dtype="object"),
+                    "chunk_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, CHUNKS_SCHEMA)

@@ -560,3 +560,35 @@ def test_new_operators_on_empty_input(spark):
         scored.select("id", "toks"), id_col="id", token_col="toks",
         tokens_per_shard=10,
     ).count() == 0
+
+
+def test_chunk_audio_windows(spark):
+    """Overlapping byte windows: boundaries, partial tail, empty/null
+    payloads, validation."""
+    from knot_another_pipeline_spark.operators.multimodal import chunk_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100)), (2, bytearray(b"")), (3, None),
+         (4, bytearray(b"short"))],
+        "doc_id long, payload binary",
+    )
+    out = chunk_audio(
+        df, id_col="doc_id", payload_col="payload",
+        chunk_bytes=64, hop_bytes=48,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1 (100 bytes): chunks at 0 (64), 48 (52), 96 (4)
+    got = [(r["chunk_idx"], r["start_byte"], r["n_bytes"])
+           for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])]
+    assert got == [(0, 0, 64), (1, 48, 52), (2, 96, 4)]
+    assert 2 not in by_doc and 3 not in by_doc  # empty/null yield nothing
+    assert [(r["chunk_idx"], r["n_bytes"]) for r in by_doc[4]] == [(0, 5)]
+    # overlap region is byte-identical between consecutive chunks
+    c0 = bytes(by_doc[1][0]["chunk"])
+    c1 = bytes(by_doc[1][1]["chunk"])
+    assert c0[48:64] == c1[0:16]
+
+    with pytest.raises(ValueError):
+        chunk_audio(df, id_col="doc_id", payload_col="payload", hop_bytes=0)
