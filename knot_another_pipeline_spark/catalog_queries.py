@@ -1420,6 +1420,46 @@ WHERE list_dot_product(x.v, y.v) / (x.nn * y.nn) >= 0.35
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: the deterministic 2% bucket split
+    (buckets 98-99) stands in for the eval set; every remaining training
+    doc gets its exact 3-gram collision count against it
+    (operators.dedup.contamination_check — eval shingles broadcast,
+    corpus shingles never shuffle)."""
+    from knot_another_pipeline_spark.functions.hashing import stable_bucket
+    from knot_another_pipeline_spark.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = stable_bucket(F.col("doc_id").cast("string"), 100)
+    return contamination_check(
+        docs.filter(b < 98),
+        docs.filter(b >= 98),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        min_hits=1,
+    )
+
+
+ORACLE_CONTAMINATION = rf"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+ev AS (SELECT DISTINCT shingle FROM sh
+       WHERE {_stable_bucket_sql('id', 100)} >= 98),
+train_ids AS (SELECT doc_id AS id FROM documents
+              WHERE {_stable_bucket_sql('doc_id', 100)} < 98),
+hits AS (
+  SELECT s.id, count(*) AS eval_shingle_hits
+  FROM sh s JOIN ev USING (shingle)
+  WHERE {_stable_bucket_sql('s.id', 100)} < 98
+  GROUP BY s.id)
+SELECT t.id,
+       CAST(coalesce(h.eval_shingle_hits, 0) AS BIGINT) AS eval_shingle_hits,
+       coalesce(h.eval_shingle_hits, 0) >= 1 AS contaminated
+FROM train_ids t LEFT JOIN hits h USING (id)
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-duplicates: cluster embeddings around 16
     deterministic centroids, pairwise cosine >= 0.4 within clusters only
@@ -1914,6 +1954,7 @@ QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "embedding_dedup": q_embedding_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "contamination": q_contamination,
     # similarity
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
@@ -1970,6 +2011,7 @@ ORACLES = {
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "contamination": ORACLE_CONTAMINATION,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "ann_lsh": ORACLE_ANN_LSH,
     "ivf_ann": ORACLE_IVF_ANN,

@@ -438,3 +438,53 @@ def semantic_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cell", "cos_sim")
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination scan (the GPT-3 appendix-C / Llama-2 A.6
+    recipe): count exact word n-gram collisions between each training
+    document and an eval/benchmark set; flag documents at or above
+    ``min_hits`` for removal before training.
+
+    Scale shape: the eval side is small *by definition* (benchmarks are
+    thousands of documents, the corpus is billions), so its distinct
+    shingle set broadcasts and the corpus shingles never shuffle — the
+    only shuffled relation is the per-document hit count, bounded by the
+    number of contaminated docs. One row per corpus document (zero hits
+    included: an audit wants explicit all-clear rows, and the join that
+    restores them is on the pre-shingle corpus ids).
+    Output: id, eval_shingle_hits, contaminated.
+    """
+    c = shingle_table(corpus, id_col=id_col, text_col=text_col, n=n)
+    e = (
+        shingle_table(eval_set, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        c.join(F.broadcast(e), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("eval_shingle_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("eval_shingle_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("eval_shingle_hits"),
+            (
+                F.coalesce(F.col("eval_shingle_hits"), F.lit(0))
+                >= F.lit(min_hits)
+            ).alias("contaminated"),
+        )
+    )

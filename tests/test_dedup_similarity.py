@@ -592,3 +592,41 @@ def test_chunk_audio_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_audio(df, id_col="doc_id", payload_col="payload", hop_bytes=0)
+
+
+def test_contamination_check_plants(spark):
+    """A planted benchmark n-gram is detected; clean docs report an
+    explicit zero row; min_hits raises the bar."""
+    from knot_another_pipeline_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "totally clean document about gardening and rivers"),
+            (2, "i memorized the secret benchmark answer is forty two exactly ha"),
+            (3, "another unrelated text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in contamination_check(
+            corpus, bench, id_col="doc_id", text_col="text", n=5
+        ).collect()
+    }
+    assert len(out) == 3  # every corpus doc reported
+    assert out[2]["contaminated"] and out[2]["eval_shingle_hits"] >= 3
+    assert not out[1]["contaminated"] and out[1]["eval_shingle_hits"] == 0
+    assert not out[3]["contaminated"]
+
+    strict = {
+        r["id"]: r["contaminated"]
+        for r in contamination_check(
+            corpus, bench, id_col="doc_id", text_col="text", n=5,
+            min_hits=100,
+        ).collect()
+    }
+    assert not any(strict.values())
