@@ -1420,6 +1420,82 @@ WHERE list_dot_product(x.v, y.v) / (x.nn * y.nn) >= 0.35
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The synthetic docs carry no PII, so
+    both engines first append a deterministic doc_id-derived email + IP
+    to every text — the scrub then has real matches to find and mask
+    (operators.text_analysis.scrub_pii; patterns shared verbatim)."""
+    from knot_another_pipeline_spark.operators.text_analysis import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs, id_col="doc_id", text_col="text")
+
+
+def _pii_oracle_sql() -> str:
+    from knot_another_pipeline_spark.operators.text_analysis import PII_PATTERNS
+
+    masked = "text"
+    for _, pat, token in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''").replace("\\", "\\")
+        masked = f"regexp_replace({masked}, '{pat_sql}', '{token}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat(text, ' user', CAST(doc_id AS VARCHAR),
+                '@example.com from 10.0.0.', CAST(doc_id % 256 AS VARCHAR)) AS text
+  FROM documents)
+SELECT doc_id AS id,
+       {masked} AS text,
+       {counts}
+FROM aug
+"""
+
+
+ORACLE_PII_SCRUB = _pii_oracle_sql()
+
+
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning at min_words=20: short docs lose their only
+    line (empty text, dropped count 1), long docs keep theirs — both
+    branches exercised on the single-line corpus
+    (operators.text_analysis.clean_lines)."""
+    from knot_another_pipeline_spark.operators.text_analysis import clean_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_lines(docs, id_col="doc_id", text_col="text", min_words=20)
+
+
+ORACLE_CLEAN_LINES = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x != '') AS lines
+  FROM documents),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, ln ->
+           len(list_filter(string_split_regex(ln, '\s+'), t -> t != '')) >= 20) AS keep
+  FROM l)
+SELECT doc_id AS id,
+       coalesce(array_to_string(keep, chr(10)), '') AS text,
+       CAST(len(keep) AS BIGINT) AS n_lines_kept,
+       CAST(len(lines) - len(keep) AS BIGINT) AS n_lines_dropped
+FROM k
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: the deterministic 2% bucket split
     (buckets 98-99) stands in for the eval set; every remaining training
@@ -1955,6 +2031,8 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "semantic_dedup": q_semantic_dedup,
     "contamination": q_contamination,
+    "pii_scrub": q_pii_scrub,
+    "clean_lines": q_clean_lines,
     # similarity
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
@@ -2012,6 +2090,8 @@ ORACLES = {
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "contamination": ORACLE_CONTAMINATION,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "clean_lines": ORACLE_CLEAN_LINES,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "ann_lsh": ORACLE_ANN_LSH,
     "ivf_ann": ORACLE_IVF_ANN,

@@ -187,6 +187,75 @@ def quality_filter(
     )
 
 
+#: PII patterns — deliberately simple, RE2-compatible (no lookarounds),
+#: so the same pattern string runs in Spark (Java regex) and the DuckDB
+#: differential oracle. Order matters: email before phone (an email's
+#: digits must not be half-masked first).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def scrub_pii(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction: mask emails, phone numbers, and IPv4 addresses with
+    typed placeholder tokens and report per-kind match counts — the
+    pre-training scrub every public-web corpus runs.
+
+    Pure ``regexp_replace``/``regexp_count`` expressions (whole-stage
+    codegen; patterns shared verbatim with the oracle). Counts are taken
+    BEFORE masking, each against the original text, so overlapping kinds
+    report what they saw even when an earlier replacement would have
+    consumed the match.
+    Output: id, text (scrubbed), n_email, n_phone, n_ipv4.
+    """
+    text = F.col(text_col)
+    counts = {
+        name: F.regexp_count(text, F.lit(pat)).cast("bigint")
+        for name, pat, _ in PII_PATTERNS
+    }
+    scrubbed = text
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(
+        F.col(id_col).alias("id"),
+        scrubbed.alias("text"),
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+    )
+
+
+def clean_lines(
+    df: DataFrame, *, id_col: str, text_col: str, min_words: int = 3
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): drop lines
+    with fewer than ``min_words`` whitespace words (navigation crumbs,
+    boilerplate fragments), reassemble the survivors.
+
+    In-row array expressions only — split, per-line word count, filter,
+    rejoin — so the whole pass is one codegen map stage; no shuffle, no
+    Python. Output: id, text (cleaned), n_lines_kept, n_lines_dropped.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    keep = F.filter(
+        lines,
+        lambda ln: F.size(
+            F.filter(F.split(ln, r"\s+"), lambda t: t != "")
+        )
+        >= F.lit(min_words),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(keep, "\n").alias("text"),
+        F.size(keep).cast("bigint").alias("n_lines_kept"),
+        (F.size(lines) - F.size(keep)).cast("bigint").alias("n_lines_dropped"),
+    )
+
+
 def language_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit fraction of tokens."""
     c = F.col(text) if isinstance(text, str) else text

@@ -630,3 +630,33 @@ def test_contamination_check_plants(spark):
         ).collect()
     }
     assert not any(strict.values())
+
+
+def test_scrub_pii_and_clean_lines(spark):
+    """Planted PII is masked with typed tokens and counted; line cleaning
+    drops short boilerplate lines and reassembles the rest."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        clean_lines,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@sub.example.org or call 555-123-4567; also 555 987 6543"),
+         (2, "server at 10.0.0.1 and 192.168.1.255 up"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in scrub_pii(df, id_col="doc_id", text_col="text").collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 2
+    assert "[EMAIL]" in got[1]["text"] and got[1]["text"].count("[PHONE]") == 2
+    assert "@" not in got[1]["text"]
+    assert got[2]["n_ipv4"] == 2 and got[2]["text"].count("[IP]") == 2
+    assert got[3]["text"] == "nothing sensitive here"
+
+    lines_df = spark.createDataFrame(
+        [(1, "home\nabout\nthis line has enough words to survive\nlogin")],
+        "doc_id long, text string",
+    )
+    out = clean_lines(lines_df, id_col="doc_id", text_col="text", min_words=4).collect()[0]
+    assert out["text"] == "this line has enough words to survive"
+    assert out["n_lines_kept"] == 1 and out["n_lines_dropped"] == 3
