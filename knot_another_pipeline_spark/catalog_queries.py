@@ -1536,6 +1536,35 @@ FROM train_ids t LEFT JOIN hits h USING (id)
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate groups: connected components over the
+    MinHash-LSH pair list via min-label propagation
+    (operators.dedup.connected_components). The oracle computes the same
+    components with a recursive-CTE transitive closure."""
+    from knot_another_pipeline_spark.operators.dedup import connected_components
+
+    pairs = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs, src_col="id_a", dst_col="id_b")
+
+
+def _oracle_components() -> str:
+    return f"""
+WITH RECURSIVE
+mp AS (SELECT id_a, id_b FROM ({ORACLE_MINHASH_PAIRS}) q),
+bidir(a, b) AS (SELECT id_a, id_b FROM mp UNION SELECT id_b, id_a FROM mp),
+reach(a, b) AS (
+  SELECT a, b FROM bidir
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+)
+SELECT a AS id, least(a, min(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+ORACLE_DEDUP_COMPONENTS = _oracle_components()
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-duplicates: cluster embeddings around 16
     deterministic centroids, pairwise cosine >= 0.4 within clusters only
@@ -2031,6 +2060,7 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "semantic_dedup": q_semantic_dedup,
     "contamination": q_contamination,
+    "dedup_components": q_dedup_components,
     "pii_scrub": q_pii_scrub,
     "clean_lines": q_clean_lines,
     # similarity
@@ -2090,6 +2120,7 @@ ORACLES = {
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "contamination": ORACLE_CONTAMINATION,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "clean_lines": ORACLE_CLEAN_LINES,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,

@@ -488,3 +488,78 @@ def contamination_check(
             ).alias("contaminated"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Union near-duplicate pairs into duplicate GROUPS: the step that
+    turns any pair generator's output (MinHash/SimHash/embedding/semantic)
+    into one canonical representative per cluster — without it, "A≈B,
+    B≈C" keeps both B and C.
+
+    Min-label propagation: every node starts as its own component; each
+    round takes the min of its own and its neighbors' labels; converges
+    in O(component diameter) rounds — near-dup clusters are shallow
+    (diameter ≪ 10 in practice), so the loop is short. Each round is one
+    equi-join + groupBy; ``localCheckpoint`` truncates the growing plan
+    lineage per round (the standard iterative-algorithm pattern — without
+    it the plan doubles every iteration). Terminates early when no label
+    changes. For graphs with giant components at extreme scale, swap in
+    the large-star/small-star variant (Kiveris et al. 2014) — same
+    interface, fewer rounds.
+
+    Output: id, component (the component's minimum id). Only ids that
+    appear in at least one pair are returned; singletons need no
+    canonicalization.
+    """
+    edges = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    bidir = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        bidir.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            bidir.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("component").alias("nc")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("min_nc"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min.select(F.col("a").alias("id"), "min_nc"),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("min_nc"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -660,3 +660,20 @@ def test_scrub_pii_and_clean_lines(spark):
     out = clean_lines(lines_df, id_col="doc_id", text_col="text", min_words=4).collect()[0]
     assert out["text"] == "this line has enough words to survive"
     assert out["n_lines_kept"] == 1 and out["n_lines_dropped"] == 3
+
+
+def test_connected_components_chains_and_cliques(spark):
+    """A≈B, B≈C chain collapses to one component with min-id label;
+    disjoint pairs stay separate; propagation crosses multiple hops."""
+    from knot_another_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,      # 3-hop chain -> min id 1
+        10: 10, 11: 10,               # separate pair
+        20: 20, 21: 20, 22: 20,       # triangle
+    }
