@@ -55,6 +55,7 @@ def _build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--input", required=True, help="documents parquet or .jsonl")
     prep.add_argument("--output", required=True, help="output parquet root")
     prep.add_argument("--min-tokens", type=int, default=50)
+    prep.add_argument("--min-line-words", type=int, default=3)
     prep.add_argument("--tokens-per-shard", type=int, default=1_000_000)
     prep.add_argument(
         "--splits", default="train:90,val:5,test:5",
@@ -162,7 +163,9 @@ def main(argv: list[str] | None = None) -> int:
                 split_by_hash,
             )
             from knot_another_pipeline_spark.operators.text_analysis import (
+                clean_lines,
                 quality_filter,
+                scrub_pii,
             )
             from knot_another_pipeline_spark.sources.ingest import (
                 read_jsonl,
@@ -173,6 +176,13 @@ def main(argv: list[str] | None = None) -> int:
                 docs = to_documents(read_jsonl(spark, args.input))
             else:
                 docs = spark.read.parquet(args.input)
+            # line-clean then PII-scrub BEFORE scoring: quality verdicts
+            # and fingerprints must see the text that will be trained on
+            cleaned = clean_lines(
+                docs, id_col="doc_id", text_col="text", min_words=args.min_line_words
+            ).select("id", "text")
+            scrubbed = scrub_pii(cleaned, id_col="id", text_col="text")
+            docs = scrubbed.select(F.col("id").alias("doc_id"), "text")
             verdict = quality_filter(
                 docs, id_col="doc_id", text_col="text",
                 min_tokens=args.min_tokens,
