@@ -532,3 +532,44 @@ def test_stateless_text_operators_apply_to_streams(spark, tmp_path):
     assert got_v[1] is True and got_v[2] is False
     got_r = {r["id"]: r["n_2grams"] for r in spark.sql("SELECT * FROM rep_stream").collect()}
     assert got_r[1] == 9 and got_r[2] == 0  # 10 tokens -> 9 2-grams
+
+
+def test_contamination_hits_over_stream(spark, tmp_path):
+    """The contamination building blocks (shingle explode + broadcast
+    join against a static eval set + per-doc count) run unchanged over a
+    readStream: stream-static joins + one streaming aggregation."""
+    import json
+
+    from knot_another_pipeline_spark.operators.dedup import shingle_table
+
+    src = tmp_path / "contam_stream"
+    src.mkdir()
+    (src / "docs.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "leaked the secret benchmark phrase here"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "completely original writing only"})
+        + "\n"
+    )
+    bench = spark.createDataFrame(
+        [(9, "contains the secret benchmark phrase indeed")],
+        "doc_id long, text string",
+    )
+    ev = shingle_table(bench, id_col="doc_id", text_col="text", n=3).select(
+        "shingle"
+    ).distinct()
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    hits = (
+        shingle_table(stream, id_col="doc_id", text_col="text", n=3)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("id")
+        .count()
+    )
+    q = (
+        hits.writeStream.format("memory").queryName("contam_hits")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["count"] for r in spark.sql("SELECT * FROM contam_hits").collect()}
+    assert got.get(1, 0) >= 2  # "the secret benchmark" + "secret benchmark phrase"
+    assert 2 not in got
