@@ -195,16 +195,24 @@ def main(argv: list[str] | None = None) -> int:
             reps = exact_dedup(kept, id_col="doc_id", text_col="text").filter(
                 F.col("representative")
             ).select(F.col("id").alias("doc_id"))
-            final = kept.join(reps, "doc_id", "left_semi")
+            # one kept∩reps set, n_tokens carried along — shard assignment
+            # reuses it instead of re-running the dedup chain
+            final = (
+                kept.join(reps, "doc_id", "left_semi")
+                .join(
+                    kept_tok.select(
+                        F.col("id").alias("doc_id"), "n_tokens"
+                    ),
+                    "doc_id",
+                )
+            )
             weights = {
                 name: int(w)
                 for name, w in (kv.split(":") for kv in args.splits.split(","))
             }
             final = split_by_hash(final, id_col="doc_id", weights=weights)
             shards = assign_shards(
-                kept_tok.join(
-                    reps.select(F.col("doc_id").alias("id")), "id", "left_semi"
-                ),
+                final.select(F.col("doc_id").alias("id"), "n_tokens"),
                 id_col="id",
                 token_col="n_tokens",
                 tokens_per_shard=args.tokens_per_shard,

@@ -1442,12 +1442,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_oracle_sql() -> str:
     from knot_another_pipeline_spark.operators.text_analysis import PII_PATTERNS
 
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")  # SQL string-literal escaping only
+
     masked = "text"
     for _, pat, token in PII_PATTERNS:
-        pat_sql = pat.replace("'", "''").replace("\\", "\\")
-        masked = f"regexp_replace({masked}, '{pat_sql}', '{token}', 'g')"
+        masked = f"regexp_replace({masked}, '{q(pat)}', '{token}', 'g')"
     counts = ",\n       ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        f"CAST(len(regexp_extract_all(text, '{q(pat)}')) AS BIGINT) AS n_{name}"
         for name, pat, _ in PII_PATTERNS
     )
     return f"""

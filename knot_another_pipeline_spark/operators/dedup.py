@@ -463,7 +463,14 @@ def contamination_check(
     restores them is on the pre-shingle corpus ids).
     Output: id, eval_shingle_hits, contaminated.
     """
-    c = shingle_table(corpus, id_col=id_col, text_col=text_col, n=n)
+    # corpus side: multiset shingles (distinct=False) — set semantics are
+    # restored by countDistinct AFTER the broadcast join, when the rows
+    # are already reduced to contaminated-shingle occurrences. A
+    # distinct() here would global-shuffle every corpus shingle before
+    # the join, defeating the whole shape.
+    c = shingle_table(
+        corpus, id_col=id_col, text_col=text_col, n=n, distinct=False
+    )
     e = (
         shingle_table(eval_set, id_col=id_col, text_col=text_col, n=n)
         .select("shingle")
@@ -472,7 +479,7 @@ def contamination_check(
     hits = (
         c.join(F.broadcast(e), "shingle")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("eval_shingle_hits"))
+        .agg(F.countDistinct("shingle").alias("eval_shingle_hits"))
     )
     return (
         corpus.select(F.col(id_col).alias("id"))
@@ -516,7 +523,32 @@ def connected_components(
     Output: id, component (the component's minimum id). Only ids that
     appear in at least one pair are returned; singletons need no
     canonicalization.
+
+    Checkpoint hygiene: each round's ``localCheckpoint`` pins RDD blocks
+    in executor storage, and Spark's public ``unpersist`` does not free
+    checkpoint blocks — so intermediate rounds are freed explicitly
+    through the context's persistent-RDD registry once the convergence
+    check no longer needs them. Only ``bidir`` and the two live label
+    generations ever occupy storage; the returned frame's blocks are
+    kept. (The registry diffing assumes no concurrent caller is creating
+    persistent RDDs in the same SparkContext mid-call — true for batch
+    pipelines; a shared notebook session should expect its own caches to
+    survive since only ids created between this function's snapshots are
+    freed.)
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _free(ids: set) -> None:
+        registry = sc._jsc.getPersistentRDDs()
+        for rdd_id in ids:
+            jrdd = registry.get(rdd_id)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    pre_existing = _persistent_ids()
     edges = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     # materialize the edge list ONCE: every iteration joins against it,
     # and without the checkpoint each round would re-execute the whole
@@ -527,12 +559,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    bidir_ids = _persistent_ids() - pre_existing
     labels = (
         bidir.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    labels_ids = _persistent_ids() - pre_existing - bidir_ids
     for _ in range(max_iterations):
         neighbor_min = (
             bidir.join(
@@ -577,13 +611,16 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        new_ids = _persistent_ids() - pre_existing - bidir_ids - labels_ids
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels
+        _free(labels_ids)  # convergence check done — old round's blocks go
+        labels, labels_ids = new_labels, new_ids
         if changed == 0:
             break
+    _free(bidir_ids)
     return labels

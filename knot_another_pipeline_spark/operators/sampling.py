@@ -115,6 +115,7 @@ def assign_shards(
     id_col: str,
     token_col: str,
     tokens_per_shard: int,
+    bucket_width: int = 4096,
 ) -> DataFrame:
     """Deterministic balanced sharding: assign documents (in id order) to
     consecutive shards of ~``tokens_per_shard`` tokens — the writer-side
@@ -132,18 +133,24 @@ def assign_shards(
     bucket ``floor(id / bucket_width)`` — numeric ids required, same rule
     (and same remedy: pre-hash to bigint) as ``similarity.assign_cells``.
     Per-bucket totals, an exclusive offset window over the totals table
-    (``~N/bucket_width`` rows — ``bucket_width`` is the dial: size it to
-    ~√N so neither the totals window nor any bucket's in-partition window
-    exceeds ~√N rows), then within-bucket cumulative sums ordered by id.
+    (``~N/bucket_width`` rows), then within-bucket cumulative sums
+    ordered by id. ``bucket_width`` is the dial, and it sizes against the
+    id SPACING, not the row count: pick it so rows-per-bucket ≈ buckets ≈
+    √N. Dense sequential ids → width ≈ √N (the 4096 default suits ~10⁷
+    dense docs). HASHED ids are uniform over 2⁶⁴, so the right width is
+    ``2⁶⁴/√N`` — the default would put ~1 row per bucket and rebuild the
+    single-task funnel this function exists to avoid.
     Output: id, n_tokens, shard.
     """
     id_type = dict(df.dtypes).get(id_col, "")
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
             f"assign_shards requires an integral id column; {id_col!r} is "
-            f"{id_type!r} (hash string ids to a bigint first)"
+            f"{id_type!r} (hash string ids to a bigint first and set "
+            "bucket_width to 2**64 // sqrt(N))"
         )
-    bucket_width = 4096
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
     s = df.select(
         F.col(id_col).alias("id"),
         F.col(token_col).cast("bigint").alias("n_tokens"),

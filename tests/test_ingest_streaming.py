@@ -491,11 +491,13 @@ def test_cli_prep_corpus(spark, tmp_path):
     assert {"split", "shard"} <= set(back.columns)
     assert any(d.startswith("split=") for d in os.listdir(out))
     assert back.select("shard").distinct().count() > 1
-    # PII was scrubbed before the text hit the output
+    # PII was scrubbed before the text hit the output; the doc must be
+    # kept (unconditional — a quality regression dropping it would
+    # otherwise silently disable the scrub assertion)
     pii_doc = back.filter(F.col("doc_id") == 100).collect()
-    if pii_doc:  # may fail quality independently; scrub assert only if kept
-        assert "[EMAIL]" in pii_doc[0]["text"]
-        assert "@" not in pii_doc[0]["text"]
+    assert len(pii_doc) == 1
+    assert "[EMAIL]" in pii_doc[0]["text"]
+    assert "@" not in pii_doc[0]["text"]
 
 
 def test_stateless_text_operators_apply_to_streams(spark, tmp_path):
