@@ -1961,6 +1961,28 @@ FROM h
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the documents table (row/null/distinct
+    counts, native-type min/max stringified) — one aggregation pass
+    (operators.quality.profile_table)."""
+    from knot_another_pipeline_spark.operators.quality import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+ORACLE_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents"""
+    for c in ("doc_id", "lang", "source", "n_chars")
+)
+
+
 def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's post-refresh reconciliation as one row: the hourly
     gold table's SUM(message_count)/SUM(source_row_count) must equal the
@@ -2076,6 +2098,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # data quality
+    "table_profile": q_table_profile,
     "dq_reconcile": q_dq_reconcile,
     "contract_checks": q_contract_checks,
 }
@@ -2133,6 +2156,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "table_profile": ORACLE_TABLE_PROFILE,
     "dq_reconcile": ORACLE_DQ_RECONCILE,
     "contract_checks": ORACLE_CONTRACT_CHECKS,
 }

@@ -72,6 +72,51 @@ def reconciliation_report(
     )
 
 
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column data profile: row count, null count, distinct count,
+    min/max — the table-health snapshot a warehouse surfaces next to
+    every dataset.
+
+    One aggregation pass computes every column's stats together; min/max
+    aggregate in the column's NATIVE type and stringify afterwards (a
+    pre-cast would silently switch numeric columns to lexicographic
+    ordering). ``approx=True`` swaps exact ``countDistinct`` — whose
+    multi-column form costs an Expand (one duplicated pass per profiled
+    column) — for HyperLogLog ``approx_count_distinct``: the right
+    setting at 100 TB, off by default so the differential oracle can
+    match exactly.
+    Output: col_name, n_rows, n_nulls, n_distinct, min_value, max_value.
+    """
+    cols = columns or df.columns
+    nd = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            nd(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    out = None
+    for c in cols:
+        piece = row.select(
+            F.lit(c).alias("col_name"),
+            F.col("_rows").cast("bigint").alias("n_rows"),
+            (F.col("_rows") - F.col(f"{c}__nn")).cast("bigint").alias("n_nulls"),
+            F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        out = piece if out is None else out.unionAll(piece)
+    return out
+
+
 def daily_counts(df: DataFrame, date_col: str, limit: int = 5) -> DataFrame:
     """Per-day row counts preview (``refresh_gold_tables.py:511-521``):
     GROUP BY dt ORDER BY dt LIMIT n → TakeOrderedAndProject, no global

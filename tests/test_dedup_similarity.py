@@ -677,3 +677,22 @@ def test_connected_components_chains_and_cliques(spark):
         10: 10, 11: 10,               # separate pair
         20: 20, 21: 20, 22: 20,       # triangle
     }
+
+
+def test_profile_table_stats(spark):
+    """Null/distinct/min-max per column; numeric min/max use native
+    ordering (9 < 10), not lexicographic ('10' < '9')."""
+    from knot_another_pipeline_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(9, "a"), (10, "b"), (2, None), (10, "a")],
+        "v long, s string",
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert got["v"]["n_rows"] == 4 and got["v"]["n_nulls"] == 0
+    assert got["v"]["n_distinct"] == 3
+    assert got["v"]["min_value"] == "2" and got["v"]["max_value"] == "10"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    # approx mode still produces a sane profile shape
+    approx = {r["col_name"]: r for r in profile_table(df, approx=True).collect()}
+    assert approx["v"]["n_distinct"] >= 1
