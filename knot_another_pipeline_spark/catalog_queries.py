@@ -1961,6 +1961,39 @@ FROM h
 """
 
 
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword retrieval: top-10 documents for 'hash join filter'
+    (operators.search.keyword_search — query-term postings only reach
+    the shuffle, TakeOrdered top-k)."""
+    from knot_another_pipeline_spark.operators.search import keyword_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_search(
+        docs, id_col="doc_id", text_col="text", query="hash join filter",
+        k=10,
+    )
+
+
+ORACLE_KEYWORD_SEARCH = rf"""
+WITH toks AS ({_TOKS_SQL}),
+posting AS (
+  SELECT doc_id AS id, unnest(t) AS token FROM toks),
+qt AS (SELECT unnest(['filter', 'hash', 'join']) AS token),
+tf AS (
+  SELECT p.id, p.token, count(*) AS tf
+  FROM posting p JOIN qt USING (token)
+  GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id,
+         round(sum(tf.tf * ln(1 + CAST(n.n_docs AS DOUBLE) / df.df)), 6) AS score
+  FROM tf JOIN dfreq df USING (token) CROSS JOIN n
+  GROUP BY tf.id)
+SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of the documents table (row/null/distinct
     counts, native-type min/max stringified) — one aggregation pass
@@ -2097,6 +2130,8 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
+    # search
+    "keyword_search": q_keyword_search,
     # data quality
     "table_profile": q_table_profile,
     "dq_reconcile": q_dq_reconcile,
@@ -2156,6 +2191,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "keyword_search": ORACLE_KEYWORD_SEARCH,
     "table_profile": ORACLE_TABLE_PROFILE,
     "dq_reconcile": ORACLE_DQ_RECONCILE,
     "contract_checks": ORACLE_CONTRACT_CHECKS,

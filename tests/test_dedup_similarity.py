@@ -696,3 +696,34 @@ def test_profile_table_stats(spark):
     # approx mode still produces a sane profile shape
     approx = {r["col_name"]: r for r in profile_table(df, approx=True).collect()}
     assert approx["v"]["n_distinct"] >= 1
+
+
+def test_keyword_search_ranking(spark):
+    """Rarer query terms weigh more (IDF); higher term frequency wins
+    within a term; non-matching docs never appear; empty query rejected."""
+    from knot_another_pipeline_spark.operators.search import keyword_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),        # tf(spark)=3
+            (2, "spark engine"),                    # tf(spark)=1
+            (3, "rare unicorn word here"),          # only doc with 'unicorn'
+            (4, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = keyword_search(
+        df, id_col="doc_id", text_col="text", query="spark unicorn", k=10
+    ).collect()
+    ranked = [r["id"] for r in out]
+    scores = {r["id"]: r["score"] for r in out}
+    assert 4 not in scores
+    # doc 3's single hit on the rarer term outweighs doc 2's common term
+    assert scores[3] > scores[2]
+    # within 'spark', tf=3 beats tf=1
+    assert scores[1] > scores[2]
+    assert ranked[0] == max(scores, key=lambda i: (scores[i], -i))
+
+    import pytest as pt
+    with pt.raises(ValueError):
+        keyword_search(df, id_col="doc_id", text_col="text", query="   ")
