@@ -211,11 +211,18 @@ def main(argv: list[str] | None = None) -> int:
                 for name, w in (kv.split(":") for kv in args.splits.split(","))
             }
             final = split_by_hash(final, id_col="doc_id", weights=weights)
+            # shard numbering restarts per split: shards land under
+            # partitionBy('split') directories, so each split's shards
+            # must independently fill ~tokens_per_shard (a global
+            # numbering would spread one shard across split dirs)
             shards = assign_shards(
-                final.select(F.col("doc_id").alias("id"), "n_tokens"),
+                final.select(
+                    F.col("doc_id").alias("id"), "n_tokens", "split"
+                ),
                 id_col="id",
                 token_col="n_tokens",
                 tokens_per_shard=args.tokens_per_shard,
+                group_col="split",
             ).select(F.col("id").alias("doc_id"), "shard")
             final = final.join(shards, "doc_id")
             (

@@ -503,6 +503,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 25,
+    free_intermediate_checkpoints: bool = False,
 ) -> DataFrame:
     """Union near-duplicate pairs into duplicate GROUPS: the step that
     turns any pair generator's output (MinHash/SimHash/embedding/semantic)
@@ -526,22 +527,30 @@ def connected_components(
 
     Checkpoint hygiene: each round's ``localCheckpoint`` pins RDD blocks
     in executor storage, and Spark's public ``unpersist`` does not free
-    checkpoint blocks — so intermediate rounds are freed explicitly
-    through the context's persistent-RDD registry once the convergence
-    check no longer needs them. Only ``bidir`` and the two live label
-    generations ever occupy storage; the returned frame's blocks are
-    kept. (The registry diffing assumes no concurrent caller is creating
-    persistent RDDs in the same SparkContext mid-call — true for batch
-    pipelines; a shared notebook session should expect its own caches to
-    survive since only ids created between this function's snapshots are
-    freed.)
+    checkpoint blocks. By default stale rounds are simply left for the
+    ContextCleaner, which reclaims them when the Python references drop
+    — correct in every deployment (including Spark Connect, which has no
+    py4j context at all). ``free_intermediate_checkpoints=True`` opts
+    into eager freeing through the context's persistent-RDD registry —
+    worthwhile for long chains on memory-tight executors — but it goes
+    through the private ``sc._jsc`` py4j API and diffs the registry
+    between snapshots, so it has two hard preconditions: a classic (non-
+    Connect) session, and NO concurrent thread caching/checkpointing in
+    the same SparkContext during the call (their blocks would be
+    attributed to our snapshots and unpersisted). The flag degrades to a
+    no-op when ``sc._jsc`` is unavailable.
     """
     sc = pairs.sparkSession.sparkContext
+    eager_free = free_intermediate_checkpoints and hasattr(sc, "_jsc")
 
     def _persistent_ids() -> set:
+        if not eager_free:
+            return set()
         return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
     def _free(ids: set) -> None:
+        if not eager_free or not ids:
+            return
         registry = sc._jsc.getPersistentRDDs()
         for rdd_id in ids:
             jrdd = registry.get(rdd_id)

@@ -147,7 +147,11 @@ def sessionize(
     running conditional sum — the standard lag+cumsum idiom.
     Output: uid, session_id, session_start, session_end, n_events."""
     # Order by (ts, uid) with a microsecond-integer gap comparison:
-    # unix_micros is exact, unlike second-truncating unix_timestamp.
+    # unix_micros is exact, unlike second-truncating unix_timestamp. It
+    # only accepts TIMESTAMP, and parquet written without a timezone
+    # (timestamp[us]) arrives as TIMESTAMP_NTZ — cast first; the session
+    # offset it introduces cancels in the difference.
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     w = Window.partitionBy(uid_col).orderBy(ts_col)
     gap = F.lit(gap_minutes * 60 * 1_000_000)
     with_breaks = events.withColumn(
@@ -155,8 +159,8 @@ def sessionize(
         F.when(
             F.lag(ts_col).over(w).isNull()
             | (
-                F.unix_micros(F.col(ts_col))
-                - F.unix_micros(F.lag(ts_col).over(w))
+                micros(ts_col)
+                - F.unix_micros(F.lag(F.col(ts_col).cast("timestamp")).over(w))
                 > gap
             ),
             1,

@@ -71,12 +71,21 @@ def token_budget_select(
 
     Scale shape — a naive ``sum() OVER (ORDER BY score)`` is a
     single-partition global window. Instead this runs the classic
-    distributed prefix-sum: (1) per-score token totals (tiny: bounded by
+    distributed prefix-sum: (1) per-score token totals (bounded by
     distinct score values), (2) an exclusive running offset over that
-    tiny table (the only single-partition window, ≤ a few thousand rows),
-    (3) offsets broadcast-joined back, and the within-score cumulative
-    sum windows partition BY score — so no stage ever funnels the corpus
-    through one task.
+    table (the only single-partition window), (3) offsets joined back,
+    and the within-score cumulative sum windows partition BY score — so
+    no stage ever funnels the corpus through one task.
+
+    The offsets table's size is the number of *distinct score values*:
+    small for rounded/bucketed scores, but ~N for a continuous score
+    (raw perplexity), where a forced broadcast would OOM the driver. The
+    join is therefore left to AQE, which broadcasts exactly when the
+    built side is actually small (`token_budget_by_group` makes the same
+    call). For continuous scores, also note the single-partition offset
+    window in step (2) degrades to a global sort — round the score
+    first (e.g. ``F.round(score, 3)``); ties break by id so selection
+    stays deterministic.
     Rows with a NULL score are *not selectable* and are dropped up front
     (explicitly — a NULL grouping key would otherwise silently vanish in
     the offsets join): an unscorable document has no place in a
@@ -100,7 +109,7 @@ def token_budget_select(
     ).select("score", "offset")
     w_in = Window.partitionBy("score").orderBy(F.col("id").asc())
     return (
-        s.join(F.broadcast(offsets), "score")
+        s.join(offsets, "score")
         .withColumn(
             "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_in)
         )
@@ -116,10 +125,18 @@ def assign_shards(
     token_col: str,
     tokens_per_shard: int,
     bucket_width: int = 4096,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic balanced sharding: assign documents (in id order) to
     consecutive shards of ~``tokens_per_shard`` tokens — the writer-side
     step that turns a filtered corpus into evenly sized training files.
+
+    ``group_col`` restarts the numbering per group: with
+    ``group_col='split'`` each of train/val/test gets its own shard 0..k
+    and every shard holds ~``tokens_per_shard`` tokens *of that split* —
+    the right shape when shards are written under ``partitionBy(split)``
+    directories (a globally-numbered shard would be spread across split
+    directories and systematically under-filled per split).
 
     ``shard = floor((cum_tokens - n_tokens) / tokens_per_shard)`` over
     the id-ordered running sum, i.e. a document starts the shard its
@@ -151,20 +168,29 @@ def assign_shards(
         )
     if bucket_width < 1:
         raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    grp = (
+        [F.col(group_col).alias("g")] if group_col is not None else []
+    )
+    grp_keys = ["g"] if group_col is not None else []
     s = df.select(
+        *grp,
         F.col(id_col).alias("id"),
         F.col(token_col).cast("bigint").alias("n_tokens"),
     ).withColumn("b", F.floor(F.col("id") / F.lit(bucket_width)))
-    totals = s.groupBy("b").agg(F.sum("n_tokens").alias("bucket_tokens"))
-    w_off = Window.orderBy(F.col("b").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    totals = s.groupBy(*grp_keys, "b").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy(*grp_keys)
+        .orderBy(F.col("b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.withColumn(
         "offset", F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0))
-    ).select("b", "offset")
-    w_in = Window.partitionBy("b").orderBy(F.col("id").asc())
+    ).select(*grp_keys, "b", "offset")
+    w_in = Window.partitionBy(*grp_keys, "b").orderBy(F.col("id").asc())
     return (
-        s.join(F.broadcast(offsets), "b")
+        s.join(F.broadcast(offsets), [*grp_keys, "b"])
         .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(w_in))
         .withColumn(
             "shard",

@@ -27,7 +27,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from knot_another_pipeline_spark.functions.hashing import stable_bucket
+from knot_another_pipeline_spark.functions.hashing import hash64, stable_bucket
 from knot_another_pipeline_spark.functions.timestamps import normalize_timestamp
 from knot_another_pipeline_spark.schema import (
     ID_ALIASES,
@@ -174,10 +174,28 @@ def to_documents(
     """Normalize an arbitrary document batch to the ``documents`` table
     contract (doc_id BIGINT, text, lang, source, n_chars) — the document
     analog of :func:`to_silver`. Null/blank texts are kept (filtering is
-    the quality operators' job, not ingest's)."""
+    the quality operators' job, not ingest's).
+
+    Non-numeric ids (UUIDs, URL slugs — common for JSONL corpora) don't
+    cast to BIGINT; a plain cast would yield doc_id=NULL for every row
+    and downstream keyed joins (quality keep, dedup reps, shard
+    assignment) would silently drop the whole corpus. Instead the cast
+    falls back to the deterministic :func:`~..functions.hashing.hash64`
+    of the string id, so doc_id is non-null whenever the input id is —
+    the same string→bigint strategy assign_cells/assign_shards use.
+    Numeric ids are unaffected (bit-identical to the plain cast).
+    ``try_cast`` (not ``cast``) probes numeric-ness: under ANSI mode
+    (the Spark 4 default) a plain cast *throws* on the first UUID rather
+    than returning NULL, so the fallback would never be reached.
+    """
+    raw_id = F.col(id_col)
+    numeric_id = raw_id.try_cast("bigint")
+    doc_id = F.when(numeric_id.isNotNull(), numeric_id).when(
+        raw_id.isNotNull(), hash64(raw_id)
+    )
     text = F.col(text_col).cast("string")
     return df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
+        doc_id.cast("bigint").alias("doc_id"),
         text.alias("text"),
         (
             F.col(lang_col).cast("string") if lang_col else F.lit(None).cast("string")

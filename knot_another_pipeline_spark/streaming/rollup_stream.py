@@ -11,6 +11,15 @@ Semantics parity: a tumbling 1-hour window on event time ≡ the batch
 exactly where the batch job's day-partition rebuild bounds recompute.
 At scale this replaces the reference's "re-run the day's CTAS when late
 data lands" with incremental state updates.
+
+.. note:: **Checkpoint compatibility.** The streaming groupBy key keeps
+   the input ``uid`` type (native long for numeric ids) rather than the
+   earlier cast-to-string. That changed the state-store key schema: a
+   streaming query restarted from a checkpoint written before the change
+   fails with a state schema compatibility error. Upgrading operators
+   must start the query from a fresh checkpoint location (the epoch-
+   partitioned sink is replay-idempotent, so reprocessing the source
+   from the new checkpoint converges to the same log).
 """
 
 from __future__ import annotations

@@ -488,3 +488,30 @@ def test_refresh_gold_catalog_mode_dq_end_to_end(spark, tmp_path):
     finally:
         for t in ("uid_hourly_h3", "pairs_daily", "pairs_total"):
             drop_table(spark, t)
+
+
+def test_sessionize_accepts_ntz_timestamps(spark):
+    """Parquet written without a timezone arrives as TIMESTAMP_NTZ, which
+    unix_micros rejects; sessionize must cast before differencing
+    (advice r3). Gap math is identical since the offset cancels."""
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.operators.relational import sessionize
+
+    events = spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:00:00"),
+            (1, "2025-01-01 00:10:00"),   # same session (gap 10m < 30m)
+            (1, "2025-01-01 01:00:00"),   # new session (gap 50m)
+            (2, "2025-01-01 00:00:00"),
+        ],
+        "uid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = sessionize(events, uid_col="uid", ts_col="ts", gap_minutes=30)
+    per_uid = {
+        r["uid"]: r["n_sessions"]
+        for r in out.groupBy("uid")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .collect()
+    }
+    assert per_uid == {1: 2, 2: 1}

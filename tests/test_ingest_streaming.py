@@ -575,3 +575,39 @@ def test_contamination_hits_over_stream(spark, tmp_path):
     got = {r["id"]: r["count"] for r in spark.sql("SELECT * FROM contam_hits").collect()}
     assert got.get(1, 0) >= 2  # "the secret benchmark" + "secret benchmark phrase"
     assert 2 not in got
+
+
+def test_to_documents_string_id_hash_fallback(spark, tmp_path):
+    """UUID/slug ids don't cast to BIGINT; to_documents must hash them to
+    a deterministic non-null doc_id instead of silently nulling the whole
+    corpus (advice r3). Numeric ids stay bit-identical to a plain cast."""
+    from knot_another_pipeline_spark.functions.hashing import hash64
+    from knot_another_pipeline_spark.sources.ingest import to_documents
+
+    df = spark.createDataFrame(
+        [
+            ("d41d8cd9-8f00-3204-a980-0998ecf8427e", "uuid doc"),
+            ("https://example.com/a", "slug doc"),
+            ("42", "numeric-string doc"),
+            (None, "orphan doc"),
+        ],
+        "id string, text string",
+    )
+    docs = to_documents(df, id_col="id", text_col="text", source="unit")
+    got = {r["text"]: r["doc_id"] for r in docs.collect()}
+    # every non-null input id yields a non-null doc_id
+    assert got["uuid doc"] is not None and got["slug doc"] is not None
+    assert got["orphan doc"] is None  # null in → null out, not hashed
+    # numeric strings take the plain-cast path
+    assert got["numeric-string doc"] == 42
+    # the fallback is exactly hash64(id): reproducible across runs/engines
+    expected = {
+        r["id"]: r["h"]
+        for r in df.filter("id is not null")
+        .select("id", hash64("id").alias("h"))
+        .collect()
+    }
+    assert got["uuid doc"] == expected["d41d8cd9-8f00-3204-a980-0998ecf8427e"]
+    assert got["slug doc"] == expected["https://example.com/a"]
+    # distinct string ids -> distinct doc_ids (no collision on this input)
+    assert len({v for v in got.values() if v is not None}) == 3
