@@ -34,6 +34,9 @@ HEADLINE = [
     "semantic_dedup",
     "corpus_prep",
     "token_budget",
+    # r4 additions: temporal joins
+    "asof_join",
+    "rolling_stats",
 ]
 
 

@@ -2069,6 +2069,161 @@ FROM g CROSS JOIN s
 
 
 # --------------------------------------------------------------------------
+# Temporal joins + sketches (operators/temporal.py, operators/quality.py)
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent view at or
+    before it (within 1 h) — the union-window as-of
+    (operators/temporal.py). Views are pre-deduped per (user, ts)
+    keeping the max event_id so ties are deterministic in both engines
+    (DuckDB's ASOF picks an arbitrary row among equal timestamps)."""
+    from knot_another_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("view_event_id").desc()
+    )
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("view_event_id"),
+            F.round("value", 6).alias("view_value"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return asof_join(probes, quotes, on="user_id", tolerance_seconds=3600)
+
+
+ORACLE_ASOF_JOIN = """
+WITH q AS (
+  SELECT user_id, ts, event_id AS view_event_id, round(value, 6) AS view_value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'),
+qq AS (SELECT user_id, ts, view_event_id, view_value FROM q WHERE rn = 1),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.ts, p.event_id,
+       CASE WHEN qq.ts >= p.ts - INTERVAL 1 HOUR
+            THEN qq.view_event_id END AS view_event_id,
+       CASE WHEN qq.ts >= p.ts - INTERVAL 1 HOUR
+            THEN qq.view_value END AS view_value,
+       CASE WHEN qq.ts >= p.ts - INTERVAL 1 HOUR
+            THEN qq.ts END AS asof_ts
+FROM p ASOF LEFT JOIN qq
+  ON p.user_id = qq.user_id AND p.ts >= qq.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases landing inside each user's 30-minute
+    post-error window, aggregated per window — bucket-blocked range join
+    (operators/temporal.py), never a broadcast-nested-loop."""
+    from knot_another_pipeline_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("pvalue")
+    )
+    return (
+        range_join(points, intervals, on="user_id", bucket_seconds=1800)
+        .groupBy("user_id", "error_event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("pvalue"), 6).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH e AS (
+  SELECT user_id, event_id AS error_event_id, ts AS s,
+         ts + INTERVAL 30 MINUTE AS en
+  FROM events WHERE event_type = 'error'),
+p AS (
+  SELECT user_id, ts, round(value, 6) AS pvalue
+  FROM events WHERE event_type = 'purchase')
+SELECT e.user_id, e.error_event_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(pvalue), 6) AS sum_value
+FROM e JOIN p
+  ON e.user_id = p.user_id AND p.ts >= e.s AND p.ts <= e.en
+GROUP BY e.user_id, e.error_event_id
+"""
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity features over every event —
+    native rangeBetween window (operators/temporal.py), one shuffle on
+    user_id, no self-join."""
+    from knot_another_pipeline_spark.operators.temporal import rolling_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_stats(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        window_seconds=3600,
+    )
+
+
+ORACLE_ROLLING_STATS = """
+SELECT event_id, user_id, ts, value,
+       CAST(count(value) OVER w AS BIGINT) AS n_window,
+       round(sum(value) OVER w, 6) AS sum_window,
+       round(avg(value) OVER w, 6) AS avg_window,
+       max(value) OVER w AS max_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV cardinality sketch: distinct users per event
+    type at k=64 (operators/quality.py). Unlike HLL, bit-reproducible in
+    any engine with md5 — which is what makes this differential test
+    possible at all."""
+    from knot_another_pipeline_spark.operators.quality import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", by="event_type", k=64)
+
+
+ORACLE_KMV_DISTINCT = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         substr(md5(concat('0', ':', CAST(user_id AS VARCHAR))), 1, 15) AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM d)
+SELECT event_type,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                 ELSE round(63.0 / (CAST(concat('0x', max(h)) AS BIGINT)
+                                    / 1152921504606846976.0))
+            END AS BIGINT) AS n_distinct_est
+FROM r WHERE rn <= 64
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2130,6 +2285,11 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
+    # temporal joins + sketches
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "rolling_stats": q_rolling_stats,
+    "kmv_distinct": q_kmv_distinct,
     # search
     "keyword_search": q_keyword_search,
     # data quality
@@ -2191,6 +2351,10 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "range_join": ORACLE_RANGE_JOIN,
+    "rolling_stats": ORACLE_ROLLING_STATS,
+    "kmv_distinct": ORACLE_KMV_DISTINCT,
     "keyword_search": ORACLE_KEYWORD_SEARCH,
     "table_profile": ORACLE_TABLE_PROFILE,
     "dq_reconcile": ORACLE_DQ_RECONCILE,

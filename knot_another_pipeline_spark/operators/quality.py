@@ -10,7 +10,7 @@ of driver-side polling + dict diffing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def reconciliation_report(
@@ -127,3 +127,65 @@ def daily_counts(df: DataFrame, date_col: str, limit: int = 5) -> DataFrame:
         .orderBy("dt")
         .limit(limit)
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    by: str | list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) approximate distinct count per group —
+    a *deterministic* cardinality sketch.
+
+    Spark's ``approx_count_distinct`` (HyperLogLog++) is the usual tool,
+    but its estimates are engine-internal: not reproducible across
+    engines or versions, so it can't be differential-tested and two
+    systems profiling the same table disagree. KMV is the classic
+    alternative (Bar-Yossef et al. 2002): hash every value with a fixed
+    hash, keep the k smallest hashes; if fewer than k exist the count is
+    exact, else estimate ``(k-1) / kth_smallest_normalized_hash``. With
+    md5-derived hashes the sketch — and therefore the estimate — is
+    bit-identical in any engine with md5(), our DuckDB oracle included.
+    Standard error ≈ 1/sqrt(k-2) (~13% at k=64; k is the accuracy dial,
+    payable per group).
+
+    Scale shape: a per-group top-k must not funnel a group's whole
+    distinct set through one task. This runs the two-stage tournament:
+    values dedupe to distinct (group, hash) rows (shuffle 1, the only
+    full-data one), stage one ranks within 16 hash-suffix subgroups in
+    parallel and keeps k each (≤ 16k rows per group survive), stage two
+    ranks those ≤ 16k survivors per group — bounded work regardless of
+    corpus size. Sketches are also mergeable (union the hash sets, re-
+    take the k smallest) — the same tournament, applied again.
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash_hex
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    grp = keys if keys else [F.lit(1).alias("_g")]
+    grp_names = keys if keys else ["_g"]
+    d = (
+        df.filter(F.col(col).isNotNull())
+        .select(*grp, hash_hex(col).alias("_h"))
+        .distinct()
+    )
+    sub = F.substring("_h", 15, 1)  # last hex char: 16 uniform subgroups
+    w1 = Window.partitionBy(*grp_names, sub).orderBy(F.col("_h").asc())
+    w2 = Window.partitionBy(*grp_names).orderBy(F.col("_h").asc())
+    topk = (
+        d.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+    )
+    # 16^15 = 2^60: exactly representable, same literal in the oracle
+    norm = F.conv(F.max("_h"), 16, 10).cast("double") / F.lit(float(1 << 60))
+    est = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) / norm, 0))
+    out = topk.groupBy(*grp_names).agg(
+        est.cast("bigint").alias("n_distinct_est")
+    )
+    return out.drop("_g") if not keys else out

@@ -1,0 +1,282 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join, interval
+range join, and trailing rolling-window features.
+
+The reference works these shapes with repeated Athena self-joins on
+coarse time buckets (e.g. the co-location join buckets positions into
+hour windows, ``sql/gold/create_pairs_daily.sql``) or punts them to
+pandas in the notebooks (``notebooks/explore_tracks.ipynb`` aligns a
+vessel's positions to reference timestamps with ``merge_asof``). Here
+each is a first-class distributed operator with the classic scale-safe
+plan:
+
+- ``asof_join`` — the union-window trick: tag probe and quote rows,
+  union, one window over (keys, ts) carrying the latest quote payload
+  forward. ONE shuffle on the join keys, no row explosion, no
+  inequality-join fallback to broadcast-nested-loop. This is how you do
+  ``merge_asof`` on 100 TB.
+- ``range_join`` — points-in-intervals with time-bucket blocking:
+  intervals explode to the fixed-width buckets they cover, points map to
+  exactly one bucket, so the join is a plain equi-join on
+  (keys, bucket) with the BETWEEN kept as an in-join filter. Each
+  (point, interval) match is produced exactly once — a point joins an
+  interval only in the point's own bucket.
+- ``rolling_stats`` — trailing time-window aggregates as a native
+  ``rangeBetween`` window over epoch micros: one shuffle per key, no
+  self-join, whole-stage codegen throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "range_join", "rolling_stats"]
+
+
+def _epoch_micros(col: str) -> Column:
+    # unix_micros only accepts TIMESTAMP; parquet written without a
+    # timezone surfaces TIMESTAMP_NTZ, so cast first (offset is
+    # consistent within a session, and these operators only difference
+    # or order timestamps, so any fixed offset cancels).
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    direction: str = "backward",
+    how: str = "left",
+    right_tiebreak: str | None = None,
+    matched_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """As-of join: for every left (probe) row, attach the payload of the
+    single nearest right (quote) row at-or-before its timestamp
+    (``direction='backward'``; ``'forward'`` matches at-or-after).
+
+    Pandas calls this ``merge_asof``; DuckDB calls it ``ASOF JOIN``;
+    Spark has no built-in. A naive translation —
+    ``left JOIN right ON keys AND r.ts <= l.ts`` + window max — explodes
+    to every historical quote per probe before pruning. This
+    implementation is the scalable union-window form:
+
+    1. Union probe and quote rows on (keys, event time), quotes tagged 0
+       and probes 1 so a quote at the *same* timestamp sorts before the
+       probe that should see it.
+    2. One window per key, ordered by (ts, tag[, tiebreak]), carries the
+       last non-null quote payload (a single struct — row-level
+       semantics, so NULL fields inside a quote don't fall through to an
+       older quote) up to each probe row.
+    3. Probes are filtered back out; ``tolerance_seconds`` nulls matches
+       older (newer, for forward) than the bound, and ``how='inner'``
+       drops unmatched probes.
+
+    Cost: ONE hash shuffle on ``on`` + a sort within partitions — the
+    same price as the groupBy the caller was already going to do. Skew
+    note: one window partition per key; a single pathologically hot key
+    serializes on one task (same as any per-key window — pre-split such
+    keys upstream if they exist).
+
+    Ties: multiple quotes with identical (key, ts) are ordered by
+    ``right_tiebreak`` (the largest wins); without it the winner is
+    partition-order-dependent — pass a tiebreak (or pre-dedupe quotes)
+    whenever quote timestamps can collide and determinism matters.
+
+    Output: all left columns, the selected ``right_cols`` (default:
+    every right column except keys and timestamp), and the matched
+    quote's timestamp as ``matched_ts_col``. Right columns must not
+    collide with left's — rename before joining.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    rcols = (
+        list(right_cols)
+        if right_cols is not None
+        else [c for c in right.columns if c not in (*keys, rts)]
+    )
+    collisions = set(rcols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right columns collide with left: {sorted(collisions)}; rename first"
+        )
+    lcols = [c for c in left.columns if c not in keys]
+
+    quote_pay = F.struct(
+        *[F.col(c) for c in rcols], F.col(rts).alias("_matched_ts")
+    )
+    rpay_type = right.select(quote_pay.alias("_p")).schema["_p"].dataType
+    lpay_type = (
+        left.select(F.struct(*[F.col(c) for c in lcols]).alias("_p"))
+        .schema["_p"]
+        .dataType
+    )
+    probe = left.select(
+        *keys,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_probe"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lpay"),
+        F.lit(None).cast(rpay_type).alias("_rpay"),
+    )
+    quote = right.select(
+        *keys,
+        F.col(rts).alias("_ats"),
+        F.lit(0).alias("_probe"),
+        (
+            F.col(right_tiebreak).cast("long")
+            if right_tiebreak
+            else F.lit(0).cast("long")
+        ).alias("_tb"),
+        F.lit(None).cast(lpay_type).alias("_lpay"),
+        quote_pay.alias("_rpay"),
+    )
+    ts_order = (
+        F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("_probe").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        probe.unionByName(quote)
+        .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_probe") == 1)
+    )
+    if tolerance_seconds is not None:
+        tol = F.lit(int(tolerance_seconds) * 1_000_000)
+        probe_us = F.unix_micros(F.col("_ats").cast("timestamp"))
+        match_us = F.unix_micros(F.col("_m._matched_ts").cast("timestamp"))
+        in_tol = (
+            match_us >= probe_us - tol
+            if direction == "backward"
+            else match_us <= probe_us + tol
+        )
+        matched = matched.withColumn("_m", F.when(in_tol, F.col("_m")))
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    return matched.select(
+        *keys,
+        F.col("_ats").alias(left_ts),
+        *[F.col(f"_lpay.{c}").alias(c) for c in lcols if c != left_ts],
+        *[F.col(f"_m.{c}").alias(c) for c in rcols],
+        F.col("_m._matched_ts").alias(matched_ts_col),
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+    inclusive_end: bool = True,
+) -> DataFrame:
+    """Interval (range) join: match each point row to every interval row
+    of the same key whose ``[start, end]`` contains the point's
+    timestamp.
+
+    Spark compiles a raw ``ts BETWEEN start AND end`` join predicate to
+    a broadcast-nested-loop / cartesian plan — quadratic and undistrib-
+    utable. The scale shape is time-bucket blocking: each interval
+    explodes to the fixed-width buckets it covers, each point maps to
+    exactly ONE bucket, and the join becomes an equi-join on
+    (keys, bucket) with BETWEEN as an in-join filter. Because a point
+    lives in exactly one bucket, every true (point, interval) match is
+    emitted exactly once — no post-join dedupe.
+
+    ``bucket_seconds`` is the replication dial: an interval produces
+    ``ceil(span / bucket)`` rows, so set it near the typical interval
+    span (default 1 h). Too small → interval blow-up; too large → each
+    bucket pairs points with intervals they'll fail the BETWEEN on.
+    Intervals with ``end < start`` are dropped (Spark's ``sequence``
+    would otherwise count *backwards* and silently fabricate buckets).
+
+    Inner join only: points outside every interval are dropped. Interval
+    and point columns must be disjoint apart from the keys.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"point/interval columns collide: {sorted(overlap)}; rename first"
+        )
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    b = int(bucket_seconds) * 1_000_000
+    p = points.withColumn("_bkt", _epoch_micros(point_ts) - _epoch_micros(point_ts) % b)
+    iv = (
+        intervals.filter(F.col(end_col) >= F.col(start_col))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    _epoch_micros(start_col) - _epoch_micros(start_col) % b,
+                    _epoch_micros(end_col) - _epoch_micros(end_col) % b,
+                    F.lit(b),
+                )
+            ),
+        )
+    )
+    end_ok = (
+        F.col(point_ts) <= F.col(end_col)
+        if inclusive_end
+        else F.col(point_ts) < F.col(end_col)
+    )
+    return (
+        p.join(iv, [*keys, "_bkt"])
+        .filter((F.col(point_ts) >= F.col(start_col)) & end_ok)
+        .drop("_bkt")
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Trailing time-window features per key: for every row, the count /
+    sum / mean / max of ``value_col`` over ``[ts - window, ts]`` of the
+    same key — the standard per-entity activity features (requests in
+    the last hour, tokens in the last day, ...).
+
+    Implemented as a native ``rangeBetween`` window over epoch micros:
+    one shuffle on the key, sorted scan within each partition, all
+    whole-stage-codegen — never a self-join (the naive
+    ``t1 JOIN t2 ON key AND t2.ts BETWEEN t1.ts - w AND t1.ts`` is
+    quadratic in per-key density). Rows sharing an identical timestamp
+    are RANGE peers: each sees the other's contribution, matching SQL
+    ``RANGE BETWEEN ... PRECEDING AND CURRENT ROW`` in any engine.
+
+    Float sums/means are rounded to ``round_to`` so results are
+    cross-engine reproducible.
+    """
+    if window_seconds < 1:
+        raise ValueError(f"window_seconds must be >= 1, got {window_seconds}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_epoch_micros(ts_col))
+        .rangeBetween(-int(window_seconds) * 1_000_000, Window.currentRow)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn("n_window", F.count(v).over(w).cast("bigint"))
+        .withColumn("sum_window", F.round(F.sum(v).over(w), round_to))
+        .withColumn("avg_window", F.round(F.avg(v).over(w), round_to))
+        .withColumn("max_window", F.max(v).over(w))
+    )

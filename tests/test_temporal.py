@@ -1,0 +1,187 @@
+"""Temporal operators: as-of join, range join, rolling window, KMV sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knot_another_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    rolling_stats,
+)
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:00:00", 10.0),
+            (1, "2025-01-01 00:30:00", 20.0),
+            (1, "2025-01-01 02:00:00", 30.0),
+            (2, "2025-01-01 01:00:00", 99.0),
+        ],
+        "uid long, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def _probes(spark):
+    return spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:15:00"),   # -> 10.0 (00:00)
+            (1, "2025-01-01 00:30:00"),   # -> 20.0 (tie: quote at same ts wins)
+            (1, "2025-01-01 03:00:00"),   # -> 30.0 (02:00)
+            (2, "2025-01-01 00:30:00"),   # -> no prior quote
+            (3, "2025-01-01 00:30:00"),   # -> key never quoted
+        ],
+        "uid long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_join_backward_matches_latest_prior(spark):
+    out = asof_join(_probes(spark), _quotes(spark), on="uid")
+    got = {(r["uid"], str(r["ts"])): r["px"] for r in out.collect()}
+    assert got[(1, "2025-01-01 00:15:00")] == 10.0
+    assert got[(1, "2025-01-01 00:30:00")] == 20.0  # <= includes equal ts
+    assert got[(1, "2025-01-01 03:00:00")] == 30.0
+    assert got[(2, "2025-01-01 00:30:00")] is None  # left join keeps row
+    assert got[(3, "2025-01-01 00:30:00")] is None
+    assert out.count() == 5
+
+
+def test_asof_join_tolerance_and_inner(spark):
+    out = asof_join(
+        _probes(spark), _quotes(spark), on="uid", tolerance_seconds=1800
+    )
+    got = {(r["uid"], str(r["ts"])): r["px"] for r in out.collect()}
+    # 03:00 probe's match (02:00) is 1h old -> nulled by 30min tolerance
+    assert got[(1, "2025-01-01 03:00:00")] is None
+    assert got[(1, "2025-01-01 00:15:00")] == 10.0
+    inner = asof_join(
+        _probes(spark), _quotes(spark), on="uid",
+        tolerance_seconds=1800, how="inner",
+    )
+    assert inner.count() == 2  # only the two in-tolerance matches survive
+
+
+def test_asof_join_forward_direction(spark):
+    out = asof_join(_probes(spark), _quotes(spark), on="uid", direction="forward")
+    got = {(r["uid"], str(r["ts"])): r["px"] for r in out.collect()}
+    assert got[(1, "2025-01-01 00:15:00")] == 20.0   # next quote at 00:30
+    assert got[(1, "2025-01-01 00:30:00")] == 20.0   # equal ts matches
+    assert got[(1, "2025-01-01 03:00:00")] is None   # nothing later
+    assert got[(2, "2025-01-01 00:30:00")] == 99.0
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    # two quotes at the identical (uid, ts): highest tiebreak wins
+    quotes = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", 5.0, 100), (1, "2025-01-01 00:00:00", 7.0, 200)],
+        "uid long, ts string, px double, qid long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    probes = spark.createDataFrame(
+        [(1, "2025-01-01 00:10:00")], "uid long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(
+        probes, quotes, on="uid", right_cols=["px"], right_tiebreak="qid"
+    ).collect()
+    assert out[0]["px"] == 7.0
+
+
+def test_range_join_points_in_intervals(spark):
+    intervals = spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:00:00", "2025-01-01 01:00:00", "w1"),
+            (1, "2025-01-01 00:30:00", "2025-01-01 00:45:00", "w2"),  # overlaps w1
+            (2, "2025-01-01 05:00:00", "2025-01-01 06:00:00", "w3"),
+            (1, "2025-01-01 09:00:00", "2025-01-01 08:00:00", "bad"),  # end<start
+        ],
+        "uid long, start string, end string, label string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    points = spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:40:00", 1),  # in w1 AND w2
+            (1, "2025-01-01 01:00:00", 2),  # w1 boundary (inclusive end)
+            (1, "2025-01-01 02:00:00", 3),  # in nothing
+            (2, "2025-01-01 05:30:00", 4),  # in w3
+            (1, "2025-01-01 08:30:00", 5),  # inside 'bad' reversed interval: dropped
+        ],
+        "uid long, ts string, pid long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # bucket smaller than the intervals to exercise multi-bucket explode
+    out = range_join(
+        points, intervals, on="uid", bucket_seconds=600
+    ).select("pid", "label").collect()
+    got = sorted((r["pid"], r["label"]) for r in out)
+    assert got == [(1, "w1"), (1, "w2"), (2, "w1"), (4, "w3")]
+
+
+def test_range_join_exclusive_end(spark):
+    intervals = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", "2025-01-01 01:00:00", "w")],
+        "uid long, start string, end string, label string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    points = spark.createDataFrame(
+        [(1, "2025-01-01 01:00:00", 1)], "uid long, ts string, pid long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert range_join(points, intervals, on="uid").count() == 1
+    assert (
+        range_join(points, intervals, on="uid", inclusive_end=False).count() == 0
+    )
+
+
+def test_rolling_stats_trailing_window(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:00:00", 1.0),
+            (1, "2025-01-01 00:30:00", 2.0),
+            (1, "2025-01-01 01:00:00", 4.0),   # 1h window: sees all three
+            (1, "2025-01-01 02:30:00", 8.0),   # everything else aged out
+            (2, "2025-01-01 00:10:00", 5.0),
+        ],
+        "uid long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = rolling_stats(
+        df, key_col="uid", ts_col="ts", value_col="v", window_seconds=3600
+    )
+    got = {
+        (r["uid"], str(r["ts"])): (r["n_window"], r["sum_window"], r["max_window"])
+        for r in out.collect()
+    }
+    assert got[(1, "2025-01-01 00:00:00")] == (1, 1.0, 1.0)
+    assert got[(1, "2025-01-01 00:30:00")] == (2, 3.0, 2.0)
+    assert got[(1, "2025-01-01 01:00:00")] == (3, 7.0, 4.0)  # inclusive bound
+    assert got[(1, "2025-01-01 02:30:00")] == (1, 8.0, 8.0)
+    assert got[(2, "2025-01-01 00:10:00")] == (1, 5.0, 5.0)
+
+
+def test_rolling_stats_equal_ts_are_range_peers(spark):
+    df = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", 1.0), (1, "2025-01-01 00:00:00", 2.0)],
+        "uid long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = rolling_stats(
+        df, key_col="uid", ts_col="ts", value_col="v", window_seconds=60
+    ).collect()
+    assert sorted(r["sum_window"] for r in out) == [3.0, 3.0]
+
+
+def test_kmv_distinct_exact_below_k_and_estimate_above(spark):
+    from knot_another_pipeline_spark.operators.quality import kmv_distinct
+
+    rows = [("small", i % 10) for i in range(100)] + [
+        ("big", i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {
+        r["grp"]: r["n_distinct_est"]
+        for r in kmv_distinct(df, "v", by="grp", k=64).collect()
+    }
+    assert out["small"] == 10  # fewer than k distinct -> exact
+    # estimate within ~4 standard errors (1/sqrt(62) ~ 12.7%)
+    assert abs(out["big"] - 5000) / 5000 < 0.5
+    # global (no `by`): one row, exact-small path
+    g = kmv_distinct(df.filter("grp = 'small'"), "v", k=64).collect()
+    assert len(g) == 1 and g[0]["n_distinct_est"] == 10
