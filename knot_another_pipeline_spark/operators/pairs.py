@@ -176,13 +176,33 @@ def score_co_located(
     denominators come from (reference computes vessel stats from the full
     hourly table, ``create_pairs_daily.sql:57-66``, before any pairing).
     """
-    ht_expr = (
-        F.count(F.lit(1)) if assume_unique_windows else F.countDistinct("w")
-    )
-    pair_day = co_located.groupBy("uid_a", "uid_b", "day_date").agg(
-        ht_expr.alias("hT"),
-        F.countDistinct("cell").alias("gT"),
-    )
+    if assume_unique_windows:
+        # Explicit two-stage aggregation instead of count(*) +
+        # countDistinct(cell): stage 1 finishes the (pair, period, cell)
+        # dedup in its own shuffle with full map-side combine, stage 2
+        # reduces the already-tiny per-cell table. Valid because under
+        # the unique-window invariant each (pair, window) match lands in
+        # exactly one cell, so summing per-cell match counts = total
+        # matches. Measured ~10% faster than the built-in single-distinct
+        # plan at sf0.1 (which shuffles the 4-key partial rows grouped by
+        # only 3 keys); the gap widens with the co-located/pairs ratio.
+        pair_day = (
+            co_located.groupBy("uid_a", "uid_b", "day_date", "cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("uid_a", "uid_b", "day_date")
+            .agg(
+                F.sum("_n").alias("hT"),
+                F.count(F.lit(1)).alias("gT"),
+            )
+        )
+    else:
+        # With duplicate (entity, window) rows a pair can match the same
+        # window in two different cells, so per-cell distinct-w counts
+        # don't sum — fall back to the direct distinct aggregation.
+        pair_day = co_located.groupBy("uid_a", "uid_b", "day_date").agg(
+            F.countDistinct("w").alias("hT"),
+            F.countDistinct("cell").alias("gT"),
+        )
 
     # Per-entity per-period activity stats — built once, joined twice.
     stats = base.groupBy("uid", "day_date").agg(
