@@ -2224,6 +2224,143 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Warehouse maintenance + profiling (relational.py, sampling.py, quality.py)
+# --------------------------------------------------------------------------
+
+
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (operators/relational.py): a synthetic update
+    batch (every 10th order re-priced — doubled, exact in binary FP — and status-flipped) plus an insert
+    batch (negated keys) merged into orders — union + latest-row-wins,
+    one shuffle, no join."""
+    from knot_another_pipeline_spark.operators.relational import upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.round(F.col("price") * 2, 2).alias("price"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") > 0)
+    ).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        "price",
+    )
+    merged = upsert(orders, updates.unionByName(inserts), "o_orderkey")
+    return merged.select("o_orderkey", "o_orderstatus", "price")
+
+
+ORACLE_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+  FROM orders),
+upd AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, round(price * 2, 2) AS price
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey, 'I', price FROM base
+  WHERE o_orderkey % 7 = 0 AND o_orderkey > 0),
+tagged AS (
+  SELECT *, 0 AS pref FROM base
+  UNION ALL
+  SELECT *, 1 AS pref FROM upd),
+r AS (
+  SELECT o_orderkey, o_orderstatus, price,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY pref DESC) AS rn
+  FROM tagged)
+SELECT o_orderkey, o_orderstatus, price FROM r WHERE rn = 1
+"""
+
+
+def q_grouped_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) in one input pass
+    (operators/relational.py grouped_totals): leaf grains, per-status
+    subtotals, and the grand total from a single scan. Money sums in
+    integer cents so the multi-grain totals are exact in any engine."""
+    from knot_another_pipeline_spark.operators.relational import grouped_totals
+
+    orders = load_table(spark, sf_dir, "orders")
+    return grouped_totals(
+        orders.withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ),
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        ],
+    )
+
+
+ORACLE_GROUPED_TOTALS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-ES, operators/sampling.py):
+    50 documents drawn with probability ∝ length, reproducible across
+    engines because u is md5-derived — the oracle draws the identical
+    sample."""
+    from knot_another_pipeline_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, id_col="doc_id", weight_col="n_chars", k=50
+    ).select("doc_id", "n_chars")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((CAST(concat('0x', substr(md5(concat('0', ':',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1.0)
+            / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) > 0
+  ORDER BY k DESC, doc_id ASC
+  LIMIT 50) t
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value (operators/quality.py): 20
+    bins over [0, 500), out-of-range clamped to the edge bins — shuffle
+    bounded by bin count, not data size."""
+    from knot_another_pipeline_spark.operators.quality import (
+        equi_width_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return equi_width_histogram(ev, "value", bins=20, lo=0.0, hi=500.0)
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH b AS (
+  SELECT least(greatest(
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 25.0) AS BIGINT),
+           0), 19) AS bin
+  FROM events WHERE value IS NOT NULL)
+SELECT bin,
+       round(0.0 + bin * 25.0, 6) AS bin_lo,
+       round(0.0 + (bin + 1) * 25.0, 6) AS bin_hi,
+       count(*) AS n
+FROM b GROUP BY bin
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2285,6 +2422,11 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
+    # warehouse maintenance + profiling
+    "upsert": q_upsert,
+    "grouped_totals": q_grouped_totals,
+    "weighted_sample": q_weighted_sample,
+    "value_histogram": q_value_histogram,
     # temporal joins + sketches
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2351,6 +2493,10 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "upsert": ORACLE_UPSERT,
+    "grouped_totals": ORACLE_GROUPED_TOTALS,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "value_histogram": ORACLE_VALUE_HISTOGRAM,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
     "rolling_stats": ORACLE_ROLLING_STATS,

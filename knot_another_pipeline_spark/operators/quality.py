@@ -189,3 +189,53 @@ def kmv_distinct(
         est.cast("bigint").alias("n_distinct_est")
     )
     return out.drop("_g") if not keys else out
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Fixed-bin histogram of a numeric column: one aggregation pass,
+    deterministic bin edges — the distribution-profiling companion to
+    :func:`profile_table` (score distributions, length distributions,
+    drift checks between corpus snapshots).
+
+    ``bins`` equal-width buckets over [lo, hi); values below ``lo`` clamp
+    into bin 0, values at/above ``hi`` into the last bin (so the counts
+    always total the non-null rows — out-of-range data is visible at the
+    edges rather than silently dropped). Bin index math is plain double
+    arithmetic, bit-identical across engines. Empty bins are absent from
+    the output (left to the caller/plot layer to densify — emitting them
+    would need a range join against a generated series for no analytic
+    gain).
+
+    Scale: groupBy on the bin index — at most ``bins`` groups, so the
+    shuffle is bounded by the histogram resolution, not the data.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (float(hi) - float(lo)) / bins
+    v = F.col(col).cast("double")
+    idx = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("bigint")
+    clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(clamped.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(float(lo)) + F.col("bin") * F.lit(width), 6).alias(
+                "bin_lo"
+            ),
+            F.round(
+                F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width), 6
+            ).alias("bin_hi"),
+            "n",
+        )
+    )

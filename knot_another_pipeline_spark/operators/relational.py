@@ -204,3 +204,85 @@ def user_set_ops(events: DataFrame) -> DataFrame:
         F.col("user_id").alias("uid")
     )
     return purchasers.subtract(error_users).orderBy("uid")
+
+
+def upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: str | list[str],
+    *,
+    order_col: str | None = None,
+) -> DataFrame:
+    """MERGE-style upsert without a table format: rows from ``updates``
+    replace same-key rows in ``existing``; unmatched update rows insert.
+
+    The reference maintains gold tables by drop-and-recreate
+    (``pipelines/refresh_gold_tables.py`` CTAS per refresh) — fine for
+    full rebuilds, quadratically wasteful when a day's late data touches
+    0.1% of keys. Without Delta/Iceberg ``MERGE INTO``, the scalable
+    plain-parquet shape is union + latest-row-wins: one shuffle on the
+    keys, no join (an outer-join MERGE shuffles both sides *and* builds
+    join rows just to throw the old side away).
+
+    ``order_col``: versioning column (e.g. an updated_at timestamp).
+    When set, the highest value wins regardless of which side it came
+    from — replaying an old batch cannot regress a newer row (idempotent
+    re-ingestion). When None, ``updates`` rows always beat ``existing``
+    (classic MERGE semantics). Among true duplicates the update side
+    wins; ties within a side are broken arbitrarily-but-deterministically
+    by the precedence column itself.
+
+    Both frames must share the schema (checked). Scale: the single
+    shuffle partitions by key; write the result with the same
+    partitioning/bucketing as the target to keep downstream joins
+    co-located.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if set(existing.columns) != set(updates.columns):
+        raise ValueError(
+            f"schemas differ: {sorted(existing.columns)} vs "
+            f"{sorted(updates.columns)}"
+        )
+    tagged = existing.withColumn("_pref", F.lit(0)).unionByName(
+        updates.select(*existing.columns).withColumn("_pref", F.lit(1))
+    )
+    order = [F.col("_pref").desc()]
+    if order_col is not None:
+        order.insert(0, F.col(order_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_pref", "_rn")
+    )
+
+
+def grouped_totals(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: list,
+    *,
+    mode: str = "rollup",
+) -> DataFrame:
+    """Multi-grain aggregation in one pass: ROLLUP (hierarchical
+    subtotals + grand total) or CUBE (every grouping-set combination).
+
+    The reference's notebooks recompute each grain with a separate
+    GROUP BY query (per-status, per-priority, overall); ROLLUP/CUBE
+    compute all grains in ONE scan — Spark plans an Expand (one row copy
+    per grouping set) feeding a single hash aggregate, so the input is
+    read once instead of once per grain. At 100 TB that's the difference
+    between one pass and N.
+
+    Subtotal rows carry NULL in the rolled-up columns; ``grouping_id``
+    disambiguates a subtotal NULL from a NULL data value (standard SQL
+    GROUPING semantics, identical in any engine).
+    """
+    if mode not in ("rollup", "cube"):
+        raise ValueError(f"mode must be rollup|cube, got {mode}")
+    grouped = (
+        df.rollup(*group_cols) if mode == "rollup" else df.cube(*group_cols)
+    )
+    return grouped.agg(
+        F.grouping_id(*group_cols).cast("bigint").alias("grouping_id"), *aggs
+    )

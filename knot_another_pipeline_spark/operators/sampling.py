@@ -259,3 +259,49 @@ def token_budget_by_group(
             "cum_tokens",
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: k rows where
+    inclusion probability is proportional to ``weight_col`` — the
+    quality-weighted corpus subsampling step (sample 10M docs favoring
+    high quality scores, reproducibly).
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): each row gets key
+    ``ln(u) / w`` with u uniform in (0,1); the k LARGEST keys are the
+    sample. u is md5-derived from (seed, id) — no RNG state, so the
+    same (data, seed, k) yields the same sample in any engine with
+    md5(), executor count and partitioning included. Changing ``seed``
+    redraws.
+
+    Scale: the key is a codegen expression; top-k-by-key compiles to
+    TakeOrderedAndProject (per-partition top-k, then merge of k·P rows)
+    — never a global sort. One pass, no shuffle of the corpus.
+
+    Rows with NULL, zero, or negative weight are excluded (they have no
+    sampling probability). Ties are broken by id for full determinism.
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash64
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # u in (0, 1]: (h + 1) / 2^60 over the 60-bit nonnegative hash64
+    u = (hash64(F.col(id_col), seed=seed).cast("double") + 1.0) / F.lit(
+        float(1 << 60)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_sample_key", key)
+        .orderBy(F.col("_sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_sample_key")
+    )
