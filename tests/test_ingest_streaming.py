@@ -611,3 +611,47 @@ def test_to_documents_string_id_hash_fallback(spark, tmp_path):
     assert got["slug doc"] == expected["https://example.com/a"]
     # distinct string ids -> distinct doc_ids (no collision on this input)
     assert len({v for v in got.values() if v is not None}) == 3
+
+
+def test_streaming_upsert_sink_incremental_merge(spark, tmp_path):
+    """foreachBatch upsert sink: batch 2 updates keys in place instead of
+    appending duplicates; a no-new-data restart leaves the table
+    unchanged (idempotent replay)."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_upsert_sink,
+    )
+
+    src = tmp_path / "cdc_src"
+    out = str(tmp_path / "gold_tbl")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k long, v string, ver long"
+
+    def run_once():
+        q = streaming_upsert_sink(
+            spark.readStream.schema(schema).parquet(str(src)),
+            keys="k",
+            output_path=out,
+            checkpoint_path=ckpt,
+            order_col="ver",
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    spark.createDataFrame([(2, "B", 2), (3, "c", 1)], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert spark.read.parquet(out).count() == 3  # updated, not duplicated
+
+    run_once()  # nothing new: table unchanged
+    assert {r["k"]: r["v"] for r in spark.read.parquet(out).collect()} == {
+        1: "a", 2: "B", 3: "c",
+    }
