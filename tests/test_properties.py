@@ -253,3 +253,111 @@ def test_token_budget_matches_naive_cumsum(spark, rows, budget):
         if cum <= budget:
             expected[i] = cum
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# asof_join ≡ brute-force latest-at-or-before per probe, on arbitrary data
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # probes: (key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # quotes: (key, t, qid) — qid made unique below
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0, max_size=25,
+    ),
+    st.one_of(st.none(), st.integers(1, 40)),
+)
+def test_asof_join_matches_bruteforce(spark, probes, quotes, tol):
+    from knot_another_pipeline_spark.operators.temporal import asof_join
+
+    base = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    quote_rows = [
+        (k, base + timedelta(seconds=t), i, float(i))
+        for i, (k, t) in enumerate(quotes)
+    ]
+    probe_rows = [
+        (k, base + timedelta(seconds=t), i) for i, (k, t) in enumerate(probes)
+    ]
+    left = spark.createDataFrame(
+        probe_rows, "k long, ts timestamp, pid long"
+    )
+    right = spark.createDataFrame(
+        quote_rows, "k long, ts timestamp, qid long, px double"
+    )
+    out = asof_join(
+        left, right, on="k",
+        tolerance_seconds=tol, right_tiebreak="qid",
+    ).collect()
+
+    def brute(k, t):
+        cands = [
+            (qt, qid, px)
+            for (qk, qt, qid, px) in quote_rows
+            if qk == k and qt <= t
+            and (tol is None or (t - qt).total_seconds() <= tol)
+        ]
+        if not cands:
+            return None
+        # latest ts; among equal ts the largest tiebreak wins
+        qt, qid, px = max(cands, key=lambda c: (c[0], c[1]))
+        return px
+
+    assert len(out) == len(probe_rows)  # left join keeps every probe
+    for r in out:
+        want = brute(r["k"], r["ts"].replace(tzinfo=timezone.utc))
+        assert r["px"] == want, (r["k"], r["ts"], r["px"], want)
+
+
+# ---------------------------------------------------------------------------
+# range_join ≡ brute-force interval containment (each match exactly once)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200)),
+        min_size=1, max_size=20,
+    ),
+    st.lists(  # (key, start_s, span_s)
+        st.tuples(st.integers(0, 2), st.integers(0, 200), st.integers(0, 120)),
+        min_size=1, max_size=12,
+    ),
+    st.sampled_from([7, 60, 3600]),
+)
+def test_range_join_matches_bruteforce(spark, points, intervals, bucket):
+    from knot_another_pipeline_spark.operators.temporal import range_join
+
+    base = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    point_rows = [
+        (k, base + timedelta(seconds=t), i) for i, (k, t) in enumerate(points)
+    ]
+    iv_rows = [
+        (
+            k,
+            base + timedelta(seconds=s),
+            base + timedelta(seconds=s + span),
+            i,
+        )
+        for i, (k, s, span) in enumerate(intervals)
+    ]
+    p = spark.createDataFrame(point_rows, "k long, ts timestamp, pid long")
+    iv = spark.createDataFrame(
+        iv_rows, "k long, start timestamp, end timestamp, ivid long"
+    )
+    got = sorted(
+        (r["pid"], r["ivid"])
+        for r in range_join(p, iv, on="k", bucket_seconds=bucket).collect()
+    )
+    want = sorted(
+        (pid, ivid)
+        for (pk, pt, pid) in point_rows
+        for (ik, s, e, ivid) in iv_rows
+        if pk == ik and s <= pt <= e
+    )
+    assert got == want  # every containment, exactly once, no duplicates

@@ -185,3 +185,28 @@ def test_kmv_distinct_exact_below_k_and_estimate_above(spark):
     # global (no `by`): one row, exact-small path
     g = kmv_distinct(df.filter("grp = 'small'"), "v", k=64).collect()
     assert len(g) == 1 and g[0]["n_distinct_est"] == 10
+
+
+def test_temporal_plan_shapes(spark):
+    """Scale regression guards: range_join must compile to an equi-join
+    (never broadcast-nested-loop/cartesian), and asof_join must be a
+    join-free single-window plan."""
+    intervals = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", "2025-01-01 01:00:00", "w")],
+        "uid long, start string, end string, label string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    points = spark.createDataFrame(
+        [(1, "2025-01-01 00:30:00", 7)], "uid long, ts string, pid long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rj_plan = range_join(points, intervals, on="uid")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in rj_plan
+    assert "CartesianProduct" not in rj_plan
+    assert "Join" in rj_plan  # it IS a (hash/sort-merge/broadcast-hash) join
+
+    aj_plan = asof_join(_probes(spark), _quotes(spark), on="uid")._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in aj_plan     # union-window: no join operator at all
+    assert "Window" in aj_plan
