@@ -2223,6 +2223,44 @@ GROUP BY event_type
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM quality score per document
+    (operators/text_analysis.py unigram_logprob_score): the CCNet-style
+    perplexity-ranking signal, deterministic and oracle-checkable."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        unigram_logprob_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob_score(docs, id_col="doc_id", text_col="text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "avg_logprob",
+        "perplexity",
+    )
+
+
+ORACLE_LM_SCORE = rf"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+totals AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS model_n,
+         CAST(count(*) AS DOUBLE) AS model_v
+  FROM counts),
+scored AS (
+  SELECT tok.doc_id,
+         ln((CAST(coalesce(c.cnt, 0) AS DOUBLE) + 0.5)
+            / (t.model_n + 0.5 * t.model_v)) AS logp
+  FROM tok LEFT JOIN counts c ON tok.tok = c.tok CROSS JOIN totals t)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(logp), 6) AS avg_logprob,
+       round(exp(-round(avg(logp), 6)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Warehouse maintenance + profiling (relational.py, sampling.py, quality.py)
 # --------------------------------------------------------------------------
@@ -2422,6 +2460,8 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
+    # LM quality scoring
+    "lm_score": q_lm_score,
     # warehouse maintenance + profiling
     "upsert": q_upsert,
     "grouped_totals": q_grouped_totals,
@@ -2493,6 +2533,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "lm_score": ORACLE_LM_SCORE,
     "upsert": ORACLE_UPSERT,
     "grouped_totals": ORACLE_GROUPED_TOTALS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

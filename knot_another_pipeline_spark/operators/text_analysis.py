@@ -347,3 +347,76 @@ def winnow_fingerprints(
         .select("id", "fp_hash")
         .distinct()
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram language-model quality score: each document's mean token
+    log-probability under an add-alpha-smoothed unigram model estimated
+    from ``model_df`` (default: the scored corpus itself) — the
+    deterministic baby sibling of the KenLM/perplexity filters used to
+    rank web text for training data (CCNet-style). Low avg_logprob =
+    rare/garbled vocabulary; high = plain common prose.
+
+    Two passes, all relational:
+    1. model: explode model tokens → count per token; totals (N tokens,
+       V vocab) in one aggregate. ``logprob(t) = ln((c_t + α)/(N + αV))``,
+       unseen tokens get ``ln(α/(N + αV))``.
+    2. score: explode scored tokens, LEFT join the count table on token,
+       1-row totals broadcast, mean per document.
+
+    Scale: the token join shuffles corpus-token rows on the token key —
+    Zipf skew on hot tokens is bounded by AQE skew splitting, and the
+    count table is V rows (≪ corpus). At extreme scale estimate the
+    model from a hash-sampled slice (hash_sample) and/or keep top-V
+    tokens: every dropped token just scores as OOV — the formula
+    degrades gracefully. Documents with zero tokens produce no row (they
+    have no mean log-prob; filter them with quality_filter instead).
+
+    Output: doc id, n_tokens, avg_logprob, perplexity (= exp(-avg),
+    computed from the *rounded* mean so it reproduces cross-engine).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    text = F.col(text_col)
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text)).alias("tok")
+    )
+    if model_df is None:
+        mtok = tok
+    else:
+        mtok = model_df.select(
+            F.explode(
+                _tokens(F.col(model_text_col or text_col))
+            ).alias("tok")
+        )
+    counts = mtok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("double").alias("model_n"),
+        F.count(F.lit(1)).cast("double").alias("model_v"),
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (F.col("model_n") + F.lit(alpha) * F.col("model_v"))
+    )
+    avg_logprob = F.round(F.avg(logp), round_to)
+    return (
+        tok.join(counts, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            avg_logprob.alias("avg_logprob"),
+        )
+        .withColumn(
+            "perplexity", F.round(F.exp(-F.col("avg_logprob")), 4)
+        )
+    )

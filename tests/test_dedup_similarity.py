@@ -785,3 +785,44 @@ def test_connected_components_eager_free_opt_in(spark):
     assert bystander.count() == 1  # cache survived (registry diff is scoped)
     assert bystander.storageLevel.useMemory  # still marked persistent
     bystander.unpersist()
+
+
+def test_unigram_logprob_score_ranks_common_prose_higher(spark):
+    """Docs made of corpus-common tokens outscore rare-vocabulary docs;
+    a doc scored against a foreign model is all-OOV and scores lowest;
+    empty docs produce no row."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        unigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 5),
+            (2, "the cat sat on the mat"),
+            (3, "zyx qwv jkq plm vbn"),     # vocabulary of hapaxes
+            (4, "   "),                      # no tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in unigram_logprob_score(
+            docs, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[1]["perplexity"] < out[3]["perplexity"]
+    assert out[2]["n_tokens"] == 6
+
+    # scoring against an external model: all-OOV text scores below
+    # anything in-vocabulary
+    model = docs.filter("doc_id = 1")
+    scored = {
+        r["id"]: r["avg_logprob"]
+        for r in unigram_logprob_score(
+            docs.filter("doc_id in (2, 3)"),
+            id_col="doc_id", text_col="text", model_df=model,
+        ).collect()
+    }
+    assert scored[2] > scored[3]
