@@ -2223,6 +2223,80 @@ GROUP BY event_type
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup (operators/dedup.py
+    incremental_dedup): every 5th document plays the newly-landed batch,
+    the rest the existing lake; exact (fingerprint) + near (banded
+    minhash) screens, corpus never self-paired."""
+    from knot_another_pipeline_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "status",
+        "dup_of",
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = (
+    rf"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_SIG_SQL}),
+buckets AS (
+  """
+    + "\n  UNION ALL\n  ".join(_band_bucket_sql(b) for b in range(4))
+    + r"""
+),
+nfp AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 5 = 0),
+cfp AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 5 != 0),
+exact AS (
+  SELECT nfp.id, min(cfp.id) AS dup_of
+  FROM nfp JOIN cfp USING (fp) GROUP BY nfp.id),
+cands AS (
+  SELECT DISTINCT n.id AS id_a, c.id AS id_b
+  FROM buckets n JOIN buckets c
+    ON n.band = c.band AND n.bucket = c.bucket
+  WHERE n.id % 5 = 0
+    AND (c.id % 5 != 0 OR c.id < n.id)),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         ("""
+    + " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(16)
+    )
+    + r""") / 16.0 AS est
+  FROM cands c
+  JOIN sig sa ON sa.id = c.id_a
+  JOIN sig sb ON sb.id = c.id_b),
+near AS (
+  SELECT id_a AS id, min(id_b) AS dup_of, max(est) AS est
+  FROM verified WHERE est >= 0.7 GROUP BY id_a)
+SELECT d.doc_id,
+       CASE WHEN e.id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.id IS NOT NULL THEN 'near_dup'
+            ELSE 'keep' END AS status,
+       coalesce(e.dup_of, nr.dup_of) AS dup_of,
+       CASE WHEN e.id IS NULL THEN round(nr.est, 4) END AS est_jaccard
+FROM documents d
+LEFT JOIN exact e ON d.doc_id = e.id
+LEFT JOIN near nr ON d.doc_id = nr.id
+WHERE d.doc_id % 5 = 0
+"""
+)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram LM quality score per document
     (operators/text_analysis.py unigram_logprob_score): the CCNet-style
@@ -2460,7 +2534,8 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
-    # LM quality scoring
+    # incremental dedup + LM quality scoring
+    "incremental_dedup": q_incremental_dedup,
     "lm_score": q_lm_score,
     # warehouse maintenance + profiling
     "upsert": q_upsert,
@@ -2533,6 +2608,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "lm_score": ORACLE_LM_SCORE,
     "upsert": ORACLE_UPSERT,
     "grouped_totals": ORACLE_GROUPED_TOTALS,

@@ -633,3 +633,154 @@ def connected_components(
             break
     _free(bidir_ids)
     return labels
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without re-pairing
+    the corpus with itself — the daily-increment shape of a training-data
+    pipeline (yesterday's crawl lands; drop what the lake already has).
+
+    A full re-run of minhash_pairs over corpus+batch re-pays the
+    corpus×corpus candidate join every day. Incremental screening only
+    ever joins *new × (new ∪ corpus)*:
+
+    1. exact screen: md5 content fingerprints, new LEFT SEMI–style
+       matched against corpus fingerprints (a hash join on a 1-column
+       key; at scale, keep the fingerprint column as a maintained index
+       table instead of recomputing from corpus text).
+    2. near screen: minhash band buckets for both sides, equi-join on
+       (band, bucket) *restricted to new-batch probes* — corpus rows
+       only ever appear on the build side, never pair with each other.
+       Candidates are verified with the full-signature Jaccard estimate
+       before a verdict.
+    3. within-batch duplicates (new × new, same band join) are also
+       caught so the surviving set is internally clean.
+
+    Output: one row per new doc — id, status
+    ('keep' | 'exact_dup' | 'near_dup'), dup_of (the matched existing or
+    in-batch doc id; the smallest match for determinism), est_jaccard
+    (NULL for exact dups/keeps). Precedence: exact beats near.
+
+    Scale: both screens are equi-joins keyed on hashes; the corpus side
+    is never self-joined, so daily cost is O(batch × collision rate),
+    not O(corpus²). For repeated runs, persist fingerprints + signatures
+    as the dedup index and feed them in place of raw corpus text.
+    """
+    nd = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    cd = corpus.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    rows_per_band = num_hashes // bands
+
+    # -- exact screen ------------------------------------------------------
+    nfp = nd.select("id", content_fingerprint("text").alias("fp"))
+    cfp = cd.select(
+        F.col("id").alias("dup_of"), content_fingerprint("text").alias("fp")
+    )
+    exact = (
+        nfp.join(cfp, "fp")
+        .groupBy("id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .withColumn("status", F.lit("exact_dup"))
+    )
+
+    # -- near screen (banded minhash, probe = new only) --------------------
+    def _buckets(sigs: DataFrame) -> DataFrame:
+        band_keys = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+        return sigs.select(
+            "id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+        )
+
+    nsig = minhash_signatures(
+        shingle_table(nd, id_col="id", text_col="text"),
+        num_hashes=num_hashes,
+    )
+    csig = minhash_signatures(
+        shingle_table(cd, id_col="id", text_col="text"),
+        num_hashes=num_hashes,
+    )
+    nb = _buckets(nsig).alias("n")
+    # build side = corpus ∪ new batch; within-batch matches keep only the
+    # (smaller id -> larger id) orientation so exactly one of a dup pair
+    # survives (the smaller id stays 'keep' and anchors the group).
+    cb = _buckets(csig).withColumn("in_batch", F.lit(False)).unionByName(
+        _buckets(nsig).withColumn("in_batch", F.lit(True))
+    ).alias("c")
+    cands = (
+        nb.join(
+            cb,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket"))
+            & (
+                (~F.col("c.in_batch"))
+                | (F.col("c.id") < F.col("n.id"))
+            ),
+        )
+        .select(
+            F.col("n.id").alias("id_a"), F.col("c.id").alias("id_b")
+        )
+        .distinct()
+    )
+    # ids must be globally unique across batch and corpus (the usual
+    # contract for an id column; hash64 string ids upstream if needed)
+    all_sigs = nsig.unionByName(csig)
+    verified = minhash_similarity(
+        all_sigs, cands, num_hashes=num_hashes
+    ).filter(F.col("est_jaccard") >= F.lit(min_jaccard))
+    near = (
+        verified.groupBy(F.col("id_a").alias("id"))
+        .agg(
+            F.min("id_b").alias("dup_of"),
+            F.max("est_jaccard").alias("est_jaccard"),
+        )
+        .withColumn("status", F.lit("near_dup"))
+    )
+
+    # -- verdict (exact beats near; default keep) --------------------------
+    verdict = (
+        nd.select("id")
+        .join(exact.select("id", F.col("dup_of").alias("_edup")), "id", "left")
+        .join(
+            near.select(
+                "id",
+                F.col("dup_of").alias("_ndup"),
+                F.col("est_jaccard").alias("_nj"),
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.when(F.col("_edup").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_ndup").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+            F.coalesce(F.col("_edup"), F.col("_ndup")).alias("dup_of"),
+            F.when(F.col("_edup").isNull(), F.col("_nj")).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    return verdict

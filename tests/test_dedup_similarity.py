@@ -826,3 +826,43 @@ def test_unigram_logprob_score_ranks_common_prose_higher(spark):
         ).collect()
     }
     assert scored[2] > scored[3]
+
+
+def test_incremental_dedup_screens_new_batch(spark):
+    """New batch vs existing corpus: exact dup flagged with its corpus
+    anchor, near dup caught by the banded screen, within-batch dup keeps
+    the smaller id, novel docs keep. Corpus never pairs with itself."""
+    from knot_another_pipeline_spark.operators.dedup import incremental_dedup
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the deep green forest before the hunters arrive tonight"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, body),
+            (2, "completely unrelated corpus text about spark physical plans"),
+            (3, body.replace("green", "blue")),  # corpus-internal near dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, body),                             # exact dup of corpus 1
+            (11, body.replace("tonight", "today")), # near dup of corpus 1/3
+            (12, "a wholly novel document with its own fresh vocabulary set"),
+            (13, "a wholly novel document with its own fresh vocabulary set"),
+        ],  # 12/13: exact dups within the batch
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[11][0] == "near_dup" and out[11][1] in (1, 3)
+    assert out[12] == ("keep", None)
+    # 13 is a within-batch duplicate of 12: near screen (identical text ->
+    # identical signatures) anchors it to the smaller surviving id
+    assert out[13][0] == "near_dup" and out[13][1] == 12
+    assert len(out) == 4
