@@ -2223,6 +2223,43 @@ GROUP BY event_type
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (user_id, floor(value))
+    (functions/hashing.py morton_key): the sort key that makes min/max
+    row-group stats prune on either dimension; pure bitwise codegen,
+    bit-exact in any engine."""
+    from knot_another_pipeline_spark.functions.hashing import morton_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        morton_key(
+            F.col("user_id"), F.floor(F.col("value")).cast("long")
+        ).alias("zkey"),
+    )
+
+
+def _spread_sql(expr: str) -> str:
+    s = f"(({expr}) & 2097151)"
+    for sh, m in (
+        (32, 0x1F00000000FFFF),
+        (16, 0x1F0000FF0000FF),
+        (8, 0x100F00F00F00F00F),
+        (4, 0x10C30C30C30C30C3),
+        (2, 0x1249249249249249),
+    ):
+        s = f"((({s}) | (({s}) << {sh})) & {m})"
+    return s
+
+
+ORACLE_ZORDER_KEY = f"""
+SELECT event_id,
+       ({_spread_sql('user_id')})
+       | (({_spread_sql('CAST(floor(value) AS BIGINT)')}) << 1) AS zkey
+FROM events
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental batch-vs-corpus dedup (operators/dedup.py
     incremental_dedup): every 5th document plays the newly-landed batch,
@@ -2534,7 +2571,8 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
-    # incremental dedup + LM quality scoring
+    # incremental dedup + LM quality scoring + layout
+    "zorder_key": q_zorder_key,
     "incremental_dedup": q_incremental_dedup,
     "lm_score": q_lm_score,
     # warehouse maintenance + profiling
@@ -2608,6 +2646,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "zorder_key": ORACLE_ZORDER_KEY,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "lm_score": ORACLE_LM_SCORE,
     "upsert": ORACLE_UPSERT,

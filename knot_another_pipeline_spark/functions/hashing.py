@@ -65,3 +65,35 @@ def content_fingerprint(col: Column | str) -> Column:
         )
     )
     return F.md5(normalized)
+
+
+def _spread_bits_21(col: Column) -> Column:
+    """Spread the low 21 bits of a nonnegative long so consecutive bits
+    land 3 apart (the classic magic-mask dilation) — building block for
+    Morton/Z-order keys. Pure bitwise codegen, no UDF."""
+    x = col.bitwiseAND(F.lit(0x1FFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 32))).bitwiseAND(F.lit(0x1F00000000FFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x1F0000FF0000FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x100F00F00F00F00F))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x10C30C30C30C30C3))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x1249249249249249))
+    return x
+
+
+def morton_key(a: Column | str, b: Column | str) -> Column:
+    """Z-order (Morton) key interleaving the low 21 bits of two
+    nonnegative integer columns — sort/partition data by this key and
+    both dimensions cluster simultaneously, so min/max row-group stats
+    prune scans on EITHER column (the data-layout trick behind
+    Delta/Iceberg ``ZORDER BY``, here as a plain expression usable with
+    ``compact_parquet(sort_cols=['zkey'])``).
+
+    Inputs outside [0, 2^21) wrap via bit masking — rank- or
+    bucket-normalize first (e.g. ``F.floor(rank/width)``) for monotone
+    dimensions. Bit-exact in any engine with shifts/and/or.
+    """
+    ca = _c(a).cast("long") if isinstance(a, str) else a.cast("long")
+    cb = _c(b).cast("long") if isinstance(b, str) else b.cast("long")
+    return _spread_bits_21(ca).bitwiseOR(
+        F.shiftleft(_spread_bits_21(cb), 1)
+    )

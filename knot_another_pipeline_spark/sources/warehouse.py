@@ -90,3 +90,62 @@ def drop_table(spark: SparkSession, name: str) -> None:
     """S13: ``DROP TABLE IF EXISTS`` — prefix wipes are subsumed by
     overwrite modes."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the small-files maintenance job every streaming/incremental sink
+    eventually needs (a foreachBatch sink lands one file set per epoch;
+    a thousand epochs later every scan pays a thousand file opens and
+    the NameNode/S3 listing tax).
+
+    File count = ceil(current_bytes / target); the rewrite stages into a
+    ``_compacting`` sibling then atomically replaces the directory, so a
+    crash mid-rewrite leaves the original intact (same protocol as the
+    streaming upsert sink). ``sort_cols`` optionally sorts within the
+    rewrite (``sortWithinPartitions`` after a repartition on the same
+    columns) so min/max row-group statistics become selective — the
+    poor-man's clustering that makes later predicate pushdown actually
+    skip files. Returns the output file count.
+
+    Scale notes: one shuffle when sorting (repartition), zero when only
+    coalescing (``coalesce`` merges map-side). Run it per partition
+    directory (``.../dt=2024-01-01``) in a real lake, not on the table
+    root, so compaction parallelizes per partition and never rewrites
+    cold data.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    staging = path.rstrip("/") + "_compacting"
+    if sort_cols:
+        out = df.repartition(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.replace(staging, path)
+    written = sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return written

@@ -118,3 +118,74 @@ def test_equi_width_histogram_validation(spark):
         equi_width_histogram(df, "v", bins=0, lo=0.0, hi=1.0)
     with pt.raises(ValueError):
         equi_width_histogram(df, "v", bins=5, lo=1.0, hi=1.0)
+
+
+def test_compact_parquet_reduces_files_and_keeps_rows(spark, tmp_path):
+    from knot_another_pipeline_spark.sources.warehouse import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    # simulate a fragmented sink: many tiny epochs
+    for i in range(8):
+        df.filter(F.col("id") % 8 == i).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    import os
+    before = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert before >= 32
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1  # tiny table -> single target-size file
+    out = spark.read.parquet(path)
+    assert out.count() == 10000
+    assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10000))
+
+    # sorted compaction: row-group stats become selective on the sort col
+    n2 = compact_parquet(
+        spark, path, target_file_bytes=1 << 30, sort_cols=["id"]
+    )
+    assert n2 == 1 and spark.read.parquet(path).count() == 10000
+
+
+def test_morton_key_matches_python_reference(spark):
+    from knot_another_pipeline_spark.functions.hashing import morton_key
+
+    def spread(x):
+        x &= 0x1FFFFF
+        x = (x | x << 32) & 0x1F00000000FFFF
+        x = (x | x << 16) & 0x1F0000FF0000FF
+        x = (x | x << 8) & 0x100F00F00F00F00F
+        x = (x | x << 4) & 0x10C30C30C30C30C3
+        x = (x | x << 2) & 0x1249249249249249
+        return x
+
+    vals = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (1048575, 2097151),
+            (123456, 654321), (2097151, 2097151)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = [
+        r["z"] for r in df.select(morton_key("a", "b").alias("z")).collect()
+    ]
+    want = [spread(a) | (spread(b) << 1) for a, b in vals]
+    assert got == want
+    # interleaving is a bijection on the masked domain
+    assert len(set(got)) == len(set((a & 0x1FFFFF, b & 0x1FFFFF) for a, b in vals))
+
+
+def test_morton_key_clusters_both_dimensions(spark):
+    """Sorting by the Z-key keeps near cells near in file order: the
+    span of positions covered by a small 2D tile is much smaller than
+    the whole table (what makes min/max pruning effective)."""
+    from knot_another_pipeline_spark.functions.hashing import morton_key
+
+    grid = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    ordered = [
+        (r["x"], r["y"])
+        for r in df.orderBy(morton_key("x", "y")).collect()
+    ]
+    pos = {xy: i for i, xy in enumerate(ordered)}
+    # an aligned 4x4 tile occupies exactly 16 consecutive positions under
+    # Morton order
+    tile = [pos[(x, y)] for x in range(8, 12) for y in range(8, 12)]
+    assert max(tile) - min(tile) == 15
