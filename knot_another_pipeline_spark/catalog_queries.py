@@ -2223,6 +2223,89 @@ GROUP BY event_type
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the 5-value event_type key —
+    the few-giant-groups skew shape (operators/relational.py salted_agg).
+    Result is identical to a plain GROUP BY; the oracle IS the plain
+    GROUP BY."""
+    from knot_another_pipeline_spark.operators.relational import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "avg_value": ("avg", "value"),
+        },
+        salt=16,
+        id_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram-interpolated quantiles of events.value
+    (operators/quality.py histogram_quantiles): the reproducible
+    alternative to percentile_approx — one bounded-shuffle histogram
+    pass, bin width is the error bound."""
+    from knot_another_pipeline_spark.operators.quality import (
+        histogram_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", probs=[0.25, 0.5, 0.75, 0.95],
+        bins=200, lo=0.0, hi=500.0,
+    )
+
+
+ORACLE_HISTOGRAM_QUANTILES = """
+WITH b AS (
+  SELECT least(greatest(
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 2.5) AS BIGINT),
+           0), 199) AS bin
+  FROM events WHERE value IS NOT NULL),
+h AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+c AS (SELECT bin, n,
+             sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+t AS (SELECT sum(n) AS total FROM h),
+p AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p),
+j AS (
+  SELECT p.p, c.bin, c.n, c.cum, t.total,
+         row_number() OVER (PARTITION BY p.p ORDER BY c.bin) AS rn
+  FROM p CROSS JOIN t
+  JOIN c ON CAST(c.cum AS DOUBLE) >= p.p * t.total)
+SELECT p,
+       round(round(0.0 + bin * 2.5, 6)
+             + (round(0.0 + (bin + 1) * 2.5, 6) - round(0.0 + bin * 2.5, 6))
+               * ((p * total - (cum - n)) / n), 6) AS quantile
+FROM j WHERE rn = 1
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order clustering key over (user_id, floor(value))
     (functions/hashing.py morton_key): the sort key that makes min/max
@@ -2572,6 +2655,8 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # incremental dedup + LM quality scoring + layout
+    "salted_agg": q_salted_agg,
+    "histogram_quantiles": q_histogram_quantiles,
     "zorder_key": q_zorder_key,
     "incremental_dedup": q_incremental_dedup,
     "lm_score": q_lm_score,
@@ -2646,6 +2731,8 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "salted_agg": ORACLE_SALTED_AGG,
+    "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "zorder_key": ORACLE_ZORDER_KEY,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "lm_score": ORACLE_LM_SCORE,

@@ -286,3 +286,72 @@ def grouped_totals(
     return grouped.agg(
         F.grouping_id(*group_cols).cast("bigint").alias("grouping_id"), *aggs
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict,
+    *,
+    salt: int = 16,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Two-stage aggregation with manual key salting — for the skew AQE
+    can't fix: a handful of giant groups (event types, status codes,
+    the null bucket) where ONE reducer gets the whole group even after
+    adaptive splitting of *partitions* (AQE splits skewed partitions,
+    but a single group's final merge still lands on one task for
+    non-algebraic plans; for algebraic aggs the fix is free).
+
+    Stage 1 groups by (keys, salt) — the giant group fans out over
+    ``salt`` reducers; stage 2 merges the ≤ salt partials per key.
+    Supported agg specs (algebraic, i.e. mergeable): ``'count'``,
+    ``'sum'``, ``'min'``, ``'max'``, ``'avg'`` (rewritten as sum+count
+    so the merge is exact), keyed by output column name:
+    ``salted_agg(df, ['k'], {'n': ('count', '*'), 's': ('sum', 'v'),
+    'm': ('avg', 'v')})``.
+
+    The salt column derives from ``id_col`` (md5-stable) when given,
+    else ``spark_partition_id()`` — both shuffle-free to compute;
+    partition-id salting is nondeterministic in *assignment* but the
+    merged result is identical either way (algebraic merge).
+    """
+    from knot_another_pipeline_spark.functions.hashing import stable_bucket
+
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    salt_col = (
+        stable_bucket(id_col, salt) if id_col else F.spark_partition_id() % salt
+    )
+    stage1_aggs, stage2_aggs, post = [], [], []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            stage1_aggs.append(F.count(F.lit(1)).alias(f"_{name}"))
+            stage2_aggs.append(F.sum(f"_{name}").alias(name))
+            post.append(F.col(name))
+        elif fn == "sum":
+            stage1_aggs.append(F.sum(col).alias(f"_{name}"))
+            stage2_aggs.append(F.sum(f"_{name}").alias(name))
+            post.append(F.col(name))
+        elif fn == "min":
+            stage1_aggs.append(F.min(col).alias(f"_{name}"))
+            stage2_aggs.append(F.min(f"_{name}").alias(name))
+            post.append(F.col(name))
+        elif fn == "max":
+            stage1_aggs.append(F.max(col).alias(f"_{name}"))
+            stage2_aggs.append(F.max(f"_{name}").alias(name))
+            post.append(F.col(name))
+        elif fn == "avg":
+            stage1_aggs.append(F.sum(col).alias(f"_{name}_s"))
+            stage1_aggs.append(F.count(col).alias(f"_{name}_c"))
+            stage2_aggs.append(F.sum(f"_{name}_s").alias(f"_{name}_s2"))
+            stage2_aggs.append(F.sum(f"_{name}_c").alias(f"_{name}_c2"))
+            post.append(
+                (F.col(f"_{name}_s2") / F.col(f"_{name}_c2")).alias(name)
+            )
+        else:
+            raise ValueError(f"unsupported (non-algebraic) agg: {fn}")
+    stage1 = df.withColumn("_salt", salt_col).groupBy(*keys, "_salt").agg(
+        *stage1_aggs
+    )
+    return stage1.groupBy(*keys).agg(*stage2_aggs).select(*keys, *post)

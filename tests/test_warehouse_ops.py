@@ -189,3 +189,67 @@ def test_morton_key_clusters_both_dimensions(spark):
     # Morton order
     tile = [pos[(x, y)] for x in range(8, 12) for y in range(8, 12)]
     assert max(tile) - min(tile) == 15
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from knot_another_pipeline_spark.operators.relational import salted_agg
+
+    rows = [(i % 3, i, float(i)) for i in range(999)]
+    df = spark.createDataFrame(rows, "k long, id long, v double")
+    got = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"], round(r["a"], 9))
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("count", "*"), "s": ("sum", "v"), "mn": ("min", "v"),
+             "mx": ("max", "v"), "a": ("avg", "v")},
+            salt=8, id_col="id",
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"], round(r["a"], 9))
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+            F.avg("v").alias("a"),
+        ).collect()
+    }
+    assert got == want
+    # partition-id salting merges to the same result
+    got2 = {
+        r["k"]: r["n"]
+        for r in salted_agg(df, ["k"], {"n": ("count", "*")}, salt=8).collect()
+    }
+    assert got2 == {k: v[0] for k, v in want.items()}
+
+    import pytest as pt
+    with pt.raises(ValueError):
+        salted_agg(df, ["k"], {"d": ("countDistinct", "v")})
+
+
+def test_histogram_quantiles_interpolation(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        histogram_quantiles,
+    )
+
+    # uniform 0..999: quantile(p) ~ 1000p; tight bins -> tight estimates
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    got = {
+        r["p"]: r["quantile"]
+        for r in histogram_quantiles(
+            df, "v", probs=[0.0, 0.25, 0.5, 0.9, 1.0],
+            bins=100, lo=0.0, hi=1000.0,
+        ).collect()
+    }
+    assert abs(got[0.25] - 250.0) <= 10.0
+    assert abs(got[0.5] - 500.0) <= 10.0
+    assert abs(got[0.9] - 900.0) <= 10.0
+    assert got[1.0] <= 1000.0 and got[0.0] >= 0.0
+    # deterministic: re-run is bit-identical
+    again = {
+        r["p"]: r["quantile"]
+        for r in histogram_quantiles(
+            df, "v", probs=[0.0, 0.25, 0.5, 0.9, 1.0],
+            bins=100, lo=0.0, hi=1000.0,
+        ).collect()
+    }
+    assert again == got
