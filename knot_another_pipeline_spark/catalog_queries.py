@@ -2223,6 +2223,72 @@ GROUP BY event_type
 """
 
 
+def q_track_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track resampling onto a regular 6-hour grid: each grid instant
+    takes the entity's most recent position within 6 hours (as-of join,
+    operators/temporal.py). This is the distributed form of the track
+    apps' per-track pandas sort/align
+    (``/root/reference/apps/track_explorer.py:56-78``) — per-entity
+    sequence generation plus one union-window pass, no driver loops."""
+    from knot_another_pipeline_spark.operators.temporal import asof_join
+
+    w_dup = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    pos = (
+        _positions(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("user_id").alias("uid"),
+            "ts",
+            F.round("lat", 6).alias("lat"),
+            F.round("lon", 6).alias("lon"),
+        )
+    )
+    span = pos.groupBy("uid").agg(
+        F.date_trunc("day", F.min("ts")).alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = span.select(
+        "uid",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 6 HOURS"))
+        ).alias("grid_ts"),
+    )
+    out = asof_join(
+        grid,
+        pos,
+        on="uid",
+        left_ts="grid_ts",
+        right_ts="ts",
+        tolerance_seconds=6 * 3600,
+    )
+    return out.select("uid", "grid_ts", "lat", "lon", "asof_ts")
+
+
+ORACLE_TRACK_INTERPOLATE = f"""
+WITH pos0 AS (
+  SELECT user_id AS uid, ts, round(lat, 6) AS lat, round(lon, 6) AS lon,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM ({_POSITIONS_SQL})),
+pos AS (SELECT uid, ts, lat, lon FROM pos0 WHERE rn = 1),
+span AS (
+  SELECT uid, date_trunc('day', min(ts)) AS t0, max(ts) AS t1
+  FROM pos GROUP BY uid),
+grid AS (
+  SELECT uid, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS grid_ts
+  FROM span)
+SELECT g.uid, g.grid_ts,
+       CASE WHEN p.ts >= g.grid_ts - INTERVAL 6 HOUR THEN p.lat END AS lat,
+       CASE WHEN p.ts >= g.grid_ts - INTERVAL 6 HOUR THEN p.lon END AS lon,
+       CASE WHEN p.ts >= g.grid_ts - INTERVAL 6 HOUR THEN p.ts END AS asof_ts
+FROM grid g ASOF LEFT JOIN pos p
+  ON g.uid = p.uid AND g.grid_ts >= p.ts
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation over the 5-value event_type key —
     the few-giant-groups skew shape (operators/relational.py salted_agg).
@@ -2655,6 +2721,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # incremental dedup + LM quality scoring + layout
+    "track_interpolate": q_track_interpolate,
     "salted_agg": q_salted_agg,
     "histogram_quantiles": q_histogram_quantiles,
     "zorder_key": q_zorder_key,
@@ -2731,6 +2798,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "track_interpolate": ORACLE_TRACK_INTERPOLATE,
     "salted_agg": ORACLE_SALTED_AGG,
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "zorder_key": ORACLE_ZORDER_KEY,

@@ -1,13 +1,14 @@
 """Temporal join operators Spark lacks as built-ins: as-of join, interval
 range join, and trailing rolling-window features.
 
-The reference works these shapes with repeated Athena self-joins on
-coarse time buckets (e.g. the co-location join buckets positions into
-hour windows, ``sql/gold/create_pairs_daily.sql``) or punts them to
-pandas in the notebooks (``notebooks/explore_tracks.ipynb`` aligns a
-vessel's positions to reference timestamps with ``merge_asof``). Here
-each is a first-class distributed operator with the classic scale-safe
-plan:
+The reference only ever gets temporal alignment through coarse time
+bucketing — the co-location join equi-joins on hour windows
+(``/root/reference/sql/gold/create_pairs_daily.sql:40-54``) and the
+track apps sort per-track frames in pandas on one node
+(``/root/reference/apps/track_explorer.py:56-78``); nearest-prior
+alignment, interval containment, and trailing-window features have no
+distributed form there. Here each is a first-class operator with the
+classic scale-safe plan:
 
 - ``asof_join`` — the union-window trick: tag probe and quote rows,
   union, one window over (keys, ts) carrying the latest quote payload
