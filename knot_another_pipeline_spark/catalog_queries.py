@@ -2223,6 +2223,77 @@ GROUP BY event_type
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between orders and its upserted rebuild
+    (operators/relational.py snapshot_diff): one full-outer join on the
+    key, change detection via null-sentineled md5 row signatures so the
+    shuffle carries hashes, not rows."""
+    from knot_another_pipeline_spark.operators.relational import (
+        snapshot_diff,
+        upsert,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.round(F.col("price") * 2, 2).alias("price"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") > 0)
+    ).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        "price",
+    )
+    rebuilt = upsert(orders, updates.unionByName(inserts), "o_orderkey")
+    # drop a slice to exercise 'removed'
+    rebuilt = rebuilt.filter(F.col("o_orderkey") % 13 != 0)
+    return snapshot_diff(orders, rebuilt, "o_orderkey")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+  FROM orders),
+upd AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, round(price * 2, 2) AS price
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey, 'I', price FROM base
+  WHERE o_orderkey % 7 = 0 AND o_orderkey > 0),
+tagged AS (
+  SELECT *, 0 AS pref FROM base
+  UNION ALL SELECT *, 1 AS pref FROM upd),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, price FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY pref DESC) AS rn
+    FROM tagged) t
+  WHERE rn = 1 AND o_orderkey % 13 != 0),
+osig AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+             coalesce(CAST(price AS VARCHAR), chr(0)))) AS h
+  FROM base),
+nsig AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+             coalesce(CAST(price AS VARCHAR), chr(0)))) AS h
+  FROM merged)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h != n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM osig o FULL OUTER JOIN nsig n ON o.o_orderkey = n.o_orderkey
+"""
+
+
 def q_track_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Track resampling onto a regular 6-hour grid: each grid instant
     takes the entity's most recent position within 6 hours (as-of join,
@@ -2721,6 +2792,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # incremental dedup + LM quality scoring + layout
+    "snapshot_diff": q_snapshot_diff,
     "track_interpolate": q_track_interpolate,
     "salted_agg": q_salted_agg,
     "histogram_quantiles": q_histogram_quantiles,
@@ -2798,6 +2870,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "track_interpolate": ORACLE_TRACK_INTERPOLATE,
     "salted_agg": ORACLE_SALTED_AGG,
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,

@@ -355,3 +355,57 @@ def salted_agg(
         *stage1_aggs
     )
     return stage1.groupBy(*keys).agg(*stage2_aggs).select(*keys, *post)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of a keyed table: which keys were added,
+    removed, changed, or unchanged — the reconciliation step between
+    warehouse refreshes (did the rebuild do what the incremental path
+    claims?) and the change-feed for downstream caches.
+
+    One full-outer join on the keys. Change detection compares an md5
+    over the ``compare_cols`` (default: all shared non-key columns),
+    null-sentineled so NULL≠'' and column boundaries can't alias —
+    hashing keeps the join payload to one column per side regardless of
+    table width, so the shuffle carries (keys + 16 bytes)×2, not the
+    whole row.
+
+    Output: keys, status ('added' | 'removed' | 'changed' |
+    'unchanged'). Join the result back to either snapshot for payloads.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cols = (
+        list(compare_cols)
+        if compare_cols is not None
+        else sorted(
+            (set(old.columns) & set(new.columns)) - set(keys)
+        )
+    )
+
+    def _sig(df: DataFrame, side: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cols
+                ],
+            )
+        )
+        return df.select(*keys, h.alias(f"_h_{side}"))
+
+    joined = _sig(old, "old").join(_sig(new, "new"), keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -253,3 +253,30 @@ def test_histogram_quantiles_interpolation(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    from knot_another_pipeline_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, n long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "", 40), (5, "e", 50)],
+        "k long, v string, n long",
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "changed",   # NULL -> '' is a change (null-sentinel hashing)
+        5: "added",
+    }
+    # restricting compare_cols ignores other-column churn
+    got2 = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, "k", compare_cols=["n"]).collect()
+    }
+    assert got2[2] == "unchanged" and got2[4] == "unchanged"
