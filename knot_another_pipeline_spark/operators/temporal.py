@@ -127,7 +127,14 @@ def asof_join(
         F.struct(*[F.col(c) for c in lcols]).alias("_lpay"),
         F.lit(None).cast(rpay_type).alias("_rpay"),
     )
-    quote = right.select(
+    # SQL join semantics: a NULL key or NULL timestamp never matches.
+    # The window would otherwise happily group NULL keys together, so
+    # quotes with any NULL key/ts are dropped up front (probes keep
+    # their row — they just match nothing, see below).
+    quote_valid = F.col(rts).isNotNull()
+    for k in keys:
+        quote_valid = quote_valid & F.col(k).isNotNull()
+    quote = right.filter(quote_valid).select(
         *keys,
         F.col(rts).alias("_ats"),
         F.lit(0).alias("_probe"),
@@ -147,9 +154,18 @@ def asof_join(
         .orderBy(ts_order, F.col("_probe").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    probe_key_valid = F.col("_ats").isNotNull()
+    for k in keys:
+        probe_key_valid = probe_key_valid & F.col(k).isNotNull()
     matched = (
         probe.unionByName(quote)
-        .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        .withColumn(
+            "_m",
+            # NULL-key/ts probes keep their row but match nothing
+            F.when(
+                probe_key_valid, F.last("_rpay", ignorenulls=True).over(w)
+            ),
+        )
         .filter(F.col("_probe") == 1)
     )
     if tolerance_seconds is not None:

@@ -210,3 +210,20 @@ def test_temporal_plan_shapes(spark):
         .queryExecution().executedPlan().toString()
     assert "Join" not in aj_plan     # union-window: no join operator at all
     assert "Window" in aj_plan
+
+
+def test_asof_join_null_keys_and_ts_never_match(spark):
+    """SQL join semantics: NULL keys don't equal NULL keys, and a NULL
+    probe timestamp matches nothing — but probe rows are kept (left)."""
+    quotes = spark.createDataFrame(
+        [(None, "2025-01-01 00:00:00", 1.0), (1, "2025-01-01 00:00:00", 2.0),
+         (1, None, 3.0)],
+        "uid long, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    probes = spark.createDataFrame(
+        [(None, "2025-01-01 01:00:00", 1), (1, None, 2),
+         (1, "2025-01-01 01:00:00", 3)],
+        "uid long, ts string, pid long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["pid"]: r["px"] for r in asof_join(probes, quotes, on="uid").collect()}
+    assert out == {1: None, 2: None, 3: 2.0}
