@@ -246,15 +246,23 @@ def upsert(
     tagged = existing.withColumn("_pref", F.lit(0)).unionByName(
         updates.select(*existing.columns).withColumn("_pref", F.lit(1))
     )
+    # MERGE semantics: a NULL key never matches (NULL != NULL in SQL),
+    # so NULL-key rows from both sides pass through untouched instead of
+    # collapsing into one window group.
+    key_valid = F.lit(True)
+    for k in keys:
+        key_valid = key_valid & F.col(k).isNotNull()
     order = [F.col("_pref").desc()]
     if order_col is not None:
         order.insert(0, F.col(order_col).desc())
     w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        tagged.withColumn("_rn", F.row_number().over(w))
+    deduped = (
+        tagged.filter(key_valid)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_pref", "_rn")
+        .drop("_rn")
     )
+    return deduped.unionByName(tagged.filter(~key_valid)).drop("_pref")
 
 
 def grouped_totals(

@@ -280,3 +280,22 @@ def test_snapshot_diff_classifies_all_states(spark):
         for r in snapshot_diff(old, new, "k", compare_cols=["n"]).collect()
     }
     assert got2[2] == "unchanged" and got2[4] == "unchanged"
+
+
+def test_upsert_null_keys_pass_through(spark):
+    """MERGE-on-NULL never matches: NULL-key rows from both sides are
+    preserved as-is, never collapsed into one window group."""
+    from knot_another_pipeline_spark.operators.relational import upsert
+
+    existing = spark.createDataFrame(
+        [(None, "e1", 1), (None, "e2", 2), (1, "a", 3)],
+        "k long, v string, n long",
+    )
+    updates = spark.createDataFrame(
+        [(None, "u1", 4), (1, "A", 5)], "k long, v string, n long"
+    )
+    rows = upsert(existing, updates, "k").collect()
+    assert (1, "A") in [(r["k"], r["v"]) for r in rows]
+    null_vs = sorted(r["v"] for r in rows if r["k"] is None)
+    assert null_vs == ["e1", "e2", "u1"]   # all three survive
+    assert len(rows) == 4
