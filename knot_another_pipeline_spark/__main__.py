@@ -48,6 +48,21 @@ def _build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--stop", default=None)
     exp.add_argument("--output", required=True, help="output CSV file")
 
+    mnt = sub.add_parser(
+        "maintain",
+        help="warehouse maintenance: compact parquet / print table profile",
+    )
+    mnt.add_argument("--path", required=True, help="parquet directory")
+    mnt.add_argument("--target-file-mb", type=int, default=128)
+    mnt.add_argument(
+        "--sort-cols", default=None,
+        help="comma-separated clustering sort columns (e.g. a Z-order key)",
+    )
+    mnt.add_argument(
+        "--profile", action="store_true",
+        help="print per-column profile instead of compacting",
+    )
+
     prep = sub.add_parser(
         "prep-corpus",
         help="documents parquet/JSONL → filtered, deduped, split, sharded parquet",
@@ -154,6 +169,33 @@ def main(argv: list[str] | None = None) -> int:
             )
             out.toPandas().to_csv(args.output, index=False)
             print(f"tracks written to {args.output}")
+        elif args.cmd == "maintain":
+            if args.profile:
+                from knot_another_pipeline_spark.operators.quality import (
+                    profile_table,
+                )
+
+                df = spark.read.parquet(args.path)
+                for r in profile_table(df).collect():
+                    print(
+                        f"{r['col_name']}: rows={r['n_rows']} "
+                        f"nulls={r['n_nulls']} distinct={r['n_distinct']} "
+                        f"min={r['min_value']} max={r['max_value']}"
+                    )
+            else:
+                from knot_another_pipeline_spark.sources.warehouse import (
+                    compact_parquet,
+                )
+
+                n = compact_parquet(
+                    spark,
+                    args.path,
+                    target_file_bytes=args.target_file_mb * 1024 * 1024,
+                    sort_cols=(
+                        args.sort_cols.split(",") if args.sort_cols else None
+                    ),
+                )
+                print(f"compacted {args.path} -> {n} files")
         elif args.cmd == "prep-corpus":
             from pyspark.sql import functions as F
 

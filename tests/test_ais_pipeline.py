@@ -515,3 +515,26 @@ def test_sessionize_accepts_ntz_timestamps(spark):
         .collect()
     }
     assert per_uid == {1: 2, 2: 1}
+
+
+def test_cli_maintain_compact_and_profile(spark, tmp_path, capsys):
+    """maintain subcommand: compaction rewrites to target-size files and
+    reports the count; --profile prints per-column stats."""
+    from knot_another_pipeline_spark.__main__ import main
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") % 7)
+    for i in range(4):
+        df.filter(F.col("id") % 4 == i).repartition(3).write.mode(
+            "append"
+        ).parquet(path)
+
+    assert main(["maintain", "--path", path]) == 0
+    out = capsys.readouterr().out
+    assert "-> 1 files" in out
+    assert spark.read.parquet(path).count() == 2000
+
+    assert main(["maintain", "--path", path, "--profile"]) == 0
+    out = capsys.readouterr().out
+    assert "id: rows=2000 nulls=0 distinct=2000" in out
+    assert "v: rows=2000" in out
