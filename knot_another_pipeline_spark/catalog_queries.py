@@ -2423,7 +2423,7 @@ WITH b AS (
   SELECT least(greatest(
            CAST(floor((CAST(value AS DOUBLE) - 0.0) / 2.5) AS BIGINT),
            0), 199) AS bin
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
 h AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
 c AS (SELECT bin, n,
              sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
@@ -2519,8 +2519,13 @@ cfp AS (
          md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id % 5 != 0),
 exact AS (
-  SELECT nfp.id, min(cfp.id) AS dup_of
-  FROM nfp JOIN cfp USING (fp) GROUP BY nfp.id),
+  SELECT nfp.id, min(b.dup_of) AS dup_of
+  FROM nfp JOIN (
+    SELECT id AS dup_of, fp, FALSE AS in_batch FROM cfp
+    UNION ALL
+    SELECT id AS dup_of, fp, TRUE AS in_batch FROM nfp) b USING (fp)
+  WHERE (NOT b.in_batch) OR b.dup_of < nfp.id
+  GROUP BY nfp.id),
 cands AS (
   SELECT DISTINCT n.id AS id_a, c.id AS id_b
   FROM buckets n JOIN buckets c
@@ -2720,7 +2725,7 @@ WITH b AS (
   SELECT least(greatest(
            CAST(floor((CAST(value AS DOUBLE) - 0.0) / 25.0) AS BIGINT),
            0), 19) AS bin
-  FROM events WHERE value IS NOT NULL)
+  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)))
 SELECT bin,
        round(0.0 + bin * 25.0, 6) AS bin_lo,
        round(0.0 + (bin + 1) * 25.0, 6) AS bin_hi,

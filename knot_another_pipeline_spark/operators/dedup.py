@@ -122,16 +122,15 @@ def minhash_signatures(
     return based.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+def _band_buckets(
+    signatures: DataFrame, *, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding over wide signatures: each band's bucket key is the md5
-    of its signature slice; docs sharing any (band, bucket) are
-    candidates. The pair search is an equi-join on the bucket key — never
-    all-pairs. All band keys are computed in ONE pass over the signature
-    table (posexplode of a bands-wide array), not a per-band union that
-    would rescan the signature lineage `bands` times.
-    Output: id_a, id_b (id_a < id_b), distinct."""
+    """(id, band, bucket) rows from wide minhash signatures: each band's
+    bucket key is the md5 of its signature slice, all bands emitted in
+    ONE pass (posexplode of a bands-wide array) rather than a per-band
+    union that would rescan the signature lineage ``bands`` times.
+    Shared by the batch LSH pair search and the incremental screen so
+    the banding scheme can never drift between them."""
     band_keys = [
         F.md5(
             F.concat_ws(
@@ -144,8 +143,21 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    buckets = signatures.select(
+    return signatures.select(
         "id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding over wide signatures: each band's bucket key is the md5
+    of its signature slice; docs sharing any (band, bucket) are
+    candidates. The pair search is an equi-join on the bucket key — never
+    all-pairs. Band keys come from :func:`_band_buckets` (one pass).
+    Output: id_a, id_b (id_a < id_b), distinct."""
+    buckets = _band_buckets(
+        signatures, bands=bands, rows_per_band=rows_per_band
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -538,10 +550,17 @@ def connected_components(
     Connect) session, and NO concurrent thread caching/checkpointing in
     the same SparkContext during the call (their blocks would be
     attributed to our snapshots and unpersisted). The flag degrades to a
-    no-op when ``sc._jsc`` is unavailable.
+    no-op when no py4j context is reachable (Spark Connect raises on
+    ``sparkSession.sparkContext`` itself, so even that access is inside
+    the guard — the default path never touches it).
     """
-    sc = pairs.sparkSession.sparkContext
-    eager_free = free_intermediate_checkpoints and hasattr(sc, "_jsc")
+    sc = None
+    if free_intermediate_checkpoints:
+        try:
+            sc = pairs.sparkSession.sparkContext
+        except Exception:  # Spark Connect: sparkContext unsupported
+            sc = None
+    eager_free = sc is not None and hasattr(sc, "_jsc")
 
     def _persistent_ids() -> set:
         if not eager_free:
@@ -662,8 +681,10 @@ def incremental_dedup(
        only ever appear on the build side, never pair with each other.
        Candidates are verified with the full-signature Jaccard estimate
        before a verdict.
-    3. within-batch duplicates (new × new, same band join) are also
-       caught so the surviving set is internally clean.
+    3. within-batch duplicates (new × new) are caught by BOTH screens —
+       the exact screen includes the batch on its build side (covering
+       texts too short to shingle), the band join likewise — so the
+       surviving set is internally clean.
 
     Output: one row per new doc — id, status
     ('keep' | 'exact_dup' | 'near_dup'), dup_of (the matched existing or
@@ -684,12 +705,23 @@ def incremental_dedup(
     rows_per_band = num_hashes // bands
 
     # -- exact screen ------------------------------------------------------
+    # build side = corpus ∪ the batch itself, so within-batch exact
+    # duplicates are caught here too (the near screen can't see them
+    # when the text is shorter than the shingle width — no shingles, no
+    # signature); in-batch matches only count when the candidate id is
+    # smaller, so exactly one copy of each group survives as 'keep'.
     nfp = nd.select("id", content_fingerprint("text").alias("fp"))
     cfp = cd.select(
         F.col("id").alias("dup_of"), content_fingerprint("text").alias("fp")
     )
+    exact_build = cfp.withColumn("in_batch", F.lit(False)).unionByName(
+        nfp.select(F.col("id").alias("dup_of"), "fp").withColumn(
+            "in_batch", F.lit(True)
+        )
+    )
     exact = (
-        nfp.join(cfp, "fp")
+        nfp.join(exact_build, "fp")
+        .filter((~F.col("in_batch")) | (F.col("dup_of") < F.col("id")))
         .groupBy("id")
         .agg(F.min("dup_of").alias("dup_of"))
         .withColumn("status", F.lit("exact_dup"))
@@ -697,21 +729,7 @@ def incremental_dedup(
 
     # -- near screen (banded minhash, probe = new only) --------------------
     def _buckets(sigs: DataFrame) -> DataFrame:
-        band_keys = [
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-        return sigs.select(
-            "id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
-        )
+        return _band_buckets(sigs, bands=bands, rows_per_band=rows_per_band)
 
     nsig = minhash_signatures(
         shingle_table(nd, id_col="id", text_col="text"),

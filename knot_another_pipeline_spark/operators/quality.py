@@ -225,7 +225,9 @@ def equi_width_histogram(
     idx = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("bigint")
     clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(bins - 1))
     return (
-        df.filter(v.isNotNull())
+        # NaN would otherwise clamp into bin 0 (floor(NaN) -> 0) and
+        # silently skew the distribution low; exclude like NULL
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(clamped.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -279,28 +281,30 @@ def histogram_quantiles(
     cum = hist.withColumn("cum", F.sum("n").over(w)).crossJoin(
         F.broadcast(hist.agg(F.sum("n").alias("total")))
     )
-    # the histogram is <= bins rows: the single-partition window and the
-    # per-prob scans below are driver-scale work, not data-scale
-    out = None
-    for p in probs:
-        target = F.lit(float(p)) * F.col("total")
-        # first bin whose cumulative count reaches the target
-        hit = (
-            cum.filter(F.col("cum") >= target)
-            .orderBy("bin")
-            .limit(1)
-            .select(
-                F.lit(float(p)).alias("p"),
-                F.round(
-                    F.col("bin_lo")
-                    + (F.col("bin_hi") - F.col("bin_lo"))
-                    * (
-                        (target - (F.col("cum") - F.col("n")))
-                        / F.col("n")
-                    ),
-                    6,
-                ).alias("quantile"),
-            )
+    # ONE pass over one histogram: join a tiny literal probs relation
+    # against the <=bins-row cumulative table and keep the first bin
+    # that reaches each target (a per-prob union of orderBy/limit
+    # subplans would re-evaluate the histogram aggregate once per
+    # probability unless exchange reuse happens to kick in). The theta
+    # join is broadcast-nested-loop over len(probs) x bins rows —
+    # driver-scale by construction.
+    probs_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    target = F.col("p") * F.col("total")
+    w_hit = Window.partitionBy("p").orderBy("bin")
+    return (
+        F.broadcast(probs_df)
+        .join(cum, F.col("cum").cast("double") >= F.col("p") * F.col("total"))
+        .withColumn("_rn", F.row_number().over(w_hit))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "p",
+            F.round(
+                F.col("bin_lo")
+                + (F.col("bin_hi") - F.col("bin_lo"))
+                * ((target - (F.col("cum") - F.col("n"))) / F.col("n")),
+                6,
+            ).alias("quantile"),
         )
-        out = hit if out is None else out.unionAll(hit)
-    return out
+    )

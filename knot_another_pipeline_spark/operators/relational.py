@@ -149,8 +149,10 @@ def sessionize(
     # Order by (ts, uid) with a microsecond-integer gap comparison:
     # unix_micros is exact, unlike second-truncating unix_timestamp. It
     # only accepts TIMESTAMP, and parquet written without a timezone
-    # (timestamp[us]) arrives as TIMESTAMP_NTZ — cast first; the session
-    # offset it introduces cancels in the difference.
+    # (timestamp[us]) arrives as TIMESTAMP_NTZ — cast first. The cast
+    # reads wall-clock in the SESSION timezone: under UTC (pinned by the
+    # session factory) the offset is constant and cancels in the gap; a
+    # DST-observing session tz would warp gaps across transitions.
     micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     w = Window.partitionBy(uid_col).orderBy(ts_col)
     gap = F.lit(gap_minutes * 60 * 1_000_000)
@@ -334,7 +336,10 @@ def salted_agg(
     stage1_aggs, stage2_aggs, post = [], [], []
     for name, (fn, col) in aggs.items():
         if fn == "count":
-            stage1_aggs.append(F.count(F.lit(1)).alias(f"_{name}"))
+            # count('*') counts rows; count(col) skips NULLs — same
+            # split SQL makes
+            cnt = F.count(F.lit(1)) if col == "*" else F.count(col)
+            stage1_aggs.append(cnt.alias(f"_{name}"))
             stage2_aggs.append(F.sum(f"_{name}").alias(name))
             post.append(F.col(name))
         elif fn == "sum":

@@ -35,9 +35,13 @@ __all__ = ["asof_join", "range_join", "rolling_stats"]
 
 def _epoch_micros(col: str) -> Column:
     # unix_micros only accepts TIMESTAMP; parquet written without a
-    # timezone surfaces TIMESTAMP_NTZ, so cast first (offset is
-    # consistent within a session, and these operators only difference
-    # or order timestamps, so any fixed offset cancels).
+    # timezone surfaces TIMESTAMP_NTZ, so cast first. The NTZ cast
+    # interprets wall-clock in the SESSION timezone: under UTC (which
+    # the engine's session factory and tune_session both pin) the
+    # offset is a constant that cancels in every difference these
+    # operators take. A DST-observing session timezone would bend gaps
+    # across transitions — keep the session UTC (data_contracts: all
+    # reference timestamps are UTC).
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 

@@ -106,13 +106,21 @@ def compact_parquet(
     the NameNode/S3 listing tax).
 
     File count = ceil(current_bytes / target); the rewrite stages into a
-    ``_compacting`` sibling then atomically replaces the directory, so a
-    crash mid-rewrite leaves the original intact (same protocol as the
-    streaming upsert sink). ``sort_cols`` optionally sorts within the
-    rewrite (``sortWithinPartitions`` after a repartition on the same
-    columns) so min/max row-group statistics become selective — the
-    poor-man's clustering that makes later predicate pushdown actually
-    skip files. Returns the output file count.
+    ``_compacting`` sibling (Spark leaves a ``_SUCCESS`` marker on
+    completion), the original is renamed aside, staging is promoted,
+    then the old copy is dropped — at every instant either the live
+    directory or a complete staged copy exists, and an orphaned
+    complete staging from a crashed run is promoted on the next call.
+    ``sort_cols`` optionally sorts within the rewrite
+    (``sortWithinPartitions`` after a repartition on the same columns)
+    so min/max row-group statistics become selective — the poor-man's
+    clustering that makes later predicate pushdown actually skip files.
+    Returns the output file count.
+
+    LOCAL PATHS ONLY: sizing/rename/delete go through the local
+    filesystem (``os``/``shutil``), so object-store URIs are rejected
+    up front. On S3/HDFS, run the same staged-rewrite shape through the
+    Hadoop FileSystem API (or a table format's OPTIMIZE).
 
     Scale notes: one shuffle when sorting (repartition), zero when only
     coalescing (``coalesce`` merges map-side). Run it per partition
@@ -124,6 +132,19 @@ def compact_parquet(
     import os
     import shutil
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet operates on local paths only, got {path!r}"
+        )
+    path = path.removeprefix("file://")
+    staging = path.rstrip("/") + "_compacting"
+    tombstone = path.rstrip("/") + "_old"
+    if not os.path.exists(path) and os.path.exists(
+        os.path.join(staging, "_SUCCESS")
+    ):
+        os.replace(staging, path)  # crashed mid-promotion last run
+    if os.path.exists(tombstone):
+        shutil.rmtree(tombstone)
     df = spark.read.parquet(path)
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
@@ -132,7 +153,6 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    staging = path.rstrip("/") + "_compacting"
     if sort_cols:
         out = df.repartition(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
@@ -140,8 +160,9 @@ def compact_parquet(
     else:
         out = df.coalesce(n_files)
     out.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
+    os.replace(path, tombstone)
     os.replace(staging, path)
+    shutil.rmtree(tombstone)
     written = sum(
         1
         for root, _, files in os.walk(path)

@@ -334,9 +334,13 @@ def streaming_upsert_sink(
     *partition-scoped* path (e.g. one table per day) or swap the write
     for a format with MERGE (Delta/Iceberg) keeping this exact call
     shape. The read-modify-write is staged through a ``_staging``
-    sibling so a mid-write crash never truncates the live table: the
-    merged result lands in staging, then replaces the table, and the
-    interrupted epoch replays from the checkpoint.
+    sibling so a mid-write crash never loses the merged state: the
+    merged result lands in staging (with Spark's ``_SUCCESS`` marker),
+    the old table is renamed aside, staging is promoted, then the old
+    copy is dropped. At every instant either the live table or a
+    *complete* staging copy exists — the recovery step at the top of
+    each batch promotes an orphaned complete staging before merging, so
+    a crash in any window replays cleanly from the checkpoint.
     """
     import os
     import shutil
@@ -348,6 +352,16 @@ def streaming_upsert_sink(
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         staging = output_path.rstrip("/") + "_staging"
+        tombstone = output_path.rstrip("/") + "_old"
+        # crash recovery: a complete staging (merged result, _SUCCESS
+        # present) with no live table means we died mid-promotion —
+        # promote it now rather than mistaking this for a first batch.
+        if not os.path.exists(output_path) and os.path.exists(
+            os.path.join(staging, "_SUCCESS")
+        ):
+            os.replace(staging, output_path)
+        if os.path.exists(tombstone):
+            shutil.rmtree(tombstone)  # leftover old copy from a crash
         if os.path.exists(output_path):
             existing = spark.read.parquet(output_path)
             merged = upsert(
@@ -363,8 +377,10 @@ def streaming_upsert_sink(
             )
         merged.write.mode("overwrite").parquet(staging)
         if os.path.exists(output_path):
-            shutil.rmtree(output_path)
+            os.replace(output_path, tombstone)
         os.replace(staging, output_path)
+        if os.path.exists(tombstone):
+            shutil.rmtree(tombstone)
 
     writer = (
         stream.writeStream.outputMode("update")

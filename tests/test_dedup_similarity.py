@@ -862,7 +862,30 @@ def test_incremental_dedup_screens_new_batch(spark):
     assert out[10] == ("exact_dup", 1)
     assert out[11][0] == "near_dup" and out[11][1] in (1, 3)
     assert out[12] == ("keep", None)
-    # 13 is a within-batch duplicate of 12: near screen (identical text ->
-    # identical signatures) anchors it to the smaller surviving id
-    assert out[13][0] == "near_dup" and out[13][1] == 12
+    # 13 is a within-batch duplicate of 12: exact screen (batch on its
+    # own build side) anchors it to the smaller surviving id
+    assert out[13] == ("exact_dup", 12)
     assert len(out) == 4
+
+
+def test_incremental_dedup_catches_short_text_batch_dups(spark):
+    """Texts below the shingle width have no minhash signature; the
+    exact screen must still catch identical copies within the batch
+    (review finding r4)."""
+    from knot_another_pipeline_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus document with plenty of words in it")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "hi there"), (11, "hi there"), (12, "bye now")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    assert out[10] == ("keep", None)
+    assert out[11] == ("exact_dup", 10)
+    assert out[12] == ("keep", None)

@@ -655,3 +655,43 @@ def test_streaming_upsert_sink_incremental_merge(spark, tmp_path):
     assert {r["k"]: r["v"] for r in spark.read.parquet(out).collect()} == {
         1: "a", 2: "B", 3: "c",
     }
+
+
+def test_streaming_upsert_sink_recovers_from_crashed_promotion(
+    spark, tmp_path
+):
+    """Crash window between renaming the old table aside and promoting
+    staging: on restart the sink must promote the complete staging copy
+    instead of treating the replayed epoch as a first batch (review
+    finding r4 — that path silently truncated the table)."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_upsert_sink,
+    )
+    import os
+
+    src = tmp_path / "rec_src"
+    out = str(tmp_path / "rec_tbl")
+    ckpt = str(tmp_path / "rec_ckpt")
+    schema = "k long, v string, ver long"
+
+    def run_once():
+        q = streaming_upsert_sink(
+            spark.readStream.schema(schema).parquet(str(src)),
+            keys="k", output_path=out, checkpoint_path=ckpt, order_col="ver",
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+
+    # simulate the crash: merged state sits in staging (complete, with
+    # _SUCCESS — the live table dir is exactly that), live table missing
+    os.rename(out, out + "_staging")
+    spark.createDataFrame([(3, "c", 1)], schema).write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # nothing truncated

@@ -299,3 +299,28 @@ def test_upsert_null_keys_pass_through(spark):
     null_vs = sorted(r["v"] for r in rows if r["k"] is None)
     assert null_vs == ["e1", "e2", "u1"]   # all three survive
     assert len(rows) == 4
+
+
+def test_compact_parquet_recovers_from_crashed_promotion(spark, tmp_path):
+    """If a previous compaction died between renaming the original aside
+    and promoting staging, the next call promotes the complete staged
+    copy instead of failing on a missing path (review finding r4)."""
+    import os
+
+    from knot_another_pipeline_spark.sources.warehouse import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 100).write.parquet(path)
+    # simulate: staged copy complete (a written dir has _SUCCESS), live
+    # dir gone, old copy still in the tombstone
+    os.rename(path, path + "_compacting")
+    os.makedirs(path + "_old")
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "_old")
+    assert not os.path.exists(path + "_compacting")
+
+    import pytest as pt
+    with pt.raises(ValueError):
+        compact_parquet(spark, "s3://bucket/tbl")
