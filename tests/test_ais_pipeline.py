@@ -538,3 +538,35 @@ def test_cli_maintain_compact_and_profile(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "id: rows=2000 nulls=0 distinct=2000" in out
     assert "v: rows=2000" in out
+
+
+def test_scan_pushdown_and_column_pruning(spark, sf_dir=None):
+    """Regression guard for the scan contract: time-sliced event loads
+    push their bounds into the parquet scan (row-group pruning), and a
+    narrow projection prunes ReadSchema to exactly the referenced
+    columns — a scan reading all columns for a 2-column query is a plan
+    regression."""
+    import re
+
+    from knot_another_pipeline_spark.sources.tables import (
+        load_events_time_sliced,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sliced = load_events_time_sliced(spark, sf, "2024-01-02", "2024-01-03")
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "ts" in pushed[0]  # time bounds reached the scan
+    assert "GreaterThanOrEqual" in pushed[0] or ">=" in pushed[0]
+
+    proj = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars") > 100)
+    )
+    p2 = proj._jdf.queryExecution().executedPlan().toString()
+    schema = re.findall(r"ReadSchema: (struct<[^\n]*>)", p2)
+    assert schema and schema[0] == "struct<doc_id:bigint,n_chars:bigint>"
+    pushed2 = re.findall(r"PushedFilters: \[([^\]]*)\]", p2)
+    assert pushed2 and "GreaterThan(n_chars,100)" in pushed2[0]
