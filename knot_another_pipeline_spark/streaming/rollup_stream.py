@@ -390,3 +390,31 @@ def streaming_upsert_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+    broadcast_dim: bool = True,
+):
+    """Stream-static enrichment join: attach dimension attributes (entity
+    metadata, routing tables, quality thresholds) to a stream without
+    stateful join machinery.
+
+    Spark re-evaluates the static side per micro-batch, so a dimension
+    read from a table/path picks up slowly-changing updates between
+    batches for free — no restart, no state store, no watermark. With
+    ``broadcast_dim`` (default) the dim ships to every executor and the
+    stream side never shuffles: the right shape whenever the dimension
+    fits in executor memory (the usual case — keep dims narrow). Set it
+    False for a jumbo dimension and let the planner shuffle instead.
+
+    This is deliberately a thin, *named* wrapper: the semantic contract
+    (per-batch dim refresh, no state, stream side unshuffled) is the
+    operator; the implementation is one join.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

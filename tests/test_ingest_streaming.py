@@ -695,3 +695,36 @@ def test_streaming_upsert_sink_recovers_from_crashed_promotion(
     run_once()
     got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}  # nothing truncated
+
+
+def test_streaming_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: streaming rows pick up dim
+    attributes; unmatched keys survive the left join with NULLs."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_enrich,
+    )
+
+    src = tmp_path / "enrich_src"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (9, 90.0)], "uid long, v double"
+    ).write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "uid long, tier string"
+    )
+    enriched = streaming_enrich(
+        spark.readStream.schema("uid long, v double").parquet(str(src)), dim,
+        "uid",
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["uid"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    assert got == {1: "gold", 2: "silver", 9: None}
