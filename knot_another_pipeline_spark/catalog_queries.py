@@ -2223,6 +2223,33 @@ GROUP BY event_type
 """
 
 
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe top-5 events by value per user
+    (operators/relational.py grouped_topk): two-stage tournament — no
+    task ever sorts a whole giant group; result identical to the plain
+    ranking window, which is what the oracle runs."""
+    from knot_another_pipeline_spark.operators.relational import grouped_topk
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round("value", 6).alias("value")
+    )
+    out = grouped_topk(
+        ev, ["user_id"], order_col="value", k=5, tiebreak="event_id"
+    )
+    return out.select("user_id", "event_id", "value")
+
+
+ORACLE_GROUPED_TOPK = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY round(value, 6) DESC,
+                                     event_id DESC) AS rn
+  FROM events) t
+WHERE rn <= 5
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation between orders and its upserted rebuild
     (operators/relational.py snapshot_diff): one full-outer join on the
@@ -2797,6 +2824,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # incremental dedup + LM quality scoring + layout
+    "grouped_topk": q_grouped_topk,
     "snapshot_diff": q_snapshot_diff,
     "track_interpolate": q_track_interpolate,
     "salted_agg": q_salted_agg,
@@ -2875,6 +2903,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "grouped_topk": ORACLE_GROUPED_TOPK,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "track_interpolate": ORACLE_TRACK_INTERPOLATE,
     "salted_agg": ORACLE_SALTED_AGG,

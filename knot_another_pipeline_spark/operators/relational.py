@@ -422,3 +422,55 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    fanout: int = 16,
+) -> DataFrame:
+    """Top-k rows per group, skew-safe: the plain
+    ``row_number() OVER (PARTITION BY keys ORDER BY ...)`` sorts each
+    group on ONE task — fine for many small groups, a single-task wall
+    for a few giant ones (the event-log shape: one bot user with 10⁸
+    rows). This runs the two-stage tournament instead: stage 1 ranks
+    within ``fanout`` deterministic subgroups in parallel and keeps k
+    from each, stage 2 ranks the ≤ fanout·k survivors per group — so no
+    task ever sorts more than max(subgroup, fanout·k) rows.
+
+    Subgroup assignment hashes ``tiebreak`` (or ``order_col``) so it is
+    deterministic across runs and retries. ``tiebreak`` also breaks
+    order ties (recommended whenever ``order_col`` can repeat —
+    without it, equal-valued rows at the k boundary are chosen
+    arbitrarily). Same result set as the plain window — which is
+    exactly what the catalog oracle checks.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fanout < 1:
+        raise ValueError(f"fanout must be >= 1, got {fanout}")
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tiebreak:
+        order.append(
+            F.col(tiebreak).desc() if descending else F.col(tiebreak).asc()
+        )
+    sub = F.pmod(
+        F.xxhash64(F.col(tiebreak if tiebreak else order_col)), F.lit(fanout)
+    )
+    w1 = Window.partitionBy(*keys, "_sub").orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_sub", sub)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_sub", "_rn")
+    )

@@ -324,3 +324,35 @@ def test_compact_parquet_recovers_from_crashed_promotion(spark, tmp_path):
     import pytest as pt
     with pt.raises(ValueError):
         compact_parquet(spark, "s3://bucket/tbl")
+
+
+def test_grouped_topk_matches_plain_window(spark):
+    from knot_another_pipeline_spark.operators.relational import grouped_topk
+    from pyspark.sql import Window
+
+    rows = [(i % 5, i, float((i * 37) % 101)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, id long, score double")
+    got = sorted(
+        (r["k"], r["id"])
+        for r in grouped_topk(
+            df, ["k"], order_col="score", k=7, tiebreak="id"
+        ).collect()
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("score").desc(), F.col("id").desc()
+    )
+    want = sorted(
+        (r["k"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 7")
+        .collect()
+    )
+    assert got == want and len(got) == 35
+    # ascending works too
+    asc = grouped_topk(
+        df, ["k"], order_col="score", k=1, descending=False, tiebreak="id"
+    ).collect()
+    assert len(asc) == 5
+    assert all(r["score"] == min(
+        s for kk, _, s in rows if kk == r["k"]
+    ) for r in asc)
