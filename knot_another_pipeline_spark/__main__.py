@@ -76,6 +76,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--splits", default="train:90,val:5,test:5",
         help="name:weight,... summing to 100",
     )
+    prep.add_argument(
+        "--format", default="parquet", choices=["parquet", "jsonl"],
+        help="output format (jsonl = one gzip'd JSON object per line, "
+        "the common training-data interchange shape)",
+    )
     return p
 
 
@@ -267,13 +272,17 @@ def main(argv: list[str] | None = None) -> int:
                 group_col="split",
             ).select(F.col("id").alias("doc_id"), "shard")
             final = final.join(shards, "doc_id")
-            (
-                final.write.mode("overwrite")
-                .partitionBy("split")
-                .parquet(args.output)
-            )
+            writer = final.write.mode("overwrite").partitionBy("split")
+            if args.format == "jsonl":
+                # spark's json source IS jsonl (one object per line);
+                # gzip keeps shard files network-friendly
+                writer.option("compression", "gzip").json(args.output)
+                reader = spark.read.schema(final.schema).json(args.output)
+            else:
+                writer.parquet(args.output)
+                reader = spark.read.schema(final.schema).parquet(args.output)
             # explicit schema: an all-filtered corpus writes no footers
-            n = spark.read.schema(final.schema).parquet(args.output).count()
+            n = reader.count()
             print(f"prepared corpus written to {args.output} ({n} docs)")
         return 0
     finally:

@@ -570,3 +570,32 @@ def test_scan_pushdown_and_column_pruning(spark, sf_dir=None):
     assert schema and schema[0] == "struct<doc_id:bigint,n_chars:bigint>"
     pushed2 = re.findall(r"PushedFilters: \[([^\]]*)\]", p2)
     assert pushed2 and "GreaterThan(n_chars,100)" in pushed2[0]
+
+
+def test_cli_prep_corpus_jsonl_output(spark, tmp_path, capsys):
+    """--format jsonl writes gzip'd one-object-per-line shards (the
+    training-data interchange shape) with the same rows as parquet."""
+    import json
+
+    from knot_another_pipeline_spark.__main__ import main
+
+    src = tmp_path / "corpus.jsonl"
+    lines = [
+        json.dumps(
+            {"id": i, "text": ("useful words in a sentence " * 20) + str(i)}
+        )
+        for i in range(40)
+    ]
+    src.write_text("\n".join(lines))
+    out = str(tmp_path / "prepped")
+    rc = main([
+        "prep-corpus", "--input", str(src), "--output", out,
+        "--min-tokens", "10", "--tokens-per-shard", "1000",
+        "--format", "jsonl",
+    ])
+    assert rc == 0
+    got = spark.read.json(out)
+    assert got.count() == 40
+    assert {"doc_id", "text", "n_tokens", "shard"} <= set(got.columns)
+    import glob
+    assert glob.glob(f"{out}/split=*/*.json.gz")  # gzip'd jsonl shards
