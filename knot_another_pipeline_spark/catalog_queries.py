@@ -2223,6 +2223,44 @@ GROUP BY event_type
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 64-token windows advancing by 48 (16
+    overlap) over every document (operators/text_analysis.py
+    chunk_documents) — row-local expression work, no shuffle."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=64, overlap_tokens=16,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "n_tokens"
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH toks AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+  FROM base),
+e AS (
+  SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(
+         list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '
+       ) AS chunk_text,
+       CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+
 def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe top-5 events by value per user
     (operators/relational.py grouped_topk): two-stage tournament — no
@@ -2824,6 +2862,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # incremental dedup + LM quality scoring + layout
+    "chunk_documents": q_chunk_documents,
     "grouped_topk": q_grouped_topk,
     "snapshot_diff": q_snapshot_diff,
     "track_interpolate": q_track_interpolate,
@@ -2903,6 +2942,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "grouped_topk": ORACLE_GROUPED_TOPK,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "track_interpolate": ORACLE_TRACK_INTERPOLATE,

@@ -420,3 +420,74 @@ def unigram_logprob_score(
             "perplexity", F.round(F.exp(-F.col("avg_logprob")), 4)
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split long documents into fixed-size token windows — the step
+    between a cleaned corpus and a context-length-bounded training set
+    (every pretraining pipeline chunks; rag/embedding pipelines chunk
+    with overlap).
+
+    Whitespace tokens (the repo's deterministic tokenizer stand-in,
+    same as token_counts) are sliced into windows of ``chunk_tokens``
+    advancing by ``chunk_tokens - overlap_tokens``; the final partial
+    window is kept (a short tail beats dropping trailing text). All
+    expression-level: tokenize once, explode a sequence of window
+    starts, slice + rejoin per window — no UDF, no shuffle (chunking is
+    embarrassingly row-local; the explode multiplies rows ~len/stride,
+    the same factor the output inherently has).
+
+    Output: id, chunk_id (0-based), chunk_text, n_tokens (per chunk).
+    Empty/blank documents produce no chunks.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... (1-based for slice); last start
+    # covers the tail (ceil((n - chunk)/stride) extra windows)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            F.explode(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(
+                    "_toks",
+                    F.col("chunk_id").cast("int") * stride + 1,
+                    chunk_tokens,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size("_toks") - F.col("chunk_id").cast("int") * stride,
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )

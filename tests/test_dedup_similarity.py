@@ -889,3 +889,43 @@ def test_incremental_dedup_catches_short_text_batch_dups(spark):
     assert out[10] == ("keep", None)
     assert out[11] == ("exact_dup", 10)
     assert out[12] == ("keep", None)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text10), (2, "a b c"), (3, "   ")], "doc_id long, text string"
+    )
+    # chunk=4, no overlap: 10 tokens -> [0:4],[4:8],[8:10]
+    out = chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_tokens=4
+    ).collect()
+    got = {(r["id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"]) for r in out}
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w4 w5 w6 w7", 4)
+    assert got[(1, 2)] == ("w8 w9", 2)          # tail kept
+    assert got[(2, 0)] == ("a b c", 3)          # short doc: one chunk
+    assert all(k[0] != 3 for k in got)          # blank doc: no chunks
+    assert len(got) == 4
+
+    # overlap=2, chunk=4 -> stride 2: starts 0,2,4,6 for 10 tokens
+    ov = chunk_documents(
+        docs.filter("doc_id = 1"), id_col="doc_id", text_col="text",
+        chunk_tokens=4, overlap_tokens=2,
+    ).collect()
+    texts = [r["chunk_text"] for r in sorted(ov, key=lambda r: r["chunk_id"])]
+    assert texts[0] == "w0 w1 w2 w3" and texts[1] == "w2 w3 w4 w5"
+    # starts 0,2,4,6: last window is full and covers the tail
+    assert texts[-1] == "w6 w7 w8 w9"
+    # every token appears in at least one chunk; consecutive chunks share
+    # exactly `overlap` tokens
+    assert len(texts) == 4
+
+    import pytest as pt
+    with pt.raises(ValueError):
+        chunk_documents(docs, id_col="doc_id", text_col="text",
+                        chunk_tokens=4, overlap_tokens=4)
