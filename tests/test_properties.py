@@ -361,3 +361,49 @@ def test_range_join_matches_bruteforce(spark, points, intervals, bucket):
         if pk == ik and s <= pt <= e
     )
     assert got == want  # every containment, exactly once, no duplicates
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents: full coverage, exact overlap, reconstruction
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(0, 60),               # token count
+    st.integers(1, 12),               # chunk size
+    st.integers(0, 11),               # overlap (clamped below chunk)
+)
+def test_chunk_documents_covers_all_tokens(spark, n, chunk, overlap):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    overlap = min(overlap, chunk - 1)
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(
+            df, id_col="doc_id", text_col="text",
+            chunk_tokens=chunk, overlap_tokens=overlap,
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    if n == 0:
+        assert rows == []
+        return
+    toks = [f"t{i}" for i in range(n)]
+    # every chunk is exactly the expected slice
+    for r in rows:
+        start = r["chunk_id"] * stride
+        expect = toks[start:start + chunk]
+        assert r["chunk_text"].split(" ") == expect
+        assert r["n_tokens"] == len(expect)
+    # union of chunks covers every token
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == set(toks)
+    # chunk ids are dense from 0
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
