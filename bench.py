@@ -34,9 +34,11 @@ HEADLINE = [
     "semantic_dedup",
     "corpus_prep",
     "token_budget",
-    # r4 additions: temporal joins
+    # r4 additions: temporal joins + incremental dedup + LM scoring
     "asof_join",
     "rolling_stats",
+    "incremental_dedup",
+    "lm_score",
 ]
 
 

@@ -80,20 +80,32 @@ def _spread_bits_21(col: Column) -> Column:
     return x
 
 
-def morton_key(a: Column | str, b: Column | str) -> Column:
-    """Z-order (Morton) key interleaving the low 21 bits of two
+def morton_key(
+    a: Column | str, b: Column | str, c: Column | str | None = None
+) -> Column:
+    """Z-order (Morton) key interleaving the low 21 bits of two or three
     nonnegative integer columns — sort/partition data by this key and
-    both dimensions cluster simultaneously, so min/max row-group stats
-    prune scans on EITHER column (the data-layout trick behind
+    every dimension clusters simultaneously, so min/max row-group stats
+    prune scans on ANY of them (the data-layout trick behind
     Delta/Iceberg ``ZORDER BY``, here as a plain expression usable with
-    ``compact_parquet(sort_cols=['zkey'])``).
+    ``compact_parquet(sort_cols=['zkey'])``). Three dimensions is the
+    spatio-temporal sweet spot: cell-x, cell-y, time-bucket.
 
-    Inputs outside [0, 2^21) wrap via bit masking — rank- or
-    bucket-normalize first (e.g. ``F.floor(rank/width)``) for monotone
-    dimensions. Bit-exact in any engine with shifts/and/or.
+    The bit dilation places consecutive bits 3 apart, so the same
+    spread serves both arities (the 2-D key is the 3-D key with the
+    third plane zero — ordering is identical to a dense 2-D interleave,
+    only the key values are sparser). Inputs outside [0, 2^21) wrap via
+    bit masking — rank- or bucket-normalize first (e.g.
+    ``F.floor(rank/width)``) for monotone dimensions. Bit-exact in any
+    engine with shifts/and/or.
     """
-    ca = _c(a).cast("long") if isinstance(a, str) else a.cast("long")
-    cb = _c(b).cast("long") if isinstance(b, str) else b.cast("long")
-    return _spread_bits_21(ca).bitwiseOR(
-        F.shiftleft(_spread_bits_21(cb), 1)
+
+    def _long(x: Column | str) -> Column:
+        return _c(x).cast("long") if isinstance(x, str) else x.cast("long")
+
+    key = _spread_bits_21(_long(a)).bitwiseOR(
+        F.shiftleft(_spread_bits_21(_long(b)), 1)
     )
+    if c is not None:
+        key = key.bitwiseOR(F.shiftleft(_spread_bits_21(_long(c)), 2))
+    return key

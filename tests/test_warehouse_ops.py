@@ -356,3 +356,37 @@ def test_grouped_topk_matches_plain_window(spark):
     assert all(r["score"] == min(
         s for kk, _, s in rows if kk == r["k"]
     ) for r in asc)
+
+
+def test_morton_key_three_dimensions(spark):
+    """3-D Morton: matches the python reference and reduces to the 2-D
+    key when the third coordinate is zero."""
+    from knot_another_pipeline_spark.functions.hashing import morton_key
+
+    def spread(x):
+        x &= 0x1FFFFF
+        x = (x | x << 32) & 0x1F00000000FFFF
+        x = (x | x << 16) & 0x1F0000FF0000FF
+        x = (x | x << 8) & 0x100F00F00F00F00F
+        x = (x | x << 4) & 0x10C30C30C30C30C3
+        x = (x | x << 2) & 0x1249249249249249
+        return x
+
+    vals = [(1, 2, 3), (7, 0, 5), (0, 0, 0), (2097151, 2097151, 2097151),
+            (12345, 67890, 424242)]
+    df = spark.createDataFrame(vals, "a long, b long, c long")
+    got = [
+        r["z"]
+        for r in df.select(morton_key("a", "b", "c").alias("z")).collect()
+    ]
+    want = [spread(a) | spread(b) << 1 | spread(c) << 2 for a, b, c in vals]
+    assert got == want
+    # third plane zero == the 2-D key
+    two = [
+        (r["z2"], r["z3"])
+        for r in df.select(
+            morton_key("a", "b").alias("z2"),
+            morton_key("a", "b", F.lit(0)).alias("z3"),
+        ).collect()
+    ]
+    assert all(z2 == z3 for z2, z3 in two)
