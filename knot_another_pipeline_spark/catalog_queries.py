@@ -2223,6 +2223,29 @@ GROUP BY event_type
 """
 
 
+def q_length_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length percentile of every document (cume_dist —
+    deterministic under ties, unlike row_number-derived percentiles):
+    the normalized-score shape used to compare documents across corpora
+    with different length distributions."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc())
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.cume_dist().over(w), 6).alias("length_pctile"),
+    )
+
+
+ORACLE_LENGTH_PERCENTILE_RANK = """
+SELECT doc_id, lang, n_chars,
+       round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars ASC), 6)
+         AS length_pctile
+FROM documents
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking: 64-token windows advancing by 48 (16
     overlap) over every document (operators/text_analysis.py
@@ -2862,6 +2885,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # incremental dedup + LM quality scoring + layout
+    "length_percentile_rank": q_length_percentile_rank,
     "chunk_documents": q_chunk_documents,
     "grouped_topk": q_grouped_topk,
     "snapshot_diff": q_snapshot_diff,
@@ -2942,6 +2966,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "length_percentile_rank": ORACLE_LENGTH_PERCENTILE_RANK,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "grouped_topk": ORACLE_GROUPED_TOPK,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
