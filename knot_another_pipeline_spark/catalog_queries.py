@@ -2223,6 +2223,35 @@ GROUP BY event_type
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (operators/similarity.py
+    embedding_centroids): posexplode + one map-side-combined aggregate;
+    flat (label, pos, value) output is the join-ready centroid shape."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_centroids(emb, vec_col="embedding", by="label")
+    return out.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("pos").cast("bigint").alias("pos"),
+        "centroid",
+        "n_vectors",
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(i - 1 AS BIGINT) AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+       count(*) AS n_vectors
+FROM embeddings
+CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+GROUP BY label, i
+"""
+
+
 def q_length_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length percentile of every document (cume_dist —
     deterministic under ties, unlike row_number-derived percentiles):
@@ -2885,6 +2914,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # incremental dedup + LM quality scoring + layout
+    "embedding_centroids": q_embedding_centroids,
     "length_percentile_rank": q_length_percentile_rank,
     "chunk_documents": q_chunk_documents,
     "grouped_topk": q_grouped_topk,
@@ -2966,6 +2996,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "length_percentile_rank": ORACLE_LENGTH_PERCENTILE_RANK,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "grouped_topk": ORACLE_GROUPED_TOPK,

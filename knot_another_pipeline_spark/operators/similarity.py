@@ -342,3 +342,40 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    by: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per group — class centroids for IVF
+    coarse quantizers, dataset-cartography cluster summaries, or
+    prototype-based labeling.
+
+    posexplode flattens (group, position, component); one groupBy on
+    (group, position) averages map-side-combined partials. The flat
+    (group, pos, value) output is deliberate: it IS the join-ready shape
+    (joining a flat centroid table against exploded vectors beats
+    shipping re-assembled arrays), and re-assembly is one
+    ``array_agg`` away when needed. Scale: explode multiplies rows by
+    dim, but each row is 3 narrow columns and partial aggregation
+    collapses them before the (groups × dim)-sized shuffle.
+
+    Output: group col, pos (0-based), centroid (rounded for
+    cross-engine reproducibility), n_vectors.
+    """
+    flat = df.select(
+        F.col(by), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    return (
+        flat.groupBy(by, "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), round_to).alias(
+                "centroid"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
