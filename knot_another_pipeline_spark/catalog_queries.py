@@ -2223,6 +2223,76 @@ GROUP BY event_type
 """
 
 
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: cap documents at 30 per language, hash-ranked so
+    the draw reproduces in any engine and a bigger cap extends the same
+    selection (operators/sampling.py stratified_cap)."""
+    from knot_another_pipeline_spark.operators.sampling import stratified_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_cap(docs, group_col="lang", id_col="doc_id", cap=30)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+ORACLE_STRATIFIED_CAP = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(concat('0', ':', CAST(doc_id AS VARCHAR))),
+                    1, 15) ASC,
+                    doc_id ASC) AS rk
+  FROM documents) t
+WHERE rk <= 30
+"""
+
+
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift alarm: total-variation distance between the length
+    histograms of two document halves (operators/quality.py
+    histogram_drift) — exact integer counts, one bounded-shuffle
+    histogram per side."""
+    from knot_another_pipeline_spark.operators.quality import histogram_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        bins=32, lo=0.0, hi=2000.0,
+    )
+
+
+ORACLE_HISTOGRAM_DRIFT = """
+WITH cur AS (
+  SELECT least(greatest(
+           CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 62.5) AS BIGINT),
+           0), 31) AS bin
+  FROM documents
+  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+    AND NOT isnan(CAST(n_chars AS DOUBLE))),
+hc AS (SELECT bin, count(*) AS n_cur FROM cur GROUP BY bin),
+refs AS (
+  SELECT least(greatest(
+           CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 62.5) AS BIGINT),
+           0), 31) AS bin
+  FROM documents
+  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+    AND NOT isnan(CAST(n_chars AS DOUBLE))),
+hr AS (SELECT bin, count(*) AS n_ref FROM refs GROUP BY bin),
+j AS (
+  SELECT coalesce(n_cur, 0) AS n_cur, coalesce(n_ref, 0) AS n_ref
+  FROM hc FULL OUTER JOIN hr ON hc.bin = hr.bin),
+t AS (SELECT sum(n_cur) AS tc, sum(n_ref) AS tr FROM j)
+SELECT round(sum(abs(CAST(n_cur AS DOUBLE) / tc
+                     - CAST(n_ref AS DOUBLE) / tr)) / 2.0, 6)
+         AS tv_distance,
+       CAST(tc AS BIGINT) AS n_current,
+       CAST(tr AS BIGINT) AS n_reference
+FROM j CROSS JOIN t GROUP BY tc, tr
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (operators/similarity.py
     embedding_centroids): posexplode + one map-side-combined aggregate;
@@ -2914,6 +2984,8 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_chunks": q_media_chunks,
     # incremental dedup + LM quality scoring + layout
+    "stratified_cap": q_stratified_cap,
+    "histogram_drift": q_histogram_drift,
     "embedding_centroids": q_embedding_centroids,
     "length_percentile_rank": q_length_percentile_rank,
     "chunk_documents": q_chunk_documents,
@@ -2996,6 +3068,8 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_chunks": ORACLE_MEDIA_CHUNKS,
+    "stratified_cap": ORACLE_STRATIFIED_CAP,
+    "histogram_drift": ORACLE_HISTOGRAM_DRIFT,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "length_percentile_rank": ORACLE_LENGTH_PERCENTILE_RANK,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,

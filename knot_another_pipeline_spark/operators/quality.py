@@ -308,3 +308,56 @@ def histogram_quantiles(
             ).alias("quantile"),
         )
     )
+
+
+def histogram_drift(
+    current: DataFrame,
+    reference: DataFrame,
+    col: str,
+    *,
+    bins: int = 64,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Distribution drift between two snapshots of a numeric column:
+    total-variation distance between their equi-width histograms — the
+    cheap, deterministic corpus-drift alarm (did today's crawl's length/
+    score/perplexity distribution move?).
+
+    TV = 0.5 · Σ_bins |p_cur − p_ref| ∈ [0, 1]; 0 = identical binned
+    distributions, 1 = disjoint. Both sides share the same fixed bin
+    grid (clamping included), so the metric is well-defined even when
+    ranges differ, and every step is exact-integer counts + one
+    double division — reproducible anywhere. Cost: one bounded-shuffle
+    histogram per side, then a ≤``bins``-row join.
+
+    Output: one row — tv_distance, n_current, n_reference.
+    """
+    cur = equi_width_histogram(current, col, bins=bins, lo=lo, hi=hi).select(
+        "bin", F.col("n").alias("n_cur")
+    )
+    ref = equi_width_histogram(reference, col, bins=bins, lo=lo, hi=hi).select(
+        "bin", F.col("n").alias("n_ref")
+    )
+    joined = cur.join(ref, "bin", "full_outer").select(
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+    )
+    totals = joined.agg(
+        F.sum("n_cur").alias("tc"), F.sum("n_ref").alias("tr")
+    )
+    per_bin = joined.crossJoin(F.broadcast(totals)).select(
+        F.abs(
+            F.col("n_cur").cast("double") / F.col("tc")
+            - F.col("n_ref").cast("double") / F.col("tr")
+        ).alias("d"),
+        "tc",
+        "tr",
+    )
+    return per_bin.groupBy("tc", "tr").agg(
+        F.round(F.sum("d") / 2.0, 6).alias("tv_distance")
+    ).select(
+        "tv_distance",
+        F.col("tc").cast("bigint").alias("n_current"),
+        F.col("tr").cast("bigint").alias("n_reference"),
+    )

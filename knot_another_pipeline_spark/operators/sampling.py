@@ -305,3 +305,39 @@ def weighted_sample(
         .limit(k)
         .drop("_sample_key")
     )
+
+
+def stratified_cap(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Cap every group at ``cap`` rows, chosen deterministically — the
+    class-balancing step for training sets (no language/domain/label may
+    dominate): groups under the cap keep everything, groups over it keep
+    a reproducible hash-ranked subset (md5 of (seed, id) — a uniform
+    random draw that is identical in any engine and independent of
+    partitioning). Changing ``seed`` redraws; changing ``cap`` only
+    extends/truncates the same ranking, so caps can be tuned without
+    reshuffling which rows survive the smaller cap.
+
+    One shuffle on the group key; the per-group ranking window is the
+    standard top-k shape (for a pathologically hot group, route through
+    ``operators.relational.grouped_topk`` with the same hash as the
+    order column).
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash_hex
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_hex(id_col, seed=seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -390,3 +390,52 @@ def test_morton_key_three_dimensions(spark):
         ).collect()
     ]
     assert all(z2 == z3 for z2, z3 in two)
+
+
+def test_stratified_cap_balances_groups(spark):
+    from knot_another_pipeline_spark.operators.sampling import stratified_cap
+
+    rows = [(i, "big" if i <= 970 else "small") for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = stratified_cap(df, group_col="grp", id_col="id", cap=50)
+    sizes = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"big": 50, "small": 30}  # under-cap group untouched
+    # deterministic, and a larger cap extends the same selection
+    s50 = {r["id"] for r in out.filter("grp = 'big'").collect()}
+    s80 = {
+        r["id"]
+        for r in stratified_cap(df, group_col="grp", id_col="id", cap=80)
+        .filter("grp = 'big'").collect()
+    }
+    assert s50 < s80
+    s50_again = {
+        r["id"]
+        for r in stratified_cap(df, group_col="grp", id_col="id", cap=50)
+        .filter("grp = 'big'").collect()
+    }
+    assert s50 == s50_again
+    # different seed redraws
+    s50_seed = {
+        r["id"]
+        for r in stratified_cap(df, group_col="grp", id_col="id", cap=50, seed=3)
+        .filter("grp = 'big'").collect()
+    }
+    assert s50_seed != s50
+
+
+def test_histogram_drift_detects_shift(spark):
+    from knot_another_pipeline_spark.operators.quality import histogram_drift
+
+    a = spark.createDataFrame([(float(i % 100),) for i in range(2000)], "v double")
+    b_same = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    b_shift = spark.createDataFrame(
+        [(float(i % 100) + 50.0,) for i in range(1000)], "v double"
+    )
+    same = histogram_drift(a, b_same, "v", bins=20, lo=0.0, hi=200.0).collect()[0]
+    assert same["tv_distance"] == 0.0
+    assert same["n_current"] == 2000 and same["n_reference"] == 1000
+    shifted = histogram_drift(a, b_shift, "v", bins=20, lo=0.0, hi=200.0).collect()[0]
+    assert shifted["tv_distance"] == 0.5  # half the mass moved
