@@ -322,16 +322,22 @@ def salted_agg(
     'm': ('avg', 'v')})``.
 
     The salt column derives from ``id_col`` (md5-stable) when given,
-    else ``spark_partition_id()`` — both shuffle-free to compute;
-    partition-id salting is nondeterministic in *assignment* but the
-    merged result is identical either way (algebraic merge).
+    else from a row-local hash of ALL columns — shuffle-free either
+    way, and row-local on purpose: a partition-derived salt
+    (``spark_partition_id()``) silently collapses to a constant per
+    group when the input is already partitioned by the group keys
+    (directly downstream of a shuffle on the same keys), un-doing the
+    giant-group fanout. The merged result is identical under any
+    assignment (algebraic merge); only the fanout guarantee differs.
     """
     from knot_another_pipeline_spark.functions.hashing import stable_bucket
 
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     salt_col = (
-        stable_bucket(id_col, salt) if id_col else F.spark_partition_id() % salt
+        stable_bucket(id_col, salt)
+        if id_col
+        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
     )
     stage1_aggs, stage2_aggs, post = [], [], []
     for name, (fn, col) in aggs.items():
@@ -433,6 +439,7 @@ def grouped_topk(
     descending: bool = True,
     tiebreak: str | None = None,
     fanout: int = 16,
+    allow_nonunique_order: bool = False,
 ) -> DataFrame:
     """Top-k rows per group, skew-safe: the plain
     ``row_number() OVER (PARTITION BY keys ORDER BY ...)`` sorts each
@@ -443,17 +450,30 @@ def grouped_topk(
     from each, stage 2 ranks the ≤ fanout·k survivors per group — so no
     task ever sorts more than max(subgroup, fanout·k) rows.
 
-    Subgroup assignment hashes ``tiebreak`` (or ``order_col``) so it is
-    deterministic across runs and retries. ``tiebreak`` also breaks
-    order ties (recommended whenever ``order_col`` can repeat —
-    without it, equal-valued rows at the k boundary are chosen
-    arbitrarily). Same result set as the plain window — which is
-    exactly what the catalog oracle checks.
+    Subgroup assignment hashes ``tiebreak`` so it is deterministic
+    across runs and retries AND fans out even when ``order_col`` has few
+    distinct values (integer scores, status codes): hashing a
+    low-cardinality order column would land every row of a hot group in
+    a handful of subgroups and silently rebuild the single-task sort
+    this operator exists to avoid. ``tiebreak`` (a unique id) is
+    therefore REQUIRED unless ``allow_nonunique_order=True``, in which
+    case the subgroup hash falls back to all columns (row-local, still
+    deterministic) and equal-valued rows at the k boundary are chosen
+    arbitrarily. ``tiebreak`` also breaks order ties, making the result
+    identical to the plain window — which is exactly what the catalog
+    oracle checks.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if fanout < 1:
         raise ValueError(f"fanout must be >= 1, got {fanout}")
+    if tiebreak is None and not allow_nonunique_order:
+        raise ValueError(
+            "grouped_topk needs tiebreak=<unique id column>: without it the "
+            "subgroup hash degenerates when order_col repeats and boundary "
+            "ties are nondeterministic; pass allow_nonunique_order=True to "
+            "accept both"
+        )
     order = [
         F.col(order_col).desc() if descending else F.col(order_col).asc()
     ]
@@ -461,9 +481,10 @@ def grouped_topk(
         order.append(
             F.col(tiebreak).desc() if descending else F.col(tiebreak).asc()
         )
-    sub = F.pmod(
-        F.xxhash64(F.col(tiebreak if tiebreak else order_col)), F.lit(fanout)
+    sub_cols = (
+        [F.col(tiebreak)] if tiebreak else [F.col(c) for c in df.columns]
     )
+    sub = F.pmod(F.xxhash64(*sub_cols), F.lit(fanout))
     w1 = Window.partitionBy(*keys, "_sub").orderBy(*order)
     w2 = Window.partitionBy(*keys).orderBy(*order)
     return (

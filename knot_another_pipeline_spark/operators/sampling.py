@@ -124,7 +124,7 @@ def assign_shards(
     id_col: str,
     token_col: str,
     tokens_per_shard: int,
-    bucket_width: int = 4096,
+    bucket_width: int | None = None,
     group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic balanced sharding: assign documents (in id order) to
@@ -151,12 +151,18 @@ def assign_shards(
     (and same remedy: pre-hash to bigint) as ``similarity.assign_cells``.
     Per-bucket totals, an exclusive offset window over the totals table
     (``~N/bucket_width`` rows), then within-bucket cumulative sums
-    ordered by id. ``bucket_width`` is the dial, and it sizes against the
-    id SPACING, not the row count: pick it so rows-per-bucket ≈ buckets ≈
-    √N. Dense sequential ids → width ≈ √N (the 4096 default suits ~10⁷
-    dense docs). HASHED ids are uniform over 2⁶⁴, so the right width is
-    ``2⁶⁴/√N`` — the default would put ~1 row per bucket and rebuild the
-    single-task funnel this function exists to avoid.
+    ordered by id. ``bucket_width`` sizes against the id SPACING, not the
+    row count: pick it so rows-per-bucket ≈ buckets ≈ √N. By default it is
+    DERIVED from the data — one cheap ``(min, max, count)`` aggregate,
+    then ``width = (max-min+1) / √N`` — which lands on √N-row buckets for
+    dense sequential ids AND for ids hashed uniformly over 2⁶⁴ (where a
+    fixed small default would put ~1 row per bucket, balloon the offsets
+    table to ~N rows, and rebuild the single-task funnel this function
+    exists to avoid). Pass ``bucket_width`` explicitly only to pin plans
+    across runs. The offsets join is left to Catalyst/AQE — broadcast
+    while the totals table is small, shuffle join beyond — rather than
+    force-broadcast (a mis-sized width must degrade to a shuffle, not
+    ship ~N rows through the driver).
     Output: id, n_tokens, shard.
     """
     id_type = dict(df.dtypes).get(id_col, "")
@@ -166,6 +172,15 @@ def assign_shards(
             f"{id_type!r} (hash string ids to a bigint first and set "
             "bucket_width to 2**64 // sqrt(N))"
         )
+    if bucket_width is None:
+        lo, hi, n = df.select(
+            F.min(id_col), F.max(id_col), F.count(F.lit(1))
+        ).first()
+        if n == 0 or lo is None:
+            bucket_width = 1
+        else:
+            span = int(hi) - int(lo) + 1
+            bucket_width = max(1, round(span / max(1.0, float(n) ** 0.5)))
     if bucket_width < 1:
         raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
     grp = (
@@ -190,7 +205,7 @@ def assign_shards(
     ).select(*grp_keys, "b", "offset")
     w_in = Window.partitionBy(*grp_keys, "b").orderBy(F.col("id").asc())
     return (
-        s.join(F.broadcast(offsets), [*grp_keys, "b"])
+        s.join(offsets, [*grp_keys, "b"])
         .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(w_in))
         .withColumn(
             "shard",

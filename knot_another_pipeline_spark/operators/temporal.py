@@ -87,9 +87,13 @@ def asof_join(
     keys upstream if they exist).
 
     Ties: multiple quotes with identical (key, ts) are ordered by
-    ``right_tiebreak`` (the largest wins); without it the winner is
-    partition-order-dependent — pass a tiebreak (or pre-dedupe quotes)
-    whenever quote timestamps can collide and determinism matters.
+    ``right_tiebreak`` — the largest wins for integral columns; a
+    non-integral tiebreak is ordered by its xxhash64 (deterministic
+    across runs, but not the column's natural order — pre-map string
+    ids to a bigint if "largest id wins" must be literal). Without a
+    tiebreak the winner is partition-order-dependent — pass one (or
+    pre-dedupe quotes) whenever quote timestamps can collide and
+    determinism matters.
 
     Output: all left columns, the selected ``right_cols`` (default:
     every right column except keys and timestamp), and the matched
@@ -107,10 +111,12 @@ def asof_join(
         if right_cols is not None
         else [c for c in right.columns if c not in (*keys, rts)]
     )
-    collisions = set(rcols) & set(left.columns)
+    collisions = (set(rcols) | {matched_ts_col}) & set(left.columns)
+    collisions |= {matched_ts_col} & set(rcols)
     if collisions:
         raise ValueError(
-            f"right columns collide with left: {sorted(collisions)}; rename first"
+            f"output columns collide with left/right: {sorted(collisions)}; "
+            "rename them (or pick another matched_ts_col) first"
         )
     lcols = [c for c in left.columns if c not in keys]
 
@@ -138,15 +144,22 @@ def asof_join(
     quote_valid = F.col(rts).isNotNull()
     for k in keys:
         quote_valid = quote_valid & F.col(k).isNotNull()
+    if right_tiebreak:
+        tb_type = dict(right.dtypes).get(right_tiebreak, "")
+        if tb_type in ("tinyint", "smallint", "int", "bigint"):
+            tb_expr = F.col(right_tiebreak).cast("long")
+        else:
+            # cast('long') on a string id would silently become NULL for
+            # every row, restoring the nondeterminism the parameter
+            # exists to eliminate — hash instead (deterministic order).
+            tb_expr = F.xxhash64(F.col(right_tiebreak))
+    else:
+        tb_expr = F.lit(0).cast("long")
     quote = right.filter(quote_valid).select(
         *keys,
         F.col(rts).alias("_ats"),
         F.lit(0).alias("_probe"),
-        (
-            F.col(right_tiebreak).cast("long")
-            if right_tiebreak
-            else F.lit(0).cast("long")
-        ).alias("_tb"),
+        tb_expr.alias("_tb"),
         F.lit(None).cast(lpay_type).alias("_lpay"),
         quote_pay.alias("_rpay"),
     )

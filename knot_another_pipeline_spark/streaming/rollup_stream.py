@@ -347,6 +347,21 @@ def streaming_upsert_sink(
 
     from knot_another_pipeline_spark.operators.relational import upsert
 
+    # Same guard as warehouse.compact_parquet: the staged rewrite renames
+    # through os.replace, which only works on a local filesystem (and only
+    # within one mount — cross-device promotion would raise EXDEV). An
+    # s3://... path would write staging via Spark then fail the batch at
+    # os.replace with an obscure FileNotFoundError; reject it up front.
+    # Object-store deployments should swap this sink for a MERGE-capable
+    # format (Delta/Iceberg) keeping the same call shape.
+    if "://" in output_path and not output_path.startswith("file://"):
+        raise ValueError(
+            "streaming_upsert_sink stages its rewrite with local renames; "
+            f"non-local output_path {output_path!r} is not supported — use a "
+            "local path (staging/tombstone siblings live on the same "
+            "filesystem) or a MERGE-capable table format"
+        )
+
     key_list = [keys] if isinstance(keys, str) else list(keys)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:

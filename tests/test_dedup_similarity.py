@@ -531,6 +531,32 @@ def test_assign_shards_matches_naive_cumsum(spark):
         )
 
 
+def test_assign_shards_auto_width_hashed_ids(spark):
+    """With no bucket_width, the width derives from the id span — so ids
+    hashed over a ~2^60 range still get ~sqrt(N)-row buckets instead of
+    one row per bucket (the degenerate shape the old fixed default
+    produced), and the shard assignment still equals the naive
+    id-ordered cumulative sum."""
+    from knot_another_pipeline_spark.operators.sampling import assign_shards
+
+    step = (1 << 60) // 400
+    rows = [((i * 2654435761) % 400 * step + i, 25) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, toks long")
+    got = {
+        r["id"]: r["shard"]
+        for r in assign_shards(
+            df, id_col="id", token_col="toks", tokens_per_shard=100
+        ).collect()
+    }
+    cum, expected = 0, {}
+    for i, t in sorted(rows):
+        expected[i] = cum // 100
+        cum += t
+    assert got == expected
+    # 400 docs * 25 tokens / 100 per shard = 100 shards, 4 docs each
+    assert sorted(set(got.values())) == list(range(100))
+
+
 def test_new_operators_on_empty_input(spark):
     """Empty inputs flow through without errors and yield empty outputs
     (schema intact) — the behavior a scheduled pipeline needs on a quiet

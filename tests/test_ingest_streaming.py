@@ -697,6 +697,76 @@ def test_streaming_upsert_sink_recovers_from_crashed_promotion(
     assert got == {1: "a", 2: "b", 3: "c"}  # nothing truncated
 
 
+def test_streaming_upsert_sink_rejects_object_store_paths(spark, tmp_path):
+    """The staged rewrite promotes via local renames; a non-local
+    output_path must fail fast at the call, not mid-batch at
+    os.replace."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_upsert_sink,
+    )
+    import pytest
+
+    src = tmp_path / "guard_src"
+    src.mkdir()
+    stream = spark.readStream.schema("k long, v string").parquet(str(src))
+    with pytest.raises(ValueError, match="non-local"):
+        streaming_upsert_sink(
+            stream,
+            keys="k",
+            output_path="s3://bucket/gold_tbl",
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+
+
+def test_streaming_upsert_replay_equals_batch_upsert_of_union(
+    spark, tmp_path
+):
+    """Idempotence as an executable check: epochs applied once, then
+    REPLAYED from scratch (fresh checkpoint, same source) over the
+    already-merged table, converge to exactly the single batch upsert of
+    the unioned epochs — late/duplicate delivery can never fork the
+    streaming table from its batch equivalent."""
+    from knot_another_pipeline_spark.operators.relational import upsert
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_upsert_sink,
+    )
+
+    src = tmp_path / "par_src"
+    out = str(tmp_path / "par_tbl")
+    schema = "k long, v string, ver long"
+    epochs = [
+        [(1, "a", 1), (2, "b", 1)],
+        [(2, "B", 2), (3, "c", 1)],
+        [(1, "A", 0), (4, "d", 1)],  # ver=0 must NOT regress key 1
+    ]
+
+    def run(ckpt: str):
+        q = streaming_upsert_sink(
+            spark.readStream.schema(schema).parquet(str(src)),
+            keys="k", output_path=out, checkpoint_path=ckpt, order_col="ver",
+        )
+        q.awaitTermination(120)
+
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(src)
+        )
+        run(str(tmp_path / "par_ckpt"))  # one epoch per run
+    # replay every epoch again against the merged table
+    run(str(tmp_path / "par_ckpt_replay"))
+
+    union = spark.createDataFrame(
+        [r for rows in epochs for r in rows], schema
+    )
+    want = sorted(
+        tuple(r)
+        for r in upsert(union.limit(0), union, ["k"], order_col="ver").collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == want
+    assert [k for k, *_ in got] == [1, 2, 3, 4]
+
+
 def test_streaming_enrich_stream_static_join(spark, tmp_path):
     """Stream-static broadcast enrichment: streaming rows pick up dim
     attributes; unmatched keys survive the left join with NULLs."""

@@ -86,6 +86,42 @@ def test_asof_join_tiebreak_deterministic(spark):
     assert out[0]["px"] == 7.0
 
 
+def test_asof_join_string_tiebreak_not_nulled(spark):
+    """A non-integral tiebreak is hashed, not cast('long') (which would
+    silently NULL every row and restore partition-order
+    nondeterminism) — the winner is stable across runs."""
+    quotes = spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:00:00", 5.0, "q-a"),
+            (1, "2025-01-01 00:00:00", 7.0, "q-b"),
+        ],
+        "uid long, ts string, px double, qid string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    probes = spark.createDataFrame(
+        [(1, "2025-01-01 00:10:00")], "uid long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    picks = {
+        asof_join(
+            probes, quotes, on="uid", right_cols=["px"], right_tiebreak="qid"
+        ).collect()[0]["px"]
+        for _ in range(3)
+    }
+    assert picks == {5.0} or picks == {7.0}
+
+
+def test_asof_join_matched_ts_col_collision_raises(spark):
+    import pytest
+
+    probes = _probes(spark).withColumn("asof_ts", F.col("ts"))
+    with pytest.raises(ValueError, match="asof_ts"):
+        asof_join(probes, _quotes(spark), on="uid")
+    # a custom matched_ts_col dodges the collision
+    out = asof_join(
+        probes, _quotes(spark), on="uid", matched_ts_col="quote_ts"
+    )
+    assert "quote_ts" in out.columns
+
+
 def test_range_join_points_in_intervals(spark):
     intervals = spark.createDataFrame(
         [

@@ -214,7 +214,7 @@ def test_salted_agg_matches_plain_groupby(spark):
         ).collect()
     }
     assert got == want
-    # partition-id salting merges to the same result
+    # row-local fallback salt merges to the same result
     got2 = {
         r["k"]: r["n"]
         for r in salted_agg(df, ["k"], {"n": ("count", "*")}, salt=8).collect()
@@ -224,6 +224,76 @@ def test_salted_agg_matches_plain_groupby(spark):
     import pytest as pt
     with pt.raises(ValueError):
         salted_agg(df, ["k"], {"d": ("countDistinct", "v")})
+
+
+def test_salted_agg_fans_out_on_key_partitioned_input(spark):
+    """The fallback salt is row-local: even when the input arrives
+    already partitioned by the group keys (the shape that collapses a
+    spark_partition_id() salt to one constant per group), a hot group
+    still spreads over multiple stage-1 subgroups — and the merged
+    result is unchanged."""
+    from knot_another_pipeline_spark.operators.relational import salted_agg
+
+    rows = [(0, i, float(i)) for i in range(500)] + [(1, i, 1.0) for i in range(7)]
+    df = spark.createDataFrame(rows, "k long, id long, v double").repartition(
+        4, "k"
+    )
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "*"), "s": ("sum", "v")}, salt=8
+        ).collect()
+    }
+    assert got == {0: (500, float(sum(range(500)))), 1: (7, 7.0)}
+    # the fallback salt expression itself fans the hot group out
+    fan = (
+        df.filter("k = 0")
+        .select(F.pmod(F.xxhash64("k", "id", "v"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert fan >= 6
+
+
+def test_grouped_topk_requires_tiebreak(spark):
+    import pytest
+
+    from knot_another_pipeline_spark.operators.relational import grouped_topk
+
+    df = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(10)], "k long, id long, score double"
+    )
+    with pytest.raises(ValueError, match="tiebreak"):
+        grouped_topk(df, ["k"], order_col="score", k=3)
+    # explicit opt-out still works (subgroup hash falls back to all columns)
+    assert grouped_topk(
+        df, ["k"], order_col="score", k=3, allow_nonunique_order=True
+    ).count() == 3
+
+
+def test_grouped_topk_constant_order_fans_out(spark):
+    """A hot group whose order column is a single constant still spreads
+    across stage-1 subgroups via the tiebreak hash (the low-cardinality
+    order_col shape that would collapse an order_col-derived subgroup),
+    and the result equals the plain tie-broken window."""
+    from knot_another_pipeline_spark.operators.relational import grouped_topk
+
+    df = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1000)], "k long, id long, score double"
+    )
+    got = sorted(
+        r["id"]
+        for r in grouped_topk(
+            df, ["k"], order_col="score", k=3, tiebreak="id", fanout=16
+        ).collect()
+    )
+    assert got == [997, 998, 999]  # desc ties broken by largest id
+    fan = (
+        df.select(F.pmod(F.xxhash64("id"), F.lit(16)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert fan >= 12  # subgroups actually used, not collapsed
 
 
 def test_histogram_quantiles_interpolation(spark):
