@@ -92,6 +92,105 @@ def drop_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+class _HadoopPathOps:
+    """Staged-rewrite filesystem primitives routed through the Hadoop
+    FileSystem API (``Path.getFileSystem``) so maintenance jobs work on
+    any scheme the cluster has a connector for — ``file://``,
+    ``hdfs://``, ``s3a://`` — not just the driver's local disk. The
+    reference's storage is S3 (``pipelines/ais_pipeline.py:638-673``
+    writes gold parquet to S3), so the maintenance story has to speak
+    the same layer."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._jpath(p))
+
+    def rename(self, src: str, dst: str) -> None:
+        # HDFS/local dir rename is atomic; S3A "rename" is a copy+delete
+        # (documented non-atomic — see compact_parquet docstring).
+        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+            raise OSError(f"filesystem rename failed: {src} -> {dst}")
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._jpath(p), True)
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._jpath(p))
+
+    def parquet_stats(self, p: str) -> tuple[int, int]:
+        """(file_count, total_bytes) over *.parquet under ``p``."""
+        it = self._fs.listFiles(self._jpath(p), True)
+        n = size = 0
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                n += 1
+                size += st.getLen()
+        return n, size
+
+
+class _LocalPathOps:
+    """os/shutil fallback for sessions without a py4j gateway (Spark
+    Connect) — local paths only."""
+
+    def __init__(self, path: str):
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                "this session has no JVM gateway (Spark Connect?); "
+                f"non-local maintenance path {path!r} needs the Hadoop "
+                "FileSystem API"
+            )
+
+    @staticmethod
+    def _strip(p: str) -> str:
+        return p.removeprefix("file://")
+
+    def exists(self, p: str) -> bool:
+        import os
+
+        return os.path.exists(self._strip(p))
+
+    def rename(self, src: str, dst: str) -> None:
+        import os
+
+        os.replace(self._strip(src), self._strip(dst))
+
+    def delete(self, p: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._strip(p), ignore_errors=True)
+
+    def mkdirs(self, p: str) -> None:
+        import os
+
+        os.makedirs(self._strip(p), exist_ok=True)
+
+    def parquet_stats(self, p: str) -> tuple[int, int]:
+        import os
+
+        n = size = 0
+        for root, _, files in os.walk(self._strip(p)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    size += os.path.getsize(os.path.join(root, f))
+        return n, size
+
+
+def _path_ops(spark: SparkSession, path: str):
+    if getattr(spark, "_jvm", None) is not None and getattr(
+        spark, "_jsc", None
+    ) is not None:
+        return _HadoopPathOps(spark, path)
+    return _LocalPathOps(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -117,10 +216,18 @@ def compact_parquet(
     clustering that makes later predicate pushdown actually skip files.
     Returns the output file count.
 
-    LOCAL PATHS ONLY: sizing/rename/delete go through the local
-    filesystem (``os``/``shutil``), so object-store URIs are rejected
-    up front. On S3/HDFS, run the same staged-rewrite shape through the
-    Hadoop FileSystem API (or a table format's OPTIMIZE).
+    Sizing, rename, and delete all go through the Hadoop FileSystem API
+    resolved from the path's scheme (:class:`_HadoopPathOps`), so the
+    same call works on ``file://``, ``hdfs://``, and ``s3a://`` — the
+    reference's storage layer is S3. Atomicity caveat by scheme: local
+    and HDFS directory renames are atomic (the staged shape gives
+    at-every-instant-a-complete-copy); S3A's rename is a server-side
+    copy+delete, so the promotion window is non-atomic there — still
+    crash-*recoverable* (a complete ``_compacting`` copy with
+    ``_SUCCESS`` is promoted on the next call), but concurrent readers
+    can see partial listings mid-promotion. For serving tables on S3
+    use a MERGE/OPTIMIZE-capable format; this job is for the bulk lake
+    prefixes behind it.
 
     Scale notes: one shuffle when sorting (repartition), zero when only
     coalescing (``coalesce`` merges map-side). Run it per partition
@@ -129,29 +236,17 @@ def compact_parquet(
     cold data.
     """
     import math
-    import os
-    import shutil
 
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            f"compact_parquet operates on local paths only, got {path!r}"
-        )
-    path = path.removeprefix("file://")
-    staging = path.rstrip("/") + "_compacting"
-    tombstone = path.rstrip("/") + "_old"
-    if not os.path.exists(path) and os.path.exists(
-        os.path.join(staging, "_SUCCESS")
-    ):
-        os.replace(staging, path)  # crashed mid-promotion last run
-    if os.path.exists(tombstone):
-        shutil.rmtree(tombstone)
+    ops = _path_ops(spark, path)
+    base = path.rstrip("/")
+    staging = base + "_compacting"
+    tombstone = base + "_old"
+    if not ops.exists(path) and ops.exists(staging + "/_SUCCESS"):
+        ops.rename(staging, path)  # crashed mid-promotion last run
+    if ops.exists(tombstone):
+        ops.delete(tombstone)
     df = spark.read.parquet(path)
-    total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    _, total_bytes = ops.parquet_stats(path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     if sort_cols:
         out = df.repartition(n_files, *sort_cols).sortWithinPartitions(
@@ -160,13 +255,8 @@ def compact_parquet(
     else:
         out = df.coalesce(n_files)
     out.write.mode("overwrite").parquet(staging)
-    os.replace(path, tombstone)
-    os.replace(staging, path)
-    shutil.rmtree(tombstone)
-    written = sum(
-        1
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    ops.rename(path, tombstone)
+    ops.rename(staging, path)
+    ops.delete(tombstone)
+    written, _ = ops.parquet_stats(path)
     return written

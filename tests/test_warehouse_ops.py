@@ -374,26 +374,37 @@ def test_upsert_null_keys_pass_through(spark):
 def test_compact_parquet_recovers_from_crashed_promotion(spark, tmp_path):
     """If a previous compaction died between renaming the original aside
     and promoting staging, the next call promotes the complete staged
-    copy instead of failing on a missing path (review finding r4)."""
+    copy instead of failing on a missing path (review finding r4).
+    Driven through an explicit file:// URI so the whole staged rewrite
+    exercises the Hadoop FileSystem path, not python os calls."""
     import os
 
     from knot_another_pipeline_spark.sources.warehouse import compact_parquet
 
-    path = str(tmp_path / "tbl")
+    local = str(tmp_path / "tbl")
+    path = "file://" + local
     spark.range(0, 100).write.parquet(path)
     # simulate: staged copy complete (a written dir has _SUCCESS), live
     # dir gone, old copy still in the tombstone
-    os.rename(path, path + "_compacting")
-    os.makedirs(path + "_old")
+    os.rename(local, local + "_compacting")
+    os.makedirs(local + "_old")
     n = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert n == 1
     assert spark.read.parquet(path).count() == 100
-    assert not os.path.exists(path + "_old")
-    assert not os.path.exists(path + "_compacting")
+    assert not os.path.exists(local + "_old")
+    assert not os.path.exists(local + "_compacting")
 
-    import pytest as pt
-    with pt.raises(ValueError):
-        compact_parquet(spark, "s3://bucket/tbl")
+
+def test_compact_parquet_connect_fallback_rejects_remote_paths():
+    """The no-JVM (Spark Connect) fallback is local-only and must say so
+    rather than mangling an object-store URI with os calls."""
+    import pytest
+
+    from knot_another_pipeline_spark.sources.warehouse import _LocalPathOps
+
+    with pytest.raises(ValueError, match="Hadoop"):
+        _LocalPathOps("s3a://bucket/tbl")
+    _LocalPathOps("file:///tmp/x")  # local URIs fine
 
 
 def test_grouped_topk_matches_plain_window(spark):
