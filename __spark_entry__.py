@@ -28,6 +28,12 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 _PRIORITY = [
     "dq_reconcile",
     "contract_checks",
+    # r5 additions — never gated yet
+    "cdc_apply",
+    "scd2_history",
+    "interval_merge",
+    "ngram_topk",
+    "anomaly_zscore",
     "asof_join",
     "range_join",
     "rolling_stats",

@@ -2921,6 +2921,192 @@ FROM b GROUP BY bin
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply (operators/relational.py cdc_apply): a
+    synthetic change log — re-priced updates (ver 2), takedown deletes
+    (ver 3, which beat the overlapping updates), negated-key inserts
+    (ver 1) — merged into the orders snapshot via the union+window
+    no-join shape. The oracle is the equivalent set algebra."""
+    from knot_another_pipeline_spark.operators.relational import cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("price") * 2, 2).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("ver"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 15 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit("D").alias("op"),
+        F.lit(3).alias("ver"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") > 0)
+    ).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        "price",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("ver"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    out = cdc_apply(orders, changes, "o_orderkey", order_col="ver")
+    return out.select("o_orderkey", "o_orderstatus", "price")
+
+
+ORACLE_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+  FROM orders)
+SELECT o_orderkey, o_orderstatus, price FROM base
+WHERE o_orderkey % 15 != 0 AND o_orderkey % 10 != 0
+UNION ALL
+SELECT o_orderkey, 'U' AS o_orderstatus, round(price * 2, 2) AS price
+FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 15 != 0
+UNION ALL
+SELECT -o_orderkey AS o_orderkey, 'I' AS o_orderstatus, price
+FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey > 0
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type (operators/
+    temporal.py scd2_history): validity intervals with consecutive
+    duplicates collapsed, all windows sharing one key shuffle. The
+    oracle replays the identical lag/flag/running-sum construction."""
+    from knot_another_pipeline_spark.operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    return scd2_history(
+        ev, "user_id", ts_col="ts", attr_cols=["event_type"]
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+vers AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM flagged),
+per_ver AS (
+  SELECT user_id, ver, min(ts) AS valid_from, min(event_type) AS event_type
+  FROM vers GROUP BY user_id, ver)
+SELECT user_id, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current,
+       event_type
+FROM per_ver
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ver)
+"""
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalesce (operators/temporal.py
+    interval_merge): each event opens a 30-minute activity interval;
+    overlapping intervals merge per user. Two windows + one aggregate
+    over a single key shuffle — never an overlap self-join."""
+    from knot_another_pipeline_spark.operators.temporal import interval_merge
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    out = interval_merge(ev, "user_id")
+    return out.select("user_id", "start_ts", "end_ts", "n_intervals")
+
+
+ORACLE_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, start_ts, end_ts,
+         CASE WHEN max(epoch_us(end_ts)) OVER wprev IS NULL
+                OR epoch_us(start_ts) > max(epoch_us(end_ts)) OVER wprev
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY start_ts, end_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+islands AS (
+  SELECT user_id, start_ts, end_ts,
+         sum(new_island) OVER (PARTITION BY user_id
+                               ORDER BY start_ts, end_ts
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT user_id, min(start_ts) AS start_ts, max(end_ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM islands GROUP BY user_id, island
+"""
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams (operators/text_analysis.py
+    ngram_topk): row-local n-gram construction in codegen, one explode
+    into a partial+final count, TakeOrdered top-k — the boilerplate/
+    template-mining statistics pass."""
+    from knot_another_pipeline_spark.operators.text_analysis import ngram_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_topk(docs, text_col="text", n=2, k=50)
+
+
+ORACLE_NGRAM_TOPK = rf"""
+WITH toks AS ({_TOKS_SQL}),
+pos AS (
+  SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2),
+grams AS (
+  SELECT t[i] || ' ' || t[i + 1] AS ngram FROM pos)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 50
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (operators/quality.py
+    anomaly_zscore): group stats via one hash aggregate joined back
+    (AQE broadcast), never a per-row window. Returns the flagged rows;
+    the oracle computes the identical standardization."""
+    from knot_another_pipeline_spark.operators.quality import anomaly_zscore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = anomaly_zscore(ev, "event_type", value_col="value", threshold=2.0)
+    return out.filter("is_anomaly").select(
+        "event_id", "event_type", F.round("value", 6).alias("value"), "z"
+    )
+
+
+ORACLE_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+       round((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sigma IS NOT NULL AND s.sigma > 0
+  AND abs(round((e.value - s.mu) / s.sigma, 6)) > 2.0
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3009,6 +3195,12 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     # search
     "keyword_search": q_keyword_search,
+    # r5: CDC / SCD2 / interval / corpus-stats / anomaly family
+    "cdc_apply": q_cdc_apply,
+    "scd2_history": q_scd2_history,
+    "interval_merge": q_interval_merge,
+    "ngram_topk": q_ngram_topk,
+    "anomaly_zscore": q_anomaly_zscore,
     # data quality
     "table_profile": q_table_profile,
     "dq_reconcile": q_dq_reconcile,
@@ -3090,6 +3282,11 @@ ORACLES = {
     "rolling_stats": ORACLE_ROLLING_STATS,
     "kmv_distinct": ORACLE_KMV_DISTINCT,
     "keyword_search": ORACLE_KEYWORD_SEARCH,
+    "cdc_apply": ORACLE_CDC_APPLY,
+    "scd2_history": ORACLE_SCD2_HISTORY,
+    "interval_merge": ORACLE_INTERVAL_MERGE,
+    "ngram_topk": ORACLE_NGRAM_TOPK,
+    "anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "table_profile": ORACLE_TABLE_PROFILE,
     "dq_reconcile": ORACLE_DQ_RECONCILE,
     "contract_checks": ORACLE_CONTRACT_CHECKS,

@@ -361,3 +361,55 @@ def histogram_drift(
         F.col("tc").cast("bigint").alias("n_current"),
         F.col("tr").cast("bigint").alias("n_reference"),
     )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    keys: str | list[str],
+    *,
+    value_col: str,
+    threshold: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group z-score outlier flagging: standardize ``value_col``
+    against its group's mean/stddev and flag |z| > threshold — the
+    monitoring primitive behind "this domain's document lengths went
+    weird today" and per-source metric guards before training-data
+    admission.
+
+    Two-pass shape, both passes scale-clean: one hash aggregate builds
+    the per-group (mean, stddev) table — grows with group count, not row
+    count — and one equi-join (AQE broadcasts it while small) attaches
+    the stats back. Never a window over the raw rows: a per-row window
+    would sort every group's full row set just to compute two scalars.
+
+    Sample stddev (n-1), matching SQL STDDEV in Spark and DuckDB.
+    Groups with fewer than 2 rows or zero variance yield NULL z (no
+    basis for an outlier call) and are never flagged. NULL values or
+    group keys pass through unflagged with NULL z.
+    Output: input columns + z (rounded), is_anomaly.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    stats = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.avg(value_col).alias("_mu"),
+            F.stddev_samp(value_col).alias("_sigma"),
+        )
+    )
+    joined = df.join(stats, keys, "left")
+    z = F.when(
+        F.col("_sigma").isNotNull() & (F.col("_sigma") > 0),
+        (F.col(value_col) - F.col("_mu")) / F.col("_sigma"),
+    )
+    return (
+        joined.withColumn("z", F.round(z, round_to))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) > F.lit(threshold), F.lit(False)),
+        )
+        .drop("_mu", "_sigma")
+    )

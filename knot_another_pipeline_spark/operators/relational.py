@@ -495,3 +495,85 @@ def grouped_topk(
         .filter(F.col("_rn") <= k)
         .drop("_sub", "_rn")
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: str | list[str],
+    *,
+    op_col: str = "op",
+    order_col: str,
+    delete_ops: tuple[str, ...] = ("D", "d", "delete"),
+) -> DataFrame:
+    """Apply a change-data-capture log (insert/update/delete events) to a
+    keyed snapshot and return the new snapshot — the general form of
+    :func:`upsert` for sources that also emit deletes (database CDC
+    feeds, takedown/right-to-be-forgotten streams against a training
+    corpus).
+
+    Per key, the change with the highest ``order_col`` (LSN / commit
+    version / event time) decides the outcome: a delete removes the key,
+    anything else replaces the row with the change's payload; keys with
+    no changes keep their snapshot row. Changes always beat the snapshot
+    (the snapshot is by definition older than its change feed).
+
+    Plan: union + one window over ONE hash shuffle on the keys — the
+    same no-join shape as :func:`upsert` (an outer-join MERGE shuffles
+    both sides and manufactures join rows just to discard the losers).
+    Replays are idempotent: re-applying an already-applied change log
+    yields the same table, and an old change can never beat a newer one.
+
+    ``changes`` must carry the snapshot's columns (the payload) plus
+    ``op_col`` and ``order_col``. Delete rows may carry NULL payload
+    columns. NULL-key snapshot rows pass through untouched (SQL MERGE
+    semantics: NULL never matches); NULL-key or NULL-order change rows
+    are invalid and dropped. Ties at identical (key, order) between two
+    changes are broken by preferring the delete (a takedown beats a
+    concurrent edit), then arbitrarily-but-deterministically by payload
+    hash.
+    Output: the snapshot's columns.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    payload = list(snapshot.columns)
+    missing = [c for c in (*payload, op_col, order_col) if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+    order_type = dict(changes.dtypes)[order_col]
+
+    key_valid = F.lit(True)
+    for k in keys:
+        key_valid = key_valid & F.col(k).isNotNull()
+
+    snap = snapshot.select(
+        *payload,
+        F.lit(None).cast("string").alias("_op"),
+        F.lit(None).cast(order_type).alias("_ord"),
+        F.lit(0).alias("_chg"),
+    )
+    chg = (
+        changes.filter(key_valid & F.col(order_col).isNotNull())
+        .select(
+            *payload,
+            F.col(op_col).cast("string").alias("_op"),
+            F.col(order_col).alias("_ord"),
+            F.lit(1).alias("_chg"),
+        )
+    )
+    is_del = F.col("_op").isin(*delete_ops)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_chg").desc(),
+        F.col("_ord").desc_nulls_last(),
+        is_del.cast("int").desc(),
+        F.xxhash64(*[F.col(c) for c in payload]).asc(),
+    )
+    merged = (
+        snap.unionByName(chg)
+        .withColumn(
+            "_rn",
+            F.when(key_valid, F.row_number().over(w)).otherwise(F.lit(1)),
+        )
+        .filter(F.col("_rn") == 1)
+        .filter(~((F.col("_chg") == 1) & is_del))
+    )
+    return merged.select(*payload)

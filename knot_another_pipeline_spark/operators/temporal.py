@@ -24,13 +24,24 @@ classic scale-safe plan:
 - ``rolling_stats`` — trailing time-window aggregates as a native
   ``rangeBetween`` window over epoch micros: one shuffle per key, no
   self-join, whole-stage codegen throughout.
+- ``scd2_history`` — change log → type-2 dimension (validity intervals,
+  consecutive duplicates collapsed) with all windows sharing one
+  key-shuffle.
+- ``interval_merge`` — gaps-and-islands coalesce of overlapping
+  intervals per key; running-max island numbering, never a self-join.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "rolling_stats"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "rolling_stats",
+    "scd2_history",
+    "interval_merge",
+]
 
 
 def _epoch_micros(col: str) -> Column:
@@ -313,4 +324,138 @@ def rolling_stats(
         .withColumn("sum_window", F.round(F.sum(v).over(w), round_to))
         .withColumn("avg_window", F.round(F.avg(v).over(w), round_to))
         .withColumn("max_window", F.max(v).over(w))
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: str | list[str],
+    *,
+    ts_col: str,
+    attr_cols: list[str],
+    end_of_time: str | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: one validity interval per (key, attribute-state) run, with
+    ``valid_from`` / ``valid_to`` / ``is_current`` — the warehouse shape
+    for "what did this entity look like on date X" queries that the
+    reference answers today by re-scanning raw events
+    (``pipelines/refresh_gold_tables.py`` rebuilds whole tables; an SCD2
+    dimension answers them with one range predicate).
+
+    Semantics: rows are ordered by ``ts_col`` within each key; a new
+    version opens whenever any of ``attr_cols`` differs from the
+    previous row's values (NULL-safe comparison — NULL→NULL is NOT a
+    change). Consecutive duplicates collapse into one interval, so
+    replayed/no-op change events never fork versions. ``valid_to`` is
+    the next version's ``valid_from`` (half-open intervals, the join
+    convention range_join uses) and NULL — or ``end_of_time`` if given —
+    for the current version; ``is_current`` flags it.
+
+    Plan: two windows over ONE shuffle on the key (lag comparison to
+    flag version starts, then a running sum to number versions) plus the
+    groupBy on (key, version) — Catalyst reuses the same hash
+    partitioning for all three, so the whole operator costs a single
+    exchange. No self-joins, no collect.
+
+    Ties: rows with identical (key, ts) are ordered by the attribute
+    values themselves (deterministic; last state wins at equal
+    timestamps only by attribute order, so pre-dedupe equal-ts rows if
+    the log can contain them).
+    Output: keys, valid_from, valid_to, is_current, attr_cols.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not attr_cols:
+        raise ValueError("attr_cols must name at least one tracked column")
+    order = [F.col(ts_col).asc(), *[F.col(c).asc_nulls_first() for c in attr_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    # first row per key: lag(ts) is NULL -> always opens version 0
+    is_start = F.lag(F.col(ts_col)).over(w).isNull() | changed
+    versioned = df.select(*keys, ts_col, *attr_cols).withColumn(
+        "_ver",
+        F.sum(is_start.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_ver = versioned.groupBy(*keys, "_ver").agg(
+        F.min(ts_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in attr_cols],
+    )
+    w_next = Window.partitionBy(*keys).orderBy(F.col("_ver").asc())
+    out = per_ver.withColumn(
+        "valid_to", F.lead("valid_from").over(w_next)
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    if end_of_time is not None:
+        out = out.withColumn(
+            "valid_to",
+            F.coalesce(F.col("valid_to"), F.lit(end_of_time).cast("timestamp")),
+        )
+    return out.select(*keys, "valid_from", "valid_to", "is_current", *attr_cols)
+
+
+def interval_merge(
+    df: DataFrame,
+    keys: str | list[str],
+    *,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    min_gap_seconds: int = 0,
+) -> DataFrame:
+    """Merge overlapping (and near-adjacent, within ``min_gap_seconds``)
+    intervals per key into maximal disjoint islands — the
+    gaps-and-islands coalesce behind session stitching, maintenance
+    windows, and track-segment consolidation (the reference's
+    co-location analysis reasons about hour-bucket overlap windows;
+    this is the general interval form).
+
+    Classic two-window island numbering, one shuffle total: order
+    intervals by (start, end) within each key, compute the running
+    maximum of ``end`` over all PRIOR rows, flag an island start where
+    the current start exceeds that running max (+ gap), then a running
+    sum of flags numbers the islands and one groupBy(key, island)
+    collapses them. All three passes share the same hash partitioning
+    on the key — Catalyst plans a single exchange — and nothing is
+    quadratic in per-key interval count (the naive approach self-joins
+    overlap candidates).
+
+    Zero-length and NULL-bounded intervals: rows with NULL start or end
+    are dropped (an unbounded interval has no merge semantics here);
+    ``end < start`` raises no error but never extends an island.
+    Output: keys, island start/end, n_intervals merged into each.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if min_gap_seconds < 0:
+        raise ValueError(f"min_gap_seconds must be >= 0, got {min_gap_seconds}")
+    s = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(_epoch_micros(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap_us = F.lit(int(min_gap_seconds) * 1_000_000)
+    is_new = (
+        prev_max_end.isNull()
+        | (_epoch_micros(start_col) > prev_max_end + gap_us)
+    )
+    islands = s.withColumn(
+        "_island",
+        F.sum(is_new.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(*keys, "_island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+        .drop("_island")
     )

@@ -491,3 +491,49 @@ def chunk_documents(
             .alias("n_tokens"),
         )
     )
+
+
+def ngram_topk(
+    df: DataFrame,
+    *,
+    text_col: str,
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k token n-grams with counts — the corpus-statistics
+    pass behind boilerplate detection (the same navigation bar on a
+    million pages), contamination screening, and template mining.
+
+    Tokens are the engine's standard whitespace split (``_tokens``, the
+    same tokenization every text operator and DuckDB oracle shares);
+    n-grams are built row-locally with ``transform`` over an index
+    ``sequence`` + ``slice`` — array ops inside codegen, no Python, no
+    shuffle — then one explode feeds a partial+final hash count (map-side
+    combine absorbs hot n-grams before the only shuffle) and the top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject, never a global sort.
+
+    At 100 TB the count table is the pressure point: distinct n-grams
+    grow with corpus size, but partial aggregation bounds what shuffles
+    to (distinct n-grams per task), and k caps the driver's share at k
+    rows. Ties at the k boundary break lexicographically (deterministic).
+    Output: ngram, n_docs-agnostic total count.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

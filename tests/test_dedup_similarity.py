@@ -955,3 +955,30 @@ def test_chunk_documents_windows_and_overlap(spark):
     with pt.raises(ValueError):
         chunk_documents(docs, id_col="doc_id", text_col="text",
                         chunk_tokens=4, overlap_tokens=4)
+
+
+def test_ngram_topk_counts_and_short_docs(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import ngram_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "single"),        # shorter than n: contributes nothing
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["ngram"], r["n_occurrences"])
+        for r in ngram_topk(df, text_col="text", n=2, k=3).collect()
+    ]
+    assert got[0] == ("the cat", 2)
+    assert len(got) == 3 and all(c >= 1 for _, c in got)
+    # trigram path + k larger than vocabulary
+    tri = ngram_topk(df, text_col="text", n=3, k=100).collect()
+    assert ("the cat sat", 1) in [(r["ngram"], r["n_occurrences"]) for r in tri]
+    import pytest
+    with pytest.raises(ValueError):
+        ngram_topk(df, text_col="text", n=0, k=5)

@@ -263,3 +263,140 @@ def test_asof_join_null_keys_and_ts_never_match(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = {r["pid"]: r["px"] for r in asof_join(probes, quotes, on="uid").collect()}
     assert out == {1: None, 2: None, 3: 2.0}
+
+
+def test_scd2_history_collapses_duplicates_and_versions(spark):
+    from knot_another_pipeline_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, "2025-01-01 00:00:00", "bronze"),
+        (1, "2025-01-02 00:00:00", "bronze"),   # no-op: same state
+        (1, "2025-01-03 00:00:00", "silver"),   # version 2 opens
+        (1, "2025-01-04 00:00:00", "bronze"),   # back to bronze: version 3
+        (2, "2025-01-01 00:00:00", None),       # NULL state tracked
+        (2, "2025-01-02 00:00:00", None),       # NULL -> NULL is NOT a change
+        (2, "2025-01-03 00:00:00", "gold"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, ts string, tier string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = scd2_history(df, "uid", ts_col="ts", attr_cols=["tier"]).collect()
+    hist = {}
+    for r in sorted(out, key=lambda r: (r["uid"], r["valid_from"])):
+        hist.setdefault(r["uid"], []).append(
+            (r["tier"], str(r["valid_from"])[:10], 
+             str(r["valid_to"])[:10] if r["valid_to"] else None,
+             r["is_current"])
+        )
+    assert hist[1] == [
+        ("bronze", "2025-01-01", "2025-01-03", False),
+        ("silver", "2025-01-03", "2025-01-04", False),
+        ("bronze", "2025-01-04", None, True),
+    ]
+    assert hist[2] == [
+        (None, "2025-01-01", "2025-01-03", False),
+        ("gold", "2025-01-03", None, True),
+    ]
+    # exactly one current version per key
+    assert sum(1 for v in out if v["is_current"]) == 2
+
+    # end_of_time closes the open interval instead of NULL
+    closed = scd2_history(
+        df, "uid", ts_col="ts", attr_cols=["tier"],
+        end_of_time="9999-12-31 00:00:00",
+    ).collect()
+    assert all(r["valid_to"] is not None for r in closed)
+    import pytest
+    with pytest.raises(ValueError):
+        scd2_history(df, "uid", ts_col="ts", attr_cols=[])
+
+
+def test_interval_merge_islands_and_gap(spark):
+    from knot_another_pipeline_spark.operators.temporal import interval_merge
+
+    rows = [
+        # key 1: [0,10] [5,20] overlap -> [0,20]; [30,40] separate
+        (1, "2025-01-01 00:00:00", "2025-01-01 00:10:00"),
+        (1, "2025-01-01 00:05:00", "2025-01-01 00:20:00"),
+        (1, "2025-01-01 00:30:00", "2025-01-01 00:40:00"),
+        # key 2: containment [0,60] swallows [10,20]
+        (2, "2025-01-01 00:00:00", "2025-01-01 01:00:00"),
+        (2, "2025-01-01 00:10:00", "2025-01-01 00:20:00"),
+        # NULL-bounded rows are dropped
+        (2, None, "2025-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, start_ts string, end_ts string"
+    ).select(
+        "uid",
+        F.to_timestamp("start_ts").alias("start_ts"),
+        F.to_timestamp("end_ts").alias("end_ts"),
+    )
+    got = {
+        (r["uid"], str(r["start_ts"])[11:16]): (
+            str(r["end_ts"])[11:16], r["n_intervals"]
+        )
+        for r in interval_merge(df, "uid").collect()
+    }
+    assert got == {
+        (1, "00:00"): ("00:20", 2),
+        (1, "00:30"): ("00:40", 1),
+        (2, "00:00"): ("01:00", 2),
+    }
+    # adjacent-within-gap merge: 10-minute gap bridges [0,10] and [15,25]
+    df2 = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", "2025-01-01 00:10:00"),
+         (1, "2025-01-01 00:15:00", "2025-01-01 00:25:00")],
+        "uid long, s string, e string",
+    ).select(
+        "uid",
+        F.to_timestamp("s").alias("start_ts"),
+        F.to_timestamp("e").alias("end_ts"),
+    )
+    assert interval_merge(df2, "uid", min_gap_seconds=600).count() == 1
+    assert interval_merge(df2, "uid", min_gap_seconds=299).count() == 2
+
+
+def test_scd2_and_interval_merge_plan_shapes(spark):
+    """Scale regression guards: both operators must be join-free and
+    share ONE hash exchange on the key across their windows + aggregate
+    (Catalyst reuses the partitioning; a second exchange means the
+    single-shuffle claim regressed)."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        interval_merge,
+        scd2_history,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", "a")], "uid long, ts string, attr string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = scd2_history(
+        df, "uid", ts_col="ts", attr_cols=["attr"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    iv = df.select(
+        "uid",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    plan2 = interval_merge(iv, "uid")._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "Join" not in plan2
+    assert plan2.count("Exchange hashpartitioning") == 1
+
+
+def test_cdc_apply_plan_is_join_free(spark):
+    """cdc_apply must stay the union+window shape: one hash exchange on
+    the key, no join operator."""
+    from knot_another_pipeline_spark.operators.relational import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "b", "U", 2)], "k long, v string, op string, ver long"
+    )
+    plan = cdc_apply(snap, chg, "k", order_col="ver")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -520,3 +520,64 @@ def test_histogram_drift_detects_shift(spark):
     assert same["n_current"] == 2000 and same["n_reference"] == 1000
     shifted = histogram_drift(a, b_shift, "v", bins=20, lo=0.0, hi=200.0).collect()[0]
     assert shifted["tv_distance"] == 0.5  # half the mass moved
+
+
+def test_cdc_apply_insert_update_delete_semantics(spark):
+    from knot_another_pipeline_spark.operators.relational import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "nullkey")],
+        "k long, v string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "U", 10),      # update
+            (3, None, "D", 10),     # delete
+            (4, "d", "I", 10),      # insert
+            (2, "OLD", "U", 5),     # stale update loses to ver 10
+            (3, "zombie", "U", 9),  # older than the delete: still deleted
+            (None, "bad", "U", 10), # NULL-key change dropped
+            (5, "x", "U", None),    # NULL-order change dropped
+        ],
+        "k long, v string, op string, ver long",
+    )
+    got = {r["k"]: r["v"] for r in cdc_apply(snap, changes, "k", order_col="ver").collect()}
+    assert got == {1: "a", 2: "B", 4: "d", None: "nullkey"}
+
+    # idempotent: re-applying the same log changes nothing
+    once = cdc_apply(snap, changes, "k", order_col="ver")
+    twice = cdc_apply(once, changes, "k", order_col="ver")
+    assert sorted(map(tuple, twice.collect()), key=str) == sorted(
+        map(tuple, once.collect()), key=str
+    )
+
+    # delete beats a concurrent same-version edit (takedown wins ties)
+    tie = spark.createDataFrame(
+        [(1, "edit", "U", 7), (1, None, "D", 7)],
+        "k long, v string, op string, ver long",
+    )
+    assert cdc_apply(snap, tie, "k", order_col="ver").filter("k = 1").count() == 0
+
+    import pytest
+    with pytest.raises(ValueError, match="missing"):
+        cdc_apply(snap, changes.drop("op"), "k", order_col="ver")
+
+
+def test_anomaly_zscore_flags_and_degenerate_groups(spark):
+    from knot_another_pipeline_spark.operators.quality import anomaly_zscore
+
+    rows = (
+        [("a", float(v)) for v in (10, 10, 10, 10, 100)]  # 100 is the outlier
+        + [("const", 5.0), ("const", 5.0)]                # zero variance
+        + [("single", 1.0)]                               # n=1: no stddev
+        + [("a", None)]                                   # NULL value passes through
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = anomaly_zscore(df, "g", value_col="v", threshold=1.5).collect()
+    flagged = [(r["g"], r["v"]) for r in out if r["is_anomaly"]]
+    assert flagged == [("a", 100.0)]
+    # degenerate groups: z NULL, never flagged
+    for r in out:
+        if r["g"] in ("const", "single") or r["v"] is None:
+            assert r["z"] is None and r["is_anomaly"] is False
+    assert len(out) == len(rows)
