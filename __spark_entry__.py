@@ -34,6 +34,15 @@ _PRIORITY = [
     "interval_merge",
     "ngram_topk",
     "anomaly_zscore",
+    "pivot_daily",
+    "unpivot_metrics",
+    "period_over_period",
+    "funnel_steps",
+    "cohort_retention",
+    "skew_join",
+    "fuzzy_match",
+    "resample_daily",
+    "json_extract_stats",
     "asof_join",
     "range_join",
     "rolling_stats",

@@ -3107,6 +3107,304 @@ WHERE s.sigma IS NOT NULL AND s.sigma > 0
 """
 
 
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix (operators/relational.py pivot_wide): the
+    explicit-value-list pivot — one hash aggregate, no discovery job.
+    The oracle is the CASE-WHEN formulation the reference's notebooks
+    hand-write; both leave absent cells NULL."""
+    from knot_another_pipeline_spark.operators.relational import pivot_wide
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"),
+        "event_type",
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    return pivot_wide(ev, "day", "event_type", types).orderBy("day")
+
+
+ORACLE_PIVOT_DAILY = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (operators/relational.py unpivot_long): monthly
+    order metrics unpivoted by the native Expand operator — one scan,
+    zero shuffle past the aggregate; the oracle is the UNION ALL the
+    Expand replaces."""
+    from knot_another_pipeline_spark.operators.relational import unpivot_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+    return unpivot_long(
+        wide, "month", ["n_orders", "total_price", "avg_price"]
+    ).orderBy("month", "metric")
+
+
+ORACLE_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price,
+         round(avg(o_totalprice), 6) AS avg_price
+  FROM orders GROUP BY 1)
+SELECT month, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT month, 'total_price' AS metric, total_price AS value FROM wide
+UNION ALL
+SELECT month, 'avg_price' AS metric, avg_price AS value FROM wide
+"""
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas (operators/temporal.py
+    period_over_period): one lag window over the already-aggregated
+    monthly table; percent change is NULLIF-guarded in both engines."""
+    from knot_another_pipeline_spark.operators.temporal import period_over_period
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        .cast("date")
+        .alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    out = period_over_period(monthly, "month", "revenue")
+    return out.select(
+        "month",
+        "revenue",
+        "prev_revenue",
+        F.round("delta_revenue", 2).alias("delta_revenue"),
+        F.col("pct_change_revenue").alias("pct_change"),
+    ).orderBy("month")
+
+
+ORACLE_PERIOD_OVER_PERIOD = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       round(revenue - lag(revenue) OVER w, 2) AS delta_revenue,
+       round((revenue - lag(revenue) OVER w)
+             / nullif(lag(revenue) OVER w, 0), 6) AS pct_change
+FROM monthly
+WINDOW w AS (ORDER BY month)
+"""
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel signup→view→purchase (operators/behavior.py
+    funnel): conditional first-occurrence mins in one user aggregate;
+    the oracle replays the identical flag algebra."""
+    from knot_another_pipeline_spark.operators.behavior import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "view", "purchase"])
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id),
+flags AS (
+  SELECT CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS r0,
+         CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1
+              THEN 1 ELSE 0 END AS r2
+  FROM firsts)
+SELECT CAST(1 AS INT) AS step_index, 'signup' AS step,
+       CAST(sum(r0) AS BIGINT) AS n_users FROM flags
+UNION ALL
+SELECT CAST(2 AS INT), 'view', CAST(sum(r1) AS BIGINT) FROM flags
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST(sum(r2) AS BIGINT) FROM flags
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix (operators/behavior.py
+    cohort_retention): first-touch cohorting + distinct-active cells,
+    integer month arithmetic in both engines."""
+    from knot_another_pipeline_spark.operators.behavior import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+ORACLE_COHORT_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS uid, date_trunc('month', ts) AS m FROM events),
+firsts AS (
+  SELECT uid, min(m) AS cohort FROM activity GROUP BY uid)
+SELECT CAST(cohort AS DATE) AS cohort_month,
+       CAST((year(m) * 12 + month(m))
+            - (year(cohort) * 12 + month(cohort)) AS INT) AS month_offset,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_active
+FROM activity JOIN firsts USING (uid)
+GROUP BY 1, 2
+"""
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted large×medium join (operators/relational.py skew_join):
+    lineitem⋈orders on orderkey with an 8-way salt fanout, then revenue
+    by priority. The salt is algebra-invisible — the oracle is the plain
+    join — but at scale it breaks single-hot-key stragglers AQE cannot
+    split."""
+    from knot_another_pipeline_spark.operators.relational import skew_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = skew_join(li, orders, "okey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SKEW_JOIN = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance matching (operators/dedup.py
+    fuzzy_match_pairs): customer names within 1 edit, blocked by market
+    segment — candidate pairs only ever form inside a block, verified by
+    the codegen ``levenshtein``; the oracle runs the identical blocked
+    join in DuckDB."""
+    from knot_another_pipeline_spark.operators.dedup import fuzzy_match_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = fuzzy_match_pairs(
+        cust.select("c_custkey", "c_name", "c_mktsegment"),
+        id_col="c_custkey",
+        text_col="c_name",
+        max_distance=1,
+        block_cols=["c_mktsegment"],
+    )
+    return out.select(
+        "id_a", "id_b", "text_a", "text_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_FUZZY_MATCH = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS text_a, b.c_name AS text_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+FROM customer a JOIN customer b
+  ON a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample (operators/temporal.py
+    resample_calendar): per-type daily counts with a sequence()-built
+    calendar spine so absent days surface as explicit zeros; the oracle
+    builds the same spine with generate_series."""
+    from knot_another_pipeline_spark.operators.temporal import resample_calendar
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_calendar(
+        ev,
+        "ts",
+        group_cols="event_type",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 2),
+        },
+        fill={"n_events": 0},
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("date").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    ).orderBy("event_type", "day")
+
+
+ORACLE_RESAMPLE_DAILY = """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM b GROUP BY 1),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+  FROM spans)
+SELECT s.event_type, CAST(s.bucket AS DATE) AS day,
+       coalesce(n_events, 0) AS n_events, total_value
+FROM spine s LEFT JOIN b USING (event_type, bucket)
+"""
+
+
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (functions P19 family): pull the
+    integer ``k`` out of the JSON ``props`` payload with the codegen
+    ``get_json_object`` and aggregate per event type — no UDF, no
+    two-pass schema inference; the oracle uses DuckDB's JSON operator."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_EXTRACT_STATS = """
+SELECT event_type,
+       CAST(count(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS n_with_k,
+       round(avg(CAST(props ->> 'k' AS BIGINT)), 6) AS avg_k,
+       CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3199,6 +3497,16 @@ QUERIES = {
     "cdc_apply": q_cdc_apply,
     "scd2_history": q_scd2_history,
     "interval_merge": q_interval_merge,
+    # r5: reshaping / behavioral / skew-join / fuzzy / calendar / json
+    "pivot_daily": q_pivot_daily,
+    "unpivot_metrics": q_unpivot_metrics,
+    "period_over_period": q_period_over_period,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+    "skew_join": q_skew_join,
+    "fuzzy_match": q_fuzzy_match,
+    "resample_daily": q_resample_daily,
+    "json_extract_stats": q_json_extract_stats,
     "ngram_topk": q_ngram_topk,
     "anomaly_zscore": q_anomaly_zscore,
     # data quality
@@ -3285,6 +3593,15 @@ ORACLES = {
     "cdc_apply": ORACLE_CDC_APPLY,
     "scd2_history": ORACLE_SCD2_HISTORY,
     "interval_merge": ORACLE_INTERVAL_MERGE,
+    "pivot_daily": ORACLE_PIVOT_DAILY,
+    "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
+    "period_over_period": ORACLE_PERIOD_OVER_PERIOD,
+    "funnel_steps": ORACLE_FUNNEL_STEPS,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
+    "skew_join": ORACLE_SKEW_JOIN,
+    "fuzzy_match": ORACLE_FUZZY_MATCH,
+    "resample_daily": ORACLE_RESAMPLE_DAILY,
+    "json_extract_stats": ORACLE_JSON_EXTRACT_STATS,
     "ngram_topk": ORACLE_NGRAM_TOPK,
     "anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "table_profile": ORACLE_TABLE_PROFILE,

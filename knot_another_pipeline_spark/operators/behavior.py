@@ -1,0 +1,123 @@
+"""Behavioral analytics over event streams: funnels and cohort retention.
+
+The reference's event analysis stops at per-type counts and daily
+volumes (``apps/stat_explorer.py`` renders aggregate charts; nothing
+sequences events per user). A training-data/product pipeline needs the
+two classic user-journey reductions, each expressible as ONE hash
+aggregate per user — no per-user sorting, no self-joins:
+
+- ``funnel`` — first-touch funnel: a user reaches step *i* when their
+  earliest step-*i* event is strictly later than their earliest
+  step-*i−1* event. One groupBy(user) computing a conditional ``min``
+  per step, then one tiny aggregate over users. This is the
+  order-of-first-occurrence funnel (the default in most product
+  analytics engines); it does not require the steps to be adjacent.
+- ``cohort_retention`` — users cohorted by first-activity period; each
+  (cohort, offset) cell counts distinct users active that many periods
+  after their cohort period. Two aggregates sharing the user_id
+  shuffle: first-touch per user, then distinct users per cell. The
+  first-touch table joins back to activity on user_id — at scale AQE
+  picks broadcast vs shuffle by the user-dimension size.
+
+Both return small results (steps, resp. cohort×offset cells) from a
+single pass over events — the scan dominates, as it should at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["funnel", "cohort_retention"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """First-touch funnel over ``steps`` (ordered list of event types).
+
+    Returns one row per step: ``step_index`` (1-based), ``step``, and
+    ``n_users`` — the number of users whose first occurrences of
+    steps 1..i are in strictly increasing time order. Monotone by
+    construction: n_users(i+1) ≤ n_users(i).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    firsts = events.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(event_col) == s, F.col(ts_col))).alias(f"_t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # reached_i = t0 < t1 < ... < t_i (NULL-safe: any NULL breaks the chain)
+    reached = F.col("_t0").isNotNull()
+    flags = [reached.cast("long").alias("_r0")]
+    for i in range(1, len(steps)):
+        reached = reached & (F.col(f"_t{i}") > F.col(f"_t{i-1}"))
+        flags.append(reached.cast("long").alias(f"_r{i}"))
+    totals = firsts.select(*flags).agg(
+        *[F.sum(f"_r{i}").alias(f"_n{i}") for i in range(len(steps))]
+    )
+    # one input row -> len(steps) output rows: row-local posexplode
+    return totals.select(
+        F.posexplode(F.array(*[F.col(f"_n{i}") for i in range(len(steps))])).alias(
+            "_idx", "n_users"
+        )
+    ).select(
+        (F.col("_idx") + 1).cast("int").alias("step_index"),
+        F.element_at(F.array(*[F.lit(s) for s in steps]), F.col("_idx") + 1).alias(
+            "step"
+        ),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Monthly cohort retention matrix.
+
+    Cohort = month of the user's first event; a user is "retained at
+    offset k" when they have any event in cohort_month + k months.
+    Returns (cohort_month DATE, month_offset INT, n_active BIGINT).
+
+    Month arithmetic is integer ``year*12 + month`` — identical in every
+    engine, immune to month-length edge cases that ``months_between``
+    float semantics introduce.
+    """
+    month_idx = lambda c: (  # noqa: E731
+        F.year(c) * F.lit(12) + F.month(c) - F.lit(1)
+    )
+    activity = events.select(
+        F.col(user_col).alias("_uid"),
+        F.date_trunc("month", F.col(ts_col).cast("timestamp")).alias("_month"),
+    ).distinct()
+    firsts = activity.groupBy("_uid").agg(F.min("_month").alias("_cohort"))
+    cells = (
+        activity.join(firsts, "_uid")
+        .select(
+            "_uid",
+            "_cohort",
+            (month_idx(F.col("_month")) - month_idx(F.col("_cohort"))).alias(
+                "_offset"
+            ),
+        )
+    )
+    if max_offset is not None:
+        cells = cells.filter(F.col("_offset") <= max_offset)
+    return (
+        cells.groupBy(
+            F.col("_cohort").cast("date").alias("cohort_month"),
+            F.col("_offset").cast("int").alias("month_offset"),
+        )
+        .agg(F.count_distinct("_uid").alias("n_active"))
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -802,3 +802,76 @@ def incremental_dedup(
         )
     )
     return verdict
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    block_cols: list | None = None,
+) -> DataFrame:
+    """Edit-distance entity matching with blocking: pairs of rows whose
+    ``text_col`` values are within ``max_distance`` Levenshtein edits.
+
+    All-pairs Levenshtein is O(n²·len²) — impossible at corpus scale.
+    The classic entity-resolution shape keeps it tractable:
+
+    - **block** on cheap exact keys first (``block_cols``, defaulting to
+      the string's first token + a length band): candidate pairs come
+      from a self equi-join *within blocks only*, so the quadratic term
+      is per-block, not global. Two strings within k edits differ by at
+      most k in length, so a length band of width > 2·max_distance never
+      drops a true pair whose first token survived (first-token blocking
+      is the recall/cost dial — swap in a phonetic key or q-gram
+      blocking for fuzzier fronts);
+    - **verify** with the built-in ``levenshtein`` (JVM codegen, no UDF)
+      and keep pairs ≤ ``max_distance``. ``id_a < id_b`` dedupes the
+      symmetric pair inside the join condition so the filter prunes
+      during the join, not after.
+
+    Output: id_a, id_b, text_a, text_b, distance.
+    """
+    if block_cols is None:
+        blocked = df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+            F.split(F.col(text_col), " ")[0].alias("_b0"),
+            F.floor(
+                F.length(text_col) / F.lit(2 * max_distance + 1)
+            ).alias("_b1"),
+        )
+        block_keys = ["_b0", "_b1"]
+        # a pair within k edits differs by ≤ k < band width in length, so
+        # its band indices differ by at most 1 — but in EITHER direction:
+        # probe rows appear in their own band and both neighbors.
+        probe = blocked.withColumn(
+            "_b1", F.explode(F.array(F.col("_b1") - 1, F.col("_b1"), F.col("_b1") + 1))
+        )
+    else:
+        blocked = df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+            *[F.col(c) for c in block_cols],
+        )
+        block_keys = list(block_cols)
+        probe = blocked
+    a = blocked.alias("a")
+    b = probe.alias("b")
+    cond = (F.col("a.id") < F.col("b.id")) & (
+        F.levenshtein(F.col("a.txt"), F.col("b.txt")) <= max_distance
+    )
+    for k in block_keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.txt").alias("text_a"),
+            F.col("b.txt").alias("text_b"),
+            F.levenshtein(F.col("a.txt"), F.col("b.txt")).alias("distance"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

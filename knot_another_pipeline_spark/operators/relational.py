@@ -577,3 +577,119 @@ def cdc_apply(
         .filter(~((F.col("_chg") == 1) & is_del))
     )
     return merged.select(*payload)
+
+
+def pivot_wide(
+    df: DataFrame,
+    group_cols: str | list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    *,
+    agg: Column | None = None,
+) -> DataFrame:
+    """Long→wide pivot with an EXPLICIT value list.
+
+    The reference's notebooks hand-write CASE-WHEN pivots per event type
+    (the P18 conditional-flag pattern); this is the general form. Passing
+    ``pivot_values`` matters at scale: ``pivot(col)`` with no values runs
+    an extra distinct job over the whole input to discover the columns,
+    then keeps ALL of them (unbounded width on dirty data). With the list
+    given, Catalyst rewrites the pivot into a single hash aggregate of
+    ``len(pivot_values)`` conditional aggregates — one shuffle on the
+    group keys, map-side partials, no discovery pass.
+
+    ``agg`` defaults to ``count(1)``; absent (group, value) combinations
+    come out NULL (same as SQL's ``sum(CASE WHEN ...)``), so the result
+    is bit-comparable with the CASE-WHEN formulation.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    gb = df.groupBy(*group_cols).pivot(pivot_col, pivot_values)
+    return gb.agg(agg if agg is not None else F.count(F.lit(1)))
+
+
+def unpivot_long(
+    df: DataFrame,
+    id_cols: str | list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long melt via the native ``unpivot`` (Expand) operator.
+
+    One pass, no shuffle at all: Expand emits ``len(value_cols)`` rows
+    per input row inside the same stage, exactly like the SQL
+    ``UNION ALL`` of per-column selects but with ONE scan instead of
+    ``len(value_cols)`` scans — at 100 TB the difference is the whole
+    job. Values are cast to a common type by the engine; cast them
+    yourself first if you need a specific one.
+    """
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )
+
+
+def skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join for skewed keys (large × medium, both above the
+    broadcast threshold).
+
+    A plain shuffle join sends EVERY row of a hot key to one reducer —
+    one straggler task runs as long as the biggest key is large, and at
+    100 TB a single hot entity (one chatty vessel, one boilerplate
+    document hash) can hold the whole stage. The classic fix, expressed
+    declaratively:
+
+    - left rows get a row-local salt in [0, salt) derived from
+      ``xxhash64`` of the whole row — NOT ``rand()`` (breaks retry
+      determinism) and NOT ``spark_partition_id()`` (collapses to a
+      constant when the input is already partitioned by the join keys,
+      the salted_agg lesson);
+    - right rows replicate ``salt``× via a row-local
+      ``explode(sequence())`` — an Expand in the same stage, no extra
+      scan;
+    - the join is then a plain equi-join on (keys…, salt): each hot key
+      fans out over ``salt`` reducers.
+
+    Result rows are identical to the unsalted join (each left row meets
+    each matching right row exactly once — in its own salt bucket).
+    Spark's AQE skew split (``skewJoin.enabled``, on in the session
+    factory) solves the same problem reactively by splitting oversized
+    partitions; explicit salting still wins when one KEY (not one
+    partition) dominates, because AQE cannot split a single key's hash
+    bucket across reducers for a sort-merge join.
+
+    Only ``inner`` and ``left`` joins are supported: replicating the
+    right side would duplicate right-outer unmatched rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join key {k!r} missing from an input")
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("inputs already carry a _salt column")
+    salted_left = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_left.join(salted_right, keys + ["_salt"], how)
+    return out.drop("_salt")

@@ -41,6 +41,8 @@ __all__ = [
     "rolling_stats",
     "scd2_history",
     "interval_merge",
+    "period_over_period",
+    "resample_calendar",
 ]
 
 
@@ -459,3 +461,107 @@ def interval_merge(
         )
         .drop("_island")
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    period_col: str,
+    value_cols: str | list[str],
+    *,
+    partition_cols: str | list[str] | None = None,
+    lag_periods: int = 1,
+    round_pct: int = 6,
+) -> DataFrame:
+    """Period-over-period deltas: for each value column add the previous
+    period's value, the absolute delta, and the percent change.
+
+    The reference reports monthly aggregates but leaves "vs last month"
+    to the reader (``apps/stat_explorer.py`` renders one period at a
+    time). Here it is one ``lag`` window per input row — a single
+    shuffle on the partition keys (none ⇒ single ordered partition, fine
+    because the input is one row per period, i.e. already aggregated;
+    don't call this on raw events). Percent change is NULL when the
+    prior value is 0 or NULL (``NULLIF`` semantics, no ±inf).
+    """
+    values = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    parts = (
+        []
+        if partition_cols is None
+        else [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    w = Window.partitionBy(*parts).orderBy(period_col)
+    out = df
+    for v in values:
+        prev = F.lag(v, lag_periods).over(w)
+        out = (
+            out.withColumn(f"prev_{v}", prev)
+            .withColumn(f"delta_{v}", F.col(v) - F.col(f"prev_{v}"))
+            .withColumn(
+                f"pct_change_{v}",
+                F.round(
+                    (F.col(v) - F.col(f"prev_{v}"))
+                    / F.nullif(F.col(f"prev_{v}"), F.lit(0)),
+                    round_pct,
+                ),
+            )
+        )
+    return out
+
+
+def resample_calendar(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    group_cols: str | list[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+    step: str = "1 day",
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Calendar resample with gap filling: aggregate to fixed ``step``
+    buckets, then emit a row for EVERY bucket in the observed span of
+    each group — absent buckets appear with the ``fill`` defaults
+    (e.g. ``{"n": 0}``) instead of silently missing.
+
+    Downstream consumers (drift monitors, rate alerts) read a missing
+    day as "no data", not "zero events" — gap filling makes the
+    distinction explicit. Scale shape: one aggregate on
+    (group, bucket), then per-group min/max and ONE
+    ``sequence()``+``explode`` to build the calendar spine —
+    sequence is row-local generation, so the spine costs
+    span/step rows per group, never a driver-side date loop. The
+    spine→agg join is on (group, bucket); AQE broadcasts the small
+    side at low SF and shuffles at high SF.
+    """
+    groups = (
+        []
+        if group_cols is None
+        else [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    aggs = aggs or {"n_rows": F.count(F.lit(1))}
+    bucket = F.date_trunc(
+        {"1 day": "day", "1 hour": "hour", "1 week": "week"}.get(step, "day"),
+        F.col(ts_col).cast("timestamp"),
+    )
+    per_bucket = (
+        df.withColumn("_bucket", bucket)
+        .groupBy(*groups, "_bucket")
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    spine = (
+        per_bucket.groupBy(*groups)
+        .agg(F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi"))
+        .select(
+            *groups,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+            ).alias("_bucket"),
+        )
+    )
+    out = spine.join(per_bucket, groups + ["_bucket"], "left")
+    for name, default in (fill or {}).items():
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return out.withColumnRenamed("_bucket", "bucket")

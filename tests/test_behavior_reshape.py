@@ -1,0 +1,212 @@
+"""Round-5 operators: funnel, cohort retention, pivot/unpivot,
+period-over-period, calendar resample, skew join, fuzzy matching."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knot_another_pipeline_spark.operators.behavior import cohort_retention, funnel
+from knot_another_pipeline_spark.operators.dedup import fuzzy_match_pairs
+from knot_another_pipeline_spark.operators.relational import (
+    pivot_wide,
+    skew_join,
+    unpivot_long,
+)
+from knot_another_pipeline_spark.operators.temporal import (
+    period_over_period,
+    resample_calendar,
+)
+
+
+def _events(spark):
+    rows = [
+        # u1: clean signup -> view -> purchase
+        (1, "2025-01-01 10:00:00", "signup"),
+        (1, "2025-01-02 10:00:00", "view"),
+        (1, "2025-01-03 10:00:00", "purchase"),
+        # u2: purchased BEFORE first view -> reaches step 2 only... no:
+        # first view after signup, purchase before view -> stops at view
+        (2, "2025-01-01 10:00:00", "signup"),
+        (2, "2025-01-02 10:00:00", "purchase"),
+        (2, "2025-01-03 10:00:00", "view"),
+        # u3: never signed up -> reaches nothing
+        (3, "2025-01-01 10:00:00", "view"),
+        (3, "2025-01-02 10:00:00", "purchase"),
+        # u4: signup only
+        (4, "2025-02-05 10:00:00", "signup"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_funnel_first_touch_ordering(spark):
+    out = funnel(_events(spark), ["signup", "view", "purchase"])
+    got = {r["step"]: r["n_users"] for r in out.collect()}
+    # u1, u2, u4 signed up; u1 and u2 viewed after signup; only u1
+    # purchased after the first view
+    assert got == {"signup": 3, "view": 2, "purchase": 1}
+    idx = {r["step"]: r["step_index"] for r in out.collect()}
+    assert idx == {"signup": 1, "view": 2, "purchase": 3}
+
+
+def test_funnel_monotone_counts(spark):
+    out = funnel(
+        _events(spark), ["signup", "view", "purchase"]
+    ).orderBy("step_index")
+    counts = [r["n_users"] for r in out.collect()]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        (1, "2025-01-05 00:00:00"),  # cohort Jan, active Jan + Mar
+        (1, "2025-03-10 00:00:00"),
+        (2, "2025-01-20 00:00:00"),  # cohort Jan, active Jan only
+        (3, "2025-02-01 00:00:00"),  # cohort Feb, active Feb + Mar
+        (3, "2025-03-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (str(r["cohort_month"]), r["month_offset"]): r["n_active"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2025-01-01", 0): 2,
+        ("2025-01-01", 2): 1,
+        ("2025-02-01", 0): 1,
+        ("2025-02-01", 1): 1,
+    }
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")],
+        "grp string, kind string",
+    )
+    wide = pivot_wide(df, "grp", "kind", ["x", "y", "z"])
+    rows = {r["grp"]: (r["x"], r["y"], r["z"]) for r in wide.collect()}
+    # absent combinations are NULL (CASE-WHEN parity), not 0
+    assert rows == {"a": (2, 1, None), "b": (None, 1, None)}
+
+    long = unpivot_long(
+        wide.select(
+            "grp", *[F.col(c).cast("long") for c in ["x", "y", "z"]]
+        ),
+        "grp",
+        ["x", "y", "z"],
+    )
+    back = {
+        (r["grp"], r["metric"]): r["value"]
+        for r in long.collect()
+        if r["value"] is not None
+    }
+    assert back == {("a", "x"): 2, ("a", "y"): 1, ("b", "y"): 1}
+
+
+def test_period_over_period_guards(spark):
+    df = spark.createDataFrame(
+        [("2025-01-01", 0.0), ("2025-02-01", 50.0), ("2025-03-01", 75.0)],
+        "month string, revenue double",
+    ).withColumn("month", F.to_date("month"))
+    out = {
+        str(r["month"]): (r["prev_revenue"], r["pct_change_revenue"])
+        for r in period_over_period(df, "month", "revenue").collect()
+    }
+    assert out["2025-01-01"] == (None, None)  # no prior period
+    assert out["2025-02-01"] == (0.0, None)  # NULLIF zero-prev guard
+    assert out["2025-03-01"] == (50.0, 0.5)
+
+
+def test_resample_calendar_fills_gaps(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "2025-01-01 05:00:00", 1.0),
+            ("a", "2025-01-03 05:00:00", 2.0),  # Jan 2 missing
+            ("b", "2025-01-02 05:00:00", 3.0),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_calendar(
+        df,
+        "ts",
+        group_cols="k",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("v")},
+        fill={"n": 0},
+    )
+    rows = {
+        (r["k"], str(r["bucket"])): (r["n"], r["total"]) for r in out.collect()
+    }
+    assert rows[("a", "2025-01-01 00:00:00")] == (1, 1.0)
+    assert rows[("a", "2025-01-02 00:00:00")] == (0, None)  # filled gap
+    assert rows[("a", "2025-01-03 00:00:00")] == (1, 2.0)
+    # group b spans one day: no spurious spine rows outside its span
+    assert [k for k in rows if k[0] == "b"] == [("b", "2025-01-02 00:00:00")]
+
+
+def test_skew_join_matches_plain_join(spark):
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("payload")
+    )
+    right = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two"), (7, "never")],
+        "k long, name string",
+    )
+    for how in ("inner", "left"):
+        got = skew_join(left, right, "k", salt=4, how=how)
+        want = left.join(right, "k", how)
+        assert got.count() == want.count()
+        assert got.subtract(want).count() == 0
+        assert want.subtract(got).count() == 0
+
+
+def test_skew_join_preserves_duplicate_rows(spark):
+    left = spark.createDataFrame([(1, "p")] * 3, "k long, payload string")
+    right = spark.createDataFrame([(1, "r")], "k long, name string")
+    assert skew_join(left, right, "k", salt=8).count() == 3
+
+
+def test_skew_join_validation(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        skew_join(df, df, "k", how="full")
+    with pytest.raises(ValueError):
+        skew_join(df, df.withColumnRenamed("k", "j"), "k")
+
+
+def test_fuzzy_match_default_blocking_straddles_bands(spark):
+    # "alpha node" vs "alpha nodes": 1 edit, lengths 10 vs 11 — with
+    # max_distance=2 the band width is 5, so 10//5=2 and 11//5=2 … force a
+    # straddle with lengths 9 and 10 (band 1 vs 2)
+    df = spark.createDataFrame(
+        [
+            (1, "alpha nod"),       # len 9  -> band 1
+            (2, "alpha node"),      # len 10 -> band 2, distance 1
+            (3, "alpha xyzzy"),     # same first token, distance > 2
+            (4, "beta node"),       # different first token: never compared
+        ],
+        "id long, name string",
+    )
+    out = fuzzy_match_pairs(
+        df, id_col="id", text_col="name", max_distance=2
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    assert pairs == {(1, 2): 1}
+
+
+def test_fuzzy_match_explicit_blocks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcd", "g1"),
+            (2, "abce", "g1"),
+            (3, "abcd", "g2"),  # identical text, other block: not paired
+        ],
+        "id long, name string, blk string",
+    )
+    out = fuzzy_match_pairs(
+        df, id_col="id", text_col="name", max_distance=1, block_cols=["blk"]
+    )
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
