@@ -43,6 +43,9 @@ _PRIORITY = [
     "fuzzy_match",
     "resample_daily",
     "json_extract_stats",
+    "reaggregate_monthly",
+    "ntile_deciles",
+    "normalize_docs",
     "asof_join",
     "range_join",
     "rolling_stats",

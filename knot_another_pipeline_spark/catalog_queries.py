@@ -3405,6 +3405,113 @@ GROUP BY event_type
 """
 
 
+def q_reaggregate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate merge (operators/relational.py reaggregate):
+    daily event partials re-aggregated to monthly WITHOUT rescanning the
+    raw rows. The oracle aggregates the raw table directly — passing
+    means the algebraic identity holds end-to-end."""
+    from knot_another_pipeline_spark.operators.relational import reaggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    monthly = reaggregate(
+        daily.withColumn(
+            "month", F.date_trunc("month", "day").cast("date")
+        ),
+        ["month", "event_type"],
+        count_cols=["n_events"],
+        sum_cols=["total_value"],
+        min_cols=["min_value"],
+        max_cols=["max_value"],
+    )
+    return monthly.select(
+        "month",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    ).orderBy("month", "event_type")
+
+
+ORACLE_REAGGREGATE_MONTHLY = """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles (operators/relational.py
+    ntile_assign): NTILE(10) within each language, doc_id tiebreak for
+    deterministic bucket boundaries; both engines use the standard
+    deal-the-remainder NTILE."""
+    from knot_another_pipeline_spark.operators.relational import ntile_assign
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = ntile_assign(
+        docs,
+        "n_chars",
+        n=10,
+        partition_cols="lang",
+        tiebreak="doc_id",
+        out_col="decile",
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("decile").cast("int").alias("decile")
+    ).orderBy("lang", "decile", "doc_id")
+
+
+ORACLE_NTILE_DECILES = """
+SELECT doc_id, lang, n_chars,
+       CAST(ntile(10) OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS INT) AS decile
+FROM documents
+"""
+
+
+def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (operators/text_analysis.py
+    normalize_documents): control-strip → lower → whitespace-collapse →
+    trim, then a stable md5 of the canonical form — the pre-dedup
+    normalization pass, RE2-safe so the oracle runs the identical
+    regexes."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        normalize_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_documents(docs, id_col="doc_id", text_col="text").orderBy(
+        "id"
+    )
+
+
+ORACLE_NORMALIZE_DOCS = r"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(
+             lower(regexp_replace(
+                 text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+             '\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT id, CAST(length(t) AS INT) AS norm_len, md5(t) AS norm_md5
+FROM norm
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3507,6 +3614,9 @@ QUERIES = {
     "fuzzy_match": q_fuzzy_match,
     "resample_daily": q_resample_daily,
     "json_extract_stats": q_json_extract_stats,
+    "reaggregate_monthly": q_reaggregate_monthly,
+    "ntile_deciles": q_ntile_deciles,
+    "normalize_docs": q_normalize_docs,
     "ngram_topk": q_ngram_topk,
     "anomaly_zscore": q_anomaly_zscore,
     # data quality
@@ -3602,6 +3712,9 @@ ORACLES = {
     "fuzzy_match": ORACLE_FUZZY_MATCH,
     "resample_daily": ORACLE_RESAMPLE_DAILY,
     "json_extract_stats": ORACLE_JSON_EXTRACT_STATS,
+    "reaggregate_monthly": ORACLE_REAGGREGATE_MONTHLY,
+    "ntile_deciles": ORACLE_NTILE_DECILES,
+    "normalize_docs": ORACLE_NORMALIZE_DOCS,
     "ngram_topk": ORACLE_NGRAM_TOPK,
     "anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "table_profile": ORACLE_TABLE_PROFILE,

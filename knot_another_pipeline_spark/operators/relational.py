@@ -693,3 +693,78 @@ def skew_join(
     )
     out = salted_left.join(salted_right, keys + ["_salt"], how)
     return out.drop("_salt")
+
+
+def reaggregate(
+    df: DataFrame,
+    group_cols: str | list[str],
+    *,
+    count_cols: list[str] | None = None,
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge pre-aggregated partials to a coarser grain without touching
+    raw data: counts and sums re-sum, mins re-min, maxes re-max.
+
+    This is the incremental-rollup primitive: at 100 TB you materialize
+    per-day partials once and answer month/quarter/lifetime questions by
+    re-aggregating the partial table (days × groups rows), never
+    re-scanning the raw events. Only works for ALGEBRAIC aggregates —
+    count/sum/min/max (and avg as sum÷count at read time); never feed it
+    averages, distinct counts, or percentiles, which do not compose
+    (combine KMV/HLL sketches for those instead — operators/quality.py
+    kmv_distinct).
+
+    Column names are preserved, so a daily partial table re-aggregates
+    to monthly with the same schema minus the finer time column.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    aggs = (
+        [F.sum(c).alias(c) for c in (count_cols or [])]
+        + [F.sum(c).alias(c) for c in (sum_cols or [])]
+        + [F.min(c).alias(c) for c in (min_cols or [])]
+        + [F.max(c).alias(c) for c in (max_cols or [])]
+    )
+    if not aggs:
+        raise ValueError("no partial-aggregate columns given")
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def ntile_assign(
+    df: DataFrame,
+    order_col: str,
+    *,
+    n: int = 10,
+    partition_cols: str | list[str] | None = None,
+    tiebreak: str | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equal-count quantile buckets (NTILE): rank rows within each
+    partition by ``order_col`` and deal them into ``n`` buckets of
+    near-equal size — decile/percentile labeling for curriculum
+    sampling, quality tiers, per-language length bands.
+
+    One shuffle on the partition keys; within each partition the sort is
+    the cost, so PARTITIONED ntile scales with the largest group, not the
+    corpus. For a GLOBAL bucket label over billions of rows don't use
+    ntile(1 partition) — that serializes the corpus through one task; use
+    the distributed ``percentile_rank`` shape instead
+    (operators/sampling.py length_percentile_rank query) and floor it.
+
+    ``tiebreak`` (a unique column) makes bucket boundaries deterministic
+    when ``order_col`` has duplicates — same lesson as grouped_topk.
+    """
+    parts = (
+        []
+        if partition_cols is None
+        else [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    order = [F.col(order_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*parts).orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n).over(w))

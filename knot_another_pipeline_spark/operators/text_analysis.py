@@ -537,3 +537,34 @@ def ngram_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonicalize raw text for hashing/dedup: strip control characters,
+    lowercase, collapse whitespace runs to single spaces, trim.
+
+    Pure codegen (three regexp_replace + lower + trim), zero shuffle —
+    the canonical first step before exact/minhash dedup so that
+    whitespace and case variants of the same document collide. Kept
+    RE2-compatible (no backrefs/lookarounds) so the identical patterns
+    run in DuckDB for the oracle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalize_documents(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """Apply ``normalize_text`` and emit a stable md5 of the canonical
+    form — the join key for exact dedup across formatting variants.
+    Output: id, norm_len, norm_md5."""
+    norm = normalize_text(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )

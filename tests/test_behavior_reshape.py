@@ -266,3 +266,74 @@ def test_resample_calendar_plan_has_pushdown_free_spine(spark):
         resample_calendar(df, "ts", group_cols="k", aggs={"n": F.count(F.lit(1))})
     )
     assert "Generate explode" in plan or "explode" in plan
+
+
+def test_reaggregate_algebraic_merge(spark):
+    from knot_another_pipeline_spark.operators.relational import reaggregate
+
+    daily = spark.createDataFrame(
+        [
+            ("2025-01", "a", 2, 10.0, 1.0, 9.0),
+            ("2025-01", "a", 3, 20.0, 0.5, 19.0),
+            ("2025-02", "a", 1, 5.0, 5.0, 5.0),
+        ],
+        "month string, k string, n long, total double, lo double, hi double",
+    )
+    out = {
+        (r["month"], r["k"]): (r["n"], r["total"], r["lo"], r["hi"])
+        for r in reaggregate(
+            daily,
+            ["month", "k"],
+            count_cols=["n"],
+            sum_cols=["total"],
+            min_cols=["lo"],
+            max_cols=["hi"],
+        ).collect()
+    }
+    assert out == {
+        ("2025-01", "a"): (5, 30.0, 0.5, 19.0),
+        ("2025-02", "a"): (1, 5.0, 5.0, 5.0),
+    }
+    with pytest.raises(ValueError):
+        reaggregate(daily, "month")
+
+
+def test_ntile_assign_deterministic_with_ties(spark):
+    from knot_another_pipeline_spark.operators.relational import ntile_assign
+
+    # 5 rows with equal order values: tiebreak decides bucket membership
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(5)], "id long, v double"
+    )
+    out1 = {
+        r["id"]: r["bucket"]
+        for r in ntile_assign(df, "v", n=2, tiebreak="id").collect()
+    }
+    out2 = {
+        r["id"]: r["bucket"]
+        for r in ntile_assign(df, "v", n=2, tiebreak="id").collect()
+    }
+    assert out1 == out2
+    # first ceil(5/2)=3 ids in bucket 1, remaining 2 in bucket 2
+    assert out1 == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_normalize_text_canonicalizes_variants(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        normalize_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),
+            (3, "\x01hello\tworld  "),
+            (4, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["norm_len"], r["norm_md5"]) for r in
+           normalize_documents(df, id_col="doc_id", text_col="text").collect()}
+    assert out[1] == out[2] == out[3]  # all collapse to "hello world"
+    assert out[1][0] == len("hello world")
+    assert out[4] != out[1]
