@@ -433,3 +433,48 @@ def streaming_enrich(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def streaming_session_rollup(
+    stream: DataFrame,
+    *,
+    uid_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization as a NATIVE ``session_window`` streaming
+    aggregate — the JVM-state twin of ``streaming_sessionize``.
+
+    ``streaming_sessionize`` (applyInPandasWithState) exists for custom
+    per-session logic — arbitrary Python over each session's rows. When
+    the per-session result is just aggregates (bounds + counts), that
+    flexibility costs Arrow round-trips and a Python worker per
+    partition; ``session_window`` keeps the merging-window state entirely
+    in the JVM state store with codegen aggregates, and late rows merge
+    sessions server-side (two sessions separated by < gap collapse when
+    a bridging late event arrives, exactly like the batch lag+cumsum
+    rewrite would on replay).
+
+    Batch parity: on a bounded input this equals the batch
+    ``operators.relational.sessionize`` output, INCLUDING the
+    exact-threshold boundary — a follow-up event at ``ts + gap`` merges
+    into the session in both forms (the native window extends through
+    ``ts+gap`` inclusive; the batch lag+cumsum rule breaks only on
+    strictly-greater gaps). The parity test pins both the generic
+    equality and this boundary case.
+    Output: uid, session_start, session_end_ts, n_events.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(uid_col).alias("uid"),
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("uid", "session_start", "session_end_ts", "n_events")
+    )

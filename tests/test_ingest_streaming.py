@@ -798,3 +798,91 @@ def test_streaming_enrich_stream_static_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enrich_test").collect()
     }
     assert got == {1: "gold", 2: "silver", 9: None}
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window sessionizer: bounded replay equals the batch
+    lag+cumsum sessionize, including at the exact-threshold-gap boundary
+    (both keep it in one session)."""
+    from knot_another_pipeline_spark.operators.relational import sessionize
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_session_rollup,
+    )
+
+    src = tmp_path / "sw_in"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [
+            # A: two sessions, 40-min gap (> 30) between them
+            ("A", "2025-01-01 00:00:00"),
+            ("A", "2025-01-01 00:10:00"),
+            ("A", "2025-01-01 00:50:00"),
+            # B: one session, 29-min gap stays merged
+            ("B", "2025-01-01 00:00:00"),
+            ("B", "2025-01-01 00:29:00"),
+            # watermark pusher so every session closes
+            ("Z", "2025-01-03 00:00:00"),
+        ],
+        "uid string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = streaming_session_rollup(
+        stream, uid_col="uid", ts_col="ts", gap="30 minutes", watermark="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sw_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["uid"], str(r["session_start"]), str(r["session_end_ts"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sw_test WHERE uid != 'Z'").collect()
+    }
+    # Z is the watermark pusher: its own session never closes before the
+    # availableNow run drains, so compare the closed sessions only
+    want = {
+        (r["uid"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(
+            df.filter(F.col("uid") != "Z"), uid_col="uid", ts_col="ts", gap_minutes=30
+        ).collect()
+    }
+    assert got == want
+
+    # boundary: EXACT 30-min gap → native splits, batch keeps
+    bdf = spark.createDataFrame(
+        [("X", "2025-01-01 00:00:00"), ("X", "2025-01-01 00:30:00"),
+         ("Z", "2025-01-03 00:00:00")],
+        "uid string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src2 = tmp_path / "sw_in2"
+    bdf.write.mode("append").parquet(str(src2))
+    stream2 = spark.readStream.schema(bdf.schema).parquet(str(src2))
+    out2 = streaming_session_rollup(
+        stream2, uid_col="uid", ts_col="ts", gap="30 minutes", watermark="1 minute"
+    )
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("sw_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    n_native = spark.sql(
+        "SELECT count(*) AS n FROM sw_boundary WHERE uid = 'X'"
+    ).collect()[0]["n"]
+    n_batch = (
+        sessionize(bdf, uid_col="uid", ts_col="ts", gap_minutes=30)
+        .filter(F.col("uid") == "X")
+        .count()
+    )
+    # both definitions KEEP an exact-threshold gap in one session: the
+    # native session window extends through ts+gap inclusive, matching
+    # the batch strictly-greater-than-gap break rule
+    assert n_native == 1
+    assert n_batch == 1
