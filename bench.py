@@ -43,6 +43,12 @@ HEADLINE = [
     "upsert",
     "grouped_topk",
     "histogram_quantiles",
+    # r5 additions: behavioral / reshaping / skew-join family
+    "funnel_steps",
+    "cohort_retention",
+    "skew_join",
+    "resample_daily",
+    "reaggregate_monthly",
 ]
 
 
