@@ -46,6 +46,7 @@ _PRIORITY = [
     "reaggregate_monthly",
     "ntile_deciles",
     "normalize_docs",
+    "pagerank",
     "asof_join",
     "range_join",
     "rolling_stats",

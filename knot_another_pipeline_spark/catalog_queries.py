@@ -3512,6 +3512,55 @@ FROM norm
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py pagerank) over the
+    bipartite order↔part co-occurrence graph from lineitem, both edge
+    directions so no node dangles. 3 iterations, d=0.85; the oracle
+    unrolls the identical algebra as three CTE layers."""
+    from knot_another_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+
+
+def _pagerank_iter_sql(cur: str, prev: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nd.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(sum({prev}.rank / dg.outdeg), 0) AS rank
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY nd.node)"""
+
+
+ORACLE_PAGERANK = f"""
+WITH edges AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 'p:' || l_partkey AS src, 'o:' || l_orderkey AS dst
+  FROM lineitem),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{_pagerank_iter_sql("r1", "r0")},
+{_pagerank_iter_sql("r2", "r1")},
+{_pagerank_iter_sql("r3", "r2")}
+SELECT node, round(rank, 9) AS rank FROM r3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3617,6 +3666,7 @@ QUERIES = {
     "reaggregate_monthly": q_reaggregate_monthly,
     "ntile_deciles": q_ntile_deciles,
     "normalize_docs": q_normalize_docs,
+    "pagerank": q_pagerank,
     "ngram_topk": q_ngram_topk,
     "anomaly_zscore": q_anomaly_zscore,
     # data quality
@@ -3715,6 +3765,7 @@ ORACLES = {
     "reaggregate_monthly": ORACLE_REAGGREGATE_MONTHLY,
     "ntile_deciles": ORACLE_NTILE_DECILES,
     "normalize_docs": ORACLE_NORMALIZE_DOCS,
+    "pagerank": ORACLE_PAGERANK,
     "ngram_topk": ORACLE_NGRAM_TOPK,
     "anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "table_profile": ORACLE_TABLE_PROFILE,

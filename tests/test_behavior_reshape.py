@@ -337,3 +337,60 @@ def test_normalize_text_canonicalizes_variants(spark):
     assert out[1] == out[2] == out[3]  # all collapse to "hello world"
     assert out[1][0] == len("hello world")
     assert out[4] != out[1]
+
+
+def test_pagerank_uniform_on_cycle_and_mass_conserved(spark):
+    from knot_another_pipeline_spark.operators.graph import pagerank
+
+    # 3-cycle: symmetric in/out degree -> rank stays uniform 1/3
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(cyc, iterations=4).collect()}
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-12
+    # symmetric graph (no dangling nodes): total mass conserved at 1
+    sym = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    total = sum(
+        r["rank"] for r in pagerank(sym, iterations=3).collect()
+    )
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_authority_ordering_and_dedup(spark):
+    from knot_another_pipeline_spark.operators.graph import pagerank
+
+    # hub: everyone links to 'z'; duplicate edges must not double-vote
+    edges = spark.createDataFrame(
+        [("a", "z"), ("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")],
+        "src string, dst string",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert ranks["z"] > ranks["a"] > ranks["b"]  # a gets z's backlink
+    assert abs(ranks["b"] - ranks["c"]) < 1e-12
+
+    dedup_ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.distinct(), iterations=5).collect()
+    }
+    assert ranks == dedup_ranks  # duplicates collapsed before voting
+
+
+def test_pagerank_zero_iterations_and_checkpoint(spark):
+    from knot_another_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    r0 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=0).collect()}
+    assert r0 == {"a": 0.5, "b": 0.5}
+    chk = {
+        r["node"]: round(r["rank"], 12)
+        for r in pagerank(edges, iterations=2, checkpoint_each=True).collect()
+    }
+    plain = {
+        r["node"]: round(r["rank"], 12)
+        for r in pagerank(edges, iterations=2).collect()
+    }
+    assert chk == plain
