@@ -137,3 +137,79 @@ def test_partition_date_reconstruction(spark):
     assert out[0]["dt"] == date(2024, 2, 29)
     assert out[1]["dt"] is None  # invalid combination → NULL, like TRY()
     assert out[2]["dt"] == date(2024, 1, 2)
+
+
+def test_format_roundtrips_preserve_rows_and_types(spark, tmp_path):
+    """parquet/ORC/CSV/JSON roundtrips return the same rows; columnar
+    formats also preserve types without a schema."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, "2025-01-01 00:00:01"),
+            (2, "beta", -2.25, "2025-06-30 23:59:59"),
+            (3, None, None, None),
+        ],
+        "id long, name string, score double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {tuple(r) for r in df.collect()}
+    schema = df.schema
+
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / fmt)
+        write_table(df, p, fmt=fmt)
+        back = read_table(spark, p, fmt=fmt)
+        assert back.schema == schema  # columnar: self-describing
+        assert {tuple(r) for r in back.collect()} == want
+
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / fmt)
+        write_table(df, p, fmt=fmt)
+        back = read_table(spark, p, fmt=fmt, schema=schema)
+        assert [f.dataType for f in back.schema.fields] == [
+            f.dataType for f in schema.fields
+        ]
+        assert {tuple(r) for r in back.collect()} == want
+
+
+def test_format_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(10)],
+        "id long, part string",
+    )
+    p = str(tmp_path / "orc_part")
+    write_table(df, p, fmt="orc", partition_by=["part"])
+    back = read_table(spark, p, fmt="orc").filter(F.col("part") == "a")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 5
+    # partition pruning: the filtered scan reads only part=a directories
+    assert "PartitionFilters: [isnotnull(part" in plan or "part=a" in plan
+
+
+def test_format_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from knot_another_pipeline_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        write_table(df, str(tmp_path / "x"), fmt="avro")
+    with _pytest.raises(ValueError):
+        read_table(spark, str(tmp_path / "x"), fmt="csv")  # schema required
