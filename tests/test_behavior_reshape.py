@@ -394,3 +394,37 @@ def test_pagerank_zero_iterations_and_checkpoint(spark):
         for r in pagerank(edges, iterations=2).collect()
     }
     assert chk == plain
+
+
+def test_r5_catalog_scan_pruning(spark):
+    """The new catalog queries prune their scans: skew_join reads only
+    the three lineitem columns it touches, and json_extract_stats reads
+    only (event_type, props) — a full-width scan under either is a
+    regression."""
+    import re
+
+    from knot_another_pipeline_spark.catalog_queries import (
+        q_json_extract_stats,
+        q_skew_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plan = q_skew_join(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    li_schemas = [
+        s
+        for s in re.findall(r"ReadSchema: (struct<[^\n]*>)", plan)
+        if "l_" in s
+    ]
+    assert li_schemas and all(
+        s == "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
+        for s in li_schemas
+    ), li_schemas
+
+    p2 = (
+        q_json_extract_stats(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    s2 = re.findall(r"ReadSchema: (struct<[^\n]*>)", p2)
+    assert s2 == ["struct<event_type:string,props:string>"], s2
