@@ -47,6 +47,7 @@ _PRIORITY = [
     "ntile_deciles",
     "normalize_docs",
     "pagerank",
+    "journey_topk",
     "asof_join",
     "range_join",
     "rolling_stats",
@@ -85,7 +86,6 @@ _REPRESENTATIVES = [
     "ais_hourly",
     "pairs_monthly",
     "pairs_total",
-    "track_export",
     "dedup_latest",
 ]
 

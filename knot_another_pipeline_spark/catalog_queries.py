@@ -3561,6 +3561,44 @@ SELECT node, round(rank, 9) AS rank FROM r3
 """
 
 
+def q_journey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys (operators/behavior.py journey_topk):
+    gap-sessionize, render each session's ordered event-type path,
+    count, TakeOrdered top-k with a journey tiebreak. The oracle is the
+    same lag+cumsum sessionization with an ORDER BY string_agg."""
+    from knot_another_pipeline_spark.operators.behavior import journey_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return journey_topk(ev, gap_minutes=30, k=20, max_steps=10)
+
+
+ORACLE_JOURNEY_TOPK = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ss AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                               ORDER BY ts, event_id) AS rn
+  FROM ss),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+  FROM numbered WHERE rn <= 10 GROUP BY user_id, sess)
+SELECT journey, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY journey
+ORDER BY n_sessions DESC, journey ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3667,6 +3705,7 @@ QUERIES = {
     "ntile_deciles": q_ntile_deciles,
     "normalize_docs": q_normalize_docs,
     "pagerank": q_pagerank,
+    "journey_topk": q_journey_topk,
     "ngram_topk": q_ngram_topk,
     "anomaly_zscore": q_anomaly_zscore,
     # data quality
@@ -3766,6 +3805,7 @@ ORACLES = {
     "ntile_deciles": ORACLE_NTILE_DECILES,
     "normalize_docs": ORACLE_NORMALIZE_DOCS,
     "pagerank": ORACLE_PAGERANK,
+    "journey_topk": ORACLE_JOURNEY_TOPK,
     "ngram_topk": ORACLE_NGRAM_TOPK,
     "anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "table_profile": ORACLE_TABLE_PROFILE,

@@ -25,9 +25,9 @@ single pass over events — the scan dominates, as it should at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["funnel", "cohort_retention"]
+__all__ = ["funnel", "cohort_retention", "journey_topk"]
 
 
 def funnel(
@@ -37,6 +37,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    max_step_seconds: int | None = None,
 ) -> DataFrame:
     """First-touch funnel over ``steps`` (ordered list of event types).
 
@@ -44,6 +45,10 @@ def funnel(
     ``n_users`` — the number of users whose first occurrences of
     steps 1..i are in strictly increasing time order. Monotone by
     construction: n_users(i+1) ≤ n_users(i).
+
+    ``max_step_seconds`` adds a conversion window: step *i* counts only
+    when it follows step *i−1* within that many seconds — "viewed within
+    a day of signing up", the form product funnels actually report.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -57,7 +62,15 @@ def funnel(
     reached = F.col("_t0").isNotNull()
     flags = [reached.cast("long").alias("_r0")]
     for i in range(1, len(steps)):
-        reached = reached & (F.col(f"_t{i}") > F.col(f"_t{i-1}"))
+        prev, cur = F.col(f"_t{i-1}"), F.col(f"_t{i}")
+        step_ok = cur > prev
+        if max_step_seconds is not None:
+            step_ok = step_ok & (
+                F.unix_micros(cur.cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+                <= max_step_seconds * 1_000_000
+            )
+        reached = reached & step_ok
         flags.append(reached.cast("long").alias(f"_r{i}"))
     totals = firsts.select(*flags).agg(
         *[F.sum(f"_r{i}").alias(f"_n{i}") for i in range(len(steps))]
@@ -121,3 +134,75 @@ def cohort_retention(
         .agg(F.count_distinct("_uid").alias("n_active"))
         .orderBy("cohort_month", "month_offset")
     )
+
+
+def journey_topk(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    k: int = 20,
+    max_steps: int = 10,
+) -> DataFrame:
+    """Top-k session journeys: sessionize (same gap rule as
+    ``operators.relational.sessionize``), render each session's first
+    ``max_steps`` events as an ordered ``a>b>c`` path, count paths, keep
+    the k most common.
+
+    Determinism requires a TOTAL order inside a session — ``ts`` alone
+    isn't one when two events share a timestamp, so the sort key is
+    (ts, ``id_col``); the equivalent SQL is
+    ``string_agg(event ORDER BY ts, id)``. Scale shape: one shuffle on
+    the user key covers the session window AND the per-session ordered
+    assembly (``collect_list`` + row-local ``array_sort``, bounded by
+    ``max_steps``); the path count is a partial-aggregated groupBy and
+    the top-k a TakeOrdered — no global sort.
+    Output: journey, n_sessions.
+    """
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
+    sessions = (
+        events.withColumn(
+            "_new",
+            F.when(
+                F.lag(ts_col).over(w).isNull()
+                | (
+                    micros
+                    - F.unix_micros(F.lag(F.col(ts_col).cast("timestamp")).over(w))
+                    > gap
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_sess", F.sum("_new").over(w))
+    )
+    paths = (
+        sessions.groupBy(user_col, "_sess")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("id"),
+                        F.col(event_col).alias("ev"),
+                    )
+                )
+            ).alias("_steps")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform("_steps", lambda s: s["ev"]), 1, max_steps),
+                ">",
+            ).alias("journey")
+        )
+    )
+    counted = paths.groupBy("journey").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return counted.orderBy(
+        F.col("n_sessions").desc(), F.col("journey").asc()
+    ).limit(k)

@@ -428,3 +428,62 @@ def test_r5_catalog_scan_pruning(spark):
     )
     s2 = re.findall(r"ReadSchema: (struct<[^\n]*>)", p2)
     assert s2 == ["struct<event_type:string,props:string>"], s2
+
+
+def test_funnel_conversion_window(spark):
+    # u1 converts view->purchase in 1 day; u2 takes 40 days
+    rows = [
+        (1, "2025-01-01 00:00:00", "signup"),
+        (1, "2025-01-02 00:00:00", "view"),
+        (2, "2025-01-01 00:00:00", "signup"),
+        (2, "2025-02-10 00:00:00", "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    unbounded = {r["step"]: r["n_users"] for r in funnel(ev, ["signup", "view"]).collect()}
+    assert unbounded == {"signup": 2, "view": 2}
+    day_window = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            ev, ["signup", "view"], max_step_seconds=86400
+        ).collect()
+    }
+    assert day_window == {"signup": 2, "view": 1}  # u2 converted too late
+
+
+def test_journey_topk_orders_within_session_and_counts(spark):
+    from knot_another_pipeline_spark.operators.behavior import journey_topk
+
+    rows = [
+        # u1 session: a>b ; u2 session: a>b ; u3 session: b>a
+        (1, 1, "2025-01-01 00:00:00", "a"),
+        (2, 1, "2025-01-01 00:05:00", "b"),
+        (3, 2, "2025-01-01 00:00:00", "a"),
+        (4, 2, "2025-01-01 00:10:00", "b"),
+        (5, 3, "2025-01-01 00:00:00", "b"),
+        (6, 3, "2025-01-01 00:01:00", "a"),
+        # u1 second session (gap > 30 min): lone c
+        (7, 1, "2025-01-01 02:00:00", "c"),
+        # same-ts tie inside u4's session: event_id breaks it -> x>y
+        (8, 4, "2025-01-01 00:00:00", "x"),
+        (9, 4, "2025-01-01 00:00:00", "y"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["journey"]: r["n_sessions"] for r in journey_topk(ev, k=10).collect()}
+    assert out == {"a>b": 2, "b>a": 1, "c": 1, "x>y": 1}
+
+
+def test_journey_topk_max_steps_truncates(spark):
+    from knot_another_pipeline_spark.operators.behavior import journey_topk
+
+    rows = [
+        (i, 1, f"2025-01-01 00:{i:02d}:00", chr(ord("a") + i)) for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = journey_topk(ev, max_steps=3, k=5).collect()
+    assert [r["journey"] for r in out] == ["a>b>c"]
