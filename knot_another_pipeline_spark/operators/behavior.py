@@ -58,9 +58,12 @@ def funnel(
             for i, s in enumerate(steps)
         ]
     )
-    # reached_i = t0 < t1 < ... < t_i (NULL-safe: any NULL breaks the chain)
+    # reached_i = t0 < t1 < ... < t_i. A missing step makes the
+    # comparison NULL — fold that to 0 (CASE-WHEN semantics) so a step
+    # nobody reaches sums to 0, not NULL.
+    as_flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
     reached = F.col("_t0").isNotNull()
-    flags = [reached.cast("long").alias("_r0")]
+    flags = [as_flag(reached).alias("_r0")]
     for i in range(1, len(steps)):
         prev, cur = F.col(f"_t{i-1}"), F.col(f"_t{i}")
         step_ok = cur > prev
@@ -71,7 +74,7 @@ def funnel(
                 <= max_step_seconds * 1_000_000
             )
         reached = reached & step_ok
-        flags.append(reached.cast("long").alias(f"_r{i}"))
+        flags.append(as_flag(reached).alias(f"_r{i}"))
     totals = firsts.select(*flags).agg(
         *[F.sum(f"_r{i}").alias(f"_n{i}") for i in range(len(steps))]
     )

@@ -407,3 +407,125 @@ def test_chunk_documents_covers_all_tokens(spark, n, chunk, overlap):
     assert covered == set(toks)
     # chunk ids are dense from 0
     assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+
+
+# ---------------------------------------------------------------------------
+# skew_join ≡ plain join on arbitrary (skewed) key distributions
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 6), st.text(alphabet="xyz", max_size=3)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.sampled_from([2, 5, 8]),
+    st.sampled_from(["inner", "left"]),
+)
+def test_skew_join_matches_plain_join_property(spark, left, right, salt, how):
+    from knot_another_pipeline_spark.operators.relational import skew_join
+
+    ldf = spark.createDataFrame(left or [(0, 0)], "k long, v long")
+    rdf = (
+        spark.createDataFrame(right, "k long, name string")
+        if right
+        else spark.createDataFrame([], "k long, name string")
+    )
+    got = sorted(
+        tuple(r) for r in skew_join(ldf, rdf, "k", salt=salt, how=how).collect()
+    )
+    want = sorted(tuple(r) for r in ldf.join(rdf, "k", how).collect())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# reaggregate over any partial split ≡ direct aggregation of the rows
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            st.integers(0, 5),  # sub-grain (the finer key being merged away)
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_reaggregate_identity_property(spark, rows):
+    from pyspark.sql import functions as FF
+
+    from knot_another_pipeline_spark.operators.relational import reaggregate
+
+    df = spark.createDataFrame(rows, "g long, sub long, v long")
+    partials = df.groupBy("g", "sub").agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum("v").alias("s"),
+        FF.min("v").alias("lo"),
+        FF.max("v").alias("hi"),
+    )
+    merged = {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in reaggregate(
+            partials, "g", count_cols=["n"], sum_cols=["s"],
+            min_cols=["lo"], max_cols=["hi"],
+        ).collect()
+    }
+    direct = {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in df.groupBy("g")
+        .agg(
+            FF.count(FF.lit(1)).alias("n"),
+            FF.sum("v").alias("s"),
+            FF.min("v").alias("lo"),
+            FF.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# funnel counts are monotone non-increasing for any event soup
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.integers(0, 10_000),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_funnel_monotone_property(spark, rows):
+    from pyspark.sql import functions as FF
+
+    from knot_another_pipeline_spark.operators.behavior import funnel
+
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string"
+    ).withColumn("ts", FF.timestamp_seconds("ts"))
+    out = (
+        funnel(ev, ["a", "b", "c"])
+        .orderBy("step_index")
+        .collect()
+    )
+    counts = [r["n_users"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    n_a_users = ev.filter("event_type = 'a'").select("user_id").distinct().count()
+    assert counts[0] == n_a_users
