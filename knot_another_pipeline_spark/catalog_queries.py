@@ -3600,6 +3600,181 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# 8. Round-5 additions: BM25 / PMI / prefix-filter join / decay / winsorize
+# --------------------------------------------------------------------------
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: top-10 documents for 'hash join filter'
+    (operators/search.py bm25_search): query-term postings only reach
+    the shuffle, row-local doc lengths, broadcast corpus stats,
+    TakeOrdered top-k."""
+    from knot_another_pipeline_spark.operators.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, id_col="doc_id", text_col="text", query="hash join filter",
+        k=10,
+    )
+
+
+ORACLE_BM25_SEARCH = rf"""
+WITH toks AS ({_TOKS_SQL}),
+base AS (SELECT doc_id AS id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
+posting AS (SELECT id, dl, unnest(t) AS token FROM base),
+qt AS (SELECT unnest(['filter', 'hash', 'join']) AS token),
+tf AS (
+  SELECT p.id, p.dl, p.token, CAST(count(*) AS DOUBLE) AS tf
+  FROM posting p JOIN qt USING (token)
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT token, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+scored AS (
+  SELECT tf.id,
+         round(sum(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfreq d USING (token) CROSS JOIN stats s
+  GROUP BY tf.id)
+SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+
+def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (operators/text_analysis.py
+    pmi_bigrams): row-local bigram build in codegen, min_count filter
+    BEFORE the unigram joins, broadcast 1-row totals, TakeOrdered."""
+    from knot_another_pipeline_spark.operators.text_analysis import pmi_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, text_col="text", min_count=5, k=50)
+
+
+ORACLE_PMI_TOPK = rf"""
+WITH toks AS ({_TOKS_SQL}),
+pos AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2),
+bc AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_pair FROM pos GROUP BY 1, 2),
+uc AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+nt AS (SELECT sum(n_w) AS n_tokens FROM uc),
+nb AS (SELECT sum(n_pair) AS n_bigrams FROM bc),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.n_pair,
+         round(ln((CAST(bc.n_pair AS DOUBLE) / nb.n_bigrams)
+                  / ((CAST(ca.n_w AS DOUBLE) / nt.n_tokens)
+                     * (CAST(cb.n_w AS DOUBLE) / nt.n_tokens))), 6) AS pmi
+  FROM bc
+  JOIN uc ca ON ca.w = bc.w1
+  JOIN uc cb ON cb.w = bc.w2
+  CROSS JOIN nt CROSS JOIN nb
+  WHERE bc.n_pair >= 5)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi
+FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ≥ 0.5 similarity self-join via prefix filtering
+    (operators/dedup.py prefix_filter_jaccard_pairs): candidates from
+    rarest-first prefix postings only — the oracle computes ALL pairs,
+    so a hash match differentially proves the zero-false-negative
+    property of the prefix bound."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    out = prefix_filter_jaccard_pairs(sh, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+ORACLE_PREFIX_JACCARD = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-weighted engagement per event type as of 2024-01-31
+    (operators/temporal.py decayed_agg): pure-codegen weight in the
+    scan, one partial+final hash aggregate, point-in-time cutoff."""
+    from knot_another_pipeline_spark.operators.temporal import decayed_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_agg(
+        ev,
+        group_cols="event_type",
+        ts_col="ts",
+        ref_ts="2024-01-31 00:00:00",
+        half_life="7 days",
+        value_col="value",
+    )
+
+
+ORACLE_DECAYED_ENGAGEMENT = """
+SELECT event_type,
+       round(sum(pow(0.5, (epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts))
+                          / 604800.0)), 6) AS decayed_count,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(pow(0.5, (epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts))
+                          / 604800.0) * value), 4) AS decayed_sum
+FROM events
+WHERE ts <= TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY event_type
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean/stddev at the [5%, 95%] quantiles
+    (operators/quality.py winsorized_stats): two hash aggregates with a
+    broadcast bounds join — no window; exact percentile here to match
+    quantile_cont, approx_percentile at 100 TB (same plan)."""
+    from knot_another_pipeline_spark.operators.quality import winsorized_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorized_stats(
+        ev, "event_type", value_col="value", lo=0.05, hi=0.95
+    )
+
+
+ORACLE_WINSORIZED_STATS = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS q_lo,
+         quantile_cont(value, 0.95) AS q_hi
+  FROM events GROUP BY event_type),
+clipped AS (
+  SELECT e.event_type, b.q_lo, b.q_hi,
+         least(greatest(e.value, b.q_lo), b.q_hi) AS v
+  FROM events e JOIN bounds b USING (event_type))
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(q_lo, 4) AS q_lo,
+       round(q_hi, 4) AS q_hi,
+       round(avg(v), 4) AS win_mean,
+       round(stddev_samp(v), 4) AS win_std
+FROM clipped GROUP BY event_type, q_lo, q_hi
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3712,6 +3887,12 @@ QUERIES = {
     "table_profile": q_table_profile,
     "dq_reconcile": q_dq_reconcile,
     "contract_checks": q_contract_checks,
+    # r5: retrieval / collocations / prefix-filter join / decay / winsorize
+    "bm25_search": q_bm25_search,
+    "pmi_topk": q_pmi_topk,
+    "prefix_jaccard": q_prefix_jaccard,
+    "decayed_engagement": q_decayed_engagement,
+    "winsorized_stats": q_winsorized_stats,
 }
 
 ORACLES = {
@@ -3811,4 +3992,9 @@ ORACLES = {
     "table_profile": ORACLE_TABLE_PROFILE,
     "dq_reconcile": ORACLE_DQ_RECONCILE,
     "contract_checks": ORACLE_CONTRACT_CHECKS,
+    "bm25_search": ORACLE_BM25_SEARCH,
+    "pmi_topk": ORACLE_PMI_TOPK,
+    "prefix_jaccard": ORACLE_PREFIX_JACCARD,
+    "decayed_engagement": ORACLE_DECAYED_ENGAGEMENT,
+    "winsorized_stats": ORACLE_WINSORIZED_STATS,
 }

@@ -413,3 +413,60 @@ def anomaly_zscore(
         )
         .drop("_mu", "_sigma")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    *,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group winsorized mean/stddev: clip each value to the group's
+    [lo, hi] quantiles, then aggregate — robust location/scale for
+    quality-score normalization and outlier-tolerant drift baselines
+    (a handful of corrupt records must not drag a group's mean).
+
+    Two aggregation passes, no window: (1) per-group quantile bounds via
+    one hash aggregate, (2) bounds joined back (broadcast — one row per
+    group) and a second hash aggregate over the clipped value. With
+    ``exact=True`` the bounds use Spark's exact ``percentile``
+    (linear-interpolation, matching DuckDB ``quantile_cont`` for the
+    oracle); it buffers each group's values on an executor, so at
+    100 TB flip ``exact=False`` for ``approx_percentile`` (bounded
+    memory, rank error ≤ 1e-4) — same plan shape, sketch-backed bounds.
+
+    Output: group, n_rows, q_lo, q_hi, win_mean, win_std (sample,
+    rounded 4).
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else ", 10000"
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"{fn}({value_col}, {lo}{extra})").alias("q_lo"),
+        F.expr(f"{fn}({value_col}, {hi}{extra})").alias("q_hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col("q_lo")),
+        F.col("q_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col, "q_lo", "q_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(clipped), 4).alias("win_mean"),
+            F.round(F.stddev_samp(clipped), 4).alias("win_std"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            F.round("q_lo", 4).alias("q_lo"),
+            F.round("q_hi", 4).alias("q_hi"),
+            "win_mean",
+            "win_std",
+        )
+    )

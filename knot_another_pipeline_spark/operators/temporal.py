@@ -565,3 +565,67 @@ def resample_calendar(
     for name, default in (fill or {}).items():
         out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
     return out.withColumnRenamed("_bucket", "bucket")
+
+
+def decayed_agg(
+    df: DataFrame,
+    *,
+    group_cols: str | list[str],
+    ts_col: str,
+    ref_ts: str,
+    half_life: str = "7 days",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Exponential time-decay aggregation: per group, the half-life-
+    weighted event count (and optionally value sum) as of ``ref_ts`` —
+    the standard recency feature behind engagement scores, trending
+    rankers, and freshness-weighted sampling weights.
+
+    Each row contributes ``0.5 ** (age / half_life)`` where ``age`` is
+    ``ref_ts - ts`` in seconds; a row exactly one half-life old counts
+    as 0.5 events. Rows AFTER ``ref_ts`` are excluded (a decayed
+    aggregate "as of T" must not see the future — replaying the same
+    operator at historical cut points yields point-in-time-correct
+    features for backtesting).
+
+    Scale shape: the weight is a pure codegen expression evaluated in
+    the scan (pow over an epoch difference — no UDF, no window), so the
+    whole operator is filter → one partial+final hash aggregate: the
+    single shuffle carries one row per (group, partial) and map-side
+    combine absorbs the per-row weights. This is the one-pass
+    alternative to "recompute a windowed count per day" — at 100 TB you
+    run it once per snapshot date rather than materializing per-day
+    windows.
+
+    Output: group cols, ``decayed_count`` (round 6), ``n_rows``, and
+    ``decayed_sum`` (round 4) when ``value_col`` is given.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    qty, unit = half_life.split()
+    seconds = float(qty) * {
+        "second": 1.0, "seconds": 1.0,
+        "minute": 60.0, "minutes": 60.0,
+        "hour": 3600.0, "hours": 3600.0,
+        "day": 86400.0, "days": 86400.0,
+    }[unit.lower()]
+    age = (
+        F.lit(ref_ts).cast("timestamp").cast("double")
+        - F.col(ts_col).cast("timestamp").cast("double")
+    )
+    w = F.pow(F.lit(0.5), age / F.lit(seconds))
+    aggs = [
+        F.round(F.sum(w), 6).alias("decayed_count"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.round(F.sum(w * F.col(value_col)), 4).alias("decayed_sum")
+        )
+    return (
+        df.filter(
+            F.col(ts_col).cast("timestamp")
+            <= F.lit(ref_ts).cast("timestamp")
+        )
+        .groupBy(*groups)
+        .agg(*aggs)
+    )

@@ -568,3 +568,85 @@ def normalize_documents(
         F.length(norm).alias("norm_len"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    *,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    the corpus-statistics pass behind phrase mining ("new york",
+    "machine learning"), tokenizer-merge candidates, and boilerplate
+    phrase detection. Complements :func:`ngram_topk` (raw frequency):
+    PMI surfaces pairs that co-occur far MORE than their unigram
+    frequencies predict, not just frequent pairs.
+
+    ``pmi(a,b) = ln( (c_ab / n_bigrams) / ((c_a / n_tokens)·(c_b / n_tokens)) )``
+
+    Scale shape: bigrams are built row-locally (``zip_with`` over two
+    ``slice``s — pure codegen, no shuffle), then ONE partial+final hash
+    count each for bigrams and unigrams. The ``min_count`` filter is
+    applied to the bigram counts BEFORE the two unigram joins, so only
+    the (tiny) candidate set joins the vocabulary — the vocab table is
+    never broadcast (it grows with corpus size; AQE picks the
+    strategy), and totals are 1-row broadcast aggregates. Low-count
+    bigrams are also where PMI's variance explodes, so the filter is
+    statistical hygiene, not just pruning. Top-k compiles to
+    TakeOrdered; ties break lexicographically.
+
+    Output: w1, w2, n_pair, pmi (rounded 6), best-first, ≤ k rows.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = _tokens(F.col(text_col))
+    pairs = F.expr(
+        """
+        CASE WHEN size(_toks) >= 2 THEN
+          zip_with(slice(_toks, 1, size(_toks) - 1),
+                   slice(_toks, 2, size(_toks) - 1),
+                   (a, b) -> struct(a AS w1, b AS w2))
+        ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END
+        """
+    )
+    big = (
+        df.select(toks.alias("_toks"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_tokens = uni.agg(F.sum("n_w").alias("n_tokens"))
+    n_bigrams = big.agg(F.sum("n_pair").alias("n_bigrams"))
+    cand = big.filter(F.col("n_pair") >= min_count)
+    scored = (
+        cand.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("n_bigrams"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_tokens"))
+                        * (F.col("c_b").cast("double") / F.col("n_tokens"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

@@ -1,0 +1,330 @@
+"""Round-5 late additions: BM25 ranking, PMI collocations, prefix-filter
+similarity join, time-decayed aggregates, winsorized stats.
+
+Each operator is checked against an independent pure-Python reference
+(plus its DuckDB oracle in test_catalog_oracle.py); plan-shape asserts
+pin the scale-critical properties (TakeOrdered top-k, no window in the
+decay aggregate, prefix join never all-pairs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_jaccard_pairs ≡ brute-force all-pairs Jaccard (no false
+# negatives from the prefix bound, exact values on survivors)
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(sets: dict[int, set[str]], threshold: float):
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(a, b)] = round(j, 9)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefghij"), min_size=1, max_size=12
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_jaccard_matches_bruteforce(spark, docs, threshold):
+    from knot_another_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    rows = [
+        (i, tok) for i, toks in sets.items() for tok in toks
+    ]
+    shingles = spark.createDataFrame(rows, "id: bigint, shingle: string")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in prefix_filter_jaccard_pairs(
+            shingles, threshold=threshold
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(sets, threshold)
+
+
+def test_prefix_jaccard_rejects_bad_threshold(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    shingles = spark.createDataFrame(
+        [(1, "a")], "id: bigint, shingle: string"
+    )
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(shingles, threshold=0.0)
+
+
+def test_prefix_join_prunes_frequent_shingles(spark):
+    """A boilerplate shingle shared by every doc must not generate the
+    quadratic candidate set: with high threshold, the frequent shingle
+    sorts last (df ordering) and stays out of every prefix."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # 20 docs all share 'common'; each has 9 unique tokens -> J = 1/19
+    rows = []
+    for i in range(20):
+        rows.append((i, "common"))
+        rows.extend((i, f"tok_{i}_{j}") for j in range(9))
+    shingles = spark.createDataFrame(rows, "id: bigint, shingle: string")
+    out = prefix_filter_jaccard_pairs(shingles, threshold=0.5)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_search: formula spot-check + ranking sanity + plan
+# ---------------------------------------------------------------------------
+
+
+def _bm25_ref(docs, query_terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {
+        q: sum(1 for t in toks.values() if q in t) for q in query_terms
+    }
+    scores = {}
+    for i, t in toks.items():
+        s = 0.0
+        for q in query_terms:
+            tf = t.count(q)
+            if tf == 0 or dfreq[q] == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    return scores
+
+
+def test_bm25_matches_reference_formula(spark):
+    from knot_another_pipeline_spark.operators.search import bm25_search
+
+    docs = {
+        1: "spark shuffle join broadcast join",
+        2: "join",
+        3: "parquet scan pruning and nothing else relevant here at all",
+        4: "broadcast broadcast broadcast",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id: bigint, text: string"
+    )
+    out = bm25_search(
+        df, id_col="doc_id", text_col="text", query="join broadcast", k=10
+    )
+    got = {r.id: r.score for r in out.collect()}
+    assert got == _bm25_ref(docs, ["broadcast", "join"])
+    # saturation: doc 4's 3x 'broadcast' must not triple its score vs one hit
+    assert got[4] < 3 * _bm25_ref(docs, ["broadcast", "join"])[1]
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    from knot_another_pipeline_spark.operators.search import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id: bigint, text: string"
+    )
+    plan = (
+        bm25_search(df, id_col="doc_id", text_col="text", query="b", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# decayed_agg: hand-computed weights, future exclusion, plan has no window
+# ---------------------------------------------------------------------------
+
+
+def test_decayed_agg_weights_and_cutoff(spark):
+    from knot_another_pipeline_spark.operators.temporal import decayed_agg
+
+    rows = [
+        ("a", "2024-01-31 00:00:00", 10.0),  # age 0       -> w = 1
+        ("a", "2024-01-24 00:00:00", 10.0),  # age 7d      -> w = 0.5
+        ("a", "2024-01-17 00:00:00", 10.0),  # age 14d     -> w = 0.25
+        ("a", "2024-02-01 00:00:00", 99.0),  # future      -> excluded
+        ("b", "2024-01-10 00:00:00", 4.0),   # age 21d     -> w = 0.125
+    ]
+    df = spark.createDataFrame(
+        rows, "grp: string, ts: string, value: double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.grp: r
+        for r in decayed_agg(
+            df,
+            group_cols="grp",
+            ts_col="ts",
+            ref_ts="2024-01-31 00:00:00",
+            half_life="7 days",
+            value_col="value",
+        ).collect()
+    }
+    assert out["a"].decayed_count == pytest.approx(1.75, abs=1e-6)
+    assert out["a"].n_rows == 3
+    assert out["a"].decayed_sum == pytest.approx(17.5, abs=1e-4)
+    assert out["b"].decayed_count == pytest.approx(0.125, abs=1e-6)
+
+
+def test_decayed_agg_plan_is_single_aggregate(spark):
+    from knot_another_pipeline_spark.operators.temporal import decayed_agg
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00")], "grp: string, ts: string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = (
+        decayed_agg(
+            df, group_cols="grp", ts_col="ts", ref_ts="2024-01-31 00:00:00"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # partial+final hash aggregate pair around a single exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_decayed_agg_rejects_unknown_unit(spark):
+    from knot_another_pipeline_spark.operators.temporal import decayed_agg
+
+    df = spark.createDataFrame([("a",)], "grp: string")
+    with pytest.raises(KeyError):
+        decayed_agg(
+            df,
+            group_cols="grp",
+            ts_col="grp",
+            ref_ts="2024-01-01",
+            half_life="7 fortnights",
+        )
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats: clip bounds vs a numpy-free Python reference
+# ---------------------------------------------------------------------------
+
+
+def _quantile_cont(sorted_vals, q):
+    # linear interpolation, matching Spark percentile / DuckDB quantile_cont
+    pos = (len(sorted_vals) - 1) * q
+    lo = math.floor(pos)
+    hi = math.ceil(pos)
+    frac = pos - lo
+    return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+
+def test_winsorized_stats_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.quality import winsorized_stats
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp: string, value: double"
+    )
+    row = winsorized_stats(
+        df, "grp", value_col="value", lo=0.1, hi=0.9
+    ).collect()[0]
+    q_lo = _quantile_cont(sorted(vals), 0.1)
+    q_hi = _quantile_cont(sorted(vals), 0.9)
+    clipped = [min(max(v, q_lo), q_hi) for v in vals]
+    mean = sum(clipped) / len(clipped)
+    var = sum((v - mean) ** 2 for v in clipped) / (len(clipped) - 1)
+    assert row.q_lo == pytest.approx(round(q_lo, 4))
+    assert row.q_hi == pytest.approx(round(q_hi, 4))
+    assert row.win_mean == pytest.approx(mean, abs=1e-3)
+    assert row.win_std == pytest.approx(math.sqrt(var), abs=1e-3)
+    # the outlier must have been clipped, not dropped
+    assert row.n_rows == len(vals)
+    assert row.win_mean < 100
+
+
+def test_winsorized_stats_approx_path(spark):
+    from knot_another_pipeline_spark.operators.quality import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(100)], "grp: string, value: double"
+    )
+    exact = winsorized_stats(df, "grp", value_col="value").collect()[0]
+    approx = winsorized_stats(
+        df, "grp", value_col="value", exact=False
+    ).collect()[0]
+    # on 100 distinct values the sketch is near-exact
+    assert approx.win_mean == pytest.approx(exact.win_mean, rel=0.05)
+
+
+def test_winsorized_stats_rejects_bad_bounds(spark):
+    from knot_another_pipeline_spark.operators.quality import winsorized_stats
+
+    df = spark.createDataFrame([("g", 1.0)], "grp: string, value: double")
+    with pytest.raises(ValueError):
+        winsorized_stats(df, "grp", value_col="value", lo=0.9, hi=0.1)
+
+
+# ---------------------------------------------------------------------------
+# pmi_bigrams: hand-computed PMI on a tiny corpus + plan
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_bigrams_matches_hand_computation(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import pmi_bigrams
+
+    # corpus: "x y" always together (high PMI); "a" frequent alone
+    docs = ["x y", "x y", "a a a a", "a x y a"]
+    df = spark.createDataFrame([(d,) for d in docs], "text: string")
+    out = {
+        (r.w1, r.w2): (r.n_pair, r.pmi)
+        for r in pmi_bigrams(df, text_col="text", min_count=2, k=10).collect()
+    }
+    # tokens: x:3 y:3 a:6 -> n_tokens=12; bigrams total = 1+1+3+3 = 8
+    # c(x,y)=3 -> pmi = ln((3/8) / ((3/12)*(3/12))) = ln(6.0)
+    n_pair, pmi = out[("x", "y")]
+    assert n_pair == 3
+    assert pmi == pytest.approx(round(math.log(6.0), 6), abs=1e-6)
+    # ("a","a") appears 2x within "a a a a": 3 bigrams there... count them
+    assert out[("a", "a")][0] == 3
+    # min_count excludes singleton bigrams like ("y","a")
+    assert ("y", "a") not in out
+
+
+def test_pmi_bigrams_plan_take_ordered_no_cartesian(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import pmi_bigrams
+
+    df = spark.createDataFrame([("a b c",)], "text: string")
+    plan = (
+        pmi_bigrams(df, text_col="text", min_count=1, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
