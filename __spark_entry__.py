@@ -32,6 +32,7 @@ _PRIORITY = [
     "prefix_jaccard",
     "decayed_engagement",
     "winsorized_stats",
+    "triangle_stats",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet

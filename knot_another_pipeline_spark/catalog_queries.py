@@ -3774,6 +3774,61 @@ FROM clipped GROUP BY event_type, q_lo, q_hi
 """
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient over the
+    part↔part same-order co-occurrence graph (operators/graph.py
+    triangle_stats): degree-ordered orientation bounds wedge fanout by
+    √(2m); the oracle counts triangles by the naive canonical triple
+    join, so a hash match proves the orientation finds each triangle
+    exactly once."""
+    from knot_another_pipeline_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        lp.alias("a")
+        .join(
+            lp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_stats(edges)
+
+
+ORACLE_TRIANGLE_STATS = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+pn AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+  GROUP BY 1)
+SELECT d.node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(pn.n_triangles, 0)
+                       / (d.degree * (d.degree - 1.0)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN pn USING (node)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3893,6 +3948,7 @@ QUERIES = {
     "prefix_jaccard": q_prefix_jaccard,
     "decayed_engagement": q_decayed_engagement,
     "winsorized_stats": q_winsorized_stats,
+    "triangle_stats": q_triangle_stats,
 }
 
 ORACLES = {
@@ -3997,4 +4053,5 @@ ORACLES = {
     "prefix_jaccard": ORACLE_PREFIX_JACCARD,
     "decayed_engagement": ORACLE_DECAYED_ENGAGEMENT,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
+    "triangle_stats": ORACLE_TRIANGLE_STATS,
 }

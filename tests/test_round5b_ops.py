@@ -328,3 +328,86 @@ def test_pmi_bigrams_plan_take_ordered_no_cartesian(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats: known graphs + brute-force property
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(edge_list):
+    import itertools
+
+    adj = {}
+    for u, v in edge_list:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {
+        n: (
+            len(adj[n]),
+            tri[n],
+            round(2.0 * tri[n] / (len(adj[n]) * (len(adj[n]) - 1)), 6)
+            if len(adj[n]) >= 2
+            else 0.0,
+        )
+        for n in adj
+    }
+
+
+def test_triangle_stats_k4_and_path(spark):
+    from knot_another_pipeline_spark.operators.graph import triangle_stats
+
+    # K4 (complete, coeff 1.0 everywhere) plus a pendant path 4-5
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in triangle_stats(df).collect()
+    }
+    assert got == _brute_triangles(edges)
+    assert got[1] == (3, 3, 1.0)
+    assert got[5] == (1, 0, 0.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edge_list):
+    from knot_another_pipeline_spark.operators.graph import triangle_stats
+
+    expected = _brute_triangles(edge_list)
+    if not expected:
+        return  # all self-loops: operator returns an empty frame too
+    df = spark.createDataFrame(edge_list, "src: bigint, dst: bigint")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in triangle_stats(df).collect()
+    }
+    assert got == expected
+
+
+def test_triangle_stats_counts_duplicate_and_reversed_edges_once(spark):
+    from knot_another_pipeline_spark.operators.graph import triangle_stats
+
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    got = {
+        r.node: (r.degree, r.n_triangles) for r in triangle_stats(df).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
