@@ -33,6 +33,7 @@ _PRIORITY = [
     "decayed_engagement",
     "winsorized_stats",
     "triangle_stats",
+    "radius_pairs",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet

@@ -3829,6 +3829,42 @@ FROM deg d LEFT JOIN pn USING (node)
 """
 
 
+def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-hour proximity pairs within 300 km (operators/pairs.py
+    radius_pairs): wrap-correct grid blocking + haversine verify — the
+    oracle computes ALL same-hour pair distances, so the hash match
+    differentially proves the blocking has no false negatives."""
+    from knot_another_pipeline_spark.operators.pairs import radius_pairs
+
+    pos = _positions(spark, sf_dir)
+    return radius_pairs(
+        pos,
+        id_col="event_id",
+        radius_m=300000.0,
+        time_col="ts",
+        time_grain="hour",
+        max_abs_lat=75.0,
+    )
+
+
+ORACLE_RADIUS_PAIRS = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+band AS (
+  SELECT event_id, lat, lon, date_trunc('hour', ts) AS bucket_ts
+  FROM pos WHERE abs(lat) <= 75.0),
+pr AS (
+  SELECT a.event_id AS id_a, b.event_id AS id_b, a.bucket_ts,
+         round(2 * 6371000.0 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS distance_m
+  FROM band a JOIN band b
+    ON a.bucket_ts = b.bucket_ts AND a.event_id < b.event_id)
+SELECT id_a, id_b, bucket_ts, distance_m
+FROM pr WHERE distance_m <= 300000.0
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3949,6 +3985,7 @@ QUERIES = {
     "decayed_engagement": q_decayed_engagement,
     "winsorized_stats": q_winsorized_stats,
     "triangle_stats": q_triangle_stats,
+    "radius_pairs": q_radius_pairs,
 }
 
 ORACLES = {
@@ -4054,4 +4091,5 @@ ORACLES = {
     "decayed_engagement": ORACLE_DECAYED_ENGAGEMENT,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "triangle_stats": ORACLE_TRIANGLE_STATS,
+    "radius_pairs": ORACLE_RADIUS_PAIRS,
 }

@@ -273,3 +273,126 @@ def pairs_total(
         F.avg("gto").alias("avg_gto"),
         median_expr.alias("median_gto"),
     )
+
+
+def radius_pairs(
+    positions: DataFrame,
+    *,
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    radius_m: float,
+    time_col: str | None = None,
+    time_grain: str = "hour",
+    max_abs_lat: float = 75.0,
+) -> DataFrame:
+    """Proximity self-join: all pairs of points within ``radius_m``
+    meters (haversine), optionally restricted to the same ``time_grain``
+    bucket — the distance-true upgrade over cell-EQUALITY co-location
+    (`create_pairs_daily.sql` joins on identical H3 cells, which misses
+    neighbors straddling a cell boundary; this operator cannot).
+
+    Candidate generation is grid blocking with NO false negatives:
+
+    - cell height = radius in latitude degrees (via the minimum meridian
+      arc, 110 574 m/deg, ×1.05 margin) — a qualifying pair can differ
+      by at most one lat cell;
+    - cell width  = radius in longitude degrees at ``max_abs_lat`` (the
+      worst case in the band, ×1.05), and the lon axis uses MODULAR cell
+      indices over an equal-width partition of 360° — so adjacency wraps
+      the antimeridian and a pair at lon ±179.9° still blocks together;
+    - rows with |lat| > ``max_abs_lat`` are excluded (documented band
+      limit: near the poles fixed-width lon blocking is unsound — at
+      100 TB route polar traffic to a dedicated small partition and
+      brute-force it).
+
+    One side replicates to its 3×3 neighbor cells (row-local explode of
+    9 offsets — replication factor 9, independent of data); the other
+    side joins on exact cell, so each unordered pair is produced exactly
+    once (cell(b) is unique) and ``id_a < id_b`` kills mirrors and
+    self-pairs. Exact haversine verifies every candidate in codegen.
+    The catalog oracle computes the ALL-PAIRS distances, so the hash
+    match differentially proves the blocking loses nothing.
+
+    Output: id_a, id_b (+ the time bucket when ``time_col`` is given),
+    distance_m (rounded 3).
+    """
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be > 0, got {radius_m}")
+    if not 0.0 < max_abs_lat < 90.0:
+        raise ValueError(f"max_abs_lat must be in (0, 90), got {max_abs_lat}")
+    import math as _math
+
+    lat_cell_deg = 1.05 * radius_m / 110574.0
+    min_lon_deg = 1.05 * radius_m / (
+        111320.0 * _math.cos(_math.radians(max_abs_lat))
+    )
+    # equal-width modular lon cells: n uniform cells of >= min_lon_deg
+    n_lon = max(1, int(360.0 // min_lon_deg))
+    lon_cell_deg = 360.0 / n_lon
+
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+    ]
+    if time_col is not None:
+        cols.append(F.date_trunc(time_grain, F.col(time_col)).alias("_tb"))
+    p = positions.select(*cols).filter(
+        F.abs(F.col("_lat")) <= F.lit(max_abs_lat)
+    )
+    cl = F.floor((F.col("_lat") + F.lit(90.0)) / F.lit(lat_cell_deg)).cast(
+        "long"
+    )
+    cn = F.pmod(
+        F.floor((F.col("_lon") + F.lit(180.0)) / F.lit(lon_cell_deg)).cast(
+            "long"
+        ),
+        F.lit(n_lon),
+    )
+    keyed = p.withColumn("_cl", cl).withColumn("_cn", cn)
+    # left side replicated to the 9-cell neighborhood (lon wraps mod n)
+    left = (
+        keyed.withColumn("_dl", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("_dn", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_lat").alias("lat_a"),
+            F.col("_lon").alias("lon_a"),
+            *([F.col("_tb")] if time_col is not None else []),
+            (F.col("_cl") + F.col("_dl")).alias("_cl"),
+            F.pmod(F.col("_cn") + F.col("_dn"), F.lit(n_lon)).alias("_cn"),
+        )
+    )
+    right = keyed.select(
+        F.col("_id").alias("id_b"),
+        F.col("_lat").alias("lat_b"),
+        F.col("_lon").alias("lon_b"),
+        *([F.col("_tb")] if time_col is not None else []),
+        "_cl",
+        "_cn",
+    )
+    join_keys = ["_cl", "_cn"] + (["_tb"] if time_col is not None else [])
+    lat1, lat2 = F.radians("lat_a"), F.radians("lat_b")
+    dlat, dlon = (
+        F.radians(F.col("lat_b") - F.col("lat_a")),
+        F.radians(F.col("lon_b") - F.col("lon_a")),
+    )
+    dist = (
+        F.lit(2.0 * 6371000.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat / 2), 2)
+                + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
+            )
+        )
+    )
+    out_cols = ["id_a", "id_b"] + (["_tb"] if time_col is not None else [])
+    return (
+        left.join(right, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance_m", F.round(dist, 3))
+        .filter(F.col("distance_m") <= F.lit(float(radius_m)))
+        .select(*out_cols, "distance_m")
+        .withColumnsRenamed({"_tb": "bucket_ts"} if time_col else {})
+    )

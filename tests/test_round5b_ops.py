@@ -411,3 +411,93 @@ def test_triangle_stats_counts_duplicate_and_reversed_edges_once(spark):
         r.node: (r.degree, r.n_triangles) for r in triangle_stats(df).collect()
     }
     assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# radius_pairs: brute-force haversine property incl. antimeridian wrap
+# ---------------------------------------------------------------------------
+
+
+def _hav_m(a, b):
+    la1, lo1 = math.radians(a[0]), math.radians(a[1])
+    la2, lo2 = math.radians(b[0]), math.radians(b[1])
+    return (
+        2
+        * 6371000.0
+        * math.asin(
+            math.sqrt(
+                math.sin((la2 - la1) / 2) ** 2
+                + math.cos(la1)
+                * math.cos(la2)
+                * math.sin((lo2 - lo1) / 2) ** 2
+            )
+        )
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-74.9, max_value=74.9),
+            st.floats(min_value=-180.0, max_value=179.999),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    st.sampled_from([50_000.0, 300_000.0, 1_000_000.0]),
+)
+def test_radius_pairs_matches_bruteforce(spark, coords, radius):
+    from knot_another_pipeline_spark.operators.pairs import radius_pairs
+
+    pts = list(enumerate(coords))
+    expected = {}
+    for (ia, ca), (ib, cb) in (
+        (pts[i], pts[j])
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+    ):
+        d = round(_hav_m(ca, cb), 3)
+        if d <= radius:
+            expected[(ia, ib)] = d
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in pts],
+        "pid: bigint, lat: double, lon: double",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance_m
+        for r in radius_pairs(df, id_col="pid", radius_m=radius).collect()
+    }
+    assert got == expected
+
+
+def test_radius_pairs_wraps_antimeridian_and_buckets_time(spark):
+    from knot_another_pipeline_spark.operators.pairs import radius_pairs
+
+    rows = [
+        (1, 10.0, 179.95, "2024-01-01 10:05:00"),
+        (2, 10.0, -179.95, "2024-01-01 10:55:00"),  # ~22 km away, same hour
+        (3, 10.0, -179.95, "2024-01-01 11:05:00"),  # other hour bucket
+        (4, 80.0, 0.0, "2024-01-01 10:00:00"),      # outside the lat band
+    ]
+    df = spark.createDataFrame(
+        rows, "pid: bigint, lat: double, lon: double, ts: string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = radius_pairs(
+        df, id_col="pid", radius_m=50_000.0, time_col="ts"
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].distance_m < 25_000
+    assert str(out[0].bucket_ts).startswith("2024-01-01 10:00")
+
+
+def test_radius_pairs_rejects_bad_params(spark):
+    from knot_another_pipeline_spark.operators.pairs import radius_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "pid: bigint, lat: double, lon: double"
+    )
+    with pytest.raises(ValueError):
+        radius_pairs(df, id_col="pid", radius_m=0.0)
+    with pytest.raises(ValueError):
+        radius_pairs(df, id_col="pid", radius_m=10.0, max_abs_lat=90.0)
