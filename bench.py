@@ -49,6 +49,14 @@ HEADLINE = [
     "skew_join",
     "resample_daily",
     "reaggregate_monthly",
+    # r5 late additions: retrieval / similarity-join / graph / robust stats
+    "bm25_search",
+    "pmi_topk",
+    "prefix_jaccard",
+    "decayed_engagement",
+    "winsorized_stats",
+    "triangle_stats",
+    "radius_pairs",
 ]
 
 

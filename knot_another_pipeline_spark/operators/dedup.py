@@ -900,11 +900,16 @@ def prefix_filter_jaccard_pairs(
 
     Plan: one df aggregate + join tags each posting with its global
     rank key; a per-doc window (partitioned by id — no global sort)
-    numbers positions and takes the prefix; the prefix self-join emits
-    distinct candidate pairs; exact ``|A∩B|`` is then counted by
-    re-joining the FULL posting lists restricted to candidates, and
-    ``J = inter/(|A|+|B|−inter) ≥ t`` filters. Everything is
-    equi-join + hash aggregate; nothing is all-pairs.
+    numbers positions and takes the prefix; the prefix self-join (with
+    the SSJoin LENGTH filter ``t·|A| ≤ |B| ≤ |A|/t`` folded in as an
+    in-join conjunct) emits distinct candidate pairs. Verification
+    joins each candidate to the two docs' SORTED SHINGLE ARRAYS (one
+    row per doc, array bounded by doc length) and computes
+    ``|A∩B| = size(array_intersect)`` row-locally in codegen —
+    NOT by re-exploding posting lists, which would cost
+    |candidates|·|doc| join rows. ``J = inter/(|A|+|B|−inter) ≥ t``
+    filters. Everything is equi-join + hash aggregate + row-local
+    array ops; nothing is all-pairs.
 
     Input: distinct (id, shingle). Output: id_a, id_b, jaccard.
     """
@@ -921,35 +926,56 @@ def prefix_filter_jaccard_pairs(
     prefix = tagged.filter(
         F.col("pos")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "shingle")
+    ).select("id", "shingle", "sz")
+    # length filter (SSJoin): J(A,B) >= t forces t·|A| <= |B| <= |A|/t,
+    # so size-incompatible pairs are dropped inside the candidate join
+    # (an in-join conjunct on the equi-key match, not a separate pass).
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.col("b.sz") * F.lit(threshold) <= F.col("a.sz")
+            )
+            & (
+                F.col("a.sz") * F.lit(threshold) <= F.col("b.sz")
+            ),
         )
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
         .distinct()
     )
-    pa = shingles.select(F.col("id").alias("id_a"), "shingle")
-    pb = shingles.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(pa, "id_a")
-        .join(pb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # per-doc shingle sets as arrays (order irrelevant — array_intersect
+    # is set-semantics, and |A∩B| is order-insensitive)
+    sets = shingles.groupBy("id").agg(
+        F.collect_list("shingle").alias("toks"),
+        F.count(F.lit(1)).alias("sz"),
     )
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            inter.cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - inter).cast("double"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")

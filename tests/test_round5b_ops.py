@@ -501,3 +501,78 @@ def test_radius_pairs_rejects_bad_params(spark):
         radius_pairs(df, id_col="pid", radius_m=0.0)
     with pytest.raises(ValueError):
         radius_pairs(df, id_col="pid", radius_m=10.0, max_abs_lat=90.0)
+
+
+# ---------------------------------------------------------------------------
+# plan shapes: the scale-critical properties of the late-r5 operators
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_plan_no_cartesian(spark):
+    from knot_another_pipeline_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src: bigint, dst: bigint"
+    )
+    plan = (
+        triangle_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # closing-edge check is a semi-join
+
+
+def test_radius_pairs_plan_equi_join_not_nested_loop(spark):
+    from knot_another_pipeline_spark.operators.pairs import radius_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.1, 0.1)], "pid: bigint, lat: double, lon: double"
+    )
+    plan = (
+        radius_pairs(df, id_col="pid", radius_m=50_000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # blocking must compile to an equi-join on the cell keys with the
+    # id/size predicates as in-join filters — never a nested-loop join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # 9-cell row-local replication
+
+
+def test_prefix_jaccard_plan_no_posting_reexplosion(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    sh = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "id: bigint, shingle: string"
+    )
+    plan = (
+        prefix_filter_jaccard_pairs(sh, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # verification is array_intersect over collected sets (one row per
+    # doc), NOT a re-explosion of posting lists per candidate
+    assert "array_intersect" in plan
+    assert "collect_list" in plan
+
+
+def test_winsorized_stats_plan_no_window(spark):
+    from knot_another_pipeline_spark.operators.quality import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0)], "grp: string, value: double"
+    )
+    plan = (
+        winsorized_stats(df, "grp", value_col="value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # bounds join back is broadcast
