@@ -34,6 +34,7 @@ _PRIORITY = [
     "winsorized_stats",
     "triangle_stats",
     "radius_pairs",
+    "quantize_embeddings",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet

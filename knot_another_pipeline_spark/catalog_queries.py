@@ -3865,6 +3865,42 @@ FROM pr WHERE distance_m <= 300000.0
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table
+    (operators/similarity.py quantize_embeddings): row-local
+    transform/aggregate array expressions, zero shuffle; per-vector
+    max-abs scale, codes, and reconstruction-error bound."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, id_col="vec_id", vec_col="embedding")
+
+
+ORACLE_QUANTIZE_EMBEDDINGS = """
+WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS scale
+  FROM embeddings)
+SELECT id,
+       round(scale, 6) AS scale,
+       CASE WHEN scale = 0
+            THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(round(x / scale * 127.0) AS INT))
+       END AS codes,
+       CASE WHEN scale = 0
+            THEN 0.0
+            ELSE round(list_max(list_transform(
+                   v, x -> abs(x - round(x / scale * 127.0) * scale / 127.0)
+                 )), 6)
+       END AS max_abs_err
+FROM base
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3986,6 +4022,7 @@ QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "triangle_stats": q_triangle_stats,
     "radius_pairs": q_radius_pairs,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 ORACLES = {
@@ -4092,4 +4129,5 @@ ORACLES = {
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "triangle_stats": ORACLE_TRIANGLE_STATS,
     "radius_pairs": ORACLE_RADIUS_PAIRS,
+    "quantize_embeddings": ORACLE_QUANTIZE_EMBEDDINGS,
 }

@@ -379,3 +379,54 @@ def embedding_centroids(
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: max-abs scale + rounded
+    codes — the 4× storage/bandwidth cut that makes billion-vector ANN
+    serving affordable (float32 → int8 with sub-percent recall loss is
+    the industry default; re-rank survivors against full precision).
+
+    ``scale = max(|v_i|)``; ``code_i = round(v_i / scale · 127)`` ∈
+    [−127, 127]; a zero vector quantizes to all-zero codes with scale 0.
+    ``max_abs_err`` reports the per-vector reconstruction bound
+    ``max|v_i − code_i·scale/127|`` so a consumer can gate on actual
+    quantization error instead of trusting the dogma.
+
+    Everything is row-local higher-order array expressions (transform /
+    aggregate) — zero shuffle, zero UDF; the operator streams at scan
+    speed and parallelizes embarrassingly. All arithmetic is plain
+    double ops + round, reproducible in any engine (the DuckDB oracle
+    runs the identical formula).
+
+    Output: id, scale (round 6), codes (array<int>), max_abs_err
+    (round 6).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    code = F.transform(
+        v,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.round(x / scale * F.lit(127.0), 0))
+        .cast("int"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            v,
+            code,
+            lambda x, c: F.abs(
+                x - c.cast("double") * scale / F.lit(127.0)
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(scale, 6).alias("scale"),
+        code.alias("codes"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

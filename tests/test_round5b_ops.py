@@ -576,3 +576,68 @@ def test_winsorized_stats_plan_no_window(spark):
     )
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan  # bounds join back is broadcast
+
+
+# ---------------------------------------------------------------------------
+# quantize_embeddings: hand-check, zero vector, error bound, no shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_values_and_zero_vector(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25]),
+        (2, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    got = {r.id: r for r in quantize_embeddings(df).collect()}
+    assert got[1].scale == pytest.approx(1.0)
+    assert got[1].codes == [127, -64, 32]  # round(-63.5) away from zero
+    assert got[2].scale == 0.0
+    assert got[2].codes == [0, 0, 0]
+    assert got[2].max_abs_err == 0.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10.0, max_value=10.0, allow_nan=False, width=32
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_quantize_error_within_half_step(spark, vecs):
+    from knot_another_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id: bigint, embedding: array<float>"
+    )
+    for r in quantize_embeddings(df).collect():
+        # reconstruction error is bounded by half a code step
+        assert r.max_abs_err <= r.scale / 254.0 + 1e-6
+
+
+def test_quantize_embeddings_plan_has_no_shuffle(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id: bigint, embedding: array<float>"
+    )
+    plan = (
+        quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no Python UDF in the path
