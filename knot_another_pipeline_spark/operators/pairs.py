@@ -351,17 +351,33 @@ def radius_pairs(
         F.lit(n_lon),
     )
     keyed = p.withColumn("_cl", cl).withColumn("_cn", cn)
-    # left side replicated to the 9-cell neighborhood (lon wraps mod n)
+    # left side replicated to the 9-cell neighborhood (lon wraps mod n).
+    # The lon neighbor set is array_distinct'ed AFTER the mod: with a
+    # huge radius n_lon can drop below 3, where ±1 offsets collapse onto
+    # the same wrapped cell — without the distinct each collapsed
+    # replica would emit the same pair twice.
     left = (
         keyed.withColumn("_dl", F.expr("explode(array(-1, 0, 1))"))
-        .withColumn("_dn", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn(
+            "_cn",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            F.pmod(F.col("_cn") + F.lit(d), F.lit(n_lon))
+                            for d in (-1, 0, 1)
+                        ]
+                    )
+                )
+            ),
+        )
         .select(
             F.col("_id").alias("id_a"),
             F.col("_lat").alias("lat_a"),
             F.col("_lon").alias("lon_a"),
             *([F.col("_tb")] if time_col is not None else []),
             (F.col("_cl") + F.col("_dl")).alias("_cl"),
-            F.pmod(F.col("_cn") + F.col("_dn"), F.lit(n_lon)).alias("_cn"),
+            "_cn",
         )
     )
     right = keyed.select(

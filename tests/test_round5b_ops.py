@@ -641,3 +641,16 @@ def test_quantize_embeddings_plan_has_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # no Python UDF in the path
+
+
+def test_radius_pairs_huge_radius_no_duplicate_pairs(spark):
+    """With a near-hemisphere radius the lon grid collapses to <3 cells;
+    wrapped neighbor offsets must not re-emit the same pair."""
+    from knot_another_pipeline_spark.operators.pairs import radius_pairs
+
+    rows = [(1, 0.0, 0.0), (2, 1.0, 170.0), (3, -40.0, -90.0)]
+    df = spark.createDataFrame(rows, "pid: bigint, lat: double, lon: double")
+    out = radius_pairs(df, id_col="pid", radius_m=20_000_000.0).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
+    assert len(pairs) == len(set(pairs))
