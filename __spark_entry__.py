@@ -35,6 +35,7 @@ _PRIORITY = [
     "triangle_stats",
     "radius_pairs",
     "quantize_embeddings",
+    "kmv_rollup",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet

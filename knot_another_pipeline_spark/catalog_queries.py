@@ -3901,6 +3901,44 @@ FROM base
 """
 
 
+def q_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (operators/quality.py
+    kmv_sketch + kmv_merge): per-(event_type, day) KMV sketches folded
+    up to event_type WITHOUT rescanning raw data. KMV merge is exact
+    (k smallest of a union = k smallest of the parts' k-smallest), so
+    the oracle simply sketches the union directly — a hash match proves
+    the mergeability identity end-to-end."""
+    from knot_another_pipeline_spark.operators.quality import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = kmv_sketch(ev, "user_id", by=["event_type", "day"], k=64)
+    return kmv_merge(daily, by="event_type", k=64)
+
+
+ORACLE_KMV_ROLLUP = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         substr(md5(concat('0', ':', CAST(user_id AS VARCHAR))), 1, 15) AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM d)
+SELECT event_type,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                 ELSE round(63.0 / (CAST(concat('0x', max(h)) AS BIGINT)
+                                    / 1152921504606846976.0))
+            END AS BIGINT) AS n_distinct_est
+FROM r WHERE rn <= 64
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4023,6 +4061,7 @@ QUERIES = {
     "triangle_stats": q_triangle_stats,
     "radius_pairs": q_radius_pairs,
     "quantize_embeddings": q_quantize_embeddings,
+    "kmv_rollup": q_kmv_rollup,
 }
 
 ORACLES = {
@@ -4130,4 +4169,5 @@ ORACLES = {
     "triangle_stats": ORACLE_TRIANGLE_STATS,
     "radius_pairs": ORACLE_RADIUS_PAIRS,
     "quantize_embeddings": ORACLE_QUANTIZE_EMBEDDINGS,
+    "kmv_rollup": ORACLE_KMV_ROLLUP,
 }

@@ -10,7 +10,7 @@ of driver-side polling + dict diffing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def reconciliation_report(
@@ -171,22 +171,122 @@ def kmv_distinct(
         .select(*grp, hash_hex(col).alias("_h"))
         .distinct()
     )
+    topk = _kmv_tournament(d, grp_names, k)
+    out = topk.groupBy(*grp_names).agg(
+        _kmv_estimate(k).cast("bigint").alias("n_distinct_est")
+    )
+    return out.drop("_g") if not keys else out
+
+
+def _kmv_tournament(d: DataFrame, grp_names: list[str], k: int) -> DataFrame:
+    """Two-stage per-group k-smallest over distinct (group, _h) rows:
+    stage one ranks inside 16 hash-suffix subgroups (parallel, bounded),
+    stage two ranks the ≤ 16k survivors per group."""
     sub = F.substring("_h", 15, 1)  # last hex char: 16 uniform subgroups
     w1 = Window.partitionBy(*grp_names, sub).orderBy(F.col("_h").asc())
     w2 = Window.partitionBy(*grp_names).orderBy(F.col("_h").asc())
-    topk = (
+    return (
         d.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= k)
         .withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
     )
-    # 16^15 = 2^60: exactly representable, same literal in the oracle
+
+
+def _kmv_estimate(k: int) -> Column:
+    """Aggregate KMV estimator over a group's surviving hashes:
+    exact count below k, else (k−1)/kth_smallest_normalized.
+    16^15 = 2^60: exactly representable, same literal in the oracle."""
     norm = F.conv(F.max("_h"), 16, 10).cast("double") / F.lit(float(1 << 60))
-    est = F.when(
+    return F.when(
         F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
     ).otherwise(F.round(F.lit(float(k - 1)) / norm, 0))
-    out = topk.groupBy(*grp_names).agg(
-        est.cast("bigint").alias("n_distinct_est")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    by: str | list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Materialize the per-group KMV sketch itself (sorted array of the
+    k smallest md5-derived hashes) instead of just the estimate — the
+    MERGEABLE form that makes distinct-count rollups incremental.
+
+    This is the missing piece `reaggregate` points at: algebraic
+    aggregates (count/sum/min/max) re-aggregate from partials, but
+    COUNT(DISTINCT) does not — you either rescan raw data per grain or
+    store a mergeable sketch per fine-grained cell and fold sketches
+    upward (:func:`kmv_merge`). KMV merges EXACTLY: the k smallest of a
+    union equals the k smallest of the union of each part's k smallest,
+    so merged estimates are bit-identical to sketching the union
+    directly (property-tested, and deterministic in any engine with
+    md5 — unlike HLL registers, which are engine-internal).
+
+    Scale: identical two-stage tournament as :func:`kmv_distinct`; the
+    sketch adds one ≤ k-element sorted array per group (collect_list
+    over the ≤ k survivors — bounded by construction).
+
+    Output: group cols, ``hashes`` (sorted array, ≤ k), ``n_exact``
+    (count of hashes — equals exact distinct when < k).
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash_hex
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    grp = keys if keys else [F.lit(1).alias("_g")]
+    grp_names = keys if keys else ["_g"]
+    d = (
+        df.filter(F.col(col).isNotNull())
+        .select(*grp, hash_hex(col).alias("_h"))
+        .distinct()
+    )
+    out = (
+        _kmv_tournament(d, grp_names, k)
+        .groupBy(*grp_names)
+        .agg(
+            F.sort_array(F.collect_list("_h")).alias("hashes"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+    )
+    return out.drop("_g") if not keys else out
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    by: str | list[str] | None = None,
+    *,
+    hashes_col: str = "hashes",
+    k: int = 64,
+) -> DataFrame:
+    """Fold fine-grained KMV sketches up to coarser groups and estimate
+    — the distinct-count analogue of `reaggregate`'s partial-merge:
+    daily sketches roll to monthly/total without touching raw data.
+
+    Explode the child sketch arrays, dedupe hashes within the target
+    group (a value seen by several children must count once), re-run
+    the same k-smallest tournament, apply the same estimator. Because
+    each child kept ITS k smallest, the union's k smallest are all
+    present — the merge is exact, not approximate-on-approximate.
+    Shuffle is bounded by (children × k) rows, never corpus-sized.
+
+    Output: group cols, n_distinct_est — identical to running
+    :func:`kmv_distinct` on the raw union (property-tested).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    grp = keys if keys else [F.lit(1).alias("_g")]
+    grp_names = keys if keys else ["_g"]
+    d = (
+        sketches.select(*grp, F.explode(hashes_col).alias("_h"))
+        .distinct()
+    )
+    out = (
+        _kmv_tournament(d, grp_names, k)
+        .groupBy(*grp_names)
+        .agg(_kmv_estimate(k).cast("bigint").alias("n_distinct_est"))
     )
     return out.drop("_g") if not keys else out
 

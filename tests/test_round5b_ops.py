@@ -654,3 +654,55 @@ def test_radius_pairs_huge_radius_no_duplicate_pairs(spark):
     pairs = [(r.id_a, r.id_b) for r in out]
     assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
     assert len(pairs) == len(set(pairs))
+
+
+# ---------------------------------------------------------------------------
+# kmv_sketch + kmv_merge: the merge identity vs direct sketching
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),        # coarse group
+            st.integers(min_value=0, max_value=4),   # fine subgroup (day)
+            st.integers(min_value=0, max_value=300),  # value
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from([4, 16]),
+)
+def test_kmv_merge_equals_direct_sketch(spark, rows, k):
+    """Merging fine-grained sketches must reproduce the direct coarse
+    estimate exactly — KMV's k-smallest-of-union identity."""
+    from knot_another_pipeline_spark.operators.quality import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(rows, "grp: string, day: int, value: int")
+    direct = {
+        r.grp: r.n_distinct_est
+        for r in kmv_distinct(df, "value", by="grp", k=k).collect()
+    }
+    daily = kmv_sketch(df, "value", by=["grp", "day"], k=k)
+    merged = {
+        r.grp: r.n_distinct_est
+        for r in kmv_merge(daily, by="grp", k=k).collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_sketch_exact_below_k(spark):
+    from knot_another_pipeline_spark.operators.quality import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [1, 2, 3, 2, 1]], "grp: string, value: int"
+    )
+    row = kmv_sketch(df, "value", by="grp", k=64).collect()[0]
+    assert row.n_exact == 3
+    assert len(row.hashes) == 3
+    assert row.hashes == sorted(row.hashes)
