@@ -94,10 +94,18 @@ def test_driver_entry_contract():
     assert set(o) == set(ORACLES), "oracle_sql() must expose every oracle key"
     keys = list(q)
     assert len(keys) == len(set(keys))
-    # every priority key present and inside the driver's observed window
-    window = set(keys[:50])
-    missing = [k for k in mod._PRIORITY if k in QUERIES and k not in window]
-    assert not missing, f"priority keys outside the 50-key window: {missing}"
-    # representatives also inside the window so proven hashes stay pinned
-    missing_rep = [k for k in mod._REPRESENTATIVES if k in QUERIES and k not in window]
-    assert not missing_rep, f"representatives outside window: {missing_rep}"
+    # the priority list now exceeds the 50-key window (54 never-gated
+    # keys as of late r5) — assert the window is filled EXCLUSIVELY
+    # with priority keys in priority order (no slot wasted on an
+    # already-gated key while a never-gated one waits), and that the
+    # representatives follow immediately after the priority block.
+    prio_present = [k for k in mod._PRIORITY if k in QUERIES]
+    window_size = min(50, len(prio_present))
+    assert keys[:window_size] == prio_present[:window_size], (
+        "driver window must be filled with priority keys in order"
+    )
+    n_prio = len(prio_present)
+    reps = [k for k in mod._REPRESENTATIVES if k in QUERIES]
+    assert keys[n_prio : n_prio + len(reps)] == reps, (
+        "representatives must follow the priority block"
+    )
