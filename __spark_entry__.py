@@ -36,6 +36,7 @@ _PRIORITY = [
     "radius_pairs",
     "quantize_embeddings",
     "kmv_rollup",
+    "speed_filter",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet
@@ -76,16 +77,18 @@ _PRIORITY = [
     "weighted_sample",
     "embedding_centroids",
     "track_interpolate",
-    "keyword_search",
     "table_profile",
-    # --- 50-key window boundary: with 54 never-gated keys and a 50-key
-    # window, four rotate to the next round. These four are deferred
+    # --- 50-key window boundary: with 55 never-gated keys and a 50-key
+    # window, five rotate to the next round. These five are deferred
     # because an in-window relative pins their family's semantics:
-    # value_histogram (equi-width histogram inside histogram_drift),
-    # zorder_key (bit-exact unit tests, pure codegen),
-    # length_percentile_rank (per-group rank family ≈ ntile_deciles),
-    # media_resize (multimodal family gated via meta/frames/features
-    # in r4). All four stay green in the in-repo differential.
+    # keyword_search (TF-IDF sibling of in-window bm25_search, same
+    # postings shape), value_histogram (equi-width histogram inside
+    # histogram_drift), zorder_key (bit-exact unit tests, pure
+    # codegen), length_percentile_rank (per-group rank family ≈
+    # ntile_deciles), media_resize (multimodal family gated via
+    # meta/frames/features in r4). All five stay green in the in-repo
+    # differential.
+    "keyword_search",
     "value_histogram",
     "zorder_key",
     "length_percentile_rank",

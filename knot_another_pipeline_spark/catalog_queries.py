@@ -3939,6 +3939,55 @@ GROUP BY event_type
 """
 
 
+def q_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-speed track cleaning (operators/tracks.py
+    speed_filter): per-entity lag window computes implied haversine
+    speed between consecutive fixes; fixes over 100 m/s flag as
+    'speed'. One entity-key shuffle, pure codegen trig."""
+    from knot_another_pipeline_spark.operators.tracks import speed_filter
+
+    pos = _positions(spark, sf_dir)
+    out = speed_filter(
+        pos,
+        uid_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        max_speed_mps=100.0,
+        tiebreak_col="event_id",
+    )
+    return out.select("event_id", "uid", "speed_mps", "flag")
+
+
+ORACLE_SPEED_FILTER = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+lagged AS (
+  SELECT event_id, uid, ts, lat, lon,
+         lag(lat) OVER w AS plat,
+         lag(lon) OVER w AS plon,
+         lag(ts) OVER w AS pts
+  FROM pos
+  WINDOW w AS (PARTITION BY uid ORDER BY ts ASC, event_id ASC)),
+sp AS (
+  SELECT event_id, uid,
+         epoch(ts) - epoch(pts) AS dt,
+         2 * 6371000.0 * asin(sqrt(
+           pow(sin(radians(lat - plat) / 2), 2)
+           + cos(radians(plat)) * cos(radians(lat))
+             * pow(sin(radians(lon - plon) / 2), 2))) AS dist,
+         pts
+  FROM lagged)
+SELECT event_id, uid,
+       CASE WHEN pts IS NULL OR dt <= 0 THEN NULL
+            ELSE round(dist / dt, 3) END AS speed_mps,
+       CASE WHEN pts IS NULL THEN 'ok'
+            WHEN dt = 0 AND dist > 0 THEN 'dup_ts'
+            WHEN dt > 0 AND dist / dt > 100.0 THEN 'speed'
+            ELSE 'ok' END AS flag
+FROM sp
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4062,6 +4111,7 @@ QUERIES = {
     "radius_pairs": q_radius_pairs,
     "quantize_embeddings": q_quantize_embeddings,
     "kmv_rollup": q_kmv_rollup,
+    "speed_filter": q_speed_filter,
 }
 
 ORACLES = {
@@ -4170,4 +4220,5 @@ ORACLES = {
     "radius_pairs": ORACLE_RADIUS_PAIRS,
     "quantize_embeddings": ORACLE_QUANTIZE_EMBEDDINGS,
     "kmv_rollup": ORACLE_KMV_ROLLUP,
+    "speed_filter": ORACLE_SPEED_FILTER,
 }

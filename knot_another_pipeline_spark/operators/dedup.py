@@ -883,7 +883,8 @@ def prefix_filter_jaccard_pairs(
     threshold: float,
 ) -> DataFrame:
     """Exact Jaccard-threshold set-similarity self-join via PREFIX
-    FILTERING (SSJoin/PPJoin family) — the scale path past
+    FILTERING (the SSJoin/PPJoin family: Chaudhuri/Ganti/Kaushik,
+    ICDE'06; Xiao/Wang/Lin/Yu, WWW'08) — the scale path past
     :func:`ngram_jaccard_pairs`' df-cap heuristic: provably NO false
     negatives at any corpus size, and candidate volume that shrinks as
     the threshold rises instead of being fixed by a tuning knob.

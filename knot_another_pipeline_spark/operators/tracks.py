@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from knot_another_pipeline_spark.functions.geo import valid_coords
 
@@ -105,3 +105,79 @@ def assemble_paths(
     return packed.withColumn("npts", F.size("path")).filter(
         F.col("npts") > F.lit(min_points)
     )
+
+
+def speed_filter(
+    df: DataFrame,
+    *,
+    uid_col: str = "uid",
+    ts_col: str = "event_ts",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    max_speed_mps: float = 30.0,
+    drop: bool = False,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Flag (or drop) position fixes whose implied speed from the
+    previous fix exceeds ``max_speed_mps`` — the standard AIS track
+    cleaner: GPS glitches and mistyped MMSIs teleport a vessel across
+    an ocean, and every downstream track product (paths, co-location
+    pairs, interpolation) amplifies the error unless it is caught at
+    ingestion.
+
+    Implied speed = haversine(prev → cur) / Δt seconds, evaluated per
+    entity in time order via ONE ``lag`` window (the single shuffle is
+    on the entity key, identical to sessionize's); the first fix of an
+    entity and exact-duplicate timestamps (Δt = 0) are never flagged as
+    speeders — a zero Δt with displacement is its own data error and is
+    flagged separately as ``dup_ts``.
+
+    Pure codegen trig on the lagged columns — no UDF, no self-join.
+    With ``drop=True`` only clean rows return (same columns as input);
+    otherwise all rows return with ``speed_mps`` (rounded 3, NULL for
+    first fixes), ``flag`` ('ok' | 'speed' | 'dup_ts').
+
+    Pass ``tiebreak_col`` (a unique id) whenever (uid, ts) may repeat:
+    without it, lag order among equal timestamps is partition-order
+    nondeterministic and a retry could flag different rows.
+    """
+    if max_speed_mps <= 0:
+        raise ValueError(f"max_speed_mps must be > 0, got {max_speed_mps}")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(uid_col).orderBy(*order)
+    prev_lat = F.lag(F.col(lat_col).cast("double")).over(w)
+    prev_lon = F.lag(F.col(lon_col).cast("double")).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    dt = (
+        F.col(ts_col).cast("timestamp").cast("double")
+        - prev_ts.cast("timestamp").cast("double")
+    )
+    la1, la2 = F.radians(prev_lat), F.radians(F.col(lat_col).cast("double"))
+    dlat = F.radians(F.col(lat_col).cast("double") - prev_lat)
+    dlon = F.radians(F.col(lon_col).cast("double") - prev_lon)
+    dist = (
+        F.lit(2.0 * 6371000.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat / 2), 2)
+                + F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlon / 2), 2)
+            )
+        )
+    )
+    speed = F.when(prev_ts.isNull(), F.lit(None).cast("double")).when(
+        dt > 0, dist / dt
+    )
+    flag = (
+        F.when(prev_ts.isNull(), F.lit("ok"))
+        .when((dt == 0) & (dist > 0), F.lit("dup_ts"))
+        .when(speed > F.lit(float(max_speed_mps)), F.lit("speed"))
+        .otherwise(F.lit("ok"))
+    )
+    out = df.withColumn("speed_mps", F.round(speed, 3)).withColumn(
+        "flag", flag
+    )
+    if drop:
+        return out.filter(F.col("flag") == "ok").drop("speed_mps", "flag")
+    return out

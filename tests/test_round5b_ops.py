@@ -706,3 +706,122 @@ def test_kmv_sketch_exact_below_k(spark):
     assert row.n_exact == 3
     assert len(row.hashes) == 3
     assert row.hashes == sorted(row.hashes)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1, 2]),
+)
+def test_pmi_bigrams_matches_bruteforce(spark, token_docs, min_count):
+    from collections import Counter
+
+    from knot_another_pipeline_spark.operators.text_analysis import pmi_bigrams
+
+    uni = Counter(t for doc in token_docs for t in doc)
+    big = Counter(
+        (doc[i], doc[i + 1])
+        for doc in token_docs
+        for i in range(len(doc) - 1)
+    )
+    n_tok, n_big = sum(uni.values()), sum(big.values())
+    expected = {}
+    for (w1, w2), c in big.items():
+        if c >= min_count:
+            expected[(w1, w2)] = (
+                c,
+                round(
+                    math.log(
+                        (c / n_big)
+                        / ((uni[w1] / n_tok) * (uni[w2] / n_tok))
+                    ),
+                    6,
+                ),
+            )
+    df = spark.createDataFrame(
+        [(" ".join(doc),) for doc in token_docs], "text: string"
+    )
+    got = {
+        (r.w1, r.w2): (r.n_pair, r.pmi)
+        for r in pmi_bigrams(
+            df, text_col="text", min_count=min_count, k=1000
+        ).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# speed_filter: teleport detection, dup timestamps, drop mode
+# ---------------------------------------------------------------------------
+
+
+def test_speed_filter_flags_teleport_and_dup_ts(spark):
+    from knot_another_pipeline_spark.operators.tracks import speed_filter
+
+    rows = [
+        # vessel A: 0.01 deg (~1.1 km) in 10 min = ~1.85 m/s -> ok
+        (1, "A", "2024-01-01 00:00:00", 10.0, 20.0),
+        (2, "A", "2024-01-01 00:10:00", 10.01, 20.0),
+        # then teleports 10 degrees (~1100 km) in 10 min -> speed
+        (3, "A", "2024-01-01 00:20:00", 20.0, 20.0),
+        # duplicate timestamp WITH displacement -> dup_ts
+        (4, "A", "2024-01-01 00:20:00", 21.0, 20.0),
+        # vessel B: single fix -> ok, NULL speed
+        (5, "B", "2024-01-01 00:00:00", 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, uid: string, ts: string, lat: double, lon: double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.event_id: r
+        for r in speed_filter(
+            df,
+            uid_col="uid",
+            ts_col="ts",
+            lat_col="lat",
+            lon_col="lon",
+            max_speed_mps=30.0,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1].flag == "ok" and out[1].speed_mps is None
+    assert out[2].flag == "ok" and 1.0 < out[2].speed_mps < 3.0
+    assert out[3].flag == "speed" and out[3].speed_mps > 1000
+    assert out[4].flag == "dup_ts"
+    assert out[5].flag == "ok" and out[5].speed_mps is None
+
+
+def test_speed_filter_drop_mode_keeps_schema(spark):
+    from knot_another_pipeline_spark.operators.tracks import speed_filter
+
+    rows = [
+        (1, "A", "2024-01-01 00:00:00", 0.0, 0.0),
+        (2, "A", "2024-01-01 00:00:10", 50.0, 50.0),  # impossible jump
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, uid: string, ts: string, lat: double, lon: double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = speed_filter(
+        df, uid_col="uid", ts_col="ts", lat_col="lat", lon_col="lon",
+        max_speed_mps=30.0, drop=True, tiebreak_col="event_id",
+    )
+    assert out.columns == df.columns
+    assert [r.event_id for r in out.collect()] == [1]
+
+
+def test_speed_filter_rejects_bad_threshold(spark):
+    from knot_another_pipeline_spark.operators.tracks import speed_filter
+
+    df = spark.createDataFrame(
+        [(1, "A", "2024-01-01 00:00:00", 0.0, 0.0)],
+        "event_id: bigint, uid: string, ts: string, lat: double, lon: double",
+    )
+    with pytest.raises(ValueError):
+        speed_filter(
+            df, uid_col="uid", ts_col="ts", lat_col="lat", lon_col="lon",
+            max_speed_mps=0.0,
+        )
