@@ -37,14 +37,14 @@ _PRIORITY = [
     "quantize_embeddings",
     "kmv_rollup",
     "speed_filter",
+    "build_vocab",
+    "encode_documents",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet
     "cdc_apply",
     "scd2_history",
     "interval_merge",
-    "ngram_topk",
-    "anomaly_zscore",
     "pivot_daily",
     "unpivot_metrics",
     "period_over_period",
@@ -78,16 +78,20 @@ _PRIORITY = [
     "embedding_centroids",
     "track_interpolate",
     "table_profile",
-    # --- 50-key window boundary: with 55 never-gated keys and a 50-key
-    # window, five rotate to the next round. These five are deferred
-    # because an in-window relative pins their family's semantics:
-    # keyword_search (TF-IDF sibling of in-window bm25_search, same
-    # postings shape), value_histogram (equi-width histogram inside
-    # histogram_drift), zorder_key (bit-exact unit tests, pure
-    # codegen), length_percentile_rank (per-group rank family ≈
-    # ntile_deciles), media_resize (multimodal family gated via
-    # meta/frames/features in r4). All five stay green in the in-repo
-    # differential.
+    # --- 50-key window boundary: with 57 never-gated keys and a 50-key
+    # window, seven rotate to the next round. Each is deferred because
+    # an in-window relative pins its family's semantics:
+    # ngram_topk (corpus n-gram stats ≈ in-window pmi_topk, same
+    # row-local gram build + count shape), anomaly_zscore (group-stats
+    # join-back family ≈ winsorized_stats), keyword_search (TF-IDF
+    # sibling of bm25_search, same postings shape), value_histogram
+    # (equi-width histogram inside histogram_drift), zorder_key
+    # (bit-exact unit tests, pure codegen), length_percentile_rank
+    # (per-group rank family ≈ ntile_deciles), media_resize
+    # (multimodal family gated via meta/frames/features in r4). All
+    # stay green in the in-repo differential.
+    "ngram_topk",
+    "anomaly_zscore",
     "keyword_search",
     "value_histogram",
     "zorder_key",

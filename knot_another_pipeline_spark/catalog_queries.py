@@ -3988,6 +3988,80 @@ FROM sp
 """
 
 
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary, min_count 5, capped at 200
+    (operators/text_analysis.py build_vocab): token ids assigned via
+    the distributed global_rank (range partition + prefix-sum offsets),
+    never a single-partition ORDER BY window — the oracle's plain
+    row_number proves the distributed ranking is identical."""
+    from knot_another_pipeline_spark.operators.text_analysis import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, text_col="text", min_count=5, max_size=200)
+
+
+ORACLE_BUILD_VOCAB = rf"""
+WITH toks AS ({_TOKS_SQL}),
+counts AS (
+  SELECT w AS token, count(*) AS n_occurrences
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+  HAVING count(*) >= 5),
+ranked AS (
+  SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+              AS BIGINT) AS token_id
+  FROM counts)
+SELECT token, n_occurrences, token_id FROM ranked WHERE token_id <= 200
+"""
+
+
+def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-for-training (operators/text_analysis.py
+    encode_documents): documents become token-id sequences under the
+    top-200 vocabulary; OOV tokens map to 0. Position survives the
+    vocab join via posexplode + order-restoring sort_array."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, text_col="text", min_count=5, max_size=200)
+    return encode_documents(docs, vocab, id_col="doc_id", text_col="text")
+
+
+ORACLE_ENCODE_DOCUMENTS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+counts AS (
+  SELECT w AS token, count(*) AS n_occurrences
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+  HAVING count(*) >= 5),
+vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS tid
+  FROM counts
+  QUALIFY tid <= 200),
+flat AS (
+  SELECT doc_id AS id, unnest(t) AS token,
+         generate_subscripts(t, 1) AS pos
+  FROM toks),
+mapped AS (
+  SELECT f.id, f.pos, CAST(coalesce(v.tid, 0) AS BIGINT) AS tid
+  FROM flat f LEFT JOIN vocab v USING (token))
+SELECT t.doc_id AS id,
+       coalesce(m.token_ids, []) AS token_ids,
+       CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(m.n_oov, 0) AS BIGINT) AS n_oov
+FROM toks t
+LEFT JOIN (
+  SELECT id, list(tid ORDER BY pos) AS token_ids,
+         count(*) AS n_tokens,
+         sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov
+  FROM mapped GROUP BY id
+) m ON m.id = t.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4112,6 +4186,8 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "kmv_rollup": q_kmv_rollup,
     "speed_filter": q_speed_filter,
+    "build_vocab": q_build_vocab,
+    "encode_documents": q_encode_documents,
 }
 
 ORACLES = {
@@ -4221,4 +4297,6 @@ ORACLES = {
     "quantize_embeddings": ORACLE_QUANTIZE_EMBEDDINGS,
     "kmv_rollup": ORACLE_KMV_ROLLUP,
     "speed_filter": ORACLE_SPEED_FILTER,
+    "build_vocab": ORACLE_BUILD_VOCAB,
+    "encode_documents": ORACLE_ENCODE_DOCUMENTS,
 }

@@ -15,7 +15,9 @@ the way one would for a 1000-executor cluster:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def pricing_summary(lineitem: DataFrame, *, cutoff: str = "1998-09-02") -> DataFrame:
@@ -768,3 +770,55 @@ def ntile_assign(
         order.append(F.col(tiebreak).asc())
     w = Window.partitionBy(*parts).orderBy(*order)
     return df.withColumn(out_col, F.ntile(n).over(w))
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    *,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Dense global row number 1..N under a TOTAL order — withOUT the
+    single-partition ``row_number() OVER (ORDER BY …)`` window that
+    funnels the whole table through one task.
+
+    The classic distributed ranking recipe: (1) ``repartitionByRange``
+    on the order columns (range partitions are globally ordered
+    relative to each other), (2) count rows per partition — a
+    partition-count-sized table — and take its exclusive prefix sum
+    (the only single-partition window, over ≤ shuffle-partitions rows),
+    (3) broadcast the offsets back and add a WITHIN-partition
+    row_number. Every stage's per-task work is bounded by its
+    partition, so the rank of a 10-billion-row table costs one range
+    shuffle + one local sort, not a global sort on one executor.
+
+    ``order_cols`` must define a total order (include a unique
+    tiebreaker) — otherwise ties make the rank assignment
+    partition-order nondeterministic, the same contract as
+    ``grouped_topk``'s tiebreak.
+
+    Output: input columns + ``rank_col``.
+    """
+    cols = list(order_cols)
+    if not cols:
+        raise ValueError("order_cols must not be empty")
+    if rank_col in df.columns:
+        raise ValueError(f"rank_col {rank_col!r} collides with input column")
+    parts = df.repartitionByRange(*cols).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+    counts = parts.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_n"))
+    w_off = Window.orderBy(F.col("_gr_pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_gr_off", F.coalesce(F.sum("_gr_n").over(w_off), F.lit(0))
+    ).select("_gr_pid", "_gr_off")
+    w_local = Window.partitionBy("_gr_pid").orderBy(*cols)
+    return (
+        parts.join(F.broadcast(offsets), "_gr_pid")
+        .withColumn(
+            rank_col, F.col("_gr_off") + F.row_number().over(w_local)
+        )
+        .drop("_gr_pid", "_gr_off")
+    )

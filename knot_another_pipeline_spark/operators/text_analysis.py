@@ -650,3 +650,112 @@ def pmi_bigrams(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def build_vocab(
+    df: DataFrame,
+    *,
+    text_col: str,
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary (token → dense id, 1-based) —
+    the tokenize-for-training prerequisite: every corpus that feeds a
+    model needs a reproducible token↔id mapping with a frequency floor
+    and a size cap.
+
+    Ids are assigned by ``(count DESC, token ASC)`` — fully
+    deterministic, so two runs (or two engines — the DuckDB oracle)
+    produce the identical mapping. The ranking uses
+    :func:`~knot_another_pipeline_spark.operators.relational.global_rank`
+    — range-partition + prefix-sum offsets — so a 10⁸-token vocabulary
+    never funnels through a single-partition ORDER BY window; the only
+    corpus-sized work is the one token-count aggregate.
+
+    Output: token, n_occurrences, token_id (1..V, best-first).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_size is not None and max_size < 1:
+        raise ValueError(f"max_size must be >= 1, got {max_size}")
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    ranked = global_rank(
+        counts,
+        [F.col("n_occurrences").desc(), F.col("token").asc()],
+        rank_col="token_id",
+    )
+    if max_size is not None:
+        ranked = ranked.filter(F.col("token_id") <= max_size)
+    return ranked.select("token", "n_occurrences", "token_id")
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode each document as its token-id sequence under a vocabulary
+    (out-of-vocabulary tokens → ``oov_id``) — the actual tokenization
+    pass that turns a text corpus into model-ready integer sequences.
+
+    Plan: posexplode the token stream (position carried so order
+    survives the shuffle), LEFT join the vocabulary on token — the
+    vocab is corpus-scale-independent but can still be millions of
+    rows, so the join strategy is left to AQE rather than forcing a
+    broadcast — then regroup per document with
+    ``array_agg sorted by position`` (the struct's leading pos field
+    makes ``sort_array`` an order-restoring sort, same trick as
+    ``assemble_paths``). Two shuffles total: the vocab join and the
+    regroup; both keyed, neither all-pairs. Empty/null texts yield an
+    empty sequence, not a dropped row.
+
+    Output: id, token_ids (array<bigint>), n_tokens, n_oov.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    joined = toks.join(
+        vocab.select("token", "token_id"), "token", "left"
+    ).select(
+        "id",
+        "pos",
+        F.when(F.col("pos").isNull(), F.lit(None))
+        .otherwise(F.coalesce(F.col("token_id"), F.lit(oov_id)))
+        .alias("tid"),
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    # collect_list skips NULLs: an empty/null text (one
+                    # posexplode_outer row with pos NULL) yields [], not [null]
+                    F.when(
+                        F.col("pos").isNotNull(),
+                        F.struct(F.col("pos"), F.col("tid")),
+                    )
+                )
+            ).alias("_seq"),
+            F.count("tid").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("tid") == oov_id, 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "id",
+            F.transform(F.col("_seq"), lambda s: s["tid"]).alias("token_ids"),
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        )
+    )

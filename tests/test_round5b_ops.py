@@ -825,3 +825,114 @@ def test_speed_filter_rejects_bad_threshold(spark):
             df, uid_col="uid", ts_col="ts", lat_col="lat", lon_col="lon",
             max_speed_mps=0.0,
         )
+
+
+# ---------------------------------------------------------------------------
+# global_rank / build_vocab / encode_documents
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_global_rank_matches_sorted_enumeration(spark, rows):
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
+    df = spark.createDataFrame(rows, "score: int, uid: bigint")
+    ranked = global_rank(
+        df, [F.col("score").desc(), F.col("uid").asc()], rank_col="r"
+    ).collect()
+    expected = {
+        (score, uid): i + 1
+        for i, (score, uid) in enumerate(
+            sorted(rows, key=lambda t: (-t[0], t[1]))
+        )
+    }
+    got = {(r.score, r.uid): r.r for r in ranked}
+    assert got == expected
+
+
+def test_global_rank_rejects_collision_and_empty_order(spark):
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
+    df = spark.createDataFrame([(1,)], "rank: int")
+    with pytest.raises(ValueError):
+        global_rank(df, [F.col("rank")], rank_col="rank")
+    with pytest.raises(ValueError):
+        global_rank(df, [])
+
+
+def test_global_rank_plan_has_no_global_sort_window(spark):
+    """The corpus-sized window must be partitioned (by the range
+    partition id); only the tiny offsets table gets a global window."""
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "v: bigint"
+    )
+    plan = (
+        global_rank(df, [F.col("v").asc()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    # the big-side window is keyed by _gr_pid, never empty-partition
+    assert "Window [row_number()" in plan or "row_number" in plan
+
+
+def test_build_vocab_and_encode_roundtrip(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, ""),
+        (4, "unseen words only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    vocab = build_vocab(df, text_col="text", min_count=2)
+    v = {r.token: r.token_id for r in vocab.collect()}
+    # counts: the=3, sat=2 -> ids by (count desc, token asc)
+    assert v == {"the": 1, "sat": 2}
+    enc = {
+        r.id: r
+        for r in encode_documents(
+            df, vocab, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert enc[1].token_ids == [1, 0, 2, 0, 1, 0]  # OOV -> 0, order kept
+    assert enc[1].n_tokens == 6 and enc[1].n_oov == 3
+    assert enc[2].token_ids == [1, 0, 2]
+    assert enc[3].token_ids == [] and enc[3].n_tokens == 0
+    assert enc[4].n_oov == 3
+
+
+def test_build_vocab_cap_is_prefix_of_uncapped(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import build_vocab
+
+    df = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(j)),) for j in range(1, 30)],
+        "text: string",
+    )
+    full = {
+        r.token: r.token_id
+        for r in build_vocab(df, text_col="text").collect()
+    }
+    capped = {
+        r.token: r.token_id
+        for r in build_vocab(df, text_col="text", max_size=5).collect()
+    }
+    assert capped == {t: i for t, i in full.items() if i <= 5}
