@@ -478,3 +478,88 @@ def streaming_session_rollup(
         )
         .select("uid", "session_start", "session_end_ts", "n_events")
     )
+
+
+def radius_pair_writer(
+    output_path: str, radius_m: float, max_abs_lat: float = 75.0
+):
+    """``foreachBatch`` sink for :func:`streaming_radius_pairs`: run the
+    batch :func:`~knot_another_pipeline_spark.operators.pairs.radius_pairs`
+    blocking join over the micro-batch's finalized windows and land the
+    pair rows under an ``epoch=<epoch_id>`` partition with dynamic
+    overwrite (same replay-idempotence contract as
+    :func:`co_location_pair_writer`)."""
+
+    def pair_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from knot_another_pipeline_spark.operators.pairs import radius_pairs
+
+        pairs = radius_pairs(
+            batch_df,
+            id_col="uid",
+            lat_col="lat",
+            lon_col="lon",
+            radius_m=radius_m,
+            time_col="window_ts",
+            time_grain="second",  # window starts are already aligned
+            max_abs_lat=max_abs_lat,
+        ).withColumn("epoch", F.lit(int(epoch_id)))
+        (
+            pairs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(output_path)
+        )
+
+    return pair_batch
+
+
+def streaming_radius_pairs(
+    stream: DataFrame,
+    *,
+    uid_col: str,
+    ts_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_m: float,
+    output_path: str,
+    checkpoint_path: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    max_abs_lat: float = 75.0,
+):
+    """Distance-true streaming co-location: per-window mean positions
+    feed the wrap-correct radius blocking join per micro-batch — the
+    streaming twin of batch ``radius_pairs``, upgrading
+    :func:`streaming_co_location`'s cell-EQUALITY pairing (which misses
+    neighbors straddling a cell edge) to true haversine distance.
+
+    Completeness argument is identical to streaming_co_location: in
+    append mode a window leaves the aggregation only when the watermark
+    passes its end, so the within-batch radius join sees every entity's
+    finalized row for that window together — no cross-batch pair state.
+    The per-batch work is the batch operator itself (3×3 grid blocking,
+    codegen haversine), so streaming and batch semantics cannot drift:
+    they are one code path, and the parity test replays the same events
+    through both.
+
+    Returns the started ``StreamingQuery`` (caller awaits termination).
+    """
+    rolled = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.col(uid_col).alias("uid"),
+        )
+        .agg(
+            F.avg(F.col(lat_col)).alias("lat"),
+            F.avg(F.col(lon_col)).alias("lon"),
+        )
+        .select(F.col("w.start").alias("window_ts"), "uid", "lat", "lon")
+    )
+    return (
+        rolled.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(radius_pair_writer(output_path, radius_m, max_abs_lat))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -886,3 +886,71 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
     # the batch strictly-greater-than-gap break rule
     assert n_native == 1
     assert n_batch == 1
+
+
+def test_streaming_radius_pairs_matches_batch(spark, tmp_path):
+    """Distance-true streaming co-location: the per-batch radius join
+    over finalized windows must equal the batch radius_pairs over the
+    identical windowed rollup — one code path, zero semantic drift."""
+    from knot_another_pipeline_spark.operators.pairs import radius_pairs
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_radius_pairs,
+    )
+
+    src = tmp_path / "radius_in"
+    # hour 0: A and B ~15 km apart (within 50 km); C is ~500 km away.
+    # hour 1: A and C co-located; B far.
+    rows = [
+        ("A", "2025-01-01 00:10:00", 10.00, 20.00),
+        ("B", "2025-01-01 00:40:00", 10.10, 20.10),
+        ("C", "2025-01-01 00:20:00", 14.50, 20.00),
+        ("A", "2025-01-01 01:15:00", -30.00, 150.00),
+        ("C", "2025-01-01 01:45:00", -30.05, 150.05),
+        ("B", "2025-01-01 01:30:00", 40.00, -60.00),
+        ("Z", "2025-01-03 00:00:00", 0.0, 0.0),  # watermark sentinel
+    ]
+    df = spark.createDataFrame(
+        rows, "uid string, ts string, lat double, lon double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src))
+
+    out = str(tmp_path / "radius_out")
+    ckpt = str(tmp_path / "radius_ckpt")
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = streaming_radius_pairs(
+        stream,
+        uid_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        radius_m=50_000.0,
+        output_path=out,
+        checkpoint_path=ckpt,
+        watermark="2 hours",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["id_a"], r["id_b"], r["bucket_ts"].hour, r["distance_m"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert {(a, b, h) for a, b, h, _ in got} == {("A", "B", 0), ("A", "C", 1)}
+
+    # batch parity over the same finalized windows (sentinel's window
+    # never finalizes in the stream, so exclude it batch-side too)
+    rolled = (
+        df.filter(F.col("uid") != "Z")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "uid")
+        .agg(F.avg("lat").alias("lat"), F.avg("lon").alias("lon"))
+        .select(F.col("w.start").alias("window_ts"), "uid", "lat", "lon")
+    )
+    batch = {
+        (r["id_a"], r["id_b"], r["bucket_ts"].hour, r["distance_m"])
+        for r in radius_pairs(
+            rolled,
+            id_col="uid",
+            radius_m=50_000.0,
+            time_col="window_ts",
+            time_grain="second",
+        ).collect()
+    }
+    assert got == batch
