@@ -99,10 +99,11 @@ _PRIORITY = [
     "media_resize",
 ]
 
-# Representatives of already-hash-verified families, filling any window
-# slots the priority list leaves free (50 never-gated fill the driver's
+# Representatives of already-hash-verified families, queued AFTER the
+# whole priority list: the first 50 priority keys fill the driver's
 # observed 50-key window exactly; if the window is larger this round,
-# these flagship queries take the next slots). The families trimmed out
+# the 7 deferred priority keys (positions 51-57) enter first and these
+# flagship queries only after them. The families trimmed out
 # of the window in r5 (normalize_ts, stable_bucket, pricing_summary,
 # sessionize, text_stats, corpus_prep, token_budget, minhash_pairs,
 # semantic_dedup, knn_bruteforce, media_meta, media_chunks, …) passed

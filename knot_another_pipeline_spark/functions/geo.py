@@ -146,3 +146,26 @@ def valid_coords(lat: Column | str, lon: Column | str) -> Column:
     la = F.col(lat) if isinstance(lat, str) else lat
     lo = F.col(lon) if isinstance(lon, str) else lon
     return la.between(-90.0, 90.0) & lo.between(-180.0, 180.0)
+
+
+def haversine_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in meters between two coordinate pairs
+    (haversine on a spherical earth, R = 6 371 000 m) — pure codegen
+    trig, shared by every distance consumer (``radius_pairs``,
+    ``speed_filter``, and their DuckDB oracles, which spell the
+    identical formula) so the engine has exactly ONE distance
+    definition to keep oracle-bit-identical."""
+    la1, la2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    return (
+        F.lit(2.0 * 6371000.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat / 2), 2)
+                + F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlon / 2), 2)
+            )
+        )
+    )

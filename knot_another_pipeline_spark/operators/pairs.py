@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from knot_another_pipeline_spark.functions.geo import haversine_m
+
 
 def oversize_cell_windows(
     base: DataFrame, max_entities_per_cell: int
@@ -297,10 +299,16 @@ def radius_pairs(
     - cell height = radius in latitude degrees (via the minimum meridian
       arc, 110 574 m/deg, ×1.05 margin) — a qualifying pair can differ
       by at most one lat cell;
-    - cell width  = radius in longitude degrees at ``max_abs_lat`` (the
-      worst case in the band, ×1.05), and the lon axis uses MODULAR cell
-      indices over an equal-width partition of 360° — so adjacency wraps
-      the antimeridian and a pair at lon ±179.9° still blocks together;
+    - cell width  = the EXACT spherical bound on the longitude
+      separation of any in-band pair within ``radius_m``:
+      ``Δlon_max = 2·asin(sin(r/2R)/cos(max_abs_lat))`` (from the
+      haversine identity with both points at the band edge — a linear
+      ``r/(111320·cos φ)`` approximation UNDERSTATES this for large
+      radii and would silently drop pairs), ×1.02 margin; when the
+      bound reaches 180° every longitude is reachable and the lon axis
+      collapses to one cell. The lon axis uses MODULAR cell indices
+      over an equal-width partition of 360° — so adjacency wraps the
+      antimeridian and a pair at lon ±179.9° still blocks together;
     - rows with |lat| > ``max_abs_lat`` are excluded (documented band
       limit: near the poles fixed-width lon blocking is unsound — at
       100 TB route polar traffic to a dedicated small partition and
@@ -324,11 +332,20 @@ def radius_pairs(
     import math as _math
 
     lat_cell_deg = 1.05 * radius_m / 110574.0
-    min_lon_deg = 1.05 * radius_m / (
-        111320.0 * _math.cos(_math.radians(max_abs_lat))
-    )
-    # equal-width modular lon cells: n uniform cells of >= min_lon_deg
-    n_lon = max(1, int(360.0 // min_lon_deg))
+    # exact spherical lon-separation bound for an in-band pair:
+    # sin²(d/2R) = sin²(Δφ/2) + cosφ·cosφ'·sin²(Δλ/2) with the budget
+    # spent entirely on Δλ and both points at the band edge gives
+    # sin(Δλ_max/2) = sin(r/2R)/cos(φ_max).
+    sin_half = _math.sin(min(radius_m / (2.0 * 6371000.0), _math.pi / 2))
+    cos_max = _math.cos(_math.radians(max_abs_lat))
+    if sin_half >= cos_max:
+        n_lon = 1  # any longitude reachable within r: one wrapped cell
+    else:
+        min_lon_deg = 1.02 * _math.degrees(
+            2.0 * _math.asin(sin_half / cos_max)
+        )
+        # equal-width modular lon cells: n uniform cells >= min_lon_deg
+        n_lon = max(1, int(360.0 // min_lon_deg))
     lon_cell_deg = 360.0 / n_lon
 
     cols = [
@@ -389,19 +406,8 @@ def radius_pairs(
         "_cn",
     )
     join_keys = ["_cl", "_cn"] + (["_tb"] if time_col is not None else [])
-    lat1, lat2 = F.radians("lat_a"), F.radians("lat_b")
-    dlat, dlon = (
-        F.radians(F.col("lat_b") - F.col("lat_a")),
-        F.radians(F.col("lon_b") - F.col("lon_a")),
-    )
-    dist = (
-        F.lit(2.0 * 6371000.0)
-        * F.asin(
-            F.sqrt(
-                F.pow(F.sin(dlat / 2), 2)
-                + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
-            )
-        )
+    dist = haversine_m(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
     )
     out_cols = ["id_a", "id_b"] + (["_tb"] if time_col is not None else [])
     return (

@@ -797,6 +797,18 @@ def global_rank(
     partition-order nondeterministic, the same contract as
     ``grouped_topk``'s tiebreak.
 
+    The range-partitioned frame is pinned with an eager
+    ``localCheckpoint`` before the pid is read: the offsets branch and
+    the ranking branch would otherwise each instantiate the range
+    exchange (whose bounds come from sampling), and any divergence —
+    exchange reuse disabled, AQE coalescing one consumer differently —
+    silently pairs offsets with the WRONG partitions. The checkpoint
+    makes both branches read one materialized partitioning. Cost: one
+    materialization of the input — which for this operator's intended
+    inputs (aggregated count/score tables, e.g. a vocabulary) is
+    orders of magnitude smaller than the corpus; rank raw events
+    through a pre-aggregation first.
+
     Output: input columns + ``rank_col``.
     """
     cols = list(order_cols)
@@ -804,8 +816,10 @@ def global_rank(
         raise ValueError("order_cols must not be empty")
     if rank_col in df.columns:
         raise ValueError(f"rank_col {rank_col!r} collides with input column")
-    parts = df.repartitionByRange(*cols).withColumn(
-        "_gr_pid", F.spark_partition_id()
+    parts = (
+        df.repartitionByRange(*cols)
+        .localCheckpoint(eager=True)
+        .withColumn("_gr_pid", F.spark_partition_id())
     )
     counts = parts.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_n"))
     w_off = Window.orderBy(F.col("_gr_pid").asc()).rowsBetween(

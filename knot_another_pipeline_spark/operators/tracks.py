@@ -14,7 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from knot_another_pipeline_spark.functions.geo import valid_coords
+from knot_another_pipeline_spark.functions.geo import haversine_m, valid_coords
 
 
 def export_tracks(
@@ -154,17 +154,11 @@ def speed_filter(
         F.col(ts_col).cast("timestamp").cast("double")
         - prev_ts.cast("timestamp").cast("double")
     )
-    la1, la2 = F.radians(prev_lat), F.radians(F.col(lat_col).cast("double"))
-    dlat = F.radians(F.col(lat_col).cast("double") - prev_lat)
-    dlon = F.radians(F.col(lon_col).cast("double") - prev_lon)
-    dist = (
-        F.lit(2.0 * 6371000.0)
-        * F.asin(
-            F.sqrt(
-                F.pow(F.sin(dlat / 2), 2)
-                + F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlon / 2), 2)
-            )
-        )
+    dist = haversine_m(
+        prev_lat,
+        prev_lon,
+        F.col(lat_col).cast("double"),
+        F.col(lon_col).cast("double"),
     )
     speed = F.when(prev_ts.isNull(), F.lit(None).cast("double")).when(
         dt > 0, dist / dt

@@ -544,6 +544,11 @@ def streaming_radius_pairs(
 
     Returns the started ``StreamingQuery`` (caller awaits termination).
     """
+    # lat averages arithmetically; lon needs the CIRCULAR mean
+    # (atan2 of mean sin/cos) — an entity straddling the antimeridian
+    # (fixes at ±179.95°) would otherwise average to a phantom position
+    # near 0°, ~20,000 km from its real location.
+    lon_rad = F.radians(F.col(lon_col))
     rolled = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
@@ -552,9 +557,15 @@ def streaming_radius_pairs(
         )
         .agg(
             F.avg(F.col(lat_col)).alias("lat"),
-            F.avg(F.col(lon_col)).alias("lon"),
+            F.avg(F.sin(lon_rad)).alias("_sin"),
+            F.avg(F.cos(lon_rad)).alias("_cos"),
         )
-        .select(F.col("w.start").alias("window_ts"), "uid", "lat", "lon")
+        .select(
+            F.col("w.start").alias("window_ts"),
+            "uid",
+            "lat",
+            F.degrees(F.atan2(F.col("_sin"), F.col("_cos"))).alias("lon"),
+        )
     )
     return (
         rolled.writeStream.outputMode("append")

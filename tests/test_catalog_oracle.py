@@ -94,7 +94,7 @@ def test_driver_entry_contract():
     assert set(o) == set(ORACLES), "oracle_sql() must expose every oracle key"
     keys = list(q)
     assert len(keys) == len(set(keys))
-    # the priority list now exceeds the 50-key window (54 never-gated
+    # the priority list now exceeds the 50-key window (57 never-gated
     # keys as of late r5) — assert the window is filled EXCLUSIVELY
     # with priority keys in priority order (no slot wasted on an
     # already-gated key while a never-gated one waits), and that the

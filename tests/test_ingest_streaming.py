@@ -900,6 +900,9 @@ def test_streaming_radius_pairs_matches_batch(spark, tmp_path):
     src = tmp_path / "radius_in"
     # hour 0: A and B ~15 km apart (within 50 km); C is ~500 km away.
     # hour 1: A and C co-located; B far.
+    # hour 2: D straddles the antimeridian (fixes at ±179.95°) — its
+    # CIRCULAR mean lon is ±180°, within 50 km of E at 179.8°; a naive
+    # arithmetic avg(lon) would place D near 0° and miss the pair.
     rows = [
         ("A", "2025-01-01 00:10:00", 10.00, 20.00),
         ("B", "2025-01-01 00:40:00", 10.10, 20.10),
@@ -907,6 +910,9 @@ def test_streaming_radius_pairs_matches_batch(spark, tmp_path):
         ("A", "2025-01-01 01:15:00", -30.00, 150.00),
         ("C", "2025-01-01 01:45:00", -30.05, 150.05),
         ("B", "2025-01-01 01:30:00", 40.00, -60.00),
+        ("D", "2025-01-01 02:05:00", 5.00, 179.95),
+        ("D", "2025-01-01 02:25:00", 5.00, -179.95),
+        ("E", "2025-01-01 02:15:00", 5.00, 179.80),
         ("Z", "2025-01-03 00:00:00", 0.0, 0.0),  # watermark sentinel
     ]
     df = spark.createDataFrame(
@@ -933,15 +939,30 @@ def test_streaming_radius_pairs_matches_batch(spark, tmp_path):
         (r["id_a"], r["id_b"], r["bucket_ts"].hour, r["distance_m"])
         for r in spark.read.parquet(out).collect()
     }
-    assert {(a, b, h) for a, b, h, _ in got} == {("A", "B", 0), ("A", "C", 1)}
+    assert {(a, b, h) for a, b, h, _ in got} == {
+        ("A", "B", 0),
+        ("A", "C", 1),
+        ("D", "E", 2),
+    }
 
     # batch parity over the same finalized windows (sentinel's window
-    # never finalizes in the stream, so exclude it batch-side too)
+    # never finalizes in the stream, so exclude it batch-side too);
+    # the rollup mirrors the stream's circular lon mean
+    lon_rad = F.radians("lon")
     rolled = (
         df.filter(F.col("uid") != "Z")
         .groupBy(F.window("ts", "1 hour").alias("w"), "uid")
-        .agg(F.avg("lat").alias("lat"), F.avg("lon").alias("lon"))
-        .select(F.col("w.start").alias("window_ts"), "uid", "lat", "lon")
+        .agg(
+            F.avg("lat").alias("lat"),
+            F.avg(F.sin(lon_rad)).alias("_s"),
+            F.avg(F.cos(lon_rad)).alias("_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_ts"),
+            "uid",
+            "lat",
+            F.degrees(F.atan2("_s", "_c")).alias("lon"),
+        )
     )
     batch = {
         (r["id_a"], r["id_b"], r["bucket_ts"].hour, r["distance_m"])

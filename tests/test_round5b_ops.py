@@ -872,8 +872,10 @@ def test_global_rank_rejects_collision_and_empty_order(spark):
 
 
 def test_global_rank_plan_has_no_global_sort_window(spark):
-    """The corpus-sized window must be partitioned (by the range
-    partition id); only the tiny offsets table gets a global window."""
+    """The corpus-sized row_number window must be PARTITIONED by the
+    range-partition id (the pinned checkpoint hides the range exchange
+    itself from the final plan); only the tiny offsets table gets a
+    global window."""
     from knot_another_pipeline_spark.operators.relational import global_rank
 
     df = spark.createDataFrame(
@@ -885,9 +887,14 @@ def test_global_rank_plan_has_no_global_sort_window(spark):
         .executedPlan()
         .toString()
     )
-    assert "rangepartitioning" in plan.lower()
-    # the big-side window is keyed by _gr_pid, never empty-partition
-    assert "Window [row_number()" in plan or "row_number" in plan
+    import re
+
+    row_number_specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan
+    )
+    assert row_number_specs, "row_number window missing from plan"
+    for spec in row_number_specs:
+        assert "_gr_pid" in spec, f"row_number window not keyed: {spec}"
 
 
 def test_build_vocab_and_encode_roundtrip(spark):
@@ -936,3 +943,19 @@ def test_build_vocab_cap_is_prefix_of_uncapped(spark):
         for r in build_vocab(df, text_col="text", max_size=5).collect()
     }
     assert capped == {t: i for t, i in full.items() if i <= 5}
+
+
+def test_radius_pairs_large_radius_exact_lon_bound(spark):
+    """Regression: at high latitude a linearized lon-cell size
+    understates the true longitude separation of an in-radius pair —
+    the exact spherical bound (2·asin(sin(r/2R)/cos φ)) must not lose
+    this pair (lat 74.9°, lons 89.99° and -175.01°, ~2463 km apart)."""
+    from knot_another_pipeline_spark.operators.pairs import radius_pairs
+
+    rows = [(1, 74.9, 89.99), (2, 74.9, -175.01), (3, -60.0, 0.0)]
+    df = spark.createDataFrame(rows, "pid: bigint, lat: double, lon: double")
+    out = radius_pairs(df, id_col="pid", radius_m=2_466_000.0).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    d = next(r.distance_m for r in out if (r.id_a, r.id_b) == (1, 2))
+    assert d == pytest.approx(_hav_m((74.9, 89.99), (74.9, -175.01)), abs=0.01)
