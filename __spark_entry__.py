@@ -39,6 +39,7 @@ _PRIORITY = [
     "speed_filter",
     "build_vocab",
     "encode_documents",
+    "dwell_segments",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet
@@ -56,7 +57,6 @@ _PRIORITY = [
     "json_extract_stats",
     "reaggregate_monthly",
     "ntile_deciles",
-    "normalize_docs",
     "pagerank",
     "journey_topk",
     "asof_join",
@@ -78,18 +78,21 @@ _PRIORITY = [
     "embedding_centroids",
     "track_interpolate",
     "table_profile",
-    # --- 50-key window boundary: with 57 never-gated keys and a 50-key
-    # window, seven rotate to the next round. Each is deferred because
+    # --- 50-key window boundary: with 58 never-gated keys and a 50-key
+    # window, eight rotate to the next round. Each is deferred because
     # an in-window relative pins its family's semantics:
-    # ngram_topk (corpus n-gram stats ≈ in-window pmi_topk, same
-    # row-local gram build + count shape), anomaly_zscore (group-stats
-    # join-back family ≈ winsorized_stats), keyword_search (TF-IDF
-    # sibling of bm25_search, same postings shape), value_histogram
-    # (equi-width histogram inside histogram_drift), zorder_key
-    # (bit-exact unit tests, pure codegen), length_percentile_rank
-    # (per-group rank family ≈ ntile_deciles), media_resize
-    # (multimodal family gated via meta/frames/features in r4). All
-    # stay green in the in-repo differential.
+    # normalize_docs (canonicalization expressions exercised inside the
+    # hash-gated exact/minhash dedup chain), ngram_topk (corpus n-gram
+    # stats ≈ in-window pmi_topk, same row-local gram build + count
+    # shape), anomaly_zscore (group-stats join-back family ≈
+    # winsorized_stats), keyword_search (TF-IDF sibling of bm25_search,
+    # same postings shape), value_histogram (equi-width histogram
+    # inside histogram_drift), zorder_key (bit-exact unit tests, pure
+    # codegen), length_percentile_rank (per-group rank family ≈
+    # ntile_deciles), media_resize (multimodal family gated via
+    # meta/frames/features in r4). All stay green in the in-repo
+    # differential.
+    "normalize_docs",
     "ngram_topk",
     "anomaly_zscore",
     "keyword_search",
@@ -102,7 +105,7 @@ _PRIORITY = [
 # Representatives of already-hash-verified families, queued AFTER the
 # whole priority list: the first 50 priority keys fill the driver's
 # observed 50-key window exactly; if the window is larger this round,
-# the 7 deferred priority keys (positions 51-57) enter first and these
+# the 8 deferred priority keys (positions 51-58) enter first and these
 # flagship queries only after them. The families trimmed out
 # of the window in r5 (normalize_ts, stable_bucket, pricing_summary,
 # sessionize, text_stats, corpus_prep, token_budget, minhash_pairs,

@@ -4062,6 +4062,68 @@ LEFT JOIN (
 """
 
 
+def q_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell/stop detection (operators/tracks.py dwell_segments):
+    gaps-and-islands over a 500 km movement flag, segments ≥ 1 h —
+    lag + running-sum windows sharing one entity shuffle, circular
+    longitude centroid."""
+    from knot_another_pipeline_spark.operators.tracks import dwell_segments
+
+    pos = _positions(spark, sf_dir)
+    return dwell_segments(
+        pos,
+        uid_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        move_threshold_m=500_000.0,
+        min_duration_s=3600,
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_DWELL_SEGMENTS = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+lagged AS (
+  SELECT uid, event_id, ts, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM pos
+  WINDOW w AS (PARTITION BY uid ORDER BY ts ASC, event_id ASC)),
+flagged AS (
+  SELECT uid, event_id, ts, lat, lon,
+         CASE WHEN plat IS NULL THEN 1
+              WHEN 2 * 6371000.0 * asin(sqrt(
+                     pow(sin(radians(lat - plat) / 2), 2)
+                     + cos(radians(plat)) * cos(radians(lat))
+                       * pow(sin(radians(lon - plon) / 2), 2)))
+                   > 500000.0 THEN 1
+              ELSE 0 END AS mv
+  FROM lagged),
+isl AS (
+  SELECT uid, ts, lat, lon,
+         sum(mv) OVER (PARTITION BY uid ORDER BY ts ASC, event_id ASC)
+           AS island
+  FROM flagged),
+seg AS (
+  SELECT uid, island,
+         min(ts) AS start_ts, max(ts) AS end_ts,
+         CAST(count(*) AS BIGINT) AS n_fixes,
+         round(avg(lat), 6) AS center_lat,
+         round(degrees(atan2(avg(sin(radians(lon))),
+                             avg(cos(radians(lon))))), 6) AS center_lon
+  FROM isl GROUP BY 1, 2)
+SELECT uid, start_ts, end_ts,
+       -- per-timestamp second truncation, mirroring Spark's
+       -- timestamp->long cast (NOT a fractional-epoch difference)
+       CAST(floor(epoch(end_ts)) - floor(epoch(start_ts)) AS BIGINT)
+         AS duration_s,
+       n_fixes, center_lat, center_lon
+FROM seg
+WHERE n_fixes >= 2
+  AND floor(epoch(end_ts)) - floor(epoch(start_ts)) >= 3600
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4188,6 +4250,7 @@ QUERIES = {
     "speed_filter": q_speed_filter,
     "build_vocab": q_build_vocab,
     "encode_documents": q_encode_documents,
+    "dwell_segments": q_dwell_segments,
 }
 
 ORACLES = {
@@ -4299,4 +4362,5 @@ ORACLES = {
     "speed_filter": ORACLE_SPEED_FILTER,
     "build_vocab": ORACLE_BUILD_VOCAB,
     "encode_documents": ORACLE_ENCODE_DOCUMENTS,
+    "dwell_segments": ORACLE_DWELL_SEGMENTS,
 }

@@ -175,3 +175,87 @@ def speed_filter(
     if drop:
         return out.filter(F.col("flag") == "ok").drop("speed_mps", "flag")
     return out
+
+
+def dwell_segments(
+    df: DataFrame,
+    *,
+    uid_col: str = "uid",
+    ts_col: str = "event_ts",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    move_threshold_m: float = 500.0,
+    min_duration_s: int = 1800,
+    min_fixes: int = 2,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Stop/dwell detection: maximal runs of consecutive fixes where the
+    entity moved ≤ ``move_threshold_m`` between fixes, lasting ≥
+    ``min_duration_s`` — anchorage/port-call detection for vessels,
+    dwell-time analytics for any moving entity.
+
+    Gaps-and-islands on a movement flag: per entity in time order, a
+    fix starts a new island when it is the first fix or its haversine
+    displacement from the previous fix exceeds the threshold; the
+    island id is the running sum of that flag (``interval_merge``'s
+    pattern — one lag + one running-sum window SHARING the same
+    entity-key shuffle, never an overlap self-join). Each island then
+    aggregates to one segment row; the dwell centroid uses the
+    CIRCULAR longitude mean (atan2 of mean sin/cos) so an anchorage on
+    the antimeridian doesn't average to the wrong hemisphere.
+
+    Pass ``tiebreak_col`` when (uid, ts) may repeat — same
+    determinism contract as :func:`speed_filter`.
+
+    Output: uid, start_ts, end_ts, duration_s, n_fixes, center_lat,
+    center_lon (coords rounded 6).
+    """
+    if move_threshold_m <= 0:
+        raise ValueError(
+            f"move_threshold_m must be > 0, got {move_threshold_m}"
+        )
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(uid_col).orderBy(*order)
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    prev_lat, prev_lon = F.lag(lat).over(w), F.lag(lon).over(w)
+    moved = F.when(prev_lat.isNull(), F.lit(1)).otherwise(
+        (haversine_m(prev_lat, prev_lon, lat, lon)
+         > F.lit(float(move_threshold_m))).cast("int")
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lon_rad = F.radians(lon)
+    return (
+        df.withColumn("_mv", moved)
+        .withColumn("_island", F.sum("_mv").over(w_run))
+        .groupBy(F.col(uid_col).alias("uid"), "_island")
+        .agg(
+            F.min(F.col(ts_col)).alias("start_ts"),
+            F.max(F.col(ts_col)).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.round(F.avg(lat), 6).alias("center_lat"),
+            F.round(
+                F.degrees(
+                    F.atan2(F.avg(F.sin(lon_rad)), F.avg(F.cos(lon_rad)))
+                ),
+                6,
+            ).alias("center_lon"),
+        )
+        .withColumn(
+            "duration_s",
+            (
+                F.col("end_ts").cast("timestamp").cast("long")
+                - F.col("start_ts").cast("timestamp").cast("long")
+            ),
+        )
+        .filter(
+            (F.col("n_fixes") >= F.lit(min_fixes))
+            & (F.col("duration_s") >= F.lit(min_duration_s))
+        )
+        .select(
+            "uid", "start_ts", "end_ts", "duration_s", "n_fixes",
+            "center_lat", "center_lon",
+        )
+    )

@@ -959,3 +959,70 @@ def test_radius_pairs_large_radius_exact_lon_bound(spark):
     assert (1, 2) in pairs
     d = next(r.distance_m for r in out if (r.id_a, r.id_b) == (1, 2))
     assert d == pytest.approx(_hav_m((74.9, 89.99), (74.9, -175.01)), abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# dwell_segments: island construction, duration/fix gates, circular centroid
+# ---------------------------------------------------------------------------
+
+
+def test_dwell_segments_detects_stop_between_transits(spark):
+    from knot_another_pipeline_spark.operators.tracks import dwell_segments
+
+    rows = [
+        # transit fix far away
+        (1, "A", "2024-01-01 00:00:00", 30.0, 30.0),
+        # 2-hour dwell: three fixes within ~100 m
+        (2, "A", "2024-01-01 06:00:00", 10.0000, 20.0000),
+        (3, "A", "2024-01-01 07:00:00", 10.0005, 20.0000),
+        (4, "A", "2024-01-01 08:00:00", 10.0000, 20.0005),
+        # departure
+        (5, "A", "2024-01-01 09:00:00", 15.0, 25.0),
+        # B: short stop below min duration
+        (6, "B", "2024-01-01 00:00:00", 0.0, 0.0),
+        (7, "B", "2024-01-01 00:10:00", 0.0001, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, uid: string, ts: string, lat: double, lon: double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dwell_segments(
+        df,
+        uid_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        move_threshold_m=500.0,
+        min_duration_s=3600,
+        tiebreak_col="event_id",
+    ).collect()
+    assert len(out) == 1
+    seg = out[0]
+    assert seg.uid == "A"
+    assert seg.n_fixes == 3
+    assert seg.duration_s == 7200
+    assert seg.center_lat == pytest.approx(10.000167, abs=1e-5)
+    assert str(seg.start_ts).startswith("2024-01-01 06:00")
+
+
+def test_dwell_segments_circular_centroid_on_antimeridian(spark):
+    from knot_another_pipeline_spark.operators.tracks import dwell_segments
+
+    rows = [
+        (1, "A", "2024-01-01 00:00:00", 5.0, 179.9995),
+        (2, "A", "2024-01-01 01:00:00", 5.0, -179.9995),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, uid: string, ts: string, lat: double, lon: double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    seg = dwell_segments(
+        df,
+        uid_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        move_threshold_m=500.0,
+        min_duration_s=1800,
+        tiebreak_col="event_id",
+    ).collect()[0]
+    # circular mean lands at +-180, never near 0
+    assert abs(abs(seg.center_lon) - 180.0) < 0.01
