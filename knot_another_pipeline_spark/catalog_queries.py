@@ -4124,6 +4124,41 @@ WHERE n_fixes >= 2
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fraction sampling (operators/sampling.py
+    stratified_sample): en keeps 50%, de 20%, other languages 10% — a
+    pure map-side stable-hash filter, no shuffle, identical ids in any
+    engine."""
+    from knot_another_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        group_col="lang",
+        id_col="doc_id",
+        fractions={"en": 0.5, "de": 0.2},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+_SS_BUCKET = (
+    "(CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296"
+    " + CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT)) % 10000"
+)
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_SS_BUCKET} < CASE lang
+  WHEN 'en' THEN 5000
+  WHEN 'de' THEN 2000
+  ELSE 1000 END
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4251,6 +4286,7 @@ QUERIES = {
     "build_vocab": q_build_vocab,
     "encode_documents": q_encode_documents,
     "dwell_segments": q_dwell_segments,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -4363,4 +4399,5 @@ ORACLES = {
     "build_vocab": ORACLE_BUILD_VOCAB,
     "encode_documents": ORACLE_ENCODE_DOCUMENTS,
     "dwell_segments": ORACLE_DWELL_SEGMENTS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }

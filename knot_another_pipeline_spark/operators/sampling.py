@@ -356,3 +356,49 @@ def stratified_cap(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum FRACTION sampling — the reproducible
+    ``df.sampleBy``: each group keeps its configured share of rows,
+    chosen by stable id hash instead of RNG, so reruns, appends, and
+    other engines (the DuckDB oracle) select the identical ids.
+
+    Complements :func:`stratified_cap` (exact per-group row CAP): a cap
+    bounds absolute volume, a fraction preserves relative composition —
+    down-sampling an over-represented language to 10% keeps its
+    internal distribution intact. Unlisted groups get
+    ``default_fraction`` (0 = drop, 1 = keep all).
+
+    A pure map-side filter — no shuffle, no per-group state: the
+    fraction lookup compiles to a CASE chain over the group column and
+    the keep decision is ``stable_bucket(id) < fraction·buckets``.
+    Granularity is 1/``buckets`` (default 10⁴ → 0.01 %); as with
+    hash_sample, a larger fraction's selection is a SUPERSET of a
+    smaller one's, so tightening a mix never resamples ids.
+
+    Output: input rows that survive their stratum's fraction.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0, 1], got {default_fraction}"
+        )
+    cutoff = F.lit(int(round(default_fraction * buckets)))
+    for g, f in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(group_col) == F.lit(g), F.lit(int(round(f * buckets)))
+        ).otherwise(cutoff)
+    return df.filter(
+        stable_bucket(F.col(id_col).cast("string"), buckets) < cutoff
+    )

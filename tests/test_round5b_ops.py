@@ -1026,3 +1026,64 @@ def test_dwell_segments_circular_centroid_on_antimeridian(spark):
     ).collect()[0]
     # circular mean lands at +-180, never near 0
     assert abs(abs(seg.center_lon) - 180.0) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample: per-group fractions, superset monotonicity
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_fractions_and_superset(spark):
+    from knot_another_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: bigint, grp: string")
+    half = stratified_sample(
+        df, group_col="grp", id_col="id", fractions={"a": 0.5},
+        default_fraction=0.1,
+    )
+    by_grp = {
+        r.grp: r.n
+        for r in half.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert 400 <= by_grp["a"] <= 600      # ~50% of 1000
+    assert 50 <= by_grp.get("b", 0) <= 160  # ~10% of 1000
+    # monotone: a tighter fraction selects a subset of the looser draw
+    tight = {
+        r.id
+        for r in stratified_sample(
+            df, group_col="grp", id_col="id", fractions={"a": 0.2},
+            default_fraction=0.0,
+        ).collect()
+    }
+    loose = {
+        r.id
+        for r in stratified_sample(
+            df, group_col="grp", id_col="id", fractions={"a": 0.5},
+            default_fraction=0.0,
+        ).collect()
+    }
+    assert tight <= loose
+    # rerun determinism
+    again = {
+        r.id
+        for r in stratified_sample(
+            df, group_col="grp", id_col="id", fractions={"a": 0.2},
+            default_fraction=0.0,
+        ).collect()
+    }
+    assert again == tight
+
+
+def test_stratified_sample_rejects_bad_fraction(spark):
+    from knot_another_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id: bigint, grp: string")
+    with pytest.raises(ValueError):
+        stratified_sample(
+            df, group_col="grp", id_col="id", fractions={"a": 1.5}
+        )
