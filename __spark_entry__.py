@@ -41,13 +41,13 @@ _PRIORITY = [
     "encode_documents",
     "dwell_segments",
     "stratified_sample",
+    "conversion_attribution",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet
     "cdc_apply",
     "scd2_history",
     "interval_merge",
-    "pivot_daily",
     "unpivot_metrics",
     "period_over_period",
     "funnel_steps",
@@ -78,10 +78,11 @@ _PRIORITY = [
     "weighted_sample",
     "embedding_centroids",
     "table_profile",
-    # --- 50-key window boundary: with 59 never-gated keys and a 50-key
-    # window, nine rotate to the next round. Each is deferred because
+    # --- 50-key window boundary: with 60 never-gated keys and a 50-key
+    # window, ten rotate to the next round. Each is deferred because
     # an in-window relative pins its family's semantics:
-    # track_interpolate (grid-explode + as-of compose, pinned by
+    # pivot_daily (conditional-agg pivot exercised by in-window
+    # cohort_retention's retention matrix), track_interpolate (grid-explode + as-of compose, pinned by
     # in-window asof_join), normalize_docs (canonicalization expressions exercised inside the
     # hash-gated exact/minhash dedup chain), ngram_topk (corpus n-gram
     # stats ≈ in-window pmi_topk, same row-local gram build + count
@@ -93,6 +94,7 @@ _PRIORITY = [
     # ntile_deciles), media_resize (multimodal family gated via
     # meta/frames/features in r4). All stay green in the in-repo
     # differential.
+    "pivot_daily",
     "track_interpolate",
     "normalize_docs",
     "ngram_topk",
@@ -107,7 +109,7 @@ _PRIORITY = [
 # Representatives of already-hash-verified families, queued AFTER the
 # whole priority list: the first 50 priority keys fill the driver's
 # observed 50-key window exactly; if the window is larger this round,
-# the 9 deferred priority keys (positions 51-59) enter first and these
+# the 10 deferred priority keys (positions 51-60) enter first and these
 # flagship queries only after them. The families trimmed out
 # of the window in r5 (normalize_ts, stable_bucket, pricing_summary,
 # sessionize, text_stats, corpus_prep, token_budget, minhash_pairs,

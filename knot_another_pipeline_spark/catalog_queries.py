@@ -4159,6 +4159,56 @@ WHERE {_SS_BUCKET} < CASE lang
 """
 
 
+def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution for purchases against click/view
+    touches within a 3-day lookback (operators/behavior.py
+    conversion_attribution): ONE rangeBetween window over the
+    touch∪conversion union per user — never the quadratic
+    conversions×touches self-join."""
+    from knot_another_pipeline_spark.operators.behavior import (
+        conversion_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_attribution(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_seconds=3 * 86400,
+    )
+
+
+ORACLE_CONVERSION_ATTRIBUTION = """
+WITH base AS (
+  SELECT user_id AS "user", ts, event_type AS etype,
+         CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS us
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view')),
+tagged AS (
+  SELECT "user", ts, etype,
+         min(CASE WHEN etype IN ('click', 'view')
+                  THEN lpad(CAST(us AS VARCHAR), 20, '0') || '|' || etype
+             END) OVER w AS f,
+         max(CASE WHEN etype IN ('click', 'view')
+                  THEN lpad(CAST(us AS VARCHAR), 20, '0') || '|' || etype
+             END) OVER w AS l
+  FROM base
+  WINDOW w AS (PARTITION BY "user" ORDER BY us
+               RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW))
+SELECT "user", ts AS conv_ts,
+       to_timestamp(CAST(substr(f, 1, 20) AS BIGINT) / 1000000.0)
+         AS first_touch_ts,
+       substr(f, 22) AS first_touch_type,
+       to_timestamp(CAST(substr(l, 1, 20) AS BIGINT) / 1000000.0)
+         AS last_touch_ts,
+       substr(l, 22) AS last_touch_type
+FROM tagged WHERE etype = 'purchase'
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4287,6 +4337,7 @@ QUERIES = {
     "encode_documents": q_encode_documents,
     "dwell_segments": q_dwell_segments,
     "stratified_sample": q_stratified_sample,
+    "conversion_attribution": q_conversion_attribution,
 }
 
 ORACLES = {
@@ -4400,4 +4451,5 @@ ORACLES = {
     "encode_documents": ORACLE_ENCODE_DOCUMENTS,
     "dwell_segments": ORACLE_DWELL_SEGMENTS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "conversion_attribution": ORACLE_CONVERSION_ATTRIBUTION,
 }

@@ -25,7 +25,7 @@ single pass over events — the scan dominates, as it should at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["funnel", "cohort_retention", "journey_topk"]
 
@@ -209,3 +209,83 @@ def journey_topk(
     return counted.orderBy(
         F.col("n_sessions").desc(), F.col("journey").asc()
     ).limit(k)
+
+
+def conversion_attribution(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """First- AND last-touch attribution: for every conversion event,
+    the earliest and latest touch event by the same user within the
+    trailing ``lookback_seconds`` — the marketing/growth question
+    ("which touchpoint gets credit?") and, in a data pipeline, the
+    provenance question ("which crawl seeded this document?").
+
+    One ``rangeBetween`` window over the UNION of touches and
+    conversions per user (same single-shuffle shape as
+    ``rolling_stats`` — never the naive conversions×touches range
+    self-join, which is quadratic in per-user activity): each row sees
+    the min/max of a sortable ``zero-padded-epoch|type`` key over
+    touch rows in ``[ts − lookback, ts]``, and only conversion rows
+    are kept. The string key trick keeps the aggregate a plain min/max
+    — portable to any engine (the DuckDB oracle runs the identical
+    expression), no min_by/struct-comparison dependence. A touch at
+    exactly the conversion timestamp is a RANGE peer and is credited.
+
+    Output: user, conv_ts, first_touch_ts, first_touch_type,
+    last_touch_ts, last_touch_type (NULLs when no touch in window).
+    """
+    if lookback_seconds < 1:
+        raise ValueError(
+            f"lookback_seconds must be >= 1, got {lookback_seconds}"
+        )
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type must not be a touch type")
+    base = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    ).filter(F.col("etype").isin([conversion_type, *touch_types]))
+    micros = F.col("ts").cast("timestamp").cast("double") * 1_000_000
+    touch_key = F.when(
+        F.col("etype").isin(list(touch_types)),
+        F.concat(
+            F.lpad(micros.cast("long").cast("string"), 20, "0"),
+            F.lit("|"),
+            F.col("etype"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy(micros.cast("long"))
+        .rangeBetween(-int(lookback_seconds) * 1_000_000, Window.currentRow)
+    )
+    tagged = base.withColumn("_first", F.min(touch_key).over(w)).withColumn(
+        "_last", F.max(touch_key).over(w)
+    )
+    def _ts(key: Column) -> Column:
+        return (
+            F.substring(key, 1, 20).cast("long").cast("double")
+            / 1_000_000
+        ).cast("timestamp")
+
+    def _type(key: Column) -> Column:
+        return F.substring(key, 22, 1000)
+
+    return (
+        tagged.filter(F.col("etype") == conversion_type)
+        .select(
+            "user",
+            F.col("ts").alias("conv_ts"),
+            _ts(F.col("_first")).alias("first_touch_ts"),
+            _type(F.col("_first")).alias("first_touch_type"),
+            _ts(F.col("_last")).alias("last_touch_ts"),
+            _type(F.col("_last")).alias("last_touch_type"),
+        )
+    )

@@ -1087,3 +1087,66 @@ def test_stratified_sample_rejects_bad_fraction(spark):
         stratified_sample(
             df, group_col="grp", id_col="id", fractions={"a": 1.5}
         )
+
+
+# ---------------------------------------------------------------------------
+# conversion_attribution: first/last credit, lookback cutoff
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_attribution_first_last_and_lookback(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        conversion_attribution,
+    )
+
+    rows = [
+        (1, "click", "2024-01-01 00:00:00"),   # outside 1-day lookback
+        (1, "view", "2024-01-02 06:00:00"),    # first in-window touch
+        (1, "click", "2024-01-02 08:00:00"),   # last in-window touch
+        (1, "purchase", "2024-01-02 12:00:00"),
+        (2, "purchase", "2024-01-05 00:00:00"),  # no touches at all
+        (3, "click", "2024-01-01 00:00:00"),
+        (3, "error", "2024-01-01 00:30:00"),   # never a touch type
+        (3, "purchase", "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: bigint, event_type: string, ts: string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.user: r
+        for r in conversion_attribution(
+            df,
+            user_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            conversion_type="purchase",
+            touch_types=["click", "view"],
+            lookback_seconds=86400,
+        ).collect()
+    }
+    assert out[1].first_touch_type == "view"
+    assert str(out[1].first_touch_ts).startswith("2024-01-02 06:00")
+    assert out[1].last_touch_type == "click"
+    assert out[2].first_touch_ts is None and out[2].last_touch_type is None
+    assert out[3].first_touch_type == "click"  # error ignored
+    assert out[3].last_touch_type == "click"
+
+
+def test_conversion_attribution_rejects_overlapping_types(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        conversion_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00")],
+        "user_id: bigint, event_type: string, ts: string",
+    )
+    with pytest.raises(ValueError):
+        conversion_attribution(
+            df,
+            user_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            conversion_type="x",
+            touch_types=["x", "y"],
+        )
