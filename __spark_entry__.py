@@ -79,8 +79,11 @@ _PRIORITY = [
     "embedding_centroids",
     "table_profile",
     # --- 50-key window boundary: with 60 never-gated keys and a 50-key
-    # window, ten rotate to the next round. Each is deferred because
-    # an in-window relative pins its family's semantics:
+    # window, ten must wait. ROTATION COMMITMENT: every deferred key
+    # below moves to the FRONT of this list next round (they become the
+    # oldest never-gated keys), so no key waits more than one round —
+    # deferral is a queue, not an exemption. Each was chosen because an
+    # in-window relative pins its family's semantics this round:
     # pivot_daily (conditional-agg pivot exercised by in-window
     # cohort_retention's retention matrix), track_interpolate (grid-explode + as-of compose, pinned by
     # in-window asof_join), normalize_docs (canonicalization expressions exercised inside the

@@ -4184,26 +4184,30 @@ def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONVERSION_ATTRIBUTION = """
 WITH base AS (
   SELECT user_id AS "user", ts, event_type AS etype,
-         CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS us
+         epoch_us(ts) AS us
   FROM events
   WHERE event_type IN ('purchase', 'click', 'view')),
 tagged AS (
   SELECT "user", ts, etype,
          min(CASE WHEN etype IN ('click', 'view')
-                  THEN lpad(CAST(us AS VARCHAR), 20, '0') || '|' || etype
+                  THEN lpad(CAST(us + 5000000000000000000 AS VARCHAR),
+                            20, '0') || '|' || etype
              END) OVER w AS f,
          max(CASE WHEN etype IN ('click', 'view')
-                  THEN lpad(CAST(us AS VARCHAR), 20, '0') || '|' || etype
+                  THEN lpad(CAST(us + 5000000000000000000 AS VARCHAR),
+                            20, '0') || '|' || etype
              END) OVER w AS l
   FROM base
   WINDOW w AS (PARTITION BY "user" ORDER BY us
                RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW))
 SELECT "user", ts AS conv_ts,
-       to_timestamp(CAST(substr(f, 1, 20) AS BIGINT) / 1000000.0)
-         AS first_touch_ts,
+       -- make_timestamp(us) yields plain TIMESTAMP; to_timestamp would
+       -- return TIMESTAMPTZ and shift under a non-UTC host timezone
+       make_timestamp(CAST(substr(f, 1, 20) AS BIGINT)
+                      - 5000000000000000000) AS first_touch_ts,
        substr(f, 22) AS first_touch_type,
-       to_timestamp(CAST(substr(l, 1, 20) AS BIGINT) / 1000000.0)
-         AS last_touch_ts,
+       make_timestamp(CAST(substr(l, 1, 20) AS BIGINT)
+                      - 5000000000000000000) AS last_touch_ts,
        substr(l, 22) AS last_touch_type
 FROM tagged WHERE etype = 'purchase'
 """

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["funnel", "cohort_retention", "journey_topk"]
+__all__ = [
+    "funnel",
+    "cohort_retention",
+    "journey_topk",
+    "conversion_attribution",
+]
 
 
 def funnel(
@@ -211,6 +216,11 @@ def journey_topk(
     ).limit(k)
 
 
+#: shift applied to epoch micros before zero-padding so the sortable
+#: string key stays sign-free across the full int64 timestamp range
+_KEY_OFFSET_US = 5_000_000_000_000_000_000
+
+
 def conversion_attribution(
     events: DataFrame,
     *,
@@ -252,28 +262,33 @@ def conversion_attribution(
         F.col(ts_col).alias("ts"),
         F.col(type_col).alias("etype"),
     ).filter(F.col("etype").isin([conversion_type, *touch_types]))
-    micros = F.col("ts").cast("timestamp").cast("double") * 1_000_000
+    # exact integer micros (no double roundtrip), shifted by a constant
+    # so PRE-1970 timestamps stay positive — a bare lpad of a negative
+    # epoch would embed '-' mid-string and break the lexicographic
+    # ordering the min/max key relies on. 5e18 covers years 1678-2262
+    # (int64 timestamp range) within 20 digits.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    shifted = micros + F.lit(_KEY_OFFSET_US)
     touch_key = F.when(
         F.col("etype").isin(list(touch_types)),
         F.concat(
-            F.lpad(micros.cast("long").cast("string"), 20, "0"),
+            F.lpad(shifted.cast("string"), 20, "0"),
             F.lit("|"),
             F.col("etype"),
         ),
     )
     w = (
         Window.partitionBy("user")
-        .orderBy(micros.cast("long"))
+        .orderBy(micros)
         .rangeBetween(-int(lookback_seconds) * 1_000_000, Window.currentRow)
     )
     tagged = base.withColumn("_first", F.min(touch_key).over(w)).withColumn(
         "_last", F.max(touch_key).over(w)
     )
     def _ts(key: Column) -> Column:
-        return (
-            F.substring(key, 1, 20).cast("long").cast("double")
-            / 1_000_000
-        ).cast("timestamp")
+        return F.timestamp_micros(
+            F.substring(key, 1, 20).cast("long") - F.lit(_KEY_OFFSET_US)
+        )
 
     def _type(key: Column) -> Column:
         return F.substring(key, 22, 1000)

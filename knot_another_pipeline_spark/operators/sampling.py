@@ -381,7 +381,9 @@ def stratified_sample(
     A pure map-side filter — no shuffle, no per-group state: the
     fraction lookup compiles to a CASE chain over the group column and
     the keep decision is ``stable_bucket(id) < fraction·buckets``.
-    Granularity is 1/``buckets`` (default 10⁴ → 0.01 %); as with
+    Granularity is 1/``buckets`` (default 10⁴ → 0.01 %; cutoffs round
+    HALF-UP, so any fraction ≥ 1/(2·buckets) keeps at least one
+    bucket); as with
     hash_sample, a larger fraction's selection is a SUPERSET of a
     smaller one's, so tightening a mix never resamples ids.
 
@@ -394,10 +396,20 @@ def stratified_sample(
         raise ValueError(
             f"default_fraction must be in [0, 1], got {default_fraction}"
         )
-    cutoff = F.lit(int(round(default_fraction * buckets)))
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+
+    def _cut(f: float) -> int:
+        # consistent half-UP (floor(x+0.5)), not Python's half-to-even:
+        # 0.00005*10000 = 0.5 must keep ONE bucket, not silently zero
+        import math as _math
+
+        return int(_math.floor(f * buckets + 0.5))
+
+    cutoff = F.lit(_cut(default_fraction))
     for g, f in sorted(fractions.items()):
         cutoff = F.when(
-            F.col(group_col) == F.lit(g), F.lit(int(round(f * buckets)))
+            F.col(group_col) == F.lit(g), F.lit(_cut(f))
         ).otherwise(cutoff)
     return df.filter(
         stable_bucket(F.col(id_col).cast("string"), buckets) < cutoff

@@ -207,6 +207,13 @@ def dwell_segments(
     Pass ``tiebreak_col`` when (uid, ts) may repeat — same
     determinism contract as :func:`speed_filter`.
 
+    Fixes with a NULL coordinate are dropped BEFORE island
+    construction: kept, a null row would poison the next row's lag
+    (prev_lat NULL → spurious new-island flag), silently splitting an
+    8-hour dwell into two halves that can each fall under the duration
+    gate. Dropping the row keeps the island contiguous across the gap
+    (the next fix compares against the last VALID position).
+
     Output: uid, start_ts, end_ts, duration_s, n_fixes, center_lat,
     center_lon (coords rounded 6).
     """
@@ -214,6 +221,9 @@ def dwell_segments(
         raise ValueError(
             f"move_threshold_m must be > 0, got {move_threshold_m}"
         )
+    df = df.filter(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    )
     order = [F.col(ts_col).asc()] + (
         [F.col(tiebreak_col).asc()] if tiebreak_col else []
     )

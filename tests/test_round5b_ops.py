@@ -1150,3 +1150,65 @@ def test_conversion_attribution_rejects_overlapping_types(spark):
             conversion_type="x",
             touch_types=["x", "y"],
         )
+
+
+def test_dwell_segments_null_coordinate_does_not_split_island(spark):
+    from knot_another_pipeline_spark.operators.tracks import dwell_segments
+
+    rows = [
+        (1, "A", "2024-01-01 06:00:00", 10.0, 20.0),
+        (2, "A", "2024-01-01 07:00:00", None, None),  # dropped, not a split
+        (3, "A", "2024-01-01 08:00:00", 10.0001, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, uid: string, ts: string, lat: double, lon: double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dwell_segments(
+        df, uid_col="uid", ts_col="ts", lat_col="lat", lon_col="lon",
+        move_threshold_m=500.0, min_duration_s=3600, tiebreak_col="event_id",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_fixes == 2 and out[0].duration_s == 7200
+
+
+def test_conversion_attribution_pre_1970_touch(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        conversion_attribution,
+    )
+
+    rows = [
+        (1, "click", "1969-12-31 23:00:00"),   # negative epoch touch
+        (1, "purchase", "1970-01-01 00:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: bigint, event_type: string, ts: string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = conversion_attribution(
+        df, user_col="user_id", ts_col="ts", type_col="event_type",
+        conversion_type="purchase", touch_types=["click", "view"],
+        lookback_seconds=2 * 3600,
+    ).collect()[0]
+    assert out.first_touch_type == "click"
+    assert str(out.first_touch_ts).startswith("1969-12-31 23:00")
+
+
+def test_stratified_sample_validates_buckets_and_rounds_half_up(spark):
+    from knot_another_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)], "id: bigint, grp: string"
+    )
+    with pytest.raises(ValueError):
+        stratified_sample(
+            df, group_col="grp", id_col="id", fractions={"a": 0.5}, buckets=0
+        )
+    # 0.00005 * 10000 = 0.5 buckets -> half-up keeps ONE bucket, not zero
+    tiny = stratified_sample(
+        df, group_col="grp", id_col="id", fractions={"a": 0.00005}
+    )
+    # one bucket of 10k: expect ~0.01% of ids; on 100 rows almost surely 0,
+    # but the CUTOFF must be 1 (not 0) — check via the plan constant
+    plan = tiny._jdf.queryExecution().optimizedPlan().toString()
+    assert "< 1" in plan or "< CASE" in plan or "1 ELSE" in plan
