@@ -57,6 +57,11 @@ HEADLINE = [
     "winsorized_stats",
     "triangle_stats",
     "radius_pairs",
+    # r5 late additions: track cleaning / tokenization / attribution
+    "speed_filter",
+    "dwell_segments",
+    "encode_documents",
+    "conversion_attribution",
 ]
 
 

@@ -81,6 +81,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="output format (jsonl = one gzip'd JSON object per line, "
         "the common training-data interchange shape)",
     )
+
+    tok = sub.add_parser(
+        "tokenize",
+        help="documents → frequency-ranked vocab + token-id sequences",
+    )
+    tok.add_argument("--input", required=True, help="documents parquet/jsonl")
+    tok.add_argument("--output", required=True, help="output directory")
+    tok.add_argument("--min-count", type=int, default=2)
+    tok.add_argument("--max-size", type=int, default=None)
     return p
 
 
@@ -284,6 +293,54 @@ def main(argv: list[str] | None = None) -> int:
             # explicit schema: an all-filtered corpus writes no footers
             n = reader.count()
             print(f"prepared corpus written to {args.output} ({n} docs)")
+        elif args.cmd == "tokenize":
+            import os
+
+            from pyspark.sql import functions as F
+
+            from knot_another_pipeline_spark.operators.text_analysis import (
+                build_vocab,
+                encode_documents,
+            )
+            from knot_another_pipeline_spark.sources.ingest import (
+                read_jsonl,
+                to_documents,
+            )
+
+            if args.input.endswith((".jsonl", ".json")):
+                docs = to_documents(read_jsonl(spark, args.input))
+            else:
+                docs = spark.read.parquet(args.input)
+            vocab = build_vocab(
+                docs,
+                text_col="text",
+                min_count=args.min_count,
+                max_size=args.max_size,
+            )
+            vocab_path = os.path.join(args.output, "vocab")
+            enc_path = os.path.join(args.output, "encoded")
+            vocab.write.mode("overwrite").parquet(vocab_path)
+            vocab_back = spark.read.parquet(vocab_path)
+            encoded = encode_documents(
+                docs, vocab_back, id_col="doc_id", text_col="text"
+            )
+            encoded.write.mode("overwrite").parquet(enc_path)
+            stats = spark.read.parquet(enc_path).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+                F.sum("n_oov").alias("oov"),
+            ).collect()[0]
+            v_size = vocab_back.count()
+            oov_pct = (
+                100.0 * stats["oov"] / stats["tokens"]
+                if stats["tokens"]
+                else 0.0
+            )
+            print(
+                f"vocab {v_size} tokens -> {vocab_path}; encoded "
+                f"{stats['docs']} docs / {stats['tokens']} tokens "
+                f"({oov_pct:.2f}% OOV) -> {enc_path}"
+            )
         return 0
     finally:
         pass  # session is process-scoped; let exit tear it down

@@ -975,3 +975,38 @@ def test_streaming_radius_pairs_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_cli_tokenize(spark, tmp_path):
+    """tokenize end-to-end: JSONL in → vocab parquet + encoded token-id
+    sequences with OOV accounting."""
+    import json
+
+    from knot_another_pipeline_spark.__main__ import main
+
+    src = tmp_path / "tok.jsonl"
+    lines = [
+        json.dumps({"id": 1, "text": "alpha beta alpha gamma"}),
+        json.dumps({"id": 2, "text": "alpha beta rare"}),
+        json.dumps({"id": 3, "text": "alpha"}),
+    ]
+    src.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "tokenized"
+    rc = main([
+        "tokenize", "--input", str(src), "--output", str(out),
+        "--min-count", "2",
+    ])
+    assert rc == 0
+    vocab = {
+        r["token"]: r["token_id"]
+        for r in spark.read.parquet(str(out / "vocab")).collect()
+    }
+    # alpha:4 -> 1, beta:2 -> 2; gamma/rare below min_count
+    assert vocab == {"alpha": 1, "beta": 2}
+    enc = {
+        r["id"]: r
+        for r in spark.read.parquet(str(out / "encoded")).collect()
+    }
+    assert enc[1]["token_ids"] == [1, 2, 1, 0]
+    assert enc[1]["n_oov"] == 1
+    assert enc[3]["token_ids"] == [1] and enc[3]["n_oov"] == 0
