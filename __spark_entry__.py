@@ -42,6 +42,7 @@ _PRIORITY = [
     "dwell_segments",
     "stratified_sample",
     "conversion_attribution",
+    "hybrid_search",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet
@@ -55,7 +56,6 @@ _PRIORITY = [
     "skew_join",
     "fuzzy_match",
     "resample_daily",
-    "json_extract_stats",
     "reaggregate_monthly",
     "ntile_deciles",
     "pagerank",
@@ -78,12 +78,13 @@ _PRIORITY = [
     "weighted_sample",
     "embedding_centroids",
     "table_profile",
-    # --- 50-key window boundary: with 60 never-gated keys and a 50-key
-    # window, ten must wait. ROTATION COMMITMENT: every deferred key
+    # --- 50-key window boundary: with 61 never-gated keys and a 50-key
+    # window, eleven must wait. ROTATION COMMITMENT: every deferred key
     # below moves to the FRONT of this list next round (they become the
     # oldest never-gated keys), so no key waits more than one round —
     # deferral is a queue, not an exemption. Each was chosen because an
     # in-window relative pins its family's semantics this round:
+    # json_extract_stats (pure codegen get_json_object extraction),
     # pivot_daily (conditional-agg pivot exercised by in-window
     # cohort_retention's retention matrix), track_interpolate (grid-explode + as-of compose, pinned by
     # in-window asof_join), normalize_docs (canonicalization expressions exercised inside the
@@ -97,6 +98,7 @@ _PRIORITY = [
     # ntile_deciles), media_resize (multimodal family gated via
     # meta/frames/features in r4). All stay green in the in-repo
     # differential.
+    "json_extract_stats",
     "pivot_daily",
     "track_interpolate",
     "normalize_docs",
@@ -112,7 +114,7 @@ _PRIORITY = [
 # Representatives of already-hash-verified families, queued AFTER the
 # whole priority list: the first 50 priority keys fill the driver's
 # observed 50-key window exactly; if the window is larger this round,
-# the 10 deferred priority keys (positions 51-60) enter first and these
+# the 11 deferred priority keys (positions 51-61) enter first and these
 # flagship queries only after them. The families trimmed out
 # of the window in r5 (normalize_ts, stable_bucket, pricing_summary,
 # sessionize, text_stats, corpus_prep, token_budget, minhash_pairs,

@@ -4213,6 +4213,77 @@ FROM tagged WHERE etype = 'purchase'
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/search.py hybrid_search): BM25 top-50
+    fused with exact-cosine top-50 for query vector 7 via reciprocal
+    rank fusion — rank-only fusion, no cross-system score calibration;
+    the fusion stage is bounded by k_each, never the corpus."""
+    from knot_another_pipeline_spark.operators.search import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hybrid_search(
+        docs,
+        emb,
+        id_col="doc_id",
+        text_col="text",
+        query="hash join filter",
+        query_vec_id=7,
+        k=15,
+        k_each=50,
+    )
+    return out.select(
+        "id",
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("vec_rank").cast("bigint").alias("vec_rank"),
+        "rrf_score",
+    )
+
+
+ORACLE_HYBRID_SEARCH = rf"""
+WITH toks AS ({_TOKS_SQL}),
+base AS (SELECT doc_id AS id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
+posting AS (SELECT id, dl, unnest(t) AS token FROM base),
+qt AS (SELECT unnest(['filter', 'hash', 'join']) AS token),
+tf AS (
+  SELECT p.id, p.dl, p.token, CAST(count(*) AS DOUBLE) AS tf
+  FROM posting p JOIN qt USING (token)
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT token, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+bm25 AS (
+  SELECT tf.id,
+         sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl)))
+           AS score
+  FROM tf JOIN dfreq d USING (token) CROSS JOIN stats s
+  GROUP BY tf.id),
+lex AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS lex_rank
+  FROM bm25 QUALIFY lex_rank <= 50),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id = 7),
+cos AS (
+  SELECT e.vec_id AS id,
+         list_dot_product(qv.v, e.v) / (qv.n * sqrt(list_dot_product(e.v, e.v)))
+           AS cos_sim
+  FROM e CROSS JOIN qv WHERE e.vec_id != 7),
+vec AS (
+  SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id ASC) AS vec_rank
+  FROM cos QUALIFY vec_rank <= 50),
+fused AS (
+  SELECT coalesce(lex.id, vec.id) AS id,
+         CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+         CAST(vec.vec_rank AS BIGINT) AS vec_rank,
+         round(coalesce(1.0 / (60 + lex.lex_rank), 0)
+               + coalesce(1.0 / (60 + vec.vec_rank), 0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+SELECT id, lex_rank, vec_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 15
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4342,6 +4413,7 @@ QUERIES = {
     "dwell_segments": q_dwell_segments,
     "stratified_sample": q_stratified_sample,
     "conversion_attribution": q_conversion_attribution,
+    "hybrid_search": q_hybrid_search,
 }
 
 ORACLES = {
@@ -4456,4 +4528,5 @@ ORACLES = {
     "dwell_segments": ORACLE_DWELL_SEGMENTS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "conversion_attribution": ORACLE_CONVERSION_ATTRIBUTION,
+    "hybrid_search": ORACLE_HYBRID_SEARCH,
 }

@@ -8,7 +8,7 @@ hybrid (BM25 + vector) retrieval stack.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from knot_another_pipeline_spark.operators.text_analysis import _tokens
 
@@ -139,3 +139,75 @@ def bm25_search(
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    query: str,
+    query_vec_id: int,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking with the exact
+    cosine vector ranking via RECIPROCAL RANK FUSION —
+    ``rrf(d) = Σ_systems 1/(rrf_k + rank_system(d))`` (Cormack/Clarke/
+    Buettcher, SIGIR'09) — the standard production shape for
+    "keyword + embedding" search (lexical precision + semantic recall)
+    that needs NO score calibration between the two systems: only
+    ranks fuse, never raw scores on incomparable scales.
+
+    Scale shape: each leg is its own already-scale-correct operator
+    (:func:`bm25_search`: query-term postings only;
+    :func:`~knot_another_pipeline_spark.operators.similarity.cosine_topk`:
+    broadcast query × corpus scan) truncated to ``k_each`` rows — the
+    fusion itself (rank windows + full outer join + TakeOrdered) runs
+    on two ≤ ``k_each``-row tables, bounded by the parameter, never by
+    the corpus. A document found by only one system still scores (its
+    missing rank simply contributes nothing).
+
+    Output: id, lex_rank, vec_rank (NULL when absent), rrf_score
+    (rounded 6), best-first, ≤ k rows.
+    """
+    from knot_another_pipeline_spark.operators.similarity import cosine_topk
+
+    if k_each < 1 or k < 1:
+        raise ValueError("k and k_each must be >= 1")
+    lex = bm25_search(
+        docs, id_col=id_col, text_col=text_col, query=query, k=k_each
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    lex_ranked = lex.select(
+        "id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+    vec = cosine_topk(
+        embeddings.filter(F.col(vec_id_col) == query_vec_id),
+        embeddings,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        k=k_each,
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("vec_rank"))
+    fused = (
+        lex_ranked.join(vec, "id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("id").asc()
+    ).limit(k)

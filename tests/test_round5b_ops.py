@@ -1212,3 +1212,76 @@ def test_stratified_sample_validates_buckets_and_rounds_half_up(spark):
     # but the CUTOFF must be 1 (not 0) — check via the plan constant
     plan = tiny._jdf.queryExecution().optimizedPlan().toString()
     assert "< 1" in plan or "< CASE" in plan or "1 ELSE" in plan
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search: RRF fusion vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_search_rrf_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.search import hybrid_search
+
+    docs = {
+        1: "spark join broadcast",
+        2: "join",
+        3: "totally unrelated text here",
+        4: "broadcast join spark join",
+    }
+    vecs = {
+        1: [1.0, 0.0],
+        2: [0.9, 0.1],
+        3: [1.0, 0.05],   # vector-similar to 1 despite unrelated text
+        4: [0.0, 1.0],
+    }
+    ddf = spark.createDataFrame(
+        list(docs.items()), "doc_id: bigint, text: string"
+    )
+    edf = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    out = hybrid_search(
+        ddf,
+        edf,
+        id_col="doc_id",
+        text_col="text",
+        query="join broadcast",
+        query_vec_id=1,
+        k=10,
+        k_each=3,
+    ).collect()
+    # python reference
+    lex_scores = _bm25_ref(docs, ["broadcast", "join"])
+    lex_rank = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted(lex_scores, key=lambda d: (-lex_scores[d], d))[:3]
+        )
+    }
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.array(a, dtype=np.float32), np.array(b, dtype=np.float32)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sims = {d: cos(vecs[1], v) for d, v in vecs.items() if d != 1}
+    vec_rank = {
+        d: i + 1
+        for i, d in enumerate(sorted(sims, key=lambda d: (-sims[d], d))[:3])
+    }
+    expected = {}
+    for d in set(lex_rank) | set(vec_rank):
+        expected[d] = round(
+            (1 / (60 + lex_rank[d]) if d in lex_rank else 0)
+            + (1 / (60 + vec_rank[d]) if d in vec_rank else 0),
+            6,
+        )
+    got = {r.id: r.rrf_score for r in out}
+    assert got == expected
+    # doc 3 (vector-only) and doc 2 (lexical+vector) both present
+    assert 3 in got and 2 in got
+    # ordering is by fused score desc then id
+    assert [r.id for r in out] == sorted(
+        expected, key=lambda d: (-expected[d], d)
+    )
