@@ -93,6 +93,19 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_documents(spark, path: str):
+    """Documents from parquet or JSONL — one loader for every corpus
+    subcommand so input semantics can't drift between them."""
+    from knot_another_pipeline_spark.sources.ingest import (
+        read_jsonl,
+        to_documents,
+    )
+
+    if path.endswith((".jsonl", ".json")):
+        return to_documents(read_jsonl(spark, path))
+    return spark.read.parquet(path)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from knot_another_pipeline_spark.session import get_spark
@@ -223,15 +236,8 @@ def main(argv: list[str] | None = None) -> int:
                 quality_filter,
                 scrub_pii,
             )
-            from knot_another_pipeline_spark.sources.ingest import (
-                read_jsonl,
-                to_documents,
-            )
 
-            if args.input.endswith((".jsonl", ".json")):
-                docs = to_documents(read_jsonl(spark, args.input))
-            else:
-                docs = spark.read.parquet(args.input)
+            docs = _load_documents(spark, args.input)
             # line-clean then PII-scrub BEFORE scoring: quality verdicts
             # and fingerprints must see the text that will be trained on
             cleaned = clean_lines(
@@ -302,15 +308,8 @@ def main(argv: list[str] | None = None) -> int:
                 build_vocab,
                 encode_documents,
             )
-            from knot_another_pipeline_spark.sources.ingest import (
-                read_jsonl,
-                to_documents,
-            )
 
-            if args.input.endswith((".jsonl", ".json")):
-                docs = to_documents(read_jsonl(spark, args.input))
-            else:
-                docs = spark.read.parquet(args.input)
+            docs = _load_documents(spark, args.input)
             vocab = build_vocab(
                 docs,
                 text_col="text",

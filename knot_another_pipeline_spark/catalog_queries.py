@@ -4252,10 +4252,12 @@ tf AS (
 dfreq AS (SELECT token, count(DISTINCT id) AS df FROM tf GROUP BY 1),
 stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
 bm25 AS (
+  -- round BEFORE ranking: the Spark leg ranks on bm25_search's
+  -- round(sum, 6) score, so the oracle must tie-break identically
   SELECT tf.id,
-         sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
              * tf.tf * (1.2 + 1.0)
-             / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl)))
+             / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl))), 6)
            AS score
   FROM tf JOIN dfreq d USING (token) CROSS JOIN stats s
   GROUP BY tf.id),
