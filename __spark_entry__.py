@@ -43,6 +43,7 @@ _PRIORITY = [
     "stratified_sample",
     "conversion_attribution",
     "hybrid_search",
+    "bloom_prune",
     "dq_reconcile",
     "contract_checks",
     # r5 additions — never gated yet
@@ -54,7 +55,6 @@ _PRIORITY = [
     "funnel_steps",
     "cohort_retention",
     "skew_join",
-    "fuzzy_match",
     "resample_daily",
     "reaggregate_monthly",
     "ntile_deciles",
@@ -78,13 +78,14 @@ _PRIORITY = [
     "weighted_sample",
     "embedding_centroids",
     "table_profile",
-    # --- 50-key window boundary: with 61 never-gated keys and a 50-key
-    # window, eleven must wait. ROTATION COMMITMENT: every deferred key
+    # --- 50-key window boundary: with 62 never-gated keys and a 50-key
+    # window, twelve must wait. ROTATION COMMITMENT: every deferred key
     # below moves to the FRONT of this list next round (they become the
     # oldest never-gated keys), so no key waits more than one round —
     # deferral is a queue, not an exemption. Each was chosen because an
     # in-window relative pins its family's semantics this round:
-    # json_extract_stats (pure codegen get_json_object extraction),
+    # fuzzy_match (blocked-candidates-then-exact-verify, the same shape
+    # as in-window prefix_jaccard), json_extract_stats (pure codegen get_json_object extraction),
     # pivot_daily (conditional-agg pivot exercised by in-window
     # cohort_retention's retention matrix), track_interpolate (grid-explode + as-of compose, pinned by
     # in-window asof_join), normalize_docs (canonicalization expressions exercised inside the
@@ -98,6 +99,7 @@ _PRIORITY = [
     # ntile_deciles), media_resize (multimodal family gated via
     # meta/frames/features in r4). All stay green in the in-repo
     # differential.
+    "fuzzy_match",
     "json_extract_stats",
     "pivot_daily",
     "track_interpolate",
@@ -114,7 +116,7 @@ _PRIORITY = [
 # Representatives of already-hash-verified families, queued AFTER the
 # whole priority list: the first 50 priority keys fill the driver's
 # observed 50-key window exactly; if the window is larger this round,
-# the 11 deferred priority keys (positions 51-61) enter first and these
+# the 12 deferred priority keys (positions 51-62) enter first and these
 # flagship queries only after them. The families trimmed out
 # of the window in r5 (normalize_ts, stable_bucket, pricing_summary,
 # sessionize, text_stats, corpus_prep, token_budget, minhash_pairs,

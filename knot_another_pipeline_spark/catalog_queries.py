@@ -4286,6 +4286,54 @@ FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 15
 """
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/relational.py
+    bloom_filter_build/probe): the BUILDING-segment customer keys
+    compress to a 4 KB bit array that pre-filters the orders scan in
+    codegen — no shuffle of the fact side. md5-derived bits make even
+    this probabilistic structure hash-differential-testable: the
+    oracle replays the identical bit set, false positives included."""
+    from knot_another_pipeline_spark.operators.relational import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bloom = bloom_filter_build(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+        "c_custkey",
+        num_bits=1 << 15,
+        num_hashes=4,
+    )
+    out = bloom_filter_probe(orders, "o_custkey", bloom, num_hashes=4)
+    return out.select("o_orderkey", "o_custkey")
+
+
+ORACLE_BLOOM_PRUNE = """
+WITH member_bits AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+               || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 32768
+           AS bit
+  FROM customer, unnest([0, 1, 2, 3]) AS t(i)
+  WHERE c_mktsegment = 'BUILDING'),
+probe_bits AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+               || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 32768
+           AS bit
+  FROM orders, unnest([0, 1, 2, 3]) AS t(i)),
+passing AS (
+  SELECT o_orderkey
+  FROM probe_bits JOIN member_bits USING (bit)
+  GROUP BY o_orderkey
+  HAVING count(*) = 4)
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o JOIN passing USING (o_orderkey)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4416,6 +4464,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "conversion_attribution": q_conversion_attribution,
     "hybrid_search": q_hybrid_search,
+    "bloom_prune": q_bloom_prune,
 }
 
 ORACLES = {
@@ -4531,4 +4580,5 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "conversion_attribution": ORACLE_CONVERSION_ATTRIBUTION,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
+    "bloom_prune": ORACLE_BLOOM_PRUNE,
 }

@@ -836,3 +836,108 @@ def global_rank(
         )
         .drop("_gr_pid", "_gr_off")
     )
+
+
+def bloom_filter_build(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 4,
+) -> list[int]:
+    """Build a Bloom filter over a key set and return it as a compact
+    list of 32-bit words — the classic BIG-JOIN PRUNING primitive: a
+    10⁷-key dimension compresses to a few hundred KB that rides to
+    every executor, so a 100 TB fact table is pre-filtered IN THE SCAN
+    (``bloom_filter_probe``) instead of shuffling all of it into a join
+    that discards most rows. False positives only (rate ≈
+    ``(1 − e^(−k·n/m))^k`` — size ``num_bits`` ≈ 10×|keys| for ~1–2%),
+    never false negatives, so the exact join that follows sees a
+    superset and total semantics are unchanged.
+
+    Hash family is md5-derived (``int(md5(f"{i}:{key}")[:15], 16)``
+    — the engine's standard portable hash), so the identical filter is
+    constructible in any engine with md5(): the DuckDB oracle replays
+    the same bit math, making even this probabilistic structure
+    hash-differential-testable. Bits pack into 32-bit words via ONE
+    ``bit_or`` aggregate over the exploded (word, mask) pairs — the
+    only shuffle is ≤ ``num_bits/32`` rows — and the word table is
+    collected to the driver (num_bits/32 ints; 2¹⁷ bits = 16 KB).
+
+    Returns the dense word list (index = bit // 32).
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash_hex
+
+    if num_bits < 32 or num_bits % 32 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 32")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    bits = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(hash_hex(key_col, seed=i), 16, 10).cast(
+                            "long"
+                        ),
+                        F.lit(num_bits),
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("bit")
+    )
+    words = (
+        bits.select(
+            (F.col("bit") / 32).cast("int").alias("w"),
+            # shiftleft with a COLUMN amount needs the SQL form — the
+            # Python API only takes a literal shift count
+            F.expr("shiftleft(1, cast(bit % 32 AS int))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 32)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def bloom_filter_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom_words: list[int],
+    *,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Keep rows whose key is POSSIBLY in the Bloom filter built by
+    :func:`bloom_filter_build` — the scan-side pre-filter: every bit
+    test is pure codegen against a broadcast 1-row word array, so the
+    fact table is pruned before any shuffle and rows for absent keys
+    never leave the scan stage. Output is a SUPERSET of the true
+    matches (false-positive rate set at build time); follow with the
+    exact join for final semantics.
+    """
+    num_bits = 32 * len(bloom_words)
+    spark = df.sparkSession
+    arr = spark.createDataFrame(
+        [(bloom_words,)], "_bloom: array<int>"
+    )
+    probe = df.crossJoin(F.broadcast(arr))
+    from knot_another_pipeline_spark.functions.hashing import hash_hex
+
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        bit = F.pmod(
+            F.conv(hash_hex(key_col, seed=i), 16, 10).cast("long"),
+            F.lit(num_bits),
+        )
+        probe = probe.withColumn(f"_b{i}", bit)
+        cond = cond & F.expr(
+            f"(element_at(_bloom, cast(_b{i} / 32 AS int) + 1)"
+            f" & shiftleft(1, cast(_b{i} % 32 AS int))) != 0"
+        )
+    return probe.filter(cond).drop(
+        "_bloom", *[f"_b{i}" for i in range(num_hashes)]
+    )

@@ -1285,3 +1285,63 @@ def test_hybrid_search_rrf_matches_reference(spark):
     assert [r.id for r in out] == sorted(
         expected, key=lambda d: (-expected[d], d)
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom filter: no false negatives, bounded false positives, codegen probe
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60)
+)
+def test_bloom_filter_never_false_negative(spark, members):
+    from knot_another_pipeline_spark.operators.relational import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+
+    kdf = spark.createDataFrame([(m,) for m in members], "k: bigint")
+    bloom = bloom_filter_build(kdf, "k", num_bits=1 << 12)
+    probe_keys = sorted(members) + [10**7 + i for i in range(40)]
+    pdf = spark.createDataFrame([(p,) for p in probe_keys], "k: bigint")
+    kept = {r.k for r in bloom_filter_probe(pdf, "k", bloom).collect()}
+    assert members <= kept  # NEVER a false negative
+    # at 4096 bits / <=60 keys, false-positive rate is far below 50%
+    fp = len(kept - members)
+    assert fp < 30
+
+
+def test_bloom_filter_rejects_bad_params(spark):
+    from knot_another_pipeline_spark.operators.relational import (
+        bloom_filter_build,
+    )
+
+    df = spark.createDataFrame([(1,)], "k: bigint")
+    with pytest.raises(ValueError):
+        bloom_filter_build(df, "k", num_bits=100)  # not multiple of 32
+    with pytest.raises(ValueError):
+        bloom_filter_build(df, "k", num_hashes=0)
+
+
+def test_bloom_probe_is_scan_side_filter(spark):
+    """The probe must compile to a broadcast + filter — no shuffle of
+    the probed side, no Python in the path."""
+    from knot_another_pipeline_spark.operators.relational import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+
+    kdf = spark.createDataFrame([(1,), (2,)], "k: bigint")
+    bloom = bloom_filter_build(kdf, "k", num_bits=1 << 10)
+    pdf = spark.createDataFrame([(i,) for i in range(100)], "k: bigint")
+    plan = (
+        bloom_filter_probe(pdf, "k", bloom)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan  # probed side unshuffled
+    assert "BatchEvalPython" not in plan
