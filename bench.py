@@ -62,6 +62,10 @@ HEADLINE = [
     "dwell_segments",
     "encode_documents",
     "conversion_attribution",
+    # r5 late additions: fusion retrieval / join pruning / sketch rollup
+    "hybrid_search",
+    "bloom_prune",
+    "kmv_rollup",
 ]
 
 
