@@ -1345,3 +1345,126 @@ def test_bloom_probe_is_scan_side_filter(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan  # probed side unshuffled
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property tests: attribution and dwell vs brute-force references
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # user
+            st.sampled_from(["click", "view", "purchase"]),  # type
+            st.integers(min_value=0, max_value=100_000),     # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[2]),  # unique (user, ts)
+    ),
+    st.sampled_from([600, 7200]),
+)
+def test_conversion_attribution_matches_bruteforce(spark, rows, lookback):
+    from datetime import datetime, timedelta
+
+    from knot_another_pipeline_spark.operators.behavior import (
+        conversion_attribution,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [(u, t, base + timedelta(seconds=s)) for u, t, s in rows]
+    df = spark.createDataFrame(
+        data, "user_id: bigint, event_type: string, ts: timestamp"
+    )
+    got = {
+        (r.user, r.conv_ts): (
+            r.first_touch_ts,
+            r.first_touch_type,
+            r.last_touch_ts,
+            r.last_touch_type,
+        )
+        for r in conversion_attribution(
+            df,
+            user_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            conversion_type="purchase",
+            touch_types=["click", "view"],
+            lookback_seconds=lookback,
+        ).collect()
+    }
+    expected = {}
+    for u, t, ts in data:
+        if t != "purchase":
+            continue
+        touches = sorted(
+            (ts2, t2)
+            for u2, t2, ts2 in data
+            if u2 == u
+            and t2 in ("click", "view")
+            and ts - timedelta(seconds=lookback) <= ts2 <= ts
+        )
+        if touches:
+            expected[(u, ts)] = (
+                touches[0][0], touches[0][1], touches[-1][0], touches[-1][1]
+            )
+        else:
+            expected[(u, ts)] = (None, None, None, None)
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # uid
+            st.integers(min_value=0, max_value=50),     # hour offset
+            st.floats(min_value=-60, max_value=60),     # lat
+            st.floats(min_value=-170, max_value=170),   # lon
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_dwell_segments_matches_bruteforce(spark, rows):
+    from datetime import datetime, timedelta
+
+    from knot_another_pipeline_spark.operators.tracks import dwell_segments
+
+    base = datetime(2024, 1, 1)
+    thr, min_dur = 100_000.0, 3600
+    data = sorted(
+        (u, base + timedelta(hours=h), la, lo) for u, h, la, lo in rows
+    )
+    df = spark.createDataFrame(
+        [(i, u, ts, la, lo) for i, (u, ts, la, lo) in enumerate(data)],
+        "event_id: bigint, uid: bigint, ts: timestamp, lat: double, lon: double",
+    )
+    got = {
+        (r.uid, r.start_ts, r.end_ts): r.n_fixes
+        for r in dwell_segments(
+            df, uid_col="uid", ts_col="ts", lat_col="lat", lon_col="lon",
+            move_threshold_m=thr, min_duration_s=min_dur,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    # brute force: per uid in time order, islands break on movement > thr
+    expected = {}
+    for uid in {u for u, *_ in data}:
+        track = [(ts, la, lo) for u, ts, la, lo in data if u == uid]
+        islands, cur = [], [track[0]]
+        for prev, nxt in zip(track, track[1:]):
+            if _hav_m(prev[1:], nxt[1:]) > thr:
+                islands.append(cur)
+                cur = [nxt]
+            else:
+                cur.append(nxt)
+        islands.append(cur)
+        for isl in islands:
+            dur = (isl[-1][0] - isl[0][0]).total_seconds()
+            if len(isl) >= 2 and dur >= min_dur:
+                expected[(uid, isl[0][0], isl[-1][0])] = len(isl)
+    assert got == expected
