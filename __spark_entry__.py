@@ -111,6 +111,19 @@ _PRIORITY = [
     "zorder_key",
     "length_percentile_rank",
     "media_resize",
+    # round-5 final additions — newer than the deferred keys above, so
+    # they queue BEHIND them (the rotation commitment is FIFO by age of
+    # first deferral). Family relatives already in the window this
+    # round: pack_sequences ≈ shard_assign's prefix-sum (gated r3),
+    # kmeans_step shares assign_cells with in-window semantic_dedup's
+    # chain, link_prediction ≈ triangle_stats' wedge join,
+    # label_vote ≈ grouped_topk's per-group argmax, canonical_docs
+    # composes the hash-gated minhash chain + dedup_components.
+    "pack_sequences",
+    "kmeans_step",
+    "link_prediction",
+    "label_vote",
+    "canonical_docs",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -66,6 +66,12 @@ HEADLINE = [
     "hybrid_search",
     "bloom_prune",
     "kmv_rollup",
+    # r5 final additions: packing / clustering / link prediction / consensus
+    "pack_sequences",
+    "kmeans_step",
+    "link_prediction",
+    "label_vote",
+    "canonical_docs",
 ]
 
 
@@ -84,6 +90,20 @@ def main() -> None:
         app_name="knot-another-pipeline-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # Measurement hygiene for a 41-query single-session run. Spark
+        # frees broadcast/shuffle blocks only when the *driver* JVM GCs
+        # (ContextCleaner holds weak refs); with a 24g heap and a default
+        # periodicGC.interval of 30min the driver never GCs during the
+        # run, so executors accumulate every prior query's blocks and
+        # late-listed queries measure slower than the same query in
+        # isolation (observed: radius_pairs 6.3s at position 34 vs 1.0s
+        # isolated — same code, same data). Not needed on a real cluster,
+        # where executor churn and per-executor heaps bound accumulation.
+        extra_conf={
+            "spark.cleaner.periodicGC.interval": "30s",
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "8",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -126,6 +146,16 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in names:
         fn = bench_fns[name]
+        # Untimed inter-query GC: releases the previous query's dead
+        # broadcast/shuffle blocks via ContextCleaner so each query is
+        # measured against a clean executor, not the accumulated debris
+        # of every query listed before it. Each timed sample still pays
+        # its own full execution — nothing about the measured plan is
+        # pre-warmed by this.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # Spark Connect: no py4j JVM handle; periodicGC covers it
         samples = []
         for _ in range(n_samples):
             t0 = time.perf_counter()

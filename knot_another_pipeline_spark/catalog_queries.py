@@ -4334,6 +4334,205 @@ FROM orders o JOIN passing USING (o_orderkey)
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token training windows
+    (operators/sampling.py pack_sequences): the id-ordered distributed
+    prefix-sum (no global window), then row-local pack arithmetic. The
+    oracle's single-window cumsum proves the bucketed prefix-sum exact."""
+    from knot_another_pipeline_spark.operators.sampling import pack_sequences
+    from knot_another_pipeline_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs.withColumn("n_tok", token_count(F.col("text"))),
+        id_col="doc_id",
+        token_col="n_tok",
+        seq_len=512,
+    )
+
+
+ORACLE_PACK_SEQUENCES = rf"""
+WITH toks AS ({_TOKS_SQL}),
+n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM n)
+SELECT doc_id AS id, n_tokens,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_pack,
+       CAST(floor((cum - 1) / 512.0)
+            - floor((cum - n_tokens) / 512.0) + 1 AS BIGINT)
+         AS n_packs_spanned
+FROM c
+"""
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration over the embeddings
+    (operators/similarity.py kmeans_step): md5-hash-sample init, argmax
+    assignment collapsed map-side, posexplode centroid update, L2 shift
+    as the convergence signal — the oracle replays the identical step."""
+    from knot_another_pipeline_spark.operators.similarity import kmeans_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_step(
+        emb, id_col="vec_id", vec_col="embedding", num_centroids=8
+    )
+
+
+ORACLE_KMEANS_STEP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+cents AS (SELECT vec_id AS cent_id, v AS centv, nn AS centn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT n.vec_id, n.v, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.centv) / (n.nn * c.centn) DESC,
+                      c.cent_id ASC) AS rn
+    FROM n CROSS JOIN cents c) WHERE rn = 1),
+flat AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS comp
+         FROM assigned),
+agg AS (SELECT cell, pos, avg(comp) AS m, count(*) AS nv
+        FROM flat GROUP BY 1, 2),
+newc AS (SELECT cell, CAST(max(nv) AS BIGINT) AS n_vectors,
+                list(round(m, 6) ORDER BY pos) AS new_centroid
+         FROM agg GROUP BY cell),
+shiftt AS (SELECT a.cell,
+                  round(sqrt(sum(pow(a.m - c.centv[a.pos], 2))), 6) AS shift
+           FROM agg a JOIN cents c ON c.cent_id = a.cell GROUP BY a.cell)
+SELECT n.cell, n.n_vectors, n.new_centroid, s.shift
+FROM newc n JOIN shiftt s USING (cell)
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (operators/graph.py
+    common_neighbor_scores) over the order↔part co-purchase graph:
+    parts sharing ≥2 orders, wedges generated only through shared
+    neighbors with the degree-10 apex cap keeping part hubs out of the
+    quadratic role (orders have bounded degree; parts do not)."""
+    from knot_another_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return common_neighbor_scores(
+        edges, min_common=2, max_degree=10, exclude_existing=True
+    )
+
+
+ORACLE_LINK_PREDICTION = """
+WITH e AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS u, 'p:' || l_partkey AS v
+  FROM lineitem),
+adj AS (SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v AS node, u AS nbr FROM e),
+deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY 1),
+apex AS (SELECT a.node, a.nbr FROM adj a
+         JOIN deg d ON d.node = a.nbr WHERE d.degree <= 10),
+pairs AS (
+  SELECT w1.node AS node_a, w2.node AS node_b,
+         CAST(count(*) AS BIGINT) AS cn
+  FROM apex w1 JOIN apex w2
+    ON w1.nbr = w2.nbr AND w1.node < w2.node
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+noedge AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN e ON e.u = p.node_a AND e.v = p.node_b
+  WHERE e.u IS NULL)
+SELECT p.node_a, p.node_b, p.cn AS common_neighbors,
+       da.degree AS degree_a, db.degree AS degree_b,
+       round(CAST(p.cn AS DOUBLE)
+             / (da.degree + db.degree - p.cn), 6) AS jaccard
+FROM noedge p
+JOIN deg da ON da.node = p.node_a
+JOIN deg db ON db.node = p.node_b
+"""
+
+
+def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label aggregation (operators/quality.py
+    majority_vote): each user's modal event type with agreement
+    diagnostics, ties toward the lexicographically smallest label —
+    the multi-annotator consensus shape on the events table."""
+    from knot_another_pipeline_spark.operators.quality import majority_vote
+
+    ev = load_table(spark, sf_dir, "events")
+    return majority_vote(ev, item_col="user_id", label_col="event_type")
+
+
+ORACLE_LABEL_VOTE = """
+WITH counts AS (
+  SELECT user_id AS item, event_type AS label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT item, label, n,
+         CAST(sum(n) OVER (PARTITION BY item) AS BIGINT) AS n_total,
+         CAST(count(*) OVER (PARTITION BY item) AS BIGINT) AS n_labels,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM counts)
+SELECT item, label AS majority_label, n AS n_votes, n_total, n_labels,
+       round(CAST(n AS DOUBLE) / n_total, 6) AS agreement
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware canonical selection (operators/dedup.py
+    canonical_docs): MinHash-LSH pairs → connected components → one
+    merit-chosen survivor per cluster (longest text, ties to smallest
+    id) via aggregate argmax, singletons self-canonical. The executable
+    definition of "deduplicated corpus" downstream of any pair
+    generator."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        canonical_docs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3,
+                       distinct=False)
+    sig = minhash_signatures(sh, num_hashes=16)
+    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
+    return canonical_docs(docs, cands, id_col="doc_id", text_col="text")
+
+
+ORACLE_CANONICAL_DOCS = f"""
+WITH comp AS (SELECT id, component FROM ({ORACLE_DEDUP_COMPONENTS}) t),
+m AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+reps AS (
+  SELECT cluster_id, cluster_size, doc_id AS rep_id FROM (
+    SELECT cluster_id, doc_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM m) WHERE rn = 1)
+SELECT m.doc_id, m.cluster_id, r.cluster_size, r.rep_id,
+       m.doc_id = r.rep_id AS is_rep
+FROM m JOIN reps r USING (cluster_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4465,6 +4664,13 @@ QUERIES = {
     "conversion_attribution": q_conversion_attribution,
     "hybrid_search": q_hybrid_search,
     "bloom_prune": q_bloom_prune,
+    # round-5 final additions: packing / clustering / link prediction /
+    # consensus labels / canonical dedup
+    "pack_sequences": q_pack_sequences,
+    "kmeans_step": q_kmeans_step,
+    "link_prediction": q_link_prediction,
+    "label_vote": q_label_vote,
+    "canonical_docs": q_canonical_docs,
 }
 
 ORACLES = {
@@ -4581,4 +4787,9 @@ ORACLES = {
     "conversion_attribution": ORACLE_CONVERSION_ATTRIBUTION,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
     "bloom_prune": ORACLE_BLOOM_PRUNE,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "kmeans_step": ORACLE_KMEANS_STEP,
+    "link_prediction": ORACLE_LINK_PREDICTION,
+    "label_vote": ORACLE_LABEL_VOTE,
+    "canonical_docs": ORACLE_CANONICAL_DOCS,
 }

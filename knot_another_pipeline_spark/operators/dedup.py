@@ -981,3 +981,67 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def canonical_docs(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware representative selection: union the near-dup pairs
+    into clusters (``connected_components``) and keep ONE canonical
+    document per cluster — the step that turns pair output into an
+    actual deduplicated corpus. "A≈B, B≈C" yields one survivor, not two,
+    and the survivor is chosen by merit (longest text, ties toward the
+    smallest id), not by partition order.
+
+    Scale shape: components via pointer-jumping min-label (O(log d)
+    rounds over the pairs only — the corpus never enters the loop); the
+    corpus joins the component map once (ids absent from every pair are
+    their own singleton cluster via coalesce); the representative is an
+    aggregate argmax (``max`` over ``struct(n_chars, -id)``) — map-side
+    partials, no per-cluster window sort, so a giant boilerplate
+    cluster costs one combine chain instead of one task's sort. The
+    ``-id`` tie-break needs a numeric id (same rule and same remedy —
+    pre-hash to bigint — as ``similarity.assign_cells``).
+
+    Output per input document: doc_id, cluster_id (component min-label,
+    or the doc's own id for singletons), cluster_size, rep_id, is_rep.
+    Filtering ``is_rep`` materializes the deduplicated corpus;
+    ``cluster_size > 1 AND NOT is_rep`` is the removal list.
+    """
+    id_type = dict(corpus.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"canonical_docs requires an integral id column; {id_col!r} is "
+            f"{id_type!r} (hash string ids to a bigint first, e.g. "
+            "functions.hashing.hash64)"
+        )
+    comps = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    members = corpus.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    ).join(
+        comps.withColumnRenamed("component", "cluster_id"), "id", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("id")))
+    reps = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("id")).alias("neg_id"))
+        ).alias("best"),
+    ).select(
+        "cluster_id",
+        "cluster_size",
+        (-F.col("best.neg_id")).alias("rep_id"),
+    )
+    return members.join(reps, "cluster_id").select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        "rep_id",
+        (F.col("id") == F.col("rep_id")).alias("is_rep"),
+    )

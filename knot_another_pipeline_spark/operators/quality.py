@@ -570,3 +570,58 @@ def winsorized_stats(
             "win_std",
         )
     )
+
+
+def majority_vote(
+    df: DataFrame,
+    *,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Label aggregation over redundant annotations: per item, the
+    majority label plus agreement diagnostics — the consensus step for
+    crowd-labeled / multi-judge training data (RLHF preference sets,
+    classifier gold sets), where each item was rated k times and the
+    pipeline must emit ONE label and a confidence signal.
+
+    Deterministic: ties break toward the lexicographically smallest
+    label, so replays and engine ports agree (a bare ``max_by`` leaves
+    equal-vote winners partition-order-dependent).
+
+    Scale shape: one hash aggregate to (item, label) vote counts —
+    partial aggregation collapses duplicate votes map-side — then a
+    window over the counts table partitioned by item (rows = items ×
+    distinct labels per item, i.e. already reduced far below the input;
+    an annotation workload has small per-item label fanout by
+    construction). No self-joins, no driver state.
+
+    Output: item, majority_label, n_votes (winner's), n_total,
+    n_labels (distinct labels seen), agreement (n_votes/n_total,
+    rounded 6).
+    """
+    counts = (
+        df.select(
+            F.col(item_col).alias("item"), F.col(label_col).alias("label")
+        )
+        .filter(F.col("label").isNotNull())
+        .groupBy("item", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    part = Window.partitionBy("item")
+    w = part.orderBy(F.col("n").desc(), F.col("label").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_total", F.sum("n").over(part))
+        .withColumn("n_labels", F.count(F.lit(1)).over(part))
+        .filter(F.col("rn") == 1)
+        .select(
+            "item",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_votes"),
+            "n_total",
+            "n_labels",
+            F.round(
+                F.col("n").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("agreement"),
+        )
+    )

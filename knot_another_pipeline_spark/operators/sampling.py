@@ -172,6 +172,33 @@ def assign_shards(
             f"{id_type!r} (hash string ids to a bigint first and set "
             "bucket_width to 2**64 // sqrt(N))"
         )
+    s = _id_ordered_cumsum(
+        df,
+        id_col=id_col,
+        token_col=token_col,
+        bucket_width=bucket_width,
+        group_col=group_col,
+    )
+    return s.withColumn(
+        "shard",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens")) / F.lit(tokens_per_shard)
+        ).cast("bigint"),
+    ).select("id", "n_tokens", "shard")
+
+
+def _id_ordered_cumsum(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    bucket_width: int | None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Shared distributed prefix-sum over id order (see ``assign_shards``
+    for the full scale rationale): id-range buckets preserve order, the
+    only single-partition window runs over the ~√N-row totals table, the
+    offsets join is left to AQE. Returns (id, n_tokens, cum[, g])."""
     if bucket_width is None:
         lo, hi, n = df.select(
             F.min(id_col), F.max(id_col), F.count(F.lit(1))
@@ -207,14 +234,56 @@ def assign_shards(
     return (
         s.join(offsets, [*grp_keys, "b"])
         .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(w_in))
-        .withColumn(
-            "shard",
-            F.floor(
-                (F.col("cum") - F.col("n_tokens"))
-                / F.lit(tokens_per_shard)
-            ).cast("bigint"),
-        )
-        .select("id", "n_tokens", "shard")
+        .select(*grp_keys, "id", "n_tokens", "cum")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in id
+    order and cut the token stream into fixed ``seq_len`` training
+    windows — the standard LM-pretraining example-assembly step (every
+    window is exactly ``seq_len`` tokens; documents cross window
+    boundaries rather than padding them).
+
+    Where ``assign_shards`` maps documents to ~equal *files*, this maps
+    them to exact-length *training sequences* and reports where inside
+    the window each document lands — what a writer needs to emit packed
+    examples without re-tokenizing: the pack a document starts in, its
+    token offset inside that pack, and how many packs it spans.
+
+    Scale shape: the id-ordered running sum is the same distributed
+    prefix-sum as ``assign_shards`` (id-range buckets, √N-row offsets
+    table, AQE join); everything after is row-local arithmetic. No
+    global window, no driver state. Zero-token documents are dropped
+    up front (they occupy no window; keeping them would pin ambiguous
+    pack ids to empty rows).
+
+    Output: id, n_tokens, pack_id (0-based), offset_in_pack (0-based
+    token offset where the document starts), n_packs_spanned.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    s = _id_ordered_cumsum(
+        df.filter(F.col(token_col).cast("bigint") > 0),
+        id_col=id_col,
+        token_col=token_col,
+        bucket_width=None,
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    first_pack = F.floor(start / F.lit(seq_len)).cast("bigint")
+    last_pack = F.floor((F.col("cum") - 1) / F.lit(seq_len)).cast("bigint")
+    return s.select(
+        "id",
+        "n_tokens",
+        first_pack.alias("pack_id"),
+        F.pmod(start, F.lit(seq_len)).cast("bigint").alias("offset_in_pack"),
+        (last_pack - first_pack + 1).alias("n_packs_spanned"),
     )
 
 

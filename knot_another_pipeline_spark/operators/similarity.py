@@ -430,3 +430,78 @@ def quantize_embeddings(
         code.alias("codes"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column: assign
+    every vector to its max-cosine centroid, then recompute each
+    centroid as the element-wise mean of its cell — the training step
+    behind IVF coarse quantizers and SemDeDup cluster maps (their
+    ``deterministic_centroids`` hash-sample is exactly a k-means *init*;
+    this is the refinement loop body).
+
+    Deterministic end-to-end: init centroids are the md5-ordered hash
+    sample, assignment ties break toward the lowest centroid id, and
+    the per-component mean is order-insensitive — so a fixed-iteration
+    loop is reproducible run-to-run and engine-to-engine (the catalog
+    oracle replays one identical step in SQL).
+
+    Scale shape per iteration: centroids broadcast (bounded —
+    ``num_centroids`` is the dial, not corpus size); assignment is the
+    broadcast cross product collapsed map-side by an aggregate argmax
+    (one shuffle row per vector, see ``assign_cells``); the centroid
+    update posexplodes to (cell, pos, component) and partial-aggregates
+    into a (cells × dim)-row shuffle. Iterating = calling this in a
+    loop with ``localCheckpoint`` every few rounds (the
+    ``connected_components`` lineage lesson).
+
+    Output: cell (centroid id), n_vectors, new_centroid
+    (array<double>, elements rounded), shift (L2 distance old→new
+    centroid, rounded — the convergence signal).
+    """
+    cents = deterministic_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
+    )
+    assigned = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    flat = assigned.select(
+        "cell", F.posexplode(F.col("v")).alias("pos", "comp")
+    )
+    per_comp = flat.groupBy("cell", "pos").agg(
+        F.avg(F.col("comp").cast("double")).alias("m"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    per_cell = per_comp.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+        F.max("n_vectors").alias("n_vectors"),
+    )
+    mean_vec = F.transform(F.col("pm"), lambda s: s["m"])
+    out = per_cell.join(
+        F.broadcast(cents.select(F.col("cent_id").alias("cell"), "centv")),
+        "cell",
+    )
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                mean_vec,
+                F.col("centv"),
+                lambda a, b: F.pow(a - b.cast("double"), F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return out.select(
+        "cell",
+        "n_vectors",
+        F.transform(mean_vec, lambda x: F.round(x, round_to)).alias(
+            "new_centroid"
+        ),
+        F.round(shift, round_to).alias("shift"),
+    )

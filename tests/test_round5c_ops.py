@@ -1,0 +1,320 @@
+"""Round-5 final additions: sequence packing, a Lloyd k-means step,
+common-neighbor link prediction, majority-vote label aggregation, and
+cluster-canonical dedup selection.
+
+Each operator is checked against an independent pure-Python reference
+(plus its DuckDB oracle in test_catalog_oracle.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences ≡ brute-force concat-and-chunk arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _brute_pack(counts: dict[int, int], seq_len: int):
+    out = {}
+    cum = 0
+    for i in sorted(counts):
+        n = counts[i]
+        if n <= 0:
+            continue
+        start = cum
+        cum += n
+        first = start // seq_len
+        last = (cum - 1) // seq_len
+        out[i] = (n, first, start % seq_len, last - first + 1)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=37), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=13),
+)
+def test_pack_sequences_matches_bruteforce(spark, counts, seq_len):
+    from knot_another_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, n_tok: bigint")
+    got = {
+        r["id"]: (
+            r["n_tokens"],
+            r["pack_id"],
+            r["offset_in_pack"],
+            r["n_packs_spanned"],
+        )
+        for r in pack_sequences(
+            df, id_col="doc_id", token_col="n_tok", seq_len=seq_len
+        ).collect()
+    }
+    assert got == _brute_pack(dict(rows), seq_len)
+
+
+def test_pack_sequences_window_invariants(spark):
+    from knot_another_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 7 + (i * 13) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, n_tok: bigint")
+    out = pack_sequences(
+        df, id_col="doc_id", token_col="n_tok", seq_len=128
+    ).collect()
+    assert len(out) == 200
+    total = sum(n for _, n in rows)
+    by_id = sorted(out, key=lambda r: r["id"])
+    # documents tile the token stream: consecutive starts are contiguous
+    start = 0
+    for r in by_id:
+        assert r["pack_id"] == start // 128
+        assert r["offset_in_pack"] == start % 128
+        assert 0 <= r["offset_in_pack"] < 128
+        end = start + r["n_tokens"]
+        assert r["n_packs_spanned"] == (end - 1) // 128 - start // 128 + 1
+        start = end
+    assert start == total
+    with pytest.raises(ValueError):
+        pack_sequences(df, id_col="doc_id", token_col="n_tok", seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_step ≡ numpy reference (same md5 init, argmax ties, means, shift)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_step_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.similarity import kmeans_step
+
+    dim, n = 6, 40
+    vecs = {
+        i: [((i * 37 + j * 11) % 19) - 9.0 + 0.25 * j for j in range(dim)]
+        for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id: bigint, embedding: array<double>"
+    )
+    k = 5
+    out = {
+        r["cell"]: r
+        for r in kmeans_step(
+            df, id_col="vec_id", vec_col="embedding", num_centroids=k
+        ).collect()
+    }
+
+    cent_ids = sorted(
+        vecs, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:k]
+
+    def norm(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (norm(a) * norm(b))
+
+    assign: dict[int, list[int]] = {}
+    for i, v in vecs.items():
+        best = min(cent_ids, key=lambda c: (-cos(v, vecs[c]), c))
+        assign.setdefault(best, []).append(i)
+
+    assert set(out) == set(assign)
+    assert sum(r["n_vectors"] for r in out.values()) == n
+    for c, members in assign.items():
+        mean = [
+            sum(vecs[m][j] for m in members) / len(members)
+            for j in range(dim)
+        ]
+        shift = math.sqrt(
+            sum((a - b) ** 2 for a, b in zip(mean, vecs[c]))
+        )
+        assert out[c]["n_vectors"] == len(members)
+        assert out[c]["new_centroid"] == pytest.approx(
+            [round(x, 6) for x in mean], abs=2e-6
+        )
+        assert out[c]["shift"] == pytest.approx(round(shift, 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# common_neighbor_scores ≡ brute force over random small graphs
+# ---------------------------------------------------------------------------
+
+
+def _brute_cn(edges, min_common, max_degree, exclude_existing):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {x: len(s) for x, s in adj.items()}
+    out = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            shared = {
+                x
+                for x in adj[a] & adj[b]
+                if max_degree is None or deg[x] <= max_degree
+            }
+            cn = len(shared)
+            if cn < min_common:
+                continue
+            if exclude_existing and (a, b) in und:
+                continue
+            j = cn / (deg[a] + deg[b] - cn)
+            out[(a, b)] = (cn, deg[a], deg[b], round(j, 6))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([None, 3, 5]),
+    st.booleans(),
+)
+def test_common_neighbors_matches_bruteforce(spark, edges, cap, excl):
+    from knot_another_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["common_neighbors"],
+            r["degree_a"],
+            r["degree_b"],
+            r["jaccard"],
+        )
+        for r in common_neighbor_scores(
+            df,
+            min_common=1,
+            max_degree=cap,
+            exclude_existing=excl,
+        ).collect()
+    }
+    assert got == _brute_cn(edges, 1, cap, excl)
+
+
+def test_common_neighbors_hub_cap_drops_star_center(spark):
+    from knot_another_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    # star: hub 0 connects 1..6; leaves share ONLY the hub as a neighbor
+    star = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(star, "src: bigint, dst: bigint")
+    uncapped = common_neighbor_scores(df, min_common=1).collect()
+    assert len(uncapped) == 15  # C(6,2) leaf pairs via the hub
+    capped = common_neighbor_scores(df, min_common=1, max_degree=3).collect()
+    assert capped == []  # hub excluded from the apex role
+
+
+# ---------------------------------------------------------------------------
+# majority_vote ≡ brute force with lexicographic tie-break
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"])),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_majority_vote_matches_bruteforce(spark, votes):
+    from knot_another_pipeline_spark.operators.quality import majority_vote
+
+    df = spark.createDataFrame(votes, "item: bigint, label: string")
+    got = {
+        r["item"]: (
+            r["majority_label"],
+            r["n_votes"],
+            r["n_total"],
+            r["n_labels"],
+            r["agreement"],
+        )
+        for r in majority_vote(df, item_col="item", label_col="label").collect()
+    }
+    expected = {}
+    per_item: dict[int, dict[str, int]] = {}
+    for item, label in votes:
+        if label is None:
+            continue
+        per_item.setdefault(item, {})
+        per_item[item][label] = per_item[item].get(label, 0) + 1
+    for item, counts in per_item.items():
+        winner = min(counts, key=lambda l: (-counts[l], l))
+        total = sum(counts.values())
+        expected[item] = (
+            winner,
+            counts[winner],
+            total,
+            len(counts),
+            round(counts[winner] / total, 6),
+        )
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# canonical_docs: cluster/representative invariants
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_docs_reps_and_singletons(spark):
+    from knot_another_pipeline_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),       # cluster {1,2,3}: 3 has the longest text
+            (2, "bb"),
+            (3, "cccccc"),
+            (4, "dddddd"),     # cluster {4,5}: tie on length -> smallest id
+            (5, "eeeeee"),
+            (6, "solo"),       # singleton
+        ],
+        "doc_id: bigint, text: string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a: bigint, id_b: bigint"
+    )
+    out = {r["doc_id"]: r for r in canonical_docs(docs, pairs).collect()}
+    assert len(out) == 6  # every document appears exactly once
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert all(out[i]["rep_id"] == 3 for i in (1, 2, 3))
+    assert all(out[i]["cluster_size"] == 3 for i in (1, 2, 3))
+    assert out[3]["is_rep"] and not out[1]["is_rep"] and not out[2]["is_rep"]
+    assert all(out[i]["rep_id"] == 4 for i in (4, 5))  # tie -> smallest id
+    assert out[6]["cluster_id"] == 6 and out[6]["is_rep"]
+    assert out[6]["cluster_size"] == 1 and out[6]["rep_id"] == 6
+    # exactly one representative per cluster
+    reps = [r for r in out.values() if r["is_rep"]]
+    assert len(reps) == 3
+
+
+def test_canonical_docs_rejects_string_ids(spark):
+    from knot_another_pipeline_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [("a", "x")], "doc_id: string, text: string"
+    )
+    pairs = spark.createDataFrame([("a", "b")], "id_a: string, id_b: string")
+    with pytest.raises(TypeError):
+        canonical_docs(docs, pairs)
