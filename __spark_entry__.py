@@ -124,6 +124,9 @@ _PRIORITY = [
     "link_prediction",
     "label_vote",
     "canonical_docs",
+    "temperature_mix",
+    "k_anonymity",
+    "sketch_overlap",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

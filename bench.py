@@ -72,6 +72,10 @@ HEADLINE = [
     "link_prediction",
     "label_vote",
     "canonical_docs",
+    # r5 final additions: mixing / privacy / overlap sketches
+    "temperature_mix",
+    "k_anonymity",
+    "sketch_overlap",
 ]
 
 

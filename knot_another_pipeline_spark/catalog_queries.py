@@ -4533,6 +4533,132 @@ FROM m JOIN reps r USING (cluster_id)
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature rebalancing across languages
+    (operators/sampling.py temperature_mix): per-language keep
+    fractions from p^(α−1) normalized to the rarest language, then a
+    map-side stable-hash acceptance filter — the multilingual
+    data-balancing step, downsample-only."""
+    from knot_another_pipeline_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, group_col="lang", id_col="doc_id", alpha=0.5
+    )
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM counts),
+rates AS (
+  SELECT lang,
+         pow(CAST(n AS DOUBLE) / (SELECT total FROM tot), -0.5) AS r
+  FROM counts),
+norm AS (SELECT max(r) AS r_max FROM rates),
+fr AS (SELECT lang, r / (SELECT r_max FROM norm) AS keep_fraction
+       FROM rates)
+SELECT d.doc_id AS id, d.lang, round(f.keep_fraction, 6) AS keep_fraction
+FROM documents d JOIN fr f USING (lang)
+WHERE CAST(concat('0x', substr(md5('0:' || CAST(d.doc_id AS VARCHAR)),
+                               1, 15)) AS BIGINT)
+      / 1152921504606846976.0 < f.keep_fraction
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/quality.py
+    k_anonymity_audit) over the (nation, market segment) quasi-identifier
+    with account balance as the sensitive attribute — one hash
+    aggregate, class sizes + violation flags."""
+    from knot_another_pipeline_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        cust,
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        k=5,
+        sensitive_col="c_acctbal",
+    )
+
+
+ORACLE_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < 5 AS below_k,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_diversity
+FROM customer GROUP BY 1, 2
+"""
+
+
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch corpus overlap (operators/quality.py sketch_overlap):
+    3-gram shingle sets of the English vs German documents reduce to
+    two 128-hash sketches; union/intersection/Jaccard estimates follow
+    from array math — the corpora are never joined. The oracle replays
+    the identical k-smallest sets."""
+    from knot_another_pipeline_spark.operators.dedup import shingle_table
+    from knot_another_pipeline_spark.operators.quality import sketch_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    sha = shingle_table(
+        docs.filter(F.col("lang") == "en"), id_col="doc_id",
+        text_col="text", n=3, distinct=False,
+    )
+    shb = shingle_table(
+        docs.filter(F.col("lang") == "de"), id_col="doc_id",
+        text_col="text", n=3, distinct=False,
+    )
+    return sketch_overlap(sha, shb, "shingle", k=128)
+
+
+def _overlap_shingle_sql(lang: str) -> str:
+    return rf"""
+  SELECT DISTINCT substr(md5('0:' || sh), 1, 15) AS h FROM (
+    SELECT unnest(list_distinct(
+             list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> array_to_string(list_slice(t, i, i + 2),
+                                                 ' ')))) AS sh
+    FROM (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS t
+      FROM documents WHERE lang = '{lang}') WHERE len(t) >= 3)
+"""
+
+
+_OVERLAP_EST_SQL = """
+  CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+       ELSE round(127.0 / (CAST(concat('0x', mx) AS BIGINT)
+                           / 1152921504606846976.0), 0) END
+"""
+
+
+ORACLE_SKETCH_OVERLAP = f"""
+WITH sha AS ({_overlap_shingle_sql("en")}),
+shb AS ({_overlap_shingle_sql("de")}),
+ka AS (SELECT h FROM sha ORDER BY h LIMIT 128),
+kb AS (SELECT h FROM shb ORDER BY h LIMIT 128),
+ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+       ORDER BY h LIMIT 128),
+ea AS (SELECT count(*) AS m, max(h) AS mx FROM ka),
+eb AS (SELECT count(*) AS m, max(h) AS mx FROM kb),
+eu AS (SELECT count(*) AS m, max(h) AS mx FROM ku),
+est AS (
+  SELECT (SELECT {_OVERLAP_EST_SQL} FROM ea) AS n_a,
+         (SELECT {_OVERLAP_EST_SQL} FROM eb) AS n_b,
+         (SELECT {_OVERLAP_EST_SQL} FROM eu) AS n_u)
+SELECT CAST(n_a AS BIGINT) AS n_a_est,
+       CAST(n_b AS BIGINT) AS n_b_est,
+       CAST(n_u AS BIGINT) AS n_union_est,
+       CAST(greatest(0.0, n_a + n_b - n_u) AS BIGINT) AS n_intersect_est,
+       round(CASE WHEN n_u > 0
+                  THEN greatest(0.0, n_a + n_b - n_u) / n_u
+                  ELSE 0.0 END, 6) AS jaccard_est
+FROM est
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4671,6 +4797,9 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "label_vote": q_label_vote,
     "canonical_docs": q_canonical_docs,
+    "temperature_mix": q_temperature_mix,
+    "k_anonymity": q_k_anonymity,
+    "sketch_overlap": q_sketch_overlap,
 }
 
 ORACLES = {
@@ -4792,4 +4921,7 @@ ORACLES = {
     "link_prediction": ORACLE_LINK_PREDICTION,
     "label_vote": ORACLE_LABEL_VOTE,
     "canonical_docs": ORACLE_CANONICAL_DOCS,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
+    "k_anonymity": ORACLE_K_ANONYMITY,
+    "sketch_overlap": ORACLE_SKETCH_OVERLAP,
 }

@@ -625,3 +625,115 @@ def majority_vote(
             ).alias("agreement"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Privacy audit over quasi-identifier combinations: the size of
+    every equivalence class (rows sharing the same quasi-identifier
+    tuple) and whether it violates k-anonymity — the release gate for
+    datasets carrying indirect identifiers (a class smaller than ``k``
+    re-identifies its members by attribute intersection). With
+    ``sensitive_col``, also the class's distinct sensitive-value count
+    (l-diversity: a k-anonymous class whose sensitive values are all
+    identical still leaks the attribute).
+
+    Scale shape: ONE hash aggregate on the quasi tuple — partial
+    aggregation collapses classes map-side, the distinct-sensitive
+    count rides the same shuffle (count_distinct rewrites to a
+    two-phase Expand aggregate, still keyed by the class). No windows,
+    no joins, no driver state.
+
+    Output: quasi cols, class_size, below_k, and (if sensitive_col)
+    l_diversity.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).alias("l_diversity")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    cols = [
+        *quasi_cols,
+        "class_size",
+        (F.col("class_size") < k).alias("below_k"),
+    ]
+    if sensitive_col is not None:
+        cols.append(F.col("l_diversity"))
+    return out.select(*cols)
+
+
+def sketch_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Corpus-overlap estimate from two KMV sketches: approximate
+    |A|, |B|, |A∪B| (inclusion–exclusion gives |A∩B|) and the Jaccard
+    of two value sets — "how much of dataset B is already in A", the
+    pre-ingest question asked before paying to dedup a new crawl
+    against a 100 TB corpus. Each side reduces to one ≤ k-element
+    sketch, so the comparison costs two corpus scans and then
+    driver-trivial array math — no join between the corpora, ever.
+
+    Deterministic (md5-derived hashes, same as :func:`kmv_distinct`),
+    so the estimate is bit-identical in any engine with md5 — the
+    union's k smallest hashes are all present among the two children's
+    k smallest (the KMV merge identity), making the union estimate
+    exactly what sketching A∪B directly would give. Error ≈ 1/√(k−2)
+    per estimate; the intersection inherits both errors (clamped at 0).
+
+    Output (single row): n_a_est, n_b_est, n_union_est,
+    n_intersect_est, jaccard_est (rounded 6).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sa = kmv_sketch(a, col, k=k).select(F.col("hashes").alias("ha"))
+    sb = kmv_sketch(b, col, k=k).select(F.col("hashes").alias("hb"))
+
+    def _est(arr: Column) -> Column:
+        m = F.size(arr)
+        # F.get (not element_at): NULL — never an ANSI error — when m < k
+        norm = F.conv(F.get(arr, k - 1), 16, 10).cast("double") / F.lit(
+            float(1 << 60)
+        )
+        return F.when(m < k, m.cast("double")).otherwise(
+            F.round(F.lit(float(k - 1)) / norm, 0)
+        )
+
+    merged = F.slice(
+        F.sort_array(F.array_distinct(F.concat(F.col("ha"), F.col("hb")))),
+        1,
+        k,
+    )
+    row = sa.crossJoin(F.broadcast(sb)).select(
+        _est(F.col("ha")).alias("n_a"),
+        _est(F.col("hb")).alias("n_b"),
+        _est(merged).alias("n_u"),
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("n_a") + F.col("n_b") - F.col("n_u")
+    )
+    return row.select(
+        F.col("n_a").cast("bigint").alias("n_a_est"),
+        F.col("n_b").cast("bigint").alias("n_b_est"),
+        F.col("n_u").cast("bigint").alias("n_union_est"),
+        inter.cast("bigint").alias("n_intersect_est"),
+        F.round(
+            F.when(F.col("n_u") > 0, inter / F.col("n_u")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("jaccard_est"),
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from knot_another_pipeline_spark.functions.hashing import stable_bucket
+from knot_another_pipeline_spark.functions.hashing import hash_hex, stable_bucket
 
 
 def hash_sample(
@@ -482,4 +482,69 @@ def stratified_sample(
         ).otherwise(cutoff)
     return df.filter(
         stable_bucket(F.col(id_col).cast("string"), buckets) < cutoff
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based group rebalancing: downsample each group so the
+    kept mix follows ``q_g ∝ p_g^α`` instead of the natural frequencies
+    ``p_g`` — the standard multilingual/multi-source balancing step
+    (α < 1 flattens the distribution toward uniform; α = 1 keeps it;
+    α = 0 targets fully uniform). Downsample-only: the keep fraction is
+    ``p_g^(α−1)`` normalized so the rarest group keeps everything —
+    no row is ever duplicated (deterministic pipelines upsample at the
+    *reader*, by epoch-dependent repetition, not in the corpus).
+
+    Selection is the stable-hash acceptance filter (same md5 machinery
+    as ``hash_sample``): a row survives iff its normalized 60-bit hash
+    fraction < its group's keep fraction — reproducible run-to-run,
+    engine-to-engine, and monotone in α (a corpus mixed at a lower
+    temperature is a subset of one mixed at a higher keep profile).
+
+    Scale shape: group stats are one hash aggregate reduced to
+    #groups rows; the max-normalizer is a 1-row broadcast cross join;
+    the fraction joins back by group key (AQE broadcasts — #groups is
+    languages/sources, not corpus-scale) and the acceptance test is a
+    pure map-side codegen filter. One data-sized shuffle total (the
+    stats aggregate reads the corpus; the filter does not shuffle).
+
+    Output: id, group, keep_fraction (rounded 6; diagnostic), for kept
+    rows only.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+    )
+    counts = s.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(F.sum("n").alias("total"))
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "grp",
+        F.pow(
+            F.col("n").cast("double") / F.col("total").cast("double"),
+            F.lit(alpha - 1.0),
+        ).alias("r"),
+    )
+    norm = rates.agg(F.max("r").alias("r_max"))
+    fractions = rates.crossJoin(F.broadcast(norm)).select(
+        "grp", (F.col("r") / F.col("r_max")).alias("keep_fraction")
+    )
+    frac = (
+        F.conv(hash_hex(F.col("id")), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        s.join(fractions, "grp")
+        .filter(frac < F.col("keep_fraction"))
+        .select(
+            "id",
+            F.col("grp").alias(group_col),
+            F.round("keep_fraction", 6).alias("keep_fraction"),
+        )
     )

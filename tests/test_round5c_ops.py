@@ -318,3 +318,117 @@ def test_canonical_docs_rejects_string_ids(spark):
     pairs = spark.createDataFrame([("a", "b")], "id_a: string, id_b: string")
     with pytest.raises(TypeError):
         canonical_docs(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix ≡ brute-force hash acceptance; alpha edge cases
+# ---------------------------------------------------------------------------
+
+
+def _hash_frac(v) -> float:
+    h = hashlib.md5(f"0:{v}".encode()).hexdigest()[:15]
+    return int(h, 16) / float(1 << 60)
+
+
+def test_temperature_mix_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "en" if i % 10 < 7 else ("de" if i % 10 < 9 else "fr"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, lang: string")
+    alpha = 0.5
+    counts: dict[str, int] = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    total = len(rows)
+    rates = {g: (n / total) ** (alpha - 1.0) for g, n in counts.items()}
+    rmax = max(rates.values())
+    fr = {g: r / rmax for g, r in rates.items()}
+    expected = {
+        (i, g, round(fr[g], 6))
+        for i, g in rows
+        if _hash_frac(i) < fr[g]
+    }
+    got = {
+        (r["id"], r["lang"], r["keep_fraction"])
+        for r in temperature_mix(
+            df, group_col="lang", id_col="doc_id", alpha=alpha
+        ).collect()
+    }
+    assert got == expected
+    # the rarest group keeps everything
+    assert {g for _, g, f in got if f == 1.0} == {"fr"}
+
+
+def test_temperature_mix_alpha_one_keeps_all(spark):
+    from knot_another_pipeline_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, lang: string")
+    out = temperature_mix(df, group_col="lang", id_col="doc_id", alpha=1.0)
+    assert out.count() == 60  # p^0 = 1 for every group: no downsampling
+    with pytest.raises(ValueError):
+        temperature_mix(df, group_col="lang", id_col="doc_id", alpha=-0.1)
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit ≡ brute force
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_audit_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.quality import k_anonymity_audit
+
+    rows = [
+        (i, i % 4, "seg" + str(i % 3), float(i % 5)) for i in range(50)
+    ] + [(100, 9, "rare", 1.0)]
+    df = spark.createDataFrame(rows, "id: bigint, nat: int, seg: string, bal: double")
+    got = {
+        (r["nat"], r["seg"]): (r["class_size"], r["below_k"], r["l_diversity"])
+        for r in k_anonymity_audit(
+            df, quasi_cols=["nat", "seg"], k=5, sensitive_col="bal"
+        ).collect()
+    }
+    classes: dict[tuple, list[float]] = {}
+    for _, nat, seg, bal in rows:
+        classes.setdefault((nat, seg), []).append(bal)
+    expected = {
+        key: (len(v), len(v) < 5, len(set(v))) for key, v in classes.items()
+    }
+    assert got == expected
+    assert got[(9, "rare")] == (1, True, 1)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, quasi_cols=[], k=5)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, quasi_cols=["nat"], k=1)
+
+
+# ---------------------------------------------------------------------------
+# sketch_overlap: exact in the < k regime; degenerate identities
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_overlap_exact_below_k(spark):
+    from knot_another_pipeline_spark.operators.quality import sketch_overlap
+
+    a_vals = [f"v{i}" for i in range(30)]
+    b_vals = [f"v{i}" for i in range(20, 50)]  # overlap = 10, union = 50
+    a = spark.createDataFrame([(v,) for v in a_vals], "val: string")
+    b = spark.createDataFrame([(v,) for v in b_vals], "val: string")
+    r = sketch_overlap(a, b, "val", k=128).collect()[0]
+    assert (r["n_a_est"], r["n_b_est"], r["n_union_est"]) == (30, 30, 50)
+    assert r["n_intersect_est"] == 10
+    assert r["jaccard_est"] == pytest.approx(10 / 50, abs=1e-6)
+
+
+def test_sketch_overlap_identical_and_estimated(spark):
+    from knot_another_pipeline_spark.operators.quality import sketch_overlap
+
+    vals = [(f"x{i}",) for i in range(2000)]  # well above k: estimator path
+    a = spark.createDataFrame(vals, "val: string")
+    r = sketch_overlap(a, a, "val", k=64).collect()[0]
+    assert r["n_a_est"] == r["n_b_est"] == r["n_union_est"]
+    assert r["n_intersect_est"] == r["n_a_est"]
+    assert r["jaccard_est"] == 1.0
+    # ~13% standard error at k=64: the estimate is in the right decade
+    assert 1000 < r["n_a_est"] < 4000
