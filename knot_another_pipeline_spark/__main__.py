@@ -90,6 +90,11 @@ def _build_parser() -> argparse.ArgumentParser:
     tok.add_argument("--output", required=True, help="output directory")
     tok.add_argument("--min-count", type=int, default=2)
     tok.add_argument("--max-size", type=int, default=None)
+    tok.add_argument(
+        "--seq-len", type=int, default=None,
+        help="also write packs/: concat-and-chunk assignment of encoded "
+        "documents into fixed seq-len training windows",
+    )
     return p
 
 
@@ -340,6 +345,37 @@ def main(argv: list[str] | None = None) -> int:
                 f"{stats['docs']} docs / {stats['tokens']} tokens "
                 f"({oov_pct:.2f}% OOV) -> {enc_path}"
             )
+            if args.seq_len:
+                from knot_another_pipeline_spark.operators.sampling import (
+                    pack_sequences,
+                )
+
+                packs_path = os.path.join(args.output, "packs")
+                packs = pack_sequences(
+                    spark.read.parquet(enc_path),
+                    id_col="id",
+                    token_col="n_tokens",
+                    seq_len=args.seq_len,
+                )
+                packs.write.mode("overwrite").parquet(packs_path)
+                n_packs = (
+                    spark.read.parquet(packs_path)
+                    .agg(
+                        (
+                            F.max(
+                                F.col("pack_id")
+                                + F.col("n_packs_spanned")
+                                - 1
+                            )
+                            + 1
+                        ).alias("n")
+                    )
+                    .collect()[0]["n"]
+                )
+                print(
+                    f"packed into {n_packs} x {args.seq_len}-token "
+                    f"windows -> {packs_path}"
+                )
         return 0
     finally:
         pass  # session is process-scoped; let exit tear it down

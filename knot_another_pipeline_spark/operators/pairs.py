@@ -65,6 +65,7 @@ def co_movement_pairs(
     min_shared_cells: int = 1,
     assume_unique_windows: bool = True,
     max_entities_per_cell: int | None = None,
+    pin_join_parallelism: bool = True,
 ) -> DataFrame:
     """Build the pairs-per-period table from a windowed rollup.
 
@@ -90,6 +91,22 @@ def co_movement_pairs(
     mega-cell). AQE skew-join splitting handles moderate skew; this
     handles the pathological tail. Note the per-entity stats still count
     dropped windows — the denominators keep reference semantics.
+
+    ``pin_join_parallelism``: the self-join EXPANDS — n entities per
+    cell-window emit n(n−1)/2 pairs, and the pair aggregation's
+    map-side combine runs inside the join's output tasks. AQE sizes the
+    join's partition count from its INPUT bytes, so a compact rollup
+    (small input, large expansion) gets coalesced to a handful of
+    partitions and the whole expansion+combine runs nearly serial —
+    measured 2-4× on the monthly benchmark (32-thread local, AQE chose
+    3 partitions for a 40k-row input that expands 300×). Pinning
+    repartitions the join input by the join keys at the session's
+    ``spark.sql.shuffle.partitions`` — the count the deployment already
+    tuned — which the join reuses as its exchange (no extra shuffle).
+    The cost: a pinned exchange is not eligible for AQE's skew-join
+    splitting, so keep ``max_entities_per_cell`` as the skew guard.
+    Disable when the rollup itself is shuffle-sized (expansion factor
+    near 1), where AQE's byte-based sizing is already right.
 
     Output: uid_a, uid_b, day_date, hA, hB, gA, gB, hT, gT,
     temporal_o, spatial_o, gto — exactly FIXTURES.md F4.
@@ -126,6 +143,17 @@ def co_movement_pairs(
             F.broadcast(oversize_cell_windows(base, max_entities_per_cell)),
             ["day_date", "w", "cell"],
             "left_anti",
+        )
+
+    if pin_join_parallelism:
+        try:
+            n_part = int(
+                rollup.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" on some platforms
+            n_part = rollup.sparkSession.sparkContext.defaultParallelism
+        join_input = join_input.repartition(
+            n_part, "day_date", "w", "cell"
         )
 
     a = join_input.alias("a")

@@ -599,3 +599,30 @@ def test_cli_prep_corpus_jsonl_output(spark, tmp_path, capsys):
     assert {"doc_id", "text", "n_tokens", "shard"} <= set(got.columns)
     import glob
     assert glob.glob(f"{out}/split=*/*.json.gz")  # gzip'd jsonl shards
+
+
+def test_pair_join_parallelism_pinned_by_default(spark):
+    """Scale-safety plan assertion (round 5): the self-join EXPANDS, so
+    its parallelism must come from the session's shuffle-partition
+    setting, not AQE's input-byte coalescing (which serialized a 300×
+    expansion down to 3 tasks — 9.3 s → 2.5 s at sf0.1 when pinned).
+    The pinned repartition shows up as a REPARTITION_BY_NUM exchange;
+    disabling the flag must remove it."""
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.operators.pairs import co_movement_pairs
+
+    roll = spark.createDataFrame(
+        [("u1", "2025-01-01 00:00:00", "A"), ("u2", "2025-01-01 00:00:00", "A")],
+        "uid string, window_ts string, cell string",
+    ).withColumn("window_ts", F.to_timestamp("window_ts"))
+
+    pinned = co_movement_pairs(roll)._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in pinned
+    free = (
+        co_movement_pairs(roll, pin_join_parallelism=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "REPARTITION_BY_NUM" not in free
