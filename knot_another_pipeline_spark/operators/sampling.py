@@ -519,9 +519,15 @@ def temperature_mix(
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    # NULL groups are dropped UP FRONT, explicitly: groupBy would count
+    # them into the totals but the fractions equi-join (null ≠ null)
+    # would silently drop their rows — rows that influence every other
+    # group's keep fraction yet never appear in the output. Same rule
+    # as token_budget_select's null scores: an ungrouped row has no
+    # place in a per-group rebalance.
     s = df.select(
         F.col(id_col).alias("id"), F.col(group_col).alias("grp")
-    )
+    ).filter(F.col("grp").isNotNull())
     counts = s.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     totals = counts.agg(F.sum("n").alias("total"))
     rates = counts.crossJoin(F.broadcast(totals)).select(

@@ -438,6 +438,7 @@ def kmeans_step(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_centroids: int = 8,
+    centroids: DataFrame | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """One Lloyd iteration of k-means over an embedding column: assign
@@ -453,22 +454,40 @@ def kmeans_step(
     loop is reproducible run-to-run and engine-to-engine (the catalog
     oracle replays one identical step in SQL).
 
+    ``centroids`` feeds a previous round's output back in: a
+    ``(cent_id, centv)`` frame (a norm is derived if absent), e.g.
+    ``prev.select(F.col("cell").alias("cent_id"),
+    F.col("new_centroid").alias("centv"))``. Iterating = a loop of
+    these calls with ``localCheckpoint`` every few rounds (the
+    ``connected_components`` lineage lesson); within-cluster SSE is
+    non-increasing per Lloyd's guarantee (property-tested).
+
     Scale shape per iteration: centroids broadcast (bounded —
     ``num_centroids`` is the dial, not corpus size); assignment is the
     broadcast cross product collapsed map-side by an aggregate argmax
     (one shuffle row per vector, see ``assign_cells``); the centroid
     update posexplodes to (cell, pos, component) and partial-aggregates
-    into a (cells × dim)-row shuffle. Iterating = calling this in a
-    loop with ``localCheckpoint`` every few rounds (the
-    ``connected_components`` lineage lesson).
+    into a (cells × dim)-row shuffle.
 
     Output: cell (centroid id), n_vectors, new_centroid
     (array<double>, elements rounded), shift (L2 distance old→new
     centroid, rounded — the convergence signal).
     """
-    cents = deterministic_centroids(
-        corpus, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            "cent_id",
+            "centv",
+            (
+                F.col("centn")
+                if "centn" in centroids.columns
+                else l2_norm(F.col("centv")).alias("centn")
+            ),
+        )
+    else:
+        cents = deterministic_centroids(
+            corpus, id_col=id_col, vec_col=vec_col,
+            num_centroids=num_centroids,
+        )
     assigned = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
     flat = assigned.select(
         "cell", F.posexplode(F.col("v")).alias("pos", "comp")

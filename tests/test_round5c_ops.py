@@ -432,3 +432,142 @@ def test_sketch_overlap_identical_and_estimated(spark):
     assert r["jaccard_est"] == 1.0
     # ~13% standard error at k=64: the estimate is in the right decade
     assert 1000 < r["n_a_est"] < 4000
+
+
+# ---------------------------------------------------------------------------
+# plan shapes: the scale-critical properties, pinned
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_sequences_plan_no_corpus_global_window(spark):
+    """Every corpus-sized cumulative window must partition by the id-range
+    bucket; only the √N-row offsets table may see an unkeyed window."""
+    import re
+
+    from knot_another_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(500)], "doc_id: bigint, n_tok: bigint"
+    )
+    plan = _plan(
+        pack_sequences(df, id_col="doc_id", token_col="n_tok", seq_len=64)
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*?) ASC", plan)
+    assert specs, "cumulative-sum windows missing from plan"
+    # exactly one unkeyed window (the offsets prefix over bucket totals,
+    # input rows ≈ √N); the corpus window is keyed by the bucket `b`
+    unkeyed = [s for s in specs if s.strip().startswith(("b#", "id#")) is False]
+    keyed = [s for s in specs if "b#" in s.split(",")[0]]
+    assert keyed, f"corpus cumsum window is not bucket-keyed: {specs}"
+    assert len(unkeyed) <= 1, f"multiple unkeyed windows: {specs}"
+
+
+def test_kmeans_step_plan_broadcast_centroids_no_shuffled_expand(spark):
+    from knot_another_pipeline_spark.operators.similarity import kmeans_step
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    plan = _plan(kmeans_step(df, num_centroids=4))
+    # centroid set rides a broadcast; the C-per-row expansion is collapsed
+    # by partial aggregation (argmax), never window-ranked
+    assert "BroadcastExchange" in plan
+    assert "row_number" not in plan
+    assert "Generate posexplode" in plan
+
+
+def test_link_prediction_plan_equi_joins_only(spark):
+    from knot_another_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "src: bigint, dst: bigint"
+    )
+    plan = _plan(common_neighbor_scores(df, min_common=1, max_degree=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # hub-cap and existing-edge exclusions
+
+
+def test_majority_vote_window_runs_over_reduced_counts(spark):
+    from knot_another_pipeline_spark.operators.quality import majority_vote
+
+    df = spark.createDataFrame(
+        [(1, "a")] * 50 + [(1, "b")] * 20, "item: bigint, label: string"
+    )
+    plan = _plan(majority_vote(df, item_col="item", label_col="label"))
+    # the aggregate (partial+final) must appear BELOW the window: votes
+    # collapse to (item,label) counts before any sort-based ranking
+    assert plan.index("HashAggregate") > plan.index("Window") or (
+        "partial_count" in plan.split("Window")[-1]
+    )
+
+
+def test_kmeans_iteration_sse_non_increasing(spark):
+    """Lloyd's guarantee: feeding each round's centroids back in must
+    never increase within-cluster SSE (assignment and update are both
+    SSE-non-increasing under cosine-on-comparable-norms here we check
+    the euclidean SSE against the returned centroids)."""
+    from knot_another_pipeline_spark.operators.similarity import kmeans_step
+
+    vecs = {
+        i: [
+            float(((i * 31 + j * 7) % 23) - 11) + 0.1 * ((i + j) % 5)
+            for j in range(4)
+        ]
+        for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id: bigint, embedding: array<double>",
+    )
+
+    def sse(step_rows):
+        # recompute assignment SSE against each round's NEW centroids
+        cents = {r["cell"]: r["new_centroid"] for r in step_rows}
+        total = 0.0
+        for v in vecs.values():
+            best = min(
+                sum((a - b) ** 2 for a, b in zip(v, c))
+                for c in cents.values()
+            )
+            total += best
+        return total
+
+    out = kmeans_step(df, num_centroids=6)
+    prev_sse = None
+    for _ in range(3):
+        rows = out.collect()
+        cur = sse(rows)
+        if prev_sse is not None:
+            assert cur <= prev_sse + 1e-6
+        prev_sse = cur
+        fed = (
+            spark.createDataFrame(
+                [(r["cell"], r["new_centroid"]) for r in rows],
+                "cent_id: bigint, centv: array<double>",
+            )
+        )
+        out = kmeans_step(df, centroids=fed)
+    total_assigned = sum(r["n_vectors"] for r in out.collect())
+    assert total_assigned == 60
+
+
+def test_temperature_mix_drops_null_groups_consistently(spark):
+    from knot_another_pipeline_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "en" if i % 3 else None) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, lang: string")
+    out = temperature_mix(df, group_col="lang", id_col="doc_id", alpha=0.5)
+    got = out.collect()
+    # null-group rows neither appear NOR distort the survivors' fraction:
+    # with nulls excluded, 'en' is the only (and thus rarest) group -> 1.0
+    assert all(r["lang"] == "en" for r in got)
+    assert all(r["keep_fraction"] == 1.0 for r in got)
+    assert len(got) == sum(1 for _, g in rows if g is not None)
