@@ -127,6 +127,7 @@ _PRIORITY = [
     "temperature_mix",
     "k_anonymity",
     "sketch_overlap",
+    "zone_assign",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

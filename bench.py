@@ -72,10 +72,11 @@ HEADLINE = [
     "link_prediction",
     "label_vote",
     "canonical_docs",
-    # r5 final additions: mixing / privacy / overlap sketches
+    # r5 final additions: mixing / privacy / overlap sketches / geofencing
     "temperature_mix",
     "k_anonymity",
     "sketch_overlap",
+    "zone_assign",
 ]
 
 

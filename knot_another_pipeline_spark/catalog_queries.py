@@ -4659,6 +4659,75 @@ FROM est
 """
 
 
+_ZONES = [
+    (
+        "north_triangle",
+        [(-120.3, 10.7), (-40.9, 12.3), (-80.1, 70.6)],
+    ),
+    (
+        "south_quad",
+        [(20.13, -75.2), (150.7, -71.9), (140.2, -20.4), (30.8, -25.55)],
+    ),
+    (
+        "mid_pentagon",
+        [(-30.5, -15.3), (10.9, -20.1), (25.7, 5.2), (0.3, 25.9),
+         (-25.1, 15.4)],
+    ),
+]
+
+
+def q_zone_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofencing (operators/tracks.py assign_zones): positions tagged
+    with the polygon zones containing them — broadcast zone catalog,
+    row-local bbox prune, exact ray-cast in pure expressions. The
+    oracle applies the ray cast WITHOUT the bbox prune, so the hash
+    match proves the prune loses nothing."""
+    from knot_another_pipeline_spark.operators.tracks import assign_zones
+
+    pos = _positions(spark, sf_dir)
+    zones = spark.createDataFrame(
+        [(name, [{"lon": x, "lat": y} for x, y in ring]) for name, ring in _ZONES],
+        "zone string, polygon array<struct<lon:double, lat:double>>",
+    )
+    out = assign_zones(pos, zones, id_col="event_id")
+    return out.select(
+        "id", "zone",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+    )
+
+
+def _zone_values_sql() -> str:
+    rows = []
+    for name, ring in _ZONES:
+        structs = ", ".join(
+            f"{{'lon': {x!r}, 'lat': {y!r}}}" for x, y in ring
+        )
+        rows.append(f"('{name}', [{structs}])")
+    return ",\n         ".join(rows)
+
+
+ORACLE_ZONE_ASSIGN = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+zones(zone, poly) AS (
+  VALUES {_zone_values_sql()})
+SELECT p.event_id AS id, z.zone,
+       round(p.lat, 6) AS lat, round(p.lon, 6) AS lon
+FROM pos p JOIN zones z
+  ON len(list_filter(range(0, len(z.poly)), i ->
+       ((z.poly[i + 1].lat > p.lat)
+        <> (z.poly[CASE WHEN i = len(z.poly) - 1 THEN 1 ELSE i + 2 END].lat
+            > p.lat))
+       AND p.lon <
+           (z.poly[CASE WHEN i = len(z.poly) - 1 THEN 1 ELSE i + 2 END].lon
+            - z.poly[i + 1].lon)
+           * (p.lat - z.poly[i + 1].lat)
+           / (z.poly[CASE WHEN i = len(z.poly) - 1 THEN 1 ELSE i + 2 END].lat
+              - z.poly[i + 1].lat)
+           + z.poly[i + 1].lon)) % 2 = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4800,6 +4869,7 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,
     "k_anonymity": q_k_anonymity,
     "sketch_overlap": q_sketch_overlap,
+    "zone_assign": q_zone_assign,
 }
 
 ORACLES = {
@@ -4924,4 +4994,5 @@ ORACLES = {
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "sketch_overlap": ORACLE_SKETCH_OVERLAP,
+    "zone_assign": ORACLE_ZONE_ASSIGN,
 }

@@ -169,3 +169,40 @@ def haversine_m(
             )
         )
     )
+
+
+def point_in_polygon(
+    lat: Column | str, lon: Column | str, polygon: Column | str
+) -> Column:
+    """Ray-casting (crossing-number) point-in-polygon test, pure
+    higher-order-function expressions — no UDF, no geo library.
+
+    ``polygon`` is an ``array<struct<lon:double, lat:double>>`` ring;
+    open (last ≠ first) — the closing edge is implied. An eastward ray
+    from the point is tested against every edge: odd crossings ⇒
+    inside. The arithmetic is four IEEE ops per edge spelled
+    identically in the DuckDB oracle, so containment decisions are
+    engine-bit-identical. Points exactly ON an edge are
+    algorithm-ambiguous (standard for crossing-number); polygons that
+    cross the antimeridian must be split by the caller at ±180° first
+    (same band discipline as ``radius_pairs``).
+    """
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    poly = F.col(polygon) if isinstance(polygon, str) else polygon
+    n = F.size(poly)
+
+    def crosses(i: Column) -> Column:
+        p1 = F.element_at(poly, i + 1)
+        p2 = F.element_at(
+            poly, F.when(i == n - 1, F.lit(1)).otherwise(i + 2)
+        )
+        y1, y2 = p1["lat"], p2["lat"]
+        x1, x2 = p1["lon"], p2["lon"]
+        straddles = (y1 > la) != (y2 > la)
+        # (y2 - y1) is nonzero whenever the edge straddles the ray
+        xing = lo < (x2 - x1) * (la - y1) / (y2 - y1) + x1
+        return straddles & xing
+
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.size(F.filter(idx, crosses)) % 2 == 1

@@ -269,3 +269,60 @@ def dwell_segments(
             "center_lat", "center_lon",
         )
     )
+
+
+def assign_zones(
+    points: DataFrame,
+    zones: DataFrame,
+    *,
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    zone_col: str = "zone",
+    polygon_col: str = "polygon",
+) -> DataFrame:
+    """Geofencing: tag each point with every zone polygon containing it
+    — port/anchorage attribution for AIS tracks, region tagging for any
+    lat/lon stream. Inner-join semantics: points inside no zone drop
+    out; a point inside overlapping zones appears once per zone.
+
+    Scale shape: the zone table broadcasts (a geofence catalog is
+    thousands of rows, not corpus-scale) with its bounding box
+    precomputed ROW-LOCALLY from the polygon ring; candidate pruning is
+    the bbox test inside the broadcast join, and only bbox survivors
+    pay the exact O(vertices) ray cast (``functions.geo
+    .point_in_polygon`` — pure expression, JVM-side). The points table
+    never shuffles. For zone catalogs too big to broadcast, pre-block
+    both sides by ``grid_cell`` over the bbox cover and equi-join on
+    the cell — the ``radius_pairs`` discipline; this operator keeps
+    the broadcast shape because that is the real cardinality regime.
+
+    Output: id, zone, lat, lon.
+    """
+    from knot_another_pipeline_spark.functions.geo import point_in_polygon
+
+    poly = F.col(polygon_col)
+    lats = F.transform(poly, lambda p: p["lat"])
+    lons = F.transform(poly, lambda p: p["lon"])
+    z = zones.select(
+        F.col(zone_col).alias("zone"),
+        poly.alias("_poly"),
+        F.array_min(lats).alias("_lat_lo"),
+        F.array_max(lats).alias("_lat_hi"),
+        F.array_min(lons).alias("_lon_lo"),
+        F.array_max(lons).alias("_lon_hi"),
+    )
+    p = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    )
+    return (
+        p.crossJoin(F.broadcast(z))
+        .filter(
+            F.col("lat").between(F.col("_lat_lo"), F.col("_lat_hi"))
+            & F.col("lon").between(F.col("_lon_lo"), F.col("_lon_hi"))
+        )
+        .filter(point_in_polygon(F.col("lat"), F.col("lon"), F.col("_poly")))
+        .select("id", "zone", "lat", "lon")
+    )

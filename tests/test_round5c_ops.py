@@ -571,3 +571,81 @@ def test_temperature_mix_drops_null_groups_consistently(spark):
     assert all(r["lang"] == "en" for r in got)
     assert all(r["keep_fraction"] == 1.0 for r in got)
     assert len(got) == sum(1 for _, g in rows if g is not None)
+
+
+# ---------------------------------------------------------------------------
+# assign_zones / point_in_polygon ≡ brute-force ray cast
+# ---------------------------------------------------------------------------
+
+
+def _brute_pip(lat, lon, ring):
+    n = len(ring)
+    crossings = 0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > lat) != (y2 > lat):
+            if lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+                crossings += 1
+    return crossings % 2 == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-79.9, max_value=79.9),
+            st.floats(min_value=-179.9, max_value=179.9),
+        ),
+        min_size=20,
+        max_size=40,
+    )
+)
+def test_assign_zones_matches_bruteforce(spark, pts):
+    from knot_another_pipeline_spark.operators.tracks import assign_zones
+
+    rings = {
+        "sq": [(-10.5, -10.25), (10.75, -10.25), (10.75, 10.5), (-10.5, 10.5)],
+        "tri": [(-60.3, 20.1), (60.7, 25.3), (0.1, 75.9)],
+        "concave": [(-50.2, -60.1), (50.4, -60.1), (50.4, -20.3),
+                    (0.0, -45.7), (-50.2, -20.3)],
+    }
+    points = [(i, la, lo) for i, (la, lo) in enumerate(pts)]
+    pdf = spark.createDataFrame(points, "pid: bigint, lat: double, lon: double")
+    zdf = spark.createDataFrame(
+        [(z, [{"lon": x, "lat": y} for x, y in ring]) for z, ring in rings.items()],
+        "zone string, polygon array<struct<lon:double, lat:double>>",
+    )
+    got = {
+        (r["id"], r["zone"])
+        for r in assign_zones(pdf, zdf, id_col="pid").collect()
+    }
+    expected = {
+        (i, z)
+        for i, la, lo in points
+        for z, ring in rings.items()
+        if _brute_pip(la, lo, ring)
+    }
+    assert got == expected
+
+
+def test_assign_zones_plan_broadcast_only_no_point_shuffle(spark):
+    from knot_another_pipeline_spark.operators.tracks import assign_zones
+
+    pdf = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "pid: bigint, lat: double, lon: double"
+    )
+    zdf = spark.createDataFrame(
+        [("z", [{"lon": -1.0, "lat": -1.0}, {"lon": 1.0, "lat": -1.0},
+                {"lon": 0.0, "lat": 1.0}])],
+        "zone string, polygon array<struct<lon:double, lat:double>>",
+    )
+    plan = (
+        assign_zones(pdf, zdf, id_col="pid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    # the points side must reach the join without any shuffle exchange
+    assert "Exchange hashpartitioning" not in plan
