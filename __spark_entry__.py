@@ -128,6 +128,7 @@ _PRIORITY = [
     "k_anonymity",
     "sketch_overlap",
     "zone_assign",
+    "phrase_search",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

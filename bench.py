@@ -77,6 +77,7 @@ HEADLINE = [
     "k_anonymity",
     "sketch_overlap",
     "zone_assign",
+    "phrase_search",
 ]
 
 

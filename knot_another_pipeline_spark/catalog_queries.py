@@ -4728,6 +4728,32 @@ FROM pos p JOIN zones z
 """
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching for "hash join" (operators/search.py
+    phrase_search): zero-shuffle row-local sliding slice-equality over
+    the token arrays — the quoted-query semantics bag-of-words ranking
+    cannot express."""
+    from knot_another_pipeline_spark.operators.search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(
+        docs, id_col="doc_id", text_col="text", phrase="hash join"
+    )
+
+
+ORACLE_PHRASE_SEARCH = rf"""
+WITH toks AS ({_TOKS_SQL}),
+m AS (
+  SELECT doc_id AS id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_filter(range(0, len(t) - 1), i ->
+           list_slice(t, i + 1, i + 2) = ['hash', 'join']) AS pos
+  FROM toks)
+SELECT id, CAST(len(pos) AS BIGINT) AS n_occurrences,
+       CAST(pos[1] AS BIGINT) AS first_pos, n_tokens
+FROM m WHERE len(pos) > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4870,6 +4896,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "sketch_overlap": q_sketch_overlap,
     "zone_assign": q_zone_assign,
+    "phrase_search": q_phrase_search,
 }
 
 ORACLES = {
@@ -4995,4 +5022,5 @@ ORACLES = {
     "k_anonymity": ORACLE_K_ANONYMITY,
     "sketch_overlap": ORACLE_SKETCH_OVERLAP,
     "zone_assign": ORACLE_ZONE_ASSIGN,
+    "phrase_search": ORACLE_PHRASE_SEARCH,
 }

@@ -165,13 +165,6 @@ def assign_shards(
     ship ~N rows through the driver).
     Output: id, n_tokens, shard.
     """
-    id_type = dict(df.dtypes).get(id_col, "")
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(
-            f"assign_shards requires an integral id column; {id_col!r} is "
-            f"{id_type!r} (hash string ids to a bigint first and set "
-            "bucket_width to 2**64 // sqrt(N))"
-        )
     s = _id_ordered_cumsum(
         df,
         id_col=id_col,
@@ -198,7 +191,21 @@ def _id_ordered_cumsum(
     """Shared distributed prefix-sum over id order (see ``assign_shards``
     for the full scale rationale): id-range buckets preserve order, the
     only single-partition window runs over the ~√N-row totals table, the
-    offsets join is left to AQE. Returns (id, n_tokens, cum[, g])."""
+    offsets join is left to AQE. Returns (id, n_tokens, cum[, g]).
+
+    The id must be integral: the order-preserving range bucket is
+    ``floor(id / width)``, and a string id would cast to NULL and
+    silently collapse every row into one null bucket — one task doing
+    the whole cumsum, masked as success. Validated for every caller
+    (assign_shards, pack_sequences)."""
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"id-ordered cumsum requires an integral id column; "
+            f"{id_col!r} is {id_type!r} (hash string ids to a bigint "
+            "first, e.g. functions.hashing.hash64, and set bucket_width "
+            "to 2**64 // sqrt(N))"
+        )
     if bucket_width is None:
         lo, hi, n = df.select(
             F.min(id_col), F.max(id_col), F.count(F.lit(1))

@@ -649,3 +649,64 @@ def test_assign_zones_plan_broadcast_only_no_point_shuffle(spark):
     assert "BroadcastExchange" in plan
     # the points side must reach the join without any shuffle exchange
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_pack_sequences_rejects_string_ids(spark):
+    from knot_another_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([("a", 5)], "doc_id: string, n_tok: bigint")
+    with pytest.raises(TypeError):
+        pack_sequences(df, id_col="doc_id", token_col="n_tok", seq_len=8)
+
+
+# ---------------------------------------------------------------------------
+# phrase_search ≡ brute-force sliding window; zero-shuffle plan
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(st.sampled_from("ab"), min_size=1, max_size=3),
+)
+def test_phrase_search_matches_bruteforce(spark, docs_words, phrase_words):
+    from knot_another_pipeline_spark.operators.search import phrase_search
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    phrase = " ".join(phrase_words)
+    got = {
+        r["id"]: (r["n_occurrences"], r["first_pos"], r["n_tokens"])
+        for r in phrase_search(
+            df, id_col="doc_id", text_col="text", phrase=phrase
+        ).collect()
+    }
+    expected = {}
+    for i, ws in enumerate(docs_words):
+        hits = [
+            j
+            for j in range(len(ws) - len(phrase_words) + 1)
+            if ws[j : j + len(phrase_words)] == phrase_words
+        ]
+        if hits:
+            expected[i] = (len(hits), hits[0], len(ws))
+    assert got == expected
+
+
+def test_phrase_search_plan_zero_shuffle_and_validation(spark):
+    from knot_another_pipeline_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "new york city new york")], "doc_id: bigint, text: string"
+    )
+    out = phrase_search(df, id_col="doc_id", text_col="text", phrase="new york")
+    rows = out.collect()
+    assert rows[0]["n_occurrences"] == 2 and rows[0]["first_pos"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # fully row-local scan
+    with pytest.raises(ValueError):
+        phrase_search(df, id_col="doc_id", text_col="text", phrase="   ")
