@@ -129,6 +129,7 @@ _PRIORITY = [
     "sketch_overlap",
     "zone_assign",
     "phrase_search",
+    "time_weighted_avg",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -78,6 +78,7 @@ HEADLINE = [
     "sketch_overlap",
     "zone_assign",
     "phrase_search",
+    "time_weighted_avg",
 ]
 
 

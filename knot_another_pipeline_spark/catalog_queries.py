@@ -4754,6 +4754,57 @@ FROM m WHERE len(pos) > 0
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted value per user (operators/temporal.py
+    time_weighted_avg): one lead window establishes holding intervals
+    (6-hour stale cap), intervals explode row-locally into the hours
+    they span, clip, and hash-aggregate — the honest mean for
+    irregular observation streams."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        bucket="hour",
+        max_hold="6 hours",
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH s AS (
+  SELECT user_id AS e, ts, CAST(value AS DOUBLE) AS v,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events),
+capped AS (
+  SELECT e, ts, v, least(nxt, ts + INTERVAL 6 HOUR) AS nxt
+  FROM s WHERE nxt IS NOT NULL),
+pos AS (SELECT * FROM capped WHERE nxt > ts),
+spanned AS (
+  SELECT e, ts, nxt, v,
+         unnest(generate_series(
+           date_trunc('hour', ts),
+           date_trunc('hour', nxt - INTERVAL 1 MICROSECOND),
+           INTERVAL 1 HOUR)) AS b
+  FROM pos),
+segs AS (
+  SELECT e, b, v,
+         (epoch_us(least(nxt, b + INTERVAL 1 HOUR))
+          - epoch_us(greatest(ts, b))) / 1e6 AS dur
+  FROM spanned)
+SELECT e AS user_id, b AS bucket_ts,
+       round(sum(v * dur) / sum(dur), 6) AS twa,
+       round(sum(dur), 6) AS covered_s
+FROM segs GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4897,6 +4948,7 @@ QUERIES = {
     "sketch_overlap": q_sketch_overlap,
     "zone_assign": q_zone_assign,
     "phrase_search": q_phrase_search,
+    "time_weighted_avg": q_time_weighted_avg,
 }
 
 ORACLES = {
@@ -5023,4 +5075,5 @@ ORACLES = {
     "sketch_overlap": ORACLE_SKETCH_OVERLAP,
     "zone_assign": ORACLE_ZONE_ASSIGN,
     "phrase_search": ORACLE_PHRASE_SEARCH,
+    "time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
 }

@@ -43,6 +43,7 @@ __all__ = [
     "interval_merge",
     "period_over_period",
     "resample_calendar",
+    "time_weighted_avg",
 ]
 
 
@@ -628,4 +629,101 @@ def decayed_agg(
         )
         .groupBy(*groups)
         .agg(*aggs)
+    )
+
+
+_BUCKET_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    max_hold: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per (entity, calendar bucket) over an
+    irregular observation stream — the honest mean for sensor readings,
+    prices, or state levels, where the plain ``avg`` over-weights
+    chatty periods (a value that HELD for 59 minutes must count 59×
+    the one that held for one).
+
+    Semantics: each observation holds from its timestamp until the
+    entity's next observation (exclusive); the final observation
+    contributes nothing (its holding time is unknown — emit a closing
+    reading upstream if the tail matters). ``max_hold`` (e.g.
+    ``'2 hours'``) caps a stale reading's influence: a silent sensor
+    stops accruing after the cap instead of dominating every bucket
+    until it next reports.
+
+    Scale shape: ONE window (lead over the entity key) establishes the
+    holding interval; the interval then row-locally explodes into the
+    calendar buckets it spans (``sequence`` of bucket starts — fanout =
+    buckets spanned, which ``max_hold`` bounds) and clips to each; one
+    hash aggregate on (entity, bucket) finishes. The classic
+    interval-split-to-buckets shape — billing proration and occupancy
+    use the same plan. No self-joins, no spine table.
+
+    Output: entity, bucket_ts, twa (round 6), covered_s (seconds of
+    the bucket actually covered, round 6).
+    """
+    if bucket not in _BUCKET_SECONDS:
+        raise KeyError(
+            f"bucket must be one of {sorted(_BUCKET_SECONDS)}, got {bucket!r}"
+        )
+    step = _BUCKET_SECONDS[bucket]
+    order = [F.col("_ts").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy("_e").orderBy(*order)
+    s = df.select(
+        F.col(entity_col).alias("_e"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+        *([F.col(tiebreak_col)] if tiebreak_col is not None else []),
+    ).withColumn("_next", F.lead("_ts").over(w))
+    if max_hold is not None:
+        # guard the NULL: least() IGNORES nulls, so an unguarded cap
+        # would resurrect each entity's final observation (whose _next
+        # is NULL = "holding time unknown") as a max_hold-long interval
+        # — the documented semantics drop it instead
+        s = s.withColumn(
+            "_next",
+            F.when(
+                F.col("_next").isNotNull(),
+                F.least(
+                    F.col("_next"), F.expr(f"_ts + interval {max_hold}")
+                ),
+            ),
+        )
+    s = s.filter(F.col("_next") > F.col("_ts"))
+    b0 = F.date_trunc(bucket, F.col("_ts"))
+    b_last = F.date_trunc(
+        bucket, F.col("_next") - F.expr("interval 1 microsecond")
+    )
+    spanned = s.select(
+        "_e",
+        "_ts",
+        "_next",
+        "_v",
+        F.explode(
+            F.sequence(b0, b_last, F.expr(f"interval {step} seconds"))
+        ).alias("_b"),
+    )
+    seg_start = F.greatest(F.col("_ts"), F.col("_b"))
+    seg_end = F.least(
+        F.col("_next"), F.col("_b") + F.expr(f"interval {step} seconds")
+    )
+    dur = (F.unix_micros(seg_end) - F.unix_micros(seg_start)) / F.lit(1e6)
+    return (
+        spanned.withColumn("_dur", dur)
+        .groupBy(F.col("_e").alias(entity_col), F.col("_b").alias("bucket_ts"))
+        .agg(
+            F.round(F.sum(F.col("_v") * F.col("_dur")) / F.sum("_dur"), 6)
+            .alias("twa"),
+            F.round(F.sum("_dur"), 6).alias("covered_s"),
+        )
     )

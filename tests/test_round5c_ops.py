@@ -710,3 +710,95 @@ def test_phrase_search_plan_zero_shuffle_and_validation(spark):
     assert "Exchange" not in plan  # fully row-local scan
     with pytest.raises(ValueError):
         phrase_search(df, id_col="doc_id", text_col="text", phrase="   ")
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg ≡ brute-force interval splitting
+# ---------------------------------------------------------------------------
+
+
+def _brute_twa(rows, bucket_s, max_hold_s):
+    import datetime as dt
+
+    per_e: dict[int, list] = {}
+    for e, ts, v, tb in rows:
+        per_e.setdefault(e, []).append((ts, tb, v))
+    out: dict[tuple, list] = {}
+    epoch = dt.datetime(1970, 1, 1)
+    for e, obs in per_e.items():
+        obs.sort()
+        for i, (ts, _, v) in enumerate(obs[:-1]):
+            nxt = obs[i + 1][0]
+            if max_hold_s is not None:
+                nxt = min(nxt, ts + dt.timedelta(seconds=max_hold_s))
+            t = ts
+            while t < nxt:
+                sec = (t - epoch).total_seconds()
+                b = epoch + dt.timedelta(seconds=sec - sec % bucket_s)
+                b_end = b + dt.timedelta(seconds=bucket_s)
+                seg_end = min(nxt, b_end)
+                dur = (seg_end - max(t, b)).total_seconds()
+                if dur > 0:
+                    out.setdefault((e, b), []).append((v, dur))
+                t = seg_end
+    return {
+        k: (
+            round(sum(v * d for v, d in segs) / sum(d for _, d in segs), 6),
+            round(sum(d for _, d in segs), 6),
+        )
+        for k, segs in out.items()
+    }
+
+
+def test_time_weighted_avg_matches_bruteforce(spark):
+    import datetime as dt
+
+    from knot_another_pipeline_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    tb = 0
+    for e in range(4):
+        t = base
+        for i in range(25):
+            rows.append((e, t, float((e * 7 + i * 3) % 11), tb))
+            tb += 1
+            t += dt.timedelta(minutes=7 + ((e + i * 13) % 200))
+    df = spark.createDataFrame(
+        rows, "e: bigint, ts: timestamp, v: double, tb: bigint"
+    )
+    got = {
+        (r["e"], r["bucket_ts"]): (r["twa"], r["covered_s"])
+        for r in time_weighted_avg(
+            df,
+            entity_col="e",
+            ts_col="ts",
+            value_col="v",
+            bucket="hour",
+            max_hold="2 hours",
+            tiebreak_col="tb",
+        ).collect()
+    }
+    expected = _brute_twa(rows, 3600, 7200)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == pytest.approx(expected[k][0], abs=1e-5)
+        assert got[k][1] == pytest.approx(expected[k][1], abs=1e-5)
+    # a constant-value stream averages to that constant in every bucket
+    const = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=30 * i), 5.0, i) for i in range(10)],
+        "e: bigint, ts: timestamp, v: double, tb: bigint",
+    )
+    vals = {
+        r["twa"]
+        for r in time_weighted_avg(
+            const, entity_col="e", ts_col="ts", value_col="v", bucket="hour"
+        ).collect()
+    }
+    assert vals == {5.0}
+    with pytest.raises(KeyError):
+        time_weighted_avg(
+            const, entity_col="e", ts_col="ts", value_col="v", bucket="week"
+        )
