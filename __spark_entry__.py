@@ -130,6 +130,9 @@ _PRIORITY = [
     "zone_assign",
     "phrase_search",
     "time_weighted_avg",
+    "target_encode",
+    "hash_features",
+    "benford",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

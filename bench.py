@@ -79,6 +79,10 @@ HEADLINE = [
     "zone_assign",
     "phrase_search",
     "time_weighted_avg",
+    # r5 final additions: ML features / forensic DQ
+    "target_encode",
+    "hash_features",
+    "benford",
 ]
 
 

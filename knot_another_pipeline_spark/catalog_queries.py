@@ -4805,6 +4805,132 @@ FROM segs GROUP BY 1, 2
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of order priority against
+    order value (operators/features.py target_encode): per-category
+    (n, sum) + 1-row global mean + row-local LOO arithmetic — the
+    leakage-guarded high-cardinality categorical feature."""
+    from knot_another_pipeline_spark.operators.features import target_encode
+
+    orders = load_table(spark, sf_dir, "orders")
+    return target_encode(
+        orders,
+        id_col="o_orderkey",
+        category_col="o_orderpriority",
+        target_col="o_totalprice",
+        smoothing=20.0,
+    )
+
+
+ORACLE_TARGET_ENCODE = """
+WITH s AS (
+  SELECT o_orderkey AS id, o_orderpriority AS category,
+         CAST(o_totalprice AS DOUBLE) AS target
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+stats AS (SELECT category, count(*) AS n, sum(target) AS sm
+          FROM s GROUP BY 1),
+mu AS (SELECT avg(target) AS mu FROM s)
+SELECT s.id, s.category, s.target,
+       round((st.sm - s.target + 20.0 * (SELECT mu FROM mu))
+             / (st.n - 1 + 20.0), 6) AS te
+FROM s JOIN stats st USING (category)
+"""
+
+
+def q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (operators/features.py hash_features): market
+    segment + nation key become sparse ±1 coordinates in a 1024-dim
+    space, md5-derived index and sign — no vocabulary anywhere, layout
+    bit-identical in the oracle."""
+    from knot_another_pipeline_spark.operators.features import hash_features
+
+    cust = load_table(spark, sf_dir, "customer")
+    return hash_features(
+        cust,
+        id_col="c_custkey",
+        cols=["c_mktsegment", "c_nationkey"],
+        num_features=1024,
+    )
+
+
+ORACLE_HASH_FEATURES = """
+WITH c AS (
+  SELECT id, col, val FROM (
+    SELECT c_custkey AS id, 'c_mktsegment' AS col,
+           CAST(c_mktsegment AS VARCHAR) AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+    FROM customer)
+  WHERE val IS NOT NULL),
+h AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5('0:' || col || '=' || val), 1, 15))
+              AS BIGINT) % 1024 AS feature_idx,
+         CASE WHEN CAST(concat('0x',
+                        substr(md5('1:' || col || '=' || val), 1, 15))
+                   AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM c)
+SELECT id, feature_idx, CAST(sum(sgn) AS BIGINT) AS feature_val
+FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order values per priority
+    class (operators/quality.py benford_check): nine conditional sums
+    on one shuffle, string-robust digit extraction, chi-square + MAD
+    against the shared expected-probability literals."""
+    from knot_another_pipeline_spark.operators.quality import benford_check
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_check(
+        orders, value_col="o_totalprice", by="o_orderpriority"
+    )
+
+
+def _benford_oracle_sql() -> str:
+    from knot_another_pipeline_spark.operators.quality import BENFORD_EXPECTED
+
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN d = '{k}' THEN 1 ELSE 0 END) AS _n{k}"
+        for k in range(1, 10)
+    )
+    chi2 = " + ".join(
+        f"pow(_n{k} - n * {e!r}, 2) / (n * {e!r})"
+        for k, e in zip(range(1, 10), BENFORD_EXPECTED)
+    )
+    mad = " + ".join(
+        f"abs(_n{k} / n - {e!r})"
+        for k, e in zip(range(1, 10), BENFORD_EXPECTED)
+    )
+    return f"""
+WITH s AS (
+  SELECT o_orderpriority,
+         regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0) AS d
+  FROM orders),
+f AS (SELECT * FROM s WHERE d <> ''),
+counts AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         {sums}
+  FROM f GROUP BY 1),
+c2 AS (
+  -- DuckDB `/` on integers is true division and n * <double literal>
+  -- is double, so the arithmetic below is float throughout
+  SELECT o_orderpriority, n,
+         {chi2} AS chi2_raw,
+         ({mad}) / 9.0 AS mad_raw
+  FROM counts)
+SELECT o_orderpriority, n, round(chi2_raw, 6) AS chi2,
+       round(mad_raw, 6) AS mad, chi2_raw > 15.507 AS suspicious
+FROM c2
+"""
+
+
+ORACLE_BENFORD = _benford_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4949,6 +5075,9 @@ QUERIES = {
     "zone_assign": q_zone_assign,
     "phrase_search": q_phrase_search,
     "time_weighted_avg": q_time_weighted_avg,
+    "target_encode": q_target_encode,
+    "hash_features": q_hash_features,
+    "benford": q_benford,
 }
 
 ORACLES = {
@@ -5076,4 +5205,7 @@ ORACLES = {
     "zone_assign": ORACLE_ZONE_ASSIGN,
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
+    "target_encode": ORACLE_TARGET_ENCODE,
+    "hash_features": ORACLE_HASH_FEATURES,
+    "benford": ORACLE_BENFORD,
 }

@@ -1,0 +1,130 @@
+"""ML feature engineering over relational tables: supervised target
+encoding and the feature-hashing trick.
+
+The bridge from warehouse tables to model matrices — the last step a
+training-data pipeline runs before examples leave the cluster. Both
+operators are deterministic (stable hashes, closed-form smoothing), so
+feature values are reproducible across reruns and engines — the same
+property the sampling/dedup stages guarantee, extended to features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from knot_another_pipeline_spark.functions.hashing import hash64
+
+__all__ = ["target_encode", "hash_features"]
+
+
+def target_encode(
+    df: DataFrame,
+    *,
+    id_col: str,
+    category_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    leave_one_out: bool = True,
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column — replace each
+    category with (a shrunk estimate of) the target mean among its
+    rows, the classic high-cardinality categorical feature.
+
+    ``leave_one_out=True`` (default) excludes the row's OWN target from
+    its encoding — ``te_i = (sum_c − y_i + m·μ) / (n_c − 1 + m)`` — the
+    standard leakage guard: with the row included, the feature
+    memorizes its own label and the model overfits silently (a
+    singleton category would encode exactly its target). ``m`` is the
+    ``smoothing`` pseudo-count toward the global mean μ; a singleton
+    category under LOO encodes exactly μ.
+
+    Scale shape: one hash aggregate to per-category (n, sum) — bounded
+    by the category cardinality — a 1-row global-mean broadcast, and a
+    join back on the category (AQE broadcasts while the category table
+    is small). The encoding itself is row-local arithmetic; rows with
+    a NULL category or NULL target are dropped (neither side of the
+    estimate is defined for them).
+
+    Output: id, category, target, te (rounded 6).
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(category_col).alias("category"),
+        F.col(target_col).cast("double").alias("target"),
+    ).filter(F.col("category").isNotNull() & F.col("target").isNotNull())
+    stats = s.groupBy("category").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("target").alias("_sum")
+    )
+    mu = s.agg(F.avg("target").alias("_mu"))
+    joined = s.join(stats, "category").crossJoin(F.broadcast(mu))
+    m = F.lit(float(smoothing))
+    if leave_one_out:
+        te = (F.col("_sum") - F.col("target") + m * F.col("_mu")) / (
+            F.col("_n") - 1 + m
+        )
+    else:
+        te = (F.col("_sum") + m * F.col("_mu")) / (F.col("_n") + m)
+    return joined.select(
+        "id", "category", "target", F.round(te, 6).alias("te")
+    )
+
+
+def hash_features(
+    df: DataFrame,
+    *,
+    id_col: str,
+    cols: list[str],
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """The feature-hashing trick: categorical columns become sparse
+    feature coordinates ``index = h(col=value) mod D`` with a ±1 sign
+    hash — fixed-dimension model input with NO vocabulary table, no
+    fitting pass, and graceful collision behavior (the sign hash makes
+    colliding features cancel in expectation rather than add).
+
+    Scale shape: entirely row-local until one hash aggregate on
+    (id, index) that sums signs for within-row collisions — no
+    vocabulary build, no broadcast, nothing proportional to category
+    cardinality anywhere. md5-derived index and sign make the layout
+    engine-portable (the DuckDB oracle reproduces it bit-for-bit) and
+    stable across reruns — a model trained yesterday reads today's
+    features.
+
+    Output (sparse COO): id, feature_idx, feature_val — one row per
+    distinct populated coordinate; NULL column values contribute no
+    coordinate.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if num_features < 2:
+        raise ValueError(f"num_features must be >= 2, got {num_features}")
+    coords = []
+    for c in cols:
+        payload = F.concat(
+            F.lit(c), F.lit("="), F.col(c).cast("string")
+        )
+        idx = F.pmod(hash64(payload), F.lit(num_features))
+        sign = F.when(
+            F.pmod(hash64(payload, seed=1), F.lit(2)) == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+        coords.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(idx.alias("i"), sign.alias("s")),
+            )
+        )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.array(*coords), lambda x: x.isNotNull())
+        ).alias("_c"),
+    )
+    return (
+        exploded.groupBy(
+            "id", F.col("_c.i").alias("feature_idx")
+        )
+        .agg(F.sum("_c.s").cast("bigint").alias("feature_val"))
+        .filter(F.col("feature_val") != 0)
+    )

@@ -802,3 +802,108 @@ def test_time_weighted_avg_matches_bruteforce(spark):
         time_weighted_avg(
             const, entity_col="e", ts_col="ts", value_col="v", bucket="week"
         )
+
+
+# ---------------------------------------------------------------------------
+# target_encode / hash_features / benford_check ≡ brute force
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_matches_bruteforce_and_loo_guard(spark):
+    from knot_another_pipeline_spark.operators.features import target_encode
+
+    rows = [(i, "c" + str(i % 3), float((i * 7) % 13)) for i in range(40)]
+    rows.append((100, "solo", 9.0))  # singleton category
+    df = spark.createDataFrame(rows, "id: bigint, cat: string, y: double")
+    m = 5.0
+    mu = sum(y for _, _, y in rows) / len(rows)
+    stats: dict[str, tuple[int, float]] = {}
+    for _, c, y in rows:
+        n, s = stats.get(c, (0, 0.0))
+        stats[c] = (n + 1, s + y)
+    got = {
+        r["id"]: r["te"]
+        for r in target_encode(
+            df, id_col="id", category_col="cat", target_col="y", smoothing=m
+        ).collect()
+    }
+    for i, c, y in rows:
+        n, s = stats[c]
+        expected = (s - y + m * mu) / (n - 1 + m)
+        assert got[i] == pytest.approx(round(expected, 6), abs=2e-6)
+    # LOO leakage guard: a singleton category encodes exactly the prior
+    assert got[100] == pytest.approx(round(mu, 6), abs=2e-6)
+    with pytest.raises(ValueError):
+        target_encode(
+            df, id_col="id", category_col="cat", target_col="y", smoothing=0
+        )
+
+
+def test_hash_features_bruteforce_and_stability(spark):
+    import hashlib
+
+    from knot_another_pipeline_spark.operators.features import hash_features
+
+    rows = [(i, "s" + str(i % 5), i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "id: bigint, seg: string, nat: int")
+    D = 64  # small space: forces collisions, exercising sign-sum merge
+    got = {
+        (r["id"], r["feature_idx"]): r["feature_val"]
+        for r in hash_features(
+            df, id_col="id", cols=["seg", "nat"], num_features=D
+        ).collect()
+    }
+
+    def h(seed, payload):
+        return int(
+            hashlib.md5(f"{seed}:{payload}".encode()).hexdigest()[:15], 16
+        )
+
+    expected: dict[tuple, int] = {}
+    for i, seg, nat in rows:
+        for col, val in (("seg", seg), ("nat", str(nat))):
+            payload = f"{col}={val}"
+            idx = h(0, payload) % D
+            sgn = 1 if h(1, payload) % 2 == 0 else -1
+            expected[(i, idx)] = expected.get((i, idx), 0) + sgn
+    expected = {k: v for k, v in expected.items() if v != 0}
+    assert got == expected
+
+
+def test_benford_check_uniform_vs_benford(spark):
+    import math
+
+    from knot_another_pipeline_spark.operators.quality import (
+        BENFORD_EXPECTED,
+        benford_check,
+    )
+
+    # group "b": synthetic Benford-ish sample (powers of a log-uniform
+    # generator); group "u": uniform 1000-9999 (flag-raising)
+    rows = []
+    for i in range(2000):
+        rows.append(("b", 10.0 ** ((i * 0.6180339887) % 3.0)))
+        rows.append(("u", float(1000 + (i * 4391) % 9000)))
+    df = spark.createDataFrame(rows, "grp: string, v: double")
+    out = {
+        r["grp"]: r
+        for r in benford_check(df, value_col="v", by="grp").collect()
+    }
+    assert not out["b"]["suspicious"]
+    assert out["u"]["suspicious"]
+    assert out["b"]["n"] == out["u"]["n"] == 2000
+    # brute-force chi2 for the uniform group
+    counts = [0] * 9
+    for g, v in rows:
+        if g == "u":
+            counts[int(str(v).lstrip("0.-")[0]) - 1] += 1
+    chi2 = sum(
+        (c - 2000 * e) ** 2 / (2000 * e)
+        for c, e in zip(counts, BENFORD_EXPECTED)
+    )
+    assert out["u"]["chi2"] == pytest.approx(round(chi2, 6), abs=1e-4)
+    # zero/null excluded
+    z = spark.createDataFrame(
+        [("g", 0.0), ("g", None), ("g", 12.0)], "grp: string, v: double"
+    )
+    assert benford_check(z, value_col="v", by="grp").collect()[0]["n"] == 1
