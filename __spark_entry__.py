@@ -133,6 +133,10 @@ _PRIORITY = [
     "target_encode",
     "hash_features",
     "benford",
+    "dsir_weights",
+    "ann_recall",
+    "token_entropy",
+    "mad_outliers",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -4931,6 +4931,167 @@ FROM c2
 ORACLE_BENFORD = _benford_oracle_sql()
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/features.py dsir_weights):
+    hashed-unigram log-ratio of a curated target slice (doc_id % 4 = 0)
+    vs the whole corpus, 512 feature buckets — the data-selection
+    signal from Xie et al. 2023, fully relational and oracle-exact."""
+    from knot_another_pipeline_spark.operators.features import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_weights(
+        docs,
+        docs.filter(F.col("doc_id") % 4 == 0),
+        id_col="doc_id",
+        text_col="text",
+        num_buckets=512,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "logweight",
+        "avg_logratio",
+    )
+
+
+ORACLE_DSIR_WEIGHTS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('0:' || tok), 1, 15)) AS BIGINT)
+           % 512 AS bucket
+  FROM tok),
+src AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS cs FROM b GROUP BY 1),
+tgt AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS ct FROM b
+        WHERE doc_id % 4 = 0 GROUP BY 1),
+m AS (
+  SELECT coalesce(s.bucket, t.bucket) AS bucket,
+         coalesce(cs, 0) AS cs, coalesce(ct, 0) AS ct
+  FROM src s FULL OUTER JOIN tgt t ON s.bucket = t.bucket),
+tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM m),
+r AS (
+  SELECT bucket,
+         ln((ct + 0.5) / (nt + 0.5 * 512))
+           - ln((cs + 0.5) / (ns + 0.5 * 512)) AS lr
+  FROM m CROSS JOIN tot)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lr), 6) AS logweight,
+       round(sum(lr) / count(*), 6) AS avg_logratio
+FROM b JOIN r USING (bucket) GROUP BY 1
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the banded-LSH index vs exact brute force
+    (operators/similarity.py ann_recall): the ANN tuning loop's metric,
+    computed entirely from the two top-k tables."""
+    from knot_another_pipeline_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5
+    )
+    approx = lsh_bucket_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding",
+        dim=64, bands=4, rows_per_band=8, k=5,
+    )
+    return ann_recall(exact, approx)
+
+
+ORACLE_ANN_RECALL = f"""
+WITH exact AS (SELECT * FROM ({ORACLE_KNN_BRUTEFORCE}) x),
+approx AS (SELECT * FROM ({ORACLE_ANN_LSH}) y),
+ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM exact GROUP BY 1),
+na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+       FROM approx GROUP BY 1),
+h AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1)
+SELECT ne.query_id, n_exact,
+       coalesce(n_approx, 0) AS n_approx,
+       coalesce(n_hit, 0) AS n_hit,
+       round(coalesce(n_hit, 0) / n_exact, 6) AS recall
+FROM ne LEFT JOIN na ON ne.query_id = na.query_id
+LEFT JOIN h ON ne.query_id = h.query_id
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy in bits
+    (operators/text_analysis.py token_entropy): the lexical-diversity
+    quality signal, one-aggregate identity H = (ln N − Σc·ln c/N)/ln 2,
+    doc-id-keyed aggregates so hot tokens never become shuffle keys."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs, id_col="doc_id", text_col="text").select(
+        F.col("id").alias("doc_id"),
+        "n_tokens", "n_types", "entropy", "entropy_norm",
+    )
+
+
+ORACLE_TOKEN_ENTROPY = rf"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+c AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS cnt
+      FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)) / ln(2),
+             6) AS entropy,
+       round(((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)) / ln(2))
+             / nullif(ln(CAST(count(*) AS DOUBLE)) / ln(2), 0),
+             6) AS entropy_norm
+FROM c GROUP BY doc_id
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers on order value per priority class
+    (operators/quality.py mad_outliers): modified z-score against
+    exact median/MAD — the heavy-tail-proof sibling of anomaly_zscore,
+    flag threshold 2.5."""
+    from knot_another_pipeline_spark.operators.quality import mad_outliers
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mad_outliers(
+        orders,
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+        by="o_orderpriority",
+        k=2.5,
+    )
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH s AS (
+  SELECT o_orderkey AS id, o_orderpriority AS grp,
+         CAST(o_totalprice AS DOUBLE) AS value
+  FROM orders WHERE o_totalprice IS NOT NULL),
+med AS (SELECT grp, round(quantile_cont(value, 0.5), 6) AS med
+        FROM s GROUP BY 1),
+dev AS (SELECT s.*, med, abs(value - med) AS adev
+        FROM s JOIN med USING (grp)),
+mad AS (SELECT grp, round(quantile_cont(adev, 0.5), 6) AS mad
+        FROM dev GROUP BY 1),
+sc AS (
+  SELECT dev.id, dev.grp, dev.value, dev.med, mad.mad,
+         round((value - med) / nullif(1.4826 * mad.mad, 0), 6)
+           AS robust_z
+  FROM dev JOIN mad USING (grp))
+SELECT id, grp, value, med, mad, robust_z
+FROM sc WHERE abs(robust_z) > 2.5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5078,6 +5239,12 @@ QUERIES = {
     "target_encode": q_target_encode,
     "hash_features": q_hash_features,
     "benford": q_benford,
+    # round-5 closing additions: data selection / ANN evaluation /
+    # lexical diversity / robust outliers
+    "dsir_weights": q_dsir_weights,
+    "ann_recall": q_ann_recall,
+    "token_entropy": q_token_entropy,
+    "mad_outliers": q_mad_outliers,
 }
 
 ORACLES = {
@@ -5208,4 +5375,8 @@ ORACLES = {
     "target_encode": ORACLE_TARGET_ENCODE,
     "hash_features": ORACLE_HASH_FEATURES,
     "benford": ORACLE_BENFORD,
+    "dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "ann_recall": ORACLE_ANN_RECALL,
+    "token_entropy": ORACLE_TOKEN_ENTROPY,
+    "mad_outliers": ORACLE_MAD_OUTLIERS,
 }

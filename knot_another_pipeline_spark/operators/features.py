@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from knot_another_pipeline_spark.functions.hashing import hash64
 
-__all__ = ["target_encode", "hash_features"]
+__all__ = ["target_encode", "hash_features", "dsir_weights"]
 
 
 def target_encode(
@@ -127,4 +127,93 @@ def hash_features(
         )
         .agg(F.sum("_c.s").cast("bigint").alias("feature_val"))
         .filter(F.col("feature_val") != 0)
+    )
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    target_text_col: str | None = None,
+    num_buckets: int = 1024,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score each SOURCE document by how much more likely
+    its hashed-unigram bag is under the TARGET distribution than under
+    the source distribution — ``log w(x) = Σ_tok [ln p_tgt(b(tok)) −
+    ln p_src(b(tok))]`` with tokens folded into ``num_buckets`` hashed
+    feature buckets and add-``alpha`` smoothing on both models.
+    Sampling source docs with probability ∝ exp(log w) (e.g. Gumbel
+    top-k on ``logweight``, or a threshold) reshapes a raw crawl
+    toward a curated target corpus without training anything.
+
+    Scale shape: both distributions live in ``num_buckets``-row count
+    tables — the only state is 2×D rows regardless of corpus size, so
+    the log-ratio table is always broadcastable. Tokenize + bucket is
+    row-local codegen (split + md5 hash + pmod); each corpus pays one
+    hash aggregate over (bucket), and scoring is one explode → join
+    against the broadcast D-row ratio table → per-doc sum. No token
+    vocabulary, no skew risk beyond hot buckets (bounded by D), and
+    the target corpus is typically a small curated sample anyway.
+
+    Output per source document (zero-token docs emit no row): id,
+    n_tokens, logweight (= Σ log-ratio, round_to), avg_logratio
+    (= logweight/n_tokens, the length-normalized variant, round_to).
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from knot_another_pipeline_spark.operators.text_analysis import _tokens
+
+    d = F.lit(num_buckets)
+    a = F.lit(float(alpha))
+
+    def _buckets(df: DataFrame, col: str, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        return df.select(
+            *cols, F.explode(_tokens(F.col(col))).alias("tok")
+        ).select(*(["id"] if with_id else []),
+                 F.pmod(hash64(F.col("tok")), d).alias("bucket"))
+
+    src_tok = _buckets(source, text_col, with_id=True)
+    tgt_tok = _buckets(target, target_text_col or text_col, with_id=False)
+    src_cnt = src_tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_src")
+    )
+    tgt_cnt = tgt_tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_tgt")
+    )
+    # Full outer over the two <=D-row tables so buckets seen by only one
+    # model still get their smoothed estimate on the other side.
+    counts = src_cnt.join(tgt_cnt, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("cnt_src", F.lit(0)).cast("double").alias("cnt_src"),
+        F.coalesce("cnt_tgt", F.lit(0)).cast("double").alias("cnt_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_src").alias("n_src"), F.sum("cnt_tgt").alias("n_tgt")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("cnt_tgt") + a) / (F.col("n_tgt") + a * d))
+            - F.log((F.col("cnt_src") + a) / (F.col("n_src") + a * d))
+        ).alias("logratio"),
+    )
+    return (
+        src_tok.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("logratio"), round_to).alias("logweight"),
+            F.round(
+                F.sum("logratio") / F.count(F.lit(1)), round_to
+            ).alias("avg_logratio"),
+        )
     )

@@ -807,3 +807,67 @@ def benford_check(
         F.round(mad, 6).alias("mad"),
         (chi2 > F.lit(float(chi2_threshold))).alias("suspicious"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    by: str | None = None,
+    k: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust outlier detection via the median absolute deviation: flag
+    rows whose modified z-score ``|value − median| / (1.4826·MAD)``
+    exceeds ``k`` (3.5 is the classic Iglewicz-Hoban cutoff). Unlike
+    ``anomaly_zscore``, the estimator itself is outlier-proof — a few
+    extreme values cannot inflate the scale and mask each other, which
+    is exactly the failure mode of mean/stddev on heavy-tailed money
+    or latency columns.
+
+    Two grouped EXACT percentile aggregates (median, then median of
+    absolute deviations) with a join back between them. Exact
+    ``percentile`` is chosen for bit-reproducibility (and DuckDB
+    ``quantile_cont`` parity); it holds one group's values per
+    aggregation buffer, so for millions of rows per group switch the
+    dial to ``percentile_approx`` — the flag threshold is robust to
+    small quantile error by construction. Both shuffles are on the
+    (low-cardinality) group key; the scored rows themselves shuffle
+    twice — at 100 TB pre-aggregate or sample the scale estimate
+    instead (the same top-V degradation argument as the LM scorer).
+
+    The modified z-score is computed from the ``round_to``-rounded
+    median and MAD so the flag decision reproduces cross-engine.
+    Groups with MAD = 0 (>50% of rows at the median) yield NULL
+    robust_z and are never flagged — use ``value != med`` there.
+
+    Output (flagged rows only): id, group, value, med, mad, robust_z.
+    """
+    group = F.col(by) if by else F.lit("all")
+    s = df.select(
+        F.col(id_col).alias("id"),
+        group.alias("grp"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    med = s.groupBy("grp").agg(
+        F.round(F.percentile("value", F.lit(0.5)), round_to).alias("med")
+    )
+    dev = s.join(med, "grp").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("grp").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), round_to).alias("mad")
+    )
+    scored = dev.join(mad, "grp").withColumn(
+        "robust_z",
+        F.round(
+            (F.col("value") - F.col("med"))
+            / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)),
+            round_to,
+        ),
+    )
+    return scored.filter(
+        F.abs(F.col("robust_z")) > F.lit(float(k))
+    ).select("id", F.col("grp").alias("grp"), "value", "med", "mad",
+             "robust_z")

@@ -524,3 +524,60 @@ def kmeans_step(
         ),
         F.round(shift, round_to).alias("shift"),
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Recall@k evaluation of an approximate neighbor search against
+    exact ground truth: per query, the fraction of the exact top-k that
+    the approximate index returned. The standard ANN quality dial —
+    tune bands/rows-per-band/nprobe until mean recall clears the SLO,
+    then ship the cheap index. Both inputs are (query, neighbor) top-k
+    tables, e.g. ``cosine_topk`` (truth) vs ``lsh_bucket_topk`` or
+    ``ivf_topk`` (candidate).
+
+    Scale shape: both sides are ≤ |queries|·k rows — tiny relative to
+    the corpus that produced them — so this is one equi-join on
+    (query, neighbor) plus two per-query hash aggregates; AQE
+    broadcasts the smaller side. Nothing touches the original vectors.
+
+    Output per query in ``exact``: query_id, n_exact, n_approx
+    (0 when the index returned nothing), n_hit, recall (round_to).
+    """
+    ex = exact.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    ap = approx.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    n_exact = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_approx = ap.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_approx")
+    )
+    hits = ex.join(ap, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_approx, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"),
+                round_to,
+            ).alias("recall"),
+        )
+    )

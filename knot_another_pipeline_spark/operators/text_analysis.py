@@ -8,6 +8,8 @@ codegen on every document, so no Python appears in the loop.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from knot_another_pipeline_spark.functions.hashing import content_fingerprint
@@ -758,4 +760,58 @@ def encode_documents(
             "n_tokens",
             F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
         )
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, in bits —
+    the lexical-diversity quality signal: boilerplate, keyword-stuffed
+    spam, and generation loops score low (few types dominate), natural
+    prose scores high. Complements ``repetition_stats`` (which looks at
+    adjacency) with a bag-of-tokens view, and ``quality_filter`` uses
+    ratios this measure is independent of.
+
+    Entropy is computed through the one-aggregate identity
+    ``H = (ln N − Σ c·ln c / N) / ln 2`` so only Σc, Σ c·ln c and the
+    type count are aggregated — no second pass to normalize counts to
+    probabilities.
+
+    Scale shape: explode → hash-aggregate (id, token) → hash-aggregate
+    (id). Both aggregates are map-side combinable and keyed by doc id,
+    so hot tokens cause no skew (the token never becomes a shuffle key).
+    Zero-token documents emit no row (their entropy is undefined),
+    matching ``unigram_logprob_score``.
+
+    Output: id, n_tokens, n_types, entropy (bits, round_to),
+    entropy_norm (entropy / log2(n_types), NULL for single-type docs).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = tok.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    n = F.sum("cnt")
+    sclnc = F.sum(F.col("cnt") * F.log("cnt"))
+    entropy = (F.log(n) - sclnc / n) / F.lit(math.log(2.0))
+    n_types = F.count(F.lit(1))
+    return counts.groupBy("id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        n_types.cast("bigint").alias("n_types"),
+        F.round(entropy, round_to).alias("entropy"),
+        F.round(
+            entropy
+            / F.nullif(
+                F.log(n_types.cast("double")) / F.lit(math.log(2.0)),
+                F.lit(0.0),
+            ),
+            round_to,
+        ).alias("entropy_norm"),
     )

@@ -1,0 +1,199 @@
+"""Round-5 closing additions: DSIR importance weights, ANN recall
+evaluation, token-distribution entropy, and MAD robust outliers.
+
+Each operator is checked against an independent pure-Python reference
+(plus its DuckDB oracle in test_catalog_oracle.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from knot_another_pipeline_spark.operators.features import dsir_weights
+from knot_another_pipeline_spark.operators.quality import mad_outliers
+from knot_another_pipeline_spark.operators.similarity import ann_recall
+from knot_another_pipeline_spark.operators.text_analysis import token_entropy
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    # Target distribution is all-"alpha" text; source mixes two styles.
+    src = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha alpha"),
+            (2, "zebra quux xylophone jumble"),
+        ],
+        ["doc_id", "text"],
+    )
+    tgt = spark.createDataFrame([(10, "alpha alpha alpha")], ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in dsir_weights(
+            src, tgt, id_col="doc_id", text_col="text", num_buckets=64
+        ).collect()
+    }
+    assert out[1]["logweight"] > out[2]["logweight"]
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+    # length-normalized variant is sum/len
+    assert out[1]["avg_logratio"] == pytest.approx(
+        out[1]["logweight"] / 4, abs=1e-5
+    )
+
+
+def test_dsir_matches_brute_force(spark):
+    docs = [(i, f"tok{i % 3} tok{i % 5} common") for i in range(12)]
+    src = spark.createDataFrame(docs, ["doc_id", "text"])
+    tgt_rows = [d for d in docs if d[0] % 4 == 0]
+    tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    D, a = 32, 0.5
+
+    def bucket(tok: str) -> int:
+        import hashlib
+
+        h = int(hashlib.md5(f"0:{tok}".encode()).hexdigest()[:15], 16)
+        return h % D
+
+    src_cnt: dict[int, int] = {}
+    tgt_cnt: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for i, text in docs:
+        for t in text.split():
+            b = bucket(t)
+            src_cnt[b] = src_cnt.get(b, 0) + 1
+            per_doc.setdefault(i, []).append(b)
+    for i, text in tgt_rows:
+        for t in text.split():
+            b = bucket(t)
+            tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    ns, nt = sum(src_cnt.values()), sum(tgt_cnt.values())
+    expected = {}
+    for i, buckets in per_doc.items():
+        s = sum(
+            math.log((tgt_cnt.get(b, 0) + a) / (nt + a * D))
+            - math.log((src_cnt.get(b, 0) + a) / (ns + a * D))
+            for b in buckets
+        )
+        expected[i] = round(s, 6)
+    got = {
+        r["id"]: r["logweight"]
+        for r in dsir_weights(
+            src, tgt, id_col="doc_id", text_col="text", num_buckets=D
+        ).collect()
+    }
+    assert got == pytest.approx(expected, abs=1e-5)
+
+
+def test_dsir_validation(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_weights(df, df, id_col="doc_id", text_col="text", num_buckets=1)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_weights(df, df, id_col="doc_id", text_col="text", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall
+# ---------------------------------------------------------------------------
+
+
+def _topk_df(spark, rows):
+    return spark.createDataFrame(rows, ["query_id", "neighbor_id"])
+
+
+def test_ann_recall_perfect_and_partial(spark):
+    exact = _topk_df(
+        spark, [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)]
+    )
+    approx = _topk_df(
+        spark, [(1, 10), (1, 11), (1, 12), (2, 20), (2, 99), (2, 98)]
+    )
+    out = {r["query_id"]: r for r in ann_recall(exact, approx).collect()}
+    assert out[1]["recall"] == 1.0 and out[1]["n_hit"] == 3
+    assert out[2]["recall"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["n_approx"] == 3
+
+
+def test_ann_recall_missing_query_counts_zero(spark):
+    exact = _topk_df(spark, [(1, 10), (1, 11), (3, 30)])
+    approx = _topk_df(spark, [(1, 10)])  # query 3 returned nothing
+    out = {r["query_id"]: r for r in ann_recall(exact, approx).collect()}
+    assert set(out) == {1, 3}
+    assert out[3]["n_approx"] == 0 and out[3]["n_hit"] == 0
+    assert out[3]["recall"] == 0.0
+    assert out[1]["recall"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# token_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # uniform over 4 types → 2 bits
+            (2, "a a a a"),        # single type → 0 bits, norm NULL
+            (3, "a a b b b b"),    # p = (1/3, 2/3)
+            (4, "   "),            # zero tokens → no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in token_entropy(df, id_col="doc_id", text_col="text").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["entropy"] == pytest.approx(2.0, abs=1e-6)
+    assert out[1]["entropy_norm"] == pytest.approx(1.0, abs=1e-6)
+    assert out[2]["entropy"] == 0.0 and out[2]["entropy_norm"] is None
+    h = -(1 / 3) * math.log2(1 / 3) - (2 / 3) * math.log2(2 / 3)
+    assert out[3]["entropy"] == pytest.approx(h, abs=1e-6)
+    assert out[3]["n_tokens"] == 6 and out[3]["n_types"] == 2
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_flags_obvious_outlier(spark):
+    rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 13, 14])]
+    rows.append((99, "g", 1000.0))
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    out = mad_outliers(df, id_col="id", value_col="v", by="grp").collect()
+    assert [r["id"] for r in out] == [99]
+    r = out[0]
+    # median 12.25? no: values 10..14 + 1000 → sorted 10,11,12,13,14,1000,
+    # continuous median = 12.5; adev median over {2.5,1.5,.5,.5,1.5,987.5}=1.5
+    assert r["med"] == pytest.approx(12.5)
+    assert r["mad"] == pytest.approx(1.5)
+    assert r["robust_z"] == pytest.approx(
+        (1000 - 12.5) / (1.4826 * 1.5), abs=1e-4
+    )
+
+
+def test_mad_zero_mad_group_never_flags(spark):
+    # >50% of rows at the median → MAD 0 → NULL z, no flags.
+    rows = [(i, float(5)) for i in range(6)] + [(10, 500.0)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = mad_outliers(df, id_col="id", value_col="v", k=2.0).collect()
+    assert out == []
+
+
+def test_mad_grouped_independent_scales(spark):
+    # Same offset is an outlier in the tight group, not in the wide one.
+    tight = [(i, "t", float(100 + i)) for i in range(5)] + [(50, "t", 140.0)]
+    wide = [(100 + i, "w", float(100 + 10 * i)) for i in range(5)] + [
+        (150, "w", 180.0)
+    ]
+    df = spark.createDataFrame(tight + wide, ["id", "grp", "v"])
+    out = mad_outliers(df, id_col="id", value_col="v", by="grp", k=3.5)
+    assert [r["id"] for r in out.collect()] == [50]
