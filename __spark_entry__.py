@@ -137,6 +137,8 @@ _PRIORITY = [
     "ann_recall",
     "token_entropy",
     "mad_outliers",
+    "media_phash",
+    "bpe_merges",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

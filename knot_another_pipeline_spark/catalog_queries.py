@@ -5092,6 +5092,116 @@ FROM sc WHERE abs(robust_z) > 2.5
 """
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash per media payload (operators/multimodal.py
+    phash_media): 8x8 fake-decoded thumbnail → integer-exact average
+    hash, 64 bits as hex + two positive bigint halves. The near-dup
+    key for image corpora; banding/pairing is phash_pairs (unit-tested
+    — no exact-dup payloads exist at this SF to pair up)."""
+    from knot_another_pipeline_spark.operators.multimodal import phash_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return phash_media(docs, id_col="doc_id", payload_col="payload")
+
+
+ORACLE_MEDIA_PHASH = """
+WITH px AS (
+  SELECT doc_id, 16 * b + j AS i,
+         CAST(concat('0x', substr(md5(text || ':' || b), 2 * j + 1, 2))
+              AS INTEGER) AS v
+  FROM documents,
+       unnest(generate_series(0, 3)) AS bb(b),
+       unnest(generate_series(0, 15)) AS jj(j)),
+tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
+bits AS (
+  SELECT px.doc_id, i, CASE WHEN v * 64 > total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot ON px.doc_id = tot.doc_id),
+nib AS (
+  SELECT doc_id, i // 4 AS n,
+         sum(bit * CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                              WHEN 2 THEN 2 ELSE 1 END) AS nv
+  FROM bits GROUP BY 1, 2),
+ph AS (
+  SELECT doc_id, lower(string_agg(to_hex(nv), '' ORDER BY n)) AS phash
+  FROM nib GROUP BY 1)
+SELECT doc_id, phash,
+       CAST(concat('0x', substr(phash, 1, 8)) AS BIGINT) AS phash_hi,
+       CAST(concat('0x', substr(phash, 9, 8)) AS BIGINT) AS phash_lo
+FROM ph
+"""
+
+
+_BPE_N_MERGES = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First six BPE merge rules learned from the corpus
+    (operators/text_analysis.py bpe_learn): word-frequency table from
+    the standard tokenizer, iterative argmax pair merging with
+    deterministic (count desc, a, b) tie-breaks — the Sennrich
+    algorithm with V-row state, corpus scanned once."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        _tokens,
+        bpe_learn,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    learned = bpe_learn(words, n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        learned, "rank bigint, a string, b string, pair_count bigint"
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    parts = [
+        r"""WITH w AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x != '')) AS tok
+        FROM documents)
+  GROUP BY 1),
+s0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') || '</w> '
+         AS sym, cnt FROM w)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""l{r} AS (SELECT string_split(trim(sym), ' ') AS l, cnt FROM s{r}),
+p{r} AS (
+  SELECT l[i] AS a, l[i + 1] AS b, sum(cnt) AS pc
+  FROM l{r}, unnest(generate_series(1, len(l) - 1)) AS u{r}(i)
+  GROUP BY 1, 2),
+t{r} AS MATERIALIZED (SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1)"""
+        )
+        if r < n_merges - 1:
+            parts.append(
+                f"""s{r + 1} AS MATERIALIZED (
+  SELECT replace(sym,
+                 ' ' || (SELECT a FROM t{r}) || ' '
+                     || (SELECT b FROM t{r}) || ' ',
+                 ' ' || (SELECT a FROM t{r})
+                     || (SELECT b FROM t{r}) || ' ') AS sym, cnt
+  FROM s{r})"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, a, b, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(n_merges)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
+ORACLE_BPE_MERGES = _bpe_oracle_sql(_BPE_N_MERGES)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5245,6 +5355,8 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "token_entropy": q_token_entropy,
     "mad_outliers": q_mad_outliers,
+    "media_phash": q_media_phash,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES = {
@@ -5379,4 +5491,6 @@ ORACLES = {
     "ann_recall": ORACLE_ANN_RECALL,
     "token_entropy": ORACLE_TOKEN_ENTROPY,
     "mad_outliers": ORACLE_MAD_OUTLIERS,
+    "media_phash": ORACLE_MEDIA_PHASH,
+    "bpe_merges": ORACLE_BPE_MERGES,
 }

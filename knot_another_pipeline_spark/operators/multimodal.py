@@ -332,3 +332,156 @@ def chunk_audio(
             )
 
     return df.mapInPandas(batches, CHUNKS_SCHEMA)
+
+
+#: Perceptual-hash output schema: 64-bit aHash as hex + two int halves.
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("phash", StringType(), True),
+        StructField("phash_hi", LongType(), True),
+        StructField("phash_lo", LongType(), True),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes) -> list[int]:
+    """Deterministic FAKE 8x8 grayscale thumbnail (no codec libs in this
+    container): pixel block ``b`` is the md5 of ``payload || ':' || b``,
+    two hex chars per pixel. Real code decodes + downsamples the image
+    here; everything after (the aHash math) is the real algorithm."""
+    pixels: list[int] = []
+    for b in range(4):
+        digest = hashlib.md5(payload + f":{b}".encode()).hexdigest()
+        pixels.extend(int(digest[2 * j : 2 * j + 2], 16) for j in range(16))
+    return pixels
+
+
+def phash_media(
+    df: DataFrame, *, id_col: str, payload_col: str
+) -> DataFrame:
+    """Perceptual hash (average-hash variant) per media payload: decode
+    to an 8x8 grayscale thumbnail, threshold each pixel against the
+    image mean, pack the 64 bits into a hash whose Hamming distance
+    approximates visual similarity — the standard near-duplicate key
+    for image corpora (re-encodes, small crops and brightness shifts
+    move few bits, so dup detection joins on hash bands instead of
+    comparing pixels).
+
+    The thresholding is exact integer arithmetic (``pixel*64 > sum``)
+    — no float mean, so the bit pattern reproduces bit-for-bit in any
+    engine (the DuckDB oracle re-derives it in SQL). The hash ships as
+    a 16-hex-char string plus two bigint halves: 32-bit halves stay
+    positive in a signed 64-bit engine, so banding and XOR bit-count
+    need no unsigned type anywhere.
+
+    Scale shape: Arrow-batched iterator mapInPandas, payload bytes
+    never leave the stage — only the 3 small hash columns shuffle.
+    NULL payloads yield NULL hashes (kept, so row counts are stable).
+    """
+    id_name, payload_name = id_col, payload_col
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            hashes, his, los = [], [], []
+            for payload in pdf[payload_name]:
+                if payload is None:
+                    hashes.append(None)
+                    his.append(None)
+                    los.append(None)
+                    continue
+                px = _fake_pixels(payload)
+                total = sum(px)
+                bits = 0
+                for p in px:
+                    bits = (bits << 1) | (1 if p * 64 > total else 0)
+                hx = f"{bits:016x}"
+                hashes.append(hx)
+                his.append(int(hx[:8], 16))
+                los.append(int(hx[8:], 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="object"),
+                    "phash_hi": pd.Series(his, dtype="Int64"),
+                    "phash_lo": pd.Series(los, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Near-duplicate image pairs from :func:`phash_media` output:
+    candidates share at least one of four 16-bit hash bands (two
+    images within Hamming distance 10 of each other on 64 bits must
+    agree exactly on some band — pigeonhole over 4 bands tolerates up
+    to 3 differing bands' worth of damage, the same banding argument
+    as SimHash); exact Hamming distance then verifies candidates via
+    ``bit_count(xor)`` codegen.
+
+    Scale shape: the self-join is an equi-join on (band, value) —
+    never all-pairs — and the hash table is 4 rows per image at ~8
+    bytes of key, so a billion-image corpus bands into a join the
+    shuffle can hash-partition evenly (md5-derived band values are
+    uniform). Duplicate candidates from multi-band agreement collapse
+    with one distinct on (id_a, id_b) before scoring.
+
+    Output: id_a < id_b, hamming (bits differing, <= max_hamming).
+    """
+    if not 0 <= max_hamming <= 64:
+        raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    from pyspark.sql import functions as F
+
+    s = signatures.select(
+        F.col(id_col).alias("id"), "phash", "phash_hi", "phash_lo"
+    ).filter(F.col("phash").isNotNull())
+    banded = s.select(
+        "id",
+        "phash_hi",
+        "phash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("phash", 4 * b + 1, 4).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "phash_hi", "phash_lo", "bk.band", "bk.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.phash_hi").alias("hi_a"),
+            F.col("a.phash_lo").alias("lo_a"),
+            F.col("b.phash_hi").alias("hi_b"),
+            F.col("b.phash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

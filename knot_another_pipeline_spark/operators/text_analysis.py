@@ -815,3 +815,101 @@ def token_entropy(
             round_to,
         ).alias("entropy_norm"),
     )
+
+
+def bpe_pair_counts(
+    words: DataFrame,
+    *,
+    word_col: str = "word",
+    count_col: str = "cnt",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Adjacent symbol-pair frequencies for one BPE training step
+    (Sennrich et al. 2016): each word becomes a space-separated symbol
+    string (characters + a ``</w>`` end marker), the already-learned
+    ``merges`` are applied in order as literal left-to-right
+    replacements, and every adjacent pair is counted weighted by the
+    word's corpus frequency. The argmax pair is the next merge rule.
+
+    Operates on the word-FREQUENCY table, not the corpus — the
+    original BPE trick: the state is V rows (bounded vocabulary)
+    however big the corpus is, and the corpus is only ever scanned
+    once to build that table (``build_vocab``). Merge application is
+    ``replace(sym, ' a b ', ' ab ')`` — literal, left-to-right,
+    non-overlapping in every engine (spaces are consumed, so
+    ``a a a`` merges greedily to ``aa a`` exactly like the reference
+    algorithm) — and pair extraction is a row-local indexed
+    ``transform``; the only shuffle is the final (a, b) hash
+    aggregate, bounded by the symbol-pair vocabulary.
+
+    Output: a, b, pair_count (desc-sortable; ties broken by (a, b)
+    upstream).
+    """
+    syms_str = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.col(word_col), "(.)", "$1 "),
+        F.lit("</w> "),
+    )
+    for a, b in merges or []:
+        syms_str = F.replace(
+            syms_str, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        )
+    syms = F.split(F.trim(syms_str), " ")
+    pairs = F.transform(
+        F.slice(syms, 1, F.size(syms) - 1),
+        lambda x, i: F.struct(
+            x.alias("a"), F.element_at(syms, i + 2).alias("b")
+        ),
+    )
+    return (
+        words.select(
+            F.explode(pairs).alias("p"),
+            F.col(count_col).alias("_wc"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("_wc").cast("bigint").alias("pair_count"))
+    )
+
+
+def bpe_learn(
+    words: DataFrame,
+    *,
+    word_col: str = "word",
+    count_col: str = "cnt",
+    n_merges: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from a word-frequency table:
+    repeatedly count adjacent pairs (:func:`bpe_pair_counts`) and take
+    the most frequent (ties to lexicographically smallest (a, b), so
+    the learned tokenizer is deterministic cross-engine).
+
+    Each merge is one Spark job over the V-row vocabulary table plus a
+    1-row collect — the classic iterative-driver shape (same contract
+    as ``kmeans_step``): n driver round-trips, never a corpus scan.
+    A production 30k-merge run amortizes further by re-counting only
+    pairs overlapping the last merge; at V-row scale the simple
+    full recount is already cheap and exactly reproducible.
+
+    Returns [(rank, a, b, pair_count), ...] — feed the (a, b) list
+    back into :func:`bpe_pair_counts` or an encoder.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    learned: list[tuple[str, str]] = []
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            bpe_pair_counts(
+                words, word_col=word_col, count_col=count_col,
+                merges=learned,
+            )
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        learned.append((r["a"], r["b"]))
+        out.append((rank, r["a"], r["b"], r["pair_count"]))
+    return out

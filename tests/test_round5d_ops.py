@@ -197,3 +197,123 @@ def test_mad_grouped_independent_scales(spark):
     df = spark.createDataFrame(tight + wide, ["id", "grp", "v"])
     out = mad_outliers(df, id_col="id", value_col="v", by="grp", k=3.5)
     assert [r["id"] for r in out.collect()] == [50]
+
+
+# ---------------------------------------------------------------------------
+# phash_media / phash_pairs
+# ---------------------------------------------------------------------------
+
+
+def _phash_ref(payload: bytes) -> str:
+    import hashlib
+
+    px = []
+    for b in range(4):
+        d = hashlib.md5(payload + f":{b}".encode()).hexdigest()
+        px.extend(int(d[2 * j : 2 * j + 2], 16) for j in range(16))
+    total = sum(px)
+    bits = 0
+    for p in px:
+        bits = (bits << 1) | (1 if p * 64 > total else 0)
+    return f"{bits:016x}"
+
+
+def test_phash_matches_reference_and_null(spark):
+    from knot_another_pipeline_spark.operators.multimodal import phash_media
+
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, b"other"), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    out = {r["doc_id"]: r for r in
+           phash_media(df, id_col="doc_id", payload_col="payload").collect()}
+    assert out[1]["phash"] == _phash_ref(b"hello world")
+    assert out[1]["phash_hi"] == int(out[1]["phash"][:8], 16)
+    assert out[1]["phash_lo"] == int(out[1]["phash"][8:], 16)
+    assert out[3]["phash"] is None and out[3]["phash_hi"] is None
+
+
+def test_phash_pairs_finds_exact_and_near_dups(spark):
+    from knot_another_pipeline_spark.operators.multimodal import (
+        phash_media,
+        phash_pairs,
+    )
+
+    # Identical payloads → hamming 0; a 1-nibble perturbed signature →
+    # small hamming found via the 3 untouched bands.
+    df = spark.createDataFrame(
+        [(1, b"same-bytes"), (2, b"same-bytes"), (3, b"unrelated payload x")],
+        "doc_id bigint, payload binary",
+    )
+    sig = phash_media(df, id_col="doc_id", payload_col="payload")
+    h = _phash_ref(b"same-bytes")
+    flipped = f"{int(h, 16) ^ 0b11:016x}"  # flip 2 bits in the last band
+    extra = spark.createDataFrame(
+        [(4, flipped, int(flipped[:8], 16), int(flipped[8:], 16))],
+        "doc_id bigint, phash string, phash_hi bigint, phash_lo bigint",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs(sig.union(extra), max_hamming=10).collect()
+    }
+    assert out[(1, 2)] == 0
+    assert out[(1, 4)] == 2 and out[(2, 4)] == 2
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_phash_pairs_validation(spark):
+    from knot_another_pipeline_spark.operators.multimodal import phash_pairs
+
+    df = spark.createDataFrame(
+        [], "doc_id bigint, phash string, phash_hi bigint, phash_lo bigint"
+    )
+    with pytest.raises(ValueError, match="max_hamming"):
+        phash_pairs(df, max_hamming=65)
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts / bpe_learn
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_learn_classic_example(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import bpe_learn
+
+    w = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        ["word", "cnt"],
+    )
+    got = bpe_learn(w, n_merges=3)
+    # Sennrich example: es(9) → est(9) → est</w>(9)
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "est", "</w>", 9),
+    ]
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        bpe_pair_counts,
+    )
+
+    # After merging (a, a), "aaa" must pair as (aa, a) — greedy, not (a, aa).
+    w = spark.createDataFrame([("aaa", 1)], ["word", "cnt"])
+    rows = {
+        (r["a"], r["b"]): r["pair_count"]
+        for r in bpe_pair_counts(w, merges=[("a", "a")]).collect()
+    }
+    assert rows == {("aa", "a"): 1, ("a", "</w>"): 1}
+
+
+def test_bpe_learn_stops_when_vocab_exhausted(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import bpe_learn
+
+    w = spark.createDataFrame([("ab", 4)], ["word", "cnt"])
+    got = bpe_learn(w, n_merges=10)
+    # "a b </w>" → ab, ab</w>, then single symbols: no pairs remain.
+    assert [g[:3] for g in got] == [
+        (1, "a", "b"), (2, "ab", "</w>")
+    ]
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_learn(w, n_merges=0)
