@@ -83,6 +83,14 @@ HEADLINE = [
     "target_encode",
     "hash_features",
     "benford",
+    # r5 closing additions: data selection / eval / diversity / robust DQ /
+    # image dedup / tokenizer training
+    "dsir_weights",
+    "token_entropy",
+    "mad_outliers",
+    "ann_recall",
+    "media_phash",
+    "bpe_merges",
 ]
 
 

@@ -5055,27 +5055,27 @@ FROM c GROUP BY doc_id
 
 
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust MAD outliers on order value per priority class
+    """Robust MAD outliers on event value per event type
     (operators/quality.py mad_outliers): modified z-score against
     exact median/MAD — the heavy-tail-proof sibling of anomaly_zscore,
-    flag threshold 2.5."""
+    classic 3.5 cutoff (events.value is heavy-tailed: max |z| ≈ 12)."""
     from knot_another_pipeline_spark.operators.quality import mad_outliers
 
-    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
     return mad_outliers(
-        orders,
-        id_col="o_orderkey",
-        value_col="o_totalprice",
-        by="o_orderpriority",
-        k=2.5,
+        events,
+        id_col="event_id",
+        value_col="value",
+        by="event_type",
+        k=3.5,
     )
 
 
 ORACLE_MAD_OUTLIERS = """
 WITH s AS (
-  SELECT o_orderkey AS id, o_orderpriority AS grp,
-         CAST(o_totalprice AS DOUBLE) AS value
-  FROM orders WHERE o_totalprice IS NOT NULL),
+  SELECT event_id AS id, event_type AS grp,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE value IS NOT NULL),
 med AS (SELECT grp, round(quantile_cont(value, 0.5), 6) AS med
         FROM s GROUP BY 1),
 dev AS (SELECT s.*, med, abs(value - med) AS adev
@@ -5088,7 +5088,7 @@ sc AS (
            AS robust_z
   FROM dev JOIN mad USING (grp))
 SELECT id, grp, value, med, mad, robust_z
-FROM sc WHERE abs(robust_z) > 2.5
+FROM sc WHERE abs(robust_z) > 3.5
 """
 
 

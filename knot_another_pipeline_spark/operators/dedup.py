@@ -369,19 +369,18 @@ def embedding_near_dup_pairs(
     Output: id_a, id_b (id_a < id_b), cos_sim.
     """
     from knot_another_pipeline_spark.operators.similarity import (
+        attach_band_keys,
         dot,
-        hyperplane_band_keys,
         l2_norm,
     )
 
-    keys = hyperplane_band_keys(
-        F.col(vec_col), dim=dim, bands=bands, rows_per_band=rows_per_band
-    )
-    side = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("n"),
-        F.posexplode(F.array(*keys)).alias("band", "bucket"),
+    side = attach_band_keys(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("n"),
+        ),
+        vec_col="v", dim=dim, bands=bands, rows_per_band=rows_per_band,
     )
     a = side.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),

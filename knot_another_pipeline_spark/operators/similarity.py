@@ -118,6 +118,10 @@ def hyperplane_band_keys(
 
     Planes are deterministic md5-derived ±1 vectors (:func:`_hyperplane`)
     so the whole blocking reproduces in the DuckDB differential oracle.
+
+    This column-expression form folds every plane into one projection;
+    prefer :func:`attach_band_keys` on the hot path — same math, but
+    staged so whole-stage codegen actually compiles it (see there).
     """
     keys = []
     for b in range(bands):
@@ -132,6 +136,78 @@ def hyperplane_band_keys(
             key = key * 2 + bit
         keys.append(key)
     return keys
+
+
+def attach_band_keys(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    dim: int,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    band_col: str = "band",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Explode ``df`` to one row per (row, band) with the hyperplane
+    bucket keys of :func:`hyperplane_band_keys` — same planes, same
+    bit packing, but the bands·rows_per_band plane dots run as ONE
+    numpy matmul per Arrow batch inside a pandas UDF.
+
+    Why not column expressions, given the UDF-is-slow-path rule: this
+    is dense linear algebra (N×dim @ dim×planes), the one workload
+    where the expression engine has no good execution. The
+    ``aggregate``/``zip_with`` fold is evaluated interpreted per row
+    (~6.6 s to band the sf0.1 corpus); unrolling it into explicit
+    add-chains overflows Janino's 64 KB method limit (one fused
+    bands×rows×dim expression, or even one projection of 32 dim-term
+    chains, cannot be split mid-expression) and silently falls back
+    to interpretation, slower still. The Arrow-batched matmul is the
+    shape that holds at 10⁹ vectors — BLAS throughput, payload column
+    never shuffled, output is just (band, bucket) per row.
+
+    Float caveat: the matmul may reassociate the per-plane sums, so a
+    dot within ~1e-13·‖v‖ of zero could round to the other side of
+    the sign threshold than a sequential fold would. Candidates are
+    always exact-verified downstream, and the differential oracles
+    (which fold sequentially) have never observed a flip — the margin
+    distribution keeps the event measure-zero in practice.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = bands * rows_per_band
+    signs = np.array(
+        [_hyperplane(j, dim) for j in range(n_planes)], dtype=np.float64
+    ).T  # dim × planes
+    weights = (1 << np.arange(rows_per_band - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vecs):  # pd.Series of list<float> -> pd.Series of list<long>
+        import pandas as pd
+
+        out = []
+        mask = vecs.notna()
+        if mask.any():
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            bits = (mat @ signs) > 0  # N × planes
+            keys = (
+                bits.reshape(-1, bands, rows_per_band).astype(np.int64)
+                * weights
+            ).sum(axis=2)  # N × bands
+            key_iter = iter(keys)
+            for ok in mask:
+                out.append(next(key_iter).tolist() if ok else None)
+        else:
+            out = [None] * len(vecs)
+        return pd.Series(out)
+
+    return df.select(
+        *df.columns,
+        F.posexplode(band_keys(F.col(vec_col))).alias(band_col, bucket_col),
+    )
 
 
 def lsh_bucket_topk(
@@ -152,23 +228,21 @@ def lsh_bucket_topk(
     corpus never cross-joins — per query the candidate set is
     ~``bands·N/2^rows_per_band`` for near-uniform buckets (see
     :func:`hyperplane_band_keys` for the scale dial)."""
-    qkeys = hyperplane_band_keys(
-        F.col(vec_col), dim=dim, bands=bands, rows_per_band=rows_per_band
+    q = attach_band_keys(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
+        ),
+        vec_col="qv", dim=dim, bands=bands, rows_per_band=rows_per_band,
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
-        F.posexplode(F.array(*qkeys)).alias("band", "bucket"),
-    )
-    ckeys = hyperplane_band_keys(
-        F.col(vec_col), dim=dim, bands=bands, rows_per_band=rows_per_band
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
-        F.posexplode(F.array(*ckeys)).alias("band", "bucket"),
+    c = attach_band_keys(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+        ),
+        vec_col="cv", dim=dim, bands=bands, rows_per_band=rows_per_band,
     )
     cands = (
         q.join(c, ["band", "bucket"])
@@ -543,9 +617,13 @@ def ann_recall(
     ``ivf_topk`` (candidate).
 
     Scale shape: both sides are ≤ |queries|·k rows — tiny relative to
-    the corpus that produced them — so this is one equi-join on
-    (query, neighbor) plus two per-query hash aggregates; AQE
-    broadcasts the smaller side. Nothing touches the original vectors.
+    the corpus that produced them — ONE full-outer equi-join on
+    (query, neighbor) then one per-query hash aggregate, counting
+    exact/approx/hit membership from the join's presence flags. The
+    single-pass shape matters when the inputs are unmaterialized topk
+    PLANS (the usual case): each expensive subtree is evaluated
+    exactly once, instead of once per aggregate as in the naive
+    three-join formulation. Nothing touches the original vectors.
 
     Output per query in ``exact``: query_id, n_exact, n_approx
     (0 when the index returned nothing), n_hit, recall (round_to).
@@ -553,31 +631,30 @@ def ann_recall(
     ex = exact.select(
         F.col(query_col).alias("query_id"),
         F.col(neighbor_col).alias("neighbor_id"),
+        F.lit(1).alias("_e"),
     )
     ap = approx.select(
         F.col(query_col).alias("query_id"),
         F.col(neighbor_col).alias("neighbor_id"),
+        F.lit(1).alias("_a"),
     )
-    n_exact = ex.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
+    j = ex.join(ap, ["query_id", "neighbor_id"], "full_outer")
+    n_exact = F.sum(F.coalesce("_e", F.lit(0)))
+    n_approx = F.sum(F.coalesce("_a", F.lit(0)))
+    n_hit = F.sum(
+        F.when(F.col("_e").isNotNull() & F.col("_a").isNotNull(), 1)
+        .otherwise(0)
     )
-    n_approx = ap.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_approx")
-    )
-    hits = ex.join(ap, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_hit"))
     return (
-        n_exact.join(n_approx, "query_id", "left")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"),
-                round_to,
-            ).alias("recall"),
+        j.groupBy("query_id")
+        .agg(
+            n_exact.cast("bigint").alias("n_exact"),
+            n_approx.cast("bigint").alias("n_approx"),
+            n_hit.cast("bigint").alias("n_hit"),
+        )
+        .filter(F.col("n_exact") > 0)
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hit") / F.col("n_exact"), round_to),
         )
     )
