@@ -317,3 +317,85 @@ def test_bpe_learn_stops_when_vocab_exhausted(spark):
     ]
     with pytest.raises(ValueError, match="n_merges"):
         bpe_learn(w, n_merges=0)
+
+
+# ---------------------------------------------------------------------------
+# plan shapes: the scale-critical properties, pinned
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_attach_band_keys_plan_arrow_batched_no_shuffle(spark):
+    """Banding must be one ArrowEvalPython (vectorized matmul) stage +
+    Generate — no shuffle, no interpreted per-row fold, and the vector
+    column must not survive past the caller's projection."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        attach_band_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)]) for i in range(4)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    out = attach_band_keys(df, vec_col="embedding", dim=64)
+    plan = _plan(out)
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, f"banding must not shuffle: {plan}"
+
+
+def test_attach_band_keys_matches_column_reference(spark):
+    """The matmul path must produce the exact keys of the sequential
+    hyperplane_band_keys fold (same planes, same packing)."""
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.operators.similarity import (
+        attach_band_keys,
+        hyperplane_band_keys,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)
+    ] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    fast = {
+        (r["vec_id"], r["band"]): r["bucket"]
+        for r in attach_band_keys(df, vec_col="embedding", dim=64).collect()
+    }
+    keys = hyperplane_band_keys(F.col("embedding"), dim=64)
+    ref = {
+        (r["vec_id"], r["band"]): r["bucket"]
+        for r in df.select(
+            "vec_id", F.posexplode(F.array(*keys)).alias("band", "bucket")
+        ).collect()
+    }
+    # NULL vectors: reference folds NULL -> bucket 0 via otherwise();
+    # the matmul path emits no row (posexplode of NULL). Compare the
+    # non-null universe, and assert the null doc is absent from fast.
+    ref_nonnull = {k: v for k, v in ref.items() if k[0] != 99}
+    assert fast == ref_nonnull
+    assert not any(k[0] == 99 for k in fast)
+
+
+def test_ann_recall_plan_single_evaluation_of_each_input(spark):
+    """The recall metric must evaluate each top-k input subtree once:
+    one full-outer join, one aggregate — no re-execution of the
+    expensive search per count."""
+    from knot_another_pipeline_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], ["query_id", "neighbor_id"]
+    )
+    approx = spark.createDataFrame(
+        [(1, 10)], ["query_id", "neighbor_id"]
+    )
+    plan = _plan(ann_recall(exact, approx))
+    # each input is scanned exactly once, through one full-outer join
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans == 2, plan
+    assert plan.count("FullOuter") == 1, plan
