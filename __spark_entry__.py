@@ -139,6 +139,8 @@ _PRIORITY = [
     "mad_outliers",
     "media_phash",
     "bpe_merges",
+    "repeated_spans",
+    "negative_samples",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -5202,6 +5202,111 @@ t{r} AS MATERIALIZED (SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1)"
 ORACLE_BPE_MERGES = _bpe_oracle_sql(_BPE_N_MERGES)
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram spans (operators/text_analysis.py
+    repeated_ngram_spans): Lee-et-al-style span-level dedup — locate
+    every 5-token run shared by ≥2 docs and merge overlapping hits into
+    maximal removal spans via gaps-and-islands."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        repeated_ngram_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repeated_ngram_spans(
+        docs, id_col="doc_id", text_col="text", n=5, min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        "n_grams",
+    )
+
+
+ORACLE_REPEATED_SPANS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_aggregate(t[i:i + 4], 'string_agg', ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+f AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+  WHERE nd >= 2),
+h AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+i1 AS (
+  SELECT doc_id, pos,
+         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+  FROM h),
+i2 AS (
+  SELECT doc_id, pos,
+         CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ns
+  FROM i1),
+i3 AS (
+  SELECT doc_id, pos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM i2)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+       max(pos) + 4 - min(pos) + 1 AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM i3 GROUP BY doc_id, sid
+"""
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic recsys negative sampling (operators/sampling.py
+    negative_samples): 3 non-purchased parts per customer, md5-derived
+    draws over the dense part index, positives anti-joined out —
+    reproducible on every rerun and replayed exactly by the oracle."""
+    from knot_another_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    inter = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select("o_custkey", F.col("l_partkey").alias("p_partkey"))
+    out = negative_samples(
+        inter, part, user_col="o_custkey", item_col="p_partkey", k=3
+    )
+    return out.select(
+        F.col("user").alias("user_id"), "item", "neg_rank"
+    )
+
+
+ORACLE_NEGATIVE_SAMPLES = """
+WITH inter AS (
+  SELECT DISTINCT o_custkey AS usr, l_partkey AS item
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+it AS (SELECT DISTINCT p_partkey AS item FROM part),
+idx AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS _idx
+        FROM it),
+n AS (SELECT count(*) AS nn FROM idx),
+att AS (
+  SELECT usr, j,
+         CAST(concat('0x', substr(md5('0:' || usr || ':' || j), 1, 15))
+              AS BIGINT) % (SELECT nn FROM n) AS _idx
+  FROM (SELECT DISTINCT usr FROM inter),
+       unnest(generate_series(0, 5)) AS u(j)),
+drawn AS (SELECT usr, item, j FROM att JOIN idx USING (_idx)),
+neg AS (
+  SELECT usr, item, min(j) AS j FROM drawn
+  WHERE NOT EXISTS (SELECT 1 FROM inter i
+                    WHERE i.usr = drawn.usr AND i.item = drawn.item)
+  GROUP BY 1, 2),
+r AS (SELECT usr, item,
+             row_number() OVER (PARTITION BY usr ORDER BY j) AS neg_rank
+      FROM neg)
+SELECT usr AS user_id, item, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM r WHERE neg_rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5357,6 +5462,8 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "media_phash": q_media_phash,
     "bpe_merges": q_bpe_merges,
+    "repeated_spans": q_repeated_spans,
+    "negative_samples": q_negative_samples,
 }
 
 ORACLES = {
@@ -5493,4 +5600,6 @@ ORACLES = {
     "mad_outliers": ORACLE_MAD_OUTLIERS,
     "media_phash": ORACLE_MEDIA_PHASH,
     "bpe_merges": ORACLE_BPE_MERGES,
+    "repeated_spans": ORACLE_REPEATED_SPANS,
+    "negative_samples": ORACLE_NEGATIVE_SAMPLES,
 }

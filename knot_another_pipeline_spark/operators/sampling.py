@@ -561,3 +561,86 @@ def temperature_mix(
             F.round("keep_fraction", 6).alias("keep_fraction"),
         )
     )
+
+
+def negative_samples(
+    interactions: DataFrame,
+    items: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    k: int = 4,
+    oversample: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for recommender / contrastive
+    training data: for each user, ``k`` items the user has NOT
+    interacted with, drawn pseudo-randomly but reproducibly — the same
+    negatives on every rerun, any partitioning, any engine (md5-derived
+    draws; the DuckDB oracle replays them exactly). Implicit-feedback
+    training is impossible without this step, and ``df.sample`` can
+    neither exclude positives nor promise stability.
+
+    Shape: items get dense indices (row_number over the item key — the
+    item table is the dimension side, orders of magnitude smaller than
+    interactions; for a billion-item catalog pre-assign dense ids at
+    ingest instead); each user row-locally explodes ``k·oversample``
+    draw attempts, attempt j targeting index ``hash64(user:j:seed) mod
+    n_items``; drawn items resolve through an equi-join on the index
+    (AQE broadcasts the dimension), positives fall out via a left-anti
+    join on (user, item) — the only interactions-sized shuffle —
+    repeat draws of one item keep their earliest attempt, and the
+    first ``k`` survivors by attempt order win. Heavy users can
+    exhaust ``k·oversample`` attempts (collisions with their own
+    positives); raise ``oversample`` — rejection odds decay
+    geometrically in attempts × (1 − catalog-fraction-interacted).
+
+    Output: user, item, neg_rank (1..k, stable draw order).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    from knot_another_pipeline_spark.functions.hashing import hash64
+
+    inter = interactions.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+    )
+    idx_w = Window.orderBy(F.col("item").asc())
+    indexed = items.select(F.col(item_col).alias("item")).distinct().select(
+        "item", (F.row_number().over(idx_w) - 1).alias("_idx")
+    )
+    n_items = indexed.agg(F.count(F.lit(1)).alias("_n"))
+    m = k * oversample
+    attempts = (
+        inter.select("user")
+        .distinct()
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+        )
+        .select(
+            "user",
+            "j",
+            F.pmod(
+                hash64(
+                    F.concat_ws(":", F.col("user"), F.col("j")), seed=seed
+                ),
+                F.col("_n"),
+            ).alias("_idx"),
+        )
+    )
+    drawn = attempts.join(indexed, "_idx").select("user", "item", "j")
+    negatives = (
+        drawn.join(inter, ["user", "item"], "left_anti")
+        .groupBy("user", "item")
+        .agg(F.min("j").alias("j"))
+    )
+    rank_w = Window.partitionBy("user").orderBy("j")
+    return (
+        negatives.withColumn("neg_rank", F.row_number().over(rank_w))
+        .filter(F.col("neg_rank") <= k)
+        .select("user", "item", F.col("neg_rank").cast("bigint").alias("neg_rank"))
+    )

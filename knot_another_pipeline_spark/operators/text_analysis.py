@@ -10,9 +10,9 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from knot_another_pipeline_spark.functions.hashing import content_fingerprint
+from knot_another_pipeline_spark.functions.hashing import content_fingerprint, hash64
 
 #: Tiny per-language stopword lexicons for the stopword-hit language-ID
 #: heuristic. Deliberately small — language ID here is a scoring
@@ -913,3 +913,102 @@ def bpe_learn(
         learned.append((r["a"], r["b"]))
         out.append((rank, r["a"], r["b"], r["pair_count"]))
     return out
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring spans for masking (the
+    span-level dedup of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", at token-n-gram granularity):
+    every ``n``-token run occurring in at least ``min_docs`` DISTINCT
+    documents is located by position, and overlapping/adjacent hits in
+    the same document are merged into maximal spans — the removal list
+    for boilerplate headers, license blocks and templated passages
+    that whole-document dedup can never catch.
+
+    Scale shape: grams are built row-local (slice + concat over the
+    token array) and shuffle ONCE on a 60-bit md5 gram key; the
+    distinct-doc count is an explicit two-stage dedup-then-count (no
+    distinct-aggregate Expand, partial aggregation bounds hot
+    boilerplate grams); frequent grams join back against the gram
+    stream on the same key, and span merging is a per-document
+    gaps-and-islands window (running max-end, exactly
+    ``interval_merge``'s shape). The 60-bit key can in principle
+    alias two grams (≈1e-10 at 10⁷ grams) — use hash_hex width 31 if
+    that matters.
+
+    Output: doc_id, span_start, span_end (inclusive token indices,
+    0-based), span_tokens, n_grams (source grams merged into the span).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = _tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda _, i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, n)
+                ),
+            )
+        ).alias("pos", "gram"),
+    ).select("id", "pos", hash64(F.col("gram")).alias("gh"))
+    freq = (
+        grams.select("gh", "id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(freq, "gh").select("id", "pos")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn("prev_max_end", F.max(F.col("pos") + (n - 1)).over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("pos") > F.col("prev_max_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                Window.partitionBy("id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_grams",
+        )
+    )

@@ -399,3 +399,139 @@ def test_ann_recall_plan_single_evaluation_of_each_input(spark):
     n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
     assert n_scans == 2, plan
     assert plan.count("FullOuter") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# repeated_ngram_spans
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_merges_overlaps_and_positions(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        repeated_ngram_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} today"),
+            (2, f"intro text {shared} and more"),
+            (3, "completely different words here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_ngram_spans(
+            df, id_col="doc_id", text_col="text", n=5
+        ).collect()
+    }
+    # 5 constituent 5-grams merge into ONE maximal span per doc
+    assert set(out) == {1, 2}
+    assert (out[1]["span_start"], out[1]["span_end"]) == (0, 8)
+    assert (out[2]["span_start"], out[2]["span_end"]) == (2, 10)
+    assert out[1]["span_tokens"] == 9 and out[1]["n_grams"] == 5
+
+
+def test_repeated_spans_disjoint_spans_stay_separate(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        repeated_ngram_spans,
+    )
+
+    a = "alpha beta gamma delta epsilon"       # shared run 1 (5 tokens)
+    b = "one two three four five"              # shared run 2
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} filler1 filler2 filler3 {b}"),
+            (2, f"{a} unrelated tail words here"),
+            (3, f"prefix words {b} suffix"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = repeated_ngram_spans(
+        df, id_col="doc_id", text_col="text", n=5
+    ).collect()
+    doc1 = sorted(
+        (r["span_start"], r["span_end"]) for r in rows if r["doc_id"] == 1
+    )
+    assert doc1 == [(0, 4), (8, 12)]  # two separate spans, not merged
+
+
+def test_repeated_spans_validation(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        repeated_ngram_spans,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n must"):
+        repeated_ngram_spans(df, id_col="doc_id", text_col="text", n=1)
+    with pytest.raises(ValueError, match="min_docs"):
+        repeated_ngram_spans(
+            df, id_col="doc_id", text_col="text", min_docs=1
+        )
+
+
+# ---------------------------------------------------------------------------
+# negative_samples
+# ---------------------------------------------------------------------------
+
+
+def test_negative_samples_excludes_positives_and_is_deterministic(spark):
+    from knot_another_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    inter = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], ["u", "it"]
+    )
+    items = spark.createDataFrame([(x,) for x in "abcdefgh"], ["it"])
+    out = negative_samples(inter, items, user_col="u", item_col="it", k=3)
+    rows = sorted(map(tuple, out.collect()))
+    pos = {(1, "a"), (1, "b"), (2, "a")}
+    assert all((u, i) not in pos for (u, i, _) in rows)
+    assert {u for (u, _, _) in rows} == {1, 2}
+    assert all(1 <= r <= 3 for (_, _, r) in rows)
+    # repartitioning must not change the draws
+    out2 = negative_samples(
+        inter.repartition(4), items, user_col="u", item_col="it", k=3
+    )
+    assert rows == sorted(map(tuple, out2.collect()))
+    # per-user: at most one of each rank, no duplicate items
+    for u in (1, 2):
+        mine = [(i, r) for (uu, i, r) in rows if uu == u]
+        assert len({r for _, r in mine}) == len(mine)
+        assert len({i for i, _ in mine}) == len(mine)
+
+
+def test_negative_samples_seed_changes_draws(spark):
+    from knot_another_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    inter = spark.createDataFrame([(1, "a")], ["u", "it"])
+    items = spark.createDataFrame(
+        [(f"item{x}",) for x in range(50)] + [("a",)], ["it"]
+    )
+    a = sorted(
+        map(tuple, negative_samples(
+            inter, items, user_col="u", item_col="it", k=5, seed=0
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, negative_samples(
+            inter, items, user_col="u", item_col="it", k=5, seed=1
+        ).collect())
+    )
+    assert a != b
+
+
+def test_negative_samples_validation(spark):
+    from knot_another_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["u", "it"])
+    with pytest.raises(ValueError, match="k must"):
+        negative_samples(df, df, user_col="u", item_col="it", k=0)
+    with pytest.raises(ValueError, match="oversample"):
+        negative_samples(df, df, user_col="u", item_col="it", oversample=0)
