@@ -91,6 +91,8 @@ HEADLINE = [
     "ann_recall",
     "media_phash",
     "bpe_merges",
+    "repeated_spans",
+    "negative_samples",
 ]
 
 

@@ -950,9 +950,20 @@ def repeated_ngram_spans(
         raise ValueError(f"n must be >= 2, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = _tokens(F.col(text_col))
-    grams = df.select(
-        F.col(id_col).alias("id"),
+    # The token array MUST be materialized as its own column before the
+    # gram transform: inlining `_tokens(text)` straight into the lambda
+    # duplicates the split/filter subtree at every position — the text
+    # is re-tokenized per gram, O(len²) per document (observed 10.3 s →
+    # 3.3 s at sf0.1; the rest is the gram stream being built on both
+    # the frequency branch and the join-back branch — the scan-twice vs
+    # materialize tradeoff, resolved toward re-scan for the 100 TB case). Referenced from several expressions, the alias
+    # survives CollapseProject and is computed once per row.
+    toked = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    toks = F.col("toks")
+    grams = toked.select(
+        "id",
         F.posexplode(
             F.transform(
                 F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
