@@ -141,6 +141,7 @@ _PRIORITY = [
     "bpe_merges",
     "repeated_spans",
     "negative_samples",
+    "next_event_examples",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

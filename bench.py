@@ -93,6 +93,7 @@ HEADLINE = [
     "bpe_merges",
     "repeated_spans",
     "negative_samples",
+    "next_event_examples",
 ]
 
 

@@ -5307,6 +5307,46 @@ FROM r WHERE neg_rank <= 3
 """
 
 
+def q_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-item training examples (operators/behavior.py
+    next_event_examples): per user, the previous 5 event types predict
+    the next one — deterministic (ts, event_id) ordering, contexts
+    with ≥2 predecessors."""
+    from knot_another_pipeline_spark.operators.behavior import (
+        next_event_examples,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return next_event_examples(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        item_col="event_type",
+        tiebreak_col="event_id",
+        context_len=5,
+        min_context=2,
+    ).select(
+        F.col("user").alias("user_id"), "anchor", "label", "context",
+        "ctx_len",
+    )
+
+
+ORACLE_NEXT_EVENT_EXAMPLES = """
+WITH w AS (
+  SELECT user_id, event_id AS anchor, event_type AS label,
+         coalesce(string_agg(event_type, '|')
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), '') AS context,
+         CAST(coalesce(count(*)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS ctx_len
+  FROM events)
+SELECT user_id, anchor, label, context, ctx_len
+FROM w WHERE ctx_len >= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5464,6 +5504,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "repeated_spans": q_repeated_spans,
     "negative_samples": q_negative_samples,
+    "next_event_examples": q_next_event_examples,
 }
 
 ORACLES = {
@@ -5602,4 +5643,5 @@ ORACLES = {
     "bpe_merges": ORACLE_BPE_MERGES,
     "repeated_spans": ORACLE_REPEATED_SPANS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
+    "next_event_examples": ORACLE_NEXT_EVENT_EXAMPLES,
 }

@@ -304,3 +304,59 @@ def conversion_attribution(
             _type(F.col("_last")).alias("last_touch_type"),
         )
     )
+
+
+def next_event_examples(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak_col: str,
+    context_len: int = 5,
+    min_context: int = 1,
+) -> DataFrame:
+    """Sliding-window next-item training examples from an event stream:
+    for each event, the user's previous ``context_len`` items (oldest
+    first, pipe-joined) paired with the event's item as the label —
+    the (context → next) supervision pairs sequence models
+    (session-based recommenders, next-action prediction) train on,
+    generated at corpus scale without leaving the engine.
+
+    ``tiebreak_col`` (a unique event id) makes the within-user order
+    total, so the emitted contexts are identical across reruns,
+    partitionings, and engines — the same determinism contract as the
+    sampling operators; timestamps alone tie under bursty traffic.
+    The context ships as a delimited string rather than an array so
+    downstream storage and the differential oracle agree on encoding
+    byte-for-byte.
+
+    One shuffle (partition by user); the window is rows-bounded so
+    state per user is ``context_len`` items regardless of history
+    length. Events with fewer than ``min_context`` predecessors emit
+    nothing (cold-start rows carry no signal).
+
+    Output: user, anchor (tiebreak id), label, context, ctx_len.
+    """
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
+    if not 1 <= min_context <= context_len:
+        raise ValueError(
+            f"min_context must be in [1, {context_len}], got {min_context}"
+        )
+    w = (
+        Window.partitionBy(F.col(user_col))
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-context_len, -1)
+    )
+    ctx = F.collect_list(F.col(item_col)).over(w)
+    return (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.col(tiebreak_col).alias("anchor"),
+            F.col(item_col).alias("label"),
+            F.concat_ws("|", ctx).alias("context"),
+            F.size(ctx).cast("bigint").alias("ctx_len"),
+        )
+        .filter(F.col("ctx_len") >= min_context)
+    )

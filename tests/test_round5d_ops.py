@@ -535,3 +535,71 @@ def test_negative_samples_validation(spark):
         negative_samples(df, df, user_col="u", item_col="it", k=0)
     with pytest.raises(ValueError, match="oversample"):
         negative_samples(df, df, user_col="u", item_col="it", oversample=0)
+
+
+# ---------------------------------------------------------------------------
+# next_event_examples
+# ---------------------------------------------------------------------------
+
+
+def test_next_event_examples_windows_and_cold_start(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        next_event_examples,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "c"),
+            (1, 40, 4, "d"), (2, 10, 5, "x"),
+        ],
+        ["u", "ts", "eid", "it"],
+    )
+    out = {
+        r["anchor"]: r
+        for r in next_event_examples(
+            df, user_col="u", ts_col="ts", item_col="it",
+            tiebreak_col="eid", context_len=2,
+        ).collect()
+    }
+    # first event per user has no context -> dropped; user 2 emits nothing
+    assert set(out) == {2, 3, 4}
+    assert out[2]["context"] == "a" and out[2]["label"] == "b"
+    assert out[3]["context"] == "a|b"
+    assert out[4]["context"] == "b|c"  # window slides: 'a' aged out
+
+
+def test_next_event_examples_tiebreak_orders_equal_timestamps(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        next_event_examples,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 2, "b"), (1, 10, 1, "a"), (1, 10, 3, "c")],
+        ["u", "ts", "eid", "it"],
+    )
+    out = {
+        r["anchor"]: r["context"]
+        for r in next_event_examples(
+            df, user_col="u", ts_col="ts", item_col="it",
+            tiebreak_col="eid", context_len=5,
+        ).collect()
+    }
+    assert out == {2: "a", 3: "a|b"}
+
+
+def test_next_event_examples_validation(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        next_event_examples,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1, "a")], ["u", "ts", "eid", "it"])
+    with pytest.raises(ValueError, match="context_len"):
+        next_event_examples(
+            df, user_col="u", ts_col="ts", item_col="it",
+            tiebreak_col="eid", context_len=0,
+        )
+    with pytest.raises(ValueError, match="min_context"):
+        next_event_examples(
+            df, user_col="u", ts_col="ts", item_col="it",
+            tiebreak_col="eid", context_len=3, min_context=4,
+        )
