@@ -574,3 +574,52 @@ def streaming_radius_pairs(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    left_watermark: str = "20 minutes",
+    right_watermark: str = "20 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM interval join: match right-stream events to the
+    left-stream event they follow within ``max_delay`` on a shared key
+    — impressions→clicks attribution, order→shipment pairing, request→
+    response stitching — the two-moving-sides case ``streaming_enrich``
+    (stream-static) cannot express.
+
+    Both sides carry watermarks, and the join condition time-bounds
+    the match (``left_ts <= right_ts <= left_ts + max_delay``), which
+    is exactly what lets Spark bound the state store: a buffered left
+    row can be dropped once the right watermark passes its match
+    window, instead of growing state forever (an unbounded-condition
+    stream-stream join is rejected by the planner for this reason).
+    State per key ≈ events inside (watermark + max_delay) — set the
+    watermarks to the real out-of-order bound, not higher. For outer
+    flavors Spark emits the NULL-padded row only after the watermark
+    proves no match can arrive — results are late by design, not
+    missing.
+
+    Columns: ``left``'s join key survives as ``on``; pre-alias any
+    other colliding names. Thin, named wrapper on purpose — the
+    semantic contract (time-bounded condition ⇒ bounded state;
+    watermark-gated outer emission) is the operator.
+    """
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    joined = l.join(r, cond, how)
+    return joined.drop(F.col(f"r.{on}"))

@@ -1010,3 +1010,71 @@ def test_cli_tokenize(spark, tmp_path):
     assert enc[1]["token_ids"] == [1, 2, 1, 0]
     assert enc[1]["n_oov"] == 1
     assert enc[3]["token_ids"] == [1] and enc[3]["n_oov"] == 0
+
+
+def test_streaming_interval_join_matches_batch_and_bounds_window(
+    spark, tmp_path
+):
+    """The stream-stream interval join must (a) agree with the same
+    time-bounded batch join on a bounded input and (b) drop right rows
+    past max_delay."""
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_interval_join,
+    )
+
+    lsrc, rsrc = tmp_path / "left_in", tmp_path / "right_in"
+    imps = spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:00:00", "imp1"),
+            (1, "2025-01-01 01:00:00", "imp2"),
+            (2, "2025-01-01 00:00:00", "imp3"),
+        ],
+        "uid bigint, imp_ts string, imp_id string",
+    ).withColumn("imp_ts", F.to_timestamp("imp_ts"))
+    clicks = spark.createDataFrame(
+        [
+            (1, "2025-01-01 00:05:00", "c1"),   # matches imp1 (5 min)
+            (1, "2025-01-01 01:09:00", "c2"),   # matches imp2 (9 min)
+            (1, "2025-01-01 00:20:00", "c3"),   # > 10 min after imp1: no
+            (2, "2024-12-31 23:59:00", "c4"),   # before any impression: no
+        ],
+        "uid bigint, click_ts string, click_id string",
+    ).withColumn("click_ts", F.to_timestamp("click_ts"))
+    imps.write.parquet(str(lsrc))
+    clicks.write.parquet(str(rsrc))
+
+    joined = streaming_interval_join(
+        spark.readStream.schema(imps.schema).parquet(str(lsrc)),
+        spark.readStream.schema(clicks.schema).parquet(str(rsrc)),
+        on="uid",
+        left_ts="imp_ts",
+        right_ts="click_ts",
+        max_delay="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["imp_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM interval_join_test").collect()
+    }
+    assert got == {("imp1", "c1"), ("imp2", "c2")}
+
+    # batch parity: identical condition on the bounded frames
+    batch = imps.alias("l").join(
+        clicks.alias("r"),
+        (F.col("l.uid") == F.col("r.uid"))
+        & (F.col("r.click_ts") >= F.col("l.imp_ts"))
+        & (
+            F.col("r.click_ts")
+            <= F.col("l.imp_ts") + F.expr("INTERVAL 10 minutes")
+        ),
+    )
+    assert got == {
+        (r["imp_id"], r["click_id"]) for r in batch.collect()
+    }
