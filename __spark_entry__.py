@@ -142,6 +142,8 @@ _PRIORITY = [
     "repeated_spans",
     "negative_samples",
     "next_event_examples",
+    "bpe_encode",
+    "ab_test",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -94,6 +94,8 @@ HEADLINE = [
     "repeated_spans",
     "negative_samples",
     "next_event_examples",
+    "bpe_encode",
+    "ab_test",
 ]
 
 

@@ -5347,6 +5347,119 @@ FROM w WHERE ctx_len >= 2
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation with the corpus-learned merges
+    (operators/text_analysis.py bpe_encode): the inference half of the
+    tokenizer — the same 6 rules q_bpe_merges learns, replayed in
+    order as row-local replaces; train/encode agree by construction."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        _tokens,
+        bpe_encode,
+        bpe_learn,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = [
+        (a, b) for _, a, b, _ in bpe_learn(words, n_merges=_BPE_N_MERGES)
+    ]
+    return bpe_encode(
+        docs, id_col="doc_id", text_col="text", merges=merges
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    # Reuse the learning chain (s0..t{n-1}), then replay every learned
+    # merge over each document's word symbol strings in rank order.
+    learn = _bpe_oracle_sql(n_merges)
+    learn_ctes = learn[: learn.rindex("SELECT CAST(1")].rstrip().rstrip(",")
+    sym = (
+        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> '"
+    )
+    for r in range(n_merges):
+        sym = (
+            f"replace({sym}, ' ' || (SELECT a FROM t{r}) || ' ' || "
+            f"(SELECT b FROM t{r}) || ' ', ' ' || (SELECT a FROM t{r}) "
+            f"|| (SELECT b FROM t{r}) || ' ')"
+        )
+    return f"""{learn_ctes},
+doc_words AS (
+  SELECT doc_id, i, t[i] AS word
+  FROM ({_TOKS_SQL.replace("SELECT doc_id, text,", "SELECT doc_id,")}) toks2,
+       unnest(generate_series(1, len(t))) AS u(i)),
+enc AS (
+  SELECT doc_id, i, trim({sym}) AS wsym FROM doc_words),
+joined AS (
+  SELECT doc_id,
+         string_agg(wsym, ' ' ORDER BY i) AS all_syms
+  FROM enc GROUP BY 1)
+SELECT doc_id,
+       CAST(len(list_filter(string_split(all_syms, ' '), x -> x != ''))
+            AS BIGINT) AS n_symbols,
+       list_aggregate(list_filter(string_split(all_syms, ' '),
+                                  x -> x != ''),
+                      'string_agg', '|') AS symbols
+FROM joined
+"""
+
+
+ORACLE_BPE_ENCODE = _bpe_encode_oracle_sql(_BPE_N_MERGES)
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample experiment readout per event type
+    (operators/quality.py ab_test): synthetic arm assignment
+    (user_id parity), one conditional aggregate per segment, verdict
+    from rounded moments so it reproduces cross-engine."""
+    from knot_another_pipeline_spark.operators.quality import ab_test
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment"),
+    )
+    return ab_test(
+        events,
+        arm_col="arm",
+        metric_col="value",
+        control="control",
+        treatment="treatment",
+        by="event_type",
+    )
+
+
+ORACLE_AB_TEST = """
+WITH s AS (
+  SELECT event_type AS grp,
+         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+           AS arm,
+         CAST(value AS DOUBLE) AS m
+  FROM events WHERE value IS NOT NULL),
+agg AS (
+  SELECT grp,
+         count(*) FILTER (arm = 'control') AS n_ctl,
+         count(*) FILTER (arm = 'treatment') AS n_trt,
+         round(avg(m) FILTER (arm = 'control'), 6) AS mean_ctl,
+         round(avg(m) FILTER (arm = 'treatment'), 6) AS mean_trt,
+         round(var_samp(m) FILTER (arm = 'control'), 6) AS var_ctl,
+         round(var_samp(m) FILTER (arm = 'treatment'), 6) AS var_trt
+  FROM s GROUP BY 1),
+z AS (
+  SELECT *,
+         round((mean_trt - mean_ctl)
+               / nullif(sqrt(var_ctl / n_ctl + var_trt / n_trt), 0),
+               4) AS z,
+         round(mean_trt / nullif(mean_ctl, 0) - 1.0, 6) AS lift
+  FROM agg)
+SELECT grp, n_ctl, n_trt, mean_ctl, mean_trt, var_ctl, var_trt, lift, z,
+       coalesce(abs(z) > 1.96, FALSE) AS significant
+FROM z
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5505,6 +5618,8 @@ QUERIES = {
     "repeated_spans": q_repeated_spans,
     "negative_samples": q_negative_samples,
     "next_event_examples": q_next_event_examples,
+    "bpe_encode": q_bpe_encode,
+    "ab_test": q_ab_test,
 }
 
 ORACLES = {
@@ -5644,4 +5759,6 @@ ORACLES = {
     "repeated_spans": ORACLE_REPEATED_SPANS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     "next_event_examples": ORACLE_NEXT_EVENT_EXAMPLES,
+    "bpe_encode": ORACLE_BPE_ENCODE,
+    "ab_test": ORACLE_AB_TEST,
 }

@@ -871,3 +871,70 @@ def mad_outliers(
         F.abs(F.col("robust_z")) > F.lit(float(k))
     ).select("id", F.col("grp").alias("grp"), "value", "med", "mad",
              "robust_z")
+
+
+def ab_test(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+    by: str | None = None,
+    z_threshold: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample experiment readout: per segment, compare the
+    treatment arm's metric mean against control with a Welch z
+    statistic (unequal variances, the safe default) — the analysis
+    every A/B-tested pipeline change ends in, computed in one pass.
+
+    One conditional hash aggregate per segment — count/mean/variance
+    for each arm via ``when()`` filters inside the same groupBy, so
+    the metric rows shuffle once on the (low-cardinality) segment key
+    and never per arm. The z statistic is computed from the
+    ``round_to``-rounded moments, making the significance verdict
+    reproducible across engines (single-pass variance accumulations
+    differ in low-order bits). Welch's normal approximation needs
+    n ≳ 30 per arm — the NULL z for empty/singleton arms (variance
+    undefined) marks segments too thin to read.
+
+    Output per segment: grp, n_ctl, n_trt, mean_ctl, mean_trt,
+    var_ctl, var_trt, lift (relative), z, significant.
+    """
+    group = F.col(by) if by else F.lit("all")
+    arm = F.col(arm_col)
+    metric = F.col(metric_col).cast("double")
+    s = df.select(
+        group.alias("grp"), arm.alias("arm"), metric.alias("m")
+    ).filter(F.col("m").isNotNull() & F.col("arm").isin(control, treatment))
+    ctl = F.when(F.col("arm") == control, F.col("m"))
+    trt = F.when(F.col("arm") == treatment, F.col("m"))
+    agg = s.groupBy("grp").agg(
+        F.count(ctl).alias("n_ctl"),
+        F.count(trt).alias("n_trt"),
+        F.round(F.avg(ctl), round_to).alias("mean_ctl"),
+        F.round(F.avg(trt), round_to).alias("mean_trt"),
+        F.round(F.var_samp(ctl), round_to).alias("var_ctl"),
+        F.round(F.var_samp(trt), round_to).alias("var_trt"),
+    )
+    se = F.sqrt(
+        F.col("var_ctl") / F.col("n_ctl") + F.col("var_trt") / F.col("n_trt")
+    )
+    z = F.round(
+        (F.col("mean_trt") - F.col("mean_ctl")) / F.nullif(se, F.lit(0.0)),
+        4,
+    )
+    lift = F.round(
+        F.col("mean_trt") / F.nullif(F.col("mean_ctl"), F.lit(0.0)) - 1.0,
+        round_to,
+    )
+    return agg.select(
+        "grp", "n_ctl", "n_trt", "mean_ctl", "mean_trt", "var_ctl",
+        "var_trt",
+        lift.alias("lift"),
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("significant"),
+    )

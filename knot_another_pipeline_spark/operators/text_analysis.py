@@ -1023,3 +1023,52 @@ def repeated_ngram_spans(
             "n_grams",
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply learned BPE merge rules (:func:`bpe_learn`) to segment
+    documents — the inference half of the tokenizer: each whitespace
+    word becomes its character+``</w>`` symbol string, the merges
+    replay IN LEARNED ORDER as literal left-to-right replaces (the
+    exact operation training used, so train/encode segmentations
+    agree), and the document's symbol sequence ships pipe-joined for
+    byte-stable storage.
+
+    Row-local end to end — split, per-word replace chain, rejoin —
+    zero shuffles: the merges are baked into the plan as literals
+    (tokenizer vocabularies are KBs; a 30k-merge chain should move to
+    a pandas UDF applying the same greedy loop — same output by
+    construction). Output: id, n_symbols, symbols ('|'-joined, with
+    '</w>' marking word ends).
+    """
+    if not merges:
+        raise ValueError("merges must be non-empty (run bpe_learn first)")
+    toked = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
+    )
+
+    def encode_word(w: Column) -> Column:
+        sym = F.concat(
+            F.lit(" "),
+            F.regexp_replace(w, "(.)", "$1 "),
+            F.lit("</w> "),
+        )
+        for a, b in merges:
+            sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        return F.trim(sym)
+
+    syms = F.array_join(
+        F.transform(F.col("toks"), lambda w: encode_word(w)), " "
+    )
+    pieces = F.filter(F.split(syms, " "), lambda s: s != "")
+    return toked.select(
+        "id",
+        F.size(pieces).cast("bigint").alias("n_symbols"),
+        F.array_join(pieces, "|").alias("symbols"),
+    )

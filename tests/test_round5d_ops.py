@@ -603,3 +603,99 @@ def test_next_event_examples_validation(spark):
             df, user_col="u", ts_col="ts", item_col="it",
             tiebreak_col="eid", context_len=3, min_context=4,
         )
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        bpe_encode,
+    )
+
+    docs = spark.createDataFrame([(1, "lowest low")], ["doc_id", "text"])
+    out = bpe_encode(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        merges=[("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")],
+    ).collect()[0]
+    assert out["symbols"] == "lo|w|est</w>|lo|w|</w>"
+    assert out["n_symbols"] == 6
+
+
+def test_bpe_encode_roundtrip_with_learn(spark):
+    """Encoding the training corpus with its own learned merges must
+    reduce the symbol count monotonically as merges are added."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        _tokens,
+        bpe_encode,
+        bpe_learn,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "low lower newest widest " * 3) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    learned = [(a, b) for _, a, b, _ in bpe_learn(words, n_merges=6)]
+    n_prev = None
+    for cut in (1, 3, 6):
+        total = bpe_encode(
+            docs, id_col="doc_id", text_col="text", merges=learned[:cut]
+        ).agg(F.sum("n_symbols")).collect()[0][0]
+        if n_prev is not None:
+            assert total < n_prev
+        n_prev = total
+    with pytest.raises(ValueError, match="merges"):
+        bpe_encode(docs, id_col="doc_id", text_col="text", merges=[])
+
+
+# ---------------------------------------------------------------------------
+# ab_test
+# ---------------------------------------------------------------------------
+
+
+def test_ab_test_welch_statistic_and_verdict(spark):
+    import statistics
+
+    from knot_another_pipeline_spark.operators.quality import ab_test
+
+    ctl = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 10.8, 9.2]
+    trt = [12.0, 13.0, 11.5, 12.5, 12.2, 11.8, 12.8, 13.2]
+    rows = [("g", "A", v) for v in ctl] + [("g", "B", v) for v in trt]
+    df = spark.createDataFrame(rows, ["seg", "arm", "m"])
+    out = ab_test(
+        df, arm_col="arm", metric_col="m", control="A", treatment="B",
+        by="seg",
+    ).collect()[0]
+    ma, mb = statistics.mean(ctl), statistics.mean(trt)
+    va, vb = statistics.variance(ctl), statistics.variance(trt)
+    z = (round(mb, 6) - round(ma, 6)) / (
+        (round(va, 6) / len(ctl) + round(vb, 6) / len(trt)) ** 0.5
+    )
+    assert out["n_ctl"] == 8 and out["n_trt"] == 8
+    assert out["mean_ctl"] == pytest.approx(ma, abs=1e-6)
+    assert out["z"] == pytest.approx(z, abs=1e-3)
+    assert out["significant"] is True
+    assert out["lift"] == pytest.approx(mb / ma - 1, abs=1e-5)
+
+
+def test_ab_test_null_arm_and_flat_metric(spark):
+    from knot_another_pipeline_spark.operators.quality import ab_test
+
+    # identical constant metric in both arms -> se 0 -> NULL z, not sig
+    rows = [("A", 5.0)] * 4 + [("B", 5.0)] * 4 + [("C", 99.0)]
+    df = spark.createDataFrame(rows, ["arm", "m"])
+    out = ab_test(
+        df, arm_col="arm", metric_col="m", control="A", treatment="B"
+    ).collect()[0]
+    # arm C is excluded entirely
+    assert out["n_ctl"] == 4 and out["n_trt"] == 4
+    assert out["z"] is None and out["significant"] is False
