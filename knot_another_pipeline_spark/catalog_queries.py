@@ -5169,12 +5169,13 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         FROM documents)
   GROUP BY 1),
 s0 AS MATERIALIZED (
-  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') || '</w> '
+  SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  '
          AS sym, cnt FROM w)"""
     ]
     for r in range(n_merges):
         parts.append(
-            f"""l{r} AS (SELECT string_split(trim(sym), ' ') AS l, cnt FROM s{r}),
+            f"""l{r} AS (SELECT list_filter(string_split_regex(trim(sym), '\\s+'),
+                            x -> x != '') AS l, cnt FROM s{r}),
 p{r} AS (
   SELECT l[i] AS a, l[i + 1] AS b, sum(cnt) AS pc
   FROM l{r}, unnest(generate_series(1, len(l) - 1)) AS u{r}(i)
@@ -5185,7 +5186,7 @@ t{r} AS MATERIALIZED (SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1)"
             parts.append(
                 f"""s{r + 1} AS MATERIALIZED (
   SELECT replace(sym,
-                 ' ' || (SELECT a FROM t{r}) || ' '
+                 ' ' || (SELECT a FROM t{r}) || '  '
                      || (SELECT b FROM t{r}) || ' ',
                  ' ' || (SELECT a FROM t{r})
                      || (SELECT b FROM t{r}) || ' ') AS sym, cnt
@@ -5378,11 +5379,11 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
     learn = _bpe_oracle_sql(n_merges)
     learn_ctes = learn[: learn.rindex("SELECT CAST(1")].rstrip().rstrip(",")
     sym = (
-        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> '"
+        "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  '"
     )
     for r in range(n_merges):
         sym = (
-            f"replace({sym}, ' ' || (SELECT a FROM t{r}) || ' ' || "
+            f"replace({sym}, ' ' || (SELECT a FROM t{r}) || '  ' || "
             f"(SELECT b FROM t{r}) || ' ', ' ' || (SELECT a FROM t{r}) "
             f"|| (SELECT b FROM t{r}) || ' ')"
         )
@@ -5398,9 +5399,10 @@ joined AS (
          string_agg(wsym, ' ' ORDER BY i) AS all_syms
   FROM enc GROUP BY 1)
 SELECT doc_id,
-       CAST(len(list_filter(string_split(all_syms, ' '), x -> x != ''))
+       CAST(len(list_filter(string_split_regex(all_syms, '\\s+'),
+                            x -> x != ''))
             AS BIGINT) AS n_symbols,
-       list_aggregate(list_filter(string_split(all_syms, ' '),
+       list_aggregate(list_filter(string_split_regex(all_syms, '\\s+'),
                                   x -> x != ''),
                       'string_agg', '|') AS symbols
 FROM joined

@@ -845,16 +845,24 @@ def bpe_pair_counts(
     Output: a, b, pair_count (desc-sortable; ties broken by (a, b)
     upstream).
     """
+    # DOUBLE-space separators: each merge match consumes only half of
+    # each boundary, so consecutive eligible pairs (runs like "a a a a")
+    # merge greedily left-to-right in ONE pass — exactly the reference
+    # algorithm. Single-space separators consume the shared boundary
+    # and silently skip every other pair in a run (caught by the
+    # Sennrich-reference property test).
     syms_str = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.col(word_col), "(.)", "$1 "),
-        F.lit("</w> "),
+        F.lit("  "),
+        F.regexp_replace(F.col(word_col), "(.)", "$1  "),
+        F.lit("</w>  "),
     )
     for a, b in merges or []:
         syms_str = F.replace(
-            syms_str, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            syms_str, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
         )
-    syms = F.split(F.trim(syms_str), " ")
+    syms = F.filter(
+        F.split(F.trim(syms_str), r"\s+"), lambda t: t != ""
+    )
     pairs = F.transform(
         F.slice(syms, 1, F.size(syms) - 1),
         lambda x, i: F.struct(
@@ -1054,19 +1062,21 @@ def bpe_encode(
     )
 
     def encode_word(w: Column) -> Column:
+        # double-space separators: see bpe_pair_counts — one replace
+        # pass per rule IS the canonical greedy merge
         sym = F.concat(
-            F.lit(" "),
-            F.regexp_replace(w, "(.)", "$1 "),
-            F.lit("</w> "),
+            F.lit("  "),
+            F.regexp_replace(w, "(.)", "$1  "),
+            F.lit("</w>  "),
         )
         for a, b in merges:
-            sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+            sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
         return F.trim(sym)
 
     syms = F.array_join(
         F.transform(F.col("toks"), lambda w: encode_word(w)), " "
     )
-    pieces = F.filter(F.split(syms, " "), lambda s: s != "")
+    pieces = F.filter(F.split(syms, r"\s+"), lambda s: s != "")
     return toked.select(
         "id",
         F.size(pieces).cast("bigint").alias("n_symbols"),
