@@ -144,6 +144,7 @@ _PRIORITY = [
     "next_event_examples",
     "bpe_encode",
     "ab_test",
+    "ewma_alarm",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -96,6 +96,7 @@ HEADLINE = [
     "next_event_examples",
     "bpe_encode",
     "ab_test",
+    "ewma_alarm",
 ]
 
 

@@ -5462,6 +5462,54 @@ FROM z
 """
 
 
+def q_ewma_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart on daily event volumes per type
+    (operators/temporal.py ewma_smooth): closed-form cumsum, residual
+    vs the prior smoothed level, 3σ alarm — the drift monitor a DQ
+    pipeline runs on its own row counts."""
+    from knot_another_pipeline_spark.operators.temporal import ewma_smooth
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("series"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return ewma_smooth(
+        daily, series_col="series", order_col="day", value_col="n",
+        alpha=0.3, k=3.0,
+    )
+
+
+ORACLE_EWMA_ALARM = """
+WITH d AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS ord,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT series, ord, value,
+         row_number() OVER (PARTITION BY series ORDER BY ord) - 1 AS t
+  FROM d),
+c AS (
+  SELECT *,
+         power(0.7, t) * sum(CASE WHEN t = 0 THEN value
+                                  ELSE 0.3 * value * power(0.7, -t) END)
+           OVER (PARTITION BY series ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ewma_raw
+  FROM w),
+r AS (
+  SELECT series, t, value, round(ewma_raw, 6) AS ewma,
+         round(value - lag(round(ewma_raw, 6))
+                 OVER (PARTITION BY series ORDER BY t), 6) AS resid
+  FROM c),
+sg AS (SELECT series, round(stddev_samp(resid), 6) AS s
+       FROM r GROUP BY 1)
+SELECT r.series, CAST(t AS BIGINT) AS t, value, ewma, resid,
+       coalesce(abs(resid) > 3.0 * s, FALSE) AS alarm
+FROM r JOIN sg ON r.series = sg.series
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5622,6 +5670,7 @@ QUERIES = {
     "next_event_examples": q_next_event_examples,
     "bpe_encode": q_bpe_encode,
     "ab_test": q_ab_test,
+    "ewma_alarm": q_ewma_alarm,
 }
 
 ORACLES = {
@@ -5763,4 +5812,5 @@ ORACLES = {
     "next_event_examples": ORACLE_NEXT_EVENT_EXAMPLES,
     "bpe_encode": ORACLE_BPE_ENCODE,
     "ab_test": ORACLE_AB_TEST,
+    "ewma_alarm": ORACLE_EWMA_ALARM,
 }

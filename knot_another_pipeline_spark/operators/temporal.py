@@ -727,3 +727,88 @@ def time_weighted_avg(
             F.round(F.sum("_dur"), 6).alias("covered_s"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    k: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """EWMA control chart over per-series observations: exponentially
+    weighted moving average (``ewma_t = α·x_t + (1−α)·ewma_{t−1}``,
+    seeded at the first value), the residual of each observation
+    against the PRIOR smoothed level, and an alarm when the residual
+    exceeds ``k`` residual standard deviations — the classic
+    drift/spike monitor for daily pipeline metrics (row counts, null
+    rates, latencies), where a z-score on raw values would page on
+    seasonality the EWMA has already absorbed.
+
+    The recurrence is computed CLOSED-FORM, not iteratively:
+    ``ewma_t = β^t · cumsum_t`` where ``β = 1−α`` and the cumulative
+    sum runs over ``x_0, α·x_i·β^{−i}`` — one ordered window per
+    series, no driver loop, no state store. The oracle mirrors the
+    identical cumsum, so the float rounding agrees. ``β^{−i}`` grows
+    geometrically: at α=0.3 the factors pass 10⁹ near i≈60, so cap
+    series length ≈ 50·(1/α) rows and re-anchor longer histories per
+    period (control charts reset on re-baseline anyway); a guard
+    raises beyond that bound rather than returning quietly-degraded
+    floats.
+
+    One shuffle (partition by series). Output per row: series, t
+    (0-based order index), value, ewma, resid (NULL for t=0), alarm.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    beta = 1.0 - alpha
+    w = Window.partitionBy("series").orderBy("ord")
+    cum = Window.partitionBy("series").orderBy("ord").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    max_len = int(50.0 / alpha)
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    n_max = s.groupBy("series").count().agg(
+        F.max("count").alias("_m")
+    ).collect()[0]["_m"]
+    if n_max is not None and n_max > max_len:
+        raise ValueError(
+            f"series of {n_max} rows exceeds the closed-form numeric "
+            f"bound {max_len} for alpha={alpha}; re-anchor per period "
+            "or raise alpha"
+        )
+    t = F.row_number().over(w) - 1
+    with_t = s.withColumn("t", t)
+    term = F.when(
+        F.col("t") == 0, F.col("value")
+    ).otherwise(
+        F.lit(alpha) * F.col("value") * F.pow(F.lit(beta), -F.col("t"))
+    )
+    ewma = F.pow(F.lit(beta), F.col("t")) * F.sum(term).over(cum)
+    scored = with_t.withColumn("ewma", F.round(ewma, round_to)).withColumn(
+        "resid",
+        F.round(F.col("value") - F.lag("ewma").over(w), round_to),
+    )
+    sigma = scored.groupBy("series").agg(
+        F.round(F.stddev_samp("resid"), round_to).alias("_sigma")
+    )
+    return scored.join(sigma, "series").select(
+        "series",
+        F.col("t").cast("bigint").alias("t"),
+        "value",
+        "ewma",
+        "resid",
+        F.coalesce(
+            F.abs(F.col("resid")) > F.lit(float(k)) * F.col("_sigma"),
+            F.lit(False),
+        ).alias("alarm"),
+    )

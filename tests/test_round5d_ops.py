@@ -699,3 +699,60 @@ def test_ab_test_null_arm_and_flat_metric(spark):
     # arm C is excluded entirely
     assert out["n_ctl"] == 4 and out["n_trt"] == 4
     assert out["z"] is None and out["significant"] is False
+
+
+# ---------------------------------------------------------------------------
+# ewma_smooth
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_recurrence_and_alarms_on_spike(spark):
+    from knot_another_pipeline_spark.operators.temporal import ewma_smooth
+
+    vals = [10.0 + (i % 3) for i in range(10)] + [100.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], ["s", "d", "v"]
+    )
+    out = {
+        r["t"]: r
+        for r in ewma_smooth(
+            df, series_col="s", order_col="d", value_col="v", alpha=0.3
+        ).collect()
+    }
+    # reference recurrence with per-step rounding identical to the op
+    e = vals[0]
+    assert out[0]["ewma"] == e and out[0]["resid"] is None
+    for i, v in enumerate(vals[1:], 1):
+        prev = round(e, 6)
+        e = 0.3 * v + 0.7 * e
+        assert out[i]["ewma"] == pytest.approx(e, abs=1e-5)
+        assert out[i]["resid"] == pytest.approx(v - prev, abs=1e-5)
+    alarms = [t for t, r in out.items() if r["alarm"]]
+    assert alarms == [10]
+
+
+def test_ewma_series_independent_and_validated(spark):
+    from knot_another_pipeline_spark.operators.temporal import ewma_smooth
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0), ("b", 0, 100.0), ("b", 1, 200.0)],
+        ["s", "d", "v"],
+    )
+    out = {
+        (r["series"], r["t"]): r["ewma"]
+        for r in ewma_smooth(
+            df, series_col="s", order_col="d", value_col="v", alpha=0.5
+        ).collect()
+    }
+    assert out[("a", 1)] == pytest.approx(1.5)
+    assert out[("b", 1)] == pytest.approx(150.0)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_smooth(df, series_col="s", order_col="d", value_col="v",
+                    alpha=1.0)
+    # numeric-bound guard: series longer than 50/alpha must raise
+    long = spark.createDataFrame(
+        [("a", i, 1.0) for i in range(200)], ["s", "d", "v"]
+    )
+    with pytest.raises(ValueError, match="closed-form numeric bound"):
+        ewma_smooth(long, series_col="s", order_col="d", value_col="v",
+                    alpha=0.3)
