@@ -5116,7 +5116,12 @@ WITH px AS (
        unnest(generate_series(0, 15)) AS jj(j)),
 tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
 bits AS (
-  SELECT px.doc_id, i, CASE WHEN v * 64 > total THEN 1 ELSE 0 END AS bit
+  -- NULL text -> NULL pixels -> NULL bits; sum/string_agg then yield a
+  -- NULL hash, matching phash_media's NULL-payload rows (a bare CASE
+  -- would silently turn NULL comparisons into an all-zero hash)
+  SELECT px.doc_id, i,
+         CASE WHEN v IS NULL THEN NULL
+              WHEN v * 64 > total THEN 1 ELSE 0 END AS bit
   FROM px JOIN tot ON px.doc_id = tot.doc_id),
 nib AS (
   SELECT doc_id, i // 4 AS n,
@@ -5377,7 +5382,7 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
     # Reuse the learning chain (s0..t{n-1}), then replay every learned
     # merge over each document's word symbol strings in rank order.
     learn = _bpe_oracle_sql(n_merges)
-    learn_ctes = learn[: learn.rindex("SELECT CAST(1")].rstrip().rstrip(",")
+    learn_ctes = learn[: learn.rindex("SELECT CAST(1 ")].rstrip().rstrip(",")
     sym = (
         "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  '"
     )
@@ -5398,14 +5403,19 @@ joined AS (
   SELECT doc_id,
          string_agg(wsym, ' ' ORDER BY i) AS all_syms
   FROM enc GROUP BY 1)
-SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(all_syms, '\\s+'),
-                            x -> x != ''))
+-- LEFT JOIN from documents: a zero-token doc has no doc_words rows but
+-- bpe_encode still emits (0, '') for it
+SELECT d.doc_id,
+       CAST(len(list_filter(
+              string_split_regex(coalesce(all_syms, ''), '\\s+'),
+              x -> x != ''))
             AS BIGINT) AS n_symbols,
-       list_aggregate(list_filter(string_split_regex(all_syms, '\\s+'),
-                                  x -> x != ''),
-                      'string_agg', '|') AS symbols
-FROM joined
+       coalesce(list_aggregate(
+                  list_filter(
+                    string_split_regex(coalesce(all_syms, ''), '\\s+'),
+                    x -> x != ''),
+                  'string_agg', '|'), '') AS symbols
+FROM documents d LEFT JOIN joined ON d.doc_id = joined.doc_id
 """
 
 

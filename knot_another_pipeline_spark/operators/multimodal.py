@@ -334,15 +334,16 @@ def chunk_audio(
     return df.mapInPandas(batches, CHUNKS_SCHEMA)
 
 
-#: Perceptual-hash output schema: 64-bit aHash as hex + two int halves.
-PHASH_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), False),
-        StructField("phash", StringType(), True),
-        StructField("phash_hi", LongType(), True),
-        StructField("phash_lo", LongType(), True),
-    ]
-)
+def _phash_schema(id_col: str) -> StructType:
+    """64-bit aHash output schema: id (caller's name) + hex + halves."""
+    return StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("phash", StringType(), True),
+            StructField("phash_hi", LongType(), True),
+            StructField("phash_lo", LongType(), True),
+        ]
+    )
 
 
 def _fake_pixels(payload: bytes) -> list[int]:
@@ -378,6 +379,7 @@ def phash_media(
     Scale shape: Arrow-batched iterator mapInPandas, payload bytes
     never leave the stage — only the 3 small hash columns shuffle.
     NULL payloads yield NULL hashes (kept, so row counts are stable).
+    The id column keeps the caller's name in the output.
     """
     id_name, payload_name = id_col, payload_col
 
@@ -403,43 +405,63 @@ def phash_media(
                 los.append(int(hx[8:], 16))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_name].astype("int64"),
+                    id_name: pdf[id_name].astype("int64"),
                     "phash": pd.Series(hashes, dtype="object"),
                     "phash_hi": pd.Series(his, dtype="Int64"),
                     "phash_lo": pd.Series(los, dtype="Int64"),
                 }
             )
 
-    return df.mapInPandas(batches, PHASH_SCHEMA)
+    return df.mapInPandas(batches, _phash_schema(id_name))
 
 
 def phash_pairs(
     signatures: DataFrame,
     *,
     id_col: str = "doc_id",
-    max_hamming: int = 10,
+    max_hamming: int = 3,
+    bands: int = 4,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs from :func:`phash_media` output:
-    candidates share at least one of four 16-bit hash bands (two
-    images within Hamming distance 10 of each other on 64 bits must
-    agree exactly on some band — pigeonhole over 4 bands tolerates up
-    to 3 differing bands' worth of damage, the same banding argument
-    as SimHash); exact Hamming distance then verifies candidates via
+    candidates share at least one of ``bands`` equal hex slices of the
+    hash; exact Hamming distance then verifies candidates via
     ``bit_count(xor)`` codegen.
 
+    Recall guarantee is pigeonhole: a pair within Hamming ``h`` must
+    share a band only when ``h <= bands − 1`` (``h`` differing bits
+    can ruin at most ``h`` bands). The defaults (4 bands, distance 3)
+    keep that guarantee; asking for a larger ``max_hamming`` than the
+    band count can honor raises unless ``allow_partial_recall=True``
+    explicitly accepts probabilistic recall (damage spread across
+    every band hides a pair). Raise ``bands`` (2/4/8/16 — the 16-hex
+    hash must split evenly) for a wider guaranteed radius; narrower
+    bands trade blocking power (16-bit bands ≈ N/65536 candidates per
+    bucket, 4-bit bands ≈ N/16) for radius, the SimHash dial.
+
     Scale shape: the self-join is an equi-join on (band, value) —
-    never all-pairs — and the hash table is 4 rows per image at ~8
-    bytes of key, so a billion-image corpus bands into a join the
-    shuffle can hash-partition evenly (md5-derived band values are
-    uniform). Duplicate candidates from multi-band agreement collapse
-    with one distinct on (id_a, id_b) before scoring.
+    never all-pairs — and the hash table is ``bands`` rows per image
+    at ~8 bytes of key, so a billion-image corpus bands into a join
+    the shuffle can hash-partition evenly (md5-derived band values
+    are uniform). Duplicate candidates from multi-band agreement
+    collapse with one distinct on (id_a, id_b) before scoring.
 
     Output: id_a < id_b, hamming (bits differing, <= max_hamming).
     """
     if not 0 <= max_hamming <= 64:
         raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    if bands not in (2, 4, 8, 16):
+        raise ValueError(f"bands must be one of 2/4/8/16, got {bands}")
+    if max_hamming > bands - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"{bands} bands guarantee recall only up to Hamming "
+            f"{bands - 1}; got max_hamming={max_hamming}. Raise bands, "
+            "lower max_hamming, or pass allow_partial_recall=True to "
+            "accept missed pairs whose damage touches every band."
+        )
     from pyspark.sql import functions as F
 
+    width = 16 // bands
     s = signatures.select(
         F.col(id_col).alias("id"), "phash", "phash_hi", "phash_lo"
     ).filter(F.col("phash").isNotNull())
@@ -452,9 +474,11 @@ def phash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.substring("phash", 4 * b + 1, 4).alias("val"),
+                        F.substring(
+                            "phash", width * b + 1, width
+                        ).alias("val"),
                     )
-                    for b in range(4)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),

@@ -189,10 +189,19 @@ def attach_band_keys(
         out = []
         mask = vecs.notna()
         if mask.any():
-            mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
-            )
-            bits = (mat @ signs) > 0  # N × planes
+            rows = [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            bad = {r.shape for r in rows if r.shape != (dim,)}
+            if bad:
+                raise ValueError(
+                    f"attach_band_keys(dim={dim}): vector(s) with shape "
+                    f"{sorted(bad)} in batch — every vector must have "
+                    f"exactly {dim} components"
+                )
+            mat = np.asarray(rows)
+            # NOT(dot <= 0) rather than (dot > 0): SQL comparisons order
+            # NaN greater than every value, so a NaN dot folds to bit 1
+            # in the column/oracle path — mirror that here.
+            bits = ~((mat @ signs) <= 0)  # N × planes
             keys = (
                 bits.reshape(-1, bands, rows_per_band).astype(np.int64)
                 * weights

@@ -735,6 +735,7 @@ def ewma_smooth(
     series_col: str,
     order_col: str,
     value_col: str,
+    tiebreak_col: str | None = None,
     alpha: float = 0.3,
     k: float = 3.0,
     round_to: int = 6,
@@ -755,9 +756,15 @@ def ewma_smooth(
     identical cumsum, so the float rounding agrees. ``β^{−i}`` grows
     geometrically: at α=0.3 the factors pass 10⁹ near i≈60, so cap
     series length ≈ 50·(1/α) rows and re-anchor longer histories per
-    period (control charts reset on re-baseline anyway); a guard
-    raises beyond that bound rather than returning quietly-degraded
-    floats.
+    period (control charts reset on re-baseline anyway); an IN-PLAN
+    guard (``raise_error`` folded into the term expression, zero
+    extra scans, lazy like every other operator here) fails the job
+    beyond that bound rather than returning quietly-degraded floats.
+
+    ``tiebreak_col`` (a unique row id) makes the within-series order
+    total — pass it whenever ``order_col`` can repeat (duplicate
+    loads, sub-period observations under a coarse key); with ties and
+    no tiebreak, t/ewma/resid/alarm depend on partitioning order.
 
     One shuffle (partition by series). Output per row: series, t
     (0-based order index), value, ewma, resid (NULL for t=0), alarm.
@@ -767,32 +774,38 @@ def ewma_smooth(
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     beta = 1.0 - alpha
-    w = Window.partitionBy("series").orderBy("ord")
-    cum = Window.partitionBy("series").orderBy("ord").rowsBetween(
+    order = [F.col("ord")] + ([F.col("tb")] if tiebreak_col else [])
+    w = Window.partitionBy("series").orderBy(*order)
+    cum = Window.partitionBy("series").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     max_len = int(50.0 / alpha)
     s = df.select(
         F.col(series_col).alias("series"),
         F.col(order_col).alias("ord"),
+        *([F.col(tiebreak_col).alias("tb")] if tiebreak_col else []),
         F.col(value_col).cast("double").alias("value"),
     ).filter(F.col("value").isNotNull())
-    n_max = s.groupBy("series").count().agg(
-        F.max("count").alias("_m")
-    ).collect()[0]["_m"]
-    if n_max is not None and n_max > max_len:
-        raise ValueError(
-            f"series of {n_max} rows exceeds the closed-form numeric "
-            f"bound {max_len} for alpha={alpha}; re-anchor per period "
-            "or raise alpha"
-        )
     t = F.row_number().over(w) - 1
     with_t = s.withColumn("t", t)
+    guard = F.when(
+        F.col("t") >= max_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ewma_smooth: series exceeds the closed-form "
+                    f"numeric bound {max_len} for alpha={alpha} "
+                    "(re-anchor per period or raise alpha); series="
+                ),
+                F.col("series").cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.lit(0.0))
     term = F.when(
         F.col("t") == 0, F.col("value")
     ).otherwise(
         F.lit(alpha) * F.col("value") * F.pow(F.lit(beta), -F.col("t"))
-    )
+    ) + guard
     ewma = F.pow(F.lit(beta), F.col("t")) * F.sum(term).over(cum)
     scored = with_t.withColumn("ewma", F.round(ewma, round_to)).withColumn(
         "resid",

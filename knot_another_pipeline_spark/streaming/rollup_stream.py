@@ -606,10 +606,13 @@ def streaming_interval_join(
     proves no match can arrive — results are late by design, not
     missing.
 
-    Columns: ``left``'s join key survives as ``on``; pre-alias any
-    other colliding names. Thin, named wrapper on purpose — the
-    semantic contract (time-bounded condition ⇒ bounded state;
-    watermark-gated outer emission) is the operator.
+    Columns: the join key survives once as ``on`` —
+    ``coalesce(left, right)``, so watermark-expired unmatched rows
+    from EITHER side of an outer flavor keep their key (dropping the
+    right copy would NULL the key on every unmatched right row).
+    Pre-alias any other colliding names. Thin, named wrapper on
+    purpose — the semantic contract (time-bounded condition ⇒ bounded
+    state; watermark-gated outer emission) is the operator.
     """
     l = left.withWatermark(left_ts, left_watermark).alias("l")
     r = right.withWatermark(right_ts, right_watermark).alias("r")
@@ -622,4 +625,8 @@ def streaming_interval_join(
         )
     )
     joined = l.join(r, cond, how)
-    return joined.drop(F.col(f"r.{on}"))
+    return joined.select(
+        F.coalesce(F.col(f"l.{on}"), F.col(f"r.{on}")).alias(on),
+        *[F.col(f"l.{c}") for c in left.columns if c != on],
+        *[F.col(f"r.{c}") for c in right.columns if c != on],
+    )

@@ -254,11 +254,40 @@ def test_phash_pairs_finds_exact_and_near_dups(spark):
     )
     out = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in phash_pairs(sig.union(extra), max_hamming=10).collect()
+        for r in phash_pairs(sig.union(extra), max_hamming=3).collect()
     }
     assert out[(1, 2)] == 0
     assert out[(1, 4)] == 2 and out[(2, 4)] == 2
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_phash_pairs_wide_radius_needs_more_bands(spark):
+    """A pair at Hamming 4 with one flipped bit PER 16-bit band is
+    invisible to 4-band blocking — 8 bands must find it, and asking
+    4 bands for radius 4 must raise instead of silently missing."""
+    from knot_another_pipeline_spark.operators.multimodal import phash_pairs
+
+    h = int(_phash_ref(b"payload-x"), 16)
+    damaged = h ^ ((1 << 63) | (1 << 47) | (1 << 31) | (1 << 15))
+
+    def sig_row(i, v):
+        hx = f"{v:016x}"
+        return (i, hx, int(hx[:8], 16), int(hx[8:], 16))
+
+    df = spark.createDataFrame(
+        [sig_row(1, h), sig_row(2, damaged)],
+        "doc_id bigint, phash string, phash_hi bigint, phash_lo bigint",
+    )
+    with pytest.raises(ValueError, match="guarantee recall"):
+        phash_pairs(df, max_hamming=4)
+    # 4 bands + explicit opt-in: pair legitimately absent
+    assert (
+        phash_pairs(df, max_hamming=4, allow_partial_recall=True).count()
+        == 0
+    )
+    # 8 bands honor the radius: one of the 8-bit slices is untouched
+    got = phash_pairs(df, max_hamming=4, bands=8).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 4)]
 
 
 def test_phash_pairs_validation(spark):
@@ -269,6 +298,8 @@ def test_phash_pairs_validation(spark):
     )
     with pytest.raises(ValueError, match="max_hamming"):
         phash_pairs(df, max_hamming=65)
+    with pytest.raises(ValueError, match="bands"):
+        phash_pairs(df, bands=5)
 
 
 # ---------------------------------------------------------------------------
@@ -749,10 +780,30 @@ def test_ewma_series_independent_and_validated(spark):
     with pytest.raises(ValueError, match="alpha"):
         ewma_smooth(df, series_col="s", order_col="d", value_col="v",
                     alpha=1.0)
-    # numeric-bound guard: series longer than 50/alpha must raise
+    # numeric-bound guard is IN-PLAN (stays lazy, no eager scan): the
+    # job fails at materialization when a series exceeds 50/alpha rows
     long = spark.createDataFrame(
         [("a", i, 1.0) for i in range(200)], ["s", "d", "v"]
     )
-    with pytest.raises(ValueError, match="closed-form numeric bound"):
-        ewma_smooth(long, series_col="s", order_col="d", value_col="v",
-                    alpha=0.3)
+    over = ewma_smooth(long, series_col="s", order_col="d", value_col="v",
+                       alpha=0.3)  # must NOT raise here
+    with pytest.raises(Exception, match="closed-form numeric bound"):
+        over.collect()
+
+
+def test_ewma_tiebreak_orders_duplicate_keys(spark):
+    from knot_another_pipeline_spark.operators.temporal import ewma_smooth
+
+    # two rows share ord=0; the tiebreak makes t assignment total
+    df = spark.createDataFrame(
+        [("a", 0, 2, 20.0), ("a", 0, 1, 10.0), ("a", 1, 3, 30.0)],
+        ["s", "d", "eid", "v"],
+    )
+    out = {
+        r["t"]: r["value"]
+        for r in ewma_smooth(
+            df, series_col="s", order_col="d", value_col="v",
+            tiebreak_col="eid", alpha=0.5,
+        ).collect()
+    }
+    assert out == {0: 10.0, 1: 20.0, 2: 30.0}
