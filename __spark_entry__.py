@@ -145,6 +145,8 @@ _PRIORITY = [
     "bpe_encode",
     "ab_test",
     "ewma_alarm",
+    "scd2_as_of",
+    "dataset_card",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

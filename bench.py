@@ -97,6 +97,8 @@ HEADLINE = [
     "bpe_encode",
     "ab_test",
     "ewma_alarm",
+    "scd2_as_of",
+    "dataset_card",
 ]
 
 

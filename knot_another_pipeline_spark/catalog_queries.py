@@ -5520,6 +5520,102 @@ FROM r JOIN sg ON r.series = sg.series
 """
 
 
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension (operators/temporal.py
+    scd2_as_of): every user's tracked state as of 2024-01-15 — one
+    half-open range predicate on the history q_scd2_history builds,
+    zero shuffles beyond the history itself."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        scd2_as_of,
+        scd2_history,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    hist = scd2_history(ev, "user_id", ts_col="ts", attr_cols=["event_type"])
+    return scd2_as_of(hist, as_of="2024-01-15 00:00:00").select(
+        "user_id", "valid_from", "event_type"
+    )
+
+
+ORACLE_SCD2_AS_OF = f"""
+WITH hist AS ({ORACLE_SCD2_HISTORY})
+SELECT user_id, valid_from, event_type
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+"""
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the one-page summary a dataset
+    release ships: document counts, token volume, exact-duplicate rate
+    (md5 fingerprints) and quality keep rate (C4/Gopher verdicts), one
+    row per source. Composes fingerprint_documents + quality_filter
+    into a single grouped aggregate; the corpus is scanned once per
+    composed operator and the card itself is one source-keyed shuffle."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        fingerprint_documents,
+        quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_documents(docs, id_col="doc_id", text_col="text")
+    qf = quality_filter(
+        docs, id_col="doc_id", text_col="text", lang="en", min_tokens=20
+    )
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(fp.withColumnRenamed("id", "doc_id"), "doc_id")
+        .join(
+            qf.withColumnRenamed("id", "doc_id").select(
+                "doc_id", "n_tokens", "keep"
+            ),
+            "doc_id",
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                1.0 - F.col("n_unique") / F.col("n_docs"), 6
+            ).alias("dup_frac"),
+            F.round(F.col("n_keep") / F.col("n_docs"), 6).alias(
+                "keep_frac"
+            ),
+        )
+    )
+
+
+ORACLE_DATASET_CARD = f"""
+WITH fp AS ({ORACLE_DOC_FINGERPRINT}),
+qf AS ({ORACLE_QUALITY_FILTER}),
+per_doc AS (
+  SELECT d.source, fp.fingerprint, qf.n_tokens, qf.keep
+  FROM documents d
+  JOIN fp ON d.doc_id = fp.id
+  JOIN qf ON d.doc_id = qf.id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(1.0 - CAST(count(DISTINCT fingerprint) AS DOUBLE)
+                   / count(*), 6) AS dup_frac,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_frac
+FROM per_doc GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5681,6 +5777,8 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "ab_test": q_ab_test,
     "ewma_alarm": q_ewma_alarm,
+    "scd2_as_of": q_scd2_as_of,
+    "dataset_card": q_dataset_card,
 }
 
 ORACLES = {
@@ -5823,4 +5921,6 @@ ORACLES = {
     "bpe_encode": ORACLE_BPE_ENCODE,
     "ab_test": ORACLE_AB_TEST,
     "ewma_alarm": ORACLE_EWMA_ALARM,
+    "scd2_as_of": ORACLE_SCD2_AS_OF,
+    "dataset_card": ORACLE_DATASET_CARD,
 }

@@ -825,3 +825,30 @@ def ewma_smooth(
             F.lit(False),
         ).alias("alarm"),
     )
+
+
+def scd2_as_of(
+    history: DataFrame,
+    *,
+    as_of: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Time travel over a type-2 dimension: the snapshot of every
+    entity as of ``as_of`` — one row per key whose validity interval
+    covers the instant, using :func:`scd2_history`'s half-open
+    convention (``valid_from <= t < valid_to``, NULL ``valid_to`` =
+    current). "What did this table look like on date X" becomes one
+    range predicate instead of the reference's full raw-event rescan.
+
+    Pure filter — zero shuffle, no window; on a dimension partitioned
+    or Z-ordered by ``valid_from`` the scan prunes to the files whose
+    range covers the instant. Rows valid at ``as_of`` from EVERY
+    version era qualify exactly once (intervals within a key are
+    disjoint by construction).
+    """
+    t = F.lit(as_of).cast("timestamp")
+    return history.filter(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (F.col(to_col) > t))
+    )

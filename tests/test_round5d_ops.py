@@ -807,3 +807,40 @@ def test_ewma_tiebreak_orders_duplicate_keys(spark):
         ).collect()
     }
     assert out == {0: 10.0, 1: 20.0, 2: 30.0}
+
+
+# ---------------------------------------------------------------------------
+# scd2_as_of
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_as_of_half_open_snapshot(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        scd2_as_of,
+        scd2_history,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "bronze"),
+            (1, "2024-01-10 00:00:00", "silver"),
+            (1, "2024-01-20 00:00:00", "gold"),
+            (2, "2024-01-12 00:00:00", "bronze"),
+        ],
+        "uid bigint, ts string, tier string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(ev, "uid", ts_col="ts", attr_cols=["tier"])
+    snap = {
+        r["uid"]: r["tier"]
+        for r in scd2_as_of(hist, as_of="2024-01-15 00:00:00").collect()
+    }
+    assert snap == {1: "silver", 2: "bronze"}
+    # exactly at a version boundary: the NEW version is live (half-open)
+    at_boundary = {
+        r["uid"]: r["tier"]
+        for r in scd2_as_of(hist, as_of="2024-01-10 00:00:00").collect()
+    }
+    assert at_boundary[1] == "silver"
+    # before any history: user absent
+    early = scd2_as_of(hist, as_of="2023-12-01 00:00:00").collect()
+    assert early == []
