@@ -147,6 +147,7 @@ _PRIORITY = [
     "ewma_alarm",
     "scd2_as_of",
     "dataset_card",
+    "scd2_lookup",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

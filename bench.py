@@ -99,6 +99,7 @@ HEADLINE = [
     "ewma_alarm",
     "scd2_as_of",
     "dataset_card",
+    "scd2_lookup",
 ]
 
 

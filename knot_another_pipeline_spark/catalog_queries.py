@@ -5616,6 +5616,65 @@ FROM per_doc GROUP BY 1
 """
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment (operators/temporal.py
+    scd2_lookup): every event picks up the profile state from a sparse
+    change log (every 7th event) valid AT ITS OWN TIMESTAMP. Spark
+    runs the one-shuffle as-of rewrite; the oracle runs the
+    definitional interval join — the hash match proves them
+    equivalent."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", "ts", F.col("event_type").alias("profile_state")
+    )
+    hist = scd2_history(
+        changes, "user_id", ts_col="ts", attr_cols=["profile_state"]
+    )
+    facts = events.select("event_id", "user_id", "ts")
+    return scd2_lookup(
+        facts, hist, "user_id", fact_ts="ts",
+        attr_cols=["profile_state"],
+    ).select("event_id", "user_id", "ts", "profile_state", "dim_valid_from")
+
+
+ORACLE_SCD2_LOOKUP = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type AS profile_state,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_id % 7 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+vers AS (
+  SELECT user_id, ts, profile_state,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, profile_state
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ver
+  FROM flagged),
+hist AS (
+  SELECT user_id, ver, min(ts) AS valid_from,
+         any_value(profile_state) AS profile_state
+  FROM vers GROUP BY 1, 2),
+bounded AS (
+  SELECT user_id, valid_from, profile_state,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+           AS valid_to
+  FROM hist)
+SELECT e.event_id, e.user_id, e.ts, b.profile_state,
+       b.valid_from AS dim_valid_from
+FROM events e
+LEFT JOIN bounded b
+  ON e.user_id = b.user_id
+ AND e.ts >= b.valid_from
+ AND (b.valid_to IS NULL OR e.ts < b.valid_to)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5779,6 +5838,7 @@ QUERIES = {
     "ewma_alarm": q_ewma_alarm,
     "scd2_as_of": q_scd2_as_of,
     "dataset_card": q_dataset_card,
+    "scd2_lookup": q_scd2_lookup,
 }
 
 ORACLES = {
@@ -5923,4 +5983,5 @@ ORACLES = {
     "ewma_alarm": ORACLE_EWMA_ALARM,
     "scd2_as_of": ORACLE_SCD2_AS_OF,
     "dataset_card": ORACLE_DATASET_CARD,
+    "scd2_lookup": ORACLE_SCD2_LOOKUP,
 }

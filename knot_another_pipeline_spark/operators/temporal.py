@@ -852,3 +852,44 @@ def scd2_as_of(
         (F.col(from_col) <= t)
         & (F.col(to_col).isNull() | (F.col(to_col) > t))
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    on: str | list[str],
+    *,
+    fact_ts: str,
+    attr_cols: list[str],
+    from_col: str = "valid_from",
+    matched_from_col: str = "dim_valid_from",
+) -> DataFrame:
+    """Enrich facts with the dimension attributes that were valid WHEN
+    EACH FACT HAPPENED — the point-in-time join every bitemporal
+    warehouse query needs (price at order time, plan at usage time),
+    where joining the current dimension silently rewrites history.
+
+    Implemented as :func:`asof_join` on the version-open timestamps
+    rather than an interval (BETWEEN) join: :func:`scd2_history`
+    guarantees contiguous half-open versions per key, so "the version
+    whose interval covers ``fact_ts``" IS "the latest ``valid_from``
+    at-or-before ``fact_ts``" — and the as-of rewrite costs ONE
+    shuffle with no interval blocking or row expansion. The catalog
+    oracle intentionally computes the definitional interval join, so
+    the hash match is a differential proof of the equivalence. Facts
+    before a key's first version (or with no key) enrich to NULL.
+
+    Output: all fact columns, the version's ``attr_cols``, and its
+    ``valid_from`` as ``matched_from_col``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    dim = history.select(*keys, from_col, *attr_cols)
+    return asof_join(
+        facts,
+        dim,
+        keys,
+        left_ts=fact_ts,
+        right_ts=from_col,
+        right_cols=attr_cols,
+        matched_ts_col=matched_from_col,
+    )

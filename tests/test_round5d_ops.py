@@ -844,3 +844,37 @@ def test_scd2_as_of_half_open_snapshot(spark):
     # before any history: user absent
     early = scd2_as_of(hist, as_of="2023-12-01 00:00:00").collect()
     assert early == []
+
+
+def test_scd2_lookup_point_in_time_enrichment(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "free"),
+            (1, "2024-01-10 00:00:00", "pro"),
+        ],
+        "uid bigint, ts string, plan string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(changes, "uid", ts_col="ts", attr_cols=["plan"])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2023-12-25 00:00:00"),  # before first version
+            (101, 1, "2024-01-05 00:00:00"),  # free era
+            (102, 1, "2024-01-10 00:00:00"),  # boundary: pro is live
+            (103, 1, "2024-02-01 00:00:00"),  # current era
+            (104, 2, "2024-01-05 00:00:00"),  # unknown user
+        ],
+        "fid bigint, uid bigint, fts string",
+    ).withColumn("fts", F.to_timestamp("fts"))
+    out = {
+        r["fid"]: r["plan"]
+        for r in scd2_lookup(
+            facts, hist, "uid", fact_ts="fts", attr_cols=["plan"]
+        ).collect()
+    }
+    assert out == {100: None, 101: "free", 102: "pro", 103: "pro",
+                   104: None}
