@@ -95,6 +95,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also write packs/: concat-and-chunk assignment of encoded "
         "documents into fixed seq-len training windows",
     )
+    tok.add_argument(
+        "--bpe-merges", type=int, default=None,
+        help="also train a BPE tokenizer: learn N merge rules from the "
+        "corpus word frequencies (merges/) and write each document's "
+        "subword segmentation (bpe/)",
+    )
     return p
 
 
@@ -375,6 +381,41 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"packed into {n_packs} x {args.seq_len}-token "
                     f"windows -> {packs_path}"
+                )
+            if args.bpe_merges:
+                from knot_another_pipeline_spark.operators.text_analysis import (
+                    _tokens,
+                    bpe_encode,
+                    bpe_learn,
+                )
+
+                words = (
+                    docs.select(
+                        F.explode(_tokens(F.col("text"))).alias("word")
+                    )
+                    .groupBy("word")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                )
+                learned = bpe_learn(words, n_merges=args.bpe_merges)
+                merges_path = os.path.join(args.output, "merges")
+                spark.createDataFrame(
+                    learned, "rank bigint, a string, b string, "
+                    "pair_count bigint"
+                ).write.mode("overwrite").parquet(merges_path)
+                bpe_path = os.path.join(args.output, "bpe")
+                seg = bpe_encode(
+                    docs,
+                    id_col="doc_id",
+                    text_col="text",
+                    merges=[(a, b) for _, a, b, _ in learned],
+                )
+                seg.write.mode("overwrite").parquet(bpe_path)
+                n_sym = spark.read.parquet(bpe_path).agg(
+                    F.sum("n_symbols").alias("n")
+                ).collect()[0]["n"]
+                print(
+                    f"learned {len(learned)} BPE merges -> {merges_path}; "
+                    f"segmented corpus ({n_sym} symbols) -> {bpe_path}"
                 )
         return 0
     finally:
