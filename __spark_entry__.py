@@ -148,6 +148,13 @@ _PRIORITY = [
     "scd2_as_of",
     "dataset_card",
     "scd2_lookup",
+    # round-5 continuation batch (newest — queues behind everything
+    # above under the FIFO rotation commitment)
+    "markov_transitions",
+    "survival_curve",
+    "trend_fit",
+    "cusum_alarm",
+    "basket_rules",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -100,6 +100,12 @@ HEADLINE = [
     "scd2_as_of",
     "dataset_card",
     "scd2_lookup",
+    # r5 continuation: sequence / survival / trend / change-point / basket
+    "markov_transitions",
+    "survival_curve",
+    "trend_fit",
+    "cusum_alarm",
+    "basket_rules",
 ]
 
 

@@ -5675,6 +5675,252 @@ LEFT JOIN bounded b
 """
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (operators/behavior.py markov_transitions): lead() per
+    user ordered by (ts, event_id), then one (src,dst) count aggregate
+    row-normalized into P(dst|src)."""
+    from knot_another_pipeline_spark.operators.behavior import markov_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    return markov_transitions(
+        events,
+        entity_col="user_id",
+        order_col="ts",
+        state_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events WHERE event_type IS NOT NULL),
+t AS (
+  SELECT src, dst, count(*) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+FROM t
+"""
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival per event type (operators/behavior.py
+    survival_curve): each (user, event_type) pair is a subject whose
+    duration is the day span between its first and last occurrence;
+    subjects still active in the final 7 days of the corpus are
+    right-censored. Product-limit curve via the closed-form
+    exp(cumsum(ln)) window."""
+    from knot_another_pipeline_spark.operators.behavior import survival_curve
+
+    events = load_table(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("_hmax"))
+    subjects = (
+        events.groupBy("user_id", F.col("event_type").alias("grp"))
+        .agg(F.min("ts").alias("_first"), F.max("ts").alias("_last"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "grp",
+            F.datediff(
+                F.col("_last").cast("date"), F.col("_first").cast("date")
+            ).cast("double").alias("dur"),
+            F.when(
+                F.col("_last") < F.col("_hmax") - F.expr("INTERVAL 7 DAYS"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("ev"),
+        )
+    )
+    return survival_curve(
+        subjects, group_col="grp", duration_col="dur", event_col="ev"
+    )
+
+
+ORACLE_SURVIVAL_CURVE = """
+WITH h AS (SELECT max(ts) AS hmax FROM events),
+subj AS (
+  SELECT event_type AS grp,
+         CAST(date_diff('day', CAST(min(ts) AS DATE),
+                        CAST(max(ts) AS DATE)) AS DOUBLE) AS t,
+         CASE WHEN max(ts) < (SELECT hmax FROM h) - INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS ev
+  FROM events GROUP BY user_id, event_type),
+agg AS (
+  SELECT grp, t, sum(ev) AS d, sum(1 - ev) AS c
+  FROM subj GROUP BY 1, 2),
+w AS (
+  SELECT grp, t, d, c,
+         sum(d + c) OVER (PARTITION BY grp)
+           - coalesce(sum(d + c) OVER
+               (PARTITION BY grp ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM agg),
+f AS (SELECT *, 1.0 - d / CAST(n_risk AS DOUBLE) AS factor FROM w),
+s AS (
+  SELECT *,
+         CASE WHEN min(factor) OVER cum <= 0 THEN 0.0
+              ELSE exp(sum(CASE WHEN factor > 0 THEN ln(factor)
+                                ELSE 0 END) OVER cum) END AS surv
+  FROM f
+  WINDOW cum AS (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT grp AS "group", t AS duration, CAST(n_risk AS BIGINT) AS at_risk,
+       CAST(d AS BIGINT) AS events, CAST(c AS BIGINT) AS censored,
+       round(surv, 6) AS survival
+FROM s WHERE d > 0
+"""
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend over daily event volumes
+    (operators/temporal.py trend_fit): slope/intercept/R^2 from the
+    five sufficient statistics in ONE hash aggregate — x is the day
+    index from 2024-01-01, y the daily count."""
+    from knot_another_pipeline_spark.operators.temporal import trend_fit
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    xy = daily.select(
+        "series",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        "y",
+    )
+    return trend_fit(xy, group_cols=["series"], x_col="x", y_col="y")
+
+
+ORACLE_TREND_FIT = """
+WITH d AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT series,
+         CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x, y
+  FROM d),
+a AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n, avg(x) AS mx, avg(y) AS my,
+         covar_pop(x, y) AS cov, var_pop(x) AS vx, var_pop(y) AS vy
+  FROM p GROUP BY 1)
+SELECT series, n,
+       round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
+       round(my - (CASE WHEN vx > 0 THEN cov / vx END) * mx, 6) AS intercept,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov * cov / (vx * vy) END, 6) AS r2
+FROM a
+"""
+
+
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detector on daily event volumes per
+    type (operators/temporal.py cusum_alarm): standardized cumulative
+    sums via the closed-form cumsum-minus-running-min identity, alarm
+    at h=3 with slack k=0.25."""
+    from knot_another_pipeline_spark.operators.temporal import cusum_alarm
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return cusum_alarm(
+        daily, series_col="series", order_col="day", value_col="n",
+        k=0.25, h=3.0,
+    )
+
+
+ORACLE_CUSUM_ALARM = """
+WITH d AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS ord,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2),
+z AS (
+  SELECT series, ord, value,
+         round(CASE WHEN stddev_samp(value) OVER f IS NULL
+                      OR stddev_samp(value) OVER f = 0 THEN 0.0
+                    ELSE (value - avg(value) OVER f)
+                         / stddev_samp(value) OVER f END, 6) AS z
+  FROM d WINDOW f AS (PARTITION BY series)),
+c AS (
+  SELECT series, ord, value,
+         round(sum(z - 0.25) OVER cum, 6) AS c_hi,
+         round(sum(-z - 0.25) OVER cum, 6) AS c_lo,
+         row_number() OVER (PARTITION BY series ORDER BY ord) - 1 AS t
+  FROM z
+  WINDOW cum AS (PARTITION BY series ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT series, t, value,
+         round(c_hi - least(0.0, min(c_hi) OVER cum), 6) AS s_hi,
+         round(c_lo - least(0.0, min(c_lo) OVER cum), 6) AS s_lo
+  FROM c
+  WINDOW cum AS (PARTITION BY series ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT series, CAST(t AS BIGINT) AS t, value, s_hi, s_lo,
+       (s_hi > 3.0 OR s_lo > 3.0) AS alarm
+FROM s
+"""
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over customer purchase baskets
+    (operators/relational.py basket_rules): basket = customer, item =
+    part group (l_partkey % 50); support / confidence / lift per
+    directed pair with co-occurrence >= 5."""
+    from knot_another_pipeline_spark.operators.relational import basket_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    baskets = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("basket"),
+        (F.col("l_partkey") % 50).alias("item"),
+    )
+    return basket_rules(
+        baskets,
+        basket_col="basket",
+        item_col="item",
+        min_pair_count=5,
+        max_basket_size=200,
+    )
+
+
+ORACLE_BASKET_RULES = """
+WITH items AS (
+  SELECT DISTINCT o.o_custkey AS basket, l.l_partkey % 50 AS item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+sized AS (
+  SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bs
+  FROM items),
+kept AS (SELECT basket, item FROM sized WHERE bs <= 200),
+nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM kept),
+freq AS (SELECT item, count(*) AS item_n FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_n
+  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_n FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, pair_n FROM pairs)
+SELECT d.antecedent, d.consequent, CAST(d.pair_n AS BIGINT) AS pair_n,
+       round(d.pair_n / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+       round(d.pair_n / CAST(fa.item_n AS DOUBLE), 6) AS confidence,
+       round(d.pair_n * nb.n_baskets
+             / CAST(fa.item_n * fc.item_n AS DOUBLE), 6) AS lift
+FROM directed d
+JOIN freq fa ON d.antecedent = fa.item
+JOIN freq fc ON d.consequent = fc.item
+CROSS JOIN nb
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5839,6 +6085,13 @@ QUERIES = {
     "scd2_as_of": q_scd2_as_of,
     "dataset_card": q_dataset_card,
     "scd2_lookup": q_scd2_lookup,
+    # round-5 continuation: sequence / survival / trend / change-point /
+    # market-basket analytics
+    "markov_transitions": q_markov_transitions,
+    "survival_curve": q_survival_curve,
+    "trend_fit": q_trend_fit,
+    "cusum_alarm": q_cusum_alarm,
+    "basket_rules": q_basket_rules,
 }
 
 ORACLES = {
@@ -5984,4 +6237,9 @@ ORACLES = {
     "scd2_as_of": ORACLE_SCD2_AS_OF,
     "dataset_card": ORACLE_DATASET_CARD,
     "scd2_lookup": ORACLE_SCD2_LOOKUP,
+    "markov_transitions": ORACLE_MARKOV_TRANSITIONS,
+    "survival_curve": ORACLE_SURVIVAL_CURVE,
+    "trend_fit": ORACLE_TREND_FIT,
+    "cusum_alarm": ORACLE_CUSUM_ALARM,
+    "basket_rules": ORACLE_BASKET_RULES,
 }

@@ -32,6 +32,8 @@ __all__ = [
     "cohort_retention",
     "journey_topk",
     "conversion_attribution",
+    "markov_transitions",
+    "survival_curve",
 ]
 
 
@@ -359,4 +361,136 @@ def next_event_examples(
             F.size(ctx).cast("bigint").alias("ctx_len"),
         )
         .filter(F.col("ctx_len") >= min_context)
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+    min_count: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity state
+    sequences: for every ordered pair of consecutive states (src → dst)
+    across all entities, the transition count and the row-normalized
+    probability P(dst | src).  The classic session-modeling reduction
+    (next-page prediction, journey simulation, anomalous-flow
+    detection) the reference's per-type event counts
+    (``apps/stat_explorer.py``) cannot express.
+
+    Two shuffles, both necessary and both small on the reduce side:
+    one partition-by-entity window to sequence each entity's states
+    (``lead`` — no self-join, no collect_list materialization), then
+    one hash aggregate keyed by (src, dst) whose result is at most
+    |states|² rows regardless of input size.  The row normalizer is a
+    window over src partitions of the *aggregated* matrix — |states|²
+    rows, never the raw events.  At 100 TB the event scan dominates,
+    as it should; neither shuffle carries more than the event count,
+    and the second is map-side combinable.
+
+    ``tiebreak_col`` (a unique row id) makes the within-entity order
+    total — without it, entities with duplicate ``order_col`` values
+    yield partition-order-dependent transitions.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    order = [F.col("ord")] + ([F.col("tb")] if tiebreak_col else [])
+    w = Window.partitionBy("entity").orderBy(*order)
+    seq = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(order_col).alias("ord"),
+        *([F.col(tiebreak_col).alias("tb")] if tiebreak_col else []),
+        F.col(state_col).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    trans = (
+        seq.withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("src")
+    return (
+        trans.withColumn(
+            "prob", F.round(F.col("n") / F.sum("n").over(norm), round_to)
+        )
+        .filter(F.col("n") >= min_count)
+        .select("src", "dst", F.col("n").cast("bigint").alias("n"), "prob")
+    )
+
+
+def survival_curve(
+    df: DataFrame,
+    *,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator per group: one row per distinct
+    event time, carrying the at-risk count, observed events, censored
+    exits, and the product-limit survival probability
+    ``S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)``.  The standard
+    churn/time-to-failure readout (subscription survival, hardware
+    lifetime, time-to-conversion) with right-censoring handled
+    correctly — censored subjects leave the risk set without counting
+    as events, which a naive ``cumulative deaths / total`` curve gets
+    wrong.
+
+    Input is one row per subject: ``duration_col`` (time observed) and
+    ``event_col`` (1 = event occurred, 0 = right-censored at that
+    time).  The running product is computed CLOSED-FORM as
+    ``exp(cumsum(ln(1 − d/n)))`` over one ordered window per group —
+    no driver loop; a zero factor (d = n, survival hits exactly 0) is
+    handled by a running-min flag rather than ``ln(0)``, which Spark
+    nulls and other engines −inf.  Two shuffles: one hash aggregate to
+    (group, duration) — at most |distinct durations| rows per group —
+    then one window over that aggregate.  The subject scan dominates
+    at scale; the windowed frame is the aggregated step table, never
+    the subjects.
+
+    Rows are emitted at event times only (d > 0), the standard KM step
+    points; censored-only times still shrink the risk set.
+    """
+    agg = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(duration_col).cast("double").alias("t"),
+            F.col(event_col).cast("int").alias("ev"),
+        )
+        .filter(F.col("t").isNotNull() & F.col("ev").isNotNull())
+        .groupBy("grp", "t")
+        .agg(
+            F.sum("ev").alias("d"),
+            F.sum(F.lit(1) - F.col("ev")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy("grp")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    n_risk = F.sum(F.col("d") + F.col("c")).over(full) - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0)
+    )
+    stepped = agg.withColumn("n_risk", n_risk).withColumn(
+        "factor", F.lit(1.0) - F.col("d") / F.col("n_risk")
+    )
+    log_term = F.when(F.col("factor") > 0, F.log("factor")).otherwise(F.lit(0.0))
+    survival = F.when(
+        F.min("factor").over(cum) <= 0, F.lit(0.0)
+    ).otherwise(F.exp(F.sum(log_term).over(cum)))
+    return (
+        stepped.withColumn("survival", F.round(survival, round_to))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("grp").alias("group"),
+            F.col("t").alias("duration"),
+            F.col("n_risk").cast("bigint").alias("at_risk"),
+            F.col("d").cast("bigint").alias("events"),
+            F.col("c").cast("bigint").alias("censored"),
+            "survival",
+        )
     )

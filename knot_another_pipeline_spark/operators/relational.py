@@ -941,3 +941,105 @@ def bloom_filter_probe(
     return probe.filter(cond).drop(
         "_bloom", *[f"_b{i}" for i in range(num_hashes)]
     )
+
+
+def basket_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_basket_size: int = 200,
+    round_to: int = 6,
+) -> DataFrame:
+    """Market-basket association rules: for every ordered pair of items
+    co-occurring in a basket, the co-occurrence count and the three
+    classic rule metrics — support = P(a,b), confidence = P(b|a), lift
+    = P(a,b)/(P(a)·P(b)).  The "customers who bought X also bought Y"
+    reduction (recommendations, cross-sell, query-expansion over tag
+    sets) the reference's aggregate charts cannot express.
+
+    Plan shape, biggest-first:
+
+    1. distinct (basket, item) — one hash aggregate; presence, not
+       quantity, is what the metrics are defined over.
+    2. A per-basket size guard DROPS baskets with more than
+       ``max_basket_size`` distinct items (computed with one window on
+       the same basket partitioning).  The pair fanout is
+       size²/basket; one degenerate mega-basket (a crawler account, a
+       default/test user) would otherwise emit billions of pairs from
+       a single task.  The cap is the documented dial — the same guard
+       family as the dedup operators' df-cap — and dropped baskets are
+       whole-basket drops, so the metrics stay internally consistent.
+    3. Self equi-join on the basket key with ``item_a < item_b`` as an
+       in-join filter (each unordered pair produced once), then one
+       map-side-combinable count aggregate — at most |items|² rows out
+       regardless of input size.  Never an all-pairs cross join.
+    4. Item frequencies and the basket total join back onto the pair
+       table: |items|-row and 1-row broadcasts under AQE.
+    5. Each unordered pair emits BOTH rule directions (a→b and b→a) via
+       a row-local union, so confidence is per-antecedent.
+
+    ``min_pair_count`` prunes the long tail BEFORE the metric joins —
+    at scale most pairs occur once and carry no signal.
+    Output: antecedent, consequent, pair_n, support, confidence, lift.
+    """
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    if max_basket_size < 2:
+        raise ValueError(f"max_basket_size must be >= 2, got {max_basket_size}")
+    items = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    sized = items.withColumn(
+        "_bsize", F.count(F.lit(1)).over(Window.partitionBy("basket"))
+    ).filter(F.col("_bsize") <= max_basket_size)
+    kept = sized.select("basket", "item")
+    n_baskets = kept.select("basket").distinct().agg(
+        F.count(F.lit(1)).alias("_n_baskets")
+    )
+    item_n = kept.groupBy("item").agg(F.count(F.lit(1)).alias("_item_n"))
+    a = kept.select("basket", F.col("item").alias("item_a"))
+    b = kept.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    directed = pairs.selectExpr(
+        "stack(2, item_a, item_b, item_b, item_a) as (antecedent, consequent)",
+        "pair_n",
+    )
+    with_n = (
+        directed.join(
+            item_n.withColumnRenamed("item", "antecedent").withColumnRenamed(
+                "_item_n", "_n_ante"
+            ),
+            "antecedent",
+        )
+        .join(
+            item_n.withColumnRenamed("item", "consequent").withColumnRenamed(
+                "_item_n", "_n_cons"
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return with_n.select(
+        "antecedent",
+        "consequent",
+        F.col("pair_n").cast("bigint").alias("pair_n"),
+        F.round(F.col("pair_n") / F.col("_n_baskets"), round_to).alias("support"),
+        F.round(F.col("pair_n") / F.col("_n_ante"), round_to).alias("confidence"),
+        F.round(
+            F.col("pair_n") * F.col("_n_baskets")
+            / (F.col("_n_ante") * F.col("_n_cons")),
+            round_to,
+        ).alias("lift"),
+    )

@@ -44,6 +44,8 @@ __all__ = [
     "period_over_period",
     "resample_calendar",
     "time_weighted_avg",
+    "cusum_alarm",
+    "trend_fit",
 ]
 
 
@@ -892,4 +894,144 @@ def scd2_lookup(
         right_ts=from_col,
         right_cols=attr_cols,
         matched_ts_col=matched_from_col,
+    )
+
+
+def cusum_alarm(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    k: float = 0.5,
+    h: float = 5.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Tabular CUSUM change-point detector per series: standardized
+    two-sided cumulative sums ``S⁺_t = max(0, S⁺_{t−1} + z_t − k)``
+    and ``S⁻_t = max(0, S⁻_{t−1} − z_t − k)`` with an alarm when
+    either exceeds ``h``.  Where :func:`ewma_smooth` pages on a single
+    outlier residual, CUSUM accumulates SMALL persistent shifts — the
+    level-change monitor (a pipeline's daily volume drifting +1σ for a
+    week) that per-point control charts structurally miss.
+
+    The clipped recursion is computed CLOSED-FORM, not iteratively:
+    ``max(0, S_{t−1} + x_t)  ≡  C_t − min(0, min_{j≤t} C_j)`` where
+    ``C`` is the plain running cumsum of the increments — one ordered
+    window per series computing a running sum and a running min, no
+    driver loop, no state store, no UDF.  z-scores are rounded BEFORE
+    the cumsum so both engines (and any two partitionings of the
+    standardization aggregate) feed bit-identical doubles into the
+    sequential window arithmetic.
+
+    One shuffle (partition by series); the standardization mean/stddev
+    ride the same partition as unbounded windows, so no second pass.
+    ``tiebreak_col`` (a unique row id) makes the within-series order
+    total — required for determinism when ``order_col`` can repeat.
+    Output per row: series, t (0-based), value, s_hi, s_lo, alarm.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if h <= 0:
+        raise ValueError(f"h must be > 0, got {h}")
+    order = [F.col("ord")] + ([F.col("tb")] if tiebreak_col else [])
+    w = Window.partitionBy("series").orderBy(*order)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy("series")
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        *([F.col(tiebreak_col).alias("tb")] if tiebreak_col else []),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    mu = F.mean("value").over(full)
+    sigma = F.stddev_samp("value").over(full)
+    z = F.round(
+        F.when(
+            sigma.isNull() | (sigma == 0), F.lit(0.0)
+        ).otherwise((F.col("value") - mu) / sigma),
+        round_to,
+    )
+    scored = s.withColumn("z", z)
+    c_hi = F.sum(F.col("z") - F.lit(k)).over(cum)
+    c_lo = F.sum(-F.col("z") - F.lit(k)).over(cum)
+    # The running min must see the cumsum as a materialized column (a
+    # window-over-window expression is rejected); round it once so both
+    # engines run the min/subtract over identical doubles.
+    scored = (
+        scored.withColumn("_c_hi", F.round(c_hi, round_to))
+        .withColumn("_c_lo", F.round(c_lo, round_to))
+    )
+    s_hi = F.round(
+        F.col("_c_hi") - F.least(F.lit(0.0), F.min("_c_hi").over(cum)), round_to
+    )
+    s_lo = F.round(
+        F.col("_c_lo") - F.least(F.lit(0.0), F.min("_c_lo").over(cum)), round_to
+    )
+    return (
+        scored.withColumn("t", F.row_number().over(w) - 1)
+        .withColumn("s_hi", s_hi)
+        .withColumn("s_lo", s_lo)
+        .select(
+            "series",
+            F.col("t").cast("bigint").alias("t"),
+            "value",
+            "s_hi",
+            "s_lo",
+            ((F.col("s_hi") > h) | (F.col("s_lo") > h)).alias("alarm"),
+        )
+    )
+
+
+def trend_fit(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit: slope, intercept, and
+    R² from the closed-form moment solution — the metric-trend readout
+    ("is this series growing, and how fast?") a monitoring or
+    forecasting pipeline runs over thousands of series at once.
+
+    ONE hash aggregate computes everything: slope =
+    cov_pop(x,y)/var_pop(x), intercept = ȳ − slope·x̄, R² =
+    cov²/(var_x·var_y) — all from the same five sufficient statistics,
+    map-side combinable, |groups| output rows.  No window, no second
+    pass, no per-group sort: this is the textbook case where the
+    moment form beats an iterative fit at any scale.  Degenerate
+    groups (a single point, or zero x/y variance) yield NULL
+    slope/intercept/R² rather than a division error.
+
+    Rows with NULL x or y are dropped (pairwise-complete, matching SQL
+    ``regr_*`` semantics).  Floats round to ``round_to`` so parallel
+    aggregation order never leaks into the result.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    agg = s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.mean("_x").alias("_mx"),
+        F.mean("_y").alias("_my"),
+        F.covar_pop("_x", "_y").alias("_cov"),
+        F.var_pop("_x").alias("_vx"),
+        F.var_pop("_y").alias("_vy"),
+    )
+    slope = F.when(F.col("_vx") > 0, F.col("_cov") / F.col("_vx"))
+    r2 = F.when(
+        (F.col("_vx") > 0) & (F.col("_vy") > 0),
+        F.col("_cov") * F.col("_cov") / (F.col("_vx") * F.col("_vy")),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(slope, round_to).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
     )

@@ -1,0 +1,287 @@
+"""Round-5 continuation: Markov transition matrices, Kaplan-Meier
+survival curves, OLS trend fitting, CUSUM change-point detection, and
+market-basket association rules.
+
+Each operator is checked against hand-computed (or brute-force Python)
+references; the DuckDB oracle parity runs in test_catalog_oracle.py.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from knot_another_pipeline_spark.operators.behavior import (
+    markov_transitions,
+    survival_curve,
+)
+from knot_another_pipeline_spark.operators.relational import basket_rules
+from knot_another_pipeline_spark.operators.temporal import cusum_alarm, trend_fit
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions
+# ---------------------------------------------------------------------------
+
+
+def test_markov_probs_row_normalize(spark):
+    # user 1: a b a b a   -> a>b x2, b>a x2
+    # user 2: a a c       -> a>a x1, a>c x1
+    rows = [
+        (1, i, s) for i, s in enumerate(["a", "b", "a", "b", "a"])
+    ] + [(2, i, s) for i, s in enumerate(["a", "a", "c"])]
+    df = spark.createDataFrame(rows, ["uid", "t", "state"])
+    out = {
+        (r["src"], r["dst"]): r
+        for r in markov_transitions(
+            df, entity_col="uid", order_col="t", state_col="state"
+        ).collect()
+    }
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["prob"] == 0.5
+    assert out[("a", "a")]["n"] == 1 and out[("a", "a")]["prob"] == 0.25
+    assert out[("a", "c")]["prob"] == 0.25
+    assert out[("b", "a")]["n"] == 2 and out[("b", "a")]["prob"] == 1.0
+    # no transition leaves user boundaries: c is terminal, never a src
+    assert not any(src == "c" for src, _ in out)
+
+
+def test_markov_tiebreak_makes_ties_deterministic(spark):
+    # two events at the same timestamp: tiebreak id orders them
+    rows = [(1, 10, 1, "a"), (1, 10, 2, "b"), (1, 11, 3, "c")]
+    df = spark.createDataFrame(rows, ["uid", "t", "eid", "state"])
+    out = {
+        (r["src"], r["dst"])
+        for r in markov_transitions(
+            df,
+            entity_col="uid",
+            order_col="t",
+            state_col="state",
+            tiebreak_col="eid",
+        ).collect()
+    }
+    assert out == {("a", "b"), ("b", "c")}
+
+
+# ---------------------------------------------------------------------------
+# survival_curve
+# ---------------------------------------------------------------------------
+
+
+def test_km_textbook_example(spark):
+    # Classic KM worked example: events at t=1 (2 die of 10), t=3
+    # (1 dies of 7 after 1 censored at 2); censor at 2 and 5.
+    subjects = (
+        [("g", 1.0, 1)] * 2
+        + [("g", 2.0, 0)]
+        + [("g", 3.0, 1)]
+        + [("g", 5.0, 0)] * 6
+    )
+    df = spark.createDataFrame(subjects, ["grp", "dur", "ev"])
+    out = {
+        r["duration"]: r
+        for r in survival_curve(
+            df, group_col="grp", duration_col="dur", event_col="ev"
+        ).collect()
+    }
+    # steps only at event times
+    assert set(out) == {1.0, 3.0}
+    assert out[1.0]["at_risk"] == 10 and out[1.0]["events"] == 2
+    assert out[1.0]["survival"] == round(8 / 10, 6)
+    assert out[3.0]["at_risk"] == 7 and out[3.0]["events"] == 1
+    assert out[3.0]["survival"] == round((8 / 10) * (6 / 7), 6)
+
+
+def test_km_survival_hits_zero_when_all_die(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1)], ["grp", "dur", "ev"]
+    )
+    out = {
+        r["duration"]: r["survival"]
+        for r in survival_curve(
+            df, group_col="grp", duration_col="dur", event_col="ev"
+        ).collect()
+    }
+    assert out[1.0] == 0.5
+    assert out[2.0] == 0.0  # d == n at the last step: no ln(0) NULL leak
+
+
+def test_km_matches_bruteforce(spark):
+    rng = random.Random(5)
+    subjects = [
+        (f"g{rng.randrange(2)}", float(rng.randrange(1, 8)), rng.randrange(2))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(subjects, ["grp", "dur", "ev"])
+    got = {
+        (r["group"], r["duration"]): r["survival"]
+        for r in survival_curve(
+            df, group_col="grp", duration_col="dur", event_col="ev"
+        ).collect()
+    }
+    for grp in ("g0", "g1"):
+        rows = [(t, e) for g, t, e in subjects if g == grp]
+        times = sorted({t for t, _ in rows})
+        n = len(rows)
+        s = 1.0
+        for t in times:
+            d = sum(1 for tt, e in rows if tt == t and e == 1)
+            c = sum(1 for tt, e in rows if tt == t and e == 0)
+            if d > 0:
+                s *= 1.0 - d / n
+                assert math.isclose(got[(grp, t)], s, abs_tol=1e-5), (grp, t)
+            n -= d + c
+
+
+# ---------------------------------------------------------------------------
+# trend_fit
+# ---------------------------------------------------------------------------
+
+
+def test_trend_perfect_line(spark):
+    df = spark.createDataFrame(
+        [("s", float(x), 2.0 * x + 1.0) for x in range(10)]
+        + [("flat", float(x), 7.0) for x in range(5)],
+        ["series", "x", "y"],
+    )
+    out = {
+        r["series"]: r
+        for r in trend_fit(
+            df, group_cols=["series"], x_col="x", y_col="y"
+        ).collect()
+    }
+    assert out["s"]["slope"] == 2.0
+    assert out["s"]["intercept"] == 1.0
+    assert out["s"]["r2"] == 1.0
+    # zero y-variance: slope 0, r2 NULL (not a division error)
+    assert out["flat"]["slope"] == 0.0
+    assert out["flat"]["intercept"] == 7.0
+    assert out["flat"]["r2"] is None
+
+
+def test_trend_degenerate_single_point(spark):
+    df = spark.createDataFrame([("s", 1.0, 5.0)], ["series", "x", "y"])
+    row = trend_fit(
+        df, group_cols=["series"], x_col="x", y_col="y"
+    ).collect()[0]
+    assert row["n"] == 1
+    assert row["slope"] is None and row["r2"] is None
+
+
+# ---------------------------------------------------------------------------
+# cusum_alarm
+# ---------------------------------------------------------------------------
+
+
+def _cusum_reference(values, k, h, round_to=6):
+    """Iterative textbook recursion (the operator computes it closed-form)."""
+    n = len(values)
+    mu = sum(values) / n
+    var = sum((v - mu) ** 2 for v in values) / (n - 1) if n > 1 else 0.0
+    sd = math.sqrt(var)
+    zs = [round((v - mu) / sd, round_to) if sd > 0 else 0.0 for v in values]
+    out = []
+    c_hi = c_lo = 0.0
+    m_hi = m_lo = 0.0  # running min of the UNCLIPPED cumsums
+    r_hi = r_lo = 0.0
+    for z in zs:
+        r_hi = round(r_hi + z - k, round_to)
+        r_lo = round(r_lo - z - k, round_to)
+        m_hi = min(m_hi, r_hi)
+        m_lo = min(m_lo, r_lo)
+        s_hi = round(r_hi - min(0.0, m_hi), round_to)
+        s_lo = round(r_lo - min(0.0, m_lo), round_to)
+        out.append((s_hi, s_lo, s_hi > h or s_lo > h))
+    return out
+
+
+def test_cusum_detects_level_shift_not_single_spike(spark):
+    # 20 flat points, then a persistent +1.5 shift: CUSUM accumulates.
+    base = [10.0] * 20 + [11.5] * 10
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(base)], ["series", "t", "v"]
+    )
+    rows = sorted(
+        cusum_alarm(
+            df, series_col="series", order_col="t", value_col="v",
+            k=0.5, h=4.0,
+        ).collect(),
+        key=lambda r: r["t"],
+    )
+    # monotone accumulation after the shift, alarm before the end
+    assert not rows[5]["alarm"]
+    assert rows[-1]["alarm"]
+    shift_vals = [r["s_hi"] for r in rows[20:]]
+    assert shift_vals == sorted(shift_vals)
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    rng = random.Random(11)
+    vals = [rng.gauss(50.0, 5.0) for _ in range(40)]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], ["series", "t", "v"]
+    )
+    got = sorted(
+        cusum_alarm(
+            df, series_col="series", order_col="t", value_col="v",
+            k=0.25, h=3.0,
+        ).collect(),
+        key=lambda r: r["t"],
+    )
+    ref = _cusum_reference(vals, k=0.25, h=3.0)
+    for r, (s_hi, s_lo, alarm) in zip(got, ref):
+        assert math.isclose(r["s_hi"], s_hi, abs_tol=1e-4), r["t"]
+        assert math.isclose(r["s_lo"], s_lo, abs_tol=1e-4), r["t"]
+        assert r["alarm"] == alarm
+
+
+# ---------------------------------------------------------------------------
+# basket_rules
+# ---------------------------------------------------------------------------
+
+
+def test_basket_rules_metrics_by_hand(spark):
+    # baskets: {x,y}, {x,y}, {x,z}, {y}  -> N=4, n(x)=3, n(y)=3, n(z)=1
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in basket_rules(
+            df, basket_col="basket", item_col="item"
+        ).collect()
+    }
+    xy = out[("x", "y")]
+    assert xy["pair_n"] == 2
+    assert xy["support"] == 0.5                 # 2/4
+    assert xy["confidence"] == round(2 / 3, 6)  # P(y|x)
+    assert xy["lift"] == round((2 * 4) / (3 * 3), 6)
+    # both directions present with per-antecedent confidence
+    assert out[("y", "x")]["confidence"] == round(2 / 3, 6)
+    assert out[("z", "x")]["confidence"] == 1.0
+    # duplicate item rows in one basket count once (presence semantics)
+    df2 = spark.createDataFrame(rows + [(1, "x"), (1, "x")], ["basket", "item"])
+    out2 = {
+        (r["antecedent"], r["consequent"]): r["pair_n"]
+        for r in basket_rules(
+            df2, basket_col="basket", item_col="item"
+        ).collect()
+    }
+    assert out2[("x", "y")] == 2
+
+
+def test_basket_rules_mega_basket_guard(spark):
+    # a degenerate basket larger than the cap is dropped entirely
+    rows = [(99, f"i{j}") for j in range(10)] + [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = basket_rules(
+        df, basket_col="basket", item_col="item", max_basket_size=5
+    ).collect()
+    items = {r["antecedent"] for r in out}
+    assert items == {"a", "b"}
+    # N counts only surviving baskets
+    ab = next(r for r in out if (r["antecedent"], r["consequent"]) == ("a", "b"))
+    assert ab["support"] == 1.0
