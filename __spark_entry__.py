@@ -155,6 +155,11 @@ _PRIORITY = [
     "trend_fit",
     "cusum_alarm",
     "basket_rules",
+    "cms_counts",
+    "seasonal_daily",
+    "spearman_hour",
+    "gini_concentration",
+    "acf_daily",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

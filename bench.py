@@ -106,6 +106,11 @@ HEADLINE = [
     "trend_fit",
     "cusum_alarm",
     "basket_rules",
+    "cms_counts",
+    "seasonal_daily",
+    "spearman_hour",
+    "gini_concentration",
+    "acf_daily",
 ]
 
 

@@ -5921,6 +5921,223 @@ CROSS JOIN nb
 """
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/quality.py
+    cms_sketch/cms_estimate): a 4x64 md5-hashed sketch of per-user
+    event counts, point-queried for every user and joined to the exact
+    counts — overcount is the visible collision mass, undercount is
+    structurally impossible. The oracle replays the sketch bit-for-bit."""
+    from knot_another_pipeline_spark.operators.quality import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(events, item_col="user_id", depth=4, width=64)
+    est = cms_estimate(
+        sketch, events, item_col="user_id", depth=4, width=64
+    )
+    exact = events.filter(F.col("user_id").isNotNull()).groupBy(
+        F.col("user_id").alias("item")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    return est.join(exact, "item").select(
+        "item",
+        "est_n",
+        "true_n",
+        (F.col("est_n") - F.col("true_n")).cast("bigint").alias("overcount"),
+    )
+
+
+ORACLE_CMS_COUNTS = """
+WITH items AS (
+  SELECT user_id AS item FROM events WHERE user_id IS NOT NULL),
+ds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+sketch AS (
+  SELECT d,
+         CAST(concat('0x', substr(md5(concat(d, ':', item)), 1, 15))
+              AS BIGINT) % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM items CROSS JOIN ds GROUP BY 1, 2),
+probes AS (
+  SELECT i.item, ds.d,
+         CAST(concat('0x', substr(md5(concat(ds.d, ':', i.item)), 1, 15))
+              AS BIGINT) % 64 AS bucket
+  FROM (SELECT DISTINCT item FROM items) i CROSS JOIN ds),
+est AS (
+  SELECT p.item, CAST(min(coalesce(s.n, 0)) AS BIGINT) AS est_n
+  FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+  GROUP BY 1),
+exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS true_n FROM items GROUP BY 1)
+SELECT e.item, e.est_n, x.true_n,
+       CAST(e.est_n - x.true_n AS BIGINT) AS overcount
+FROM est e JOIN exact x ON e.item = x.item
+"""
+
+
+def q_seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event volumes
+    per type (operators/temporal.py seasonal_decompose): centered 7-day
+    moving-average trend, position-in-week seasonal indices centered to
+    sum to zero, remainder."""
+    from knot_another_pipeline_spark.operators.temporal import seasonal_decompose
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return seasonal_decompose(
+        daily, series_col="series", order_col="day", value_col="n", period=7
+    )
+
+
+ORACLE_SEASONAL_DAILY = """
+WITH d AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS ord,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT series, ord, value,
+         row_number() OVER so - 1 AS t,
+         CASE WHEN count(*) OVER ctr = 7
+              THEN round(avg(value) OVER ctr, 6) END AS trend
+  FROM d
+  WINDOW so AS (PARTITION BY series ORDER BY ord),
+         ctr AS (PARTITION BY series ORDER BY ord
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+p AS (SELECT *, value - trend AS detr, t % 7 AS pos FROM w),
+idx AS (SELECT series, pos, avg(detr) AS raw FROM p GROUP BY 1, 2),
+cen AS (
+  SELECT series, pos,
+         round(raw - avg(raw) OVER (PARTITION BY series), 6) AS seasonal
+  FROM idx)
+SELECT p.series, CAST(p.t AS BIGINT) AS t, p.value, p.trend, c.seasonal,
+       round(p.value - p.trend - c.seasonal, 6) AS remainder
+FROM p LEFT JOIN cen c ON p.series = c.series AND p.pos = c.pos
+"""
+
+
+def q_spearman_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Spearman rank correlation between event value and hour
+    of day (operators/quality.py spearman_corr): midrank ties via two
+    shared-shuffle windows, Pearson on the ranks."""
+    from knot_another_pipeline_spark.operators.quality import spearman_corr
+
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.hour(F.col("ts").cast("timestamp")).cast("double").alias("y"),
+    )
+    return spearman_corr(
+        s, group_cols=["event_type"], x_col="x", y_col="y"
+    )
+
+
+ORACLE_SPEARMAN_HOUR = """
+WITH s AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x,
+         CAST(hour(ts) AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY x)
+           + (count(*) OVER (PARTITION BY event_type, x) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY event_type ORDER BY y)
+           + (count(*) OVER (PARTITION BY event_type, y) - 1) / 2.0 AS ry
+  FROM s),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         covar_pop(rx, ry) AS cov,
+         var_pop(rx) AS vx, var_pop(ry) AS vy
+  FROM r GROUP BY 1)
+SELECT event_type, n,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov / sqrt(vx * vy) END, 6) AS rho
+FROM a
+"""
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini coefficient of per-user event-value concentration
+    (operators/quality.py gini_concentration): sorted-rank identity,
+    one rank window + one aggregate, no pairwise self-join. Per-user
+    totals are rounded before ranking so both engines rank identical
+    doubles."""
+    from knot_another_pipeline_spark.operators.quality import gini_concentration
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.filter(F.col("value").isNotNull()).groupBy(
+        "event_type", "user_id"
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    return gini_concentration(
+        per_user, group_cols=["event_type"], value_col="v"
+    )
+
+
+ORACLE_GINI_CONCENTRATION = """
+WITH per_user AS (
+  SELECT event_type, user_id, round(sum(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS i
+  FROM per_user WHERE v IS NOT NULL),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(v) AS total,
+         sum(i * v) AS iv
+  FROM ranked GROUP BY 1)
+SELECT event_type, n, round(total, 6) AS total,
+       round(CASE WHEN total > 0
+                  THEN 2.0 * iv / (n * total) - (n + 1.0) / n END,
+             6) AS gini
+FROM a
+"""
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type autocorrelation of daily event volumes for lags 1-7
+    (operators/temporal.py acf): one shared lag window, row-local
+    stack unpivot, pairwise-complete correlation per (series, lag)."""
+    from knot_another_pipeline_spark.operators.temporal import acf
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return acf(
+        daily, series_col="series", order_col="day", value_col="n", max_lag=7
+    )
+
+
+def _acf_oracle_sql(max_lag: int) -> str:
+    lags = "\nUNION ALL\n".join(
+        f"SELECT series, {k} AS lag, value,"
+        f" lag(value, {k}) OVER (PARTITION BY series ORDER BY ord) AS lagged"
+        " FROM d"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS ord,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2),
+long AS ({lags}),
+a AS (
+  SELECT series, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         covar_pop(value, lagged) AS cov,
+         var_pop(value) AS vv, var_pop(lagged) AS vl
+  FROM long WHERE lagged IS NOT NULL GROUP BY 1, 2)
+SELECT series, CAST(lag AS INT) AS lag, n_pairs,
+       round(CASE WHEN vv > 0 AND vl > 0
+                  THEN cov / sqrt(vv * vl) END, 6) AS acf
+FROM a
+"""
+
+
+ORACLE_ACF_DAILY = _acf_oracle_sql(7)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6092,6 +6309,11 @@ QUERIES = {
     "trend_fit": q_trend_fit,
     "cusum_alarm": q_cusum_alarm,
     "basket_rules": q_basket_rules,
+    "cms_counts": q_cms_counts,
+    "seasonal_daily": q_seasonal_daily,
+    "spearman_hour": q_spearman_hour,
+    "gini_concentration": q_gini_concentration,
+    "acf_daily": q_acf_daily,
 }
 
 ORACLES = {
@@ -6242,4 +6464,9 @@ ORACLES = {
     "trend_fit": ORACLE_TREND_FIT,
     "cusum_alarm": ORACLE_CUSUM_ALARM,
     "basket_rules": ORACLE_BASKET_RULES,
+    "cms_counts": ORACLE_CMS_COUNTS,
+    "seasonal_daily": ORACLE_SEASONAL_DAILY,
+    "spearman_hour": ORACLE_SPEARMAN_HOUR,
+    "gini_concentration": ORACLE_GINI_CONCENTRATION,
+    "acf_daily": ORACLE_ACF_DAILY,
 }

@@ -938,3 +938,207 @@ def ab_test(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation: Pearson correlation of the
+    AVERAGE ranks of x and y — the monotone-association readout that is
+    robust to outliers and nonlinearity, where raw Pearson (``corr``)
+    is neither.  The standard screen for "does value move with time of
+    day / size / position" over thousands of segments at once.
+
+    Average (midrank) tie handling is exact, not approximate:
+    ``rank() + (count(*) over ties − 1)/2`` assigns every member of a
+    tie group the mean of the positions it spans — the same midranks
+    SciPy's ``spearmanr`` uses, computed with two window functions and
+    no UDF.  One shuffle (partition by group; both rank windows and the
+    tie counts share it), then one hash aggregate.  Degenerate groups
+    (constant x or y — zero rank variance) yield NULL rho rather than
+    an engine-dependent NaN.
+
+    Rows with NULL x or y are dropped (pairwise-complete).  Output:
+    group cols, n, rho.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    gp = [F.col(c) for c in group_cols]
+    rank_x = F.rank().over(Window.partitionBy(*gp).orderBy("_x")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*gp, F.col("_x"))) - 1
+    ) / 2.0
+    rank_y = F.rank().over(Window.partitionBy(*gp).orderBy("_y")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*gp, F.col("_y"))) - 1
+    ) / 2.0
+    ranked = s.withColumn("_rx", rank_x).withColumn("_ry", rank_y)
+    # corr() divides by a zero stddev under ANSI mode; build the Pearson
+    # quotient from guarded moments instead (NULL for degenerate groups).
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.covar_pop("_rx", "_ry").alias("_cov"),
+        F.var_pop("_rx").alias("_vx"),
+        F.var_pop("_ry").alias("_vy"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(
+            F.when(
+                (F.col("_vx") > 0) & (F.col("_vy") > 0),
+                F.col("_cov") / F.sqrt(F.col("_vx") * F.col("_vy")),
+            ),
+            round_to,
+        ).alias("rho"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of value concentration: 0 = the
+    group's total is spread evenly across its rows, →1 = one row holds
+    everything.  The inequality lens on any "who contributes the
+    volume" question — revenue per customer, tokens per source, events
+    per user — and the canonical skew early-warning for partitioning
+    keys.
+
+    Computed from the sorted-rank identity
+    ``G = 2·Σᵢ i·vᵢ / (n·Σv) − (n+1)/n`` (values ascending, i
+    1-based): ONE rank window plus one hash aggregate, no pairwise
+    |vᵢ−vⱼ| self-join (the definitional form is O(n²) and unusable at
+    scale).  Ties need no tiebreak: equal values contribute the same
+    Σ i·vᵢ under any permutation of their consecutive ranks, so the
+    result is deterministic even though row_number over ties is not.
+
+    Values are assumed non-negative (the Gini's domain); NULLs are
+    dropped, and a group whose total is 0 yields NULL.  Output: group
+    cols, n, total, gini.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    gp = [F.col(c) for c in group_cols]
+    ranked = s.withColumn(
+        "_i", F.row_number().over(Window.partitionBy(*gp).orderBy("_v"))
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_v").alias("_total"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_iv"),
+    )
+    gini = F.when(
+        F.col("_total") > 0,
+        F.lit(2.0) * F.col("_iv") / (F.col("n") * F.col("_total"))
+        - (F.col("n") + 1) / F.col("n"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round("_total", round_to).alias("total"),
+        F.round(gini, round_to).alias("gini"),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    *,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of item frequencies: a fixed ``depth × width``
+    table of bucket counts, each row of the sketch keyed by an
+    independent md5-derived hash.  The mergeable, bounded-size
+    frequency summary for streams and incremental corpora — estimates
+    never undercount, and overcount by at most the collision mass of
+    the narrowest row (ε ≈ e/width with probability 1−e^−depth).
+
+    Build cost: one row-local explode to ``depth`` rows per item, then
+    ONE map-side-combinable aggregate whose result is at most
+    depth·width rows no matter the input size — the same
+    bounded-shuffle shape as the KMV sketches.  Two sketches built
+    with the same (depth, width) merge by adding bucket counts
+    (``union → groupBy(d, bucket) → sum``), which is what makes the
+    structure incremental.  Hashing is :func:`hash64` (md5-derived),
+    so the sketch — not just its estimates — is replayable bit-for-bit
+    in any engine with ``md5()``.
+
+    Output: d (0-based row), bucket, n.
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash64
+
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    return (
+        df.select(F.col(item_col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+            F.col("item"),
+        )
+        .select(
+            "d", F.pmod(hash64(F.col("item"), F.col("d")), F.lit(width)).alias("bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    *,
+    item_col: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Point-query a :func:`cms_sketch`: for every item in ``items``,
+    the count-min estimate ``min_d sketch[d][h_d(item)]``.  Must be
+    called with the SAME (depth, width) the sketch was built with —
+    the hash family is derived from them.
+
+    Each queried item expands row-locally to its ``depth`` probe keys;
+    the probe joins the sketch on (d, bucket) — the sketch side is at
+    most depth·width rows, so AQE broadcasts it — and one hash
+    aggregate takes the min.  An item absent from the corpus can still
+    collide into occupied buckets: the estimate is its collision mass
+    (the classic CMS overcount), never an error; a probe that misses
+    the sketch entirely counts 0.
+
+    Output: item, est_n.
+    """
+    probes = (
+        items.select(F.col(item_col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .select(
+            F.col("item"),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+    )
+    from knot_another_pipeline_spark.functions.hashing import hash64
+
+    keyed = probes.select(
+        "item",
+        "d",
+        F.pmod(hash64(F.col("item"), F.col("d")), F.lit(width)).alias("bucket"),
+    )
+    joined = keyed.join(sketch, ["d", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est_n")
+    )

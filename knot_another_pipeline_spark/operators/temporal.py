@@ -46,6 +46,8 @@ __all__ = [
     "time_weighted_avg",
     "cusum_alarm",
     "trend_fit",
+    "seasonal_decompose",
+    "acf",
 ]
 
 
@@ -1034,4 +1036,158 @@ def trend_fit(
         F.round(slope, round_to).alias("slope"),
         F.round(F.col("_my") - slope * F.col("_mx"), round_to).alias("intercept"),
         F.round(r2, round_to).alias("r2"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per series:
+    ``value = trend + seasonal + remainder`` — trend from a centered
+    moving average over one full period, seasonal indices as the mean
+    detrended value per in-period position (centered to sum to ~0),
+    remainder as what's left.  The "is Tuesday always low, or is this
+    week actually down?" separation every volume monitor needs before
+    alarming on raw counts.
+
+    ``period`` must be odd (7 for day-of-week on daily data): the
+    centered window is then symmetric — ``rowsBetween(−p//2, p//2)`` —
+    and the trend is NULL at the ``p//2`` edge rows where the window
+    is incomplete (standard behavior; a partial-window average would
+    bend the trend toward the edges).  In-period position is
+    ``t % period`` from the per-series row index, not day-of-week
+    parsing — identical in any engine and agnostic to the order
+    column's type.
+
+    Cost: one shuffle (partition by series) shared by the row-number
+    and moving-average windows; the seasonal-index table is
+    |series|·period rows — a broadcast join back.  Each stage rounds
+    before the next subtraction so both engines (and any partitioning)
+    derive the components from identical doubles.
+
+    Output: series, t, value, trend, seasonal, remainder.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = period // 2
+    w = Window.partitionBy("series").orderBy("ord")
+    ctr = w.rowsBetween(-half, half)
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    with_trend = (
+        s.withColumn("t", F.row_number().over(w) - 1)
+        .withColumn(
+            "trend",
+            F.when(
+                F.count(F.lit(1)).over(ctr) == period,
+                F.round(F.avg("value").over(ctr), round_to),
+            ),
+        )
+        .withColumn("_detr", F.col("value") - F.col("trend"))
+        .withColumn("_pos", F.col("t") % period)
+    )
+    idx = with_trend.groupBy("series", "_pos").agg(
+        F.avg("_detr").alias("_raw_idx")
+    )
+    centered = idx.withColumn(
+        "seasonal",
+        F.round(
+            F.col("_raw_idx")
+            - F.avg("_raw_idx").over(Window.partitionBy("series")),
+            round_to,
+        ),
+    ).select("series", "_pos", "seasonal")
+    return (
+        with_trend.join(F.broadcast(centered), ["series", "_pos"], "left")
+        .select(
+            "series",
+            F.col("t").cast("bigint").alias("t"),
+            "value",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("value") - F.col("trend") - F.col("seasonal"), round_to
+            ).alias("remainder"),
+        )
+    )
+
+
+def acf(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-series autocorrelation function: the correlation of each
+    series with itself shifted by k rows, for k = 1..``max_lag`` — the
+    seasonality/persistence fingerprint (a weekly cycle shows as a
+    spike at lag 7, a trending series decays slowly) that tells a
+    forecasting or anomaly pipeline WHICH period to model.
+
+    Each lag is a ``lag(value, k)`` over ONE shared per-series window
+    — ``max_lag`` row-local columns, no self-join on t+k (the naive
+    form shuffles the series once per lag).  The lag columns unpivot
+    via ``stack`` (row-local) and one hash aggregate computes the
+    pairwise-complete Pearson correlation per (series, lag).  This is
+    the sample cross-correlation of the overlapping segments —
+    pairwise means/variances, not the single-global-mean textbook
+    estimator — documented so the oracle and any consumer agree on
+    the estimator.  Constant segments (zero variance) yield NULL.
+
+    One shuffle (the series window; the aggregate reuses nothing
+    bigger).  Output: series, lag, n_pairs, acf.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    w = Window.partitionBy("series").orderBy("ord")
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    lagged = s.select(
+        "series",
+        "value",
+        *[
+            F.lag("value", k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{k}, _l{k}" for k in range(1, max_lag + 1))
+    long = lagged.selectExpr(
+        "series",
+        "value",
+        f"stack({max_lag}, {stack_args}) as (lag, lagged)",
+    ).filter(F.col("lagged").isNotNull())
+    # corr() divides by a zero stddev under ANSI mode; build the Pearson
+    # quotient from guarded moments instead (NULL for constant segments).
+    agg = long.groupBy("series", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.covar_pop("value", "lagged").alias("_cov"),
+        F.var_pop("value").alias("_vv"),
+        F.var_pop("lagged").alias("_vl"),
+    )
+    return agg.select(
+        "series",
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(
+            F.when(
+                (F.col("_vv") > 0) & (F.col("_vl") > 0),
+                F.col("_cov") / F.sqrt(F.col("_vv") * F.col("_vl")),
+            ),
+            round_to,
+        ).alias("acf"),
     )

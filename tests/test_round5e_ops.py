@@ -11,6 +11,8 @@ from __future__ import annotations
 import math
 import random
 
+import pytest
+
 from knot_another_pipeline_spark.operators.behavior import (
     markov_transitions,
     survival_curve,
@@ -285,3 +287,210 @@ def test_basket_rules_mega_basket_guard(spark):
     # N counts only surviving baskets
     ab = next(r for r in out if (r["antecedent"], r["consequent"]) == ("a", "b"))
     assert ab["support"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_monotone_and_ties(spark):
+    from knot_another_pipeline_spark.operators.quality import spearman_corr
+
+    rows = (
+        # g1: y = x^3 (monotone, nonlinear) -> rho exactly 1
+        [("g1", float(x), float(x) ** 3) for x in range(1, 8)]
+        # g2: reversed -> rho exactly -1
+        + [("g2", float(x), float(-x)) for x in range(1, 8)]
+        # g3: constant x -> NULL (zero rank variance)
+        + [("g3", 1.0, float(x)) for x in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = {
+        r["grp"]: r["rho"]
+        for r in spearman_corr(
+            df, group_cols=["grp"], x_col="x", y_col="y"
+        ).collect()
+    }
+    assert out["g1"] == 1.0
+    assert out["g2"] == -1.0
+    assert out["g3"] is None
+
+
+def test_spearman_midranks_match_scipy_convention(spark):
+    from knot_another_pipeline_spark.operators.quality import spearman_corr
+
+    # x ties: [1,1,2] -> ranks [1.5, 1.5, 3]; y = [1,2,3] -> ranks [1,2,3]
+    # pearson([1.5,1.5,3],[1,2,3]) = cov/sd = (by hand) 0.866025
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 3.0)], ["grp", "x", "y"]
+    )
+    rho = spearman_corr(
+        df, group_cols=["grp"], x_col="x", y_col="y"
+    ).collect()[0]["rho"]
+    assert rho == 0.866025
+
+
+# ---------------------------------------------------------------------------
+# gini_concentration
+# ---------------------------------------------------------------------------
+
+
+def test_gini_extremes(spark):
+    from knot_another_pipeline_spark.operators.quality import gini_concentration
+
+    rows = (
+        [("equal", f"u{i}", 10.0) for i in range(4)]          # perfectly even
+        + [("one", "a", 0.0), ("one", "b", 0.0), ("one", "c", 9.0)]
+        + [("zero", "a", 0.0)]                                # total 0 -> NULL
+    )
+    df = spark.createDataFrame(rows, ["grp", "uid", "v"])
+    out = {
+        r["grp"]: r
+        for r in gini_concentration(
+            df, group_cols=["grp"], value_col="v"
+        ).collect()
+    }
+    assert out["equal"]["gini"] == 0.0
+    assert out["one"]["gini"] == round(1 - 1 / 3, 6)  # 1 - 1/n for one holder
+    assert out["zero"]["gini"] is None
+
+
+# ---------------------------------------------------------------------------
+# cms_sketch / cms_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rng = random.Random(7)
+    items = [(f"k{rng.randrange(30)}",) for _ in range(500)]
+    df = spark.createDataFrame(items, ["item"])
+    true = {}
+    for (k,) in items:
+        true[k] = true.get(k, 0) + 1
+    # narrow sketch: collisions expected, but never an undercount
+    sk = cms_sketch(df, item_col="item", depth=4, width=16)
+    est = {
+        r["item"]: r["est_n"]
+        for r in cms_estimate(
+            sk, df, item_col="item", depth=4, width=16
+        ).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+    # wide sketch: 30 keys in 4x4096 buckets -> exact with high probability
+    sk2 = cms_sketch(df, item_col="item", depth=4, width=4096)
+    est2 = {
+        r["item"]: r["est_n"]
+        for r in cms_estimate(
+            sk2, df, item_col="item", depth=4, width=4096
+        ).collect()
+    }
+    assert est2 == true
+
+
+def test_cms_sketches_merge_by_addition(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, ["item"])
+    b = spark.createDataFrame([("x",)] * 5 + [("z",)], ["item"])
+    merged = (
+        cms_sketch(a, item_col="item", depth=3, width=32)
+        .unionByName(cms_sketch(b, item_col="item", depth=3, width=32))
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = cms_sketch(a.unionByName(b), item_col="item", depth=3, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est = {
+        r["item"]: r["est_n"]
+        for r in cms_estimate(
+            merged, a.unionByName(b), item_col="item", depth=3, width=32
+        ).collect()
+    }
+    assert est["x"] == 8 and est["y"] == 2 and est["z"] == 1
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    from knot_another_pipeline_spark.operators.temporal import seasonal_decompose
+
+    # value = 100 (flat trend) + seasonal pattern of period 3
+    pattern = [5.0, -2.0, -3.0]  # sums to 0
+    rows = [("s", i, 100.0 + pattern[i % 3]) for i in range(15)]
+    df = spark.createDataFrame(rows, ["series", "t0", "v"])
+    out = sorted(
+        seasonal_decompose(
+            df, series_col="series", order_col="t0", value_col="v", period=3
+        ).collect(),
+        key=lambda r: r["t"],
+    )
+    # edge rows (half-window) have no trend
+    assert out[0]["trend"] is None and out[-1]["trend"] is None
+    mid = [r for r in out if r["trend"] is not None]
+    # a full-period centered MA of a zero-sum pattern is the flat trend
+    assert all(r["trend"] == 100.0 for r in mid)
+    for r in mid:
+        assert r["seasonal"] == pattern[r["t"] % 3]
+        assert r["remainder"] == 0.0
+        # additive identity holds exactly on interior rows
+        assert r["value"] == r["trend"] + r["seasonal"] + r["remainder"]
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    from knot_another_pipeline_spark.operators.temporal import seasonal_decompose
+
+    df = spark.createDataFrame([("s", 1, 1.0)], ["series", "t0", "v"])
+    with pytest.raises(ValueError):
+        seasonal_decompose(
+            df, series_col="series", order_col="t0", value_col="v", period=4
+        )
+
+
+# ---------------------------------------------------------------------------
+# acf
+# ---------------------------------------------------------------------------
+
+
+def test_acf_alternating_series(spark):
+    from knot_another_pipeline_spark.operators.temporal import acf
+
+    rows = [("s", i, float(i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["series", "t0", "v"])
+    out = {
+        r["lag"]: r
+        for r in acf(
+            df, series_col="series", order_col="t0", value_col="v", max_lag=3
+        ).collect()
+    }
+    assert out[1]["acf"] == -1.0
+    assert out[2]["acf"] == 1.0
+    assert out[3]["acf"] == -1.0
+    assert out[1]["n_pairs"] == 19
+
+
+def test_acf_constant_series_is_null(spark):
+    from knot_another_pipeline_spark.operators.temporal import acf
+
+    df = spark.createDataFrame(
+        [("s", i, 5.0) for i in range(10)], ["series", "t0", "v"]
+    )
+    out = acf(
+        df, series_col="series", order_col="t0", value_col="v", max_lag=2
+    ).collect()
+    assert all(r["acf"] is None for r in out)
