@@ -160,6 +160,12 @@ _PRIORITY = [
     "spearman_hour",
     "gini_concentration",
     "acf_daily",
+    "did_readout",
+    "chi2_independence",
+    "feature_gain",
+    "rfm_segments",
+    "funnel_timing",
+    "readability",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -111,6 +111,12 @@ HEADLINE = [
     "spearman_hour",
     "gini_concentration",
     "acf_daily",
+    "did_readout",
+    "chi2_independence",
+    "feature_gain",
+    "rfm_segments",
+    "funnel_timing",
+    "readability",
 ]
 
 

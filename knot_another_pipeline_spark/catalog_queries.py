@@ -6138,6 +6138,292 @@ FROM a
 ORACLE_ACF_DAILY = _acf_oracle_sql(7)
 
 
+def q_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout per event type
+    (operators/quality.py did_readout): synthetic arm (user parity) x
+    period (mid-month cutoff) cells as conditional aggregates; the
+    causal delta derived from rounded cell means."""
+    from knot_another_pipeline_spark.operators.quality import did_readout
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    flagged = events.select(
+        "event_type",
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias("post"),
+        "value",
+    )
+    return did_readout(
+        flagged,
+        treat_col="treat",
+        post_col="post",
+        metric_col="value",
+        by="event_type",
+    )
+
+
+ORACLE_DID_READOUT = """
+WITH s AS (
+  SELECT event_type AS grp, (user_id % 2 = 1) AS t,
+         (ts >= TIMESTAMP '2024-01-16') AS p, CAST(value AS DOUBLE) AS m
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+a AS (
+  SELECT grp,
+         count(*) FILTER (NOT t AND NOT p) AS n_ctl_pre,
+         round(avg(m) FILTER (NOT t AND NOT p), 6) AS mean_ctl_pre,
+         count(*) FILTER (NOT t AND p) AS n_ctl_post,
+         round(avg(m) FILTER (NOT t AND p), 6) AS mean_ctl_post,
+         count(*) FILTER (t AND NOT p) AS n_trt_pre,
+         round(avg(m) FILTER (t AND NOT p), 6) AS mean_trt_pre,
+         count(*) FILTER (t AND p) AS n_trt_post,
+         round(avg(m) FILTER (t AND p), 6) AS mean_trt_post
+  FROM s GROUP BY 1),
+d AS (
+  SELECT *,
+         round(mean_ctl_post - mean_ctl_pre, 6) AS delta_ctl,
+         round(mean_trt_post - mean_trt_pre, 6) AS delta_trt
+  FROM a)
+SELECT grp, n_ctl_pre, mean_ctl_pre, n_ctl_post, mean_ctl_post,
+       n_trt_pre, mean_trt_pre, n_trt_post, mean_trt_post,
+       delta_ctl, delta_trt,
+       round(delta_trt - delta_ctl, 6) AS did
+FROM d
+"""
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type vs quarter-of-day
+    (operators/quality.py chi2_independence): contingency cells in one
+    aggregate, expected counts from windows over the cell table,
+    Cramer's V effect size."""
+    from knot_another_pipeline_spark.operators.quality import chi2_independence
+
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "event_type",
+        F.floor(F.hour(F.col("ts").cast("timestamp")) / 6)
+        .cast("int")
+        .alias("day_part"),
+    )
+    return chi2_independence(s, row_col="event_type", col_col="day_part")
+
+
+ORACLE_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT event_type AS r, CAST(floor(hour(ts) / 6.0) AS INT) AS c,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+sc AS (
+  SELECT r, c, cnt,
+         sum(cnt) OVER (PARTITION BY r) AS rt,
+         sum(cnt) OVER (PARTITION BY c) AS ct,
+         sum(cnt) OVER () AS tot
+  FROM cells),
+a AS (
+  -- sum (o-e)^2/e over ALL cells == sum o^2/e - N, which lets the
+  -- structural-zero cells (absent from the GROUP BY) contribute their
+  -- exact share (0) without being materialized
+  SELECT CAST(max(tot) AS BIGINT) AS n,
+         CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+         round(sum(cnt * cnt * tot / (rt * ct)) - max(tot), 6) AS chi2
+  FROM sc)
+SELECT n, n_rows, n_cols,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof, chi2,
+       round(CASE WHEN least(n_rows - 1, n_cols - 1) > 0
+                  THEN sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1)))
+             END, 6) AS cramers_v
+FROM a
+"""
+
+
+def q_feature_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain ranking of order features against a big-ticket
+    label (operators/features.py feature_gain): one stack unpivot, one
+    cell aggregate, entropies from windows over the cell table."""
+    from knot_another_pipeline_spark.operators.features import feature_gain
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    base = orders.select(
+        (F.col("o_totalprice") > 250000).alias("big"),
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year(F.col("o_orderdate").cast("timestamp"))
+        .cast("string")
+        .alias("oyear"),
+    )
+    return feature_gain(
+        base,
+        label_col="big",
+        feature_cols=["o_orderpriority", "o_orderstatus", "oyear"],
+    )
+
+
+ORACLE_FEATURE_GAIN = """
+WITH base AS (
+  SELECT CAST(o_totalprice > 250000 AS VARCHAR) AS l,
+         o_orderpriority AS fp, o_orderstatus AS fs,
+         CAST(year(o_orderdate) AS VARCHAR) AS fy
+  FROM orders WHERE o_totalprice IS NOT NULL),
+long AS (
+  SELECT 'o_orderpriority' AS f, fp AS v, l FROM base WHERE fp IS NOT NULL
+  UNION ALL
+  SELECT 'o_orderstatus', fs, l FROM base WHERE fs IS NOT NULL
+  UNION ALL
+  SELECT 'oyear', fy, l FROM base WHERE fy IS NOT NULL),
+cells AS (
+  SELECT f, v, l, CAST(count(*) AS DOUBLE) AS n
+  FROM long GROUP BY 1, 2, 3),
+sc AS (
+  SELECT f, n,
+         sum(n) OVER (PARTITION BY f) AS nf,
+         sum(n) OVER (PARTITION BY f, v) AS nv,
+         sum(n) OVER (PARTITION BY f, l) AS nl,
+         n / sum(n) OVER (PARTITION BY f, l) AS lshare
+  FROM cells),
+a AS (
+  SELECT f, CAST(max(nf) AS BIGINT) AS n,
+         sum(lshare * nl * (log2(nf) - log2(nl))) / max(nf) AS h,
+         sum(n * (log2(nv) - log2(n))) / max(nf) AS hc
+  FROM sc GROUP BY 1)
+SELECT f AS feature, n, round(h, 6) AS parent_entropy,
+       round(hc, 6) AS cond_entropy, round(h - hc, 6) AS gain
+FROM a
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders (operators/behavior.py
+    rfm_segments): quantile-threshold scores — two aggregates and a
+    1-row broadcast, never a global NTILE sort."""
+    from knot_another_pipeline_spark.operators.behavior import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_segments(
+        orders,
+        entity_col="o_custkey",
+        ts_col="o_orderdate",
+        value_col="o_totalprice",
+        ref_date="2001-12-31",
+        n_tiles=5,
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH base AS (
+  SELECT o_custkey AS entity,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        DATE '2001-12-31') AS DOUBLE) AS recency_days,
+         CAST(count(*) AS DOUBLE) AS frequency,
+         round(sum(o_totalprice), 6) AS monetary
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+th AS (
+  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+  FROM base),
+scored AS (
+  SELECT entity, recency_days, frequency, monetary,
+         CAST(1 + (CASE WHEN recency_days < rq[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN recency_days < rq[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN recency_days < rq[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN recency_days < rq[4] THEN 1 ELSE 0 END)
+              AS INT) AS r_score,
+         CAST(1 + (CASE WHEN frequency > fq[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN frequency > fq[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN frequency > fq[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN frequency > fq[4] THEN 1 ELSE 0 END)
+              AS INT) AS f_score,
+         CAST(1 + (CASE WHEN monetary > mq[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN monetary > mq[4] THEN 1 ELSE 0 END)
+              AS INT) AS m_score
+  FROM base CROSS JOIN th)
+SELECT entity, recency_days, CAST(frequency AS BIGINT) AS frequency,
+       monetary, r_score, f_score, m_score,
+       concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS segment
+FROM scored
+"""
+
+
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-delay profile for the signup->view->purchase funnel
+    (operators/behavior.py funnel_timing): per-user first-occurrence
+    mins, row-local delays, exact percentile summary per transition."""
+    from knot_another_pipeline_spark.operators.behavior import funnel_timing
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_timing(events, ["signup", "view", "purchase"])
+
+
+ORACLE_FUNNEL_TIMING = """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'signup') AS t0,
+         min(ts) FILTER (event_type = 'view') AS t1,
+         min(ts) FILTER (event_type = 'purchase') AS t2
+  FROM events GROUP BY 1),
+d AS (
+  SELECT
+    CASE WHEN t0 IS NOT NULL AND t1 > t0
+         THEN (epoch_us(t1) - epoch_us(t0)) / 1000000.0 END AS d1,
+    CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1
+         THEN (epoch_us(t2) - epoch_us(t1)) / 1000000.0 END AS d2
+  FROM firsts),
+long AS (
+  SELECT 1 AS idx, d1 AS delay FROM d WHERE d1 IS NOT NULL
+  UNION ALL
+  SELECT 2, d2 FROM d WHERE d2 IS NOT NULL),
+a AS (
+  SELECT idx, CAST(count(*) AS BIGINT) AS n_users,
+         round(avg(delay), 4) AS avg_seconds,
+         round(quantile_cont(delay, 0.5), 4) AS p50_seconds,
+         round(quantile_cont(delay, 0.9), 4) AS p90_seconds
+  FROM long GROUP BY 1)
+SELECT CAST(idx AS INT) AS step_index,
+       CASE idx WHEN 1 THEN 'signup' ELSE 'view' END AS step_from,
+       CASE idx WHEN 1 THEN 'view' ELSE 'purchase' END AS step_to,
+       n_users, avg_seconds, p50_seconds, p90_seconds
+FROM a
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/text_analysis.py
+    readability): word / sentence-run / vowel-group counts as pure
+    regexp codegen, zero shuffle."""
+    from knot_another_pipeline_spark.operators.text_analysis import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_READABILITY = """
+WITH c AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents)
+SELECT id, n_words, n_sentences, n_syllables,
+       round(CASE WHEN n_words > 0
+                  THEN 206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+             END, 4) AS flesch
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6314,6 +6600,12 @@ QUERIES = {
     "spearman_hour": q_spearman_hour,
     "gini_concentration": q_gini_concentration,
     "acf_daily": q_acf_daily,
+    "did_readout": q_did_readout,
+    "chi2_independence": q_chi2_independence,
+    "feature_gain": q_feature_gain,
+    "rfm_segments": q_rfm_segments,
+    "funnel_timing": q_funnel_timing,
+    "readability": q_readability,
 }
 
 ORACLES = {
@@ -6469,4 +6761,10 @@ ORACLES = {
     "spearman_hour": ORACLE_SPEARMAN_HOUR,
     "gini_concentration": ORACLE_GINI_CONCENTRATION,
     "acf_daily": ORACLE_ACF_DAILY,
+    "did_readout": ORACLE_DID_READOUT,
+    "chi2_independence": ORACLE_CHI2_INDEPENDENCE,
+    "feature_gain": ORACLE_FEATURE_GAIN,
+    "rfm_segments": ORACLE_RFM_SEGMENTS,
+    "funnel_timing": ORACLE_FUNNEL_TIMING,
+    "readability": ORACLE_READABILITY,
 }

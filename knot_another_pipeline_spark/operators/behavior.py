@@ -34,6 +34,8 @@ __all__ = [
     "conversion_attribution",
     "markov_transitions",
     "survival_curve",
+    "rfm_segments",
+    "funnel_timing",
 ]
 
 
@@ -493,4 +495,186 @@ def survival_curve(
             F.col("c").cast("bigint").alias("censored"),
             "survival",
         )
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    ref_date: str,
+    n_tiles: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: each
+    entity scored 1..``n_tiles`` on how recently it was active, how
+    often, and how much value it generated — the classic churn-risk /
+    VIP / win-back segmentation grid ("555" = best, "111" = gone).
+
+    The per-metric scores come from QUANTILE THRESHOLDS, not NTILE:
+    exact ``percentile(metric, i/n)`` over the entity table yields a
+    1-row threshold frame (broadcast), and each score is
+    ``1 + Σᵢ [metric beats thresholdᵢ]`` — a map-side comparison.
+    This is deliberate: a global NTILE window serializes every entity
+    through one sort task (the anti-pattern ``ntile_assign``'s
+    docstring warns about), while thresholds keep the plan at two
+    aggregates + one broadcast regardless of entity count.  Entities
+    tied on a threshold all land on the same side — scores are
+    deterministic with no tiebreak column needed (bucket sizes wobble
+    at ties; boundaries don't).
+
+    Recency is "days since last activity" relative to ``ref_date`` and
+    scores INVERTED (smaller = more recent = higher score); frequency
+    and monetary score upward.  Output: entity, recency_days,
+    frequency, monetary, r_score, f_score, m_score, segment
+    (concatenated digits).
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    base = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(entity_col).alias("entity"))
+        .agg(
+            F.datediff(
+                F.lit(ref_date).cast("date"),
+                F.max(F.col(ts_col).cast("timestamp")).cast("date"),
+            )
+            .cast("double")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("double").alias("frequency"),
+            F.round(F.sum(F.col(value_col).cast("double")), round_to).alias(
+                "monetary"
+            ),
+        )
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    qarr = "array({})".format(", ".join(str(q) for q in qs))
+    thresholds = base.agg(
+        F.expr(f"percentile(recency_days, {qarr})").alias("_rq"),
+        F.expr(f"percentile(frequency, {qarr})").alias("_fq"),
+        F.expr(f"percentile(monetary, {qarr})").alias("_mq"),
+    )
+    scored = base.crossJoin(F.broadcast(thresholds))
+
+    # n_tiles is a plan-time constant: unroll the threshold comparisons
+    # into a codegen sum instead of an interpreted higher-order fold.
+    def score_up(col: str, th: str):
+        terms = [
+            F.when(
+                F.col(col) > F.element_at(F.col(th), i), F.lit(1)
+            ).otherwise(F.lit(0))
+            for i in range(1, n_tiles)
+        ]
+        return (F.lit(1) + sum(terms[1:], terms[0])).cast("int")
+
+    def score_down(col: str, th: str):
+        terms = [
+            F.when(
+                F.col(col) < F.element_at(F.col(th), i), F.lit(1)
+            ).otherwise(F.lit(0))
+            for i in range(1, n_tiles)
+        ]
+        return (F.lit(1) + sum(terms[1:], terms[0])).cast("int")
+
+    return scored.select(
+        "entity",
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        score_down("recency_days", "_rq").alias("r_score"),
+        score_up("frequency", "_fq").alias("f_score"),
+        score_up("monetary", "_mq").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def funnel_timing(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    round_to: int = 4,
+) -> DataFrame:
+    """Conversion-delay profile for each funnel transition: for users
+    whose first occurrences of the funnel steps are in order (the same
+    first-touch rule as :func:`funnel`), the seconds between
+    consecutive steps — count, mean, median, p90 per transition.  The
+    "WHERE does the funnel stall, and for how long" half of the
+    question :func:`funnel` answers the "how many" half of.
+
+    Same scale shape as ``funnel``: ONE groupBy(user) computes every
+    step's first-occurrence time as conditional mins; the delays are
+    row-local arithmetic over that |users|-row frame; a row-local
+    ``stack`` unpivots (transition, delay) pairs and one tiny
+    aggregate summarizes.  Exact ``percentile`` (not approx) keeps the
+    numbers engine-reproducible; it aggregates the per-user delay list
+    per transition, at most |users| values each.
+
+    Output per transition i→i+1: step_index (of the destination,
+    1-based), step_from, step_to, n_users, avg_seconds, p50_seconds,
+    p90_seconds.
+    """
+    if len(steps) < 2:
+        raise ValueError("steps must have at least 2 entries")
+    firsts = events.groupBy(user_col).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col(event_col) == s, F.col(ts_col).cast("timestamp")
+                )
+            ).alias(f"_t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # reached_i = first occurrences of steps 0..i strictly increasing
+    reached = F.col("_t0").isNotNull()
+    delays = []
+    for i in range(1, len(steps)):
+        reached = reached & (F.col(f"_t{i}") > F.col(f"_t{i-1}"))
+        delays.append(
+            F.when(
+                reached,
+                (
+                    F.unix_micros(F.col(f"_t{i}"))
+                    - F.unix_micros(F.col(f"_t{i-1}"))
+                )
+                / 1_000_000.0,
+            ).alias(f"_d{i}")
+        )
+    long = firsts.select(*delays).selectExpr(
+        "stack({}, {}) AS (_idx, _delay)".format(
+            len(steps) - 1,
+            ", ".join(f"{i}, _d{i}" for i in range(1, len(steps))),
+        )
+    ).filter(F.col("_delay").isNotNull())
+    agg = long.groupBy("_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("_delay"), round_to).alias("avg_seconds"),
+        F.round(F.expr("percentile(_delay, 0.5)"), round_to).alias(
+            "p50_seconds"
+        ),
+        F.round(F.expr("percentile(_delay, 0.9)"), round_to).alias(
+            "p90_seconds"
+        ),
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    return agg.select(
+        F.col("_idx").cast("int").alias("step_index"),
+        F.element_at(step_arr, F.col("_idx")).alias("step_from"),
+        F.element_at(step_arr, F.col("_idx") + 1).alias("step_to"),
+        "n_users",
+        "avg_seconds",
+        "p50_seconds",
+        "p90_seconds",
     )

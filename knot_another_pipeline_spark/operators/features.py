@@ -10,7 +10,7 @@ property the sampling/dedup stages guarantee, extended to features.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from knot_another_pipeline_spark.functions.hashing import hash64
 
@@ -216,4 +216,80 @@ def dsir_weights(
                 F.sum("logratio") / F.count(F.lit(1)), round_to
             ).alias("avg_logratio"),
         )
+    )
+
+
+def feature_gain(
+    df: DataFrame,
+    *,
+    label_col: str,
+    feature_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Information-gain feature ranking: for each categorical feature,
+    how many bits of label entropy it removes —
+    ``gain = H(label) − H(label | feature)`` — the decision-tree split
+    criterion used standalone to rank candidate features, leakage
+    screens ("a 'feature' with gain ≈ H(label) is the label"), and
+    segmentation keys.
+
+    All features are evaluated in ONE pass: a row-local ``stack``
+    unpivots (feature, value) pairs — values cast to string so
+    heterogeneous features share the column — then a single hash
+    aggregate builds the (feature, value, label) cell table, at most
+    Σ|domain|·|labels| rows.  Entropies come from the identity
+    ``H = (1/N)·Σ n·(log2 N_v − log2 n)`` over cells, with the
+    windows running over the aggregated cell table, never the input.
+    Per-feature parent entropy is computed over that feature's
+    non-null rows, so features with different null masks are each
+    scored on their own support.
+
+    Output: feature, n, parent_entropy, cond_entropy, gain.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in feature_cols
+    )
+    long = (
+        df.filter(F.col(label_col).isNotNull())
+        .selectExpr(
+            f"CAST(`{label_col}` AS STRING) AS _l",
+            f"stack({len(feature_cols)}, {pairs}) AS (_f, _v)",
+        )
+        .filter(F.col("_v").isNotNull())
+    )
+    cells = long.groupBy("_f", "_v", "_l").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    w_f = Window.partitionBy("_f")
+    w_fv = Window.partitionBy("_f", "_v")
+    w_fl = Window.partitionBy("_f", "_l")
+    # NB: column resolution is case-insensitive — "_N*" aliases would
+    # collide with "_n", so the window totals are "_nf"/"_nv"/"_nl".
+    scored = cells.select(
+        "_f",
+        "_n",
+        F.sum("_n").over(w_f).alias("_nf"),
+        F.sum("_n").over(w_fv).alias("_nv"),
+        F.sum("_n").over(w_fl).alias("_nl"),
+        # each (f, l) marginal term must be counted once, not once per
+        # value cell — weight it by this cell's share of the marginal
+        (F.col("_n") / F.sum("_n").over(w_fl)).alias("_lshare"),
+    )
+    cond_term = F.col("_n") * (F.log2("_nv") - F.log2("_n"))
+    parent_term = (
+        F.col("_lshare") * F.col("_nl") * (F.log2("_nf") - F.log2("_nl"))
+    )
+    agg = scored.groupBy("_f").agg(
+        F.max("_nf").cast("bigint").alias("n"),
+        (F.sum(parent_term) / F.max("_nf")).alias("_h"),
+        (F.sum(cond_term) / F.max("_nf")).alias("_hc"),
+    )
+    return agg.select(
+        F.col("_f").alias("feature"),
+        "n",
+        F.round("_h", round_to).alias("parent_entropy"),
+        F.round("_hc", round_to).alias("cond_entropy"),
+        F.round(F.col("_h") - F.col("_hc"), round_to).alias("gain"),
     )

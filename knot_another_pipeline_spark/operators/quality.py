@@ -1142,3 +1142,145 @@ def cms_estimate(
     return joined.groupBy("item").agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est_n")
     )
+
+
+def did_readout(
+    df: DataFrame,
+    *,
+    treat_col: str,
+    post_col: str,
+    metric_col: str,
+    by: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences experiment readout: the change in the
+    treated group's mean minus the change in the control group's mean,
+    ``(ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)`` — the standard
+    causal estimate when treatment was NOT randomized (a feature
+    shipped to one region, a pipeline change on one source) and a raw
+    post-period comparison would absorb the secular trend
+    :func:`ab_test` assumes away.
+
+    ``treat_col`` and ``post_col`` are boolean (or 0/1) flags.  ONE
+    hash aggregate per ``by`` segment computes all four cell counts
+    and means as conditional aggregates — no joins, no second scan,
+    the same shape as :func:`ab_test`.  The estimate is derived from
+    the ROUNDED cell means, so any two engines (or partitionings)
+    agree bit-for-bit.  A segment missing any of the four cells yields
+    NULL ``did`` rather than a misleading zero.
+
+    Output per segment: grp, the four cell ns and means, pre/post
+    deltas per arm, did.
+    """
+    grp = F.col(by) if by else F.lit("all")
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    m = F.col(metric_col).cast("double")
+    s = df.select(
+        grp.alias("grp"), t.alias("_t"), p.alias("_p"), m.alias("_m")
+    ).filter(
+        F.col("_m").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_p").isNotNull()
+    )
+
+    def cell(tv: bool, pv: bool) -> tuple:
+        cond = (F.col("_t") == tv) & (F.col("_p") == pv)
+        name = f"{'trt' if tv else 'ctl'}_{'post' if pv else 'pre'}"
+        return (
+            F.sum(cond.cast("long")).alias(f"n_{name}"),
+            F.round(F.avg(F.when(cond, F.col("_m"))), round_to).alias(
+                f"mean_{name}"
+            ),
+        )
+
+    aggs = [a for tv in (False, True) for pv in (False, True) for a in cell(tv, pv)]
+    out = s.groupBy("grp").agg(*aggs)
+    delta_ctl = F.round(
+        F.col("mean_ctl_post") - F.col("mean_ctl_pre"), round_to
+    )
+    delta_trt = F.round(
+        F.col("mean_trt_post") - F.col("mean_trt_pre"), round_to
+    )
+    return out.select(
+        "grp",
+        "n_ctl_pre", "mean_ctl_pre",
+        "n_ctl_post", "mean_ctl_post",
+        "n_trt_pre", "mean_trt_pre",
+        "n_trt_post", "mean_trt_post",
+        delta_ctl.alias("delta_ctl"),
+        delta_trt.alias("delta_trt"),
+        F.round(delta_trt - delta_ctl, round_to).alias("did"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    *,
+    row_col: str,
+    col_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns,
+    with Cramér's V as the normalized effect size — "does event mix
+    depend on time of day / source / region?", the workhorse
+    categorical-drift and segmentation screen.
+
+    One hash aggregate builds the contingency table (|R|·|C| rows —
+    tiny regardless of input size); row totals, column totals, and the
+    grand total are windows OVER THAT TABLE, never the raw rows; one
+    final aggregate sums the per-cell ``(observed − expected)²/expected``
+    contributions.  The statistic is emitted with its degrees of
+    freedom and Cramér's V (``sqrt(χ²/(N·min(R−1, C−1)))``) rather
+    than a p-value — SQL engines have no portable chi-square CDF, and
+    V is the scale-free number dashboards actually compare.
+
+    Output (single row): n, n_rows, n_cols, dof, chi2, cramers_v.
+    """
+    cells = (
+        df.select(
+            F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+        )
+        .filter(F.col("_r").isNotNull() & F.col("_c").isNotNull())
+        .groupBy("_r", "_c")
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    )
+    w_all = Window.partitionBy()
+    # NB: column resolution is case-insensitive — "_N" would collide
+    # with "_n", so the grand total is "_tot".
+    scored = cells.select(
+        "_r",
+        "_c",
+        "_n",
+        F.sum("_n").over(Window.partitionBy("_r")).alias("_rt"),
+        F.sum("_n").over(Window.partitionBy("_c")).alias("_ct"),
+        F.sum("_n").over(w_all).alias("_tot"),
+    ).withColumn(
+        # chi2 = sum over ALL cells of (o-e)^2/e, including the
+        # structural zeros groupBy never materializes. The identity
+        # sum (o-e)^2/e = sum o^2/e - N makes the empty cells free:
+        # they contribute 0 to sum o^2/e.
+        "_contrib",
+        F.col("_n") * F.col("_n") * F.col("_tot")
+        / (F.col("_rt") * F.col("_ct")),
+    )
+    agg = scored.agg(
+        F.max("_tot").cast("bigint").alias("n"),
+        F.count_distinct("_r").cast("bigint").alias("n_rows"),
+        F.count_distinct("_c").cast("bigint").alias("n_cols"),
+        F.round(F.sum("_contrib") - F.max("_tot"), round_to).alias("chi2"),
+    )
+    k = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "chi2",
+        F.round(
+            F.when(k > 0, F.sqrt(F.col("chi2") / (F.col("n") * k))),
+            round_to,
+        ).alias("cramers_v"),
+    )

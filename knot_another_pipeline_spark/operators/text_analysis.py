@@ -1082,3 +1082,48 @@ def bpe_encode(
         F.size(pieces).cast("bigint").alias("n_symbols"),
         F.array_join(pieces, "|").alias("symbols"),
     )
+
+
+def readability(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Flesch reading-ease scoring per document:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` —
+    the grade-level quality signal corpus-curation recipes bucket on
+    (very low scores flag legalese/boilerplate, implausibly high ones
+    flag word salad).
+
+    Counting is pure regexp codegen, zero shuffle, one scan:
+    words = ``\\S+`` runs, sentences = ``[.!?]+`` runs (floored at 1 so
+    fragments don't divide by zero), syllables = vowel-group runs in
+    the lowercased text — the standard cheap proxy (true syllabification
+    is dictionary work; the proxy is monotone enough for filtering, and
+    deterministic).  The character classes are engine-portable (no
+    lookaround, no unicode classes), so the DuckDB oracle counts with
+    the same patterns via ``regexp_extract_all``.
+
+    Empty/whitespace-only texts yield NULL flesch (no words), not an
+    error.  Output: id, n_words, n_sentences, n_syllables, flesch.
+    """
+    words = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    sentences = F.greatest(
+        F.lit(1), F.regexp_count(F.col(text_col), F.lit(r"[.!?]+"))
+    )
+    syllables = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
+    flesch = F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(flesch, round_to).alias("flesch"),
+    )

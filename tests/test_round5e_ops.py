@@ -494,3 +494,188 @@ def test_acf_constant_series_is_null(spark):
         df, series_col="series", order_col="t0", value_col="v", max_lag=2
     ).collect()
     assert all(r["acf"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# did_readout
+# ---------------------------------------------------------------------------
+
+
+def test_did_parallel_trends_cancel(spark):
+    from knot_another_pipeline_spark.operators.quality import did_readout
+
+    # control: 10 -> 14 (+4 secular trend); treated: 20 -> 29 (+9)
+    rows = (
+        [("a", False, False, 10.0)] * 3
+        + [("a", False, True, 14.0)] * 3
+        + [("a", True, False, 20.0)] * 3
+        + [("a", True, True, 29.0)] * 3
+    )
+    df = spark.createDataFrame(rows, ["seg", "treat", "post", "m"])
+    r = did_readout(
+        df, treat_col="treat", post_col="post", metric_col="m", by="seg"
+    ).collect()[0]
+    assert r["delta_ctl"] == 4.0 and r["delta_trt"] == 9.0
+    assert r["did"] == 5.0  # effect net of the shared trend
+
+
+def test_did_missing_cell_is_null(spark):
+    from knot_another_pipeline_spark.operators.quality import did_readout
+
+    rows = [("a", False, False, 1.0), ("a", True, True, 2.0)]
+    df = spark.createDataFrame(rows, ["seg", "treat", "post", "m"])
+    r = did_readout(
+        df, treat_col="treat", post_col="post", metric_col="m", by="seg"
+    ).collect()[0]
+    assert r["n_ctl_post"] == 0 and r["mean_ctl_post"] is None
+    assert r["did"] is None
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independent_and_dependent(spark):
+    from knot_another_pipeline_spark.operators.quality import chi2_independence
+
+    # perfectly independent 2x2: chi2 == 0
+    indep = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 10,
+        ["r", "c"],
+    )
+    r0 = chi2_independence(indep, row_col="r", col_col="c").collect()[0]
+    assert r0["chi2"] == 0.0 and r0["cramers_v"] == 0.0
+    assert r0["dof"] == 1 and r0["n"] == 40
+    # perfectly dependent 2x2: chi2 == n, cramers_v == 1
+    dep = spark.createDataFrame(
+        [("a", "x")] * 10 + [("b", "y")] * 10, ["r", "c"]
+    )
+    r1 = chi2_independence(dep, row_col="r", col_col="c").collect()[0]
+    assert r1["chi2"] == 20.0
+    assert r1["cramers_v"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# feature_gain
+# ---------------------------------------------------------------------------
+
+
+def test_feature_gain_perfect_vs_useless(spark):
+    from knot_another_pipeline_spark.operators.features import feature_gain
+
+    # label = parity; "exact" mirrors it (gain = H(label) = 1 bit),
+    # "noise" is constant (gain = 0)
+    rows = [
+        (i % 2, str(i % 2), "same") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["label", "exact", "noise"])
+    out = {
+        r["feature"]: r
+        for r in feature_gain(
+            df, label_col="label", feature_cols=["exact", "noise"]
+        ).collect()
+    }
+    assert out["exact"]["parent_entropy"] == 1.0
+    assert out["exact"]["gain"] == 1.0
+    assert out["noise"]["gain"] == 0.0
+    assert out["noise"]["cond_entropy"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_order_with_behavior(spark):
+    import datetime as dt
+
+    from knot_another_pipeline_spark.operators.behavior import rfm_segments
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # entity i: recency grows with i (worse), frequency/monetary grow with i
+    for i in range(10):
+        for j in range(i + 1):
+            rows.append((i, base + dt.timedelta(days=30 - 3 * i), 100.0 * (i + 1)))
+    df = spark.createDataFrame(rows, ["cust", "odate", "amount"])
+    out = {
+        r["entity"]: r
+        for r in rfm_segments(
+            df,
+            entity_col="cust",
+            ts_col="odate",
+            value_col="amount",
+            ref_date="2024-03-01",
+            n_tiles=5,
+        ).collect()
+    }
+    # most-recent, most-frequent, highest-spend entity scores top grade
+    assert out[9]["f_score"] == 5 and out[9]["m_score"] == 5
+    assert out[0]["r_score"] == 5  # i=0 has the LATEST activity date
+    assert out[9]["r_score"] == 1
+    assert out[0]["f_score"] == 1
+    assert out[9]["segment"] == "155"
+    # scores are within 1..5 and frequency is the raw count
+    assert all(1 <= r["f_score"] <= 5 for r in out.values())
+    assert out[4]["frequency"] == 5
+
+
+# ---------------------------------------------------------------------------
+# funnel_timing
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_timing_by_hand(spark):
+    import datetime as dt
+
+    from knot_another_pipeline_spark.operators.behavior import funnel_timing
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, minutes, etype):
+        return (uid, t0 + dt.timedelta(minutes=minutes), etype)
+
+    rows = [
+        # user 1: full funnel, 60s then 120s
+        ev(1, 0, "s"), ev(1, 1, "v"), ev(1, 3, "p"),
+        # user 2: converts s->v in 600s, never purchases
+        ev(2, 0, "s"), ev(2, 10, "v"),
+        # user 3: out-of-order (v before s): no transitions count
+        ev(3, 5, "v"), ev(3, 6, "s"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["step_index"]: r
+        for r in funnel_timing(df, ["s", "v", "p"]).collect()
+    }
+    assert out[1]["step_from"] == "s" and out[1]["step_to"] == "v"
+    assert out[1]["n_users"] == 2
+    assert out[1]["avg_seconds"] == (60 + 600) / 2
+    assert out[1]["p50_seconds"] == 330.0  # exact interpolated median
+    assert out[2]["n_users"] == 1 and out[2]["avg_seconds"] == 120.0
+
+
+# ---------------------------------------------------------------------------
+# readability
+# ---------------------------------------------------------------------------
+
+
+def test_readability_counts_and_score(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),
+            (3, "no sentence punctuation here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in readability(df).collect()}
+    assert out[1]["n_words"] == 6 and out[1]["n_sentences"] == 2
+    # vowel groups: e,a,a,e,o,a -> 6
+    assert out[1]["n_syllables"] == 6
+    assert out[1]["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert out[2]["n_words"] == 0 and out[2]["flesch"] is None
+    assert out[3]["n_sentences"] == 1  # floored, no divide-by-zero
