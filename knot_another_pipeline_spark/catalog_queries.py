@@ -6424,6 +6424,238 @@ FROM c
 """
 
 
+def q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney ROC AUC of a synthetic purchase scorer per
+    weekday segment (operators/evaluation.py auc_scores): midrank ties,
+    one Exchange shared by both windows, NULL for one-class groups."""
+    from knot_another_pipeline_spark.operators.evaluation import auc_scores
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = events.select(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).cast("int").alias("wd"),
+        (F.col("value") / 491.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return auc_scores(
+        s, group_cols=["wd"], score_col="score", label_col="y"
+    )
+
+
+ORACLE_AUC_SCORES = """
+WITH s AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS INT) AS wd,
+         CAST(value AS DOUBLE) / 491.0 AS sc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT wd, y,
+         rank() OVER (PARTITION BY wd ORDER BY sc)
+           + (count(*) OVER (PARTITION BY wd, sc) - 1) / 2.0 AS mr
+  FROM s),
+a AS (
+  SELECT wd, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         sum(CASE WHEN y = 1 THEN mr END) AS rsum
+  FROM r GROUP BY 1)
+SELECT wd, n_pos, n_neg,
+       round(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN (rsum - n_pos * (n_pos + 1) / 2.0)
+                       / (n_pos * n_neg) END, 6) AS auc
+FROM a
+"""
+
+
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the synthetic purchase scorer
+    (operators/evaluation.py calibration_curve): 10 equal-width score
+    bins, mean predicted vs observed rate, one aggregate."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        calibration_curve,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = events.select(
+        (F.col("value") / 491.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return calibration_curve(s, score_col="score", label_col="y", n_bins=10)
+
+
+ORACLE_CALIBRATION_CURVE = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) / 491.0 AS sc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT least(9, CAST(floor(sc * 10) AS INT)) AS bin, sc, y FROM s)
+SELECT bin, round(bin / 10.0, 6) AS lo, round((bin + 1) / 10.0, 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(sc), 6) AS mean_score,
+       round(avg(CAST(y AS DOUBLE)), 6) AS event_rate
+FROM b GROUP BY 1
+"""
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table for the synthetic purchase scorer
+    (operators/evaluation.py lift_table): exact-percentile tile
+    thresholds (no global NTILE sort), cumulative capture over the
+    10-row tile table."""
+    from knot_another_pipeline_spark.operators.evaluation import lift_table
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = events.select(
+        (F.col("value") / 491.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return lift_table(s, score_col="score", label_col="y", n_tiles=10)
+
+
+def _lift_oracle_sql(n_tiles: int) -> str:
+    qs = ", ".join(str(i / n_tiles) for i in range(1, n_tiles))
+    terms = "\n             + ".join(
+        f"(CASE WHEN sc < q[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, n_tiles)
+    )
+    return f"""
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) / 491.0 AS sc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+th AS (SELECT quantile_cont(sc, [{qs}]) AS q FROM s),
+tiled AS (
+  SELECT CAST(1 + {terms} AS INT) AS tile, y
+  FROM s CROSS JOIN th),
+t AS (
+  SELECT tile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_events
+  FROM tiled GROUP BY 1),
+w AS (
+  SELECT tile, n, n_events,
+         sum(n) OVER () AS tot_n, sum(n_events) OVER () AS tot_e,
+         sum(n_events) OVER (ORDER BY tile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_e
+  FROM t)
+SELECT tile, n, n_events,
+       round(CAST(n_events AS DOUBLE) / n, 6) AS event_rate,
+       round(CASE WHEN tot_e > 0
+                  THEN (CAST(n_events AS DOUBLE) / n)
+                       / (CAST(tot_e AS DOUBLE) / tot_n) END, 6) AS lift,
+       CAST(cum_e AS BIGINT) AS cum_events,
+       round(CASE WHEN tot_e > 0
+                  THEN CAST(cum_e AS DOUBLE) / tot_e END, 6) AS cum_capture
+FROM w
+"""
+
+
+ORACLE_LIFT_TABLE = _lift_oracle_sql(10)
+
+
+def q_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event window (operators/evaluation.py psi_stability): shared
+    32-bin grid, Laplace smoothing so empty bins price finitely."""
+    from knot_another_pipeline_spark.operators.evaluation import psi_stability
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return psi_stability(
+        events.filter(F.col("ts") < cut),
+        events.filter(F.col("ts") >= cut),
+        "value",
+        bins=32,
+        lo=0.0,
+        hi=491.0,
+    )
+
+
+ORACLE_PSI_STABILITY = """
+WITH e AS (
+  SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0)
+                                   / 15.34375) AS BIGINT), 0), 31) AS bin
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    AND NOT isnan(CAST(value AS DOUBLE))),
+a AS (
+  SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0)
+                                   / 15.34375) AS BIGINT), 0), 31) AS bin
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    AND NOT isnan(CAST(value AS DOUBLE))),
+he AS (SELECT bin, CAST(count(*) AS DOUBLE) AS n_e FROM e GROUP BY 1),
+ha AS (SELECT bin, CAST(count(*) AS DOUBLE) AS n_a FROM a GROUP BY 1),
+j AS (
+  SELECT coalesce(he.n_e, 0) AS n_e, coalesce(ha.n_a, 0) AS n_a
+  FROM he FULL OUTER JOIN ha ON he.bin = ha.bin),
+tt AS (SELECT sum(n_e) AS te, sum(n_a) AS ta FROM j),
+terms AS (
+  SELECT te, ta,
+         ((n_a + 0.5) / (ta + 16.0) - (n_e + 0.5) / (te + 16.0))
+         * ln(((n_a + 0.5) / (ta + 16.0))
+              / ((n_e + 0.5) / (te + 16.0))) AS term
+  FROM j CROSS JOIN tt),
+agg AS (SELECT te, ta, round(sum(term), 6) AS psi FROM terms GROUP BY 1, 2)
+SELECT psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict,
+       CAST(te AS BIGINT) AS n_expected,
+       CAST(ta AS BIGINT) AS n_actual
+FROM agg
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag
+    (operators/quality.py weighted_median): cumulative-weight crossing
+    in one ordered window; exact-integer weight sums keep the crossing
+    comparison engine-stable."""
+    from knot_another_pipeline_spark.operators.quality import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        group_cols=["l_returnflag"],
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH s AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS DOUBLE) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0),
+c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM s)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+       round(max(tw), 6) AS total_weight,
+       round(min(v), 6) AS weighted_median
+FROM c WHERE cw >= tw / 2 GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6606,6 +6838,11 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "funnel_timing": q_funnel_timing,
     "readability": q_readability,
+    "auc_scores": q_auc_scores,
+    "calibration_curve": q_calibration_curve,
+    "lift_table": q_lift_table,
+    "psi_stability": q_psi_stability,
+    "weighted_median": q_weighted_median,
 }
 
 ORACLES = {
@@ -6767,4 +7004,9 @@ ORACLES = {
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "funnel_timing": ORACLE_FUNNEL_TIMING,
     "readability": ORACLE_READABILITY,
+    "auc_scores": ORACLE_AUC_SCORES,
+    "calibration_curve": ORACLE_CALIBRATION_CURVE,
+    "lift_table": ORACLE_LIFT_TABLE,
+    "psi_stability": ORACLE_PSI_STABILITY,
+    "weighted_median": ORACLE_WEIGHTED_MEDIAN,
 }

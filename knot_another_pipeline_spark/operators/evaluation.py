@@ -1,0 +1,289 @@
+"""Model-evaluation metrics over scored rows: AUC, calibration, lift,
+and population stability.
+
+A training-data pipeline does not stop at producing features and labels
+— it has to judge the models scored back onto the data (is the quality
+classifier separating? is the dedup scorer calibrated? did the score
+distribution drift after a retrain?).  These are the four standard
+readouts, each computed exactly (no sampling, no sketch) with the
+classic distributed shapes:
+
+- ``auc_scores`` — ROC AUC via the Mann–Whitney rank identity: midrank
+  the scores per group, sum the positive ranks, done.  One shuffle.
+- ``calibration_curve`` — predicted-vs-observed reliability per
+  equal-width score bin.  One aggregate.
+- ``lift_table`` — decile gains: tiles from exact-percentile
+  THRESHOLDS (1-row broadcast + map-side compare, never a one-task
+  global NTILE sort), cumulative capture over the tiny tile table.
+- ``psi_stability`` — Population Stability Index between two score
+  snapshots on a shared fixed bin grid, Laplace-smoothed so empty bins
+  are priced deterministically instead of exploding ln(0).
+
+The reference has no model-evaluation surface at all (its apps render
+descriptive charts); these follow the same oracle-replayable design as
+the rest of the catalog — every float rounds, every rank has exact tie
+semantics, every hash is engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "auc_scores",
+    "calibration_curve",
+    "lift_table",
+    "psi_stability",
+]
+
+
+def auc_scores(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC per group via the Mann–Whitney U identity:
+    ``AUC = (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋)`` with AVERAGE
+    (midrank) tie handling — equal scores contribute exactly ½, which
+    is the probabilistic definition P(score₊ > score₋) + ½P(=).  This
+    matches sklearn's ``roc_auc_score`` without materializing a single
+    ROC point, threshold sweep, or pairwise join.
+
+    One shuffle: the rank window and the tie-count window share the
+    group partitioning (HashPartitioning(group) satisfies the
+    (group, score) clustering — same plan shape as ``spearman_corr``,
+    ONE Exchange), then one hash aggregate.  Groups with no positives
+    or no negatives yield NULL (AUC is undefined), not an error.
+
+    Labels are truthy ints/booleans (positive = 1/true).  Rows with
+    NULL score or label are dropped.  Output: group cols, n_pos,
+    n_neg, auc.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    gp = [F.col(c) for c in group_cols]
+    midrank = F.rank().over(Window.partitionBy(*gp).orderBy("_s")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*gp, F.col("_s"))) - 1
+    ) / 2.0
+    ranked = s.withColumn("_r", midrank)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("_rsum"),
+    )
+    auc = (
+        F.col("_rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc),
+            round_to,
+        ).alias("auc"),
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability diagram data: scores (assumed in [0, 1]) bucketed
+    into ``n_bins`` equal-width bins, each bin reporting its mean
+    predicted score against the observed event rate.  A calibrated
+    scorer tracks the diagonal; a quality classifier that says "0.9"
+    where only 40% are positive needs recalibrating before its scores
+    gate data.
+
+    ONE hash aggregate over row-local bin assignment (``n_bins``
+    output rows); scores exactly 1.0 fold into the top bin.  Output:
+    bin, lo, hi, n, mean_score, event_rate.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    b = F.least(
+        F.lit(n_bins - 1), F.floor(F.col("_s") * n_bins).cast("int")
+    )
+    return (
+        s.withColumn("_b", b)
+        .groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("_s"), round_to).alias("mean_score"),
+            F.round(F.avg("_y"), round_to).alias("event_rate"),
+        )
+        .select(
+            F.col("_b").alias("bin"),
+            F.round(F.col("_b") / n_bins, round_to).alias("lo"),
+            F.round((F.col("_b") + 1) / n_bins, round_to).alias("hi"),
+            "n",
+            "mean_score",
+            "event_rate",
+        )
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    n_tiles: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Decile gains/lift table: rows tiled by score (tile 1 = highest
+    scores), each tile's event rate compared to the base rate, with
+    cumulative event capture — "the top 20% of scores capture 63% of
+    positives", the number targeting/curation decisions are made on.
+
+    Tiles come from exact-percentile THRESHOLDS (one aggregate → a
+    1-row broadcast → a map-side comparison), the same
+    global-sort-free shape as ``rfm_segments`` — a global NTILE would
+    serialize the corpus through one sort task.  Rows tied on a
+    threshold land deterministically in the higher tile; tile sizes
+    wobble at ties, boundaries don't.  The cumulative columns window
+    over the ``n_tiles``-row aggregate.
+
+    Output: tile, n, n_events, event_rate, lift, cum_events,
+    cum_capture.
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    s = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    qarr = "array({})".format(", ".join(str(q) for q in qs))
+    thresholds = s.agg(F.expr(f"percentile(_s, {qarr})").alias("_q"))
+    terms = [
+        F.when(
+            F.col("_s") < F.element_at(F.col("_q"), i), F.lit(1)
+        ).otherwise(F.lit(0))
+        for i in range(1, n_tiles)
+    ]
+    tile = (F.lit(1) + sum(terms[1:], terms[0])).cast("int")
+    tiles = (
+        s.crossJoin(F.broadcast(thresholds))
+        .withColumn("_tile", tile)
+        .groupBy("_tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_events"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("_tile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base_rate = F.sum("n_events").over(w_all) / F.sum("n").over(w_all)
+    total_events = F.sum("n_events").over(w_all)
+    return tiles.select(
+        F.col("_tile").alias("tile"),
+        "n",
+        "n_events",
+        F.round(F.col("n_events") / F.col("n"), round_to).alias("event_rate"),
+        F.round(
+            F.when(
+                base_rate > 0, (F.col("n_events") / F.col("n")) / base_rate
+            ),
+            round_to,
+        ).alias("lift"),
+        F.sum("n_events").over(w_cum).cast("bigint").alias("cum_events"),
+        F.round(
+            F.when(
+                total_events > 0, F.sum("n_events").over(w_cum) / total_events
+            ),
+            round_to,
+        ).alias("cum_capture"),
+    )
+
+
+def psi_stability(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    lo: float,
+    hi: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a score (or
+    feature) distribution: ``PSI = Σ_bins (p_a − p_e)·ln(p_a/p_e)``
+    over a SHARED fixed equal-width grid — the industry-standard
+    "did the scoring population shift since the model was fit" alarm,
+    with its conventional reading (< 0.1 stable, < 0.25 moderate,
+    else shifted) emitted as a verdict column.
+
+    Complements ``histogram_drift`` (total variation): TV is bounded
+    and symmetric-additive; PSI weights tail moves logarithmically,
+    which is why scorecard monitoring standardized on it.  Both sides
+    reuse :func:`equi_width_histogram` (bounded shuffle, ≤ ``bins``
+    rows each) and join on the bin grid.  Empty bins are
+    Laplace-smoothed — ``p = (n + 0.5)/(N + 0.5·bins)`` — a
+    DETERMINISTIC convention that keeps ln() finite and the metric
+    reproducible, instead of the ad-hoc epsilon many implementations
+    bury.
+
+    Output (one row): psi, verdict, n_expected, n_actual.
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        equi_width_histogram,
+    )
+
+    e = equi_width_histogram(expected, col, bins=bins, lo=lo, hi=hi).select(
+        "bin", F.col("n").alias("n_e")
+    )
+    a = equi_width_histogram(actual, col, bins=bins, lo=lo, hi=hi).select(
+        "bin", F.col("n").alias("n_a")
+    )
+    joined = e.join(a, "bin", "full_outer").select(
+        F.coalesce("n_e", F.lit(0)).cast("double").alias("n_e"),
+        F.coalesce("n_a", F.lit(0)).cast("double").alias("n_a"),
+    )
+    totals = joined.agg(
+        F.sum("n_e").alias("te"), F.sum("n_a").alias("ta")
+    )
+    sm = F.lit(0.5)
+    per_bin = joined.crossJoin(F.broadcast(totals)).select(
+        "te",
+        "ta",
+        (
+            (
+                (F.col("n_a") + sm) / (F.col("ta") + sm * bins)
+                - (F.col("n_e") + sm) / (F.col("te") + sm * bins)
+            )
+            * F.log(
+                ((F.col("n_a") + sm) / (F.col("ta") + sm * bins))
+                / ((F.col("n_e") + sm) / (F.col("te") + sm * bins))
+            )
+        ).alias("_term"),
+    )
+    agg = per_bin.groupBy("te", "ta").agg(
+        F.round(F.sum("_term"), round_to).alias("psi")
+    )
+    return agg.select(
+        "psi",
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted"))
+        .alias("verdict"),
+        F.col("te").cast("bigint").alias("n_expected"),
+        F.col("ta").cast("bigint").alias("n_actual"),
+    )

@@ -1284,3 +1284,54 @@ def chi2_independence(
             round_to,
         ).alias("cramers_v"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value whose
+    cumulative weight reaches half the group's total — "the median
+    price weighted by quantity", "the median latency weighted by
+    request volume" — where the unweighted median would let a million
+    1-unit rows outvote the rows carrying the actual volume.
+
+    One rank-window pass (cumulative weight over values ascending) and
+    one aggregate taking the first crossing.  Value ties need no
+    tiebreak: whichever tied row's cumulative weight crosses the
+    half-total first, the SELECTED VALUE is the same — the answer is
+    deterministic even though the intra-tie order is not.  Zero or
+    negative weights are dropped (they have no mass interpretation);
+    a group with no positive weight disappears from the output.
+
+    Output: group cols, n, total_weight, weighted_median.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    ).filter(
+        F.col("_v").isNotNull() & F.col("_w").isNotNull() & (F.col("_w") > 0)
+    )
+    gp = [F.col(c) for c in group_cols]
+    cum = Window.partitionBy(*gp).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.partitionBy(*gp)
+    scored = s.select(
+        *group_cols,
+        "_v",
+        "_w",
+        F.sum("_w").over(cum).alias("_cw"),
+        F.sum("_w").over(full).alias("_tw"),
+        F.count(F.lit(1)).over(full).alias("_n"),
+    ).filter(F.col("_cw") >= F.col("_tw") / 2)
+    return scored.groupBy(*group_cols).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.round(F.max("_tw"), round_to).alias("total_weight"),
+        F.round(F.min("_v"), round_to).alias("weighted_median"),
+    )
