@@ -23,82 +23,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 
-# Never driver-gated as of CORRECTNESS_r04 (plus the r2-gated DQ pair the
-# driver dropped in r3) — these must land inside the checked window first.
+# Never driver-gated as of CORRECTNESS_r05 — 64 keys, ordered FIFO by age
+# of first deferral (the round-5 rotation commitment), with two
+# verdict-directed promotions ahead of strict age order:
+#   1. quantize_embeddings / encode_documents / kmeans_step — round 5's
+#      only red rows (driver canonicalizer cannot hash ARRAY cells; now
+#      fixed by rendering arrays as comma-joined strings in query AND
+#      oracle). VERDICT r5 task #1 requires green r06 rows for all three.
+#   2. auc_scores / calibration_curve / lift_table / psi_stability /
+#      weighted_median — the evaluation family missed the r5 queue
+#      entirely (ADVICE medium); VERDICT r5 task #6 requires driver rows
+#      this round.
+# Everything else keeps strict FIFO: the 11 r5-deferred keys first, then
+# media_chunks (oldest never-gated key overall), then the r5-final batch,
+# then the r5-continuation batch. With a 50-key window, the newest 14
+# (trend_fit .. readability) defer to round 7 and move to the FRONT of
+# this list next round.
 _PRIORITY = [
-    # r5 late additions — newest, never gated
-    "bm25_search",
-    "pmi_topk",
-    "prefix_jaccard",
-    "decayed_engagement",
-    "winsorized_stats",
-    "triangle_stats",
-    "radius_pairs",
-    "quantize_embeddings",
-    "kmv_rollup",
-    "speed_filter",
-    "build_vocab",
-    "encode_documents",
-    "dwell_segments",
-    "stratified_sample",
-    "conversion_attribution",
-    "hybrid_search",
-    "bloom_prune",
-    "dq_reconcile",
-    "contract_checks",
-    # r5 additions — never gated yet
-    "cdc_apply",
-    "scd2_history",
-    "interval_merge",
-    "unpivot_metrics",
-    "period_over_period",
-    "funnel_steps",
-    "cohort_retention",
-    "skew_join",
-    "resample_daily",
-    "reaggregate_monthly",
-    "ntile_deciles",
-    "pagerank",
-    "journey_topk",
-    "asof_join",
-    "range_join",
-    "rolling_stats",
-    "upsert",
-    "grouped_totals",
-    "grouped_topk",
-    "salted_agg",
-    "snapshot_diff",
-    "kmv_distinct",
-    "histogram_quantiles",
-    "histogram_drift",
-    "lm_score",
-    "incremental_dedup",
-    "chunk_documents",
-    "stratified_cap",
-    "weighted_sample",
-    "embedding_centroids",
-    "table_profile",
-    # --- 50-key window boundary: with 62 never-gated keys and a 50-key
-    # window, twelve must wait. ROTATION COMMITMENT: every deferred key
-    # below moves to the FRONT of this list next round (they become the
-    # oldest never-gated keys), so no key waits more than one round —
-    # deferral is a queue, not an exemption. Each was chosen because an
-    # in-window relative pins its family's semantics this round:
-    # fuzzy_match (blocked-candidates-then-exact-verify, the same shape
-    # as in-window prefix_jaccard), json_extract_stats (pure codegen get_json_object extraction),
-    # pivot_daily (conditional-agg pivot exercised by in-window
-    # cohort_retention's retention matrix), track_interpolate (grid-explode + as-of compose, pinned by
-    # in-window asof_join), normalize_docs (canonicalization expressions exercised inside the
-    # hash-gated exact/minhash dedup chain), ngram_topk (corpus n-gram
-    # stats ≈ in-window pmi_topk, same row-local gram build + count
-    # shape), anomaly_zscore (group-stats join-back family ≈
-    # winsorized_stats), keyword_search (TF-IDF sibling of bm25_search,
-    # same postings shape), value_histogram (equi-width histogram
-    # inside histogram_drift), zorder_key (bit-exact unit tests, pure
-    # codegen), length_percentile_rank (per-group rank family ≈
-    # ntile_deciles), media_resize (multimodal family gated via
-    # meta/frames/features in r4). All stay green in the in-repo
-    # differential.
     "fuzzy_match",
     "json_extract_stats",
     "pivot_daily",
@@ -110,17 +51,16 @@ _PRIORITY = [
     "value_histogram",
     "zorder_key",
     "length_percentile_rank",
-    "media_resize",
-    # round-5 final additions — newer than the deferred keys above, so
-    # they queue BEHIND them (the rotation commitment is FIFO by age of
-    # first deferral). Family relatives already in the window this
-    # round: pack_sequences ≈ shard_assign's prefix-sum (gated r3),
-    # kmeans_step shares assign_cells with in-window semantic_dedup's
-    # chain, link_prediction ≈ triangle_stats' wedge join,
-    # label_vote ≈ grouped_topk's per-group argmax, canonical_docs
-    # composes the hash-gated minhash chain + dedup_components.
-    "pack_sequences",
+    "media_chunks",
+    "quantize_embeddings",
+    "encode_documents",
     "kmeans_step",
+    "auc_scores",
+    "calibration_curve",
+    "lift_table",
+    "psi_stability",
+    "weighted_median",
+    "pack_sequences",
     "link_prediction",
     "label_vote",
     "canonical_docs",
@@ -148,10 +88,11 @@ _PRIORITY = [
     "scd2_as_of",
     "dataset_card",
     "scd2_lookup",
-    # round-5 continuation batch (newest — queues behind everything
-    # above under the FIFO rotation commitment)
     "markov_transitions",
     "survival_curve",
+    # --- 50-key window boundary. ROTATION COMMITMENT (FIFO): the 14
+    # keys below are the newest never-gated keys; they move to the
+    # FRONT of this list next round, ahead of any round-6 additions.
     "trend_fit",
     "cusum_alarm",
     "basket_rules",
@@ -171,12 +112,9 @@ _PRIORITY = [
 # Representatives of already-hash-verified families, queued AFTER the
 # whole priority list: the first 50 priority keys fill the driver's
 # observed 50-key window exactly; if the window is larger this round,
-# the 12 deferred priority keys (positions 51-62) enter first and these
-# flagship queries only after them. The families trimmed out
-# of the window in r5 (normalize_ts, stable_bucket, pricing_summary,
-# sessionize, text_stats, corpus_prep, token_budget, minhash_pairs,
-# semantic_dedup, knn_bruteforce, media_meta, media_chunks, …) passed
-# the driver hash gate in r2–r4 and stay covered by the in-repo
+# the 14 deferred priority keys (positions 51-64) enter first and these
+# flagship queries only after them. Families trimmed out of the window
+# passed the driver hash gate in r2–r5 and stay covered by the in-repo
 # differential over all keys every test run.
 _REPRESENTATIVES = [
     "ais_hourly",

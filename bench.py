@@ -117,6 +117,13 @@ HEADLINE = [
     "rfm_segments",
     "funnel_timing",
     "readability",
+    # r6 additions: model-evaluation family (first bench visibility) +
+    # weighted median
+    "auc_scores",
+    "calibration_curve",
+    "lift_table",
+    "psi_stability",
+    "weighted_median",
 ]
 
 
@@ -218,13 +225,28 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    # Two stdout lines, full map FIRST and the compact headline LAST:
+    # the driver tail-captures the final stdout line, and with 90+
+    # queries the full map overflowed its capture in BENCH_r05
+    # (parsed: null). The final line stays short and parseable; the
+    # per-query map is one line earlier for humans/tools that want it.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_per_query",
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
+                "n_queries": len(per_query),
                 "sf": sf_val,
             }
         )

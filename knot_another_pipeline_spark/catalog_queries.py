@@ -3875,7 +3875,13 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, id_col="vec_id", vec_col="embedding")
+    out = quantize_embeddings(emb, id_col="vec_id", vec_col="embedding")
+    # Driver-harness canonicalization: the correctness gate's pandas
+    # sort_values cannot order ARRAY cells, so render the codes array as
+    # a comma-joined string (the oracle does the identical rendering).
+    return out.withColumn(
+        "codes", F.array_join(F.col("codes").cast("array<string>"), ",")
+    )
 
 
 ORACLE_QUANTIZE_EMBEDDINGS = """
@@ -3887,10 +3893,11 @@ WITH base AS (
   FROM embeddings)
 SELECT id,
        round(scale, 6) AS scale,
-       CASE WHEN scale = 0
-            THEN list_transform(v, x -> 0)
-            ELSE list_transform(v, x -> CAST(round(x / scale * 127.0) AS INT))
-       END AS codes,
+       array_to_string(
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(round(x / scale * 127.0) AS INT))
+         END, ',') AS codes,
        CASE WHEN scale = 0
             THEN 0.0
             ELSE round(list_max(list_transform(
@@ -4027,7 +4034,14 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, text_col="text", min_count=5, max_size=200)
-    return encode_documents(docs, vocab, id_col="doc_id", text_col="text")
+    out = encode_documents(docs, vocab, id_col="doc_id", text_col="text")
+    # Driver-harness canonicalization: ARRAY cells are unhashable in the
+    # gate's pandas comparator — render as comma-joined string, matching
+    # the oracle's array_to_string.
+    return out.withColumn(
+        "token_ids",
+        F.array_join(F.col("token_ids").cast("array<string>"), ","),
+    )
 
 
 ORACLE_ENCODE_DOCUMENTS = rf"""
@@ -4049,7 +4063,7 @@ mapped AS (
   SELECT f.id, f.pos, CAST(coalesce(v.tid, 0) AS BIGINT) AS tid
   FROM flat f LEFT JOIN vocab v USING (token))
 SELECT t.doc_id AS id,
-       coalesce(m.token_ids, []) AS token_ids,
+       array_to_string(coalesce(m.token_ids, []), ',') AS token_ids,
        CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(m.n_oov, 0) AS BIGINT) AS n_oov
 FROM toks t
@@ -4379,8 +4393,21 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knot_another_pipeline_spark.operators.similarity import kmeans_step
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_step(
+    out = kmeans_step(
         emb, id_col="vec_id", vec_col="embedding", num_centroids=8
+    )
+    # Driver-harness canonicalization: render the centroid array as a
+    # comma-joined fixed-point string (DECIMAL(18,6) text form is
+    # identical in Spark and DuckDB, unlike raw double formatting).
+    return out.withColumn(
+        "new_centroid",
+        F.array_join(
+            F.transform(
+                F.col("new_centroid"),
+                lambda x: x.cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ),
     )
 
 
@@ -4402,7 +4429,9 @@ flat AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS comp
 agg AS (SELECT cell, pos, avg(comp) AS m, count(*) AS nv
         FROM flat GROUP BY 1, 2),
 newc AS (SELECT cell, CAST(max(nv) AS BIGINT) AS n_vectors,
-                list(round(m, 6) ORDER BY pos) AS new_centroid
+                array_to_string(
+                  list(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR)
+                       ORDER BY pos), ',') AS new_centroid
          FROM agg GROUP BY cell),
 shiftt AS (SELECT a.cell,
                   round(sqrt(sum(pow(a.m - c.centv[a.pos], 2))), 6) AS shift
@@ -6597,9 +6626,11 @@ a AS (
     AND NOT isnan(CAST(value AS DOUBLE))),
 he AS (SELECT bin, CAST(count(*) AS DOUBLE) AS n_e FROM e GROUP BY 1),
 ha AS (SELECT bin, CAST(count(*) AS DOUBLE) AS n_a FROM a GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, 31)) AS bin),
 j AS (
   SELECT coalesce(he.n_e, 0) AS n_e, coalesce(ha.n_a, 0) AS n_a
-  FROM he FULL OUTER JOIN ha ON he.bin = ha.bin),
+  FROM grid LEFT JOIN he ON grid.bin = he.bin
+            LEFT JOIN ha ON grid.bin = ha.bin),
 tt AS (SELECT sum(n_e) AS te, sum(n_a) AS ta FROM j),
 terms AS (
   SELECT te, ta,

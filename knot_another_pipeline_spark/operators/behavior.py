@@ -578,21 +578,36 @@ def rfm_segments(
         ]
         return (F.lit(1) + sum(terms[1:], terms[0])).cast("int")
 
+    # A NULL metric (all-NULL value_col, or a timestamp that fails the
+    # cast) must score NULL, not fall through the otherwise(0) terms to
+    # score 1 — "unknown" and "worst" are different facts. The segment
+    # goes NULL with any NULL score (concat_ws would silently skip it
+    # and emit a 2-digit segment).
+    def guarded(metric: str, score):
+        return F.when(F.col(metric).isNotNull(), score)
+
     return scored.select(
         "entity",
         "recency_days",
         F.col("frequency").cast("bigint").alias("frequency"),
         "monetary",
-        score_down("recency_days", "_rq").alias("r_score"),
-        score_up("frequency", "_fq").alias("f_score"),
-        score_up("monetary", "_mq").alias("m_score"),
+        guarded("recency_days", score_down("recency_days", "_rq")).alias(
+            "r_score"
+        ),
+        guarded("frequency", score_up("frequency", "_fq")).alias("f_score"),
+        guarded("monetary", score_up("monetary", "_mq")).alias("m_score"),
     ).withColumn(
         "segment",
-        F.concat_ws(
-            "",
-            F.col("r_score").cast("string"),
-            F.col("f_score").cast("string"),
-            F.col("m_score").cast("string"),
+        F.when(
+            F.col("r_score").isNotNull()
+            & F.col("f_score").isNotNull()
+            & F.col("m_score").isNotNull(),
+            F.concat_ws(
+                "",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
         ),
     )
 

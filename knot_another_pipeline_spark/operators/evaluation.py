@@ -253,9 +253,21 @@ def psi_stability(
     a = equi_width_histogram(actual, col, bins=bins, lo=lo, hi=hi).select(
         "bin", F.col("n").alias("n_a")
     )
-    joined = e.join(a, "bin", "full_outer").select(
-        F.coalesce("n_e", F.lit(0)).cast("double").alias("n_e"),
-        F.coalesce("n_a", F.lit(0)).cast("double").alias("n_a"),
+    # Densify to the FULL fixed grid 0..bins-1 before smoothing: a bin
+    # empty in BOTH snapshots still contributes a (generally nonzero)
+    # Laplace-smoothed term whenever the two totals differ, so dropping
+    # it (as a bare full_outer join of the two sparse histograms would)
+    # deviates from the documented "Σ over the shared fixed grid".
+    grid = expected.sparkSession.range(bins).select(
+        F.col("id").cast("bigint").alias("bin")
+    )
+    joined = (
+        grid.join(e, "bin", "left")
+        .join(a, "bin", "left")
+        .select(
+            F.coalesce("n_e", F.lit(0)).cast("double").alias("n_e"),
+            F.coalesce("n_a", F.lit(0)).cast("double").alias("n_a"),
+        )
     )
     totals = joined.agg(
         F.sum("n_e").alias("te"), F.sum("n_a").alias("ta")

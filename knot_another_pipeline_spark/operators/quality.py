@@ -1226,10 +1226,13 @@ def chi2_independence(
     depend on time of day / source / region?", the workhorse
     categorical-drift and segmentation screen.
 
-    One hash aggregate builds the contingency table (|R|·|C| rows —
-    tiny regardless of input size); row totals, column totals, and the
-    grand total are windows OVER THAT TABLE, never the raw rows; one
-    final aggregate sums the per-cell ``(observed − expected)²/expected``
+    One hash aggregate builds the contingency table (|R|·|C| rows);
+    row totals, column totals, and the grand total are DISTRIBUTED
+    aggregates over that table joined back on the margin keys — not
+    whole-table windows, which would funnel every cell through one
+    task and break for high-cardinality categorical pairs (millions of
+    cells is a plain join here, an OOM there); one final aggregate
+    sums the per-cell ``(observed − expected)²/expected``
     contributions.  The statistic is emitted with its degrees of
     freedom and Cramér's V (``sqrt(χ²/(N·min(R−1, C−1)))``) rather
     than a p-value — SQL engines have no portable chi-square CDF, and
@@ -1245,16 +1248,15 @@ def chi2_independence(
         .groupBy("_r", "_c")
         .agg(F.count(F.lit(1)).cast("double").alias("_n"))
     )
-    w_all = Window.partitionBy()
     # NB: column resolution is case-insensitive — "_N" would collide
     # with "_n", so the grand total is "_tot".
-    scored = cells.select(
-        "_r",
-        "_c",
-        "_n",
-        F.sum("_n").over(Window.partitionBy("_r")).alias("_rt"),
-        F.sum("_n").over(Window.partitionBy("_c")).alias("_ct"),
-        F.sum("_n").over(w_all).alias("_tot"),
+    row_totals = cells.groupBy("_r").agg(F.sum("_n").alias("_rt"))
+    col_totals = cells.groupBy("_c").agg(F.sum("_n").alias("_ct"))
+    grand = cells.agg(F.sum("_n").alias("_tot"))
+    scored = (
+        cells.join(row_totals, "_r")
+        .join(col_totals, "_c")
+        .crossJoin(F.broadcast(grand))
     ).withColumn(
         # chi2 = sum over ALL cells of (o-e)^2/e, including the
         # structural zeros groupBy never materializes. The identity

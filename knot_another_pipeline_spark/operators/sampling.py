@@ -581,10 +581,10 @@ def negative_samples(
     training is impossible without this step, and ``df.sample`` can
     neither exclude positives nor promise stability.
 
-    Shape: items get dense indices (row_number over the item key — the
-    item table is the dimension side, orders of magnitude smaller than
-    interactions; for a billion-item catalog pre-assign dense ids at
-    ingest instead); each user row-locally explodes ``k·oversample``
+    Shape: items get dense indices via ``global_rank`` (range partition
+    + per-partition offset prefix sum — no single-task global window,
+    so even a billion-item catalog indexes in parallel); each user
+    row-locally explodes ``k·oversample``
     draw attempts, attempt j targeting index ``hash64(user:j:seed) mod
     n_items``; drawn items resolve through an equi-join on the index
     (AQE broadcasts the dimension), positives fall out via a left-anti
@@ -603,13 +603,20 @@ def negative_samples(
         raise ValueError(f"oversample must be >= 1, got {oversample}")
     from knot_another_pipeline_spark.functions.hashing import hash64
 
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
     inter = interactions.select(
         F.col(user_col).alias("user"), F.col(item_col).alias("item")
     )
-    idx_w = Window.orderBy(F.col("item").asc())
-    indexed = items.select(F.col(item_col).alias("item")).distinct().select(
-        "item", (F.row_number().over(idx_w) - 1).alias("_idx")
-    )
+    # Dense item index via the distributed ranking recipe (range
+    # partition + per-partition offsets), NOT row_number() OVER (ORDER
+    # BY item) — that window funnels the whole item catalog through one
+    # task, the exact anti-pattern global_rank exists to avoid.
+    indexed = global_rank(
+        items.select(F.col(item_col).alias("item")).distinct(),
+        [F.col("item").asc()],
+        rank_col="_rk",
+    ).select("item", (F.col("_rk") - 1).alias("_idx"))
     n_items = indexed.agg(F.count(F.lit(1)).alias("_n"))
     m = k * oversample
     attempts = (

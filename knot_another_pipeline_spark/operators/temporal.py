@@ -1047,6 +1047,7 @@ def seasonal_decompose(
     value_col: str,
     period: int = 7,
     round_to: int = 6,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Classical additive seasonal decomposition per series:
     ``value = trend + seasonal + remainder`` — trend from a centered
@@ -1071,17 +1072,26 @@ def seasonal_decompose(
     before the next subtraction so both engines (and any partitioning)
     derive the components from identical doubles.
 
+    ``order_col`` must be unique within a series, or pass
+    ``tiebreak_col`` (a unique row id): the row-number and centered
+    windows order by it, and duplicate order values without a tiebreak
+    make ``t`` (hence the in-period position and every component)
+    partition-order-dependent — the same contract as
+    ``markov_transitions`` / ``cusum_alarm``.
+
     Output: series, t, value, trend, seasonal, remainder.
     """
     if period < 3 or period % 2 == 0:
         raise ValueError(f"period must be odd and >= 3, got {period}")
     half = period // 2
-    w = Window.partitionBy("series").orderBy("ord")
+    order = [F.col("ord")] + ([F.col("_tb")] if tiebreak_col else [])
+    w = Window.partitionBy("series").orderBy(*order)
     ctr = w.rowsBetween(-half, half)
     s = df.select(
         F.col(series_col).alias("series"),
         F.col(order_col).alias("ord"),
         F.col(value_col).cast("double").alias("value"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
     ).filter(F.col("value").isNotNull())
     with_trend = (
         s.withColumn("t", F.row_number().over(w) - 1)
@@ -1129,6 +1139,7 @@ def acf(
     value_col: str,
     max_lag: int = 7,
     round_to: int = 6,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-series autocorrelation function: the correlation of each
     series with itself shifted by k rows, for k = 1..``max_lag`` — the
@@ -1146,16 +1157,24 @@ def acf(
     estimator — documented so the oracle and any consumer agree on
     the estimator.  Constant segments (zero variance) yield NULL.
 
+    ``order_col`` must be unique within a series, or pass
+    ``tiebreak_col`` (a unique row id): ``lag(value, k)`` is defined by
+    the window ORDER BY, and duplicate order values without a tiebreak
+    make every lag pairing partition-order-dependent — the same
+    contract as ``markov_transitions`` / ``cusum_alarm``.
+
     One shuffle (the series window; the aggregate reuses nothing
     bigger).  Output: series, lag, n_pairs, acf.
     """
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
-    w = Window.partitionBy("series").orderBy("ord")
+    order = [F.col("ord")] + ([F.col("_tb")] if tiebreak_col else [])
+    w = Window.partitionBy("series").orderBy(*order)
     s = df.select(
         F.col(series_col).alias("series"),
         F.col(order_col).alias("ord"),
         F.col(value_col).cast("double").alias("value"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
     ).filter(F.col("value").isNotNull())
     lagged = s.select(
         "series",

@@ -568,6 +568,30 @@ def test_negative_samples_validation(spark):
         negative_samples(df, df, user_col="u", item_col="it", oversample=0)
 
 
+def test_negative_samples_plan_no_single_partition_item_window(spark):
+    """Item indexing routes through global_rank: every row_number
+    window in the plan must be keyed (by the range-partition pid or the
+    per-user rank key) — no unkeyed ORDER BY window that would funnel
+    the item catalog through one task."""
+    import re
+
+    from knot_another_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    inter = spark.createDataFrame([(1, "a"), (2, "b")], ["u", "it"])
+    items = spark.createDataFrame([(x,) for x in "abcdef"], ["it"])
+    plan = _plan(negative_samples(inter, items, user_col="u", item_col="it"))
+    specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan
+    )
+    assert specs, "row_number windows missing from plan"
+    for spec in specs:
+        assert "_gr_pid" in spec or "user" in spec, (
+            f"unkeyed global row_number window in plan: {spec}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # next_event_examples
 # ---------------------------------------------------------------------------
