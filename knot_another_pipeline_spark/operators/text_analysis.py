@@ -879,47 +879,148 @@ def bpe_pair_counts(
     )
 
 
+def _sym_pairs(syms_col):
+    """Row-local adjacent-pair structs from a double-spaced symbol
+    string (the :func:`bpe_pair_counts` encoding)."""
+    arr = F.filter(
+        F.split(F.trim(syms_col), r"\s+"), lambda t: t != ""
+    )
+    return F.explode(
+        F.transform(
+            F.slice(arr, 1, F.size(arr) - 1),
+            lambda x, i: F.struct(
+                x.alias("a"), F.element_at(arr, i + 2).alias("b")
+            ),
+        )
+    )
+
+
 def bpe_learn(
     words: DataFrame,
     *,
     word_col: str = "word",
     count_col: str = "cnt",
     n_merges: int = 8,
+    full_recount: bool | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merge rules from a word-frequency table:
-    repeatedly count adjacent pairs (:func:`bpe_pair_counts`) and take
-    the most frequent (ties to lexicographically smallest (a, b), so
-    the learned tokenizer is deterministic cross-engine).
+    repeatedly take the most frequent adjacent symbol pair (ties to
+    lexicographically smallest (a, b), so the learned tokenizer is
+    deterministic cross-engine).
 
-    Each merge is one Spark job over the V-row vocabulary table plus a
-    1-row collect — the classic iterative-driver shape (same contract
-    as ``kmeans_step``): n driver round-trips, never a corpus scan.
-    A production 30k-merge run amortizes further by re-counting only
-    pairs overlapping the last merge; at V-row scale the simple
-    full recount is already cheap and exactly reproducible.
+    INCREMENTAL pair recount (the production path): symbol state (V
+    rows) and the pair-count table are materialized once, then each
+    merge touches ONLY the words containing the merged pair — their
+    old pair contributions are subtracted, the merge is applied, their
+    new contributions added, and the delta folds into the cached
+    pair-count table.  A 30k-merge run is 30k DELTA jobs sized by the
+    words a pair occurs in (which shrinks fast as merges specialize),
+    not 30k full-vocabulary recounts each re-applying every prior
+    merge as a nested replace — that naive form is O(V·k) per
+    iteration with a k-deep expression tree, this is O(|affected|).
+    State and counts are pinned per iteration with an eager
+    ``localCheckpoint`` so the plan stays flat across thousands of
+    iterations.  Both paths learn IDENTICAL rules (differential-
+    tested); ``full_recount=None`` auto-selects — the naive
+    :func:`bpe_pair_counts`-per-step path for short runs (its one job
+    per step beats the delta path's fixed 3-jobs-per-step overhead
+    while k is small and the nested-replace chain shallow), the
+    incremental path once ``n_merges`` is large enough that O(V·k)
+    recounts and a k-deep expression tree dominate.
+
+    Still the classic iterative-driver shape (same contract as
+    ``kmeans_step``): n driver round-trips, never a corpus scan — the
+    corpus is only read once by ``build_vocab`` to make ``words``.
 
     Returns [(rank, a, b, pair_count), ...] — feed the (a, b) list
     back into :func:`bpe_pair_counts` or an encoder.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    learned: list[tuple[str, str]] = []
-    out: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        top = (
-            bpe_pair_counts(
-                words, word_col=word_col, count_col=count_col,
-                merges=learned,
+    if full_recount is None:
+        # crossover: 3 fixed jobs/step (argmax, counts checkpoint,
+        # state checkpoint) vs one full V-row recount whose cost grows
+        # linearly in the merges applied so far
+        full_recount = n_merges <= 16
+    if full_recount:
+        learned: list[tuple[str, str]] = []
+        out: list[tuple[int, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            top = (
+                bpe_pair_counts(
+                    words, word_col=word_col, count_col=count_col,
+                    merges=learned,
+                )
+                .orderBy(F.desc("pair_count"), "a", "b")
+                .limit(1)
+                .collect()
             )
-            .orderBy(F.desc("pair_count"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
+            if not top:
+                break
+            r = top[0]
+            learned.append((r["a"], r["b"]))
+            out.append((rank, r["a"], r["b"], r["pair_count"]))
+        return out
+
+    state = words.select(
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.col(word_col), "(.)", "$1  "),
+            F.lit("</w>  "),
+        ).alias("syms"),
+        F.col(count_col).cast("bigint").alias("_wc"),
+    ).localCheckpoint(eager=True)
+    pc = (
+        state.select(_sym_pairs(F.col("syms")).alias("p"), "_wc")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("_wc").cast("bigint").alias("pair_count"))
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rank in range(1, n_merges + 1):
+        top = pc.orderBy(F.desc("pair_count"), "a", "b").limit(1).collect()
+        if not top or top[0]["pair_count"] <= 0:
             break
-        r = top[0]
-        learned.append((r["a"], r["b"]))
-        out.append((rank, r["a"], r["b"], r["pair_count"]))
+        a, b = top[0]["a"], top[0]["b"]
+        out.append((rank, a, b, top[0]["pair_count"]))
+        pat, rep = f" {a}  {b} ", f" {a}{b} "
+        hit = F.col("syms").contains(pat)
+        affected = state.filter(hit)
+        merged = affected.withColumn(
+            "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
+        )
+        delta = (
+            affected.select(
+                _sym_pairs(F.col("syms")).alias("p"),
+                (-F.col("_wc")).alias("_wc"),
+            )
+            .unionByName(
+                merged.select(_sym_pairs(F.col("syms")).alias("p"), "_wc")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("_wc").cast("bigint").alias("_d"))
+            .filter(F.col("_d") != 0)
+        )
+        new_pc = (
+            pc.join(delta, ["a", "b"], "full_outer")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce("pair_count", F.lit(0))
+                    + F.coalesce("_d", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("pair_count"),
+            )
+            .filter(F.col("pair_count") > 0)
+            .localCheckpoint(eager=True)
+        )
+        new_state = (
+            state.filter(~hit).unionByName(merged)
+            .localCheckpoint(eager=True)
+        )
+        pc, state = new_pc, new_state
     return out
 
 

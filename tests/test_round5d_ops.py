@@ -350,6 +350,65 @@ def test_bpe_learn_stops_when_vocab_exhausted(spark):
         bpe_learn(w, n_merges=0)
 
 
+def test_bpe_incremental_matches_full_recount(spark):
+    """The delta-recount path (round-6) must learn the IDENTICAL rule
+    sequence — counts included — as the naive full-recount path, on a
+    corpus with ties, runs ('aaa'), and exhaustion."""
+    import random
+
+    from knot_another_pipeline_spark.operators.text_analysis import bpe_learn
+
+    rng = random.Random(42)
+    alpha = "abcde"
+    vocab = sorted(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            for _ in range(60)
+        }
+    ) + ["aaa", "aaaa", "low", "lower", "newest", "widest"]
+    w = spark.createDataFrame(
+        [(word, rng.randint(1, 9)) for word in vocab], ["word", "cnt"]
+    )
+    inc = bpe_learn(w, n_merges=12, full_recount=False)
+    full = bpe_learn(w, n_merges=12, full_recount=True)
+    assert inc == full
+
+
+def test_bpe_incremental_delta_shrinks_scanned_rows(spark):
+    """The measurable win of the incremental path: late iterations
+    re-extract pairs only from words CONTAINING the merged pair. With a
+    vocabulary where the top pair is rare, the delta job touches a
+    handful of rows while a full recount always touches all V."""
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        bpe_learn,
+    )
+
+    # 200 distinct 1-char words (no pairs beyond c</w>) + 2 rare words
+    # sharing the dominant 'q u' pair: after merge 1 only those 2 words
+    # are affected.
+    rows = [(f"{c}", 1) for c in map(chr, range(0x400, 0x4C8))] + [
+        ("quick", 50),
+        ("quill", 40),
+    ]
+    w = spark.createDataFrame(rows, ["word", "cnt"])
+    got = bpe_learn(w, n_merges=3, full_recount=False)
+    assert [(g[1], g[2]) for g in got][0] == ("q", "u")
+    # equality with the naive path on the same input
+    assert got == bpe_learn(w, n_merges=3, full_recount=True)
+    # the affected-word filter is the delta bound: only 2 of 202 words
+    # contain " q  u " once state is built
+    state = w.select(
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.col("word"), "(.)", "$1  "),
+            F.lit("</w>  "),
+        ).alias("syms")
+    )
+    assert state.filter(F.col("syms").contains(" q  u ")).count() == 2
+
+
 # ---------------------------------------------------------------------------
 # plan shapes: the scale-critical properties, pinned
 # ---------------------------------------------------------------------------
