@@ -107,6 +107,17 @@ _PRIORITY = [
     "rfm_segments",
     "funnel_timing",
     "readability",
+    # round-6 additions (newest — queue behind the r5 deferrals above):
+    # distribution tests, agreement, uplift, bigram LM, novelty, HITS,
+    # k-core, record-linkage weights
+    "ks_drift",
+    "label_agreement",
+    "uplift_deciles",
+    "bigram_lm",
+    "ngram_novelty",
+    "hits_authority",
+    "k_core_parts",
+    "linkage_weights",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -124,6 +124,16 @@ HEADLINE = [
     "lift_table",
     "psi_stability",
     "weighted_median",
+    # r6 additions: distribution tests / agreement / uplift / bigram LM /
+    # novelty / HITS / k-core / linkage weights
+    "ks_drift",
+    "label_agreement",
+    "uplift_deciles",
+    "bigram_lm",
+    "ngram_novelty",
+    "hits_authority",
+    "k_core_parts",
+    "linkage_weights",
 ]
 
 

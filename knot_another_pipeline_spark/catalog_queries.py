@@ -6687,11 +6687,510 @@ FROM c WHERE cw >= tw / 2 GROUP BY 1
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event type between the
+    first and second half of the event window (operators/quality.py
+    ks_test): exact sup-gap of the two ECDFs at the pooled jump
+    points — the binning-free companion to psi_stability's fixed
+    grid; windows keyed by event_type so per-task work is bounded by
+    a group's distinct values."""
+    from knot_another_pipeline_spark.operators.quality import ks_test
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return ks_test(
+        events.filter(F.col("ts") < cut),
+        events.filter(F.col("ts") >= cut),
+        "value",
+        by=["event_type"],
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH s AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ina,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS inb
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+p AS (
+  SELECT event_type, v,
+         CAST(sum(ina) AS DOUBLE) AS na, CAST(sum(inb) AS DOUBLE) AS nb
+  FROM s GROUP BY 1, 2),
+g AS (
+  SELECT event_type,
+         sum(na) OVER (PARTITION BY event_type) AS ta,
+         sum(nb) OVER (PARTITION BY event_type) AS tb,
+         abs(sum(na) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(na) OVER (PARTITION BY event_type)
+             - sum(nb) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(nb) OVER (PARTITION BY event_type)) AS gap
+  FROM p)
+SELECT event_type,
+       CAST(max(ta) AS BIGINT) AS n_a,
+       CAST(max(tb) AS BIGINT) AS n_b,
+       round(max(gap), 6) AS ks_d,
+       round(max(gap) * sqrt(max(ta) * max(tb) / (max(ta) + max(tb))), 6)
+         AS ks_scaled
+FROM g WHERE ta > 0 AND tb > 0 GROUP BY 1
+"""
+
+
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between each document's declared language and the
+    stopword-heuristic detection (operators/quality.py cohens_kappa):
+    chance-corrected agreement of two categorical labelings — the
+    consensus-quality readout behind label_vote's majority picks."""
+    from knot_another_pipeline_spark.operators.quality import cohens_kappa
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        detect_language,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    detected = detect_language(docs, id_col="doc_id", text_col="text")
+    joined = docs.select(F.col("doc_id").alias("id"), "lang").join(
+        detected.select("id", "detected_lang"), "id"
+    )
+    return cohens_kappa(joined, rater_a="lang", rater_b="detected_lang")
+
+
+ORACLE_LABEL_AGREEMENT = (
+    f"WITH toks AS ({_TOKS_SQL}),\nscores AS (\n  "
+    + "\n  UNION ALL\n  ".join(
+        _lang_score_sql(lang) for lang in sorted(STOPWORDS)
+    )
+    + """
+),
+ranked AS (
+  SELECT doc_id, lang AS dl,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, lang DESC) AS rn
+  FROM scores),
+j AS (
+  SELECT d.lang AS a, r.dl AS b
+  FROM documents d JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+  WHERE d.lang IS NOT NULL),
+obs AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS DOUBLE) AS ag
+  FROM j),
+ma AS (SELECT a AS cat, CAST(count(*) AS DOUBLE) AS ca FROM j GROUP BY 1),
+mb AS (SELECT b AS cat, CAST(count(*) AS DOUBLE) AS cb FROM j GROUP BY 1),
+pe AS (
+  SELECT sum(coalesce(ca, 0) * coalesce(cb, 0)) AS pen
+  FROM ma FULL OUTER JOIN mb USING (cat))
+SELECT CAST(n AS BIGINT) AS n,
+       round(ag / n, 6) AS p_observed,
+       round(pen / (n * n), 6) AS p_expected,
+       round(CASE WHEN pen / (n * n) < 1.0
+                  THEN (ag / n - pen / (n * n)) / (1 - pen / (n * n)) END,
+             6) AS kappa
+FROM obs CROSS JOIN pe
+"""
+)
+
+
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift decile table with cumulative Qini over a synthetic
+    experiment (operators/evaluation.py uplift_table): user-parity arm
+    assignment (same convention as ab_test), pooled-percentile score
+    tiles, per-tile treated-vs-control conversion gap."""
+    from knot_another_pipeline_spark.operators.evaluation import uplift_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        (F.col("value") / F.lit(491.0)).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    return uplift_table(
+        events,
+        score_col="score",
+        label_col="converted",
+        arm_col="arm",
+        control="control",
+        treatment="treatment",
+        n_tiles=10,
+    )
+
+
+def _uplift_oracle_sql(n_tiles: int) -> str:
+    qs = ", ".join(str(i / n_tiles) for i in range(1, n_tiles))
+    terms = "\n             + ".join(
+        f"(CASE WHEN sc < q[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, n_tiles)
+    )
+    return f"""
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) / 491.0 AS sc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS trt
+  FROM events WHERE value IS NOT NULL),
+th AS (SELECT quantile_cont(sc, [{qs}]) AS q FROM s),
+tiled AS (
+  SELECT CAST(1 + {terms} AS INT) AS tile, y, trt
+  FROM s CROSS JOIN th),
+t AS (
+  SELECT tile,
+         CAST(sum(trt) AS BIGINT) AS n_trt,
+         CAST(sum(1 - trt) AS BIGINT) AS n_ctl,
+         CAST(coalesce(sum(CASE WHEN trt = 1 THEN y END), 0) AS BIGINT)
+           AS events_trt,
+         CAST(coalesce(sum(CASE WHEN trt = 0 THEN y END), 0) AS BIGINT)
+           AS events_ctl
+  FROM tiled GROUP BY 1),
+w AS (
+  SELECT tile, n_trt, n_ctl, events_trt, events_ctl,
+         sum(n_trt) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cnt,
+         sum(n_ctl) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cnc,
+         sum(events_trt) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cet,
+         sum(events_ctl) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cec
+  FROM t)
+SELECT tile, n_trt, n_ctl, events_trt, events_ctl,
+       round(CASE WHEN n_trt > 0
+                  THEN CAST(events_trt AS DOUBLE) / n_trt END, 6) AS rate_trt,
+       round(CASE WHEN n_ctl > 0
+                  THEN CAST(events_ctl AS DOUBLE) / n_ctl END, 6) AS rate_ctl,
+       round(CASE WHEN n_trt > 0 AND n_ctl > 0
+                  THEN CAST(events_trt AS DOUBLE) / n_trt
+                       - CAST(events_ctl AS DOUBLE) / n_ctl END, 6) AS uplift,
+       round(CASE WHEN cnc > 0
+                  THEN cet - cec * (CAST(cnt AS DOUBLE) / cnc) END, 6)
+         AS cum_qini
+FROM w
+"""
+
+
+ORACLE_UPLIFT_DECILES = _uplift_oracle_sql(10)
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM fluency score per document
+    (operators/text_analysis.py bigram_lm_score): Jelinek-Mercer
+    λ·P(w|prev) + (1−λ)·P_uni(w), self-trained — row-local bigram
+    build, V²-bounded model tables, one corpus-token join."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        bigram_lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_BIGRAM_LM = rf"""
+WITH toks AS ({_TOKS_SQL}),
+flat AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+  FROM toks),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+bic AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c_bi FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c_bi) AS c_ctx FROM bic GROUP BY 1),
+uni AS (SELECT w2 AS w, sum(c_bi) AS c_uni FROM bic GROUP BY 1),
+tot AS (
+  SELECT sum(c_uni) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+scored AS (
+  SELECT g.doc_id,
+         ln(0.75 * (CASE WHEN c.c_ctx IS NOT NULL AND c.c_ctx > 0
+                         THEN coalesce(bc.c_bi, 0) / c.c_ctx
+                         ELSE 0.0 END)
+            + 0.25 * ((coalesce(u.c_uni, 0) + 0.5) / (t.n + 0.5 * t.v)))
+           AS lp
+  FROM big g
+  LEFT JOIN bic bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+  LEFT JOIN ctx c ON c.w1 = g.w1
+  LEFT JOIN uni u ON u.w = g.w2
+  CROSS JOIN tot t),
+agg AS (
+  SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lp), 6) AS avg_logprob
+  FROM scored GROUP BY 1),
+singles AS (
+  SELECT doc_id AS id, CAST(0 AS BIGINT) AS n_bigrams,
+         CAST(NULL AS DOUBLE) AS avg_logprob
+  FROM toks WHERE len(t) = 1)
+SELECT id, n_bigrams, avg_logprob,
+       round(exp(-avg_logprob), 4) AS perplexity
+FROM (SELECT * FROM agg UNION ALL SELECT * FROM singles)
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus 3-gram novelty per document
+    (operators/text_analysis.py ngram_novelty): fraction of a doc's
+    distinct gram hashes first introduced by that doc — gram→min-id
+    aggregate + join back, two bounded shuffles."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, id_col="doc_id", text_col="text", n=3)
+
+
+ORACLE_NGRAM_NOVELTY = rf"""
+WITH toks AS ({_TOKS_SQL}),
+g AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(
+           '0:' || list_aggregate(t[i:i + 2], 'string_agg', ' ')
+         ), 1, 15)) AS BIGINT) AS gh
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+fs AS (SELECT gh, min(doc_id) AS first_id FROM g GROUP BY 1),
+per AS (
+  SELECT g.doc_id AS id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN fs.first_id = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM g JOIN fs USING (gh) GROUP BY 1),
+empties AS (
+  SELECT doc_id AS id, CAST(0 AS BIGINT) AS n_grams,
+         CAST(0 AS BIGINT) AS n_novel
+  FROM toks WHERE len(t) < 3)
+SELECT id, n_grams, n_novel,
+       round(CASE WHEN n_grams > 0
+                  THEN CAST(n_novel AS DOUBLE) / n_grams END, 6) AS novelty
+FROM (SELECT * FROM per UNION ALL SELECT * FROM empties)
+"""
+
+
+def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HITS iterations over the order→part bipartite purchase graph
+    (operators/graph.py hits_step): L2-normalized hub/authority power
+    iteration — parts ranked by endorsement quality, not raw
+    in-degree; 2 keyed shuffles per iteration, no adjacency matrix."""
+    from knot_another_pipeline_spark.operators.graph import hits_step
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    return hits_step(edges, iterations=2)
+
+
+ORACLE_HITS_AUTHORITY = """
+WITH e AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst
+  FROM lineitem),
+h0 AS (SELECT DISTINCT src AS node, 1.0 AS hub FROM e),
+a1r AS (
+  SELECT e.dst AS node, sum(h.hub) AS authority
+  FROM e JOIN h0 h ON h.node = e.src GROUP BY 1),
+a1 AS (
+  SELECT node, authority / sqrt(sum(authority * authority) OVER ())
+           AS authority
+  FROM a1r),
+h1r AS (
+  SELECT e.src AS node, sum(a.authority) AS hub
+  FROM e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+h1 AS (
+  SELECT node, hub / sqrt(sum(hub * hub) OVER ()) AS hub FROM h1r),
+a2r AS (
+  SELECT e.dst AS node, sum(h.hub) AS authority
+  FROM e JOIN h1 h ON h.node = e.src GROUP BY 1),
+a2 AS (
+  SELECT node, authority / sqrt(sum(authority * authority) OVER ())
+           AS authority
+  FROM a2r),
+h2r AS (
+  SELECT e.src AS node, sum(a.authority) AS hub
+  FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+h2 AS (
+  SELECT node, hub / sqrt(sum(hub * hub) OVER ()) AS hub FROM h2r)
+SELECT coalesce(a2.node, h2.node) AS node,
+       round(coalesce(a2.authority, 0.0), 6) AS authority,
+       round(coalesce(h2.hub, 0.0), 6) AS hub
+FROM a2 FULL OUTER JOIN h2 ON a2.node = h2.node
+"""
+
+
+_K_CORE_K = 3
+_K_CORE_ITERS = 8
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the part↔part same-order co-occurrence graph
+    (operators/graph.py k_core): synchronous degree-peel rounds, edge
+    frame shrinking monotonically — the dense-community extractor
+    degree thresholds can't replicate. The oracle unrolls the same
+    bounded rounds (peeling a fixpoint is a no-op, so unconditional
+    unrolling matches the early-exit loop exactly)."""
+    from knot_another_pipeline_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        lp.alias("a")
+        .join(
+            lp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return k_core(edges, k=_K_CORE_K, max_iter=_K_CORE_ITERS)
+
+
+def _k_core_oracle_sql(k: int, rounds: int) -> str:
+    """Unroll ``rounds`` synchronous peel rounds as chained CTEs.
+
+    Spark's loop exits early at a fixpoint, but peeling a fixpoint
+    changes nothing, so running every round unconditionally yields the
+    same final edge set; ``converged`` is round_{n-1} == round_n (the
+    loop's own count check, valid whenever the fixpoint arrives within
+    the budget — asserted by the differential itself, since an
+    unconverged Spark run emits converged=false and mismatches)."""
+    # every CTE is MATERIALIZED: each round references its predecessor
+    # three times (two degree scans + the join), so DuckDB's default
+    # inline expansion is 3^rounds scans of lineitem — materialization
+    # makes it linear, exactly like the Spark loop's localCheckpoint
+    parts = [
+        """
+WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         greatest(a.l_partkey, b.l_partkey) AS b
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev})
+  GROUP BY 1),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN d{r} da ON da.node = e.a AND da.degree >= {k}
+  JOIN d{r} db ON db.node = e.b AND db.degree >= {k})"""
+        )
+        prev = f"e{r}"
+    parts.append(
+        f""",
+conv AS (
+  SELECT (SELECT count(*) FROM e{rounds}) =
+         (SELECT count(*) FROM e{rounds - 1}) AS converged)
+SELECT node, CAST(count(*) AS BIGINT) AS degree,
+       (SELECT converged FROM conv) AS converged
+FROM (SELECT a AS node FROM e{rounds}
+      UNION ALL SELECT b AS node FROM e{rounds})
+GROUP BY 1 HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+ORACLE_K_CORE = _k_core_oracle_sql(_K_CORE_K, _K_CORE_ITERS)
+
+
+def q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter field weights from labeled candidate pairs
+    (operators/dedup.py linkage_weights): nation-blocked customer
+    pairs labeled by account-balance proximity, agreement flags on
+    market segment and balance sign — m/u probabilities and log-odds
+    weights from ONE conditional aggregate + row-local stack."""
+    from knot_another_pipeline_spark.operators.dedup import linkage_weights
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        cust.alias("a")
+        .join(
+            cust.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            (
+                F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 500.0
+            ).alias("is_match"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
+                "segment_agree"
+            ),
+            (
+                (F.col("a.c_acctbal") >= 0) == (F.col("b.c_acctbal") >= 0)
+            ).alias("balance_sign_agree"),
+        )
+    )
+    return linkage_weights(
+        pairs,
+        match_col="is_match",
+        agreement_cols=["segment_agree", "balance_sign_agree"],
+    )
+
+
+ORACLE_LINKAGE_WEIGHTS = """
+WITH p AS (
+  SELECT abs(a.c_acctbal - b.c_acctbal) < 500.0 AS lab,
+         a.c_mktsegment = b.c_mktsegment AS f1,
+         (a.c_acctbal >= 0) = (b.c_acctbal >= 0) AS f2
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+c AS (
+  SELECT
+    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS DOUBLE) AS f1_nm,
+    CAST(sum(CASE WHEN lab AND f1 THEN 1 ELSE 0 END) AS DOUBLE) AS f1_am,
+    CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS DOUBLE) AS f1_nu,
+    CAST(sum(CASE WHEN NOT lab AND f1 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS f1_au,
+    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS DOUBLE) AS f2_nm,
+    CAST(sum(CASE WHEN lab AND f2 THEN 1 ELSE 0 END) AS DOUBLE) AS f2_am,
+    CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS DOUBLE) AS f2_nu,
+    CAST(sum(CASE WHEN NOT lab AND f2 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS f2_au
+  FROM p),
+long AS (
+  SELECT 'segment_agree' AS field, f1_nm AS nm, f1_am AS am,
+         f1_nu AS nu, f1_au AS au FROM c
+  UNION ALL
+  SELECT 'balance_sign_agree', f2_nm, f2_am, f2_nu, f2_au FROM c),
+w AS (
+  SELECT field, nm, nu,
+         (am + 0.5) / (nm + 1.0) AS m, (au + 0.5) / (nu + 1.0) AS u
+  FROM long)
+SELECT field,
+       CAST(nm AS BIGINT) AS n_match,
+       CAST(nu AS BIGINT) AS n_nonmatch,
+       round(m, 6) AS m,
+       round(u, 6) AS u,
+       round(CASE WHEN u > 0 THEN log2(m / u) END, 6) AS w_agree,
+       round(CASE WHEN u < 1 THEN log2((1 - m) / (1 - u)) END, 6)
+         AS w_disagree
+FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    # round-6 additions: distribution tests, agreement, uplift, bigram LM,
+    # novelty, HITS, k-core, record-linkage weights
+    "ks_drift": q_ks_drift,
+    "label_agreement": q_label_agreement,
+    "uplift_deciles": q_uplift_deciles,
+    "bigram_lm": q_bigram_lm,
+    "ngram_novelty": q_ngram_novelty,
+    "hits_authority": q_hits_authority,
+    "k_core_parts": q_k_core,
+    "linkage_weights": q_linkage_weights,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -6877,6 +7376,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ks_drift": ORACLE_KS_DRIFT,
+    "label_agreement": ORACLE_LABEL_AGREEMENT,
+    "uplift_deciles": ORACLE_UPLIFT_DECILES,
+    "bigram_lm": ORACLE_BIGRAM_LM,
+    "ngram_novelty": ORACLE_NGRAM_NOVELTY,
+    "hits_authority": ORACLE_HITS_AUTHORITY,
+    "k_core_parts": ORACLE_K_CORE,
+    "linkage_weights": ORACLE_LINKAGE_WEIGHTS,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

@@ -1051,3 +1051,84 @@ def canonical_docs(
         "rep_id",
         (F.col("id") == F.col("rep_id")).alias("is_rep"),
     )
+
+
+def linkage_weights(
+    pairs: DataFrame,
+    *,
+    match_col: str,
+    agreement_cols: list[str],
+    smoothing: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fellegi–Sunter field weights for probabilistic record linkage,
+    estimated from LABELED candidate pairs: for every comparison field
+    ``f``, ``m_f = P(field agrees | pair is a match)`` and
+    ``u_f = P(field agrees | pair is a non-match)``, with the
+    log-odds agreement weight ``log2(m/u)`` and disagreement weight
+    ``log2((1−m)/(1−u))`` — the scoring table behind every
+    Splink-style entity-resolution pipeline: sum the weights of a
+    candidate pair's agreement pattern and threshold.  The natural
+    companion to :func:`fuzzy_match_pairs`, which generates the
+    candidate pairs these weights then score.
+
+    One conditional hash aggregate computes every field's four counts
+    together (the pair frame shuffles ZERO times — it's a global
+    aggregate with map-side partials), then a row-local ``stack``
+    unpivots to one row per field.  Probabilities are add-``smoothing``
+    estimated — ``(hits + s)/(n + 2s)`` — so a field that agrees on
+    every labeled match (finite sample, not a law) keeps finite
+    weights; set ``smoothing=0`` for raw MLE (infinite/NULL-guarded
+    weights become NULL).  A pair with a NULL agreement flag counts in
+    neither numerator nor denominator for that field (NULL-safe
+    comparisons are the caller's policy decision).
+
+    Output per field: field, n_match, n_nonmatch, m, u, w_agree,
+    w_disagree.
+    """
+    if not agreement_cols:
+        raise ValueError("agreement_cols must not be empty")
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    lab = F.col(match_col).cast("boolean")
+    aggs = []
+    for c in agreement_cols:
+        flag = F.col(c).cast("boolean")
+        aggs += [
+            F.sum(F.when(lab & flag.isNotNull(), 1).otherwise(0)).alias(
+                f"{c}__nm"
+            ),
+            F.sum(F.when(lab & flag, 1).otherwise(0)).alias(f"{c}__am"),
+            F.sum(F.when(~lab & flag.isNotNull(), 1).otherwise(0)).alias(
+                f"{c}__nu"
+            ),
+            F.sum(F.when(~lab & flag, 1).otherwise(0)).alias(f"{c}__au"),
+        ]
+    row = pairs.filter(lab.isNotNull()).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nm, {c}__am, {c}__nu, {c}__au" for c in agreement_cols
+    )
+    long = row.selectExpr(
+        f"stack({len(agreement_cols)}, {stack_args})"
+        " as (field, _nm, _am, _nu, _au)"
+    )
+    s = F.lit(float(smoothing))
+    m = (F.col("_am") + s) / (F.col("_nm") + 2 * s)
+    u = (F.col("_au") + s) / (F.col("_nu") + 2 * s)
+    valid_m = (F.col("_nm") + 2 * s) > 0
+    valid_u = (F.col("_nu") + 2 * s) > 0
+    w_agree = F.when(
+        valid_m & valid_u & (u > 0), F.log2(m / u)
+    )
+    w_dis = F.when(
+        valid_m & valid_u & (u < 1), F.log2((1 - m) / (1 - u))
+    )
+    return long.select(
+        "field",
+        F.col("_nm").cast("bigint").alias("n_match"),
+        F.col("_nu").cast("bigint").alias("n_nonmatch"),
+        F.round(F.when(valid_m, m), round_to).alias("m"),
+        F.round(F.when(valid_u, u), round_to).alias("u"),
+        F.round(w_agree, round_to).alias("w_agree"),
+        F.round(w_dis, round_to).alias("w_disagree"),
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "calibration_curve",
     "lift_table",
     "psi_stability",
+    "uplift_table",
 ]
 
 
@@ -298,4 +299,103 @@ def psi_stability(
         .alias("verdict"),
         F.col("te").cast("bigint").alias("n_expected"),
         F.col("ta").cast("bigint").alias("n_actual"),
+    )
+
+
+def uplift_table(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    arm_col: str,
+    control: str,
+    treatment: str,
+    n_tiles: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Uplift decile table with cumulative Qini: rows tiled by an uplift
+    model's score (tile 1 = highest), each tile comparing the TREATED
+    rows' event rate to the CONTROL rows' — "who converts BECAUSE we
+    intervened", the causal reading a plain :func:`lift_table` cannot
+    give (it conflates persuadables with sure-things).  The cumulative
+    Qini value — ``cum_events_trt − cum_events_ctl·(cum_n_trt/
+    cum_n_ctl)`` — is the standard uplift-model quality curve (its
+    area is the Qini coefficient).
+
+    Same global-sort-free shape as ``lift_table``: thresholds are exact
+    percentiles of the POOLED scores (one aggregate → 1-row broadcast;
+    pooling keeps both arms on identical boundaries, so a tile is the
+    same score range in both arms — the comparison Qini assumes), tile
+    assignment is a map-side comparison, and the per-tile arm split is
+    a conditional aggregate.  The cumulative columns window over the
+    ``n_tiles``-row result only.  Arms beyond the named two are
+    dropped; an empty arm inside a tile yields NULL rates/uplift for
+    that tile (not zero — no evidence is not "no effect").
+
+    Output: tile, n_trt, n_ctl, events_trt, events_ctl, rate_trt,
+    rate_ctl, uplift, cum_qini.
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    s = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(arm_col).alias("_arm"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_arm").isin(control, treatment)
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    qarr = "array({})".format(", ".join(str(q) for q in qs))
+    thresholds = s.agg(F.expr(f"percentile(_s, {qarr})").alias("_q"))
+    below = [
+        F.when(
+            F.col("_s") < F.element_at(F.col("_q"), i), F.lit(1)
+        ).otherwise(F.lit(0))
+        for i in range(1, n_tiles)
+    ]
+    tile = (F.lit(1) + sum(below[1:], below[0])).cast("int")
+    is_trt = F.col("_arm") == treatment
+    tiles = (
+        s.crossJoin(F.broadcast(thresholds))
+        .withColumn("_tile", tile)
+        .groupBy("_tile")
+        .agg(
+            F.sum(is_trt.cast("long")).cast("bigint").alias("n_trt"),
+            F.sum((~is_trt).cast("long")).cast("bigint").alias("n_ctl"),
+            F.sum(F.when(is_trt, F.col("_y"))).cast("bigint").alias(
+                "events_trt"
+            ),
+            F.sum(F.when(~is_trt, F.col("_y"))).cast("bigint").alias(
+                "events_ctl"
+            ),
+        )
+    )
+    cum = Window.partitionBy().orderBy("_tile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rate_trt = F.when(
+        F.col("n_trt") > 0, F.col("events_trt") / F.col("n_trt")
+    )
+    rate_ctl = F.when(
+        F.col("n_ctl") > 0, F.col("events_ctl") / F.col("n_ctl")
+    )
+    cum_nt = F.sum("n_trt").over(cum)
+    cum_nc = F.sum("n_ctl").over(cum)
+    cum_et = F.sum(F.coalesce("events_trt", F.lit(0))).over(cum)
+    cum_ec = F.sum(F.coalesce("events_ctl", F.lit(0))).over(cum)
+    return tiles.select(
+        F.col("_tile").alias("tile"),
+        "n_trt",
+        "n_ctl",
+        F.coalesce("events_trt", F.lit(0)).cast("bigint").alias("events_trt"),
+        F.coalesce("events_ctl", F.lit(0)).cast("bigint").alias("events_ctl"),
+        F.round(rate_trt, round_to).alias("rate_trt"),
+        F.round(rate_ctl, round_to).alias("rate_ctl"),
+        F.round(rate_trt - rate_ctl, round_to).alias("uplift"),
+        F.round(
+            F.when(cum_nc > 0, cum_et - cum_ec * (cum_nt / cum_nc)),
+            round_to,
+        ).alias("cum_qini"),
     )

@@ -1337,3 +1337,171 @@ def weighted_median(
         F.round(F.max("_tw"), round_to).alias("total_weight"),
         F.round(F.min("_v"), round_to).alias("weighted_median"),
     )
+
+
+def ks_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group: the largest
+    gap between the two samples' empirical CDFs — the
+    distribution-shape drift alarm that catches what mean/variance
+    screens (``ab_test``) and fixed-grid screens (``psi_stability``,
+    ``histogram_drift``) miss: same mean but different tails, mass
+    moving WITHIN a histogram bin, a new mode between grid lines.  KS
+    needs no binning decisions at all, which is why it's the standard
+    "did this feature's distribution change between snapshots"
+    two-sample test.
+
+    Exact, not sampled: both sides aggregate to per-(group, value)
+    counts in ONE shuffle (the only corpus-sized exchange), the CDF gap
+    comes from running sums over THAT frame — windows keyed by the
+    group, so per-task work is bounded by a group's distinct values —
+    and a final hash aggregate takes the max gap.  With ``by=None``
+    everything keys on a constant: the window frame is then the
+    combined DISTINCT-value table (bounded by value cardinality, far
+    below row count for real metrics, but document-level scores with
+    billions of distinct values should pass a group).  ``D`` is
+    evaluated AT the pooled jump points, which is exactly where the
+    sup of an ECDF difference is attained — no grid approximation.
+
+    Also emits the scaled statistic ``sqrt(n_a·n_b/(n_a+n_b))·D``
+    (compare to the Kolmogorov quantile, 1.358 at α=0.05) — no
+    p-value, same portability rationale as ``chi2_independence``.
+
+    Output per group: by cols, n_a, n_b, ks_d, ks_scaled.
+    """
+    gcols = list(by or [])
+    a = df_a.select(
+        *[F.col(c) for c in gcols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.lit(1).alias("_ina"),
+        F.lit(0).alias("_inb"),
+    )
+    b = df_b.select(
+        *[F.col(c) for c in gcols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.lit(0).alias("_ina"),
+        F.lit(1).alias("_inb"),
+    )
+    pooled = (
+        a.unionByName(b)
+        .filter(F.col("_v").isNotNull() & ~F.isnan(F.col("_v")))
+        .groupBy(*gcols, "_v")
+        .agg(
+            F.sum("_ina").cast("double").alias("_na"),
+            F.sum("_inb").cast("double").alias("_nb"),
+        )
+    )
+    gp = [F.col(c) for c in gcols]
+    cum = Window.partitionBy(*gp).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.partitionBy(*gp)
+    gaps = pooled.select(
+        *gcols,
+        F.sum("_na").over(full).alias("_ta"),
+        F.sum("_nb").over(full).alias("_tb"),
+        F.abs(
+            F.sum("_na").over(cum) / F.sum("_na").over(full)
+            - F.sum("_nb").over(cum) / F.sum("_nb").over(full)
+        ).alias("_gap"),
+    ).filter((F.col("_ta") > 0) & (F.col("_tb") > 0))
+    d = F.round(F.max("_gap"), round_to)
+    return gaps.groupBy(*gcols).agg(
+        F.max("_ta").cast("bigint").alias("n_a"),
+        F.max("_tb").cast("bigint").alias("n_b"),
+        d.alias("ks_d"),
+        F.round(
+            F.max("_gap")
+            * F.sqrt(
+                F.max("_ta") * F.max("_tb") / (F.max("_ta") + F.max("_tb"))
+            ),
+            round_to,
+        ).alias("ks_scaled"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    *,
+    rater_a: str,
+    rater_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two categorical
+    labelings of the same items — THE consensus-quality number for a
+    labeling pipeline (raw percent agreement flatters raters who both
+    spam the majority class; kappa subtracts the agreement their
+    marginal label rates would produce by luck).  Pairs with
+    ``majority_vote``: vote picks the consensus label, kappa tells you
+    whether the raters agree enough for that consensus to mean
+    anything (Landis-Koch reading: <0 poor, 0.2 slight … >0.8 almost
+    perfect).
+
+    ``κ = (p_o − p_e)/(1 − p_e)`` with ``p_o`` = observed agreement
+    rate (one aggregate) and ``p_e = Σ_c p_a(c)·p_b(c)`` from the two
+    marginal distributions — each a groupBy on the label key joined on
+    category (full outer: a label only one rater ever uses still
+    shapes its marginal).  Three bounded shuffles, no windows, no
+    collect.  Rows where either label is NULL are dropped (abstentions
+    are a coverage question, not an agreement question).  Perfect
+    chance agreement (``p_e = 1``: both raters constant on the same
+    label) leaves kappa undefined → NULL.
+
+    Output (one row): n, p_observed, p_expected, kappa.
+    """
+    s = df.select(
+        F.col(rater_a).cast("string").alias("_a"),
+        F.col(rater_b).cast("string").alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    obs = s.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long"))
+        .cast("double")
+        .alias("_agree"),
+    )
+    ma = s.groupBy(F.col("_a").alias("_cat")).agg(
+        F.count(F.lit(1)).cast("double").alias("_ca")
+    )
+    mb = s.groupBy(F.col("_b").alias("_cat")).agg(
+        F.count(F.lit(1)).cast("double").alias("_cb")
+    )
+    pe = (
+        ma.join(mb, "_cat", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("_ca", F.lit(0.0)) * F.coalesce("_cb", F.lit(0.0))
+            ).alias("_pe_num")
+        )
+    )
+    return (
+        obs.crossJoin(pe)
+        .select(
+            F.col("_n").cast("bigint").alias("n"),
+            F.round(F.col("_agree") / F.col("_n"), round_to).alias(
+                "p_observed"
+            ),
+            F.round(
+                F.col("_pe_num") / (F.col("_n") * F.col("_n")), round_to
+            ).alias("p_expected"),
+            F.round(
+                F.when(
+                    F.col("_pe_num") / (F.col("_n") * F.col("_n")) < 1.0,
+                    (
+                        F.col("_agree") / F.col("_n")
+                        - F.col("_pe_num") / (F.col("_n") * F.col("_n"))
+                    )
+                    / (
+                        F.lit(1.0)
+                        - F.col("_pe_num") / (F.col("_n") * F.col("_n"))
+                    ),
+                ),
+                round_to,
+            ).alias("kappa"),
+        )
+    )

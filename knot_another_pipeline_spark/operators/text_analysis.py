@@ -1228,3 +1228,204 @@ def readability(
         syllables.cast("bigint").alias("n_syllables"),
         F.round(flesch, round_to).alias("flesch"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+    lam: float = 0.75,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    context-aware upgrade of :func:`unigram_logprob_score`: each token
+    after the first scores ``ln(λ·P(w|prev) + (1−λ)·P_uni(w))``
+    (Jelinek-Mercer interpolation), so "the the the" — fine unigram
+    mass, broken transitions — finally prices badly, which is the
+    fluency signal perplexity filters actually select training text
+    on.  ``P(w|prev) = c(prev,w)/c(prev·)`` (zero when the history is
+    unseen — the unigram term floors it), ``P_uni`` add-alpha smoothed
+    exactly as the unigram scorer.
+
+    Shapes: bigrams are built ROW-LOCAL (zip of the token array with
+    itself shifted — no self-join on position), the model is two count
+    tables (bigram and unigram context counts fused into ONE shuffle
+    via the bigram table's re-aggregation), scoring joins each
+    document bigram against the model on the pair key — Zipf skew
+    bounded by AQE, model tables ≪ corpus, same contract as the
+    unigram scorer.  Single-token documents emit n_bigrams = 0 and a
+    NULL score (no transitions to judge); zero-token documents emit no
+    row.
+
+    Output: id, n_bigrams, avg_logprob, perplexity (from the rounded
+    mean).
+    """
+    if not 0 < lam < 1:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def to_bigrams(frame: DataFrame, idc) -> DataFrame:
+        toked = frame.select(
+            *([idc] if idc is not None else []),
+            _tokens(F.col(model_text_col or text_col)
+                    if idc is None else F.col(text_col)).alias("toks"),
+        )
+        toks = F.col("toks")
+        pairs = F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+            ),
+        )
+        return toked.select(
+            *([idc] if idc is not None else []),
+            F.explode(pairs).alias("p"),
+        ).select(
+            *(["id"] if idc is not None else []),
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+
+    doc_bi = to_bigrams(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        F.col("id"),
+    )
+    model_src = df if model_df is None else model_df
+    bi_counts = (
+        to_bigrams(model_src, None)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    # context totals re-aggregate the V²-bounded bigram table, not the
+    # corpus; unigram counts ride the same table (c(w·) + final-token
+    # correction is unnecessary for scoring: P_uni uses c(·w) mass)
+    ctx_counts = bi_counts.groupBy("w1").agg(
+        F.sum("c_bi").alias("c_ctx")
+    )
+    uni_counts = bi_counts.groupBy(F.col("w2").alias("w")).agg(
+        F.sum("c_bi").alias("c_uni")
+    )
+    totals = uni_counts.agg(
+        F.sum("c_uni").cast("double").alias("model_n"),
+        F.count(F.lit(1)).cast("double").alias("model_v"),
+    )
+    p_bi = F.when(
+        F.col("c_ctx").isNotNull() & (F.col("c_ctx") > 0),
+        F.coalesce(F.col("c_bi"), F.lit(0)).cast("double") / F.col("c_ctx"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (
+        F.coalesce(F.col("c_uni"), F.lit(0)).cast("double") + F.lit(alpha)
+    ) / (F.col("model_n") + F.lit(alpha) * F.col("model_v"))
+    logp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    scored = (
+        doc_bi.join(bi_counts, ["w1", "w2"], "left")
+        .join(ctx_counts, "w1", "left")
+        .join(uni_counts.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), round_to).alias("avg_logprob"),
+        )
+    )
+    # single-token docs: no bigrams, but they exist — emit NULL score
+    singles = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(_tokens(F.col(text_col))).alias("_nt"),
+        )
+        .filter(F.col("_nt") == 1)
+        .select(
+            "id",
+            F.lit(0).cast("bigint").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("avg_logprob"),
+        )
+    )
+    return scored.unionByName(singles).withColumn(
+        "perplexity",
+        F.round(F.exp(-F.col("avg_logprob")), 4),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Within-corpus novelty score: the fraction of a document's
+    distinct token ``n``-grams that no document EARLIER in the corpus
+    order (smaller id) contains — the dedup-aware curation signal
+    between exact dedup (0/1 on whole docs) and ``repeated_spans``
+    (which locates the copies): a feed whose novelty decays toward 0
+    is re-serving its own boilerplate, and sampling by novelty keeps a
+    training mix from amortizing into templates.
+
+    Two bounded shuffles: distinct (gram-hash, id) pairs aggregate to
+    each gram's MINIMUM id (the gram's first appearance — one pass, no
+    per-gram sort), then join back on the gram key; a gram is novel
+    for exactly the document that introduced it.  Gram hashes are the
+    60-bit md5 key ``repeated_spans`` uses (portable, aliasing odds
+    ≈1e-10 at 10⁷ grams).  Docs with fewer than ``n`` tokens have no
+    grams — reported with n_grams = 0 and NULL novelty rather than
+    dropped.
+
+    Output: id, n_grams (distinct), n_novel, novelty.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toked = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    toks = F.col("toks")
+    grams = (
+        toked.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        toks,
+                        1,
+                        F.greatest(F.size(toks) - (n - 1), F.lit(0)),
+                    ),
+                    lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        .select("id", hash64(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    first_seen = grams.groupBy("gh").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        grams.join(first_seen, "gh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_id") == F.col("id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    empties = toked.select(
+        "id", F.size("toks").alias("_nt")
+    ).filter(F.col("_nt") < n).select(
+        "id",
+        F.lit(0).cast("bigint").alias("n_grams"),
+        F.lit(0).cast("bigint").alias("n_novel"),
+    )
+    return per_doc.unionByName(empties).select(
+        "id",
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.when(F.col("n_grams") > 0, F.col("n_novel") / F.col("n_grams")),
+            round_to,
+        ).alias("novelty"),
+    )

@@ -1,0 +1,427 @@
+"""Round-6 operators: two-sample KS test, Cohen's kappa, uplift/Qini
+table, interpolated bigram LM, n-gram novelty, HITS, k-core, and
+Fellegi-Sunter linkage weights.
+
+Each operator is checked against hand-computed or brute-force Python
+references; DuckDB oracle parity runs in test_catalog_oracle.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from knot_another_pipeline_spark.operators.dedup import linkage_weights
+from knot_another_pipeline_spark.operators.evaluation import uplift_table
+from knot_another_pipeline_spark.operators.graph import hits_step, k_core
+from knot_another_pipeline_spark.operators.quality import cohens_kappa, ks_test
+from knot_another_pipeline_spark.operators.text_analysis import (
+    bigram_lm_score,
+    ngram_novelty,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# ks_test
+# ---------------------------------------------------------------------------
+
+
+def _ks_bruteforce(a, b):
+    pooled = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    d = 0.0
+    for v in pooled:
+        fa = sum(1 for x in a if x <= v) / na
+        fb = sum(1 for x in b if x <= v) / nb
+        d = max(d, abs(fa - fb))
+    return d
+
+
+def test_ks_matches_bruteforce(spark):
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 9.0]
+    b = [2.0, 4.0, 4.0, 6.0, 7.0]
+    dfa = spark.createDataFrame([(x,) for x in a], ["v"])
+    dfb = spark.createDataFrame([(x,) for x in b], ["v"])
+    row = ks_test(dfa, dfb, "v").collect()[0]
+    d = _ks_bruteforce(a, b)
+    assert row["n_a"] == 7 and row["n_b"] == 5
+    assert row["ks_d"] == pytest.approx(d, abs=1e-6)
+    assert row["ks_scaled"] == pytest.approx(
+        d * math.sqrt(7 * 5 / 12), abs=1e-6
+    )
+
+
+def test_ks_identical_samples_zero(spark):
+    vals = [(float(i % 7),) for i in range(70)]
+    dfa = spark.createDataFrame(vals, ["v"])
+    row = ks_test(dfa, dfa, "v").collect()[0]
+    assert row["ks_d"] == 0.0
+
+
+def test_ks_disjoint_samples_one(spark):
+    dfa = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    dfb = spark.createDataFrame([(10.0,), (11.0,)], ["v"])
+    row = ks_test(dfa, dfb, "v").collect()[0]
+    assert row["ks_d"] == 1.0
+
+
+def test_ks_grouped_windows_are_keyed(spark):
+    dfa = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g2", 5.0)], ["grp", "v"]
+    )
+    dfb = spark.createDataFrame(
+        [("g1", 1.5), ("g2", 5.0), ("g2", 6.0)], ["grp", "v"]
+    )
+    out = {r["grp"]: r for r in ks_test(dfa, dfb, "v", by=["grp"]).collect()}
+    assert set(out) == {"g1", "g2"}
+    assert out["g1"]["ks_d"] == pytest.approx(
+        _ks_bruteforce([1.0, 2.0], [1.5]), abs=1e-6
+    )
+    plan = _plan(ks_test(dfa, dfb, "v", by=["grp"]))
+    assert "windowspecdefinition(grp" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_textbook_two_by_two(spark):
+    # Classic example: 45 yes/yes, 15 yes/no, 25 no/yes, 15 no/no
+    rows = (
+        [("y", "y")] * 45 + [("y", "n")] * 15
+        + [("n", "y")] * 25 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    row = cohens_kappa(df, rater_a="a", rater_b="b").collect()[0]
+    po = 60 / 100
+    pe = (60 / 100) * (70 / 100) + (40 / 100) * (30 / 100)
+    kappa = (po - pe) / (1 - pe)
+    assert row["n"] == 100
+    assert row["p_observed"] == pytest.approx(po, abs=1e-6)
+    assert row["p_expected"] == pytest.approx(pe, abs=1e-6)
+    assert row["kappa"] == pytest.approx(kappa, abs=1e-6)
+
+
+def test_kappa_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], ["a", "b"]
+    )
+    assert cohens_kappa(perfect, rater_a="a", rater_b="b").collect()[0][
+        "kappa"
+    ] == pytest.approx(1.0)
+    # both raters constant on the same label -> pe = 1 -> kappa NULL
+    const = spark.createDataFrame([("x", "x")] * 5, ["a", "b"])
+    assert (
+        cohens_kappa(const, rater_a="a", rater_b="b").collect()[0]["kappa"]
+        is None
+    )
+
+
+def test_kappa_drops_null_labels(spark):
+    df = spark.createDataFrame(
+        [("x", "x"), ("y", None), (None, "y"), ("x", "y")], ["a", "b"]
+    )
+    row = cohens_kappa(df, rater_a="a", rater_b="b").collect()[0]
+    assert row["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# uplift_table
+# ---------------------------------------------------------------------------
+
+
+def test_uplift_values_and_qini(spark):
+    # 200 rows, score i/200; top quintile: treated convert 100%, control 0%
+    rows = []
+    for i in range(200):
+        trt = i % 2 == 1
+        score = i / 200.0
+        y = 1 if (i >= 160 and trt) else 0
+        rows.append((score, y, "treatment" if trt else "control"))
+    df = spark.createDataFrame(rows, ["score", "label", "arm"])
+    out = {
+        r["tile"]: r
+        for r in uplift_table(
+            df,
+            score_col="score",
+            label_col="label",
+            arm_col="arm",
+            control="control",
+            treatment="treatment",
+            n_tiles=5,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    top = out[1]
+    assert top["n_trt"] == 20 and top["n_ctl"] == 20
+    assert top["rate_trt"] == pytest.approx(1.0)
+    assert top["rate_ctl"] == pytest.approx(0.0)
+    assert top["uplift"] == pytest.approx(1.0)
+    # qini at tile 1: 20 - 0*(20/20) = 20
+    assert top["cum_qini"] == pytest.approx(20.0)
+    # lower tiles have no events in either arm -> uplift 0, qini stays 20
+    assert out[5]["uplift"] == pytest.approx(0.0)
+    assert out[5]["cum_qini"] == pytest.approx(20.0)
+
+
+def test_uplift_empty_arm_tile_is_null(spark):
+    rows = [(i / 10.0, i % 2, "treatment") for i in range(10)] + [
+        (0.05, 1, "control")
+    ]
+    df = spark.createDataFrame(rows, ["score", "label", "arm"])
+    out = uplift_table(
+        df,
+        score_col="score",
+        label_col="label",
+        arm_col="arm",
+        control="control",
+        treatment="treatment",
+        n_tiles=2,
+    ).collect()
+    top = [r for r in out if r["tile"] == 1][0]
+    assert top["n_ctl"] == 0
+    assert top["rate_ctl"] is None and top["uplift"] is None
+
+
+def test_uplift_drops_other_arms_and_validates(spark):
+    df = spark.createDataFrame(
+        [(0.5, 1, "treatment"), (0.4, 0, "control"), (0.3, 1, "holdout")],
+        ["score", "label", "arm"],
+    )
+    out = uplift_table(
+        df,
+        score_col="score",
+        label_col="label",
+        arm_col="arm",
+        control="control",
+        treatment="treatment",
+        n_tiles=2,
+    )
+    assert sum(r["n_trt"] + r["n_ctl"] for r in out.collect()) == 2
+    with pytest.raises(ValueError, match="n_tiles"):
+        uplift_table(
+            df,
+            score_col="score",
+            label_col="label",
+            arm_col="arm",
+            control="control",
+            treatment="treatment",
+            n_tiles=1,
+        )
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_score
+# ---------------------------------------------------------------------------
+
+
+def _bigram_reference(docs, lam=0.75, alpha=0.5):
+    toks = {i: t.lower().split() for i, t in docs}
+    bi, ctx, uni = {}, {}, {}
+    for t in toks.values():
+        for w1, w2 in zip(t, t[1:]):
+            bi[(w1, w2)] = bi.get((w1, w2), 0) + 1
+            ctx[w1] = ctx.get(w1, 0) + 1
+            uni[w2] = uni.get(w2, 0) + 1
+    n = sum(uni.values())
+    v = len(uni)
+    out = {}
+    for i, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            out[i] = (0, None)
+            continue
+        lps = []
+        for w1, w2 in pairs:
+            pb = bi.get((w1, w2), 0) / ctx[w1] if ctx.get(w1) else 0.0
+            pu = (uni.get(w2, 0) + alpha) / (n + alpha * v)
+            lps.append(math.log(lam * pb + (1 - lam) * pu))
+        out[i] = (len(pairs), sum(lps) / len(lps))
+    return out
+
+
+def test_bigram_lm_matches_reference(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "mat the on"),          # broken transitions, fine unigrams
+        (4, "zzz"),                 # single token -> NULL score
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["id"]: r
+        for r in bigram_lm_score(df, id_col="doc_id", text_col="text").collect()
+    }
+    ref = _bigram_reference(docs)
+    assert set(got) == {1, 2, 3, 4}
+    for i, (nb, lp) in ref.items():
+        assert got[i]["n_bigrams"] == nb
+        if lp is None:
+            assert got[i]["avg_logprob"] is None
+        else:
+            assert got[i]["avg_logprob"] == pytest.approx(lp, abs=1e-5)
+    # the fluency signal: same unigrams, scrambled transitions score lower
+    assert got[3]["avg_logprob"] < got[1]["avg_logprob"]
+
+
+def test_bigram_lm_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="lam"):
+        bigram_lm_score(df, id_col="doc_id", text_col="text", lam=1.0)
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_lm_score(df, id_col="doc_id", text_col="text", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_first_doc_is_fully_novel(spark):
+    docs = [
+        (1, "a b c d e"),            # grams: abc bcd cde — all novel
+        (2, "a b c d e"),            # exact copy — zero novel
+        (3, "a b c x y z"),          # abc seen; bcx cxy xyz novel
+        (4, "a b"),                  # too short: no grams
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["id"]: r
+        for r in ngram_novelty(
+            df, id_col="doc_id", text_col="text", n=3
+        ).collect()
+    }
+    assert got[1]["novelty"] == pytest.approx(1.0)
+    assert got[2]["novelty"] == pytest.approx(0.0)
+    assert got[3]["n_grams"] == 4 and got[3]["n_novel"] == 3
+    assert got[3]["novelty"] == pytest.approx(0.75)
+    assert got[4]["n_grams"] == 0 and got[4]["novelty"] is None
+
+
+def test_novelty_counts_distinct_grams_once(spark):
+    # repeated gram within one doc counts once (distinct)
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    row = ngram_novelty(df, id_col="doc_id", text_col="text", n=3).collect()[0]
+    # grams: "a b a","b a b","a b a","b a b" -> 2 distinct, both novel
+    assert row["n_grams"] == 2 and row["n_novel"] == 2
+
+
+# ---------------------------------------------------------------------------
+# hits_step
+# ---------------------------------------------------------------------------
+
+
+def test_hits_one_iteration_matches_reference(spark):
+    edges = [("h1", "a1"), ("h1", "a2"), ("h2", "a2"), ("h3", "a2")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in hits_step(df, iterations=1).collect()}
+    # auth raw: a1=1, a2=3; L2 norm sqrt(10)
+    z = math.sqrt(10)
+    assert out["a1"]["authority"] == pytest.approx(1 / z, abs=1e-6)
+    assert out["a2"]["authority"] == pytest.approx(3 / z, abs=1e-6)
+    # hub raw: h1 = a1+a2 = 4/z ; h2 = h3 = 3/z ; L2-normalize
+    hz = math.sqrt((4 / z) ** 2 + 2 * (3 / z) ** 2)
+    assert out["h1"]["hub"] == pytest.approx((4 / z) / hz, abs=1e-6)
+    assert out["h2"]["hub"] == pytest.approx((3 / z) / hz, abs=1e-6)
+    # pure sources have authority 0; pure sinks hub 0
+    assert out["h1"]["authority"] == 0.0
+    assert out["a1"]["hub"] == 0.0
+
+
+def test_hits_authority_ranks_endorsement_not_degree(spark):
+    # a1 gets 3 links from 1-link hubs; a2 gets 2 links from strong hubs
+    # after 2 iterations a2's endorsement quality shows
+    edges = (
+        [(f"weak{i}", "a1") for i in range(3)]
+        + [("s1", "a2"), ("s2", "a2")]
+        + [("s1", "b1"), ("s1", "b2"), ("s2", "b1"), ("s2", "b2")]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in hits_step(df, iterations=2).collect()}
+    assert out["a2"]["authority"] > 0
+    with pytest.raises(ValueError, match="iterations"):
+        hits_step(df, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def test_k_core_peels_tendrils(spark):
+    # K4 core {1,2,3,4} with a chain 4-5-6 hanging off it
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in k_core(df, k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(r["degree"] == 3 for r in out.values())
+    assert all(r["converged"] for r in out.values())
+
+
+def test_k_core_cascade_and_empty(spark):
+    # a path graph has no 2-core
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert k_core(df, k=2).count() == 0
+    # a cycle IS its own 2-core
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    out = k_core(cyc, k=2).collect()
+    assert {r["node"] for r in out} == {1, 2, 3}
+
+
+def test_k_core_ignores_self_loops_and_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    out = k_core(df, k=2).collect()
+    assert {r["node"] for r in out} == {1, 2, 3}
+    assert all(r["degree"] == 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# linkage_weights
+# ---------------------------------------------------------------------------
+
+
+def test_linkage_weights_match_hand_computation(spark):
+    # 4 matches: field agrees on 3; 6 non-matches: field agrees on 1
+    rows = (
+        [(True, True)] * 3 + [(True, False)] * 1
+        + [(False, True)] * 1 + [(False, False)] * 5
+    )
+    df = spark.createDataFrame(rows, ["is_match", "name_agree"])
+    row = linkage_weights(
+        df, match_col="is_match", agreement_cols=["name_agree"]
+    ).collect()[0]
+    m = (3 + 0.5) / (4 + 1)
+    u = (1 + 0.5) / (6 + 1)
+    assert row["field"] == "name_agree"
+    assert row["n_match"] == 4 and row["n_nonmatch"] == 6
+    assert row["m"] == pytest.approx(m, abs=1e-6)
+    assert row["u"] == pytest.approx(u, abs=1e-6)
+    assert row["w_agree"] == pytest.approx(math.log2(m / u), abs=1e-5)
+    assert row["w_disagree"] == pytest.approx(
+        math.log2((1 - m) / (1 - u)), abs=1e-5
+    )
+
+
+def test_linkage_weights_null_flags_excluded_and_mle_guard(spark):
+    rows = [(True, True), (True, None), (False, False), (False, None)]
+    df = spark.createDataFrame(rows, ["is_match", "f"])
+    row = linkage_weights(
+        df, match_col="is_match", agreement_cols=["f"], smoothing=0.0
+    ).collect()[0]
+    assert row["n_match"] == 1 and row["n_nonmatch"] == 1
+    assert row["m"] == 1.0 and row["u"] == 0.0
+    # raw MLE at the boundary: log2(1/0) and log2(0/1) guard to NULL
+    assert row["w_agree"] is None and row["w_disagree"] is None
+    with pytest.raises(ValueError, match="agreement_cols"):
+        linkage_weights(df, match_col="is_match", agreement_cols=[])
