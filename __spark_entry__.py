@@ -118,6 +118,14 @@ _PRIORITY = [
     "hits_authority",
     "k_core_parts",
     "linkage_weights",
+    "mmr_diversify",
+    "dedup_prf",
+    "linkage_scores",
+    "containment_pairs",
+    "linkage_em",
+    "woe_iv",
+    "label_propagation",
+    "tokenizer_fertility",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -134,6 +134,15 @@ HEADLINE = [
     "hits_authority",
     "k_core_parts",
     "linkage_weights",
+    # r6 additions: diversification / dedup evaluation / linkage scoring
+    "mmr_diversify",
+    "dedup_prf",
+    "linkage_scores",
+    "containment_pairs",
+    "linkage_em",
+    "woe_iv",
+    "label_propagation",
+    "tokenizer_fertility",
 ]
 
 

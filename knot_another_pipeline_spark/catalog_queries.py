@@ -7176,6 +7176,528 @@ FROM w
 """
 
 
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-5 diversification of the embedding corpus against query
+    vector 0 (operators/similarity.py mmr_select): greedy
+    λ·relevance − (1−λ)·max-sim selection, k driver rounds over a
+    checkpointed candidate frame, rounded-score argmax with id
+    tiebreak so the oracle replays the identical sequence."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        mmr_select,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / l2_norm(F.col("embedding")),
+        ).alias("_v"),
+    )
+    q = normed.filter(F.col("vec_id") == 0).select(F.col("_v").alias("_qv"))
+    cands = (
+        normed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            dot(F.col("_v"), F.col("_qv")).alias("rel"),
+        )
+    )
+    return mmr_select(
+        cands,
+        id_col="vec_id",
+        vec_col="embedding",
+        rel_col="rel",
+        k=5,
+        lam=0.7,
+    )
+
+
+def _mmr_oracle_sql(k: int, lam: float) -> str:
+    """Unroll the k greedy MMR rounds as MATERIALIZED CTEs; each round
+    re-scores the not-yet-selected candidates against the selected set
+    via a correlated max-dot subquery (≤ k−1 rows), rounds to 6, and
+    takes the (score DESC, id ASC) argmax — the mmr_select loop
+    verbatim."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+  FROM embeddings),
+n AS MATERIALIZED (
+  SELECT id,
+         list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+           AS v
+  FROM e WHERE sqrt(list_dot_product(raw, raw)) > 0),
+q AS MATERIALIZED (SELECT v AS qv FROM n WHERE id = 0),
+c AS MATERIALIZED (
+  SELECT id, v, list_dot_product(v, qv) AS rel FROM n, q WHERE id != 0),
+r1 AS MATERIALIZED (
+  SELECT 1 AS rank, id, v, rel, round(rel, 6) AS mmr
+  FROM c ORDER BY round(rel, 6) DESC, id ASC LIMIT 1),
+sel1 AS MATERIALIZED (SELECT id, v FROM r1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+r{r} AS MATERIALIZED (
+  SELECT {r} AS rank, c.id, c.v, c.rel,
+         round({lam} * c.rel - {1.0 - lam} *
+               (SELECT max(list_dot_product(c.v, s.v)) FROM sel{r - 1} s),
+               6) AS mmr
+  FROM c WHERE c.id NOT IN (SELECT id FROM sel{r - 1})
+  ORDER BY mmr DESC, c.id ASC LIMIT 1),
+sel{r} AS MATERIALIZED (
+  SELECT id, v FROM sel{r - 1} UNION ALL SELECT id, v FROM r{r})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, id, round(rel, 6) AS relevance, mmr AS mmr_score"
+        f" FROM r{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+ORACLE_MMR_DIVERSIFY = _mmr_oracle_sql(5, 0.7)
+
+
+def q_dedup_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of MinHash-LSH candidate pairs (est Jaccard
+    ≥ 0.5) against the exact-duplicate truth set (normalized-content
+    fingerprint pairs) — operators/evaluation.py pair_eval closing the
+    dedup loop with a measured quality number."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+        shingle_table,
+    )
+    from knot_another_pipeline_spark.operators.evaluation import pair_eval
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        fingerprint_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(
+        docs, id_col="doc_id", text_col="text", n=3, distinct=False
+    )
+    sig = minhash_signatures(sh, num_hashes=16)
+    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
+    predicted = minhash_similarity(sig, cands, num_hashes=16).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    fp = fingerprint_documents(docs, id_col="doc_id", text_col="text")
+    truth = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return pair_eval(predicted, truth)
+
+
+def q_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter pair scoring (operators/dedup.py
+    score_linkage_pairs): the weights learned by linkage_weights pivot
+    to ONE broadcast row and score every nation-blocked customer pair
+    row-locally — the apply half of probabilistic entity resolution."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        linkage_weights,
+        score_linkage_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        cust.alias("a")
+        .join(
+            cust.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            (
+                F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 500.0
+            ).alias("is_match"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
+                "segment_agree"
+            ),
+            (
+                (F.col("a.c_acctbal") >= 0) == (F.col("b.c_acctbal") >= 0)
+            ).alias("balance_sign_agree"),
+        )
+    )
+    weights = linkage_weights(
+        pairs,
+        match_col="is_match",
+        agreement_cols=["segment_agree", "balance_sign_agree"],
+    )
+    scored = score_linkage_pairs(
+        pairs,
+        weights,
+        agreement_cols=["segment_agree", "balance_sign_agree"],
+    )
+    return scored.select("id_a", "id_b", "match_weight")
+
+
+ORACLE_LINKAGE_SCORES = """
+WITH p AS MATERIALIZED (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         abs(a.c_acctbal - b.c_acctbal) < 500.0 AS lab,
+         a.c_mktsegment = b.c_mktsegment AS f1,
+         (a.c_acctbal >= 0) = (b.c_acctbal >= 0) AS f2
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+c AS (
+  SELECT
+    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS DOUBLE) AS nm,
+    CAST(sum(CASE WHEN lab AND f1 THEN 1 ELSE 0 END) AS DOUBLE) AS f1_am,
+    CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS DOUBLE) AS nu,
+    CAST(sum(CASE WHEN NOT lab AND f1 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS f1_au,
+    CAST(sum(CASE WHEN lab AND f2 THEN 1 ELSE 0 END) AS DOUBLE) AS f2_am,
+    CAST(sum(CASE WHEN NOT lab AND f2 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS f2_au
+  FROM p),
+w AS (
+  SELECT
+    round(CASE WHEN (f1_au + 0.5) / (nu + 1.0) > 0
+               THEN log2(((f1_am + 0.5) / (nm + 1.0))
+                         / ((f1_au + 0.5) / (nu + 1.0))) END, 6) AS f1_wa,
+    round(CASE WHEN (f1_au + 0.5) / (nu + 1.0) < 1
+               THEN log2((1 - (f1_am + 0.5) / (nm + 1.0))
+                         / (1 - (f1_au + 0.5) / (nu + 1.0))) END, 6)
+      AS f1_wd,
+    round(CASE WHEN (f2_au + 0.5) / (nu + 1.0) > 0
+               THEN log2(((f2_am + 0.5) / (nm + 1.0))
+                         / ((f2_au + 0.5) / (nu + 1.0))) END, 6) AS f2_wa,
+    round(CASE WHEN (f2_au + 0.5) / (nu + 1.0) < 1
+               THEN log2((1 - (f2_am + 0.5) / (nm + 1.0))
+                         / (1 - (f2_au + 0.5) / (nu + 1.0))) END, 6)
+      AS f2_wd
+  FROM c)
+SELECT id_a, id_b,
+       round(coalesce(CASE WHEN f1 THEN f1_wa ELSE f1_wd END, 0)
+             + coalesce(CASE WHEN f2 THEN f2_wa ELSE f2_wd END, 0), 6)
+         AS match_weight
+FROM p CROSS JOIN w
+"""
+
+
+ORACLE_DEDUP_PRF = f"""
+WITH pred AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS pa, greatest(id_a, id_b) AS pb
+  FROM ({ORACLE_MINHASH_PAIRS}) mp
+  WHERE est_jaccard >= 0.5 AND id_a != id_b),
+fpx AS MATERIALIZED (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents),
+tr AS MATERIALIZED (
+  SELECT DISTINCT least(a.id, b.id) AS pa, greatest(a.id, b.id) AS pb
+  FROM fpx a JOIN fpx b
+    ON a.fingerprint = b.fingerprint AND a.id < b.id),
+cnt AS (
+  SELECT (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM tr) AS n_true,
+         (SELECT count(*) FROM pred JOIN tr USING (pa, pb)) AS tp),
+m AS (
+  SELECT n_pred, n_true, tp,
+         CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS p,
+         CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true END AS r
+  FROM cnt)
+SELECT CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(tp AS BIGINT) AS tp,
+       round(p, 6) AS precision,
+       round(r, 6) AS recall,
+       round(CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+                  THEN 2 * p * r / (p + r) END, 6) AS f1
+FROM m
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(a→b) = |A∩B|/|A| over the document
+    corpus (operators/dedup.py containment_pairs): the asymmetric dedup
+    signal that catches inclusion duplicates Jaccard misses. Stop-shingle
+    cap df ≤ 50; pairs with containment ≥ 0.5."""
+    from knot_another_pipeline_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3, distinct=True)
+    out = containment_pairs(sh, min_containment=0.5, max_doc_freq=50)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("inter").cast("bigint").alias("inter"),
+        "containment",
+    )
+
+
+ORACLE_CONTAINMENT_PAIRS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+sh0 AS ({_SHINGLES_SQL}),
+keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 50),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS MATERIALIZED (
+  SELECT a.id AS u, b.id AS v, count(*) AS ix
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairsz AS (
+  SELECT u, v, ix, su.sz AS sz_u, sv.sz AS sz_v
+  FROM inter JOIN sizes su ON su.id = u JOIN sizes sv ON sv.id = v),
+directed AS (
+  SELECT u AS id_a, v AS id_b, sz_u AS size_a, ix FROM pairsz
+  UNION ALL
+  SELECT v AS id_a, u AS id_b, sz_v AS size_a, ix FROM pairsz)
+SELECT id_a, id_b, CAST(size_a AS BIGINT) AS size_a,
+       CAST(ix AS BIGINT) AS inter,
+       round(CAST(ix AS DOUBLE) / size_a, 6) AS containment
+FROM directed
+WHERE round(CAST(ix AS DOUBLE) / size_a, 6) >= 0.5
+"""
+
+
+def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unsupervised Fellegi–Sunter EM iteration (operators/dedup.py
+    linkage_em_step) over UNLABELED nation-blocked customer pairs with
+    segment/balance-sign agreement flags — the fit loop behind
+    Splink-style entity resolution when no labeled pairs exist. The
+    oracle replays the same E-step product and M-step aggregate."""
+    from knot_another_pipeline_spark.operators.dedup import linkage_em_step
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        cust.alias("a")
+        .join(
+            cust.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
+                "segment_agree"
+            ),
+            (
+                (F.col("a.c_acctbal") >= 0) == (F.col("b.c_acctbal") >= 0)
+            ).alias("balance_sign_agree"),
+        )
+    )
+    return linkage_em_step(
+        pairs,
+        agreement_cols=["segment_agree", "balance_sign_agree"],
+        m={"segment_agree": 0.9, "balance_sign_agree": 0.8},
+        u={"segment_agree": 0.2, "balance_sign_agree": 0.5},
+        p=0.1,
+    )
+
+
+ORACLE_LINKAGE_EM = """
+WITH p AS MATERIALIZED (
+  SELECT a.c_mktsegment = b.c_mktsegment AS f1,
+         (a.c_acctbal >= 0) = (b.c_acctbal >= 0) AS f2
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+s AS (
+  SELECT f1, f2,
+         0.1 * (CASE WHEN f1 THEN 0.9 WHEN NOT f1 THEN 0.1 ELSE 1.0 END)
+             * (CASE WHEN f2 THEN 0.8 WHEN NOT f2 THEN 0.2 ELSE 1.0 END)
+           AS lm,
+         0.9 * (CASE WHEN f1 THEN 0.2 WHEN NOT f1 THEN 0.8 ELSE 1.0 END)
+             * (CASE WHEN f2 THEN 0.5 WHEN NOT f2 THEN 0.5 ELSE 1.0 END)
+           AS lu
+  FROM p),
+w AS (SELECT f1, f2, lm / (lm + lu) AS w FROM s),
+agg AS (
+  SELECT sum(w) AS sw, count(*) AS n,
+         sum(CASE WHEN f1 IS NOT NULL THEN w END) AS f1_dw,
+         sum(CASE WHEN f1 THEN w END) AS f1_nw,
+         sum(CASE WHEN f1 IS NOT NULL THEN 1 - w END) AS f1_du,
+         sum(CASE WHEN f1 THEN 1 - w END) AS f1_nu,
+         sum(CASE WHEN f2 IS NOT NULL THEN w END) AS f2_dw,
+         sum(CASE WHEN f2 THEN w END) AS f2_nw,
+         sum(CASE WHEN f2 IS NOT NULL THEN 1 - w END) AS f2_du,
+         sum(CASE WHEN f2 THEN 1 - w END) AS f2_nu
+  FROM w)
+SELECT 'segment_agree' AS field,
+       round(CASE WHEN f1_dw > 0 THEN f1_nw / f1_dw END, 6) AS m_new,
+       round(CASE WHEN f1_du > 0 THEN f1_nu / f1_du END, 6) AS u_new,
+       round(CASE WHEN n > 0 THEN sw / n END, 6) AS p_new,
+       CAST(n AS BIGINT) AS n_pairs
+FROM agg
+UNION ALL
+SELECT 'balance_sign_agree',
+       round(CASE WHEN f2_dw > 0 THEN f2_nw / f2_dw END, 6),
+       round(CASE WHEN f2_du > 0 THEN f2_nu / f2_du END, 6),
+       round(CASE WHEN n > 0 THEN sw / n END, 6),
+       CAST(n AS BIGINT)
+FROM agg
+"""
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value screen (operators/
+    features.py woe_iv): label = non-negative account balance, features
+    = market segment and nation — one stacked hash aggregate plus a
+    same-key window, smoothed shares, per-feature IV total."""
+    from knot_another_pipeline_spark.operators.features import woe_iv
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "is_pos", F.col("c_acctbal") >= 0
+    )
+    return woe_iv(
+        cust,
+        feature_cols=["c_mktsegment", "c_nationkey"],
+        label_col="is_pos",
+    )
+
+
+ORACLE_WOE_IV = """
+WITH stacked AS (
+  SELECT c_acctbal >= 0 AS y, 'c_mktsegment' AS feature,
+         coalesce(CAST(c_mktsegment AS VARCHAR), '(null)') AS level
+  FROM customer WHERE (c_acctbal >= 0) IS NOT NULL
+  UNION ALL
+  SELECT c_acctbal >= 0, 'c_nationkey',
+         coalesce(CAST(c_nationkey AS VARCHAR), '(null)')
+  FROM customer WHERE (c_acctbal >= 0) IS NOT NULL),
+counts AS (
+  SELECT feature, level,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+  FROM stacked GROUP BY 1, 2),
+sh AS (
+  SELECT feature, level, n_pos, n_neg,
+         (n_pos + 0.5) / (sum(n_pos) OVER (PARTITION BY feature)
+                          + 0.5 * count(*) OVER (PARTITION BY feature))
+           AS ps,
+         (n_neg + 0.5) / (sum(n_neg) OVER (PARTITION BY feature)
+                          + 0.5 * count(*) OVER (PARTITION BY feature))
+           AS ns
+  FROM counts)
+SELECT feature, level,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round(ln(ps / ns), 6) AS woe,
+       round((ps - ns) * ln(ps / ns), 6) AS iv_term,
+       round(sum((ps - ns) * ln(ps / ns)) OVER (PARTITION BY feature), 6)
+         AS iv
+FROM sh
+"""
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (operators/graph.py label_propagation)
+    over the part↔supplier bipartite graph from lineitem: every 10th
+    supplier is seeded with its nation, labels spread 2 rounds (parts
+    adopt in round 1, unseeded suppliers in round 2). The oracle
+    unrolls the identical majority-vote rounds."""
+    from knot_another_pipeline_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    seeds = supp.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("node"),
+        F.col("s_nationkey").alias("label"),
+    )
+    out = label_propagation(edges, seeds, iterations=2)
+    return out.select(
+        "node",
+        F.col("label").cast("bigint").alias("label"),
+        F.col("round").cast("bigint").alias("round"),
+    )
+
+
+def _label_prop_round_sql(r: int, prev: str) -> str:
+    return f""",
+v{r} AS MATERIALIZED (
+  SELECT sym.b AS node, {prev}.label, count(*) AS cnt
+  FROM sym JOIN {prev} ON {prev}.node = sym.a
+  GROUP BY 1, 2),
+a{r} AS (
+  SELECT node, label, {r} AS round
+  FROM v{r} WHERE node NOT IN (SELECT node FROM {prev})
+  QUALIFY row_number()
+    OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) = 1),
+l{r} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM a{r})"""
+
+
+ORACLE_LABEL_PROPAGATION = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem),
+sym AS MATERIALIZED (
+  SELECT a, b FROM e UNION SELECT b, a FROM e),
+l0 AS MATERIALIZED (
+  SELECT 's:' || s_suppkey AS node, min(s_nationkey) AS label, 0 AS round
+  FROM supplier WHERE s_suppkey % 10 = 0 GROUP BY 1){_label_prop_round_sql(1, "l0")}{_label_prop_round_sql(2, "l1")}
+SELECT node, CAST(label AS BIGINT) AS label, CAST(round AS BIGINT) AS round
+FROM l2
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression per language slice
+    (operators/text_analysis.py tokenizer_fertility): BPE-ish units per
+    whitespace word, chars and bytes per unit — all row-local codegen
+    counters into ONE hash aggregate."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        tokenizer_fertility,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, text_col="text", group_cols=["lang"])
+
+
+ORACLE_TOKENIZER_FERTILITY = r"""
+WITH per AS (
+  SELECT lang,
+         length(coalesce(text, '')) AS ch,
+         strlen(coalesce(text, '')) AS by,
+         len(list_filter(
+             string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+             x -> x != '')) AS words,
+         len(regexp_extract_all(coalesce(text, ''),
+             '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS toks
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ch) AS BIGINT) AS n_chars,
+       CAST(sum(by) AS BIGINT) AS n_bytes,
+       CAST(sum(words) AS BIGINT) AS n_words,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN sum(words) > 0
+                  THEN CAST(sum(toks) AS DOUBLE) / sum(words) END, 6)
+         AS fertility,
+       round(CASE WHEN sum(toks) > 0
+                  THEN CAST(sum(ch) AS DOUBLE) / sum(toks) END, 6)
+         AS chars_per_token,
+       round(CASE WHEN sum(toks) > 0
+                  THEN CAST(sum(by) AS DOUBLE) / sum(toks) END, 6)
+         AS bytes_per_token
+FROM per GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7191,6 +7713,14 @@ QUERIES = {
     "hits_authority": q_hits_authority,
     "k_core_parts": q_k_core,
     "linkage_weights": q_linkage_weights,
+    "mmr_diversify": q_mmr_diversify,
+    "dedup_prf": q_dedup_prf,
+    "linkage_scores": q_linkage_scores,
+    "containment_pairs": q_containment_pairs,
+    "linkage_em": q_linkage_em,
+    "woe_iv": q_woe_iv,
+    "label_propagation": q_label_propagation,
+    "tokenizer_fertility": q_tokenizer_fertility,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -7384,6 +7914,14 @@ ORACLES = {
     "hits_authority": ORACLE_HITS_AUTHORITY,
     "k_core_parts": ORACLE_K_CORE,
     "linkage_weights": ORACLE_LINKAGE_WEIGHTS,
+    "mmr_diversify": ORACLE_MMR_DIVERSIFY,
+    "dedup_prf": ORACLE_DEDUP_PRF,
+    "linkage_scores": ORACLE_LINKAGE_SCORES,
+    "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
+    "linkage_em": ORACLE_LINKAGE_EM,
+    "woe_iv": ORACLE_WOE_IV,
+    "label_propagation": ORACLE_LABEL_PROPAGATION,
+    "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

@@ -1132,3 +1132,247 @@ def linkage_weights(
         F.round(w_agree, round_to).alias("w_agree"),
         F.round(w_dis, round_to).alias("w_disagree"),
     )
+
+
+def score_linkage_pairs(
+    pairs: DataFrame,
+    weights: DataFrame,
+    *,
+    agreement_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Score candidate pairs with learned Fellegi–Sunter field weights
+    (:func:`linkage_weights`): each pair's match weight is the sum over
+    fields of ``w_agree`` where the field agrees and ``w_disagree``
+    where it disagrees — the log₂-odds the pair is a match, thresholded
+    downstream exactly like Splink's ``match_weight``.  Together the
+    two functions are the train/apply halves of probabilistic entity
+    resolution.
+
+    The weights frame (one row per field — never more than a handful)
+    collapses to ONE broadcast row via a conditional pivot, so scoring
+    is a row-local expression over the pair frame: zero shuffles, zero
+    joins against the corpus-sized side.  A NULL agreement flag
+    contributes 0 (no evidence either way — the standard FS treatment);
+    a NULL weight (boundary MLE, see ``linkage_weights``) also
+    contributes 0, keeping scores finite.
+
+    Output: every input pair column + match_weight.
+    """
+    if not agreement_cols:
+        raise ValueError("agreement_cols must not be empty")
+    wide = weights.agg(
+        *[
+            agg
+            for c in agreement_cols
+            for agg in (
+                F.max(
+                    F.when(F.col("field") == c, F.col("w_agree"))
+                ).alias(f"_wa_{c}"),
+                F.max(
+                    F.when(F.col("field") == c, F.col("w_disagree"))
+                ).alias(f"_wd_{c}"),
+            )
+        ]
+    )
+    terms = [
+        F.coalesce(
+            F.when(F.col(c).cast("boolean"), F.col(f"_wa_{c}")).when(
+                ~F.col(c).cast("boolean"), F.col(f"_wd_{c}")
+            ),
+            F.lit(0.0),
+        )
+        for c in agreement_cols
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (
+        pairs.crossJoin(F.broadcast(wide))
+        .withColumn("match_weight", F.round(total, round_to))
+        .drop(
+            *[f"_wa_{c}" for c in agreement_cols],
+            *[f"_wd_{c}" for c in agreement_cols],
+        )
+    )
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    *,
+    min_containment: float = 0.5,
+    max_doc_freq: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Directed shingle containment ``C(a→b) = |A∩B| / |A|`` — the
+    asymmetric cousin of Jaccard that catches *inclusion* duplicates
+    (a quoted excerpt, a page embedded in a larger crawl record, a
+    chunk re-packed into a longer doc) which symmetric Jaccard misses
+    because the union is dominated by the bigger side.  This is the
+    dedup signal behind "drop subsumed documents": high containment of
+    a in b with |A| ≪ |B| means a adds nothing b doesn't already have.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: the quadratic
+    step is a postings self-join on the shingle key, bounded by the
+    ``max_doc_freq`` stop-shingle cap (df > cap shingles are dropped
+    before the join — one boilerplate shingle is d² rows; containment
+    is then measured over the capped sets on both numerator and
+    denominator, so the metric stays internally consistent).  Each
+    undirected intersection is computed ONCE (``id < id`` join) and
+    fanned into the two directed rows row-locally — the join cost
+    isn't paid twice for an asymmetric measure.
+
+    Output: id_a, id_b (direction: containment OF id_a IN id_b),
+    size_a, inter, containment — pairs with C ≥ ``min_containment``.
+    """
+    if not 0 <= min_containment <= 1:
+        raise ValueError(
+            f"min_containment must be in [0, 1], got {min_containment}"
+        )
+    if max_doc_freq is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        shingles = shingles.join(keep, "shingle")
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    szu = sizes.select(F.col("id").alias("u"), F.col("sz").alias("sz_u"))
+    szv = sizes.select(F.col("id").alias("v"), F.col("sz").alias("sz_v"))
+    both = inter.join(szu, "u").join(szv, "v")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("id_a"),
+                    F.col("v").alias("id_b"),
+                    F.col("sz_u").alias("size_a"),
+                    F.col("inter").alias("inter"),
+                ),
+                F.struct(
+                    F.col("v").alias("id_a"),
+                    F.col("u").alias("id_b"),
+                    F.col("sz_v").alias("size_a"),
+                    F.col("inter").alias("inter"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        directed.withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double") / F.col("size_a"), round_to
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(min_containment))
+    )
+
+
+def linkage_em_step(
+    pairs: DataFrame,
+    *,
+    agreement_cols: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    p: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """One EM iteration of UNSUPERVISED Fellegi–Sunter parameter
+    estimation (Winkler 1988; the fit loop inside Splink): given
+    current per-field match/non-match agreement probabilities
+    ``m_f``/``u_f`` and the match prior ``p``, the E-step scores every
+    candidate pair's posterior match probability
+
+        w = p·Π_f m_f^γ_f (1−m_f)^(1−γ_f)
+            / (p·Π … + (1−p)·Π_f u_f^γ_f (1−u_f)^(1−γ_f))
+
+    and the M-step re-estimates ``m_f = Σ w·γ_f / Σ w``,
+    ``u_f = Σ (1−w)·γ_f / Σ (1−w)`` and ``p = Σ w / n`` — no labels
+    needed, which is the realistic regime (:func:`linkage_weights` is
+    the supervised shortcut when a labeled pair sample exists).  Same
+    one-iteration-per-call contract as ``kmeans_step``/``hits_step``:
+    the caller loops to convergence, each call is one pass.
+
+    Scale shape: the E-step is a row-local product over ≤ a handful of
+    fields (current params enter as literals — no join), and the
+    M-step is ONE global conditional aggregate with map-side partials
+    — the pair frame never shuffles.  A NULL agreement flag
+    contributes factor 1 to both likelihoods (no evidence) and is
+    excluded from that field's M-step numerator and denominator.
+
+    Output per field: field, m_new, u_new, p_new (prior repeated on
+    every row so the frame is self-contained for the next call),
+    n_pairs — all probabilities rounded to ``round_to``.
+    """
+    if not agreement_cols:
+        raise ValueError("agreement_cols must not be empty")
+    if not 0 < p < 1:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    for c in agreement_cols:
+        if c not in m or c not in u:
+            raise ValueError(f"missing m/u parameter for field {c!r}")
+        if not 0 < m[c] < 1 or not 0 < u[c] < 1:
+            raise ValueError(
+                f"m/u for {c!r} must be in (0, 1), got {m[c]}/{u[c]}"
+            )
+    like_m = F.lit(float(p))
+    like_u = F.lit(1.0 - float(p))
+    for c in agreement_cols:
+        flag = F.col(c).cast("boolean")
+        like_m = like_m * F.when(flag, F.lit(float(m[c]))).when(
+            ~flag, F.lit(1.0 - float(m[c]))
+        ).otherwise(F.lit(1.0))
+        like_u = like_u * F.when(flag, F.lit(float(u[c]))).when(
+            ~flag, F.lit(1.0 - float(u[c]))
+        ).otherwise(F.lit(1.0))
+    scored = pairs.withColumn("_w", like_m / (like_m + like_u))
+    aggs = [
+        F.sum("_w").alias("_sw"),
+        F.count(F.lit(1)).alias("_n"),
+    ]
+    for c in agreement_cols:
+        flag = F.col(c).cast("boolean")
+        aggs += [
+            F.sum(F.when(flag.isNotNull(), F.col("_w"))).alias(f"{c}__dw"),
+            F.sum(F.when(flag, F.col("_w"))).alias(f"{c}__nw"),
+            F.sum(F.when(flag.isNotNull(), 1 - F.col("_w"))).alias(
+                f"{c}__du"
+            ),
+            F.sum(F.when(flag, 1 - F.col("_w"))).alias(f"{c}__nu"),
+        ]
+    row = scored.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__dw, {c}__nw, {c}__du, {c}__nu" for c in agreement_cols
+    )
+    long = row.selectExpr(
+        "_sw",
+        "_n",
+        f"stack({len(agreement_cols)}, {stack_args})"
+        " as (field, _dw, _nw, _du, _nu)",
+    )
+    return long.select(
+        "field",
+        F.round(
+            F.when(F.col("_dw") > 0, F.col("_nw") / F.col("_dw")), round_to
+        ).alias("m_new"),
+        F.round(
+            F.when(F.col("_du") > 0, F.col("_nu") / F.col("_du")), round_to
+        ).alias("u_new"),
+        F.round(
+            F.when(F.col("_n") > 0, F.col("_sw") / F.col("_n")), round_to
+        ).alias("p_new"),
+        F.col("_n").cast("bigint").alias("n_pairs"),
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "auc_scores",
     "calibration_curve",
     "lift_table",
+    "pair_eval",
     "psi_stability",
     "uplift_table",
 ]
@@ -398,4 +399,69 @@ def uplift_table(
             F.when(cum_nc > 0, cum_et - cum_ec * (cum_nt / cum_nc)),
             round_to,
         ).alias("cum_qini"),
+    )
+
+
+def pair_eval(
+    predicted: DataFrame,
+    truth: DataFrame,
+    *,
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Precision / recall / F1 of a predicted pair set against a
+    ground-truth pair set — the readout that closes the dedup loop:
+    MinHash/SimHash/embedding-LSH emit candidate pairs, and this says
+    how many are real and how much of the truth they cover, per
+    threshold choice.  Without it, "the dedup ran" is the only
+    evidence.
+
+    Pairs are canonicalized (``least``/``greatest``) and deduplicated
+    on both sides, so orientation and repeats can't inflate the
+    counts; self-pairs are dropped.  True positives come from ONE
+    inner join on the canonical pair key; the three counts are tiny
+    aggregates.  Empty sides degrade to NULL metrics (0/0 is
+    undefined, not zero).
+
+    Output (one row): n_pred, n_true, tp, precision, recall, f1.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        a, b = F.col(id_a_col), F.col(id_b_col)
+        return (
+            df.filter(a.isNotNull() & b.isNotNull() & (a != b))
+            .select(
+                F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")
+            )
+            .distinct()
+        )
+
+    p = canon(predicted)
+    t = canon(truth)
+    tp = p.join(t, ["pa", "pb"])
+    counts = (
+        p.agg(F.count(F.lit(1)).alias("n_pred"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("tp")))
+    )
+    precision = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    )
+    recall = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    return counts.select(
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(precision, round_to).alias("precision"),
+        F.round(recall, round_to).alias("recall"),
+        F.round(
+            F.when(
+                precision.isNotNull()
+                & recall.isNotNull()
+                & (precision + recall > 0),
+                2 * precision * recall / (precision + recall),
+            ),
+            round_to,
+        ).alias("f1"),
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from knot_another_pipeline_spark.functions.hashing import hash64
 
-__all__ = ["target_encode", "hash_features", "dsir_weights"]
+__all__ = ["target_encode", "hash_features", "dsir_weights", "woe_iv"]
 
 
 def target_encode(
@@ -292,4 +292,86 @@ def feature_gain(
         F.round("_h", round_to).alias("parent_entropy"),
         F.round("_hc", round_to).alias("cond_entropy"),
         F.round(F.col("_h") - F.col("_hc"), round_to).alias("gain"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    *,
+    feature_cols: list[str],
+    label_col: str,
+    smoothing: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight of Evidence and Information Value per categorical feature
+    level — the credit-scoring-standard univariate screen: WoE is the
+    log-odds shift a level carries
+    (``ln((pos_share)/(neg_share))``), and IV is the
+    population-weighted divergence ``Σ (pos_share − neg_share)·WoE`` —
+    a single number ranking features by predictive power BEFORE any
+    model is trained (rule of thumb: IV < 0.02 useless, > 0.5 suspect).
+    The categorical sibling of ``feature_gain``; ``target_encode``
+    consumes what this ranks.
+
+    Scale shape: every feature is unpivoted row-locally (explode of a
+    ``len(feature_cols)``-wide struct array — no per-feature job), so
+    the counting is ONE hash aggregate on ``(feature, level)`` with
+    map-side partials.  Per-feature totals ride a window over the same
+    partitioning key (no second exchange).  Shares are
+    add-``smoothing`` estimated so a pure level (all-pos or all-neg —
+    finite sample, not a law) keeps finite WoE.  Rows with NULL labels
+    are dropped; NULL feature values form their own ``(null)`` level —
+    missingness is usually informative.
+
+    Output: feature, level, n_pos, n_neg, woe, iv_term, iv (feature
+    total, repeated per level).
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must not be empty")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    lab = F.col(label_col).cast("boolean")
+    stacked = df.filter(lab.isNotNull()).select(
+        lab.alias("_y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("(null)")
+                        ).alias("level"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("fl"),
+    )
+    counts = stacked.groupBy("fl.feature", "fl.level").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("n_neg"),
+    )
+    w = Window.partitionBy("feature")
+    s = F.lit(float(smoothing))
+    n_levels = F.count(F.lit(1)).over(w)
+    pos_share = (F.col("n_pos") + s) / (
+        F.sum("n_pos").over(w) + s * n_levels
+    )
+    neg_share = (F.col("n_neg") + s) / (
+        F.sum("n_neg").over(w) + s * n_levels
+    )
+    woe = F.log(pos_share / neg_share)
+    iv_term = (pos_share - neg_share) * woe
+    return (
+        counts.withColumn("_woe", woe)
+        .withColumn("_ivt", iv_term)
+        .select(
+            "feature",
+            "level",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.round("_woe", round_to).alias("woe"),
+            F.round("_ivt", round_to).alias("iv_term"),
+            F.round(F.sum("_ivt").over(w), round_to).alias("iv"),
+        )
     )

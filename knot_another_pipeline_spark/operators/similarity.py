@@ -667,3 +667,108 @@ def ann_recall(
             F.round(F.col("n_hit") / F.col("n_exact"), round_to),
         )
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` items maximizing
+    ``λ·relevance − (1−λ)·max_cos_sim(item, already-selected)`` — the
+    standard diversify-the-top-k step for retrieval results and
+    training-example curation, where pure relevance ranking returns k
+    near-copies of the best hit and plain dedup can't trade the two
+    objectives off.
+
+    Greedy-iterative by definition (selection ``i`` depends on the
+    previous ``i−1``), so this is a k-round driver loop — the same
+    contract as ``kmeans_step``/``bpe_learn``: each round is ONE pass
+    over the candidate frame (the k−1 selected vectors ride along as
+    broadcast literals; the similarity penalty is a row-local fold,
+    k·d-bounded work per row) plus a 1-row argmax collect.  The
+    candidate frame is pinned once with an eager localCheckpoint; for
+    huge corpora prefilter to a top-m relevance slice first — MMR is a
+    re-ranker, not a scanner.
+
+    Round 1 scores pure relevance (nothing selected yet to be
+    redundant with).  Every argmax compares ``round_to``-rounded
+    scores with an id tiebreak, so the selection sequence is
+    bit-reproducible cross-engine (the catalog oracle replays the same
+    rounds).  Vectors are L2-normalized once up front; zero-norm
+    vectors are dropped (cosine undefined).
+
+    Output: rank (1..k), id, relevance, mmr_score — in selection
+    order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= lam <= 1:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cands = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(rel_col).cast("double").alias("rel"),
+            F.col(vec_col).alias("_raw"),
+            l2_norm(F.col(vec_col)).alias("_n"),
+        )
+        .filter(F.col("rel").isNotNull() & (F.col("_n") > 0))
+        .select(
+            "id",
+            "rel",
+            F.transform(
+                F.col("_raw"), lambda x: x.cast("double") / F.col("_n")
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    selected: list = []  # rows: (rank, id, rel, mmr, vec)
+    for rank in range(1, k + 1):
+        remaining = cands
+        if selected:
+            chosen_ids = [s[1] for s in selected]
+            remaining = cands.filter(~F.col("id").isin(chosen_ids))
+            sims = [
+                dot(F.col("v"), F.array(*[F.lit(float(x)) for x in s[4]]))
+                for s in selected
+            ]
+            score = F.round(
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.greatest(*sims)
+                if len(sims) > 1
+                else F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * sims[0],
+                round_to,
+            )
+        else:
+            score = F.round(F.col("rel"), round_to)
+        top = (
+            remaining.withColumn("_mmr", score)
+            .orderBy(F.desc("_mmr"), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        selected.append((rank, r["id"], r["rel"], r["_mmr"], list(r["v"])))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField("id", cands.schema["id"].dataType),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(rk, i, round(rel, round_to), mmr) for rk, i, rel, mmr, _ in selected],
+        schema=schema,
+    )

@@ -1429,3 +1429,68 @@ def ngram_novelty(
             round_to,
         ).alias("novelty"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    *,
+    text_col: str,
+    group_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Tokenizer fertility / compression stats per corpus slice — the
+    numbers a tokenizer review reads before committing a vocab:
+    fertility (subword tokens per whitespace word) and bytes/chars per
+    token, broken down by language or source.  High fertility on a
+    language means the tokenizer fragments it (expensive, worse
+    modeling); the per-slice table is how that inequity is seen.  Uses
+    the repo's deterministic BPE-ish unit counter
+    (:func:`bpe_ish_token_count`) so the readout is engine-portable —
+    swap in real-tokenizer counts by adding a column upstream.
+
+    Scale shape: all counters are row-local codegen expressions
+    (regexp counts + length/octet_length); the rollup is ONE hash
+    aggregate on ``group_cols`` with map-side partials — per-slice
+    state is 6 numbers, never the text.  NULL text counts as an empty
+    doc (0 everywhere) so slices stay comparable.
+
+    Output per group: group_cols…, n_docs, n_chars, n_bytes, n_words,
+    n_tokens, fertility (tokens/word), chars_per_token,
+    bytes_per_token (NULL where the denominator is 0; rounded).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must not be empty")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per_doc = df.select(
+        *group_cols,
+        F.length(t).cast("bigint").alias("_chars"),
+        F.octet_length(t).cast("bigint").alias("_bytes"),
+        token_count(t).cast("bigint").alias("_words"),
+        bpe_ish_token_count(t).cast("bigint").alias("_toks"),
+    )
+    agg = per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").alias("n_chars"),
+        F.sum("_bytes").alias("n_bytes"),
+        F.sum("_words").alias("n_words"),
+        F.sum("_toks").alias("n_tokens"),
+    )
+    def ratio(num: str, den: str):
+        return F.round(
+            F.when(
+                F.col(den) > 0,
+                F.col(num).cast("double") / F.col(den).cast("double"),
+            ),
+            round_to,
+        )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_chars",
+        "n_bytes",
+        "n_words",
+        "n_tokens",
+        ratio("n_tokens", "n_words").alias("fertility"),
+        ratio("n_chars", "n_tokens").alias("chars_per_token"),
+        ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
+    )

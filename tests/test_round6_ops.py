@@ -425,3 +425,448 @@ def test_linkage_weights_null_flags_excluded_and_mle_guard(spark):
     assert row["w_agree"] is None and row["w_disagree"] is None
     with pytest.raises(ValueError, match="agreement_cols"):
         linkage_weights(df, match_col="is_match", agreement_cols=[])
+
+
+# ---------------------------------------------------------------------------
+# mmr_select
+# ---------------------------------------------------------------------------
+
+
+def _mmr_reference(items, k, lam):
+    """items: [(id, vec, rel)] with unit vecs; greedy MMR, round-6
+    argmax with id tiebreak."""
+    sel = []
+    remaining = dict((i, (v, r)) for i, v, r in items)
+    for rank in range(1, k + 1):
+        best = None
+        for i, (v, r) in remaining.items():
+            if not sel:
+                score = round(r, 6)
+            else:
+                ms = max(
+                    sum(a * b for a, b in zip(v, sv)) for _, sv, _ in sel
+                )
+                score = round(lam * r - (1 - lam) * ms, 6)
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        if best is None:
+            break
+        _, i, score = best
+        v, r = remaining.pop(i)
+        sel.append((i, v, r))
+    return [i for i, _, _ in sel]
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    from knot_another_pipeline_spark.operators.similarity import mmr_select
+
+    # two near-identical highly relevant vectors + one orthogonal
+    rows = [
+        (1, [1.0, 0.0], 0.99),
+        (2, [0.999, 0.0447], 0.98),   # near-copy of 1
+        (3, [0.0, 1.0], 0.60),
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "rel"])
+    out = [
+        r["id"]
+        for r in mmr_select(
+            df, id_col="id", vec_col="v", rel_col="rel", k=2, lam=0.5
+        ).collect()
+    ]
+    # pure relevance would pick [1, 2]; MMR picks the orthogonal 3
+    assert out == [1, 3]
+
+
+def test_mmr_matches_bruteforce_and_is_deterministic(spark):
+    import random
+
+    from knot_another_pipeline_spark.operators.similarity import mmr_select
+
+    rng = random.Random(7)
+    items = []
+    for i in range(20):
+        raw = [rng.uniform(-1, 1) for _ in range(4)]
+        n = math.sqrt(sum(x * x for x in raw))
+        items.append((i, [x / n for x in raw], rng.uniform(0, 1)))
+    df = spark.createDataFrame(items, ["id", "v", "rel"])
+    got = [
+        r["id"]
+        for r in mmr_select(
+            df, id_col="id", vec_col="v", rel_col="rel", k=6, lam=0.7
+        ).collect()
+    ]
+    assert got == _mmr_reference(items, 6, 0.7)
+    got2 = [
+        r["id"]
+        for r in mmr_select(
+            df.repartition(5), id_col="id", vec_col="v", rel_col="rel",
+            k=6, lam=0.7,
+        ).collect()
+    ]
+    assert got2 == got
+
+
+def test_mmr_lam_one_is_pure_relevance_and_validation(spark):
+    from knot_another_pipeline_spark.operators.similarity import mmr_select
+
+    rows = [(i, [1.0, 0.0], i / 10.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "v", "rel"])
+    out = [
+        r["id"]
+        for r in mmr_select(
+            df, id_col="id", vec_col="v", rel_col="rel", k=3, lam=1.0
+        ).collect()
+    ]
+    assert out == [4, 3, 2]
+    with pytest.raises(ValueError, match="k must"):
+        mmr_select(df, id_col="id", vec_col="v", rel_col="rel", k=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_select(df, id_col="id", vec_col="v", rel_col="rel", lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# pair_eval
+# ---------------------------------------------------------------------------
+
+
+def test_pair_eval_canonicalizes_and_counts(spark):
+    from knot_another_pipeline_spark.operators.evaluation import pair_eval
+
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6), (7, 7)], ["id_a", "id_b"]
+    )  # (2,1) dup of (1,2); (7,7) self-pair dropped -> 3 pairs
+    truth = spark.createDataFrame(
+        [(2, 1), (4, 3), (8, 9), (10, 11)], ["id_a", "id_b"]
+    )
+    row = pair_eval(pred, truth).collect()[0]
+    assert row["n_pred"] == 3 and row["n_true"] == 4 and row["tp"] == 2
+    assert row["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["recall"] == pytest.approx(0.5, abs=1e-6)
+    p, r = 2 / 3, 0.5
+    assert row["f1"] == pytest.approx(2 * p * r / (p + r), abs=1e-6)
+
+
+def test_pair_eval_empty_sides_null_metrics(spark):
+    from knot_another_pipeline_spark.operators.evaluation import pair_eval
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    empty = pairs.filter(F.lit(False))
+    row = pair_eval(empty, pairs).collect()[0]
+    assert row["n_pred"] == 0 and row["precision"] is None
+    assert row["recall"] == 0.0 and row["f1"] is None
+
+
+# ---------------------------------------------------------------------------
+# score_linkage_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_score_linkage_pairs_sums_field_weights(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        linkage_weights,
+        score_linkage_pairs,
+    )
+
+    rows = (
+        [(True, True, True)] * 6 + [(True, False, True)] * 2
+        + [(False, True, False)] * 3 + [(False, False, False)] * 9
+    )
+    df = spark.createDataFrame(rows, ["is_match", "f1", "f2"])
+    w = linkage_weights(
+        df, match_col="is_match", agreement_cols=["f1", "f2"]
+    )
+    wm = {r["field"]: r for r in w.collect()}
+    scored = score_linkage_pairs(df, w, agreement_cols=["f1", "f2"])
+    got = {
+        (r["f1"], r["f2"]): r["match_weight"] for r in scored.collect()
+    }
+    for (a1, a2), mw in got.items():
+        exp = (
+            wm["f1"]["w_agree"] if a1 else wm["f1"]["w_disagree"]
+        ) + (wm["f2"]["w_agree"] if a2 else wm["f2"]["w_disagree"])
+        assert mw == pytest.approx(exp, abs=1e-5)
+    # agreeing pairs must outscore disagreeing ones
+    assert got[(True, True)] > got[(False, False)]
+
+
+def test_score_linkage_pairs_null_flag_contributes_zero(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        score_linkage_pairs,
+    )
+
+    w = spark.createDataFrame(
+        [("f1", 2.0, -1.0)], ["field", "w_agree", "w_disagree"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], ["pid", "f1"]
+    )
+    got = {
+        r["pid"]: r["match_weight"]
+        for r in score_linkage_pairs(
+            pairs, w, agreement_cols=["f1"]
+        ).collect()
+    }
+    assert got == {1: 2.0, 2: -1.0, 3: 0.0}
+    # plan shape: the weights side is a broadcast, the pair frame never
+    # shuffles
+    plan = _plan(score_linkage_pairs(pairs, w, agreement_cols=["f1"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_detects_inclusion_dup(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        shingle_table,
+    )
+
+    big = "the quick brown fox jumps over the lazy dog again and again"
+    sub = "quick brown fox jumps over the lazy dog"  # fully contained
+    other = "completely different words about spark partitions and joins"
+    docs = spark.createDataFrame(
+        [(1, big), (2, sub), (3, other)], ["doc_id", "text"]
+    )
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(sh, min_containment=0.5).collect()
+    }
+    # every shingle of 2 appears in 1 -> containment(2 in 1) == 1.0
+    assert out[(2, 1)]["containment"] == 1.0
+    # containment(1 in 2) = inter/|1| < 1 (1 has extra shingles)
+    assert (1, 2) in out and out[(1, 2)]["containment"] < 1.0
+    assert out[(1, 2)]["inter"] == out[(2, 1)]["inter"]
+    assert not any(3 in k for k in out)
+
+
+def test_containment_stop_shingle_cap_and_validation(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        shingle_table,
+    )
+
+    # boilerplate shingle shared by all docs is dropped at df cap 2
+    rows = [
+        (i, f"common boiler plate unique{i} tail{i} words{i}")
+        for i in range(1, 5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    out = containment_pairs(sh, min_containment=0.1, max_doc_freq=2).collect()
+    assert out == []  # the only shared shingle has df=4 > 2
+    with pytest.raises(ValueError, match="min_containment"):
+        containment_pairs(sh, min_containment=1.5)
+
+
+# ---------------------------------------------------------------------------
+# linkage_em_step
+# ---------------------------------------------------------------------------
+
+
+def _em_reference(rows, m, u, p):
+    """rows: list of dicts field->bool|None."""
+    fields = list(m)
+    sw = 0.0
+    n = len(rows)
+    num = {f: [0.0, 0.0, 0.0, 0.0] for f in fields}  # dw, nw, du, nu
+    for r in rows:
+        lm, lu = p, 1 - p
+        for f in fields:
+            g = r[f]
+            if g is None:
+                continue
+            lm *= m[f] if g else 1 - m[f]
+            lu *= u[f] if g else 1 - u[f]
+        w = lm / (lm + lu)
+        sw += w
+        for f in fields:
+            g = r[f]
+            if g is None:
+                continue
+            num[f][0] += w
+            num[f][2] += 1 - w
+            if g:
+                num[f][1] += w
+                num[f][3] += 1 - w
+    return {
+        f: (
+            round(num[f][1] / num[f][0], 6),
+            round(num[f][3] / num[f][2], 6),
+            round(sw / n, 6),
+        )
+        for f in fields
+    }
+
+
+def test_linkage_em_step_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.dedup import linkage_em_step
+
+    rows = (
+        [{"f1": True, "f2": True}] * 5
+        + [{"f1": True, "f2": False}] * 3
+        + [{"f1": False, "f2": True}] * 2
+        + [{"f1": False, "f2": False}] * 10
+        + [{"f1": None, "f2": True}] * 2
+    )
+    m = {"f1": 0.9, "f2": 0.8}
+    u = {"f1": 0.3, "f2": 0.4}
+    df = spark.createDataFrame(
+        [(r["f1"], r["f2"]) for r in rows], ["f1", "f2"]
+    )
+    got = {
+        r["field"]: (r["m_new"], r["u_new"], r["p_new"])
+        for r in linkage_em_step(
+            df, agreement_cols=["f1", "f2"], m=m, u=u, p=0.25
+        ).collect()
+    }
+    ref = _em_reference(rows, m, u, 0.25)
+    for f in ("f1", "f2"):
+        for a, b in zip(got[f], ref[f]):
+            assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_linkage_em_step_validation(spark):
+    from knot_another_pipeline_spark.operators.dedup import linkage_em_step
+
+    df = spark.createDataFrame([(True,)], ["f1"])
+    with pytest.raises(ValueError, match="agreement_cols"):
+        linkage_em_step(df, agreement_cols=[], m={}, u={}, p=0.5)
+    with pytest.raises(ValueError, match="p must"):
+        linkage_em_step(
+            df, agreement_cols=["f1"], m={"f1": 0.9}, u={"f1": 0.1}, p=0.0
+        )
+    with pytest.raises(ValueError, match="missing m/u"):
+        linkage_em_step(df, agreement_cols=["f1"], m={}, u={}, p=0.5)
+    with pytest.raises(ValueError, match="must be in"):
+        linkage_em_step(
+            df, agreement_cols=["f1"], m={"f1": 1.0}, u={"f1": 0.1}, p=0.5
+        )
+
+
+# ---------------------------------------------------------------------------
+# woe_iv
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_hand_values(spark):
+    from knot_another_pipeline_spark.operators.features import woe_iv
+
+    # feature g: level A -> 3 pos / 1 neg, level B -> 1 pos / 3 neg
+    rows = (
+        [("A", True)] * 3 + [("A", False)] * 1
+        + [("B", True)] * 1 + [("B", False)] * 3
+    )
+    df = spark.createDataFrame(rows, ["g", "y"])
+    out = {r["level"]: r for r in woe_iv(
+        df, feature_cols=["g"], label_col="y"
+    ).collect()}
+    s, nl = 0.5, 2
+    ps_a = (3 + s) / (4 + s * nl)
+    ns_a = (1 + s) / (4 + s * nl)
+    woe_a = math.log(ps_a / ns_a)
+    assert out["A"]["woe"] == pytest.approx(woe_a, abs=1e-6)
+    assert out["A"]["n_pos"] == 3 and out["A"]["n_neg"] == 1
+    # symmetric construction -> woe_B = -woe_A, iv equal on both rows
+    assert out["B"]["woe"] == pytest.approx(-woe_a, abs=1e-6)
+    iv = 2 * (ps_a - ns_a) * woe_a
+    assert out["A"]["iv"] == pytest.approx(iv, abs=1e-6)
+    assert out["B"]["iv"] == out["A"]["iv"]
+
+
+def test_woe_iv_null_level_and_label_drop(spark):
+    from knot_another_pipeline_spark.operators.features import woe_iv
+
+    rows = [("A", True), (None, False), ("A", None)]
+    df = spark.createDataFrame(rows, ["g", "y"])
+    out = {r["level"]: r for r in woe_iv(
+        df, feature_cols=["g"], label_col="y"
+    ).collect()}
+    assert set(out) == {"A", "(null)"}  # NULL label row dropped
+    assert out["A"]["n_pos"] == 1 and out["A"]["n_neg"] == 0
+    assert out["(null)"]["n_neg"] == 1
+    with pytest.raises(ValueError, match="feature_cols"):
+        woe_iv(df, feature_cols=[], label_col="y")
+    with pytest.raises(ValueError, match="smoothing"):
+        woe_iv(df, feature_cols=["g"], label_col="y", smoothing=0)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_rounds_majority_tiebreak(spark):
+    from knot_another_pipeline_spark.operators.graph import label_propagation
+
+    # seeds: 1->'x', 2->'y'; node 3 neighbors both (tie -> min label 'x');
+    # node 4 only reachable via 3 (labeled in round 2); 5 isolated
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (5, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1, "x"), (2, "y")], ["node", "label"])
+    out = {
+        r["node"]: (r["label"], r["round"])
+        for r in label_propagation(edges, seeds, iterations=2).collect()
+    }
+    assert out[1] == ("x", 0) and out[2] == ("y", 0)
+    assert out[3] == ("x", 1)  # tie between x and y -> min label
+    assert out[4] == ("x", 2)
+    assert 5 not in out  # self-loop dropped, never reached
+
+
+def test_label_propagation_clamps_seeds_and_majority(spark):
+    from knot_another_pipeline_spark.operators.graph import label_propagation
+
+    # node 10 has neighbors: two labeled 'b', one labeled 'a' -> 'b' wins
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 2)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], ["node", "label"]
+    )
+    out = {
+        r["node"]: (r["label"], r["round"])
+        for r in label_propagation(edges, seeds, iterations=3).collect()
+    }
+    assert out[10] == ("b", 1)
+    # seed 1 is adjacent to seed 2 but NEVER flips (clamped)
+    assert out[1] == ("a", 0)
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(edges, seeds, iterations=-1)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_counts(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "Hello, world!"),   # 2 words; units: Hello , world ! =4
+            ("en", "a b"),             # 2 words, 2 units
+            ("de", None),              # empty doc
+        ],
+        ["lang", "text"],
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(
+        docs, text_col="text", group_cols=["lang"]
+    ).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["n_words"] == 4 and en["n_tokens"] == 6
+    assert en["fertility"] == pytest.approx(6 / 4, abs=1e-6)
+    assert en["n_chars"] == len("Hello, world!") + len("a b")
+    de = out["de"]
+    assert de["n_docs"] == 1 and de["n_tokens"] == 0
+    assert de["fertility"] is None and de["chars_per_token"] is None
+    with pytest.raises(ValueError, match="group_cols"):
+        tokenizer_fertility(docs, text_col="text", group_cols=[])
