@@ -126,6 +126,11 @@ _PRIORITY = [
     "woe_iv",
     "label_propagation",
     "tokenizer_fertility",
+    "doc_keywords",
+    "covisitation_llr",
+    "personalized_pagerank",
+    "ranking_metrics",
+    "hll_distinct",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

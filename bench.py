@@ -143,6 +143,11 @@ HEADLINE = [
     "woe_iv",
     "label_propagation",
     "tokenizer_fertility",
+    "doc_keywords",
+    "covisitation_llr",
+    "personalized_pagerank",
+    "ranking_metrics",
+    "hll_distinct",
 ]
 
 

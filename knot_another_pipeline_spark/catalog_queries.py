@@ -7698,6 +7698,320 @@ FROM per GROUP BY lang
 """
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/search.py
+    doc_keywords): per-doc TF aggregate, vocabulary-sized DF table,
+    smoothed IDF, per-doc row_number window with (score desc, token)
+    tiebreak."""
+    from knot_another_pipeline_spark.operators.search import doc_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_keywords(docs, id_col="doc_id", text_col="text", k=3)
+
+
+ORACLE_DOC_KEYWORDS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+tf AS (
+  SELECT id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id AS id, unnest(t) AS token FROM toks)
+  GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n_docs FROM toks),
+dfq AS (SELECT token, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.id, tf.token, tf.tf,
+         round(tf.tf * (ln((nd.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+           AS score
+  FROM tf JOIN dfq USING (token) CROSS JOIN nd)
+SELECT id, CAST(rank AS BIGINT) AS rank, token, tf, score
+FROM (
+  SELECT *, row_number()
+    OVER (PARTITION BY id ORDER BY score DESC, token ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_covisitation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation scored by Dunning's log-likelihood ratio
+    (operators/behavior.py covisitation_llr) over order baskets from
+    lineitem: basket-key self-join bounded by basket size, min_count
+    prune before the margin joins, row-local G²."""
+    from knot_another_pipeline_spark.operators.behavior import (
+        covisitation_llr,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return covisitation_llr(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+
+
+ORACLE_COVISITATION_LLR = """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS item
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+pairs AS (
+  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_both
+  FROM bi x JOIN bi y ON x.b = y.b AND x.item < y.item
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+marg AS (SELECT item, count(*) AS n_item FROM bi GROUP BY 1),
+tot AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+j AS (
+  SELECT p.item_a, p.item_b, p.n_both,
+         ma.n_item AS n_a, mb.n_item AS n_b, t.n_baskets
+  FROM pairs p
+  JOIN marg ma ON ma.item = p.item_a
+  JOIN marg mb ON mb.item = p.item_b
+  CROSS JOIN tot t),
+terms AS (
+  SELECT *,
+         CAST(n_baskets AS DOUBLE) AS n,
+         CAST(n_both AS DOUBLE) AS k11,
+         CAST(n_a - n_both AS DOUBLE) AS k12,
+         CAST(n_b - n_both AS DOUBLE) AS k21,
+         CAST(n_baskets - n_a - n_b + n_both AS DOUBLE) AS k22,
+         CAST(n_a AS DOUBLE) AS ra, CAST(n_b AS DOUBLE) AS ca
+  FROM j)
+SELECT item_a, item_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_baskets AS BIGINT) AS n_baskets,
+       round(2.0 * (
+         (CASE WHEN k11 > 0 THEN k11 * ln(k11 * n / (ra * ca)) ELSE 0 END)
+         + (CASE WHEN k12 > 0 THEN k12 * ln(k12 * n / (ra * (n - ca))) ELSE 0 END)
+         + (CASE WHEN k21 > 0 THEN k21 * ln(k21 * n / ((n - ra) * ca)) ELSE 0 END)
+         + (CASE WHEN k22 > 0 THEN k22 * ln(k22 * n / ((n - ra) * (n - ca))) ELSE 0 END)
+       ), 6) AS llr
+FROM terms
+"""
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank)
+    on the bipartite order↔part graph, teleporting to every 50th part —
+    the seeded-authority ranking. 2 iterations, d=0.85; the oracle
+    unrolls the identical algebra with bit-identical literals."""
+    from knot_another_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    # retail-price teleport weights, not uniform 1/|S|: uniform seed
+    # mass over 40 seeds is 0.025, whose products through d=0.85 and
+    # small outdegrees are TERMINATING decimals ending in 5 — exact
+    # round-half ties that summation-order fp noise flips between
+    # engines at any rounding precision. Messy weights make every rank
+    # non-terminating, so a 1-ulp wobble can never cross a tie.
+    seeds = part.filter(F.col("p_partkey") % 50 == 0).select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("node"),
+        F.col("p_retailprice").cast("double").alias("w"),
+    )
+    out = personalized_pagerank(
+        edges, seeds, weight_col="w", iterations=2, damping=0.85
+    )
+    return out.select("node", F.round("rank", 8).alias("rank"))
+
+
+def _ppr_iter_sql(cur: str, prev: str) -> str:
+    # literals mirror the Spark operator's Python-float arithmetic
+    # (1.0 - 0.85 is 0.15000000000000002 in binary64, not 0.15)
+    return f""",
+{cur} AS MATERIALIZED (
+  SELECT b.node,
+         {1.0 - 0.85!r} * b.s
+         + 0.85 * coalesce(sum({prev}.rank / dg.outdeg), 0) AS rank
+  FROM based b
+  LEFT JOIN edges e ON e.dst = b.node
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY b.node, b.s)"""
+
+
+ORACLE_PERSONALIZED_PAGERANK = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 'p:' || l_partkey AS src, 'o:' || l_orderkey AS dst
+  FROM lineitem),
+seeds AS (
+  SELECT 'p:' || p_partkey AS node,
+         sum(CAST(p_retailprice AS DOUBLE)) AS w
+  FROM part WHERE p_partkey % 50 = 0
+    AND CAST(p_retailprice AS DOUBLE) > 0
+  GROUP BY 1),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  UNION SELECT node FROM seeds),
+tw AS (SELECT sum(w) AS t FROM seeds),
+based AS MATERIALIZED (
+  SELECT nd.node,
+         coalesce(s.w / (SELECT t FROM tw), 0.0) AS s
+  FROM nodes nd LEFT JOIN seeds s ON s.node = nd.node),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, s AS rank FROM based){_ppr_iter_sql("r1", "r0")}{_ppr_iter_sql("r2", "r1")}
+SELECT node, round(rank, 8) AS rank FROM r2
+"""
+
+
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR / P@10 / R@10 of the BM25 top-20 for 'hash join
+    filter' against graded term-coverage relevance (rel = #distinct
+    query terms present) — operators/evaluation.py ranking_metrics
+    closing the retrieval loop with a measured quality number."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        ranking_metrics,
+    )
+    from knot_another_pipeline_spark.operators.search import bm25_search
+    from knot_another_pipeline_spark.operators.text_analysis import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = (
+        bm25_search(
+            docs, id_col="doc_id", text_col="text",
+            query="hash join filter", k=20,
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("id"))
+            ),
+        )
+        .withColumn("query_id", F.lit("q1"))
+    )
+    truth = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(_tokens(F.col("text"))),
+                    F.array(F.lit("filter"), F.lit("hash"), F.lit("join")),
+                )
+            ).alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+        .withColumn("query_id", F.lit("q1"))
+    )
+    return ranking_metrics(ranked, truth, k=10)
+
+
+ORACLE_RANKING_METRICS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+base AS (SELECT doc_id AS id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
+posting AS (SELECT id, dl, unnest(t) AS token FROM base),
+qt AS (SELECT unnest(['filter', 'hash', 'join']) AS token),
+tfq AS (
+  SELECT p.id, p.dl, p.token, CAST(count(*) AS DOUBLE) AS tf
+  FROM posting p JOIN qt USING (token)
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT token, count(DISTINCT id) AS df FROM tfq GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+bm AS (
+  SELECT tfq.id,
+         round(sum(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tfq.tf * (1.2 + 1.0)
+           / (tfq.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tfq.dl / s.avgdl))
+         ), 6) AS score
+  FROM tfq JOIN dfreq d USING (token) CROSS JOIN stats s
+  GROUP BY tfq.id),
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM bm ORDER BY score DESC, id ASC LIMIT 20),
+truth AS (
+  SELECT doc_id AS id,
+         CAST(len(list_intersect(list_distinct(t),
+                                 ['filter', 'hash', 'join'])) AS DOUBLE)
+           AS rel
+  FROM toks
+  WHERE len(list_intersect(list_distinct(t), ['filter', 'hash', 'join'])) > 0),
+joined AS (
+  SELECT r.rank, coalesce(t.rel, 0.0) AS rel
+  FROM ranked r LEFT JOIN truth t USING (id)),
+perq AS (
+  SELECT count(*) AS n_retrieved,
+         sum(CASE WHEN rank <= 10
+                  THEN rel / (ln(rank + 1.0) / ln(2.0)) ELSE 0.0 END) AS dcg,
+         min(CASE WHEN rel > 0 THEN rank END) AS minrank,
+         sum(CASE WHEN rank <= 10 AND rel > 0 THEN 1 ELSE 0 END) AS hits
+  FROM joined),
+ideal AS (
+  SELECT count(*) AS n_relevant,
+         sum(CASE WHEN pos <= 10
+                  THEN rel / (ln(pos + 1.0) / ln(2.0)) ELSE 0.0 END) AS idcg
+  FROM (SELECT rel,
+               row_number() OVER (ORDER BY rel DESC, id ASC) AS pos
+        FROM truth))
+SELECT 'q1' AS query,
+       CAST(p.n_retrieved AS BIGINT) AS n_retrieved,
+       CAST(coalesce(i.n_relevant, 0) AS BIGINT) AS n_relevant,
+       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg END, 6) AS ndcg,
+       round(CASE WHEN p.minrank IS NOT NULL
+                  THEN 1.0 / p.minrank END, 6) AS mrr,
+       round(CAST(p.hits AS DOUBLE) / 10, 6) AS precision_at_k,
+       round(CASE WHEN i.n_relevant > 0
+                  THEN CAST(p.hits AS DOUBLE) / i.n_relevant END, 6)
+         AS recall_at_k
+FROM perq p CROSS JOIN ideal i
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (operators/quality.py
+    hll_distinct, p=9): md5-derived registers so the ESTIMATE itself is
+    engine-portable — one (group, register) max-rho aggregate, 512-row
+    bound per group regardless of input size."""
+    from knot_another_pipeline_spark.operators.quality import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(
+        ev, group_cols=["event_type"], value_col="user_id", p=9
+    )
+
+
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / 512) * 512 * 512
+
+ORACLE_HLL_DISTINCT = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT event_type, h >> 31 AS reg,
+         CASE WHEN (h & 2147483647) > 0
+              THEN 32 - length(to_base(h & 2147483647, 2))
+              ELSE 32 END AS rho
+  FROM h),
+mx AS (SELECT event_type, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+pg AS (
+  SELECT event_type, count(*) AS hit,
+         sum(power(2.0, -rho)) AS zsum
+  FROM mx GROUP BY 1),
+est AS (
+  SELECT event_type, hit,
+         {_HLL_ALPHA_M2!r} / (zsum + (512 - hit)) AS raw,
+         512 - hit AS v
+  FROM pg)
+SELECT event_type,
+       CAST(hit AS BIGINT) AS n_registers_hit,
+       round(CASE WHEN raw <= 2.5 * 512 AND v > 0
+                  THEN 512.0 * ln(512.0 / v)
+                  ELSE raw END, 2) AS hll_estimate
+FROM est
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7721,6 +8035,11 @@ QUERIES = {
     "woe_iv": q_woe_iv,
     "label_propagation": q_label_propagation,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "doc_keywords": q_doc_keywords,
+    "covisitation_llr": q_covisitation_llr,
+    "personalized_pagerank": q_personalized_pagerank,
+    "ranking_metrics": q_ranking_metrics,
+    "hll_distinct": q_hll_distinct,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -7922,6 +8241,11 @@ ORACLES = {
     "woe_iv": ORACLE_WOE_IV,
     "label_propagation": ORACLE_LABEL_PROPAGATION,
     "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
+    "doc_keywords": ORACLE_DOC_KEYWORDS,
+    "covisitation_llr": ORACLE_COVISITATION_LLR,
+    "personalized_pagerank": ORACLE_PERSONALIZED_PAGERANK,
+    "ranking_metrics": ORACLE_RANKING_METRICS,
+    "hll_distinct": ORACLE_HLL_DISTINCT,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

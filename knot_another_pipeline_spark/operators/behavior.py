@@ -36,6 +36,7 @@ __all__ = [
     "survival_curve",
     "rfm_segments",
     "funnel_timing",
+    "covisitation_llr",
 ]
 
 
@@ -692,4 +693,109 @@ def funnel_timing(
         "avg_seconds",
         "p50_seconds",
         "p90_seconds",
+    )
+
+
+def covisitation_llr(
+    baskets: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-item co-visitation scored by the log-likelihood ratio
+    (Dunning's G² — the "surprise and coincidence" statistic behind
+    the classic Mahout/LLR co-occurrence recommender): raw
+    co-occurrence counts overweight popular items, so each pair's
+    2×2 contingency table (both / only-a / only-b / neither, over
+    baskets) is scored
+
+        G² = 2 · Σ_ij k_ij · ln( k_ij·N / (R_i·C_j) )    (0·ln0 = 0)
+
+    — high G² means a,b co-occur far more than their popularities
+    predict.  "Basket" is any co-occurrence scope: an order, a user
+    session, a document window.
+
+    Scale shape: baskets are deduped to distinct (basket, item) rows,
+    so the quadratic step is the standard self-join on the basket key
+    — bounded by basket size (order lines, not catalog size), the same
+    shape as ``basket_rules``.  ``min_count`` prunes pairs BEFORE the
+    margin joins.  Margins (per-item basket counts) join on each side
+    — item-cardinality tables, broadcast by AQE while small — and N is
+    a broadcast 1-row aggregate; the G² arithmetic is row-local.
+
+    Output: item_a ≺ item_b, n_both, n_a, n_b, n_baskets, llr
+    (rounded), llr ≥ 0 guaranteed up to fp rounding.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    bi = (
+        baskets.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("item")
+        )
+        .filter(F.col("b").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    pairs = (
+        bi.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.item") < F.col("y.item")),
+        )
+        .groupBy(
+            F.col("x.item").alias("item_a"), F.col("y.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_count)
+    )
+    marg = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    total = bi.agg(F.countDistinct("b").alias("n_baskets"))
+    joined = (
+        pairs.join(
+            marg.select(
+                F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            marg.select(
+                F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.col("n_baskets").cast("double")
+    k11 = F.col("n_both").cast("double")
+    k12 = (F.col("n_a") - F.col("n_both")).cast("double")
+    k21 = (F.col("n_b") - F.col("n_both")).cast("double")
+    k22 = (
+        F.col("n_baskets") - F.col("n_a") - F.col("n_b") + F.col("n_both")
+    ).cast("double")
+
+    def term(kij, row, colm):
+        return F.when(
+            kij > 0, kij * F.log(kij * n / (row * colm))
+        ).otherwise(F.lit(0.0))
+
+    ra = F.col("n_a").cast("double")
+    rb = (n - ra)
+    ca = F.col("n_b").cast("double")
+    cb = (n - ca)
+    llr = 2.0 * (
+        term(k11, ra, ca)
+        + term(k12, ra, cb)
+        + term(k21, rb, ca)
+        + term(k22, rb, cb)
+    )
+    return joined.select(
+        "item_a",
+        "item_b",
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_baskets").cast("bigint").alias("n_baskets"),
+        F.round(llr, round_to).alias("llr"),
     )

@@ -35,6 +35,7 @@ __all__ = [
     "lift_table",
     "pair_eval",
     "psi_stability",
+    "ranking_metrics",
     "uplift_table",
 ]
 
@@ -464,4 +465,113 @@ def pair_eval(
             ),
             round_to,
         ).alias("f1"),
+    )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Offline ranking evaluation — NDCG@k, MRR, precision@k, recall@k
+    per query — the readout that turns "the retriever returned
+    something" into a measured quality number, for BM25/hybrid/ANN
+    results against a graded relevance set.  LINEAR gain
+    (``gain = rel``, not ``2^rel−1``) so the metric is
+    engine-portable without pow() rounding drift; documented here
+    because the two conventions disagree above rel=1.
+
+        DCG@k  = Σ_{rank≤k} rel / log2(rank+1)
+        IDCG@k = the same sum over the query's top-k truth rels
+                 (sorted rel desc, id asc)
+        MRR    = 1 / min rank among retrieved-and-relevant (any k)
+        P@k    = |retrieved∩relevant, rank≤k| / k
+        R@k    = |retrieved∩relevant, rank≤k| / |relevant|
+
+    Scale shape: ONE equi-join of the ranked lists against truth on
+    ``(query, id)`` (both sides are top-k × queries — millions of
+    rows, not corpora), one hash aggregate per query for the
+    observed sums, and one window over truth (partitioned by query)
+    for the ideal DCG.  Queries present in ``ranked`` but with no
+    relevant truth rows emit NULL ndcg/recall (0/0 is undefined);
+    relevance is ``coalesce(rel, 0)`` for unjudged retrieved docs —
+    the standard pessimistic convention.
+
+    Output per query: query, n_retrieved, n_relevant, ndcg, mrr,
+    precision_at_k, recall_at_k (rounded).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = ranked.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("id"),
+        F.col(rank_col).cast("bigint").alias("rank"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("id"),
+        F.col(rel_col).cast("double").alias("rel"),
+    ).filter(F.col("rel") > 0)
+    joined = r.join(t, ["q", "id"], "left").withColumn(
+        "rel", F.coalesce("rel", F.lit(0.0))
+    )
+    log2 = F.log(F.lit(2.0))
+    per_q = joined.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(
+            F.when(
+                F.col("rank") <= k,
+                F.col("rel") / (F.log(F.col("rank") + 1.0) / log2),
+            ).otherwise(F.lit(0.0))
+        ).alias("_dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("_minrank"),
+        F.sum(
+            F.when((F.col("rank") <= k) & (F.col("rel") > 0), 1).otherwise(0)
+        ).alias("_hits"),
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("id"))
+    ideal = (
+        t.withColumn("_pos", F.row_number().over(w))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n_relevant"),
+            F.sum(
+                F.when(
+                    F.col("_pos") <= k,
+                    F.col("rel") / (F.log(F.col("_pos") + 1.0) / log2),
+                ).otherwise(F.lit(0.0))
+            ).alias("_idcg"),
+        )
+    )
+    out = per_q.join(ideal, "q", "left")
+    return out.select(
+        F.col("q").alias("query"),
+        F.col("n_retrieved").cast("bigint").alias("n_retrieved"),
+        F.coalesce("n_relevant", F.lit(0)).cast("bigint").alias("n_relevant"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")),
+            round_to,
+        ).alias("ndcg"),
+        F.round(
+            F.when(
+                F.col("_minrank").isNotNull(), 1.0 / F.col("_minrank")
+            ),
+            round_to,
+        ).alias("mrr"),
+        F.round(F.col("_hits").cast("double") / k, round_to).alias(
+            "precision_at_k"
+        ),
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("_hits").cast("double") / F.col("n_relevant"),
+            ),
+            round_to,
+        ).alias("recall_at_k"),
     )

@@ -1505,3 +1505,80 @@ def cohens_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 9,
+    round_to: int = 2,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (Flajolet et al.
+    2007) with DETERMINISTIC md5-derived hashing — unlike Spark's
+    built-in ``approx_count_distinct`` (xxhash-based, JVM-private
+    layout), every register value here is reproducible in any engine
+    with ``md5()``, so the estimate itself is oracle-checkable and
+    stable across reruns, engines, and versions — the same
+    engine-portability contract as the KMV/CMS sketches in this
+    module, with HLL's fixed 2^p-register footprint instead of KMV's
+    k-value heap.
+
+    Layout: h = first 40 bits of md5(value); register index = top
+    ``p`` bits; rho = position of the first 1-bit in the remaining
+    ``w = 40−p`` bits (w+1 if all zero).  Estimate = α_m·m²/Σ2^{−rho}
+    with empty registers contributing 2^0, and the standard
+    small-range linear-counting correction (E ≤ 2.5m with empty
+    registers → m·ln(m/V)).
+
+    Scale shape: ONE hash aggregate to per-(group, register) max-rho
+    — the shuffle carries at most m=2^p rows per group regardless of
+    input size (map-side combined), then a per-group rollup to the
+    estimate.  Registers MERGE by max, so per-partition /
+    per-partition-then-union rollups give bit-identical results —
+    the sketch property that makes incremental daily rollups exact.
+    The exact distinct count is NOT computed here (that's the
+    expensive thing this avoids); compare against ``kmv_distinct``
+    or an exact count in tests.
+
+    Output per group: group_cols…, n_registers_hit, hll_estimate
+    (rounded).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must not be empty")
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    w = 40 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    idx = F.shiftright(h, w)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    # bit length via the base-2 string: exact, no float log2 edge cases
+    rho = F.when(rem > 0, F.lit(w + 1) - F.length(F.conv(rem, 10, 2))).otherwise(
+        F.lit(w + 1)
+    )
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, idx.alias("_reg"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("_rho"))).alias("_zsum"),
+    )
+    z = F.col("_zsum") + (F.lit(m) - F.col("_hit"))  # empty regs add 2^0
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("_hit")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        F.col("_hit").cast("bigint").alias("n_registers_hit"),
+        F.round(est, round_to).alias("hll_estimate"),
+    )

@@ -280,3 +280,69 @@ def phrase_search(
             F.col("n_occurrences").desc(), F.col("id").asc()
         ).limit(k)
     return out
+
+
+def doc_keywords(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF keywords PER DOCUMENT — the unsupervised "what is
+    this doc about" summary used for corpus browsing, cluster
+    labeling, and keyword-facet indexes.  Smoothed IDF
+    ``ln((N+1)/(df+1)) + 1`` (never zero, so frequent-but-universal
+    terms still rank below distinctive ones without dropping out).
+
+    Scale shape: one hash aggregate to per-(doc, token) term
+    frequencies, one token-level aggregate for document frequencies
+    (broadcast by AQE — vocabulary-sized, not corpus-sized), and the
+    per-doc top-k is a row_number window partitioned by doc id — the
+    frame it ranks over is ≤ distinct-terms-per-doc, never global.
+    Deterministic: ties break score desc, then token asc.  ``min_df``
+    drops hapax noise before the join when > 1.
+
+    Output: id, rank (1..k), token, tf, score (rounded).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = docs.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    tf = (
+        base.select("id", F.explode("toks").alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", F.col("rank").cast("bigint").alias("rank"), "token", "tf", "score")
+    )

@@ -870,3 +870,223 @@ def test_tokenizer_fertility_counts(spark):
     assert de["fertility"] is None and de["chars_per_token"] is None
     with pytest.raises(ValueError, match="group_cols"):
         tokenizer_fertility(docs, text_col="text", group_cols=[])
+
+
+# ---------------------------------------------------------------------------
+# ranking_metrics
+# ---------------------------------------------------------------------------
+
+
+def test_ranking_metrics_hand_values(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        ranking_metrics,
+    )
+
+    # q1: ranked docs 1..4; rel: d1=2, d3=1, d9=3 (d9 not retrieved)
+    ranked = spark.createDataFrame(
+        [("q1", d, r) for r, d in enumerate(["d1", "d2", "d3", "d4"], 1)],
+        ["query_id", "id", "rank"],
+    )
+    truth = spark.createDataFrame(
+        [("q1", "d1", 2.0), ("q1", "d3", 1.0), ("q1", "d9", 3.0)],
+        ["query_id", "id", "rel"],
+    )
+    row = ranking_metrics(ranked, truth, k=3).collect()[0]
+    dcg = 2 / math.log2(2) + 0 + 1 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert row["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+    assert row["mrr"] == pytest.approx(1.0, abs=1e-6)  # d1 at rank 1
+    assert row["precision_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["n_retrieved"] == 4 and row["n_relevant"] == 3
+
+
+def test_ranking_metrics_no_relevant_and_validation(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        ranking_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [("q1", "d1", 1)], ["query_id", "id", "rank"]
+    )
+    truth = spark.createDataFrame(
+        [("q2", "d9", 1.0)], ["query_id", "id", "rel"]
+    )
+    row = ranking_metrics(ranked, truth, k=5).collect()[0]
+    assert row["query"] == "q1"
+    assert row["ndcg"] is None and row["mrr"] is None
+    assert row["precision_at_k"] == 0.0 and row["recall_at_k"] is None
+    with pytest.raises(ValueError, match="k must"):
+        ranking_metrics(ranked, truth, k=0)
+
+
+# ---------------------------------------------------------------------------
+# covisitation_llr
+# ---------------------------------------------------------------------------
+
+
+def _llr_reference(k11, ka, kb, n):
+    import math as _m
+
+    k12, k21 = ka - k11, kb - k11
+    k22 = n - ka - kb + k11
+
+    def t(k, r, c):
+        return k * _m.log(k * n / (r * c)) if k > 0 else 0.0
+
+    return 2 * (
+        t(k11, ka, kb) + t(k12, ka, n - kb)
+        + t(k21, n - ka, kb) + t(k22, n - ka, n - kb)
+    )
+
+
+def test_covisitation_llr_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        covisitation_llr,
+    )
+
+    # 6 baskets: A,B together 3x; A alone 1x; B alone 1x; C with A 1x
+    rows = (
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "B"),
+         (4, "A"), (5, "B"), (6, "A"), (6, "C"), (6, "A")]  # dup A in 6
+    )
+    df = spark.createDataFrame(rows, ["b", "item"])
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in covisitation_llr(
+            df, basket_col="b", item_col="item", min_count=1
+        ).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["n_both"] == 3 and ab["n_a"] == 5 and ab["n_b"] == 4
+    assert ab["n_baskets"] == 6
+    assert ab["llr"] == pytest.approx(
+        _llr_reference(3, 5, 4, 6), abs=1e-5
+    )
+    ac = out[("A", "C")]
+    assert ac["n_both"] == 1  # dedup of the repeated (6, A) row
+    with pytest.raises(ValueError, match="min_count"):
+        covisitation_llr(df, basket_col="b", item_col="item", min_count=0)
+
+
+def test_covisitation_min_count_prunes(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        covisitation_llr,
+    )
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")]
+    df = spark.createDataFrame(rows, ["b", "item"])
+    out = covisitation_llr(
+        df, basket_col="b", item_col="item", min_count=2
+    ).collect()
+    assert {(r["item_a"], r["item_b"]) for r in out} == {("A", "B")}
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from knot_another_pipeline_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # two disjoint triangles; seed only in the first
+    edges = []
+    for base in (0, 10):
+        for a, b in [(0, 1), (1, 2), (2, 0)]:
+            edges.append((base + a, base + b))
+            edges.append((base + b, base + a))
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    pr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, seeds, iterations=5).collect()
+    }
+    # all mass stays in the seeded component
+    assert sum(v for k, v in pr.items() if k >= 10) == pytest.approx(0.0)
+    assert pr[0] > pr[1] > 0
+    assert pr[1] == pytest.approx(pr[2], abs=1e-12)  # symmetry
+    # global pagerank by contrast ranks both components identically
+    g = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert g[0] == pytest.approx(g[10], abs=1e-12)
+
+
+def test_personalized_pagerank_weights_and_validation(spark):
+    from knot_another_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame(
+        [(1, 3.0), (2, 1.0)], ["node", "w"]
+    )
+    pr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            e, seeds, weight_col="w", iterations=0
+        ).collect()
+    }
+    assert pr[1] == pytest.approx(0.75) and pr[2] == pytest.approx(0.25)
+    empty = seeds.filter(F.lit(False))
+    with pytest.raises(ValueError, match="seeds"):
+        personalized_pagerank(e, empty, iterations=1)
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_and_merge_exact(spark):
+    from knot_another_pipeline_spark.operators.quality import hll_distinct
+
+    rows = [("g1", f"u{i}") for i in range(3000)] + [
+        ("g2", f"u{i % 40}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in hll_distinct(
+        df, group_cols=["g"], value_col="v", p=9
+    ).collect()}
+    # standard error ~1.04/sqrt(512) ≈ 4.6%; allow 3 sigma
+    assert abs(out["g1"]["hll_estimate"] - 3000) / 3000 < 0.14
+    assert abs(out["g2"]["hll_estimate"] - 40) / 40 < 0.14
+    # determinism: same input, same estimate (no RNG anywhere)
+    again = {r["g"]: r for r in hll_distinct(
+        df.repartition(7), group_cols=["g"], value_col="v", p=9
+    ).collect()}
+    assert again["g1"]["hll_estimate"] == out["g1"]["hll_estimate"]
+    with pytest.raises(ValueError, match="p must"):
+        hll_distinct(df, group_cols=["g"], value_col="v", p=2)
+    with pytest.raises(ValueError, match="group_cols"):
+        hll_distinct(df, group_cols=[], value_col="v")
+
+
+# ---------------------------------------------------------------------------
+# doc_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_doc_keywords_ranks_distinctive_terms(spark):
+    from knot_another_pipeline_spark.operators.search import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common words here too"),
+            (3, "common words everywhere else"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = doc_keywords(docs, id_col="doc_id", text_col="text", k=2)
+    rows = {(r["id"], r["rank"]): r for r in out.collect()}
+    # 'common' has tf=3 in doc1 but df=3; 'zebra' tf=1 df=1
+    # score(common) = 3*(ln(4/4)+1)=3.0; score(zebra)=1*(ln(4/2)+1)≈1.69
+    assert rows[(1, 1)]["token"] == "common"
+    assert rows[(1, 2)]["token"] == "zebra"
+    assert rows[(1, 1)]["score"] == pytest.approx(3.0, abs=1e-6)
+    assert all(k[1] <= 2 for k in rows)
+    with pytest.raises(ValueError, match="k must"):
+        doc_keywords(docs, id_col="doc_id", text_col="text", k=0)
