@@ -131,6 +131,11 @@ _PRIORITY = [
     "personalized_pagerank",
     "ranking_metrics",
     "hll_distinct",
+    "cluster_quality",
+    "join_health",
+    "sorted_neighborhood",
+    "bootstrap_ci",
+    "categorical_psi",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -148,6 +148,11 @@ HEADLINE = [
     "personalized_pagerank",
     "ranking_metrics",
     "hll_distinct",
+    "cluster_quality",
+    "join_health",
+    "sorted_neighborhood",
+    "bootstrap_ci",
+    "categorical_psi",
 ]
 
 

@@ -8012,6 +8012,244 @@ FROM est
 """
 
 
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-quality readout over the labeled
+    embedding table (operators/similarity.py cluster_quality):
+    long-form centroids, broadcast centroid joins, k²·d rival matrix —
+    scatter, nearest rival, DB term per label."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        cluster_quality,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_quality(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
+
+
+ORACLE_CLUSTER_QUALITY = """
+WITH pts AS MATERIALIZED (
+  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label IS NOT NULL AND len(embedding) > 0),
+flat AS (
+  SELECT id, label, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+  FROM pts),
+cent AS MATERIALIZED (
+  SELECT label, dim, avg(x) AS c FROM flat GROUP BY 1, 2),
+d2 AS (
+  SELECT f.id, f.label, sum(pow(f.x - c.c, 2)) AS dd
+  FROM flat f JOIN cent c ON c.label = f.label AND c.dim = f.dim
+  GROUP BY 1, 2),
+scat AS MATERIALIZED (
+  SELECT label, count(*) AS n_points, avg(sqrt(dd)) AS s
+  FROM d2 GROUP BY 1),
+cdist AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(sum(pow(a.c - b.c, 2))) AS d
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label != b.label
+  GROUP BY 1, 2),
+rterms AS (
+  SELECT la, lb, d, round((sa.s + sb.s) / d, 6) AS dbt,
+         row_number() OVER (PARTITION BY la ORDER BY d ASC, lb ASC) AS rn
+  FROM cdist
+  JOIN scat sa ON sa.label = cdist.la
+  JOIN scat sb ON sb.label = cdist.lb),
+rival AS (
+  SELECT r1.la AS label, r1.lb AS nearest_label,
+         round(r1.d, 6) AS nearest_dist, mx.db_term
+  FROM rterms r1
+  JOIN (SELECT la, max(dbt) AS db_term FROM rterms GROUP BY la) mx
+    ON mx.la = r1.la
+  WHERE r1.rn = 1)
+SELECT s.label, CAST(s.n_points AS BIGINT) AS n_points,
+       round(s.s, 6) AS scatter,
+       r.nearest_label, r.nearest_dist, r.db_term
+FROM scat s LEFT JOIN rival r ON r.label = s.label
+"""
+
+
+def q_join_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity health of the events.user_id →
+    customer.c_custkey join (operators/quality.py join_health): orphan
+    rate, dim-key duplication, fan-out — ONE left join against the
+    per-key dim count table plus two conditional aggregates."""
+    from knot_another_pipeline_spark.operators.quality import join_health
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return join_health(ev, cust, fact_key="user_id", dim_key="c_custkey")
+
+
+ORACLE_JOIN_HEALTH = """
+WITH dcnt AS (
+  SELECT c_custkey AS k, count(*) AS n_dim_rows
+  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+j AS (
+  SELECT e.user_id AS k, d.n_dim_rows
+  FROM events e LEFT JOIN dcnt d ON d.k = e.user_id),
+rep AS (
+  SELECT count(*) AS n_fact,
+         sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_fact_null_key,
+         sum(CASE WHEN n_dim_rows IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_matched,
+         sum(coalesce(n_dim_rows, 0)) AS out_rows,
+         max(coalesce(n_dim_rows, 0)) AS max_fanout
+  FROM j),
+ds AS (
+  SELECT sum(n_dim_rows) AS n_dim,
+         sum(CASE WHEN n_dim_rows > 1 THEN 1 ELSE 0 END) AS n_dim_dup_keys
+  FROM dcnt)
+SELECT CAST(n_fact AS BIGINT) AS n_fact,
+       CAST(n_fact_null_key AS BIGINT) AS n_fact_null_key,
+       CAST(coalesce(n_dim, 0) AS BIGINT) AS n_dim,
+       CAST(coalesce(n_dim_dup_keys, 0) AS BIGINT) AS n_dim_dup_keys,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(n_fact - n_matched AS BIGINT) AS n_orphan,
+       round(CASE WHEN n_fact > 0
+                  THEN CAST(n_matched AS DOUBLE) / n_fact END, 6)
+         AS match_rate,
+       round(CASE WHEN n_matched > 0
+                  THEN CAST(out_rows AS DOUBLE) / n_matched END, 6)
+         AS avg_fanout,
+       CAST(max_fanout AS BIGINT) AS max_fanout
+FROM rep CROSS JOIN ds
+"""
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates over customers ordered by name
+    (operators/dedup.py sorted_neighborhood_pairs, window=5):
+    global_rank positions (distributed prefix sums, no single-task
+    ORDER BY), block-equi-join neighborhood expansion."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, id_col="c_custkey", sort_key_col="c_name", window=5
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = """
+WITH ranked AS (
+  SELECT c_custkey AS id,
+         row_number() OVER (ORDER BY c_name ASC, c_custkey ASC) AS rank
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       a.rank AS rank_a, b.rank AS rank_b,
+       b.rank - a.rank AS rank_gap
+FROM ranked a JOIN ranked b
+  ON b.rank > a.rank AND b.rank - a.rank < 5
+"""
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean document length
+    (operators/quality.py bootstrap_ci, 100 replicates): md5-uniform →
+    Poisson(1) weights per (doc, replicate), one reps-row aggregate —
+    the coordination-free cluster bootstrap, deterministic to the bit."""
+    from knot_another_pipeline_spark.operators.quality import bootstrap_ci
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bootstrap_ci(
+        docs, id_col="doc_id", value_col="n_chars", reps=100, level=0.95
+    )
+
+
+def _bootstrap_oracle_sql() -> str:
+    from knot_another_pipeline_spark.operators.quality import _POISSON1_CDF
+
+    w_cases = " + ".join(
+        f"(CASE WHEN u >= {t!r} THEN 1 ELSE 0 END)" for t in _POISSON1_CDF
+    )
+    alpha = (1.0 - 0.95) / 2.0
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS DOUBLE) AS x
+  FROM documents WHERE n_chars IS NOT NULL),
+rep AS (
+  SELECT id, x, r FROM base, (SELECT unnest(range(100)) AS r)),
+uw AS (
+  SELECT x, r,
+         CAST(CAST(concat('0x', substr(md5(concat(id, ':', CAST(r AS VARCHAR))), 1, 10))
+              AS BIGINT) AS DOUBLE) / 1099511627776.0 AS u
+  FROM rep),
+ww AS (SELECT x, r, CAST({w_cases} AS DOUBLE) AS w FROM uw),
+means AS (
+  SELECT r, sum(w * x) / sum(w) AS m
+  FROM ww GROUP BY r HAVING sum(w) > 0),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m ASC, r ASC) AS rk FROM means),
+cnt AS (SELECT count(*) AS n FROM means),
+lo AS (SELECT m FROM ranked, cnt
+       WHERE rk = CAST((n - 1) * {alpha!r} AS BIGINT) + 1),
+hi AS (SELECT m FROM ranked, cnt
+       WHERE rk = n - CAST((n - 1) * {alpha!r} AS BIGINT)),
+overall AS (SELECT count(*) AS n_rows, avg(x) AS mean FROM base)
+SELECT CAST(o.n_rows AS BIGINT) AS n_rows,
+       CAST(100 AS BIGINT) AS reps,
+       round(o.mean, 6) AS mean,
+       round(lo.m, 6) AS boot_lo,
+       round(hi.m, 6) AS boot_hi
+FROM overall o CROSS JOIN lo CROSS JOIN hi
+"""
+
+
+ORACLE_BOOTSTRAP_CI = _bootstrap_oracle_sql()
+
+
+def q_categorical_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI of the event-type mix between the even and odd
+    event-id halves (operators/evaluation.py categorical_psi): union of
+    levels, Laplace-smoothed shares, one level-count aggregate per
+    side."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        categorical_psi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return categorical_psi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "event_type",
+    )
+
+
+ORACLE_CATEGORICAL_PSI = """
+WITH e AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), '(null)') AS level,
+         count(*) AS n_e
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+a AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), '(null)') AS level,
+         count(*) AS n_a
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT coalesce(e.level, a.level) AS level,
+         CAST(coalesce(n_e, 0) AS DOUBLE) AS n_e,
+         CAST(coalesce(n_a, 0) AS DOUBLE) AS n_a
+  FROM e FULL OUTER JOIN a ON a.level = e.level),
+t AS (SELECT sum(n_e) AS te, sum(n_a) AS ta, count(*) AS nl FROM j),
+p AS (
+  SELECT t.te, t.ta, t.nl,
+         ((n_a + 0.5) / (ta + 0.5 * nl) - (n_e + 0.5) / (te + 0.5 * nl))
+         * ln(((n_a + 0.5) / (ta + 0.5 * nl))
+              / ((n_e + 0.5) / (te + 0.5 * nl))) AS term
+  FROM j CROSS JOIN t),
+s AS (SELECT te, ta, nl, round(sum(term), 6) AS psi
+      FROM p GROUP BY 1, 2, 3)
+SELECT psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict,
+       CAST(nl AS BIGINT) AS n_levels,
+       CAST(te AS BIGINT) AS n_expected,
+       CAST(ta AS BIGINT) AS n_actual
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8040,6 +8278,11 @@ QUERIES = {
     "personalized_pagerank": q_personalized_pagerank,
     "ranking_metrics": q_ranking_metrics,
     "hll_distinct": q_hll_distinct,
+    "cluster_quality": q_cluster_quality,
+    "join_health": q_join_health,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "bootstrap_ci": q_bootstrap_ci,
+    "categorical_psi": q_categorical_psi,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -8246,6 +8489,11 @@ ORACLES = {
     "personalized_pagerank": ORACLE_PERSONALIZED_PAGERANK,
     "ranking_metrics": ORACLE_RANKING_METRICS,
     "hll_distinct": ORACLE_HLL_DISTINCT,
+    "cluster_quality": ORACLE_CLUSTER_QUALITY,
+    "join_health": ORACLE_JOIN_HEALTH,
+    "sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
+    "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
+    "categorical_psi": ORACLE_CATEGORICAL_PSI,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

@@ -1376,3 +1376,75 @@ def linkage_em_step(
         ).alias("p_new"),
         F.col("_n").cast("bigint").alias("n_pairs"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    sort_key_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo's
+    SNM): order the corpus by a fuzzy sort key (normalized name, zip,
+    phonetic code) and emit every pair within ``window`` positions —
+    the classic blocking alternative for entity resolution when no
+    clean equi-join block exists: near-duplicates sort near each other
+    even when no field matches exactly.  Feeds the same downstream as
+    blocked candidates: ``linkage_weights``/``score_linkage_pairs``.
+
+    Scale shape: the global position comes from ``global_rank``
+    (operators/relational.py) — range-partitioned prefix sums, NEVER a
+    single-task ``row_number() OVER (ORDER BY …)``.  The neighborhood
+    join is an equi-join on the rank block ``⌊rank/window⌋``: each row
+    is emitted into its own block and the previous one (row-local
+    2-element explode), so any pair within ``window`` positions shares
+    a block — candidates = one partitioned equi-join with the distance
+    filter folded in as an in-join conjunct, output exactly the
+    O(N·window) SNM pair set, no post-dedup needed (the a-side is
+    always the block's own copy).
+
+    Output: id_a, id_b (rank order: a precedes b), rank_a, rank_b,
+    rank_gap (1..window−1).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
+    ranked = global_rank(
+        df.select(
+            F.col(id_col).alias("id"), F.col(sort_key_col).alias("key")
+        ),
+        [F.col("key").asc(), F.col("id").asc()],
+        rank_col="rank",
+    ).select("id", "rank")
+    a = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("rank") / window),
+                F.floor(F.col("rank") / window) + 1,
+            )
+        ).alias("blk"),
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("rank").alias("rank_b"),
+        F.floor(F.col("rank") / window).alias("blk"),
+    )
+    return (
+        a.join(
+            b,
+            (a["blk"] == b["blk"])
+            & (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") - F.col("rank_a") < window),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "rank_a",
+            "rank_b",
+            (F.col("rank_b") - F.col("rank_a")).alias("rank_gap"),
+        )
+    )

@@ -36,6 +36,7 @@ __all__ = [
     "pair_eval",
     "psi_stability",
     "ranking_metrics",
+    "categorical_psi",
     "uplift_table",
 ]
 
@@ -574,4 +575,84 @@ def ranking_metrics(
             ),
             round_to,
         ).alias("recall_at_k"),
+    )
+
+
+def categorical_psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index over CATEGORICAL levels — the
+    companion to the numeric :func:`psi_stability`: level shares in the
+    baseline snapshot vs the current one, ``Σ (p_a − p_e)·ln(p_a/p_e)``
+    over the UNION of observed levels (a level present in only one
+    snapshot still contributes — that's exactly the drift being
+    hunted: a new country code, a renamed event type, a vanished
+    source).  NULL is its own ``(null)`` level; missingness drift is
+    drift.
+
+    Same deterministic Laplace smoothing as the numeric PSI —
+    ``p = (n + 0.5)/(N + 0.5·L)`` with L the union level count — so
+    zero-count levels keep finite terms and the number is reproducible
+    to the digit.  Scale shape: each snapshot collapses to one
+    level-count table (one hash aggregate each, level-cardinality
+    rows), a full-outer join on the level key, and a 1-row rollup.
+
+    Output (one row): psi, verdict (stable/moderate/shifted at the
+    0.1/0.25 conventions), n_levels, n_expected, n_actual.
+    """
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.coalesce(F.col(col).cast("string"), F.lit("(null)")).alias(
+                    "level"
+                )
+            )
+            .groupBy("level")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    e = counts(expected, "n_e")
+    a = counts(actual, "n_a")
+    joined = e.join(a, "level", "full_outer").select(
+        "level",
+        F.coalesce("n_e", F.lit(0)).cast("double").alias("n_e"),
+        F.coalesce("n_a", F.lit(0)).cast("double").alias("n_a"),
+    )
+    totals = joined.agg(
+        F.sum("n_e").alias("te"),
+        F.sum("n_a").alias("ta"),
+        F.count(F.lit(1)).alias("nl"),
+    )
+    sm = F.lit(0.5)
+    per = joined.crossJoin(F.broadcast(totals)).select(
+        "te",
+        "ta",
+        "nl",
+        (
+            (
+                (F.col("n_a") + sm) / (F.col("ta") + sm * F.col("nl"))
+                - (F.col("n_e") + sm) / (F.col("te") + sm * F.col("nl"))
+            )
+            * F.log(
+                ((F.col("n_a") + sm) / (F.col("ta") + sm * F.col("nl")))
+                / ((F.col("n_e") + sm) / (F.col("te") + sm * F.col("nl")))
+            )
+        ).alias("_term"),
+    )
+    agg = per.groupBy("te", "ta", "nl").agg(
+        F.round(F.sum("_term"), round_to).alias("psi")
+    )
+    return agg.select(
+        "psi",
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted"))
+        .alias("verdict"),
+        F.col("nl").cast("bigint").alias("n_levels"),
+        F.col("te").cast("bigint").alias("n_expected"),
+        F.col("ta").cast("bigint").alias("n_actual"),
     )

@@ -1582,3 +1582,199 @@ def hll_distinct(
         F.col("_hit").cast("bigint").alias("n_registers_hit"),
         F.round(est, round_to).alias("hll_estimate"),
     )
+
+
+def join_health(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Referential-integrity health report for a fact→dimension join —
+    the pre-flight check that catches the three silent join killers
+    before a pipeline ships: orphaned fact keys (rows that vanish on an
+    inner join), duplicated dimension keys (rows that FAN OUT and
+    inflate every downstream aggregate), and NULL keys (dropped by
+    equi-joins without a trace).
+
+    Scale shape: the dimension side reduces to a per-key count table
+    first (dim-cardinality, one hash aggregate), and the fact side
+    LEFT-joins that table once — at 100× this is the same partitioned
+    equi-join the real query would run, never a crossJoin, and all
+    report numbers fall out of ONE conditional aggregate over the
+    joined frame plus one over the key table.  Fan-out figures are
+    computed from the dim-side key counts weighted by fact matches, so
+    ``max_fanout`` is exactly "the most rows one fact row would become".
+
+    Output (one row): n_fact, n_fact_null_key, n_dim, n_dim_dup_keys,
+    n_matched, n_orphan, match_rate, avg_fanout (expected output rows
+    per matched fact row), max_fanout.
+    """
+    f = fact.select(F.col(fact_key).alias("k"))
+    d = dim.select(F.col(dim_key).alias("k")).filter(F.col("k").isNotNull())
+    dcnt = d.groupBy("k").agg(F.count(F.lit(1)).alias("n_dim_rows"))
+    joined = f.join(dcnt, "k", "left")
+    rep = joined.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+            "n_fact_null_key"
+        ),
+        F.sum(
+            F.when(F.col("n_dim_rows").isNotNull(), 1).otherwise(0)
+        ).alias("n_matched"),
+        F.sum(F.coalesce("n_dim_rows", F.lit(0))).alias("_out_rows"),
+        F.max(F.coalesce("n_dim_rows", F.lit(0))).alias("_max_fanout"),
+    )
+    dstats = dcnt.agg(
+        F.sum("n_dim_rows").alias("n_dim"),
+        F.sum(F.when(F.col("n_dim_rows") > 1, 1).otherwise(0)).alias(
+            "n_dim_dup_keys"
+        ),
+    )
+    return rep.crossJoin(F.broadcast(dstats)).select(
+        F.col("n_fact").cast("bigint").alias("n_fact"),
+        F.col("n_fact_null_key").cast("bigint").alias("n_fact_null_key"),
+        F.coalesce("n_dim", F.lit(0)).cast("bigint").alias("n_dim"),
+        F.coalesce("n_dim_dup_keys", F.lit(0))
+        .cast("bigint")
+        .alias("n_dim_dup_keys"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        (F.col("n_fact") - F.col("n_matched"))
+        .cast("bigint")
+        .alias("n_orphan"),
+        F.round(
+            F.when(
+                F.col("n_fact") > 0,
+                F.col("n_matched").cast("double") / F.col("n_fact"),
+            ),
+            round_to,
+        ).alias("match_rate"),
+        F.round(
+            F.when(
+                F.col("n_matched") > 0,
+                F.col("_out_rows").cast("double") / F.col("n_matched"),
+            ),
+            round_to,
+        ).alias("avg_fanout"),
+        F.col("_max_fanout").cast("bigint").alias("max_fanout"),
+    )
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap: a uniform
+# u in [0,1) maps to the replicate weight k = #{thresholds < u}. Module
+# constant so the DuckDB oracle interpolates the IDENTICAL binary64
+# literals (repr) — the weights must agree bit-for-bit cross-engine.
+_POISSON1_CDF = [
+    math.exp(-1.0) * s
+    for s in [
+        1.0,
+        2.0,
+        2.5,
+        2.6666666666666665,
+        2.708333333333333,
+        2.7166666666666663,
+        2.7180555555555554,
+        2.718253968253968,
+        2.71827876984127,
+    ]
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    reps: int = 100,
+    level: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a mean — the
+    cluster-scale bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams"): classical resampling needs N draws per
+    replicate from a dataset no single machine holds, but Poisson(1)
+    per-row weights approximate multinomial resampling with NO
+    coordination — each row independently decides how many times it
+    appears in each replicate.
+
+    DETERMINISTIC: the weight for (row, rep) is the Poisson(1) inverse
+    CDF applied to a 40-bit md5 uniform of ``id:rep`` — reruns, engines
+    and partitionings all produce the same replicates (the same
+    reproducibility contract as ``hash_sample``/``split_assign``).
+
+    Scale shape: rows explode ×``reps`` (a plan-time literal array),
+    then ONE hash aggregate to ``reps`` (Σw·x, Σw) partials — map-side
+    combined, so the shuffle carries ``reps`` rows per task, not
+    ``reps``×N.  The replicate means (≤ ``reps`` rows) sort on the
+    driver-side scale only — the single-partition window is bounded by
+    ``reps``, never by data.  The interval is the order-statistic CI:
+    lo/hi are the replicate means at ranks ⌊(B−1)·α/2⌋+1 and B−⌊…⌋.
+
+    Output (one row): n_rows, reps, mean, boot_lo, boot_hi (rounded).
+    """
+    if reps < 10:
+        raise ValueError(f"reps must be >= 10, got {reps}")
+    if not 0 < level < 1:
+        raise ValueError(f"level must be in (0, 1), got {level}")
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    rep = base.select(
+        "_id", "_x", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("_r")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("_id"), F.col("_r"))), 1, 10
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = h.cast("double") / F.lit(float(1 << 40))
+    w = sum(
+        (F.when(u >= F.lit(t), 1).otherwise(0) for t in _POISSON1_CDF),
+        F.lit(0),
+    ).cast("double")
+    means = (
+        rep.withColumn("_w", w)
+        .groupBy("_r")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("_sx"),
+            F.sum("_w").alias("_sw"),
+        )
+        .select(
+            "_r",
+            F.when(F.col("_sw") > 0, F.col("_sx") / F.col("_sw")).alias(
+                "_m"
+            ),
+        )
+        .filter(F.col("_m").isNotNull())
+    )
+    wdw = Window.orderBy(F.col("_m").asc(), F.col("_r").asc())
+    ranked = means.withColumn("_rk", F.row_number().over(wdw))
+    alpha = (1.0 - level) / 2.0
+    n_means = ranked.count()
+    lo_rk = int((n_means - 1) * alpha) + 1
+    hi_rk = n_means - lo_rk + 1
+    lo = ranked.filter(F.col("_rk") == lo_rk).select(
+        F.col("_m").alias("_lo")
+    )
+    hi = ranked.filter(F.col("_rk") == hi_rk).select(
+        F.col("_m").alias("_hi")
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.avg("_x").alias("_mean")
+    )
+    return (
+        overall.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.lit(reps).cast("bigint").alias("reps"),
+            F.round("_mean", round_to).alias("mean"),
+            F.round("_lo", round_to).alias("boot_lo"),
+            F.round("_hi", round_to).alias("boot_hi"),
+        )
+    )

@@ -772,3 +772,103 @@ def mmr_select(
         [(rk, i, round(rel, round_to), mmr) for rk, i, rel, mmr, _ in selected],
         schema=schema,
     )
+
+
+def cluster_quality(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-cluster quality readout over a labeled embedding table —
+    centroid scatter, nearest rival centroid, and the Davies–Bouldin
+    term — the numbers that say whether a clustering (kmeans output,
+    IVF partitions, topic assignment) actually separated anything
+    before it's used for dedup buckets or sampling strata.
+
+        s_i   = mean ‖x − c_i‖ over cluster i          (scatter)
+        d_ij  = ‖c_i − c_j‖                            (separation)
+        DB_i  = max_{j≠i} (s_i + s_j) / d_ij           (lower = better)
+
+    Scale shape: everything runs in LONG (label, dim, value) form —
+    no array rebuilds, no per-cluster collects.  Centroids are one
+    hash aggregate on (label, dim) — k·d rows, broadcastable by
+    construction.  Point-to-own-centroid distances join the exploded
+    points to that broadcast table and re-aggregate per point, then
+    per label (the only corpus-sized shuffles: one on (id), one on
+    (label)).  The centroid-pair matrix is k²·d rows of row-local
+    arithmetic — trivial for any k that fits a human-readable report.
+    NULL labels and zero-length vectors are dropped.
+
+    Output per label: label, n_points, scatter, nearest_label,
+    nearest_dist, db_term (all rounded; single-cluster inputs emit
+    NULL nearest/db).
+    """
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("v"),
+    ).filter(F.col("label").isNotNull() & (F.size("v") > 0))
+    long = pts.select(
+        "id",
+        "label",
+        F.posexplode(F.col("v").cast("array<double>")).alias("dim", "x"),
+    )
+    cent = long.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    d2 = (
+        long.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("id", "label")
+        .agg(F.sum(F.pow(F.col("x") - F.col("c"), 2)).alias("_d2"))
+    )
+    scat = d2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg(F.sqrt("_d2")).alias("s"),
+    )
+    ca = cent.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("xa")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"), "dim", F.col("c").alias("xb")
+    )
+    cdist = (
+        ca.join(cb, "dim")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sqrt(F.sum(F.pow(F.col("xa") - F.col("xb"), 2))).alias("d"))
+    )
+    sa = scat.select(F.col("label").alias("la"), F.col("s").alias("s_a"))
+    sb = scat.select(F.col("label").alias("lb"), F.col("s").alias("s_b"))
+    rival = (
+        cdist.join(sa, "la")
+        .join(sb, "lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("d").alias("d"), F.col("lb").alias("lb")
+                )
+            ).alias("_nearest"),
+            F.max(
+                F.round((F.col("s_a") + F.col("s_b")) / F.col("d"), round_to)
+            ).alias("db_term"),
+        )
+        .select(
+            "label",
+            F.col("_nearest.lb").alias("nearest_label"),
+            F.round(F.col("_nearest.d"), round_to).alias("nearest_dist"),
+            "db_term",
+        )
+    )
+    return (
+        scat.join(rival, "label", "left")
+        .select(
+            "label",
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.round("s", round_to).alias("scatter"),
+            "nearest_label",
+            "nearest_dist",
+            "db_term",
+        )
+    )

@@ -1090,3 +1090,164 @@ def test_doc_keywords_ranks_distinctive_terms(spark):
     assert all(k[1] <= 2 for k in rows)
     with pytest.raises(ValueError, match="k must"):
         doc_keywords(docs, id_col="doc_id", text_col="text", k=0)
+
+
+# ---------------------------------------------------------------------------
+# cluster_quality
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_quality_separated_vs_overlapping(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        cluster_quality,
+    )
+
+    # cluster 0 around (0,0), cluster 1 around (10,0): well separated
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0),
+        (4, [10.0, 0.0], 1), (5, [11.0, 0.0], 1), (6, [10.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "label"])
+    out = {r["label"]: r for r in cluster_quality(
+        df, id_col="id", vec_col="v", label_col="label"
+    ).collect()}
+    assert out[0]["n_points"] == 3 and out[1]["n_points"] == 3
+    assert out[0]["nearest_label"] == 1 and out[1]["nearest_label"] == 0
+    # centroid distance = 10 exactly (same y offsets)
+    assert out[0]["nearest_dist"] == pytest.approx(10.0, abs=1e-6)
+    # db_term = (s0 + s1)/10, scatter identical by symmetry
+    assert out[0]["db_term"] == pytest.approx(
+        (out[0]["scatter"] + out[1]["scatter"]) / 10.0, abs=1e-5
+    )
+    assert out[0]["db_term"] < 0.2  # well separated
+
+
+def test_cluster_quality_single_cluster_nulls(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        cluster_quality,
+    )
+
+    rows = [(1, [0.0, 0.0], 0), (2, [2.0, 0.0], 0), (3, [1.0, 0.0], None)]
+    df = spark.createDataFrame(rows, ["id", "v", "label"])
+    out = cluster_quality(
+        df, id_col="id", vec_col="v", label_col="label"
+    ).collect()
+    assert len(out) == 1  # null label dropped
+    r = out[0]
+    assert r["scatter"] == pytest.approx(1.0, abs=1e-6)
+    assert r["nearest_label"] is None and r["db_term"] is None
+
+
+# ---------------------------------------------------------------------------
+# join_health
+# ---------------------------------------------------------------------------
+
+
+def test_join_health_orphans_dups_fanout(spark):
+    from knot_another_pipeline_spark.operators.quality import join_health
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], ["fk"]
+    )
+    dim = spark.createDataFrame([(1,), (1,), (2,), (9,)], ["dk"])
+    row = join_health(fact, dim, fact_key="fk", dim_key="dk").collect()[0]
+    assert row["n_fact"] == 5 and row["n_fact_null_key"] == 1
+    assert row["n_dim"] == 4 and row["n_dim_dup_keys"] == 1
+    assert row["n_matched"] == 3  # two fk=1 rows + fk=2; fk=3, NULL miss
+    assert row["n_orphan"] == 2
+    assert row["match_rate"] == pytest.approx(0.6, abs=1e-6)
+    # fk=1 rows fan out to 2 dim rows each: out_rows = 2+2+1 = 5
+    assert row["avg_fanout"] == pytest.approx(5 / 3, abs=1e-6)
+    assert row["max_fanout"] == 2
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_exact_pair_set(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"k{i:02d}") for i in range(1, 9)]  # ranks = ids
+    df = spark.createDataFrame(rows, ["id", "key"])
+    out = sorted_neighborhood_pairs(
+        df, id_col="id", sort_key_col="key", window=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    want = {
+        (a, b)
+        for a in range(1, 9)
+        for b in range(a + 1, min(a + 3, 9))
+    }
+    assert got == want
+    assert all(1 <= r["rank_gap"] <= 2 for r in out)
+    # no duplicates from the two-block emit
+    assert len(out) == len(got)
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(
+            df, id_col="id", sort_key_col="key", window=1
+        )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_and_deterministic(spark):
+    from knot_another_pipeline_spark.operators.quality import bootstrap_ci
+
+    rows = [(i, float(100 + (i * 37) % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "x"])
+    r1 = bootstrap_ci(df, id_col="id", value_col="x", reps=50).collect()[0]
+    assert r1["n_rows"] == 400 and r1["reps"] == 50
+    assert r1["boot_lo"] <= r1["mean"] <= r1["boot_hi"]
+    # interval width sane: sd/sqrt(n) ~ 0.72 -> CI half-width ~1.5
+    assert r1["boot_hi"] - r1["boot_lo"] < 6.0
+    r2 = bootstrap_ci(
+        df.repartition(13), id_col="id", value_col="x", reps=50
+    ).collect()[0]
+    assert (r1["boot_lo"], r1["boot_hi"]) == (r2["boot_lo"], r2["boot_hi"])
+    with pytest.raises(ValueError, match="reps"):
+        bootstrap_ci(df, id_col="id", value_col="x", reps=5)
+    with pytest.raises(ValueError, match="level"):
+        bootstrap_ci(df, id_col="id", value_col="x", level=1.0)
+
+
+# ---------------------------------------------------------------------------
+# categorical_psi
+# ---------------------------------------------------------------------------
+
+
+def test_categorical_psi_detects_shift(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        categorical_psi,
+    )
+
+    e = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, ["c"]
+    )
+    same = categorical_psi(e, e, "c").collect()[0]
+    assert same["psi"] == pytest.approx(0.0, abs=1e-6)
+    assert same["verdict"] == "stable" and same["n_levels"] == 2
+    shifted = spark.createDataFrame(
+        [("a",)] * 95 + [("c",)] * 5, ["c"]
+    )
+    row = categorical_psi(e, shifted, "c").collect()[0]
+    assert row["verdict"] == "shifted" and row["n_levels"] == 3
+    assert row["psi"] > 0.25
+
+
+def test_categorical_psi_null_level(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        categorical_psi,
+    )
+
+    e = spark.createDataFrame([("a",), ("a",)], ["c"])
+    a = spark.createDataFrame([("a",), (None,)], ["c"])
+    row = categorical_psi(e, a, "c").collect()[0]
+    assert row["n_levels"] == 2  # (null) is a real level
+    assert row["psi"] > 0
