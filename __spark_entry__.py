@@ -136,6 +136,11 @@ _PRIORITY = [
     "sorted_neighborhood",
     "bootstrap_ci",
     "categorical_psi",
+    "pca_power",
+    "correlation_matrix",
+    "effective_sample_size",
+    "slice_diversity",
+    "random_projection",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

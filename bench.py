@@ -153,6 +153,11 @@ HEADLINE = [
     "sorted_neighborhood",
     "bootstrap_ci",
     "categorical_psi",
+    "pca_power",
+    "correlation_matrix",
+    "effective_sample_size",
+    "slice_diversity",
+    "random_projection",
 ]
 
 

@@ -8250,6 +8250,214 @@ FROM s
 """
 
 
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by matrix-free
+    power iteration (operators/similarity.py pca_power_iteration, 2
+    iterations, centered): two matvec shuffles per iteration in long
+    form, no d×d covariance. The oracle unrolls the identical iterate
+    sequence including the deterministic 1/√d init and sign fix."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_iteration(
+        emb, id_col="vec_id", vec_col="embedding", dim=64, iterations=2
+    )
+
+
+def _pca_iter_sql(cur_s: str, cur_w: str, cur_v: str, prev_v: str) -> str:
+    return f""",
+{cur_s} AS MATERIALIZED (
+  SELECT l.id, sum(l.x * v.v) AS s
+  FROM long l JOIN {prev_v} v ON v.dim = l.dim
+  GROUP BY l.id),
+{cur_w} AS MATERIALIZED (
+  SELECT l.dim, sum(s.s * l.x) AS w
+  FROM long l JOIN {cur_s} s ON s.id = l.id
+  GROUP BY l.dim),
+{cur_v} AS MATERIALIZED (
+  SELECT dim, w / (SELECT sqrt(sum(w * w)) FROM {cur_w}) AS v
+  FROM {cur_w})"""
+
+
+ORACLE_PCA_POWER = f"""
+WITH raw AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+mu AS (SELECT dim, avg(x) AS mu FROM raw GROUP BY 1),
+long AS MATERIALIZED (
+  SELECT r.id, r.dim, r.x - m.mu AS x
+  FROM raw r JOIN mu m ON m.dim = r.dim),
+v0 AS (SELECT unnest(range(64)) AS dim, 1.0 / sqrt(64.0) AS v)
+{_pca_iter_sql("s1", "w1", "v1", "v0")}{_pca_iter_sql("s2", "w2", "v2", "v1")},
+lam AS (
+  SELECT sqrt(sum(w * w))
+         / (SELECT count(DISTINCT id) FROM long) AS ev
+  FROM w2),
+star AS (
+  SELECT v FROM v2 ORDER BY abs(v) DESC, dim ASC LIMIT 1),
+flip AS (SELECT CASE WHEN (SELECT v FROM star) < 0 THEN -1.0 ELSE 1.0 END AS f)
+SELECT CAST(dim AS INT) AS dim,
+       round(v * (SELECT f FROM flip), 6) AS loading,
+       round((SELECT ev FROM lam), 6) AS eigenvalue
+FROM v2
+"""
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over the four lineitem numerics
+    (operators/quality.py correlation_matrix): all 6 pairs from ONE
+    conditional-aggregate pass, pairwise-complete, closed-form sums."""
+    from knot_another_pipeline_spark.operators.quality import (
+        correlation_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    return f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0
+               AND count(*) * sum(y * y) - sum(y) * sum(y) > 0
+              THEN round(
+                (count(*) * sum(x * y) - sum(x) * sum(y))
+                / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                       * (count(*) * sum(y * y) - sum(y) * sum(y))), 6)
+         END AS corr
+  FROM (SELECT CAST({a} AS DOUBLE) AS x, CAST({b} AS DOUBLE) AS y
+        FROM lineitem
+        WHERE {a} IS NOT NULL AND {b} IS NOT NULL)"""
+
+
+ORACLE_CORRELATION_MATRIX = "\nUNION ALL\n".join(
+    _corr_pair_sql(a, b)
+    for i, a in enumerate(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    for b in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"][
+        i + 1:
+    ]
+)
+
+
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of event values as weights, per event
+    type (operators/sampling.py effective_sample_size): the honesty
+    check on weighted data — ONE conditional aggregate."""
+    from knot_another_pipeline_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return effective_sample_size(
+        ev, group_cols=["event_type"], weight_col="value"
+    )
+
+
+ORACLE_EFFECTIVE_SAMPLE_SIZE = """
+WITH a AS (
+  SELECT event_type,
+         sum(CASE WHEN value IS NOT NULL AND value > 0 THEN 1 ELSE 0 END)
+           AS n,
+         sum(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END)
+           AS nx,
+         sum(CASE WHEN value > 0 THEN CAST(value AS DOUBLE) END) AS sw,
+         sum(CASE WHEN value > 0
+                  THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE) END)
+           AS sww,
+         max(CASE WHEN value > 0 THEN CAST(value AS DOUBLE) END) AS mw
+  FROM events GROUP BY 1)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(nx AS BIGINT) AS n_excluded,
+       round(sw, 6) AS sum_w,
+       round(CASE WHEN sww > 0 THEN sw * sw / sww END, 6) AS ess,
+       round(CASE WHEN n > 0 AND sww > 0
+                  THEN (sw * sw / sww) / n END, 6) AS ess_ratio,
+       round(CASE WHEN sw > 0 THEN mw / sw END, 6) AS max_w_share
+FROM a
+"""
+
+
+def q_slice_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix diversity per language slice (operators/quality.py
+    slice_diversity): entropy / Simpson / top-share from two chained
+    hash aggregates — the dataset-balance readout."""
+    from knot_another_pipeline_spark.operators.quality import (
+        slice_diversity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return slice_diversity(
+        docs, group_cols=["lang"], category_col="source"
+    )
+
+
+ORACLE_SLICE_DIVERSITY = """
+WITH c AS (
+  SELECT lang, coalesce(CAST(source AS VARCHAR), '(null)') AS lvl,
+         count(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT lang, sum(cnt) AS n, count(*) AS l FROM c GROUP BY 1),
+p AS (
+  SELECT c.lang, t.n, t.l, CAST(c.cnt AS DOUBLE) / t.n AS p
+  FROM c JOIN t ON t.lang = c.lang)
+SELECT lang,
+       CAST(n AS BIGINT) AS n,
+       CAST(l AS BIGINT) AS n_levels,
+       round(sum(-p * ln(p)), 6) AS entropy,
+       round(CASE WHEN l > 1
+                  THEN sum(-p * ln(p)) / ln(CAST(l AS DOUBLE)) END, 6)
+         AS norm_entropy,
+       round(sum(p * p), 6) AS simpson,
+       round(max(p), 6) AS top_share
+FROM p GROUP BY lang, n, l
+"""
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss 64→8 projection of the embedding corpus
+    with the md5-derived ±1 matrix (operators/similarity.py
+    random_projection): generated broadcast matrix, one equi-join, one
+    (id, out_dim) aggregate — nothing stored, any engine regenerates
+    the matrix bit-for-bit."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(
+        emb, id_col="vec_id", vec_col="embedding", in_dim=64, out_dim=8
+    )
+
+
+ORACLE_RANDOM_PROJECTION = """
+WITH grid AS (
+  SELECT CAST(idx // 8 AS INT) AS i, CAST(idx % 8 AS INT) AS out_i,
+         CASE WHEN CAST(concat('0x',
+                substr(md5(concat(CAST(idx // 8 AS VARCHAR), ':',
+                                  CAST(idx % 8 AS VARCHAR))), 1, 10))
+                AS BIGINT) & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM (SELECT unnest(range(512)) AS idx)),
+long AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)
+SELECT l.id, g.out_i,
+       round(sum(l.x * g.sign) * (1.0 / sqrt(8.0)), 6) AS value
+FROM long l JOIN grid g ON g.i = l.i
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8283,6 +8491,11 @@ QUERIES = {
     "sorted_neighborhood": q_sorted_neighborhood,
     "bootstrap_ci": q_bootstrap_ci,
     "categorical_psi": q_categorical_psi,
+    "pca_power": q_pca_power,
+    "correlation_matrix": q_correlation_matrix,
+    "effective_sample_size": q_effective_sample_size,
+    "slice_diversity": q_slice_diversity,
+    "random_projection": q_random_projection,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -8494,6 +8707,11 @@ ORACLES = {
     "sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
     "categorical_psi": ORACLE_CATEGORICAL_PSI,
+    "pca_power": ORACLE_PCA_POWER,
+    "correlation_matrix": ORACLE_CORRELATION_MATRIX,
+    "effective_sample_size": ORACLE_EFFECTIVE_SAMPLE_SIZE,
+    "slice_diversity": ORACLE_SLICE_DIVERSITY,
+    "random_projection": ORACLE_RANDOM_PROJECTION,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

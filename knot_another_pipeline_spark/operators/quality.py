@@ -1778,3 +1778,132 @@ def bootstrap_ci(
             F.round("_hi", round_to).alias("boot_hi"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    *,
+    cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation over a set of numeric columns — the
+    feature-redundancy screen run before any model or monitoring
+    dashboard (two 0.98-correlated features are one feature plus
+    noise).  The numeric companion to ``spearman_corr`` (which ranks
+    first) and ``chi2_independence`` (categorical).
+
+    All C(k,2) pairs compute in ONE pass over the data: per pair the
+    five sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are
+    conditional aggregates gated on BOTH columns being non-null
+    (pairwise-complete deletion — each pair uses every row where its
+    two columns exist; documented because it differs from listwise).
+    The shuffle carries one ~6·C(k,2)-column row per task — map-side
+    combined, zero joins, zero windows.  Constant columns (zero
+    variance) yield NULL.  Explicit closed-form sums, not corr() —
+    identical algebra in any engine.
+
+    Output: col_a ≺ col_b (name order), n, corr (rounded).
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 cols, got {len(cols)}")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        ok = x.isNotNull() & y.isNotNull()
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0)).alias(f"n_{i}"),
+            F.sum(F.when(ok, x)).alias(f"sx_{i}"),
+            F.sum(F.when(ok, y)).alias(f"sy_{i}"),
+            F.sum(F.when(ok, x * x)).alias(f"sxx_{i}"),
+            F.sum(F.when(ok, y * y)).alias(f"syy_{i}"),
+            F.sum(F.when(ok, x * y)).alias(f"sxy_{i}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', n_{i}, sx_{i}, sy_{i}, sxx_{i}, syy_{i}, sxy_{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    long = row.selectExpr(
+        f"stack({len(pairs)}, {stack_args})"
+        " as (col_a, col_b, n, sx, sy, sxx, syy, sxy)"
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return long.select(
+        "col_a",
+        "col_b",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), round_to
+        ).alias("corr"),
+    )
+
+
+def slice_diversity(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    category_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Within-slice categorical diversity — Shannon entropy, normalized
+    entropy, Simpson concentration and top-level share of a category
+    mix per slice (sources per language, event types per cohort …):
+    the dataset-balance readout behind "is this corpus slice dominated
+    by one source?" — the number a mixing/sampling stage checks before
+    and after reweighting (``domain_mix``/``temperature_mix``).
+
+    Two chained hash aggregates — (slice, category) counts, then the
+    slice rollup with entropy/Simpson as conditional sums and the top
+    share via ``max`` — no windows, no joins, category cardinality
+    bounded state.  NULL categories form their own level.
+
+        entropy  = −Σ p·ln p          (nats)
+        norm_entropy = entropy / ln(L)  (NULL when L = 1)
+        simpson  = Σ p²               (1 = one level dominates)
+        top_share = max p
+
+    Output per slice: group_cols…, n, n_levels, entropy, norm_entropy,
+    simpson, top_share (rounded).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must not be empty")
+    counts = (
+        df.select(
+            *group_cols,
+            F.coalesce(
+                F.col(category_col).cast("string"), F.lit("(null)")
+            ).alias("_lvl"),
+        )
+        .groupBy(*group_cols, "_lvl")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = counts.groupBy(*group_cols).agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_l")
+    )
+    p = F.col("_c").cast("double") / F.col("_n")
+    per = counts.join(totals, group_cols).groupBy(
+        *group_cols, "_n", "_l"
+    ).agg(
+        F.sum(-p * F.log(p)).alias("_h"),
+        F.sum(p * p).alias("_simp"),
+        F.max(p).alias("_top"),
+    )
+    return per.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_l").cast("bigint").alias("n_levels"),
+        F.round("_h", round_to).alias("entropy"),
+        F.round(
+            F.when(F.col("_l") > 1, F.col("_h") / F.log(F.col("_l").cast("double"))),
+            round_to,
+        ).alias("norm_entropy"),
+        F.round("_simp", round_to).alias("simpson"),
+        F.round("_top", round_to).alias("top_share"),
+    )

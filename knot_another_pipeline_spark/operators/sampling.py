@@ -651,3 +651,56 @@ def negative_samples(
         .filter(F.col("neg_rank") <= k)
         .select("user", "item", F.col("neg_rank").cast("bigint").alias("neg_rank"))
     )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    weight_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kish effective sample size per group — ``ESS = (Σw)²/Σw²`` — the
+    honesty check on every weighted dataset this module produces
+    (``dsir_weights`` importance weights, ``temperature_mix`` slice
+    weights, survey-style reweighting): n weighted rows do NOT carry n
+    rows of information, and when a few huge weights dominate, ESS
+    collapses and downstream estimates are noise.  Report ESS next to
+    any weighted metric or resampling step; ``ess_ratio`` < ~0.5 means
+    the weighting is doing violence to the sample.
+
+    ONE hash aggregate (Σw, Σw², max w, n) with map-side partials —
+    zero joins, zero windows, constant state per group.  Rows with
+    NULL, zero or negative weights are excluded (and counted), since
+    they carry no resampling mass.
+
+    Output per group: group_cols…, n, n_excluded, sum_w, ess,
+    ess_ratio (= ess/n), max_w_share (= max w / Σw, rounded).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must not be empty")
+    w = F.col(weight_col).cast("double")
+    ok = w.isNotNull() & (w > 0)
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("_n"),
+        F.sum(F.when(~ok | w.isNull(), 1).otherwise(0)).alias("_nx"),
+        F.sum(F.when(ok, w)).alias("_sw"),
+        F.sum(F.when(ok, w * w)).alias("_sww"),
+        F.max(F.when(ok, w)).alias("_mw"),
+    )
+    ess = F.when(
+        F.col("_sww") > 0, F.col("_sw") * F.col("_sw") / F.col("_sww")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_nx").cast("bigint").alias("n_excluded"),
+        F.round("_sw", round_to).alias("sum_w"),
+        F.round(ess, round_to).alias("ess"),
+        F.round(
+            F.when(F.col("_n") > 0, ess / F.col("_n")), round_to
+        ).alias("ess_ratio"),
+        F.round(
+            F.when(F.col("_sw") > 0, F.col("_mw") / F.col("_sw")), round_to
+        ).alias("max_w_share"),
+    )

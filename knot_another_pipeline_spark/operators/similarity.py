@@ -872,3 +872,184 @@ def cluster_quality(
             "db_term",
         )
     )
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    iterations: int = 3,
+    center: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top principal component by MATRIX-FREE power iteration — the
+    direction of maximum variance in an embedding corpus (dominant
+    topic axis, batch-effect detector, whitening input), computed
+    without ever materializing the d×d covariance: each iteration is
+    the two matvecs ``v ← Xᵀ(Xv)`` in long (id, dim, x) form —
+
+        s_i = Σ_d x_id·v_d      (join broadcast v, aggregate per row)
+        w_d = Σ_i s_i·x_id      (join s back, aggregate per dim)
+
+    then normalize.  Two corpus shuffles per iteration, state is one
+    d-row vector — the classic planet-scale PCA shape (covariance
+    needs d² memory and an O(n·d²) pass; this is O(n·d·iters)).
+
+    DETERMINISTIC: v₀ = 1/√d on every coordinate (no random init — the
+    iterate sequence is reproducible and the oracle unrolls it), so
+    inputs exactly orthogonal to the all-ones direction would stall;
+    real data never is.  Sign convention: the returned component is
+    flipped so its largest-|loading| coordinate is positive (power
+    iteration's sign is otherwise arbitrary).  ``center=True``
+    subtracts the per-dim mean first (true PCA; False gives the top
+    singular direction of raw X).
+
+    Output: one row per dimension — dim, loading (unit vector),
+    eigenvalue (Rayleigh estimate ‖XᵀXv‖/n at the final iterate,
+    repeated on every row; = variance explained when centered).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    long = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).filter(F.col("x").isNotNull())
+    if center:
+        mu = long.groupBy("dim").agg(F.avg("x").alias("mu"))
+        long = long.join(F.broadcast(mu), "dim").select(
+            "id", "dim", (F.col("x") - F.col("mu")).alias("x")
+        )
+    long = long.localCheckpoint(eager=True)
+    n_rows = long.select("id").distinct().count()
+    import math as _m
+
+    v = [1.0 / _m.sqrt(dim)] * dim
+    spark = df.sparkSession
+    lam = 0.0
+    for _ in range(iterations):
+        vmap = F.create_map(
+            *[x for j in range(dim) for x in (F.lit(j), F.lit(v[j]))]
+        )
+        s = (
+            long.withColumn("_v", vmap[F.col("dim")])
+            .groupBy("id")
+            .agg(F.sum(F.col("x") * F.col("_v")).alias("s"))
+        )
+        w_rows = (
+            long.join(s, "id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in w_rows:
+            w[r["dim"]] = r["w"]
+        norm = _m.sqrt(sum(x * x for x in w))
+        if norm == 0:
+            break
+        v = [x / norm for x in w]
+        # Rayleigh: vᵀXᵀXv = vᵀw_prev·norm ... use ‖Xv‖²/n on the NEW v
+        lam = norm / max(n_rows, 1)
+    # sign convention: largest-|loading| coordinate positive
+    j_star = max(range(dim), key=lambda j: (abs(v[j]), -j))
+    if v[j_star] < 0:
+        v = [-x for x in v]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("loading", T.DoubleType()),
+            T.StructField("eigenvalue", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (j, round(v[j], round_to), round(lam, round_to))
+            for j in range(dim)
+        ],
+        schema=schema,
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim``
+    dimensions with a DETERMINISTIC md5-derived ±1 matrix —
+    ``y_j = (1/√k)·Σ_i x_i·sign(i,j)`` — the dimensionality squeeze
+    run before ANN/LSH when raw embeddings are too wide: pairwise
+    distances are preserved within (1±ε) for k = O(ln n / ε²), and
+    because the matrix is a hash, there is nothing to store, ship, or
+    version — any engine regenerates it bit-for-bit (same portability
+    contract as ``hash_features``).
+
+    Scale shape: the projection matrix is GENERATED as an
+    (in_dim·out_dim)-row table (``spark.range`` — a few thousand rows,
+    broadcast), the corpus explodes to long (id, i, x) form once, ONE
+    partitioned equi-join on the input dimension and ONE hash
+    aggregate on (id, j) produce the output — O(n·d·k) work spread
+    over the cluster with no per-row Python.  Long output (id, out_i,
+    value): feed to downstream long-form consumers or pivot at k
+    columns.
+
+    Output: id, out_i (0..out_dim−1), value (rounded).
+    """
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("in_dim and out_dim must be >= 1")
+    spark = df.sparkSession
+    import math as _m
+
+    scale = 1.0 / _m.sqrt(out_dim)
+    proj = spark.range(in_dim * out_dim).select(
+        (F.col("id") / out_dim).cast("int").alias("i"),
+        (F.col("id") % out_dim).cast("int").alias("out_i"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            (F.col("id") / out_dim).cast("int"),
+                            (F.col("id") % out_dim).cast("int"),
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .bitwiseAND(F.lit(1))
+            == 1,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("sign"),
+    )
+    long = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).filter(F.col("x").isNotNull() & (F.col("i") < in_dim))
+    return (
+        long.join(F.broadcast(proj), "i")
+        .groupBy("id", "out_i")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("sign")) * F.lit(scale), round_to
+            ).alias("value")
+        )
+    )

@@ -1251,3 +1251,186 @@ def test_categorical_psi_null_level(spark):
     row = categorical_psi(e, a, "c").collect()[0]
     assert row["n_levels"] == 2  # (null) is a real level
     assert row["psi"] > 0
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_finds_dominant_axis(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    # variance 100x larger along x than y; expect loading ~ (1, 0)
+    rows = [(i, [float(i - 10) * 10.0, float(i % 3) - 1.0]) for i in range(21)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {r["dim"]: r for r in pca_power_iteration(
+        df, id_col="id", vec_col="v", dim=2, iterations=4
+    ).collect()}
+    assert abs(out[0]["loading"]) > 0.999
+    assert out[0]["loading"] > 0  # sign convention: dominant coord positive
+    assert abs(out[1]["loading"]) < 0.05
+    # eigenvalue ~ variance along x = avg((10i-100)^2) for i=0..20
+    var_x = sum((10.0 * (i - 10)) ** 2 for i in range(21)) / 21
+    assert out[0]["eigenvalue"] == pytest.approx(var_x, rel=0.05)
+    with pytest.raises(ValueError, match="iterations"):
+        pca_power_iteration(df, id_col="id", vec_col="v", dim=2, iterations=0)
+
+
+def test_pca_power_deterministic_across_partitioning(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 3), rng.gauss(0, 1), rng.gauss(0, 0.1)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    a = pca_power_iteration(
+        df, id_col="id", vec_col="v", dim=3, iterations=3
+    ).collect()
+    b = pca_power_iteration(
+        df.repartition(7), id_col="id", vec_col="v", dim=3, iterations=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# correlation_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_correlation_matrix_hand_values(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i), 2.0 * i + 1, float(-i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    out = {(r["col_a"], r["col_b"]): r for r in correlation_matrix(
+        df, cols=["a", "b", "c", "d"]
+    ).collect()}
+    assert len(out) == 6
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", "c")]["corr"] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("a", "d")]["corr"] is None  # constant column
+    assert out[("a", "b")]["n"] == 10
+    with pytest.raises(ValueError, match="cols"):
+        correlation_matrix(df, cols=["a"])
+
+
+def test_correlation_matrix_pairwise_complete(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        correlation_matrix,
+    )
+
+    rows = [(1.0, 1.0, None), (2.0, 2.0, 1.0), (3.0, None, 2.0),
+            (4.0, 4.0, None)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    out = {(r["col_a"], r["col_b"]): r for r in correlation_matrix(
+        df, cols=["a", "b", "c"]
+    ).collect()}
+    assert out[("a", "b")]["n"] == 3  # row 3 dropped for this pair only
+    assert out[("a", "c")]["n"] == 2
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# effective_sample_size
+# ---------------------------------------------------------------------------
+
+
+def test_ess_uniform_equals_n_and_skew_collapses(spark):
+    from knot_another_pipeline_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    rows = [("u", 1.0)] * 20 + [("s", 1.0)] * 9 + [("s", 1000.0)]
+    rows += [("s", None), ("s", -2.0)]
+    df = spark.createDataFrame(rows, ["g", "w"])
+    out = {r["g"]: r for r in effective_sample_size(
+        df, group_cols=["g"], weight_col="w"
+    ).collect()}
+    assert out["u"]["ess"] == pytest.approx(20.0, abs=1e-6)
+    assert out["u"]["ess_ratio"] == pytest.approx(1.0, abs=1e-6)
+    # one huge weight: ESS ~ (1009)^2/(9+1e6) ~ 1.018
+    assert out["s"]["ess"] < 1.1
+    assert out["s"]["n"] == 10 and out["s"]["n_excluded"] == 2
+    assert out["s"]["max_w_share"] == pytest.approx(1000 / 1009, abs=1e-5)
+    with pytest.raises(ValueError, match="group_cols"):
+        effective_sample_size(df, group_cols=[], weight_col="w")
+
+
+# ---------------------------------------------------------------------------
+# slice_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_slice_diversity_uniform_vs_skewed(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        slice_diversity,
+    )
+
+    rows = (
+        [("u", "a")] * 5 + [("u", "b")] * 5
+        + [("s", "a")] * 9 + [("s", "b")] * 1
+        + [("one", "a")] * 4
+    )
+    df = spark.createDataFrame(rows, ["g", "c"])
+    out = {r["g"]: r for r in slice_diversity(
+        df, group_cols=["g"], category_col="c"
+    ).collect()}
+    assert out["u"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["u"]["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+    assert out["u"]["simpson"] == pytest.approx(0.5, abs=1e-6)
+    assert out["s"]["top_share"] == pytest.approx(0.9, abs=1e-6)
+    assert out["s"]["norm_entropy"] < 0.5
+    assert out["one"]["n_levels"] == 1
+    assert out["one"]["entropy"] == 0.0 and out["one"]["norm_entropy"] is None
+
+
+# ---------------------------------------------------------------------------
+# random_projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_preserves_distances_roughly(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(32)] for i in range(20)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["id", "v"]
+    )
+    out = random_projection(
+        df, id_col="id", vec_col="v", in_dim=32, out_dim=16
+    ).collect()
+    proj = {}
+    for r in out:
+        proj.setdefault(r["id"], {})[r["out_i"]] = r["value"]
+    assert all(len(p) == 16 for p in proj.values())
+    # norms preserved in expectation: ratio within a loose JL band
+    import math as _m
+
+    ratios = []
+    for i, v in vecs.items():
+        n_in = _m.sqrt(sum(x * x for x in v))
+        n_out = _m.sqrt(sum(x * x for x in proj[i].values()))
+        ratios.append(n_out / n_in)
+    avg = sum(ratios) / len(ratios)
+    assert 0.7 < avg < 1.3
+    # determinism across partitioning
+    again = random_projection(
+        df.repartition(5), id_col="id", vec_col="v", in_dim=32, out_dim=16
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match="in_dim"):
+        random_projection(df, id_col="id", vec_col="v", in_dim=0, out_dim=4)
