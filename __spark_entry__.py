@@ -141,6 +141,11 @@ _PRIORITY = [
     "effective_sample_size",
     "slice_diversity",
     "random_projection",
+    "changepoint",
+    "max_concurrency",
+    "weighted_quantiles",
+    "ips_policy_value",
+    "dedup_summary",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

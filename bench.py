@@ -158,6 +158,11 @@ HEADLINE = [
     "effective_sample_size",
     "slice_diversity",
     "random_projection",
+    "changepoint",
+    "max_concurrency",
+    "weighted_quantiles",
+    "ips_policy_value",
+    "dedup_summary",
 ]
 
 

@@ -8458,6 +8458,271 @@ GROUP BY 1, 2
 """
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint per event-type value series
+    (operators/temporal.py changepoint_detect): prefix-sum SSE scan,
+    one window per series, argmin fold with earliest-position
+    tiebreak."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        changepoint_detect,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return changepoint_detect(
+        ev,
+        series_col="event_type",
+        order_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_CHANGEPOINT = """
+WITH base AS (
+  SELECT event_type AS series, ts AS ord, event_id AS tb,
+         CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL),
+cum AS (
+  SELECT series, ord, x,
+         row_number() OVER w AS t,
+         sum(x) OVER w AS s,
+         sum(x * x) OVER w AS q,
+         count(*) OVER (PARTITION BY series) AS n,
+         sum(x) OVER (PARTITION BY series) AS sn,
+         sum(x * x) OVER (PARTITION BY series) AS qn
+  FROM base
+  WINDOW w AS (PARTITION BY series ORDER BY ord ASC, tb ASC
+               ROWS UNBOUNDED PRECEDING)),
+cand AS (
+  SELECT series, ord, t, n,
+         round((q - s * s / CAST(t AS DOUBLE))
+               + ((qn - q) - (sn - s) * (sn - s)
+                  / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))), 6) AS cost,
+         round(qn - sn * sn / CAST(n AS DOUBLE), 6) AS sse_total
+  FROM cum WHERE t < n),
+pick AS (
+  SELECT series, t, ord, cost, sse_total, n,
+         row_number() OVER (PARTITION BY series
+                            ORDER BY cost ASC, t ASC) AS rn
+  FROM cand)
+SELECT series, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS split_pos,
+       ord AS split_order, sse_total, cost AS sse_split,
+       round(sse_total - cost, 6) AS gain
+FROM pick WHERE rn = 1
+"""
+
+
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent synthetic sessions per event type
+    (operators/temporal.py max_concurrency): intervals [ts, ts+value
+    minutes] in epoch seconds, ±1 sweep-line with half-open
+    semantics, one window per group; non-positive durations exercise
+    the dropped-interval count."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        max_concurrency,
+    )
+
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_s.alias("start_s"),
+        (epoch_s + F.col("value") * 60.0).alias("end_s"),
+    )
+    return max_concurrency(
+        ev, group_cols=["event_type"], start_col="start_s", end_col="end_s"
+    )
+
+
+ORACLE_MAX_CONCURRENCY = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) / 1000000.0 AS s,
+         epoch_us(ts) / 1000000.0 + CAST(value AS DOUBLE) * 60.0 AS e
+  FROM events),
+marked AS (
+  SELECT event_type, s, e,
+         (s IS NOT NULL AND e IS NOT NULL AND e > s) AS ok
+  FROM iv),
+drops AS (
+  SELECT event_type,
+         sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_intervals,
+         sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS n_dropped
+  FROM marked GROUP BY 1),
+ev AS (
+  SELECT event_type, s AS t, 1 AS d FROM marked WHERE ok
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM marked WHERE ok),
+run AS (
+  SELECT event_type, t, d,
+         sum(d) OVER (PARTITION BY event_type
+                      ORDER BY t ASC, d ASC) AS r
+  FROM ev),
+peak AS (
+  SELECT event_type, max(r) AS max_concurrent FROM run GROUP BY 1),
+fp AS (
+  SELECT run.event_type, p.max_concurrent, min(run.t) AS peak_time
+  FROM run JOIN peak p ON p.event_type = run.event_type
+  WHERE run.r = p.max_concurrent
+  GROUP BY 1, 2)
+SELECT d.event_type,
+       CAST(d.n_intervals AS BIGINT) AS n_intervals,
+       CAST(d.n_dropped AS BIGINT) AS n_dropped,
+       CAST(coalesce(fp.max_concurrent, 0) AS BIGINT) AS max_concurrent,
+       fp.peak_time
+FROM drops d LEFT JOIN fp ON fp.event_type = d.event_type
+"""
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles per return flag
+    (operators/quality.py weighted_quantiles): one cumulative-mass
+    window over DISTINCT values serves all four quantiles in one
+    aggregate."""
+    from knot_another_pipeline_spark.operators.quality import (
+        weighted_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li,
+        group_cols=["l_returnflag"],
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        quantiles=[0.25, 0.5, 0.75, 0.9],
+    )
+
+
+ORACLE_WEIGHTED_QUANTILES = """
+WITH mass AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         sum(CAST(l_quantity AS DOUBLE)) AS m
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+  GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, v,
+         sum(m) OVER (PARTITION BY l_returnflag ORDER BY v ASC) AS cw,
+         sum(m) OVER (PARTITION BY l_returnflag) AS tw
+  FROM mass)
+SELECT l_returnflag,
+       round(min(CASE WHEN cw >= 0.25 * tw THEN v END), 6) AS q25,
+       round(min(CASE WHEN cw >= 0.5 * tw THEN v END), 6) AS q50,
+       round(min(CASE WHEN cw >= 0.75 * tw THEN v END), 6) AS q75,
+       round(min(CASE WHEN cw >= 0.9 * tw THEN v END), 6) AS q90
+FROM cum GROUP BY 1
+"""
+
+
+def q_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy IPS/SNIPS replay value of a deterministic target
+    policy (even users → purchase, odd → click) on the event log
+    (operators/evaluation.py ips_policy_value), with logged propensity
+    = the empirical action share — one conditional aggregate."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        ips_policy_value,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("_tot"))
+    share = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            (F.col("_cnt").cast("double") / F.col("_tot")).alias(
+                "propensity"
+            ),
+        )
+    )
+    logs = ev.join(F.broadcast(share), "event_type").withColumn(
+        "policy_action",
+        F.when(F.col("user_id") % 2 == 0, F.lit("purchase")).otherwise(
+            F.lit("click")
+        ),
+    )
+    return ips_policy_value(
+        logs,
+        action_col="event_type",
+        propensity_col="propensity",
+        reward_col="value",
+        policy_action_col="policy_action",
+    )
+
+
+ORACLE_IPS_POLICY_VALUE = """
+WITH tot AS (SELECT count(*) AS t FROM events),
+share AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) / (SELECT t FROM tot) AS p
+  FROM events GROUP BY 1),
+logs AS (
+  SELECT e.event_type AS a, s.p, CAST(e.value AS DOUBLE) AS r,
+         CASE WHEN e.user_id % 2 = 0 THEN 'purchase'
+              ELSE 'click' END AS pol
+  FROM events e JOIN share s ON s.event_type = e.event_type),
+agg AS (
+  SELECT
+    sum(CASE WHEN p > 0 AND r IS NOT NULL THEN 1 ELSE 0 END) AS n,
+    sum(CASE WHEN p IS NULL OR p <= 0 OR r IS NULL THEN 1 ELSE 0 END)
+      AS n_dropped,
+    sum(CASE WHEN p > 0 AND r IS NOT NULL AND a = pol THEN 1 ELSE 0 END)
+      AS nm,
+    avg(CASE WHEN p > 0 AND r IS NOT NULL THEN r END) AS avg_r,
+    sum(CASE WHEN p > 0 AND r IS NOT NULL AND a = pol THEN r / p END)
+      AS swr,
+    sum(CASE WHEN p > 0 AND r IS NOT NULL AND a = pol THEN 1.0 / p END)
+      AS sw
+  FROM logs)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       round(CASE WHEN n > 0 THEN CAST(nm AS DOUBLE) / n END, 6)
+         AS match_rate,
+       round(avg_r, 6) AS avg_logged_reward,
+       round(CASE WHEN n > 0 THEN coalesce(swr, 0) / n END, 6)
+         AS ips_value,
+       round(CASE WHEN sw > 0 THEN swr / sw END, 6) AS snips_value
+FROM agg
+"""
+
+
+def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group size histogram of the document corpus
+    (operators/dedup.py dedup_summary): fingerprint → group sizes →
+    size histogram with corpus dup-rate riding along — the dedup
+    run's one-page readout."""
+    from knot_another_pipeline_spark.operators.dedup import dedup_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_summary(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_DEDUP_SUMMARY = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents),
+groups AS (
+  SELECT fingerprint, count(*) AS group_size FROM fp GROUP BY 1),
+hist AS (
+  SELECT group_size, count(*) AS n_groups FROM groups GROUP BY 1),
+tot AS (
+  SELECT sum(group_size) AS n_docs_total, count(*) AS n_groups_total
+  FROM groups)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(group_size * n_groups AS BIGINT) AS n_docs_in,
+       round(CAST(group_size * n_groups AS DOUBLE) / n_docs_total, 6)
+         AS pct_of_corpus,
+       CAST(n_docs_total AS BIGINT) AS n_docs_total,
+       CAST(n_groups_total AS BIGINT) AS n_groups_total,
+       round(CAST(n_docs_total - n_groups_total AS DOUBLE)
+             / n_docs_total, 6) AS dup_rate
+FROM hist CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8496,6 +8761,11 @@ QUERIES = {
     "effective_sample_size": q_effective_sample_size,
     "slice_diversity": q_slice_diversity,
     "random_projection": q_random_projection,
+    "changepoint": q_changepoint,
+    "max_concurrency": q_max_concurrency,
+    "weighted_quantiles": q_weighted_quantiles,
+    "ips_policy_value": q_ips_policy_value,
+    "dedup_summary": q_dedup_summary,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -8712,6 +8982,11 @@ ORACLES = {
     "effective_sample_size": ORACLE_EFFECTIVE_SAMPLE_SIZE,
     "slice_diversity": ORACLE_SLICE_DIVERSITY,
     "random_projection": ORACLE_RANDOM_PROJECTION,
+    "changepoint": ORACLE_CHANGEPOINT,
+    "max_concurrency": ORACLE_MAX_CONCURRENCY,
+    "weighted_quantiles": ORACLE_WEIGHTED_QUANTILES,
+    "ips_policy_value": ORACLE_IPS_POLICY_VALUE,
+    "dedup_summary": ORACLE_DEDUP_SUMMARY,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

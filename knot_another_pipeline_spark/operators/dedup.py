@@ -1448,3 +1448,65 @@ def sorted_neighborhood_pairs(
             (F.col("rank_b") - F.col("rank_a")).alias("rank_gap"),
         )
     )
+
+
+def dedup_summary(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Duplicate-group size histogram for the exact-dedup fingerprint —
+    the one-page readout a dedup run ships with: how many groups of
+    each size exist, what fraction of the corpus is redundant, and how
+    big the worst pile is.  "group_size = 1" rows are the unique
+    documents; everything above is removable mass
+    (``n_docs − n_groups`` copies).
+
+    Two chained hash aggregates — fingerprint → group sizes, then
+    size → histogram — both with map-side partials; corpus-total
+    figures ride along via a broadcast 1-row aggregate so every
+    histogram row is self-describing (no driver-side stitching).
+
+    Output per distinct group size: group_size, n_groups, n_docs_in
+    (= size·groups), pct_of_corpus (rounded 6), with corpus-wide
+    n_docs_total / n_groups_total / dup_rate repeated on each row.
+    """
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        content_fingerprint(text_col).alias("fingerprint"),
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    hist = groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    totals = groups.agg(
+        F.sum("group_size").alias("n_docs_total"),
+        F.count(F.lit(1)).alias("n_groups_total"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("group_size").cast("bigint").alias("group_size"),
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            (F.col("group_size") * F.col("n_groups"))
+            .cast("bigint")
+            .alias("n_docs_in"),
+            F.round(
+                (F.col("group_size") * F.col("n_groups")).cast("double")
+                / F.col("n_docs_total"),
+                6,
+            ).alias("pct_of_corpus"),
+            F.col("n_docs_total").cast("bigint").alias("n_docs_total"),
+            F.col("n_groups_total").cast("bigint").alias("n_groups_total"),
+            F.round(
+                (F.col("n_docs_total") - F.col("n_groups_total")).cast(
+                    "double"
+                )
+                / F.col("n_docs_total"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -656,3 +656,67 @@ def categorical_psi(
         F.col("te").cast("bigint").alias("n_expected"),
         F.col("ta").cast("bigint").alias("n_actual"),
     )
+
+
+def ips_policy_value(
+    logs: DataFrame,
+    *,
+    action_col: str,
+    propensity_col: str,
+    reward_col: str,
+    policy_action_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Off-policy evaluation by inverse-propensity scoring — "what
+    reward WOULD the new policy have earned on the logged traffic?" —
+    answered from logs alone, no A/B test:
+
+        IPS   = (1/n) Σ r·𝟙[a = π(x)] / p(a|x)
+        SNIPS = Σ r·𝟙/p ÷ Σ 𝟙/p        (self-normalized — trades a
+                little bias for much lower variance when propensities
+                are small; report both, trust their agreement)
+
+    The standard bandit/recsys replay readout (Li et al. 2011).  Rows
+    whose logged propensity is NULL or ≤ 0 are dropped and counted —
+    a zero propensity means the logging policy could never take that
+    action and the estimator is undefined there.
+
+    ONE conditional aggregate over the log — no joins, no windows;
+    the heavy lifting (computing the target policy's action per
+    context) happens upstream in whatever produced
+    ``policy_action_col``.
+
+    Output (one row): n, n_dropped, match_rate, avg_logged_reward,
+    ips_value, snips_value (NULL when no row matches, rounded).
+    """
+    p = F.col(propensity_col).cast("double")
+    r = F.col(reward_col).cast("double")
+    ok = p.isNotNull() & (p > 0) & r.isNotNull()
+    hit = F.col(action_col) == F.col(policy_action_col)
+    agg = logs.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(ok & hit, 1).otherwise(0)).alias("_nm"),
+        F.avg(F.when(ok, r)).alias("_avg_r"),
+        F.sum(F.when(ok & hit, r / p)).alias("_swr"),
+        F.sum(F.when(ok & hit, 1.0 / p)).alias("_sw"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.round(
+            F.when(
+                F.col("n") > 0, F.col("_nm").cast("double") / F.col("n")
+            ),
+            round_to,
+        ).alias("match_rate"),
+        F.round("_avg_r", round_to).alias("avg_logged_reward"),
+        F.round(
+            F.when(F.col("n") > 0, F.coalesce("_swr", F.lit(0.0)) / F.col("n")),
+            round_to,
+        ).alias("ips_value"),
+        F.round(
+            F.when(F.col("_sw") > 0, F.col("_swr") / F.col("_sw")),
+            round_to,
+        ).alias("snips_value"),
+    )

@@ -1210,3 +1210,165 @@ def acf(
             round_to,
         ).alias("acf"),
     )
+
+
+def changepoint_detect(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Single best changepoint per series by binary segmentation's
+    first step: the split position minimizing total within-segment SSE
+    — "WHEN did this metric's level shift?" for deploy regressions,
+    data-source swaps, seasonality breaks.  Apply recursively to the
+    winning halves for multiple changepoints (each level is one more
+    pass — the standard binary-segmentation recursion).
+
+    Closed-form from prefix sums: with ``S_t = Σ_{i≤t} x`` and
+    ``Q_t = Σ_{i≤t} x²``,
+
+        SSE(1..t) = Q_t − S_t²/t
+        cost(t)   = SSE(1..t) + SSE(t+1..n)     for t in 1..n−1
+
+    so the whole scan is ONE per-series window (running S, Q, position)
+    plus the series totals over the same partitioning key, and the
+    argmin is an aggregate fold ``min(struct(cost, t))`` — one shuffle
+    per series key, no self-joins, no per-candidate passes.  The
+    rounded cost breaks argmin ties by earliest position, so the split
+    is engine-reproducible.  ``order_col`` must be unique per series or
+    ``tiebreak_col`` supplied (same contract as ``acf``).
+
+    Output per series (n ≥ 2): series, n, split_pos (1-based, split is
+    AFTER this position), split_order (order_col value there),
+    sse_total (unsplit), sse_split (best), gain (rounded).
+    """
+    order = [F.col("_ord").asc()] + (
+        [F.col("_tb").asc()] if tiebreak_col else []
+    )
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("_ord"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    w = Window.partitionBy("series").orderBy(*order)
+    wall = Window.partitionBy("series")
+    cum = (
+        base.withColumn("_t", F.row_number().over(w))
+        .withColumn("_s", F.sum("_x").over(w))
+        .withColumn("_q", F.sum(F.col("_x") * F.col("_x")).over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_sn", F.sum("_x").over(wall))
+        .withColumn("_qn", F.sum(F.col("_x") * F.col("_x")).over(wall))
+    )
+    t = F.col("_t").cast("double")
+    n = F.col("_n").cast("double")
+    sse_l = F.col("_q") - F.col("_s") * F.col("_s") / t
+    sse_r = (F.col("_qn") - F.col("_q")) - (
+        (F.col("_sn") - F.col("_s")) * (F.col("_sn") - F.col("_s"))
+    ) / (n - t)
+    cand = cum.filter(F.col("_t") < F.col("_n")).withColumn(
+        "_cost", F.round(sse_l + sse_r, round_to)
+    )
+    best = cand.groupBy("series").agg(
+        F.min(
+            F.struct(
+                F.col("_cost").alias("cost"),
+                F.col("_t").alias("t"),
+                F.col("_ord").alias("ord"),
+            )
+        ).alias("_b"),
+        F.max("_n").alias("n"),
+        F.max(
+            F.round(
+                F.col("_qn") - F.col("_sn") * F.col("_sn") / F.col("_n"),
+                round_to,
+            )
+        ).alias("sse_total"),
+    )
+    return best.select(
+        "series",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("_b.t").cast("bigint").alias("split_pos"),
+        F.col("_b.ord").alias("split_order"),
+        "sse_total",
+        F.col("_b.cost").alias("sse_split"),
+        F.round(F.col("sse_total") - F.col("_b.cost"), round_to).alias(
+            "gain"
+        ),
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per group — the
+    sweep-line classic ("max concurrent sessions", "peak in-flight
+    shipments", "how many copies of this resource do we actually
+    need").  Interval semantics are half-open ``[start, end)``: an
+    interval ending exactly when another starts does NOT overlap it.
+
+    One row-local explode to ±1 boundary events, then ONE window per
+    group ordered ``(time, delta)`` — ends sort before starts at the
+    same instant (−1 < +1), implementing the half-open rule — and the
+    answer is ``max`` over the running sum.  Within an equal
+    ``(time, delta)`` tie the running values are a permutation of the
+    same multiset, so the maximum is deterministic without any
+    tiebreak.  Peak time is the EARLIEST boundary instant achieving
+    the maximum.  NULL or inverted (end ≤ start) intervals are
+    dropped and counted.
+
+    Output per group: group_cols…, n_intervals, n_dropped,
+    max_concurrent, peak_time.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must not be empty")
+    s, e = F.col(start_col), F.col(end_col)
+    valid = s.isNotNull() & e.isNotNull() & (e > s)
+    marked = df.select(*group_cols, s.alias("_s"), e.alias("_e"), valid.alias("_ok"))
+    dropped = marked.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0)).alias("n_intervals"),
+        F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    ev = marked.filter(F.col("_ok")).select(
+        *group_cols,
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("_e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("_ev"),
+    ).select(*group_cols, F.col("_ev.t").alias("t"), F.col("_ev.d").alias("d"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("t").asc(), F.col("d").asc()
+    )
+    run = ev.withColumn("_run", F.sum("d").over(w))
+    peak = run.groupBy(*group_cols).agg(
+        F.max("_run").alias("max_concurrent")
+    )
+    first_peak = (
+        run.join(peak, group_cols)
+        .filter(F.col("_run") == F.col("max_concurrent"))
+        .groupBy(*group_cols, "max_concurrent")
+        .agg(F.min("t").alias("peak_time"))
+    )
+    return (
+        dropped.join(first_peak, group_cols, "left")
+        .select(
+            *group_cols,
+            F.col("n_intervals").cast("bigint").alias("n_intervals"),
+            F.col("n_dropped").cast("bigint").alias("n_dropped"),
+            F.coalesce("max_concurrent", F.lit(0))
+            .cast("bigint")
+            .alias("max_concurrent"),
+            "peak_time",
+        )
+    )

@@ -1434,3 +1434,191 @@ def test_random_projection_preserves_distances_roughly(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with pytest.raises(ValueError, match="in_dim"):
         random_projection(df, id_col="id", vec_col="v", in_dim=0, out_dim=4)
+
+
+# ---------------------------------------------------------------------------
+# changepoint_detect
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_finds_level_shift(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        changepoint_detect,
+    )
+
+    rows = [("a", i, 0.0 if i <= 10 else 5.0) for i in range(1, 21)]
+    rows += [("flat", i, 2.0) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["s", "t", "x"])
+    out = {r["series"]: r for r in changepoint_detect(
+        df, series_col="s", order_col="t", value_col="x"
+    ).collect()}
+    a = out["a"]
+    assert a["split_pos"] == 10 and a["split_order"] == 10
+    assert a["sse_split"] == pytest.approx(0.0, abs=1e-6)
+    assert a["gain"] == pytest.approx(a["sse_total"], abs=1e-6)
+    assert a["gain"] > 0
+    flat = out["flat"]
+    assert flat["sse_total"] == pytest.approx(0.0, abs=1e-6)
+    assert flat["split_pos"] == 1  # tie on cost -> earliest position
+
+
+def test_changepoint_partition_invariant(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        changepoint_detect,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    rows = [("g", i, rng.uniform(0, 1) + (3 if i > 30 else 0))
+            for i in range(1, 51)]
+    df = spark.createDataFrame(rows, ["s", "t", "x"])
+    a = changepoint_detect(
+        df, series_col="s", order_col="t", value_col="x"
+    ).collect()
+    b = changepoint_detect(
+        df.repartition(9), series_col="s", order_col="t", value_col="x"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a[0]["split_pos"] == 30
+
+
+# ---------------------------------------------------------------------------
+# max_concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_max_concurrency_halfopen_and_drops(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        max_concurrency,
+    )
+
+    rows = [
+        ("g", 0.0, 10.0),
+        ("g", 5.0, 15.0),   # overlaps first -> 2 concurrent
+        ("g", 10.0, 20.0),  # starts exactly when first ends: NOT 3
+        ("g", 7.0, 7.0),    # zero-length -> dropped
+        ("g", None, 5.0),   # null -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    row = max_concurrency(
+        df, group_cols=["g"], start_col="s", end_col="e"
+    ).collect()[0]
+    assert row["n_intervals"] == 3 and row["n_dropped"] == 2
+    assert row["max_concurrent"] == 2
+    assert row["peak_time"] == 5.0  # earliest instant reaching the peak
+    with pytest.raises(ValueError, match="group_cols"):
+        max_concurrency(df, group_cols=[], start_col="s", end_col="e")
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_quantiles_hand_values(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        weighted_quantiles,
+    )
+
+    # values 1..4 with weights 1,1,1,7 -> q50 and q75 pulled to 4
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+            ("g", 4.0, 7.0), ("g", 5.0, None), ("g", 6.0, -1.0)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    row = weighted_quantiles(
+        df, group_cols=["g"], value_col="v", weight_col="w",
+        quantiles=[0.25, 0.5, 0.75],
+    ).collect()[0]
+    assert row["q25"] == 3.0  # cum 1,2,3,10; 0.25*10=2.5 -> v=3
+    assert row["q50"] == 4.0
+    assert row["q75"] == 4.0
+    with pytest.raises(ValueError, match="quantiles"):
+        weighted_quantiles(
+            df, group_cols=["g"], value_col="v", weight_col="w",
+            quantiles=[1.5],
+        )
+
+
+def test_weighted_quantiles_matches_weighted_median(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        weighted_median,
+        weighted_quantiles,
+    )
+
+    rows = [("g", float(v), float(w))
+            for v, w in [(10, 3), (20, 1), (30, 4), (40, 2)]]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    q = weighted_quantiles(
+        df, group_cols=["g"], value_col="v", weight_col="w",
+        quantiles=[0.5],
+    ).collect()[0]
+    m = weighted_median(
+        df, group_cols=["g"], value_col="v", weight_col="w"
+    ).collect()[0]
+    assert q["q50"] == m["weighted_median"]  # same crossing definition
+
+
+# ---------------------------------------------------------------------------
+# ips_policy_value
+# ---------------------------------------------------------------------------
+
+
+def test_ips_recovers_known_policy_value(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        ips_policy_value,
+    )
+
+    # logging policy: a with p=0.5, b with p=0.5; rewards a->1, b->0
+    # target policy always plays a -> true value 1.0
+    rows = []
+    for i in range(100):
+        a = "a" if i % 2 == 0 else "b"
+        rows.append((a, 0.5, 1.0 if a == "a" else 0.0, "a"))
+    df = spark.createDataFrame(rows, ["act", "p", "r", "pol"])
+    row = ips_policy_value(
+        df, action_col="act", propensity_col="p", reward_col="r",
+        policy_action_col="pol",
+    ).collect()[0]
+    assert row["n"] == 100 and row["match_rate"] == 0.5
+    assert row["ips_value"] == pytest.approx(1.0, abs=1e-6)
+    assert row["snips_value"] == pytest.approx(1.0, abs=1e-6)
+    assert row["avg_logged_reward"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_ips_drops_zero_propensity(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        ips_policy_value,
+    )
+
+    rows = [("a", 0.5, 1.0, "a"), ("a", 0.0, 1.0, "a"),
+            ("a", None, 1.0, "a"), ("b", 0.5, None, "a")]
+    df = spark.createDataFrame(rows, ["act", "p", "r", "pol"])
+    row = ips_policy_value(
+        df, action_col="act", propensity_col="p", reward_col="r",
+        policy_action_col="pol",
+    ).collect()[0]
+    assert row["n"] == 1 and row["n_dropped"] == 3
+    assert row["ips_value"] == pytest.approx(2.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# dedup_summary
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_summary_histogram(spark):
+    from knot_another_pipeline_spark.operators.dedup import dedup_summary
+
+    docs = [
+        (1, "alpha beta"), (2, "ALPHA  beta!"),  # same fingerprint
+        (3, "unique one"), (4, "unique two"), (5, "unique three"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["group_size"]: r for r in dedup_summary(
+        df, id_col="doc_id", text_col="text"
+    ).collect()}
+    assert out[1]["n_groups"] == 3 and out[2]["n_groups"] == 1
+    assert out[2]["n_docs_in"] == 2
+    assert out[1]["n_docs_total"] == 5 and out[1]["n_groups_total"] == 4
+    assert out[1]["dup_rate"] == pytest.approx(0.2, abs=1e-6)
+    assert out[2]["pct_of_corpus"] == pytest.approx(0.4, abs=1e-6)
