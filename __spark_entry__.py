@@ -146,6 +146,10 @@ _PRIORITY = [
     "weighted_quantiles",
     "ips_policy_value",
     "dedup_summary",
+    "zipf_fit",
+    "source_terms",
+    "oov_rate",
+    "join_cardinality",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -163,6 +163,10 @@ HEADLINE = [
     "weighted_quantiles",
     "ips_policy_value",
     "dedup_summary",
+    "zipf_fit",
+    "source_terms",
+    "oov_rate",
+    "join_cardinality",
 ]
 
 

@@ -8723,6 +8723,214 @@ FROM hist CROSS JOIN tot
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the top-500 vocabulary
+    (operators/text_analysis.py zipf_fit): one token aggregate,
+    TakeOrdered top-V, closed-form OLS on the ≤V log-log points."""
+    from knot_another_pipeline_spark.operators.text_analysis import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, text_col="text", top_v=500)
+
+
+ORACLE_ZIPF_FIT = rf"""
+WITH toks AS ({_TOKS_SQL}),
+counts AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1),
+tot AS (SELECT count(*) AS vocab_size, sum(cnt) AS n_tokens FROM counts),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+  FROM counts ORDER BY cnt DESC, token ASC LIMIT 500),
+xy AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM top),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy)
+SELECT CAST(tot.vocab_size AS BIGINT) AS vocab_size,
+       CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+       CAST(f.m AS BIGINT) AS top_v_used,
+       round(CASE WHEN f.m * f.sxx - f.sx * f.sx > 0
+                  THEN (f.m * f.sxy - f.sx * f.sy)
+                       / (f.m * f.sxx - f.sx * f.sx) END, 6) AS slope,
+       round((f.sy - (CASE WHEN f.m * f.sxx - f.sx * f.sx > 0
+                           THEN (f.m * f.sxy - f.sx * f.sy)
+                                / (f.m * f.sxx - f.sx * f.sx) END)
+                    * f.sx) / f.m, 6) AS intercept,
+       round(CASE WHEN f.m * f.sxx - f.sx * f.sx > 0
+                   AND f.m * f.syy - f.sy * f.sy > 0
+                  THEN (f.m * f.sxy - f.sx * f.sy)
+                       * (f.m * f.sxy - f.sx * f.sy)
+                       / ((f.m * f.sxx - f.sx * f.sx)
+                          * (f.m * f.syy - f.sy * f.sy)) END, 6) AS r2
+FROM fit f CROSS JOIN tot
+"""
+
+
+def q_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive tokens per document source by frequency lift
+    (operators/text_analysis.py distinctive_terms): slice share vs
+    corpus share, min_count pruned before any join, per-slice
+    vocabulary window."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        distinctive_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distinctive_terms(
+        docs, group_col="source", text_col="text", k=5, min_count=10
+    )
+
+
+ORACLE_SOURCE_TERMS = r"""
+WITH gt AS (
+  SELECT source AS grp, token, count(*) AS c_gt FROM (
+    SELECT source,
+           unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> x != '')) AS token
+    FROM documents)
+  GROUP BY 1, 2),
+tok_tot AS (SELECT token, sum(c_gt) AS c_t FROM gt GROUP BY 1),
+n_all AS (SELECT sum(c_gt) AS n FROM gt),
+grp_tot AS (SELECT grp, sum(c_gt) AS n_g FROM gt GROUP BY 1),
+scored AS (
+  SELECT gt.grp, gt.token, gt.c_gt,
+         round((CAST(gt.c_gt AS DOUBLE) / g.n_g)
+               / (CAST(tt.c_t AS DOUBLE) / (SELECT n FROM n_all)), 6)
+           AS lift
+  FROM gt
+  JOIN grp_tot g ON g.grp = gt.grp
+  JOIN tok_tot tt ON tt.token = gt.token
+  WHERE gt.c_gt >= 10)
+SELECT grp AS "group", CAST(rank AS BIGINT) AS rank, token,
+       CAST(c_gt AS BIGINT) AS n_in_group, lift
+FROM (
+  SELECT *, row_number()
+    OVER (PARTITION BY grp ORDER BY lift DESC, token ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate of the 20% held-out document slice against
+    the training slice's top-2000 vocabulary, plus the Good–Turing
+    unseen-mass estimate (operators/text_analysis.py oov_rate):
+    broadcast vocabulary, one per-slice conditional aggregate."""
+    from knot_another_pipeline_spark.operators.text_analysis import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        text_col="text",
+        group_cols=["lang"],
+        top_v=2000,
+    )
+
+
+ORACLE_OOV_RATE = r"""
+WITH trc AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> x != '')) AS token
+    FROM documents WHERE doc_id % 5 != 0)
+  GROUP BY 1),
+vocab AS (SELECT token FROM trc ORDER BY cnt DESC, token ASC LIMIT 2000),
+gts AS (
+  SELECT sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(cnt) AS nn, count(*) AS vs
+  FROM trc),
+tt AS (
+  SELECT lang, unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\s+'),
+           x -> x != '')) AS token
+  FROM documents WHERE doc_id % 5 = 0),
+per AS (
+  SELECT tt.lang, count(*) AS n_tokens,
+         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tt LEFT JOIN vocab v ON v.token = tt.token
+  GROUP BY 1)
+SELECT lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       round(CASE WHEN n_tokens > 0
+                  THEN CAST(n_oov AS DOUBLE) / n_tokens END, 6)
+         AS oov_rate,
+       CAST(least(g.vs, 2000) AS BIGINT) AS vocab_size,
+       round(CASE WHEN g.nn > 0
+                  THEN CAST(g.n1 AS DOUBLE) / g.nn END, 6)
+         AS gt_unseen_mass
+FROM per CROSS JOIN gts g
+"""
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch join size estimate for lineitem⋈orders on orderkey
+    (operators/relational.py join_cardinality_estimate, k=128): two
+    corpus scans reduce to ≤128-hash sketches + row counts; the join
+    is never run — the planning readout behind broadcast/skew
+    decisions."""
+    from knot_another_pipeline_spark.operators.relational import (
+        join_cardinality_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return join_cardinality_estimate(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", k=128
+    )
+
+
+_JC_EST_SQL = """
+  CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+       ELSE round(127.0 / (CAST(concat('0x', mx) AS BIGINT)
+                           / 1152921504606846976.0), 0) END
+"""
+
+ORACLE_JOIN_CARDINALITY = f"""
+WITH ha AS (
+  SELECT DISTINCT substr(md5('0:' || CAST(l_orderkey AS VARCHAR)), 1, 15)
+    AS h
+  FROM lineitem WHERE l_orderkey IS NOT NULL),
+hb AS (
+  SELECT DISTINCT substr(md5('0:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+    AS h
+  FROM orders WHERE o_orderkey IS NOT NULL),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+       ORDER BY h LIMIT 128),
+ca AS (SELECT count(*) AS n_rows_a FROM lineitem
+       WHERE l_orderkey IS NOT NULL),
+cb AS (SELECT count(*) AS n_rows_b FROM orders
+       WHERE o_orderkey IS NOT NULL),
+ea AS (SELECT count(*) AS m, max(h) AS mx FROM ka),
+eb AS (SELECT count(*) AS m, max(h) AS mx FROM kb),
+eu AS (SELECT count(*) AS m, max(h) AS mx FROM ku),
+est AS (
+  SELECT (SELECT {_JC_EST_SQL} FROM ea) AS n_a,
+         (SELECT {_JC_EST_SQL} FROM eb) AS n_b,
+         (SELECT {_JC_EST_SQL} FROM eu) AS n_u,
+         (SELECT n_rows_a FROM ca) AS n_rows_a,
+         (SELECT n_rows_b FROM cb) AS n_rows_b)
+SELECT CAST(n_rows_a AS BIGINT) AS n_rows_a,
+       CAST(n_rows_b AS BIGINT) AS n_rows_b,
+       CAST(n_a AS BIGINT) AS est_distinct_a,
+       CAST(n_b AS BIGINT) AS est_distinct_b,
+       CAST(greatest(0.0, n_a + n_b - n_u) AS BIGINT) AS est_key_overlap,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN round(greatest(0.0, n_a + n_b - n_u)
+                            * (n_rows_a / n_a) * (n_rows_b / n_b), 0)
+                 ELSE 0.0 END AS BIGINT) AS est_join_rows
+FROM est
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8766,6 +8974,10 @@ QUERIES = {
     "weighted_quantiles": q_weighted_quantiles,
     "ips_policy_value": q_ips_policy_value,
     "dedup_summary": q_dedup_summary,
+    "zipf_fit": q_zipf_fit,
+    "source_terms": q_source_terms,
+    "oov_rate": q_oov_rate,
+    "join_cardinality": q_join_cardinality,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -8987,6 +9199,10 @@ ORACLES = {
     "weighted_quantiles": ORACLE_WEIGHTED_QUANTILES,
     "ips_policy_value": ORACLE_IPS_POLICY_VALUE,
     "dedup_summary": ORACLE_DEDUP_SUMMARY,
+    "zipf_fit": ORACLE_ZIPF_FIT,
+    "source_terms": ORACLE_SOURCE_TERMS,
+    "oov_rate": ORACLE_OOV_RATE,
+    "join_cardinality": ORACLE_JOIN_CARDINALITY,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

@@ -1545,37 +1545,70 @@ def hll_distinct(
     Output per group: group_cols…, n_registers_hit, hll_estimate
     (rounded).
     """
+    regs = hll_registers(df, group_cols=group_cols, value_col=value_col, p=p)
+    folded = regs.groupBy(*group_cols, "register").agg(
+        F.max("rho").alias("rho")
+    )
+    return hll_estimate(
+        folded, group_cols=group_cols, p=p, round_to=round_to
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """ROW-LEVEL HLL register observations (group…, register, rho) —
+    the pre-fold form :func:`hll_distinct` max-aggregates, exposed so
+    incremental consumers can merge registers themselves: a streaming
+    sink keyed on (group, register) with latest-by-``rho`` upsert IS
+    the HLL merge (``streaming/rollup_stream.py
+    streaming_distinct_monitor``).  Entirely row-local codegen — safe
+    on a streaming DataFrame (no aggregation before the sink)."""
     if not group_cols:
         raise ValueError("group_cols must not be empty")
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
-    m = 1 << p
     w = 40 - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 10), 16, 10
     ).cast("long")
     idx = F.shiftright(h, w)
     rem = h.bitwiseAND(F.lit((1 << w) - 1))
     # bit length via the base-2 string: exact, no float log2 edge cases
-    rho = F.when(rem > 0, F.lit(w + 1) - F.length(F.conv(rem, 10, 2))).otherwise(
-        F.lit(w + 1)
+    rho = F.when(
+        rem > 0, F.lit(w + 1) - F.length(F.conv(rem, 10, 2))
+    ).otherwise(F.lit(w + 1))
+    return df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, idx.alias("register"), rho.alias("rho")
     )
-    regs = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, idx.alias("_reg"), rho.alias("_rho"))
-        .groupBy(*group_cols, "_reg")
-        .agg(F.max("_rho").alias("_rho"))
-    )
-    per_group = regs.groupBy(*group_cols).agg(
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    group_cols: list[str],
+    p: int = 9,
+    round_to: int = 2,
+) -> DataFrame:
+    """Estimate from a MAX-FOLDED register table (group…, register,
+    rho) — the read side of the mergeable HLL state. Standard alpha_m
+    bias correction plus the small-range linear-counting branch."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per_group = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_hit"),
-        F.sum(F.pow(F.lit(2.0), -F.col("_rho"))).alias("_zsum"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_zsum"),
     )
     z = F.col("_zsum") + (F.lit(m) - F.col("_hit"))  # empty regs add 2^0
     raw = F.lit(alpha * m * m) / z
     v = F.lit(m) - F.col("_hit")
     est = F.when(
-        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
     return per_group.select(
         *group_cols,

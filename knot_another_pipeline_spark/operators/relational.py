@@ -1043,3 +1043,99 @@ def basket_rules(
             round_to,
         ).alias("lift"),
     )
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pre-flight join size estimate from KMV key sketches — "how many
+    rows will this join emit?" answered WITHOUT running the join: each
+    side reduces to one ≤ k-hash sketch plus a row count, the key
+    overlap comes from the KMV inclusion–exclusion (the exact merge
+    identity :func:`~knot_another_pipeline_spark.operators.quality
+    .kmv_sketch` documents), and the output estimate assumes uniform
+    per-key multiplicity::
+
+        est_rows ≈ |keys_A ∩ keys_B| · (rows_A/|keys_A|) · (rows_B/|keys_B|)
+
+    The planning readout behind "do we need the skew path / a
+    broadcast / a pre-filter here" at 100 TB — where actually counting
+    the join is the thing being avoided.  The uniform-multiplicity
+    assumption UNDERestimates skewed joins (documented; pair with
+    ``grouped_totals``-style hot-key profiling when skew is
+    suspected).  Deterministic md5 sketches — the estimate itself is
+    engine-reproducible and oracle-checked.
+
+    Scale shape: two corpus scans (one per side: count + sketch
+    tournament), then driver-trivial array math on two ≤ k-element
+    arrays.  The inputs never join.
+
+    Output (one row): n_rows_a, n_rows_b, est_distinct_a,
+    est_distinct_b, est_key_overlap, est_join_rows (all bigint).
+    """
+    from knot_another_pipeline_spark.operators.quality import kmv_sketch
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    a = left.select(F.col(left_key).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    b = right.select(F.col(right_key).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    sa = kmv_sketch(a, "_k", k=k).select(F.col("hashes").alias("ha"))
+    sb = kmv_sketch(b, "_k", k=k).select(F.col("hashes").alias("hb"))
+    ca = a.agg(F.count(F.lit(1)).alias("n_rows_a"))
+    cb = b.agg(F.count(F.lit(1)).alias("n_rows_b"))
+
+    def est(arr):
+        m = F.size(arr)
+        norm = F.conv(F.get(arr, k - 1), 16, 10).cast("double") / F.lit(
+            float(1 << 60)
+        )
+        return F.when(m < k, m.cast("double")).otherwise(
+            F.round(F.lit(float(k - 1)) / norm, 0)
+        )
+
+    merged = F.slice(
+        F.sort_array(F.array_distinct(F.concat(F.col("ha"), F.col("hb")))),
+        1,
+        k,
+    )
+    row = (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "n_rows_a",
+            "n_rows_b",
+            est(F.col("ha")).alias("n_a"),
+            est(F.col("hb")).alias("n_b"),
+            est(merged).alias("n_u"),
+        )
+    )
+    overlap = F.greatest(
+        F.lit(0.0), F.col("n_a") + F.col("n_b") - F.col("n_u")
+    )
+    join_rows = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.round(
+            overlap
+            * (F.col("n_rows_a") / F.col("n_a"))
+            * (F.col("n_rows_b") / F.col("n_b")),
+            0,
+        ),
+    ).otherwise(F.lit(0.0))
+    return row.select(
+        F.col("n_rows_a").cast("bigint").alias("n_rows_a"),
+        F.col("n_rows_b").cast("bigint").alias("n_rows_b"),
+        F.col("n_a").cast("bigint").alias("est_distinct_a"),
+        F.col("n_b").cast("bigint").alias("est_distinct_b"),
+        overlap.cast("bigint").alias("est_key_overlap"),
+        join_rows.cast("bigint").alias("est_join_rows"),
+    )

@@ -1494,3 +1494,224 @@ def tokenizer_fertility(
         ratio("n_chars", "n_tokens").alias("chars_per_token"),
         ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str,
+    top_v: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf power-law fit over the token frequency spectrum — OLS of
+    ``ln count`` on ``ln rank`` over the top-V vocabulary — the
+    one-number corpus health check: natural language sits near slope
+    −1; templated/boilerplate-heavy corpora flatten, spam-keyword
+    corpora steepen, and a slope drifting across snapshots means the
+    mix changed.  R² says whether the power law holds at all.
+
+    Scale shape: ONE (token) hash aggregate builds the frequency
+    table; the top-V slice is ``orderBy().limit()`` — Spark compiles
+    it to TakeOrdered (per-partition heaps + k-merge, never a global
+    sort); ranking and the OLS sums then run over ≤ top_v rows (the
+    only single-partition step, bounded by the parameter, not the
+    corpus — same contract as ``bootstrap_ci``'s replicate table).
+    Deterministic: count-desc, token-asc total order.
+
+    Output (one row): vocab_size, n_tokens, top_v_used, slope,
+    intercept, r2 (rounded).
+    """
+    if top_v < 3:
+        raise ValueError(f"top_v must be >= 3, got {top_v}")
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_v)
+    ranked = top.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("token"))
+        ),
+    ).select(
+        F.log(F.col("_r").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    vx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = m * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(vx > 0, cov / vx)
+    return fit.crossJoin(F.broadcast(totals)).select(
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("m").cast("bigint").alias("top_v_used"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / m, round_to
+        ).alias("intercept"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy)), round_to
+        ).alias("r2"),
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    *,
+    group_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k slice-distinctive vocabulary by frequency lift — for each
+    slice (source, language, cohort), the tokens whose in-slice share
+    most exceeds their corpus share: ``lift = (c_gt/n_g)/(c_t/N)`` —
+    the "what makes this source different" readout behind corpus
+    browsing and burst/trend mining (with a date slice it IS trending
+    terms).  ``min_count`` keeps hapax noise out of the numerator
+    BEFORE any join.
+
+    Scale shape: one (slice, token) hash aggregate; corpus token
+    totals re-aggregate FROM those partials (never a second corpus
+    scan); slice totals ride a same-key window; the vocabulary-sized
+    token-total table joins back broadcast-eligible; top-k is a
+    window over each slice's surviving vocabulary.  Deterministic
+    (lift desc, token asc).
+
+    Output: group, rank (1..k), token, n_in_group, lift (rounded).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gt = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("c_gt"))
+    )
+    tok_tot = gt.groupBy("token").agg(F.sum("c_gt").alias("c_t"))
+    n_total = gt.agg(F.sum("c_gt").alias("n_all"))
+    wg = Window.partitionBy("grp")
+    scored = (
+        gt.withColumn("n_g", F.sum("c_gt").over(wg))
+        .filter(F.col("c_gt") >= min_count)
+        .join(tok_tot, "token")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("c_gt").cast("double") / F.col("n_g"))
+                / (F.col("c_t").cast("double") / F.col("n_all")),
+                round_to,
+            ),
+        )
+    )
+    wr = Window.partitionBy("grp").orderBy(
+        F.desc("lift"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias("group"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "token",
+            F.col("c_gt").cast("bigint").alias("n_in_group"),
+            "lift",
+        )
+    )
+
+
+def oov_rate(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    text_col: str,
+    group_cols: list[str],
+    top_v: int = 5000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary rate of a held-out slice against the training
+    corpus's top-V vocabulary, plus the Good–Turing unseen-mass
+    estimate — the two numbers that say whether a vocabulary (or
+    tokenizer word list) trained on corpus A will hold up on corpus B:
+    per-slice OOV% localizes WHERE coverage breaks (a language, a
+    source), and Good–Turing (``n₁/N``, the total probability mass of
+    never-seen tokens) says how much was always going to be missing
+    regardless of V.
+
+    Scale shape: the train side reduces to one (token) aggregate; the
+    top-V vocabulary is TakeOrdered (count desc, token asc) and joins
+    the test token stream BROADCAST (V rows); OOV-ness is a left join
+    + null check folded into one per-slice conditional aggregate.
+    Good–Turing needs only n₁ and N — two sums over the train count
+    table.
+
+    Output per test slice: group_cols…, n_tokens, n_oov, oov_rate,
+    vocab_size, gt_unseen_mass (corpus-level, repeated; rounded).
+    """
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
+    tr_counts = (
+        train.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        tr_counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_v)
+        .select("token", F.lit(1).alias("_inv"))
+    )
+    gt_stats = tr_counts.agg(
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("_n1"),
+        F.sum("cnt").alias("_nn"),
+        F.count(F.lit(1)).alias("_vs"),
+    )
+    test_toks = test.select(
+        *group_cols, F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    flagged = test_toks.join(F.broadcast(vocab), "token", "left")
+    per = flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+    )
+    return per.crossJoin(F.broadcast(gt_stats)).select(
+        *group_cols,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov").cast("double") / F.col("n_tokens"),
+            ),
+            round_to,
+        ).alias("oov_rate"),
+        F.least(F.col("_vs"), F.lit(top_v))
+        .cast("bigint")
+        .alias("vocab_size"),
+        F.round(
+            F.when(
+                F.col("_nn") > 0,
+                F.col("_n1").cast("double") / F.col("_nn"),
+            ),
+            round_to,
+        ).alias("gt_unseen_mass"),
+    )

@@ -630,3 +630,67 @@ def streaming_interval_join(
         *[F.col(f"l.{c}") for c in left.columns if c != on],
         *[F.col(f"r.{c}") for c in right.columns if c != on],
     )
+
+
+def streaming_distinct_monitor(
+    stream: DataFrame,
+    *,
+    group_cols: str | list[str],
+    value_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    p: int = 9,
+    trigger_available_now: bool = True,
+):
+    """Incremental distinct-count monitor over a stream — live
+    "distinct users per event type" without ever storing the user set:
+    each micro-batch's rows become row-local HLL register observations
+    (:func:`~..operators.quality.hll_registers`, pure codegen — no
+    streaming aggregation state), and the register table merges by
+    max-rho.  The merge IS :func:`streaming_upsert_sink` keyed on
+    ``(group…, register)`` with ``order_col="rho"`` — latest-by-rho
+    upsert is exactly the HLL register fold, so this sink inherits the
+    upsert sink's replay idempotence (re-applying a batch cannot
+    change a max) and reorder safety (an old batch cannot regress a
+    register) with zero new machinery.
+
+    State is ≤ 2^p rows per group FOREVER — the monitor's footprint
+    never grows with traffic, the property that makes it deployable
+    against an unbounded stream.  Read the current estimates any time
+    with :func:`read_distinct_estimates` (the state table stays
+    register-form so merges remain exact; estimates are derived at
+    read).
+    """
+    from knot_another_pipeline_spark.operators.quality import hll_registers
+
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    regs = hll_registers(
+        stream, group_cols=keys, value_col=value_col, p=p
+    )
+    return streaming_upsert_sink(
+        regs,
+        keys=[*keys, "register"],
+        output_path=state_path,
+        checkpoint_path=checkpoint_path,
+        order_col="rho",
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def read_distinct_estimates(
+    spark,
+    state_path: str,
+    *,
+    group_cols: str | list[str],
+    p: int = 9,
+    round_to: int = 2,
+) -> DataFrame:
+    """Current distinct-count estimates from a
+    :func:`streaming_distinct_monitor` state table: one bounded read of
+    the ≤ 2^p-rows-per-group register parquet, then the standard HLL
+    estimator (:func:`~..operators.quality.hll_estimate`)."""
+    from knot_another_pipeline_spark.operators.quality import hll_estimate
+
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    regs = spark.read.parquet(state_path)
+    return hll_estimate(regs, group_cols=keys, p=p, round_to=round_to)

@@ -1622,3 +1622,189 @@ def test_dedup_summary_histogram(spark):
     assert out[1]["n_docs_total"] == 5 and out[1]["n_groups_total"] == 4
     assert out[1]["dup_rate"] == pytest.approx(0.2, abs=1e-6)
     assert out[2]["pct_of_corpus"] == pytest.approx(0.4, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_recovers_synthetic_slope(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import zipf_fit
+
+    # construct counts ~ 1000/r: token t{r} appears round(1000/r) times
+    words = []
+    for r in range(1, 31):
+        words += [f"t{r:02d}"] * round(1000 / r)
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], ["text"])
+    row = zipf_fit(df, text_col="text", top_v=30).collect()[0]
+    assert row["vocab_size"] == 30 and row["top_v_used"] == 30
+    assert row["slope"] == pytest.approx(-1.0, abs=0.02)
+    assert row["r2"] > 0.999
+    with pytest.raises(ValueError, match="top_v"):
+        zipf_fit(df, text_col="text", top_v=2)
+
+
+# ---------------------------------------------------------------------------
+# distinctive_terms
+# ---------------------------------------------------------------------------
+
+
+def test_distinctive_terms_finds_slice_vocabulary(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        distinctive_terms,
+    )
+
+    rows = (
+        [("web", "common filler " + "spark " * 5)] * 4
+        + [("books", "common filler " + "novel " * 5)] * 4
+    )
+    df = spark.createDataFrame(rows, ["src", "text"])
+    out = {(r["group"], r["rank"]): r["token"] for r in distinctive_terms(
+        df, group_col="src", text_col="text", k=1, min_count=2
+    ).collect()}
+    assert out[("web", 1)] == "spark"
+    assert out[("books", 1)] == "novel"
+    with pytest.raises(ValueError, match="k must"):
+        distinctive_terms(df, group_col="src", text_col="text", k=0)
+
+
+# ---------------------------------------------------------------------------
+# oov_rate
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_and_good_turing(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import oov_rate
+
+    train = spark.createDataFrame(
+        [("en", "alpha beta gamma alpha beta alpha")], ["lang", "text"]
+    )  # counts: alpha 3, beta 2, gamma 1 -> n1=1, N=6
+    test = spark.createDataFrame(
+        [("en", "alpha beta delta"), ("de", "zeta eta")],
+        ["lang", "text"],
+    )
+    out = {r["lang"]: r for r in oov_rate(
+        train, test, text_col="text", group_cols=["lang"], top_v=2
+    ).collect()}
+    # vocab = top-2 = {alpha, beta}; en test: delta OOV (1/3)
+    en = out["en"]
+    assert en["n_tokens"] == 3 and en["n_oov"] == 1
+    assert en["oov_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert en["vocab_size"] == 2
+    assert en["gt_unseen_mass"] == pytest.approx(1 / 6, abs=1e-6)
+    de = out["de"]
+    assert de["oov_rate"] == 1.0  # fully OOV slice localized
+    with pytest.raises(ValueError, match="top_v"):
+        oov_rate(train, test, text_col="text", group_cols=["lang"], top_v=0)
+
+
+# ---------------------------------------------------------------------------
+# join_cardinality_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_join_cardinality_small_exact_and_fk_shape(spark):
+    from knot_another_pipeline_spark.operators.relational import (
+        join_cardinality_estimate,
+    )
+
+    # small sides (< k): sketch is exact, so the estimate is exact for
+    # uniform multiplicity: 3 shared keys x 2 x 1 = 6 rows
+    left = spark.createDataFrame(
+        [(k, i) for k in [1, 2, 3, 4] for i in range(2)], ["k", "i"]
+    )
+    right = spark.createDataFrame([(2,), (3,), (4,), (9,)], ["k"])
+    row = join_cardinality_estimate(
+        left, right, left_key="k", right_key="k", k=64
+    ).collect()[0]
+    assert row["n_rows_a"] == 8 and row["n_rows_b"] == 4
+    assert row["est_distinct_a"] == 4 and row["est_distinct_b"] == 4
+    assert row["est_key_overlap"] == 3
+    actual = left.join(right, "k").count()
+    assert row["est_join_rows"] == actual == 6
+    with pytest.raises(ValueError, match="k must"):
+        join_cardinality_estimate(
+            left, right, left_key="k", right_key="k", k=1
+        )
+
+
+def test_join_cardinality_estimates_at_sketch_scale(spark):
+    from knot_another_pipeline_spark.operators.relational import (
+        join_cardinality_estimate,
+    )
+
+    left = spark.range(0, 2000).selectExpr("id as k")
+    right = spark.range(1000, 4000).selectExpr("id as k")
+    row = join_cardinality_estimate(
+        left, right, left_key="k", right_key="k", k=256
+    ).collect()[0]
+    # true overlap 1000; KMV error ~ 1/sqrt(254) ~ 6% per estimate
+    assert abs(row["est_key_overlap"] - 1000) / 1000 < 0.4
+    assert abs(row["est_join_rows"] - 1000) / 1000 < 0.4
+
+
+# ---------------------------------------------------------------------------
+# streaming_distinct_monitor
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_distinct_monitor_matches_batch_hll(spark, tmp_path):
+    from knot_another_pipeline_spark.operators.quality import hll_distinct
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        read_distinct_estimates,
+        streaming_distinct_monitor,
+    )
+
+    src = tmp_path / "hll_src"
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    schema = "g string, v long"
+    rows1 = [("a", i) for i in range(400)] + [("b", i % 7) for i in range(50)]
+    rows2 = [("a", i) for i in range(200, 700)] + [("b", 100 + i) for i in range(5)]
+
+    def run_once():
+        q = streaming_distinct_monitor(
+            spark.readStream.schema(schema).parquet(str(src)),
+            group_cols="g",
+            value_col="v",
+            state_path=state,
+            checkpoint_path=ckpt,
+            p=9,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(str(src))
+    run_once()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(str(src))
+    run_once()
+
+    streamed = {
+        r["g"]: r
+        for r in read_distinct_estimates(
+            spark, state, group_cols="g", p=9
+        ).collect()
+    }
+    batch = {
+        r["g"]: r
+        for r in hll_distinct(
+            spark.createDataFrame(rows1 + rows2, schema),
+            group_cols=["g"],
+            value_col="v",
+            p=9,
+        ).collect()
+    }
+    # exact parity: register merge by max == batch fold
+    for g in ("a", "b"):
+        assert streamed[g]["hll_estimate"] == batch[g]["hll_estimate"]
+        assert streamed[g]["n_registers_hit"] == batch[g]["n_registers_hit"]
+    # replay idempotence: re-running with no new data changes nothing
+    run_once()
+    again = {
+        r["g"]: r["hll_estimate"]
+        for r in read_distinct_estimates(
+            spark, state, group_cols="g", p=9
+        ).collect()
+    }
+    assert again == {g: streamed[g]["hll_estimate"] for g in streamed}
