@@ -150,6 +150,10 @@ _PRIORITY = [
     "source_terms",
     "oov_rate",
     "join_cardinality",
+    "dbscan_grid",
+    "quantile_normalize",
+    "proportion_test",
+    "reweight_to_target",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

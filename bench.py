@@ -167,6 +167,10 @@ HEADLINE = [
     "source_terms",
     "oov_rate",
     "join_cardinality",
+    "dbscan_grid",
+    "quantile_normalize",
+    "proportion_test",
+    "reweight_to_target",
 ]
 
 

@@ -8931,6 +8931,201 @@ FROM est
 """
 
 
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering of the derived AIS positions
+    (operators/tracks.py dbscan_grid, 15° cells, min_pts=40): density
+    cut is one cell aggregate, components over DENSE cells only — the
+    anchorage/hotspot detector. The oracle replays the density cut and
+    closes adjacency with a recursive CTE."""
+    from knot_another_pipeline_spark.operators.tracks import dbscan_grid
+
+    pos = _positions(spark, sf_dir)
+    return dbscan_grid(
+        pos, lat_col="lat", lon_col="lon", cell_deg=15.0, min_pts=40
+    )
+
+
+ORACLE_DBSCAN_GRID = f"""
+WITH RECURSIVE
+pos AS ({_POSITIONS_SQL}),
+cells AS (
+  SELECT CAST(floor(lon / 15.0) AS BIGINT) AS cell_x,
+         CAST(floor(lat / 15.0) AS BIGINT) AS cell_y,
+         count(*) AS n_points
+  FROM pos GROUP BY 1, 2 HAVING count(*) >= 40),
+dense AS (
+  SELECT *, cell_x || ':' || cell_y AS k FROM cells),
+pairs AS (
+  SELECT a.k AS id_a, b.k AS id_b
+  FROM dense a JOIN dense b
+    ON abs(a.cell_x - b.cell_x) <= 1
+   AND abs(a.cell_y - b.cell_y) <= 1
+   AND a.k < b.k),
+bidir(a, b) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM bidir
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+comp AS (
+  SELECT a AS k, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT d.cell_x, d.cell_y,
+       CAST(d.n_points AS BIGINT) AS n_points,
+       coalesce(c.component, d.k) AS cluster
+FROM dense d LEFT JOIN comp c ON c.k = d.k
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across language
+    slices (operators/features.py quantile_normalize): within-group
+    quantile → pooled order statistic via global_rank — every slice
+    ends up with the identical length distribution."""
+    from knot_another_pipeline_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(
+        docs, id_col="doc_id", group_col="lang", value_col="n_chars"
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH base AS (
+  SELECT doc_id AS id, lang AS grp, CAST(n_chars AS DOUBLE) AS value
+  FROM documents WHERE n_chars IS NOT NULL),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY grp ORDER BY value, id) AS rk,
+         count(*) OVER (PARTITION BY grp) AS ng
+  FROM base),
+pooled AS (
+  SELECT value AS pv, row_number() OVER (ORDER BY value, id) AS idx
+  FROM base),
+nt AS (SELECT count(*) AS n FROM base),
+wi AS (
+  SELECT id, grp, value,
+         CAST(floor((CASE WHEN ng > 1
+                          THEN CAST(rk - 1 AS DOUBLE) / (ng - 1)
+                          ELSE 0.5 END) * (n - 1)) AS BIGINT) + 1 AS idx
+  FROM r CROSS JOIN nt)
+SELECT wi.id, wi.grp AS "group", wi.value,
+       round(p.pv, 6) AS normalized
+FROM wi JOIN pooled p USING (idx)
+"""
+
+
+def q_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of the value>50 conversion rate, click vs
+    view events (operators/quality.py proportion_test): both groups'
+    counts in ONE conditional aggregate, fixed-α verdicts."""
+    from knot_another_pipeline_spark.operators.quality import (
+        proportion_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "converted", F.col("value") > 50
+    )
+    return proportion_test(
+        ev,
+        group_col="event_type",
+        success_col="converted",
+        group_a="click",
+        group_b="view",
+    )
+
+
+ORACLE_PROPORTION_TEST = """
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
+    sum(CASE WHEN event_type = 'click' AND value > 50 THEN 1 ELSE 0 END)
+      AS s_a,
+    sum(CASE WHEN event_type = 'view' AND value > 50 THEN 1 ELSE 0 END)
+      AS s_b
+  FROM events
+  WHERE (value > 50) IS NOT NULL
+    AND event_type IN ('click', 'view')),
+c AS (
+  SELECT n_a, n_b, s_a, s_b,
+         CASE WHEN n_a > 0 THEN CAST(s_a AS DOUBLE) / n_a END AS pa,
+         CASE WHEN n_b > 0 THEN CAST(s_b AS DOUBLE) / n_b END AS pb,
+         CASE WHEN n_a + n_b > 0
+              THEN CAST(s_a + s_b AS DOUBLE) / (n_a + n_b) END AS pool
+  FROM agg),
+z AS (
+  SELECT *,
+         CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1
+              THEN (pa - pb) / sqrt(pool * (1 - pool)
+                   * (1.0 / n_a + 1.0 / n_b)) END AS zz
+  FROM c)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(s_a AS BIGINT) AS successes_a,
+       CAST(s_b AS BIGINT) AS successes_b,
+       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       round(pa - pb, 6) AS diff, round(zz, 6) AS z,
+       CASE WHEN zz IS NOT NULL
+            THEN abs(zz) > 1.959963984540054 END AS significant_95,
+       CASE WHEN zz IS NOT NULL
+            THEN abs(zz) > 2.5758293035489004 END AS significant_99
+FROM z
+"""
+
+
+def q_reweight_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights reshaping four document sources to a declared
+    30/20/20/30 target mix (operators/sampling.py reweight_to_target):
+    one group-count aggregate, broadcast target literals, Kish ESS
+    riding along."""
+    from knot_another_pipeline_spark.operators.sampling import (
+        reweight_to_target,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return reweight_to_target(
+        docs,
+        group_col="source",
+        target_shares={
+            "src0": 0.3,
+            "src1": 0.2,
+            "src2": 0.2,
+            "src3": 0.3,
+        },
+    )
+
+
+ORACLE_REWEIGHT_TO_TARGET = """
+WITH tgt(grp, t) AS (
+  VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.2), ('src3', 0.3)),
+counts AS (
+  SELECT d.source AS grp, count(*) AS n, any_value(t.t) AS t
+  FROM documents d JOIN tgt t ON t.grp = d.source
+  WHERE d.source IS NOT NULL
+  GROUP BY 1 HAVING any_value(t.t) > 0),
+tot AS (SELECT sum(n) AS nn, sum(t) AS tt FROM counts),
+scored AS (
+  SELECT grp, n,
+         CAST(n AS DOUBLE) / tot.nn AS obs,
+         t / tot.tt AS tgt_share
+  FROM counts CROSS JOIN tot),
+ess AS (
+  SELECT sum(n * (tgt_share / obs)) AS snw,
+         sum(n * (tgt_share / obs) * (tgt_share / obs)) AS snww,
+         sum(n) AS n_all
+  FROM scored)
+SELECT s.grp AS "group",
+       CAST(s.n AS BIGINT) AS n,
+       round(s.obs, 6) AS observed_share,
+       round(s.tgt_share, 6) AS target_share,
+       round(s.tgt_share / s.obs, 6) AS weight,
+       round(e.snw * e.snw / e.snww, 6) AS ess,
+       round(e.snw * e.snw / e.snww / e.n_all, 6) AS ess_ratio
+FROM scored s CROSS JOIN ess e
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8978,6 +9173,10 @@ QUERIES = {
     "source_terms": q_source_terms,
     "oov_rate": q_oov_rate,
     "join_cardinality": q_join_cardinality,
+    "dbscan_grid": q_dbscan_grid,
+    "quantile_normalize": q_quantile_normalize,
+    "proportion_test": q_proportion_test,
+    "reweight_to_target": q_reweight_to_target,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -9203,6 +9402,10 @@ ORACLES = {
     "source_terms": ORACLE_SOURCE_TERMS,
     "oov_rate": ORACLE_OOV_RATE,
     "join_cardinality": ORACLE_JOIN_CARDINALITY,
+    "dbscan_grid": ORACLE_DBSCAN_GRID,
+    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+    "proportion_test": ORACLE_PROPORTION_TEST,
+    "reweight_to_target": ORACLE_REWEIGHT_TO_TARGET,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

@@ -375,3 +375,72 @@ def woe_iv(
             F.round(F.sum("_ivt").over(w), round_to).alias("iv"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile normalization across groups — replace each value with
+    the POOLED distribution's order statistic at the value's
+    within-group quantile, so every group ends up with an identical
+    marginal distribution (the batch-effect corrector from genomics,
+    equally at home aligning per-source quality scores or per-device
+    sensor scales before they're compared or thresholded together).
+
+    Deterministic semantics (mirrored by the oracle):
+
+    - within-group position ``p = (rank−1)/(n_g−1)`` under the total
+      order (value asc, id asc); a 1-row group maps to p = 0.5;
+    - target = pooled order statistic at index ``⌊p·(N−1)⌋ + 1``
+      (lower interpolation — no averaging, so the mapped values are
+      actual observed values).
+
+    Scale shape: the pooled order statistics come from ``global_rank``
+    (range-partitioned prefix sums — never a single-task global sort);
+    within-group ranks are one window on the group key; the lookup is
+    a partitioned equi-join on the computed index.  Three shuffles
+    total, each keyed and data-sized — no per-quantile jobs.
+
+    Output: id, group, value, normalized (rounded).
+    """
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    wg = Window.partitionBy("group").orderBy(
+        F.col("value").asc(), F.col("id").asc()
+    )
+    wall = Window.partitionBy("group")
+    ranked = base.withColumn("_rk", F.row_number().over(wg)).withColumn(
+        "_ng", F.count(F.lit(1)).over(wall)
+    )
+    pooled = global_rank(
+        base.select(F.col("value").alias("_pv"), F.col("id").alias("_pid")),
+        [F.col("_pv").asc(), F.col("_pid").asc()],
+        rank_col="_idx",
+    ).select("_idx", "_pv")
+    n_total = base.agg(F.count(F.lit(1)).alias("_n"))
+    p = F.when(
+        F.col("_ng") > 1,
+        (F.col("_rk") - 1).cast("double") / (F.col("_ng") - 1),
+    ).otherwise(F.lit(0.5))
+    with_idx = ranked.crossJoin(F.broadcast(n_total)).withColumn(
+        "_idx", F.floor(p * (F.col("_n") - 1)).cast("bigint") + 1
+    )
+    return (
+        with_idx.join(pooled, "_idx")
+        .select(
+            "id",
+            "group",
+            "value",
+            F.round(F.col("_pv"), round_to).alias("normalized"),
+        )
+    )

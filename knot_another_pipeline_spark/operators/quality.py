@@ -2007,3 +2007,66 @@ def weighted_quantiles(
             ).alias(name)
         )
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def proportion_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test — "did the conversion rate really move
+    between variant A and variant B?" — the binary-outcome sibling of
+    the Welch-t :func:`ab_test` (means): pooled-proportion standard
+    error, z statistic, and the fixed-α verdicts at 1.96/2.576 (95%/
+    99% two-sided critical values; emitted as booleans because Spark
+    SQL has no erf — the z value itself is there for exact p-values
+    downstream).
+
+    ONE conditional aggregate over the frame — both groups' counts in
+    the same pass, no join, no second scan.  Rows outside the two
+    groups or with NULL outcome are ignored.  Degenerate inputs (an
+    empty group, or pooled p of exactly 0 or 1 — no variance) yield
+    NULL z.
+
+    Output (one row): n_a, n_b, successes_a, successes_b, p_a, p_b,
+    diff, z, significant_95, significant_99.
+    """
+    g = F.col(group_col)
+    y = F.col(success_col).cast("boolean")
+    in_a, in_b = g == F.lit(group_a), g == F.lit(group_b)
+    agg = df.filter(y.isNotNull() & (in_a | in_b)).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(in_a & y, 1).otherwise(0)).alias("s_a"),
+        F.sum(F.when(in_b & y, 1).otherwise(0)).alias("s_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.when(na > 0, F.col("s_a") / na)
+    pb = F.when(nb > 0, F.col("s_b") / nb)
+    pool = F.when(
+        na + nb > 0, (F.col("s_a") + F.col("s_b")) / (na + nb)
+    )
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = F.when(
+        (na > 0) & (nb > 0) & (pool > 0) & (pool < 1), (pa - pb) / se
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("s_a").cast("bigint").alias("successes_a"),
+        F.col("s_b").cast("bigint").alias("successes_b"),
+        F.round(pa, round_to).alias("p_a"),
+        F.round(pb, round_to).alias("p_b"),
+        F.round(pa - pb, round_to).alias("diff"),
+        F.round(z, round_to).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > 1.959963984540054).alias(
+            "significant_95"
+        ),
+        F.when(z.isNotNull(), F.abs(z) > 2.5758293035489004).alias(
+            "significant_99"
+        ),
+    )

@@ -704,3 +704,90 @@ def effective_sample_size(
             F.when(F.col("_sw") > 0, F.col("_mw") / F.col("_sw")), round_to
         ).alias("max_w_share"),
     )
+
+
+def reweight_to_target(
+    df: DataFrame,
+    *,
+    group_col: str,
+    target_shares: dict,
+    round_to: int = 6,
+) -> DataFrame:
+    """Importance weights that reshape a corpus's group mix to a TARGET
+    distribution — ``w_g = target_share_g / observed_share_g`` — the
+    declarative half of dataset mixing: where ``temperature_mix``
+    derives its target from a temperature exponent, this takes the
+    target mix directly ("30% code, 60% web, 10% books") and emits the
+    per-group weight to multiply into sampling probabilities or loss
+    weights.  Shares are renormalized over the groups PRESENT in both
+    the data and the target, so a missing group reweights the rest
+    consistently instead of silently leaking mass.
+
+    ONE hash aggregate to group counts (group-cardinality rows), then
+    row-local arithmetic against broadcast literals — the corpus is
+    scanned once and never joined.  Also reports the Kish effective
+    sample size the weighting implies (``ESS = (Σn·w)²/Σn·w²``,
+    computed over the group table) so the "did this weighting destroy
+    my sample" check ships with the weights.
+
+    Output per group: group, n, observed_share, target_share, weight,
+    with ess / ess_ratio (corpus-wide, repeated; rounded).
+    """
+    if not target_shares:
+        raise ValueError("target_shares must not be empty")
+    if any(v < 0 for v in target_shares.values()):
+        raise ValueError("target shares must be >= 0")
+    tmap = F.create_map(
+        *[
+            x
+            for k, v in sorted(target_shares.items())
+            for x in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    counts = (
+        df.select(F.col(group_col).alias("group"))
+        .filter(F.col("group").isNotNull())
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_t", tmap[F.col("group")])
+        .filter(F.col("_t").isNotNull() & (F.col("_t") > 0))
+    )
+    totals = counts.agg(
+        F.sum("n").alias("_nn"), F.sum("_t").alias("_tt")
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "group",
+        "n",
+        (F.col("n").cast("double") / F.col("_nn")).alias("_obs"),
+        (F.col("_t") / F.col("_tt")).alias("_tgt"),
+    )
+    w = F.col("_tgt") / F.col("_obs")
+    ess_tot = scored.select(
+        (F.col("n") * w).alias("_nw"), (F.col("n") * w * w).alias("_nww")
+    ).agg(
+        F.sum("_nw").alias("_snw"),
+        F.sum("_nww").alias("_snww"),
+        F.sum(F.lit(0)).alias("_z"),
+    )
+    n_all = counts.agg(F.sum("n").alias("_n_all"))
+    return (
+        scored.crossJoin(F.broadcast(ess_tot))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "group",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("_obs", round_to).alias("observed_share"),
+            F.round("_tgt", round_to).alias("target_share"),
+            F.round(w, round_to).alias("weight"),
+            F.round(
+                F.col("_snw") * F.col("_snw") / F.col("_snww"), round_to
+            ).alias("ess"),
+            F.round(
+                F.col("_snw")
+                * F.col("_snw")
+                / F.col("_snww")
+                / F.col("_n_all"),
+                round_to,
+            ).alias("ess_ratio"),
+        )
+    )

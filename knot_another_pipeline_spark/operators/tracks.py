@@ -326,3 +326,94 @@ def assign_zones(
         .filter(point_in_polygon(F.col("lat"), F.col("lon"), F.col("_poly")))
         .select("id", "zone", "lat", "lon")
     )
+
+
+def dbscan_grid(
+    df: DataFrame,
+    *,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float,
+    min_pts: int,
+) -> DataFrame:
+    """Grid-density spatial clustering (DBSCAN-lite): bucket positions
+    into ``cell_deg``-degree grid cells, keep cells with ≥ ``min_pts``
+    points (the density test), and union 8-neighbor-adjacent dense
+    cells into clusters — anchorages, ports, congestion zones from raw
+    position streams, without DBSCAN's per-point ε-neighborhood query
+    (which is a quadratic self-join at corpus scale).  Cell size plays
+    ε; ``min_pts`` is the density knob, same as DBSCAN.
+
+    Scale shape: the density test is ONE hash aggregate on the cell
+    key (discretize-then-equi-join — the engine's standard spatial
+    trick).  Adjacency joins the DENSE-cell table (already reduced by
+    the density cut, orders of magnitude smaller than the input)
+    against its own 9-offset explode; components come from
+    :func:`~knot_another_pipeline_spark.operators.dedup
+    .connected_components` (min-label propagation over the dense-cell
+    pairs only).  Dense cells with no dense neighbor are their own
+    singleton cluster.  Cluster ids are deterministic: the
+    lexicographic minimum ``"x:y"`` key in the component.
+
+    Output per dense cell: cell_x, cell_y, n_points, cluster.
+    """
+    if cell_deg <= 0:
+        raise ValueError(f"cell_deg must be > 0, got {cell_deg}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    from knot_another_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cells = (
+        df.select(
+            F.floor(F.col(lon_col) / cell_deg).alias("cell_x"),
+            F.floor(F.col(lat_col) / cell_deg).alias("cell_y"),
+        )
+        .filter(F.col("cell_x").isNotNull() & F.col("cell_y").isNotNull())
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") >= min_pts)
+    )
+    key = F.concat_ws(":", F.col("cell_x"), F.col("cell_y"))
+    dense = cells.withColumn("cell_key", key).localCheckpoint(eager=False)
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = dense.select(
+        "cell_key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cell_x") + dx).alias("nx"),
+                        (F.col("cell_y") + dy).alias("ny"),
+                    )
+                    for dx, dy in offsets
+                    if (dx, dy) != (0, 0)
+                ]
+            )
+        ).alias("nb"),
+    ).select(
+        F.col("cell_key").alias("key_a"),
+        F.col("nb.nx").alias("cell_x"),
+        F.col("nb.ny").alias("cell_y"),
+    )
+    pairs = (
+        probe.join(dense.select("cell_x", "cell_y", "cell_key"), ["cell_x", "cell_y"])
+        .filter(F.col("key_a") < F.col("cell_key"))
+        .select(
+            F.col("key_a").alias("id_a"), F.col("cell_key").alias("id_b")
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    return (
+        dense.join(
+            comp.withColumnRenamed("id", "cell_key"), "cell_key", "left"
+        )
+        .select(
+            F.col("cell_x").cast("bigint").alias("cell_x"),
+            F.col("cell_y").cast("bigint").alias("cell_y"),
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.coalesce("component", F.col("cell_key")).alias("cluster"),
+        )
+    )

@@ -1808,3 +1808,164 @@ def test_streaming_distinct_monitor_matches_batch_hll(spark, tmp_path):
         ).collect()
     }
     assert again == {g: streamed[g]["hll_estimate"] for g in streamed}
+
+
+# ---------------------------------------------------------------------------
+# dbscan_grid
+# ---------------------------------------------------------------------------
+
+
+def test_dbscan_grid_merges_adjacent_dense_cells(spark):
+    from knot_another_pipeline_spark.operators.tracks import dbscan_grid
+
+    rows = []
+    # dense blob A: two adjacent cells (0,0) and (1,0), 5 pts each
+    rows += [(0.5, 0.5)] * 5 + [(0.5, 1.5)] * 5
+    # dense blob B: far-away cell (10, 10), 5 pts
+    rows += [(10.5, 10.5)] * 5
+    # sparse cell: below min_pts
+    rows += [(5.5, 5.5)] * 2
+    df = spark.createDataFrame(rows, ["lat", "lon"])
+    out = {
+        (r["cell_x"], r["cell_y"]): r
+        for r in dbscan_grid(
+            df, lat_col="lat", lon_col="lon", cell_deg=1.0, min_pts=3
+        ).collect()
+    }
+    assert set(out) == {(0, 0), (1, 0), (10, 10)}
+    # blob A cells share a cluster; blob B is its own singleton
+    assert out[(0, 0)]["cluster"] == out[(1, 0)]["cluster"]
+    assert out[(10, 10)]["cluster"] != out[(0, 0)]["cluster"]
+    assert out[(10, 10)]["cluster"] == "10:10"
+    assert out[(0, 0)]["n_points"] == 5
+    with pytest.raises(ValueError, match="cell_deg"):
+        dbscan_grid(df, lat_col="lat", lon_col="lon", cell_deg=0,
+                    min_pts=3)
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan_grid(df, lat_col="lat", lon_col="lon", cell_deg=1.0,
+                    min_pts=0)
+
+
+def test_dbscan_grid_diagonal_adjacency_and_chain(spark):
+    from knot_another_pipeline_spark.operators.tracks import dbscan_grid
+
+    # diagonal chain (0,0)-(1,1)-(2,2): 8-neighborhood joins all three
+    rows = []
+    for c in range(3):
+        rows += [(c + 0.5, c + 0.5)] * 4
+    df = spark.createDataFrame(rows, ["lat", "lon"])
+    out = dbscan_grid(
+        df, lat_col="lat", lon_col="lon", cell_deg=1.0, min_pts=3
+    ).collect()
+    clusters = {r["cluster"] for r in out}
+    assert len(out) == 3 and len(clusters) == 1
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_aligns_group_distributions(spark):
+    from knot_another_pipeline_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    # group a: 1..5; group b: 101..105 (same shape, shifted)
+    rows = [(i, "a", float(i)) for i in range(1, 6)]
+    rows += [(10 + i, "b", float(100 + i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    out = quantile_normalize(
+        df, id_col="id", group_col="g", value_col="v"
+    ).collect()
+    norm = {}
+    for r in out:
+        norm.setdefault(r["group"], []).append(r["normalized"])
+    # after normalization both groups carry the SAME value multiset
+    assert sorted(norm["a"]) == sorted(norm["b"])
+    # and the values are actual pooled observations
+    pooled = {float(v) for _, _, v in rows}
+    assert set(norm["a"]) <= pooled
+    # monotonicity within a group
+    by_val = sorted(
+        (r["value"], r["normalized"]) for r in out if r["group"] == "a"
+    )
+    assert all(
+        by_val[i][1] <= by_val[i + 1][1] for i in range(len(by_val) - 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# proportion_test
+# ---------------------------------------------------------------------------
+
+
+def test_proportion_test_hand_values(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        proportion_test,
+    )
+
+    rows = (
+        [("a", True)] * 60 + [("a", False)] * 40
+        + [("b", True)] * 40 + [("b", False)] * 60
+        + [("c", True)] * 5  # ignored group
+    )
+    df = spark.createDataFrame(rows, ["g", "y"])
+    row = proportion_test(
+        df, group_col="g", success_col="y", group_a="a", group_b="b"
+    ).collect()[0]
+    assert row["n_a"] == 100 and row["n_b"] == 100
+    assert row["p_a"] == 0.6 and row["p_b"] == 0.4
+    p = 0.5
+    se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert row["z"] == pytest.approx(0.2 / se, abs=1e-5)
+    assert row["significant_95"] is True  # z ~ 2.83
+    assert row["significant_99"] is True
+
+
+def test_proportion_test_degenerate_null_z(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        proportion_test,
+    )
+
+    rows = [("a", True)] * 5 + [("b", True)] * 5  # pool = 1, no variance
+    df = spark.createDataFrame(rows, ["g", "y"])
+    row = proportion_test(
+        df, group_col="g", success_col="y", group_a="a", group_b="b"
+    ).collect()[0]
+    assert row["z"] is None and row["significant_95"] is None
+
+
+# ---------------------------------------------------------------------------
+# reweight_to_target
+# ---------------------------------------------------------------------------
+
+
+def test_reweight_to_target_shares_and_ess(spark):
+    from knot_another_pipeline_spark.operators.sampling import (
+        reweight_to_target,
+    )
+
+    rows = [("a",)] * 80 + [("b",)] * 20 + [("zzz",)] * 10
+    df = spark.createDataFrame(rows, ["src"])
+    out = {r["group"]: r for r in reweight_to_target(
+        df, group_col="src", target_shares={"a": 0.5, "b": 0.5}
+    ).collect()}
+    assert set(out) == {"a", "b"}  # zzz not in target -> excluded
+    assert out["a"]["observed_share"] == 0.8
+    assert out["a"]["target_share"] == 0.5
+    assert out["a"]["weight"] == pytest.approx(0.625, abs=1e-6)
+    assert out["b"]["weight"] == pytest.approx(2.5, abs=1e-6)
+    # ESS: weights (0.625 x80, 2.5 x20): (sum nw)^2 / sum nww
+    snw = 80 * 0.625 + 20 * 2.5
+    snww = 80 * 0.625**2 + 20 * 2.5**2
+    assert out["a"]["ess"] == pytest.approx(snw**2 / snww, abs=1e-4)
+    assert out["a"]["ess_ratio"] == pytest.approx(
+        snw**2 / snww / 100, abs=1e-6
+    )
+    with pytest.raises(ValueError, match="target_shares"):
+        reweight_to_target(df, group_col="src", target_shares={})
+    with pytest.raises(ValueError, match=">= 0"):
+        reweight_to_target(
+            df, group_col="src", target_shares={"a": -1.0}
+        )
