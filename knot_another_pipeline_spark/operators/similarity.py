@@ -933,11 +933,15 @@ def pca_power_iteration(
     spark = df.sparkSession
     lam = 0.0
     for _ in range(iterations):
-        vmap = F.create_map(
-            *[x for j in range(dim) for x in (F.lit(j), F.lit(v[j]))]
+        # v rides as a BROADCAST d-row frame, not a 2d-literal map —
+        # literal plans grow with dimension (and would hit codegen
+        # limits for wide embeddings); a broadcast join is constant
+        # plan size at any d
+        vdf = spark.createDataFrame(
+            [(j, v[j]) for j in range(dim)], ["dim", "_v"]
         )
         s = (
-            long.withColumn("_v", vmap[F.col("dim")])
+            long.join(F.broadcast(vdf), "dim")
             .groupBy("id")
             .agg(F.sum(F.col("x") * F.col("_v")).alias("s"))
         )
