@@ -154,6 +154,9 @@ _PRIORITY = [
     "quantile_normalize",
     "proportion_test",
     "reweight_to_target",
+    "audience_overlap",
+    "cluster_purity",
+    "seasonal_naive_error",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -171,6 +171,9 @@ HEADLINE = [
     "quantile_normalize",
     "proportion_test",
     "reweight_to_target",
+    "audience_overlap",
+    "cluster_purity",
+    "seasonal_naive_error",
 ]
 
 

@@ -9126,6 +9126,148 @@ FROM scored s CROSS JOIN ess e
 """
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap of the five event-type segments
+    (operators/behavior.py audience_overlap): entity-key self-join
+    bounded by segments-per-entity, per-direction containment +
+    Jaccard."""
+    from knot_another_pipeline_spark.operators.behavior import (
+        audience_overlap,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return audience_overlap(
+        ev, entity_col="user_id", segment_col="event_type"
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH m AS (
+  SELECT DISTINCT user_id AS e, event_type AS s
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+pairs AS (
+  SELECT x.s AS segment_a, y.s AS segment_b, count(*) AS n_both
+  FROM m x JOIN m y ON x.e = y.e AND x.s < y.s
+  GROUP BY 1, 2),
+sizes AS (SELECT s, count(*) AS n_seg FROM m GROUP BY 1)
+SELECT p.segment_a, p.segment_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(sa.n_seg AS BIGINT) AS n_a,
+       CAST(sb.n_seg AS BIGINT) AS n_b,
+       round(CAST(p.n_both AS DOUBLE) / sa.n_seg, 6)
+         AS containment_a_in_b,
+       round(CAST(p.n_both AS DOUBLE) / sb.n_seg, 6)
+         AS containment_b_in_a,
+       round(CAST(p.n_both AS DOUBLE)
+             / (sa.n_seg + sb.n_seg - p.n_both), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.s = p.segment_a
+JOIN sizes sb ON sb.s = p.segment_b
+"""
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the 16 deterministic Voronoi cells over the
+    embedding corpus (operators/similarity.py cluster_purity):
+    broadcast assignment, (cell, label) aggregate, struct-max majority
+    with min-label tiebreak, corpus-weighted overall purity."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        cluster_purity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_purity(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        num_centroids=16,
+    )
+
+
+ORACLE_CLUSTER_PURITY = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+cents AS (SELECT vec_id AS cent_id, v AS centv, nn AS centn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+assigned AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT n.vec_id, n.label, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.centv) / (n.nn * c.centn) DESC,
+                      c.cent_id ASC) AS rn
+    FROM n CROSS JOIN cents c
+    WHERE n.label IS NOT NULL) WHERE rn = 1),
+cl AS (
+  SELECT cell, label, count(*) AS cnt
+  FROM assigned GROUP BY 1, 2),
+per AS (
+  SELECT cell, sum(cnt) AS n_vectors, count(*) AS n_labels
+  FROM cl GROUP BY 1),
+top AS (
+  SELECT cell, label AS majority_label, cnt AS mc FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rn
+    FROM cl) WHERE rn = 1),
+shaped AS (
+  SELECT p.cell, p.n_vectors, p.n_labels, t.majority_label,
+         CAST(t.mc AS DOUBLE) / p.n_vectors AS ms, t.mc
+  FROM per p JOIN top t ON t.cell = p.cell),
+ov AS (SELECT sum(mc) / sum(n_vectors) AS op FROM shaped)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       CAST(majority_label AS BIGINT) AS majority_label,
+       round(ms, 6) AS majority_share,
+       round((SELECT op FROM ov), 6) AS overall_purity
+FROM shaped
+"""
+
+
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (same-weekday-last-week) forecast baseline over
+    daily event counts per type (operators/temporal.py
+    seasonal_naive_error): one lag(7) window per series, MAE/MAPE/bias
+    — the floor every forecast must beat."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        seasonal_naive_error,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return seasonal_naive_error(
+        daily, series_col="event_type", date_col="d", value_col="n",
+        period=7,
+    )
+
+
+ORACLE_SEASONAL_NAIVE_ERROR = """
+WITH daily AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT series, x,
+         lag(x, 7) OVER (PARTITION BY series ORDER BY d ASC) AS pred
+  FROM daily)
+SELECT series,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       round(avg(CASE WHEN pred IS NOT NULL
+                      THEN abs(x - pred) END), 6) AS mae,
+       round(avg(CASE WHEN pred IS NOT NULL AND x != 0
+                      THEN abs(x - pred) / abs(x) END), 6) AS mape,
+       round(avg(CASE WHEN pred IS NOT NULL THEN x - pred END), 6)
+         AS bias
+FROM lagged GROUP BY series
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9177,6 +9319,9 @@ QUERIES = {
     "quantile_normalize": q_quantile_normalize,
     "proportion_test": q_proportion_test,
     "reweight_to_target": q_reweight_to_target,
+    "audience_overlap": q_audience_overlap,
+    "cluster_purity": q_cluster_purity,
+    "seasonal_naive_error": q_seasonal_naive_error,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -9406,6 +9551,9 @@ ORACLES = {
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
     "proportion_test": ORACLE_PROPORTION_TEST,
     "reweight_to_target": ORACLE_REWEIGHT_TO_TARGET,
+    "audience_overlap": ORACLE_AUDIENCE_OVERLAP,
+    "cluster_purity": ORACLE_CLUSTER_PURITY,
+    "seasonal_naive_error": ORACLE_SEASONAL_NAIVE_ERROR,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

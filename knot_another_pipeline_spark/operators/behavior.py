@@ -799,3 +799,69 @@ def covisitation_llr(
         F.col("n_baskets").cast("bigint").alias("n_baskets"),
         F.round(llr, round_to).alias("llr"),
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    segment_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise audience overlap matrix — for every pair of segments
+    (event types, campaigns, feature flags, cohorts), how many
+    entities belong to BOTH, with the containment in each direction
+    and the Jaccard — the "are these two audiences the same people"
+    readout behind campaign dedup, segment consolidation, and
+    cannibalization checks.
+
+    Scale shape: memberships dedup to distinct (entity, segment) rows
+    first; the pair counts come from the entity-key self-join — the
+    quadratic step is bounded by SEGMENTS-PER-ENTITY (a handful), not
+    segment cardinality or corpus size, exactly the ``basket_rules``/
+    ``covisitation_llr`` shape.  Per-segment sizes re-aggregate from
+    the same deduped frame and join back on the segment key
+    (segment-cardinality tables, broadcast by AQE).
+
+    Output: segment_a ≺ segment_b, n_both, n_a, n_b,
+    containment_a_in_b (= share of A also in B), containment_b_in_a,
+    jaccard (rounded).
+    """
+    m = (
+        df.select(
+            F.col(entity_col).alias("e"), F.col(segment_col).alias("s")
+        )
+        .filter(F.col("e").isNotNull() & F.col("s").isNotNull())
+        .distinct()
+    )
+    pairs = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.e") == F.col("y.e")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .groupBy(F.col("x.s").alias("segment_a"), F.col("y.s").alias("segment_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = m.groupBy("s").agg(F.count(F.lit(1)).alias("n_seg"))
+    out = pairs.join(
+        sizes.select(F.col("s").alias("segment_a"), F.col("n_seg").alias("n_a")),
+        "segment_a",
+    ).join(
+        sizes.select(F.col("s").alias("segment_b"), F.col("n_seg").alias("n_b")),
+        "segment_b",
+    )
+    both = F.col("n_both").cast("double")
+    return out.select(
+        "segment_a",
+        "segment_b",
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(both / F.col("n_a"), round_to).alias("containment_a_in_b"),
+        F.round(both / F.col("n_b"), round_to).alias("containment_b_in_a"),
+        F.round(
+            both / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+            round_to,
+        ).alias("jaccard"),
+    )

@@ -1057,3 +1057,82 @@ def random_projection(
             ).alias("value")
         )
     )
+
+
+def cluster_purity(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    num_centroids: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Label purity of the deterministic Voronoi cells — the
+    external-validity companion to :func:`cluster_quality`'s geometric
+    readout: assign every labeled vector to its cell
+    (:func:`deterministic_centroids` + :func:`assign_cells` — the same
+    partitioning ``ivf_topk`` and ``semantic_dedup`` search), then per
+    cell report the majority label and its share.  High purity means
+    the embedding geometry already separates the classes — IVF cells
+    double as cheap classifiers and dedup buckets stay
+    label-homogeneous; low purity means cluster-level shortcuts will
+    mix classes.
+
+    One broadcast assignment pass (argmax collapsed map-side), one
+    (cell, label) hash aggregate, and an argmax fold
+    ``max(struct(count, -label))`` per cell — no windows.  The
+    corpus-weighted overall purity rides along so the one-number
+    summary needs no second query.  NULL labels are dropped.
+
+    Output per cell: cell, n_vectors, n_labels, majority_label,
+    majority_share, overall_purity (corpus-weighted, repeated;
+    rounded).
+    """
+    cents = deterministic_centroids(
+        df, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
+    )
+    assigned = assign_cells(
+        df.filter(F.col(label_col).isNotNull()),
+        cents,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    lab = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    ).filter(F.col("label").isNotNull())
+    cl = (
+        assigned.select("id", "cell")
+        .join(lab, "id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cell = cl.groupBy("cell").agg(
+        F.sum("cnt").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max(
+            F.struct(
+                F.col("cnt").alias("cnt"),
+                (-F.col("label")).alias("neg_label"),
+            )
+        ).alias("_top"),
+    )
+    shaped = per_cell.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.col("n_labels").cast("bigint").alias("n_labels"),
+        (-F.col("_top.neg_label")).cast("bigint").alias("majority_label"),
+        (F.col("_top.cnt").cast("double") / F.col("n_vectors")).alias("_ms"),
+        F.col("_top.cnt").alias("_mc"),
+    )
+    overall = shaped.agg(
+        (F.sum("_mc") / F.sum("n_vectors")).alias("_op")
+    )
+    return shaped.crossJoin(F.broadcast(overall)).select(
+        "cell",
+        "n_vectors",
+        "n_labels",
+        "majority_label",
+        F.round("_ms", round_to).alias("majority_share"),
+        F.round("_op", round_to).alias("overall_purity"),
+    )

@@ -1372,3 +1372,64 @@ def max_concurrency(
             "peak_time",
         )
     )
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    *,
+    series_col: str,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonal-naive forecast baseline and its error — predict each
+    bucket with the value one ``period`` earlier (same weekday last
+    week) and report MAE / MAPE / bias per series.  The floor every
+    real forecast must beat, and the cheapest volume-anomaly monitor
+    that respects weekly shape: a pipeline whose daily counts suddenly
+    sit 40% off their seasonal-naive prediction broke, whatever the
+    day of week.
+
+    ONE ``lag(period)`` window per series over the (already
+    aggregated) per-bucket frame — no self-join on t−period, no model
+    state.  The first ``period`` buckets of each series have no
+    prediction and are excluded from the error aggregates (counted in
+    ``n_buckets`` vs ``n_scored``).  Zero-actual buckets are excluded
+    from MAPE only (undefined) — the standard convention, stated
+    because implementations silently differ.
+
+    Output per series: series, n_buckets, n_scored, mae, mape, bias
+    (mean signed error, + = actual above prediction; rounded).
+    """
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.col(date_col).alias("d"),
+        F.col(value_col).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    w = Window.partitionBy("series").orderBy(F.col("d").asc())
+    scored = base.withColumn("_pred", F.lag("x", period).over(w))
+    err = F.col("x") - F.col("_pred")
+    return scored.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("_pred").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_scored"),
+        F.round(
+            F.avg(F.when(F.col("_pred").isNotNull(), F.abs(err))), round_to
+        ).alias("mae"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("_pred").isNotNull() & (F.col("x") != 0),
+                    F.abs(err) / F.abs(F.col("x")),
+                )
+            ),
+            round_to,
+        ).alias("mape"),
+        F.round(
+            F.avg(F.when(F.col("_pred").isNotNull(), err)), round_to
+        ).alias("bias"),
+    )

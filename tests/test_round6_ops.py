@@ -1969,3 +1969,106 @@ def test_reweight_to_target_shares_and_ess(spark):
         reweight_to_target(
             df, group_col="src", target_shares={"a": -1.0}
         )
+
+
+# ---------------------------------------------------------------------------
+# audience_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_audience_overlap_hand_values(spark):
+    from knot_another_pipeline_spark.operators.behavior import (
+        audience_overlap,
+    )
+
+    rows = (
+        [(u, "a") for u in range(1, 11)]       # A = 10 users
+        + [(u, "b") for u in range(6, 16)]     # B = 10 users, 5 shared
+        + [(1, "a"), (6, "b")]                  # duplicates -> deduped
+        + [(None, "a"), (99, None)]             # nulls dropped
+    )
+    df = spark.createDataFrame(rows, ["u", "seg"])
+    out = {(r["segment_a"], r["segment_b"]): r for r in audience_overlap(
+        df, entity_col="u", segment_col="seg"
+    ).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_a"] == 10 and ab["n_b"] == 10 and ab["n_both"] == 5
+    assert ab["containment_a_in_b"] == 0.5
+    assert ab["containment_b_in_a"] == 0.5
+    assert ab["jaccard"] == pytest.approx(5 / 15, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# cluster_purity
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_purity_pure_vs_mixed(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        cluster_purity,
+    )
+
+    # 2 well-separated directions; labels follow geometry -> high purity
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.0, 0.01 * i], 0))
+        rows.append((100 + i, [0.0, 1.0, 0.01 * i], 1))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = cluster_purity(
+        df, id_col="vec_id", vec_col="embedding", label_col="label",
+        num_centroids=4,
+    ).collect()
+    assert all(r["majority_share"] == 1.0 for r in out)
+    assert out[0]["overall_purity"] == 1.0
+    total = sum(r["n_vectors"] for r in out)
+    assert total == 40
+    # mixed labels: purity ~ majority share < 1
+    mixed = spark.createDataFrame(
+        [(i, [1.0, 0.0], i % 2) for i in range(10)],
+        ["vec_id", "embedding", "label"],
+    )
+    m = cluster_purity(
+        mixed, id_col="vec_id", vec_col="embedding", label_col="label",
+        num_centroids=1,
+    ).collect()
+    assert len(m) == 1 and m[0]["n_labels"] == 2
+    assert m[0]["majority_share"] == 0.5
+    assert m[0]["majority_label"] == 0  # tie -> min label
+
+
+# ---------------------------------------------------------------------------
+# seasonal_naive_error
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_naive_error_exact_cycle_and_shift(spark):
+    import datetime as dt
+
+    from knot_another_pipeline_spark.operators.temporal import (
+        seasonal_naive_error,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    # series "exact": perfect weekly cycle -> zero error after warmup
+    for i in range(21):
+        rows.append(("exact", base + dt.timedelta(days=i),
+                     float(10 + (i % 7))))
+    # series "shift": +2 every week -> constant bias of +2
+    for i in range(21):
+        rows.append(("shift", base + dt.timedelta(days=i),
+                     float(10 + 2 * (i // 7))))
+    df = spark.createDataFrame(rows, ["s", "d", "x"])
+    out = {r["series"]: r for r in seasonal_naive_error(
+        df, series_col="s", date_col="d", value_col="x", period=7
+    ).collect()}
+    ex = out["exact"]
+    assert ex["n_buckets"] == 21 and ex["n_scored"] == 14
+    assert ex["mae"] == 0.0 and ex["bias"] == 0.0
+    sh = out["shift"]
+    assert sh["mae"] == 2.0 and sh["bias"] == 2.0
+    assert sh["mape"] > 0
+    with pytest.raises(ValueError, match="period"):
+        seasonal_naive_error(
+            df, series_col="s", date_col="d", value_col="x", period=0
+        )
