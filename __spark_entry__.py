@@ -162,6 +162,10 @@ _PRIORITY = [
     "audience_overlap",
     "cluster_purity",
     "seasonal_naive_error",
+    "profile_drift",
+    "fano_burstiness",
+    "embedding_drift",
+    "rank_movers",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

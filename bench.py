@@ -174,6 +174,10 @@ HEADLINE = [
     "audience_overlap",
     "cluster_purity",
     "seasonal_naive_error",
+    "profile_drift",
+    "fano_burstiness",
+    "embedding_drift",
+    "rank_movers",
 ]
 
 

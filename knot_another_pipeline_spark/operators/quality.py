@@ -2070,3 +2070,140 @@ def proportion_test(
             "significant_99"
         ),
     )
+
+
+def profile_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Schema-health drift between two snapshots of the same table —
+    :func:`profile_table` run on both sides and diffed per column,
+    with verdicts on the two silent killers: a null-rate jump (an
+    upstream field went dark) and a distinct-count collapse/explosion
+    (an id column started truncating, an enum gained garbage).  The
+    check a daily pipeline runs BEFORE publishing, because these
+    breaks don't fail jobs — they fail analyses weeks later.
+
+    Scale shape: each side is ONE profile aggregation pass (all
+    columns together); the diff joins two column-count-sized frames.
+    Row-count-relative rates, so snapshots of different sizes compare
+    fairly.  ``min/max_changed`` flags value-range movement without
+    judging it (ranges legitimately move; rates shouldn't).
+
+    Output per column: col_name, n_rows_base, n_rows_cur,
+    null_rate_base, null_rate_cur, null_rate_delta,
+    distinct_ratio (cur distinct / base distinct; NULL when base is
+    0), minmax_changed, verdict ('ok' | 'null_rate_drift' |
+    'distinct_drift' | 'null_rate_drift+distinct_drift').
+    """
+    if null_rate_tol <= 0 or distinct_ratio_tol <= 0:
+        raise ValueError("tolerances must be > 0")
+    b = profile_table(baseline, columns).select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_base"),
+        F.col("n_nulls").alias("_nn_b"),
+        F.col("n_distinct").alias("_nd_b"),
+        F.col("min_value").alias("_min_b"),
+        F.col("max_value").alias("_max_b"),
+    )
+    c = profile_table(current, columns).select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_cur"),
+        F.col("n_nulls").alias("_nn_c"),
+        F.col("n_distinct").alias("_nd_c"),
+        F.col("min_value").alias("_min_c"),
+        F.col("max_value").alias("_max_c"),
+    )
+    j = b.join(c, "col_name")
+    nr_b = F.when(
+        F.col("n_rows_base") > 0,
+        F.col("_nn_b").cast("double") / F.col("n_rows_base"),
+    ).otherwise(F.lit(0.0))
+    nr_c = F.when(
+        F.col("n_rows_cur") > 0,
+        F.col("_nn_c").cast("double") / F.col("n_rows_cur"),
+    ).otherwise(F.lit(0.0))
+    dr = F.when(
+        F.col("_nd_b") > 0, F.col("_nd_c").cast("double") / F.col("_nd_b")
+    )
+    null_drift = F.abs(nr_c - nr_b) > null_rate_tol
+    dist_drift = dr.isNotNull() & (
+        (dr < F.lit(1.0 - distinct_ratio_tol))
+        | (dr > F.lit(1.0 + distinct_ratio_tol))
+    )
+    verdict = F.concat_ws(
+        "+",
+        F.when(null_drift, F.lit("null_rate_drift")),
+        F.when(dist_drift, F.lit("distinct_drift")),
+    )
+    return j.select(
+        "col_name",
+        "n_rows_base",
+        "n_rows_cur",
+        F.round(nr_b, round_to).alias("null_rate_base"),
+        F.round(nr_c, round_to).alias("null_rate_cur"),
+        F.round(nr_c - nr_b, round_to).alias("null_rate_delta"),
+        F.round(dr, round_to).alias("distinct_ratio"),
+        (
+            (~F.col("_min_b").eqNullSafe(F.col("_min_c")))
+            | (~F.col("_max_b").eqNullSafe(F.col("_max_c")))
+        ).alias("minmax_changed"),
+        F.when(verdict == "", F.lit("ok")).otherwise(verdict).alias(
+            "verdict"
+        ),
+    )
+
+
+def fano_burstiness(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    bucket_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fano factor (index of dispersion) of per-bucket event counts —
+    ``F = Var(n)/Mean(n)`` over time buckets — the one-number
+    burstiness readout: a Poisson-like steady stream sits at F ≈ 1,
+    batch-loaded or flash-crowd traffic sits F ≫ 1, and a
+    rate-limited/quantized source sits F < 1.  The signal that says
+    whether a partitioning/trigger strategy tuned for steady arrival
+    will face bursts instead.
+
+    Two chained hash aggregates — (group, bucket) counts, then the
+    per-group moment rollup (population variance, closed form) — no
+    windows, no collect.  Groups with a single bucket have undefined
+    variance → NULL fano.
+
+    Output per group: group_cols…, n_buckets, mean_count, var_count,
+    fano (rounded).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must not be empty")
+    counts = (
+        df.select(*group_cols, F.col(bucket_col).alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    agg = counts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.avg("_n").alias("_mean"),
+        F.sum(F.col("_n").cast("double") * F.col("_n")).alias("_sq"),
+    )
+    var = F.when(
+        F.col("n_buckets") > 1,
+        F.col("_sq") / F.col("n_buckets") - F.col("_mean") * F.col("_mean"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.round("_mean", round_to).alias("mean_count"),
+        F.round(var, round_to).alias("var_count"),
+        F.round(
+            F.when(F.col("_mean") > 0, var / F.col("_mean")), round_to
+        ).alias("fano"),
+    )

@@ -1139,3 +1139,86 @@ def join_cardinality_estimate(
         overlap.cast("bigint").alias("est_key_overlap"),
         join_rows.cast("bigint").alias("est_join_rows"),
     )
+
+
+def rank_movers(
+    df: DataFrame,
+    *,
+    period_col: str,
+    key_col: str,
+    value_col: str,
+    period_a,
+    period_b,
+    k: int = 20,
+) -> DataFrame:
+    """Biggest leaderboard movers between two periods — rank every key
+    by value within each period, join the two rankings, and return the
+    top-k absolute rank changes — "what shot up / collapsed this
+    month" for parts, domains, queries, error codes.  Rank deltas
+    (not value deltas) because ranks are scale-free: a 10× traffic
+    week moves every raw value but not the ordering.
+
+    Scale shape: the within-period rank comes from ONE
+    ``global_rank`` over ``(period, value desc, key)`` — periods are
+    contiguous runs under that order, so rank-in-period is the global
+    rank minus the period's min rank (+1), recovered with a
+    per-period aggregate join — never a ``Window.partitionBy(period)``
+    whose single task would sort an entire period.  The two period
+    slices join on the key; keys present in only one period are
+    reported with NULL opposite-side rank (entries/exits ARE movers)
+    and rank ∞-style deltas excluded from the top-k (NULL delta sorts
+    last).  Top-k compiles to TakeOrdered.
+
+    Output: key, value_a, value_b, rank_a, rank_b, rank_delta
+    (= rank_a − rank_b; positive = climbed), ordered |delta| desc,
+    key asc, ≤ k rows (ties beyond k cut deterministically).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    p = F.col(period_col)
+    base = (
+        df.filter(p.isin([period_a, period_b]))
+        .select(
+            p.alias("period"),
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .filter(F.col("key").isNotNull() & F.col("value").isNotNull())
+        .groupBy("period", "key")
+        .agg(F.sum("value").alias("value"))
+    )
+    ranked = global_rank(
+        base,
+        [
+            F.col("period").asc(),
+            F.col("value").desc(),
+            F.col("key").asc(),
+        ],
+        rank_col="_gr",
+    )
+    offs = ranked.groupBy("period").agg(F.min("_gr").alias("_off"))
+    inperiod = ranked.join(offs, "period").select(
+        "period",
+        "key",
+        "value",
+        (F.col("_gr") - F.col("_off") + 1).alias("rank"),
+    )
+    a = inperiod.filter(F.col("period") == F.lit(period_a)).select(
+        "key", F.col("value").alias("value_a"), F.col("rank").alias("rank_a")
+    )
+    b = inperiod.filter(F.col("period") == F.lit(period_b)).select(
+        "key", F.col("value").alias("value_b"), F.col("rank").alias("rank_b")
+    )
+    joined = a.join(b, "key", "full_outer").select(
+        "key",
+        "value_a",
+        "value_b",
+        F.col("rank_a").cast("bigint").alias("rank_a"),
+        F.col("rank_b").cast("bigint").alias("rank_b"),
+        (F.col("rank_a") - F.col("rank_b")).cast("bigint").alias(
+            "rank_delta"
+        ),
+    )
+    return joined.orderBy(
+        F.abs(F.col("rank_delta")).desc_nulls_last(), F.col("key").asc()
+    ).limit(k)

@@ -1136,3 +1136,97 @@ def cluster_purity(
         F.round("_ms", round_to).alias("majority_share"),
         F.round("_op", round_to).alias("overall_purity"),
     )
+
+
+def embedding_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between two snapshots — per group (or
+    globally with ``label_col=None``): the L2 shift and cosine of the
+    two snapshot centroids plus the change in mean vector norm — the
+    monitor that catches a re-trained/upgraded encoder silently moving
+    the space out from under every stored index, threshold, and
+    centroid (ANN recall decays, dedup thresholds drift, and nothing
+    errors).
+
+    Everything runs in long (group, dim) form: each snapshot reduces
+    to a centroid table (groups × dim rows) via ONE hash aggregate,
+    the comparison joins those two small frames on (group, dim), and
+    the rollup is closed-form sums — the corpora never join each
+    other.  Groups present in only one snapshot are reported with
+    NULL geometry (they ARE drift).
+
+    Output per group: group, n_base, n_cur, centroid_shift (L2),
+    centroid_cosine, norm_ratio (cur mean-norm / base mean-norm;
+    rounded).
+    """
+    def side(df: DataFrame, tag: str):
+        g = (
+            F.col(label_col).cast("string")
+            if label_col is not None
+            else F.lit("(all)")
+        )
+        long = df.select(
+            g.alias("group"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "x"
+            ),
+            l2_norm(F.col(vec_col)).alias("_nrm"),
+        ).filter(F.col("group").isNotNull())
+        cent = long.groupBy("group", "dim").agg(
+            F.avg("x").alias(f"c_{tag}")
+        )
+        stats = (
+            df.select(
+                g.alias("group"), l2_norm(F.col(vec_col)).alias("_nrm")
+            )
+            .filter(F.col("group").isNotNull())
+            .groupBy("group")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.avg("_nrm").alias(f"mn_{tag}"),
+            )
+        )
+        return cent, stats
+
+    cb, sb = side(baseline, "base")
+    cc, sc = side(current, "cur")
+    geom = (
+        cb.join(cc, ["group", "dim"])
+        .groupBy("group")
+        .agg(
+            F.sqrt(
+                F.sum(F.pow(F.col("c_cur") - F.col("c_base"), 2))
+            ).alias("_shift"),
+            F.sum(F.col("c_cur") * F.col("c_base")).alias("_dot"),
+            F.sqrt(F.sum(F.col("c_base") * F.col("c_base"))).alias("_nb"),
+            F.sqrt(F.sum(F.col("c_cur") * F.col("c_cur"))).alias("_nc"),
+        )
+    )
+    return (
+        sb.join(sc, "group", "full_outer")
+        .join(geom, "group", "left")
+        .select(
+            "group",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            F.round("_shift", round_to).alias("centroid_shift"),
+            F.round(
+                F.when(
+                    (F.col("_nb") > 0) & (F.col("_nc") > 0),
+                    F.col("_dot") / (F.col("_nb") * F.col("_nc")),
+                ),
+                round_to,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.when(F.col("mn_base") > 0, F.col("mn_cur") / F.col("mn_base")),
+                round_to,
+            ).alias("norm_ratio"),
+        )
+    )

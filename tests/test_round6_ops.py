@@ -2072,3 +2072,157 @@ def test_seasonal_naive_error_exact_cycle_and_shift(spark):
         seasonal_naive_error(
             df, series_col="s", date_col="d", value_col="x", period=0
         )
+
+
+# ---------------------------------------------------------------------------
+# profile_drift
+# ---------------------------------------------------------------------------
+
+
+def test_profile_drift_verdicts(spark):
+    from knot_another_pipeline_spark.operators.quality import profile_drift
+
+    base = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(100)], ["id", "c", "v"]
+    )
+    # current: half the values NULL, id cardinality collapsed
+    cur = spark.createDataFrame(
+        [(i % 10, "x", float(i) if i % 2 == 0 else None)
+         for i in range(100)],
+        ["id", "c", "v"],
+    )
+    out = {r["col_name"]: r for r in profile_drift(
+        base, cur, ["id", "c", "v"]
+    ).collect()}
+    assert out["v"]["verdict"] == "null_rate_drift"
+    assert out["v"]["null_rate_delta"] == pytest.approx(0.5, abs=1e-6)
+    assert out["id"]["verdict"] == "distinct_drift"
+    assert out["id"]["distinct_ratio"] == pytest.approx(0.1, abs=1e-6)
+    assert out["c"]["verdict"] == "ok"
+    assert out["id"]["minmax_changed"] is True
+    assert out["c"]["minmax_changed"] is False
+    with pytest.raises(ValueError, match="tolerances"):
+        profile_drift(base, cur, ["id"], null_rate_tol=0)
+
+
+# ---------------------------------------------------------------------------
+# fano_burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_fano_steady_vs_bursty(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        fano_burstiness,
+    )
+
+    rows = []
+    # steady: 5 events in each of 10 buckets -> var 0, fano 0
+    for b in range(10):
+        rows += [("steady", b)] * 5
+    # bursty: 46 in one bucket, 1 in each of 9 -> fano >> 1
+    rows += [("bursty", 0)] * 46
+    for b in range(1, 10):
+        rows += [("bursty", b)]
+    # single bucket: undefined variance
+    rows += [("one", 0)] * 7
+    df = spark.createDataFrame(rows, ["g", "b"])
+    out = {r["g"]: r for r in fano_burstiness(
+        df, group_cols=["g"], bucket_col="b"
+    ).collect()}
+    assert out["steady"]["fano"] == 0.0
+    assert out["steady"]["mean_count"] == 5.0
+    assert out["bursty"]["fano"] > 5
+    assert out["one"]["fano"] is None and out["one"]["var_count"] is None
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_detects_shift(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(10)]
+        + [(100 + i, [0.0, 1.0], 1) for i in range(10)],
+        ["vec_id", "embedding", "label"],
+    )
+    # label 0 unchanged; label 1 doubled in norm and rotated slightly
+    cur = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(10)]
+        + [(100 + i, [0.4, 1.8], 1) for i in range(10)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {r["group"]: r for r in embedding_drift(
+        base, cur, id_col="vec_id", vec_col="embedding",
+        label_col="label",
+    ).collect()}
+    assert out["0"]["centroid_shift"] == 0.0
+    assert out["0"]["centroid_cosine"] == 1.0
+    assert out["0"]["norm_ratio"] == 1.0
+    assert out["1"]["centroid_shift"] > 0.8
+    assert out["1"]["norm_ratio"] == pytest.approx(
+        math.sqrt(0.4**2 + 1.8**2), abs=1e-5
+    )
+    assert 0.9 < out["1"]["centroid_cosine"] < 1.0
+
+
+def test_embedding_drift_one_sided_group(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], ["vec_id", "embedding", "label"]
+    )
+    cur = spark.createDataFrame(
+        [(2, [1.0, 0.0], 5)], ["vec_id", "embedding", "label"]
+    )
+    out = {r["group"]: r for r in embedding_drift(
+        base, cur, id_col="vec_id", vec_col="embedding",
+        label_col="label",
+    ).collect()}
+    assert out["0"]["n_cur"] == 0 and out["0"]["centroid_shift"] is None
+    assert out["5"]["n_base"] == 0
+
+
+# ---------------------------------------------------------------------------
+# rank_movers
+# ---------------------------------------------------------------------------
+
+
+def test_rank_movers_hand_values(spark):
+    from knot_another_pipeline_spark.operators.relational import rank_movers
+
+    rows = [
+        # period p1: a=100 (r1), b=90 (r2), c=80 (r3), d=70 (r4)
+        ("p1", "a", 100.0), ("p1", "b", 90.0), ("p1", "c", 80.0),
+        ("p1", "d", 70.0),
+        # period p2: d=100 (r1), a=90 (r2), b=80 (r3); c absent; e enters
+        ("p2", "d", 100.0), ("p2", "a", 90.0), ("p2", "b", 80.0),
+        ("p2", "e", 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["m", "k", "v"])
+    out = {r["key"]: r for r in rank_movers(
+        df, period_col="m", key_col="k", value_col="v",
+        period_a="p1", period_b="p2", k=10,
+    ).collect()}
+    assert out["d"]["rank_a"] == 4 and out["d"]["rank_b"] == 1
+    assert out["d"]["rank_delta"] == 3
+    assert out["a"]["rank_delta"] == -1
+    assert out["c"]["rank_b"] is None and out["c"]["rank_delta"] is None
+    assert out["e"]["rank_a"] is None
+    # top-of-list ordering: biggest |delta| first
+    ordered = rank_movers(
+        df, period_col="m", key_col="k", value_col="v",
+        period_a="p1", period_b="p2", k=2,
+    ).collect()
+    assert ordered[0]["key"] == "d"
+    with pytest.raises(ValueError, match="k must"):
+        rank_movers(
+            df, period_col="m", key_col="k", value_col="v",
+            period_a="p1", period_b="p2", k=0,
+        )
