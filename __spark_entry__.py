@@ -166,6 +166,8 @@ _PRIORITY = [
     "fano_burstiness",
     "embedding_drift",
     "rank_movers",
+    "binned_mutual_info",
+    "dedup_pr_curve",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

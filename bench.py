@@ -178,6 +178,8 @@ HEADLINE = [
     "fano_burstiness",
     "embedding_drift",
     "rank_movers",
+    "binned_mutual_info",
+    "dedup_pr_curve",
 ]
 
 

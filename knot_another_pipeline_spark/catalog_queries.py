@@ -9496,6 +9496,172 @@ LIMIT 20
 """
 
 
+def q_binned_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event value and hour-of-day over a
+    fixed 10×24 grid (operators/features.py binned_mutual_info): the
+    nonlinear dependence screen — one cell aggregate, marginals
+    re-aggregated from the cells."""
+    from knot_another_pipeline_spark.operators.features import (
+        binned_mutual_info,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hod", F.hour("ts").cast("double")
+    )
+    return binned_mutual_info(
+        ev,
+        x_col="value",
+        y_col="hod",
+        x_bins=10,
+        y_bins=24,
+        x_lo=0.0,
+        x_hi=500.0,
+        y_lo=0.0,
+        y_hi=24.0,
+    )
+
+
+ORACLE_BINNED_MUTUAL_INFO = f"""
+WITH m AS (
+  SELECT CAST(value AS DOUBLE) AS x, CAST(hour(ts) AS DOUBLE) AS y
+  FROM events),
+flags AS (
+  SELECT x, y,
+         (x IS NOT NULL AND y IS NOT NULL
+          AND x >= 0.0 AND x < 500.0 AND y >= 0.0 AND y < 24.0) AS ok
+  FROM m),
+drops AS (
+  SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_rows,
+         sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS n_dropped
+  FROM flags),
+cells AS (
+  SELECT floor((x - 0.0) / {500.0 / 10!r}) AS xb,
+         floor((y - 0.0) / {24.0 / 24!r}) AS yb,
+         count(*) AS c
+  FROM flags WHERE ok GROUP BY 1, 2),
+mx AS (SELECT xb, sum(c) AS cx FROM cells GROUP BY 1),
+my AS (SELECT yb, sum(c) AS cy FROM cells GROUP BY 1),
+n AS (SELECT sum(c) AS nn FROM cells),
+mi AS (
+  SELECT sum((CAST(c AS DOUBLE) / nn)
+             * ln((CAST(c AS DOUBLE) / nn)
+                  / ((CAST(cx AS DOUBLE) / nn)
+                     * (CAST(cy AS DOUBLE) / nn)))) AS v
+  FROM cells JOIN mx USING (xb) JOIN my USING (yb) CROSS JOIN n),
+hx AS (
+  SELECT sum(-(CAST(cx AS DOUBLE) / nn)
+             * ln(CAST(cx AS DOUBLE) / nn)) AS v
+  FROM mx CROSS JOIN n),
+hy AS (
+  SELECT sum(-(CAST(cy AS DOUBLE) / nn)
+             * ln(CAST(cy AS DOUBLE) / nn)) AS v
+  FROM my CROSS JOIN n)
+SELECT CAST(d.n_rows AS BIGINT) AS n_rows,
+       CAST(d.n_dropped AS BIGINT) AS n_dropped,
+       round(mi.v, 6) AS mi,
+       round(hx.v, 6) AS h_x,
+       round(hy.v, 6) AS h_y,
+       round(CASE WHEN least(hx.v, hy.v) > 0
+                  THEN mi.v / least(hx.v, hy.v) END, 6) AS nmi
+FROM drops d CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of MinHash-estimated Jaccard over a
+    4-threshold grid against the exact-duplicate truth set
+    (operators/evaluation.py dedup_pr_curve): one candidate-set pass
+    serves every threshold — the operating-point picker for the dedup
+    stack."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+        shingle_table,
+    )
+    from knot_another_pipeline_spark.operators.evaluation import (
+        dedup_pr_curve,
+    )
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        fingerprint_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(
+        docs, id_col="doc_id", text_col="text", n=3, distinct=False
+    )
+    sig = minhash_signatures(sh, num_hashes=16)
+    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
+    scored = minhash_similarity(sig, cands, num_hashes=16)
+    fp = fingerprint_documents(docs, id_col="doc_id", text_col="text")
+    truth = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return dedup_pr_curve(
+        scored,
+        truth,
+        score_col="est_jaccard",
+        thresholds=[0.3, 0.5, 0.7, 0.9],
+    )
+
+
+ORACLE_DEDUP_PR_CURVE = r"""
+WITH cand AS MATERIALIZED (
+  SELECT least(id_a, id_b) AS pa, greatest(id_a, id_b) AS pb,
+         max(est_jaccard) AS s
+  FROM ({minhash}) mp
+  WHERE id_a != id_b
+  GROUP BY 1, 2),
+fpx AS MATERIALIZED (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents),
+tr AS MATERIALIZED (
+  SELECT DISTINCT least(a.id, b.id) AS pa, greatest(a.id, b.id) AS pb
+  FROM fpx a JOIN fpx b
+    ON a.fingerprint = b.fingerprint AND a.id < b.id),
+nt AS (SELECT count(*) AS n_true FROM tr),
+marked AS (
+  SELECT c.pa, c.pb, c.s, (t.pa IS NOT NULL) AS hit
+  FROM cand c LEFT JOIN tr t ON t.pa = c.pa AND t.pb = c.pb),
+thr(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.9)),
+per AS (
+  SELECT thr.threshold,
+         sum(CASE WHEN m.s >= thr.threshold THEN 1 ELSE 0 END) AS n_pred,
+         sum(CASE WHEN m.s >= thr.threshold AND m.hit
+                  THEN 1 ELSE 0 END) AS tp
+  FROM thr CROSS JOIN marked m GROUP BY 1)
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(tp AS BIGINT) AS tp,
+       round(CASE WHEN n_pred > 0
+                  THEN CAST(tp AS DOUBLE) / n_pred END, 6) AS precision,
+       round(CASE WHEN nt.n_true > 0
+                  THEN CAST(tp AS DOUBLE) / nt.n_true END, 6) AS recall,
+       round(CASE WHEN n_pred > 0 AND nt.n_true > 0
+                   AND CAST(tp AS DOUBLE) / n_pred
+                       + CAST(tp AS DOUBLE) / nt.n_true > 0
+                  THEN 2 * (CAST(tp AS DOUBLE) / n_pred)
+                         * (CAST(tp AS DOUBLE) / nt.n_true)
+                       / (CAST(tp AS DOUBLE) / n_pred
+                          + CAST(tp AS DOUBLE) / nt.n_true) END, 6)
+         AS f1
+FROM per CROSS JOIN nt
+"""
+
+ORACLE_DEDUP_PR_CURVE = ORACLE_DEDUP_PR_CURVE.replace(
+    "{minhash}", ORACLE_MINHASH_PAIRS
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9554,6 +9720,8 @@ QUERIES = {
     "fano_burstiness": q_fano_burstiness,
     "embedding_drift": q_embedding_drift,
     "rank_movers": q_rank_movers,
+    "binned_mutual_info": q_binned_mutual_info,
+    "dedup_pr_curve": q_dedup_pr_curve,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -9790,6 +9958,8 @@ ORACLES = {
     "fano_burstiness": ORACLE_FANO_BURSTINESS,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "rank_movers": ORACLE_RANK_MOVERS,
+    "binned_mutual_info": ORACLE_BINNED_MUTUAL_INFO,
+    "dedup_pr_curve": ORACLE_DEDUP_PR_CURVE,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

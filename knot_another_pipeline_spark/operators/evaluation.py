@@ -720,3 +720,91 @@ def ips_policy_value(
             round_to,
         ).alias("snips_value"),
     )
+
+
+def dedup_pr_curve(
+    scored_pairs: DataFrame,
+    truth: DataFrame,
+    *,
+    score_col: str,
+    thresholds: list[float],
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Precision/recall curve over a threshold grid — the
+    threshold-PICKING companion to the single-point :func:`pair_eval`:
+    score every candidate pair once (MinHash estimate, linkage weight,
+    cosine), then read precision, recall and F1 at each cut from ONE
+    pass — the table that turns "est_jaccard ≥ 0.5 seemed fine" into
+    a chosen operating point with its measured trade-off.
+
+    Scale shape: pairs canonicalize and keep their MAX score per
+    canonical pair (orientation duplicates can't double-count), ONE
+    left join against the truth pair set marks true positives, and
+    every threshold is a conditional sum in the SAME aggregate — the
+    candidate set is scanned once however long the grid.  Recall's
+    denominator is the full truth-set size (including truth pairs the
+    candidate generator never surfaced — missing candidates are
+    recall loss, not invisible).
+
+    Output per threshold: threshold, n_pred, tp, precision, recall,
+    f1 (NULL where undefined; rounded).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must not be empty")
+    ths = sorted(set(float(t) for t in thresholds))
+    a, b = F.col(id_a_col), F.col(id_b_col)
+    cand = (
+        scored_pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(
+            F.least(a, b).alias("pa"),
+            F.greatest(a, b).alias("pb"),
+            F.col(score_col).cast("double").alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .groupBy("pa", "pb")
+        .agg(F.max("s").alias("s"))
+    )
+    t = (
+        truth.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb"))
+        .distinct()
+    )
+    n_true = t.agg(F.count(F.lit(1)).alias("n_true"))
+    marked = cand.join(
+        t.withColumn("_hit", F.lit(1)), ["pa", "pb"], "left"
+    )
+    aggs = []
+    for i, th in enumerate(ths):
+        over = F.col("s") >= F.lit(th)
+        aggs += [
+            F.sum(F.when(over, 1).otherwise(0)).alias(f"np_{i}"),
+            F.sum(
+                F.when(over & F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).alias(f"tp_{i}"),
+        ]
+    row = marked.agg(*aggs).crossJoin(F.broadcast(n_true))
+    stack = ", ".join(
+        f"CAST({th} AS DOUBLE), np_{i}, tp_{i}" for i, th in enumerate(ths)
+    )
+    long = row.selectExpr(
+        "n_true",
+        f"stack({len(ths)}, {stack}) as (threshold, n_pred, tp)",
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    return long.select(
+        "threshold",
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(
+            F.when(
+                prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+                2 * prec * rec / (prec + rec),
+            ),
+            round_to,
+        ).alias("f1"),
+    )

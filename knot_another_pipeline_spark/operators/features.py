@@ -444,3 +444,102 @@ def quantile_normalize(
             F.round(F.col("_pv"), round_to).alias("normalized"),
         )
     )
+
+
+def binned_mutual_info(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    x_bins: int,
+    y_bins: int,
+    x_lo: float,
+    x_hi: float,
+    y_lo: float,
+    y_hi: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information between two numeric columns over a fixed
+    equi-width grid — the NONLINEAR dependence screen: Pearson
+    (``correlation_matrix``) sees only linear structure, but a
+    U-shaped or thresholded relationship has near-zero r and plainly
+    nonzero MI.  Fixed explicit bounds (not data-driven quantiles)
+    keep the estimate deterministic, comparable across snapshots, and
+    oracle-replayable — the same contract as ``psi_stability``'s
+    grid.
+
+        MI  = Σ_xy p(x,y) · ln( p(x,y) / (p(x)·p(y)) )   (nats)
+        NMI = MI / min(H(x), H(y))                       (0..1)
+
+    One hash aggregate on the (x_bin, y_bin) cell key — at most
+    ``x_bins·y_bins`` rows of state — then marginals re-aggregate
+    FROM the cells (never a second data pass) and the MI sum is a
+    row-local fold over the joined cell table.  Out-of-range and NULL
+    rows are dropped and counted.  No smoothing: empty cells
+    contribute 0 exactly (0·ln0 = 0), so MI of independent columns
+    converges to 0 from above.
+
+    Output (one row): n_rows, n_dropped, mi, h_x, h_y, nmi (rounded).
+    """
+    if x_bins < 2 or y_bins < 2:
+        raise ValueError("x_bins and y_bins must be >= 2")
+    if not (x_hi > x_lo and y_hi > y_lo):
+        raise ValueError("hi must be > lo for both axes")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    ok = (
+        x.isNotNull() & y.isNotNull()
+        & (x >= x_lo) & (x < x_hi) & (y >= y_lo) & (y < y_hi)
+    )
+    xb = F.floor((x - x_lo) / ((x_hi - x_lo) / x_bins))
+    yb = F.floor((y - y_lo) / ((y_hi - y_lo) / y_bins))
+    marked = df.select(ok.alias("_ok"), xb.alias("_xb"), yb.alias("_yb"))
+    dropped = marked.agg(
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0)).alias("n_rows"),
+        F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    cells = (
+        marked.filter(F.col("_ok"))
+        .groupBy("_xb", "_yb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    mx = cells.groupBy("_xb").agg(F.sum("_c").alias("_cx"))
+    my = cells.groupBy("_yb").agg(F.sum("_c").alias("_cy"))
+    n = cells.agg(F.sum("_c").alias("_n"))
+    joined = (
+        cells.join(mx, "_xb")
+        .join(my, "_yb")
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.col("_c").cast("double") / F.col("_n")
+    px = F.col("_cx").cast("double") / F.col("_n")
+    py = F.col("_cy").cast("double") / F.col("_n")
+    terms = joined.agg(F.sum(p * F.log(p / (px * py))).alias("_mi"))
+    hx = mx.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            -(F.col("_cx").cast("double") / F.col("_n"))
+            * F.log(F.col("_cx").cast("double") / F.col("_n"))
+        ).alias("_hx")
+    )
+    hy = my.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            -(F.col("_cy").cast("double") / F.col("_n"))
+            * F.log(F.col("_cy").cast("double") / F.col("_n"))
+        ).alias("_hy")
+    )
+    out = (
+        dropped.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+    )
+    hmin = F.least(F.col("_hx"), F.col("_hy"))
+    return out.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.round("_mi", round_to).alias("mi"),
+        F.round("_hx", round_to).alias("h_x"),
+        F.round("_hy", round_to).alias("h_y"),
+        F.round(
+            F.when(hmin > 0, F.col("_mi") / hmin), round_to
+        ).alias("nmi"),
+    )

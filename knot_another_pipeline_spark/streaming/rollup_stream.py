@@ -694,3 +694,87 @@ def read_distinct_estimates(
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     regs = spark.read.parquet(state_path)
     return hll_estimate(regs, group_cols=keys, p=p, round_to=round_to)
+
+
+def streaming_cms_monitor(
+    stream: DataFrame,
+    *,
+    item_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    depth: int = 4,
+    width: int = 1024,
+    trigger_available_now: bool = True,
+):
+    """Incremental heavy-hitter monitor over a stream — live item
+    frequency estimates without storing the item universe: each
+    micro-batch reduces to a Count-Min sketch
+    (:func:`~..operators.quality.cms_sketch`, ≤ depth·width rows no
+    matter the batch size) and sketches merge by ADDING bucket
+    counts — the CMS merge identity.  The sum-merge can't ride the
+    latest-wins upsert (it is an accumulation, not a replacement), so
+    the foreachBatch stages the summed table through the same
+    ``_staging``/tombstone promotion protocol
+    :func:`streaming_upsert_sink` uses — crash-safe, and the state
+    stays ≤ depth·width rows FOREVER.
+
+    Replay caveat (stated, not hidden): foreachBatch is
+    at-least-once, and unlike the max-merge HLL monitor a re-applied
+    batch DOUBLE-counts — exactly-once accounting needs an epoch
+    ledger or an idempotent store.  With the default
+    ``availableNow`` trigger and a clean checkpoint the batch
+    sequence replays deterministically; estimates remain upper bounds
+    either way (CMS never undercounts).
+
+    Query the state any time with
+    :func:`~..operators.quality.cms_estimate` over
+    ``spark.read.parquet(state_path)``.
+    """
+    import os
+    import shutil
+
+    from knot_another_pipeline_spark.operators.quality import cms_sketch
+
+    if "://" in state_path and not state_path.startswith("file://"):
+        raise ValueError(
+            "streaming_cms_monitor stages its rewrite with local renames; "
+            f"non-local state_path {state_path!r} is not supported"
+        )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        staging = state_path.rstrip("/") + "_staging"
+        tombstone = state_path.rstrip("/") + "_old"
+        if not os.path.exists(state_path) and os.path.exists(
+            os.path.join(staging, "_SUCCESS")
+        ):
+            os.replace(staging, state_path)
+        if os.path.exists(tombstone):
+            shutil.rmtree(tombstone)
+        batch_sketch = cms_sketch(
+            batch_df, item_col=item_col, depth=depth, width=width
+        )
+        if os.path.exists(state_path):
+            existing = spark.read.parquet(state_path)
+            merged = (
+                existing.unionByName(batch_sketch)
+                .groupBy("d", "bucket")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        else:
+            merged = batch_sketch
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(state_path):
+            os.replace(state_path, tombstone)
+        os.replace(staging, state_path)
+        if os.path.exists(tombstone):
+            shutil.rmtree(tombstone)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(merge_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

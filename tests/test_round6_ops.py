@@ -2226,3 +2226,145 @@ def test_rank_movers_hand_values(spark):
             df, period_col="m", key_col="k", value_col="v",
             period_a="p1", period_b="p2", k=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# binned_mutual_info
+# ---------------------------------------------------------------------------
+
+
+def test_binned_mi_independent_vs_dependent(spark):
+    from knot_another_pipeline_spark.operators.features import (
+        binned_mutual_info,
+    )
+
+    # y = x exactly: MI == H(x) == H(y), NMI == 1
+    rows = [(float(i % 4), float(i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    row = binned_mutual_info(
+        df, x_col="x", y_col="y", x_bins=4, y_bins=4,
+        x_lo=0.0, x_hi=4.0, y_lo=0.0, y_hi=4.0,
+    ).collect()[0]
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert row["mi"] == pytest.approx(math.log(4), abs=1e-6)
+    assert row["n_rows"] == 400 and row["n_dropped"] == 0
+    # independent uniform grid: MI == 0 exactly
+    indep = [(float(i % 4), float((i // 4) % 4)) for i in range(400)]
+    df2 = spark.createDataFrame(indep, ["x", "y"])
+    r2 = binned_mutual_info(
+        df2, x_col="x", y_col="y", x_bins=4, y_bins=4,
+        x_lo=0.0, x_hi=4.0, y_lo=0.0, y_hi=4.0,
+    ).collect()[0]
+    assert r2["mi"] == pytest.approx(0.0, abs=1e-6)
+    # out-of-range / null rows are counted, not silently dropped
+    df3 = spark.createDataFrame(
+        rows + [(99.0, 1.0), (None, 1.0)], ["x", "y"]
+    )
+    r3 = binned_mutual_info(
+        df3, x_col="x", y_col="y", x_bins=4, y_bins=4,
+        x_lo=0.0, x_hi=4.0, y_lo=0.0, y_hi=4.0,
+    ).collect()[0]
+    assert r3["n_dropped"] == 2
+    with pytest.raises(ValueError, match="bins"):
+        binned_mutual_info(
+            df, x_col="x", y_col="y", x_bins=1, y_bins=4,
+            x_lo=0.0, x_hi=4.0, y_lo=0.0, y_hi=4.0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# dedup_pr_curve
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_pr_curve_monotone_and_hand_checked(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        dedup_pr_curve,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, 2, 0.95), (2, 1, 0.90),  # dup orientation: max kept
+            (3, 4, 0.80), (5, 6, 0.40), (7, 8, 0.20),
+        ],
+        ["id_a", "id_b", "s"],
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (9, 10)], ["id_a", "id_b"]
+    )
+    out = {r["threshold"]: r for r in dedup_pr_curve(
+        scored, truth, score_col="s", thresholds=[0.1, 0.5, 0.9]
+    ).collect()}
+    # at 0.1: all 4 canonical pairs predicted, 2 true -> P=0.5, R=2/3
+    assert out[0.1]["n_pred"] == 4 and out[0.1]["tp"] == 2
+    assert out[0.1]["precision"] == 0.5
+    assert out[0.1]["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    # at 0.9: only (1,2) with max(0.95, 0.90)=0.95 -> P=1, R=1/3
+    assert out[0.9]["n_pred"] == 1 and out[0.9]["precision"] == 1.0
+    assert out[0.9]["recall"] == pytest.approx(1 / 3, abs=1e-6)
+    # precision weakly increases along thresholds here; n_pred decreases
+    assert out[0.1]["n_pred"] >= out[0.5]["n_pred"] >= out[0.9]["n_pred"]
+    with pytest.raises(ValueError, match="thresholds"):
+        dedup_pr_curve(scored, truth, score_col="s", thresholds=[])
+
+
+# ---------------------------------------------------------------------------
+# streaming_cms_monitor
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cms_monitor_matches_batch_sketch(spark, tmp_path):
+    from knot_another_pipeline_spark.operators.quality import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_cms_monitor,
+    )
+
+    src = tmp_path / "cms_src"
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+    schema = "item string"
+    rows1 = [("hot",)] * 50 + [(f"t{i}",) for i in range(30)]
+    rows2 = [("hot",)] * 30 + [("warm",)] * 10
+
+    def run_once():
+        q = streaming_cms_monitor(
+            spark.readStream.schema(schema).parquet(str(src)),
+            item_col="item",
+            state_path=state,
+            checkpoint_path=ckpt,
+            depth=4,
+            width=256,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(str(src))
+    run_once()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(str(src))
+    run_once()
+
+    items = spark.createDataFrame(
+        [("hot",), ("warm",), ("t3",), ("absent",)], ["item"]
+    )
+    streamed = {
+        r["item"]: r["est_n"]
+        for r in cms_estimate(
+            spark.read.parquet(state), items, item_col="item",
+            depth=4, width=256,
+        ).collect()
+    }
+    batch = {
+        r["item"]: r["est_n"]
+        for r in cms_estimate(
+            cms_sketch(
+                spark.createDataFrame(rows1 + rows2, schema),
+                item_col="item", depth=4, width=256,
+            ),
+            items, item_col="item", depth=4, width=256,
+        ).collect()
+    }
+    assert streamed == batch  # sum-merge == one-shot sketch, exactly
+    assert streamed["hot"] >= 80  # CMS never undercounts
+    assert streamed["warm"] >= 10
