@@ -168,6 +168,10 @@ _PRIORITY = [
     "rank_movers",
     "binned_mutual_info",
     "dedup_pr_curve",
+    "tfidf_cosine_pairs",
+    "wasserstein_drift",
+    "poisson_rate_ci",
+    "track_length",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -180,6 +180,10 @@ HEADLINE = [
     "rank_movers",
     "binned_mutual_info",
     "dedup_pr_curve",
+    "tfidf_cosine_pairs",
+    "wasserstein_drift",
+    "poisson_rate_ci",
+    "track_length",
 ]
 
 

@@ -9662,6 +9662,184 @@ ORACLE_DEDUP_PR_CURVE = ORACLE_DEDUP_PR_CURVE.replace(
 )
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF cosine similarity join over the document corpus
+    (operators/dedup.py tfidf_cosine_pairs, df-cap 100, cosine ≥ 0.3):
+    the weighted text-similarity tier between Jaccard and embeddings —
+    sparse dot product as a capped postings self-join."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, id_col="doc_id", text_col="text",
+        min_cosine=0.3, max_doc_freq=100,
+    )
+
+
+ORACLE_TFIDF_COSINE_PAIRS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+tf AS (
+  SELECT id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id AS id, unnest(t) AS token FROM toks)
+  GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n_docs FROM toks),
+dfq AS (
+  SELECT token, count(DISTINCT id) AS df FROM tf GROUP BY 1
+  HAVING count(DISTINCT id) <= 100),
+wt AS (
+  SELECT tf.id, tf.token,
+         tf.tf * (ln((nd.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+nrm AS (
+  SELECT id, token,
+         w / sqrt(sum(w * w) OVER (PARTITION BY id)) AS w
+  FROM wt)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_tokens,
+       round(sum(a.w * b.w), 6) AS cosine
+FROM nrm a JOIN nrm b ON a.token = b.token AND a.id < b.id
+GROUP BY 1, 2
+HAVING round(sum(a.w * b.w), 6) >= 0.3
+"""
+
+
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover drift of the event value distribution between the
+    even and odd event-id halves (operators/quality.py
+    wasserstein_drift, 50-bin [0,500) grid): the drift distance in
+    the column's own units, with edge-bin clamping."""
+    from knot_another_pipeline_spark.operators.quality import (
+        wasserstein_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return wasserstein_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        bins=50,
+        lo=0.0,
+        hi=500.0,
+    )
+
+
+ORACLE_WASSERSTEIN_DRIFT = f"""
+WITH grid AS (SELECT unnest(range(50)) AS bin),
+he AS (
+  SELECT least(49, greatest(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / {500.0 / 50!r})
+                AS BIGINT))) AS bin,
+         count(*) AS n_e
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+ha AS (
+  SELECT least(49, greatest(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / {500.0 / 50!r})
+                AS BIGINT))) AS bin,
+         count(*) AS n_a
+  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+j AS (
+  SELECT g.bin,
+         CAST(coalesce(n_e, 0) AS DOUBLE) AS n_e,
+         CAST(coalesce(n_a, 0) AS DOUBLE) AS n_a
+  FROM grid g LEFT JOIN he ON he.bin = g.bin
+  LEFT JOIN ha ON ha.bin = g.bin),
+t AS (SELECT sum(n_e) AS te, sum(n_a) AS ta FROM j),
+cum AS (
+  SELECT bin, n_e, n_a, te, ta,
+         sum(n_e) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / te
+           AS ce,
+         sum(n_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / ta
+           AS ca
+  FROM j CROSS JOIN t)
+SELECT round(sum(abs(ce - ca)) * {500.0 / 50!r}, 6) AS w1,
+       round(sum((n_a / ta - n_e / te)
+                 * ({0.0 + (500.0 / 50) / 2.0!r}
+                    + bin * {500.0 / 50!r})), 6) AS mean_shift,
+       CAST(te AS BIGINT) AS n_expected,
+       CAST(ta AS BIGINT) AS n_actual
+FROM cum GROUP BY te, ta
+"""
+
+
+def q_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Poisson rate per 24h of exposure with normal-
+    approximation CI (operators/quality.py poisson_rate_ci): ONE hash
+    aggregate, row-local interval."""
+    from knot_another_pipeline_spark.operators.quality import (
+        poisson_rate_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_rate_ci(
+        ev, group_cols=["event_type"], exposure=24.0
+    )
+
+
+ORACLE_POISSON_RATE_CI = f"""
+WITH a AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / 24.0, 6) AS rate,
+       round(greatest(0.0, CAST(n AS DOUBLE)
+             - {1.959963984540054!r} * sqrt(CAST(n AS DOUBLE))) / 24.0, 6)
+         AS rate_lo,
+       round((CAST(n AS DOUBLE)
+              + {1.959963984540054!r} * sqrt(CAST(n AS DOUBLE))) / 24.0, 6)
+         AS rate_hi
+FROM a
+"""
+
+
+def q_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle track length and implied speed per entity over the
+    derived AIS positions (operators/tracks.py track_length): one lag
+    window on the entity key, codegen haversine, one aggregate."""
+    from knot_another_pipeline_spark.operators.tracks import track_length
+
+    pos = _positions(spark, sf_dir)
+    return track_length(
+        pos,
+        entity_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_TRACK_LENGTH = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+seg AS (
+  SELECT uid, ts, lat, lon,
+         lag(lat) OVER w AS plat,
+         lag(lon) OVER w AS plon
+  FROM pos
+  WINDOW w AS (PARTITION BY uid ORDER BY ts ASC, event_id ASC)),
+km AS (
+  SELECT uid, ts,
+         CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+               AND plat IS NOT NULL AND plon IS NOT NULL
+              THEN 2 * 6371000.0 * asin(sqrt(
+                     pow(sin(radians(lat - plat) / 2), 2)
+                     + cos(radians(plat)) * cos(radians(lat))
+                       * pow(sin(radians(lon - plon) / 2), 2))) / 1000.0
+         END AS seg_km
+  FROM seg)
+SELECT uid AS entity,
+       CAST(count(*) AS BIGINT) AS n_fixes,
+       round(coalesce(sum(seg_km), 0.0), 3) AS total_km,
+       round((epoch_us(max(ts)) - epoch_us(min(ts)))
+             / {3600.0 * 1e6!r}, 3) AS elapsed_hours,
+       round(CASE WHEN epoch_us(max(ts)) - epoch_us(min(ts)) > 0
+                  THEN coalesce(sum(seg_km), 0.0)
+                       / ((epoch_us(max(ts)) - epoch_us(min(ts)))
+                          / {3600.0 * 1e6!r}) END, 3) AS avg_kmh
+FROM km GROUP BY uid
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9722,6 +9900,10 @@ QUERIES = {
     "rank_movers": q_rank_movers,
     "binned_mutual_info": q_binned_mutual_info,
     "dedup_pr_curve": q_dedup_pr_curve,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "wasserstein_drift": q_wasserstein_drift,
+    "poisson_rate_ci": q_poisson_rate_ci,
+    "track_length": q_track_length,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -9960,6 +10142,10 @@ ORACLES = {
     "rank_movers": ORACLE_RANK_MOVERS,
     "binned_mutual_info": ORACLE_BINNED_MUTUAL_INFO,
     "dedup_pr_curve": ORACLE_DEDUP_PR_CURVE,
+    "tfidf_cosine_pairs": ORACLE_TFIDF_COSINE_PAIRS,
+    "wasserstein_drift": ORACLE_WASSERSTEIN_DRIFT,
+    "poisson_rate_ci": ORACLE_POISSON_RATE_CI,
+    "track_length": ORACLE_TRACK_LENGTH,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

@@ -1510,3 +1510,87 @@ def dedup_summary(
             ).alias("dup_rate"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    min_cosine: float = 0.5,
+    max_doc_freq: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact TF-IDF cosine similarity self-join — the WEIGHTED text
+    similarity tier between set-based Jaccard (every shared token
+    counts equally) and embedding cosine (needs a model): rare shared
+    terms dominate the score, so two docs sharing "mitochondrial
+    genome" outrank two sharing "the and of".  Smoothed IDF
+    ``ln((N+1)/(df+1)) + 1`` (same convention as ``doc_keywords``).
+
+    Scale shape — the sparse-dot-product-as-postings-join classic:
+    per-doc TF-IDF weights L2-normalize through one doc-key window,
+    the quadratic step is the postings self-join ON THE TOKEN KEY
+    (cosine = Σ over shared tokens of w_a·w_b — docs sharing nothing
+    never meet), and ``max_doc_freq`` caps the join fanout exactly
+    like ``ngram_jaccard_pairs``' stop-shingle dial — with the cap
+    set, df is pre-counted and hot tokens drop BEFORE the join, and
+    weights/norms are computed over the capped vocabulary so the
+    metric stays internally consistent.  Production default: a few
+    hundred (stopwords live in the df ≫ 10³ tail and carry ~zero IDF
+    anyway).
+
+    Output: id_a < id_b, n_shared_tokens, cosine (≥ ``min_cosine``,
+    rounded).
+    """
+    if not 0 <= min_cosine <= 1:
+        raise ValueError(f"min_cosine must be in [0, 1], got {min_cosine}")
+    from knot_another_pipeline_spark.operators.text_analysis import _tokens
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = df.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfreq = tf.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+    weighted = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                + 1.0
+            ),
+        )
+    )
+    wn = Window.partitionBy("id")
+    normed = weighted.withColumn(
+        "w", F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(wn))
+    ).select("id", "token", "w")
+    a = normed.alias("a")
+    b = normed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_tokens"),
+            F.round(F.sum(F.col("a.w") * F.col("b.w")), round_to).alias(
+                "cosine"
+            ),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= F.lit(min_cosine))

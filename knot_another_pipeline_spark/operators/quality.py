@@ -2207,3 +2207,141 @@ def fano_burstiness(
             F.when(F.col("_mean") > 0, var / F.col("_mean")), round_to
         ).alias("fano"),
     )
+
+
+def wasserstein_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    *,
+    bins: int = 50,
+    lo: float,
+    hi: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Earth-mover (1-D Wasserstein) drift between two snapshots over
+    a fixed equi-width grid — the distance PSI and KS both miss the
+    point of: KS sees the worst single gap, PSI sees log-ratio
+    surprise, but neither says HOW FAR the mass moved.  W₁ is in the
+    units of the column ("the latency distribution shifted right by
+    ~40 ms"), which makes it the drift number a human can act on.
+
+        W₁ ≈ Σ_bins |CDF_e(b) − CDF_a(b)| · bin_width
+
+    Same deterministic fixed-grid contract as :func:`psi_stability` /
+    ``binned_mutual_info``: explicit [lo, hi), no data-driven
+    binning, so snapshots compare like-for-like and the oracle
+    replays the digit.  Out-of-range rows clamp into the edge bins
+    (mass beyond the grid is still mass — dropping it would hide
+    exactly the tail excursions being hunted).
+
+    Scale shape: one bounded histogram aggregate per side (≤ bins
+    rows), a full-outer join on the bin spine, one cumulative window
+    over ≤ bins rows.  Output (one row): w1, mean_shift (signed
+    difference of binned means — direction), n_expected, n_actual.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / bins
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((x - lo) / width)),
+        )
+        return (
+            df.filter(x.isNotNull())
+            .groupBy(b.cast("bigint").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    e = hist(expected, "n_e")
+    a = hist(actual, "n_a")
+    grid = expected.sparkSession.range(bins).select(
+        F.col("id").cast("bigint").alias("bin")
+    )
+    j = (
+        grid.join(e, "bin", "left")
+        .join(a, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_e", F.lit(0)).cast("double").alias("n_e"),
+            F.coalesce("n_a", F.lit(0)).cast("double").alias("n_a"),
+        )
+    )
+    totals = j.agg(F.sum("n_e").alias("te"), F.sum("n_a").alias("ta"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_e",
+        "n_a",
+        "te",
+        "ta",
+        (F.sum("n_e").over(w) / F.col("te")).alias("ce"),
+        (F.sum("n_a").over(w) / F.col("ta")).alias("ca"),
+    )
+    center = lo + width / 2.0
+    agg = cum.groupBy("te", "ta").agg(
+        F.round(
+            F.sum(F.abs(F.col("ce") - F.col("ca"))) * F.lit(width),
+            round_to,
+        ).alias("w1"),
+        F.round(
+            F.sum(
+                (F.col("n_a") / F.col("ta") - F.col("n_e") / F.col("te"))
+                * (F.lit(center) + F.col("bin") * F.lit(width))
+            ),
+            round_to,
+        ).alias("mean_shift"),
+    )
+    return agg.select(
+        "w1",
+        "mean_shift",
+        F.col("te").cast("bigint").alias("n_expected"),
+        F.col("ta").cast("bigint").alias("n_actual"),
+    )
+
+
+def poisson_rate_ci(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    exposure: float = 1.0,
+    level_z: float = 1.959963984540054,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group event rate with a Poisson normal-approximation CI —
+    ``rate = n/exposure``, CI ``(n ± z·√n)/exposure`` (clamped at 0)
+    — the honest version of every "errors per hour" tile: a rate of
+    3 events carries a ±3.4 interval, and decisions made inside the
+    interval are noise.  ``exposure`` is the denominator in whatever
+    unit the rate should be quoted (hours observed, requests served,
+    km sailed).
+
+    ONE hash aggregate; the CI is row-local arithmetic.  The normal
+    approximation degrades below n ≈ 10 (stated — use an exact
+    Poisson inversion off-cluster when small counts matter; the
+    z-form is kept because it is closed-form and engine-portable).
+
+    Output per group: group_cols…, n, rate, rate_lo, rate_hi
+    (rounded).
+    """
+    if exposure <= 0:
+        raise ValueError(f"exposure must be > 0, got {exposure}")
+    if not group_cols:
+        raise ValueError("group_cols must not be empty")
+    agg = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+    half = F.lit(level_z) * F.sqrt(n)
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(n / exposure, round_to).alias("rate"),
+        F.round(
+            F.greatest(F.lit(0.0), (n - half)) / exposure, round_to
+        ).alias("rate_lo"),
+        F.round((n + half) / exposure, round_to).alias("rate_hi"),
+    )

@@ -417,3 +417,76 @@ def dbscan_grid(
             F.coalesce("component", F.col("cell_key")).alias("cluster"),
         )
     )
+
+
+def track_length(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    lat_col: str,
+    lon_col: str,
+    tiebreak_col: str | None = None,
+    round_to: int = 3,
+) -> DataFrame:
+    """Great-circle track length and speed summary per entity — total
+    haversine distance over the time-ordered fix sequence, elapsed
+    span, and the implied average speed — the first summary row of
+    every track analytics page, and the sanity denominator for
+    anything quoted "per km sailed".
+
+    One lag window on the entity key (the same single shuffle every
+    operator in this module rides), codegen haversine per consecutive
+    fix pair, one aggregate.  ``tiebreak_col`` pins the order under
+    duplicate timestamps (same contract as ``speed_filter``).  Fixes
+    with NULL coordinates contribute no segment but do count in
+    ``n_fixes``.
+
+    Output per entity: entity, n_fixes, total_km, elapsed_hours,
+    avg_kmh (NULL when elapsed is 0; rounded).
+    """
+    order = [F.col("_ts").asc()] + (
+        [F.col("_tb").asc()] if tiebreak_col else []
+    )
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("_ts"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+    )
+    w = Window.partitionBy("entity").orderBy(*order)
+    seg = (
+        base.withColumn("_plat", F.lag("_lat").over(w))
+        .withColumn("_plon", F.lag("_lon").over(w))
+        .withColumn(
+            "_km",
+            F.when(
+                F.col("_lat").isNotNull()
+                & F.col("_lon").isNotNull()
+                & F.col("_plat").isNotNull()
+                & F.col("_plon").isNotNull(),
+                haversine_m(
+                    F.col("_plat"), F.col("_plon"),
+                    F.col("_lat"), F.col("_lon"),
+                ) / F.lit(1000.0),
+            ),
+        )
+    )
+    hours = (
+        F.unix_micros(F.max("_ts").cast("timestamp"))
+        - F.unix_micros(F.min("_ts").cast("timestamp"))
+    ).cast("double") / F.lit(3600.0 * 1e6)
+    return seg.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.round(F.coalesce(F.sum("_km"), F.lit(0.0)), round_to).alias(
+            "total_km"
+        ),
+        F.round(hours, round_to).alias("elapsed_hours"),
+        F.round(
+            F.when(
+                hours > 0, F.coalesce(F.sum("_km"), F.lit(0.0)) / hours
+            ),
+            round_to,
+        ).alias("avg_kmh"),
+    )

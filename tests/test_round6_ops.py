@@ -2368,3 +2368,132 @@ def test_streaming_cms_monitor_matches_batch_sketch(spark, tmp_path):
     assert streamed == batch  # sum-merge == one-shot sketch, exactly
     assert streamed["hot"] >= 80  # CMS never undercounts
     assert streamed["warm"] >= 10
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_weights_rare_terms(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = [
+        (1, "common common zygote mitochondria"),
+        (2, "common common zygote mitochondria"),   # identical to 1
+        (3, "common common other words"),
+        (4, "unrelated text entirely here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r for r in tfidf_cosine_pairs(
+        df, id_col="doc_id", text_col="text", min_cosine=0.0
+    ).collect()}
+    assert out[(1, 2)]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    # (1,3) share only the common term -> clearly below the exact pair
+    # (smoothed IDF keeps nonzero weight on common terms by design)
+    assert out[(1, 3)]["cosine"] < 0.6
+    assert (1, 4) not in out  # no shared tokens, never meet
+    with pytest.raises(ValueError, match="min_cosine"):
+        tfidf_cosine_pairs(
+            df, id_col="doc_id", text_col="text", min_cosine=2.0
+        )
+
+
+def test_tfidf_cosine_df_cap_drops_hot_tokens(spark):
+    from knot_another_pipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = [(i, f"boiler plate unique{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = tfidf_cosine_pairs(
+        df, id_col="doc_id", text_col="text", min_cosine=0.0,
+        max_doc_freq=2,
+    ).collect()
+    assert out == []  # only shared tokens have df=5 > 2
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_drift
+# ---------------------------------------------------------------------------
+
+
+def test_wasserstein_shift_has_distance_units(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        wasserstein_drift,
+    )
+
+    e = spark.createDataFrame([(float(10 + i % 5),) for i in range(100)], ["v"])
+    a = spark.createDataFrame([(float(30 + i % 5),) for i in range(100)], ["v"])
+    row = wasserstein_drift(e, a, "v", bins=50, lo=0.0, hi=50.0).collect()[0]
+    # distributions are identical shapes shifted by +20 -> W1 == 20
+    assert row["w1"] == pytest.approx(20.0, abs=1.0)
+    assert row["mean_shift"] == pytest.approx(20.0, abs=1.0)
+    same = wasserstein_drift(e, e, "v", bins=50, lo=0.0, hi=50.0).collect()[0]
+    assert same["w1"] == 0.0 and same["mean_shift"] == 0.0
+    # out-of-range mass clamps to edge bins, not dropped
+    oob = spark.createDataFrame([(999.0,)] * 100, ["v"])
+    r2 = wasserstein_drift(e, oob, "v", bins=50, lo=0.0, hi=50.0).collect()[0]
+    assert r2["n_actual"] == 100 and r2["w1"] > 30
+    with pytest.raises(ValueError, match="bins"):
+        wasserstein_drift(e, a, "v", bins=1, lo=0.0, hi=50.0)
+
+
+# ---------------------------------------------------------------------------
+# poisson_rate_ci
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_rate_ci_hand_values(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        poisson_rate_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 4, ["g"]
+    )
+    out = {r["g"]: r for r in poisson_rate_ci(
+        df, group_cols=["g"], exposure=10.0
+    ).collect()}
+    z = 1.959963984540054
+    assert out["a"]["rate"] == 10.0
+    assert out["a"]["rate_lo"] == pytest.approx((100 - z * 10) / 10, abs=1e-5)
+    assert out["a"]["rate_hi"] == pytest.approx((100 + z * 10) / 10, abs=1e-5)
+    # small n: interval is wide relative to the rate
+    b = out["b"]
+    assert b["rate_hi"] - b["rate_lo"] > b["rate"]
+    with pytest.raises(ValueError, match="exposure"):
+        poisson_rate_ci(df, group_cols=["g"], exposure=0)
+
+
+# ---------------------------------------------------------------------------
+# track_length
+# ---------------------------------------------------------------------------
+
+
+def test_track_length_known_distance(spark):
+    import datetime as dt
+
+    from knot_another_pipeline_spark.operators.tracks import track_length
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # 1 degree of latitude ~ 111.19 km on the R=6371km sphere
+    rows = [
+        ("v1", t0, 0.0, 0.0),
+        ("v1", t0 + dt.timedelta(hours=1), 1.0, 0.0),
+        ("v1", t0 + dt.timedelta(hours=2), 2.0, 0.0),
+        ("v2", t0, 10.0, 10.0),  # single fix: zero km, zero hours
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts", "lat", "lon"])
+    out = {r["entity"]: r for r in track_length(
+        df, entity_col="uid", ts_col="ts", lat_col="lat", lon_col="lon"
+    ).collect()}
+    v1 = out["v1"]
+    assert v1["n_fixes"] == 3
+    assert v1["total_km"] == pytest.approx(2 * 111.195, abs=0.1)
+    assert v1["elapsed_hours"] == 2.0
+    assert v1["avg_kmh"] == pytest.approx(111.195, abs=0.1)
+    v2 = out["v2"]
+    assert v2["total_km"] == 0.0 and v2["avg_kmh"] is None
