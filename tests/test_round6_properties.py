@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 from collections import Counter
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -308,3 +309,98 @@ def test_label_propagation_matches_simulation(spark, edges, seeds):
         for r in label_propagation(edf, sdf, iterations=2).collect()
     }
     assert got == {n: (labels[n], rounds[n]) for n in labels}
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs ≡ brute-force vector cosine
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=5))
+def test_tfidf_cosine_matches_bruteforce(spark, docs):
+    from knot_another_pipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    n = len(docs)
+    tf = [Counter(t.split()) for t in docs]
+    df_count: Counter = Counter()
+    for c in tf:
+        df_count.update(c.keys())
+
+    def vec(c):
+        return {
+            t: cnt * (math.log((n + 1) / (df_count[t] + 1)) + 1)
+            for t, cnt in c.items()
+        }
+
+    def cos(a, b):
+        va, vb = vec(a), vec(b)
+        na = math.sqrt(sum(w * w for w in va.values()))
+        nb = math.sqrt(sum(w * w for w in vb.values()))
+        num = sum(va[t] * vb.get(t, 0.0) for t in va)
+        return num / (na * nb)
+
+    sdf = spark.createDataFrame(
+        list(enumerate(docs)), ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            sdf, id_col="doc_id", text_col="text", min_cosine=0.0
+        ).collect()
+    }
+    for i in range(n):
+        for j in range(i + 1, n):
+            shared = set(tf[i]) & set(tf[j])
+            if not shared:
+                assert (i, j) not in got
+            else:
+                assert got[(i, j)] == pytest.approx(
+                    cos(tf[i], tf[j]), abs=2e-6
+                )
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_drift ≡ brute-force binned CDF distance
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-5, max_value=25, allow_nan=False),
+             min_size=1, max_size=30),
+    st.lists(st.floats(min_value=-5, max_value=25, allow_nan=False),
+             min_size=1, max_size=30),
+)
+def test_wasserstein_matches_bruteforce(spark, xs, ys):
+    from knot_another_pipeline_spark.operators.quality import (
+        wasserstein_drift,
+    )
+
+    bins, lo, hi = 10, 0.0, 20.0
+    width = (hi - lo) / bins
+
+    def histo(vals):
+        h = [0] * bins
+        for v in vals:
+            b = min(bins - 1, max(0, int((v - lo) // width)))
+            h[b] += 1
+        return h
+
+    he, ha = histo(xs), histo(ys)
+    te, ta = sum(he), sum(ha)
+    ce = ca = 0.0
+    w1 = 0.0
+    for b in range(bins):
+        ce += he[b] / te
+        ca += ha[b] / ta
+        w1 += abs(ce - ca) * width
+    e = spark.createDataFrame([(float(v),) for v in xs], ["v"])
+    a = spark.createDataFrame([(float(v),) for v in ys], ["v"])
+    row = wasserstein_drift(
+        e, a, "v", bins=bins, lo=lo, hi=hi
+    ).collect()[0]
+    assert row["w1"] == pytest.approx(w1, abs=2e-6)
+    assert row["n_expected"] == te and row["n_actual"] == ta
