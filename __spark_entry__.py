@@ -172,6 +172,7 @@ _PRIORITY = [
     "wasserstein_drift",
     "poisson_rate_ci",
     "track_length",
+    "community_quality",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

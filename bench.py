@@ -184,6 +184,7 @@ HEADLINE = [
     "wasserstein_drift",
     "poisson_rate_ci",
     "track_length",
+    "community_quality",
 ]
 
 

@@ -9840,6 +9840,93 @@ FROM km GROUP BY uid
 """
 
 
+def q_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity and conductance of the label-propagation communities
+    on the part↔supplier graph (operators/graph.py community_quality):
+    the metric pass that turns "communities computed" into a measured
+    structure number — one community-key aggregate after two map
+    joins. The oracle replays the propagation AND the metrics."""
+    from knot_another_pipeline_spark.operators.graph import (
+        community_quality,
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    seeds = supp.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("node"),
+        F.col("s_nationkey").alias("label"),
+    )
+    assign = label_propagation(edges, seeds, iterations=2).select(
+        "node", F.col("label").alias("community")
+    )
+    return community_quality(edges, assign)
+
+
+ORACLE_COMMUNITY_QUALITY = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem),
+sym AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+l0 AS MATERIALIZED (
+  SELECT 's:' || s_suppkey AS node, min(s_nationkey) AS label, 0 AS round
+  FROM supplier WHERE s_suppkey % 10 = 0 GROUP BY 1){_label_prop_round_sql(1, "l0")}{_label_prop_round_sql(2, "l1")},
+amap AS MATERIALIZED (
+  SELECT node AS n, min(CAST(label AS VARCHAR)) AS c
+  FROM l2 GROUP BY 1),
+e AS MATERIALIZED (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM e0 WHERE a != b),
+tagged AS MATERIALIZED (
+  SELECT coalesce(mu.c, '(none)') AS cu, coalesce(mv.c, '(none)') AS cv
+  FROM e LEFT JOIN amap mu ON mu.n = e.u
+  LEFT JOIN amap mv ON mv.n = e.v),
+m AS (SELECT count(*) AS m FROM tagged),
+internal AS (
+  SELECT cu AS community, count(*) AS internal_edges
+  FROM tagged WHERE cu = cv GROUP BY 1),
+ends AS (
+  SELECT cu AS community, (cu != cv) AS is_cut FROM tagged
+  UNION ALL
+  SELECT cv AS community, (cu != cv) AS is_cut FROM tagged),
+pervol AS (
+  SELECT community, count(*) AS volume,
+         sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS cut_edges
+  FROM ends GROUP BY 1),
+nn AS (SELECT c AS community, count(*) AS n_nodes FROM amap GROUP BY 1),
+shaped AS (
+  SELECT p.community,
+         coalesce(nn.n_nodes, 0) AS n_nodes,
+         coalesce(i.internal_edges, 0) AS internal_edges,
+         p.cut_edges, p.volume, m.m,
+         CAST(coalesce(i.internal_edges, 0) AS DOUBLE) / m.m
+           - pow(CAST(p.volume AS DOUBLE) / (2 * m.m), 2) AS q
+  FROM pervol p
+  LEFT JOIN internal i ON i.community = p.community
+  LEFT JOIN nn ON nn.community = p.community
+  CROSS JOIN m),
+tot AS (SELECT round(sum(q), 6) AS modularity FROM shaped)
+SELECT community,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(internal_edges AS BIGINT) AS internal_edges,
+       CAST(cut_edges AS BIGINT) AS cut_edges,
+       CAST(volume AS BIGINT) AS volume,
+       round(CASE WHEN least(CAST(volume AS DOUBLE),
+                             2 * m - CAST(volume AS DOUBLE)) > 0
+                  THEN CAST(cut_edges AS DOUBLE)
+                       / least(CAST(volume AS DOUBLE),
+                               2 * m - CAST(volume AS DOUBLE))
+                  ELSE 0.0 END, 6) AS conductance,
+       round(q, 6) AS modularity_term,
+       (SELECT modularity FROM tot) AS modularity
+FROM shaped
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9904,6 +9991,7 @@ QUERIES = {
     "wasserstein_drift": q_wasserstein_drift,
     "poisson_rate_ci": q_poisson_rate_ci,
     "track_length": q_track_length,
+    "community_quality": q_community_quality,
     # AIS gold pipeline
     "ais_hourly": q_ais_hourly,
     "pairs_monthly": q_pairs_monthly,
@@ -10146,6 +10234,7 @@ ORACLES = {
     "wasserstein_drift": ORACLE_WASSERSTEIN_DRIFT,
     "poisson_rate_ci": ORACLE_POISSON_RATE_CI,
     "track_length": ORACLE_TRACK_LENGTH,
+    "community_quality": ORACLE_COMMUNITY_QUALITY,
     "ais_hourly": ORACLE_AIS_HOURLY,
     "pairs_monthly": ORACLE_PAIRS_MONTHLY,
     "pairs_total": ORACLE_PAIRS_TOTAL,

@@ -2497,3 +2497,50 @@ def test_track_length_known_distance(spark):
     assert v1["avg_kmh"] == pytest.approx(111.195, abs=0.1)
     v2 = out["v2"]
     assert v2["total_km"] == 0.0 and v2["avg_kmh"] is None
+
+
+# ---------------------------------------------------------------------------
+# community_quality
+# ---------------------------------------------------------------------------
+
+
+def test_community_quality_two_cliques(spark):
+    from knot_another_pipeline_spark.operators.graph import (
+        community_quality,
+    )
+
+    # two triangles joined by one bridge edge
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    assign = spark.createDataFrame(
+        [(n, "A" if n <= 3 else "B") for n in range(1, 7)],
+        ["node", "community"],
+    )
+    out = {r["community"]: r for r in community_quality(e, assign).collect()}
+    a = out["A"]
+    # m=7; A: 3 internal, 1 cut, volume = 2*3 + 1 = 7
+    assert a["internal_edges"] == 3 and a["cut_edges"] == 1
+    assert a["volume"] == 7 and a["n_nodes"] == 3
+    assert a["conductance"] == pytest.approx(1 / 7, abs=1e-6)
+    q = 2 * (3 / 7 - (7 / 14) ** 2)
+    assert a["modularity"] == pytest.approx(q, abs=1e-5)
+    assert a["modularity"] > 0.3  # clearly better than chance
+
+
+def test_community_quality_random_split_near_zero_modularity(spark):
+    from knot_another_pipeline_spark.operators.graph import (
+        community_quality,
+    )
+
+    # complete graph on 6 nodes, arbitrary split: modularity ~ <= 0
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    assign = spark.createDataFrame(
+        [(n, n % 2) for n in range(6)], ["node", "community"]
+    )
+    row = community_quality(e, assign).collect()[0]
+    assert row["modularity"] <= 0.01
+    # unassigned endpoints fold into a "(none)" community
+    partial = spark.createDataFrame([(0, "X")], ["node", "community"])
+    out = {r["community"] for r in community_quality(e, partial).collect()}
+    assert "(none)" in out and "X" in out
