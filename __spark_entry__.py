@@ -23,76 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 
-# Never driver-gated as of CORRECTNESS_r05 — 64 keys, ordered FIFO by age
-# of first deferral (the round-5 rotation commitment), with two
-# verdict-directed promotions ahead of strict age order:
-#   1. quantize_embeddings / encode_documents / kmeans_step — round 5's
-#      only red rows (driver canonicalizer cannot hash ARRAY cells; now
-#      fixed by rendering arrays as comma-joined strings in query AND
-#      oracle). VERDICT r5 task #1 requires green r06 rows for all three.
-#   2. auc_scores / calibration_curve / lift_table / psi_stability /
-#      weighted_median — the evaluation family missed the r5 queue
-#      entirely (ADVICE medium); VERDICT r5 task #6 requires driver rows
-#      this round.
-# Everything else keeps strict FIFO: the 11 r5-deferred keys first, then
-# media_chunks (oldest never-gated key overall), then the r5-final batch,
-# then the r5-continuation batch. With a 50-key window, the newest 14
-# (trend_fit .. readability) defer to round 7 and move to the FRONT of
-# this list next round.
+# Round-7 rotation, executed exactly as committed in round 6 and ordered
+# as VERDICT r6 task #1 directs: the 72 keys that have never received a
+# driver CORRECTNESS row lead, oldest-first — the 14 r5-deferred keys
+# (trend_fit .. readability) first, then the round-6 additions in catalog
+# order (ks_drift .. community_quality).  All 50 round-6-gated keys
+# (fuzzy_match .. survival_curve, CORRECTNESS_r06 50/50 green) rotate to
+# the back of the priority list.  With a 50-key window, positions 51-72
+# (zipf_fit .. community_quality, 22 keys) defer to round 8 and move to
+# the FRONT of this list next round, ahead of any round-7 additions —
+# which are capped at ~20 this round (VERDICT r6 task #2) so round 8
+# reaches full cumulative driver coverage.  Every key remains green in
+# the in-repo DuckDB differential (tests/test_catalog_oracle.py) every
+# run regardless of the driver window.
 _PRIORITY = [
-    "fuzzy_match",
-    "json_extract_stats",
-    "pivot_daily",
-    "track_interpolate",
-    "normalize_docs",
-    "ngram_topk",
-    "anomaly_zscore",
-    "keyword_search",
-    "value_histogram",
-    "zorder_key",
-    "length_percentile_rank",
-    "media_chunks",
-    "quantize_embeddings",
-    "encode_documents",
-    "kmeans_step",
-    "auc_scores",
-    "calibration_curve",
-    "lift_table",
-    "psi_stability",
-    "weighted_median",
-    "pack_sequences",
-    "link_prediction",
-    "label_vote",
-    "canonical_docs",
-    "temperature_mix",
-    "k_anonymity",
-    "sketch_overlap",
-    "zone_assign",
-    "phrase_search",
-    "time_weighted_avg",
-    "target_encode",
-    "hash_features",
-    "benford",
-    "dsir_weights",
-    "ann_recall",
-    "token_entropy",
-    "mad_outliers",
-    "media_phash",
-    "bpe_merges",
-    "repeated_spans",
-    "negative_samples",
-    "next_event_examples",
-    "bpe_encode",
-    "ab_test",
-    "ewma_alarm",
-    "scd2_as_of",
-    "dataset_card",
-    "scd2_lookup",
-    "markov_transitions",
-    "survival_curve",
-    # --- 50-key window boundary. ROTATION COMMITMENT (FIFO): the 14
-    # keys below are the newest never-gated keys; they move to the
-    # FRONT of this list next round, ahead of any round-6 additions.
+    # 14 r5-deferred keys (oldest never-gated).
     "trend_fit",
     "cusum_alarm",
     "basket_rules",
@@ -107,14 +52,9 @@ _PRIORITY = [
     "rfm_segments",
     "funnel_timing",
     "readability",
-    # round-6 additions (newest — queue behind the r5 deferrals above).
-    # ROTATION COMMITMENT for round 7: with a 50-key window, this round
-    # drains the r5 backlog through ~position 50; every key from
-    # trend_fit down (the 14 r5-deferred keys plus all round-6
-    # additions below) moves to the FRONT of _PRIORITY next round,
-    # oldest-first, ahead of any round-7 additions. All keys are green
-    # in the in-repo differential (tests/test_catalog_oracle.py) every
-    # run regardless of the driver window.
+    # 58 round-6 additions, catalog order.  The 50-key window boundary
+    # falls after dedup_summary (position 50); zipf_fit onward defers to
+    # round 8.
     "ks_drift",
     "label_agreement",
     "uplift_deciles",
@@ -173,6 +113,60 @@ _PRIORITY = [
     "poisson_rate_ci",
     "track_length",
     "community_quality",
+    # --- round-8 FIFO boundary: everything above this line that falls
+    # outside the 50-key window (zipf_fit .. community_quality) moves to
+    # the FRONT next round.  Below: the 50 keys driver-gated green in
+    # CORRECTNESS_r06, rotated to the back.
+    "fuzzy_match",
+    "json_extract_stats",
+    "pivot_daily",
+    "track_interpolate",
+    "normalize_docs",
+    "ngram_topk",
+    "anomaly_zscore",
+    "keyword_search",
+    "value_histogram",
+    "zorder_key",
+    "length_percentile_rank",
+    "media_chunks",
+    "quantize_embeddings",
+    "encode_documents",
+    "kmeans_step",
+    "auc_scores",
+    "calibration_curve",
+    "lift_table",
+    "psi_stability",
+    "weighted_median",
+    "pack_sequences",
+    "link_prediction",
+    "label_vote",
+    "canonical_docs",
+    "temperature_mix",
+    "k_anonymity",
+    "sketch_overlap",
+    "zone_assign",
+    "phrase_search",
+    "time_weighted_avg",
+    "target_encode",
+    "hash_features",
+    "benford",
+    "dsir_weights",
+    "ann_recall",
+    "token_entropy",
+    "mad_outliers",
+    "media_phash",
+    "bpe_merges",
+    "repeated_spans",
+    "negative_samples",
+    "next_event_examples",
+    "bpe_encode",
+    "ab_test",
+    "ewma_alarm",
+    "scd2_as_of",
+    "dataset_card",
+    "scd2_lookup",
+    "markov_transitions",
+    "survival_curve",
 ]
 
 # Representatives of already-hash-verified families, queued AFTER the

@@ -1,0 +1,114 @@
+"""Driver-contract invariants (VERDICT r6 tasks #3 and #7).
+
+Two failure classes the driver gate has actually produced are pinned
+here so they cannot recur:
+
+1. Round 5's only red rows came from catalog queries projecting ARRAY
+   columns — the driver's value canonicalizer hashes scalar cells only.
+   ``test_all_outputs_scalar_only`` instantiates every catalog query at
+   sf0.001 and walks its schema: any Array/Map/Struct column fails.
+
+2. The driver's correctness window has emitted exactly the first 50
+   ``queries()`` keys for four straight rounds, so rotation order IS the
+   coverage lever.  ``test_round7_window_is_pinned_queue`` asserts the
+   first 50 ordered keys are exactly the documented round-7 queue (the
+   14 r5-deferred keys then the round-6 additions in catalog order) and
+   that none of them already has a driver CORRECTNESS row.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
+from tests.conftest import SF_SMOKE
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(_REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+# The round-7 driver window: 14 r5-deferred keys, then round-6 additions
+# in catalog order through the 50th position.
+_ROUND7_WINDOW = [
+    "trend_fit", "cusum_alarm", "basket_rules", "cms_counts",
+    "seasonal_daily", "spearman_hour", "gini_concentration", "acf_daily",
+    "did_readout", "chi2_independence", "feature_gain", "rfm_segments",
+    "funnel_timing", "readability",
+    "ks_drift", "label_agreement", "uplift_deciles", "bigram_lm",
+    "ngram_novelty", "hits_authority", "k_core_parts", "linkage_weights",
+    "mmr_diversify", "dedup_prf", "linkage_scores", "containment_pairs",
+    "linkage_em", "woe_iv", "label_propagation", "tokenizer_fertility",
+    "doc_keywords", "covisitation_llr", "personalized_pagerank",
+    "ranking_metrics", "hll_distinct", "cluster_quality", "join_health",
+    "sorted_neighborhood", "bootstrap_ci", "categorical_psi", "pca_power",
+    "correlation_matrix", "effective_sample_size", "slice_diversity",
+    "random_projection", "changepoint", "max_concurrency",
+    "weighted_quantiles", "ips_policy_value", "dedup_summary",
+]
+
+
+def _gated_keys() -> set[str]:
+    out: set[str] = set()
+    for n in range(1, 7):
+        path = os.path.join(_REPO, f"CORRECTNESS_r0{n}.json")
+        if os.path.exists(path):
+            out.update(json.load(open(path)))
+    return out
+
+
+def test_round7_window_is_pinned_queue():
+    mod = _entry_module()
+    ordered = mod._ordered_keys()
+    assert len(ordered) == len(set(ordered)), "duplicate keys in queue"
+    assert set(ordered) == set(QUERIES), "queue does not cover the catalog"
+    assert ordered[:50] == _ROUND7_WINDOW
+    already = set(ordered[:50]) & _gated_keys()
+    assert not already, f"window wastes slots on gated keys: {sorted(already)}"
+
+
+def test_queue_drains_never_gated_first():
+    """Every never-gated key must sort ahead of every already-gated key."""
+    mod = _entry_module()
+    ordered = mod._ordered_keys()
+    gated = _gated_keys() & set(ordered)
+    never = [k for k in ordered if k not in gated]
+    cutoff = max(ordered.index(k) for k in never)
+    early_gated = [k for k in ordered[:cutoff] if k in gated]
+    assert not early_gated, (
+        f"gated keys queued ahead of never-gated ones: {early_gated[:5]}"
+    )
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert not missing, f"queries without a DuckDB oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_all_outputs_scalar_only(name, spark):
+    """No catalog query may project Array/Map/Struct columns — the
+    driver's value canonicalizer hashes scalar cells only (the round-5
+    red-row class)."""
+    df = QUERIES[name](spark, SF_SMOKE)
+    bad = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)
+    ]
+    assert not bad, (
+        f"{name} projects non-scalar columns {bad}; the driver gate "
+        "cannot hash these — canonicalize to string/number first"
+    )
