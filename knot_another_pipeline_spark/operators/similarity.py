@@ -669,6 +669,49 @@ def ann_recall(
     )
 
 
+def _mmr_round_plan(
+    cands: DataFrame,
+    *,
+    chosen_ids: list,
+    chosen_vecs: list,
+    lam: float,
+    round_to: int,
+) -> DataFrame:
+    """One MMR round's scored-candidate plan.
+
+    The already-selected vectors travel as DATA in a broadcast 1-row
+    frame (nested-array ``_sel`` column) cross-joined to the remaining
+    candidates — never as codegen literals — so the plan size is
+    CONSTANT in k·d (asserted by tests/test_round7_ops.py at k=50,
+    d=1024).  The redundancy penalty is a row-local ``array_max`` over
+    per-selected dot folds: k·d-bounded work per row, zero shuffle.
+    """
+    if not chosen_vecs:
+        return cands.withColumn("_mmr", F.round(F.col("rel"), round_to))
+    from pyspark.sql import types as T
+
+    sel_schema = T.StructType(
+        [T.StructField("_sel", T.ArrayType(T.ArrayType(T.DoubleType())))]
+    )
+    sel_df = cands.sparkSession.createDataFrame(
+        [([[float(x) for x in v] for v in chosen_vecs],)], schema=sel_schema
+    )
+    penalty = F.array_max(
+        F.transform(F.col("_sel"), lambda s: dot(F.col("v"), s))
+    )
+    return (
+        cands.filter(~F.col("id").isin(chosen_ids))
+        .crossJoin(F.broadcast(sel_df))
+        .withColumn(
+            "_mmr",
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * penalty,
+                round_to,
+            ),
+        )
+    )
+
+
 def mmr_select(
     df: DataFrame,
     *,
@@ -690,12 +733,18 @@ def mmr_select(
     Greedy-iterative by definition (selection ``i`` depends on the
     previous ``i−1``), so this is a k-round driver loop — the same
     contract as ``kmeans_step``/``bpe_learn``: each round is ONE pass
-    over the candidate frame (the k−1 selected vectors ride along as
-    broadcast literals; the similarity penalty is a row-local fold,
-    k·d-bounded work per row) plus a 1-row argmax collect.  The
-    candidate frame is pinned once with an eager localCheckpoint; for
-    huge corpora prefilter to a top-m relevance slice first — MMR is a
-    re-ranker, not a scanner.
+    over the candidate frame plus a 1-row argmax collect.  The k−1
+    already-selected vectors ride along as a BROADCAST 1-row frame
+    (nested-array column) cross-joined to the candidates — data in the
+    broadcast relation, never codegen literals — so the plan size is
+    constant in k·d (the same rewrite ``pca_power_iteration`` carries
+    its iterate with; embedding vectors as ``F.lit`` folds O(k²·d)
+    literals into the plan across the loop and hits codegen limits at
+    k≥50, d≥1024).  The similarity penalty is a row-local
+    ``array_max`` over per-selected dot folds, k·d-bounded work per
+    row, no shuffle.  The candidate frame is pinned once with an eager
+    localCheckpoint; for huge corpora prefilter to a top-m relevance
+    slice first — MMR is a re-ranker, not a scanner.
 
     Round 1 scores pure relevance (nothing selected yet to be
     redundant with).  Every argmax compares ``round_to``-rounded
@@ -729,28 +778,19 @@ def mmr_select(
         .localCheckpoint(eager=True)
     )
     spark = df.sparkSession
+    from pyspark.sql import types as T
+
     selected: list = []  # rows: (rank, id, rel, mmr, vec)
     for rank in range(1, k + 1):
-        remaining = cands
-        if selected:
-            chosen_ids = [s[1] for s in selected]
-            remaining = cands.filter(~F.col("id").isin(chosen_ids))
-            sims = [
-                dot(F.col("v"), F.array(*[F.lit(float(x)) for x in s[4]]))
-                for s in selected
-            ]
-            score = F.round(
-                F.lit(lam) * F.col("rel")
-                - F.lit(1.0 - lam) * F.greatest(*sims)
-                if len(sims) > 1
-                else F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * sims[0],
-                round_to,
-            )
-        else:
-            score = F.round(F.col("rel"), round_to)
+        scored = _mmr_round_plan(
+            cands,
+            chosen_ids=[s[1] for s in selected],
+            chosen_vecs=[s[4] for s in selected],
+            lam=lam,
+            round_to=round_to,
+        )
         top = (
-            remaining.withColumn("_mmr", score)
-            .orderBy(F.desc("_mmr"), F.col("id").asc())
+            scored.orderBy(F.desc("_mmr"), F.col("id").asc())
             .limit(1)
             .collect()
         )
@@ -758,8 +798,6 @@ def mmr_select(
             break
         r = top[0]
         selected.append((rank, r["id"], r["rel"], r["_mmr"], list(r["v"])))
-    from pyspark.sql import types as T
-
     schema = T.StructType(
         [
             T.StructField("rank", T.LongType()),
