@@ -253,9 +253,19 @@ def main() -> None:
     # host; SPARK_GRAFT_ONLY=a,b,c scopes a run to named queries.
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_SAMPLES", "2")))
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    names = (
-        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
-    )
+    # --all / SPARK_GRAFT_ALL=1: bench the ENTIRE catalog — HEADLINE
+    # first (stable cross-round comparison order), then every remaining
+    # catalog key in catalog order. Gives the keys outside HEADLINE
+    # (driver-timed in early rounds: exact_dedup, pagerank, cdc_apply,
+    # media_frames, ...) a committed timing baseline.
+    run_all = "--all" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_ALL", ""
+    ).lower() in ("1", "true", "yes")
+    full_order = HEADLINE + [n for n in QUERIES if n not in set(HEADLINE)]
+    names = full_order if run_all else HEADLINE
+    if only:  # ONLY scopes within the full catalog, headline or not
+        wanted = set(only.split(","))
+        names = [n for n in full_order if n in wanted]
     per_query: dict[str, float] = {}
     for name in names:
         fn = bench_fns[name]
@@ -301,17 +311,16 @@ def main() -> None:
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(per_query),
-                "sf": sf_val,
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(per_query),
+        "sf": sf_val,
+    }
+    if run_all:
+        compact["mode"] = "all"
+    print(json.dumps(compact))
     spark.stop()
 
 

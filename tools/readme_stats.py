@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Verify (default) or regenerate (--write) the README numbers that are
+derived from artifacts, so the prose can never drift from reality again:
+
+- ``N_QUERIES``  — the catalog size, from ``len(catalog_queries.QUERIES)``.
+- ``BENCH_HEADLINE`` — total seconds / query count / sf from the newest
+  committed ``BENCH_r{N}.json`` whose compact line parsed.
+
+The README carries ``<!--KEY-->value<!--/KEY-->`` markers around each
+generated span; ``tests/test_readme_stats.py`` fails the suite whenever
+a regeneration would change the file.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+README = os.path.join(REPO, "README.md")
+
+
+def latest_bench() -> tuple[str, dict]:
+    best: tuple[str, dict] | None = None
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        with open(path) as fh:
+            doc = json.load(fh)
+        parsed = doc.get("parsed")
+        if parsed and parsed.get("value") is not None:
+            best = (path, doc)
+    if best is None:
+        raise SystemExit("no parseable BENCH_r*.json artifact found")
+    return best
+
+
+def expected_values() -> dict[str, str]:
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from knot_another_pipeline_spark.catalog_queries import QUERIES
+
+    path, doc = latest_bench()
+    parsed = doc["parsed"]
+    headline = (
+        f"{parsed['value']:.1f} s for {parsed['n_queries']} headline "
+        f"queries at sf{parsed['sf']}"
+        f" (round-{doc['n']} driver artifact, {os.path.basename(path)})"
+    )
+    return {"N_QUERIES": str(len(QUERIES)), "BENCH_HEADLINE": headline}
+
+
+def render(text: str, values: dict[str, str]) -> str:
+    for key, val in values.items():
+        pat = re.compile(f"(<!--{key}-->).*?(<!--/{key}-->)", re.S)
+        if not pat.search(text):
+            raise SystemExit(f"README is missing the <!--{key}--> marker")
+        text = pat.sub(lambda m: m.group(1) + val + m.group(2), text)
+    return text
+
+
+def main() -> None:
+    with open(README) as fh:
+        text = fh.read()
+    new = render(text, expected_values())
+    if "--write" in sys.argv[1:]:
+        if new != text:
+            with open(README, "w") as fh:
+                fh.write(new)
+            print("README updated")
+        else:
+            print("README already current")
+    elif new != text:
+        raise SystemExit(
+            "README numbers drifted from the artifacts — run "
+            "`python tools/readme_stats.py --write`"
+        )
+    else:
+        print("README numbers match artifacts")
+
+
+if __name__ == "__main__":
+    main()
