@@ -114,9 +114,16 @@ _PRIORITY = [
     "track_length",
     "community_quality",
     # --- round-8 FIFO boundary: everything above this line that falls
-    # outside the 50-key window (zipf_fit .. community_quality) moves to
-    # the FRONT next round.  Below: the 50 keys driver-gated green in
-    # CORRECTNESS_r06, rotated to the back.
+    # outside the 50-key window (zipf_fit .. community_quality, 22 keys)
+    # moves to the FRONT next round, followed by the round-7 additions
+    # below (newest never-gated keys — capped at ~20 this round per
+    # VERDICT r6 task #2 so round 8 reaches full driver coverage).
+    "classification_report",
+    "conformal_threshold",
+    "bradley_terry",
+    "class_weights",
+    # Below: the 50 keys driver-gated green in CORRECTNESS_r06, rotated
+    # to the back.
     "fuzzy_match",
     "json_extract_stats",
     "pivot_daily",

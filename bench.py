@@ -185,6 +185,11 @@ HEADLINE = [
     "poisson_rate_ci",
     "track_length",
     "community_quality",
+    # r7 additions: model evaluation / preference data / loss weights
+    "classification_report",
+    "conformal_threshold",
+    "bradley_terry",
+    "class_weights",
 ]
 
 

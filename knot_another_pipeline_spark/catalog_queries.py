@@ -9928,10 +9928,247 @@ FROM shaped
 
 
 # --------------------------------------------------------------------------
+# Round-7 additions: model evaluation, preference data, loss weights
+# --------------------------------------------------------------------------
+
+
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 over a synthetic prediction table
+    (operators/evaluation.py classification_report): every 5th vector's
+    label is perturbed one class up, so each class has known confusion
+    with its neighbor. One pair-key aggregate; margins from the tiny
+    confusion table."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    preds = emb.select(
+        F.col("label").alias("y_true"),
+        (
+            (F.col("label") + F.when(F.col("vec_id") % 5 == 0, 1).otherwise(0))
+            % 10
+        ).alias("y_pred"),
+    )
+    return classification_report(preds, true_col="y_true", pred_col="y_pred")
+
+
+ORACLE_CLASSIFICATION_REPORT = """
+WITH p AS (
+  SELECT label AS t,
+         (label + CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) % 10 AS pr
+  FROM embeddings WHERE label IS NOT NULL),
+conf AS (SELECT t, pr, count(*) AS n FROM p GROUP BY 1, 2),
+sup AS (SELECT t AS label, sum(n) AS support FROM conf GROUP BY 1),
+prd AS (SELECT pr AS label, sum(n) AS predicted FROM conf GROUP BY 1),
+tp AS (SELECT t AS label, n AS tp FROM conf WHERE t = pr),
+j AS (
+  SELECT coalesce(s.label, pd.label) AS label,
+         coalesce(s.support, 0) AS support,
+         coalesce(pd.predicted, 0) AS predicted,
+         coalesce(tp.tp, 0) AS tp
+  FROM sup s
+  FULL JOIN prd pd ON s.label = pd.label
+  LEFT JOIN tp ON tp.label = coalesce(s.label, pd.label)),
+m AS (
+  SELECT label, support, predicted, tp,
+         CASE WHEN predicted > 0 THEN tp * 1.0 / predicted END AS prec,
+         CASE WHEN support > 0 THEN tp * 1.0 / support END AS rec
+  FROM j)
+SELECT label,
+       CAST(support AS BIGINT) AS support,
+       CAST(predicted AS BIGINT) AS predicted,
+       CAST(tp AS BIGINT) AS tp,
+       round(prec, 6) AS "precision",
+       round(rec, 6) AS recall,
+       round(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                   AND prec + rec > 0
+                  THEN 2 * prec * rec / (prec + rec) END, 6) AS f1
+FROM m
+"""
+
+
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration per event type (operators/
+    evaluation.py conformal_threshold): md5 hash-split, exact rank
+    order statistic at ceil((n+1)(1-alpha)), held-out coverage readout.
+    The oracle replays the split, the rank selection, and the coverage
+    join."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return conformal_threshold(
+        ev, group_col="event_type", score_col="value", id_col="event_id",
+        alpha=0.1, cal_pct=50,
+    )
+
+
+ORACLE_CONFORMAL_THRESHOLD = """
+WITH s AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS score,
+         CAST(event_id AS VARCHAR) AS id,
+         (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100) < 50 AS cal
+  FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT grp, score, id,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY score ASC, id ASC) AS rn
+  FROM s WHERE cal),
+nc AS (SELECT grp, count(*) AS n_cal FROM s WHERE cal GROUP BY 1),
+th AS (
+  SELECT r.grp, n.n_cal, r.score AS threshold
+  FROM ranked r JOIN nc n ON r.grp = n.grp
+  WHERE r.rn = least(CAST(ceil((n.n_cal + 1) * 0.9) AS BIGINT), n.n_cal))
+SELECT th.grp AS group_key,
+       CAST(th.n_cal AS BIGINT) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       round(th.threshold, 6) AS threshold,
+       round(0.9, 6) AS target,
+       round(sum(CASE WHEN e.score <= th.threshold THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS coverage
+FROM s e JOIN th ON e.grp = th.grp
+WHERE NOT e.cal
+GROUP BY th.grp, th.n_cal, th.threshold
+"""
+
+
+def _bt_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise outcomes for Bradley-Terry: consecutive events per user
+    (ts then event_id order) are a "match" between their event types;
+    the higher value wins. Equal values or equal types are no-contests."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type", "value",
+        F.lag("event_type").over(w).alias("p_type"),
+        F.lag("value").over(w).alias("p_value"),
+    )
+    return seq.filter(
+        F.col("p_type").isNotNull()
+        & F.col("value").isNotNull() & F.col("p_value").isNotNull()
+        & (F.col("value") != F.col("p_value"))
+        & (F.col("event_type") != F.col("p_type"))
+    ).select(
+        F.when(F.col("value") > F.col("p_value"), F.col("event_type"))
+        .otherwise(F.col("p_type")).alias("winner"),
+        F.when(F.col("value") > F.col("p_value"), F.col("p_type"))
+        .otherwise(F.col("event_type")).alias("loser"),
+    )
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over event-type "matches" (operators/
+    evaluation.py bradley_terry): two Zermelo/MM rounds from a uniform
+    start, mean-1 renormalized each round. The oracle replays both
+    rounds in CTEs over the same pair table."""
+    from knot_another_pipeline_spark.operators.evaluation import bradley_terry
+
+    m = _bt_matches(spark, sf_dir)
+    return bradley_terry(
+        m, winner_col="winner", loser_col="loser", iterations=2
+    )
+
+
+_BT_MATCHES_SQL = """
+  SELECT CASE WHEN value > p_value THEN event_type ELSE p_type END AS winner,
+         CASE WHEN value > p_value THEN p_type ELSE event_type END AS loser
+  FROM (
+    SELECT event_type, value,
+           lag(event_type) OVER w AS p_type,
+           lag(value) OVER w AS p_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+  WHERE p_type IS NOT NULL AND value IS NOT NULL AND p_value IS NOT NULL
+    AND value != p_value AND event_type != p_type
+"""
+
+
+def _bt_round_sql(n: int, prev: str) -> str:
+    return f""",
+d{n} AS (
+  SELECT nij.i AS item, sum(nij.n_ij / (si.s + sj.s)) AS denom
+  FROM nij
+  JOIN {prev} si ON si.item = nij.i
+  JOIN {prev} sj ON sj.item = nij.j
+  GROUP BY 1),
+r{n} AS (
+  SELECT it.item,
+         CASE WHEN d.denom > 0 THEN it.n_wins / d.denom ELSE 0.0 END AS s
+  FROM items it JOIN d{n} d ON d.item = it.item),
+s{n} AS (SELECT item, s / (SELECT avg(s) FROM r{n}) AS s FROM r{n})"""
+
+
+ORACLE_BRADLEY_TERRY = f"""
+WITH m AS ({_BT_MATCHES_SQL}),
+wins AS (SELECT winner AS w, loser AS l, count(*) AS n FROM m GROUP BY 1, 2),
+pairs AS (
+  SELECT i, j, sum(w_ij) AS w_ij FROM (
+    SELECT w AS i, l AS j, n AS w_ij FROM wins
+    UNION ALL
+    SELECT l AS i, w AS j, 0 AS w_ij FROM wins)
+  GROUP BY 1, 2),
+nij AS (
+  SELECT a.i, a.j, a.w_ij, a.w_ij + b.w_ij AS n_ij
+  FROM pairs a JOIN pairs b ON a.i = b.j AND a.j = b.i),
+items AS (
+  SELECT i AS item, sum(n_ij) AS n_matches, sum(w_ij) AS n_wins
+  FROM nij GROUP BY 1),
+s0 AS (SELECT item, 1.0 AS s FROM items){_bt_round_sql(1, "s0")}{_bt_round_sql(2, "s1")}
+SELECT it.item,
+       CAST(it.n_matches AS BIGINT) AS n_matches,
+       CAST(it.n_wins AS BIGINT) AS n_wins,
+       round(s2.s, 6) AS strength,
+       round(CASE WHEN it.n_matches > 0
+                  THEN it.n_wins * 1.0 / it.n_matches END, 6) AS win_rate
+FROM items it JOIN s2 ON s2.item = it.item
+"""
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency and class-balanced (Cui et al. 2019 effective
+    number, beta=0.99) loss weights from the embedding label histogram
+    (operators/features.py class_weights). One label aggregate plus
+    broadcast totals."""
+    from knot_another_pipeline_spark.operators.features import class_weights
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return class_weights(emb, label_col="label", beta=0.99)
+
+
+ORACLE_CLASS_WEIGHTS = """
+WITH c AS (
+  SELECT label, count(*) AS n FROM embeddings
+  WHERE label IS NOT NULL GROUP BY 1),
+t AS (SELECT sum(n) AS total, count(*) AS classes FROM c),
+e AS (
+  SELECT label, n,
+         (1 - pow(0.99, n)) / (1.0 - 0.99) AS eff
+  FROM c),
+es AS (SELECT sum(1.0 / eff) AS eff_sum FROM e)
+SELECT e.label,
+       CAST(e.n AS BIGINT) AS n,
+       round(e.n * 1.0 / t.total, 6) AS frac,
+       round(t.total * 1.0 / (t.classes * e.n), 6) AS inv_freq_weight,
+       round((1.0 / e.eff) * t.classes / es.eff_sum, 6) AS eff_num_weight
+FROM e CROSS JOIN t CROSS JOIN es
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    # round-7 additions: model evaluation, preference data, loss weights
+    "classification_report": q_classification_report,
+    "conformal_threshold": q_conformal_threshold,
+    "bradley_terry": q_bradley_terry,
+    "class_weights": q_class_weights,
     # round-6 additions: distribution tests, agreement, uplift, bigram LM,
     # novelty, HITS, k-core, record-linkage weights
     "ks_drift": q_ks_drift,
@@ -10177,6 +10414,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    # round-7 additions
+    "classification_report": ORACLE_CLASSIFICATION_REPORT,
+    "conformal_threshold": ORACLE_CONFORMAL_THRESHOLD,
+    "bradley_terry": ORACLE_BRADLEY_TERRY,
+    "class_weights": ORACLE_CLASS_WEIGHTS,
     "ks_drift": ORACLE_KS_DRIFT,
     "label_agreement": ORACLE_LABEL_AGREEMENT,
     "uplift_deciles": ORACLE_UPLIFT_DECILES,

@@ -808,3 +808,267 @@ def dedup_pr_curve(
             round_to,
         ).alias("f1"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    *,
+    true_col: str,
+    pred_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-class precision / recall / F1 / support from a (true, pred)
+    prediction table — the sklearn ``classification_report`` readout,
+    computed engine-side so model-eval jobs never collect raw
+    predictions to the driver.
+
+    Scale shape: ONE hash aggregate on the (true, pred) pair key
+    reduces N rows to the ≤C² confusion table; the per-class margins
+    come from two re-aggregations of that tiny table (broadcast-sized
+    by construction — C is the label cardinality, not the data).  No
+    window, no self-join, no second scan of the predictions.
+
+    Output per class seen in either column: label, support (true
+    count), predicted (pred count), tp, precision, recall, f1
+    (``round_to``; NULL where the denominator is 0).
+    """
+    conf = (
+        df.filter(F.col(true_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(true_col).alias("_t"), F.col(pred_col).alias("_p")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    support = conf.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("_n").alias("support")
+    )
+    predicted = conf.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").alias("predicted")
+    )
+    tp = (
+        conf.filter(F.col("_t") == F.col("_p"))
+        .select(F.col("_t").alias("label"), F.col("_n").alias("tp"))
+    )
+    out = (
+        support.join(predicted, "label", "full_outer")
+        .join(tp, "label", "left")
+        .na.fill({"support": 0, "predicted": 0, "tp": 0})
+    )
+    prec = F.when(
+        F.col("predicted") > 0, F.col("tp") / F.col("predicted")
+    )
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    return out.select(
+        "label",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("predicted").cast("bigint").alias("predicted"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(
+            F.when(
+                prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+                2 * prec * rec / (prec + rec),
+            ),
+            round_to,
+        ).alias("f1"),
+    )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    cal_pct: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Split-conformal calibration per group: hash-split the scored
+    rows into a calibration and an evaluation half, take the
+    ceil((n+1)(1−α))-th smallest calibration score as the conformal
+    threshold (Vovk et al.; the finite-sample-valid quantile), and
+    read back the empirical coverage on the held-out half — the
+    distribution-free "how big must the prediction set be" number.
+
+    Determinism: the split is ``md5(id) % 100 < cal_pct`` (replayable
+    cross-engine, same idiom as ``hash_sample``); the order statistic
+    is an exact rank selection (row_number on score with an id
+    tiebreak), NOT ``percentile_approx``.
+
+    Scale shape: one shuffle on the group key serves both the rank
+    window (calibration side) and the coverage aggregate; the
+    per-group thresholds (≤|groups| rows) broadcast back onto the
+    evaluation side.
+
+    Output per group: n_cal, n_eval, threshold, target (1−α),
+    coverage (fraction of eval scores ≤ threshold).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    scored = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(id_col).cast("string").alias("_id"),
+    ).filter(F.col("score").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_id")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    scored = scored.withColumn("_cal", bucket < F.lit(int(cal_pct)))
+    cal = scored.filter(F.col("_cal"))
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").asc(), F.col("_id").asc()
+    )
+    ranked = cal.withColumn("_rn", F.row_number().over(w))
+    n_cal = cal.groupBy("grp").agg(F.count(F.lit(1)).alias("n_cal"))
+    # k = ceil((n+1)(1-alpha)), clamped to n (alpha smaller than 1/(n+1)
+    # would demand a rank beyond the sample).
+    k_expr = F.least(
+        F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("bigint"),
+        F.col("n_cal"),
+    )
+    ks = n_cal.select("grp", "n_cal", k_expr.alias("_k"))
+    thresholds = (
+        ranked.join(F.broadcast(ks), "grp")
+        .filter(F.col("_rn") == F.col("_k"))
+        .select("grp", "n_cal", F.col("score").alias("threshold"))
+    )
+    cov = (
+        scored.filter(~F.col("_cal"))
+        .join(F.broadcast(thresholds), "grp")
+        .groupBy("grp", "n_cal", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(F.col("score") <= F.col("threshold"), 1).otherwise(0)
+            ).alias("_cov"),
+        )
+    )
+    return cov.select(
+        F.col("grp").alias("group_key"),
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("n_eval").cast("bigint").alias("n_eval"),
+        F.round("threshold", round_to).alias("threshold"),
+        F.round(F.lit(1.0 - alpha), round_to).alias("target"),
+        F.round(F.col("_cov") / F.col("n_eval"), round_to).alias("coverage"),
+    )
+
+
+def bradley_terry(
+    matches: DataFrame,
+    *,
+    winner_col: str,
+    loser_col: str,
+    iterations: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bradley–Terry strength estimation from pairwise outcomes — the
+    standard model behind LLM preference leaderboards (win matrix →
+    latent strengths): ``iterations`` rounds of the Zermelo/MM update
+
+        s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j)
+
+    from a uniform start, renormalized each round so strengths mean to
+    1 (the likelihood is scale-invariant; pinning the mean makes the
+    sequence reproducible cross-engine).
+
+    Scale shape: the match log reduces to the ≤C² (i, j, n_ij, w_ij)
+    pair table with ONE hash aggregate; every MM round is two joins of
+    that tiny table against the C-row strength frame plus one per-item
+    aggregate — broadcast-sized throughout (C = number of items, not
+    rows).  Like ``kmeans_step``/``pagerank``, the iterate lives in a
+    DataFrame, never in plan literals.
+
+    Output per item: item, n_matches, n_wins, strength (after
+    ``iterations`` rounds), win_rate.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    m = matches.select(
+        F.col(winner_col).cast("string").alias("_w"),
+        F.col(loser_col).cast("string").alias("_l"),
+    ).filter(
+        F.col("_w").isNotNull() & F.col("_l").isNotNull()
+        & (F.col("_w") != F.col("_l"))
+    )
+    # Directed win counts, then the symmetric pair table.
+    wins = m.groupBy("_w", "_l").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        wins.select(
+            F.col("_w").alias("i"), F.col("_l").alias("j"),
+            F.col("n").alias("w_ij"),
+        )
+        .unionByName(
+            wins.select(
+                F.col("_l").alias("i"), F.col("_w").alias("j"),
+                F.lit(0).cast("bigint").alias("w_ij"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w_ij").alias("w_ij"))
+    )
+    n_ij = (
+        pairs.alias("a")
+        .join(
+            pairs.select(
+                F.col("i").alias("j"), F.col("j").alias("i"),
+                F.col("w_ij").alias("w_ji"),
+            ).alias("b"),
+            ["i", "j"],
+        )
+        .select("i", "j", "w_ij", (F.col("w_ij") + F.col("w_ji")).alias("n_ij"))
+        .localCheckpoint(eager=True)
+    )
+    items = n_ij.groupBy(F.col("i").alias("item")).agg(
+        (F.sum("n_ij")).alias("n_matches"),
+        F.sum("w_ij").alias("n_wins"),
+    )
+    s = items.select("item", F.lit(1.0).alias("s"))
+    for _ in range(iterations):
+        joined = (
+            n_ij.join(
+                F.broadcast(s.select(F.col("item").alias("i"),
+                                     F.col("s").alias("s_i"))), "i"
+            )
+            .join(
+                F.broadcast(s.select(F.col("item").alias("j"),
+                                     F.col("s").alias("s_j"))), "j"
+            )
+            .groupBy(F.col("i").alias("item"))
+            .agg(
+                F.sum(F.col("n_ij") / (F.col("s_i") + F.col("s_j"))).alias(
+                    "_denom"
+                )
+            )
+        )
+        s = (
+            items.join(joined, "item")
+            .select(
+                "item",
+                F.when(
+                    F.col("_denom") > 0, F.col("n_wins") / F.col("_denom")
+                ).otherwise(F.lit(0.0)).alias("s"),
+            )
+        )
+        mean = s.agg(F.avg("s").alias("_m"))
+        s = s.crossJoin(F.broadcast(mean)).select(
+            "item", (F.col("s") / F.col("_m")).alias("s")
+        )
+    return (
+        items.join(s, "item")
+        .select(
+            "item",
+            F.col("n_matches").cast("bigint").alias("n_matches"),
+            F.col("n_wins").cast("bigint").alias("n_wins"),
+            F.round("s", round_to).alias("strength"),
+            F.round(
+                F.when(
+                    F.col("n_matches") > 0,
+                    F.col("n_wins") / F.col("n_matches"),
+                ),
+                round_to,
+            ).alias("win_rate"),
+        )
+    )

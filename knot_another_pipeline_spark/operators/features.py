@@ -543,3 +543,58 @@ def binned_mutual_info(
             F.when(hmin > 0, F.col("_mi") / hmin), round_to
         ).alias("nmi"),
     )
+
+
+def class_weights(
+    df: DataFrame,
+    *,
+    label_col: str,
+    beta: float = 0.99,
+    round_to: int = 6,
+) -> DataFrame:
+    """Training loss weights per class from label frequencies — both the
+    classic inverse-frequency weight N/(C·n_c) and the class-balanced
+    "effective number of samples" weight of Cui et al. 2019
+    ((1−β)/(1−β^n_c), renormalized to mean 1 across classes) — the
+    table a trainer broadcasts into its loss when the label histogram
+    is skewed.
+
+    ONE hash aggregate on the label key reduces the frame to C rows;
+    the totals ride in as a broadcast 1-row frame.  Pure codegen.
+
+    Output per class: label, n, frac, inv_freq_weight, eff_num_weight.
+    """
+    if not 0 < beta < 1:
+        raise ValueError(f"beta must be in (0, 1), got {beta}")
+    counts = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.agg(
+        F.sum("n").alias("_total"),
+        F.count(F.lit(1)).alias("_classes"),
+    )
+    eff = (1 - F.pow(F.lit(beta), F.col("n"))) / F.lit(1.0 - beta)
+    raw_eff = F.lit(1.0) / eff
+    with_tot = counts.crossJoin(F.broadcast(totals))
+    # Normalize the effective-number weights to mean 1 across classes.
+    eff_sum = with_tot.agg(
+        F.sum(raw_eff).alias("_eff_sum"), F.max("_classes").alias("_c")
+    )
+    return (
+        with_tot.crossJoin(F.broadcast(eff_sum))
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("_total"), round_to).alias("frac"),
+            F.round(
+                F.col("_total")
+                / (F.col("_classes") * F.col("n")),
+                round_to,
+            ).alias("inv_freq_weight"),
+            F.round(
+                raw_eff * F.col("_c") / F.col("_eff_sum"), round_to
+            ).alias("eff_num_weight"),
+        )
+    )

@@ -84,3 +84,169 @@ def test_mmr_ties_break_by_id(spark):
         df, id_col="id", vec_col="v", rel_col="rel", k=2, lam=1.0
     ).collect()
     assert [r["id"] for r in out] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_match_pairs deletion-neighborhood path (k=1) vs brute force
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_match_deletion_join_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.dedup import fuzzy_match_pairs
+
+    import random
+    rng = random.Random(3)
+    alphabet = "abcde"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+            for _ in range(30)]
+    rows = []
+    for i, s in enumerate(base):
+        rows.append((i, s, "blk"))
+        # mutated sibling: substitution, insertion, or deletion
+        op = rng.choice(["sub", "ins", "del"])
+        if op == "sub" and s:
+            p = rng.randrange(len(s))
+            m = s[:p] + rng.choice(alphabet) + s[p + 1:]
+        elif op == "ins":
+            p = rng.randrange(len(s) + 1)
+            m = s[:p] + rng.choice(alphabet) + s[p:]
+        else:
+            p = rng.randrange(len(s)) if s else 0
+            m = s[:p] + s[p + 1:] if s else "a"
+        rows.append((100 + i, m, "blk"))
+    df = spark.createDataFrame(rows, "id bigint, name string, seg string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_match_pairs(
+            df, id_col="id", text_col="name", max_distance=1,
+            block_cols=["seg"],
+        ).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ia, sa, _ = rows[i]
+            ib, sb, _ = rows[j]
+            d = _lev(sa, sb)
+            if d <= 1:
+                lo, hi = min(ia, ib), max(ia, ib)
+                want.add((lo, hi, d))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry: strengths order matches win dominance; MM math vs numpy
+# ---------------------------------------------------------------------------
+
+def test_bradley_terry_matches_reference_updates(spark):
+    from knot_another_pipeline_spark.operators.evaluation import bradley_terry
+
+    matches = (
+        [("a", "b")] * 8 + [("b", "a")] * 2
+        + [("b", "c")] * 6 + [("c", "b")] * 4
+        + [("a", "c")] * 9 + [("c", "a")] * 1
+    )
+    df = spark.createDataFrame(matches, "w string, l string")
+    out = {
+        r["item"]: r
+        for r in bradley_terry(
+            df, winner_col="w", loser_col="l", iterations=2
+        ).collect()
+    }
+    # reference MM in plain python
+    import itertools
+    items = ["a", "b", "c"]
+    wins = {(w, l): 0 for w, l in itertools.permutations(items, 2)}
+    for w, l in matches:
+        wins[(w, l)] += 1
+    n = {
+        (i, j): wins[(i, j)] + wins[(j, i)]
+        for i, j in itertools.permutations(items, 2)
+    }
+    W = {i: sum(wins[(i, j)] for j in items if j != i) for i in items}
+    s = {i: 1.0 for i in items}
+    for _ in range(2):
+        new = {}
+        for i in items:
+            denom = sum(
+                n[(i, j)] / (s[i] + s[j]) for j in items if j != i
+            )
+            new[i] = W[i] / denom if denom > 0 else 0.0
+        mean = sum(new.values()) / len(new)
+        s = {i: v / mean for i, v in new.items()}
+    for i in items:
+        assert abs(out[i]["strength"] - round(s[i], 6)) < 1e-9, (i, s[i])
+    assert out["a"]["strength"] > out["b"]["strength"] > out["c"]["strength"]
+    assert out["a"]["n_matches"] == 20 and out["a"]["n_wins"] == 17
+
+
+# ---------------------------------------------------------------------------
+# conformal_threshold: finite-sample coverage on a known distribution
+# ---------------------------------------------------------------------------
+
+def test_conformal_threshold_rank_selection(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    # cal_pct=100 puts every row in calibration; with n rows and
+    # alpha=0.2 the threshold is the ceil((n+1)*0.8)-th smallest score.
+    rows = [("g", float(v), str(v)) for v in range(1, 20)]
+    df = spark.createDataFrame(rows, "grp string, score double, id string")
+    out = conformal_threshold(
+        df, group_col="grp", score_col="score", id_col="id",
+        alpha=0.2, cal_pct=101,
+    ).collect()
+    # all rows calibrated -> no eval rows -> empty coverage table
+    assert out == []
+    out2 = conformal_threshold(
+        df, group_col="grp", score_col="score", id_col="id",
+        alpha=0.2, cal_pct=50,
+    ).collect()
+    assert len(out2) == 1
+    r = out2[0]
+    assert r["n_cal"] + r["n_eval"] == 19
+    assert 0.0 <= r["coverage"] <= 1.0
+    assert r["target"] == 0.8
+
+
+def test_classification_report_perfect_and_noisy(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    rows = [(0, 0)] * 8 + [(0, 1)] * 2 + [(1, 1)] * 5 + [(2, 1)] * 1
+    df = spark.createDataFrame(rows, "t int, p int")
+    out = {r["label"]: r for r in classification_report(
+        df, true_col="t", pred_col="p"
+    ).collect()}
+    assert out[0]["support"] == 10 and out[0]["tp"] == 8
+    assert out[0]["precision"] == 1.0 and out[0]["recall"] == 0.8
+    assert out[1]["predicted"] == 8 and out[1]["tp"] == 5
+    assert out[2]["recall"] == 0.0 and out[2]["f1"] is None
+
+
+def test_class_weights_sum_properties(spark):
+    from knot_another_pipeline_spark.operators.features import class_weights
+
+    rows = [(0,)] * 90 + [(1,)] * 9 + [(2,)] * 1
+    df = spark.createDataFrame(rows, "label int")
+    out = {r["label"]: r for r in class_weights(
+        df, label_col="label", beta=0.9
+    ).collect()}
+    # rare classes get larger weights under both schemes
+    assert out[2]["inv_freq_weight"] > out[1]["inv_freq_weight"] > out[0]["inv_freq_weight"]
+    assert out[2]["eff_num_weight"] > out[1]["eff_num_weight"] > out[0]["eff_num_weight"]
+    # effective-number weights renormalized to mean 1
+    mean_eff = sum(r["eff_num_weight"] for r in out.values()) / 3
+    assert abs(mean_eff - 1.0) < 1e-4
