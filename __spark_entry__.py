@@ -122,6 +122,10 @@ _PRIORITY = [
     "conformal_threshold",
     "bradley_terry",
     "class_weights",
+    "boilerplate_lines",
+    "segment_dedup",
+    "knn_label_noise",
+    "dim_truncation",
     # Below: the 50 keys driver-gated green in CORRECTNESS_r06, rotated
     # to the back.
     "fuzzy_match",

@@ -190,6 +190,11 @@ HEADLINE = [
     "conformal_threshold",
     "bradley_terry",
     "class_weights",
+    # r7 additions: corpus hygiene / embedding audits
+    "boilerplate_lines",
+    "segment_dedup",
+    "knn_label_noise",
+    "dim_truncation",
 ]
 
 

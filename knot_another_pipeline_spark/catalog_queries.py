@@ -10159,6 +10159,197 @@ FROM e CROSS JOIN t CROSS JOIN es
 """
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate detection (operators/text_analysis.py
+    boilerplate_segments): 2-token segments recurring in >= 5 distinct
+    documents are template, per-doc ratio reported. Only md5 digests
+    shuffle; two narrow-key aggregates."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        boilerplate_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = boilerplate_segments(
+        docs, id_col="doc_id", text_col="text",
+        segment_tokens=2, min_docs=5,
+    )
+    return out.withColumnRenamed("doc", "doc_id")
+
+
+ORACLE_BOILERPLATE_LINES = f"""
+WITH toks AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+segs AS (
+  SELECT doc_id, s.i AS seg_idx,
+         md5(array_to_string(
+           list_slice(t, CAST(s.i * 2 + 1 AS BIGINT),
+                      CAST(s.i * 2 + 2 AS BIGINT)), ' ')) AS h
+  FROM base, UNNEST(range(0, CAST(ceil(n / 2.0) AS BIGINT))) AS s(i)),
+flagged AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+  WHERE df >= 5),
+bp AS (
+  SELECT doc_id, count(*) AS n_boilerplate
+  FROM segs JOIN flagged USING (h) GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY 1)
+SELECT t.doc_id,
+       CAST(t.n_segments AS BIGINT) AS n_segments,
+       CAST(coalesce(bp.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       round(coalesce(bp.n_boilerplate, 0) * 1.0 / t.n_segments, 6)
+         AS boilerplate_ratio
+FROM tot t LEFT JOIN bp ON bp.doc_id = t.doc_id
+"""
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact segment dedup with first-occurrence survivorship
+    (operators/dedup.py segment_dedup; the Lee et al. 2021 move at
+    segment granularity): one digest-key window, one per-doc
+    aggregate."""
+    from knot_another_pipeline_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = segment_dedup(
+        docs, id_col="doc_id", text_col="text", segment_tokens=2
+    )
+    return out.withColumnRenamed("doc", "doc_id")
+
+
+ORACLE_SEGMENT_DEDUP = f"""
+WITH toks AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+segs AS (
+  SELECT doc_id, s.i AS seg_idx,
+         md5(array_to_string(
+           list_slice(t, CAST(s.i * 2 + 1 AS BIGINT),
+                      CAST(s.i * 2 + 2 AS BIGINT)), ' ')) AS h
+  FROM base, UNNEST(range(0, CAST(ceil(n / 2.0) AS BIGINT))) AS s(i)),
+marked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY doc_id ASC, seg_idx ASC) = 1 AS keep
+  FROM segs)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       round((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END)) * 1.0
+             / count(*), 6) AS removed_ratio
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise triage via neighborhood disagreement (operators/
+    similarity.py knn_label_noise) over the exact top-10 cosine
+    neighbors of every 5th vector: the expensive search is whatever
+    index the corpus justifies (exact here); the operator itself is
+    two broadcast label joins and one per-query aggregate."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        knn_label_noise,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    neigh = cosine_topk(
+        emb.filter(F.col("vec_id") % 5 == 0), emb,
+        id_col="vec_id", vec_col="embedding", k=10,
+    )
+    return knn_label_noise(
+        neigh, emb, query_col="query_id", neighbor_col="neighbor_id",
+        id_col="vec_id", label_col="label", suspect_threshold=0.5,
+    )
+
+
+ORACLE_KNN_LABEL_NOISE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS n
+      FROM e WHERE vec_id % 5 = 0),
+c AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_lab,
+         c.vec_id AS neighbor_id, c.label AS n_lab,
+         list_dot_product(q.v, c.v) / (q.n * c.n) AS cos_sim
+  FROM q JOIN c ON q.vec_id != c.vec_id),
+ranked AS (
+  SELECT query_id, q_lab, n_lab,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored),
+agg AS (
+  SELECT query_id AS id, q_lab AS label,
+         count(*) AS n_neighbors,
+         sum(CASE WHEN n_lab != q_lab THEN 1 ELSE 0 END) AS n_disagree
+  FROM ranked WHERE rn <= 10 AND q_lab IS NOT NULL AND n_lab IS NOT NULL
+  GROUP BY 1, 2)
+SELECT id, label,
+       CAST(n_neighbors AS BIGINT) AS n_neighbors,
+       CAST(n_disagree AS BIGINT) AS n_disagree,
+       round(n_disagree * 1.0 / n_neighbors, 6) AS disagree_rate,
+       (n_disagree * 1.0 / n_neighbors) >= 0.5 AS suspect
+FROM agg
+"""
+
+
+def q_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (operators/similarity.py
+    dim_truncation_error): cosine preservation at 8/16/32 of 64 dims
+    over deterministic adjacent-id pairs; all row-local folds, one
+    stacked aggregate."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        dim_truncation_error,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("ida"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, "ida")
+    return dim_truncation_error(
+        pairs, vec_a_col="va", vec_b_col="vb", dims=[8, 16, 32]
+    )
+
+
+ORACLE_DIM_TRUNCATION = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.v AS va, b.v AS vb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+    AND sqrt(list_dot_product(a.v, a.v)) > 0
+    AND sqrt(list_dot_product(b.v, b.v)) > 0),
+scored AS (
+  SELECT list_dot_product(va, vb)
+           / (sqrt(list_dot_product(va, va))
+              * sqrt(list_dot_product(vb, vb))) AS full_cos,
+         d.dim,
+         CASE WHEN sqrt(list_dot_product(list_slice(va, 1, d.dim),
+                                         list_slice(va, 1, d.dim))) > 0
+               AND sqrt(list_dot_product(list_slice(vb, 1, d.dim),
+                                         list_slice(vb, 1, d.dim))) > 0
+              THEN list_dot_product(list_slice(va, 1, d.dim),
+                                    list_slice(vb, 1, d.dim))
+                   / (sqrt(list_dot_product(list_slice(va, 1, d.dim),
+                                            list_slice(va, 1, d.dim)))
+                      * sqrt(list_dot_product(list_slice(vb, 1, d.dim),
+                                              list_slice(vb, 1, d.dim))))
+         END AS t_cos
+  FROM pairs, (SELECT unnest([8, 16, 32]) AS dim) d)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(t_cos - full_cos)), 6) AS mean_abs_err,
+       round(max(abs(t_cos - full_cos)), 6) AS max_abs_err,
+       round(avg(full_cos), 6) AS mean_full_cos,
+       round(avg(t_cos), 6) AS mean_trunc_cos
+FROM scored GROUP BY dim
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10169,6 +10360,10 @@ QUERIES = {
     "conformal_threshold": q_conformal_threshold,
     "bradley_terry": q_bradley_terry,
     "class_weights": q_class_weights,
+    "boilerplate_lines": q_boilerplate_lines,
+    "segment_dedup": q_segment_dedup,
+    "knn_label_noise": q_knn_label_noise,
+    "dim_truncation": q_dim_truncation,
     # round-6 additions: distribution tests, agreement, uplift, bigram LM,
     # novelty, HITS, k-core, record-linkage weights
     "ks_drift": q_ks_drift,
@@ -10419,6 +10614,10 @@ ORACLES = {
     "conformal_threshold": ORACLE_CONFORMAL_THRESHOLD,
     "bradley_terry": ORACLE_BRADLEY_TERRY,
     "class_weights": ORACLE_CLASS_WEIGHTS,
+    "boilerplate_lines": ORACLE_BOILERPLATE_LINES,
+    "segment_dedup": ORACLE_SEGMENT_DEDUP,
+    "knn_label_noise": ORACLE_KNN_LABEL_NOISE,
+    "dim_truncation": ORACLE_DIM_TRUNCATION,
     "ks_drift": ORACLE_KS_DRIFT,
     "label_agreement": ORACLE_LABEL_AGREEMENT,
     "uplift_deciles": ORACLE_UPLIFT_DECILES,

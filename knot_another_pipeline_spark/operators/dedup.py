@@ -1649,3 +1649,87 @@ def tfidf_cosine_pairs(
         )
     )
     return pairs.filter(F.col("cosine") >= F.lit(min_cosine))
+
+
+def segment_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    segment_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document EXACT segment-level dedup — the Lee et al. 2021
+    "Deduplicating Training Data" move applied at segment granularity
+    across documents (``repeated_spans`` is the within-document half):
+    every repeated segment keeps only its FIRST occurrence in the
+    global (doc id, position) order; the per-document readout is how
+    much of each doc survives once earlier documents have claimed its
+    segments.
+
+    Segmentation matches :func:`~knot_another_pipeline_spark.operators.
+    text_analysis.boilerplate_segments` (non-overlapping
+    ``segment_tokens``-word windows of the whitespace tokenization).
+
+    Scale shape: explode to (doc, position, md5(segment)) — only the
+    digest shuffles — then ONE window on the digest key ordered by
+    (doc, position) marks first occurrences, and ONE per-doc aggregate
+    reads back kept/removed counts.  Identical to the exact-dedup
+    plan, one level finer.
+
+    Output per doc: doc id, n_segments, n_kept, n_removed,
+    removed_ratio.
+    """
+    if segment_tokens < 1:
+        raise ValueError(f"segment_tokens must be >= 1, got {segment_tokens}")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        ).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    n_seg = F.ceil(F.size("_t") / F.lit(segment_tokens)).cast("bigint")
+    segs = toks.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
+        "_t",
+    ).select(
+        "doc",
+        "seg_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("_t"),
+                    F.col("seg_idx").cast("int") * segment_tokens + 1,
+                    segment_tokens,
+                ),
+                " ",
+            )
+        ).alias("_h"),
+    )
+    w = Window.partitionBy("_h").orderBy(
+        F.col("doc").asc(), F.col("seg_idx").asc()
+    )
+    marked = segs.withColumn(
+        "_keep", F.row_number().over(w) == 1
+    )
+    return (
+        marked.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "doc",
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            (F.col("n_segments") - F.col("n_kept"))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.round(
+                (F.col("n_segments") - F.col("n_kept"))
+                / F.col("n_segments"),
+                6,
+            ).alias("removed_ratio"),
+        )
+    )

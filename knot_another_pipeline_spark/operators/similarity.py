@@ -1268,3 +1268,138 @@ def embedding_drift(
             ).alias("norm_ratio"),
         )
     )
+
+
+def knn_label_noise(
+    neighbors: DataFrame,
+    labels: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    suspect_threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Label-noise screening via neighborhood disagreement (the
+    Confident-Learning / deep-kNN heuristic): an example whose k
+    nearest neighbors mostly carry a DIFFERENT label is a mislabeling
+    candidate — the triage list a labeling team re-reviews before the
+    data reaches training.
+
+    Takes any (query, neighbor) top-k table — exact ``cosine_topk`` on
+    small corpora, ``lsh_bucket_topk``/``ivf_topk`` at scale — so the
+    expensive neighbor search is whatever index the corpus already
+    justifies; this operator is two broadcast-able label joins (the
+    label table is (id, label), tiny relative to the vectors) and ONE
+    per-query aggregate.  Nothing here touches the vectors.
+
+    Output per query id: id, label, n_neighbors, n_disagree,
+    disagree_rate, suspect (rate >= ``suspect_threshold``).
+    """
+    lab = labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lab")
+    ).filter(F.col("_lab").isNotNull())
+    pairs = (
+        neighbors.select(
+            F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+        )
+        .join(
+            F.broadcast(lab.select(F.col("_id").alias("_q"),
+                                   F.col("_lab").alias("_q_lab"))),
+            "_q",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("_id").alias("_n"),
+                                   F.col("_lab").alias("_n_lab"))),
+            "_n",
+        )
+    )
+    agg = pairs.groupBy(
+        F.col("_q").alias("id"), F.col("_q_lab").alias("label")
+    ).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("_n_lab") != F.col("_q_lab"), 1).otherwise(0)
+        ).alias("n_disagree"),
+    )
+    rate = F.col("n_disagree") / F.col("n_neighbors")
+    return agg.select(
+        "id",
+        "label",
+        F.col("n_neighbors").cast("bigint").alias("n_neighbors"),
+        F.col("n_disagree").cast("bigint").alias("n_disagree"),
+        F.round(rate, round_to).alias("disagree_rate"),
+        (rate >= F.lit(suspect_threshold)).alias("suspect"),
+    )
+
+
+def dim_truncation_error(
+    pairs: DataFrame,
+    *,
+    vec_a_col: str,
+    vec_b_col: str,
+    dims: list[int],
+    round_to: int = 6,
+) -> DataFrame:
+    """Matryoshka-style truncation audit: how much does cosine
+    similarity move when vectors are cut to their first ``d``
+    dimensions?  The number that says whether a cheaper truncated
+    index (MRL embeddings, PCA'd shards) can serve retrieval without
+    re-embedding — measured on real similarity pairs, not on norms.
+
+    Input is a pair table (two vector columns per row) — sample pairs
+    however the corpus allows (the catalog query uses a deterministic
+    adjacent-id join).  All per-pair work is row-local array folds
+    (full-dim cosine once, one sliced cosine per budget via
+    ``F.slice``); ONE aggregate per dim budget, unpivoted from a
+    single pass with ``stack``.  No shuffle beyond the final
+    len(dims)-row reduction.
+
+    Output per dim budget: dim, n_pairs, mean_abs_err, max_abs_err,
+    mean_full_cos, mean_trunc_cos.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    a, b = F.col("_va"), F.col("_vb")
+    base = pairs.select(
+        F.col(vec_a_col).alias("_va"), F.col(vec_b_col).alias("_vb")
+    ).filter(
+        (l2_norm(a) > 0) & (l2_norm(b) > 0)
+    )
+    full = dot(a, b) / (l2_norm(a) * l2_norm(b))
+    cols = [full.alias("_full")]
+    for d in dims:
+        ta, tb = F.slice(a, 1, int(d)), F.slice(b, 1, int(d))
+        tcos = F.when(
+            (l2_norm(ta) > 0) & (l2_norm(tb) > 0),
+            dot(ta, tb) / (l2_norm(ta) * l2_norm(tb)),
+        )
+        cols.append(tcos.alias(f"_t{d}"))
+    scored = base.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for d in dims:
+        err = F.abs(F.col(f"_t{d}") - F.col("_full"))
+        aggs += [
+            F.avg(err).alias(f"mae_{d}"),
+            F.max(err).alias(f"maxe_{d}"),
+            F.avg(f"_t{d}").alias(f"mt_{d}"),
+        ]
+    aggs.append(F.avg("_full").alias("mean_full"))
+    row = scored.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({d} AS BIGINT), mae_{d}, maxe_{d}, mt_{d}" for d in dims
+    )
+    long = row.selectExpr(
+        "n_pairs",
+        "mean_full",
+        f"stack({len(dims)}, {stack}) as (dim, mae, maxe, mt)",
+    )
+    return long.select(
+        "dim",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round("mae", round_to).alias("mean_abs_err"),
+        F.round("maxe", round_to).alias("max_abs_err"),
+        F.round("mean_full", round_to).alias("mean_full_cos"),
+        F.round("mt", round_to).alias("mean_trunc_cos"),
+    )

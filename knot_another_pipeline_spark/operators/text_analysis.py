@@ -1715,3 +1715,81 @@ def oov_rate(
             round_to,
         ).alias("gt_unseen_mass"),
     )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    segment_tokens: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection — the CommonCrawl-style
+    cleanup that drops navigation bars, cookie banners, and license
+    footers BEFORE near-dup hashing (they otherwise glue unrelated
+    pages into one MinHash cluster): a text segment that recurs in
+    ``min_docs``+ distinct documents is boilerplate; the per-document
+    readout says how much of each page is template rather than content.
+
+    Segmentation is the engine's standard whitespace tokenization cut
+    into non-overlapping ``segment_tokens``-word windows (documents
+    with no newlines still segment deterministically; callers with real
+    paragraph breaks can pre-split and pass one paragraph per row).
+
+    Scale shape: explode to segments, ONE hash aggregate on
+    md5(segment) counting distinct docs (the segment text itself never
+    shuffles — only its 32-char digest), join the flagged digests back
+    to the segment table, and re-aggregate per document.  Two shuffles
+    total, both on narrow keys; nothing is quadratic in corpus size.
+
+    Output per doc: doc id, n_segments, n_boilerplate,
+    boilerplate_ratio.
+    """
+    if segment_tokens < 1:
+        raise ValueError(f"segment_tokens must be >= 1, got {segment_tokens}")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        ).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    n_seg = F.ceil(F.size("_t") / F.lit(segment_tokens)).cast("bigint")
+    segs = toks.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
+        "_t",
+    ).select(
+        "doc",
+        "seg_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("_t"),
+                    F.col("seg_idx").cast("int") * segment_tokens + 1,
+                    segment_tokens,
+                ),
+                " ",
+            )
+        ).alias("_h"),
+    )
+    flagged = segs.groupBy("_h").agg(
+        F.count_distinct("doc").alias("_df")
+    ).filter(F.col("_df") >= min_docs)
+    marked = segs.join(flagged.select("_h"), "_h", "left_semi").groupBy(
+        "doc"
+    ).agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    totals = segs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(marked, "doc", "left")
+        .na.fill({"n_boilerplate": 0})
+        .select(
+            "doc",
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("n_boilerplate").cast("bigint").alias("n_boilerplate"),
+            F.round(
+                F.col("n_boilerplate") / F.col("n_segments"), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )

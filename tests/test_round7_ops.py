@@ -250,3 +250,90 @@ def test_class_weights_sum_properties(spark):
     # effective-number weights renormalized to mean 1
     mean_eff = sum(r["eff_num_weight"] for r in out.values()) / 3
     assert abs(mean_eff - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_segments / segment_dedup
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_segments_flags_template(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        boilerplate_segments,
+    )
+
+    footer = "all rights reserved contact us"
+    rows = [(i, f"unique body {i} words here {footer}") for i in range(4)]
+    rows.append((99, "completely different content entirely novel text"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc"]: r for r in boilerplate_segments(
+        df, id_col="doc_id", text_col="text",
+        segment_tokens=3, min_docs=3,
+    ).collect()}
+    # docs 0-3 share the 3-token-aligned footer segments; doc 99 shares
+    # nothing
+    assert out[99]["n_boilerplate"] == 0
+    assert all(out[i]["n_boilerplate"] > 0 for i in range(4))
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from knot_another_pipeline_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # segments: "a b", "c d"
+            (2, "a b x y"),        # "a b" already claimed by doc 1
+            (3, "c d a b"),        # both claimed
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc"]: r for r in segment_dedup(
+        df, id_col="doc_id", text_col="text", segment_tokens=2
+    ).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_kept"] == 1 and out[2]["n_removed"] == 1
+    assert out[3]["n_kept"] == 0 and out[3]["removed_ratio"] == 1.0
+
+
+def test_knn_label_noise_flags_minority_island(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        knn_label_noise,
+    )
+
+    # two tight clusters; one point in cluster A carries cluster B's label
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.01 * (i - 6), 1.0], 1))
+    rows[2] = (2, rows[2][1], 1)  # mislabeled point inside cluster A
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>, label int")
+    neigh = cosine_topk(df, df, id_col="vec_id", vec_col="v", k=3)
+    out = {r["id"]: r for r in knn_label_noise(
+        neigh, df, id_col="vec_id", label_col="label",
+        suspect_threshold=0.5,
+    ).collect()}
+    assert out[2]["suspect"] and out[2]["disagree_rate"] == 1.0
+    assert not out[7]["suspect"]
+
+
+def test_dim_truncation_error_full_dim_is_exact(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        dim_truncation_error,
+    )
+
+    import random
+    rng = random.Random(5)
+    pairs = [
+        ([rng.gauss(0, 1) for _ in range(16)],
+         [rng.gauss(0, 1) for _ in range(16)])
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(pairs, "va array<double>, vb array<double>")
+    out = {r["dim"]: r for r in dim_truncation_error(
+        df, vec_a_col="va", vec_b_col="vb", dims=[4, 16]
+    ).collect()}
+    # truncating to the full width is the identity
+    assert out[16]["mean_abs_err"] == 0.0 and out[16]["max_abs_err"] == 0.0
+    assert out[4]["mean_abs_err"] > 0.0
+    assert out[4]["n_pairs"] == 20
