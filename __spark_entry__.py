@@ -126,6 +126,9 @@ _PRIORITY = [
     "segment_dedup",
     "knn_label_noise",
     "dim_truncation",
+    "pareto_front",
+    "group_fairness",
+    "cumulative_users",
     # Below: the 50 keys driver-gated green in CORRECTNESS_r06, rotated
     # to the back.
     "fuzzy_match",

@@ -10354,6 +10354,118 @@ FROM scored GROUP BY dim
 # Registry
 # --------------------------------------------------------------------------
 
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-objective skyline over parts — largest size for the lowest
+    price (operators/relational.py pareto_front): distinct-x aggregate
+    + distributed exclusive prefix-max (the global_rank recipe), never
+    the quadratic NOT-EXISTS self-join the oracle replays."""
+    from knot_another_pipeline_spark.operators.relational import pareto_front
+
+    part = load_table(spark, sf_dir, "part")
+    out = pareto_front(
+        part.select("p_partkey", "p_name", "p_size", "p_retailprice"),
+        x_col="p_size",
+        y_col="p_retailprice",
+        maximize_x=True,
+        maximize_y=False,
+    )
+    return out.orderBy("p_partkey")
+
+
+ORACLE_PARETO_FRONT = """
+SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+FROM part p
+WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+      AND q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+      AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+ORDER BY p.p_partkey
+"""
+
+
+def q_group_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority fairness audit of a thresholded order scorer
+    (operators/evaluation.py group_fairness): selection rate, TPR/FPR/
+    precision and demographic-parity / equalized-odds gaps vs the
+    overall rates — ONE conditional aggregate + a 1-row broadcast."""
+    from knot_another_pipeline_spark.operators.evaluation import group_fairness
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
+    )
+    out = group_fairness(
+        ords,
+        group_col="o_orderpriority",
+        score_col="o_totalprice",
+        label_col="is_f",
+        threshold=250000.0,
+    )
+    return (
+        out.withColumnRenamed("group", "grp")
+        .withColumnRenamed("precision", "prec")
+        .orderBy("grp")
+    )
+
+
+ORACLE_GROUP_FAIRNESS = """
+WITH s AS (
+  SELECT o_orderpriority AS grp,
+         CAST(o_totalprice >= 250000.0 AS INT) AS p,
+         CAST(o_orderstatus = 'F' AS INT) AS y
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderstatus IS NOT NULL),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         avg(y * 1.0) AS base_rate, avg(p * 1.0) AS pos_rate,
+         sum(p * y) * 1.0 / nullif(sum(y), 0) AS tpr,
+         sum(p * (1 - y)) * 1.0 / nullif(sum(1 - y), 0) AS fpr,
+         sum(p * y) * 1.0 / nullif(sum(p), 0) AS prec
+  FROM s GROUP BY 1),
+o AS (
+  SELECT avg(p * 1.0) AS o_pos,
+         sum(p * y) * 1.0 / nullif(sum(y), 0) AS o_tpr,
+         sum(p * (1 - y)) * 1.0 / nullif(sum(1 - y), 0) AS o_fpr
+  FROM s)
+SELECT g.grp, g.n,
+       round(base_rate, 6) AS base_rate, round(pos_rate, 6) AS pos_rate,
+       round(tpr, 6) AS tpr, round(fpr, 6) AS fpr, round(prec, 6) AS prec,
+       round(pos_rate - o_pos, 6) AS dp_gap,
+       round(tpr - o_tpr, 6) AS tpr_gap,
+       round(fpr - o_fpr, 6) AS fpr_gap
+FROM g CROSS JOIN o ORDER BY g.grp
+"""
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience-accumulation curve (operators/behavior.py
+    cumulative_users): first-seen day per user → new-user counts →
+    running total over the DAY table, so the only global window is
+    bounded by distinct days, never event rows."""
+    from knot_another_pipeline_spark.operators.behavior import cumulative_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulative_users(ev, ts_col="ts", user_col="user_id")
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1),
+d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+SELECT day, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""
+
+
 QUERIES = {
     # round-7 additions: model evaluation, preference data, loss weights
     "classification_report": q_classification_report,
@@ -10364,6 +10476,9 @@ QUERIES = {
     "segment_dedup": q_segment_dedup,
     "knn_label_noise": q_knn_label_noise,
     "dim_truncation": q_dim_truncation,
+    "pareto_front": q_pareto_front,
+    "group_fairness": q_group_fairness,
+    "cumulative_users": q_cumulative_users,
     # round-6 additions: distribution tests, agreement, uplift, bigram LM,
     # novelty, HITS, k-core, record-linkage weights
     "ks_drift": q_ks_drift,
@@ -10618,6 +10733,9 @@ ORACLES = {
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "knn_label_noise": ORACLE_KNN_LABEL_NOISE,
     "dim_truncation": ORACLE_DIM_TRUNCATION,
+    "pareto_front": ORACLE_PARETO_FRONT,
+    "group_fairness": ORACLE_GROUP_FAIRNESS,
+    "cumulative_users": ORACLE_CUMULATIVE_USERS,
     "ks_drift": ORACLE_KS_DRIFT,
     "label_agreement": ORACLE_LABEL_AGREEMENT,
     "uplift_deciles": ORACLE_UPLIFT_DECILES,

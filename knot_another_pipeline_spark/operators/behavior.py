@@ -865,3 +865,54 @@ def audience_overlap(
             round_to,
         ).alias("jaccard"),
     )
+
+
+def cumulative_users(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    user_col: str,
+) -> DataFrame:
+    """Daily audience-accumulation curve: per calendar day, how many
+    users appeared for the FIRST time and how many distinct users have
+    ever been seen up to (and including) that day.
+
+    The naive phrasing — ``COUNT(DISTINCT user) OVER (ORDER BY day)``
+    — is both unsupported (distinct window aggregates) and, replayed
+    as a per-day semi-join, quadratic in days.  The scalable identity:
+    a user contributes to the cumulative count from their first-seen
+    day forward, so
+
+    1. ONE user-key aggregate ``user → min(day)`` (map-side partials —
+       the only shuffle that sees event rows);
+    2. ONE day-key aggregate to new-user counts;
+    3. a running sum over the day table — bounded by the number of
+       DISTINCT DAYS, not rows, so the single-partition window is over
+       a few thousand rows at any corpus size (a century of days <
+       40k rows; the 100 TB of events never pass through it).
+
+    Rows with a NULL timestamp or user are excluded (the oracle applies
+    the identical predicate).
+
+    Output per day: day, n_new, cum_users, ordered by day.
+    """
+    first_seen = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).cast("date").alias("_d"),
+        )
+        .groupBy("_u")
+        .agg(F.min("_d").alias("day"))
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")

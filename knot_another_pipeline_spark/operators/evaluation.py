@@ -1072,3 +1072,98 @@ def bradley_terry(
             ).alias("win_rate"),
         )
     )
+
+
+def group_fairness(
+    df: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group fairness audit of a thresholded scorer — the standard
+    readout before a quality/toxicity classifier is allowed to gate a
+    training corpus: does the filter remove one slice's documents at a
+    different rate than everyone else's?
+
+    Metrics per group (prediction = ``score >= threshold``):
+
+    - ``base_rate``   — observed positive-label fraction;
+    - ``pos_rate``    — predicted-positive fraction (selection rate);
+    - ``tpr`` / ``fpr`` / ``precision`` — the confusion readout, NULL
+      when the denominator class is absent (no positives → NULL tpr,
+      no negatives → NULL fpr, no predicted positives → NULL
+      precision) instead of a fabricated 0;
+    - ``dp_gap``      — demographic-parity gap: group pos_rate minus
+      the OVERALL pos_rate;
+    - ``tpr_gap`` / ``fpr_gap`` — equalized-odds gaps vs the overall
+      rates (NULL propagates from a NULL group rate).
+
+    Shape: ONE conditional aggregate per group (map-side partials,
+    single shuffle on the group key) plus a 1-row overall aggregate
+    broadcast back with a crossJoin — no second pass over the rows, no
+    per-group filtering.  At 100 TB the cost is the one group-key
+    shuffle of pre-aggregated partials; group cardinality is the only
+    driver-visible size.
+
+    Rows with a NULL group, score, or label are excluded up front (the
+    oracle applies the identical predicate).
+
+    Output per group: group, n, base_rate, pos_rate, tpr, fpr,
+    precision, dp_gap, tpr_gap, fpr_gap.
+    """
+    y = F.col("_y")
+    pred = F.col("_p")
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.col(label_col).cast("int").alias("_y"),
+        (F.col(score_col) >= F.lit(threshold)).cast("int").alias("_p"),
+    )
+
+    def _metrics(grouped):
+        return grouped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(y).alias("base_rate"),
+            F.avg(pred).alias("pos_rate"),
+            (
+                F.sum(pred * y) / F.nullif(F.sum(y), F.lit(0))
+            ).alias("tpr"),
+            (
+                F.sum(pred * (1 - y))
+                / F.nullif(F.sum(1 - y), F.lit(0))
+            ).alias("fpr"),
+            (
+                F.sum(pred * y) / F.nullif(F.sum(pred), F.lit(0))
+            ).alias("precision"),
+        )
+
+    per_group = _metrics(base.groupBy("group"))
+    overall = _metrics(base.groupBy()).select(
+        F.col("pos_rate").alias("_o_pos"),
+        F.col("tpr").alias("_o_tpr"),
+        F.col("fpr").alias("_o_fpr"),
+    )
+    return per_group.crossJoin(F.broadcast(overall)).select(
+        "group",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("base_rate", round_to).alias("base_rate"),
+        F.round("pos_rate", round_to).alias("pos_rate"),
+        F.round("tpr", round_to).alias("tpr"),
+        F.round("fpr", round_to).alias("fpr"),
+        F.round("precision", round_to).alias("precision"),
+        F.round(F.col("pos_rate") - F.col("_o_pos"), round_to).alias(
+            "dp_gap"
+        ),
+        F.round(F.col("tpr") - F.col("_o_tpr"), round_to).alias(
+            "tpr_gap"
+        ),
+        F.round(F.col("fpr") - F.col("_o_fpr"), round_to).alias(
+            "fpr_gap"
+        ),
+    )

@@ -337,3 +337,105 @@ def test_dim_truncation_error_full_dim_is_exact(spark):
     assert out[16]["mean_abs_err"] == 0.0 and out[16]["max_abs_err"] == 0.0
     assert out[4]["mean_abs_err"] > 0.0
     assert out[4]["n_pairs"] == 20
+
+
+# ---------------------------------------------------------------------------
+# pareto_front / group_fairness / cumulative_users (round-7 batch 2)
+# ---------------------------------------------------------------------------
+
+def _brute_skyline(rows, max_x, max_y):
+    def better(q, p):
+        qx, qy = (q[0], q[1]) if max_x else (-q[0], q[1])
+        px, py = (p[0], p[1]) if max_x else (-p[0], p[1])
+        if not max_y:
+            qy, py = -qy, -py
+        return qx >= px and qy >= py and (qx > px or qy > py)
+
+    return sorted(
+        p for p in rows
+        if p[0] is not None and p[1] is not None
+        and not any(
+            q[0] is not None and q[1] is not None and better(q, p)
+            for q in rows
+        )
+    )
+
+
+def test_pareto_front_matches_bruteforce_all_orientations(spark):
+    from knot_another_pipeline_spark.operators.relational import pareto_front
+
+    rng = random.Random(42)
+    rows = [(rng.randint(0, 12), float(rng.randint(0, 12))) for _ in range(200)]
+    rows += [(None, 1.0), (3, None), rows[0]]  # NULLs drop; dup survives twice
+    df = spark.createDataFrame(rows, "x int, y double")
+    for mx in (True, False):
+        for my in (True, False):
+            got = sorted(
+                (r.x, r.y)
+                for r in pareto_front(
+                    df, x_col="x", y_col="y", maximize_x=mx, maximize_y=my
+                ).collect()
+            )
+            assert got == _brute_skyline(rows, mx, my), (mx, my)
+
+
+def test_pareto_front_keeps_equal_point_duplicates(spark):
+    from knot_another_pipeline_spark.operators.relational import pareto_front
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 5.0), (3, 9, 5.0), (4, 10, 4.0)],
+        "id int, x int, y double",
+    )
+    got = sorted(
+        r.id for r in pareto_front(df, x_col="x", y_col="y").collect()
+    )
+    # (10, 5.0) twice — mutually non-dominating; the others are dominated.
+    assert got == [1, 2]
+
+
+def test_group_fairness_hand_computed(spark):
+    from knot_another_pipeline_spark.operators.evaluation import group_fairness
+
+    # group a: scores 0.9/0.8 predicted pos (t=0.5), labels 1/0;
+    #          0.1 predicted neg, label 1  → tpr 1/2, fpr 1/1, pos_rate 2/3
+    # group b: all labels 0 → tpr NULL; no predicted pos → precision NULL
+    rows = [
+        ("a", 0.9, 1), ("a", 0.8, 0), ("a", 0.1, 1),
+        ("b", 0.2, 0), ("b", 0.3, 0),
+        (None, 0.9, 1), ("a", None, 1), ("a", 0.9, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {
+        r.group: r
+        for r in group_fairness(
+            df, group_col="g", score_col="s", label_col="y", threshold=0.5
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.n, b.n) == (3, 2)
+    assert a.pos_rate == round(2 / 3, 6) and b.pos_rate == 0.0
+    assert a.tpr == 0.5 and a.fpr == 1.0 and a.precision == 0.5
+    assert b.tpr is None and b.precision is None and b.fpr == 0.0
+    # overall pos_rate = 2/5; dp gaps vs it
+    assert a.dp_gap == round(2 / 3 - 2 / 5, 6)
+    assert b.dp_gap == round(0 - 2 / 5, 6)
+    assert b.tpr_gap is None
+
+
+def test_cumulative_users_first_seen_semantics(spark):
+    from knot_another_pipeline_spark.operators.behavior import cumulative_users
+
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+        ("2024-01-02 09:00:00", 1),  # returning — not new
+        ("2024-01-03 09:00:00", 3), ("2024-01-03 10:00:00", 1),
+        (None, 9), ("2024-01-04 00:00:00", None),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id int").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    got = [
+        (str(r.day), r.n_new, r.cum_users)
+        for r in cumulative_users(df, ts_col="ts", user_col="user_id").collect()
+    ]
+    assert got == [("2024-01-01", 2, 2), ("2024-01-03", 1, 3)]
