@@ -103,7 +103,11 @@ def test_every_query_has_oracle_or_documented_exemption():
 def test_all_outputs_scalar_only(name, spark):
     """No catalog query may project Array/Map/Struct columns — the
     driver's value canonicalizer hashes scalar cells only (the round-5
-    red-row class)."""
+    red-row class).  Same pass also pins the plan-shape invariant: no
+    initial physical plan may contain a CartesianProduct (a broadcast
+    1-row crossJoin plans as BroadcastNestedLoopJoin and is fine; a
+    bare CartesianProduct is always an unbounded all-pairs bug at
+    scale).  Audited clean across all 232 queries in round 7."""
     df = QUERIES[name](spark, SF_SMOKE)
     bad = [
         f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)
@@ -111,4 +115,13 @@ def test_all_outputs_scalar_only(name, spark):
     assert not bad, (
         f"{name} projects non-scalar columns {bad}; the driver gate "
         "cannot hash these — canonicalize to string/number first"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans a CartesianProduct — an all-pairs join escaped "
+        "its blocking/banding/broadcast strategy"
     )

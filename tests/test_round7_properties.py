@@ -1,0 +1,104 @@
+"""Property-based tests for the round-7 operators: the Pareto-front
+skyline and the group-fairness audit, each checked against an
+independent brute-force Python reference on arbitrary inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+
+# ---------------------------------------------------------------------------
+# pareto_front ≡ brute-force domination scan
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(-5, 5)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_pareto_front_matches_bruteforce(spark, pts, mx, my):
+    from knot_another_pipeline_spark.operators.relational import pareto_front
+
+    def key(p):
+        return (p[0] if mx else -p[0], p[1] if my else -p[1])
+
+    def dominated(p):
+        kp = key(p)
+        return any(
+            key(q)[0] >= kp[0]
+            and key(q)[1] >= kp[1]
+            and key(q) != kp
+            for q in pts
+        )
+
+    expect = sorted(p for p in pts if not dominated(p))
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = sorted(
+        (r.x, r.y)
+        for r in pareto_front(
+            df, x_col="x", y_col="y", maximize_x=mx, maximize_y=my
+        ).collect()
+    )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# group_fairness ≡ brute-force confusion arithmetic
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 10),
+            st.integers(0, 1),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_group_fairness_matches_bruteforce(spark, rows):
+    from knot_another_pipeline_spark.operators.evaluation import group_fairness
+
+    t = 5.0
+
+    def rate(num, den):
+        return round(num / den, 6) if den else None
+
+    df = spark.createDataFrame(rows, "g string, s int, y int")
+    got = {
+        r.group: r
+        for r in group_fairness(
+            df, group_col="g", score_col="s", label_col="y", threshold=t
+        ).collect()
+    }
+    o_pred = [(1 if s >= t else 0, y) for _, s, y in rows]
+    o_pos_raw = sum(p for p, _ in o_pred) / len(o_pred)
+    for g in {g for g, _, _ in rows}:
+        sub = [(1 if s >= t else 0, y) for gg, s, y in rows if gg == g]
+        n = len(sub)
+        r = got[g]
+        assert r.n == n
+        assert r.base_rate == rate(sum(y for _, y in sub), n)
+        assert r.pos_rate == rate(sum(p for p, _ in sub), n)
+        assert r.tpr == rate(
+            sum(p * y for p, y in sub), sum(y for _, y in sub)
+        )
+        assert r.fpr == rate(
+            sum(p * (1 - y) for p, y in sub),
+            sum(1 - y for _, y in sub),
+        )
+        assert r.precision == rate(
+            sum(p * y for p, y in sub), sum(p for p, _ in sub)
+        )
+        # gap is rounded AFTER subtracting the unrounded rates
+        pos_raw = sum(p for p, _ in sub) / n
+        assert r.dp_gap == round(pos_raw - o_pos_raw, 6)

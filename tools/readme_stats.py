@@ -48,7 +48,17 @@ def expected_values() -> dict[str, str]:
         f"queries at sf{parsed['sf']}"
         f" (round-{doc['n']} driver artifact, {os.path.basename(path)})"
     )
-    return {"N_QUERIES": str(len(QUERIES)), "BENCH_HEADLINE": headline}
+    values = {"N_QUERIES": str(len(QUERIES)), "BENCH_HEADLINE": headline}
+    alls = sorted(glob.glob(os.path.join(REPO, "BENCH_ALL_r*.json")))
+    if alls:
+        with open(alls[-1]) as fh:
+            full = json.load(fh)
+        values["BENCH_FULL"] = (
+            f"{full['total_sec']:.1f} s for the full {full['n_queries']}"
+            f"-query catalog at sf{full['sf']}"
+            f" ({os.path.basename(alls[-1])})"
+        )
+    return values
 
 
 def render(text: str, values: dict[str, str]) -> str:
