@@ -490,27 +490,47 @@ def quantize_embeddings(
     Output: id, scale (round 6), codes (array<int>), max_abs_err
     (round 6).
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs))
-    code = F.transform(
-        v,
-        lambda x: F.when(scale == 0.0, F.lit(0))
-        .otherwise(F.round(x / scale * F.lit(127.0), 0))
-        .cast("int"),
+    # Stage v → scale → codes as MATERIALIZED columns: a lambda that
+    # references an outer non-attribute expression re-evaluates it per
+    # element, so an inline `scale` (itself an O(d) array_max) inside
+    # the code/err lambdas costs O(d²) per vector. Each projection
+    # below only ever hands the next one attributes; multi-referenced
+    # aliases are not re-inlined by the optimizer.
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "_v"
+        ),
+    ).select(
+        "id",
+        "_v",
+        F.array_max(F.transform(F.col("_v"), F.abs)).alias("_scale"),
+    )
+    scale = F.col("_scale")
+    coded = staged.select(
+        "id",
+        "_v",
+        "_scale",
+        F.transform(
+            F.col("_v"),
+            lambda x: F.when(scale == 0.0, F.lit(0))
+            .otherwise(F.round(x / scale * F.lit(127.0), 0))
+            .cast("int"),
+        ).alias("_codes"),
     )
     err = F.array_max(
         F.zip_with(
-            v,
-            code,
+            F.col("_v"),
+            F.col("_codes"),
             lambda x, c: F.abs(
                 x - c.cast("double") * scale / F.lit(127.0)
             ),
         )
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return coded.select(
+        "id",
         F.round(scale, 6).alias("scale"),
-        code.alias("codes"),
+        F.col("_codes").alias("codes"),
         F.round(err, 6).alias("max_abs_err"),
     )
 
