@@ -129,6 +129,8 @@ _PRIORITY = [
     "pareto_front",
     "group_fairness",
     "cumulative_users",
+    "blocking_quality",
+    "shard_moves",
     # Below: the 50 keys driver-gated green in CORRECTNESS_r06, rotated
     # to the back.
     "fuzzy_match",

@@ -10466,6 +10466,105 @@ FROM d ORDER BY day
 """
 
 
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio + pairs completeness of market-segment blocking
+    for the customer-name matcher (operators/dedup.py blocking_quality):
+    candidate count from ONE block-key aggregate (pairs never formed),
+    truth from the exact-recall FastSS deletion join."""
+    from knot_another_pipeline_spark.operators.dedup import blocking_quality
+
+    cust = load_table(spark, sf_dir, "customer")
+    return blocking_quality(
+        cust,
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=["c_mktsegment"],
+        max_distance=1,
+    )
+
+
+ORACLE_BLOCKING_QUALITY = """
+WITH r AS (
+  SELECT c_custkey AS id, c_name AS txt, c_mktsegment AS b
+  FROM customer
+  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+    AND c_mktsegment IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM r),
+cand AS (
+  SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT)
+         AS n_candidate_pairs
+  FROM (SELECT count(*) AS c FROM r GROUP BY b)),
+truth AS (
+  SELECT a.b AS ba, b.b AS bb
+  FROM r a JOIN r b
+    ON a.id < b.id AND levenshtein(a.txt, b.txt) <= 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+         CAST(coalesce(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_truth_blocked
+  FROM truth)
+SELECT n.n_rows, cand.n_candidate_pairs, t.n_truth_pairs,
+       t.n_truth_blocked,
+       round(CASE WHEN n_rows >= 2 THEN
+         1.0 - n_candidate_pairs / (n_rows * (n_rows - 1) / 2.0)
+       END, 6) AS reduction_ratio,
+       round(n_truth_blocked * 1.0 / nullif(n_truth_pairs, 0), 6)
+         AS pairs_completeness
+FROM n CROSS JOIN cand CROSS JOIN t
+"""
+
+
+def q_shard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding movement cost 8 -> 9 shards under mod-hash vs
+    rendezvous/HRW hashing (operators/sampling.py shard_moves):
+    row-local hash-array argmax, one 1-row aggregate per scheme."""
+    from knot_another_pipeline_spark.operators.sampling import shard_moves
+
+    orders = load_table(spark, sf_dir, "orders")
+    return shard_moves(
+        orders, key_col="o_orderkey", n_from=8, n_to=9
+    ).orderBy("scheme")
+
+
+ORACLE_SHARD_MOVES = """
+WITH k AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_orderkey IS NOT NULL),
+mh AS (
+  SELECT key,
+         CAST(concat('0x', substr(md5(concat('0:', CAST(key AS VARCHAR))),
+                                  1, 15)) AS BIGINT) AS h
+  FROM k),
+modm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(coalesce(sum(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_moved
+  FROM mh),
+rv AS (
+  SELECT key, s,
+         substr(md5(concat(CAST(s AS VARCHAR), ':',
+                           CAST(key AS VARCHAR))), 1, 15) AS w
+  FROM k, unnest(generate_series(0, 8)) AS t(s)),
+own AS (
+  SELECT key,
+         arg_max(s, w) FILTER (WHERE s < 8) AS o_from,
+         arg_max(s, w) AS o_to
+  FROM rv GROUP BY key),
+rvm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(coalesce(sum(CASE WHEN o_from <> o_to THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_moved
+  FROM own)
+SELECT 'mod' AS scheme, n_keys, n_moved,
+       round(n_moved * 1.0 / nullif(n_keys, 0), 6) AS moved_frac
+FROM modm
+UNION ALL
+SELECT 'rendezvous', n_keys, n_moved,
+       round(n_moved * 1.0 / nullif(n_keys, 0), 6)
+FROM rvm
+ORDER BY scheme
+"""
+
+
 QUERIES = {
     # round-7 additions: model evaluation, preference data, loss weights
     "classification_report": q_classification_report,
@@ -10479,6 +10578,8 @@ QUERIES = {
     "pareto_front": q_pareto_front,
     "group_fairness": q_group_fairness,
     "cumulative_users": q_cumulative_users,
+    "blocking_quality": q_blocking_quality,
+    "shard_moves": q_shard_moves,
     # round-6 additions: distribution tests, agreement, uplift, bigram LM,
     # novelty, HITS, k-core, record-linkage weights
     "ks_drift": q_ks_drift,
@@ -10736,6 +10837,8 @@ ORACLES = {
     "pareto_front": ORACLE_PARETO_FRONT,
     "group_fairness": ORACLE_GROUP_FAIRNESS,
     "cumulative_users": ORACLE_CUMULATIVE_USERS,
+    "blocking_quality": ORACLE_BLOCKING_QUALITY,
+    "shard_moves": ORACLE_SHARD_MOVES,
     "ks_drift": ORACLE_KS_DRIFT,
     "label_agreement": ORACLE_LABEL_AGREEMENT,
     "uplift_deciles": ORACLE_UPLIFT_DECILES,

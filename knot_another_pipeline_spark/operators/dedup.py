@@ -810,6 +810,27 @@ def incremental_dedup(
     return verdict
 
 
+def _deletion_variants(frame: DataFrame) -> DataFrame:
+    """FastSS / SymSpell deletion-neighborhood keys for a frame with a
+    ``txt`` column: identity (i=0) plus every one-char deletion
+    (i=1..len) as md5 join keys in ``_v``.  Two strings at Levenshtein
+    distance ≤ 1 necessarily share a key, so an equi-join on ``_v`` is
+    an exact-recall candidate generator for distance 1.
+    ``Column.substr`` takes Column args, so the variant is pure
+    codegen; md5 keeps the join key narrow through the shuffle."""
+    fr = frame.withColumn(
+        "_i",
+        F.explode(F.sequence(F.lit(0), F.length("txt"))),
+    )
+    variant = F.when(F.col("_i") == 0, F.col("txt")).otherwise(
+        F.concat(
+            F.col("txt").substr(F.lit(1), F.col("_i") - 1),
+            F.col("txt").substr(F.col("_i") + 1, F.length("txt")),
+        )
+    )
+    return fr.withColumn("_v", F.md5(variant)).drop("_i")
+
+
 def fuzzy_match_pairs(
     df: DataFrame,
     *,
@@ -879,27 +900,8 @@ def fuzzy_match_pairs(
         block_keys = list(block_cols)
         probe = blocked
     if max_distance == 1:
-        # Deletion-neighborhood candidates: identity (i=0) plus every
-        # one-char deletion (i=1..len).  Column.substr takes Column
-        # args, so the variant is pure codegen; md5 keeps the join key
-        # narrow through the shuffle.
-        def _variants(frame: DataFrame) -> DataFrame:
-            fr = frame.withColumn(
-                "_i",
-                F.explode(F.sequence(F.lit(0), F.length("txt"))),
-            )
-            variant = F.when(F.col("_i") == 0, F.col("txt")).otherwise(
-                F.concat(
-                    F.col("txt").substr(F.lit(1), F.col("_i") - 1),
-                    F.col("txt").substr(
-                        F.col("_i") + 1, F.length("txt")
-                    ),
-                )
-            )
-            return fr.withColumn("_v", F.md5(variant)).drop("_i")
-
-        a = _variants(blocked).alias("a")
-        b = _variants(probe).alias("b")
+        a = _deletion_variants(blocked).alias("a")
+        b = _deletion_variants(probe).alias("b")
         cond = (F.col("a.id") < F.col("b.id")) & (
             F.col("a._v") == F.col("b._v")
         )
@@ -1731,5 +1733,135 @@ def segment_dedup(
                 / F.col("n_segments"),
                 6,
             ).alias("removed_ratio"),
+        )
+    )
+
+
+def blocking_quality(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_cols: list,
+    max_distance: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Evaluate a blocking scheme for entity resolution with the two
+    standard figures of merit (Christen, TKDE'12): **reduction ratio**
+    (what fraction of the all-pairs comparison space the blocks prune)
+    and **pairs completeness** (what fraction of TRUE matches survive
+    into some block — blocking recall).  The go/no-go readout before a
+    blocking key is trusted on a full corpus.
+
+    Nothing quadratic is ever materialized:
+
+    - the candidate-pair COUNT is ``Σ_b C(|b|, 2)`` — ONE hash
+      aggregate over the block key, then a 1-row sum; the candidate
+      pairs themselves are never formed;
+    - the truth set (Levenshtein ≤ 1, the only distance this supports)
+      comes from the exact-recall FastSS deletion-neighborhood
+      equi-join (:func:`_deletion_variants`, linear in corpus size) —
+      never an all-pairs verify;
+    - blocked-truth counting joins the (small) truth-pair table to the
+      per-id block keys twice and compares — two broadcast-able maps.
+
+    Four 1-row aggregates crossJoined at the end; every shuffle is
+    key-bounded. Output (one row): n_rows, n_candidate_pairs,
+    n_truth_pairs, n_truth_blocked, reduction_ratio (NULL when n < 2),
+    pairs_completeness (NULL when no truth pairs).
+    """
+    if max_distance != 1:
+        raise ValueError(
+            "blocking_quality supports max_distance=1 (exact-recall "
+            f"deletion-neighborhood truth), got {max_distance}"
+        )
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    for c in block_cols:
+        base = base.filter(F.col(c).isNotNull())
+    base = base.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        *[F.col(c) for c in block_cols],
+    )
+    n_rows = base.agg(F.count(F.lit(1)).alias("n_rows"))
+    cand = (
+        base.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_c") * (F.col("_c") - 1) / 2), F.lit(0.0)
+            )
+            .cast("bigint")
+            .alias("n_candidate_pairs")
+        )
+    )
+    va = _deletion_variants(base.select("id", "txt")).alias("a")
+    vb = _deletion_variants(base.select("id", "txt")).alias("b")
+    truth = (
+        va.join(
+            vb,
+            (F.col("a._v") == F.col("b._v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.txt").alias("ta"),
+            F.col("b.txt").alias("tb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.levenshtein("ta", "tb") <= max_distance)
+        .select("id_a", "id_b")
+    )
+    keys = base.select("id", *block_cols)
+    blocked = truth.join(
+        keys.select(
+            F.col("id").alias("id_a"),
+            *[F.col(c).alias(f"_a_{c}") for c in block_cols],
+        ),
+        "id_a",
+    ).join(
+        keys.select(
+            F.col("id").alias("id_b"),
+            *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+        ),
+        "id_b",
+    )
+    same_block = F.lit(True)
+    for c in block_cols:
+        same_block = same_block & (
+            F.col(f"_a_{c}") == F.col(f"_b_{c}")
+        )
+    t_counts = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    b_counts = blocked.agg(
+        F.sum(same_block.cast("bigint")).alias("_nb")
+    ).select(F.coalesce("_nb", F.lit(0)).alias("n_truth_blocked"))
+    return (
+        n_rows.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(t_counts))
+        .crossJoin(F.broadcast(b_counts))
+        .select(
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "n_candidate_pairs",
+            F.col("n_truth_pairs").cast("bigint").alias("n_truth_pairs"),
+            F.col("n_truth_blocked").cast("bigint").alias(
+                "n_truth_blocked"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_rows") >= 2,
+                    1.0
+                    - F.col("n_candidate_pairs")
+                    / (F.col("n_rows") * (F.col("n_rows") - 1) / 2.0),
+                ),
+                round_to,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_truth_blocked")
+                / F.nullif(F.col("n_truth_pairs"), F.lit(0)),
+                round_to,
+            ).alias("pairs_completeness"),
         )
     )

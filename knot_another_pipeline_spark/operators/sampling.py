@@ -791,3 +791,79 @@ def reweight_to_target(
             ).alias("ess_ratio"),
         )
     )
+
+
+def shard_moves(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_from: int,
+    n_to: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Data-movement cost of resharding ``n_from`` → ``n_to`` shards
+    under two placement schemes — the capacity-planning readout before
+    a cluster resize:
+
+    - ``mod``: shard = hash(key) % n — the naive scheme; changing n
+      remaps almost every key (expected moved fraction ≈ 1 − 1/n_to
+      for coprime sizes), so a resize rewrites the whole corpus;
+    - ``rendezvous``: shard = argmax_s hash(s:key) (highest-random-
+      weight / HRW hashing) — only keys whose winning shard changes
+      move, expected ≈ |n_to − n_from|/max(n_from, n_to): a resize
+      touches one shard's worth of data.
+
+    Everything is row-local: the per-shard weights are a transform
+    over a MATERIALIZED fixed-width hex-hash array (lexicographic max
+    = numeric max, the ``hash_hex`` contract, so no base conversion),
+    the winner is one ``array_max`` + ``array_position``, and the only
+    aggregate is a 1-row count per scheme.  Candidate-shard count is
+    the array width — resharding math never shuffles the corpus.
+
+    Output (2 rows): scheme, n_keys, n_moved, moved_frac.
+    """
+    if n_from < 1 or n_to < 1:
+        raise ValueError(f"shard counts must be >= 1, got {n_from}->{n_to}")
+    key = F.col(key_col)
+    base = df.filter(key.isNotNull()).select(key.alias("_k"))
+    h = F.conv(hash_hex(F.col("_k"), seed=0), 16, 10).cast("bigint")
+    mod = base.select(
+        (F.pmod(h, F.lit(n_from)) != F.pmod(h, F.lit(n_to)))
+        .cast("bigint")
+        .alias("_moved")
+    )
+    n_max = max(n_from, n_to)
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(n_max - 1)),
+        lambda s: hash_hex(F.col("_k"), seed=s),
+    )
+    staged = base.select(F.col("_k"), weights.alias("_w"))
+    owner_from = F.array_position(
+        F.col("_wf"), F.array_max(F.col("_wf"))
+    )
+    owner_to = F.array_position(F.col("_w2"), F.array_max(F.col("_w2")))
+    rdv = (
+        staged.select(
+            F.slice("_w", 1, n_from).alias("_wf"),
+            F.slice("_w", 1, n_to).alias("_w2"),
+        )
+        .select((owner_from != owner_to).cast("bigint").alias("_moved"))
+    )
+
+    def _summary(moved: DataFrame, scheme: str) -> DataFrame:
+        return moved.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.coalesce(F.sum("_moved"), F.lit(0))
+            .cast("bigint")
+            .alias("n_moved"),
+        ).select(
+            F.lit(scheme).alias("scheme"),
+            "n_keys",
+            "n_moved",
+            F.round(
+                F.col("n_moved") / F.nullif(F.col("n_keys"), F.lit(0)),
+                round_to,
+            ).alias("moved_frac"),
+        )
+
+    return _summary(mod, "mod").unionByName(_summary(rdv, "rendezvous"))

@@ -439,3 +439,60 @@ def test_cumulative_users_first_seen_semantics(spark):
         for r in cumulative_users(df, ts_col="ts", user_col="user_id").collect()
     ]
     assert got == [("2024-01-01", 2, 2), ("2024-01-03", 1, 3)]
+
+
+def test_blocking_quality_hand_computed(spark):
+    from knot_another_pipeline_spark.operators.dedup import blocking_quality
+
+    # names: "aa"~"ab" (dist 1, same block), "aa"~"ba" (dist 1, SPLIT
+    # across blocks), "zz" isolated. Block sizes: x=3 -> 3 cand pairs,
+    # y=1 -> 0. Truth pairs: (1,2),(1,3),(2,3)? "ab"~"ba" is dist 2 —
+    # truth = (1,2),(1,4) where 4 is "ba" in block y.
+    rows = [
+        (1, "aa", "x"), (2, "ab", "x"), (3, "zz", "x"), (4, "ba", "y"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string, blk string")
+    out = blocking_quality(
+        df, id_col="id", text_col="t", block_cols=["blk"]
+    ).collect()[0]
+    assert out.n_rows == 4
+    assert out.n_candidate_pairs == 3  # C(3,2) + C(1,2)
+    assert out.n_truth_pairs == 2      # (aa,ab) and (aa,ba)
+    assert out.n_truth_blocked == 1    # (aa,ba) straddles blocks
+    assert out.reduction_ratio == 0.5  # 1 - 3/6
+    assert out.pairs_completeness == 0.5
+
+
+def test_shard_moves_matches_md5_bruteforce(spark):
+    import hashlib
+
+    from knot_another_pipeline_spark.operators.sampling import shard_moves
+
+    keys = list(range(1, 61))
+    n_from, n_to = 3, 4
+
+    def hx(seed, key):
+        return hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15]
+
+    mod_moved = sum(
+        1 for k in keys
+        if int(hx(0, k), 16) % n_from != int(hx(0, k), 16) % n_to
+    )
+    def owner(k, n):
+        ws = [hx(s, k) for s in range(n)]
+        return ws.index(max(ws))
+    rdv_moved = sum(
+        1 for k in keys if owner(k, n_from) != owner(k, n_to)
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "key int")
+    out = {
+        r.scheme: r
+        for r in shard_moves(
+            df, key_col="key", n_from=n_from, n_to=n_to
+        ).collect()
+    }
+    assert out["mod"].n_keys == 60 and out["rendezvous"].n_keys == 60
+    assert out["mod"].n_moved == mod_moved
+    assert out["rendezvous"].n_moved == rdv_moved
+    # the whole point: HRW moves far fewer keys than mod on a resize
+    assert rdv_moved < mod_moved
