@@ -27,6 +27,12 @@ from pyspark.sql import types as T
 
 from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 from tests.conftest import SF_SMOKE
+from tools import plan_shapes
+
+with open(
+    os.path.join(os.path.dirname(plan_shapes.__file__), "plan_shapes.json")
+) as _fh:
+    _PLAN_LEDGER = json.load(_fh)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -124,4 +130,16 @@ def test_all_outputs_scalar_only(name, spark):
     assert "CartesianProduct" not in plan, (
         f"{name} plans a CartesianProduct — an all-pairs join escaped "
         "its blocking/banding/broadcast strategy"
+    )
+    shape = plan_shapes.plan_shape(df)
+    recorded = _PLAN_LEDGER.get(name)
+    assert recorded is not None, (
+        f"{name} has no entry in tools/plan_shapes.json — run "
+        "`python tools/plan_shapes.py --write`"
+    )
+    assert shape == recorded, (
+        f"{name} plan shape drifted: ledger={recorded} now={shape}. "
+        "A shuffle-count INCREASE is a scale regression; a decrease is "
+        "an improvement — either way regenerate the ledger deliberately "
+        "(`python tools/plan_shapes.py --write`)"
     )
