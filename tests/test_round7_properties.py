@@ -102,3 +102,62 @@ def test_group_fairness_matches_bruteforce(spark, rows):
         # gap is rounded AFTER subtracting the unrounded rates
         pos_raw = sum(p for p, _ in sub) / n
         assert r.dp_gap == round(pos_raw - o_pos_raw, 6)
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality ≡ brute-force RR / PC arithmetic
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=4),
+            st.sampled_from(["x", "y"]),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_blocking_quality_matches_bruteforce(spark, rows):
+    from knot_another_pipeline_spark.operators.dedup import blocking_quality
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s):
+            cur = [i + 1]
+            for j, ct in enumerate(t):
+                cur.append(
+                    min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    data = [(i + 1, t, b) for i, (t, b) in enumerate(rows)]
+    n = len(data)
+    truth = [
+        (a[0], b[0], a[2], b[2])
+        for i, a in enumerate(data)
+        for b in data[i + 1:]
+        if lev(a[1], b[1]) <= 1
+    ]
+    from collections import Counter
+
+    sizes = Counter(b for _, _, b in data)
+    cand = sum(c * (c - 1) // 2 for c in sizes.values())
+    blocked = sum(1 for _, _, ba, bb in truth if ba == bb)
+
+    df = spark.createDataFrame(data, "id int, t string, blk string")
+    out = blocking_quality(
+        df, id_col="id", text_col="t", block_cols=["blk"]
+    ).collect()[0]
+    assert out.n_rows == n
+    assert out.n_candidate_pairs == cand
+    assert out.n_truth_pairs == len(truth)
+    assert out.n_truth_blocked == blocked
+    assert out.reduction_ratio == round(1 - cand / (n * (n - 1) / 2), 6)
+    expect_pc = round(blocked / len(truth), 6) if truth else None
+    assert out.pairs_completeness == expect_pc
