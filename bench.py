@@ -195,6 +195,12 @@ HEADLINE = [
     "segment_dedup",
     "knn_label_noise",
     "dim_truncation",
+    # round-7 batch 2
+    "pareto_front",
+    "group_fairness",
+    "cumulative_users",
+    "blocking_quality",
+    "shard_moves",
 ]
 
 
