@@ -58,6 +58,20 @@ def expected_values() -> dict[str, str]:
             f"-query catalog at sf{full['sf']}"
             f" ({os.path.basename(alls[-1])})"
         )
+    probes = sorted(glob.glob(os.path.join(REPO, "SCALE_PROBE_r*.json")))
+    if probes:
+        with open(probes[-1]) as fh:
+            probe = json.load(fh)
+        hi = str(max(probe["factors"]))
+        slopes = ", ".join(
+            f"{op} {r['loglog_slope']:+.2f}"
+            for op, r in probe["ops"].items()
+        )
+        values["SCALE_PROBE"] = (
+            f"log-log time-vs-rows slopes at {hi}x rows "
+            f"({probe['input_rows'][hi]['events']:,} events): {slopes} "
+            f"({os.path.basename(probes[-1])})"
+        )
     return values
 
 

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Measured scaling evidence: run flagship catalog queries against
+structure-preserving replications of the driver-generated sf0.1 tables
+at 1x / 2x / 4x rows and record wall time per factor.
+
+Replication shifts entity ids and (for events) timestamps by a year per
+copy, so every copy is a disjoint population in a disjoint time range:
+per-entity structure, group sizes, join selectivity, and co-location
+semantics are preserved while row count scales by k — the honest way to
+ask "does the plan's cost grow linearly in rows on fixed cores?"
+(replicating rows verbatim would instead multiply group sizes and
+explode pair joins quadratically, measuring the data change, not the
+plan). The inputs remain the driver's own fixtures — this probe never
+invents data, it tiles it.
+
+Probed queries (one per major family, all shuffle-bearing):
+- ais_hourly      — the reference rollup (events -> hourly grid cells)
+- pairs_monthly   — the flagship co-movement self-join chain
+- exact_dedup     — fingerprint group dedup over documents
+- bm25_search     — inverted-postings retrieval scoring
+- hll_distinct    — sketch-merge distinct counting
+
+Output: SCALE_PROBE_r{N}.json with per-factor seconds, row counts, and
+the log-log slope between the smallest and largest factor (1.0 = exactly
+linear; < 1 = better than linear thanks to fixed overheads amortizing).
+
+Usage: python tools/scale_probe.py [--factors 1,2,4] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/knap_scale_probe"
+
+OPS = ["ais_hourly", "pairs_monthly", "exact_dedup", "bm25_search", "hll_distinct"]
+
+
+def build_replica(spark, k: int) -> str:
+    """Write k structure-preserving copies of events + documents."""
+    import pyspark.sql.functions as F
+
+    from knot_another_pipeline_spark.sources.tables import load_table
+
+    out = os.path.join(WORK, f"k{k}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    ev = load_table(spark, SF_DIR, "events")
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 10**12)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 366} DAYS")).alias("ts"),
+            (F.col("user_id") + F.lit(i * 10**7)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(k)
+    ]
+    evk = copies[0]
+    for c in copies[1:]:
+        evk = evk.unionByName(c)
+    evk.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    docs = load_table(spark, SF_DIR, "documents")
+    dcopies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(k)
+    ]
+    dk = dcopies[0]
+    for c in dcopies[1:]:
+        dk = dk.unionByName(c)
+    dk.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def main() -> None:
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from knot_another_pipeline_spark.catalog_queries import QUERIES
+    from knot_another_pipeline_spark.session import get_spark
+
+    factors = [
+        int(x)
+        for x in next(
+            (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--factors=")),
+            "1,2,4",
+        ).split(",")
+    ]
+    out_path = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--out=")),
+        os.path.join(REPO, "SCALE_PROBE.json"),
+    )
+    spark = get_spark()
+    results: dict[str, dict] = {op: {"sec": {}, "rows": {}} for op in OPS}
+    row_counts = {}
+    # untimed warmup at the smallest factor so k=1 doesn't also pay
+    # first-use JIT/codegen costs the larger factors get for free
+    warm = build_replica(spark, min(factors))
+    for op in OPS:
+        QUERIES[op](spark, warm).count()
+    for k in factors:
+        d = build_replica(spark, k)
+        row_counts[str(k)] = {
+            "events": spark.read.parquet(os.path.join(d, "events.parquet")).count(),
+            "documents": spark.read.parquet(
+                os.path.join(d, "documents.parquet")
+            ).count(),
+        }
+        for op in OPS:
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = QUERIES[op](spark, d).count()
+                samples.append(round(time.perf_counter() - t0, 3))
+            results[op]["sec"][str(k)] = min(samples)
+            results[op]["rows"][str(k)] = n
+            print(
+                f"# k={k} {op}: {min(samples)}s ({n} rows)", file=sys.stderr
+            )
+    import math
+
+    lo, hi = str(min(factors)), str(max(factors))
+    for op in OPS:
+        t1, tk = results[op]["sec"][lo], results[op]["sec"][hi]
+        results[op]["loglog_slope"] = round(
+            math.log(tk / t1) / math.log(max(factors) / min(factors)), 3
+        )
+    doc = {
+        "sf_base": SF_DIR,
+        "factors": factors,
+        "input_rows": row_counts,
+        "ops": results,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh)
+    print(json.dumps({op: results[op]["loglog_slope"] for op in OPS}))
+
+
+if __name__ == "__main__":
+    main()
