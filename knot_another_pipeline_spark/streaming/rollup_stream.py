@@ -778,3 +778,75 @@ def streaming_cms_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_fairness_monitor(
+    stream: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    ts_col: str,
+    threshold: float,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(group, tumbling-window) live fairness readout of a
+    thresholded scorer — the streaming companion of
+    ``operators.evaluation.group_fairness``: when a quality/toxicity
+    classifier gates a corpus in flight, this monitors whether one
+    slice's selection rate or error profile drifts away from the rest
+    WITHOUT waiting for a batch audit.
+
+    Same conditional-aggregate shape as the batch operator, windowed:
+    one watermarked groupBy((group, window)) whose state is bounded by
+    |groups| × open windows. Rates that need the window-global
+    denominator (the dp gap vs overall) are deliberately NOT computed
+    here — they need a second pass over the window and belong to the
+    batch audit; the stream emits the per-group ingredients so any
+    consumer can join two groups' rows and difference them.
+
+    Output per (group, window): group, window_ts, n, base_rate,
+    pos_rate, tpr, fpr — NULL where the denominator class is absent,
+    exactly the batch operator's convention (verified by the
+    batch-parity test).
+    """
+    y = F.col(label_col).cast("int")
+    pred = (F.col(score_col) >= F.lit(threshold)).cast("int")
+    base = stream.filter(
+        F.col(group_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.col(ts_col).alias("_ts"),
+        y.alias("_y"),
+        pred.alias("_p"),
+    )
+    yy = F.col("_y")
+    pp = F.col("_p")
+    return (
+        base.withWatermark("_ts", watermark)
+        .groupBy(
+            "group", F.window(F.col("_ts"), window_duration).alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(yy).alias("base_rate"),
+            F.avg(pp).alias("pos_rate"),
+            (F.sum(pp * yy) / F.nullif(F.sum(yy), F.lit(0))).alias("tpr"),
+            (
+                F.sum(pp * (1 - yy))
+                / F.nullif(F.sum(1 - yy), F.lit(0))
+            ).alias("fpr"),
+        )
+        .select(
+            "group",
+            F.col("win.start").alias("window_ts"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("base_rate", 6).alias("base_rate"),
+            F.round("pos_rate", 6).alias("pos_rate"),
+            F.round("tpr", 6).alias("tpr"),
+            F.round("fpr", 6).alias("fpr"),
+        )
+    )

@@ -1078,3 +1078,78 @@ def test_streaming_interval_join_matches_batch_and_bounds_window(
     assert got == {
         (r["imp_id"], r["click_id"]) for r in batch.collect()
     }
+
+
+def test_streaming_fairness_monitor_matches_batch(spark, tmp_path):
+    """Windowed streaming fairness readout equals the batch
+    group_fairness ingredients computed per window slice, including the
+    NULL-denominator convention (a window-group with no positives emits
+    NULL tpr, not 0)."""
+    from knot_another_pipeline_spark.operators.evaluation import group_fairness
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_fairness_monitor,
+    )
+
+    rows = [
+        # window 00:00 — group a: pos-pred 0.9(y=1), 0.8(y=0); neg 0.1(y=1)
+        ("a", 0.9, 1, "2025-01-01 00:05:00"),
+        ("a", 0.8, 0, "2025-01-01 00:15:00"),
+        ("a", 0.1, 1, "2025-01-01 00:25:00"),
+        # window 00:00 — group b: all labels 0 → NULL tpr
+        ("b", 0.2, 0, "2025-01-01 00:10:00"),
+        ("b", 0.7, 0, "2025-01-01 00:20:00"),
+        # window 01:00 — group a only
+        ("a", 0.6, 1, "2025-01-01 01:05:00"),
+        # watermark pusher
+        ("z", 0.5, 1, "2025-01-03 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, s double, y int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = tmp_path / "fair_in"
+    df.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = streaming_fairness_monitor(
+        stream,
+        group_col="g",
+        score_col="s",
+        label_col="y",
+        ts_col="ts",
+        threshold=0.5,
+        window_duration="1 hour",
+        watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fair_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["group"], str(r["window_ts"])): (
+            r["n"], r["base_rate"], r["pos_rate"], r["tpr"], r["fpr"]
+        )
+        for r in spark.sql(
+            "SELECT * FROM fair_test WHERE group != 'z'"
+        ).collect()
+    }
+    # batch reference: group_fairness per hour slice (ingredients only —
+    # the streaming monitor deliberately omits the overall-rate gaps)
+    want = {}
+    for hour in ("2025-01-01 00:00:00", "2025-01-01 01:00:00"):
+        sliced = df.filter(
+            (F.date_trunc("hour", "ts") == F.lit(hour).cast("timestamp"))
+            & (F.col("g") != "z")
+        )
+        for r in group_fairness(
+            sliced, group_col="g", score_col="s", label_col="y",
+            threshold=0.5,
+        ).collect():
+            want[(r["group"], hour)] = (
+                r["n"], r["base_rate"], r["pos_rate"], r["tpr"], r["fpr"]
+            )
+    assert got == want
+    assert got[("b", "2025-01-01 00:00:00")][3] is None  # NULL tpr
