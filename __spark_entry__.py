@@ -116,8 +116,13 @@ _PRIORITY = [
     # --- round-8 FIFO boundary: everything above this line that falls
     # outside the 50-key window (zipf_fit .. community_quality, 22 keys)
     # moves to the FRONT next round, followed by the round-7 additions
-    # below (newest never-gated keys — capped at ~20 this round per
-    # VERDICT r6 task #2 so round 8 reaches full driver coverage).
+    # below (13 total this round, inside VERDICT r6 task #2's ~20 cap:
+    # the 8 end-of-r6 keys classification_report .. dim_truncation, then
+    # the 5 batch-2 keys pareto_front .. shard_moves). After the round-7
+    # gate, never-gated = exactly those 22 + 13 = 35 keys, ALREADY in
+    # FIFO order here — the round-8 session only needs to move this
+    # whole block to the front (35 < 50, so round 8 reaches full
+    # cumulative driver coverage with room for ~15 new keys).
     "classification_report",
     "conformal_threshold",
     "bradley_terry",
