@@ -113,7 +113,8 @@ def test_all_outputs_scalar_only(name, spark):
     initial physical plan may contain a CartesianProduct (a broadcast
     1-row crossJoin plans as BroadcastNestedLoopJoin and is fine; a
     bare CartesianProduct is always an unbounded all-pairs bug at
-    scale).  Audited clean across all 232 queries in round 7."""
+    scale).  Audited clean across the whole catalog in round 7, and the
+    exchange counts are pinned against tools/plan_shapes.json below."""
     df = QUERIES[name](spark, SF_SMOKE)
     bad = [
         f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)
@@ -143,3 +144,26 @@ def test_all_outputs_scalar_only(name, spark):
         "an improvement — either way regenerate the ledger deliberately "
         "(`python tools/plan_shapes.py --write`)"
     )
+
+
+def test_scale_probe_tool_smoke(spark, tmp_path, monkeypatch):
+    """The scaling-probe tool runs end-to-end on the smallest fixtures
+    and emits per-factor seconds, row counts, and slopes for every op."""
+    import sys
+
+    from tools import scale_probe
+
+    monkeypatch.setattr(scale_probe, "SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(scale_probe, "WORK", str(tmp_path / "probe"))
+    out = tmp_path / "probe.json"
+    monkeypatch.setattr(
+        sys, "argv", ["scale_probe.py", "--factors=1,2", f"--out={out}"]
+    )
+    scale_probe.main()
+    doc = json.loads(out.read_text())
+    assert doc["factors"] == [1, 2]
+    assert set(doc["ops"]) == set(scale_probe.OPS)
+    for op, r in doc["ops"].items():
+        assert set(r["sec"]) == {"1", "2"}, op
+        assert isinstance(r["loglog_slope"], float), op
+    assert doc["input_rows"]["2"]["events"] == 2 * doc["input_rows"]["1"]["events"]
