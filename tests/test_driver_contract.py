@@ -162,7 +162,7 @@ def test_scale_probe_tool_smoke(spark, tmp_path, monkeypatch):
     scale_probe.main()
     doc = json.loads(out.read_text())
     assert doc["factors"] == [1, 2]
-    assert set(doc["ops"]) == set(scale_probe.OPS)
+    assert set(doc["ops"]) == set(scale_probe.OPS_ALL)
     for op, r in doc["ops"].items():
         assert set(r["sec"]) == {"1", "2"}, op
         assert isinstance(r["loglog_slope"], float), op

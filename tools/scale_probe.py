@@ -19,6 +19,13 @@ Probed queries (one per major family, all shuffle-bearing):
 - exact_dedup     — fingerprint group dedup over documents
 - bm25_search     — inverted-postings retrieval scoring
 - hll_distinct    — sketch-merge distinct counting
+- minhash_pairs / dedup_components — the LSH near-dup path, probed on a
+  WORD-SALTED replica (every token prefixed with the copy tag, so
+  cross-copy Jaccard is 0 and near-dup clusters stay per-copy — id-shift
+  alone would make every copy a near-duplicate of every other and grow
+  the true pair count quadratically, measuring the data, not the plan).
+  exact_dedup and bm25_search stay on the UNSALTED replica: salting
+  would divorce bm25's fixed query terms from 15/16ths of the corpus.
 
 Output: SCALE_PROBE_r{N}.json with per-factor seconds, row counts, and
 the log-log slope between the smallest and largest factor (1.0 = exactly
@@ -40,6 +47,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/knap_scale_probe"
 
 OPS = ["ais_hourly", "pairs_monthly", "exact_dedup", "bm25_search", "hll_distinct"]
+OPS_SALTED = ["minhash_pairs", "dedup_components"]
+OPS_ALL = OPS + OPS_SALTED
 
 
 def build_replica(spark, k: int) -> str:
@@ -84,6 +93,27 @@ def build_replica(spark, k: int) -> str:
     for c in dcopies[1:]:
         dk = dk.unionByName(c)
     dk.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    # word-salted variant for the near-dup probes: prefix every token
+    # with the copy tag so cross-copy Jaccard is 0
+    out_s = os.path.join(WORK, f"k{k}s")
+    if os.path.exists(out_s):
+        shutil.rmtree(out_s)
+    os.makedirs(out_s)
+    scopies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"c{i}_$1").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(k)
+    ]
+    sk = scopies[0]
+    for c in scopies[1:]:
+        sk = sk.unionByName(c)
+    sk.write.mode("overwrite").parquet(os.path.join(out_s, "documents.parquet"))
     return out
 
 
@@ -105,13 +135,18 @@ def main() -> None:
         os.path.join(REPO, "SCALE_PROBE.json"),
     )
     spark = get_spark()
-    results: dict[str, dict] = {op: {"sec": {}, "rows": {}} for op in OPS}
+    results: dict[str, dict] = {
+        op: {"sec": {}, "rows": {}} for op in OPS_ALL
+    }
     row_counts = {}
     # untimed warmup at the smallest factor so k=1 doesn't also pay
     # first-use JIT/codegen costs the larger factors get for free
     warm = build_replica(spark, min(factors))
+    warm_s = os.path.join(WORK, f"k{min(factors)}s")
     for op in OPS:
         QUERIES[op](spark, warm).count()
+    for op in OPS_SALTED:
+        QUERIES[op](spark, warm_s).count()
     for k in factors:
         d = build_replica(spark, k)
         row_counts[str(k)] = {
@@ -120,11 +155,13 @@ def main() -> None:
                 os.path.join(d, "documents.parquet")
             ).count(),
         }
-        for op in OPS:
+        ds = os.path.join(WORK, f"k{k}s")
+        for op in OPS_ALL:
+            src_dir = ds if op in OPS_SALTED else d
             samples = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                n = QUERIES[op](spark, d).count()
+                n = QUERIES[op](spark, src_dir).count()
                 samples.append(round(time.perf_counter() - t0, 3))
             results[op]["sec"][str(k)] = min(samples)
             results[op]["rows"][str(k)] = n
@@ -134,7 +171,7 @@ def main() -> None:
     import math
 
     lo, hi = str(min(factors)), str(max(factors))
-    for op in OPS:
+    for op in OPS_ALL:
         t1, tk = results[op]["sec"][lo], results[op]["sec"][hi]
         results[op]["loglog_slope"] = round(
             math.log(tk / t1) / math.log(max(factors) / min(factors)), 3
@@ -147,7 +184,7 @@ def main() -> None:
     }
     with open(out_path, "w") as fh:
         json.dump(doc, fh)
-    print(json.dumps({op: results[op]["loglog_slope"] for op in OPS}))
+    print(json.dumps({op: results[op]["loglog_slope"] for op in OPS_ALL}))
 
 
 if __name__ == "__main__":
