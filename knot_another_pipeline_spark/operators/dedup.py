@@ -520,6 +520,7 @@ def connected_components(
     max_iterations: int = 25,
     free_intermediate_checkpoints: bool = False,
     scratch_dir: str | None = None,
+    pin: str = "parquet",
 ) -> DataFrame:
     """Union near-duplicate pairs into duplicate GROUPS: the step that
     turns any pair generator's output (MinHash/SimHash/embedding/semantic)
@@ -540,6 +541,12 @@ def connected_components(
     Terminates early when no label changes. For graphs with giant
     components at extreme scale, swap in the large-star/small-star
     variant (Kiveris et al. 2014) — same interface, fewer rounds.
+
+    ``pin="local_checkpoint"`` keeps the old block-storage round pin:
+    ~0.4 s/round cheaper (no file commit), correct ONLY for loops whose
+    label table is bounded-small by construction (e.g. dbscan's
+    dense-CELL graph, bounded by grid size) — at corpus-scale label
+    tables it hits the geometric materialization pathology above.
 
     Output: id, component (the component's minimum id). Only ids that
     appear in at least one pair are returned; singletons need no
@@ -616,13 +623,18 @@ def connected_components(
     # slots bound the scratch footprint at 2 label tables; round N reads
     # slot (N-1)%2 while writing slot N%2, so no path is read and
     # overwritten in the same job.
+    if pin not in ("parquet", "local_checkpoint"):
+        raise ValueError(f"pin must be parquet|local_checkpoint, got {pin!r}")
     spark = pairs.sparkSession
-    own_scratch = scratch_dir is None
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="knap_cc_")
-    slots = [
-        os.path.join(scratch, "labels_a"),
-        os.path.join(scratch, "labels_b"),
-    ]
+    own_scratch = pin == "parquet" and scratch_dir is None
+    scratch = None
+    slots: list[str] = []
+    if pin == "parquet":
+        scratch = scratch_dir or tempfile.mkdtemp(prefix="knap_cc_")
+        slots = [
+            os.path.join(scratch, "labels_a"),
+            os.path.join(scratch, "labels_b"),
+        ]
     try:
         for it in range(max_iterations):
             neighbor_min = (
@@ -664,30 +676,49 @@ def connected_components(
                     "component"
                 ),
             )
-            slot = slots[it % 2]
-            new_plan.write.mode("overwrite").parquet(slot)
-            # explicit schema: an all-converged-in-round-0 empty input
-            # writes a part-less directory that schema inference rejects
-            new_labels = spark.read.schema(new_plan.schema).parquet(slot)
+            if pin == "parquet":
+                slot = slots[it % 2]
+                new_plan.write.mode("overwrite").parquet(slot)
+                # explicit schema: an all-converged-in-round-0 empty
+                # input writes a part-less directory that schema
+                # inference rejects
+                new_labels = spark.read.schema(new_plan.schema).parquet(
+                    slot
+                )
+            else:
+                new_labels = new_plan.localCheckpoint(eager=False)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
+            if pin != "parquet":
+                new_ids = (
+                    _persistent_ids()
+                    - pre_existing
+                    - bidir_ids
+                    - labels_ids
+                )
+                _free(labels_ids)  # old round's blocks go
+                labels_ids = new_ids
             labels = new_labels
             if changed == 0:
                 break
-        # re-pin the final state OFF the scratch files — checkpointing a
-        # plain parquet SCAN is cheap (the pathology above is specific to
-        # materializing a join plan into storage), and it lets the
-        # scratch directory be deleted before returning
-        final = labels.localCheckpoint(eager=True)
+        if pin == "parquet":
+            # re-pin the final state OFF the scratch files —
+            # checkpointing a plain parquet SCAN is cheap (the pathology
+            # above is specific to materializing a join plan into
+            # storage), and it lets the scratch dir be deleted on return
+            final = labels.localCheckpoint(eager=True)
+        else:
+            final = labels  # last round's checkpoint IS the pin
     finally:
-        _free(labels_ids)
         _free(bidir_ids)
-        if own_scratch:
-            shutil.rmtree(scratch, ignore_errors=True)
+        if pin == "parquet":
+            _free(labels_ids)  # initial identity labels
+            if own_scratch:
+                shutil.rmtree(scratch, ignore_errors=True)
     return final
 
 

@@ -405,7 +405,10 @@ def dbscan_grid(
         )
         .distinct()
     )
-    comp = connected_components(pairs)
+    # dense-CELL adjacency graph: bounded by grid size (not points), so
+    # the cheaper block-storage round pin is safe here — the parquet
+    # pin's per-round file commit would dominate this tiny loop
+    comp = connected_components(pairs, pin="local_checkpoint")
     return (
         dense.join(
             comp.withColumnRenamed("id", "cell_key"), "cell_key", "left"
