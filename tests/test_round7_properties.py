@@ -161,3 +161,48 @@ def test_blocking_quality_matches_bruteforce(spark, rows):
     assert out.reduction_ratio == round(1 - cand / (n * (n - 1) / 2), 6)
     expect_pc = round(blocked / len(truth), 6) if truth else None
     assert out.pairs_completeness == expect_pc
+
+
+# ---------------------------------------------------------------------------
+# cumulative_users ≡ brute-force first-seen accumulation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 6)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cumulative_users_matches_bruteforce(spark, events):
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.operators.behavior import (
+        cumulative_users,
+    )
+
+    rows = [
+        (f"2024-01-{day + 1:02d} 12:00:00", uid) for day, uid in events
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id int").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    first_seen = {}
+    for day, uid in events:
+        first_seen[uid] = min(first_seen.get(uid, day), day)
+    from collections import Counter
+
+    n_new = Counter(first_seen.values())
+    expect, cum = [], 0
+    for day in sorted(n_new):
+        cum += n_new[day]
+        expect.append((f"2024-01-{day + 1:02d}", n_new[day], cum))
+    got = [
+        (str(r.day), r.n_new, r.cum_users)
+        for r in cumulative_users(
+            df, ts_col="ts", user_col="user_id"
+        ).collect()
+    ]
+    assert got == expect
