@@ -17,15 +17,38 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 README = os.path.join(REPO, "README.md")
 
 
+def _tracked(pattern: str) -> list[str]:
+    """Git-tracked artifact paths matching ``pattern``, sorted.
+
+    The driver deposits each round's ``BENCH_r{N}.json`` (untracked)
+    AFTER the builder's final commit, so globbing the working tree made
+    this guard red-by-construction at every round boundary (VERDICT r7
+    task #2).  Only artifacts that are part of the committed tree count;
+    if git is unavailable, fall back to the raw glob.
+    """
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", pattern],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    except (OSError, subprocess.CalledProcessError):
+        return sorted(glob.glob(os.path.join(REPO, pattern)))
+    return sorted(os.path.join(REPO, rel) for rel in out)
+
+
 def latest_bench() -> tuple[str, dict]:
     best: tuple[str, dict] | None = None
-    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+    for path in _tracked("BENCH_r*.json"):
         with open(path) as fh:
             doc = json.load(fh)
         parsed = doc.get("parsed")
@@ -49,7 +72,7 @@ def expected_values() -> dict[str, str]:
         f" (round-{doc['n']} driver artifact, {os.path.basename(path)})"
     )
     values = {"N_QUERIES": str(len(QUERIES)), "BENCH_HEADLINE": headline}
-    alls = sorted(glob.glob(os.path.join(REPO, "BENCH_ALL_r*.json")))
+    alls = _tracked("BENCH_ALL_r*.json")
     if alls:
         with open(alls[-1]) as fh:
             full = json.load(fh)
@@ -58,7 +81,7 @@ def expected_values() -> dict[str, str]:
             f"-query catalog at sf{full['sf']}"
             f" ({os.path.basename(alls[-1])})"
         )
-    probes = sorted(glob.glob(os.path.join(REPO, "SCALE_PROBE_r*.json")))
+    probes = _tracked("SCALE_PROBE_r*.json")
     if probes:
         with open(probes[-1]) as fh:
             probe = json.load(fh)
