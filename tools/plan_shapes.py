@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -35,9 +36,12 @@ def plan_shape(df) -> dict[str, int]:
             "simple"
         )
     )
-    broadcasts = plan.count("BroadcastExchange")
-    shuffles = plan.count("Exchange ")  # hash/range/SinglePartition
-    single = plan.count("Exchange SinglePartition")
+    # Word-boundary match: "BroadcastExchange ..." and "ReusedExchange
+    # ..." must NOT count as shuffles (a bare substring count overstated
+    # the shuffle column for every query with a broadcast join).
+    broadcasts = len(re.findall(r"(?<![A-Za-z])BroadcastExchange ", plan))
+    shuffles = len(re.findall(r"(?<![A-Za-z])Exchange ", plan))
+    single = len(re.findall(r"(?<![A-Za-z])Exchange SinglePartition", plan))
     return {
         "shuffles": shuffles,
         "broadcasts": broadcasts,
