@@ -19,23 +19,32 @@ Probed queries (one per major family, all shuffle-bearing):
 - exact_dedup     — fingerprint group dedup over documents
 - bm25_search     — inverted-postings retrieval scoring
 - hll_distinct    — sketch-merge distinct counting
-- minhash_pairs / dedup_components — the LSH near-dup path, probed on a
-  WORD-SALTED replica (every token prefixed with the copy tag, so
-  cross-copy Jaccard is 0 and near-dup clusters stay per-copy — id-shift
-  alone would make every copy a near-duplicate of every other and grow
-  the true pair count quadratically, measuring the data, not the plan).
+- minhash_pairs / dedup_components / canonical_docs — the LSH near-dup
+  path (canonical_docs is its full composition through components and
+  argmax), probed on a WORD-SALTED replica (every token prefixed with
+  the copy tag, so cross-copy Jaccard is 0 and near-dup clusters stay
+  per-copy — id-shift alone would make every copy a near-duplicate of
+  every other and grow the true pair count quadratically, measuring the
+  data, not the plan).
   exact_dedup and bm25_search stay on the UNSALTED replica: salting
   would divorce bm25's fixed query terms from 15/16ths of the corpus.
+- fuzzy_match — the FastSS deletion-neighborhood join over customer
+  names, probed on a NAME-SALTED customer replica (copy tag ``iiii_``
+  prefixed to every name; pairwise salt distance is 4 > max_distance=1,
+  so cross-copy matches stay impossible and the true pair count scales
+  linearly in copies).
 
 Output: SCALE_PROBE_r{N}.json with per-factor seconds, row counts, and
 the log-log slope between the smallest and largest factor (1.0 = exactly
 linear; < 1 = better than linear thanks to fixed overheads amortizing).
 
 Usage: python tools/scale_probe.py [--factors 1,2,4] [--out FILE]
+(both ``--flag value`` and ``--flag=value`` forms are accepted)
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -47,7 +56,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/knap_scale_probe"
 
 OPS = ["ais_hourly", "pairs_monthly", "exact_dedup", "bm25_search", "hll_distinct"]
-OPS_SALTED = ["minhash_pairs", "dedup_components"]
+OPS_SALTED = ["minhash_pairs", "dedup_components", "canonical_docs", "fuzzy_match"]
 OPS_ALL = OPS + OPS_SALTED
 
 
@@ -114,6 +123,23 @@ def build_replica(spark, k: int) -> str:
     for c in scopies[1:]:
         sk = sk.unionByName(c)
     sk.write.mode("overwrite").parquet(os.path.join(out_s, "documents.parquet"))
+
+    # name-salted customer replica for fuzzy_match: the "iiii_" prefix
+    # puts every cross-copy name pair at edit distance >= 4, far above
+    # the probe's max_distance=1, so matches stay strictly per-copy.
+    cust = load_table(spark, SF_DIR, "customer")
+    ccopies = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(i * 10**9)).alias("c_custkey"),
+            F.concat(F.lit(str(i) * 4 + "_"), F.col("c_name")).alias("c_name"),
+            "c_mktsegment",
+        )
+        for i in range(k)
+    ]
+    ck = ccopies[0]
+    for c in ccopies[1:]:
+        ck = ck.unionByName(c)
+    ck.write.mode("overwrite").parquet(os.path.join(out_s, "customer.parquet"))
     return out
 
 
@@ -123,17 +149,17 @@ def main() -> None:
     from knot_another_pipeline_spark.catalog_queries import QUERIES
     from knot_another_pipeline_spark.session import get_spark
 
-    factors = [
-        int(x)
-        for x in next(
-            (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--factors=")),
-            "1,2,4",
-        ).split(",")
-    ]
-    out_path = next(
-        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--out=")),
-        os.path.join(REPO, "SCALE_PROBE.json"),
+    # argparse accepts both "--factors 1,2,4" and "--factors=1,2,4" and
+    # errors on unrecognized argv (the old hand-parser silently ignored
+    # the space-separated form and ran with defaults).
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--factors", default="1,2,4")
+    parser.add_argument(
+        "--out", default=os.path.join(REPO, "SCALE_PROBE.json")
     )
+    cli = parser.parse_args()
+    factors = [int(x) for x in cli.factors.split(",")]
+    out_path = cli.out
     spark = get_spark()
     results: dict[str, dict] = {
         op: {"sec": {}, "rows": {}} for op in OPS_ALL
@@ -173,8 +199,11 @@ def main() -> None:
     lo, hi = str(min(factors)), str(max(factors))
     for op in OPS_ALL:
         t1, tk = results[op]["sec"][lo], results[op]["sec"][hi]
-        results[op]["loglog_slope"] = round(
-            math.log(tk / t1) / math.log(max(factors) / min(factors)), 3
+        # a single-factor run has no span to fit a slope over
+        results[op]["loglog_slope"] = (
+            round(math.log(tk / t1) / math.log(max(factors) / min(factors)), 3)
+            if max(factors) > min(factors)
+            else 0.0
         )
     doc = {
         "sf_base": SF_DIR,
