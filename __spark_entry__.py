@@ -23,21 +23,77 @@ from pyspark.sql import DataFrame, SparkSession
 
 from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 
-# Round-7 rotation, executed exactly as committed in round 6 and ordered
-# as VERDICT r6 task #1 directs: the 72 keys that have never received a
-# driver CORRECTNESS row lead, oldest-first — the 14 r5-deferred keys
-# (trend_fit .. readability) first, then the round-6 additions in catalog
-# order (ks_drift .. community_quality).  All 50 round-6-gated keys
-# (fuzzy_match .. survival_curve, CORRECTNESS_r06 50/50 green) rotate to
-# the back of the priority list.  With a 50-key window, positions 51-72
-# (zipf_fit .. community_quality, 22 keys) defer to round 8 and move to
-# the FRONT of this list next round, ahead of any round-7 additions —
-# which are capped at ~20 this round (VERDICT r6 task #2) so round 8
-# reaches full cumulative driver coverage.  Every key remains green in
-# the in-repo DuckDB differential (tests/test_catalog_oracle.py) every
-# run regardless of the driver window.
+# Round-8 rotation, executed exactly as committed in round 7 (VERDICT r7
+# task #1): the 35 keys that have never received a driver CORRECTNESS
+# row lead, oldest-first — the 22 r6-deferred keys (zipf_fit ..
+# community_quality) first, then the 13 round-7 additions
+# (classification_report .. shard_moves) — followed by the 15 round-8
+# additions (order_priority .. track_sinuosity, inside the <=15 cap),
+# filling the 50-key driver window EXACTLY: 22 + 13 + 15 = 50.  With a
+# green CORRECTNESS_r08 this closes cumulative driver coverage over the
+# whole pre-round-8 catalog (234/234) and gates every round-8 key in the
+# same pass.  All 50 round-7-gated keys (trend_fit .. dedup_summary,
+# CORRECTNESS_r07 50/50 green) rotate to the back, ahead of the
+# r6-gated block.  Every key remains green in the in-repo DuckDB
+# differential (tests/test_catalog_oracle.py) every run regardless of
+# the driver window.
 _PRIORITY = [
-    # 14 r5-deferred keys (oldest never-gated).
+    # 22 r6-deferred keys (oldest never-gated).
+    "zipf_fit",
+    "source_terms",
+    "oov_rate",
+    "join_cardinality",
+    "dbscan_grid",
+    "quantile_normalize",
+    "proportion_test",
+    "reweight_to_target",
+    "audience_overlap",
+    "cluster_purity",
+    "seasonal_naive_error",
+    "profile_drift",
+    "fano_burstiness",
+    "embedding_drift",
+    "rank_movers",
+    "binned_mutual_info",
+    "dedup_pr_curve",
+    "tfidf_cosine_pairs",
+    "wasserstein_drift",
+    "poisson_rate_ci",
+    "track_length",
+    "community_quality",
+    # 13 round-7 additions (never-gated, FIFO positions 23-35).
+    "classification_report",
+    "conformal_threshold",
+    "bradley_terry",
+    "class_weights",
+    "boilerplate_lines",
+    "segment_dedup",
+    "knn_label_noise",
+    "dim_truncation",
+    "pareto_front",
+    "group_fairness",
+    "cumulative_users",
+    "blocking_quality",
+    "shard_moves",
+    # 15 round-8 additions (window positions 36-50, <=15 cap honored).
+    "order_priority",
+    "customer_distribution",
+    "small_qty_revenue",
+    "big_order_customers",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "idle_customers",
+    "mann_whitney",
+    "kendall_profiles",
+    "silhouette",
+    "regression_report",
+    "brier_decomposition",
+    "signal_gaps",
+    "od_matrix",
+    "track_sinuosity",
+    # --- 50-key window boundary. Below: the 50 keys driver-gated green
+    # in CORRECTNESS_r07 (trend_fit .. dedup_summary), rotated to the
+    # back, then the 50 keys gated green in CORRECTNESS_r06.
     "trend_fit",
     "cusum_alarm",
     "basket_rules",
@@ -52,9 +108,6 @@ _PRIORITY = [
     "rfm_segments",
     "funnel_timing",
     "readability",
-    # 58 round-6 additions, catalog order.  The 50-key window boundary
-    # falls after dedup_summary (position 50); zipf_fit onward defers to
-    # round 8.
     "ks_drift",
     "label_agreement",
     "uplift_deciles",
@@ -91,53 +144,6 @@ _PRIORITY = [
     "weighted_quantiles",
     "ips_policy_value",
     "dedup_summary",
-    "zipf_fit",
-    "source_terms",
-    "oov_rate",
-    "join_cardinality",
-    "dbscan_grid",
-    "quantile_normalize",
-    "proportion_test",
-    "reweight_to_target",
-    "audience_overlap",
-    "cluster_purity",
-    "seasonal_naive_error",
-    "profile_drift",
-    "fano_burstiness",
-    "embedding_drift",
-    "rank_movers",
-    "binned_mutual_info",
-    "dedup_pr_curve",
-    "tfidf_cosine_pairs",
-    "wasserstein_drift",
-    "poisson_rate_ci",
-    "track_length",
-    "community_quality",
-    # --- round-8 FIFO boundary: everything above this line that falls
-    # outside the 50-key window (zipf_fit .. community_quality, 22 keys)
-    # moves to the FRONT next round, followed by the round-7 additions
-    # below (13 total this round, inside VERDICT r6 task #2's ~20 cap:
-    # the 8 end-of-r6 keys classification_report .. dim_truncation, then
-    # the 5 batch-2 keys pareto_front .. shard_moves). After the round-7
-    # gate, never-gated = exactly those 22 + 13 = 35 keys, ALREADY in
-    # FIFO order here — the round-8 session only needs to move this
-    # whole block to the front (35 < 50, so round 8 reaches full
-    # cumulative driver coverage with room for ~15 new keys).
-    "classification_report",
-    "conformal_threshold",
-    "bradley_terry",
-    "class_weights",
-    "boilerplate_lines",
-    "segment_dedup",
-    "knn_label_noise",
-    "dim_truncation",
-    "pareto_front",
-    "group_fairness",
-    "cumulative_users",
-    "blocking_quality",
-    "shard_moves",
-    # Below: the 50 keys driver-gated green in CORRECTNESS_r06, rotated
-    # to the back.
     "fuzzy_match",
     "json_extract_stats",
     "pivot_daily",

@@ -201,6 +201,24 @@ HEADLINE = [
     "cumulative_users",
     "blocking_quality",
     "shard_moves",
+    # r8 additions: TPC-H-derived plan shapes
+    "order_priority",
+    "customer_distribution",
+    "small_qty_revenue",
+    "big_order_customers",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "idle_customers",
+    # r8 additions: tests / validity / forecast scorecards
+    "mann_whitney",
+    "kendall_profiles",
+    "silhouette",
+    "regression_report",
+    "brier_decomposition",
+    # r8 additions: trajectory readouts
+    "signal_gaps",
+    "od_matrix",
+    "track_sinuosity",
 ]
 
 

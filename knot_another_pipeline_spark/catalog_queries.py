@@ -10565,7 +10565,635 @@ ORDER BY scheme
 """
 
 
+# --------------------------------------------------------------------------
+# round-8 additions (1/2): TPC-H-derived relational plan shapes the catalog
+# lacked — correlated EXISTS / NOT EXISTS, outer-join-then-distribution,
+# decorrelated scalar subqueries, HAVING-IN, disjunctive pushdown.
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join (operators/relational.py
+    order_priority_counts): orders with at least one line shipped
+    >365 days after order date, counted per priority — the correlated
+    EXISTS decorrelates into one LEFT SEMI join with a compound
+    (equi + theta) condition."""
+    return relational.order_priority_counts(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        late_days=365,
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 365 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped outer-join distribution (operators/relational.py
+    customer_order_distribution): customers per exact order count,
+    including the zero-order bucket only an outer join can see."""
+    return relational.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey,
+         (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS c_count
+  FROM customer)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery
+    (operators/relational.py small_quantity_revenue): revenue from
+    below-one-fifth-of-part-average quantity lines of one brand's
+    small parts, decorrelated into a per-part average joined back."""
+    return relational.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        brand="Brand#12",
+        max_size=10,
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH keys AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = 'Brand#12' AND p_size <= 10),
+lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN keys ON l_partkey = p_partkey),
+a AS (
+  SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+  FROM lines GROUP BY 1)
+SELECT round(coalesce(sum(l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lines JOIN a ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING-IN subquery (operators/relational.py
+    big_order_customers): customers holding orders totalling >250
+    units; the qualifying-order set comes from one aggregate and
+    broadcasts into both fact joins."""
+    return relational.big_order_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        min_qty=250.0,
+    )
+
+
+ORACLE_BIG_ORDER_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250.0)
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join (operators/relational.py
+    disjunctive_revenue): revenue over an OR of three
+    (brand, size, quantity) conjunctions — the union of the part-side
+    disjuncts prefilters the dimension before broadcast."""
+    return relational.disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated EXISTS / NOT EXISTS
+    (operators/relational.py waiting_suppliers): the only-late-supplier
+    readout, decorrelated into one per-order distinct aggregate instead
+    of two extra self-joins of lineitem.  The oracle runs the CLASSIC
+    two-subquery formulation, so the hash match proves the
+    decorrelation equivalent."""
+    return relational.waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        late_days=365,
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped anti-join + global scalar subquery
+    (operators/relational.py idle_customers): above-average-balance
+    customers with no order since 2001-01-01, summarized per nation."""
+    return relational.idle_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        since="2001-01-01",
+    )
+
+
+ORACLE_IDLE_CUSTOMERS = """
+SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# round-8 additions (2/2): nonparametric tests, rank association, cluster
+# validity, regression/probabilistic-forecast scorecards, and the three
+# AIS-flavored trajectory readouts (gaps, OD flows, sinuosity).
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-weekday Mann-Whitney U between purchase and click values
+    (operators/quality.py mann_whitney): exact midranks, tie-corrected
+    normal approximation, one shared group shuffle."""
+    from knot_another_pipeline_spark.operators.quality import mann_whitney
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    s = events.select(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).cast("int").alias("wd"),
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return mann_whitney(
+        s, group_cols=["wd"], value_col="v", class_col="y"
+    ).orderBy("wd")
+
+
+ORACLE_MANN_WHITNEY = """
+WITH s AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS INT) AS wd,
+         CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('purchase', 'click')),
+r AS (
+  SELECT wd, v, y,
+         rank() OVER (PARTITION BY wd ORDER BY v ASC)
+         + (count(*) OVER (PARTITION BY wd, v) - 1) / 2.0 AS mr
+  FROM s),
+ties AS (
+  SELECT wd, sum(t * t * t - t) AS tie3
+  FROM (SELECT wd, v, CAST(count(*) AS DOUBLE) AS t FROM s GROUP BY 1, 2)
+  GROUP BY 1),
+a AS (
+  SELECT wd,
+         CAST(sum(y) AS BIGINT) AS n1,
+         CAST(sum(1 - y) AS BIGINT) AS n0,
+         sum(CASE WHEN y = 1 THEN mr END) AS r1
+  FROM r GROUP BY 1)
+SELECT a.wd, n1, n0,
+       round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u,
+       round(CASE WHEN n1 > 0 AND n0 > 0
+                   AND n1 * n0 / 12.0 * ((n1 + n0 + 1)
+                       - tie3 / ((n1 + n0) * (n1 + n0 - 1.0))) > 0
+             THEN (r1 - n1 * (n1 + 1) / 2.0 - n1 * n0 / 2.0)
+                  / sqrt(n1 * n0 / 12.0 * ((n1 + n0 + 1)
+                         - tie3 / ((n1 + n0) * (n1 + n0 - 1.0))))
+             END, 6) AS z
+FROM a JOIN ties ON a.wd = ties.wd
+ORDER BY a.wd
+"""
+
+
+def q_kendall_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between hour-of-day activity profiles of every
+    event-type pair (operators/quality.py kendall_tau): the raw stream
+    compresses to a 24-point profile per type BEFORE any pairing, so
+    the quadratic pair join only ever sees bounded profiles."""
+    from knot_another_pipeline_spark.operators.quality import kendall_tau
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    hp = events.groupBy(
+        F.col("event_type").alias("et"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a, b = hp.alias("a"), hp.alias("b")
+    prof = a.join(
+        b,
+        (F.col("a.hr") == F.col("b.hr")) & (F.col("a.et") < F.col("b.et")),
+    ).select(
+        F.col("a.et").alias("type_a"),
+        F.col("b.et").alias("type_b"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    return kendall_tau(
+        prof, group_cols=["type_a", "type_b"], x_col="x", y_col="y"
+    ).orderBy("type_a", "type_b")
+
+
+ORACLE_KENDALL_PROFILES = """
+WITH hp AS (
+  SELECT event_type AS et, CAST(hour(ts) AS INT) AS hr,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+p AS (
+  SELECT a.et AS type_a, b.et AS type_b, a.hr AS hr, a.c AS x, b.c AS y
+  FROM hp a JOIN hp b ON a.hr = b.hr AND a.et < b.et),
+pr AS (
+  SELECT u.type_a, u.type_b,
+         sign(v.x - u.x) AS dx, sign(v.y - u.y) AS dy
+  FROM p u JOIN p v
+    ON u.type_a = v.type_a AND u.type_b = v.type_b AND u.hr < v.hr),
+ag AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+         CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS d,
+         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tx,
+         CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS ty
+  FROM pr GROUP BY 1, 2),
+n AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2)
+SELECT n.type_a, n.type_b, n.n,
+       round(CASE WHEN (n0 - tx) * (n0 - ty) > 0
+             THEN (c - d) / sqrt((n0 - tx) * (n0 - ty)) END, 6) AS tau
+FROM n JOIN ag ON n.type_a = ag.type_a AND n.type_b = ag.type_b
+ORDER BY n.type_a, n.type_b
+"""
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per embedding label
+    (operators/similarity.py silhouette_score): k x d centroids
+    broadcast into position-joined exploded vectors, N x k shuffle,
+    one k-row aggregate."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        silhouette_score,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return silhouette_score(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
+
+
+ORACLE_SILHOUETTE = """
+WITH flat AS (
+  SELECT vec_id AS id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label AS cand, pos, avg(v) AS c FROM flat GROUP BY 1, 2),
+dist AS (
+  SELECT f.id, f.label, cent.cand,
+         sqrt(sum((f.v - cent.c) * (f.v - cent.c))) AS d
+  FROM flat f JOIN cent ON f.pos = cent.pos
+  GROUP BY 1, 2, 3),
+pv AS (
+  SELECT id, label,
+         min(CASE WHEN cand = label THEN d END) AS a,
+         min(CASE WHEN cand <> label THEN d END) AS b
+  FROM dist GROUP BY 1, 2),
+s AS (
+  SELECT label,
+         CASE WHEN b IS NOT NULL AND greatest(a, b) > 0
+              THEN (b - a) / greatest(a, b)
+              WHEN b IS NOT NULL THEN 0.0 END AS s
+  FROM pv)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 6) AS avg_silhouette
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+def q_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type regression scorecard of the hour-of-day mean
+    predictor against observed values (operators/evaluation.py
+    regression_report): one broadcast of the 24-row predictor, one
+    hash aggregate for every metric."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        regression_report,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    ev = events.select(
+        "event_type", F.hour("ts").cast("int").alias("hr"), "value"
+    )
+    hm = ev.groupBy("hr").agg(F.avg("value").alias("pred"))
+    s = ev.join(F.broadcast(hm), "hr")
+    return regression_report(
+        s, group_cols=["event_type"], pred_col="pred", truth_col="value"
+    ).orderBy("event_type")
+
+
+ORACLE_REGRESSION_REPORT = """
+WITH ev AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+hm AS (SELECT hr, avg(v) AS p FROM ev GROUP BY 1),
+s AS (SELECT event_type, p, v FROM ev JOIN hm ON ev.hr = hm.hr),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         avg((p - v) * (p - v)) AS mse,
+         avg(abs(p - v)) AS mae,
+         avg(p - v) AS bias,
+         var_pop(v) AS vt,
+         avg(CASE WHEN v <> 0 THEN abs(p - v) / abs(v) END) AS mape
+  FROM s GROUP BY 1)
+SELECT event_type, n,
+       round(sqrt(mse), 6) AS rmse,
+       round(mae, 6) AS mae,
+       round(bias, 6) AS bias,
+       round(CASE WHEN vt > 0 THEN 1 - mse / vt END, 6) AS r2,
+       round(mape, 6) AS mape
+FROM a ORDER BY event_type
+"""
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the synthetic purchase scorer's Brier
+    score (operators/evaluation.py brier_decomposition): one row-level
+    and one 10-bin aggregate combined by 1-row broadcasts."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = events.select(
+        (F.col("value") / 491.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return brier_decomposition(s, score_col="score", label_col="y", bins=10)
+
+
+ORACLE_BRIER_DECOMPOSITION = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) / 491.0 AS p,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS DOUBLE) AS o
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND value / 491.0 BETWEEN 0.0 AND 1.0),
+b AS (
+  SELECT p, o,
+         CAST(least(floor(p * 10), 9) AS INT) AS bin
+  FROM s),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS DOUBLE) AS nb, avg(p) AS pb, avg(o) AS ob
+  FROM b GROUP BY 1),
+overall AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         avg((p - o) * (p - o)) AS brier,
+         avg(o) AS obar
+  FROM b),
+parts AS (
+  SELECT sum(nb * (pb - ob) * (pb - ob)) AS rel_w,
+         sum(nb * (ob - obar) * (ob - obar)) AS res_w
+  FROM per_bin, overall)
+SELECT n,
+       round(brier, 6) AS brier,
+       round(rel_w / n, 6) AS reliability,
+       round(res_w / n, 6) AS resolution,
+       round(obar * (1 - obar), 6) AS uncertainty,
+       round(brier - (rel_w / n - res_w / n + obar * (1 - obar)), 6)
+         AS residual
+FROM overall, parts
+"""
+
+
+def q_signal_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting gaps longer than 24 h per user (operators/tracks.py
+    signal_gaps): one lag window on the entity key, row-local duration
+    compare — the AIS dark-period screen."""
+    from knot_another_pipeline_spark.operators.tracks import signal_gaps
+
+    events = load_table(spark, sf_dir, "events")
+    return signal_gaps(
+        events, entity_col="user_id", ts_col="ts", min_gap_hours=24.0
+    )
+
+
+ORACLE_SIGNAL_GAPS = """
+WITH g AS (
+  SELECT user_id AS entity,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS gap_start,
+         ts AS gap_end
+  FROM events WHERE ts IS NOT NULL)
+SELECT entity, gap_start, gap_end,
+       round((epoch_us(gap_end) - epoch_us(gap_start)) / 3600000000.0, 3)
+         AS gap_hours
+FROM g
+WHERE gap_start IS NOT NULL
+  AND (epoch_us(gap_end) - epoch_us(gap_start)) / 3600000000.0 > 24.0
+ORDER BY entity, gap_start
+"""
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix over 10-degree zones
+    (operators/tracks.py od_matrix): one (entity, day) window for the
+    first/last fix, one small flow aggregate."""
+    from knot_another_pipeline_spark.operators.tracks import od_matrix
+
+    pos = _positions(spark, sf_dir)
+    return od_matrix(
+        pos,
+        entity_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        cell_deg=10.0,
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_OD_MATRIX = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+z AS (
+  SELECT uid, ts, event_id, CAST(ts AS DATE) AS day,
+         concat(CAST(CAST(floor(lat / 10.0) AS BIGINT) AS VARCHAR), ':',
+                CAST(CAST(floor(lon / 10.0) AS BIGINT) AS VARCHAR)) AS zone
+  FROM pos),
+rn AS (
+  SELECT uid, day, zone,
+         row_number() OVER (PARTITION BY uid, day
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY uid, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM z),
+tr AS (
+  SELECT uid, day,
+         max(CASE WHEN rn_a = 1 THEN zone END) AS origin_zone,
+         max(CASE WHEN rn_d = 1 THEN zone END) AS dest_zone
+  FROM rn GROUP BY 1, 2)
+SELECT origin_zone, dest_zone,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_entities
+FROM tr GROUP BY 1, 2
+ORDER BY n_trips DESC, origin_zone ASC, dest_zone ASC
+"""
+
+
+def q_track_sinuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-over-displacement sinuosity per entity track
+    (operators/tracks.py track_sinuosity): the module's shared single
+    entity-key window (lag segments + first/last endpoints), one
+    aggregate."""
+    from knot_another_pipeline_spark.operators.tracks import track_sinuosity
+
+    pos = _positions(spark, sf_dir)
+    return track_sinuosity(
+        pos,
+        entity_col="uid",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        tiebreak_col="event_id",
+        min_direct_km=1.0,
+    )
+
+
+ORACLE_TRACK_SINUOSITY = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+seg AS (
+  SELECT uid, ts, event_id, lat, lon,
+         lag(lat) OVER w AS plat,
+         lag(lon) OVER w AS plon,
+         row_number() OVER w AS rn_a,
+         row_number() OVER (PARTITION BY uid
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM pos
+  WINDOW w AS (PARTITION BY uid ORDER BY ts ASC, event_id ASC)),
+km AS (
+  SELECT uid,
+         CASE WHEN plat IS NOT NULL
+              THEN 2 * 6371000.0 * asin(sqrt(
+                     pow(sin(radians(lat - plat) / 2), 2)
+                     + cos(radians(plat)) * cos(radians(lat))
+                       * pow(sin(radians(lon - plon) / 2), 2))) / 1000.0
+         END AS seg_km,
+         CASE WHEN rn_a = 1 THEN lat END AS lat0,
+         CASE WHEN rn_a = 1 THEN lon END AS lon0,
+         CASE WHEN rn_d = 1 THEN lat END AS lat1,
+         CASE WHEN rn_d = 1 THEN lon END AS lon1
+  FROM seg),
+a AS (
+  SELECT uid,
+         CAST(count(*) AS BIGINT) AS n_fixes,
+         coalesce(sum(seg_km), 0.0) AS path_km,
+         2 * 6371000.0 * asin(sqrt(
+             pow(sin(radians(max(lat1) - max(lat0)) / 2), 2)
+             + cos(radians(max(lat0))) * cos(radians(max(lat1)))
+               * pow(sin(radians(max(lon1) - max(lon0)) / 2), 2))) / 1000.0
+           AS direct_km
+  FROM km GROUP BY uid)
+SELECT uid AS entity, n_fixes,
+       round(path_km, 3) AS path_km,
+       round(direct_km, 3) AS direct_km,
+       round(CASE WHEN direct_km >= 1.0 THEN path_km / direct_km END, 3)
+         AS sinuosity
+FROM a
+"""
+
+
 QUERIES = {
+    # round-8 additions: TPC-H-derived plan shapes + tests/validity/
+    # trajectory readouts
+    "order_priority": q_order_priority,
+    "customer_distribution": q_customer_distribution,
+    "small_qty_revenue": q_small_qty_revenue,
+    "big_order_customers": q_big_order_customers,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_customers": q_idle_customers,
+    "mann_whitney": q_mann_whitney,
+    "kendall_profiles": q_kendall_profiles,
+    "silhouette": q_silhouette,
+    "regression_report": q_regression_report,
+    "brier_decomposition": q_brier_decomposition,
+    "signal_gaps": q_signal_gaps,
+    "od_matrix": q_od_matrix,
+    "track_sinuosity": q_track_sinuosity,
     # round-7 additions: model evaluation, preference data, loss weights
     "classification_report": q_classification_report,
     "conformal_threshold": q_conformal_threshold,
@@ -10825,6 +11453,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    # round-8 additions
+    "order_priority": ORACLE_ORDER_PRIORITY,
+    "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
+    "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+    "big_order_customers": ORACLE_BIG_ORDER_CUSTOMERS,
+    "disjunctive_revenue": ORACLE_DISJUNCTIVE_REVENUE,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "idle_customers": ORACLE_IDLE_CUSTOMERS,
+    "mann_whitney": ORACLE_MANN_WHITNEY,
+    "kendall_profiles": ORACLE_KENDALL_PROFILES,
+    "silhouette": ORACLE_SILHOUETTE,
+    "regression_report": ORACLE_REGRESSION_REPORT,
+    "brier_decomposition": ORACLE_BRIER_DECOMPOSITION,
+    "signal_gaps": ORACLE_SIGNAL_GAPS,
+    "od_matrix": ORACLE_OD_MATRIX,
+    "track_sinuosity": ORACLE_TRACK_SINUOSITY,
     # round-7 additions
     "classification_report": ORACLE_CLASSIFICATION_REPORT,
     "conformal_threshold": ORACLE_CONFORMAL_THRESHOLD,

@@ -531,13 +531,22 @@ def connected_components(
     own component; each round takes the min of its own and its neighbors'
     labels, then follows one parent pointer — O(log diameter) rounds.
     Each round is one equi-join + groupBy + self-join, and the round's
-    state is pinned to a two-slot PARQUET scratch (``scratch_dir``;
-    defaults to a driver-local temp dir, deleted on return — pass a
-    shared filesystem/object-store path on a real cluster). Pinning
-    rounds via ``localCheckpoint``/``persist`` instead degrades
-    geometrically as labels converge (see the in-loop comment for the
-    measured numbers), and block-storage pins don't survive executor
-    loss; the parquet roundtrip is both flat-cost and fault-tolerant.
+    state is pinned to a two-slot PARQUET scratch (``scratch_dir``).
+    Without a ``scratch_dir`` a LOCAL master gets a driver-local temp
+    dir (deleted on return); a non-local master RAISES instead, because
+    executors cannot see the driver's disk and the writes would
+    silently land on per-machine paths — pass a shared
+    filesystem/object-store path on a real cluster. Pinning rounds via
+    ``localCheckpoint``/``persist`` instead degrades geometrically as
+    labels converge (see the in-loop comment for the measured numbers);
+    the parquet roundtrip is flat-cost. Fault tolerance of the RESULT
+    follows the scratch: with a caller-provided ``scratch_dir`` the
+    returned frame reads the final parquet slot directly (recoverable
+    after executor loss for as long as the caller keeps the scratch
+    alive); with the default temp scratch the final state is re-pinned
+    to executor block storage before the scratch is deleted, which is
+    NOT durable across executor loss — fine for the local masters that
+    default is restricted to.
     Terminates early when no label changes. For graphs with giant
     components at extreme scale, swap in the large-star/small-star
     variant (Kiveris et al. 2014) — same interface, fewer rounds.
@@ -627,6 +636,19 @@ def connected_components(
         raise ValueError(f"pin must be parquet|local_checkpoint, got {pin!r}")
     spark = pairs.sparkSession
     own_scratch = pin == "parquet" and scratch_dir is None
+    if own_scratch:
+        master = ""
+        try:
+            master = str(spark.conf.get("spark.master", "") or "")
+        except Exception:  # Spark Connect: no spark.master conf
+            master = ""
+        if not master.startswith("local"):
+            raise ValueError(
+                "connected_components(pin='parquet') has no usable default "
+                f"scratch on master {master!r}: the driver-local temp dir "
+                "is invisible to remote executors. Pass scratch_dir= on a "
+                "shared filesystem/object store."
+            )
     scratch = None
     slots: list[str] = []
     if pin == "parquet":
@@ -705,14 +727,19 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-        if pin == "parquet":
-            # re-pin the final state OFF the scratch files —
-            # checkpointing a plain parquet SCAN is cheap (the pathology
-            # above is specific to materializing a join plan into
-            # storage), and it lets the scratch dir be deleted on return
+        if pin == "parquet" and own_scratch:
+            # the temp scratch is deleted below, so re-pin the final
+            # state OFF the scratch files — checkpointing a plain
+            # parquet SCAN is cheap (the pathology above is specific to
+            # materializing a join plan into storage)
             final = labels.localCheckpoint(eager=True)
         else:
-            final = labels  # last round's checkpoint IS the pin
+            # caller-provided scratch: return the parquet scan itself —
+            # unlike a localCheckpoint it stays recomputable after
+            # executor loss for as long as the caller keeps the scratch.
+            # (local_checkpoint pin: the last round's checkpoint IS the
+            # pin.)
+            final = labels
     finally:
         _free(bidir_ids)
         if pin == "parquet":

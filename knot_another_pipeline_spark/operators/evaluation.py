@@ -979,7 +979,8 @@ def bradley_terry(
     that tiny table against the C-row strength frame plus one per-item
     aggregate — broadcast-sized throughout (C = number of items, not
     rows).  Like ``kmeans_step``/``pagerank``, the iterate lives in a
-    DataFrame, never in plan literals.
+    DataFrame, never in plan literals, and is round-pinned with
+    ``localCheckpoint`` so plan depth stays constant in ``iterations``.
 
     Output per item: item, n_matches, n_wins, strength (after
     ``iterations`` rounds), win_rate.
@@ -1053,8 +1054,13 @@ def bradley_terry(
             )
         )
         mean = s.agg(F.avg("s").alias("_m"))
-        s = s.crossJoin(F.broadcast(mean)).select(
-            "item", (F.col("s") / F.col("_m")).alias("s")
+        # Round-pin the C-row iterate (the kmeans/pagerank contract):
+        # without it each MM round nests the previous round's joins, so
+        # plan depth — and analysis time — grows with ``iterations``.
+        s = (
+            s.crossJoin(F.broadcast(mean))
+            .select("item", (F.col("s") / F.col("_m")).alias("s"))
+            .localCheckpoint(eager=False)
         )
     return (
         items.join(s, "item")
@@ -1166,4 +1172,147 @@ def group_fairness(
         F.round(F.col("fpr") - F.col("_o_fpr"), round_to).alias(
             "fpr_gap"
         ),
+    )
+
+
+def regression_report(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    pred_col: str,
+    truth_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group regression scorecard — the numeric-target counterpart
+    of ``classification_report``: n, rmse, mae, bias (mean error,
+    signed), r2 (1 - MSE / Var(truth), the population convention), and
+    mape over the rows whose truth is nonzero.
+
+    ONE hash aggregate: every metric is a sum/mean of a row-local
+    residual expression, so the whole report is map-side partial
+    aggregation regardless of group count.  Degenerate groups
+    (constant truth) yield NULL r2 instead of a division blow-up;
+    all-zero-truth groups yield NULL mape.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(pred_col).cast("double").alias("_p"),
+        F.col(truth_col).cast("double").alias("_t"),
+    ).filter(F.col("_p").isNotNull() & F.col("_t").isNotNull())
+    err = F.col("_p") - F.col("_t")
+    agg = s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg(err * err).alias("_mse"),
+        F.avg(F.abs(err)).alias("_mae"),
+        F.avg(err).alias("_bias"),
+        F.var_pop("_t").alias("_vt"),
+        F.avg(
+            F.when(F.col("_t") != 0, F.abs(err) / F.abs(F.col("_t")))
+        ).alias("_mape"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(F.sqrt("_mse"), round_to).alias("rmse"),
+        F.round("_mae", round_to).alias("mae"),
+        F.round("_bias", round_to).alias("bias"),
+        F.round(
+            F.when(F.col("_vt") > 0, 1 - F.col("_mse") / F.col("_vt")),
+            round_to,
+        ).alias("r2"),
+        F.round("_mape", round_to).alias("mape"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score for a probabilistic
+    binary forecaster: BRIER (mean squared error of the probability)
+    split into RELIABILITY (calibration gap per score bin, weighted),
+    RESOLUTION (how far bin outcome rates move from the base rate —
+    the part skill earns), and UNCERTAINTY (base-rate variance, the
+    floor no forecaster beats).  Within-bin score variance makes the
+    identity brier = reliability - resolution + uncertainty inexact
+    under binning; the residual (exactly that within-bin variance) is
+    reported rather than silently absorbed.
+
+    Scores must lie in [0, 1]; equal-width bins, top edge closed.
+    Shape: one row-level aggregate (brier + base rate) and one
+    ``bins``-row aggregate, combined by a 1-row broadcast — two
+    map-side-combinable shuffles, no sort, any scale.
+
+    Output (single row): n, brier, reliability, resolution,
+    uncertainty, residual.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    s = df.select(
+        F.col(score_col).cast("double").alias("_p"),
+        F.col(label_col).cast("int").cast("double").alias("_o"),
+    ).filter(
+        F.col("_p").isNotNull()
+        & F.col("_o").isNotNull()
+        & F.col("_p").between(0.0, 1.0)
+    )
+    binned = s.withColumn(
+        "_b",
+        F.least(F.floor(F.col("_p") * bins), F.lit(bins - 1)).cast("int"),
+    )
+    per_bin = binned.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("double").alias("_nb"),
+        F.avg("_p").alias("_pb"),
+        F.avg("_o").alias("_ob"),
+    )
+    overall = binned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg((F.col("_p") - F.col("_o")) * (F.col("_p") - F.col("_o"))).alias(
+            "_brier"
+        ),
+        F.avg("_o").alias("_obar"),
+    )
+    parts = (
+        per_bin.crossJoin(F.broadcast(overall))
+        .agg(
+            F.sum(
+                F.col("_nb")
+                * (F.col("_pb") - F.col("_ob"))
+                * (F.col("_pb") - F.col("_ob"))
+            ).alias("_rel_w"),
+            F.sum(
+                F.col("_nb")
+                * (F.col("_ob") - F.col("_obar"))
+                * (F.col("_ob") - F.col("_obar"))
+            ).alias("_res_w"),
+        )
+    )
+    return (
+        overall.crossJoin(F.broadcast(parts))
+        .select(
+            "n",
+            F.round("_brier", round_to).alias("brier"),
+            F.round(F.col("_rel_w") / F.col("n"), round_to).alias(
+                "reliability"
+            ),
+            F.round(F.col("_res_w") / F.col("n"), round_to).alias(
+                "resolution"
+            ),
+            F.round(
+                F.col("_obar") * (1 - F.col("_obar")), round_to
+            ).alias("uncertainty"),
+            F.round(
+                F.col("_brier")
+                - (
+                    F.col("_rel_w") / F.col("n")
+                    - F.col("_res_w") / F.col("n")
+                    + F.col("_obar") * (1 - F.col("_obar"))
+                ),
+                round_to,
+            ).alias("residual"),
+        )
     )

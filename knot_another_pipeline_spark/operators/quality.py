@@ -2345,3 +2345,153 @@ def poisson_rate_ci(
         ).alias("rate_lo"),
         F.round((n + half) / exposure, round_to).alias("rate_hi"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) test between two
+    classes — the standard nonparametric "did the distribution shift"
+    readout when values are skewed and a t-test's normality assumption
+    is indefensible (latency, spend, token counts).
+
+    ``class_col`` must be 0/1 (castable to int); the U statistic is
+    reported for class 1.  Exact midrank tie handling (the same
+    ``rank + (ties-1)/2`` construction as ``spearman_corr``), and the
+    normal approximation uses the TIE-CORRECTED variance
+
+        Var(U) = n1*n0/12 * [ (n+1) - sum(t^3 - t) / (n*(n-1)) ]
+
+    so heavy ties don't inflate |z| — matching
+    ``scipy.stats.mannwhitneyu(use_continuity=False)``.
+
+    One shuffle: the midrank windows and both aggregates share the
+    group hash partitioning.  Tie sizes come from one extra aggregate
+    per (group, value) — never a self-join.  Degenerate groups (one
+    class absent, or all values tied) yield NULL z.
+
+    Output: group cols, n1, n0, u, z.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(class_col).cast("int").alias("_y"),
+    ).filter(
+        F.col("_v").isNotNull() & F.col("_y").isin(0, 1)
+    )
+    gp = [F.col(c) for c in group_cols]
+    midrank = F.rank().over(Window.partitionBy(*gp).orderBy("_v")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*gp, F.col("_v"))) - 1
+    ) / 2.0
+    ranked = s.withColumn("_r", midrank)
+    # tie-size cubes: one aggregate per (group, value), then per group
+    ties = (
+        ranked.groupBy(*group_cols, "_v")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias(
+                "_tie3"
+            )
+        )
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum(F.col("_y")).cast("bigint").alias("n1"),
+        F.sum(1 - F.col("_y")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("_r1"),
+    )
+    out = agg.join(ties, group_cols)
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    n = n1 + n0
+    u = F.col("_r1") - n1 * (n1 + 1) / 2.0
+    var_u = (
+        n1 * n0 / 12.0
+        * ((n + 1) - F.col("_tie3") / (n * (n - 1)))
+    )
+    return out.select(
+        *group_cols,
+        "n1",
+        "n0",
+        F.round(u, round_to).alias("u"),
+        F.round(
+            F.when(
+                (F.col("n1") > 0) & (F.col("n0") > 0) & (var_u > 0),
+                (u - n1 * n0 / 2.0) / F.sqrt(var_u),
+            ),
+            round_to,
+        ).alias("z"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Kendall tau-b rank correlation — the concordant-vs-
+    discordant-pairs association measure, with the tie-b correction in
+    the denominator:
+
+        tau_b = (C - D) / sqrt((n0 - tx) * (n0 - ty)),
+        n0 = n(n-1)/2, tx/ty = tied pairs in x / y.
+
+    CONTRACT: pair counting is an in-group self-join, quadratic in the
+    GROUP size — this operator is for tau between bounded PROFILES
+    (hour-of-day curves, decile grids, rank lists), where an upstream
+    aggregate has already compressed arbitrarily many raw rows into
+    <= a few hundred rows per group.  The upstream aggregate is the
+    scale story; the pair join never sees raw data.  For raw-row tau at
+    scale use a merge-sort/Knight O(n log n) construction instead.
+
+    Rows with NULL x or y are dropped.  Output: group cols, n, tau.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("_x").asc(), F.col("_y").asc()
+    )
+    idx = s.withColumn("_i", F.row_number().over(w))
+    left = idx.select(
+        *group_cols, F.col("_i").alias("_ia"),
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+    )
+    right = idx.select(
+        *group_cols, F.col("_i").alias("_ib"),
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+    )
+    pairs = left.join(right, group_cols).filter(F.col("_ia") < F.col("_ib"))
+    dx = F.signum(F.col("_xb") - F.col("_xa"))
+    dy = F.signum(F.col("_yb") - F.col("_ya"))
+    agg = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n0"),
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("double").alias("_c"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("double").alias("_d"),
+        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("double").alias("_tx"),
+        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("double").alias("_ty"),
+    )
+    n = idx.groupBy(*group_cols).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    denom = F.sqrt(
+        (F.col("_n0") - F.col("_tx")) * (F.col("_n0") - F.col("_ty"))
+    )
+    return (
+        n.join(agg, group_cols)
+        .select(
+            *group_cols,
+            "n",
+            F.round(
+                F.when(denom > 0, (F.col("_c") - F.col("_d")) / denom),
+                round_to,
+            ).alias("tau"),
+        )
+    )

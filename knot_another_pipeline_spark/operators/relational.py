@@ -1297,3 +1297,292 @@ def pareto_front(
         .select("_px", F.col("_gy").alias("_py"))
     )
     return base.join(front_keys, ["_px", "_py"]).drop("_px", "_py")
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame, *, late_days: int = 365
+) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS readout: per order priority, how many
+    orders have at least one line shipped more than ``late_days`` after
+    the order date (the schema's analog of Q4's commit-vs-receipt
+    lateness — this dataset carries no commit/receipt dates).
+
+    Shape: a LEFT SEMI join with a compound condition (equi key +
+    cross-table theta predicate).  Catalyst keeps the equi key as the
+    join key, so the semi join is a plain shuffled hash join; the theta
+    part evaluates inside it.  The semi join also deduplicates — an
+    order with five late lines counts once, with no DISTINCT pass.
+    Then one 5-group hash aggregate.  Two shuffles total, both on
+    orderkey-sized data, at any scale.
+    """
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+    )
+    return (
+        orders.join(
+            lineitem,
+            (F.col("o_orderkey") == F.col("l_orderkey")) & late,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed exactly
+    k orders, INCLUDING k = 0 — the classic outer-join-then-double-
+    aggregate shape that a semi/inner join cannot express.
+
+    Shape: aggregate orders per customer first (one shuffle on custkey,
+    partial map-side combine), LEFT join customer to the per-customer
+    counts (zero-order customers keep NULL → 0), then a second tiny
+    aggregate over the count values.  The first aggregate means the
+    outer join moves one row per customer, never one per order.
+    """
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, "c_custkey", "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    brand: str = "Brand#12",
+    max_size: int = 10,
+    qty_factor: float = 0.2,
+    years: float = 7.0,
+) -> DataFrame:
+    """TPC-H Q17-shaped correlated-scalar-subquery readout: revenue from
+    small-quantity lines (below ``qty_factor`` x that part's own average
+    quantity) of one brand's small parts, annualized over ``years``.
+
+    Shape: the correlated subquery ``l_quantity < 0.2 * (SELECT avg ...
+    WHERE same part)`` decorrelates into a per-part average aggregate
+    joined back.  The brand/size filter lands on the part SCAN
+    (predicate pushdown), the surviving part keys broadcast into the
+    lineitem scan, the per-part averages are computed over only the
+    matching lines and broadcast back — the fact table is scanned once
+    and never shuffles on the full key space.
+    """
+    keys = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+    ).select("p_partkey")
+    lines = lineitem.join(
+        F.broadcast(keys), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = lines.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    small = lines.join(
+        F.broadcast(avg_qty.withColumnRenamed("l_partkey", "_pk")),
+        F.col("l_partkey") == F.col("_pk"),
+    ).filter(F.col("l_quantity") < qty_factor * F.col("_avg_qty"))
+    return small.agg(
+        F.round(
+            F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / years, 2
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+def big_order_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    min_qty: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-shaped IN-(GROUP BY ... HAVING) shape: customers whose
+    orders total more than ``min_qty`` units.
+
+    Shape: the HAVING subquery is just an aggregate-then-filter on
+    lineitem (one shuffle on orderkey, map-side partial sums); the
+    handful of qualifying orders then BROADCAST into orders, and the
+    customer dimension broadcasts too — the two big tables never
+    shuffle against each other.  Top-k via TakeOrderedAndProject.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    branches: Sequence[tuple[str, int, int, float, float]] = (
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#21", 1, 10, 10.0, 20.0),
+        ("Brand#23", 1, 15, 20.0, 30.0),
+    ),
+) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join: revenue from lines matching
+    ANY of several (brand, size range, quantity range) conjunctions.
+
+    Shape: the OR spans both tables, so no single branch can push down
+    whole — but the UNION of the part-side disjuncts can and does: the
+    part scan is prefiltered to ``any(brand = b AND size in range)``
+    before broadcasting, so the fact scan only tests the residual OR
+    against the tiny matched dimension rows.  One broadcast join, one
+    1-row aggregate, zero shuffles of lineitem.
+    """
+    part_any = None
+    join_any = None
+    for brand, lo_sz, hi_sz, lo_q, hi_q in branches:
+        p = (F.col("p_brand") == brand) & F.col("p_size").between(
+            lo_sz, hi_sz
+        )
+        j = p & F.col("l_quantity").between(lo_q, hi_q)
+        part_any = p if part_any is None else (part_any | p)
+        join_any = j if join_any is None else (join_any | j)
+    dim = part.filter(part_any).select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem.join(
+            F.broadcast(dim),
+            (F.col("l_partkey") == F.col("p_partkey")) & join_any,
+        )
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    late_days: int = 365,
+    status: str = "F",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated EXISTS/NOT EXISTS: suppliers
+    who were the ONLY late shipper in a multi-supplier order (late =
+    shipped more than ``late_days`` after the order date, on orders
+    with status ``status``).
+
+    Shape: the classic formulation is ``EXISTS (another supplier's
+    line) AND NOT EXISTS (another supplier's LATE line)`` — two
+    correlated self-joins of the fact table.  Both decorrelate into ONE
+    per-order aggregate: n_suppliers = countDistinct(supp) and
+    n_late_suppliers = countDistinct(supp WHERE late); a late line
+    qualifies iff n_suppliers >= 2 AND n_late_suppliers = 1 (the late
+    set is exactly {me}).  So: one orderkey shuffle for the aggregate,
+    one orderkey join back (both map-side-combinable), one broadcast of
+    the supplier dimension — instead of two extra self-joins of
+    lineitem.  Equivalent because "no OTHER supplier late, me late"
+    <=> "exactly one distinct late supplier, me".
+    """
+    li = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == status).select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_nl"
+        ),
+    )
+    return (
+        li.filter(F.col("_late"))
+        .join(per_order.withColumnRenamed("l_orderkey", "_ok"),
+              F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_ns") >= 2) & (F.col("_nl") == 1))
+        .join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
+def idle_customers(
+    customer: DataFrame, orders: DataFrame, *, since: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22-shaped anti-join + global scalar subquery: per nation,
+    the count and total balance of above-average-balance customers with
+    NO order since ``since`` (the schema's analog of Q22's "never
+    ordered", which is empty on this dataset — every customer has
+    ordered at some point).
+
+    Shape: the scalar subquery ``c_acctbal > (SELECT avg(...) WHERE
+    c_acctbal > 0)`` is a 1-row aggregate broadcast into a map-side
+    compare; the NOT EXISTS is a LEFT ANTI join against only the
+    orders rows passing the pushed-down date filter.  One anti-join
+    shuffle on custkey, one tiny nation aggregate.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "numcust",
+            "totacctbal",
+        )
+        .orderBy("c_nationkey")
+    )

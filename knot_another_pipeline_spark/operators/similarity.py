@@ -1423,3 +1423,75 @@ def dim_truncation_error(
         F.round("mean_full", round_to).alias("mean_full_cos"),
         F.round("mt", round_to).alias("mean_trunc_cos"),
     )
+
+
+def silhouette_score(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each
+    vector, a = distance to its OWN cluster centroid, b = distance to
+    the NEAREST OTHER centroid, s = (b − a) / max(a, b); report each
+    cluster's mean s — the standard "are these clusters real"
+    diagnostic for k-means/IVF partitions and labeling audits.  The
+    centroid form is the one that scales: the classic pairwise
+    silhouette is O(N²) by definition; this is the variant every
+    large-scale library (e.g. Spark MLlib) ships.
+
+    Shape: centroids via the flat ``embedding_centroids`` aggregate
+    (k×d rows), broadcast into the exploded vectors joined ON
+    POSITION; squared-difference partials collapse map-side before the
+    (id, candidate-cluster) shuffle, so the shuffle carries N×k rows,
+    never N×k×d.  One final k-row aggregate.  Vectors in a cluster of
+    one with no other clusters (k = 1) have undefined s and yield a
+    NULL mean.
+
+    Output per cluster: label, n, avg_silhouette (rounded), ordered by
+    label.
+    """
+    flat = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    ).withColumn("_v", F.col("_v").cast("double"))
+    cent = flat.groupBy(
+        F.col("_label").alias("_cand"), F.col("pos")
+    ).agg(F.avg("_v").alias("_c"))
+    dist = (
+        flat.join(F.broadcast(cent), "pos")
+        .groupBy("_id", "_label", "_cand")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("_v") - F.col("_c"))
+                    * (F.col("_v") - F.col("_c"))
+                )
+            ).alias("_d")
+        )
+    )
+    per_vec = dist.groupBy("_id", "_label").agg(
+        F.min(F.when(F.col("_cand") == F.col("_label"), F.col("_d"))).alias(
+            "_a"
+        ),
+        F.min(F.when(F.col("_cand") != F.col("_label"), F.col("_d"))).alias(
+            "_b"
+        ),
+    )
+    s = F.when(
+        F.col("_b").isNotNull()
+        & (F.greatest(F.col("_a"), F.col("_b")) > 0),
+        (F.col("_b") - F.col("_a")) / F.greatest(F.col("_a"), F.col("_b")),
+    ).when(F.col("_b").isNotNull(), F.lit(0.0))
+    return (
+        per_vec.withColumn("_s", s)
+        .groupBy(F.col("_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("_s"), round_to).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )

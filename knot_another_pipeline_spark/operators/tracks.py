@@ -493,3 +493,217 @@ def track_length(
             round_to,
         ).alias("avg_kmh"),
     )
+
+
+def signal_gaps(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    min_gap_hours: float = 24.0,
+    tiebreak_col: str | None = None,
+    round_to: int = 3,
+) -> DataFrame:
+    """Reporting-gap detection: every silence longer than
+    ``min_gap_hours`` between an entity's consecutive events — the
+    maritime "dark period" screen (AIS transponders that stop
+    reporting), equally the sensor/heartbeat-outage screen.
+
+    One lag window on the entity key (the module's shared single
+    shuffle), a row-local duration compare, done — the filter keeps
+    only the rare gap rows, so the output is tiny however large the
+    event stream.  ``tiebreak_col`` pins ordering under duplicate
+    timestamps.
+
+    Output per gap: entity, gap_start, gap_end, gap_hours (rounded),
+    ordered (entity, gap_start).
+    """
+    order = [F.col("_ts").asc()] + (
+        [F.col("_tb").asc()] if tiebreak_col else []
+    )
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("_ts"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    ).filter(F.col("_ts").isNotNull())
+    w = Window.partitionBy("entity").orderBy(*order)
+    # unix_micros via a timestamp cast: NTZ-sourced columns (parquet
+    # nanos) don't cast to double directly (same idiom as track_length)
+    hours = (
+        F.unix_micros(F.col("_ts").cast("timestamp"))
+        - F.unix_micros(F.col("_prev").cast("timestamp"))
+    ).cast("double") / F.lit(3600.0 * 1e6)
+    return (
+        base.withColumn("_prev", F.lag("_ts").over(w))
+        .filter(
+            F.col("_prev").isNotNull() & (hours > F.lit(min_gap_hours))
+        )
+        .select(
+            "entity",
+            F.col("_prev").alias("gap_start"),
+            F.col("_ts").alias("gap_end"),
+            F.round(hours, round_to).alias("gap_hours"),
+        )
+        .orderBy("entity", "gap_start")
+    )
+
+
+def od_matrix(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float = 10.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Origin-destination matrix: each (entity, day) contributes one
+    trip from its FIRST to its LAST position of the day; trips then
+    aggregate into zone-pair counts — the classic flow matrix behind
+    traffic-density and route-demand charts.
+
+    Zones are ``cell_deg``-degree lat/lon boxes (coarse by design: an
+    OD matrix over fine cells is all-distinct pairs and says nothing).
+    Shape: one (entity, day) window shuffle for first/last (shared by
+    both), then one small aggregate over trips — event volume per
+    (entity, day) compresses before anything pairs up.  Stationary
+    trips (origin = destination) are kept: the diagonal is the
+    dwell signal.
+
+    Output: origin_zone, dest_zone, n_trips, n_entities (distinct
+    entities on that flow), ordered by n_trips desc then zones.
+    """
+    order = [F.col("_ts").asc()] + (
+        [F.col("_tb").asc()] if tiebreak_col else []
+    )
+    zone = lambda lat, lon: F.concat_ws(  # noqa: E731
+        ":",
+        F.floor(F.col(lat) / cell_deg).cast("bigint").cast("string"),
+        F.floor(F.col(lon) / cell_deg).cast("bigint").cast("string"),
+    )
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("_ts"),
+        F.to_date(ts_col).alias("_day"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+        zone(lat_col, lon_col).alias("_zone"),
+    ).filter(F.col("_ts").isNotNull())
+    w = Window.partitionBy("entity", "_day").orderBy(*order)
+    w_rev = Window.partitionBy("entity", "_day").orderBy(
+        *[o.desc() for o in [F.col("_ts")]]
+        + ([F.col("_tb").desc()] if tiebreak_col else [])
+    )
+    trips = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_origin", F.first("_zone").over(w))
+        .withColumn("_dest", F.first("_zone").over(w_rev))
+        .filter(F.col("_rn") == 1)
+        .select("entity", "_day", "_origin", "_dest")
+    )
+    return (
+        trips.groupBy(
+            F.col("_origin").alias("origin_zone"),
+            F.col("_dest").alias("dest_zone"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trips"),
+            F.countDistinct("entity").cast("bigint").alias("n_entities"),
+        )
+        .orderBy(
+            F.col("n_trips").desc(),
+            F.col("origin_zone").asc(),
+            F.col("dest_zone").asc(),
+        )
+    )
+
+
+def track_sinuosity(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    lat_col: str,
+    lon_col: str,
+    tiebreak_col: str | None = None,
+    min_direct_km: float = 1.0,
+    round_to: int = 3,
+) -> DataFrame:
+    """Track sinuosity: path length over straight-line (great-circle)
+    displacement per entity — 1.0 is a beeline, loitering/search
+    patterns score high.  The standard trajectory-shape screen next to
+    ``track_length``'s absolute distance.
+
+    Same single entity-key window shuffle as the rest of the module:
+    lag for segment lengths, first/last (by the shared order) for the
+    displacement endpoints, one aggregate.  Tracks displaced less than
+    ``min_direct_km`` get NULL sinuosity (the ratio is numerically
+    meaningless around zero displacement) but keep their path_km.
+
+    Output per entity: entity, n_fixes, path_km, direct_km, sinuosity
+    (all rounded).
+    """
+    order = [F.col("_ts").asc()] + (
+        [F.col("_tb").asc()] if tiebreak_col else []
+    )
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("_ts"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+    ).filter(
+        F.col("_ts").isNotNull()
+        & F.col("_lat").isNotNull()
+        & F.col("_lon").isNotNull()
+    )
+    w = Window.partitionBy("entity").orderBy(*order)
+    w_all = Window.partitionBy("entity").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seg_km = (
+        haversine_m(
+            F.col("_plat"), F.col("_plon"), F.col("_lat"), F.col("_lon")
+        )
+        / 1000.0
+    )
+    enriched = (
+        base.withColumn("_plat", F.lag("_lat").over(w))
+        .withColumn("_plon", F.lag("_lon").over(w))
+        .withColumn(
+            "_seg",
+            F.when(F.col("_plat").isNotNull(), seg_km).otherwise(F.lit(0.0)),
+        )
+        .withColumn("_lat0", F.first("_lat").over(w_all))
+        .withColumn("_lon0", F.first("_lon").over(w_all))
+        .withColumn("_lat1", F.last("_lat").over(w_all))
+        .withColumn("_lon1", F.last("_lon").over(w_all))
+    )
+    agg = enriched.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.sum("_seg").alias("_path"),
+        (
+            F.first(
+                haversine_m(
+                    F.col("_lat0"),
+                    F.col("_lon0"),
+                    F.col("_lat1"),
+                    F.col("_lon1"),
+                )
+            )
+            / 1000.0
+        ).alias("_direct"),
+    )
+    return agg.select(
+        "entity",
+        "n_fixes",
+        F.round("_path", round_to).alias("path_km"),
+        F.round("_direct", round_to).alias("direct_km"),
+        F.round(
+            F.when(
+                F.col("_direct") >= min_direct_km,
+                F.col("_path") / F.col("_direct"),
+            ),
+            round_to,
+        ).alias("sinuosity"),
+    )

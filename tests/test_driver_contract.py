@@ -9,10 +9,10 @@ here so they cannot recur:
    sf0.001 and walks its schema: any Array/Map/Struct column fails.
 
 2. The driver's correctness window has emitted exactly the first 50
-   ``queries()`` keys for four straight rounds, so rotation order IS the
-   coverage lever.  ``test_round7_window_is_pinned_queue`` asserts the
-   first 50 ordered keys are exactly the documented round-7 queue (the
-   14 r5-deferred keys then the round-6 additions in catalog order) and
+   ``queries()`` keys every round, so rotation order IS the coverage
+   lever.  ``test_round8_window_is_pinned_queue`` asserts the first 50
+   ordered keys are exactly the documented round-8 queue (the 35
+   never-gated keys oldest-first, then the 15 round-8 additions) and
    that none of them already has a driver CORRECTNESS row.
 """
 
@@ -48,41 +48,44 @@ def _entry_module():
 
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
-# The round-7 driver window: 14 r5-deferred keys, then round-6 additions
-# in catalog order through the 50th position.
-_ROUND7_WINDOW = [
-    "trend_fit", "cusum_alarm", "basket_rules", "cms_counts",
-    "seasonal_daily", "spearman_hour", "gini_concentration", "acf_daily",
-    "did_readout", "chi2_independence", "feature_gain", "rfm_segments",
-    "funnel_timing", "readability",
-    "ks_drift", "label_agreement", "uplift_deciles", "bigram_lm",
-    "ngram_novelty", "hits_authority", "k_core_parts", "linkage_weights",
-    "mmr_diversify", "dedup_prf", "linkage_scores", "containment_pairs",
-    "linkage_em", "woe_iv", "label_propagation", "tokenizer_fertility",
-    "doc_keywords", "covisitation_llr", "personalized_pagerank",
-    "ranking_metrics", "hll_distinct", "cluster_quality", "join_health",
-    "sorted_neighborhood", "bootstrap_ci", "categorical_psi", "pca_power",
-    "correlation_matrix", "effective_sample_size", "slice_diversity",
-    "random_projection", "changepoint", "max_concurrency",
-    "weighted_quantiles", "ips_policy_value", "dedup_summary",
+# The round-8 driver window: the 22 r6-deferred keys, the 13 round-7
+# additions, then the 15 round-8 additions — 50 exactly (VERDICT r7
+# task #1: never-gated backlog first, new keys capped at 15).
+_ROUND8_WINDOW = [
+    "zipf_fit", "source_terms", "oov_rate", "join_cardinality",
+    "dbscan_grid", "quantile_normalize", "proportion_test",
+    "reweight_to_target", "audience_overlap", "cluster_purity",
+    "seasonal_naive_error", "profile_drift", "fano_burstiness",
+    "embedding_drift", "rank_movers", "binned_mutual_info",
+    "dedup_pr_curve", "tfidf_cosine_pairs", "wasserstein_drift",
+    "poisson_rate_ci", "track_length", "community_quality",
+    "classification_report", "conformal_threshold", "bradley_terry",
+    "class_weights", "boilerplate_lines", "segment_dedup",
+    "knn_label_noise", "dim_truncation", "pareto_front", "group_fairness",
+    "cumulative_users", "blocking_quality", "shard_moves",
+    "order_priority", "customer_distribution", "small_qty_revenue",
+    "big_order_customers", "disjunctive_revenue", "waiting_suppliers",
+    "idle_customers", "mann_whitney", "kendall_profiles", "silhouette",
+    "regression_report", "brier_decomposition", "signal_gaps",
+    "od_matrix", "track_sinuosity",
 ]
 
 
 def _gated_keys() -> set[str]:
+    import glob
+
     out: set[str] = set()
-    for n in range(1, 7):
-        path = os.path.join(_REPO, f"CORRECTNESS_r0{n}.json")
-        if os.path.exists(path):
-            out.update(json.load(open(path)))
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        out.update(json.load(open(path)))
     return out
 
 
-def test_round7_window_is_pinned_queue():
+def test_round8_window_is_pinned_queue():
     mod = _entry_module()
     ordered = mod._ordered_keys()
     assert len(ordered) == len(set(ordered)), "duplicate keys in queue"
     assert set(ordered) == set(QUERIES), "queue does not cover the catalog"
-    assert ordered[:50] == _ROUND7_WINDOW
+    assert ordered[:50] == _ROUND8_WINDOW
     already = set(ordered[:50]) & _gated_keys()
     assert not already, f"window wastes slots on gated keys: {sorted(already)}"
 
