@@ -1,0 +1,207 @@
+"""Property-based tests for the round-8 operators: Mann-Whitney,
+Kendall tau-b, the Murphy Brier decomposition, and the Q21
+decorrelation — each checked against an independent brute-force Python
+reference on arbitrary inputs."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+# ---------------------------------------------------------------------------
+# mann_whitney ≡ brute-force pair counting + tie-corrected variance
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 5), min_size=1, max_size=25),
+    st.lists(st.integers(0, 5), min_size=1, max_size=25),
+)
+def test_mann_whitney_matches_pair_counting(spark, xs1, xs0):
+    from collections import Counter
+
+    from knot_another_pipeline_spark.operators.quality import mann_whitney
+
+    rows = [("g", float(v), 1) for v in xs1] + [
+        ("g", float(v), 0) for v in xs0
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double, y int")
+    r = mann_whitney(
+        df, group_cols=["grp"], value_col="v", class_col="y"
+    ).collect()[0]
+    u = sum(
+        1.0 if a > b else 0.5 if a == b else 0.0 for a in xs1 for b in xs0
+    )
+    assert r["n1"] == len(xs1) and r["n0"] == len(xs0)
+    assert r["u"] == round(u, 6)
+    n1, n0 = len(xs1), len(xs0)
+    n = n1 + n0
+    if n >= 2:
+        tie3 = sum(t**3 - t for t in Counter(xs1 + xs0).values())
+        var_u = n1 * n0 / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+        if var_u > 0:
+            z = (u - n1 * n0 / 2.0) / math.sqrt(var_u)
+            assert r["z"] is not None
+            assert abs(r["z"] - z) < 1e-6
+        else:  # all values tied -> degenerate, NULL by contract
+            assert r["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau ≡ brute-force concordant/discordant enumeration
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_kendall_tau_matches_bruteforce(spark, pts):
+    from knot_another_pipeline_spark.operators.quality import kendall_tau
+
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in pts],
+        "grp string, x double, y double",
+    )
+    r = kendall_tau(
+        df, group_cols=["grp"], x_col="x", y_col="y"
+    ).collect()[0]
+    c = d = tx = ty = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[j][0] - pts[i][0]
+            dy = pts[j][1] - pts[i][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    n0 = len(pts) * (len(pts) - 1) // 2
+    denom = math.sqrt((n0 - tx) * (n0 - ty))
+    assert r["n"] == len(pts)
+    if denom > 0:
+        assert r["tau"] is not None
+        assert abs(r["tau"] - (c - d) / denom) < 1e-6
+    else:
+        assert r["tau"] is None
+
+
+# ---------------------------------------------------------------------------
+# brier_decomposition: exact identity brier = rel - res + unc + residual
+# and agreement with row-level brute force
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0.0, 1.0, allow_nan=False, width=32),
+            st.integers(0, 1),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_brier_decomposition_identity(spark, rows):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    df = spark.createDataFrame(
+        [(float(p), int(o)) for p, o in rows], "score double, y int"
+    )
+    r = brier_decomposition(df, score_col="score", label_col="y").collect()[
+        0
+    ]
+    brier = sum((p - o) ** 2 for p, o in rows) / len(rows)
+    obar = sum(o for _, o in rows) / len(rows)
+    assert r["n"] == len(rows)
+    assert abs(r["brier"] - brier) < 1e-5
+    assert abs(r["uncertainty"] - obar * (1 - obar)) < 1e-5
+    # the Murphy identity holds exactly once the reported within-bin
+    # residual is added back
+    assert (
+        abs(
+            r["brier"]
+            - (
+                r["reliability"]
+                - r["resolution"]
+                + r["uncertainty"]
+                + r["residual"]
+            )
+        )
+        < 1e-5
+    )
+    assert r["reliability"] >= -1e-9 and r["resolution"] >= -1e-9
+
+
+# ---------------------------------------------------------------------------
+# waiting_suppliers decorrelation ≡ classic EXISTS/NOT-EXISTS brute force
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 5),   # orderkey
+            st.integers(1, 4),   # suppkey
+            st.booleans(),       # late?
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_waiting_suppliers_matches_classic_subqueries(spark, lines):
+    from collections import Counter
+
+    from knot_another_pipeline_spark.operators.relational import (
+        waiting_suppliers,
+    )
+
+    base = "2024-01-01 00:00:00"
+    late_ship, ok_ship = "2025-06-01 00:00:00", "2024-01-05 00:00:00"
+    orders = spark.createDataFrame(
+        [(ok, "F", base) for ok in {o for o, _, _ in lines}],
+        "o_orderkey long, o_orderstatus string, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_orderstatus", "CAST(o_orderdate AS TIMESTAMP) o_orderdate"
+    )
+    supplier = spark.createDataFrame(
+        [(s, f"S#{s}") for s in range(1, 5)], "s_suppkey long, s_name string"
+    )
+    lineitem = spark.createDataFrame(
+        [(o, s, late_ship if is_late else ok_ship) for o, s, is_late in lines],
+        "l_orderkey long, l_suppkey long, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "CAST(l_shipdate AS TIMESTAMP) l_shipdate"
+    )
+    # classic formulation, brute force: count late l1 rows where another
+    # supplier exists in the order and no other supplier is late
+    expect: Counter = Counter()
+    for o, s, is_late in lines:
+        if not is_late:
+            continue
+        others = {s2 for o2, s2, _ in lines if o2 == o and s2 != s}
+        other_late = {
+            s2 for o2, s2, l2 in lines if o2 == o and s2 != s and l2
+        }
+        if others and not other_late:
+            expect[f"S#{s}"] += 1
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in waiting_suppliers(
+            supplier, orders, lineitem, late_days=365
+        ).collect()
+    }
+    assert got == dict(expect)
