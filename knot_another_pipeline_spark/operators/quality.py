@@ -2484,8 +2484,10 @@ def kendall_tau(
     denom = F.sqrt(
         (F.col("_n0") - F.col("_tx")) * (F.col("_n0") - F.col("_ty"))
     )
+    # LEFT join: a singleton group has no pairs at all — keep it with
+    # NULL tau rather than dropping it from the readout
     return (
-        n.join(agg, group_cols)
+        n.join(agg, group_cols, "left")
         .select(
             *group_cols,
             "n",

@@ -639,3 +639,22 @@ def test_track_sinuosity_straight_vs_detour(spark):
     assert got["detour"]["path_km"] == pytest.approx(
         3 * got["straight"]["direct_km"] / 2, rel=1e-3
     )
+
+
+def test_kendall_tau_singleton_group_yields_null(spark):
+    """A group with one row has no pairs — it must still appear, with
+    NULL tau, not vanish from the readout."""
+    from knot_another_pipeline_spark.operators.quality import kendall_tau
+
+    df = spark.createDataFrame(
+        [("solo", 1.0, 2.0), ("pair", 1.0, 2.0), ("pair", 2.0, 1.0)],
+        "grp string, x double, y double",
+    )
+    got = {
+        r["grp"]: (r["n"], r["tau"])
+        for r in kendall_tau(
+            df, group_cols=["grp"], x_col="x", y_col="y"
+        ).collect()
+    }
+    assert got["solo"] == (1, None)
+    assert got["pair"] == (2, -1.0)
