@@ -1507,11 +1507,13 @@ def waiting_suppliers(
 
     Shape: the classic formulation is ``EXISTS (another supplier's
     line) AND NOT EXISTS (another supplier's LATE line)`` — two
-    correlated self-joins of the fact table.  Both decorrelate into ONE
-    per-order aggregate: n_suppliers = countDistinct(supp) and
-    n_late_suppliers = countDistinct(supp WHERE late); a late line
-    qualifies iff n_suppliers >= 2 AND n_late_suppliers = 1 (the late
-    set is exactly {me}).  So: one orderkey shuffle for the aggregate,
+    correlated self-joins of the fact table.  Both decorrelate into a
+    per-order supplier census: n_suppliers and n_late_suppliers; a late
+    line qualifies iff n_suppliers >= 2 AND n_late_suppliers = 1 (the
+    late set is exactly {me}).  The census is two PLAIN hash aggregates
+    — (orderkey, suppkey) then orderkey — rather than two
+    countDistincts, which would plan an Expand that doubles every
+    shuffled row.  So: one orderkey-grain shuffle chain for the census,
     one orderkey join back (both map-side-combinable), one broadcast of
     the supplier dimension — instead of two extra self-joins of
     lineitem.  Equivalent because "no OTHER supplier late, me late"
@@ -1527,11 +1529,12 @@ def waiting_suppliers(
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS"),
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_ns"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
-            "_nl"
-        ),
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("_late").cast("int")).alias("_supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.sum("_supp_late").alias("_nl"),
     )
     return (
         li.filter(F.col("_late"))
