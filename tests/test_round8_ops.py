@@ -658,3 +658,80 @@ def test_kendall_tau_singleton_group_yields_null(spark):
     }
     assert got["solo"] == (1, None)
     assert got["pair"] == (2, -1.0)
+
+
+def test_tpch_decorrelations_plan_shapes(spark):
+    """Pin the plan CLAIMS of the round-8 relational operators, not
+    just their exchange counts: Q4 plans a semi join (never a distinct
+    pass), Q21's census plans NO Expand (the countDistinct shape it
+    replaced), Q19 pushes the disjunct union into the part scan, and
+    Q17/Q18/Q22 broadcast their decorrelated subquery sides."""
+    from knot_another_pipeline_spark.catalog_queries import QUERIES
+
+    def plan(name):
+        df = QUERIES[name](spark, SF_SMOKE)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    p4 = plan("order_priority")
+    assert "LeftSemi" in p4, p4
+    assert "HashAggregate" in p4
+
+    p21 = plan("waiting_suppliers")
+    assert "Expand" not in p21, "countDistinct Expand crept back into Q21"
+    # the decorrelation reads the fact table TWICE (census + join-back);
+    # the classic EXISTS/NOT-EXISTS plan needs a third scan
+    p21s = QUERIES["waiting_suppliers"](
+        spark, SF_SMOKE
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    import re
+
+    assert len(re.findall(r"FileScan parquet[^\n]*lineitem", p21s)) <= 2, p21s
+
+    p19 = plan("disjunctive_revenue")
+    assert "BroadcastHashJoin" in p19
+    # the part-side disjunct union reaches the part scan as a pushed
+    # filter on p_brand/p_size
+    assert "p_brand" in p19.split("Scan parquet")[-1] or "PushedFilters" in p19
+
+    for name in ("small_qty_revenue", "big_order_customers", "idle_customers"):
+        p = plan(name)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+
+
+def test_bench_compare_tool(tmp_path, capsys):
+    """bench_compare reports shared-sum, regressions over the floor,
+    new keys, and gates via --fail-over."""
+    import json
+    import sys
+
+    import pytest as _pytest
+
+    from tools import bench_compare
+
+    old = tmp_path / "BENCH_ALL_r01.json"
+    new = tmp_path / "BENCH_ALL_r02.json"
+    old.write_text(json.dumps({"queries": {"a": 1.0, "b": 2.0, "gone": 1.0}}))
+    new.write_text(
+        json.dumps({"queries": {"a": 2.0, "b": 1.0, "fresh": 0.5}})
+    )
+    argv = ["bench_compare.py", str(old), str(new)]
+    real = sys.argv
+    try:
+        sys.argv = argv
+        bench_compare.main()
+        out = capsys.readouterr().out
+        assert "2 shared queries" in out
+        assert "a: 1.0s -> 2.0s (+100%)" in out
+        assert "fresh=0.5s" in out and "gone" in out
+        sys.argv = argv + ["--fail-over=50"]
+        with _pytest.raises(SystemExit):
+            bench_compare.main()
+    finally:
+        sys.argv = real

@@ -19,13 +19,14 @@ Probed queries (one per major family, all shuffle-bearing):
 - exact_dedup     — fingerprint group dedup over documents
 - bm25_search     — inverted-postings retrieval scoring
 - hll_distinct    — sketch-merge distinct counting
-- minhash_pairs / dedup_components / canonical_docs — the LSH near-dup
-  path (canonical_docs is its full composition through components and
-  argmax), probed on a WORD-SALTED replica (every token prefixed with
-  the copy tag, so cross-copy Jaccard is 0 and near-dup clusters stay
-  per-copy — id-shift alone would make every copy a near-duplicate of
-  every other and grow the true pair count quadratically, measuring the
-  data, not the plan).
+- minhash_pairs / dedup_components / canonical_docs / prefix_jaccard —
+  the near-dup paths (canonical_docs is the LSH path's full composition
+  through components and argmax; prefix_jaccard is the EXACT
+  set-similarity join), probed on a WORD-SALTED replica (every token
+  prefixed with the copy tag, so cross-copy Jaccard is 0 and near-dup
+  clusters stay per-copy — id-shift alone would make every copy a
+  near-duplicate of every other and grow the true pair count
+  quadratically, measuring the data, not the plan).
   exact_dedup and bm25_search stay on the UNSALTED replica: salting
   would divorce bm25's fixed query terms from 15/16ths of the corpus.
 - fuzzy_match — the FastSS deletion-neighborhood join over customer
@@ -56,7 +57,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/knap_scale_probe"
 
 OPS = ["ais_hourly", "pairs_monthly", "exact_dedup", "bm25_search", "hll_distinct"]
-OPS_SALTED = ["minhash_pairs", "dedup_components", "canonical_docs", "fuzzy_match"]
+OPS_SALTED = [
+    "minhash_pairs",
+    "dedup_components",
+    "canonical_docs",
+    "fuzzy_match",
+    "prefix_jaccard",
+]
 OPS_ALL = OPS + OPS_SALTED
 
 
