@@ -28,15 +28,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
-    "funnel",
+    "audience_overlap",
     "cohort_retention",
-    "journey_topk",
     "conversion_attribution",
-    "markov_transitions",
-    "survival_curve",
-    "rfm_segments",
-    "funnel_timing",
     "covisitation_llr",
+    "cumulative_users",
+    "funnel",
+    "funnel_timing",
+    "journey_topk",
+    "markov_transitions",
+    "next_event_examples",
+    "rfm_segments",
+    "survival_curve",
 ]
 
 

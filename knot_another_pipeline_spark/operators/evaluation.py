@@ -31,12 +31,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "auc_scores",
+    "bradley_terry",
+    "brier_decomposition",
     "calibration_curve",
+    "categorical_psi",
+    "classification_report",
+    "conformal_threshold",
+    "dedup_pr_curve",
+    "group_fairness",
+    "ips_policy_value",
     "lift_table",
     "pair_eval",
     "psi_stability",
     "ranking_metrics",
-    "categorical_psi",
+    "regression_report",
     "uplift_table",
 ]
 

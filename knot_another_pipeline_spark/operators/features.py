@@ -14,7 +14,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from knot_another_pipeline_spark.functions.hashing import hash64
 
-__all__ = ["target_encode", "hash_features", "dsir_weights", "woe_iv"]
+__all__ = [
+    "binned_mutual_info",
+    "class_weights",
+    "dsir_weights",
+    "feature_gain",
+    "hash_features",
+    "quantile_normalize",
+    "target_encode",
+    "woe_iv",
+]
 
 
 def target_encode(

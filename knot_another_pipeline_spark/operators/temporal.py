@@ -36,18 +36,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
-    "asof_join",
-    "range_join",
-    "rolling_stats",
-    "scd2_history",
-    "interval_merge",
-    "period_over_period",
-    "resample_calendar",
-    "time_weighted_avg",
-    "cusum_alarm",
-    "trend_fit",
-    "seasonal_decompose",
     "acf",
+    "asof_join",
+    "changepoint_detect",
+    "cusum_alarm",
+    "decayed_agg",
+    "ewma_smooth",
+    "interval_merge",
+    "max_concurrency",
+    "period_over_period",
+    "range_join",
+    "resample_calendar",
+    "rolling_stats",
+    "scd2_as_of",
+    "scd2_history",
+    "scd2_lookup",
+    "seasonal_decompose",
+    "seasonal_naive_error",
+    "time_weighted_avg",
+    "trend_fit",
 ]
 
 

@@ -735,3 +735,43 @@ def test_bench_compare_tool(tmp_path, capsys):
             bench_compare.main()
     finally:
         sys.argv = real
+
+
+def test_operator_module_all_lists_are_complete():
+    """Every operators/*.py that declares __all__ must list exactly its
+    public functions — the list had silently drifted four modules deep
+    before round 8 pinned it."""
+    import ast
+    import glob
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    problems = []
+    for path in sorted(
+        glob.glob(
+            os.path.join(
+                repo, "knot_another_pipeline_spark", "operators", "*.py"
+            )
+        )
+    ):
+        tree = ast.parse(open(path).read())
+        fns = {
+            n.name
+            for n in tree.body
+            if isinstance(n, ast.FunctionDef) and not n.name.startswith("_")
+        }
+        declared = None
+        for n in tree.body:
+            if (
+                isinstance(n, ast.Assign)
+                and getattr(n.targets[0], "id", "") == "__all__"
+            ):
+                declared = {e.value for e in n.value.elts}
+        if declared is None:
+            continue  # module opts out of __all__ entirely — fine
+        missing, ghost = sorted(fns - declared), sorted(declared - fns)
+        if missing or ghost:
+            problems.append((os.path.basename(path), missing, ghost))
+    assert not problems, problems
