@@ -6,11 +6,10 @@ sf0.001; ``queries()``/``oracle_sql()`` expose the full operator catalog
 differential gate.
 
 Ordering note: the driver's correctness gate has emitted exactly the
-first 50 dict keys two rounds running (CORRECTNESS_r03/r04 both end at
-the catalog's 50th entry), so the catalog is exposed priority-first:
-queries that have never received a driver CORRECTNESS row lead, followed
-by one representative per already-hash-verified family, followed by the
-remaining (previously verified) keys.  Every key is still present — the
+first 50 dict keys every round since r03, so the catalog is exposed
+priority-first: queries that have never received a driver CORRECTNESS
+row lead (oldest first), then the current round's additions, then the
+already-gated keys in rotation order.  Every key is still present — the
 in-repo DuckDB differential (tests/test_catalog_oracle.py) covers all of
 them regardless of driver window size.
 """
