@@ -530,8 +530,11 @@ def connected_components(
     Min-label propagation with pointer jumping: every node starts as its
     own component; each round takes the min of its own and its neighbors'
     labels, then follows one parent pointer — O(log diameter) rounds.
-    Each round is one equi-join + groupBy + self-join, and the round's
-    state is pinned to a two-slot PARQUET scratch (``scratch_dir``).
+    Each round is one equi-join + groupBy + self-join (convergence is a
+    flag column written WITH the labels — a filter-count over the
+    pinned state, not an extra new-vs-old shuffle join), and the
+    round's state is pinned to a two-slot PARQUET scratch
+    (``scratch_dir``).
     Without a ``scratch_dir`` a LOCAL master gets a driver-local temp
     dir (deleted on return); a non-local master RAISES instead, because
     executors cannot see the driver's disk and the writes would
@@ -675,6 +678,7 @@ def connected_components(
                 "left",
             ).select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("min_nc"), F.col("component")),
@@ -685,6 +689,11 @@ def connected_components(
             # self-join per round turns O(diameter) convergence into
             # O(log diameter) — the difference between shallow dup-clusters
             # and a pathological chain costing dozens of rounds.
+            # The convergence flag rides ALONG with the labels (_chg =
+            # final != previous) instead of a separate new-vs-old join:
+            # detecting "no change" used to cost one extra shuffle join
+            # per round; now it is a filter-count over the pinned state.
+            final_comp = F.coalesce("parent_comp", F.col("component"))
             new_plan = propagated.join(
                 propagated.select(
                     F.col("id").alias("component"),
@@ -694,9 +703,8 @@ def connected_components(
                 "left",
             ).select(
                 "id",
-                F.coalesce("parent_comp", F.col("component")).alias(
-                    "component"
-                ),
+                final_comp.alias("component"),
+                (final_comp != F.col("_old")).alias("_chg"),
             )
             if pin == "parquet":
                 slot = slots[it % 2]
@@ -704,17 +712,11 @@ def connected_components(
                 # explicit schema: an all-converged-in-round-0 empty
                 # input writes a part-less directory that schema
                 # inference rejects
-                new_labels = spark.read.schema(new_plan.schema).parquet(
-                    slot
-                )
+                pinned = spark.read.schema(new_plan.schema).parquet(slot)
             else:
-                new_labels = new_plan.localCheckpoint(eager=False)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
+                pinned = new_plan.localCheckpoint(eager=False)
+            changed = pinned.filter(F.col("_chg")).count()
+            new_labels = pinned.select("id", "component")
             if pin != "parquet":
                 new_ids = (
                     _persistent_ids()
