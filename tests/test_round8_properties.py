@@ -205,3 +205,163 @@ def test_waiting_suppliers_matches_classic_subqueries(spark, lines):
         ).collect()
     }
     assert got == dict(expect)
+
+
+# ---------------------------------------------------------------------------
+# signal_gaps ≡ brute-force consecutive-diff enumeration
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 200)),  # (entity, hour)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_signal_gaps_matches_bruteforce(spark, evts):
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from knot_another_pipeline_spark.operators.tracks import signal_gaps
+
+    base = datetime(2024, 1, 1)
+    rows = [(e, base + timedelta(hours=h)) for e, h in evts]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r["entity"], str(r["gap_start"]), str(r["gap_end"]), r["gap_hours"])
+        for r in signal_gaps(
+            df, entity_col="user_id", ts_col="ts", min_gap_hours=24.0
+        ).collect()
+    )
+    by_e = defaultdict(list)
+    for e, ts in rows:
+        by_e[e].append(ts)
+    want = []
+    for e, tss in by_e.items():
+        tss.sort()
+        for a, b in zip(tss, tss[1:]):
+            hours = (b - a).total_seconds() / 3600.0
+            if hours > 24.0:
+                want.append((e, str(a), str(b), round(hours, 3)))
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# od_matrix ≡ brute-force first/last-of-day flows
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(0, 71),            # hour offset -> 3 days
+            st.integers(-2, 2),            # lat cell-ish
+            st.integers(-2, 2),            # lon cell-ish
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_od_matrix_matches_bruteforce(spark, evts):
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    from math import floor
+
+    from knot_another_pipeline_spark.operators.tracks import od_matrix
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, base + timedelta(hours=h), float(la * 7), float(lo * 7), i)
+        for i, (u, h, la, lo) in enumerate(evts)
+    ]
+    df = spark.createDataFrame(
+        rows, "uid string, ts timestamp, lat double, lon double, event_id long"
+    )
+    got = {
+        (r["origin_zone"], r["dest_zone"]): (r["n_trips"], r["n_entities"])
+        for r in od_matrix(
+            df,
+            entity_col="uid",
+            ts_col="ts",
+            lat_col="lat",
+            lon_col="lon",
+            cell_deg=10.0,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    zone = lambda la, lo: f"{floor(la / 10.0)}:{floor(lo / 10.0)}"  # noqa: E731
+    by_day = defaultdict(list)
+    for u, ts, la, lo, i in rows:
+        by_day[(u, ts.date())].append((ts, i, la, lo))
+    flows = defaultdict(set)
+    counts = defaultdict(int)
+    for (u, _), pts in by_day.items():
+        pts.sort()
+        o = zone(pts[0][2], pts[0][3])
+        d = zone(pts[-1][2], pts[-1][3])
+        counts[(o, d)] += 1
+        flows[(o, d)].add(u)
+    want = {k: (counts[k], len(flows[k])) for k in counts}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# silhouette_score ≡ numpy brute force of the centroid formulation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # label
+            st.integers(-5, 5),
+            st.integers(-5, 5),
+        ),
+        min_size=2,
+        max_size=25,
+    ).filter(lambda pts: len({p[0] for p in pts}) >= 2)
+)
+def test_silhouette_matches_bruteforce(spark, pts):
+    import numpy as np
+
+    from knot_another_pipeline_spark.operators.similarity import (
+        silhouette_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [float(x), float(y)], int(lab))
+            for i, (lab, x, y) in enumerate(pts)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        r["label"]: (r["n"], r["avg_silhouette"])
+        for r in silhouette_score(df).collect()
+    }
+    X = np.array([[x, y] for _, x, y in pts], dtype=float)
+    labs = np.array([lab for lab, _, _ in pts])
+    cents = {c: X[labs == c].mean(axis=0) for c in set(labs)}
+    per_label = {}
+    for c in set(labs):
+        ss = []
+        for v, lab in zip(X, labs):
+            if lab != c:
+                continue
+            a = float(np.linalg.norm(v - cents[c]))
+            b = min(
+                float(np.linalg.norm(v - cents[o]))
+                for o in cents
+                if o != c
+            )
+            m = max(a, b)
+            ss.append((b - a) / m if m > 0 else 0.0)
+        per_label[c] = (len(ss), round(sum(ss) / len(ss), 6))
+    for c, (n, s) in per_label.items():
+        assert got[c][0] == n
+        assert abs(got[c][1] - s) < 1e-5, (c, got[c], s)
