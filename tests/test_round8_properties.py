@@ -365,3 +365,139 @@ def test_silhouette_matches_bruteforce(spark, pts):
     for c, (n, s) in per_label.items():
         assert got[c][0] == n
         assert abs(got[c][1] - s) < 1e-5, (c, got[c], s)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped joins ≡ brute-force Python over arbitrary order/line sets
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(1, 6), min_size=0, max_size=12, unique=True),
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(-400, 800)),  # (order, lag)
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_order_priority_counts_matches_bruteforce(spark, orderkeys, lines):
+    from datetime import datetime, timedelta
+
+    from knot_another_pipeline_spark.operators.relational import (
+        order_priority_counts,
+    )
+
+    base = datetime(2024, 1, 1)
+    prio = lambda k: f"{k % 3}-P"  # noqa: E731
+    orders = spark.createDataFrame(
+        [(k, prio(k), base) for k in orderkeys],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(o, base + timedelta(days=lag)) for o, lag in lines],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    got = {
+        (r["o_orderpriority"], r["n_late_orders"])
+        for r in order_priority_counts(
+            orders, lineitem, late_days=90
+        ).collect()
+    }
+    late_orders = {
+        k
+        for k in orderkeys
+        if any(o == k and lag > 90 for o, lag in lines)
+    }
+    from collections import Counter
+
+    want = Counter(prio(k) for k in late_orders)
+    assert got == {(p, n) for p, n in want.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(1, 8), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(1, 8), min_size=0, max_size=30),  # o_custkey per order
+)
+def test_customer_order_distribution_matches_bruteforce(
+    spark, custkeys, order_custs
+):
+    from collections import Counter
+
+    from knot_another_pipeline_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    customer = spark.createDataFrame(
+        [(c,) for c in custkeys], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(order_custs)],
+        "o_orderkey long, o_custkey long",
+    ) if order_custs else spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long"
+    )
+    got = {
+        (r["c_count"], r["custdist"])
+        for r in customer_order_distribution(customer, orders).collect()
+    }
+    per_cust = Counter(c for c in order_custs if c in set(custkeys))
+    dist = Counter(per_cust.get(c, 0) for c in custkeys)
+    assert got == {(k, v) for k, v in dist.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # nationkey
+            st.integers(-200, 200),       # acctbal
+            st.booleans(),                # has recent order?
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_idle_customers_matches_bruteforce(spark, custs):
+    from collections import defaultdict
+
+    from knot_another_pipeline_spark.operators.relational import (
+        idle_customers,
+    )
+
+    customer = spark.createDataFrame(
+        [
+            (i, nat, float(bal))
+            for i, (nat, bal, _) in enumerate(custs)
+        ],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1000 + i, i, "2002-01-01 00:00:00")
+            for i, (_, _, recent) in enumerate(custs)
+            if recent
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "CAST(o_orderdate AS TIMESTAMP) o_orderdate"
+    )
+    got = {
+        r["c_nationkey"]: (r["numcust"], r["totacctbal"])
+        for r in idle_customers(
+            customer, orders, since="2001-01-01"
+        ).collect()
+    }
+    pos = [bal for _, bal, _ in custs if bal > 0]
+    if not pos:
+        assert got == {}
+        return
+    avg = sum(pos) / len(pos)
+    agg = defaultdict(lambda: [0, 0.0])
+    for nat, bal, recent in custs:
+        if bal > avg and not recent:
+            agg[nat][0] += 1
+            agg[nat][1] += bal
+    want = {n: (c, round(t, 2)) for n, (c, t) in agg.items()}
+    assert got == want
