@@ -6,12 +6,17 @@ sf0.001; ``queries()``/``oracle_sql()`` expose the full operator catalog
 differential gate.
 
 Ordering note: the driver's correctness gate has emitted exactly the
-first 50 dict keys every round since r03, so the catalog is exposed
-priority-first: queries that have never received a driver CORRECTNESS
-row lead (oldest first), then the current round's additions, then the
-already-gated keys in rotation order.  Every key is still present — the
-in-repo DuckDB differential (tests/test_catalog_oracle.py) covers all of
-them regardless of driver window size.
+first 50 dict keys every round since r03.  After round 8 every catalog
+key has a green driver CORRECTNESS row (cumulative 249/249), so from
+round 9 the window is a ROLLING REGRESSION GATE (VERDICT r8 task #1):
+this round's never-gated additions lead (<=15 cap), then every
+already-gated key in staleness order — ascending by the round of its
+latest CORRECTNESS row, alphabetical within a round — so the keys that
+have gone longest without a driver re-check (the r2/r4 flagships
+``ais_hourly``, ``pairs_monthly``, ``stable_bucket``, ...) are re-gated
+first.  Every key is still present — the in-repo DuckDB differential
+(tests/test_catalog_oracle.py) covers all of them every run regardless
+of driver window size.
 """
 
 from __future__ import annotations
@@ -22,196 +27,272 @@ from pyspark.sql import DataFrame, SparkSession
 
 from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 
-# Round-8 rotation, executed exactly as committed in round 7 (VERDICT r7
-# task #1): the 35 keys that have never received a driver CORRECTNESS
-# row lead, oldest-first — the 22 r6-deferred keys (zipf_fit ..
-# community_quality) first, then the 13 round-7 additions
-# (classification_report .. shard_moves) — followed by the 15 round-8
-# additions (order_priority .. track_sinuosity, inside the <=15 cap),
-# filling the 50-key driver window EXACTLY: 22 + 13 + 15 = 50.  With a
-# green CORRECTNESS_r08 this closes cumulative driver coverage over the
-# whole pre-round-8 catalog (234/234) and gates every round-8 key in the
-# same pass.  All 50 round-7-gated keys (trend_fit .. dedup_summary,
-# CORRECTNESS_r07 50/50 green) rotate to the back, ahead of the
-# r6-gated block.  Every key remains green in the in-repo DuckDB
-# differential (tests/test_catalog_oracle.py) every run regardless of
-# the driver window.
-_PRIORITY = [
-    # 22 r6-deferred keys (oldest never-gated).
-    "zipf_fit",
-    "source_terms",
-    "oov_rate",
-    "join_cardinality",
-    "dbscan_grid",
-    "quantile_normalize",
-    "proportion_test",
-    "reweight_to_target",
-    "audience_overlap",
-    "cluster_purity",
-    "seasonal_naive_error",
-    "profile_drift",
-    "fano_burstiness",
-    "embedding_drift",
-    "rank_movers",
-    "binned_mutual_info",
-    "dedup_pr_curve",
-    "tfidf_cosine_pairs",
-    "wasserstein_drift",
-    "poisson_rate_ci",
-    "track_length",
-    "community_quality",
-    # 13 round-7 additions (never-gated, FIFO positions 23-35).
-    "classification_report",
-    "conformal_threshold",
-    "bradley_terry",
-    "class_weights",
-    "boilerplate_lines",
-    "segment_dedup",
-    "knn_label_noise",
-    "dim_truncation",
-    "pareto_front",
-    "group_fairness",
-    "cumulative_users",
-    "blocking_quality",
-    "shard_moves",
-    # 15 round-8 additions (window positions 36-50, <=15 cap honored).
-    "order_priority",
-    "customer_distribution",
-    "small_qty_revenue",
-    "big_order_customers",
-    "disjunctive_revenue",
-    "waiting_suppliers",
-    "idle_customers",
-    "mann_whitney",
-    "kendall_profiles",
-    "silhouette",
-    "regression_report",
-    "brier_decomposition",
-    "signal_gaps",
-    "od_matrix",
-    "track_sinuosity",
-    # --- 50-key window boundary. Below: the 50 keys driver-gated green
-    # in CORRECTNESS_r07 (trend_fit .. dedup_summary), rotated to the
-    # back, then the 50 keys gated green in CORRECTNESS_r06.
-    "trend_fit",
-    "cusum_alarm",
-    "basket_rules",
-    "cms_counts",
-    "seasonal_daily",
-    "spearman_hour",
-    "gini_concentration",
-    "acf_daily",
-    "did_readout",
-    "chi2_independence",
-    "feature_gain",
-    "rfm_segments",
-    "funnel_timing",
-    "readability",
-    "ks_drift",
-    "label_agreement",
-    "uplift_deciles",
-    "bigram_lm",
-    "ngram_novelty",
-    "hits_authority",
-    "k_core_parts",
-    "linkage_weights",
-    "mmr_diversify",
-    "dedup_prf",
-    "linkage_scores",
-    "containment_pairs",
-    "linkage_em",
-    "woe_iv",
-    "label_propagation",
-    "tokenizer_fertility",
-    "doc_keywords",
-    "covisitation_llr",
-    "personalized_pagerank",
-    "ranking_metrics",
-    "hll_distinct",
-    "cluster_quality",
-    "join_health",
-    "sorted_neighborhood",
-    "bootstrap_ci",
-    "categorical_psi",
-    "pca_power",
-    "correlation_matrix",
-    "effective_sample_size",
-    "slice_diversity",
-    "random_projection",
-    "changepoint",
-    "max_concurrency",
-    "weighted_quantiles",
-    "ips_policy_value",
-    "dedup_summary",
-    "fuzzy_match",
-    "json_extract_stats",
-    "pivot_daily",
-    "track_interpolate",
-    "normalize_docs",
-    "ngram_topk",
-    "anomaly_zscore",
-    "keyword_search",
-    "value_histogram",
-    "zorder_key",
-    "length_percentile_rank",
-    "media_chunks",
-    "quantize_embeddings",
-    "encode_documents",
-    "kmeans_step",
-    "auc_scores",
-    "calibration_curve",
-    "lift_table",
-    "psi_stability",
-    "weighted_median",
-    "pack_sequences",
-    "link_prediction",
-    "label_vote",
-    "canonical_docs",
-    "temperature_mix",
-    "k_anonymity",
-    "sketch_overlap",
-    "zone_assign",
-    "phrase_search",
-    "time_weighted_avg",
-    "target_encode",
-    "hash_features",
-    "benford",
-    "dsir_weights",
-    "ann_recall",
-    "token_entropy",
-    "mad_outliers",
-    "media_phash",
-    "bpe_merges",
-    "repeated_spans",
-    "negative_samples",
-    "next_event_examples",
-    "bpe_encode",
-    "ab_test",
-    "ewma_alarm",
-    "scd2_as_of",
-    "dataset_card",
-    "scd2_lookup",
-    "markov_transitions",
-    "survival_curve",
-]
+# Round-9 additions: never driver-gated, so they lead the window.
+# Capped at 15 so the 50-key window re-gates >=35 stale keys.
+_ROUND9_NEW: list[str] = []
 
-# Representatives of already-hash-verified families, queued AFTER the
-# whole priority list: the first 50 priority keys fill the driver's
-# observed 50-key window exactly; if the window is larger this round,
-# the 14 deferred priority keys (positions 51-64) enter first and these
-# flagship queries only after them. Families trimmed out of the window
-# passed the driver hash gate in r2–r5 and stay covered by the in-repo
-# differential over all keys every test run.
-_REPRESENTATIVES = [
+# Every already-gated key, stalest first: ascending round of the key's
+# latest row across the git-TRACKED CORRECTNESS_r{1..8}.json artifacts,
+# alphabetical within a round (media_resize: r2; ais_hourly ..
+# value_percentiles: r4; then r5, r6, r7, r8 blocks).  Regenerate with
+# tools/queue_order.py if the artifact set changes.
+_STALE_ROTATION = [
+    "media_resize",
     "ais_hourly",
+    "ann_lsh",
+    "clean_lines",
+    "contamination",
+    "corpus_prep",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_counts",
+    "dedup_components",
+    "dedup_latest",
+    "doc_fingerprint",
+    "domain_mix",
+    "embedding_dedup",
+    "event_breakdown",
+    "exact_dedup",
+    "hash_sample",
+    "ivf_ann",
+    "knn_bruteforce",
+    "lang_id",
+    "media_features",
+    "media_frames",
+    "media_meta",
+    "minhash_pairs",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "normalize_ts",
     "pairs_monthly",
     "pairs_total",
-    "dedup_latest",
+    "pii_scrub",
+    "pricing_summary",
+    "quality_filter",
+    "regional_volume",
+    "repetition_stats",
+    "semantic_dedup",
+    "sessionize",
+    "shard_assign",
+    "simhash",
+    "simhash_pairs",
+    "split_assign",
+    "stable_bucket",
+    "text_stats",
+    "token_budget",
+    "token_counts",
+    "top_customers",
+    "top_order_per_customer",
+    "track_export",
+    "track_paths",
+    "user_set_ops",
+    "value_percentiles",
+    "winnow_fingerprint",
+    "asof_join",
+    "bloom_prune",
+    "bm25_search",
+    "build_vocab",
+    "cdc_apply",
+    "chunk_documents",
+    "cohort_retention",
+    "contract_checks",
+    "conversion_attribution",
+    "decayed_engagement",
+    "dq_reconcile",
+    "dwell_segments",
+    "embedding_centroids",
+    "funnel_steps",
+    "grouped_topk",
+    "grouped_totals",
+    "histogram_drift",
+    "histogram_quantiles",
+    "hybrid_search",
+    "incremental_dedup",
+    "interval_merge",
+    "journey_topk",
+    "kmv_distinct",
+    "kmv_rollup",
+    "lm_score",
+    "ntile_deciles",
+    "pagerank",
+    "period_over_period",
+    "pmi_topk",
+    "prefix_jaccard",
+    "radius_pairs",
+    "range_join",
+    "reaggregate_monthly",
+    "resample_daily",
+    "rolling_stats",
+    "salted_agg",
+    "scd2_history",
+    "skew_join",
+    "snapshot_diff",
+    "speed_filter",
+    "stratified_cap",
+    "stratified_sample",
+    "table_profile",
+    "triangle_stats",
+    "unpivot_metrics",
+    "upsert",
+    "weighted_sample",
+    "winsorized_stats",
+    "ab_test",
+    "ann_recall",
+    "anomaly_zscore",
+    "auc_scores",
+    "benford",
+    "bpe_encode",
+    "bpe_merges",
+    "calibration_curve",
+    "canonical_docs",
+    "dataset_card",
+    "dsir_weights",
+    "encode_documents",
+    "ewma_alarm",
+    "fuzzy_match",
+    "hash_features",
+    "json_extract_stats",
+    "k_anonymity",
+    "keyword_search",
+    "kmeans_step",
+    "label_vote",
+    "length_percentile_rank",
+    "lift_table",
+    "link_prediction",
+    "mad_outliers",
+    "markov_transitions",
+    "media_chunks",
+    "media_phash",
+    "negative_samples",
+    "next_event_examples",
+    "ngram_topk",
+    "normalize_docs",
+    "pack_sequences",
+    "phrase_search",
+    "pivot_daily",
+    "psi_stability",
+    "quantize_embeddings",
+    "repeated_spans",
+    "scd2_as_of",
+    "scd2_lookup",
+    "sketch_overlap",
+    "survival_curve",
+    "target_encode",
+    "temperature_mix",
+    "time_weighted_avg",
+    "token_entropy",
+    "track_interpolate",
+    "value_histogram",
+    "weighted_median",
+    "zone_assign",
+    "zorder_key",
+    "acf_daily",
+    "basket_rules",
+    "bigram_lm",
+    "bootstrap_ci",
+    "categorical_psi",
+    "changepoint",
+    "chi2_independence",
+    "cluster_quality",
+    "cms_counts",
+    "containment_pairs",
+    "correlation_matrix",
+    "covisitation_llr",
+    "cusum_alarm",
+    "dedup_prf",
+    "dedup_summary",
+    "did_readout",
+    "doc_keywords",
+    "effective_sample_size",
+    "feature_gain",
+    "funnel_timing",
+    "gini_concentration",
+    "hits_authority",
+    "hll_distinct",
+    "ips_policy_value",
+    "join_health",
+    "k_core_parts",
+    "ks_drift",
+    "label_agreement",
+    "label_propagation",
+    "linkage_em",
+    "linkage_scores",
+    "linkage_weights",
+    "max_concurrency",
+    "mmr_diversify",
+    "ngram_novelty",
+    "pca_power",
+    "personalized_pagerank",
+    "random_projection",
+    "ranking_metrics",
+    "readability",
+    "rfm_segments",
+    "seasonal_daily",
+    "slice_diversity",
+    "sorted_neighborhood",
+    "spearman_hour",
+    "tokenizer_fertility",
+    "trend_fit",
+    "uplift_deciles",
+    "weighted_quantiles",
+    "woe_iv",
+    "audience_overlap",
+    "big_order_customers",
+    "binned_mutual_info",
+    "blocking_quality",
+    "boilerplate_lines",
+    "bradley_terry",
+    "brier_decomposition",
+    "class_weights",
+    "classification_report",
+    "cluster_purity",
+    "community_quality",
+    "conformal_threshold",
+    "cumulative_users",
+    "customer_distribution",
+    "dbscan_grid",
+    "dedup_pr_curve",
+    "dim_truncation",
+    "disjunctive_revenue",
+    "embedding_drift",
+    "fano_burstiness",
+    "group_fairness",
+    "idle_customers",
+    "join_cardinality",
+    "kendall_profiles",
+    "knn_label_noise",
+    "mann_whitney",
+    "od_matrix",
+    "oov_rate",
+    "order_priority",
+    "pareto_front",
+    "poisson_rate_ci",
+    "profile_drift",
+    "proportion_test",
+    "quantile_normalize",
+    "rank_movers",
+    "regression_report",
+    "reweight_to_target",
+    "seasonal_naive_error",
+    "segment_dedup",
+    "shard_moves",
+    "signal_gaps",
+    "silhouette",
+    "small_qty_revenue",
+    "source_terms",
+    "tfidf_cosine_pairs",
+    "track_length",
+    "track_sinuosity",
+    "waiting_suppliers",
+    "wasserstein_drift",
+    "zipf_fit",
 ]
+
+_PRIORITY = _ROUND9_NEW + _STALE_ROTATION
 
 
 def _ordered_keys() -> list[str]:
-    head = [k for k in _PRIORITY + _REPRESENTATIVES if k in QUERIES]
+    head = [k for k in _PRIORITY if k in QUERIES]
     seen = set(head)
     return head + [k for k in QUERIES if k not in seen]
 

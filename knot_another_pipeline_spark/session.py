@@ -16,6 +16,7 @@ day-at-a-time CTAS sizing (``refresh_gold_tables.py:648-669``):
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -99,7 +100,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
             continue
         try:
             spark.conf.set(key, value)
-        except Exception:
+        except Exception as exc:
             # Non-runtime-settable in this deployment; builder default rules.
-            pass
+            warnings.warn(
+                f"could not set {key}={value} on the live session "
+                f"({type(exc).__name__}); the builder-time default applies",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark

@@ -10,10 +10,16 @@ here so they cannot recur:
 
 2. The driver's correctness window has emitted exactly the first 50
    ``queries()`` keys every round, so rotation order IS the coverage
-   lever.  ``test_round8_window_is_pinned_queue`` asserts the first 50
-   ordered keys are exactly the documented round-8 queue (the 35
-   never-gated keys oldest-first, then the 15 round-8 additions) and
-   that none of them already has a driver CORRECTNESS row.
+   lever.  After round 8 every catalog key has a driver row, so the
+   window is a rolling regression gate (VERDICT r8 task #1):
+   ``test_round9_window_is_rolling_gate`` asserts this round's
+   never-gated additions lead (<=15) and the rest of the window is the
+   stalest-gated keys in the exact order ``tools/queue_order.py``
+   computes from the git-TRACKED artifacts.  Reading tracked artifacts
+   only (not the working-tree glob) is itself the round-8 fix: the
+   driver deposits CORRECTNESS_r{N}.json UNTRACKED after the final
+   commit, and counting it made these tests red-by-construction at
+   every round boundary.
 """
 
 from __future__ import annotations
@@ -48,54 +54,53 @@ def _entry_module():
 
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
-# The round-8 driver window: the 22 r6-deferred keys, the 13 round-7
-# additions, then the 15 round-8 additions — 50 exactly (VERDICT r7
-# task #1: never-gated backlog first, new keys capped at 15).
-_ROUND8_WINDOW = [
-    "zipf_fit", "source_terms", "oov_rate", "join_cardinality",
-    "dbscan_grid", "quantile_normalize", "proportion_test",
-    "reweight_to_target", "audience_overlap", "cluster_purity",
-    "seasonal_naive_error", "profile_drift", "fano_burstiness",
-    "embedding_drift", "rank_movers", "binned_mutual_info",
-    "dedup_pr_curve", "tfidf_cosine_pairs", "wasserstein_drift",
-    "poisson_rate_ci", "track_length", "community_quality",
-    "classification_report", "conformal_threshold", "bradley_terry",
-    "class_weights", "boilerplate_lines", "segment_dedup",
-    "knn_label_noise", "dim_truncation", "pareto_front", "group_fairness",
-    "cumulative_users", "blocking_quality", "shard_moves",
-    "order_priority", "customer_distribution", "small_qty_revenue",
-    "big_order_customers", "disjunctive_revenue", "waiting_suppliers",
-    "idle_customers", "mann_whitney", "kendall_profiles", "silhouette",
-    "regression_report", "brier_decomposition", "signal_gaps",
-    "od_matrix", "track_sinuosity",
-]
-
 
 def _gated_keys() -> set[str]:
-    import glob
+    """Keys with a row in any git-TRACKED CORRECTNESS artifact.
 
-    out: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        out.update(json.load(open(path)))
-    return out
+    Tracked-only (via tools/queue_order.py) is load-bearing: the driver
+    deposits the current round's CORRECTNESS_r{N}.json untracked after
+    the final commit, and globbing the working tree made this suite
+    red-by-construction at every round boundary (VERDICT r8 item #1 —
+    the same pathology fixed in tools/readme_stats.py in round 8).
+    """
+    from tools import queue_order
+
+    return set(queue_order.latest_round())
 
 
-def test_round8_window_is_pinned_queue():
+def test_round9_window_is_rolling_gate():
+    """The 50-key driver window = this round's never-gated additions
+    (<=15, leading) + the stalest-gated keys in queue_order.py order."""
+    from tools import queue_order
+
     mod = _entry_module()
     ordered = mod._ordered_keys()
     assert len(ordered) == len(set(ordered)), "duplicate keys in queue"
     assert set(ordered) == set(QUERIES), "queue does not cover the catalog"
-    assert ordered[:50] == _ROUND8_WINDOW
-    already = set(ordered[:50]) & _gated_keys()
-    assert not already, f"window wastes slots on gated keys: {sorted(already)}"
+    new = mod._ROUND9_NEW
+    assert len(new) <= 15, "round-9 additions exceed the per-round cap"
+    gated = _gated_keys()
+    assert not (set(new) & gated), "a 'new' key already has a driver row"
+    expected = (new + queue_order.stale_rotation())[:50]
+    assert ordered[:50] == expected, (
+        "window is not new-additions + stalest-gated; regenerate "
+        "__spark_entry__._STALE_ROTATION with tools/queue_order.py"
+    )
+    n_regated = 50 - len(new)
+    assert n_regated >= 35, "window must re-gate >=35 stale keys"
 
 
 def test_queue_drains_never_gated_first():
-    """Every never-gated key must sort ahead of every already-gated key."""
+    """Every never-gated key must sort ahead of every already-gated key
+    (vacuously true when the whole catalog is gated, the steady state
+    after round 8)."""
     mod = _entry_module()
     ordered = mod._ordered_keys()
     gated = _gated_keys() & set(ordered)
     never = [k for k in ordered if k not in gated]
+    if not never:
+        return
     cutoff = max(ordered.index(k) for k in never)
     early_gated = [k for k in ordered[:cutoff] if k in gated]
     assert not early_gated, (

@@ -65,15 +65,19 @@ def main() -> None:
 
     shared = sorted(set(old) & set(new))
     t = args.threshold / 100.0
+    # Both sides must clear --floor before a ratio is computed: a
+    # rounded 0.0s entry in either artifact would otherwise divide by
+    # zero, and sub-floor timings are noise anyway.
+    comparable = [k for k in shared if min(old[k], new[k]) > args.floor]
     regressions = [
         (new[k] / old[k] - 1, k, old[k], new[k])
-        for k in shared
-        if new[k] > old[k] * (1 + t) and new[k] > args.floor
+        for k in comparable
+        if new[k] > old[k] * (1 + t)
     ]
     improvements = [
         (1 - new[k] / old[k], k, old[k], new[k])
-        for k in shared
-        if old[k] > new[k] * (1 + t) and old[k] > args.floor
+        for k in comparable
+        if old[k] > new[k] * (1 + t)
     ]
     print(
         f"{os.path.basename(old_path)} -> {os.path.basename(new_path)}: "
