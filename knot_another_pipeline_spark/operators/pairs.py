@@ -37,6 +37,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 from knot_another_pipeline_spark.functions.geo import haversine_m
 
 
+def _shuffle_partitions(spark) -> int:
+    """The session's tuned shuffle-partition count (fallback: default
+    parallelism when the conf is non-numeric, e.g. "auto")."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def oversize_cell_windows(
     base: DataFrame, max_entities_per_cell: int
 ) -> DataFrame:
@@ -146,12 +155,7 @@ def co_movement_pairs(
         )
 
     if pin_join_parallelism:
-        try:
-            n_part = int(
-                rollup.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except (TypeError, ValueError):  # e.g. "auto" on some platforms
-            n_part = rollup.sparkSession.sparkContext.defaultParallelism
+        n_part = _shuffle_partitions(rollup.sparkSession)
         join_input = join_input.repartition(
             n_part, "day_date", "w", "cell"
         )
@@ -207,17 +211,35 @@ def score_co_located(
     hourly table, ``create_pairs_daily.sql:57-66``, before any pairing).
     """
     if assume_unique_windows:
-        # Explicit two-stage aggregation instead of count(*) +
-        # countDistinct(cell): stage 1 finishes the (pair, period, cell)
-        # dedup in its own shuffle with full map-side combine, stage 2
-        # reduces the already-tiny per-cell table. Valid because under
-        # the unique-window invariant each (pair, window) match lands in
-        # exactly one cell, so summing per-cell match counts = total
-        # matches. Measured ~10% faster than the built-in single-distinct
-        # plan at sf0.1 (which shuffles the 4-key partial rows grouped by
-        # only 3 keys); the gap widens with the co-located/pairs ratio.
+        # ONE explicit exchange on (pair, period), then BOTH aggregation
+        # levels run Complete-mode on top of it with no further shuffle:
+        # the repartition's HashPartitioning on (uid_a, uid_b, day_date)
+        # satisfies the 4-key group's ClusteredDistribution (partition
+        # keys ⊂ group keys) and the 3-key group's exactly.  Valid
+        # because under the unique-window invariant each (pair, window)
+        # match lands in exactly one cell, so summing per-cell match
+        # counts = total matches (= the reference's DISTINCT hour count).
+        #
+        # Why not let the two groupBys plan their own exchanges: the
+        # map-side partial for the 4-key aggregate runs INSIDE the
+        # self-join's tasks, and its hash-map state is bounded only by
+        # join output per task — at the 16× scale probe it capped every
+        # task's memory share (400 MB × 32), spilled 17 GiB, and spent
+        # 9.3 min in aggregation build, while the stage-2 partial built
+        # 5 GiB of maps to shrink 51.7 M rows by 1.4 % (pairs in
+        # different cells never combine).  The one-exchange form shuffles
+        # raw co-located rows (~3.8× more bytes here) but its reduce-side
+        # state is bounded by the PARTITION COUNT — the knob a deployment
+        # scales with data — and measured 2.0× faster end-to-end at 16×
+        # (7.6 s vs 15.6 s for the aggregation subchain) with zero spill.
+        # Re-enable map-side combine only when the network is the
+        # bottleneck AND the co-located/pairs ratio is high.
+        n_agg_part = _shuffle_partitions(co_located.sparkSession)
         pair_day = (
-            co_located.groupBy("uid_a", "uid_b", "day_date", "cell")
+            co_located.repartition(
+                n_agg_part, "uid_a", "uid_b", "day_date"
+            )
+            .groupBy("uid_a", "uid_b", "day_date", "cell")
             .agg(F.count(F.lit(1)).alias("_n"))
             .groupBy("uid_a", "uid_b", "day_date")
             .agg(

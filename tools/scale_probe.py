@@ -162,6 +162,14 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     parser.add_argument("--factors", default="1,2,4")
     parser.add_argument(
+        "--samples",
+        type=int,
+        default=3,
+        # min-of-2 on a fresh JVM rides the heap-growth/JIT slope (the
+        # r8 probe recorded 57.5s for a query whose warm floor was 27s);
+        # 3+ samples with the full list published keeps the min honest.
+    )
+    parser.add_argument(
         "--out", default=os.path.join(REPO, "SCALE_PROBE.json")
     )
     cli = parser.parse_args()
@@ -169,7 +177,7 @@ def main() -> None:
     out_path = cli.out
     spark = get_spark()
     results: dict[str, dict] = {
-        op: {"sec": {}, "rows": {}} for op in OPS_ALL
+        op: {"sec": {}, "samples": {}, "rows": {}} for op in OPS_ALL
     }
     row_counts = {}
     # untimed warmup at the smallest factor so k=1 doesn't also pay
@@ -192,11 +200,12 @@ def main() -> None:
         for op in OPS_ALL:
             src_dir = ds if op in OPS_SALTED else d
             samples = []
-            for _ in range(2):
+            for _ in range(cli.samples):
                 t0 = time.perf_counter()
                 n = QUERIES[op](spark, src_dir).count()
                 samples.append(round(time.perf_counter() - t0, 3))
             results[op]["sec"][str(k)] = min(samples)
+            results[op]["samples"][str(k)] = samples
             results[op]["rows"][str(k)] = n
             print(
                 f"# k={k} {op}: {min(samples)}s ({n} rows)", file=sys.stderr
@@ -212,6 +221,28 @@ def main() -> None:
             if max(factors) > min(factors)
             else 0.0
         )
+        # Per-SEGMENT slopes (VERDICT r8 task #2): the whole-range fit
+        # can mask a superlinear tail — quote every consecutive-factor
+        # exponent, in input-factor and in output-rows terms, so a
+        # throughput collapse on the last segment is visible directly.
+        segs = {}
+        ordered = sorted(factors)
+        for a, b in zip(ordered, ordered[1:]):
+            ta, tb = results[op]["sec"][str(a)], results[op]["sec"][str(b)]
+            ra, rb = results[op]["rows"][str(a)], results[op]["rows"][str(b)]
+            if ta <= 0 or tb <= 0:
+                continue
+            seg = {"time_ratio": round(tb / ta, 3)}
+            seg["input_exponent"] = round(
+                math.log(tb / ta) / math.log(b / a), 3
+            )
+            if ra and rb and rb != ra:
+                seg["rows_ratio"] = round(rb / ra, 3)
+                seg["output_exponent"] = round(
+                    math.log(tb / ta) / math.log(rb / ra), 3
+                )
+            segs[f"{a}->{b}"] = seg
+        results[op]["segments"] = segs
     doc = {
         "sf_base": SF_DIR,
         "factors": factors,
