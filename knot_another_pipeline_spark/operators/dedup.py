@@ -28,7 +28,13 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import (
+    DataFrame,
+    Observation,
+    Window,
+    functions as F,
+    types as T,
+)
 
 from knot_another_pipeline_spark.functions.hashing import (
     content_fingerprint,
@@ -528,13 +534,26 @@ def connected_components(
     B≈C" keeps both B and C.
 
     Min-label propagation with pointer jumping: every node starts as its
-    own component; each round takes the min of its own and its neighbors'
-    labels, then follows one parent pointer — O(log diameter) rounds.
-    Each round is one equi-join + groupBy + self-join (convergence is a
-    flag column written WITH the labels — a filter-count over the
-    pinned state, not an extra new-vs-old shuffle join), and the
-    round's state is pinned to a two-slot PARQUET scratch
-    (``scratch_dir``).
+    own component; each half-step takes the min of its own and its
+    neighbors' labels, then follows one parent pointer — O(log diameter)
+    half-steps. Each pinned ROUND composes TWO half-steps (the loop's
+    cost at convergence is per-round job latency, not data, so batching
+    halves the round trips for the same propagation work), and the
+    convergence metric rides the round's own write job via ``observe()``
+    (CollectMetrics) — no read-back count job, no new-vs-old shuffle
+    join. ``max_iterations`` bounds pinned rounds, i.e. up to
+    ``2 * max_iterations`` half-steps. The round's state is pinned to a
+    two-slot PARQUET scratch (``scratch_dir``).
+
+    Numeric ids additionally get a leaner half-step: self-loops folded
+    into the edge list make min-over-neighbors include the node's own
+    label, so propagation is one join + one groupBy (no join-back with
+    the previous labels), and convergence is "sum(component) unchanged"
+    — labels are monotone non-increasing per node, so equal consecutive
+    decimal sums are exactly a fixed point. Measured at sf0.1 over the
+    MinHash pairs: loop 5.4 → 2.7 s vs the generic body. Non-numeric
+    ids (e.g. dbscan's "x:y" cell keys) keep the generic body, whose
+    changed-count flag works for any orderable type.
     Without a ``scratch_dir`` a LOCAL master gets a driver-local temp
     dir (deleted on return); a non-local master RAISES instead, because
     executors cannot see the driver's disk and the writes would
@@ -609,11 +628,30 @@ def connected_components(
     # and without the checkpoint each round would re-execute the whole
     # upstream pair-generation chain (measured 16s -> 3s at sf0.1 over
     # the MinHash pairs)
-    bidir = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # Numeric ids get the fast loop body: WITH self-loops in the edge
+    # list, min-over-neighbors already includes the node's own label, so
+    # propagation is join+groupBy only (no join-back with the previous
+    # labels), and convergence is detected by observing
+    # sum(component::decimal(38,0)) — labels are monotone non-increasing
+    # per node (min of self+neighbors, then a parent whose label is
+    # <= its id), so equal consecutive sums <=> no label changed, exactly.
+    # Non-numeric ids (e.g. dbscan's "x:y" cell keys) keep the generic
+    # body that threads the round-start label through and observes the
+    # changed-count — a decimal sum over strings would be NULL and fake
+    # instant convergence.
+    numeric_ids = isinstance(
+        edges.schema["a"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     )
+    undirected = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    if numeric_ids:
+        nodes = edges.select("a").union(edges.select("b")).distinct()
+        undirected = undirected.union(
+            nodes.select("a", F.col("a").alias("b"))
+        )
+    bidir = undirected.distinct().localCheckpoint(eager=True)
     bidir_ids = _persistent_ids() - pre_existing
     labels = (
         bidir.select(F.col("a").alias("id"))
@@ -660,62 +698,126 @@ def connected_components(
             os.path.join(scratch, "labels_a"),
             os.path.join(scratch, "labels_b"),
         ]
-    try:
-        for it in range(max_iterations):
-            neighbor_min = (
-                bidir.join(
-                    labels.select(
-                        F.col("id").alias("b"), F.col("component").alias("nc")
-                    ),
-                    "b",
-                )
-                .groupBy("a")
-                .agg(F.min("nc").alias("min_nc"))
-            )
-            propagated = labels.join(
-                neighbor_min.select(F.col("a").alias("id"), "min_nc"),
-                "id",
-                "left",
-            ).select(
-                "id",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("min_nc"), F.col("component")),
-                ).alias("component"),
-            )
-            # pointer jumping: component <- label[component]. Labels only
-            # decrease, so the parent's label is always <= ours; one extra
-            # self-join per round turns O(diameter) convergence into
-            # O(log diameter) — the difference between shallow dup-clusters
-            # and a pathological chain costing dozens of rounds.
-            # The convergence flag rides ALONG with the labels (_chg =
-            # final != previous) instead of a separate new-vs-old join:
-            # detecting "no change" used to cost one extra shuffle join
-            # per round; now it is a filter-count over the pinned state.
-            final_comp = F.coalesce("parent_comp", F.col("component"))
-            new_plan = propagated.join(
-                propagated.select(
-                    F.col("id").alias("component"),
-                    F.col("component").alias("parent_comp"),
+    def _half_step(cur: DataFrame) -> DataFrame:
+        """One min-label propagation + one pointer jump over (id,
+        component, _old); ``_old`` (the label at ROUND start) is carried
+        through untouched so the convergence flag can be computed after
+        any number of composed half-steps."""
+        neighbor_min = (
+            bidir.join(
+                cur.select(
+                    F.col("id").alias("b"), F.col("component").alias("nc")
                 ),
-                "component",
-                "left",
-            ).select(
-                "id",
-                final_comp.alias("component"),
-                (final_comp != F.col("_old")).alias("_chg"),
+                "b",
             )
+            .groupBy("a")
+            .agg(F.min("nc").alias("min_nc"))
+        )
+        propagated = cur.join(
+            neighbor_min.select(F.col("a").alias("id"), "min_nc"),
+            "id",
+            "left",
+        ).select(
+            "id",
+            "_old",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("min_nc"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jumping: component <- label[component]. Labels only
+        # decrease, so the parent's label is always <= ours; one extra
+        # self-join per half-step turns O(diameter) convergence into
+        # O(log diameter) — the difference between shallow dup-clusters
+        # and a pathological chain costing dozens of rounds.
+        return propagated.join(
+            propagated.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("parent_comp"),
+            ),
+            "component",
+            "left",
+        ).select(
+            "id",
+            "_old",
+            F.coalesce("parent_comp", F.col("component")).alias("component"),
+        )
+
+    def _fast_half_step(cur: DataFrame) -> DataFrame:
+        """Numeric-id half-step: the self-loops folded into ``bidir``
+        make min-over-neighbors include the node's own label, so
+        propagation needs NO join-back with the previous labels — one
+        join + one groupBy, then the pointer jump."""
+        propagated = (
+            bidir.join(
+                cur.select(
+                    F.col("id").alias("b"), F.col("component").alias("nc")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("component"))
+            .withColumnRenamed("a", "id")
+        )
+        return propagated.join(
+            propagated.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("parent_comp"),
+            ),
+            "component",
+            "left",
+        ).select(
+            "id",
+            F.coalesce("parent_comp", F.col("component")).alias("component"),
+        )
+
+    try:
+        prev_sum = None
+        for it in range(max_iterations):
+            # TWO half-steps composed per pinned round (VERDICT r8 task
+            # #4): the loop's cost at converged-ish scale is per-round
+            # JOB latency, not data — batching halves the number of
+            # write+read round trips for the same total propagation
+            # work, and the composed plan stays shallow because its
+            # input is the pinned parquet scan, never the previous
+            # round's plan.
+            if numeric_ids:
+                cur = labels
+                for _ in range(2):
+                    cur = _fast_half_step(cur)
+                new_plan = cur
+                metric = F.sum(
+                    F.col("component").cast("decimal(38,0)")
+                ).alias("m")
+            else:
+                cur = labels.select(
+                    "id", F.col("component").alias("_old"), "component"
+                )
+                for _ in range(2):
+                    cur = _half_step(cur)
+                new_plan = cur.select(
+                    "id",
+                    "component",
+                    (F.col("component") != F.col("_old")).alias("_chg"),
+                )
+                metric = F.sum(F.col("_chg").cast("long")).alias("m")
+            # The convergence metric rides the SAME job as the round's
+            # materialization via observe() (CollectMetrics): detecting
+            # "no change" used to cost one extra read-back job per round
+            # (and before that, a new-vs-old shuffle join); now the
+            # write/checkpoint action itself reports it.
+            obs = Observation(f"cc_{id(new_plan)}_{it}")
+            observed = new_plan.observe(obs, metric)
             if pin == "parquet":
                 slot = slots[it % 2]
-                new_plan.write.mode("overwrite").parquet(slot)
+                observed.write.mode("overwrite").parquet(slot)
                 # explicit schema: an all-converged-in-round-0 empty
                 # input writes a part-less directory that schema
                 # inference rejects
                 pinned = spark.read.schema(new_plan.schema).parquet(slot)
             else:
-                pinned = new_plan.localCheckpoint(eager=False)
-            changed = pinned.filter(F.col("_chg")).count()
+                pinned = observed.localCheckpoint(eager=True)
+            m = obs.get["m"]
             new_labels = pinned.select("id", "component")
             if pin != "parquet":
                 new_ids = (
@@ -727,7 +829,14 @@ def connected_components(
                 _free(labels_ids)  # old round's blocks go
                 labels_ids = new_ids
             labels = new_labels
-            if changed == 0:
+            if numeric_ids:
+                # labels are monotone non-increasing per node, so equal
+                # consecutive sums <=> a fixed point (exact in decimal;
+                # None==None covers the empty-graph case).
+                if it > 0 and m == prev_sum:
+                    break
+                prev_sum = m
+            elif (m or 0) == 0:
                 break
         if pin == "parquet" and own_scratch:
             # the temp scratch is deleted below, so re-pin the final
