@@ -29,7 +29,15 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 
 # Round-9 additions: never driver-gated, so they lead the window.
 # Capped at 15 so the 50-key window re-gates >=35 stale keys.
-_ROUND9_NEW: list[str] = []
+_ROUND9_NEW: list[str] = [
+    "substring_dedup",
+    "duplication_rate",
+    "min_cost_supplier",
+    "important_stock",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "dominant_part_suppliers",
+]
 
 # Every already-gated key, stalest first: ascending round of the key's
 # latest row across the git-TRACKED CORRECTNESS_r{1..8}.json artifacts,

@@ -219,6 +219,15 @@ HEADLINE = [
     "signal_gaps",
     "od_matrix",
     "track_sinuosity",
+    # r9 additions: exact substring dedup + per-source scorecard, and
+    # the five remaining classic TPC-H plan shapes
+    "substring_dedup",
+    "duplication_rate",
+    "min_cost_supplier",
+    "important_stock",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "dominant_part_suppliers",
 ]
 
 
@@ -287,6 +296,22 @@ def main() -> None:
     # host; SPARK_GRAFT_ONLY=a,b,c scopes a run to named queries.
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_SAMPLES", "2")))
     only = os.environ.get("SPARK_GRAFT_ONLY")
+    # --median N (or SPARK_GRAFT_MEDIAN=N): report the MEDIAN of N
+    # samples per query plus the max-min spread, instead of min-of-2
+    # (VERDICT r8 task #3: regression call-outs on a shared host must
+    # cite medians and spread, not a single-pass min that can't
+    # distinguish host noise from plan drift).
+    median_n = 0
+    argv = sys.argv[1:]
+    for i, arg in enumerate(argv):
+        if arg == "--median" and i + 1 < len(argv):
+            median_n = int(argv[i + 1])
+        elif arg.startswith("--median="):
+            median_n = int(arg.split("=", 1)[1])
+    if not median_n and os.environ.get("SPARK_GRAFT_MEDIAN"):
+        median_n = int(os.environ["SPARK_GRAFT_MEDIAN"])
+    if median_n:
+        n_samples = max(2, median_n)
     # --all / SPARK_GRAFT_ALL=1: bench the ENTIRE catalog — HEADLINE
     # first (stable cross-round comparison order), then every remaining
     # catalog key in catalog order. Gives the keys outside HEADLINE
@@ -301,6 +326,7 @@ def main() -> None:
         wanted = set(only.split(","))
         names = [n for n in full_order if n in wanted]
     per_query: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in names:
         fn = bench_fns[name]
         # Untimed inter-query GC: releases the previous query's dead
@@ -318,7 +344,13 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             samples.append(round(time.perf_counter() - t0, 3))
-        per_query[name] = min(samples)
+        if median_n:
+            import statistics
+
+            per_query[name] = round(statistics.median(samples), 3)
+            spread[name] = round(max(samples) - min(samples), 3)
+        else:
+            per_query[name] = min(samples)
         print(
             f"# {name}: {per_query[name]}s ({n} rows; samples={samples})",
             file=sys.stderr,
@@ -335,16 +367,16 @@ def main() -> None:
     # queries the full map overflowed its capture in BENCH_r05
     # (parsed: null). The final line stays short and parseable; the
     # per-query map is one line earlier for humans/tools that want it.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_per_query",
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_val,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_per_query",
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_val,
+    }
+    if median_n:
+        detail["median_of"] = n_samples
+        detail["spread"] = spread
+    print(json.dumps(detail))
     compact = {
         "metric": "headline_queries_total",
         "value": total,

@@ -5291,6 +5291,114 @@ FROM i3 GROUP BY doc_id, sid
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact substring dedup with first-copy retention
+    (operators/dedup.py substring_dedup): every 5-token gram keeps its
+    first occurrence in global (doc, pos) order; later occurrences merge
+    into maximal removal spans — cutting them leaves exactly one
+    verbatim copy of every duplicated 5-gram (Lee et al. ExactSubstr
+    shape, suffix-array-free)."""
+    from knot_another_pipeline_spark.operators.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = substring_dedup(docs, id_col="doc_id", text_col="text", n=5)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        "n_grams",
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = rf"""
+WITH toks AS ({_TOKS_SQL}),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_aggregate(t[i:i + 4], 'string_agg', ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g),
+h AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+i1 AS (
+  SELECT doc_id, pos,
+         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+  FROM h),
+i2 AS (
+  SELECT doc_id, pos,
+         CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ns
+  FROM i1),
+i3 AS (
+  SELECT doc_id, pos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM i2)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+       CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM i3 GROUP BY doc_id, sid
+"""
+
+
+def q_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication scorecard over the substring_dedup removal
+    spans: fraction of each source's tokens sitting inside removable
+    (non-first-copy) spans — the corpus-curation readout that decides
+    which feeds are worth exact-substring cleaning."""
+    from knot_another_pipeline_spark.operators.dedup import substring_dedup
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    removed = (
+        substring_dedup(docs, id_col="doc_id", text_col="text", n=5)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("_rt"))
+    )
+    per_doc = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("_nt")
+    )
+    return (
+        per_doc.join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("_rt"), F.lit(0)))
+            .cast("bigint")
+            .alias("removed_tokens"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("removed_tokens") / F.col("total_tokens"), 6),
+        )
+    )
+
+
+ORACLE_DUPLICATION_RATE = rf"""
+WITH spans AS ({ORACLE_SUBSTRING_DEDUP}),
+rem AS (
+  SELECT doc_id, sum(span_tokens) AS rt FROM spans GROUP BY doc_id),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         len(list_filter(string_split_regex(trim(lower(d.text)), '\s+'),
+                         x -> x != '')) AS nt
+  FROM documents d)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.nt) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(r.rt, 0)) AS BIGINT) AS removed_tokens,
+       round(sum(coalesce(r.rt, 0)) / sum(p.nt), 6) AS dup_rate
+FROM per_doc p LEFT JOIN rem r USING (doc_id)
+GROUP BY p.source
+"""
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic recsys negative sampling (operators/sampling.py
     negative_samples): 3 non-purchased parts per customer, md5-derived
@@ -10766,6 +10874,173 @@ ORDER BY c_nationkey
 
 
 # --------------------------------------------------------------------------
+# round-9 additions: the five remaining classic TPC-H plan shapes (Q2,
+# Q11, Q15, Q16, Q20), adapted to this schema's lineitem-as-partsupp
+# (there is no partsupp table).  Every oracle runs the textbook
+# CORRELATED formulation, so a green hash row proves the decorrelation.
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min (operators/relational.py
+    min_cost_supplier): per qualifying part, the EUROPE supplier(s) at
+    the minimum unit cost, decorrelated into one cost aggregate + a
+    per-part min joined back on (part, cost)."""
+    return relational.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+        region_name="EUROPE",
+        part_type="STANDARD",
+        max_size=15,
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, s_name, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND l_quantity > 0
+  GROUP BY 1, 2, 3, 4)
+SELECT p_partkey, p_name, CAST(p_size AS INT) AS p_size,
+       c.l_suppkey AS s_suppkey, c.s_name, c.n_name,
+       round(c.unit_cost, 4) AS unit_cost
+FROM cost c JOIN part ON c.l_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND p_size <= 15
+  AND c.unit_cost = (
+    SELECT min(c2.unit_cost) FROM cost c2
+    WHERE c2.l_partkey = c.l_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped HAVING-vs-global-scalar (operators/relational.py
+    important_stock): parts whose shipped value from NATION_3's
+    suppliers exceeds 0.2% of that nation's total, the grouped
+    aggregate reused for its own grand total."""
+    return relational.important_stock(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        nation_name="NATION_3",
+        fraction=0.002,
+    )
+
+
+ORACLE_IMPORTANT_STOCK = """
+SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY l_partkey
+HAVING sum(l_extendedprice) > 0.002 * (
+  SELECT sum(l_extendedprice)
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3')
+ORDER BY value DESC, l_partkey ASC
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped argmax-vs-scalar-max (operators/relational.py
+    top_supplier_revenue): 1996-Q1 revenue view built once, its 1-row
+    max broadcast back — ties all surface."""
+    return relational.top_supplier_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        period_start="1996-01-01",
+        period_end="1996-04-01",
+    )
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped NOT-IN + distinct-count (operators/relational.py
+    supplier_part_variety): distinct shippable suppliers per (brand,
+    type, size), negative-balance suppliers excluded, two plain hash
+    aggregates instead of a distinct-aggregate Expand."""
+    return relational.supplier_part_variety(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        brand_not="Brand#1",
+        sizes=(1, 5, 9, 13, 17, 21, 25, 29),
+    )
+
+
+ORACLE_SUPPLIER_PART_VARIETY = """
+SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped correlated half-sum (operators/relational.py
+    dominant_part_suppliers): suppliers shipping more than 20% of a
+    'b…' part's total quantity, the correlated sum decorrelated into
+    the pair aggregate reused for its own per-part totals."""
+    return relational.dominant_part_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        name_prefix="b",
+        share=0.2,
+    )
+
+
+ORACLE_DOMINANT_PART_SUPPLIERS = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, p_name, sum(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'b%'
+  GROUP BY 1, 2, 3)
+SELECT ps.l_partkey AS p_partkey, ps.p_name,
+       ps.l_suppkey AS s_suppkey, s_name,
+       round(ps.supp_qty, 2) AS supp_qty,
+       round((SELECT sum(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = ps.l_partkey), 2) AS part_qty,
+       round(ps.supp_qty / (SELECT sum(l3.l_quantity) FROM lineitem l3
+                            WHERE l3.l_partkey = ps.l_partkey), 6)
+         AS qty_share
+FROM ps JOIN supplier ON ps.l_suppkey = s_suppkey
+WHERE ps.supp_qty > 0.2 * (
+  SELECT sum(l4.l_quantity) FROM lineitem l4
+  WHERE l4.l_partkey = ps.l_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
 # round-8 additions (2/2): nonparametric tests, rank association, cluster
 # validity, regression/probabilistic-forecast scorecards, and the three
 # AIS-flavored trajectory readouts (gaps, OD flows, sinuosity).
@@ -11177,6 +11452,16 @@ FROM a
 
 
 QUERIES = {
+    # round-9 additions: exact substring dedup with first-copy retention
+    # + per-source duplication scorecard + the five remaining classic
+    # TPC-H plan shapes (Q2, Q11, Q15, Q16, Q20)
+    "substring_dedup": q_substring_dedup,
+    "duplication_rate": q_duplication_rate,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_stock": q_important_stock,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
     # round-8 additions: TPC-H-derived plan shapes + tests/validity/
     # trajectory readouts
     "order_priority": q_order_priority,
@@ -11453,6 +11738,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    # round-9 additions
+    "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+    "duplication_rate": ORACLE_DUPLICATION_RATE,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "important_stock": ORACLE_IMPORTANT_STOCK,
+    "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
+    "supplier_part_variety": ORACLE_SUPPLIER_PART_VARIETY,
+    "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
     # round-8 additions
     "order_priority": ORACLE_ORDER_PRIORITY,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,

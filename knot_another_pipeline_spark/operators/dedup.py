@@ -1937,6 +1937,118 @@ def segment_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Corpus-level EXACT substring dedup with first-copy RETENTION —
+    the closest Spark-native analog of Lee et al. 2022's ExactSubstr
+    dedup (``deduplicate-text-datasets``' suffix-array pass) without a
+    distributed suffix array: every ``n``-token gram keeps its FIRST
+    occurrence in global (doc id, position) order; every later
+    occurrence is removable, and overlapping/adjacent removable gram
+    positions in the same document merge into maximal REMOVAL spans.
+
+    The third member of the exact span-dedup family, distinct from both
+    siblings: :func:`~knot_another_pipeline_spark.operators.
+    text_analysis.repeated_ngram_spans` lists shared spans in EVERY
+    document that carries them (a masking list — removing it everywhere
+    would delete all copies), and :func:`segment_dedup` keeps first
+    copies but only at fixed NON-overlapping segment grain (a segment
+    shifted by one token escapes it). This operator is keep-first at
+    overlapping-gram grain: cutting the returned spans leaves at least
+    one verbatim copy of every duplicated ``n``-gram in the corpus.
+
+    Scale shape: grams are built row-local (slice + concat over the
+    materialized token array — never re-tokenize inside the lambda) and
+    shuffle ONCE on the 60-bit gram key for the keep-first window
+    (``row_number`` ordered by (doc, pos) — a rank-then-filter
+    streaming window, O(1) state per key, no Expand); span merging is
+    the per-document gaps-and-islands window every other span operator
+    uses. Hot boilerplate grams skew the gram-key partitions, but a
+    running rank spills nothing. The 60-bit key can alias two grams
+    (≈1e-10 at 10⁷ grams) — same documented tradeoff as
+    ``repeated_ngram_spans``.
+
+    Output: doc_id, span_start, span_end (inclusive token indices,
+    0-based), span_tokens, n_grams (removable grams merged into the
+    span). Documents with nothing to remove are absent.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    from knot_another_pipeline_spark.operators.text_analysis import _tokens
+
+    toked = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    toks = F.col("toks")
+    grams = toked.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.slice(
+                    toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))
+                ),
+                lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ).alias("pos", "gram"),
+    ).select("id", "pos", hash64(F.col("gram")).alias("gh"))
+    first_w = Window.partitionBy("gh").orderBy(
+        F.col("id").asc(), F.col("pos").asc()
+    )
+    removable = (
+        grams.withColumn("_rn", F.row_number().over(first_w))
+        .filter(F.col("_rn") >= 2)
+        .select("id", "pos")
+    )
+    prev_w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        removable.withColumn(
+            "prev_max_end", F.max(F.col("pos") + (n - 1)).over(prev_w)
+        )
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("pos") > F.col("prev_max_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                Window.partitionBy("id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_grams",
+        )
+    )
+
+
 def blocking_quality(
     df: DataFrame,
     *,

@@ -1589,3 +1589,283 @@ def idle_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    part_type: str = "STANDARD",
+    max_size: int = 15,
+) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min readout: for each qualifying part,
+    the supplier(s) in one region offering the MINIMUM unit cost
+    (``min(l_extendedprice / l_quantity)`` over that supplier's lines —
+    the schema's analog of Q2's ``ps_supplycost``; this dataset carries
+    no partsupp table).
+
+    Shape: the classic ``WHERE cost = (SELECT min(cost) ... same part)``
+    correlated subquery decorrelates into ONE per-(part, supplier) cost
+    aggregate built from the region-filtered fact scan, a per-part min
+    over it (map-side combinable — the cost table is already
+    part-clustered from its own shuffle, so the min agg is
+    exchange-free), and an equality join back on (part, cost).  The
+    region restriction is two broadcast dimension hops pushed BELOW the
+    aggregate, so out-of-region lines never enter the cost table; the
+    part filter lands on the part scan and broadcasts.  Ties (two
+    suppliers at the exact minimum) are all returned, as in Q2.
+    """
+    in_region = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name)
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    ).select("s_suppkey", "s_name", "n_name")
+    cost = (
+        lineitem.filter(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(in_region),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    per_part_min = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("_mc")
+    )
+    dim = part.filter(
+        (F.col("p_type") == part_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_name", "p_size")
+    return (
+        cost.join(
+            per_part_min,
+            (F.col("l_partkey") == F.col("_pk"))
+            & (F.col("unit_cost") == F.col("_mc")),
+        )
+        .join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.002,
+) -> DataFrame:
+    """TPC-H Q11-shaped HAVING-vs-global-scalar readout: parts whose
+    shipped value from one nation's suppliers exceeds ``fraction`` of
+    that nation's TOTAL shipped value (Q11's ``ps_supplycost *
+    ps_availqty`` becomes ``sum(l_extendedprice)`` — no partsupp table
+    in this schema).
+
+    Shape: the scalar subquery ``> fraction * (SELECT sum ...)`` is the
+    SAME grouped aggregate summed once more — the per-part value table
+    is built with ONE partkey shuffle, its 1-row grand total broadcasts
+    back via crossJoin, and the filter is a map-side compare.  The
+    nation restriction is a broadcast dimension hop below the
+    aggregate.  Never two scans of the fact table.
+    """
+    nat_supp = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == nation_name).select(
+                "n_nationkey"
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value = (
+        lineitem.join(
+            F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = value.agg(F.sum("value").alias("_total"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > fraction * F.col("_total"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    period_start: str = "1996-01-01",
+    period_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped argmax-vs-scalar-max: the supplier(s) whose
+    revenue over one quarter equals the maximum revenue of any supplier
+    in that quarter (Q15's revenue view + scalar subquery).
+
+    Shape: the revenue view is ONE suppkey-grain aggregate over the
+    date-pruned fact scan (filter pushed to parquet); the scalar max is
+    a 1-row aggregate OF THAT VIEW, broadcast back with a crossJoin and
+    compared map-side — the view's exchange is built once and reused
+    for both consumers (ReuseExchange), so the fact table is scanned
+    and shuffled exactly once.  Ties all surface, as Q15 requires.
+    """
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(period_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(period_end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def supplier_part_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    *,
+    brand_not: str = "Brand#1",
+    sizes: Sequence[int] = (1, 5, 9, 13, 17, 21, 25, 29),
+    exclude_negative_balance: bool = True,
+) -> DataFrame:
+    """TPC-H Q16-shaped NOT-IN + distinct-count readout: how many
+    distinct suppliers can ship each (brand, type, size) combination,
+    excluding a complained-about supplier set (the schema's analog:
+    suppliers with negative account balance; there is no comment
+    column), for parts not of one brand and of the listed sizes.
+
+    Shape: the supplier-part relation is the DISTINCT (partkey,
+    suppkey) projection of the fact table — one shuffle at pair grain.
+    The NOT IN is a broadcast LEFT ANTI join (the exclusion list is a
+    filtered dimension); the part filter broadcasts.  The final
+    COUNT(DISTINCT suppkey) is TWO PLAIN hash aggregates — dedup to
+    (brand, type, size, suppkey) grain, then count — never the
+    distinct-aggregate Expand that doubles every shuffled row.
+    """
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    if exclude_negative_balance:
+        excluded = supplier.filter(F.col("s_acctbal") < 0).select(
+            F.col("s_suppkey").alias("l_suppkey")
+        )
+        pairs = pairs.join(F.broadcast(excluded), "l_suppkey", "left_anti")
+    dim = part.filter(
+        (F.col("p_brand") != brand_not)
+        & F.col("p_size").isin(*[int(s) for s in sizes])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("int").alias("p_size"),
+            "supplier_cnt",
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def dominant_part_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    *,
+    name_prefix: str = "b",
+    share: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q20-shaped correlated half-sum: (supplier, part) pairs
+    where one supplier shipped more than ``share`` of a part's TOTAL
+    shipped quantity, for parts whose name starts with ``name_prefix``
+    (Q20's ``ps_availqty > 0.5 * (SELECT sum(l_quantity) ...)``
+    becomes a shipped-share dominance test — no partsupp table).
+
+    Shape: the correlated sum decorrelates into the per-(part,
+    supplier) quantity aggregate — ONE partkey-grain shuffle of the
+    prefix-pruned fact scan (the part filter broadcasts below it) —
+    and the per-part total is a second aggregate OF THAT TABLE
+    (part-clustered already, exchange-free), joined back on partkey.
+    The fact table is scanned once; nothing correlates row-at-a-time.
+    """
+    dim = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey", "p_name"
+    )
+    ps = (
+        lineitem.join(
+            F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    totals = ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    return (
+        ps.join(totals, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("supp_qty") > share * F.col("part_qty"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round("supp_qty", 2).alias("supp_qty"),
+            F.round("part_qty", 2).alias("part_qty"),
+            F.round(F.col("supp_qty") / F.col("part_qty"), 6).alias(
+                "qty_share"
+            ),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )

@@ -1084,7 +1084,11 @@ def test_streaming_fairness_monitor_matches_batch(spark, tmp_path):
     """Windowed streaming fairness readout equals the batch
     group_fairness ingredients computed per window slice, including the
     NULL-denominator convention (a window-group with no positives emits
-    NULL tpr, not 0)."""
+    NULL tpr, not 0).
+
+    In-order parity only; the late-data/replay-reorder case every other
+    monitor has lives in tests/test_round8_ops.py::
+    test_streaming_fairness_monitor_late_and_too_late_replay."""
     from knot_another_pipeline_spark.operators.evaluation import group_fairness
     from knot_another_pipeline_spark.streaming.rollup_stream import (
         streaming_fairness_monitor,

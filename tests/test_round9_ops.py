@@ -1,0 +1,318 @@
+"""Round-9 operators.
+
+Covers the round-8 verdict items that are testable in-repo: the
+corpus-level exact substring dedup with first-copy retention (VERDICT
+r8 task #6) and its per-source duplication scorecard, plus the round-9
+relational plan shapes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup: exact substring dedup, first-copy retention
+
+
+def _brute_substring_dedup(docs: dict[int, str], n: int):
+    """O(corpus²) reference: global keep-first per n-gram, then merge
+    consecutive removable positions into maximal spans."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in docs.items()}
+    first: dict[tuple, tuple] = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for p in range(len(tk) - n + 1):
+            g = tuple(tk[p : p + n])
+            if g not in first:
+                first[g] = (d, p)
+    removable: dict[int, list[int]] = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for p in range(len(tk) - n + 1):
+            if first[tuple(tk[p : p + n])] != (d, p):
+                removable.setdefault(d, []).append(p)
+    spans = []
+    for d, poss in removable.items():
+        run = [poss[0]]
+        for p in poss[1:]:
+            # merge while the gram still overlaps/extends the open span
+            if p <= run[-1] + n:
+                run.append(p)
+            else:
+                spans.append((d, run[0], run[-1] + n - 1, len(run)))
+                run = [p]
+        spans.append((d, run[0], run[-1] + n - 1, len(run)))
+    return {
+        (d, s): (e, e - s + 1, k) for d, s, e, k in spans
+    }
+
+
+def test_substring_dedup_keep_first_and_merge(spark):
+    """Cross-doc keep-first (smaller doc id wins), intra-doc repeats
+    marked from the second occurrence, adjacent hits merged into one
+    maximal span."""
+    from knot_another_pipeline_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d e y"),
+            (3, "p q r p q r p q"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"]): (
+            r["span_end"],
+            r["span_tokens"],
+            r["n_grams"],
+        )
+        for r in substring_dedup(
+            docs, id_col="doc_id", text_col="text", n=3
+        ).collect()
+    }
+    # doc 2 repeats doc 1's "a b c d e": grams at pos 1,2,3 -> one span
+    # over tokens [1..5]; doc 3 repeats its own "p q r" prefix: grams at
+    # pos 3,4,5 -> span [3..7]. doc 1 owns every first copy.
+    assert got == {(2, 1): (5, 5, 3), (3, 3): (7, 5, 3)}
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """Randomized corpus with heavy cross-doc and intra-doc repetition
+    agrees with the O(corpus²) keep-first reference."""
+    from knot_another_pipeline_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(12)]
+    phrases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9)))
+        for _ in range(6)
+    ]
+    docs = {}
+    for d in range(14):
+        parts = [
+            rng.choice(phrases)
+            if rng.random() < 0.55
+            else " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 6)))
+            for _ in range(rng.randint(1, 5))
+        ]
+        docs[d] = " ".join(parts)
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    n = 4
+    got = {
+        (r["doc_id"], r["span_start"]): (
+            r["span_end"],
+            r["span_tokens"],
+            r["n_grams"],
+        )
+        for r in substring_dedup(
+            df, id_col="doc_id", text_col="text", n=n
+        ).collect()
+    }
+    assert got == _brute_substring_dedup(docs, n)
+
+
+def test_substring_dedup_validates_n(spark):
+    from knot_another_pipeline_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        substring_dedup(docs, id_col="doc_id", text_col="text", n=1)
+
+
+def test_duplication_rate_composition(spark, monkeypatch, tmp_path):
+    """Per-source scorecard: removed_tokens is the span-token sum of the
+    source's docs; sources with no removable spans report rate 0."""
+    from knot_another_pipeline_spark import catalog_queries as cq
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en", "feedA", 11),
+            (2, "x a b c d e y", "en", "feedA", 13),
+            (3, "p q r s t u v", "en", "feedB", 13),
+        ],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    monkeypatch.setattr(
+        cq, "load_table", lambda spark, sf_dir, name: docs
+    )
+    out = {
+        r["source"]: (
+            r["n_docs"], r["total_tokens"], r["removed_tokens"], r["dup_rate"]
+        )
+        for r in cq.q_duplication_rate(spark, "unused").collect()
+    }
+    # feedA: doc 2 has one removal span of 5 tokens ("a b c d e" owned
+    # by doc 1 under the default n=5); 13 tokens total across its docs?
+    # doc1=6 + doc2=7 = 13.
+    assert out["feedA"] == (2, 13, 5, pytest.approx(5 / 13, abs=1e-6))
+    assert out["feedB"] == (1, 7, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# round-9 relational plan shapes (TPC-H Q2 / Q11 / Q15 / Q16 / Q20)
+
+
+def _dims(spark):
+    supplier = spark.createDataFrame(
+        [(1, "S1", 10, 5.0), (2, "S2", 10, -1.0), (3, "S3", 20, 2.0)],
+        "s_suppkey bigint, s_name string, s_nationkey bigint, "
+        "s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(10, "N_A", 100), (20, "N_B", 200)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    region = spark.createDataFrame(
+        [(100, "EUROPE"), (200, "ASIA")],
+        "r_regionkey bigint, r_name string",
+    )
+    part = spark.createDataFrame(
+        [
+            (7, "blue bolt", "Brand#2", "STANDARD", 5, 1.0),
+            (8, "red ring", "Brand#1", "STANDARD", 5, 1.0),
+            (9, "small cog", "Brand#3", "LARGE", 9, 1.0),
+        ],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    return supplier, nation, region, part
+
+
+def test_min_cost_supplier_ties_and_region_scope(spark):
+    """Both tied-at-min suppliers surface; out-of-region cheaper offers
+    are invisible; the part filter applies."""
+    from knot_another_pipeline_spark.operators.relational import (
+        min_cost_supplier,
+    )
+
+    supplier, nation, region, part = _dims(spark)
+    lineitem = spark.createDataFrame(
+        [
+            # part 7: suppliers 1 and 2 (EUROPE) tie at unit cost 2.0;
+            # supplier 3 (ASIA) is cheaper but out of region
+            (1, 7, 1, 10.0, 20.0),
+            (2, 7, 2, 5.0, 10.0),
+            (3, 7, 3, 10.0, 5.0),
+            # part 9: wrong p_type, filtered out
+            (4, 9, 1, 1.0, 1.0),
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double, l_extendedprice double",
+    )
+    got = {
+        (r["p_partkey"], r["s_suppkey"]): (r["unit_cost"], r["n_name"])
+        for r in min_cost_supplier(
+            lineitem, supplier, nation, region, part,
+            region_name="EUROPE", part_type="STANDARD", max_size=15,
+        ).collect()
+    }
+    assert got == {(7, 1): (2.0, "N_A"), (7, 2): (2.0, "N_A")}
+
+
+def test_important_stock_threshold(spark):
+    """Only parts above fraction x the nation total survive; other
+    nations' lines never contribute."""
+    from knot_another_pipeline_spark.operators.relational import (
+        important_stock,
+    )
+
+    supplier, nation, _, _ = _dims(spark)
+    lineitem = spark.createDataFrame(
+        [
+            (1, 7, 1, 1.0, 90.0),   # N_A
+            (2, 8, 1, 1.0, 10.0),   # N_A
+            (3, 8, 3, 1.0, 500.0),  # N_B — excluded from N_A's readout
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double, l_extendedprice double",
+    )
+    rows = important_stock(
+        lineitem, supplier, nation, nation_name="N_A", fraction=0.5
+    ).collect()
+    assert [(r["l_partkey"], r["value"]) for r in rows] == [(7, 90.0)]
+
+
+def test_top_supplier_revenue_ties_and_window(spark):
+    """Ties at the max all surface; out-of-window lines don't count."""
+    from knot_another_pipeline_spark.operators.relational import (
+        top_supplier_revenue,
+    )
+
+    supplier, _, _, _ = _dims(spark)
+    lineitem = spark.createDataFrame(
+        [
+            (1, 7, 1, 1.0, 100.0, 0.0, "1996-02-01"),
+            (2, 7, 2, 1.0, 100.0, 0.0, "1996-03-01"),
+            (3, 7, 3, 1.0, 999.0, 0.0, "1995-12-31"),  # before window
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    rows = top_supplier_revenue(
+        lineitem, supplier,
+        period_start="1996-01-01", period_end="1996-04-01",
+    ).collect()
+    assert {(r["s_suppkey"], r["total_revenue"]) for r in rows} == {
+        (1, 100.0),
+        (2, 100.0),
+    }
+
+
+def test_supplier_part_variety_excludes_and_dedups(spark):
+    """Negative-balance suppliers drop out; repeat shipments of the
+    same (part, supplier) count once; brand_not filters."""
+    from knot_another_pipeline_spark.operators.relational import (
+        supplier_part_variety,
+    )
+
+    supplier, _, _, part = _dims(spark)
+    lineitem = spark.createDataFrame(
+        [
+            (1, 7, 1), (2, 7, 1),  # duplicate pair -> one supplier
+            (3, 7, 2),             # negative balance -> excluded
+            (4, 7, 3),
+            (5, 8, 1),             # Brand#1 -> brand_not filters it
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint",
+    )
+    rows = supplier_part_variety(
+        lineitem, part, supplier,
+        brand_not="Brand#1", sizes=(5, 9),
+    ).collect()
+    assert [
+        (r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"])
+        for r in rows
+    ] == [("Brand#2", "STANDARD", 5, 2)]
+
+
+def test_dominant_part_suppliers_share(spark):
+    """Share strictly above the threshold qualifies; name prefix
+    prunes; share arithmetic is over the part's TOTAL."""
+    from knot_another_pipeline_spark.operators.relational import (
+        dominant_part_suppliers,
+    )
+
+    supplier, _, _, part = _dims(spark)
+    lineitem = spark.createDataFrame(
+        [
+            (1, 7, 1, 60.0), (2, 7, 2, 25.0), (3, 7, 3, 15.0),
+            (4, 9, 1, 100.0),  # 'small cog' -> prefix 'b' prunes it
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double",
+    )
+    rows = dominant_part_suppliers(
+        lineitem, supplier, part, name_prefix="b", share=0.5
+    ).collect()
+    assert [
+        (r["p_partkey"], r["s_suppkey"], r["qty_share"]) for r in rows
+    ] == [(7, 1, 0.6)]
