@@ -37,6 +37,9 @@ _ROUND9_NEW: list[str] = [
     "top_supplier_revenue",
     "supplier_part_variety",
     "dominant_part_suppliers",
+    "window_funnel",
+    "average_precision",
+    "split_contamination",
 ]
 
 # Every already-gated key, stalest first: ascending round of the key's

@@ -228,6 +228,9 @@ HEADLINE = [
     "top_supplier_revenue",
     "supplier_part_variety",
     "dominant_part_suppliers",
+    "window_funnel",
+    "average_precision",
+    "split_contamination",
 ]
 
 

@@ -11040,6 +11040,155 @@ ORDER BY p_partkey, s_suppkey
 """
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained ordered funnel (operators/behavior.py
+    window_funnel, ClickHouse windowFunnel semantics): per-user longest
+    signup→view→purchase chain fitting in 24h of its first event,
+    reduced to a level histogram. The oracle replays the existence
+    semantics with correlated chain joins, so the hash match proves the
+    single-pass max-start DP equals the exhaustive search."""
+    from knot_another_pipeline_spark.operators.behavior import window_funnel
+
+    events = load_table(spark, sf_dir, "events")
+    levels = window_funnel(
+        events,
+        ["signup", "view", "purchase"],
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        window_seconds=86_400,
+    )
+    return (
+        levels.groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("funnel_level")
+    )
+
+
+ORACLE_WINDOW_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type IN ('signup', 'view', 'purchase')),
+u AS (SELECT DISTINCT user_id FROM e),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a JOIN e b ON a.user_id = b.user_id
+  WHERE a.event_type = 'signup' AND b.event_type = 'view'
+    AND b.t >= a.t AND b.t <= a.t + 86400),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a
+  JOIN e b ON a.user_id = b.user_id
+  JOIN e c ON a.user_id = c.user_id
+  WHERE a.event_type = 'signup' AND b.event_type = 'view'
+    AND c.event_type = 'purchase'
+    AND b.t >= a.t AND c.t >= b.t AND c.t <= a.t + 86400
+    AND b.t <= a.t + 86400),
+lvl AS (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+              WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+              ELSE 0 END AS funnel_level
+  FROM u)
+SELECT CAST(funnel_level AS INT) AS funnel_level,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM lvl GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-AUC as average precision per weekday (operators/evaluation.py
+    average_precision): the imbalanced-label companion to auc_scores,
+    over the same synthetic purchase scorer, ties broken by event_id so
+    the ranking is total and oracle-replayable."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = events.select(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).cast("int").alias("wd"),
+        (F.col("value") / 491.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        "event_id",
+    )
+    return average_precision(
+        s,
+        group_cols=["wd"],
+        score_col="score",
+        label_col="y",
+        id_col="event_id",
+    ).orderBy("wd")
+
+
+ORACLE_AVERAGE_PRECISION = """
+WITH s AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS INT) AS wd,
+         CAST(value AS DOUBLE) / 491.0 AS sc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT wd, y,
+         row_number() OVER (PARTITION BY wd ORDER BY sc DESC, event_id ASC)
+           AS k,
+         sum(y) OVER (PARTITION BY wd ORDER BY sc DESC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS tp
+  FROM s)
+SELECT wd, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       round(CASE WHEN sum(y) > 0
+                  THEN sum(CASE WHEN y = 1 THEN tp * 1.0 / k END) / sum(y)
+             END, 6) AS avg_precision
+FROM r GROUP BY wd ORDER BY wd
+"""
+
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leak audit (operators/dedup.py split_contamination):
+    the MinHash near-dup pair list joined with the stable-hash split
+    assignment on both sides — off-diagonal cells are near-duplicates
+    crossing split boundaries (memorization fuel that per-split dedup
+    never sees)."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        split_contamination,
+    )
+    from knot_another_pipeline_spark.operators.sampling import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    splits = split_by_hash(
+        docs, id_col="doc_id", weights={"train": 90, "val": 5, "test": 5}
+    ).select("doc_id", "split")
+    return split_contamination(
+        pairs, splits, id_col="doc_id", split_col="split"
+    )
+
+
+ORACLE_SPLIT_CONTAMINATION = f"""
+WITH mp AS ({ORACLE_MINHASH_PAIRS}),
+sa AS ({ORACLE_SPLIT_ASSIGN})
+SELECT least(x.split, y.split) AS split_a,
+       greatest(x.split, y.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM mp
+JOIN sa x ON mp.id_a = x.doc_id
+JOIN sa y ON mp.id_b = y.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # round-8 additions (2/2): nonparametric tests, rank association, cluster
 # validity, regression/probabilistic-forecast scorecards, and the three
@@ -11462,6 +11611,9 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "supplier_part_variety": q_supplier_part_variety,
     "dominant_part_suppliers": q_dominant_part_suppliers,
+    "window_funnel": q_window_funnel,
+    "average_precision": q_average_precision,
+    "split_contamination": q_split_contamination,
     # round-8 additions: TPC-H-derived plan shapes + tests/validity/
     # trajectory readouts
     "order_priority": q_order_priority,
@@ -11746,6 +11898,9 @@ ORACLES = {
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
     "supplier_part_variety": ORACLE_SUPPLIER_PART_VARIETY,
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
+    "window_funnel": ORACLE_WINDOW_FUNNEL,
+    "average_precision": ORACLE_AVERAGE_PRECISION,
+    "split_contamination": ORACLE_SPLIT_CONTAMINATION,
     # round-8 additions
     "order_priority": ORACLE_ORDER_PRIORITY,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,

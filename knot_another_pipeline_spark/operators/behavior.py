@@ -40,6 +40,7 @@ __all__ = [
     "next_event_examples",
     "rfm_segments",
     "survival_curve",
+    "window_funnel",
 ]
 
 
@@ -919,3 +920,85 @@ def cumulative_users(
         F.col("n_new").cast("bigint").alias("n_new"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
     ).orderBy("day")
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_seconds: int = 86_400,
+) -> DataFrame:
+    """Time-constrained ordered funnel (the ClickHouse ``windowFunnel``
+    semantics, absent from ``funnel``'s unconditioned first-touch
+    reduction): a user's level is the longest chain step₁ → step₂ → …
+    with non-decreasing timestamps t₁ ≤ t₂ ≤ … ≤ tₖ that fits inside
+    ``window_seconds`` of the chain's FIRST event (tₖ ≤ t₁ +
+    window). Out-of-order or stale completions don't count — the
+    "activated within a day of signing up" readout.
+
+    Distributed shape: ONE hash aggregate per user collects the user's
+    step events as a sorted array (row-local sort — never a per-user
+    window shuffle), then a row-local linear DP over the array via
+    ``F.aggregate``: the accumulator keeps, per level l, the MAXIMUM
+    start time of any valid chain of length l (a later start dominates
+    — it leaves the most window room for deeper levels), so one pass
+    computes the exact maximum level. Per-user state is
+    ``len(steps)`` longs; the scan dominates, as it should at 100 TB.
+    Timestamps compare at whole-second resolution (``unix_timestamp``).
+
+    Output: one row per user holding at least one step event —
+    user column, funnel_level (0 when the user never fired step₁).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 steps, got {steps!r}")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = events.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.unix_timestamp(F.col(ts_col)).cast("bigint").alias("t"),
+            F.array_position(step_arr, F.col(type_col))
+            .cast("int")
+            .alias("l"),
+        ).alias("e"),
+    )
+    per_user = ev.groupBy("user").agg(
+        F.array_sort(F.collect_list("e")).alias("evs")
+    )
+
+    def _merge(acc, x):
+        # element_at is 1-based and rejects index 0, so the lookback
+        # index is clamped; the `l > 1` conjunct makes the clamped
+        # branch unreachable when l == 1.
+        prev = F.element_at(acc, F.greatest(x["l"] - 1, F.lit(1)))
+        return F.transform(
+            acc,
+            lambda s, i: F.when(
+                (i == 0) & (x["l"] == 1), F.greatest(s, x["t"])
+            )
+            .when(
+                (i + 1 == x["l"])
+                & (x["l"] > 1)
+                & prev.isNotNull()
+                & (x["t"] <= prev + F.lit(int(window_seconds))),
+                F.greatest(s, prev),
+            )
+            .otherwise(s),
+        )
+
+    starts = F.aggregate(
+        F.col("evs"),
+        F.array_repeat(F.lit(None).cast("bigint"), k),
+        _merge,
+    )
+    # levels fill as a prefix (S[l] only ever copies from S[l-1]), so
+    # the reached level is the count of non-null slots
+    return per_user.select(
+        F.col("user").alias(user_col),
+        F.size(F.filter(starts, lambda s: s.isNotNull()))
+        .cast("int")
+        .alias("funnel_level"),
+    )

@@ -2177,3 +2177,47 @@ def blocking_quality(
             ).alias("pairs_completeness"),
         )
     )
+
+
+def split_contamination(
+    pairs: DataFrame,
+    assignments: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Split-contamination matrix: how many near-duplicate pairs CROSS
+    split boundaries — the train/test-leak audit every pipeline should
+    run after sharding (a near-dup of a test document sitting in train
+    is memorization fuel that whole-document dedup inside each split
+    never sees).
+
+    Shape: the pair list joins the assignment table twice on the id
+    key — two ordinary shuffled equi-joins (the assignment table is
+    corpus-sized, NEVER broadcast), then one tiny aggregate over the
+    split-pair matrix.  The split pair is canonicalized with
+    least/greatest so (train, test) and (test, train) land in one cell
+    regardless of pair orientation.
+
+    Output: split_a <= split_b (lexicographic), n_pairs. Off-diagonal
+    rows are the leaks.
+    """
+    a = assignments.select(
+        F.col(id_col).alias(src_col), F.col(split_col).alias("_sa")
+    )
+    b = assignments.select(
+        F.col(id_col).alias(dst_col), F.col(split_col).alias("_sb")
+    )
+    return (
+        pairs.select(src_col, dst_col)
+        .join(a, src_col)
+        .join(b, dst_col)
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )

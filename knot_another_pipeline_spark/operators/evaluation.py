@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "auc_scores",
+    "average_precision",
     "bradley_terry",
     "brier_decomposition",
     "calibration_curve",
@@ -1322,5 +1323,73 @@ def brier_decomposition(
                 ),
                 round_to,
             ).alias("residual"),
+        )
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """PR-AUC as AVERAGE PRECISION per group — the ranking metric for
+    heavily imbalanced labels, where ROC AUC (``auc_scores``) saturates:
+    ``AP = (1/P) Σ_{k: item_k positive} precision@k`` over the
+    score-descending ranking, i.e. sklearn's ``average_precision_score``
+    under a deterministic total order.
+
+    Scores tie: AP depends on the order WITHIN a tie, so the ranking is
+    made total with ``id_col`` ascending as the tiebreak — deterministic
+    on every rerun and replayable by any SQL engine (the oracle runs
+    the identical ``ROW_NUMBER`` ordering).  Groups with no positives
+    report NULL, not 0 (no ranking of nothing).
+
+    Scale shape: one window shuffle per group key carries BOTH running
+    quantities (rank and cumulative true positives share the sort), and
+    a final per-group hash aggregate reduces the positives' precision
+    terms.  No threshold sweep, no pairwise join, no curve
+    materialization.
+
+    Output per group: group cols, n, n_pos, avg_precision.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.select(
+            *group_cols,
+            F.col(score_col),
+            F.col(id_col),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .withColumn("_k", F.row_number().over(w))
+        .withColumn(
+            "_tp",
+            F.sum("_y").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+            F.sum(
+                F.when(F.col("_y") == 1, F.col("_tp") / F.col("_k"))
+            ).alias("_ap_sum"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "n_pos",
+            F.round(
+                F.when(
+                    F.col("n_pos") > 0, F.col("_ap_sum") / F.col("n_pos")
+                ),
+                round_to,
+            ).alias("avg_precision"),
         )
     )

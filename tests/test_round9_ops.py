@@ -316,3 +316,175 @@ def test_dominant_part_suppliers_share(spark):
     assert [
         (r["p_partkey"], r["s_suppkey"], r["qty_share"]) for r in rows
     ] == [(7, 1, 0.6)]
+
+
+# ---------------------------------------------------------------------------
+# window_funnel / average_precision / split_contamination
+
+
+def _brute_window_funnel(events, steps, T):
+    """Exhaustive chain search: level = max l such that a chain
+    t1<=...<=tl<=t1+T exists with step types in order."""
+    import itertools
+
+    by_user = {}
+    for u, typ, t in events:
+        if typ in steps:
+            by_user.setdefault(u, []).append((t, steps.index(typ) + 1))
+    out = {}
+    for u, evs in by_user.items():
+        best = 0
+        for l in range(len(steps), 0, -1):
+            pools = [
+                [t for t, s in evs if s == step] for step in range(1, l + 1)
+            ]
+            if any(not p for p in pools):
+                continue
+            found = False
+            for chain in itertools.product(*pools):
+                if all(
+                    chain[i] <= chain[i + 1] for i in range(len(chain) - 1)
+                ) and chain[-1] <= chain[0] + T:
+                    found = True
+                    break
+            if found:
+                best = l
+                break
+        out[u] = best
+    return out
+
+
+def test_window_funnel_matches_bruteforce(spark):
+    """The single-pass max-start DP equals the exhaustive chain search
+    on random event streams with repeats, ties, and stale completions."""
+    from knot_another_pipeline_spark.operators.behavior import window_funnel
+
+    rng = random.Random(17)
+    steps = ["s1", "s2", "s3"]
+    events = []
+    for u in range(40):
+        for _ in range(rng.randint(1, 12)):
+            events.append(
+                (u, rng.choice(steps + ["noise"]), rng.randint(0, 50))
+            )
+    rows = [(u, t, sec) for (u, t, sec) in events]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, off bigint"
+    ).select(
+        "user_id",
+        "event_type",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("off").cast("double"))).alias("ts"),
+    )
+    T = 10
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(
+            df, steps, user_col="user_id", window_seconds=T
+        ).collect()
+    }
+    want = _brute_window_funnel(events, steps, T)
+    assert got == want
+
+
+def test_window_funnel_stale_completion_excluded(spark):
+    """A purchase outside the window of the chain start doesn't count,
+    but a LATER signup can restart the window."""
+    from knot_another_pipeline_spark.operators.behavior import window_funnel
+
+    rows = [
+        # user 1: signup@0, view@5, purchase@100 -> level 2 (purchase
+        # falls outside signup+10)
+        (1, "s1", 0), (1, "s2", 5), (1, "s3", 100),
+        # user 2: same but a second signup@95 restarts: s1@95, s2@96,
+        # s3@100 -> level 3
+        (2, "s1", 0), (2, "s2", 5), (2, "s1", 95), (2, "s2", 96),
+        (2, "s3", 100),
+        # user 3: steps out of order -> level 1
+        (3, "s3", 0), (3, "s2", 1), (3, "s1", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, off bigint"
+    ).select(
+        "user_id",
+        "event_type",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("off").cast("double"))).alias("ts"),
+    )
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(
+            df, ["s1", "s2", "s3"], window_seconds=10
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 1}
+
+
+def test_average_precision_matches_bruteforce(spark):
+    """AP equals the rank-walk definition under the (score desc, id asc)
+    total order; a no-positive group reports NULL."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(30):
+            rows.append(
+                (g, i, round(rng.choice([0.1, 0.5, 0.5, 0.9]), 3),
+                 rng.randint(0, 1))
+            )
+    rows += [("empty", i, 0.5, 0) for i in range(5)]  # no positives
+    df = spark.createDataFrame(
+        rows, "g string, id bigint, s double, y int"
+    )
+    got = {
+        r["g"]: (r["n"], r["n_pos"], r["avg_precision"])
+        for r in average_precision(
+            df, group_cols=["g"], score_col="s", label_col="y", id_col="id"
+        ).collect()
+    }
+    for g in ("a", "b"):
+        ranked = sorted(
+            [r for r in rows if r[0] == g], key=lambda r: (-r[2], r[1])
+        )
+        tp, ap_sum, npos = 0, 0.0, sum(r[3] for r in ranked)
+        for k, r in enumerate(ranked, start=1):
+            if r[3] == 1:
+                tp += 1
+                ap_sum += tp / k
+        assert got[g] == (
+            len(ranked), npos, pytest.approx(ap_sum / npos, abs=1e-6)
+        )
+    assert got["empty"] == (5, 0, None)
+
+
+def test_split_contamination_canonical_cells(spark):
+    """Pair orientation doesn't split cells; off-diagonal cells count
+    cross-split leaks."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        split_contamination,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    splits = spark.createDataFrame(
+        [
+            (1, "train"), (2, "test"),   # cross
+            (3, "test"), (4, "train"),   # cross, other orientation
+            (5, "train"), (6, "train"),  # within
+            (7, "val"), (8, "test"),
+        ],
+        "doc_id bigint, split string",
+    )
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in split_contamination(pairs, splits).collect()
+    }
+    assert got == {
+        ("test", "train"): 2,
+        ("train", "train"): 1,
+        ("test", "val"): 1,
+    }
