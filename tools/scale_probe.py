@@ -63,6 +63,13 @@ OPS_SALTED = [
     "canonical_docs",
     "fuzzy_match",
     "prefix_jaccard",
+    # substring_dedup on the SALTED replica for the same reason as the
+    # near-dup probes: unsalted copies make every gram of every copy-2+
+    # document removable, so output (and the true answer) would grow
+    # with copy count² effects at the gram-key grain; salting keeps
+    # cross-copy grams distinct, so the true span set scales exactly
+    # linearly in copies and the probe measures the PLAN.
+    "substring_dedup",
 ]
 OPS_ALL = OPS + OPS_SALTED
 
