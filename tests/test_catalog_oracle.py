@@ -94,18 +94,13 @@ def test_driver_entry_contract():
     assert set(o) == set(ORACLES), "oracle_sql() must expose every oracle key"
     keys = list(q)
     assert len(keys) == len(set(keys))
-    # the priority list now exceeds the 50-key window (57 never-gated
-    # keys as of late r5) — assert the window is filled EXCLUSIVELY
-    # with priority keys in priority order (no slot wasted on an
-    # already-gated key while a never-gated one waits), and that the
-    # representatives follow immediately after the priority block.
+    # Since round 9 the priority list is the rolling regression gate:
+    # this round's never-gated additions, then every gated key stalest
+    # first (tests/test_driver_contract.py pins the exact window
+    # against tools/queue_order.py) — here assert the 50-key window is
+    # filled EXCLUSIVELY with priority keys in priority order.
     prio_present = [k for k in mod._PRIORITY if k in QUERIES]
     window_size = min(50, len(prio_present))
     assert keys[:window_size] == prio_present[:window_size], (
         "driver window must be filled with priority keys in order"
-    )
-    n_prio = len(prio_present)
-    reps = [k for k in mod._REPRESENTATIVES if k in QUERIES]
-    assert keys[n_prio : n_prio + len(reps)] == reps, (
-        "representatives must follow the priority block"
     )
