@@ -9960,18 +9960,39 @@ def q_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    # Dedup the raw fact-derived edge list ONCE and pin it: both
+    # label_propagation (union-symmetrize + distinct) and
+    # community_quality (least/greatest + distinct) canonicalize their
+    # input independently, and without this their two big distinct
+    # aggregates each re-scan and re-shuffle the full 600k-row fact
+    # projection (~12x the distinct pair count). The oracle's e0 CTE
+    # is MATERIALIZED for the same reason.
+    edges = (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     supp = load_table(spark, sf_dir, "supplier")
     seeds = supp.filter(F.col("s_suppkey") % 10 == 0).select(
         F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("node"),
         F.col("s_nationkey").alias("label"),
     )
-    assign = label_propagation(edges, seeds, iterations=2).select(
-        "node", F.col("label").alias("community")
-    )
+    # checkpoint_each pins every propagation round: with the metric
+    # pass consuming BOTH the labels and the edge list again, the
+    # un-pinned 2-round lineage explodes combinatorially (measured 241
+    # Exchanges / 81 parquet scans in one plan; 6.7 -> 3.5 s at sf0.1
+    # pinned). The pinned rounds also materialize the lazy edge
+    # checkpoint above in their first job, so later jobs reuse it.
+    assign = label_propagation(
+        edges, seeds, iterations=2, checkpoint_each=True
+    ).select("node", F.col("label").alias("community"))
     return community_quality(edges, assign)
 
 
