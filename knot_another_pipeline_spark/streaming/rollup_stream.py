@@ -850,3 +850,157 @@ def streaming_fairness_monitor(
             F.round("fpr", 6).alias("fpr"),
         )
     )
+
+
+def streaming_window_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_seconds: int = 86_400,
+    watermark: str = "2 hours",
+):
+    """Stateful time-boxed funnel monitor — the streaming twin of
+    ``operators.behavior.window_funnel`` (ClickHouse ``windowFunnel``
+    semantics): per user, the longest in-order step chain fitting in
+    ``window_seconds`` of its first event, emitted as an append row
+    every time the user FIRST reaches a new level.
+
+    The batch DP is order-sensitive, so per-user state keeps two bounded
+    pieces via ``applyInPandasWithState``:
+
+    - ``starts``: the max-start DP accumulator over events already
+      folded (``len(steps)`` longs — a later chain start strictly
+      dominates, exactly the batch accumulator);
+    - a PENDING buffer of (ts, step) pairs not yet ordered-safe: an
+      event folds only once the watermark passes it (strictly), because
+      an earlier-timestamped event can still arrive until then.  The
+      buffer is bounded by the watermark horizon × the user's event
+      rate — the same bound every other monitor's state carries.
+
+    Replay/at-least-once delivery is free: folding a duplicate event
+    re-applies ``max`` against the same value, so the DP is idempotent
+    and no level row is emitted twice.  Events later than the watermark
+    are dropped by Spark upstream, identical to the other monitors.
+
+    Output stream (append): uid, funnel_level, reached_ts — the level
+    trace is monotone per user; the max row per user equals the batch
+    operator's level for every user that reached step 1.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 steps, got {steps!r}")
+    k = len(steps)
+    step_idx = {s: i + 1 for i, s in enumerate(steps)}
+    win_ms = int(window_seconds) * 1000
+
+    out_schema = StructType(
+        [
+            StructField("uid", StringType()),
+            StructField("funnel_level", IntegerType()),
+            StructField("reached_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("starts", ArrayType(LongType(), containsNull=True)),
+            StructField("pend_t", ArrayType(LongType())),
+            StructField("pend_l", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _fold(starts, events):
+        """Apply ordered (t_ms, level) events to the DP; yield first-
+        reach (level, t_ms) emissions."""
+        hits = []
+        for t, l in events:
+            if l == 1:
+                if starts[0] is None:
+                    hits.append((1, t))
+                    starts[0] = t
+                elif t > starts[0]:
+                    starts[0] = t
+            else:
+                prev = starts[l - 2]
+                if prev is not None and t <= prev + win_ms:
+                    if starts[l - 1] is None:
+                        hits.append((l, t))
+                        starts[l - 1] = prev
+                    elif prev > starts[l - 1]:
+                        starts[l - 1] = prev
+        return hits
+
+    def update(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            starts, pend_t, pend_l = state.get
+            starts = list(starts)
+            pending = list(zip(pend_t, pend_l))
+        else:
+            starts = [None] * k
+            pending = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = (
+                    pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000
+                ).tolist()
+                for t, typ in zip(ms, pdf["typ"].tolist()):
+                    l = step_idx.get(typ)
+                    if l is not None:
+                        pending.append((int(t), l))
+        wm = state.getCurrentWatermarkMs()
+        ripe = sorted(e for e in pending if e[0] < wm)
+        pending = [e for e in pending if e[0] >= wm]
+        hits = _fold(starts, ripe)
+        state.update(
+            (
+                starts,
+                [t for t, _ in pending],
+                [l for _, l in pending],
+            )
+        )
+        if pending:
+            # re-arm so the buffer folds when the watermark passes it
+            # even if the user never fires another event
+            state.setTimeoutTimestamp(wm + 1)
+        if hits:
+            yield pd.DataFrame(
+                {
+                    "uid": [uid] * len(hits),
+                    "funnel_level": [l for l, _ in hits],
+                    "reached_ts": pd.to_datetime(
+                        [t for _, t in hits], unit="ms"
+                    ),
+                }
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).cast("string").alias("uid"),
+            F.col(type_col).cast("string").alias("typ"),
+            F.col(ts_col).alias("ts"),
+        )
+        .filter(F.col("typ").isin(*steps))
+        .groupBy("uid")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

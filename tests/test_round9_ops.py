@@ -488,3 +488,152 @@ def test_split_contamination_canonical_cells(spark):
         ("train", "train"): 1,
         ("test", "val"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# streaming window funnel: batch parity + replay/reorder invariance
+
+
+def _run_funnel_stream(spark, src, schema):
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_window_funnel,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_window_funnel(
+        stream,
+        ["s1", "s2", "s3"],
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        window_seconds=10,
+        watermark="1 minute",
+    )
+    name = f"wf_test_{abs(hash(str(src))) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return {
+        (r["uid"], r["funnel_level"]): str(r["reached_ts"])
+        for r in spark.sql(f"SELECT * FROM {name} WHERE uid != 'z'").collect()
+    }
+
+
+def _write_epoch(spark, src, rows, mtime):
+    """Append one micro-batch worth of part files into ``src`` and pin
+    their mtime so maxFilesPerTrigger replays epochs in order (the
+    round-8 monitor-test pattern)."""
+    import os
+
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, off bigint"
+    ).select(
+        "user_id",
+        "event_type",
+        (
+            F.lit("2025-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("off").cast("double"))
+        ).alias("ts"),
+    )
+    before = (
+        {f for f in os.listdir(src) if f.endswith(".parquet")}
+        if src.exists()
+        else set()
+    )
+    df.coalesce(1).write.mode("append").parquet(str(src))
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in before:
+            os.utime(src / f, (mtime, mtime))
+
+
+def test_streaming_window_funnel_matches_batch(spark, tmp_path):
+    """The append-mode level trace's max per user equals the batch
+    window_funnel level for every user reaching step 1."""
+    import time
+
+    from knot_another_pipeline_spark.operators.behavior import window_funnel
+
+    rows = [
+        ("a", "s1", 0), ("a", "s2", 5), ("a", "s3", 8),     # level 3
+        ("b", "s1", 0), ("b", "s2", 5), ("b", "s3", 100),   # level 2
+        ("c", "s2", 0), ("c", "s3", 1),                     # level 0
+        ("d", "s1", 0), ("d", "s1", 50), ("d", "s2", 55),   # restart, 2
+    ]
+    src = tmp_path / "wf_in"
+    src.mkdir()
+    base = time.time() - 500
+    _write_epoch(spark, src, rows, base)
+    _write_epoch(spark, src, [("z", "s1", 86_400 * 2)], base + 100)
+    _write_epoch(spark, src, [("z", "s1", 86_400 * 3)], base + 200)
+
+    schema = "user_id string, event_type string, ts timestamp"
+    got = _run_funnel_stream(spark, src, schema)
+    levels = {}
+    for (uid, lvl), _ts in got.items():
+        levels[uid] = max(levels.get(uid, 0), lvl)
+    batch_df = spark.read.parquet(str(src)).filter(F.col("user_id") != "z")
+    want = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(
+            batch_df, ["s1", "s2", "s3"], user_col="user_id",
+            window_seconds=10,
+        ).collect()
+        if r["funnel_level"] >= 1
+    }
+    assert levels == want
+    # the level trace is complete: reaching 3 also emitted 1 and 2
+    assert ("a", 1) in got and ("a", 2) in got and ("a", 3) in got
+    # level-0 user c emits nothing
+    assert not any(uid == "c" for uid, _ in got)
+
+
+def test_streaming_window_funnel_reorder_and_replay_invariant(
+    spark, tmp_path
+):
+    """Out-of-order arrival within the watermark and at-least-once
+    duplicates produce the SAME emission set as in-order delivery —
+    the DP folds in event-time order from the pending buffer and max()
+    makes duplicates idempotent."""
+    import time
+
+    in_order = [
+        ("a", "s1", 0), ("a", "s2", 5), ("a", "s3", 8),
+        ("b", "s1", 0), ("b", "s2", 20),
+    ]
+    shuffled_epochs = [
+        # epoch 1: later events arrive FIRST (within watermark)
+        [("a", "s3", 8), ("b", "s2", 20)],
+        # epoch 2: the earlier events land, plus a replay DUPLICATE
+        [("a", "s1", 0), ("a", "s2", 5), ("a", "s3", 8), ("b", "s1", 0)],
+    ]
+    schema = "user_id string, event_type string, ts timestamp"
+
+    src1 = tmp_path / "wf_ord"
+    src1.mkdir()
+    base = time.time() - 600
+    _write_epoch(spark, src1, in_order, base)
+    _write_epoch(spark, src1, [("z", "s1", 86_400 * 2)], base + 100)
+    _write_epoch(spark, src1, [("z", "s1", 86_400 * 3)], base + 200)
+    ordered = _run_funnel_stream(spark, src1, schema)
+
+    src2 = tmp_path / "wf_shuf"
+    src2.mkdir()
+    for i, rows in enumerate(shuffled_epochs):
+        _write_epoch(spark, src2, rows, base + 50 * i)
+    _write_epoch(spark, src2, [("z", "s1", 86_400 * 2)], base + 300)
+    _write_epoch(spark, src2, [("z", "s1", 86_400 * 3)], base + 400)
+    shuffled = _run_funnel_stream(spark, src2, schema)
+
+    assert ordered == shuffled
+    assert ("a", 3) in ordered
+    # b's s2 sits at +20s, outside the 10s window of its s1 — level 1
+    assert ("b", 1) in ordered and ("b", 2) not in ordered
