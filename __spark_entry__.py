@@ -32,6 +32,7 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 _ROUND9_NEW: list[str] = [
     "substring_dedup",
     "duplication_rate",
+    "dedup_clean_text",
     "min_cost_supplier",
     "important_stock",
     "top_supplier_revenue",

@@ -223,6 +223,7 @@ HEADLINE = [
     # the five remaining classic TPC-H plan shapes
     "substring_dedup",
     "duplication_rate",
+    "dedup_clean_text",
     "min_cost_supplier",
     "important_stock",
     "top_supplier_revenue",

@@ -5399,6 +5399,51 @@ GROUP BY p.source
 """
 
 
+def q_dedup_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTE half of exact substring dedup (operators/dedup.py
+    remove_spans over substring_dedup's spans): rebuild each document
+    with the non-first-copy spans cut out — after this pass every
+    duplicated 5-gram survives exactly once corpus-wide. Row-local HOF
+    removal, one doc-key join, no token-stream explode."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        remove_spans,
+        substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = substring_dedup(docs, id_col="doc_id", text_col="text", n=5)
+    return remove_spans(docs, spans, id_col="doc_id", text_col="text")
+
+
+ORACLE_DEDUP_CLEAN_TEXT = rf"""
+WITH spans AS ({ORACLE_SUBSTRING_DEDUP}),
+toks AS ({_TOKS_SQL}),
+tok_pos AS (
+  SELECT doc_id, t[i] AS tok, i - 1 AS pos
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+rem AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+  FROM spans),
+kept AS (
+  SELECT p.doc_id, p.tok, p.pos
+  FROM tok_pos p LEFT JOIN rem r
+    ON p.doc_id = r.doc_id AND p.pos = r.pos
+  WHERE r.pos IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+n_all AS (SELECT doc_id, len(t) AS n FROM toks)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens,
+       CAST(n_all.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+JOIN n_all USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic recsys negative sampling (operators/sampling.py
     negative_samples): 3 non-purchased parts per customer, md5-derived
@@ -11627,6 +11672,7 @@ QUERIES = {
     # TPC-H plan shapes (Q2, Q11, Q15, Q16, Q20)
     "substring_dedup": q_substring_dedup,
     "duplication_rate": q_duplication_rate,
+    "dedup_clean_text": q_dedup_clean_text,
     "min_cost_supplier": q_min_cost_supplier,
     "important_stock": q_important_stock,
     "top_supplier_revenue": q_top_supplier_revenue,
@@ -11914,6 +11960,7 @@ ORACLES = {
     # round-9 additions
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "duplication_rate": ORACLE_DUPLICATION_RATE,
+    "dedup_clean_text": ORACLE_DEDUP_CLEAN_TEXT,
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "important_stock": ORACLE_IMPORTANT_STOCK,
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,

@@ -2221,3 +2221,77 @@ def split_contamination(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("split_a", "split_b")
     )
+
+
+def remove_spans(
+    corpus: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a removal-span list (:func:`substring_dedup`'s output — or
+    any (doc_id, span_start, span_end) token ranges) to the corpus and
+    return the CLEANED text — the execute half of exact substring
+    dedup, after which every duplicated gram survives exactly once
+    corpus-wide.
+
+    Text is rebuilt from the canonical whitespace tokenization (the
+    same lowercase/trim normalization the span positions were computed
+    over), tokens inside any span dropped, survivors re-joined with
+    single spaces.  Documents with no spans pass through normalized;
+    fully-removed and empty documents yield an empty string, never a
+    missing row.
+
+    Scale shape: spans collapse to one array per doc (span counts are
+    small by construction — they are maximal merged ranges), ONE
+    doc-key join against the corpus, and the removal itself is a
+    row-local HOF filter (token index ∉ any range) — no explode of the
+    token stream, no per-token shuffle.
+
+    Output: doc id, clean_text, n_tokens (kept), n_removed.
+    """
+    from knot_another_pipeline_spark.operators.text_analysis import _tokens
+
+    sp = spans.groupBy(F.col(id_col).alias("id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                F.col("span_end").cast("long").alias("e"),
+            )
+        ).alias("sp")
+    )
+    toked = corpus.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
+    ).join(sp, "id", "left")
+    ranges = F.coalesce(
+        F.col("sp"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    indexed = F.transform(
+        F.col("toks"),
+        lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i")),
+    )
+    with_ranges = toked.select("id", indexed.alias("ti"), ranges.alias("rg"))
+    rg = F.col("rg")
+    kept = F.filter(
+        F.col("ti"),
+        lambda x: ~F.exists(
+            rg, lambda r: (x["i"] >= r["s"]) & (x["i"] <= r["e"])
+        ),
+    )
+    # materialize the filtered array once — it is consumed three times
+    # below, and an inline HOF expression would re-evaluate per use
+    with_kept = with_ranges.select(
+        "id", F.size("ti").alias("_n_all"), kept.alias("_kept")
+    )
+    return with_kept.select(
+        F.col("id").alias(id_col),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda x: x["t"]), " "
+        ).alias("clean_text"),
+        F.size("_kept").cast("bigint").alias("n_tokens"),
+        (F.col("_n_all") - F.size("_kept")).cast("bigint").alias(
+            "n_removed"
+        ),
+    )

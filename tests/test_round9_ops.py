@@ -637,3 +637,32 @@ def test_streaming_window_funnel_reorder_and_replay_invariant(
     assert ("a", 3) in ordered
     # b's s2 sits at +20s, outside the 10s window of its s1 — level 1
     assert ("b", 1) in ordered and ("b", 2) not in ordered
+
+
+def test_remove_spans_executes_the_dedup(spark):
+    """Cleaned corpus keeps first copies verbatim (normalized), cuts
+    later copies, yields an empty string (not a missing row) for
+    fully-removed and empty docs."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        remove_spans,
+        substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A b c d e f"),
+            (2, "x a b c d e y"),
+            (3, "a b c d e"),   # exact duplicate of doc 1's span: fully cut
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = substring_dedup(docs, id_col="doc_id", text_col="text", n=3)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_spans(docs, spans).collect()
+    }
+    assert got[1] == ("a b c d e f", 6, 0)   # first copy, normalized
+    assert got[2] == ("x y", 2, 5)
+    assert got[3] == ("", 0, 5)
+    assert got[4] == ("", 0, 0)
