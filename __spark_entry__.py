@@ -29,7 +29,8 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 
 # Round-9 additions: never driver-gated, so they lead the window.
 # Capped at 15 so the 50-key window re-gates >=35 stale keys.
-_ROUND9_NEW: list[str] = [
+_NEW_KEYS: list[str] = [
+    # round-9 additions:
     "substring_dedup",
     "duplication_rate",
     "dedup_clean_text",
@@ -300,7 +301,7 @@ _STALE_ROTATION = [
     "zipf_fit",
 ]
 
-_PRIORITY = _ROUND9_NEW + _STALE_ROTATION
+_PRIORITY = _NEW_KEYS + _STALE_ROTATION
 
 
 def _ordered_keys() -> list[str]:

@@ -78,7 +78,7 @@ def test_round9_window_is_rolling_gate():
     ordered = mod._ordered_keys()
     assert len(ordered) == len(set(ordered)), "duplicate keys in queue"
     assert set(ordered) == set(QUERIES), "queue does not cover the catalog"
-    new = mod._ROUND9_NEW
+    new = mod._NEW_KEYS
     assert len(new) <= 15, "round-9 additions exceed the per-round cap"
     gated = _gated_keys()
     assert not (set(new) & gated), "a 'new' key already has a driver row"
