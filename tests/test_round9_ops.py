@@ -666,3 +666,165 @@ def test_remove_spans_executes_the_dedup(spark):
     assert got[2] == ("x y", 2, 5)
     assert got[3] == ("", 0, 5)
     assert got[4] == ("", 0, 0)
+
+
+def test_round9_tpch_shapes_match_bruteforce(spark):
+    """Randomized lineitem/dimension data: each decorrelated round-9
+    shape equals a pure-Python replay of its textbook correlated
+    formulation."""
+    rng = random.Random(31)
+    suppliers = [
+        (s, f"S{s}", rng.randint(0, 3), round(rng.uniform(-5, 10), 2))
+        for s in range(1, 13)
+    ]
+    nations = [(n, f"N{n}", n % 2) for n in range(4)]
+    regions = [(0, "EUROPE"), (1, "ASIA")]
+    parts = [
+        (
+            p,
+            rng.choice(["blue bolt", "red ring", "big cog"]) + f" {p}",
+            f"Brand#{rng.randint(1, 3)}",
+            rng.choice(["STANDARD", "LARGE"]),
+            rng.choice([5, 9, 20]),
+            1.0,
+        )
+        for p in range(1, 9)
+    ]
+    lines = [
+        (
+            i,
+            rng.randint(1, 8),
+            rng.randint(1, 12),
+            float(rng.randint(1, 10)),
+            round(rng.uniform(10, 500), 2),
+            round(rng.choice([0.0, 0.1]), 2),
+            f"1996-0{rng.randint(1, 4)}-15",
+        )
+        for i in range(1, 160)
+    ]
+    supplier = spark.createDataFrame(
+        suppliers,
+        "s_suppkey bigint, s_name string, s_nationkey bigint, "
+        "s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        nations, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    region = spark.createDataFrame(
+        regions, "r_regionkey bigint, r_name string"
+    )
+    part = spark.createDataFrame(
+        parts,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    lineitem = spark.createDataFrame(
+        lines,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+
+    nat = {s: n for s, _n, n, _b in suppliers}
+    reg = {n: r for n, _s, r in nations}
+    pinfo = {p[0]: p for p in parts}
+
+    from knot_another_pipeline_spark.operators import relational as R
+
+    # Q2: min unit cost per STANDARD size<=15 part among EUROPE suppliers
+    cost = {}
+    for _o, pk, sk, q, ep, _d, _sd in lines:
+        if reg[nat[sk]] == 0 and q > 0:
+            key = (pk, sk)
+            cost[key] = min(cost.get(key, float("inf")), ep / q)
+    want_q2 = {}
+    for (pk, sk), c in cost.items():
+        if pinfo[pk][3] != "STANDARD" or pinfo[pk][4] > 15:
+            continue
+        mn = min(v for (pk2, _s), v in cost.items() if pk2 == pk)
+        if c == mn:
+            want_q2[(pk, sk)] = c
+    got_q2 = {
+        (r["p_partkey"], r["s_suppkey"]): r["unit_cost"]
+        for r in R.min_cost_supplier(
+            lineitem, supplier, nation, region, part,
+            region_name="EUROPE", part_type="STANDARD", max_size=15,
+        ).collect()
+    }
+    assert set(got_q2) == set(want_q2)
+    for k, v in want_q2.items():  # rounding modes differ: compare approx
+        assert got_q2[k] == pytest.approx(v, abs=1e-4)
+
+    # Q11: per-part value from N1 suppliers above 10% of the N1 total
+    val = {}
+    for _o, pk, sk, _q, ep, _d, _sd in lines:
+        if nat[sk] == 1:
+            val[pk] = val.get(pk, 0.0) + ep
+    total = sum(val.values())
+    want_q11 = {pk: v for pk, v in val.items() if v > 0.1 * total}
+    got_q11 = {
+        r["l_partkey"]: r["value"]
+        for r in R.important_stock(
+            lineitem, supplier, nation, nation_name="N1", fraction=0.1
+        ).collect()
+    }
+    assert set(got_q11) == set(want_q11)
+    for k, v in want_q11.items():
+        assert got_q11[k] == pytest.approx(v, abs=1e-2)
+
+    # Q15: max-revenue suppliers in Feb-Mar 1996 (ties all surface)
+    rev = {}
+    for _o, _pk, sk, _q, ep, d, sd in lines:
+        if "1996-02-15" <= sd <= "1996-03-15":
+            rev[sk] = rev.get(sk, 0.0) + ep * (1 - d)
+    mx = max(rev.values())
+    want_q15 = {sk: v for sk, v in rev.items() if abs(v - mx) < 1e-9}
+    got_q15 = {
+        r["s_suppkey"]: r["total_revenue"]
+        for r in R.top_supplier_revenue(
+            lineitem, supplier,
+            period_start="1996-02-01", period_end="1996-04-01",
+        ).collect()
+    }
+    assert set(got_q15) == set(want_q15)
+    for k, v in want_q15.items():
+        assert got_q15[k] == pytest.approx(v, abs=1e-2)
+
+    # Q16: distinct non-negative-balance suppliers per (brand,type,size),
+    # brand != Brand#1, sizes in (5, 9)
+    bad = {s for s, _n, _nk, b in suppliers if b < 0}
+    combos = {}
+    for _o, pk, sk, _q, _ep, _d, _sd in lines:
+        p = pinfo[pk]
+        if p[2] == "Brand#1" or p[4] not in (5, 9) or sk in bad:
+            continue
+        combos.setdefault((p[2], p[3], p[4]), set()).add(sk)
+    want_q16 = {(b, t, s, len(v)) for (b, t, s), v in combos.items()}
+    got_q16 = {
+        (r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"])
+        for r in R.supplier_part_variety(
+            lineitem, part, supplier, brand_not="Brand#1", sizes=(5, 9)
+        ).collect()
+    }
+    assert got_q16 == want_q16
+
+    # Q20: suppliers shipping > 40% of a 'b...' part's total quantity
+    ps, tot = {}, {}
+    for _o, pk, sk, q, _ep, _d, _sd in lines:
+        if pinfo[pk][1].startswith("b"):
+            ps[(pk, sk)] = ps.get((pk, sk), 0.0) + q
+            tot[pk] = tot.get(pk, 0.0) + q
+    want_q20 = {
+        (pk, sk): q / tot[pk]
+        for (pk, sk), q in ps.items()
+        if q > 0.4 * tot[pk]
+    }
+    got_q20 = {
+        (r["p_partkey"], r["s_suppkey"]): r["qty_share"]
+        for r in R.dominant_part_suppliers(
+            lineitem, supplier, part, name_prefix="b", share=0.4
+        ).collect()
+    }
+    assert set(got_q20) == set(want_q20)
+    for k, v in want_q20.items():
+        assert got_q20[k] == pytest.approx(v, abs=1e-6)
