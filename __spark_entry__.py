@@ -42,6 +42,10 @@ _NEW_KEYS: list[str] = [
     "window_funnel",
     "average_precision",
     "split_contamination",
+    "shipping_priority",
+    "nation_trade_volume",
+    "market_share",
+    "product_profit",
 ]
 
 # Every already-gated key, stalest first: ascending round of the key's

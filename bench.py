@@ -232,6 +232,10 @@ HEADLINE = [
     "window_funnel",
     "average_precision",
     "split_contamination",
+    "shipping_priority",
+    "nation_trade_volume",
+    "market_share",
+    "product_profit",
 ]
 
 

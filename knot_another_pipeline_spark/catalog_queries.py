@@ -11666,10 +11666,168 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# round-9 additions, second block: the last four classic TPC-H plan
+# shapes (Q3, Q7, Q8, Q9).  With these, every TPC-H query this schema
+# can express has a catalog shape (Q12/Q14's commit/receipt/shipmode
+# and promo-share columns don't exist in the dataset; Q6's plain
+# filter-agg is subsumed by pricing_summary/disjunctive_revenue, and
+# Q10's returned-revenue top-k by top_customers + order_priority).
+# Every oracle runs the textbook flat formulation, so a green hash row
+# proves the staged Spark plan.
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-k (operators/relational.py
+    shipping_priority): the 10 highest-open-revenue BUILDING-segment
+    orders placed before 1998-06-15 with a line shipping after it;
+    one orderkey exchange, agg reuses its partitioning,
+    TakeOrderedAndProject top-k."""
+    return relational.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        segment="BUILDING",
+        cutoff="1998-06-15",
+        k=10,
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped two-nation trade volume (operators/relational.py
+    nation_trade_volume): NATION_1↔NATION_2 shipped revenue by
+    direction and ship year, both nation restrictions pushed below
+    the orderkey join."""
+    return relational.nation_trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        nation_a="NATION_1",
+        nation_b="NATION_2",
+        start="1997-01-01",
+        end="1998-12-31",
+    )
+
+
+ORACLE_NATION_TRADE_VOLUME = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                       AND TIMESTAMP '1998-12-31 00:00:00'
+) shipping
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share (operators/relational.py
+    market_share): NATION_1's share of ECONOMY-part revenue sold into
+    AMERICA per order year — numerator and denominator from ONE
+    conditional aggregate over one fact pass."""
+    return relational.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+        region_name="AMERICA",
+        supp_nation="NATION_1",
+        part_type="ECONOMY",
+        start="1997-01-01",
+        end="1998-12-31",
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer,
+       nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                        AND TIMESTAMP '1998-12-31 00:00:00'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product profit (operators/relational.py
+    product_profit): profit on parts named *red* per supplier nation
+    and order year, supply cost modeled as 0.6 × p_retailprice per
+    unit; the part prune lands before the orderkey exchange."""
+    return relational.product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+        name_token="red",
+        cost_factor=0.6,
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
-    # + per-source duplication scorecard + the five remaining classic
-    # TPC-H plan shapes (Q2, Q11, Q15, Q16, Q20)
+    # + per-source duplication scorecard + the NINE remaining classic
+    # TPC-H plan shapes (Q2, Q3, Q7, Q8, Q9, Q11, Q15, Q16, Q20)
     "substring_dedup": q_substring_dedup,
     "duplication_rate": q_duplication_rate,
     "dedup_clean_text": q_dedup_clean_text,
@@ -11681,6 +11839,10 @@ QUERIES = {
     "window_funnel": q_window_funnel,
     "average_precision": q_average_precision,
     "split_contamination": q_split_contamination,
+    "shipping_priority": q_shipping_priority,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
     # round-8 additions: TPC-H-derived plan shapes + tests/validity/
     # trajectory readouts
     "order_priority": q_order_priority,
@@ -11969,6 +12131,10 @@ ORACLES = {
     "window_funnel": ORACLE_WINDOW_FUNNEL,
     "average_precision": ORACLE_AVERAGE_PRECISION,
     "split_contamination": ORACLE_SPLIT_CONTAMINATION,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
+    "market_share": ORACLE_MARKET_SHARE,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
     # round-8 additions
     "order_priority": ORACLE_ORDER_PRIORITY,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,

@@ -1869,3 +1869,261 @@ def dominant_part_suppliers(
         )
         .orderBy("p_partkey", "s_suppkey")
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority top-k: the ``k`` unshipped
+    orders (ordered before ``cutoff``, with at least one line shipping
+    after it) from one market segment, ranked by open revenue (this
+    schema carries ``o_orderpriority`` in place of Q3's
+    ``o_shippriority``).
+
+    Shape: the segment filter broadcasts customer keys below the
+    orders scan; the date filters land on the orders and lineitem
+    parquet scans (PushedFilters).  The one real exchange is the
+    orderkey join of the two pruned fact sides, and the revenue
+    aggregate reuses that partitioning — ``HashPartitioning(
+    l_orderkey)`` satisfies the group-by clustering on
+    ``(l_orderkey, o_orderdate, o_orderpriority)``, so no second
+    shuffle.  The top-k is ``TakeOrderedAndProject`` (per-partition
+    heaps + a k-row driver merge), never a global sort.  Ordering
+    uses the ROUNDED revenue so ties break identically everywhere.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cohort = customer.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    open_orders = orders.filter(F.col("o_orderdate") < cut).join(
+        F.broadcast(cohort), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(open_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(k)
+    )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1997-01-01",
+    end: str = "1998-12-31",
+) -> DataFrame:
+    """TPC-H Q7-shaped two-nation trade volume: revenue shipped between
+    ``nation_a`` suppliers and ``nation_b`` customers (both directions,
+    kept separate), by ship year.
+
+    Shape: both nation restrictions push below the fact joins — the
+    two-nation supplier subset broadcasts onto the date-pruned lineitem
+    scan (pruning it to ~2/N of lines before anything shuffles), and
+    the two-nation customer subset prunes orders the same way.  The
+    single at-scale exchange pair is the orderkey join of the two
+    pruned sides; the cross-pair disjunction ``(A→B) or (B→A)``
+    evaluates map-side after the join (both names are already
+    attached), and the final (2×2×years)-group aggregate is a rounding
+    error.  The customer attach is left unhinted: at bench scale
+    Catalyst broadcasts it, on a 100 TB cluster a 2/N customer slice
+    exceeds the threshold and AQE plans the shuffle join on its own.
+    """
+    pair = [nation_a, nation_b]
+    nat = nation.filter(F.col("n_name").isin(pair))
+    supp = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ord_side = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    line_side = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit(end).cast("timestamp"))
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+    )
+    return (
+        line_side.join(ord_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    *,
+    region_name: str = "AMERICA",
+    supp_nation: str = "NATION_1",
+    part_type: str = "ECONOMY",
+    start: str = "1997-01-01",
+    end: str = "1998-12-31",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: of all ``part_type`` revenue sold
+    into one region over two years, the fraction supplied by
+    ``supp_nation``, per order year.
+
+    Shape: numerator and denominator come out of ONE aggregate over
+    one fact pass — ``sum(when(nation = X, volume))`` next to
+    ``sum(volume)`` — never two scans of an 8-table join.  The part
+    filter prunes lineitem on the partkey attach (unhinted: broadcast
+    at bench scale, AQE's call when a 1/6 part slice outgrows the
+    threshold); the supplier→nation attach broadcasts (tiny); the
+    region restriction reaches orders through the customer semi-join
+    side before the orderkey exchange, and the order-date filter is
+    pushed to the orders parquet scan.  The share division happens on
+    years-sized data, after all aggregation.
+    """
+    dim = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amer = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("_ck_nat"))
+    cust = customer.join(
+        F.broadcast(amer), F.col("c_nationkey") == F.col("_ck_nat")
+    ).select("c_custkey")
+    ord_side = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit(end).cast("timestamp"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    line_side = (
+        lineitem.join(dim, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+    )
+    return (
+        line_side.join(ord_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == supp_nation, F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    *,
+    name_token: str = "red",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: per supplier nation and
+    order year, the profit on all parts whose name contains
+    ``name_token`` — ``ps_supplycost`` becomes ``cost_factor *
+    p_retailprice`` per unit (no partsupp table in this schema).
+
+    Shape: the name filter prunes lineitem on the partkey attach
+    (carrying ``p_retailprice`` for the map-side profit expression)
+    BEFORE the orderkey exchange, so the one big shuffle moves only
+    the qualifying ~name-token fraction of the fact table; the
+    supplier→nation attach broadcasts.  Orders contributes only
+    ``year(o_orderdate)``, column-pruned at its scan.  One final
+    (nations × years)-group aggregate.
+    """
+    dim = part.filter(
+        F.col("p_name").contains(name_token)
+    ).select("p_partkey", "p_retailprice")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    line_side = (
+        lineitem.join(dim, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "nation",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.lit(cost_factor)
+                * F.col("p_retailprice")
+                * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    ord_side = orders.select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        line_side.join(ord_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )

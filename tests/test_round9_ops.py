@@ -828,3 +828,220 @@ def test_round9_tpch_shapes_match_bruteforce(spark):
     assert set(got_q20) == set(want_q20)
     for k, v in want_q20.items():
         assert got_q20[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_round9b_tpch_shapes_match_bruteforce(spark):
+    """Randomized star-schema data: the Q3/Q7/Q8/Q9 staged plans equal
+    pure-Python replays of the textbook flat formulations."""
+    rng = random.Random(47)
+    nations = [(n, f"N{n}", n % 2) for n in range(4)]
+    regions = [(0, "EUROPE"), (1, "ASIA")]
+    suppliers = [
+        (s, f"S{s}", rng.randint(0, 3), 0.0) for s in range(1, 9)
+    ]
+    customers = [
+        (c, f"C{c}", rng.randint(0, 3), 0.0,
+         rng.choice(["BUILDING", "AUTO"]))
+        for c in range(1, 13)
+    ]
+    parts = [
+        (p, rng.choice(["red ring", "blue bolt"]) + f" {p}", "Brand#1",
+         rng.choice(["STANDARD", "LARGE"]), 5,
+         round(rng.uniform(5, 50), 2))
+        for p in range(1, 9)
+    ]
+    orders = [
+        (o, rng.randint(1, 12), "F", 0.0,
+         f"199{rng.randint(5, 8)}-0{rng.randint(1, 9)}-10", "1-URGENT")
+        for o in range(1, 41)
+    ]
+    lines = [
+        (rng.randint(1, 40), rng.randint(1, 8), rng.randint(1, 8),
+         float(rng.randint(1, 10)), round(rng.uniform(10, 500), 2),
+         rng.choice([0.0, 0.1]),
+         f"199{rng.randint(5, 8)}-0{rng.randint(1, 9)}-20")
+        for _ in range(200)
+    ]
+
+    nation = spark.createDataFrame(
+        nations, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    region = spark.createDataFrame(
+        regions, "r_regionkey bigint, r_name string"
+    )
+    supplier = spark.createDataFrame(
+        suppliers,
+        "s_suppkey bigint, s_name string, s_nationkey bigint, "
+        "s_acctbal double",
+    )
+    customer = spark.createDataFrame(
+        customers,
+        "c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    part = spark.createDataFrame(
+        parts,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    orders_df = spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    lineitem = spark.createDataFrame(
+        lines,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+
+    snat = {s: f"N{n}" for s, _x, n, _b in suppliers}
+    cnat = {c: f"N{n}" for c, _x, n, _b, _m in customers}
+    creg = {c: n % 2 for c, _x, n, _b, _m in customers}
+    cseg = {c: m for c, _x, _n, _b, m in customers}
+    odate = {o: d for o, _c, _s, _t, d, _p in orders}
+    ocust = {o: c for o, c, _s, _t, _d, _p in orders}
+    pinfo = {p[0]: p for p in parts}
+
+    from knot_another_pipeline_spark.operators import relational as R
+
+    # Q3: top open-revenue BUILDING orders around a mid-window cutoff
+    cut = "1997-01-01"
+    q3 = {}
+    for o, pk, sk, q, ep, d, sd in lines:
+        if (
+            cseg[ocust[o]] == "BUILDING"
+            and odate[o] < cut
+            and sd > cut
+        ):
+            q3[o] = q3.get(o, 0.0) + ep * (1 - d)
+    want_q3 = sorted(
+        ((round(v, 2), odate[o], o) for o, v in q3.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:5]
+    got = R.shipping_priority(
+        customer, orders_df, lineitem, segment="BUILDING",
+        cutoff=cut, k=5,
+    ).collect()
+    assert [
+        (r["revenue"], r["o_orderdate"].strftime("%Y-%m-%d"), r["l_orderkey"])
+        for r in got
+    ] == [(v, d, o) for v, d, o in want_q3]
+    assert all(r["o_orderpriority"] == "1-URGENT" for r in got)
+
+    # Q7: N0<->N1 trade volume by direction and ship year
+    q7 = {}
+    for o, pk, sk, q, ep, d, sd in lines:
+        sn, cn = snat[sk], cnat[ocust[o]]
+        if {sn, cn} == {"N0", "N1"} and "1996-01-01" <= sd <= "1997-12-31":
+            key = (sn, cn, int(sd[:4]))
+            q7[key] = q7.get(key, 0.0) + ep * (1 - d)
+    got_q7 = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+        for r in R.nation_trade_volume(
+            lineitem, orders_df, customer, supplier, nation,
+            nation_a="N0", nation_b="N1",
+            start="1996-01-01", end="1997-12-31",
+        ).collect()
+    }
+    assert set(got_q7) == set(q7)
+    for k, v in q7.items():
+        assert got_q7[k] == pytest.approx(v, abs=1e-2)
+
+    # Q8: N2's share of STANDARD-part revenue sold into region 0
+    num, den = {}, {}
+    for o, pk, sk, q, ep, d, sd in lines:
+        if (
+            pinfo[pk][3] == "STANDARD"
+            and creg[ocust[o]] == 0
+            and "1996-01-01" <= odate[o] <= "1997-12-31"
+        ):
+            y = int(odate[o][:4])
+            v = ep * (1 - d)
+            den[y] = den.get(y, 0.0) + v
+            if snat[sk] == "N2":
+                num[y] = num.get(y, 0.0) + v
+    want_q8 = {y: num.get(y, 0.0) / den[y] for y in den}
+    got_q8 = {
+        r["o_year"]: r["mkt_share"]
+        for r in R.market_share(
+            lineitem, orders_df, customer, supplier, nation, region, part,
+            region_name="EUROPE", supp_nation="N2", part_type="STANDARD",
+            start="1996-01-01", end="1997-12-31",
+        ).collect()
+    }
+    assert set(got_q8) == set(want_q8)
+    for k, v in want_q8.items():
+        assert got_q8[k] == pytest.approx(v, abs=1e-6)
+
+    # Q9: profit on 'red' parts per supplier nation and order year
+    q9 = {}
+    for o, pk, sk, q, ep, d, sd in lines:
+        if "red" in pinfo[pk][1]:
+            key = (snat[sk], int(odate[o][:4]))
+            amount = ep * (1 - d) - 0.6 * pinfo[pk][5] * q
+            q9[key] = q9.get(key, 0.0) + amount
+    got_q9rows = R.product_profit(
+        lineitem, orders_df, supplier, nation, part,
+        name_token="red", cost_factor=0.6,
+    ).collect()
+    got_q9 = {(r["nation"], r["o_year"]): r["sum_profit"] for r in got_q9rows}
+    assert set(got_q9) == set(q9)
+    for k, v in q9.items():
+        assert got_q9[k] == pytest.approx(v, abs=1e-2)
+    # ordering contract: nation asc, year desc
+    keys = [(r["nation"], r["o_year"]) for r in got_q9rows]
+    assert keys == sorted(keys, key=lambda t: (t[0], -t[1]))
+
+
+def test_shipping_priority_plan_shape(spark, tmp_path):
+    """Q3's aggregate must reuse the orderkey join partitioning (no
+    second exchange between the join and the group-by), the top-k must
+    plan as TakeOrderedAndProject, and both date filters must reach
+    the parquet scans."""
+    from knot_another_pipeline_spark.operators.relational import (
+        shipping_priority,
+    )
+
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTO")], "c_custkey bigint, c_mktsegment string"
+    ).write.parquet(base + "/customer")
+    spark.createDataFrame(
+        [(10, 1, "1996-06-01", "1-URGENT")],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate string, "
+        "o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).write.parquet(
+        base + "/orders"
+    )
+    spark.createDataFrame(
+        [(10, 100.0, 0.0, "1997-06-01")],
+        "l_orderkey bigint, l_extendedprice double, l_discount double, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate")).write.parquet(
+        base + "/lineitem"
+    )
+    df = shipping_priority(
+        spark.read.parquet(base + "/customer"),
+        spark.read.parquet(base + "/orders"),
+        spark.read.parquet(base + "/lineitem"),
+        cutoff="1997-01-01",
+        k=10,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    import re
+
+    assert "TakeOrderedAndProject" in plan
+    # exactly ONE shuffle exchange: the orderkey join; the aggregate
+    # reuses HashPartitioning(l_orderkey) and the top-k never sorts
+    # globally
+    assert len(re.findall(r"(?<![A-Za-z])Exchange ", plan)) - len(
+        re.findall(r"(?<![A-Za-z])Exchange SinglePartition", plan)
+    ) == 1
+    assert plan.count("GreaterThan(l_shipdate") >= 1
+    assert plan.count("LessThan(o_orderdate") >= 1
