@@ -71,7 +71,15 @@ OPS_SALTED = [
     # linearly in copies and the probe measures the PLAN.
     "substring_dedup",
 ]
-OPS_ALL = OPS + OPS_SALTED
+# TPC-H fact-join shapes, probed on an ORDERKEY-SHIFTED replica of
+# lineitem+orders (dims copied verbatim): per-order structure and every
+# dimension selectivity are preserved while the fact row count scales
+# by k — the group-by-orderkey sizes stay constant (Q3) and the
+# nation×year groups grow k-fold (Q9), exactly the 100 TB behavior.
+# Dates are NOT shifted: shifting would move copies across the probe
+# queries' date windows and change filter selectivity per copy.
+OPS_TPCH = ["shipping_priority", "product_profit"]
+OPS_ALL = OPS + OPS_SALTED + OPS_TPCH
 
 
 def build_replica(spark, k: int) -> str:
@@ -154,6 +162,41 @@ def build_replica(spark, k: int) -> str:
     for c in ccopies[1:]:
         ck = ck.unionByName(c)
     ck.write.mode("overwrite").parquet(os.path.join(out_s, "customer.parquet"))
+
+    # orderkey-shifted TPC-H fact replica (see OPS_TPCH note above)
+    out_t = os.path.join(WORK, f"k{k}t")
+    if os.path.exists(out_t):
+        shutil.rmtree(out_t)
+    os.makedirs(out_t)
+    for t in ("customer", "supplier", "nation", "region", "part"):
+        shutil.copy(
+            os.path.join(SF_DIR, f"{t}.parquet"),
+            os.path.join(out_t, f"{t}.parquet"),
+        )
+    li = load_table(spark, SF_DIR, "lineitem")
+    lcopies = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * 10**9)).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        for i in range(k)
+    ]
+    lk = lcopies[0]
+    for c in lcopies[1:]:
+        lk = lk.unionByName(c)
+    lk.write.mode("overwrite").parquet(os.path.join(out_t, "lineitem.parquet"))
+    od = load_table(spark, SF_DIR, "orders")
+    ocopies = [
+        od.select(
+            (F.col("o_orderkey") + F.lit(i * 10**9)).alias("o_orderkey"),
+            *[c for c in od.columns if c != "o_orderkey"],
+        )
+        for i in range(k)
+    ]
+    ok = ocopies[0]
+    for c in ocopies[1:]:
+        ok = ok.unionByName(c)
+    ok.write.mode("overwrite").parquet(os.path.join(out_t, "orders.parquet"))
     return out
 
 
@@ -191,10 +234,13 @@ def main() -> None:
     # first-use JIT/codegen costs the larger factors get for free
     warm = build_replica(spark, min(factors))
     warm_s = os.path.join(WORK, f"k{min(factors)}s")
+    warm_t = os.path.join(WORK, f"k{min(factors)}t")
     for op in OPS:
         QUERIES[op](spark, warm).count()
     for op in OPS_SALTED:
         QUERIES[op](spark, warm_s).count()
+    for op in OPS_TPCH:
+        QUERIES[op](spark, warm_t).count()
     for k in factors:
         d = build_replica(spark, k)
         row_counts[str(k)] = {
@@ -203,9 +249,19 @@ def main() -> None:
                 os.path.join(d, "documents.parquet")
             ).count(),
         }
+        row_counts[str(k)]["lineitem"] = spark.read.parquet(
+            os.path.join(WORK, f"k{k}t", "lineitem.parquet")
+        ).count()
         ds = os.path.join(WORK, f"k{k}s")
+        dt = os.path.join(WORK, f"k{k}t")
         for op in OPS_ALL:
-            src_dir = ds if op in OPS_SALTED else d
+            src_dir = (
+                ds
+                if op in OPS_SALTED
+                else dt
+                if op in OPS_TPCH
+                else d
+            )
             samples = []
             for _ in range(cli.samples):
                 t0 = time.perf_counter()
