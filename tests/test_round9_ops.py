@@ -1045,3 +1045,52 @@ def test_shipping_priority_plan_shape(spark, tmp_path):
     ) == 1
     assert plan.count("GreaterThan(l_shipdate") >= 1
     assert plan.count("LessThan(o_orderdate") >= 1
+
+
+def test_round9b_tpch_plan_claims(spark):
+    """Pin the plan CLAIMS of the Q7/Q8/Q9 shapes: each scans lineitem
+    exactly once (the one-fact-pass claim), the dimension filters reach
+    their parquet scans as PushedFilters, and nothing plans an Expand
+    or a second fact pass."""
+    import re
+
+    from knot_another_pipeline_spark.catalog_queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def plans(name):
+        df = QUERIES[name](spark, SF_SMOKE)
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        return (
+            qe.explainString(mode.fromString("simple")),
+            qe.explainString(mode.fromString("formatted")),
+        )
+
+    def lineitem_scans(simple_plan):
+        return len(
+            re.findall(r"FileScan parquet[^\n]*lineitem", simple_plan)
+        )
+
+    p7s, p7f = plans("nation_trade_volume")
+    assert lineitem_scans(p7s) == 1, p7s
+    # the two-nation restriction reaches the nation scans as a pushed
+    # IN filter, and the ship-date window reaches the lineitem scan
+    assert "In(n_name, [NATION_1,NATION_2])" in p7f, p7f
+    assert "GreaterThanOrEqual(l_shipdate" in p7f, p7f
+
+    p8s, p8f = plans("market_share")
+    assert lineitem_scans(p8s) == 1, p8s
+    # numerator + denominator in ONE aggregate: a single partial_sum
+    # aggregate node carries both sums, and no second fact pass exists
+    assert "Expand" not in p8s, p8s
+    assert "EqualTo(p_type,ECONOMY)" in p8f, p8f
+    assert "GreaterThanOrEqual(o_orderdate" in p8f, p8f
+    assert len(re.findall(r"partial_sum", p8s)) == 2, (
+        "Q8 must compute numerator and denominator in one aggregate "
+        "pass (two partial_sum expressions in one HashAggregate)"
+    )
+    assert p8s.count("HashAggregate") == 2, p8s  # partial + final
+
+    p9s, p9f = plans("product_profit")
+    assert lineitem_scans(p9s) == 1, p9s
+    assert "StringContains(p_name,red)" in p9f, p9f
