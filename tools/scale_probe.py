@@ -222,8 +222,24 @@ def main() -> None:
     parser.add_argument(
         "--out", default=os.path.join(REPO, "SCALE_PROBE.json")
     )
+    parser.add_argument(
+        "--ops",
+        default="",
+        help="comma-separated subset of probed ops (diagnostics: re-run "
+        "one op on a quiet box without paying for the whole matrix)",
+    )
     cli = parser.parse_args()
     factors = [int(x) for x in cli.factors.split(",")]
+    global OPS, OPS_SALTED, OPS_TPCH, OPS_ALL
+    if cli.ops:
+        wanted = set(cli.ops.split(","))
+        unknown = wanted - set(OPS_ALL)
+        if unknown:
+            raise SystemExit(f"unknown probe ops: {sorted(unknown)}")
+        OPS = [o for o in OPS if o in wanted]
+        OPS_SALTED = [o for o in OPS_SALTED if o in wanted]
+        OPS_TPCH = [o for o in OPS_TPCH if o in wanted]
+        OPS_ALL = OPS + OPS_SALTED + OPS_TPCH
     out_path = cli.out
     spark = get_spark()
     results: dict[str, dict] = {
@@ -262,6 +278,15 @@ def main() -> None:
                 if op in OPS_TPCH
                 else d
             )
+            # One UNTIMED warmup per (op, factor): the smallest-factor
+            # warmup above does not JIT/grow the heap for the large
+            # factors' working sets, and the heavy queries need several
+            # runs before min-of-N stops measuring the JVM ramp
+            # (pairs_monthly at 16x: cold 45s -> warm floor ~17s; the
+            # r9 artifacts disagreed by 2x purely on warm state).
+            # Nothing is cached across runs — every sample re-executes
+            # the full plan.
+            QUERIES[op](spark, src_dir).count()
             samples = []
             for _ in range(cli.samples):
                 t0 = time.perf_counter()
