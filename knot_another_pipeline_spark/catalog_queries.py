@@ -11824,10 +11824,177 @@ ORDER BY nation ASC, o_year DESC
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (operators/quality.py heavy_hitters):
+    Misra-Gries per-partition prune (iterator mapInPandas, mergeable-
+    summaries batch rule) + broadcast-semi-join exact recount, integer
+    support threshold cnt*400 >= N.  The plain GROUP BY oracle hashing
+    identically is the proof the sketch prune lost no true hitter."""
+    from knot_another_pipeline_spark.operators.quality import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    return heavy_hitters(toks, item_col="tok", support_num=1, support_den=400)
+
+
+ORACLE_HEAVY_HITTERS = rf"""
+WITH toks AS ({_TOKS_SQL}),
+flat AS (SELECT unnest(t) AS tok FROM toks),
+tot AS (SELECT count(*) AS n FROM flat)
+SELECT tok AS item,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+FROM flat
+GROUP BY tok
+HAVING count(*) * 400 >= (SELECT n FROM tot)
+ORDER BY cnt DESC, item ASC
+"""
+
+
+def _walk_edges(li: DataFrame) -> DataFrame:
+    """Bipartite order<->part co-occurrence edges, both directions (the
+    pagerank graph) - every node has outdeg >= 1 by construction."""
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def q_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded random-walk corpus (operators/graph.py
+    deterministic_walks) over the order<->part graph: 2 walks x 3 steps
+    from every 97th part node, each step picking the neighbor ranked
+    hash64(walk|step|node) mod outdeg.  The oracle unrolls the three
+    steps with the identical md5 arithmetic, so the hash match proves
+    bit-reproducibility of the walk corpus across engines."""
+    from knot_another_pipeline_spark.operators.graph import deterministic_walks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    starts = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    out = deterministic_walks(
+        _walk_edges(li), starts=starts, steps=3, walks_per_start=2
+    )
+    return out.orderBy("walk_id", "step")
+
+
+def _walk_step_sql(cur: str, prev: str, t: int) -> str:
+    return f"""
+{cur} AS (
+  SELECT f.walk_id, a.dst AS node
+  FROM {prev} f
+  JOIN deg d ON d.src = f.node
+  JOIN adj a ON a.src = f.node AND a.rnk =
+    CAST(concat('0x', substr(md5('0:' || f.walk_id || '|{t}|' || f.node),
+                             1, 15)) AS BIGINT) % d.outdeg + 1)"""
+
+
+ORACLE_DETERMINISTIC_WALKS = f"""
+WITH e AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 'p:' || l_partkey AS src, 'o:' || l_orderkey AS dst
+  FROM lineitem),
+adj AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+  FROM e),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+starts AS (
+  SELECT DISTINCT 'p:' || l_partkey AS node
+  FROM lineitem WHERE l_partkey % 97 = 0),
+w0 AS (
+  SELECT node || '#' || w AS walk_id, node
+  FROM starts, (SELECT unnest([0, 1]) AS w)),
+{_walk_step_sql("w1", "w0", 1)},
+{_walk_step_sql("w2", "w1", 2)},
+{_walk_step_sql("w3", "w2", 3)}
+SELECT walk_id, CAST(0 AS INT) AS step, node FROM w0
+UNION ALL SELECT walk_id, CAST(1 AS INT), node FROM w1
+UNION ALL SELECT walk_id, CAST(2 AS INT), node FROM w2
+UNION ALL SELECT walk_id, CAST(3 AS INT), node FROM w3
+ORDER BY walk_id, step
+"""
+
+
+def q_reach_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop neighborhood census (operators/graph.py reach_census)
+    from every 101st order node of the order<->part graph: hop-1 = the
+    order's parts, hop-2 = other orders sharing a part, each node counted
+    at its FIRST hop only.  Frontier-minus-reached BFS; the oracle is the
+    same census as two EXCEPT-guarded distinct joins."""
+    from knot_another_pipeline_spark.operators.graph import reach_census
+
+    li = load_table(spark, sf_dir, "lineitem")
+    roots = (
+        li.filter(F.col("l_orderkey") % 101 == 0)
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    out = reach_census(_walk_edges(li), roots=roots, hops=2)
+    return out.orderBy("root")
+
+
+ORACLE_REACH_CENSUS = """
+WITH e AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 'p:' || l_partkey AS src, 'o:' || l_orderkey AS dst
+  FROM lineitem),
+roots AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS root
+  FROM lineitem WHERE l_orderkey % 101 = 0),
+r0 AS (SELECT root, root AS node FROM roots),
+f1 AS (
+  (SELECT DISTINCT r.root, e.dst AS node FROM r0 r JOIN e ON e.src = r.node)
+  EXCEPT (SELECT root, node FROM r0)),
+f2 AS (
+  (SELECT DISTINCT f.root, e.dst AS node FROM f1 f JOIN e ON e.src = f.node)
+  EXCEPT (SELECT root, node FROM r0 UNION ALL SELECT root, node FROM f1)),
+c1 AS (SELECT root, count(*) AS n FROM f1 GROUP BY root),
+c2 AS (SELECT root, count(*) AS n FROM f2 GROUP BY root)
+SELECT r.root,
+       CAST(coalesce(c1.n, 0) AS BIGINT) AS n_hop1,
+       CAST(coalesce(c2.n, 0) AS BIGINT) AS n_hop2,
+       CAST(coalesce(c1.n, 0) + coalesce(c2.n, 0) AS BIGINT) AS n_reach
+FROM roots r
+LEFT JOIN c1 ON c1.root = r.root
+LEFT JOIN c2 ON c2.root = r.root
+ORDER BY r.root
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
     # TPC-H plan shapes (Q2, Q3, Q7, Q8, Q9, Q11, Q15, Q16, Q20)
+    # round-10 candidate additions (queued after the pinned round-9
+    # driver window; they lead the round-10 window):
+    "heavy_hitters": q_heavy_hitters,
+    "deterministic_walks": q_deterministic_walks,
+    "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
     "duplication_rate": q_duplication_rate,
     "dedup_clean_text": q_dedup_clean_text,
@@ -12120,6 +12287,9 @@ QUERIES = {
 
 ORACLES = {
     # round-9 additions
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
+    "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "duplication_rate": ORACLE_DUPLICATION_RATE,
     "dedup_clean_text": ORACLE_DEDUP_CLEAN_TEXT,

@@ -2497,3 +2497,127 @@ def kendall_tau(
             ).alias("tau"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    *,
+    item_col: str,
+    support_num: int = 1,
+    support_den: int = 500,
+    margin: int = 2,
+) -> DataFrame:
+    """EXACT frequent-items census with a Misra–Gries pre-prune: every
+    item whose count is ≥ ``support_num/support_den`` of the stream,
+    with its exact count — the corpus-vocabulary / hot-key / stopword
+    census that a plain ``groupBy(item).count()`` also computes, except
+    that the plain plan shuffles EVERY distinct item (the long tail is
+    the whole corpus at 100 TB) while this one shuffles only the
+    candidate set.
+
+    Two passes:
+
+    1. Per-partition Misra–Gries summaries (iterator ``mapInPandas``,
+       batch-merged with the Agarwal et al. 2012 mergeable-summaries
+       rule: add batch value_counts, subtract the (k+1)-th largest,
+       keep positives) with ``k = margin · ceil(den/num)`` counters.
+       MG guarantees every item with LOCAL count > N_p/k survives its
+       partition summary; an item with GLOBAL count ≥ N·num/den must
+       have local count ≥ N_p·num/den > N_p/k in at least one
+       partition (else the global sum would fall short), so the UNION
+       of partition summaries contains every true heavy hitter.  The
+       same pass emits one marker row per partition carrying the
+       partition's item count, so N needs no extra scan.
+    2. Exact recount restricted to the candidates: broadcast semi-join
+       (map-side filter — tail items never reach the shuffle), one
+       hash aggregate over ≤ k·P candidate keys, then the EXACT
+       integer-arithmetic threshold ``cnt·den ≥ N·num`` (no float
+       support fraction — bit-identical in any engine, DuckDB oracle
+       included).
+
+    The output is therefore exact — the sketch only prunes, never
+    decides — and the oracle hash-match against a plain
+    ``GROUP BY … HAVING`` proves the prune lost nothing.
+
+    Output: item (string), cnt, share (= cnt/N rounded 6), ordered by
+    cnt desc then item.  NULL items are ignored.
+    """
+    if support_num < 1 or support_den < 1:
+        raise ValueError(
+            f"support must be a positive fraction, got "
+            f"{support_num}/{support_den}"
+        )
+    if margin < 2:
+        raise ValueError(f"margin must be >= 2, got {margin}")
+    k = margin * math.ceil(support_den / support_num)
+    name = item_col
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    summary_schema = StructType(
+        [
+            StructField("item", StringType()),
+            StructField("approx", LongType()),
+            StructField("part_n", LongType()),
+        ]
+    )
+
+    def mg_partition(it):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        n_seen = 0
+        for pdf in it:
+            vals = pdf["_hh_v"].dropna().astype(str)
+            n_seen += len(vals)
+            counters = counters.add(vals.value_counts(), fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+        yield pd.DataFrame(
+            {
+                "item": list(counters.index) + [None],
+                "approx": [int(v) for v in counters.values] + [0],
+                "part_n": [0] * len(counters) + [n_seen],
+            }
+        )
+
+    items = df.select(F.col(name).cast("string").alias("_hh_v"))
+    summaries = items.mapInPandas(mg_partition, summary_schema)
+    summaries = summaries.localCheckpoint(eager=True)
+    candidates = (
+        summaries.filter(F.col("item").isNotNull())
+        .select("item")
+        .distinct()
+    )
+    total = summaries.agg(F.sum("part_n").cast("bigint").alias("n_total"))
+    exact = (
+        items.filter(F.col("_hh_v").isNotNull())
+        .join(
+            F.broadcast(candidates),
+            F.col("_hh_v") == F.col("item"),
+            "left_semi",
+        )
+        .groupBy(F.col("_hh_v").alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt") * F.lit(support_den)
+            >= F.col("n_total") * F.lit(support_num)
+        )
+        .select(
+            "item",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "item")
+    )

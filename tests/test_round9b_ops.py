@@ -1,0 +1,226 @@
+"""Round-9 late additions (round-10 window leads): exact heavy hitters
+with a Misra-Gries prune, hash-seeded deterministic random walks, and
+the bounded-hop reach census — each property-tested against an
+in-Python brute force, plus the adversarial cases the sketches must
+survive (evenly-spread heavy items, sink nodes, isolated roots).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from knot_another_pipeline_spark.operators.graph import (
+    deterministic_walks,
+    reach_census,
+)
+from knot_another_pipeline_spark.operators.quality import heavy_hitters
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters
+
+
+def _brute_hitters(items, num, den):
+    n = len(items)
+    cnt = Counter(items)
+    return {
+        it: c for it, c in cnt.items() if c * den >= n * num
+    }
+
+
+def test_heavy_hitters_matches_bruteforce(spark):
+    rng = random.Random(17)
+    # zipf-ish: token i drawn with weight 1/(i+1)
+    vocab = [f"w{i}" for i in range(200)]
+    weights = [1.0 / (i + 1) for i in range(200)]
+    items = rng.choices(vocab, weights=weights, k=20_000)
+    df = spark.createDataFrame([(v,) for v in items], ["tok"]).repartition(16)
+    out = {
+        r["item"]: (r["cnt"], r["share"])
+        for r in heavy_hitters(
+            df, item_col="tok", support_num=1, support_den=100
+        ).collect()
+    }
+    expect = _brute_hitters(items, 1, 100)
+    assert set(out) == set(expect)
+    for it, c in expect.items():
+        assert out[it][0] == c
+        assert out[it][1] == round(c / len(items), 6)
+
+
+def test_heavy_hitters_survives_even_spread(spark):
+    """The adversarial case for a per-partition prune: a heavy item
+    spread perfectly evenly across many partitions, sitting exactly at
+    the global threshold, must still be found (the MG union-superset
+    guarantee the docstring proves)."""
+    # 64 partitions, heavy item exactly 1% of 51_200 rows = 512
+    # occurrences, 8 per partition, drowned locally by partition-unique
+    # filler tokens.
+    rows = []
+    for p in range(64):
+        rows.extend([(f"filler_{p}_{i}",) for i in range(792)])
+        rows.extend([("needle",)] * 8)
+    df = spark.createDataFrame(rows, ["tok"]).repartition(64)
+    out = heavy_hitters(
+        df, item_col="tok", support_num=1, support_den=100
+    ).collect()
+    assert [r["item"] for r in out] == ["needle"]
+    assert out[0]["cnt"] == 512
+
+
+def test_heavy_hitters_ignores_nulls_and_validates(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",)], ["tok"]
+    )
+    out = heavy_hitters(
+        df, item_col="tok", support_num=1, support_den=2
+    ).collect()
+    # N = 3 non-null items; only "a" (2 >= 3/2)
+    assert [(r["item"], r["cnt"]) for r in out] == [("a", 2)]
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters(df, item_col="tok", support_num=0, support_den=2)
+    with pytest.raises(ValueError, match="margin"):
+        heavy_hitters(df, item_col="tok", margin=1)
+
+
+# ---------------------------------------------------------------------------
+# deterministic_walks
+
+
+def _hash64(payload: str) -> int:
+    return int(hashlib.md5(f"0:{payload}".encode()).hexdigest()[:15], 16)
+
+
+def _brute_walks(edges, starts, steps, walks_per_start):
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    out = []
+    for node in sorted(set(starts)):
+        for w in range(walks_per_start):
+            wid = f"{node}#{w}"
+            cur = node
+            out.append((wid, 0, cur))
+            for t in range(1, steps + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[_hash64(f"{wid}|{t}|{cur}") % len(nbrs)]
+                out.append((wid, t, cur))
+    return sorted(out)
+
+
+def test_deterministic_walks_matches_bruteforce(spark):
+    rng = random.Random(23)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(300)
+        }
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    starts = spark.createDataFrame(
+        [(n,) for n in nodes[:10]], ["node"]
+    )
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in deterministic_walks(
+            e, starts=starts, steps=4, walks_per_start=3
+        ).collect()
+    )
+    assert got == _brute_walks(edges, nodes[:10], 4, 3)
+
+
+def test_deterministic_walks_partitioning_invariant(spark):
+    """Bit-identical output whatever the physical partitioning — the
+    whole point of hash-seeded picks over rand()."""
+    edges = [(f"a{i}", f"b{(i * 7) % 11}") for i in range(60)] + [
+        (f"b{i}", f"a{(i * 3) % 13}") for i in range(11)
+    ]
+    starts = [(f"a{i}",) for i in range(5)]
+    outs = []
+    for parts in (1, 7):
+        e = spark.createDataFrame(edges, ["src", "dst"]).repartition(parts)
+        s = spark.createDataFrame(starts, ["node"])
+        outs.append(
+            sorted(
+                (r["walk_id"], r["step"], r["node"])
+                for r in deterministic_walks(
+                    e, starts=s, steps=3, walks_per_start=2
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_deterministic_walks_sink_truncates(spark):
+    e = spark.createDataFrame([("a", "sink")], ["src", "dst"])
+    s = spark.createDataFrame([("a",)], ["node"])
+    rows = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in deterministic_walks(e, starts=s, steps=5).collect()
+    )
+    assert rows == [("a#0", 0, "a"), ("a#0", 1, "sink")]
+    with pytest.raises(ValueError, match="steps"):
+        deterministic_walks(e, starts=s, steps=-1)
+    with pytest.raises(ValueError, match="walks_per_start"):
+        deterministic_walks(e, starts=s, steps=1, walks_per_start=0)
+
+
+# ---------------------------------------------------------------------------
+# reach_census
+
+
+def _brute_reach(edges, roots, hops):
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    out = {}
+    for r in set(roots):
+        reached = {r}
+        frontier = {r}
+        per_hop = []
+        for _ in range(hops):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj.get(u, set())
+            frontier = nxt - reached
+            reached |= frontier
+            per_hop.append(len(frontier))
+        out[r] = tuple(per_hop) + (sum(per_hop),)
+    return out
+
+
+def test_reach_census_matches_bruteforce(spark):
+    rng = random.Random(5)
+    nodes = [f"v{i}" for i in range(50)]
+    edges = list(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)}
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    roots = spark.createDataFrame([(n,) for n in nodes[:12]], ["node"])
+    got = {
+        r["root"]: (r["n_hop1"], r["n_hop2"], r["n_hop3"], r["n_reach"])
+        for r in reach_census(e, roots=roots, hops=3).collect()
+    }
+    assert got == _brute_reach(edges, nodes[:12], 3)
+
+
+def test_reach_census_isolated_root_zero_filled(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    roots = spark.createDataFrame(
+        [("a",), ("lonely",)], ["node"]
+    )
+    got = {
+        r["root"]: (r["n_hop1"], r["n_hop2"], r["n_reach"])
+        for r in reach_census(e, roots=roots, hops=2).collect()
+    }
+    assert got == {"a": (1, 1, 2), "lonely": (0, 0, 0)}
+    with pytest.raises(ValueError, match="hops"):
+        reach_census(e, roots=roots, hops=0)
