@@ -56,7 +56,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/knap_scale_probe"
 
-OPS = ["ais_hourly", "pairs_monthly", "exact_dedup", "bm25_search", "hll_distinct"]
+OPS = [
+    "ais_hourly",
+    "pairs_monthly",
+    "exact_dedup",
+    "bm25_search",
+    "hll_distinct",
+    # heavy_hitters on the UNSALTED documents replica: copies repeat the
+    # same text, so the hitter set is constant while N and every count
+    # scale by k — output rows fixed, work linear, the plan is what's
+    # measured.
+    "heavy_hitters",
+]
 OPS_SALTED = [
     "minhash_pairs",
     "dedup_components",
@@ -79,7 +90,15 @@ OPS_SALTED = [
 # Dates are NOT shifted: shifting would move copies across the probe
 # queries' date windows and change filter selectivity per copy.
 OPS_TPCH = ["shipping_priority", "product_profit"]
-OPS_ALL = OPS + OPS_SALTED + OPS_TPCH
+# Iterative/graph shapes, probed on a BOTH-KEYS-SHIFTED lineitem replica
+# (l_orderkey AND l_partkey shifted per copy): each copy is a DISJOINT
+# order<->part graph, so node count, walk count, and per-root reach all
+# scale exactly linearly in k.  The orderkey-only TPC-H replica would
+# instead fuse the copies through shared part nodes — part degrees grow
+# k-fold and the true 2-hop reach grows k^2, measuring the data, not
+# the plan (same argument as the word-salted near-dup replicas).
+OPS_GRAPH = ["pagerank", "reach_census", "deterministic_walks"]
+OPS_ALL = OPS + OPS_SALTED + OPS_TPCH + OPS_GRAPH
 
 
 def build_replica(spark, k: int) -> str:
@@ -197,6 +216,29 @@ def build_replica(spark, k: int) -> str:
     for c in ocopies[1:]:
         ok = ok.unionByName(c)
     ok.write.mode("overwrite").parquet(os.path.join(out_t, "orders.parquet"))
+
+    # both-keys-shifted graph replica: disjoint order<->part copies
+    # (see OPS_GRAPH note above)
+    out_g = os.path.join(WORK, f"k{k}g")
+    if os.path.exists(out_g):
+        shutil.rmtree(out_g)
+    os.makedirs(out_g)
+    gcopies = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * 10**9)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(i * 10**9)).alias("l_partkey"),
+            *[
+                c
+                for c in li.columns
+                if c not in ("l_orderkey", "l_partkey")
+            ],
+        )
+        for i in range(k)
+    ]
+    gk = gcopies[0]
+    for c in gcopies[1:]:
+        gk = gk.unionByName(c)
+    gk.write.mode("overwrite").parquet(os.path.join(out_g, "lineitem.parquet"))
     return out
 
 
@@ -230,7 +272,7 @@ def main() -> None:
     )
     cli = parser.parse_args()
     factors = [int(x) for x in cli.factors.split(",")]
-    global OPS, OPS_SALTED, OPS_TPCH, OPS_ALL
+    global OPS, OPS_SALTED, OPS_TPCH, OPS_GRAPH, OPS_ALL
     if cli.ops:
         wanted = set(cli.ops.split(","))
         unknown = wanted - set(OPS_ALL)
@@ -239,7 +281,8 @@ def main() -> None:
         OPS = [o for o in OPS if o in wanted]
         OPS_SALTED = [o for o in OPS_SALTED if o in wanted]
         OPS_TPCH = [o for o in OPS_TPCH if o in wanted]
-        OPS_ALL = OPS + OPS_SALTED + OPS_TPCH
+        OPS_GRAPH = [o for o in OPS_GRAPH if o in wanted]
+        OPS_ALL = OPS + OPS_SALTED + OPS_TPCH + OPS_GRAPH
     out_path = cli.out
     spark = get_spark()
     results: dict[str, dict] = {
@@ -251,12 +294,15 @@ def main() -> None:
     warm = build_replica(spark, min(factors))
     warm_s = os.path.join(WORK, f"k{min(factors)}s")
     warm_t = os.path.join(WORK, f"k{min(factors)}t")
+    warm_g = os.path.join(WORK, f"k{min(factors)}g")
     for op in OPS:
         QUERIES[op](spark, warm).count()
     for op in OPS_SALTED:
         QUERIES[op](spark, warm_s).count()
     for op in OPS_TPCH:
         QUERIES[op](spark, warm_t).count()
+    for op in OPS_GRAPH:
+        QUERIES[op](spark, warm_g).count()
     for k in factors:
         d = build_replica(spark, k)
         row_counts[str(k)] = {
@@ -270,12 +316,15 @@ def main() -> None:
         ).count()
         ds = os.path.join(WORK, f"k{k}s")
         dt = os.path.join(WORK, f"k{k}t")
+        dg = os.path.join(WORK, f"k{k}g")
         for op in OPS_ALL:
             src_dir = (
                 ds
                 if op in OPS_SALTED
                 else dt
                 if op in OPS_TPCH
+                else dg
+                if op in OPS_GRAPH
                 else d
             )
             # One UNTIMED warmup per (op, factor): the smallest-factor
