@@ -137,6 +137,49 @@ def test_cosine_topk_exact(spark):
     assert out[0]["query_id"] == 1
 
 
+def test_cosine_topk_arrow_matches_fold(spark):
+    """The BLAS engine (arrow=True) must return the identical neighbor
+    set and ranks as the sequential-fold engine on data with sane
+    rank-boundary margins, across partitionings, including self-match
+    exclusion, sub-k corpora, and null vectors."""
+    import random
+
+    from knot_another_pipeline_spark.operators.similarity import cosine_topk
+
+    rnd = random.Random(41)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(150)
+    ] + [(900, None)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(7)
+    queries = vecs.filter(F.col("vec_id") % 10 == 0)
+    for k in (3, 200):  # 200 > corpus: every neighbor ranks
+        fold = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in cosine_topk(queries, vecs, k=k).collect()
+        )
+        arrow = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in cosine_topk(queries, vecs, k=k, arrow=True).collect()
+        )
+        assert arrow == fold
+        assert all(q != n for q, n, _ in arrow)  # self excluded
+
+
+def test_cosine_topk_arrow_empty_queries(spark):
+    from knot_another_pipeline_spark.operators.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = cosine_topk(
+        vecs.filter(F.col("vec_id") < 0), vecs, k=3, arrow=True
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+
 def test_lsh_ann_recall_against_bruteforce(spark):
     """LSH ANN must recover most of the true top-k on clustered data."""
     import random
