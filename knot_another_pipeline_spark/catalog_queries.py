@@ -11989,6 +11989,74 @@ ORDER BY r.root
 """
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the synthetic purchase scorer per
+    weekday (operators/evaluation.py isotonic_calibration): one binned
+    aggregate + per-group pool-adjacent-violators with exact integer
+    rate comparisons.  The oracle computes the identical fit through
+    the O(B^2) minimax identity max_{a<=i} min_{b>=i} mean(a..b), so
+    the hash match proves PAV == minimax on this data."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = events.select(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).cast("string").alias("wd"),
+        (F.col("value") / 491.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return isotonic_calibration(
+        s, score_col="score", label_col="y", group_cols=["wd"], n_bins=40
+    )
+
+
+ORACLE_ISOTONIC_CALIBRATION = """
+WITH s AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS VARCHAR) AS wd,
+         CAST(value AS DOUBLE) / 491.0 AS sc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+b AS (
+  SELECT wd, least(39, greatest(0, CAST(floor(sc * 40) AS INT))) AS bin, y
+  FROM s),
+bins AS (
+  SELECT wd, bin, count(*) AS n, sum(y) AS pos FROM b GROUP BY wd, bin),
+cum AS (
+  SELECT wd, bin, n, pos,
+         row_number() OVER (PARTITION BY wd ORDER BY bin) AS rn,
+         sum(n) OVER (PARTITION BY wd ORDER BY bin) AS cn,
+         sum(pos) OVER (PARTITION BY wd ORDER BY bin) AS cp
+  FROM bins),
+ranges AS (
+  SELECT hi.wd, lo.rn AS a, hi.rn AS b,
+         (hi.cp - lo.cp + lo.pos) * 1.0 / (hi.cn - lo.cn + lo.n) AS mean
+  FROM cum hi JOIN cum lo ON lo.wd = hi.wd AND lo.rn <= hi.rn),
+g AS (
+  SELECT wd, a, b AS i,
+         min(mean) OVER (PARTITION BY wd, a ORDER BY b DESC) AS minmean
+  FROM ranges),
+iso AS (
+  SELECT wd, i AS rn, max(minmean) AS iso FROM g GROUP BY wd, i)
+SELECT c.wd, c.bin,
+       round(c.bin / 40.0, 6) AS lo,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.pos AS BIGINT) AS pos,
+       round(c.pos * 1.0 / c.n, 6) AS raw_rate,
+       round(iso.iso, 6) AS iso_prob
+FROM cum c JOIN iso ON iso.wd = c.wd AND iso.rn = c.rn
+ORDER BY c.wd, c.bin
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -11996,6 +12064,7 @@ QUERIES = {
     # round-10 candidate additions (queued after the pinned round-9
     # driver window; they lead the round-10 window):
     "heavy_hitters": q_heavy_hitters,
+    "isotonic_calibration": q_isotonic_calibration,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -12291,6 +12360,7 @@ QUERIES = {
 ORACLES = {
     # round-9 additions
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

@@ -1393,3 +1393,119 @@ def average_precision(
             ).alias("avg_precision"),
         )
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration per group — the
+    monotone-regression upgrade of :func:`calibration_curve`: instead
+    of reporting raw per-bin rates, fit the best monotone
+    non-decreasing probability curve (the classic
+    Platt-vs-isotonic choice for calibrating ranker/classifier scores
+    before they gate data selection).
+
+    Scale shape: the N input rows collapse to at most ``n_bins``
+    fixed-width score bins per group in ONE distributed hash aggregate
+    (the only shuffle that sees data volume); the pool-adjacent-
+    violators solve then runs per group over <= ``n_bins`` rows inside
+    ``applyInPandas``.  PAV block merges compare pooled rates with
+    EXACT integer cross-multiplication (``pos_i·n_j > pos_j·n_i``), so
+    the fitted values are bit-deterministic: each output equals
+    ``double(Σpos/Σn)`` of its final block.  The catalog oracle
+    computes the same fit through the closed-form minimax identity
+    ``iso(i) = max_{a<=i} min_{b>=i} mean(a..b)`` over all bin ranges
+    — the hash match is a proof that the O(B) PAV pooling equals the
+    O(B²) minimax solution on real data.
+
+    Empty bins are absent (monotonicity is over the ORDER of present
+    bins, identical on both sides).  Output per (group, bin):
+    group cols, bin, lo (= bin/n_bins), n, pos, raw_rate, iso_prob.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    groups = list(group_cols or [])
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor(F.col(score_col) * n_bins).cast("int")
+        ),
+    )
+    binned = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(
+            *groups,
+            bin_col.alias("bin"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy(*groups, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("pos"),
+        )
+    )
+
+    out_fields = ", ".join(
+        [f"`{g}` string" for g in groups]
+        + ["bin int", "n long", "pos long", "iso_prob double"]
+    )
+
+    def pav(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        # blocks of (weight, positives, first_idx); rates compared via
+        # exact integer cross-multiplication, division only at the end
+        blocks: list[list[int]] = []  # [n, pos, n_bins_in_block]
+        for n_i, p_i in zip(pdf["n"], pdf["pos"]):
+            blocks.append([int(n_i), int(p_i), 1])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][1] * blocks[-1][0]
+                >= blocks[-1][1] * blocks[-2][0]
+            ):
+                w2, s2, c2 = blocks.pop()
+                blocks[-1][0] += w2
+                blocks[-1][1] += s2
+                blocks[-1][2] += c2
+        iso = []
+        for w, s, c in blocks:
+            iso.extend([s / w] * c)
+        out = pdf[[*groups, "bin", "n", "pos"]].copy()
+        out["iso_prob"] = pd.Series(iso, dtype="float64")
+        return out
+
+    grouped = (
+        binned.withColumns(
+            {g: F.col(g).cast("string") for g in groups}
+        ).groupBy(*groups)
+        if groups
+        else binned.withColumn("_g", F.lit(0)).groupBy("_g")
+    )
+    if not groups:
+        out_fields = "_g int, " + out_fields
+    fitted = grouped.applyInPandas(
+        (lambda pdf: pav(pdf))
+        if groups
+        else (lambda pdf: pav(pdf).assign(_g=0)),
+        out_fields,
+    )
+    if not groups:
+        fitted = fitted.drop("_g")
+    return fitted.select(
+        *groups,
+        "bin",
+        F.round(F.col("bin") / F.lit(float(n_bins)), round_to).alias("lo"),
+        "n",
+        "pos",
+        F.round(F.col("pos") / F.col("n"), round_to).alias("raw_rate"),
+        F.round("iso_prob", round_to).alias("iso_prob"),
+    ).orderBy(*groups, "bin")

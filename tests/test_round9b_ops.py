@@ -224,3 +224,88 @@ def test_reach_census_isolated_root_zero_filled(spark):
     assert got == {"a": (1, 1, 2), "lonely": (0, 0, 0)}
     with pytest.raises(ValueError, match="hops"):
         reach_census(e, roots=roots, hops=0)
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration
+
+
+def _brute_minimax_iso(bins):
+    """O(B^2) minimax reference: iso(i) = max_{a<=i} min_{b>=i} mean(a..b)
+    over PRESENT bins (n, pos) in bin order, exact rationals."""
+    from fractions import Fraction
+
+    B = len(bins)
+    out = []
+    for i in range(B):
+        best = None
+        for a in range(i + 1):
+            worst = None
+            for b in range(i, B):
+                n = sum(x[0] for x in bins[a : b + 1])
+                p = sum(x[1] for x in bins[a : b + 1])
+                m = Fraction(p, n)
+                if worst is None or m < worst:
+                    worst = m
+            if best is None or worst > best:
+                best = worst
+        out.append(float(best))
+    return out
+
+
+def test_isotonic_calibration_matches_minimax(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(4000):
+        s = rng.random()
+        # miscalibrated, non-monotone in patches: flip band [0.4, 0.5)
+        p = 0.9 - 0.7 * s if 0.4 <= s < 0.5 else 0.15 + 0.7 * s
+        rows.append((s, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = isotonic_calibration(
+        df, score_col="score", label_col="y", n_bins=20
+    ).collect()
+    # reference over the same fixed-width bins
+    binned = {}
+    for s, y in rows:
+        b = min(19, max(0, int(s * 20)))
+        n, p = binned.get(b, (0, 0))
+        binned[b] = (n + 1, p + y)
+    order = sorted(binned)
+    ref = _brute_minimax_iso([binned[b] for b in order])
+    assert [r["bin"] for r in got] == order
+    for r, b, iso in zip(got, order, ref):
+        assert r["n"] == binned[b][0] and r["pos"] == binned[b][1]
+        assert r["iso_prob"] == round(iso, 6)
+    # fitted curve is monotone non-decreasing
+    iso_seq = [r["iso_prob"] for r in got]
+    assert iso_seq == sorted(iso_seq)
+
+
+def test_isotonic_calibration_groups_and_validation(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    # group g1 perfectly increasing, g2 all-violating (decreasing):
+    # g2 must pool to one flat block = its global rate
+    rows = (
+        [("g1", 0.1, 0), ("g1", 0.1, 0), ("g1", 0.9, 1), ("g1", 0.9, 1)]
+        + [("g2", 0.1, 1), ("g2", 0.1, 1), ("g2", 0.9, 0), ("g2", 0.9, 1)]
+    )
+    df = spark.createDataFrame(rows, "g string, score double, y int")
+    got = {
+        (r["g"], r["bin"]): r["iso_prob"]
+        for r in isotonic_calibration(
+            df, score_col="score", label_col="y", group_cols=["g"],
+            n_bins=10,
+        ).collect()
+    }
+    assert got[("g1", 1)] == 0.0 and got[("g1", 9)] == 1.0
+    assert got[("g2", 1)] == got[("g2", 9)] == 0.75
+    with pytest.raises(ValueError, match="n_bins"):
+        isotonic_calibration(df, score_col="score", label_col="y", n_bins=1)
