@@ -236,6 +236,13 @@ HEADLINE = [
     "nation_trade_volume",
     "market_share",
     "product_profit",
+    # r9 over-cap additions (round-10 driver-window leads): sketch-pruned
+    # exact heavy hitters, deterministic walk corpus, bounded-hop reach
+    # census, isotonic calibration
+    "heavy_hitters",
+    "deterministic_walks",
+    "reach_census",
+    "isotonic_calibration",
 ]
 
 
