@@ -41,6 +41,7 @@ __all__ = [
     "dedup_pr_curve",
     "group_fairness",
     "ips_policy_value",
+    "isotonic_calibration",
     "lift_table",
     "pair_eval",
     "psi_stability",
