@@ -243,6 +243,7 @@ HEADLINE = [
     "deterministic_walks",
     "reach_census",
     "isotonic_calibration",
+    "cuped_readout",
 ]
 
 

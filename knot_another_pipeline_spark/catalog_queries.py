@@ -11989,6 +11989,79 @@ ORDER BY r.root
 """
 
 
+def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/evaluation.py
+    cuped_readout) on a per-user pre/post split of the events stream:
+    covariate = the user's mean event value before 2024-07-01, metric =
+    the mean after; arms by user-id parity.  One moment-sum aggregate
+    over users, theta from a 2-row reduction, broadcast back."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        cuped_readout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    split = F.col("ts") < F.lit("2024-07-01").cast("timestamp")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.avg(F.when(split, F.col("value"))).alias("pre"),
+            F.avg(F.when(~split, F.col("value"))).alias("post"),
+        )
+        .filter(F.col("pre").isNotNull() & F.col("post").isNotNull())
+        .select(
+            (F.col("user_id") % 2).cast("string").alias("arm"),
+            "pre",
+            "post",
+        )
+    )
+    return cuped_readout(
+        users, metric_col="post", covariate_col="pre", arm_col="arm"
+    )
+
+
+ORACLE_CUPED_READOUT = """
+WITH users AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS arm,
+         avg(CASE WHEN ts < TIMESTAMP '2024-07-01' THEN value END) AS pre,
+         avg(CASE WHEN ts >= TIMESTAMP '2024-07-01' THEN value END) AS post
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id),
+u AS (SELECT * FROM users WHERE pre IS NOT NULL AND post IS NOT NULL),
+arms AS (
+  SELECT arm, count(*) AS n,
+         sum(post) AS sy, sum(post * post) AS syy,
+         sum(pre) AS sx, sum(pre * pre) AS sxx,
+         sum(pre * post) AS sxy
+  FROM u GROUP BY arm),
+pool AS (
+  SELECT sum(n) AS pn, sum(sy) AS psy, sum(sx) AS psx,
+         sum(sxx) AS psxx, sum(sxy) AS psxy
+  FROM arms),
+th AS (
+  SELECT CASE WHEN (psxx / pn - (psx / pn) * (psx / pn)) > 0
+              THEN (psxy / pn - (psx / pn) * (psy / pn))
+                   / (psxx / pn - (psx / pn) * (psx / pn))
+              ELSE 0.0 END AS theta,
+         psx / pn AS mx_pool
+  FROM pool)
+SELECT arm, CAST(n AS BIGINT) AS n,
+       round(sy / n, 6) AS mean_metric,
+       round(sy / n - theta * (sx / n - mx_pool), 6) AS mean_adjusted,
+       round(theta, 6) AS theta,
+       CASE WHEN (syy / n - (sy / n) * (sy / n)) > 0 THEN
+         round(1 - ((syy / n - (sy / n) * (sy / n))
+                    - 2 * theta * (sxy / n - (sx / n) * (sy / n))
+                    + theta * theta * (sxx / n - (sx / n) * (sx / n)))
+                   / (syy / n - (sy / n) * (sy / n)), 6)
+       END AS var_reduction
+FROM arms, th
+ORDER BY arm
+"""
+
+
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of the synthetic purchase scorer per
     weekday (operators/evaluation.py isotonic_calibration): one binned
@@ -12065,6 +12138,7 @@ QUERIES = {
     # driver window; they lead the round-10 window):
     "heavy_hitters": q_heavy_hitters,
     "isotonic_calibration": q_isotonic_calibration,
+    "cuped_readout": q_cuped_readout,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -12361,6 +12435,7 @@ ORACLES = {
     # round-9 additions
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,
+    "cuped_readout": ORACLE_CUPED_READOUT,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

@@ -38,6 +38,7 @@ __all__ = [
     "categorical_psi",
     "classification_report",
     "conformal_threshold",
+    "cuped_readout",
     "dedup_pr_curve",
     "group_fairness",
     "ips_policy_value",
@@ -1510,3 +1511,92 @@ def isotonic_calibration(
         F.round(F.col("pos") / F.col("n"), round_to).alias("raw_rate"),
         F.round("iso_prob", round_to).alias("iso_prob"),
     ).orderBy(*groups, "bin")
+
+
+def cuped_readout(
+    df: DataFrame,
+    *,
+    metric_col: str,
+    covariate_col: str,
+    arm_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments"): the
+    per-arm metric mean re-centered on a pre-experiment covariate,
+    ``ŷ_adj = ȳ_arm − θ·(x̄_arm − x̄_pool)`` with
+    ``θ = cov(x, y) / var(x)`` fitted POOLED across arms — the
+    standard A/B-platform move that cuts metric variance by the
+    squared covariate correlation without touching the point estimate
+    under randomization.
+
+    Scale shape: ONE hash aggregate over the data computes the six
+    per-arm moment sums (n, Σy, Σy², Σx, Σx², Σxy) — the only shuffle
+    that sees row volume; θ and the pooled covariate mean come from a
+    second aggregate over the HANDFUL of arm rows, broadcast back with
+    a 1-row crossJoin.  Everything after the moment sums is row-local
+    arithmetic — no second pass over the data, no per-row adjustment
+    materialized (the algebra ``mean(y − θ(x − x̄))`` collapses onto
+    the sums).
+
+    Rows with NULL metric or covariate are excluded (they carry no
+    moment).  Output per arm: arm, n, mean_metric, mean_adjusted,
+    theta (same every row), var_reduction (1 − var_adj/var_metric,
+    population form; NULL for a zero-variance arm).
+    """
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    arms = (
+        df.filter(y.isNotNull() & x.isNotNull())
+        .groupBy(F.col(arm_col).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    pool = arms.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sy").alias("psy"),
+        F.sum("sx").alias("psx"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sxy").alias("psxy"),
+    ).select(
+        (
+            (F.col("psxy") / F.col("pn"))
+            - (F.col("psx") / F.col("pn")) * (F.col("psy") / F.col("pn"))
+        ).alias("_cov"),
+        (
+            (F.col("psxx") / F.col("pn"))
+            - F.pow(F.col("psx") / F.col("pn"), 2)
+        ).alias("_varx"),
+        (F.col("psx") / F.col("pn")).alias("mx_pool"),
+    ).select(
+        F.when(F.col("_varx") > 0, F.col("_cov") / F.col("_varx"))
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+        "mx_pool",
+    )
+    j = arms.crossJoin(F.broadcast(pool))
+    my = F.col("sy") / F.col("n")
+    mx = F.col("sx") / F.col("n")
+    var_y = F.col("syy") / F.col("n") - my * my
+    cov_a = F.col("sxy") / F.col("n") - mx * my
+    var_x = F.col("sxx") / F.col("n") - mx * mx
+    th = F.col("theta")
+    var_adj = var_y - 2 * th * cov_a + th * th * var_x
+    return j.select(
+        "arm",
+        "n",
+        F.round(my, round_to).alias("mean_metric"),
+        F.round(
+            my - th * (mx - F.col("mx_pool")), round_to
+        ).alias("mean_adjusted"),
+        F.round(th, round_to).alias("theta"),
+        F.when(var_y > 0, F.round(1 - var_adj / var_y, round_to))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("var_reduction"),
+    ).orderBy("arm")

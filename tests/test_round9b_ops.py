@@ -309,3 +309,77 @@ def test_isotonic_calibration_groups_and_validation(spark):
     assert got[("g2", 1)] == got[("g2", 9)] == 0.75
     with pytest.raises(ValueError, match="n_bins"):
         isotonic_calibration(df, score_col="score", label_col="y", n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+# cuped_readout
+
+
+def test_cuped_readout_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        cuped_readout,
+    )
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(3000):
+        x = rng.gauss(10, 3)
+        arm = "t" if i % 2 else "c"
+        lift = 0.5 if arm == "t" else 0.0
+        y = 2.0 + 0.8 * x + lift + rng.gauss(0, 1)
+        rows.append((arm, x, y))
+    df = spark.createDataFrame(rows, "arm string, x double, y double")
+    got = {
+        r["arm"]: r
+        for r in cuped_readout(
+            df, metric_col="y", covariate_col="x", arm_col="arm"
+        ).collect()
+    }
+    # brute force
+    xs = [x for _, x, _ in rows]
+    ys = [y for _, _, y in rows]
+    n = len(rows)
+    mx = sum(xs) / n
+    myy = sum(ys) / n
+    cov = sum(x * y for _, x, y in rows) / n - mx * myy
+    varx = sum(x * x for x in xs) / n - mx * mx
+    theta = cov / varx
+    for arm in ("c", "t"):
+        sub = [(x, y) for a, x, y in rows if a == arm]
+        na = len(sub)
+        mxa = sum(x for x, _ in sub) / na
+        mya = sum(y for _, y in sub) / na
+        assert got[arm]["n"] == na
+        assert got[arm]["mean_metric"] == round(mya, 6)
+        assert abs(
+            got[arm]["mean_adjusted"] - (mya - theta * (mxa - mx))
+        ) < 2e-6
+        assert abs(got[arm]["theta"] - theta) < 2e-6
+        # strong covariate correlation => big variance reduction
+        assert got[arm]["var_reduction"] > 0.7
+    # CUPED must not move the pooled treatment-effect estimate much:
+    # adjusted and raw deltas agree to the covariate-imbalance term
+    raw_delta = got["t"]["mean_metric"] - got["c"]["mean_metric"]
+    adj_delta = got["t"]["mean_adjusted"] - got["c"]["mean_adjusted"]
+    assert abs(adj_delta - 0.5) < abs(raw_delta - 0.5) + 0.2
+
+
+def test_cuped_readout_degenerate_covariate(spark):
+    """Zero-variance covariate => theta 0, adjusted == raw means."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        cuped_readout,
+    )
+
+    rows = [("a", 1.0, float(v)) for v in (1, 2, 3)] + [
+        ("b", 1.0, float(v)) for v in (4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x double, y double")
+    got = {
+        r["arm"]: r
+        for r in cuped_readout(
+            df, metric_col="y", covariate_col="x", arm_col="arm"
+        ).collect()
+    }
+    assert got["a"]["theta"] == 0.0
+    assert got["a"]["mean_adjusted"] == got["a"]["mean_metric"] == 2.0
+    assert got["b"]["mean_adjusted"] == got["b"]["mean_metric"] == 5.0
