@@ -244,6 +244,9 @@ HEADLINE = [
     "reach_census",
     "isotonic_calibration",
     "cuped_readout",
+    "theil_sen",
+    "holt_forecast",
+    "fdr_adjust",
 ]
 
 

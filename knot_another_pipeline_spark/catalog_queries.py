@@ -11989,6 +11989,215 @@ ORDER BY r.root
 """
 
 
+_DAILY_SERIES_SQL = """
+  SELECT event_type AS series,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("_day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y")).select(
+        "series",
+        F.datediff(F.col("_day"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        "y",
+    )
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volumes per type
+    (operators/temporal.py theil_sen): median of all pairwise slopes
+    over the pre-aggregated daily series — the outlier-immune
+    counterpart of the OLS trend_fit; one self-equi-join on the series
+    key, medians via percentile/quantile_cont."""
+    from knot_another_pipeline_spark.operators.temporal import theil_sen
+
+    return theil_sen(
+        _daily_series(spark, sf_dir),
+        series_col="series", x_col="x", y_col="y",
+    )
+
+
+ORACLE_THEIL_SEN = f"""
+WITH daily AS ({_DAILY_SERIES_SQL}),
+pairs AS (
+  SELECT a.series, (b.y - a.y) / (b.x - a.x) AS pair_slope
+  FROM daily a JOIN daily b ON a.series = b.series AND a.x < b.x),
+sl AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(pair_slope, 0.5) AS slope
+  FROM pairs GROUP BY series),
+cnts AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n_points
+  FROM daily GROUP BY series),
+res AS (
+  SELECT d.series, quantile_cont(d.y - sl.slope * d.x, 0.5) AS intercept
+  FROM daily d JOIN sl ON sl.series = d.series GROUP BY d.series)
+SELECT c.series, c.n_points,
+       coalesce(sl.n_pairs, 0) AS n_pairs,
+       round(sl.slope, 6) AS slope,
+       round(res.intercept, 6) AS intercept
+FROM cnts c
+LEFT JOIN sl ON sl.series = c.series
+LEFT JOIN res ON res.series = c.series
+ORDER BY c.series
+"""
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of daily event volumes per
+    type (operators/temporal.py holt_forecast): the whole level/trend
+    recurrence is one chronological F.aggregate fold in codegen; the
+    oracle replays it with a recursive CTE, matching every double op
+    in order."""
+    from knot_another_pipeline_spark.operators.temporal import holt_forecast
+
+    return holt_forecast(
+        _daily_series(spark, sf_dir),
+        series_col="series", t_col="x", y_col="y",
+        alpha=0.5, beta=0.3, horizon=7,
+    )
+
+
+ORACLE_HOLT_FORECAST = f"""
+WITH RECURSIVE daily AS ({_DAILY_SERIES_SQL}),
+ord AS (
+  SELECT series, y,
+         row_number() OVER (PARTITION BY series ORDER BY x) AS rn
+  FROM daily),
+rec AS (
+  SELECT o1.series, o2.y AS l, o2.y - o1.y AS b,
+         CAST(0.0 AS DOUBLE) AS sse, 2 AS rn
+  FROM ord o1 JOIN ord o2
+    ON o1.series = o2.series AND o1.rn = 1 AND o2.rn = 2
+  UNION ALL
+  SELECT r.series,
+         0.5e0 * o.y + 0.5e0 * (r.l + r.b),
+         0.3e0 * ((0.5e0 * o.y + 0.5e0 * (r.l + r.b)) - r.l)
+           + 0.7e0 * r.b,
+         r.sse + (o.y - (r.l + r.b)) * (o.y - (r.l + r.b)),
+         r.rn + 1
+  FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn + 1),
+fin AS (
+  SELECT series, l, b, sse, rn
+  FROM rec
+  QUALIFY rn = max(rn) OVER (PARTITION BY series))
+SELECT series, CAST(rn AS BIGINT) AS n_points,
+       round(l, 6) AS level,
+       round(b, 6) AS trend,
+       round(l + 7e0 * b, 6) AS forecast,
+       round(CASE WHEN rn > 2 THEN sqrt(sse / (rn - 2))
+                  ELSE 0.0 END, 6) AS rmse
+FROM fin
+ORDER BY series
+"""
+
+
+def q_fdr_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR sweep (operators/quality.py fdr_adjust)
+    over ~190 per-(event_type, hour) weekend-vs-weekday value z-tests:
+    ranking by |z| so the exp-based p approximation never decides
+    order, p/q from the ROUNDED z so both engines feed exp identical
+    inputs."""
+    from knot_another_pipeline_spark.operators.quality import fdr_adjust
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    )
+    we = wd.isin(5, 6)
+    v = F.col("value").cast("double")
+    g = ev.groupBy(
+        F.concat(
+            F.col("event_type"), F.lit("@"), F.hour("ts").cast("string")
+        ).alias("key")
+    ).agg(
+        F.sum(F.when(we, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(we, v).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(we, v * v).otherwise(0.0)).alias("ss1"),
+        F.sum(F.when(~we, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(~we, v).otherwise(0.0)).alias("s0"),
+        F.sum(F.when(~we, v * v).otherwise(0.0)).alias("ss0"),
+    )
+    m1, m0 = F.col("s1") / F.col("n1"), F.col("s0") / F.col("n0")
+    v1 = F.col("ss1") / F.col("n1") - m1 * m1
+    v0 = F.col("ss0") / F.col("n0") - m0 * m0
+    se = F.sqrt(v1 / F.col("n1") + v0 / F.col("n0"))
+    z = F.when(
+        (F.col("n1") >= 2) & (F.col("n0") >= 2) & (se > 0), (m1 - m0) / se
+    )
+    tests = g.select("key", z.alias("z"))
+    return fdr_adjust(tests, key_col="key", z_col="z", alpha=0.05)
+
+
+ORACLE_FDR_ADJUST = """
+WITH ev AS (
+  SELECT event_type || '@' || CAST(hour(ts) AS VARCHAR) AS key,
+         (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+           IN (5, 6) AS we,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+g AS (
+  SELECT key,
+         CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         sum(CASE WHEN we THEN v ELSE 0.0e0 END) AS s1,
+         sum(CASE WHEN we THEN v * v ELSE 0.0e0 END) AS ss1,
+         CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         sum(CASE WHEN NOT we THEN v ELSE 0.0e0 END) AS s0,
+         sum(CASE WHEN NOT we THEN v * v ELSE 0.0e0 END) AS ss0
+  FROM ev GROUP BY key),
+zt AS (
+  SELECT key,
+         round(CASE WHEN n1 >= 2 AND n0 >= 2
+                     AND sqrt((ss1 / n1 - (s1 / n1) * (s1 / n1)) / n1
+                            + (ss0 / n0 - (s0 / n0) * (s0 / n0)) / n0) > 0
+               THEN (s1 / n1 - s0 / n0)
+                    / sqrt((ss1 / n1 - (s1 / n1) * (s1 / n1)) / n1
+                         + (ss0 / n0 - (s0 / n0) * (s0 / n0)) / n0)
+               END, 6) AS z
+  FROM g),
+d AS (SELECT key, z FROM zt WHERE z IS NOT NULL),
+ranked AS (
+  SELECT key, z,
+         2e0 * (exp(-abs(z) * abs(z) / 2e0) / 2.5066282746310002e0)
+             * ((1e0 / (1e0 + 0.2316419e0 * abs(z)))
+                * (0.319381530e0
+                   + (1e0 / (1e0 + 0.2316419e0 * abs(z)))
+                   * (-0.356563782e0
+                      + (1e0 / (1e0 + 0.2316419e0 * abs(z)))
+                      * (1.781477937e0
+                         + (1e0 / (1e0 + 0.2316419e0 * abs(z)))
+                         * (-1.821255978e0
+                            + (1e0 / (1e0 + 0.2316419e0 * abs(z)))
+                            * 1.330274429e0))))) AS p,
+         row_number() OVER (ORDER BY abs(z) DESC, key ASC) AS rank,
+         count(*) OVER () AS m
+  FROM d)
+SELECT key, z,
+       round(p, 6) AS p_value,
+       CAST(rank AS BIGINT) AS rank,
+       round(least(1e0, min(p * m / rank) OVER (
+           ORDER BY rank DESC ROWS UNBOUNDED PRECEDING)), 6) AS q_value,
+       least(1e0, min(p * m / rank) OVER (
+           ORDER BY rank DESC ROWS UNBOUNDED PRECEDING)) <= 0.05e0
+         AS reject
+FROM ranked
+ORDER BY rank
+"""
+
+
 def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (operators/evaluation.py
     cuped_readout) on a per-user pre/post split of the events stream:
@@ -12139,6 +12348,9 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "isotonic_calibration": q_isotonic_calibration,
     "cuped_readout": q_cuped_readout,
+    "theil_sen": q_theil_sen,
+    "holt_forecast": q_holt_forecast,
+    "fdr_adjust": q_fdr_adjust,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -12436,6 +12648,9 @@ ORACLES = {
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,
     "cuped_readout": ORACLE_CUPED_READOUT,
+    "theil_sen": ORACLE_THEIL_SEN,
+    "holt_forecast": ORACLE_HOLT_FORECAST,
+    "fdr_adjust": ORACLE_FDR_ADJUST,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

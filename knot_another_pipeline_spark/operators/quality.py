@@ -2621,3 +2621,103 @@ def heavy_hitters(
         )
         .orderBy(F.col("cnt").desc(), "item")
     )
+
+
+def normal_sf_two_sided(z: Column) -> Column:
+    """Two-sided normal p-value ``2·(1 − Φ(|z|))`` via the
+    Abramowitz–Stegun 26.2.17 polynomial (|error| < 7.5e-8) — pure
+    ``exp`` + polynomial arithmetic, so the DuckDB oracle can evaluate
+    the identical expression (Spark SQL has no erf; same workaround
+    family as :func:`proportion_test`'s fixed-α booleans, but yielding
+    the p-value itself for FDR pipelines).  NULL z propagates.
+    """
+    az = F.abs(z)
+    k = 1.0 / (1.0 + 0.2316419 * az)
+    poly = k * (
+        0.319381530
+        + k
+        * (
+            -0.356563782
+            + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+        )
+    )
+    pdf = F.exp(-az * az / 2) / math.sqrt(2 * math.pi)
+    return F.when(z.isNotNull(), 2 * pdf * poly)
+
+
+def fdr_adjust(
+    df: DataFrame,
+    *,
+    key_col: str,
+    z_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment over a family of z-tests —
+    the multiple-comparisons step every per-segment testing sweep
+    (:func:`proportion_test` / :func:`ab_test` per slice) needs before
+    acting on "significant" segments: with m hypotheses at α, ~α·m
+    slices come up falsely significant; BH caps the FALSE DISCOVERY
+    RATE at α instead.
+
+    ``q_i = min_{j ≥ i} (p_(j) · m / j)`` over p-values in ascending
+    order, clamped to 1; reject where q ≤ α.  Ranking is by
+    ``|z| DESC`` (exactly ascending p, since p is monotone in |z|) so
+    the ORDER never touches the ``exp``-based p approximation — only
+    the reported values do, computed from the ROUNDED z so both
+    engines feed ``exp`` identical inputs.
+
+    Scale note: the input is one row per HYPOTHESIS (a per-segment
+    test readout, thousands of rows at most), so the two rank/suffix
+    windows run on a single partition by construction; for
+    millions of hypotheses swap in ``global_rank``'s range-partitioned
+    rank and a reversed cumulative min.  NULL z rows (degenerate
+    tests) are excluded from m and reported unranked.
+
+    Output per key: key, z, p_value, rank, q_value, reject —
+    ordered by rank.
+    """
+    if not (0 < alpha < 1):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(z_col).cast("double"), round_to).alias("z"),
+    ).filter(F.col("z").isNotNull())
+    m = d.count()
+    if m == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "key string, z double, p_value double, rank long, "
+            "q_value double, reject boolean"
+        )
+    w_rank = Window.orderBy(F.abs(F.col("z")).desc(), F.col("key").asc())
+    ranked = d.select(
+        "key",
+        "z",
+        normal_sf_two_sided(F.col("z")).alias("_p"),
+        F.row_number().over(w_rank).alias("rank"),
+    )
+    w_suffix = (
+        Window.orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.withColumn(
+            "_q",
+            F.least(
+                F.lit(1.0),
+                F.min(F.col("_p") * F.lit(float(m)) / F.col("rank")).over(
+                    w_suffix
+                ),
+            ),
+        )
+        .select(
+            "key",
+            "z",
+            F.round("_p", round_to).alias("p_value"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("_q", round_to).alias("q_value"),
+            (F.col("_q") <= F.lit(float(alpha))).alias("reject"),
+        )
+        .orderBy("rank")
+    )

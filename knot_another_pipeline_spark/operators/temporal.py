@@ -42,6 +42,7 @@ __all__ = [
     "cusum_alarm",
     "decayed_agg",
     "ewma_smooth",
+    "holt_forecast",
     "interval_merge",
     "max_concurrency",
     "period_over_period",
@@ -53,6 +54,7 @@ __all__ = [
     "scd2_lookup",
     "seasonal_decompose",
     "seasonal_naive_error",
+    "theil_sen",
     "time_weighted_avg",
     "trend_fit",
 ]
@@ -1440,3 +1442,178 @@ def seasonal_naive_error(
             F.avg(F.when(F.col("_pred").isNotNull(), err)), round_to
         ).alias("bias"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    *,
+    series_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend per series: slope = the MEDIAN of all
+    pairwise slopes ``(y_j − y_i)/(x_j − x_i)``, intercept = the median
+    of ``y − slope·x`` — the estimator that shrugs off up to ~29%
+    outliers where :func:`trend_fit`'s OLS line chases a single bad
+    day (sensor glitches, logging outages, backfill spikes).
+
+    Scale shape: this runs on PRE-AGGREGATED series (daily/hourly
+    rollups — the distributed step), so each series has bounded length
+    n and the pair table is one self-equi-join on the series key
+    producing n(n−1)/2 rows per series — fine for thousands of points
+    per series, and the join key keeps every series' pairs in its own
+    partition.  Medians via ``percentile`` (linear interpolation,
+    matching DuckDB ``quantile_cont``).  Pairs with equal x are
+    excluded (vertical slope); series with < 2 distinct x yield NULL
+    slope.
+
+    Output per series: series, n_points, n_pairs, slope, intercept.
+    """
+    d = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.col(series_col).alias("series"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        )
+        # four consumers (both self-join sides, the point census, the
+        # residual medians) — pin the small pre-aggregated series frame
+        # so the upstream rollup runs ONCE, not per branch
+        .localCheckpoint(eager=True)
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.series") == F.col("b.series"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.series").alias("series"),
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("pair_slope"),
+    )
+    slopes = pairs.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(pair_slope, 0.5)").alias("slope"),
+    )
+    counts = d.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    resid = (
+        d.join(slopes.select("series", "slope"), "series")
+        .groupBy("series")
+        .agg(
+            F.expr("percentile(y - slope * x, 0.5)").alias("intercept")
+        )
+    )
+    return (
+        counts.join(slopes, "series", "left")
+        .join(resid, "series", "left")
+        .select(
+            "series",
+            "n_points",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.round("slope", round_to).alias("slope"),
+            F.round("intercept", round_to).alias("intercept"),
+        )
+        .orderBy("series")
+    )
+
+
+def holt_forecast(
+    df: DataFrame,
+    *,
+    series_col: str,
+    t_col: str,
+    y_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holt double-exponential smoothing per series (level + trend) with
+    an h-step-ahead forecast and in-sample one-step error — the
+    classic short-horizon volume forecaster for capacity planning and
+    ingest-anomaly baselines.
+
+    Recurrence (initialized ``l₀ = y₀``, ``b₀ = y₁ − y₀``; series with
+    < 2 points are dropped):
+    ``l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})``,
+    ``b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}``, one-step error
+    ``e_t = y_t − (l_{t−1} + b_{t−1})`` accumulated as SSE from t = 1.
+
+    Scale shape: series are PRE-AGGREGATED rollups, so each collapses
+    to one bounded array — ``sort_array(collect_list(struct(t, y)))``
+    inside the same hash aggregate that groups the series, then the
+    whole recurrence is ONE ``F.aggregate`` fold in codegen, strictly
+    chronological so every double op happens in a defined order: the
+    DuckDB oracle replays it with a recursive CTE and matches
+    bit-for-bit.  No window, no second shuffle, no Python.
+
+    Output per series: series, n_points, level, trend, forecast
+    (= level + horizon·trend), rmse (in-sample one-step).
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    d = df.filter(
+        F.col(t_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(series_col).alias("series"),
+        F.col(t_col).cast("double").alias("t"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    arr = d.groupBy("series").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("y")))
+        ).alias("pts")
+    )
+    a, b = float(alpha), float(beta)
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(pts, 3, size(pts) - 2),
+          named_struct(
+            'l', element_at(pts, 2).y,
+            'b', element_at(pts, 2).y - element_at(pts, 1).y,
+            'sse', CAST(0.0 AS DOUBLE),
+            'n', 1
+          ),
+          (acc, p) -> named_struct(
+            'l', {a}d * p.y + {1 - a}d * (acc.l + acc.b),
+            'b', {b}d * (({a}d * p.y + {1 - a}d * (acc.l + acc.b)) - acc.l)
+                 + {1 - b}d * acc.b,
+            'sse', acc.sse + (p.y - (acc.l + acc.b)) * (p.y - (acc.l + acc.b)),
+            'n', acc.n + 1
+          ),
+          acc -> acc
+        )
+        """
+    )
+    # The fold starts at the THIRD point.  With l0 = y0 and b0 = y1 - y0
+    # the t=1 update is exactly l1 = y1, b1 = b0 and its one-step error
+    # is 0 by construction, so the accumulator is seeded with that
+    # post-t=1 state (l = pts[2].y, b = pts[2].y - pts[1].y) and SSE
+    # over t>=2 equals SSE over t>=1.
+    out = (
+        arr.filter(F.size("pts") >= 2)
+        .withColumn("_h", fold)
+        .select(
+            "series",
+            (F.col("_h.n") + 1).cast("bigint").alias("n_points"),
+            F.round("_h.l", round_to).alias("level"),
+            F.round("_h.b", round_to).alias("trend"),
+            F.round(
+                F.col("_h.l") + F.lit(float(horizon)) * F.col("_h.b"),
+                round_to,
+            ).alias("forecast"),
+            F.round(
+                F.when(
+                    F.col("_h.n") > 1,
+                    F.sqrt(F.col("_h.sse") / (F.col("_h.n") - 1)),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("rmse"),
+        )
+    )
+    return out.orderBy("series")

@@ -383,3 +383,155 @@ def test_cuped_readout_degenerate_covariate(spark):
     assert got["a"]["theta"] == 0.0
     assert got["a"]["mean_adjusted"] == got["a"]["mean_metric"] == 2.0
     assert got["b"]["mean_adjusted"] == got["b"]["mean_metric"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# theil_sen / holt_forecast / fdr_adjust
+
+
+def test_theil_sen_matches_bruteforce_and_resists_outliers(spark):
+    from knot_another_pipeline_spark.operators.temporal import theil_sen
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        y = 5.0 + 0.7 * i + rng.gauss(0, 0.5)
+        rows.append(("s", float(i), y))
+    # inject 8 gross outliers that would wreck OLS
+    for i in range(8):
+        rows.append(("s", float(100 + i), 10000.0))
+    df = spark.createDataFrame(rows, "series string, x double, y double")
+    got = theil_sen(df, series_col="series", x_col="x", y_col="y").collect()
+    r = got[0]
+    # brute force median of pairwise slopes
+    pts = [(x, y) for _, x, y in rows]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+        if x2 != x1
+    )
+    n = len(slopes)
+    med = (
+        slopes[n // 2]
+        if n % 2
+        else (slopes[n // 2 - 1] + slopes[n // 2]) / 2
+    )
+    assert r["n_points"] == len(pts)
+    assert r["n_pairs"] == n
+    assert abs(r["slope"] - med) < 1e-6
+    assert 0.6 < r["slope"] < 0.8  # outliers did not drag the trend
+    resid = sorted(y - med * x for x, y in pts)
+    m = len(resid)
+    imed = (
+        resid[m // 2]
+        if m % 2
+        else (resid[m // 2 - 1] + resid[m // 2]) / 2
+    )
+    assert abs(r["intercept"] - imed) < 1e-6
+
+
+def test_holt_forecast_matches_python_recurrence(spark):
+    from knot_another_pipeline_spark.operators.temporal import holt_forecast
+
+    rng = random.Random(9)
+    ys = [50 + 2.0 * t + rng.gauss(0, 3) for t in range(40)]
+    rows = [("a", float(t), y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series string, t double, y double")
+    got = holt_forecast(
+        df, series_col="series", t_col="t", y_col="y",
+        alpha=0.5, beta=0.3, horizon=7,
+    ).collect()[0]
+    l, b = ys[1], ys[1] - ys[0]
+    sse, n_err = 0.0, 0
+    for y in ys[2:]:
+        e = y - (l + b)
+        sse += e * e
+        n_err += 1
+        l_new = 0.5 * y + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        l = l_new
+    assert got["n_points"] == 40
+    assert got["level"] == round(l, 6)
+    assert got["trend"] == round(b, 6)
+    assert got["forecast"] == round(l + 7 * b, 6)
+    assert got["rmse"] == round((sse / n_err) ** 0.5, 6)
+    # trend recovered the true slope on a clean-ish series
+    assert 1.0 < got["trend"] < 3.0
+    with pytest.raises(ValueError, match="horizon"):
+        holt_forecast(
+            df, series_col="series", t_col="t", y_col="y", horizon=0
+        )
+
+
+def _brute_bh(zs, alpha=0.05):
+    import math as _m
+
+    def p_of(z):
+        az = abs(z)
+        k = 1.0 / (1.0 + 0.2316419 * az)
+        poly = k * (
+            0.319381530
+            + k
+            * (
+                -0.356563782
+                + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+            )
+        )
+        return 2 * (_m.exp(-az * az / 2) / _m.sqrt(2 * _m.pi)) * poly
+
+    items = sorted(
+        ((round(z, 6), key) for key, z in zs.items()),
+        key=lambda t: (-abs(t[0]), t[1]),
+    )
+    m = len(items)
+    raw = [p_of(z) * m / (i + 1) for i, (z, _) in enumerate(items)]
+    out = {}
+    suffix = float("inf")
+    for i in range(m - 1, -1, -1):
+        suffix = min(suffix, raw[i])
+        z, key = items[i]
+        q = min(1.0, suffix)
+        out[key] = (i + 1, p_of(z), q, q <= alpha)
+    return out
+
+
+def test_fdr_adjust_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.quality import fdr_adjust
+
+    rng = random.Random(31)
+    zs = {f"k{i}": rng.gauss(0, 1.5) for i in range(80)}
+    zs["strong1"], zs["strong2"] = 6.0, -5.5  # certain discoveries
+    df = spark.createDataFrame(
+        [(k, v) for k, v in zs.items()], "key string, z double"
+    )
+    got = {
+        r["key"]: r
+        for r in fdr_adjust(df, key_col="key", z_col="z").collect()
+    }
+    ref = _brute_bh(zs)
+    assert set(got) == set(ref)
+    for k, (rank, p, q, rej) in ref.items():
+        assert got[k]["rank"] == rank
+        assert abs(got[k]["p_value"] - p) < 2e-6
+        assert abs(got[k]["q_value"] - q) < 2e-6
+        assert got[k]["reject"] == rej
+    assert got["strong1"]["reject"] and got["strong2"]["reject"]
+    # q-values are monotone non-decreasing in rank
+    qs = [r["q_value"] for r in sorted(got.values(), key=lambda r: r["rank"])]
+    assert qs == sorted(qs)
+    with pytest.raises(ValueError, match="alpha"):
+        fdr_adjust(df, key_col="key", z_col="z", alpha=1.5)
+
+
+def test_fdr_adjust_null_and_empty(spark):
+    from knot_another_pipeline_spark.operators.quality import fdr_adjust
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "key string, z double"
+    )
+    out = fdr_adjust(df, key_col="key", z_col="z")
+    assert out.count() == 0
+    assert out.columns == [
+        "key", "z", "p_value", "rank", "q_value", "reject",
+    ]
