@@ -247,6 +247,7 @@ HEADLINE = [
     "theil_sen",
     "holt_forecast",
     "fdr_adjust",
+    "mann_kendall",
 ]
 
 

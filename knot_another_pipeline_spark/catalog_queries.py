@@ -12198,6 +12198,61 @@ ORDER BY rank
 """
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test of daily event volumes per type
+    (operators/temporal.py mann_kendall): exact integer S over the
+    time-ordered pair table, tie-corrected variance, continuity-
+    corrected z — the distribution-free gate in front of theil_sen's
+    slope."""
+    from knot_another_pipeline_spark.operators.temporal import mann_kendall
+
+    return mann_kendall(
+        _daily_series(spark, sf_dir),
+        series_col="series", x_col="x", y_col="y",
+    )
+
+
+ORACLE_MANN_KENDALL = f"""
+WITH daily AS ({_DAILY_SERIES_SQL}),
+s AS (
+  SELECT a.series,
+         CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.series = b.series AND a.x < b.x
+  GROUP BY a.series),
+n AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n_points
+  FROM daily GROUP BY series),
+ties AS (
+  SELECT series, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT series, y, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY series, y) tt
+  GROUP BY series),
+j AS (
+  SELECT n.series, n.n_points,
+         coalesce(s.s_stat, 0) AS s_stat,
+         CAST(n.n_points * (n.n_points - 1) * (2 * n.n_points + 5)
+              - coalesce(ties.tie_term, 0) AS DOUBLE) / 18e0 AS var_s,
+         s.s_stat AS s_raw
+  FROM n
+  LEFT JOIN s ON s.series = n.series
+  LEFT JOIN ties ON ties.series = n.series)
+SELECT series, n_points,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       round(var_s, 6) AS var_s,
+       round(CASE WHEN var_s > 0
+             THEN CAST(s_raw - sign(s_raw) AS DOUBLE) / sqrt(var_s)
+             END, 6) AS z,
+       CASE WHEN var_s > 0 AND s_raw IS NOT NULL THEN
+         abs(CAST(s_raw - sign(s_raw) AS DOUBLE) / sqrt(var_s))
+           > 1.959963984540054e0 END AS trend_95,
+       CASE WHEN var_s > 0 AND s_raw IS NOT NULL THEN
+         abs(CAST(s_raw - sign(s_raw) AS DOUBLE) / sqrt(var_s))
+           > 2.5758293035489004e0 END AS trend_99
+FROM j
+ORDER BY series
+"""
+
+
 def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (operators/evaluation.py
     cuped_readout) on a per-user pre/post split of the events stream:
@@ -12351,6 +12406,7 @@ QUERIES = {
     "theil_sen": q_theil_sen,
     "holt_forecast": q_holt_forecast,
     "fdr_adjust": q_fdr_adjust,
+    "mann_kendall": q_mann_kendall,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -12651,6 +12707,7 @@ ORACLES = {
     "theil_sen": ORACLE_THEIL_SEN,
     "holt_forecast": ORACLE_HOLT_FORECAST,
     "fdr_adjust": ORACLE_FDR_ADJUST,
+    "mann_kendall": ORACLE_MANN_KENDALL,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

@@ -44,6 +44,7 @@ __all__ = [
     "ewma_smooth",
     "holt_forecast",
     "interval_merge",
+    "mann_kendall",
     "max_concurrency",
     "period_over_period",
     "range_join",
@@ -1617,3 +1618,102 @@ def holt_forecast(
         )
     )
     return out.orderBy("series")
+
+
+def mann_kendall(
+    df: DataFrame,
+    *,
+    series_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test per series — the
+    distribution-free significance companion to :func:`theil_sen`:
+    ``S = Σ_{i<j} sign(y_j − y_i)`` over time-ordered pairs, with the
+    tie-corrected variance
+    ``var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18`` and the
+    continuity-corrected ``z = (S − sign(S)) / sqrt(var)``.  Answers
+    "is this series really drifting?" without assuming linearity or
+    normality — the standard first gate before acting on a fitted
+    slope.
+
+    Scale shape: same as :func:`theil_sen` — series are PRE-AGGREGATED
+    rollups, the pair table is one self-equi-join on the series key
+    (n²/2 rows per bounded-length series, partition-local per series),
+    and S is one integer aggregate over it; the tie census is a
+    (series, y) count aggregate, exact integer arithmetic throughout
+    (z's sqrt is the only float op, identical in any engine).
+    Pairs with equal x are excluded, matching the Theil–Sen pair set.
+
+    Significance is emitted as fixed-α booleans (|z| > 1.96 / 2.576),
+    the same no-erf convention as ``proportion_test``; the z value
+    itself feeds :func:`~knot_another_pipeline_spark.operators.quality.
+    fdr_adjust` for multiple-series sweeps.
+
+    Output per series: series, n_points, s_stat, var_s, z,
+    trend_95, trend_99.
+    """
+    d = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.col(series_col).alias("series"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.series") == F.col("b.series"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.series").alias("series"))
+        .agg(
+            F.sum(
+                F.signum(F.col("b.y") - F.col("a.y")).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    n = d.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    ties = (
+        d.groupBy("series", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("series")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    nn = F.col("n_points")
+    var_s = (
+        nn * (nn - 1) * (2 * nn + 5) - F.coalesce("tie_term", F.lit(0))
+    ).cast("double") / 18.0
+    ss = F.col("s_stat")
+    z = F.when(
+        var_s > 0,
+        (ss - F.signum(ss)).cast("double") / F.sqrt(var_s),
+    )
+    return (
+        n.join(s, "series", "left")
+        .join(ties, "series", "left")
+        .select(
+            "series",
+            "n_points",
+            F.coalesce(ss, F.lit(0)).cast("bigint").alias("s_stat"),
+            F.round(var_s, round_to).alias("var_s"),
+            F.round(z, round_to).alias("z"),
+            F.when(z.isNotNull(), F.abs(z) > 1.959963984540054).alias(
+                "trend_95"
+            ),
+            F.when(z.isNotNull(), F.abs(z) > 2.5758293035489004).alias(
+                "trend_99"
+            ),
+        )
+        .orderBy("series")
+    )

@@ -535,3 +535,43 @@ def test_fdr_adjust_null_and_empty(spark):
     assert out.columns == [
         "key", "z", "p_value", "rank", "q_value", "reject",
     ]
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.temporal import mann_kendall
+
+    rng = random.Random(13)
+    # trending series with ties (integer-valued), plus a flat noisy one
+    rows = []
+    for t in range(50):
+        rows.append(("up", float(t), float(20 + t // 2 + rng.randint(0, 2))))
+        rows.append(("flat", float(t), float(rng.randint(10, 12))))
+    df = spark.createDataFrame(rows, "series string, x double, y double")
+    got = {
+        r["series"]: r
+        for r in mann_kendall(
+            df, series_col="series", x_col="x", y_col="y"
+        ).collect()
+    }
+    for name in ("up", "flat"):
+        pts = [(x, y) for s, x, y in rows if s == name]
+        S = sum(
+            (0 if y2 == y1 else (1 if y2 > y1 else -1))
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        n = len(pts)
+        from collections import Counter as _C
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in _C(y for _, y in pts).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (S - (1 if S > 0 else -1 if S < 0 else 0)) / var ** 0.5
+        r = got[name]
+        assert r["s_stat"] == S and r["n_points"] == n
+        assert r["var_s"] == round(var, 6)
+        assert abs(r["z"] - z) < 1e-6
+    assert got["up"]["trend_99"] is True
+    assert got["flat"]["trend_95"] is False
