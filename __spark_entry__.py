@@ -31,7 +31,8 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 # Capped at 15 so the 50-key window re-gates >=35 stale keys.
 # Over-cap round-9 additions (heavy_hitters, deterministic_walks,
 # reach_census, isotonic_calibration, cuped_readout, theil_sen,
-# holt_forecast, fdr_adjust, mann_kendall) are parked
+# holt_forecast, fdr_adjust, mann_kendall, kruskal_wallis,
+# jackknife_ratio) are parked
 # AFTER the 50-key
 # window — covered by the in-repo DuckDB differential now, first in
 # line for round-10's _NEW_KEYS slot.

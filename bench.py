@@ -248,6 +248,8 @@ HEADLINE = [
     "holt_forecast",
     "fdr_adjust",
     "mann_kendall",
+    "kruskal_wallis",
+    "jackknife_ratio",
 ]
 
 

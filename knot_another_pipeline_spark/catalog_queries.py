@@ -12253,6 +12253,146 @@ ORDER BY series
 """
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the 7 weekdays per event type
+    (operators/quality.py kruskal_wallis): exact midranks, tie-corrected
+    H, Wilson-Hilferty p - the k-class distribution-shift gate."""
+    from knot_another_pipeline_spark.operators.quality import kruskal_wallis
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = ev.select(
+        F.col("event_type").alias("family"),
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).cast("string").alias("wd"),
+        F.col("value").alias("v"),
+    )
+    return kruskal_wallis(
+        s, group_cols=["family"], value_col="v", class_col="wd"
+    )
+
+
+ORACLE_KRUSKAL_WALLIS = """
+WITH s AS (
+  SELECT event_type AS family,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS VARCHAR) AS cls,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT family, cls, v,
+         rank() OVER (PARTITION BY family ORDER BY v)
+           + (count(*) OVER (PARTITION BY family, v) - 1) / 2.0e0 AS rr
+  FROM s),
+pc AS (
+  SELECT family, cls, CAST(count(*) AS DOUBLE) AS nc, sum(rr) AS rc
+  FROM r GROUP BY family, cls),
+fam AS (
+  SELECT family, sum(nc) AS n, CAST(count(*) AS BIGINT) AS k,
+         sum(rc * rc / nc) AS rrs
+  FROM pc GROUP BY family),
+ties AS (
+  SELECT family, sum(t * t * t - t) AS tie3
+  FROM (SELECT family, v, CAST(count(*) AS DOUBLE) AS t
+        FROM s GROUP BY family, v) tt
+  GROUP BY family),
+j AS (
+  SELECT f.family, f.n, f.k,
+         CASE WHEN f.k >= 2 AND f.n > 1
+               AND (1e0 - t.tie3 / (f.n * f.n * f.n - f.n)) > 0
+         THEN (12e0 / (f.n * (f.n + 1)) * f.rrs - 3e0 * (f.n + 1))
+              / (1e0 - t.tie3 / (f.n * f.n * f.n - f.n)) END AS hc,
+         CAST(f.k - 1 AS DOUBLE) AS df
+  FROM fam f JOIN ties t ON t.family = f.family),
+z AS (
+  SELECT family, n, k, hc, df,
+         (cbrt(hc / df) - (1e0 - 2e0 / (9e0 * df)))
+           / sqrt(2e0 / (9e0 * df)) AS zwh
+  FROM j),
+p AS (
+  SELECT family, n, k, hc, df, zwh,
+         2e0 * (exp(-abs(zwh) * abs(zwh) / 2e0) / 2.5066282746310002e0)
+             * ((1e0 / (1e0 + 0.2316419e0 * abs(zwh)))
+                * (0.319381530e0
+                   + (1e0 / (1e0 + 0.2316419e0 * abs(zwh)))
+                   * (-0.356563782e0
+                      + (1e0 / (1e0 + 0.2316419e0 * abs(zwh)))
+                      * (1.781477937e0
+                         + (1e0 / (1e0 + 0.2316419e0 * abs(zwh)))
+                         * (-1.821255978e0
+                            + (1e0 / (1e0 + 0.2316419e0 * abs(zwh)))
+                            * 1.330274429e0))))) AS sf2
+  FROM z)
+SELECT family,
+       CAST(n AS BIGINT) AS n_total,
+       k AS k_classes,
+       round(hc, 6) AS h_corrected,
+       CAST(df AS BIGINT) AS df,
+       round(CASE WHEN zwh IS NULL THEN NULL
+                  WHEN zwh >= 0 THEN sf2 / 2
+                  ELSE 1e0 - sf2 / 2 END, 6) AS p_value
+FROM p
+ORDER BY family
+"""
+
+
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-bucket-out jackknife CI for mean purchase value
+    (operators/quality.py jackknife_ratio): 50 stable user buckets, one
+    partial-sum aggregate over the data, pseudo-values row-local over
+    the bucket rows."""
+    from knot_another_pipeline_spark.functions.hashing import stable_bucket
+    from knot_another_pipeline_spark.operators.quality import jackknife_ratio
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    isp = F.col("event_type") == "purchase"
+    d = ev.select(
+        stable_bucket(F.col("user_id"), 50).alias("bucket"),
+        F.when(isp, F.col("value").cast("double")).otherwise(0.0).alias("x"),
+        F.when(isp, 1.0).otherwise(0.0).alias("y"),
+    )
+    return jackknife_ratio(
+        d, num_col="x", den_col="y", bucket_col="bucket"
+    )
+
+
+ORACLE_JACKKNIFE_RATIO = f"""
+WITH e AS (
+  SELECT {_stable_bucket_sql('user_id', 50)} AS b,
+         CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE)
+              ELSE 0.0e0 END AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0e0 ELSE 0.0e0 END AS y
+  FROM events WHERE value IS NOT NULL),
+bk AS (SELECT b, sum(x) AS sx, sum(y) AS sy FROM e GROUP BY b),
+tot AS (SELECT sum(sx) AS tx, sum(sy) AS ty,
+               CAST(count(*) AS DOUBLE) AS nb FROM bk),
+ps AS (
+  SELECT nb, tx, ty, (tx - sx) / (ty - sy) AS th FROM bk, tot),
+agg AS (
+  SELECT nb, tx, ty, sum(th) AS st, sum(th * th) AS stt
+  FROM ps GROUP BY nb, tx, ty)
+SELECT round(tx / ty, 6) AS ratio,
+       CAST(nb AS BIGINT) AS n_buckets,
+       round(sqrt(greatest(
+           (nb - 1) / nb * (stt - nb * (st / nb) * (st / nb)),
+           0.0e0)), 6) AS jk_se,
+       round(tx / ty - 1.959963984540054e0 * sqrt(greatest(
+           (nb - 1) / nb * (stt - nb * (st / nb) * (st / nb)),
+           0.0e0)), 6) AS ci_lo,
+       round(tx / ty + 1.959963984540054e0 * sqrt(greatest(
+           (nb - 1) / nb * (stt - nb * (st / nb) * (st / nb)),
+           0.0e0)), 6) AS ci_hi
+FROM agg
+"""
+
+
 def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (operators/evaluation.py
     cuped_readout) on a per-user pre/post split of the events stream:
@@ -12407,6 +12547,8 @@ QUERIES = {
     "holt_forecast": q_holt_forecast,
     "fdr_adjust": q_fdr_adjust,
     "mann_kendall": q_mann_kendall,
+    "kruskal_wallis": q_kruskal_wallis,
+    "jackknife_ratio": q_jackknife_ratio,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -12708,6 +12850,8 @@ ORACLES = {
     "holt_forecast": ORACLE_HOLT_FORECAST,
     "fdr_adjust": ORACLE_FDR_ADJUST,
     "mann_kendall": ORACLE_MANN_KENDALL,
+    "kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
+    "jackknife_ratio": ORACLE_JACKKNIFE_RATIO,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

@@ -2721,3 +2721,153 @@ def fdr_adjust(
         )
         .orderBy("rank")
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family Kruskal–Wallis H test — the k-class generalization of
+    :func:`mann_whitney`: "does this metric's DISTRIBUTION differ
+    across k segments" without normality assumptions (the one-way
+    ANOVA replacement for skewed latency/spend/volume metrics).
+
+    Exact midrank ties (the same ``rank + (ties−1)/2`` construction as
+    ``mann_whitney``/``spearman_corr``), tie-corrected
+    ``H_c = H / (1 − Σ(t³−t)/(N³−N))``, and a p-value via the
+    Wilson–Hilferty cube-root chi-square→normal approximation feeding
+    :func:`fdr_adjust`-style sweeps (cbrt/exp only — no gamma
+    function, so the DuckDB oracle evaluates the identical
+    expression).
+
+    One data shuffle: the midrank windows and every aggregate share
+    the family hash partitioning; tie cubes come from a (family,
+    value) aggregate, never a self-join.  Families with < 2 classes
+    or all-tied values yield NULL H.
+
+    Output per family: group cols, n_total, k_classes, h_corrected,
+    df, p_value.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(class_col).cast("string").alias("_c"),
+    ).filter(F.col("_v").isNotNull() & F.col("_c").isNotNull())
+    gp = [F.col(c) for c in group_cols]
+    midrank = F.rank().over(Window.partitionBy(*gp).orderBy("_v")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*gp, F.col("_v"))) - 1
+    ) / 2.0
+    ranked = s.withColumn("_r", midrank)
+    per_class = ranked.groupBy(*group_cols, "_c").agg(
+        F.count(F.lit(1)).cast("double").alias("_nc"),
+        F.sum("_r").alias("_rc"),
+    )
+    fam = per_class.groupBy(*group_cols).agg(
+        F.sum("_nc").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("k_classes"),
+        F.sum(F.col("_rc") * F.col("_rc") / F.col("_nc")).alias("_rr"),
+    )
+    ties = (
+        ranked.groupBy(*group_cols, "_v")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_tie3")
+        )
+    )
+    j = fam.join(ties, group_cols)
+    n = F.col("_n")
+    h = 12.0 / (n * (n + 1)) * F.col("_rr") - 3.0 * (n + 1)
+    corr = 1.0 - F.col("_tie3") / (n * n * n - n)
+    hc = F.when(
+        (F.col("k_classes") >= 2) & (corr > 0) & (n > 1), h / corr
+    )
+    dof = (F.col("k_classes") - 1).cast("double")
+    # Wilson–Hilferty: (H/df)^(1/3) ~ Normal(1 - 2/(9df), 2/(9df))
+    zwh = (
+        F.cbrt(hc / dof) - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = F.when(
+        zwh.isNotNull(),
+        F.when(
+            zwh >= 0, normal_sf_two_sided(zwh) / 2
+        ).otherwise(1.0 - normal_sf_two_sided(zwh) / 2),
+    )
+    return j.select(
+        *group_cols,
+        n.cast("bigint").alias("n_total"),
+        F.col("k_classes").cast("bigint").alias("k_classes"),
+        F.round(hc, round_to).alias("h_corrected"),
+        dof.cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    ).orderBy(*group_cols)
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    *,
+    num_col: str,
+    den_col: str,
+    bucket_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Leave-one-bucket-out jackknife CI for a RATIO metric
+    ``Σnum / Σden`` — the correct error bar for rates like
+    revenue-per-session or tokens-per-document, where per-row averages
+    are biased and the delta method needs a variance the data may not
+    satisfy.  The standard large-scale recipe (search/ads metric
+    platforms): hash users into B buckets, drop one bucket at a time.
+
+    Scale shape: ONE hash aggregate to (bucket) partial sums — the
+    only pass over the data; totals reduce from the B bucket rows and
+    broadcast back, so every pseudo-value
+    ``θ_(−b) = (Σx − x_b)/(Σy − y_b)`` is row-local arithmetic over B
+    rows.  ``se = sqrt((B−1)/B · Σ(θ_(−b) − θ̄)²)`` with the classic
+    (B−1)/B inflation; CI at ±1.96·se.
+
+    Output (one row): ratio, n_buckets, jk_se, ci_lo, ci_hi.
+    """
+    b = (
+        df.select(
+            F.col(bucket_col).alias("_b"),
+            F.col(num_col).cast("double").alias("_x"),
+            F.col(den_col).cast("double").alias("_y"),
+        )
+        .groupBy("_b")
+        .agg(F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"))
+    )
+    tot = b.agg(
+        F.sum("_sx").alias("_tx"),
+        F.sum("_sy").alias("_ty"),
+        F.count(F.lit(1)).cast("double").alias("_nb"),
+    )
+    pseudo = b.crossJoin(F.broadcast(tot)).select(
+        "_nb",
+        "_tx",
+        "_ty",
+        (
+            (F.col("_tx") - F.col("_sx")) / (F.col("_ty") - F.col("_sy"))
+        ).alias("_theta"),
+    )
+    nb = F.col("_nb")
+    agg = pseudo.groupBy("_nb", "_tx", "_ty").agg(
+        F.sum("_theta").alias("_st"),
+        F.sum(F.col("_theta") * F.col("_theta")).alias("_stt"),
+    )
+    mean_t = F.col("_st") / nb
+    var_jk = (nb - 1) / nb * (F.col("_stt") - nb * mean_t * mean_t)
+    se = F.sqrt(F.greatest(var_jk, F.lit(0.0)))
+    ratio = F.col("_tx") / F.col("_ty")
+    return agg.select(
+        F.round(ratio, round_to).alias("ratio"),
+        nb.cast("bigint").alias("n_buckets"),
+        F.round(se, round_to).alias("jk_se"),
+        F.round(ratio - 1.959963984540054 * se, round_to).alias("ci_lo"),
+        F.round(ratio + 1.959963984540054 * se, round_to).alias("ci_hi"),
+    )

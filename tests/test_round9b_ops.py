@@ -575,3 +575,72 @@ def test_mann_kendall_matches_bruteforce(spark):
         assert abs(r["z"] - z) < 1e-6
     assert got["up"]["trend_99"] is True
     assert got["flat"]["trend_95"] is False
+
+
+def test_kruskal_wallis_matches_scipyfree_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.quality import kruskal_wallis
+
+    rng = random.Random(7)
+    rows = []
+    # family "shift": class means differ; family "same": identical dist
+    for i in range(600):
+        c = str(i % 3)
+        rows.append(("shift", c, rng.gauss(10 + 2 * int(c), 2)))
+        rows.append(("same", c, float(rng.randint(0, 5))))  # heavy ties
+    df = spark.createDataFrame(rows, "family string, cls string, v double")
+    got = {
+        r["family"]: r
+        for r in kruskal_wallis(
+            df, group_cols=["family"], value_col="v", class_col="cls"
+        ).collect()
+    }
+    for fam in ("shift", "same"):
+        pts = [(c, v) for f, c, v in rows if f == fam]
+        vals = sorted(v for _, v in pts)
+        # midranks
+        from collections import Counter as _C, defaultdict
+
+        first = {}
+        for idx, v in enumerate(vals, start=1):
+            first.setdefault(v, idx)
+        cnt = _C(vals)
+        mid = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+        n = len(pts)
+        by_c = defaultdict(list)
+        for c, v in pts:
+            by_c[c].append(mid[v])
+        h = 12.0 / (n * (n + 1)) * sum(
+            (sum(rs)) ** 2 / len(rs) for rs in by_c.values()
+        ) - 3 * (n + 1)
+        tie3 = sum(t**3 - t for t in cnt.values())
+        hc = h / (1 - tie3 / (n**3 - n))
+        r = got[fam]
+        assert r["n_total"] == n and r["k_classes"] == 3 and r["df"] == 2
+        assert abs(r["h_corrected"] - hc) < 1e-5
+    assert got["shift"]["p_value"] < 0.001
+    assert got["same"]["p_value"] > 0.01
+
+
+def test_jackknife_ratio_bruteforce_and_coverage(spark):
+    from knot_another_pipeline_spark.operators.quality import jackknife_ratio
+
+    rng = random.Random(19)
+    rows = [(i % 20, rng.uniform(5, 15), 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "bucket int, x double, y double")
+    got = jackknife_ratio(
+        df, num_col="x", den_col="y", bucket_col="bucket"
+    ).collect()[0]
+    from collections import defaultdict
+
+    sx, sy = defaultdict(float), defaultdict(float)
+    for b, x, y in rows:
+        sx[b] += x
+        sy[b] += y
+    tx, ty, B = sum(sx.values()), sum(sy.values()), len(sx)
+    thetas = [(tx - sx[b]) / (ty - sy[b]) for b in sx]
+    tbar = sum(thetas) / B
+    var = (B - 1) / B * sum((t - tbar) ** 2 for t in thetas)
+    assert got["n_buckets"] == B
+    assert abs(got["ratio"] - tx / ty) < 1e-6
+    assert abs(got["jk_se"] - var**0.5) < 1e-6
+    assert got["ci_lo"] < tx / ty < got["ci_hi"]
