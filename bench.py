@@ -250,6 +250,7 @@ HEADLINE = [
     "mann_kendall",
     "kruskal_wallis",
     "jackknife_ratio",
+    "capture_recapture",
 ]
 
 

@@ -12393,6 +12393,55 @@ FROM agg
 """
 
 
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the documents population
+    from two independent 20% hash-samples (operators/quality.py
+    capture_recapture): one conditional aggregate, membership by
+    hash64 arithmetic the oracle replays bit-exactly."""
+    from knot_another_pipeline_spark.operators.quality import (
+        capture_recapture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return capture_recapture(docs, id_col="doc_id", pct_a=20, pct_b=20)
+
+
+def _hash64_pct_sql(expr: str, seed: int, pct: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('{seed}:' || CAST({expr} AS VARCHAR))"
+        f", 1, 15)) AS BIGINT) % 100 < {pct}"
+    )
+
+
+ORACLE_CAPTURE_RECAPTURE = f"""
+WITH g AS (
+  SELECT
+    CAST(sum(CASE WHEN {_hash64_pct_sql('doc_id', 1, 20)} THEN 1 ELSE 0 END)
+         AS DOUBLE) AS na,
+    CAST(sum(CASE WHEN {_hash64_pct_sql('doc_id', 2, 20)} THEN 1 ELSE 0 END)
+         AS DOUBLE) AS nb,
+    CAST(sum(CASE WHEN {_hash64_pct_sql('doc_id', 1, 20)}
+                   AND {_hash64_pct_sql('doc_id', 2, 20)}
+             THEN 1 ELSE 0 END) AS DOUBLE) AS m
+  FROM documents)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(m AS BIGINT) AS overlap,
+       round((na + 1) * (nb + 1) / (m + 1) - 1, 6) AS n_hat,
+       round(sqrt(greatest((na + 1) * (nb + 1) * (na - m) * (nb - m)
+                  / ((m + 1) * (m + 1) * (m + 2)), 0.0e0)), 6) AS se,
+       round((na + 1) * (nb + 1) / (m + 1) - 1
+             - 1.959963984540054e0
+               * sqrt(greatest((na + 1) * (nb + 1) * (na - m) * (nb - m)
+                      / ((m + 1) * (m + 1) * (m + 2)), 0.0e0)), 6) AS ci_lo,
+       round((na + 1) * (nb + 1) / (m + 1) - 1
+             + 1.959963984540054e0
+               * sqrt(greatest((na + 1) * (nb + 1) * (na - m) * (nb - m)
+                      / ((m + 1) * (m + 1) * (m + 2)), 0.0e0)), 6) AS ci_hi
+FROM g
+"""
+
+
 def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (operators/evaluation.py
     cuped_readout) on a per-user pre/post split of the events stream:
@@ -12549,6 +12598,7 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     "kruskal_wallis": q_kruskal_wallis,
     "jackknife_ratio": q_jackknife_ratio,
+    "capture_recapture": q_capture_recapture,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -12852,6 +12902,7 @@ ORACLES = {
     "mann_kendall": ORACLE_MANN_KENDALL,
     "kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
     "jackknife_ratio": ORACLE_JACKKNIFE_RATIO,
+    "capture_recapture": ORACLE_CAPTURE_RECAPTURE,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

@@ -2871,3 +2871,66 @@ def jackknife_ratio(
         F.round(ratio - 1.959963984540054 * se, round_to).alias("ci_lo"),
         F.round(ratio + 1.959963984540054 * se, round_to).alias("ci_hi"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    *,
+    id_col: str,
+    pct_a: int = 20,
+    pct_b: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chapman capture–recapture population estimate from two
+    independent deterministic hash-samples — "how big is the
+    population my pipeline can only sample?" (total distinct crawl
+    frontier, true dedup-cluster count, coverage of an external
+    corpus).  Samples are ``hash64(id, seed)``-derived (seeds 1 and
+    2), so both "captures" are reproducible and independent by hash
+    construction rather than by luck.
+
+    ``N̂ = (n_a+1)(n_b+1)/(m+1) − 1`` with the Seber variance
+    ``(n_a+1)(n_b+1)(n_a−m)(n_b−m) / ((m+1)²(m+2))`` and a ±1.96·se
+    interval.  Chapman's +1 correction keeps the estimator finite and
+    near-unbiased even when the overlap m is small — exactly the
+    regime that motivates estimating instead of counting.
+
+    Scale shape: ONE conditional aggregate over distinct ids — the
+    membership tests are map-side hash arithmetic, no join between
+    the samples, no second pass.  The id column must already be
+    distinct (dedupe upstream if not — the estimator counts
+    individuals, not events).
+
+    Output (one row): n_a, n_b, overlap, n_hat, se, ci_lo, ci_hi.
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash64
+
+    if not (0 < pct_a <= 100 and 0 < pct_b <= 100):
+        raise ValueError(
+            f"sample percents must be in (0, 100], got {pct_a}/{pct_b}"
+        )
+    in_a = F.pmod(hash64(F.col(id_col), seed=1), F.lit(100)) < pct_a
+    in_b = F.pmod(hash64(F.col(id_col), seed=2), F.lit(100)) < pct_b
+    agg = df.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(in_a & in_b, 1).otherwise(0))
+        .cast("double")
+        .alias("m"),
+    )
+    na, nb, m = F.col("na"), F.col("nb"), F.col("m")
+    n_hat = (na + 1) * (nb + 1) / (m + 1) - 1
+    var = (
+        (na + 1) * (nb + 1) * (na - m) * (nb - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        m.cast("bigint").alias("overlap"),
+        F.round(n_hat, round_to).alias("n_hat"),
+        F.round(se, round_to).alias("se"),
+        F.round(n_hat - 1.959963984540054 * se, round_to).alias("ci_lo"),
+        F.round(n_hat + 1.959963984540054 * se, round_to).alias("ci_hi"),
+    )

@@ -644,3 +644,33 @@ def test_jackknife_ratio_bruteforce_and_coverage(spark):
     assert abs(got["ratio"] - tx / ty) < 1e-6
     assert abs(got["jk_se"] - var**0.5) < 1e-6
     assert got["ci_lo"] < tx / ty < got["ci_hi"]
+
+
+def test_capture_recapture_estimates_population(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        capture_recapture,
+    )
+
+    ids = list(range(5000))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = capture_recapture(df, id_col="id", pct_a=25, pct_b=25).collect()[0]
+    # brute-force the same hash membership
+    import hashlib as _h
+
+    def mem(i, seed, pct):
+        return int(
+            _h.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16
+        ) % 100 < pct
+
+    na = sum(mem(i, 1, 25) for i in ids)
+    nb = sum(mem(i, 2, 25) for i in ids)
+    m = sum(mem(i, 1, 25) and mem(i, 2, 25) for i in ids)
+    assert (got["n_a"], got["n_b"], got["overlap"]) == (na, nb, m)
+    n_hat = (na + 1) * (nb + 1) / (m + 1) - 1
+    assert got["n_hat"] == round(n_hat, 6)
+    # the interval should bracket the true population
+    assert got["ci_lo"] < 5000 < got["ci_hi"]
+    # and the point estimate should be in the right ballpark
+    assert abs(n_hat - 5000) / 5000 < 0.15
+    with pytest.raises(ValueError, match="percents"):
+        capture_recapture(df, id_col="id", pct_a=0)
