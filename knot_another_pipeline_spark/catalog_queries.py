@@ -12583,6 +12583,307 @@ ORDER BY c.wd, c.bin
 """
 
 
+def _nsf2_sql(z: str) -> str:
+    """Two-sided normal p ``2·(1−Φ(|z|))`` — the same
+    Abramowitz–Stegun 26.2.17 polynomial as
+    operators/quality.py normal_sf_two_sided, on a SQL expression."""
+    k = f"(1e0 / (1e0 + 0.2316419e0 * abs({z})))"
+    return (
+        f"2e0 * (exp(-abs({z}) * abs({z}) / 2e0) / 2.5066282746310002e0)"
+        f" * ({k} * (0.319381530e0 + {k} * (-0.356563782e0 + {k}"
+        f" * (1.781477937e0 + {k} * (-1.821255978e0 + {k}"
+        f" * 1.330274429e0)))))"
+    )
+
+
+def _wh_chi2_p_sql(stat: str, dof: str) -> str:
+    """One-sided chi-square p via the Wilson–Hilferty cube-root normal
+    approximation — the SQL twin of the kruskal_wallis/cochran_q
+    z construction (cbrt/exp only, no gamma function)."""
+    zwh = (
+        f"((cbrt(({stat}) / ({dof})) - (1e0 - 2e0 / (9e0 * ({dof}))))"
+        f" / sqrt(2e0 / (9e0 * ({dof}))))"
+    )
+    return (
+        f"(CASE WHEN {zwh} IS NULL THEN NULL"
+        f" WHEN {zwh} >= 0 THEN ({_nsf2_sql(zwh)}) / 2"
+        f" ELSE 1e0 - ({_nsf2_sql(zwh)}) / 2 END)"
+    )
+
+
+def q_mcnemar_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired comparison of two threshold scorers per weekday
+    (operators/evaluation.py mcnemar_readout): one conditional hash
+    aggregate, z from the discordant cells only, continuity-corrected,
+    p via the shared normal-sf polynomial."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        mcnemar_readout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    label = F.col("event_type") == "purchase"
+    s = ev.select(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).cast("string").alias("wd"),
+        ((F.col("value") > 60) == label).alias("a_ok"),
+        ((F.col("value") > 40) == label).alias("b_ok"),
+    )
+    return mcnemar_readout(
+        s, a_correct_col="a_ok", b_correct_col="b_ok", group_cols=["wd"]
+    )
+
+
+ORACLE_MCNEMAR_READOUT = f"""
+WITH s AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS VARCHAR) AS wd,
+         (CAST(value AS DOUBLE) > 60) = (event_type = 'purchase') AS a_ok,
+         (CAST(value AS DOUBLE) > 40) = (event_type = 'purchase') AS b_ok
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+g AS (
+  SELECT wd, count(*) AS n,
+         sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS n11,
+         sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS n10,
+         sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS n01,
+         sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS n00
+  FROM s GROUP BY wd),
+z AS (
+  SELECT *, CASE WHEN n10 + n01 > 0
+                 THEN (abs(CAST(n10 AS DOUBLE) - n01) - 1e0)
+                      / sqrt(CAST(n10 + n01 AS DOUBLE)) END AS zv
+  FROM g)
+SELECT wd, CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS both_correct,
+       CAST(n10 AS BIGINT) AS only_a,
+       CAST(n01 AS BIGINT) AS only_b,
+       CAST(n00 AS BIGINT) AS both_wrong,
+       round((n11 + n10) * 1.0 / n, 6) AS acc_a,
+       round((n11 + n01) * 1.0 / n, 6) AS acc_b,
+       round(zv, 6) AS z,
+       round(CASE WHEN zv IS NOT NULL THEN {_nsf2_sql('zv')} END, 6)
+         AS p_value
+FROM z
+ORDER BY wd
+"""
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three heuristic purchase scorers matched on
+    the same events (operators/evaluation.py cochran_q): stack keeps a
+    single scan, the completeness filter drops items any scorer
+    skipped, the per-treatment census shuffles k rows."""
+    from knot_another_pipeline_spark.operators.evaluation import cochran_q
+
+    ev = load_table(spark, sf_dir, "events")
+    label = F.col("event_type") == "purchase"
+    s = ev.select(
+        "event_id",
+        ((F.col("value") > 60) == label).alias("m1"),
+        ((F.col("value") > 40) == label).alias("m2"),
+        ((F.pmod(F.col("user_id"), 2) == 0) == label).alias("m3"),
+    ).select(
+        "event_id",
+        F.expr(
+            "stack(3, 'm1', m1, 'm2', m2, 'm3', m3) AS (model, ok)"
+        ),
+    )
+    return cochran_q(
+        s, item_col="event_id", treatment_col="model", success_col="ok"
+    )
+
+
+ORACLE_COCHRAN_Q = f"""
+WITH long AS (
+  SELECT event_id AS i, 'm1' AS t,
+         CASE WHEN (CAST(value AS DOUBLE) > 60) = (event_type = 'purchase')
+              THEN 1 ELSE 0 END AS y,
+         value IS NULL AS is_null
+  FROM events
+  UNION ALL
+  SELECT event_id, 'm2',
+         CASE WHEN (CAST(value AS DOUBLE) > 40) = (event_type = 'purchase')
+              THEN 1 ELSE 0 END,
+         value IS NULL
+  FROM events
+  UNION ALL
+  SELECT event_id, 'm3',
+         CASE WHEN ((user_id % 2) = 0) = (event_type = 'purchase')
+              THEN 1 ELSE 0 END,
+         FALSE
+  FROM events),
+s AS (SELECT i, t, y FROM long WHERE NOT is_null),
+k AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS k FROM s),
+items AS (
+  SELECT i, CAST(count(*) AS DOUBLE) AS cnt, CAST(sum(y) AS DOUBLE) AS l
+  FROM s GROUP BY i),
+keep AS (SELECT i, l FROM items, k WHERE cnt = k),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items, sum(l) AS tt,
+         sum(l * l) AS ll, max(k.k) AS k
+  FROM keep, k),
+g AS (
+  SELECT s.t, CAST(sum(s.y) AS DOUBLE) AS g
+  FROM s JOIN keep ON keep.i = s.i GROUP BY s.t),
+red AS (
+  SELECT n_items, tt, ll, k,
+         sum((g.g - tt / k) * (g.g - tt / k)) AS gg
+  FROM g, tot GROUP BY n_items, tt, ll, k),
+q AS (
+  SELECT n_items, k,
+         CASE WHEN k * tt - ll > 0
+              THEN k * (k - 1) * gg / (k * tt - ll) END AS q,
+         k - 1 AS dof
+  FROM red)
+SELECT n_items,
+       CAST(k AS BIGINT) AS k_treatments,
+       round(q, 6) AS q_stat,
+       CAST(dof AS BIGINT) AS df,
+       round({_wh_chi2_p_sql('q', 'dof')}, 6) AS p_value
+FROM q
+"""
+
+
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer–Lemeshow calibration GOF for the synthetic purchase
+    scorer (operators/evaluation.py hosmer_lemeshow): decile bins from
+    global_rank's range-partitioned total order (score, event_id) —
+    the explicit floor((rank−1)·bins/N) split the oracle replays, no
+    single-partition NTILE window."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.select(
+        "event_id",
+        F.least(
+            F.greatest(F.col("value") / 491.0, F.lit(0.001)), F.lit(0.999)
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return hosmer_lemeshow(
+        s, score_col="score", label_col="y", id_col="event_id", bins=10
+    )
+
+
+ORACLE_HOSMER_LEMESHOW = f"""
+WITH s AS (
+  SELECT event_id,
+         least(greatest(CAST(value AS DOUBLE) / 491.0e0, 0.001e0),
+               0.999e0) AS sc,
+         CASE WHEN event_type = 'purchase' THEN 1.0e0 ELSE 0.0e0 END AS y
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT sc, y,
+         row_number() OVER (ORDER BY sc, event_id) AS rk,
+         count(*) OVER () AS n
+  FROM s),
+b AS (
+  SELECT n, CAST(floor((rk - 1) * 10.0 / n) AS BIGINT) AS bin, sc, y
+  FROM r),
+per_bin AS (
+  SELECT bin, max(n) AS n, CAST(count(*) AS DOUBLE) AS ng,
+         sum(y) AS o, sum(sc) AS e
+  FROM b GROUP BY bin),
+red AS (
+  SELECT max(n) AS n,
+         sum(CASE WHEN e > 0 AND e < ng THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN e > 0 AND e < ng
+                  THEN (o - e) * (o - e) / (e * (1e0 - e / ng)) END)
+           AS chi2
+  FROM per_bin),
+fin AS (
+  SELECT n, nb,
+         CASE WHEN nb - 2 >= 1 THEN chi2 END AS c2,
+         CAST(nb - 2 AS DOUBLE) AS dof
+  FROM red)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(nb AS BIGINT) AS n_bins_valid,
+       round(c2, 6) AS chi2,
+       CASE WHEN dof >= 1 THEN CAST(dof AS BIGINT) END AS df,
+       round(CASE WHEN c2 IS NOT NULL
+                  THEN {_wh_chi2_p_sql('c2', 'dof')} END, 6) AS p_value
+FROM fin
+"""
+
+
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sensitivity readout on the user-parity A/B split
+    (operators/evaluation.py mde_power): one conditional moment
+    aggregate, every derived column closed-form row-local algebra the
+    oracle replays."""
+    from knot_another_pipeline_spark.operators.evaluation import mde_power
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.select(
+        (F.col("user_id") % 2).cast("string").alias("arm"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return mde_power(
+        s, arm_col="arm", value_col="v", control="0", treatment="1"
+    )
+
+
+ORACLE_MDE_POWER = f"""
+WITH s AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS arm, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS DOUBLE) AS nc,
+    sum(CASE WHEN arm = '0' THEN v ELSE 0e0 END) AS sc,
+    sum(CASE WHEN arm = '0' THEN v * v ELSE 0e0 END) AS qc,
+    CAST(sum(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
+    sum(CASE WHEN arm = '1' THEN v ELSE 0e0 END) AS st,
+    sum(CASE WHEN arm = '1' THEN v * v ELSE 0e0 END) AS qt
+  FROM s WHERE arm IN ('0', '1')),
+m AS (
+  SELECT nc, nt, sc / nc AS mc, st / nt AS mt,
+         (qc - nc * (sc / nc) * (sc / nc)) / (nc - 1) AS vc,
+         (qt - nt * (st / nt) * (st / nt)) / (nt - 1) AS vt
+  FROM g),
+d AS (
+  SELECT *,
+         mt - mc AS diff,
+         CASE WHEN nc > 1 AND nt > 1
+              THEN sqrt(greatest(vc / nc + vt / nt, 0e0)) END AS se
+  FROM m),
+e AS (
+  SELECT *,
+         2.8015852181129683e0 * se AS mde,
+         CASE WHEN se > 0
+              THEN abs(diff) / se - 1.959963984540054e0 END AS zeff
+  FROM d)
+SELECT CAST(nc AS BIGINT) AS n_control,
+       CAST(nt AS BIGINT) AS n_treatment,
+       round(mc, 6) AS mean_control,
+       round(mt, 6) AS mean_treatment,
+       round(diff, 6) AS diff,
+       round(se, 6) AS se,
+       round(mde, 6) AS mde_abs,
+       round(CASE WHEN mc <> 0 THEN mde / abs(mc) END, 6) AS mde_rel,
+       round(CASE WHEN zeff IS NULL THEN NULL
+                  WHEN zeff >= 0 THEN 1e0 - ({_nsf2_sql('zeff')}) / 2
+                  ELSE ({_nsf2_sql('zeff')}) / 2 END, 6)
+         AS power_at_observed,
+       CASE WHEN nc > 1 AND nt > 1 AND diff <> 0
+            THEN CAST(ceil(2.8015852181129683e0 * 2.8015852181129683e0
+                           * greatest(vc + vt, 0e0) / (diff * diff))
+                      AS BIGINT) END AS n_per_arm_next
+FROM e
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -12599,6 +12900,10 @@ QUERIES = {
     "kruskal_wallis": q_kruskal_wallis,
     "jackknife_ratio": q_jackknife_ratio,
     "capture_recapture": q_capture_recapture,
+    "mcnemar_readout": q_mcnemar_readout,
+    "cochran_q": q_cochran_q,
+    "hosmer_lemeshow": q_hosmer_lemeshow,
+    "mde_power": q_mde_power,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -12903,6 +13208,10 @@ ORACLES = {
     "kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
     "jackknife_ratio": ORACLE_JACKKNIFE_RATIO,
     "capture_recapture": ORACLE_CAPTURE_RECAPTURE,
+    "mcnemar_readout": ORACLE_MCNEMAR_READOUT,
+    "cochran_q": ORACLE_COCHRAN_Q,
+    "hosmer_lemeshow": ORACLE_HOSMER_LEMESHOW,
+    "mde_power": ORACLE_MDE_POWER,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

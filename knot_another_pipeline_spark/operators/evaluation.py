@@ -37,13 +37,17 @@ __all__ = [
     "calibration_curve",
     "categorical_psi",
     "classification_report",
+    "cochran_q",
     "conformal_threshold",
     "cuped_readout",
     "dedup_pr_curve",
     "group_fairness",
+    "hosmer_lemeshow",
     "ips_policy_value",
     "isotonic_calibration",
     "lift_table",
+    "mcnemar_readout",
+    "mde_power",
     "pair_eval",
     "psi_stability",
     "ranking_metrics",
@@ -1600,3 +1604,361 @@ def cuped_readout(
         .otherwise(F.lit(None).cast("double"))
         .alias("var_reduction"),
     ).orderBy("arm")
+
+
+def mcnemar_readout(
+    df: DataFrame,
+    *,
+    a_correct_col: str,
+    b_correct_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """McNemar paired comparison of two classifiers scored on the SAME
+    eval items — the correct test when model A and model B share the
+    eval set (a two-proportion z-test double-counts the shared items
+    and understates significance).  Only the DISCORDANT pairs carry
+    information: ``z = (|n10 − n01| − 1) / sqrt(n10 + n01)`` with the
+    Edwards continuity correction, p two-sided normal (χ²₁ ≡ z², so no
+    chi-square CDF is needed and the DuckDB oracle evaluates the
+    identical ``exp``-polynomial via ``normal_sf_two_sided``).
+
+    Scale shape: ONE conditional hash aggregate over the eval rows —
+    the four cells are map-side ``sum(when(...))``s, so the shuffle
+    carries |groups| rows.  With ``group_cols`` the readout becomes a
+    per-slice sweep whose z column feeds :func:`~.quality.fdr_adjust`
+    directly.  Rows where either correctness flag is NULL are
+    excluded (the item wasn't scored by both models).
+
+    Output per group: group cols, n, both_correct, only_a, only_b,
+    both_wrong, acc_a, acc_b, z, p_value (NULL z/p when no discordant
+    pairs — the models are indistinguishable on this slice).
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+
+    gcols = list(group_cols or [])
+    a = F.col(a_correct_col).cast("boolean")
+    b = F.col(b_correct_col).cast("boolean")
+
+    def cell(pred):
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+    agg = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cell(a & b).alias("both_correct"),
+            cell(a & ~b).alias("only_a"),
+            cell(~a & b).alias("only_b"),
+            cell(~a & ~b).alias("both_wrong"),
+        )
+    )
+    n10 = F.col("only_a").cast("double")
+    n01 = F.col("only_b").cast("double")
+    disc = n10 + n01
+    z = F.when(
+        disc > 0, (F.abs(n10 - n01) - 1.0) / F.sqrt(disc)
+    )
+    out = agg.select(
+        *gcols,
+        "n",
+        "both_correct",
+        "only_a",
+        "only_b",
+        "both_wrong",
+        F.round(
+            (F.col("both_correct") + F.col("only_a")) / F.col("n"), round_to
+        ).alias("acc_a"),
+        F.round(
+            (F.col("both_correct") + F.col("only_b")) / F.col("n"), round_to
+        ).alias("acc_b"),
+        F.round(z, round_to).alias("z"),
+        F.round(normal_sf_two_sided(z), round_to).alias("p_value"),
+    )
+    return out.orderBy(*gcols) if gcols else out
+
+
+def cochran_q(
+    df: DataFrame,
+    *,
+    item_col: str,
+    treatment_col: str,
+    success_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran's Q test across k matched binary treatments — the
+    k-model generalization of :func:`mcnemar_readout` (and its exact
+    reduction at k = 2): "do these k classifiers/prompts/checkpoints
+    differ on the same eval items?", asked once instead of k(k−1)/2
+    pairwise McNemars.
+
+    ``Q = k(k−1)·Σ_j (G_j − T/k)² / (k·T − Σ_i L_i²)`` with G_j the
+    per-treatment success totals, L_i the per-item success totals and
+    T = ΣL_i; Q ~ χ²_{k−1} under H₀, p via the same Wilson–Hilferty
+    cube-root normal approximation as :func:`~.quality.kruskal_wallis`
+    (cbrt/exp only — the oracle replays it bit-for-bit).
+
+    Complete-block enforcement at scale: k comes from a global
+    distinct over the treatment column (k rows), items missing any
+    treatment are DROPPED via a per-item count filter — one item-keyed
+    hash aggregate, one broadcast of the 1-row k, one semi-join back.
+    The per-treatment totals then aggregate the surviving long rows
+    map-side (k-row shuffle).  No item×item or treatment×treatment
+    pairing ever materializes.
+
+    Output (one row): n_items, k_treatments, q_stat, df, p_value
+    (NULL q/p when the denominator is 0 — all items unanimous).
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+
+    s = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(success_col).cast("boolean").cast("int").alias("_y"),
+    ).filter(
+        F.col("_i").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_y").isNotNull()
+    )
+    kdf = s.agg(
+        F.countDistinct("_t").cast("double").alias("_k")
+    )
+    items = (
+        s.groupBy("_i")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_cnt"),
+            F.sum("_y").cast("double").alias("_l"),
+        )
+        .crossJoin(F.broadcast(kdf))
+        .filter(F.col("_cnt") == F.col("_k"))
+    )
+    item_tot = items.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("_l").alias("_tt"),
+        F.sum(F.col("_l") * F.col("_l")).alias("_ll"),
+        F.max("_k").alias("_k"),
+    )
+    g = (
+        s.join(items.select("_i"), "_i", "left_semi")
+        .groupBy("_t")
+        .agg(F.sum("_y").cast("double").alias("_g"))
+        .crossJoin(F.broadcast(item_tot))
+        .groupBy("n_items", "_tt", "_ll", "_k")
+        .agg(
+            F.sum(
+                (F.col("_g") - F.col("_tt") / F.col("_k"))
+                * (F.col("_g") - F.col("_tt") / F.col("_k"))
+            ).alias("_gg")
+        )
+    )
+    k = F.col("_k")
+    denom = k * F.col("_tt") - F.col("_ll")
+    q = F.when(denom > 0, k * (k - 1) * F.col("_gg") / denom)
+    dof = (k - 1).cast("double")
+    zwh = (
+        F.cbrt(q / dof) - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = F.when(
+        zwh.isNotNull(),
+        F.when(
+            zwh >= 0, normal_sf_two_sided(zwh) / 2
+        ).otherwise(1.0 - normal_sf_two_sided(zwh) / 2),
+    )
+    return g.select(
+        "n_items",
+        k.cast("bigint").alias("k_treatments"),
+        F.round(q, round_to).alias("q_stat"),
+        dof.cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit test for a probabilistic
+    classifier — the significance companion to
+    :func:`calibration_curve`: bin the eval set into score deciles and
+    test whether observed positives match the sum of predicted
+    probabilities, ``χ² = Σ_g (O_g − E_g)² / (E_g·(1 − E_g/n_g))``
+    over the valid bins, df = bins − 2.
+
+    Determinism + scale: the decile assignment is
+    ``floor((rank−1)·bins/N)`` over a TOTAL order (score, id) computed
+    with :func:`~.relational.global_rank`'s range-partitioned rank —
+    no single-partition ``ntile()`` window, and the explicit formula
+    (rather than NTILE's ceil-first fill) is replayed verbatim by the
+    DuckDB oracle.  After the rank, one bins-row hash aggregate; the
+    χ² reduction runs on ≤ ``bins`` rows.  Degenerate bins (E_g = 0 or
+    E_g = n_g, where the variance term vanishes) are excluded and df
+    shrinks with them.  p-value via the Wilson–Hilferty cube-root
+    normal approximation (cbrt/exp only, oracle-replayable).
+
+    Output (one row): n, n_bins_valid, chi2, df, p_value (NULL when
+    df < 1).
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
+    if bins < 3:
+        raise ValueError(f"bins must be >= 3 for df = bins - 2, got {bins}")
+    s = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("double").alias("_y"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    total = s.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = global_rank(
+        s, [F.col("_s"), F.col("_id")], rank_col="_rk"
+    ).crossJoin(F.broadcast(total))
+    binned = ranked.select(
+        "_s",
+        "_y",
+        "_n",
+        F.floor(
+            (F.col("_rk") - 1) * F.lit(int(bins)) / F.col("_n")
+        ).alias("_b"),
+    )
+    per_bin = binned.groupBy("_b").agg(
+        F.max("_n").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_ng"),
+        F.sum("_y").alias("_o"),
+        F.sum("_s").alias("_e"),
+    )
+    valid = (F.col("_e") > 0) & (F.col("_e") < F.col("_ng"))
+    contrib = F.when(
+        valid,
+        (F.col("_o") - F.col("_e"))
+        * (F.col("_o") - F.col("_e"))
+        / (F.col("_e") * (1.0 - F.col("_e") / F.col("_ng"))),
+    )
+    red = per_bin.groupBy("_n").agg(
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(contrib).alias("chi2"),
+    )
+    dof = (F.col("nb") - 2).cast("double")
+    c2 = F.when(dof >= 1, F.col("chi2"))
+    zwh = (
+        F.cbrt(c2 / dof) - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = F.when(
+        zwh.isNotNull(),
+        F.when(
+            zwh >= 0, normal_sf_two_sided(zwh) / 2
+        ).otherwise(1.0 - normal_sf_two_sided(zwh) / 2),
+    )
+    return red.select(
+        F.col("_n").alias("n"),
+        F.col("nb").alias("n_bins_valid"),
+        F.round(c2, round_to).alias("chi2"),
+        F.when(dof >= 1, dof).cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    )
+
+
+def mde_power(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    alpha_z: float = 1.959963984540054,
+    power_z: float = 0.8416212335729143,
+    round_to: int = 6,
+) -> DataFrame:
+    """Experiment sensitivity readout — "what effect COULD this test
+    have detected?": the minimal detectable effect at the observed
+    sample sizes and variances, the achieved power against the
+    observed difference, and the per-arm n a follow-up needs.  The
+    honest companion to :func:`cuped_readout`/``ab_test`` — a
+    non-significant readout is only reassuring if the MDE is small.
+
+    Closed forms (two-sided α = 0.05, target power 80% by default):
+    ``se = sqrt(s²_c/n_c + s²_t/n_t)``,
+    ``MDE = (z_{α/2} + z_{pow})·se``,
+    ``power(Δ̂) = Φ(|Δ̂|/se − z_{α/2})``,
+    ``n/arm = (z_{α/2} + z_{pow})²·(s²_c + s²_t)/Δ̂²``.
+    Φ comes from :func:`~.quality.normal_sf_two_sided`'s
+    exp-polynomial, so the DuckDB oracle replays the identical
+    arithmetic.
+
+    Scale shape: ONE conditional hash aggregate over the rows (n, Σv,
+    Σv² per arm as map-side ``sum(when(...))``s, 1-row shuffle);
+    everything after is row-local algebra on that single row.  Sample
+    variances (n−1); NULL se/derived columns when either arm has < 2
+    rows or zero variance sum.
+
+    Output (one row): n_control, n_treatment, mean_control,
+    mean_treatment, diff, se, mde_abs, mde_rel, power_at_observed,
+    n_per_arm_next.
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+
+    v = F.col(value_col).cast("double")
+    arm = F.col(arm_col).cast("string")
+    is_c = arm == F.lit(control)
+    is_t = arm == F.lit(treatment)
+
+    def arm_sums(pred, tag):
+        return [
+            F.sum(F.when(pred, 1).otherwise(0))
+            .cast("double")
+            .alias(f"n{tag}"),
+            F.sum(F.when(pred, v).otherwise(0.0)).alias(f"s{tag}"),
+            F.sum(F.when(pred, v * v).otherwise(0.0)).alias(f"q{tag}"),
+        ]
+
+    agg = df.filter(v.isNotNull() & (is_c | is_t)).agg(
+        *arm_sums(is_c, "c"), *arm_sums(is_t, "t")
+    )
+    nc, nt = F.col("nc"), F.col("nt")
+    mc = F.col("sc") / nc
+    mt = F.col("st") / nt
+    vc = (F.col("qc") - nc * mc * mc) / (nc - 1)
+    vt = (F.col("qt") - nt * mt * mt) / (nt - 1)
+    ok = (nc > 1) & (nt > 1)
+    se = F.when(ok, F.sqrt(F.greatest(vc / nc + vt / nt, F.lit(0.0))))
+    diff = mt - mc
+    zsum = F.lit(alpha_z + power_z)
+    mde = zsum * se
+    zeff = F.when(se > 0, F.abs(diff) / se - F.lit(alpha_z))
+    power = F.when(
+        zeff.isNotNull(),
+        F.when(zeff >= 0, 1.0 - normal_sf_two_sided(zeff) / 2).otherwise(
+            normal_sf_two_sided(zeff) / 2
+        ),
+    )
+    n_next = F.when(
+        ok & (diff != 0),
+        zsum * zsum * F.greatest(vc + vt, F.lit(0.0)) / (diff * diff),
+    )
+    return agg.select(
+        nc.cast("bigint").alias("n_control"),
+        nt.cast("bigint").alias("n_treatment"),
+        F.round(mc, round_to).alias("mean_control"),
+        F.round(mt, round_to).alias("mean_treatment"),
+        F.round(diff, round_to).alias("diff"),
+        F.round(se, round_to).alias("se"),
+        F.round(mde, round_to).alias("mde_abs"),
+        F.round(
+            F.when(mc != 0, mde / F.abs(mc)), round_to
+        ).alias("mde_rel"),
+        F.round(power, round_to).alias("power_at_observed"),
+        F.ceil(n_next).cast("bigint").alias("n_per_arm_next"),
+    )

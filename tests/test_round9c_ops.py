@@ -1,0 +1,299 @@
+"""Round-9 late additions, batch c (round-10 window leads): the
+paired-classifier test family (McNemar, Cochran's Q), the
+Hosmer–Lemeshow calibration GOF, and the experiment sensitivity (MDE /
+power) readout — each checked against an in-Python brute force plus
+the degenerate cases the closed forms must survive (no discordant
+pairs, incomplete blocks, unanimous items, single-row arms).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import defaultdict
+
+import pytest
+
+from knot_another_pipeline_spark.operators.evaluation import (
+    cochran_q,
+    hosmer_lemeshow,
+    mcnemar_readout,
+    mde_power,
+)
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_readout
+
+
+def test_mcnemar_matches_bruteforce(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.random() < 0.6, rng.random() < 0.5) for i in range(500)]
+    out = mcnemar_readout(
+        spark.createDataFrame(rows, ["id", "a_ok", "b_ok"]),
+        a_correct_col="a_ok",
+        b_correct_col="b_ok",
+    ).collect()[0]
+    n10 = sum(1 for _, a, b in rows if a and not b)
+    n01 = sum(1 for _, a, b in rows if b and not a)
+    z = (abs(n10 - n01) - 1) / math.sqrt(n10 + n01)
+    assert out["n"] == len(rows)
+    assert out["only_a"] == n10 and out["only_b"] == n01
+    assert out["both_correct"] == sum(1 for _, a, b in rows if a and b)
+    assert abs(out["z"] - z) < 1e-6
+    assert 0 <= out["p_value"] <= 1
+
+
+def test_mcnemar_no_discordant_pairs_is_null(spark):
+    rows = [(i, True, True) for i in range(10)] + [
+        (i, False, False) for i in range(10, 15)
+    ]
+    out = mcnemar_readout(
+        spark.createDataFrame(rows, ["id", "a_ok", "b_ok"]),
+        a_correct_col="a_ok",
+        b_correct_col="b_ok",
+    ).collect()[0]
+    assert out["z"] is None and out["p_value"] is None
+    assert out["n"] == 15 and out["both_correct"] == 10
+
+
+def test_mcnemar_grouped_and_null_rows_excluded(spark):
+    rows = [
+        ("g1", True, False),
+        ("g1", True, False),
+        ("g1", False, True),
+        ("g1", None, True),  # unscored by A -> excluded
+        ("g2", False, True),
+        ("g2", True, True),
+    ]
+    got = {
+        r["g"]: r
+        for r in mcnemar_readout(
+            spark.createDataFrame(rows, ["g", "a_ok", "b_ok"]),
+            a_correct_col="a_ok",
+            b_correct_col="b_ok",
+            group_cols=["g"],
+        ).collect()
+    }
+    assert got["g1"]["n"] == 3
+    assert got["g1"]["only_a"] == 2 and got["g1"]["only_b"] == 1
+    # z = (|2-1|-1)/sqrt(3) = 0 -> p = 1
+    assert got["g1"]["z"] == 0.0 and got["g1"]["p_value"] == pytest.approx(
+        1.0, abs=1e-6
+    )
+    assert got["g2"]["n"] == 2 and got["g2"]["only_b"] == 1
+
+
+# ---------------------------------------------------------------------------
+# cochran_q
+
+
+def _brute_q(items, k):
+    cnt = defaultdict(int)
+    for i, _, _ in items:
+        cnt[i] += 1
+    keep = {i for i, c in cnt.items() if c == k}
+    L = defaultdict(int)
+    G = defaultdict(int)
+    for i, t, y in items:
+        if i in keep:
+            L[i] += y
+            G[t] += y
+    T = sum(L.values())
+    gg = sum((g - T / k) ** 2 for g in G.values())
+    ll = sum(v * v for v in L.values())
+    denom = k * T - ll
+    q = k * (k - 1) * gg / denom if denom > 0 else None
+    return len(keep), q
+
+
+def test_cochran_q_matches_bruteforce_and_drops_incomplete(spark):
+    rng = random.Random(11)
+    k = 3
+    items = [
+        (i, f"m{t}", int(rng.random() < 0.3 + 0.15 * t))
+        for i in range(200)
+        for t in range(k)
+    ]
+    # item 5 is missing one treatment: the completeness filter drops it
+    items = [r for r in items if not (r[0] == 5 and r[1] == "m1")]
+    out = cochran_q(
+        spark.createDataFrame(items, ["item", "model", "ok"]),
+        item_col="item",
+        treatment_col="model",
+        success_col="ok",
+    ).collect()[0]
+    n_keep, q = _brute_q(items, k)
+    assert out["n_items"] == n_keep == 199
+    assert out["k_treatments"] == k and out["df"] == k - 1
+    assert abs(out["q_stat"] - q) < 1e-6
+    assert 0 <= out["p_value"] <= 1
+
+
+def test_cochran_q_at_k2_reduces_to_uncorrected_mcnemar(spark):
+    """Cochran's Q with two treatments IS McNemar's chi-square without
+    the continuity correction: Q = (n10 - n01)^2 / (n10 + n01)."""
+    rng = random.Random(3)
+    pairs = [(i, rng.random() < 0.6, rng.random() < 0.4) for i in range(300)]
+    long = [(i, "a", int(a)) for i, a, _ in pairs] + [
+        (i, "b", int(b)) for i, _, b in pairs
+    ]
+    out = cochran_q(
+        spark.createDataFrame(long, ["item", "model", "ok"]),
+        item_col="item",
+        treatment_col="model",
+        success_col="ok",
+    ).collect()[0]
+    n10 = sum(1 for _, a, b in pairs if a and not b)
+    n01 = sum(1 for _, a, b in pairs if b and not a)
+    assert out["q_stat"] == pytest.approx(
+        (n10 - n01) ** 2 / (n10 + n01), abs=1e-6
+    )
+    assert out["df"] == 1
+
+
+def test_cochran_q_unanimous_items_yield_null(spark):
+    """Every item all-success or all-failure: k*T == sum(L^2), the
+    denominator is 0 and Q/p must be NULL, not a division error."""
+    long = [(i, t, int(i % 2 == 0)) for i in range(20) for t in ("a", "b")]
+    out = cochran_q(
+        spark.createDataFrame(long, ["item", "model", "ok"]),
+        item_col="item",
+        treatment_col="model",
+        success_col="ok",
+    ).collect()[0]
+    assert out["n_items"] == 20
+    assert out["q_stat"] is None and out["p_value"] is None
+
+
+# ---------------------------------------------------------------------------
+# hosmer_lemeshow
+
+
+def _brute_hl(rows, bins):
+    srt = sorted(rows, key=lambda r: (r[1], r[0]))
+    n = len(srt)
+    acc = defaultdict(lambda: [0, 0.0, 0.0])
+    for r, (_, s, y) in enumerate(srt):
+        b = (r * bins) // n
+        acc[b][0] += 1
+        acc[b][1] += y
+        acc[b][2] += s
+    chi2, nb = 0.0, 0
+    for ng, o, e in acc.values():
+        if 0 < e < ng:
+            nb += 1
+            chi2 += (o - e) ** 2 / (e * (1 - e / ng))
+    return chi2, nb
+
+
+def test_hosmer_lemeshow_matches_bruteforce(spark):
+    rng = random.Random(5)
+    rows = []
+    for i in range(1000):
+        s = min(max(rng.random(), 1e-3), 1 - 1e-3)
+        rows.append((i, s, 1 if rng.random() < s else 0))
+    out = hosmer_lemeshow(
+        spark.createDataFrame(rows, ["id", "score", "y"]).repartition(8),
+        score_col="score",
+        label_col="y",
+        id_col="id",
+        bins=10,
+    ).collect()[0]
+    chi2, nb = _brute_hl(rows, 10)
+    assert out["n"] == 1000 and out["n_bins_valid"] == nb
+    assert abs(out["chi2"] - chi2) < 1e-4
+    assert out["df"] == nb - 2
+    assert 0 <= out["p_value"] <= 1
+
+
+def test_hosmer_lemeshow_excludes_degenerate_bins(spark):
+    """A top decile whose scores are exactly 1.0 has E == n_g — zero
+    variance, excluded from chi2 with df shrinking alongside."""
+    rng = random.Random(9)
+    rows = [(i, 0.2 + 0.5 * rng.random(), rng.randint(0, 1))
+            for i in range(450)]
+    rows += [(1000 + i, 1.0, 1) for i in range(50)]  # degenerate top bin
+    out = hosmer_lemeshow(
+        spark.createDataFrame(rows, ["id", "score", "y"]),
+        score_col="score",
+        label_col="y",
+        id_col="id",
+        bins=10,
+    ).collect()[0]
+    chi2, nb = _brute_hl(rows, 10)
+    assert nb == 9  # brute force agrees the bin is degenerate
+    assert out["n_bins_valid"] == 9 and out["df"] == 7
+    assert abs(out["chi2"] - chi2) < 1e-4
+
+
+def test_hosmer_lemeshow_rejects_tiny_bins():
+    # the bins guard fires before the DataFrame is touched
+    with pytest.raises(ValueError, match="bins"):
+        hosmer_lemeshow(
+            None, score_col="s", label_col="y", id_col="i", bins=2
+        )
+
+
+# ---------------------------------------------------------------------------
+# mde_power
+
+
+def _var(xs):
+    m = sum(xs) / len(xs)
+    return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+
+def test_mde_power_matches_bruteforce(spark):
+    rng = random.Random(13)
+    rows = [
+        ("c" if rng.random() < 0.5 else "t", rng.gauss(10, 3))
+        for _ in range(2000)
+    ]
+    out = mde_power(
+        spark.createDataFrame(rows, ["arm", "v"]),
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+    ).collect()[0]
+    cs = [v for a, v in rows if a == "c"]
+    ts = [v for a, v in rows if a == "t"]
+    se = math.sqrt(_var(cs) / len(cs) + _var(ts) / len(ts))
+    zsum = 1.959963984540054 + 0.8416212335729143
+    diff = sum(ts) / len(ts) - sum(cs) / len(cs)
+    assert out["n_control"] == len(cs) and out["n_treatment"] == len(ts)
+    assert abs(out["se"] - se) < 1e-6
+    assert abs(out["mde_abs"] - zsum * se) < 1e-6
+    assert out["diff"] == pytest.approx(diff, abs=1e-6)
+    assert out["n_per_arm_next"] == math.ceil(
+        zsum * zsum * (_var(cs) + _var(ts)) / diff**2
+    )
+    assert 0 <= out["power_at_observed"] <= 1
+
+
+def test_mde_power_single_row_arm_is_null(spark):
+    rows = [("c", 1.0), ("c", 2.0), ("t", 5.0)]
+    out = mde_power(
+        spark.createDataFrame(rows, ["arm", "v"]),
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+    ).collect()[0]
+    assert out["n_treatment"] == 1
+    assert out["se"] is None and out["mde_abs"] is None
+    assert out["power_at_observed"] is None
+
+
+def test_mde_power_other_arms_ignored(spark):
+    rows = [("c", 1.0), ("c", 3.0), ("t", 2.0), ("t", 4.0), ("x", 99.0)]
+    out = mde_power(
+        spark.createDataFrame(rows, ["arm", "v"]),
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+    ).collect()[0]
+    assert out["n_control"] == 2 and out["n_treatment"] == 2
+    assert out["mean_treatment"] == pytest.approx(3.0)
