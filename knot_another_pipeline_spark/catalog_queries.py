@@ -12884,6 +12884,131 @@ FROM e
 """
 
 
+def _paulson_f_p_sql(f: str, df1: str, df2: str) -> str:
+    """Upper-tail F p via the Paulson double cube-root normal
+    approximation — the SQL twin of operators/quality.py
+    _f_dist_p_one_sided (cbrt/sqrt/exp only, no beta function)."""
+    z = (
+        f"(((1e0 - 2e0 / (9e0 * ({df2}))) * cbrt({f})"
+        f" - (1e0 - 2e0 / (9e0 * ({df1}))))"
+        f" / sqrt(2e0 / (9e0 * ({df1}))"
+        f" + cbrt({f}) * cbrt({f}) * 2e0 / (9e0 * ({df2}))))"
+    )
+    return (
+        f"(CASE WHEN {z} IS NULL THEN NULL"
+        f" WHEN {z} >= 0 THEN ({_nsf2_sql(z)}) / 2"
+        f" ELSE 1e0 - ({_nsf2_sql(z)}) / 2 END)"
+    )
+
+
+_ANOVA_REDUCE_SQL = """
+per_class AS (
+  SELECT fam, c, CAST(count(*) AS DOUBLE) AS n,
+         sum(v) AS s, sum(v * v) AS q
+  FROM s GROUP BY fam, c),
+fam AS (
+  SELECT fam, sum(n) AS nt, CAST(count(*) AS DOUBLE) AS k,
+         sum(s * s / n) AS sb, sum(q) AS qq, sum(s) AS t
+  FROM per_class GROUP BY fam),
+parts AS (
+  SELECT fam, nt, k,
+         sb - t * t / nt AS ssb,
+         qq - sb AS ssw,
+         qq - t * t / nt AS sst,
+         k - 1 AS df1, nt - k AS df2
+  FROM fam),
+stat AS (
+  SELECT fam, nt, k, ssb, sst, df1, df2,
+         CASE WHEN k >= 2 AND df2 >= 1 AND ssw > 0
+              THEN (ssb / df1) / (ssw / df2) END AS f
+  FROM parts)
+"""
+
+
+def q_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of extended price across return flags per line
+    status (operators/quality.py oneway_anova): one moment-sum hash
+    aggregate sees the rows, F/eta-squared/Paulson-p by algebra on the
+    k class rows."""
+    from knot_another_pipeline_spark.operators.quality import oneway_anova
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return oneway_anova(
+        li.select(
+            F.col("l_linestatus").alias("status"),
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        ),
+        group_cols=["status"],
+        value_col="price",
+        class_col="flag",
+    )
+
+
+ORACLE_ONEWAY_ANOVA = f"""
+WITH s AS (
+  SELECT l_linestatus AS fam, l_returnflag AS c,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+{_ANOVA_REDUCE_SQL}
+SELECT fam AS status,
+       CAST(nt AS BIGINT) AS n_total,
+       CAST(k AS BIGINT) AS k_classes,
+       round(f, 6) AS f_stat,
+       CASE WHEN k >= 2 THEN CAST(df1 AS BIGINT) END AS df1,
+       CASE WHEN df2 >= 1 THEN CAST(df2 AS BIGINT) END AS df2,
+       round(CASE WHEN sst > 0 THEN ssb / sst END, 6) AS eta_sq,
+       round({_paulson_f_p_sql('f', 'df1', 'df2')}, 6) AS p_value
+FROM stat
+ORDER BY status
+"""
+
+
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test on the same slicing as
+    oneway_anova (operators/quality.py levene_test): exact
+    percentile(0.5) class medians — the interpolating midpoint DuckDB's
+    median() replays — then ANOVA algebra on |v − med|."""
+    from knot_another_pipeline_spark.operators.quality import levene_test
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return levene_test(
+        li.select(
+            F.col("l_linestatus").alias("status"),
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        ),
+        group_cols=["status"],
+        value_col="price",
+        class_col="flag",
+    )
+
+
+ORACLE_LEVENE_TEST = f"""
+WITH raw AS (
+  SELECT l_linestatus AS fam, l_returnflag AS c,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+meds AS (
+  SELECT fam, c, median(v) AS med FROM raw GROUP BY fam, c),
+s AS (
+  SELECT raw.fam, raw.c, abs(raw.v - meds.med) AS v
+  FROM raw JOIN meds ON meds.fam = raw.fam AND meds.c = raw.c),
+{_ANOVA_REDUCE_SQL}
+SELECT fam AS status,
+       CAST(nt AS BIGINT) AS n_total,
+       CAST(k AS BIGINT) AS k_classes,
+       round(f, 6) AS w_stat,
+       CASE WHEN k >= 2 THEN CAST(df1 AS BIGINT) END AS df1,
+       CASE WHEN df2 >= 1 THEN CAST(df2 AS BIGINT) END AS df2,
+       round({_paulson_f_p_sql('f', 'df1', 'df2')}, 6) AS p_value
+FROM stat
+ORDER BY status
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -12904,6 +13029,8 @@ QUERIES = {
     "cochran_q": q_cochran_q,
     "hosmer_lemeshow": q_hosmer_lemeshow,
     "mde_power": q_mde_power,
+    "oneway_anova": q_oneway_anova,
+    "levene_test": q_levene_test,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -13212,6 +13339,8 @@ ORACLES = {
     "cochran_q": ORACLE_COCHRAN_Q,
     "hosmer_lemeshow": ORACLE_HOSMER_LEMESHOW,
     "mde_power": ORACLE_MDE_POWER,
+    "oneway_anova": ORACLE_ONEWAY_ANOVA,
+    "levene_test": ORACLE_LEVENE_TEST,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

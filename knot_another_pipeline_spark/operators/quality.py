@@ -2934,3 +2934,167 @@ def capture_recapture(
         F.round(n_hat - 1.959963984540054 * se, round_to).alias("ci_lo"),
         F.round(n_hat + 1.959963984540054 * se, round_to).alias("ci_hi"),
     )
+
+
+def _f_dist_p_one_sided(f: Column, df1: Column, df2: Column) -> Column:
+    """Upper-tail F p-value via the Paulson (1942) double cube-root
+    normal approximation — the two-df generalization of the
+    Wilson–Hilferty construction :func:`kruskal_wallis` uses:
+    ``z = ((1 − 2/9df₂)·F^⅓ − (1 − 2/9df₁))
+    / sqrt(2/9df₁ + F^⅔·2/9df₂)``.  cbrt/sqrt/exp only — no
+    beta function, so a DuckDB oracle evaluates the identical
+    expression.  NULL F propagates.
+    """
+    fc = F.cbrt(f)
+    num = (1.0 - 2.0 / (9.0 * df2)) * fc - (1.0 - 2.0 / (9.0 * df1))
+    den = F.sqrt(2.0 / (9.0 * df1) + fc * fc * 2.0 / (9.0 * df2))
+    z = num / den
+    return F.when(
+        z.isNotNull(),
+        F.when(z >= 0, normal_sf_two_sided(z) / 2).otherwise(
+            1.0 - normal_sf_two_sided(z) / 2
+        ),
+    )
+
+
+def oneway_anova(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family one-way ANOVA — the parametric sibling of
+    :func:`kruskal_wallis`: "do the class MEANS of this metric differ
+    across k segments", with the effect size (η²) that tells you
+    whether a significant F is worth acting on.
+
+    Everything collapses onto moment sums: per (family, class) n, Σv,
+    Σv² in ONE hash aggregate (the only shuffle that sees row volume),
+    then SSB/SSW/SST by algebra on the k class rows.  F = (SSB/df₁) /
+    (SSW/df₂); p via :func:`_f_dist_p_one_sided`'s Paulson cube-root
+    normal approximation (cbrt/exp only, oracle-replayable — same
+    convention as the Wilson–Hilferty p in ``kruskal_wallis``).
+
+    Guards: families with < 2 classes, df₂ < 1, or zero within-class
+    variance yield NULL F/p (constant data proves nothing either way).
+    NULL values are excluded.
+
+    Output per family: group cols, n_total, k_classes, f_stat, df1,
+    df2, eta_sq, p_value.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(class_col).cast("string").alias("_c"),
+    ).filter(F.col("_v").isNotNull() & F.col("_c").isNotNull())
+    per_class = s.groupBy(*group_cols, "_c").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+    )
+    fam = per_class.groupBy(*group_cols).agg(
+        F.sum("_n").alias("_nt"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("_sb"),
+        F.sum("_q").alias("_qq"),
+        F.sum("_s").alias("_t"),
+    )
+    n, k = F.col("_nt"), F.col("_k")
+    ssb = F.col("_sb") - F.col("_t") * F.col("_t") / n
+    ssw = F.col("_qq") - F.col("_sb")
+    sst = F.col("_qq") - F.col("_t") * F.col("_t") / n
+    # nullable dfs: a k = 1 family must propagate NULL through the
+    # divisions instead of tripping ANSI divide-by-zero in a branch
+    # codegen evaluates eagerly
+    df1 = F.when(k >= 2, k - 1)
+    df2 = F.when(n - k >= 1, n - k)
+    ok = (k >= 2) & (n - k >= 1) & (ssw > 0)
+    f_stat = F.when(ok, (ssb / df1) / (ssw / df2))
+    return fam.select(
+        *group_cols,
+        n.cast("bigint").alias("n_total"),
+        k.cast("bigint").alias("k_classes"),
+        F.round(f_stat, round_to).alias("f_stat"),
+        df1.cast("bigint").alias("df1"),
+        df2.cast("bigint").alias("df2"),
+        F.round(
+            F.when(sst > 0, ssb / sst), round_to
+        ).alias("eta_sq"),
+        F.round(
+            _f_dist_p_one_sided(f_stat, df1, df2), round_to
+        ).alias("p_value"),
+    ).orderBy(*group_cols)
+
+
+def levene_test(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family Brown–Forsythe test (Levene with median centers) —
+    "do the class VARIANCES differ", the homogeneity gate in front of
+    :func:`oneway_anova` and the drift test that catches a segment
+    whose mean held but whose spread exploded.  Median centering
+    (rather than Levene's original mean) keeps the test robust under
+    the skewed latency/spend metrics it is pointed at.
+
+    Two shuffles by construction: (1) per-(family, class) EXACT
+    medians via ``percentile(0.5)`` — the same interpolating midpoint
+    DuckDB's ``median()`` computes, so the oracle replays the centers
+    bit-for-bit; (2) the absolute deviations' moment sums, after an
+    equi-join of the class medians back onto the rows (class-count
+    sized — AQE broadcasts it).  The W statistic is then ordinary
+    one-way ANOVA algebra on |v − med| with the same Paulson
+    cube-root p as :func:`oneway_anova`.
+
+    Output per family: group cols, n_total, k_classes, w_stat, df1,
+    df2, p_value.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(class_col).cast("string").alias("_c"),
+    ).filter(F.col("_v").isNotNull() & F.col("_c").isNotNull())
+    meds = s.groupBy(*group_cols, "_c").agg(
+        F.percentile("_v", F.lit(0.5)).alias("_med")
+    )
+    z = s.join(meds, [*group_cols, "_c"]).select(
+        *group_cols,
+        "_c",
+        F.abs(F.col("_v") - F.col("_med")).alias("_z"),
+    )
+    per_class = z.groupBy(*group_cols, "_c").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_z").alias("_s"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_q"),
+    )
+    fam = per_class.groupBy(*group_cols).agg(
+        F.sum("_n").alias("_nt"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("_sb"),
+        F.sum("_q").alias("_qq"),
+        F.sum("_s").alias("_t"),
+    )
+    n, k = F.col("_nt"), F.col("_k")
+    ssb = F.col("_sb") - F.col("_t") * F.col("_t") / n
+    ssw = F.col("_qq") - F.col("_sb")
+    df1 = F.when(k >= 2, k - 1)
+    df2 = F.when(n - k >= 1, n - k)
+    ok = (k >= 2) & (n - k >= 1) & (ssw > 0)
+    w_stat = F.when(ok, (ssb / df1) / (ssw / df2))
+    return fam.select(
+        *group_cols,
+        n.cast("bigint").alias("n_total"),
+        k.cast("bigint").alias("k_classes"),
+        F.round(w_stat, round_to).alias("w_stat"),
+        df1.cast("bigint").alias("df1"),
+        df2.cast("bigint").alias("df2"),
+        F.round(
+            _f_dist_p_one_sided(w_stat, df1, df2), round_to
+        ).alias("p_value"),
+    ).orderBy(*group_cols)

@@ -297,3 +297,110 @@ def test_mde_power_other_arms_ignored(spark):
     ).collect()[0]
     assert out["n_control"] == 2 and out["n_treatment"] == 2
     assert out["mean_treatment"] == pytest.approx(3.0)
+
+
+# ---------------------------------------------------------------------------
+# oneway_anova / levene_test
+
+
+def _brute_anova_f(pts):
+    groups = {}
+    for c, v in pts:
+        groups.setdefault(c, []).append(v)
+    n = sum(len(g) for g in groups.values())
+    k = len(groups)
+    gm = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups.values())
+    ssw = sum(
+        sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups.values()
+    )
+    return (ssb / (k - 1)) / (ssw / (n - k)), ssb / (ssb + ssw)
+
+
+def test_oneway_anova_matches_bruteforce_and_discriminates(spark):
+    from knot_another_pipeline_spark.operators.quality import oneway_anova
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(900):
+        c = str(i % 3)
+        rows.append(("shift", c, rng.gauss(10 + 2 * int(c), 2)))
+        rows.append(("spread", c, rng.gauss(10, 1 + 2 * int(c))))
+    got = {
+        r["family"]: r
+        for r in oneway_anova(
+            spark.createDataFrame(
+                rows, "family string, cls string, v double"
+            ),
+            group_cols=["family"],
+            value_col="v",
+            class_col="cls",
+        ).collect()
+    }
+    for fam in ("shift", "spread"):
+        pts = [(c, v) for f, c, v in rows if f == fam]
+        f_stat, eta = _brute_anova_f(pts)
+        assert abs(got[fam]["f_stat"] - f_stat) < 1e-4
+        assert abs(got[fam]["eta_sq"] - eta) < 1e-6
+        assert got[fam]["df1"] == 2 and got[fam]["df2"] == 897
+    # mean shift is ANOVA's signal; pure variance spread is not
+    assert got["shift"]["p_value"] < 1e-4
+    assert got["spread"]["p_value"] > 0.05
+
+
+def test_oneway_anova_degenerate_families_are_null(spark):
+    from knot_another_pipeline_spark.operators.quality import oneway_anova
+
+    rows = [("one_class", "a", float(v)) for v in range(10)] + [
+        ("constant", c, 5.0) for c in "ab" for _ in range(5)
+    ]
+    got = {
+        r["family"]: r
+        for r in oneway_anova(
+            spark.createDataFrame(rows, "family string, cls string, v double"),
+            group_cols=["family"],
+            value_col="v",
+            class_col="cls",
+        ).collect()
+    }
+    assert got["one_class"]["f_stat"] is None  # k < 2
+    assert got["constant"]["f_stat"] is None  # ssw == 0
+    assert got["constant"]["p_value"] is None
+
+
+def test_levene_matches_bruteforce_and_discriminates(spark):
+    import statistics
+
+    from knot_another_pipeline_spark.operators.quality import levene_test
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(900):
+        c = str(i % 3)
+        rows.append(("shift", c, rng.gauss(10 + 2 * int(c), 2)))
+        rows.append(("spread", c, rng.gauss(10, 1 + 2 * int(c))))
+    got = {
+        r["family"]: r
+        for r in levene_test(
+            spark.createDataFrame(
+                rows, "family string, cls string, v double"
+            ),
+            group_cols=["family"],
+            value_col="v",
+            class_col="cls",
+        ).collect()
+    }
+    for fam in ("shift", "spread"):
+        pts = [(c, v) for f, c, v in rows if f == fam]
+        groups = {}
+        for c, v in pts:
+            groups.setdefault(c, []).append(v)
+        zs = []
+        for c, g in groups.items():
+            med = statistics.median(g)
+            zs += [(c, abs(x - med)) for x in g]
+        w, _ = _brute_anova_f(zs)
+        assert abs(got[fam]["w_stat"] - w) < 1e-4
+    # Brown-Forsythe's signal is the variance spread, not the mean shift
+    assert got["spread"]["p_value"] < 1e-3
+    assert got["shift"]["p_value"] > 0.05
