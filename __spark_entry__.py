@@ -33,7 +33,8 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 # reach_census, isotonic_calibration, cuped_readout, theil_sen,
 # holt_forecast, fdr_adjust, mann_kendall, kruskal_wallis,
 # jackknife_ratio, capture_recapture, mcnemar_readout, cochran_q,
-# hosmer_lemeshow, mde_power, oneway_anova, levene_test) are parked
+# hosmer_lemeshow, mde_power, oneway_anova, levene_test, periodogram,
+# lag_correlation) are parked
 # AFTER the 50-key
 # window — covered by the in-repo DuckDB differential now, first in
 # line for round-10's _NEW_KEYS slot.

@@ -13009,6 +13009,156 @@ ORDER BY status
 """
 
 
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of hourly event volumes per type at the candidate
+    periods 6h/12h/24h/168h (operators/temporal.py periodogram): ONE
+    hash aggregate over rows × 4 candidates from a broadcast
+    crossJoin, mean-centering collapsed onto uncentered trig sums."""
+    from knot_another_pipeline_spark.operators.temporal import periodogram
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series"),
+        (
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(
+                        F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    )
+                )
+                / F.lit(3600000000)
+            )
+        ).alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return periodogram(
+        hourly,
+        series_col="series",
+        t_col="t",
+        value_col="y",
+        periods=[6.0, 12.0, 24.0, 168.0],
+    )
+
+
+ORACLE_PERIODOGRAM = """
+WITH hourly AS (
+  SELECT event_type AS series,
+         CAST(floor(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                         ) AS DOUBLE) / 3600000000e0) AS DOUBLE) AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type,
+           floor(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                      ) AS DOUBLE) / 3600000000e0)),
+per AS (SELECT unnest([6e0, 12e0, 24e0, 168e0]) AS period),
+g AS (
+  SELECT series, period,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(y) AS sy, sum(y * y) AS syy,
+         sum(y * cos(2e0 * pi() * t / period)) AS yc,
+         sum(y * sin(2e0 * pi() * t / period)) AS ys,
+         sum(cos(2e0 * pi() * t / period)) AS c,
+         sum(sin(2e0 * pi() * t / period)) AS s
+  FROM hourly, per GROUP BY series, period),
+m AS (
+  SELECT series, period, n,
+         syy / n - (sy / n) * (sy / n) AS var,
+         yc - (sy / n) * c AS cc,
+         ys - (sy / n) * s AS ss
+  FROM g),
+p AS (
+  SELECT series, period, n,
+         CASE WHEN var > 0
+              THEN (cc * cc + ss * ss) * 2e0 / n / (2e0 * var * n)
+              END AS share,
+         CASE WHEN n > 0 THEN sqrt(cc * cc + ss * ss) * 2e0 / n
+              END AS amp
+  FROM m),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY series
+    ORDER BY share DESC NULLS LAST, period ASC) AS rk
+  FROM p)
+SELECT series, period, CAST(n AS BIGINT) AS n,
+       round(share, 6) AS var_share,
+       round(amp, 6) AS amplitude,
+       rk = 1 AS is_dominant
+FROM r
+ORDER BY series, period
+"""
+
+
+def q_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily click volume vs daily purchase
+    volume at lags −7..7 (operators/temporal.py lag_correlation):
+    broadcast lag list, one shifted integer equi-join, one moment-sum
+    aggregate to 15 rows."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        lag_correlation,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("t")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("double")
+        .alias("a"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("b"),
+    )
+    return lag_correlation(
+        daily, t_col="t", a_col="a", b_col="b", max_lag=7
+    )
+
+
+ORACLE_LAG_CORRELATION = """
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS a,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS b
+  FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)),
+lags AS (SELECT unnest(range(-7, 8)) AS lag),
+j AS (
+  SELECT lags.lag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x.a) AS sa, sum(y.b) AS sb,
+         sum(x.a * x.a) AS saa, sum(y.b * y.b) AS sbb,
+         sum(x.a * y.b) AS sab
+  FROM daily x, lags
+  JOIN daily y ON y.t = x.t + lags.lag
+  GROUP BY lags.lag),
+c AS (
+  SELECT lag, n,
+         n * sab - sa * sb AS cov,
+         n * saa - sa * sa AS va,
+         n * sbb - sb * sb AS vb
+  FROM j),
+r AS (
+  SELECT lag, n,
+         CASE WHEN va > 0 AND vb > 0 THEN cov / sqrt(va * vb) END AS corr,
+         row_number() OVER (
+           ORDER BY CASE WHEN va > 0 AND vb > 0
+                         THEN abs(cov / sqrt(va * vb)) END
+                    DESC NULLS LAST,
+                    abs(lag) ASC, lag ASC) AS rk
+  FROM c)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_overlap,
+       round(corr, 6) AS corr,
+       rk = 1 AS is_best
+FROM r
+ORDER BY lag
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13031,6 +13181,8 @@ QUERIES = {
     "mde_power": q_mde_power,
     "oneway_anova": q_oneway_anova,
     "levene_test": q_levene_test,
+    "periodogram": q_periodogram,
+    "lag_correlation": q_lag_correlation,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -13341,6 +13493,8 @@ ORACLES = {
     "mde_power": ORACLE_MDE_POWER,
     "oneway_anova": ORACLE_ONEWAY_ANOVA,
     "levene_test": ORACLE_LEVENE_TEST,
+    "periodogram": ORACLE_PERIODOGRAM,
+    "lag_correlation": ORACLE_LAG_CORRELATION,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

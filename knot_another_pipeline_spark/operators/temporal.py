@@ -44,9 +44,11 @@ __all__ = [
     "ewma_smooth",
     "holt_forecast",
     "interval_merge",
+    "lag_correlation",
     "mann_kendall",
     "max_concurrency",
     "period_over_period",
+    "periodogram",
     "range_join",
     "resample_calendar",
     "rolling_stats",
@@ -1717,3 +1719,159 @@ def mann_kendall(
         )
         .orderBy("series")
     )
+
+
+def periodogram(
+    df: DataFrame,
+    *,
+    series_col: str,
+    t_col: str,
+    value_col: str,
+    periods: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-series periodogram at CANDIDATE periods — "which cycle
+    drives this metric: daily, weekly, both?" asked directly of the
+    data instead of eyeballing :func:`seasonal_decompose`.  For each
+    period P the power at f = 1/P is
+    ``(C² + S²)·2/n`` with ``C = Σ(y−ȳ)·cos(2πt/P)``,
+    ``S = Σ(y−ȳ)·sin(2πt/P)`` — reported as ``var_share`` (power
+    normalized by 2·variance, the fraction of variance a fitted
+    cosine at that period explains, O(1) regardless of metric scale)
+    and ``amplitude`` (the fitted cosine's amplitude in metric
+    units).
+
+    The mean-centering collapses algebraically onto UNCENTERED sums
+    (``Σy·cos − ȳ·Σcos``), so the whole computation is ONE hash
+    aggregate over (series × |periods|) rows produced by a broadcast
+    crossJoin with the tiny candidate list — no per-series join, no
+    second pass, no FFT-sized intermediate.  That is the scale
+    contract: row volume × k candidates map-side, |series|·k rows
+    shuffled.  ``is_dominant`` marks each series' top-power period
+    (ties broken toward the shorter period).
+
+    Output per (series, period): series, period, n, var_share,
+    amplitude, is_dominant — NULL shares for constant series.
+    """
+    import math as _math
+
+    if not periods:
+        raise ValueError("periods must be non-empty")
+    spark = df.sparkSession
+    per = spark.createDataFrame(
+        [(float(p),) for p in periods], "period double"
+    )
+    if any(p <= 0 for p in periods):
+        raise ValueError(f"periods must be positive, got {periods}")
+    t = F.col(t_col).cast("double")
+    y = F.col(value_col).cast("double")
+    s = df.select(
+        F.col(series_col).alias("series"), t.alias("_t"), y.alias("_y")
+    ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
+    ang = F.lit(2.0 * _math.pi) * F.col("_t") / F.col("period")
+    g = (
+        s.crossJoin(F.broadcast(per))
+        .groupBy("series", "period")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+            F.sum(F.col("_y") * F.cos(ang)).alias("_yc"),
+            F.sum(F.col("_y") * F.sin(ang)).alias("_ys"),
+            F.sum(F.cos(ang)).alias("_c"),
+            F.sum(F.sin(ang)).alias("_s"),
+        )
+    )
+    n = F.col("_n")
+    mean = F.col("_sy") / n
+    var = F.col("_syy") / n - mean * mean
+    cc = F.col("_yc") - mean * F.col("_c")
+    ss = F.col("_ys") - mean * F.col("_s")
+    power = (cc * cc + ss * ss) * 2.0 / n
+    share = F.when(var > 0, power / (2.0 * var * n))
+    amp = F.when(n > 0, F.sqrt(cc * cc + ss * ss) * 2.0 / n)
+    w = Window.partitionBy("series").orderBy(
+        F.when(var > 0, power / (2.0 * var * n)).desc_nulls_last(),
+        F.col("period").asc(),
+    )
+    return g.select(
+        "series",
+        "period",
+        n.cast("bigint").alias("n"),
+        F.round(share, round_to).alias("var_share"),
+        F.round(amp, round_to).alias("amplitude"),
+        (F.row_number().over(w) == 1).alias("is_dominant"),
+    ).orderBy("series", "period")
+
+
+def lag_correlation(
+    df: DataFrame,
+    *,
+    t_col: str,
+    a_col: str,
+    b_col: str,
+    max_lag: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-correlation function between two aligned series — "does
+    a move in A lead a move in B, and by how many steps?": Pearson
+    corr(A_t, B_{t+ℓ}) for every lag ℓ ∈ [−L, L], with ``is_best``
+    marking the strongest |corr| (ties toward the smallest |ℓ|, then
+    the negative lag).  Positive ℓ means A LEADS B by ℓ steps.
+
+    Scale shape: the (2L+1)-row lag list broadcast-crossJoins the A
+    side, which then equi-joins B on the shifted integer key
+    ``t + ℓ`` — one hash join carrying N·(2L+1) rows (L is single
+    digits in practice), then one moment-sum aggregate to 2L+1 rows.
+    Correlations come from the sums (n·Σab − ΣaΣb) / √(...), no
+    per-lag passes, no window over the full series.
+
+    Output per lag: lag, n_overlap, corr (NULL when either side is
+    constant over the overlap), is_best.
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    spark = df.sparkSession
+    lags = spark.createDataFrame(
+        [(int(l),) for l in range(-max_lag, max_lag + 1)], "lag long"
+    )
+    t = F.col(t_col).cast("long")
+    s = df.select(
+        t.alias("_t"),
+        F.col(a_col).cast("double").alias("_a"),
+        F.col(b_col).cast("double").alias("_b"),
+    ).filter(F.col("_t").isNotNull())
+    a_side = s.select("_t", "_a").filter(F.col("_a").isNotNull())
+    b_side = s.select(
+        F.col("_t").alias("_tb"), F.col("_b")
+    ).filter(F.col("_b").isNotNull())
+    j = (
+        a_side.crossJoin(F.broadcast(lags))
+        .join(b_side, F.col("_tb") == F.col("_t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum("_a").alias("_sa"),
+            F.sum("_b").alias("_sb"),
+            F.sum(F.col("_a") * F.col("_a")).alias("_saa"),
+            F.sum(F.col("_b") * F.col("_b")).alias("_sbb"),
+            F.sum(F.col("_a") * F.col("_b")).alias("_sab"),
+        )
+    )
+    n = F.col("_n")
+    cov = n * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    va = n * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    vb = n * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    corr = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+    w = Window.orderBy(
+        F.when((va > 0) & (vb > 0), F.abs(cov / F.sqrt(va * vb)))
+        .desc_nulls_last(),
+        F.abs(F.col("lag")).asc(),
+        F.col("lag").asc(),
+    )
+    return j.select(
+        "lag",
+        n.cast("bigint").alias("n_overlap"),
+        F.round(corr, round_to).alias("corr"),
+        (F.row_number().over(w) == 1).alias("is_best"),
+    ).orderBy("lag")

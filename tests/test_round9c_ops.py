@@ -404,3 +404,133 @@ def test_levene_matches_bruteforce_and_discriminates(spark):
     # Brown-Forsythe's signal is the variance spread, not the mean shift
     assert got["spread"]["p_value"] < 1e-3
     assert got["shift"]["p_value"] > 0.05
+
+
+# ---------------------------------------------------------------------------
+# periodogram / lag_correlation
+
+
+def test_periodogram_finds_planted_cycle(spark):
+    from knot_another_pipeline_spark.operators.temporal import periodogram
+
+    rng = random.Random(7)
+    rows = [
+        (
+            "s",
+            t,
+            10 + 5 * math.cos(2 * math.pi * t / 24) + rng.gauss(0, 0.5),
+        )
+        for t in range(720)
+    ]
+    out = periodogram(
+        spark.createDataFrame(rows, "series string, t long, y double"),
+        series_col="series",
+        t_col="t",
+        value_col="y",
+        periods=[6.0, 12.0, 24.0, 168.0],
+    ).collect()
+    dom = [r for r in out if r["is_dominant"]]
+    assert len(dom) == 1 and dom[0]["period"] == 24.0
+    # the fitted cosine amplitude recovers the planted 5
+    assert abs(dom[0]["amplitude"] - 5) < 0.2
+    # brute-force var_share at the planted period
+    n = len(rows)
+    ys = [y for _, _, y in rows]
+    mean = sum(ys) / n
+    var = sum(y * y for y in ys) / n - mean * mean
+    c = sum(
+        y * math.cos(2 * math.pi * t / 24) for _, t, y in rows
+    ) - mean * sum(math.cos(2 * math.pi * t / 24) for _, t, _ in rows)
+    s = sum(
+        y * math.sin(2 * math.pi * t / 24) for _, t, y in rows
+    ) - mean * sum(math.sin(2 * math.pi * t / 24) for _, t, _ in rows)
+    share = (c * c + s * s) * 2 / n / (2 * var * n)
+    assert abs(dom[0]["var_share"] - share) < 1e-6
+    # off-cycle candidates explain almost nothing
+    for r in out:
+        if r["period"] in (6.0, 168.0):
+            assert r["var_share"] < 0.05
+
+
+def test_periodogram_constant_series_is_null(spark):
+    from knot_another_pipeline_spark.operators.temporal import periodogram
+
+    rows = [("c", t, 5.0) for t in range(100)]
+    out = periodogram(
+        spark.createDataFrame(rows, "series string, t long, y double"),
+        series_col="series",
+        t_col="t",
+        value_col="y",
+        periods=[24.0],
+    ).collect()
+    assert out[0]["var_share"] is None
+
+
+def test_periodogram_rejects_bad_periods(spark):
+    from knot_another_pipeline_spark.operators.temporal import periodogram
+
+    df = spark.createDataFrame(
+        [("s", 0, 1.0)], "series string, t long, y double"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        periodogram(
+            df, series_col="series", t_col="t", value_col="y", periods=[]
+        )
+    with pytest.raises(ValueError, match="positive"):
+        periodogram(
+            df,
+            series_col="series",
+            t_col="t",
+            value_col="y",
+            periods=[0.0],
+        )
+
+
+def test_lag_correlation_recovers_planted_shift(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        lag_correlation,
+    )
+
+    rng = random.Random(7)
+    a = {t: rng.gauss(0, 1) for t in range(300)}
+    rows = [(t, a[t], a.get(t - 3)) for t in range(300)]
+    out = lag_correlation(
+        spark.createDataFrame(rows, "t long, a double, b double"),
+        t_col="t",
+        a_col="a",
+        b_col="b",
+        max_lag=5,
+    ).collect()
+    assert len(out) == 11
+    best = [r for r in out if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["lag"] == 3 and best[0]["corr"] == pytest.approx(1.0)
+    # brute-force a non-trivial lag
+    got0 = {r["lag"]: r for r in out}[0]
+    xs = [(a[t], a[t - 3]) for t in range(3, 300)]
+    n = len(xs)
+    sa = sum(x for x, _ in xs)
+    sb = sum(y for _, y in xs)
+    cov = n * sum(x * y for x, y in xs) - sa * sb
+    va = n * sum(x * x for x, _ in xs) - sa * sa
+    vb = n * sum(y * y for _, y in xs) - sb * sb
+    assert got0["n_overlap"] == n
+    assert got0["corr"] == pytest.approx(cov / math.sqrt(va * vb), abs=1e-6)
+
+
+def test_lag_correlation_constant_side_is_null(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        lag_correlation,
+    )
+
+    rows = [(t, float(t % 5), 2.0) for t in range(50)]
+    out = lag_correlation(
+        spark.createDataFrame(rows, "t long, a double, b double"),
+        t_col="t",
+        a_col="a",
+        b_col="b",
+        max_lag=2,
+    ).collect()
+    assert all(r["corr"] is None for r in out)
+    # exactly one row still flagged best (deterministic tiebreak: lag 0)
+    assert [r["lag"] for r in out if r["is_best"]] == [0]
