@@ -13159,6 +13159,72 @@ ORDER BY lag
 """
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key over (user_id, floor(value)) — the
+    stronger-locality sibling of q_zorder_key on the same dimensions
+    (functions/hashing.py hilbert_key): 16 chained codegen
+    projections of shift/CASE integer arithmetic, no UDF, no
+    shuffle; the oracle replays the identical rounds as chained
+    CTEs."""
+    from knot_another_pipeline_spark.functions.hashing import hilbert_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return hilbert_key(
+        ev.select(
+            "event_id",
+            F.col("user_id").alias("x"),
+            F.coalesce(
+                F.floor(F.col("value")).cast("long"), F.lit(0)
+            ).alias("y"),
+        ),
+        x_col="x",
+        y_col="y",
+        out_col="hkey",
+        order=16,
+    ).select("event_id", "hkey")
+
+
+def _hilbert_oracle_sql(order: int) -> str:
+    mask = (1 << order) - 1
+    steps = []
+    prev = "it"
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        quad = (
+            f"(CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+            f" WHEN {rx} = 1 THEN 3"
+            f" WHEN {ry} = 1 THEN 1 ELSE 0 END)"
+        )
+        xf = f"(CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+        yf = f"(CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+        cur = f"it{i}"
+        steps.append(
+            f"{cur} AS (\n"
+            f"  SELECT event_id,\n"
+            f"         CASE WHEN {ry} = 0 THEN {yf} ELSE x END AS x,\n"
+            f"         CASE WHEN {ry} = 0 THEN {xf} ELSE y END AS y,\n"
+            f"         d + {s * s} * {quad} AS d\n"
+            f"  FROM {prev})"
+        )
+        prev = cur
+    return (
+        "WITH it AS (\n"
+        "  SELECT event_id,\n"
+        f"         CAST(user_id AS BIGINT) & {mask} AS x,\n"
+        "         CAST(coalesce(CAST(floor(value) AS BIGINT), 0)"
+        f" AS BIGINT) & {mask} AS y,\n"
+        "         CAST(0 AS BIGINT) AS d\n"
+        "  FROM events),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT event_id, d AS hkey FROM {prev}"
+    )
+
+
+ORACLE_HILBERT_KEY = _hilbert_oracle_sql(16)
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13183,6 +13249,7 @@ QUERIES = {
     "levene_test": q_levene_test,
     "periodogram": q_periodogram,
     "lag_correlation": q_lag_correlation,
+    "hilbert_key": q_hilbert_key,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -13495,6 +13562,7 @@ ORACLES = {
     "levene_test": ORACLE_LEVENE_TEST,
     "periodogram": ORACLE_PERIODOGRAM,
     "lag_correlation": ORACLE_LAG_CORRELATION,
+    "hilbert_key": ORACLE_HILBERT_KEY,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

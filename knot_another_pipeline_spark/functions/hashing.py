@@ -109,3 +109,70 @@ def morton_key(
     if c is not None:
         key = key.bitwiseOR(F.shiftleft(_spread_bits_21(_long(c)), 2))
     return key
+
+
+def hilbert_key(
+    df,
+    *,
+    x_col: str,
+    y_col: str,
+    out_col: str = "hkey",
+    order: int = 16,
+):
+    """Hilbert-curve clustering key over two nonnegative integer
+    dimensions — the stronger-locality alternative to
+    :func:`morton_key` for ``compact_parquet(sort_cols=[...])``
+    layouts: consecutive keys are ALWAYS grid-adjacent (no Z-order
+    jumps across the quadrant seam), so a range of keys covers a
+    tighter spatial blob and min/max row-group pruning discards more
+    of the file for box queries on either dimension.
+
+    The classic per-bit walk (``order`` rounds of quadrant selection
+    + rotate/flip) is inherently sequential in the rotated (x, y)
+    state, so it cannot be one closed-form expression; instead each
+    round is a chained PROJECTION over integer CASE/shift arithmetic
+    — still pure whole-stage-codegen (no UDF, no shuffle, no state),
+    linear in ``order`` because each select materializes the round's
+    (x, y, d) columns rather than inlining them exponentially.
+    A DuckDB oracle replays the identical rounds as chained CTEs.
+
+    Inputs wrap into ``[0, 2^order)`` via masking (same contract as
+    ``morton_key`` — rank/bucket-normalize monotone dimensions
+    first).  The key fits a signed long for ``order`` ≤ 31.
+
+    Returns ``df`` plus ``out_col``; input order of columns is
+    preserved, temp columns dropped.
+    """
+    if not (1 <= order <= 31):
+        raise ValueError(f"order must be in [1, 31], got {order}")
+    mask = (1 << order) - 1
+    cur = df.select(
+        "*",
+        _c(x_col).cast("long").bitwiseAND(F.lit(mask)).alias("_hx"),
+        _c(y_col).cast("long").bitwiseAND(F.lit(mask)).alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    keep = [c for c in cur.columns if c not in ("_hx", "_hy", "_hd")]
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(1))
+        quad = (
+            F.when((rx == 1) & (ry == 1), 2)
+            .when(rx == 1, 3)
+            .when(ry == 1, 1)
+            .otherwise(0)
+        ).cast("long")
+        x_flip = F.when(
+            rx == 1, F.lit(s - 1) - F.col("_hx")
+        ).otherwise(F.col("_hx"))
+        y_flip = F.when(
+            rx == 1, F.lit(s - 1) - F.col("_hy")
+        ).otherwise(F.col("_hy"))
+        cur = cur.select(
+            *keep,
+            F.when(ry == 0, y_flip).otherwise(F.col("_hx")).alias("_hx"),
+            F.when(ry == 0, x_flip).otherwise(F.col("_hy")).alias("_hy"),
+            (F.col("_hd") + F.lit(s * s) * quad).alias("_hd"),
+        )
+    return cur.select(*keep, F.col("_hd").alias(out_col))

@@ -534,3 +534,114 @@ def test_lag_correlation_constant_side_is_null(spark):
     assert all(r["corr"] is None for r in out)
     # exactly one row still flagged best (deterministic tiebreak: lag 0)
     assert [r["lag"] for r in out if r["is_best"]] == [0]
+
+
+# ---------------------------------------------------------------------------
+# hilbert_key
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    from knot_another_pipeline_spark.functions.hashing import hilbert_key
+
+    rng = random.Random(7)
+    pts = [
+        (i, rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16))
+        for i in range(500)
+    ]
+    got = {
+        r["id"]: r["hkey"]
+        for r in hilbert_key(
+            spark.createDataFrame(pts, ["id", "x", "y"]),
+            x_col="x",
+            y_col="y",
+            order=16,
+        ).collect()
+    }
+    for i, x, y in pts:
+        assert got[i] == _xy2d(1 << 16, x, y)
+
+
+def test_hilbert_key_is_a_true_hilbert_walk(spark):
+    """The defining locality property Z-order lacks: consecutive keys
+    are ALWAYS grid-adjacent (Manhattan distance exactly 1)."""
+    from knot_another_pipeline_spark.functions.hashing import hilbert_key
+
+    small = [(x * 8 + y, x, y) for x in range(8) for y in range(8)]
+    got = {
+        r["hkey"]: (r["x"], r["y"])
+        for r in hilbert_key(
+            spark.createDataFrame(small, ["id", "x", "y"]),
+            x_col="x",
+            y_col="y",
+            order=3,
+        ).collect()
+    }
+    assert sorted(got) == list(range(64))  # a bijection onto 0..63
+    for d in range(63):
+        (x1, y1), (x2, y2) = got[d], got[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_beats_morton_locality(spark):
+    """Total walk length over the full 16x16 grid: Hilbert's is the
+    minimum possible (255 unit steps); Morton pays for its quadrant
+    seams. This is the quantitative reason hilbert_key exists."""
+    from knot_another_pipeline_spark.functions.hashing import (
+        hilbert_key,
+        morton_key,
+    )
+    from pyspark.sql import functions as F
+
+    grid = [(x * 16 + y, x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, ["id", "x", "y"])
+    hil = {
+        r["hkey"]: (r["x"], r["y"])
+        for r in hilbert_key(
+            df, x_col="x", y_col="y", order=4
+        ).collect()
+    }
+    mor = {
+        r["zkey"]: (r["x"], r["y"])
+        for r in df.select(
+            "x", "y", morton_key(F.col("x"), F.col("y")).alias("zkey")
+        ).collect()
+    }
+
+    def walk_len(d):
+        ks = sorted(d)
+        return sum(
+            abs(d[a][0] - d[b][0]) + abs(d[a][1] - d[b][1])
+            for a, b in zip(ks, ks[1:])
+        )
+
+    assert walk_len(hil) == 255  # optimal: every step adjacent
+    assert walk_len(mor) > walk_len(hil)
+
+
+def test_hilbert_key_masks_and_validates(spark):
+    from knot_another_pipeline_spark.functions.hashing import hilbert_key
+
+    df = spark.createDataFrame([(1, 9, 3)], ["id", "x", "y"])
+    # order-3 grid: x = 9 wraps to 1
+    out = hilbert_key(df, x_col="x", y_col="y", order=3).collect()[0]
+    assert out["hkey"] == _xy2d(8, 1, 3)
+    with pytest.raises(ValueError, match="order"):
+        hilbert_key(df, x_col="x", y_col="y", order=0)
+    with pytest.raises(ValueError, match="order"):
+        hilbert_key(df, x_col="x", y_col="y", order=32)
