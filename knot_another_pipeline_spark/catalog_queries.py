@@ -13225,6 +13225,119 @@ def _hilbert_oracle_sql(order: int) -> str:
 ORACLE_HILBERT_KEY = _hilbert_oracle_sql(16)
 
 
+def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group pruning simulator over (user_id, floor(value))
+    comparing natural vs Morton vs Hilbert sort layouts
+    (operators/relational.py layout_pruning): one global_rank per
+    layout, group min/max stats, the parquet box-intersection
+    decision replayed on 256-row simulated groups."""
+    from knot_another_pipeline_spark.operators.relational import (
+        layout_pruning,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return layout_pruning(
+        ev.select(
+            "event_id",
+            F.col("user_id").alias("x"),
+            F.coalesce(
+                F.floor(F.col("value")).cast("long"), F.lit(0)
+            ).alias("y"),
+        ),
+        x_col="x",
+        y_col="y",
+        id_col="event_id",
+        box=(10.0, 40.0, 100.0, 300.0),
+        group_rows=256,
+        order=16,
+    )
+
+
+def _layout_oracle_sql(order: int, group_rows: int, box) -> str:
+    mask = (1 << order) - 1
+    x_lo, x_hi, y_lo, y_hi = box
+    steps = [
+        "h AS (\n"
+        f"  SELECT id, x, y, x & {mask} AS hx, y & {mask} AS hy,\n"
+        "         CAST(0 AS BIGINT) AS d\n"
+        "  FROM base)"
+    ]
+    prev = "h"
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        rx = f"((hx >> {i}) & 1)"
+        ry = f"((hy >> {i}) & 1)"
+        quad = (
+            f"(CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+            f" WHEN {rx} = 1 THEN 3"
+            f" WHEN {ry} = 1 THEN 1 ELSE 0 END)"
+        )
+        xf = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)"
+        yf = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)"
+        cur = f"h{i}"
+        steps.append(
+            f"{cur} AS (\n"
+            f"  SELECT id, x, y,\n"
+            f"         CASE WHEN {ry} = 0 THEN {yf} ELSE hx END AS hx,\n"
+            f"         CASE WHEN {ry} = 0 THEN {xf} ELSE hy END AS hy,\n"
+            f"         d + {s * s} * {quad} AS d\n"
+            f"  FROM {prev})"
+        )
+        prev = cur
+    morton = (
+        f"({_spread_sql('x')}) | (({_spread_sql('y')}) << 1)"
+    )
+
+    def layout_sql(name: str, ranked: str) -> str:
+        return f"""
+SELECT '{name}' AS layout,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_touched,
+       CAST(sum(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT)
+         AS rows_touched,
+       round(1e0 - sum(CASE WHEN hit THEN 1e0 ELSE 0e0 END) / count(*), 6)
+         AS prune_fraction
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         max(x) >= {x_lo} AND min(x) <= {x_hi}
+         AND max(y) >= {y_lo} AND min(y) <= {y_hi} AS hit
+  FROM {ranked}
+  GROUP BY (rk - 1) // {group_rows})
+"""
+
+    return (
+        "WITH base AS (\n"
+        "  SELECT event_id AS id, CAST(user_id AS BIGINT) AS x,\n"
+        "         coalesce(CAST(floor(value) AS BIGINT), 0) AS y\n"
+        "  FROM events WHERE user_id IS NOT NULL),\n"
+        + ",\n".join(steps)
+        + """,
+nat AS (
+  SELECT x, y, row_number() OVER (ORDER BY CAST(id AS BIGINT), id) AS rk
+  FROM base),
+mor AS (
+"""
+        + f"  SELECT x, y, row_number() OVER (ORDER BY {morton}, id) AS rk\n"
+        "  FROM base),\n"
+        f"hil AS (\n"
+        f"  SELECT x, y, row_number() OVER (ORDER BY d, id) AS rk\n"
+        f"  FROM {prev})\n"
+        + layout_sql("hilbert", "hil")
+        + "UNION ALL"
+        + layout_sql("morton", "mor")
+        + "UNION ALL"
+        + layout_sql("natural", "nat")
+        + "ORDER BY layout"
+    )
+
+
+ORACLE_LAYOUT_PRUNING = _layout_oracle_sql(
+    16, 256, (10.0, 40.0, 100.0, 300.0)
+)
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13250,6 +13363,7 @@ QUERIES = {
     "periodogram": q_periodogram,
     "lag_correlation": q_lag_correlation,
     "hilbert_key": q_hilbert_key,
+    "layout_pruning": q_layout_pruning,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -13563,6 +13677,7 @@ ORACLES = {
     "periodogram": ORACLE_PERIODOGRAM,
     "lag_correlation": ORACLE_LAG_CORRELATION,
     "hilbert_key": ORACLE_HILBERT_KEY,
+    "layout_pruning": ORACLE_LAYOUT_PRUNING,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

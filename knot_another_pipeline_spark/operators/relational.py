@@ -2127,3 +2127,111 @@ def product_profit(
         .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
+
+
+def layout_pruning(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    box: tuple[float, float, float, float],
+    group_rows: int = 256,
+    order: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Row-group pruning simulator — the readout that turns "Hilbert
+    clusters better than Z-order" from folklore into a measured
+    number ON THIS TABLE: lay the rows out in three candidate sort
+    orders (``natural`` = the id column, ``morton`` =
+    :func:`~.functions.hashing.morton_key`, ``hilbert`` =
+    :func:`~.functions.hashing.hilbert_key`), cut each layout into
+    simulated row groups of ``group_rows`` rows, and count how many
+    groups' (min/max x, min/max y) stats intersect the query
+    ``box = (x_lo, x_hi, y_lo, y_hi)`` — exactly the parquet
+    min/max-pruning decision a scan would make.  ``prune_fraction``
+    is the share of the file a box query skips under each layout.
+
+    Scale shape: one :func:`global_rank` per layout (range shuffle +
+    bounded prefix-sum — never a single-partition global sort), one
+    group-sized aggregate each, then a 3·⌈N/G⌉-row reduction.  The
+    key expressions themselves are pure codegen (`morton_key` bit
+    dilation, `hilbert_key`'s chained projections).  Rows with NULL
+    coordinates are excluded from every layout alike.
+
+    Output per layout: layout, n_rows, n_groups, groups_touched,
+    rows_touched, prune_fraction — ordered by layout.
+    """
+    from knot_another_pipeline_spark.functions.hashing import (
+        hilbert_key,
+        morton_key,
+    )
+
+    if group_rows < 1:
+        raise ValueError(f"group_rows must be >= 1, got {group_rows}")
+    x_lo, x_hi, y_lo, y_hi = (float(v) for v in box)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    keyed = {
+        "natural": base.select(
+            "_x", "_y", F.col("_id").cast("long").alias("_key"), "_id"
+        ),
+        "morton": base.select(
+            "_x",
+            "_y",
+            morton_key(F.col("_x"), F.col("_y")).alias("_key"),
+            "_id",
+        ),
+        "hilbert": hilbert_key(
+            base, x_col="_x", y_col="_y", out_col="_key", order=order
+        ).select("_x", "_y", "_key", "_id"),
+    }
+    outs = []
+    for name, d in keyed.items():
+        ranked = global_rank(
+            d, [F.col("_key"), F.col("_id")], rank_col="_rk"
+        )
+        groups = (
+            ranked.groupBy(
+                F.floor((F.col("_rk") - 1) / group_rows).alias("_g")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_n"),
+                F.min("_x").alias("_x0"),
+                F.max("_x").alias("_x1"),
+                F.min("_y").alias("_y0"),
+                F.max("_y").alias("_y1"),
+            )
+        )
+        hit = (
+            (F.col("_x1") >= x_lo)
+            & (F.col("_x0") <= x_hi)
+            & (F.col("_y1") >= y_lo)
+            & (F.col("_y0") <= y_hi)
+        )
+        outs.append(
+            groups.agg(
+                F.lit(name).alias("layout"),
+                F.sum("_n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(hit, 1).otherwise(0))
+                .cast("bigint")
+                .alias("groups_touched"),
+                F.sum(F.when(hit, F.col("_n")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_touched"),
+                F.round(
+                    1.0
+                    - F.sum(F.when(hit, 1.0).otherwise(0.0))
+                    / F.count(F.lit(1)),
+                    round_to,
+                ).alias("prune_fraction"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("layout")

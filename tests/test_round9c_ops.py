@@ -645,3 +645,112 @@ def test_hilbert_key_masks_and_validates(spark):
         hilbert_key(df, x_col="x", y_col="y", order=0)
     with pytest.raises(ValueError, match="order"):
         hilbert_key(df, x_col="x", y_col="y", order=32)
+
+
+# ---------------------------------------------------------------------------
+# layout_pruning
+
+
+def test_layout_pruning_hilbert_beats_morton_beats_natural(spark):
+    from knot_another_pipeline_spark.operators.relational import (
+        layout_pruning,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(0, 256), rng.randrange(0, 256))
+        for i in range(20000)
+    ]
+    out = {
+        r["layout"]: r
+        for r in layout_pruning(
+            spark.createDataFrame(rows, ["id", "x", "y"]).repartition(8),
+            x_col="x",
+            y_col="y",
+            id_col="id",
+            box=(40, 80, 100, 140),
+            group_rows=128,
+            order=8,
+        ).collect()
+    }
+    assert set(out) == {"natural", "morton", "hilbert"}
+    for r in out.values():
+        assert r["n_rows"] == 20000
+        assert r["n_groups"] == math.ceil(20000 / 128)
+    # random ids carry no spatial signal: every group intersects the box
+    assert out["natural"]["prune_fraction"] == 0.0
+    # space-filling layouts prune most of the file; Hilbert's tighter
+    # locality prunes at least as much as Morton's seam-hopping walk
+    assert out["morton"]["prune_fraction"] > 0.5
+    assert (
+        out["hilbert"]["prune_fraction"]
+        >= out["morton"]["prune_fraction"]
+    )
+
+
+def test_layout_pruning_counts_match_bruteforce(spark):
+    """Brute-force the morton layout's group stats in Python and
+    compare groups_touched / rows_touched exactly."""
+    from knot_another_pipeline_spark.operators.relational import (
+        layout_pruning,
+    )
+
+    def spread(v):
+        v &= 0x1FFFFF
+        v = (v | (v << 32)) & 0x1F00000000FFFF
+        v = (v | (v << 16)) & 0x1F0000FF0000FF
+        v = (v | (v << 8)) & 0x100F00F00F00F00F
+        v = (v | (v << 4)) & 0x10C30C30C30C30C3
+        v = (v | (v << 2)) & 0x1249249249249249
+        return v
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 64), rng.randrange(0, 64))
+            for i in range(3000)]
+    box = (10, 30, 20, 50)
+    out = {
+        r["layout"]: r
+        for r in layout_pruning(
+            spark.createDataFrame(rows, ["id", "x", "y"]),
+            x_col="x",
+            y_col="y",
+            id_col="id",
+            box=box,
+            group_rows=64,
+            order=6,
+        ).collect()
+    }
+    srt = sorted(rows, key=lambda r: (spread(r[1]) | (spread(r[2]) << 1), r[0]))
+    touched_groups = touched_rows = n_groups = 0
+    for g in range(0, len(srt), 64):
+        grp = srt[g : g + 64]
+        n_groups += 1
+        if (
+            max(x for _, x, _ in grp) >= box[0]
+            and min(x for _, x, _ in grp) <= box[1]
+            and max(y for _, _, y in grp) >= box[2]
+            and min(y for _, _, y in grp) <= box[3]
+        ):
+            touched_groups += 1
+            touched_rows += len(grp)
+    r = out["morton"]
+    assert r["n_groups"] == n_groups
+    assert r["groups_touched"] == touched_groups
+    assert r["rows_touched"] == touched_rows
+
+
+def test_layout_pruning_validates_group_rows(spark):
+    from knot_another_pipeline_spark.operators.relational import (
+        layout_pruning,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], ["id", "x", "y"])
+    with pytest.raises(ValueError, match="group_rows"):
+        layout_pruning(
+            df,
+            x_col="x",
+            y_col="y",
+            id_col="id",
+            box=(0, 1, 0, 1),
+            group_rows=0,
+        )
