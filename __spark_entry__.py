@@ -34,7 +34,8 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 # holt_forecast, fdr_adjust, mann_kendall, kruskal_wallis,
 # jackknife_ratio, capture_recapture, mcnemar_readout, cochran_q,
 # hosmer_lemeshow, mde_power, oneway_anova, levene_test, periodogram,
-# lag_correlation, hilbert_key, layout_pruning) are parked
+# lag_correlation, hilbert_key, layout_pruning, msprt_readout,
+# qte_readout) are parked
 # AFTER the 50-key
 # window — covered by the in-repo DuckDB differential now, first in
 # line for round-10's _NEW_KEYS slot.

@@ -13338,6 +13338,136 @@ ORACLE_LAYOUT_PRUNING = _layout_oracle_sql(
 )
 
 
+def q_msprt_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential readout of the user-parity null
+    experiment, one look per day (operators/evaluation.py
+    msprt_readout): per-(day, arm) moment aggregate is the only
+    data-sized shuffle, mixture-SPRT lambda and the running-min p over
+    one bounded row per look.  A null split — the always-valid p must
+    wander but never reject."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        msprt_readout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = ev.select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("look"),
+        (F.col("user_id") % 2).cast("string").alias("arm"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return msprt_readout(
+        s,
+        look_col="look",
+        arm_col="arm",
+        value_col="v",
+        control="0",
+        treatment="1",
+        tau_sq=100.0,
+    )
+
+
+ORACLE_MSPRT_READOUT = """
+WITH s AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS look,
+         CAST(user_id % 2 AS VARCHAR) AS arm,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+pl AS (
+  SELECT look,
+         CAST(sum(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS DOUBLE) AS dnc,
+         sum(CASE WHEN arm = '0' THEN v ELSE 0e0 END) AS dsc,
+         sum(CASE WHEN arm = '0' THEN v * v ELSE 0e0 END) AS dqc,
+         CAST(sum(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS DOUBLE) AS dnt,
+         sum(CASE WHEN arm = '1' THEN v ELSE 0e0 END) AS dst,
+         sum(CASE WHEN arm = '1' THEN v * v ELSE 0e0 END) AS dqt
+  FROM s WHERE arm IN ('0', '1') GROUP BY look),
+cum AS (
+  SELECT look,
+         sum(dnc) OVER w AS nc, sum(dsc) OVER w AS sc,
+         sum(dqc) OVER w AS qc,
+         sum(dnt) OVER w AS nt, sum(dst) OVER w AS st,
+         sum(dqt) OVER w AS qt
+  FROM pl
+  WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+m AS (
+  SELECT look, nc, nt,
+         st / nt - sc / nc AS diff,
+         CASE WHEN nc > 1 AND nt > 1 THEN
+           ((qc - nc * (sc / nc) * (sc / nc)) / (nc - 1)) / nc
+           + ((qt - nt * (st / nt) * (st / nt)) / (nt - 1)) / nt
+         END AS vn
+  FROM cum),
+l AS (
+  SELECT look, nc, nt, diff,
+         CASE WHEN vn > 0 THEN
+           sqrt(vn / (vn + 100e0))
+           * exp(diff * diff * 100e0 / (2e0 * vn * (vn + 100e0)))
+         END AS lam
+  FROM m),
+p AS (
+  SELECT look, nc, nt, diff, lam,
+         min(least(1e0, coalesce(1e0 / lam, 1e0))) OVER (
+           ORDER BY look ROWS UNBOUNDED PRECEDING) AS pav
+  FROM l)
+SELECT look,
+       CAST(nc AS BIGINT) AS n_control,
+       CAST(nt AS BIGINT) AS n_treatment,
+       round(CASE WHEN nc > 0 AND nt > 0 THEN diff END, 6) AS diff,
+       round(lam, 6) AS lambda_mixture,
+       round(pav, 6) AS p_always_valid,
+       pav <= 0.05e0 AS reject
+FROM p
+ORDER BY look
+"""
+
+
+def q_qte_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects of the user-parity split at the
+    default five quantiles (operators/evaluation.py qte_readout): one
+    exact interpolated percentile-vector aggregate per arm, reshaped
+    row-locally — DuckDB's quantile_cont replays the interpolation
+    bit-for-bit."""
+    from knot_another_pipeline_spark.operators.evaluation import qte_readout
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.select(
+        (F.col("user_id") % 2).cast("string").alias("arm"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return qte_readout(
+        s, arm_col="arm", value_col="v", control="0", treatment="1"
+    )
+
+
+ORACLE_QTE_READOUT = """
+WITH s AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS arm, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+a AS (
+  SELECT quantile_cont(CASE WHEN arm = '0' THEN v END,
+                       [0.1e0, 0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS qc,
+         quantile_cont(CASE WHEN arm = '1' THEN v END,
+                       [0.1e0, 0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS qt
+  FROM s WHERE arm IN ('0', '1')),
+qs AS (
+  SELECT * FROM (VALUES (1, 0.1e0), (2, 0.25e0), (3, 0.5e0),
+                        (4, 0.75e0), (5, 0.9e0)) AS t(i, q))
+SELECT qs.q AS q,
+       round(a.qc[qs.i], 6) AS q_control,
+       round(a.qt[qs.i], 6) AS q_treatment,
+       round(a.qt[qs.i] - a.qc[qs.i], 6) AS qte
+FROM a, qs
+ORDER BY q
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13364,6 +13494,8 @@ QUERIES = {
     "lag_correlation": q_lag_correlation,
     "hilbert_key": q_hilbert_key,
     "layout_pruning": q_layout_pruning,
+    "msprt_readout": q_msprt_readout,
+    "qte_readout": q_qte_readout,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -13678,6 +13810,8 @@ ORACLES = {
     "lag_correlation": ORACLE_LAG_CORRELATION,
     "hilbert_key": ORACLE_HILBERT_KEY,
     "layout_pruning": ORACLE_LAYOUT_PRUNING,
+    "msprt_readout": ORACLE_MSPRT_READOUT,
+    "qte_readout": ORACLE_QTE_READOUT,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

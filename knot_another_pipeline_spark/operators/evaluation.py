@@ -48,8 +48,10 @@ __all__ = [
     "lift_table",
     "mcnemar_readout",
     "mde_power",
+    "msprt_readout",
     "pair_eval",
     "psi_stability",
+    "qte_readout",
     "ranking_metrics",
     "regression_report",
     "uplift_table",
@@ -1961,4 +1963,164 @@ def mde_power(
         ).alias("mde_rel"),
         F.round(power, round_to).alias("power_at_observed"),
         F.ceil(n_next).cast("bigint").alias("n_per_arm_next"),
+    )
+
+
+def msprt_readout(
+    df: DataFrame,
+    *,
+    look_col: str,
+    arm_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    tau_sq: float,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Always-valid sequential A/B readout via the mixture SPRT
+    (Johari et al., "Peeking at A/B Tests") — the p-value you may
+    look at EVERY day without inflating false positives, unlike the
+    fixed-horizon z-test that :func:`~.quality.ab_test` reports.  At
+    each look the mixture likelihood ratio against H₀: Δ = 0 with a
+    N(0, τ²) alternative is
+    ``Λ_n = √(V_n/(V_n+τ²)) · exp(Δ̂_n²·τ² / (2·V_n·(V_n+τ²)))``
+    and the always-valid p is the RUNNING MIN of ``min(1, 1/Λ)`` —
+    monotone by construction, so a rejection never un-rejects.
+
+    Scale shape: the only data-sized shuffle is the per-(look, arm)
+    moment aggregate; cumulative sums, Λ and the running min then run
+    in windows over ONE ROW PER LOOK (days/hours — bounded by
+    calendar, not by data), the same bounded single-partition
+    convention as :func:`~.quality.fdr_adjust`'s hypothesis table.
+    Looks where either arm has < 2 cumulative rows (or zero variance)
+    yield NULL Λ and inherit the running p.
+
+    ``tau_sq`` is the prior variance of the effect under H₁ — set it
+    near the square of the effect size worth detecting (too small
+    wastes power on tiny effects, too large on huge ones).
+
+    Output per look: look, n_control, n_treatment, diff,
+    lambda_mixture, p_always_valid, reject.
+    """
+    if tau_sq <= 0:
+        raise ValueError(f"tau_sq must be positive, got {tau_sq}")
+    if not (0 < alpha < 1):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    v = F.col(value_col).cast("double")
+    arm = F.col(arm_col).cast("string")
+    is_c = arm == F.lit(control)
+    is_t = arm == F.lit(treatment)
+    per_look = (
+        df.filter(v.isNotNull() & (is_c | is_t))
+        .groupBy(F.col(look_col).alias("look"))
+        .agg(
+            F.sum(F.when(is_c, 1).otherwise(0)).cast("double").alias("dnc"),
+            F.sum(F.when(is_c, v).otherwise(0.0)).alias("dsc"),
+            F.sum(F.when(is_c, v * v).otherwise(0.0)).alias("dqc"),
+            F.sum(F.when(is_t, 1).otherwise(0)).cast("double").alias("dnt"),
+            F.sum(F.when(is_t, v).otherwise(0.0)).alias("dst"),
+            F.sum(F.when(is_t, v * v).otherwise(0.0)).alias("dqt"),
+        )
+    )
+    w = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_look.select(
+        "look",
+        F.sum("dnc").over(w).alias("nc"),
+        F.sum("dsc").over(w).alias("sc"),
+        F.sum("dqc").over(w).alias("qc"),
+        F.sum("dnt").over(w).alias("nt"),
+        F.sum("dst").over(w).alias("st"),
+        F.sum("dqt").over(w).alias("qt"),
+    )
+    nc, nt = F.col("nc"), F.col("nt")
+    mc = F.col("sc") / nc
+    mt = F.col("st") / nt
+    vc = (F.col("qc") - nc * mc * mc) / F.when(nc > 1, nc - 1)
+    vt = (F.col("qt") - nt * mt * mt) / F.when(nt > 1, nt - 1)
+    vn = F.when((nc > 1) & (nt > 1), vc / nc + vt / nt)
+    diff = mt - mc
+    lam = F.when(
+        vn > 0,
+        F.sqrt(vn / (vn + tau_sq))
+        * F.exp(diff * diff * tau_sq / (2.0 * vn * (vn + tau_sq))),
+    )
+    stepped = cum.select(
+        "look",
+        nc.cast("bigint").alias("n_control"),
+        nt.cast("bigint").alias("n_treatment"),
+        F.round(F.when((nc > 0) & (nt > 0), diff), round_to).alias("diff"),
+        lam.alias("_lam"),
+        F.least(F.lit(1.0), F.coalesce(1.0 / lam, F.lit(1.0))).alias("_p"),
+    )
+    return stepped.select(
+        "look",
+        "n_control",
+        "n_treatment",
+        "diff",
+        F.round("_lam", round_to).alias("lambda_mixture"),
+        F.round(F.min("_p").over(w), round_to).alias("p_always_valid"),
+        (F.min("_p").over(w) <= F.lit(float(alpha))).alias("reject"),
+    ).orderBy("look")
+
+
+def qte_readout(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    quantiles: list[float] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile treatment effects — WHERE in the distribution the
+    experiment moved the metric: ``QTE(q) = Q_treatment(q) −
+    Q_control(q)`` at each requested quantile.  A flat mean diff with
+    a positive tail QTE ("only the heaviest users responded") and a
+    uniform shift read identically in :func:`mde_power`'s means but
+    completely differently here.
+
+    Scale shape: ONE aggregate computes each arm's EXACT interpolated
+    percentile vector (``percentile(col, array(...))``); the readout
+    then reshapes 2 arm rows × k quantiles row-locally.  Exact
+    percentiles sort within the aggregate — at extreme scale swap in
+    ``approx_percentile`` feeders; the shape is unchanged.  The
+    interpolating definition matches DuckDB's ``quantile_cont``
+    bit-for-bit, which is what the differential oracle replays.
+
+    Output per quantile: q, q_control, q_treatment, qte — ordered
+    by q.
+    """
+    qs = quantiles if quantiles is not None else [
+        0.1, 0.25, 0.5, 0.75, 0.9
+    ]
+    if not qs or any(not (0 <= q <= 1) for q in qs):
+        raise ValueError(f"quantiles must be within [0, 1], got {qs}")
+    v = F.col(value_col).cast("double")
+    arm = F.col(arm_col).cast("string")
+    is_c = arm == F.lit(control)
+    is_t = arm == F.lit(treatment)
+    agg = df.filter(v.isNotNull() & (is_c | is_t)).agg(
+        F.percentile(F.when(is_c, v), F.array(*[F.lit(q) for q in qs]))
+        .alias("qc"),
+        F.percentile(F.when(is_t, v), F.array(*[F.lit(q) for q in qs]))
+        .alias("qt"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(q)) for q in qs]).alias("q"),
+        F.col("qc").alias("c"),
+        F.col("qt").alias("t"),
+    )
+    return (
+        agg.select(F.explode(pairs).alias("z"))
+        .select(
+            F.col("z.q").alias("q"),
+            F.round(F.col("z.c"), round_to).alias("q_control"),
+            F.round(F.col("z.t"), round_to).alias("q_treatment"),
+            F.round(F.col("z.t") - F.col("z.c"), round_to).alias("qte"),
+        )
+        .orderBy("q")
     )

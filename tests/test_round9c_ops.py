@@ -754,3 +754,140 @@ def test_layout_pruning_validates_group_rows(spark):
             box=(0, 1, 0, 1),
             group_rows=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# msprt_readout / qte_readout
+
+
+def test_msprt_null_experiment_never_rejects_and_p_is_monotone(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        msprt_readout,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (d, "c" if rng.random() < 0.5 else "t", rng.gauss(10, 3))
+        for d in range(30)
+        for _ in range(200)
+    ]
+    out = msprt_readout(
+        spark.createDataFrame(rows, "look long, arm string, v double"),
+        look_col="look",
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+        tau_sq=1.0,
+    ).collect()
+    assert len(out) == 30
+    assert not any(r["reject"] for r in out)
+    ps = [r["p_always_valid"] for r in out]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))  # running min
+
+
+def test_msprt_detects_real_effect_and_matches_bruteforce_lambda(spark):
+    import statistics
+
+    from knot_another_pipeline_spark.operators.evaluation import (
+        msprt_readout,
+    )
+
+    rng = random.Random(7)
+    rows = [(d, "c", rng.gauss(10, 3)) for d in range(30) for _ in range(200)]
+    rows += [(d, "t", rng.gauss(11, 3)) for d in range(30) for _ in range(200)]
+    out = msprt_readout(
+        spark.createDataFrame(rows, "look long, arm string, v double"),
+        look_col="look",
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+        tau_sq=1.0,
+    ).collect()
+    assert out[-1]["reject"]
+    # once rejected, always rejected (the always-valid contract)
+    first = min(r["look"] for r in out if r["reject"])
+    assert all(r["reject"] for r in out if r["look"] >= first)
+    # brute-force the final-look mixture likelihood ratio
+    cs = [v for _, a, v in rows if a == "c"]
+    ts = [v for _, a, v in rows if a == "t"]
+    vn = statistics.variance(cs) / len(cs) + statistics.variance(ts) / len(ts)
+    diff = sum(ts) / len(ts) - sum(cs) / len(cs)
+    lam = math.sqrt(vn / (vn + 1.0)) * math.exp(
+        diff * diff / (2 * vn * (vn + 1.0))
+    )
+    got = out[-1]["lambda_mixture"]
+    assert abs(got - lam) < max(1e-6, 1e-8 * lam)
+
+
+def test_msprt_validates_params(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        msprt_readout,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "c", 1.0)], "look long, arm string, v double"
+    )
+    with pytest.raises(ValueError, match="tau_sq"):
+        msprt_readout(
+            df,
+            look_col="look",
+            arm_col="arm",
+            value_col="v",
+            control="c",
+            treatment="t",
+            tau_sq=0.0,
+        )
+    with pytest.raises(ValueError, match="alpha"):
+        msprt_readout(
+            df,
+            look_col="look",
+            arm_col="arm",
+            value_col="v",
+            control="c",
+            treatment="t",
+            tau_sq=1.0,
+            alpha=1.0,
+        )
+
+
+def test_qte_recovers_uniform_shift_and_interpolation(spark):
+    from knot_another_pipeline_spark.operators.evaluation import qte_readout
+
+    rng = random.Random(13)
+    cs = [rng.gauss(10, 3) for _ in range(3000)]
+    rows = [("c", v) for v in cs] + [("t", v + 1.0) for v in cs]
+    out = qte_readout(
+        spark.createDataFrame(rows, "arm string, v double"),
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+    ).collect()
+    assert [r["q"] for r in out] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    # an exact +1 shift of the SAME sample gives qte exactly 1 at
+    # every quantile (interpolation is shift-equivariant)
+    assert all(r["qte"] == pytest.approx(1.0, abs=1e-6) for r in out)
+    # brute-force the interpolated 0.25 quantile
+    srt = sorted(cs)
+    pos = (len(srt) - 1) * 0.25
+    lo, frac = int(pos), pos - int(pos)
+    expect = srt[lo] + frac * (srt[lo + 1] - srt[lo])
+    got = {r["q"]: r for r in out}
+    assert got[0.25]["q_control"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_qte_validates_quantiles(spark):
+    from knot_another_pipeline_spark.operators.evaluation import qte_readout
+
+    df = spark.createDataFrame([("c", 1.0)], "arm string, v double")
+    with pytest.raises(ValueError, match="quantiles"):
+        qte_readout(
+            df,
+            arm_col="arm",
+            value_col="v",
+            control="c",
+            treatment="t",
+            quantiles=[1.5],
+        )
