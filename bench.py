@@ -251,6 +251,21 @@ HEADLINE = [
     "kruskal_wallis",
     "jackknife_ratio",
     "capture_recapture",
+    # r9 late additions: paired-test family, experiment sensitivity,
+    # seasonality/lead-lag, data-layout locality
+    "mcnemar_readout",
+    "cochran_q",
+    "hosmer_lemeshow",
+    "mde_power",
+    "oneway_anova",
+    "levene_test",
+    "periodogram",
+    "lag_correlation",
+    "hilbert_key",
+    "layout_pruning",
+    "msprt_readout",
+    "qte_readout",
+    "lsh_tuning",
 ]
 
 

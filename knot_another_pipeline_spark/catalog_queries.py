@@ -13468,6 +13468,73 @@ ORDER BY q
 """
 
 
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding selection from the corpus's own similarity
+    distribution (operators/dedup.py lsh_tuning): exact Jaccard on a
+    30% hash-sample (stop-shingle cap 100), S-curve expectations per
+    (bands, rows) candidate from one broadcast-grid aggregate — the
+    full corpus is never paired."""
+    from knot_another_pipeline_spark.operators.dedup import lsh_tuning
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_tuning(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        sample_pct=30,
+        shingle_n=3,
+        max_doc_freq=100,
+    )
+
+
+ORACLE_LSH_TUNING = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+  WHERE {_hash64_pct_sql('doc_id', 1, 30)}),
+sh0 AS ({_SHINGLES_SQL}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b),
+nd AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM sh),
+grid AS (
+  SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (4, 8), (8, 4), (16, 4))
+  AS t(b, r)),
+sc AS (
+  SELECT b, r,
+         sum(CASE WHEN j >= 0.5e0 THEN 1 ELSE 0 END) AS n_true,
+         sum(CASE WHEN j >= 0.5e0
+                  THEN 1e0 - pow(1e0 - pow(j, r), b) ELSE 0e0 END) AS et,
+         sum(CASE WHEN j < 0.5e0
+                  THEN 1e0 - pow(1e0 - pow(j, r), b) ELSE 0e0 END) AS ef
+  FROM pairs, grid GROUP BY b, r)
+SELECT CAST(b AS BIGINT) AS bands,
+       CAST(r AS BIGINT) AS rows_per_band,
+       CAST(b * r AS BIGINT) AS sig_size,
+       CAST(nd.n AS BIGINT) AS n_docs_sampled,
+       CAST(n_true AS BIGINT) AS n_true_pairs,
+       round(CASE WHEN n_true > 0 THEN et / n_true END, 6) AS est_recall,
+       round(ef, 6) AS est_fp_candidates,
+       round(CASE WHEN nd.n * (nd.n - 1) / 2e0 > 0
+                  THEN (et + ef) / (nd.n * (nd.n - 1) / 2e0) END, 6)
+         AS candidate_share
+FROM sc, nd
+ORDER BY bands, rows_per_band
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13496,6 +13563,7 @@ QUERIES = {
     "layout_pruning": q_layout_pruning,
     "msprt_readout": q_msprt_readout,
     "qte_readout": q_qte_readout,
+    "lsh_tuning": q_lsh_tuning,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -13812,6 +13880,7 @@ ORACLES = {
     "layout_pruning": ORACLE_LAYOUT_PRUNING,
     "msprt_readout": ORACLE_MSPRT_READOUT,
     "qte_readout": ORACLE_QTE_READOUT,
+    "lsh_tuning": ORACLE_LSH_TUNING,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

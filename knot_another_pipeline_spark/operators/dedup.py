@@ -2295,3 +2295,111 @@ def remove_spans(
             "n_removed"
         ),
     )
+
+
+def lsh_tuning(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    grid: list[tuple[int, int]] | None = None,
+    sample_pct: int = 20,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Data-driven MinHash banding selection — pick (bands, rows) from
+    THIS corpus's similarity distribution instead of the textbook
+    S-curve sketch: on a deterministic hash-sample of documents,
+    compute the exact pairwise Jaccard (via
+    :func:`ngram_jaccard_pairs`) and score every candidate (b, r) by
+    its expected behavior, ``P(candidate | s) = 1 − (1 − s^r)^b``:
+
+    - ``est_recall``  — mean candidate probability over the true
+      pairs (s ≥ ``threshold``): the fraction of real near-dups this
+      banding would surface;
+    - ``est_fp_candidates`` — expected candidate count from
+      below-threshold pairs: the verification load the banding buys;
+    - ``candidate_share`` — expected candidates over ALL sampled
+      pairs C(n,2) (zero-overlap pairs contribute exactly 0, so the
+      shingle join's sparsity is not an approximation).
+
+    Scale shape: the sample is bounded BY CONSTRUCTION (``hash64`` %
+    100 < pct — reproducible, the same membership arithmetic the
+    oracle replays), the exact-Jaccard join runs only within the
+    sample with the stop-shingle cap available, and the (b, r) grid
+    is a broadcast crossJoin over the bounded pair table — |grid|
+    rows out.  The full corpus is never paired.
+
+    Output per candidate: bands, rows_per_band, sig_size,
+    n_docs_sampled, n_true_pairs, est_recall (NULL when the sample
+    has no true pairs), est_fp_candidates, candidate_share.
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash64
+
+    if not (0 < sample_pct <= 100):
+        raise ValueError(f"sample_pct must be in (0, 100], got {sample_pct}")
+    if not (0 < threshold <= 1):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    gd = grid if grid is not None else [
+        (2, 8), (4, 4), (8, 2), (4, 8), (8, 4), (16, 4)
+    ]
+    if not gd or any(b < 1 or r < 1 for b, r in gd):
+        raise ValueError(f"grid must be positive (bands, rows), got {gd}")
+    spark = df.sparkSession
+    sample = df.filter(
+        F.pmod(hash64(F.col(id_col), seed=1), F.lit(100)) < sample_pct
+    )
+    sh = shingle_table(sample, id_col=id_col, text_col=text_col, n=shingle_n)
+    pairs = ngram_jaccard_pairs(
+        sh, min_jaccard=0.0, max_doc_freq=max_doc_freq
+    )
+    nd = sh.agg(
+        F.countDistinct("id").cast("double").alias("_nd")
+    )
+    grid_df = spark.createDataFrame(
+        [(int(b), int(r)) for b, r in gd], "bands long, rows_per_band long"
+    )
+    prob = 1.0 - F.pow(
+        1.0 - F.pow(F.col("jaccard"), F.col("rows_per_band")),
+        F.col("bands"),
+    )
+    is_true = F.col("jaccard") >= F.lit(float(threshold))
+    scored = (
+        pairs.crossJoin(F.broadcast(grid_df))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum(F.when(is_true, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.sum(F.when(is_true, prob).otherwise(0.0)).alias("_et"),
+            F.sum(F.when(~is_true, prob).otherwise(0.0)).alias("_ef"),
+        )
+        .crossJoin(F.broadcast(nd))
+    )
+    total_pairs = F.col("_nd") * (F.col("_nd") - 1) / 2.0
+    return scored.select(
+        "bands",
+        "rows_per_band",
+        (F.col("bands") * F.col("rows_per_band"))
+        .cast("bigint")
+        .alias("sig_size"),
+        F.col("_nd").cast("bigint").alias("n_docs_sampled"),
+        "n_true_pairs",
+        F.round(
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("_et") / F.col("n_true_pairs"),
+            ),
+            round_to,
+        ).alias("est_recall"),
+        F.round(F.col("_ef"), round_to).alias("est_fp_candidates"),
+        F.round(
+            F.when(
+                total_pairs > 0,
+                (F.col("_et") + F.col("_ef")) / total_pairs,
+            ),
+            round_to,
+        ).alias("candidate_share"),
+    ).orderBy("bands", "rows_per_band")

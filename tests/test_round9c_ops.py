@@ -891,3 +891,109 @@ def test_qte_validates_quantiles(spark):
             treatment="t",
             quantiles=[1.5],
         )
+
+
+# ---------------------------------------------------------------------------
+# lsh_tuning
+
+
+def _mk_neardup_corpus(n_pairs=150, seed=7):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(n_pairs):
+        base = [rng.choice(words) for _ in range(30)]
+        docs.append((i * 2, " ".join(base)))
+        mut = list(base)
+        mut[rng.randrange(30)] = "zzz"
+        docs.append((i * 2 + 1, " ".join(mut)))
+    return docs
+
+
+def test_lsh_tuning_scurve_monotonicity(spark):
+    from knot_another_pipeline_spark.operators.dedup import lsh_tuning
+
+    df = spark.createDataFrame(_mk_neardup_corpus(), ["doc_id", "text"])
+    out = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_tuning(
+            df,
+            id_col="doc_id",
+            text_col="text",
+            threshold=0.5,
+            sample_pct=100,
+        ).collect()
+    }
+    # more bands at fixed rows: recall AND fp load both rise
+    assert (
+        out[(4, 4)]["est_recall"]
+        <= out[(8, 4)]["est_recall"]
+        <= out[(16, 4)]["est_recall"]
+    )
+    assert (
+        out[(4, 4)]["est_fp_candidates"]
+        <= out[(8, 4)]["est_fp_candidates"]
+    )
+    # more rows per band at fixed bands: stricter, recall falls
+    assert out[(4, 8)]["est_recall"] <= out[(4, 4)]["est_recall"]
+    for r in out.values():
+        assert r["sig_size"] == r["bands"] * r["rows_per_band"]
+        assert 0 <= r["candidate_share"] <= 1
+
+
+def test_lsh_tuning_matches_bruteforce_expectation(spark):
+    """Replay the S-curve expectation in Python from the exact pair
+    Jaccards and compare one grid cell to 1e-6."""
+    from knot_another_pipeline_spark.operators.dedup import (
+        lsh_tuning,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    df = spark.createDataFrame(
+        _mk_neardup_corpus(60, seed=11), ["doc_id", "text"]
+    )
+    sims = [
+        r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            shingle_table(df, id_col="doc_id", text_col="text", n=3),
+            min_jaccard=0.0,
+        ).collect()
+    ]
+    b, r_ = 8, 4
+    et = sum(
+        1 - (1 - s**r_) ** b for s in sims if s >= 0.5
+    )
+    n_true = sum(1 for s in sims if s >= 0.5)
+    got = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_tuning(
+            df,
+            id_col="doc_id",
+            text_col="text",
+            threshold=0.5,
+            sample_pct=100,
+        ).collect()
+    }[(8, 4)]
+    assert got["n_true_pairs"] == n_true
+    assert got["est_recall"] == pytest.approx(et / n_true, abs=1e-6)
+
+
+def test_lsh_tuning_validates_params(spark):
+    from knot_another_pipeline_spark.operators.dedup import lsh_tuning
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="sample_pct"):
+        lsh_tuning(
+            df, id_col="doc_id", text_col="text", threshold=0.5,
+            sample_pct=0,
+        )
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_tuning(
+            df, id_col="doc_id", text_col="text", threshold=0.0,
+        )
+    with pytest.raises(ValueError, match="grid"):
+        lsh_tuning(
+            df, id_col="doc_id", text_col="text", threshold=0.5,
+            grid=[(0, 4)],
+        )
