@@ -48,6 +48,7 @@ __all__ = [
     "lift_table",
     "mcnemar_readout",
     "mde_power",
+    "msprt_from_moments",
     "msprt_readout",
     "pair_eval",
     "psi_stability",
@@ -2023,6 +2024,33 @@ def msprt_readout(
             F.sum(F.when(is_t, v * v).otherwise(0.0)).alias("dqt"),
         )
     )
+    return msprt_from_moments(
+        per_look, tau_sq=tau_sq, alpha=alpha, round_to=round_to
+    )
+
+
+def msprt_from_moments(
+    looks: DataFrame,
+    *,
+    tau_sq: float,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """The always-valid readout of :func:`msprt_readout` computed from
+    PRE-AGGREGATED per-look moment increments — the consumption path
+    for :func:`~.streaming.rollup_stream.streaming_msprt_monitor`'s
+    accumulated output (and for any warehouse table that already
+    stores per-day experiment sums).  ``looks`` must have one row per
+    look with columns ``look, dnc, dsc, dqc, dnt, dst, dqt`` (count /
+    Σv / Σv² increments per arm) — exactly what the streaming monitor
+    emits per window.  Everything here runs in windows over one row
+    per look; no data-sized work.
+    """
+    if tau_sq <= 0:
+        raise ValueError(f"tau_sq must be positive, got {tau_sq}")
+    if not (0 < alpha < 1):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    per_look = looks
     w = Window.orderBy("look").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -1004,3 +1004,69 @@ def streaming_window_funnel(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_msprt_monitor(
+    stream: DataFrame,
+    *,
+    ts_col: str,
+    arm_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-tumbling-window experiment moment increments — the
+    streaming feeder for the always-valid mixture-SPRT readout
+    (``operators.evaluation.msprt_from_moments``): mSPRT is THE test
+    built for continuous peeking, so its natural home is a stream
+    that appends one moment row per closed window which the readout
+    view re-reduces into Λ and the running-min p at query time.
+
+    The cumulative sums and the running min CANNOT live in the
+    stream: they are unbounded-lookback aggregates over all prior
+    windows, which append-mode watermarked aggregation correctly
+    refuses to express.  The split is therefore: stream = bounded
+    per-window conditional moments (state bounded by open windows,
+    exactly the :func:`streaming_fairness_monitor` shape), batch view
+    = the per-look window math over one row per look.
+
+    Output per window (column names are exactly
+    ``msprt_from_moments``' contract): look (window start), dnc, dsc,
+    dqc, dnt, dst, dqt.
+    """
+    v = F.col(value_col).cast("double")
+    arm = F.col(arm_col).cast("string")
+    is_c = arm == F.lit(control)
+    is_t = arm == F.lit(treatment)
+    base = stream.filter(v.isNotNull() & (is_c | is_t)).select(
+        F.col(ts_col).alias("_ts"),
+        F.when(is_c, 1.0).otherwise(0.0).alias("_ic"),
+        F.when(is_c, v).otherwise(0.0).alias("_vc"),
+        F.when(is_c, v * v).otherwise(0.0).alias("_qc"),
+        F.when(is_t, 1.0).otherwise(0.0).alias("_it"),
+        F.when(is_t, v).otherwise(0.0).alias("_vt"),
+        F.when(is_t, v * v).otherwise(0.0).alias("_qt"),
+    )
+    return (
+        base.withWatermark("_ts", watermark)
+        .groupBy(F.window(F.col("_ts"), window_duration).alias("win"))
+        .agg(
+            F.sum("_ic").alias("dnc"),
+            F.sum("_vc").alias("dsc"),
+            F.sum("_qc").alias("dqc"),
+            F.sum("_it").alias("dnt"),
+            F.sum("_vt").alias("dst"),
+            F.sum("_qt").alias("dqt"),
+        )
+        .select(
+            F.col("win.start").alias("look"),
+            "dnc",
+            "dsc",
+            "dqc",
+            "dnt",
+            "dst",
+            "dqt",
+        )
+    )

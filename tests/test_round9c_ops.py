@@ -997,3 +997,222 @@ def test_lsh_tuning_validates_params(spark):
             df, id_col="doc_id", text_col="text", threshold=0.5,
             grid=[(0, 4)],
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming_msprt_monitor
+
+
+def _msprt_rows():
+    # three hourly looks; treatment shifted +2 so the readout moves
+    rows = []
+    rng = random.Random(7)
+    for h in range(3):
+        for i in range(20):
+            rows.append(
+                ("c", 10 + rng.random(), f"2025-01-01 0{h}:{10 + i:02d}:00")
+            )
+            rows.append(
+                ("t", 12 + rng.random(), f"2025-01-01 0{h}:{10 + i:02d}:00")
+            )
+    return rows
+
+
+def test_streaming_msprt_monitor_matches_batch_and_composes(
+    spark, tmp_path
+):
+    """The monitor's per-window moment rows equal the batch per-hour
+    moments, and feeding the accumulated rows into msprt_from_moments
+    reproduces msprt_readout on the raw data exactly — the documented
+    stream-feeder/batch-view split."""
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.operators.evaluation import (
+        msprt_from_moments,
+        msprt_readout,
+    )
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_msprt_monitor,
+    )
+
+    rows = _msprt_rows() + [("c", 1.0, "2025-01-03 00:00:00")]  # pusher
+    df = spark.createDataFrame(
+        rows, "arm string, v double, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = tmp_path / "msprt_in"
+    df.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = streaming_msprt_monitor(
+        stream,
+        ts_col="ts",
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+        window_duration="1 hour",
+        watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("msprt_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    looks = spark.sql(
+        "SELECT * FROM msprt_test WHERE look < timestamp '2025-01-02'"
+    )
+    assert looks.count() == 3
+    # moment parity vs a plain batch aggregate
+    want = (
+        df.filter(F.col("ts") < F.lit("2025-01-02").cast("timestamp"))
+        .groupBy(F.date_trunc("hour", "ts").alias("look"))
+        .agg(
+            F.sum(F.when(F.col("arm") == "c", 1.0).otherwise(0.0)).alias(
+                "dnc"
+            ),
+            F.sum(F.when(F.col("arm") == "c", F.col("v")).otherwise(0.0))
+            .alias("dsc"),
+            F.sum(
+                F.when(F.col("arm") == "c", F.col("v") * F.col("v"))
+                .otherwise(0.0)
+            ).alias("dqc"),
+            F.sum(F.when(F.col("arm") == "t", 1.0).otherwise(0.0)).alias(
+                "dnt"
+            ),
+            F.sum(F.when(F.col("arm") == "t", F.col("v")).otherwise(0.0))
+            .alias("dst"),
+            F.sum(
+                F.when(F.col("arm") == "t", F.col("v") * F.col("v"))
+                .otherwise(0.0)
+            ).alias("dqt"),
+        )
+    )
+    got_m = {
+        str(r["look"]): tuple(
+            round(r[c], 9) for c in ("dnc", "dsc", "dqc", "dnt", "dst", "dqt")
+        )
+        for r in looks.collect()
+    }
+    want_m = {
+        str(r["look"]): tuple(
+            round(r[c], 9) for c in ("dnc", "dsc", "dqc", "dnt", "dst", "dqt")
+        )
+        for r in want.collect()
+    }
+    assert got_m == want_m
+    # composition: accumulated monitor rows -> the exact batch readout
+    via_stream = msprt_from_moments(looks, tau_sq=1.0).collect()
+    direct = msprt_readout(
+        df.filter(F.col("ts") < F.lit("2025-01-02").cast("timestamp"))
+        .select(
+            F.date_trunc("hour", "ts").alias("look"), "arm", "v"
+        ),
+        look_col="look",
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+        tau_sq=1.0,
+    ).collect()
+    assert len(via_stream) == len(direct) == 3
+    for a, b in zip(via_stream, direct):
+        assert (a["look"], a["n_control"], a["n_treatment"]) == (
+            b["look"], b["n_control"], b["n_treatment"],
+        )
+        assert a["diff"] == b["diff"]
+        assert a["p_always_valid"] == b["p_always_valid"]
+        assert a["reject"] == b["reject"]
+        # lambda passes through exp(), which amplifies the summation-
+        # order difference between streamed and batch moment sums —
+        # relative tolerance, everything else exact
+        assert a["lambda_mixture"] == pytest.approx(
+            b["lambda_mixture"], rel=1e-6
+        )
+
+
+def test_streaming_msprt_monitor_late_and_too_late_replay(spark, tmp_path):
+    """The family replay contract: late-but-in-watermark rows for an
+    OPEN window aggregate; rows for an emitted-and-evicted window are
+    dropped; the final moments equal the accepted rows' batch sums."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_msprt_monitor,
+    )
+
+    schema = "arm string, v double, ts string"
+    src = tmp_path / "msprt_replay_in"
+
+    def write_epoch(rows, mtime):
+        d = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        before = (
+            {f for f in os.listdir(src) if f.endswith(".parquet")}
+            if src.exists()
+            else set()
+        )
+        d.coalesce(1).write.mode("append").parquet(str(src))
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in before:
+                os.utime(src / f, (mtime, mtime))
+
+    write_epoch(
+        [("c", 10.0, "2025-01-01 00:05:00"),
+         ("t", 12.0, "2025-01-01 00:40:00")],
+        time.time() - 300,
+    )
+    # late but in-watermark for the still-open 00:00 window + pusher
+    write_epoch(
+        [("c", 11.0, "2025-01-01 00:02:00"),
+         ("c", 1.0, "2025-01-02 00:00:00")],
+        time.time() - 250,
+    )
+    # buffer batch: emits and evicts the 00:00 window
+    write_epoch([("c", 1.0, "2025-01-02 12:00:00")], time.time() - 200)
+    # too late: 00:00 already evicted -> dropped
+    write_epoch(
+        [("t", 99.0, "2025-01-01 00:50:00"),
+         ("c", 1.0, "2025-01-03 00:00:00")],
+        time.time() - 100,
+    )
+    stream = (
+        spark.readStream.schema("arm string, v double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_msprt_monitor(
+        stream,
+        ts_col="ts",
+        arm_col="arm",
+        value_col="v",
+        control="c",
+        treatment="t",
+        window_duration="1 hour",
+        watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("msprt_replay_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        str(r["look"]): (r["dnc"], r["dsc"], r["dqc"], r["dnt"], r["dst"])
+        for r in spark.sql(
+            "SELECT * FROM msprt_replay_test "
+            "WHERE look < timestamp '2025-01-02'"
+        ).collect()
+    }
+    # accepted: the two epoch-1 rows + the late epoch-2 row; the
+    # too-late 00:50 treatment row (v=99) must NOT be in the sums
+    assert got == {
+        "2025-01-01 00:00:00": (2.0, 21.0, 221.0, 1.0, 12.0)
+    }

@@ -67,6 +67,15 @@ OPS = [
     # scale by k — output rows fixed, work linear, the plan is what's
     # measured.
     "heavy_hitters",
+    # periodogram on the year-shifted events replica: the hourly series
+    # grows k-fold in looks while the candidate-period list stays fixed,
+    # so the trig aggregate's row volume scales by k with constant
+    # output (one row per series x candidate).
+    "periodogram",
+    # layout_pruning on the shifted events replica: three global_ranks
+    # + group stats over k-fold rows, output fixed at 3 layout rows —
+    # the probe measures the range-shuffle + prefix-sum rank path.
+    "layout_pruning",
 ]
 OPS_SALTED = [
     "minhash_pairs",
@@ -81,6 +90,11 @@ OPS_SALTED = [
     # cross-copy grams distinct, so the true span set scales exactly
     # linearly in copies and the probe measures the PLAN.
     "substring_dedup",
+    # lsh_tuning on the SALTED replica: the fixed-pct hash-sample grows
+    # k-fold but cross-copy shingle overlap is 0, so the exact-Jaccard
+    # pair table (and the true pair set) scales linearly in copies —
+    # the probe measures the sample-join + broadcast-grid plan.
+    "lsh_tuning",
 ]
 # TPC-H fact-join shapes, probed on an ORDERKEY-SHIFTED replica of
 # lineitem+orders (dims copied verbatim): per-order structure and every
