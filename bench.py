@@ -266,6 +266,8 @@ HEADLINE = [
     "msprt_readout",
     "qte_readout",
     "lsh_tuning",
+    "srm_check",
+    "holm_adjust",
 ]
 
 

@@ -13535,6 +13535,137 @@ ORDER BY bands, rows_per_band
 """
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate on the user-parity split
+    (operators/quality.py srm_check): one count-by-arm aggregate,
+    design ratios broadcast, chi-square on k rows with the
+    Wilson–Hilferty p — the validity check in front of every
+    experiment readout in the catalog."""
+    from knot_another_pipeline_spark.operators.quality import srm_check
+
+    ev = load_table(spark, sf_dir, "events")
+    return srm_check(
+        ev.select((F.col("user_id") % 2).cast("string").alias("arm")),
+        arm_col="arm",
+        expected={"0": 1.0, "1": 1.0},
+    )
+
+
+ORACLE_SRM_CHECK = f"""
+WITH s AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS arm FROM events
+  WHERE CAST(user_id % 2 AS VARCHAR) IN ('0', '1')),
+e AS (SELECT * FROM (VALUES ('0', 0.5e0), ('1', 0.5e0)) AS t(arm, w)),
+c AS (SELECT arm, CAST(count(*) AS DOUBLE) AS o FROM s GROUP BY arm),
+j AS (
+  SELECT e.arm, e.w, coalesce(c.o, 0e0) AS o
+  FROM e LEFT JOIN c ON c.arm = e.arm),
+tot AS (SELECT sum(o) AS n FROM j),
+g AS (
+  SELECT n, CAST(count(*) AS DOUBLE) AS k,
+         sum((o - n * w) * (o - n * w) / (n * w)) AS chi2
+  FROM j, tot GROUP BY n),
+fin AS (
+  SELECT n, k,
+         CASE WHEN k >= 2 AND n > 0 THEN chi2 END AS c2,
+         CASE WHEN k >= 2 THEN k - 1 END AS dof
+  FROM g)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_arms,
+       round(c2, 6) AS chi2,
+       CAST(dof AS BIGINT) AS df,
+       round({_wh_chi2_p_sql('c2', 'dof')}, 6) AS p_value,
+       coalesce({_wh_chi2_p_sql('c2', 'dof')} <= 0.001e0, FALSE)
+         AS srm_detected
+FROM fin
+"""
+
+
+def q_holm_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni FWER step-down over the same ~190
+    per-(event_type, hour) weekend-vs-weekday z-tests as fdr_adjust
+    (operators/quality.py holm_adjust): |z|-DESC ranking, running
+    prefix MAX of p·(m−i+1), p from the ROUNDED z."""
+    from knot_another_pipeline_spark.operators.quality import holm_adjust
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    )
+    we = wd.isin(5, 6)
+    v = F.col("value").cast("double")
+    g = ev.groupBy(
+        F.concat(
+            F.col("event_type"), F.lit("@"), F.hour("ts").cast("string")
+        ).alias("key")
+    ).agg(
+        F.sum(F.when(we, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(we, v).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(we, v * v).otherwise(0.0)).alias("ss1"),
+        F.sum(F.when(~we, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(~we, v).otherwise(0.0)).alias("s0"),
+        F.sum(F.when(~we, v * v).otherwise(0.0)).alias("ss0"),
+    )
+    m1, m0 = F.col("s1") / F.col("n1"), F.col("s0") / F.col("n0")
+    v1 = F.col("ss1") / F.col("n1") - m1 * m1
+    v0 = F.col("ss0") / F.col("n0") - m0 * m0
+    se = F.sqrt(v1 / F.col("n1") + v0 / F.col("n0"))
+    z = F.when(
+        (F.col("n1") >= 2) & (F.col("n0") >= 2) & (se > 0), (m1 - m0) / se
+    )
+    tests = g.select("key", z.alias("z"))
+    return holm_adjust(tests, key_col="key", z_col="z", alpha=0.05)
+
+
+ORACLE_HOLM_ADJUST = f"""
+WITH ev AS (
+  SELECT event_type || '@' || CAST(hour(ts) AS VARCHAR) AS key,
+         (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+           IN (5, 6) AS we,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+g AS (
+  SELECT key,
+         CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         sum(CASE WHEN we THEN v ELSE 0.0e0 END) AS s1,
+         sum(CASE WHEN we THEN v * v ELSE 0.0e0 END) AS ss1,
+         CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         sum(CASE WHEN NOT we THEN v ELSE 0.0e0 END) AS s0,
+         sum(CASE WHEN NOT we THEN v * v ELSE 0.0e0 END) AS ss0
+  FROM ev GROUP BY key),
+zt AS (
+  SELECT key,
+         round(CASE WHEN n1 >= 2 AND n0 >= 2
+                     AND sqrt((ss1 / n1 - (s1 / n1) * (s1 / n1)) / n1
+                            + (ss0 / n0 - (s0 / n0) * (s0 / n0)) / n0) > 0
+               THEN (s1 / n1 - s0 / n0)
+                    / sqrt((ss1 / n1 - (s1 / n1) * (s1 / n1)) / n1
+                         + (ss0 / n0 - (s0 / n0) * (s0 / n0)) / n0)
+               END, 6) AS z
+  FROM g),
+d AS (SELECT key, z FROM zt WHERE z IS NOT NULL),
+ranked AS (
+  SELECT key, z,
+         {_nsf2_sql('z')} AS p,
+         row_number() OVER (ORDER BY abs(z) DESC, key ASC) AS rank,
+         count(*) OVER () AS m
+  FROM d)
+SELECT key, z,
+       round(p, 6) AS p_value,
+       CAST(rank AS BIGINT) AS rank,
+       round(max(least(1e0, p * (m - rank + 1))) OVER (
+           ORDER BY rank ASC ROWS UNBOUNDED PRECEDING), 6) AS p_holm,
+       max(least(1e0, p * (m - rank + 1))) OVER (
+           ORDER BY rank ASC ROWS UNBOUNDED PRECEDING) <= 0.05e0
+         AS reject
+FROM ranked
+ORDER BY rank
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13564,6 +13695,8 @@ QUERIES = {
     "msprt_readout": q_msprt_readout,
     "qte_readout": q_qte_readout,
     "lsh_tuning": q_lsh_tuning,
+    "srm_check": q_srm_check,
+    "holm_adjust": q_holm_adjust,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -13881,6 +14014,8 @@ ORACLES = {
     "msprt_readout": ORACLE_MSPRT_READOUT,
     "qte_readout": ORACLE_QTE_READOUT,
     "lsh_tuning": ORACLE_LSH_TUNING,
+    "srm_check": ORACLE_SRM_CHECK,
+    "holm_adjust": ORACLE_HOLM_ADJUST,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

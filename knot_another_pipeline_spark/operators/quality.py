@@ -3098,3 +3098,153 @@ def levene_test(
             _f_dist_p_one_sided(w_stat, df1, df2), round_to
         ).alias("p_value"),
     ).orderBy(*group_cols)
+
+
+def srm_check(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    expected: dict[str, float],
+    alpha: float = 0.001,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch gate — the validity check that must pass
+    BEFORE any experiment readout (:func:`ab_test`,
+    :func:`~.evaluation.cuped_readout`, :func:`~.evaluation.
+    msprt_readout`) is believed: if the realized arm counts are
+    incompatible with the design ratios, the assignment (or logging)
+    is broken and every downstream metric is biased.  χ² of observed
+    vs expected counts, df = k−1, p via the Wilson–Hilferty cube-root
+    normal approximation; flagged at the industry-conventional
+    α = 0.001 (an SRM alarm should mean "stop", not "hmm").
+
+    Scale shape: ONE count-by-arm aggregate (k rows shuffled), the
+    design ratios broadcast from a k-row literal table, the χ²
+    reduction on k rows.  Arms observed in the data but absent from
+    ``expected`` make the test meaningless and raise at plan time if
+    declared weights are incomplete — unseen DECLARED arms count as
+    observed 0, which is exactly an SRM signal.
+
+    Output (one row): n, k_arms, chi2, df, p_value, srm_detected.
+    """
+    if not expected or any(w <= 0 for w in expected.values()):
+        raise ValueError(
+            f"expected must map arms to positive weights, got {expected}"
+        )
+    if not (0 < alpha < 1):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    spark = df.sparkSession
+    total_w = float(sum(expected.values()))
+    exp_df = spark.createDataFrame(
+        [(str(a), float(w) / total_w) for a, w in expected.items()],
+        "arm string, w double",
+    )
+    counts = (
+        df.select(F.col(arm_col).cast("string").alias("arm"))
+        .filter(F.col("arm").isin(list(expected)))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    j = exp_df.join(counts, "arm", "left").select(
+        "arm", "w", F.coalesce("o", F.lit(0.0)).alias("o")
+    )
+    tot = j.agg(F.sum("o").alias("_n"))
+    g = j.crossJoin(F.broadcast(tot)).groupBy("_n").agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum(
+            (F.col("o") - F.col("_n") * F.col("w"))
+            * (F.col("o") - F.col("_n") * F.col("w"))
+            / (F.col("_n") * F.col("w"))
+        ).alias("_chi2"),
+    )
+    dof = F.when(F.col("_k") >= 2, F.col("_k") - 1)
+    c2 = F.when(dof.isNotNull() & (F.col("_n") > 0), F.col("_chi2"))
+    zwh = (
+        F.cbrt(c2 / dof) - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = F.when(
+        zwh.isNotNull(),
+        F.when(
+            zwh >= 0, normal_sf_two_sided(zwh) / 2
+        ).otherwise(1.0 - normal_sf_two_sided(zwh) / 2),
+    )
+    return g.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_k").cast("bigint").alias("k_arms"),
+        F.round(c2, round_to).alias("chi2"),
+        dof.cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+        F.coalesce(p <= F.lit(float(alpha)), F.lit(False)).alias(
+            "srm_detected"
+        ),
+    )
+
+
+def holm_adjust(
+    df: DataFrame,
+    *,
+    key_col: str,
+    z_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holm–Bonferroni step-down over a family of z-tests — the
+    FAMILY-WISE error-rate sibling of :func:`fdr_adjust`: use Holm
+    when even ONE false positive is unacceptable (launch gates,
+    guardrail metrics), BH-FDR when a controlled fraction of false
+    discoveries is fine (screening sweeps).  Uniformly more powerful
+    than plain Bonferroni at identical FWER control.
+
+    ``p̃_(i) = max_{j ≤ i} min(1, p_(j)·(m−j+1))`` over p ascending —
+    the same |z|-DESC ranking trick as ``fdr_adjust`` (order never
+    touches the exp-based p approximation; reported values are
+    computed from the ROUNDED z so both engines feed ``exp``
+    identical inputs), with a running MAX over the prefix instead of
+    BH's suffix min.  Same bounded hypothesis-table windows; same
+    ``global_rank`` scale path for millions of hypotheses.
+
+    Output per key: key, z, p_value, rank, p_holm, reject — ordered
+    by rank.
+    """
+    if not (0 < alpha < 1):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(z_col).cast("double"), round_to).alias("z"),
+    ).filter(F.col("z").isNotNull())
+    m = d.count()
+    if m == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "key string, z double, p_value double, rank long, "
+            "p_holm double, reject boolean"
+        )
+    w_rank = Window.orderBy(F.abs(F.col("z")).desc(), F.col("key").asc())
+    ranked = d.select(
+        "key",
+        "z",
+        normal_sf_two_sided(F.col("z")).alias("_p"),
+        F.row_number().over(w_rank).alias("rank"),
+    )
+    w_prefix = (
+        Window.orderBy(F.col("rank").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = F.max(
+        F.least(
+            F.lit(1.0),
+            F.col("_p") * (F.lit(float(m)) - F.col("rank") + 1),
+        )
+    ).over(w_prefix)
+    return (
+        ranked.withColumn("_h", adj)
+        .select(
+            "key",
+            "z",
+            F.round("_p", round_to).alias("p_value"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("_h", round_to).alias("p_holm"),
+            (F.col("_h") <= F.lit(float(alpha))).alias("reject"),
+        )
+        .orderBy("rank")
+    )

@@ -1216,3 +1216,113 @@ def test_streaming_msprt_monitor_late_and_too_late_replay(spark, tmp_path):
     assert got == {
         "2025-01-01 00:00:00": (2.0, 21.0, 221.0, 1.0, 12.0)
     }
+
+
+# ---------------------------------------------------------------------------
+# srm_check / holm_adjust
+
+
+def test_srm_check_balanced_vs_broken(spark):
+    from knot_another_pipeline_spark.operators.quality import srm_check
+
+    rows = [("a",)] * 5030 + [("b",)] * 4970
+    out = srm_check(
+        spark.createDataFrame(rows, ["arm"]),
+        arm_col="arm",
+        expected={"a": 1, "b": 1},
+    ).collect()[0]
+    assert not out["srm_detected"]
+    assert out["chi2"] == pytest.approx(
+        (5030 - 5000) ** 2 / 5000 + (4970 - 5000) ** 2 / 5000, abs=1e-6
+    )
+    broken = srm_check(
+        spark.createDataFrame([("a",)] * 5000 + [("b",)] * 4500, ["arm"]),
+        arm_col="arm",
+        expected={"a": 1, "b": 1},
+    ).collect()[0]
+    assert broken["srm_detected"] and broken["p_value"] < 0.001
+
+
+def test_srm_check_unseen_declared_arm_is_an_alarm(spark):
+    from knot_another_pipeline_spark.operators.quality import srm_check
+
+    rows = [("a",)] * 500 + [("b",)] * 500
+    out = srm_check(
+        spark.createDataFrame(rows, ["arm"]),
+        arm_col="arm",
+        expected={"a": 1, "b": 1, "c": 1},
+    ).collect()[0]
+    assert out["k_arms"] == 3 and out["srm_detected"]
+    # undeclared arms in the data are excluded, not crashed on
+    out2 = srm_check(
+        spark.createDataFrame(rows + [("x",)] * 100, ["arm"]),
+        arm_col="arm",
+        expected={"a": 1, "b": 1},
+    ).collect()[0]
+    assert out2["n"] == 1000
+
+
+def test_srm_check_validates(spark):
+    from knot_another_pipeline_spark.operators.quality import srm_check
+
+    df = spark.createDataFrame([("a",)], ["arm"])
+    with pytest.raises(ValueError, match="positive"):
+        srm_check(df, arm_col="arm", expected={"a": 0})
+    with pytest.raises(ValueError, match="alpha"):
+        srm_check(df, arm_col="arm", expected={"a": 1}, alpha=2.0)
+
+
+def _nsf_py(z):
+    az = abs(z)
+    k = 1 / (1 + 0.2316419 * az)
+    poly = k * (
+        0.319381530
+        + k
+        * (
+            -0.356563782
+            + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+        )
+    )
+    return 2 * math.exp(-az * az / 2) / math.sqrt(2 * math.pi) * poly
+
+
+def test_holm_adjust_matches_bruteforce_stepdown(spark):
+    from knot_another_pipeline_spark.operators.quality import holm_adjust
+
+    rng = random.Random(7)
+    zs = [
+        (f"k{i}", rng.gauss(0, 1) * (3 if i < 5 else 1)) for i in range(50)
+    ]
+    got = {
+        r["key"]: r
+        for r in holm_adjust(
+            spark.createDataFrame(zs, ["k", "z"]), key_col="k", z_col="z"
+        ).collect()
+    }
+    ordered = sorted(zs, key=lambda kv: (-abs(round(kv[1], 6)), kv[0]))
+    m = len(ordered)
+    run = 0.0
+    for i, (k, z) in enumerate(ordered):
+        run = max(run, min(1.0, _nsf_py(round(z, 6)) * (m - i)))
+        assert got[k]["rank"] == i + 1
+        assert got[k]["p_holm"] == pytest.approx(run, abs=1e-6)
+    # step-down contract: rejects are a prefix of the ranking, and
+    # Holm never rejects anything BH-FDR at the same alpha would keep
+    rej = sorted(r["rank"] for r in got.values() if r["reject"])
+    assert rej == list(range(1, len(rej) + 1))
+
+
+def test_holm_is_never_more_permissive_than_fdr(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        fdr_adjust,
+        holm_adjust,
+    )
+
+    rng = random.Random(23)
+    zs = [(f"k{i}", rng.gauss(0, 1.8)) for i in range(80)]
+    df = spark.createDataFrame(zs, ["k", "z"])
+    h = {r["key"] for r in holm_adjust(
+        df, key_col="k", z_col="z").collect() if r["reject"]}
+    b = {r["key"] for r in fdr_adjust(
+        df, key_col="k", z_col="z").collect() if r["reject"]}
+    assert h <= b  # FWER control is strictly more conservative
