@@ -268,6 +268,10 @@ HEADLINE = [
     "lsh_tuning",
     "srm_check",
     "holm_adjust",
+    "forecast_revenue",
+    "returned_revenue",
+    "priority_linestatus",
+    "promo_revenue",
 ]
 
 

@@ -13666,6 +13666,105 @@ ORDER BY rank
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan→pushed-filter→1-row aggregate, no join
+    (operators/relational.py forecast_revenue)."""
+    return relational.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-line revenue per customer for one
+    order quarter, nation attached, top-20
+    (operators/relational.py returned_revenue)."""
+    return relational.returned_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+        k=20,
+    )
+
+
+ORACLE_RETURNED_REVENUE = """
+WITH per_cust AS (
+  -- decimal(18,4) accumulation mirrors the Spark side: exact,
+  -- associative money sums that cannot flip a half-cent rounding
+  -- boundary with summation order
+  SELECT o_custkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (linestatus stands in for the schema's missing
+    l_shipmode): CASE-pivot of high- vs low-priority order counts per
+    line status (operators/relational.py priority_linestatus)."""
+    return relational.priority_linestatus(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+ORACLE_PRIORITY_LINESTATUS = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share of one ship month,
+    part flag broadcast (operators/relational.py promo_revenue)."""
+    return relational.promo_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0e0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13697,6 +13796,10 @@ QUERIES = {
     "lsh_tuning": q_lsh_tuning,
     "srm_check": q_srm_check,
     "holm_adjust": q_holm_adjust,
+    "forecast_revenue": q_forecast_revenue,
+    "returned_revenue": q_returned_revenue,
+    "priority_linestatus": q_priority_linestatus,
+    "promo_revenue": q_promo_revenue,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -14016,6 +14119,10 @@ ORACLES = {
     "lsh_tuning": ORACLE_LSH_TUNING,
     "srm_check": ORACLE_SRM_CHECK,
     "holm_adjust": ORACLE_HOLM_ADJUST,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "returned_revenue": ORACLE_RETURNED_REVENUE,
+    "priority_linestatus": ORACLE_PRIORITY_LINESTATUS,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

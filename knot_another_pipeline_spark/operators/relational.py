@@ -2235,3 +2235,185 @@ def layout_pruning(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("layout")
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    discount_lo: float = 0.05,
+    discount_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change readout: the revenue
+    increase (``sum(l_extendedprice * l_discount)``) that would have
+    resulted from eliminating small discounts on low-quantity lines in
+    one shipping year.
+
+    Shape: the whole query is a single scan→filter→1-row aggregate.
+    Every predicate (ship-date window, discount band, quantity cap)
+    sits directly on a parquet column, so all four land in
+    ``PushedFilters`` and the scan reads only the three referenced
+    columns; there is no join and no group key — the only exchange is
+    the 1-row partial→final aggregate merge.  This is the canonical
+    "does the engine push down and prune" probe at 100 TB: the scan,
+    not the agg, is the entire cost.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+            & (F.col("l_discount") >= F.lit(discount_lo))
+            & (F.col("l_discount") <= F.lit(discount_hi))
+            & (F.col("l_quantity") < F.lit(max_qty))
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("forecast_revenue")
+        )
+    )
+
+
+def returned_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: the ``k`` customers
+    who lost the most revenue to returned lines (``l_returnflag =
+    'R'``) for orders placed in one quarter, with their nation
+    attached.
+
+    Shape: both fact filters are scan-pushed (returnflag on lineitem,
+    the order-date window on orders), so the orderkey join — the one
+    big exchange — moves only the returned fraction of one quarter.
+    Revenue is aggregated down to ``o_custkey`` BEFORE customer
+    attaches, so the custkey join input is bounded by the customer
+    count, never the lineitem count; nation broadcasts.  The top-k is
+    ``TakeOrderedAndProject`` on the rounded revenue (ties broken by
+    custkey) — no global sort.
+
+    Revenue accumulates in ``decimal(18,4)`` — decimal addition is
+    exact and associative, so the per-customer total is independent of
+    partition count and merge order (a double sum can wobble 1 ulp
+    with partitioning and flip a round-half-cent boundary).
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("_rev"),
+    )
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        returned.join(window, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue")
+        )
+    )
+    named = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        per_cust.join(named, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def priority_linestatus(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12-shaped priority pivot (this schema carries no
+    ``l_shipmode``/``l_receiptdate``, so the pivot category is
+    ``l_linestatus`` and the window lands on ``l_shipdate``): per line
+    status, how many orders shipped in the window were high-priority
+    (``1-URGENT``/``2-HIGH``) vs everything else.
+
+    Shape: the ship-date window is scan-pushed on lineitem, which is
+    projected to two columns before the orderkey join — the one real
+    exchange.  The CASE-sum pivot happens inside the final hash
+    aggregate over the tiny linestatus key space (partial map-side
+    combine collapses each partition to a handful of rows before the
+    group exchange).  Mirrors Q12's "join then conditional count"
+    shape exactly.
+    """
+    lines = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0))).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, F.lit(0)).otherwise(F.lit(1))).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1996-02-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect readout: the percentage of one
+    month's revenue that came from parts of the promo type.
+
+    Shape: the month window is scan-pushed on lineitem; the part
+    dimension broadcasts carrying only ``(p_partkey, is_promo)`` —
+    Q14's denominator needs ALL part types, so the flag rides the
+    broadcast instead of a filter.  The conditional and total sums
+    collapse map-side into one 1-row aggregate; the fact table never
+    shuffles.
+    """
+    dim = part.select(
+        "p_partkey",
+        (F.col("p_type") == F.lit(promo_type)).alias("_is_promo"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("_is_promo"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
