@@ -272,6 +272,8 @@ HEADLINE = [
     "returned_revenue",
     "priority_linestatus",
     "promo_revenue",
+    "assortativity",
+    "reciprocity",
 ]
 
 

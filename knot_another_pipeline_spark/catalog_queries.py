@@ -13765,6 +13765,96 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected order<->part graph
+    (operators/graph.py degree_assortativity): hubs-link-to-hubs vs
+    hubs-link-to-leaves in one Pearson coefficient over edge-end
+    degrees."""
+    from knot_another_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "dst"
+        ),
+    ).distinct()
+    return degree_assortativity(edges, directed=False)
+
+
+ORACLE_ASSORTATIVITY = """
+WITH e0 AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS s, 'p:' || l_partkey AS d
+  FROM lineitem),
+e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+deg AS (SELECT s AS v, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY s),
+p AS (
+  SELECT ds.dg AS x, dd.dg AS y
+  FROM e JOIN deg ds ON e.s = ds.v JOIN deg dd ON e.d = dd.v),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM p)
+SELECT n AS n_edges,
+       round(CASE WHEN sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+                  THEN (sxy - sx * sy / n)
+                       / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+             END, 6) AS assortativity
+FROM m
+"""
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the event-type transition graph — distinct
+    (prev_type -> type) edges over each user's time-ordered event
+    stream (operators/graph.py reciprocity): does A-then-B imply
+    B-then-A somewhere in the corpus?"""
+    from pyspark.sql import Window
+
+    from knot_another_pipeline_spark.operators.graph import reciprocity
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+    )
+    return reciprocity(edges)
+
+
+ORACLE_RECIPROCITY = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+e AS (
+  SELECT DISTINCT prev_type AS s, event_type AS d
+  FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+mut AS (
+  SELECT count(*) AS n_reciprocal
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_edges,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       round(CASE WHEN n_edges > 0
+                  THEN CAST(n_reciprocal AS DOUBLE) / n_edges END,
+             6) AS reciprocity
+FROM tot, mut
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13800,6 +13890,8 @@ QUERIES = {
     "returned_revenue": q_returned_revenue,
     "priority_linestatus": q_priority_linestatus,
     "promo_revenue": q_promo_revenue,
+    "assortativity": q_assortativity,
+    "reciprocity": q_reciprocity,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -14123,6 +14215,8 @@ ORACLES = {
     "returned_revenue": ORACLE_RETURNED_REVENUE,
     "priority_linestatus": ORACLE_PRIORITY_LINESTATUS,
     "promo_revenue": ORACLE_PROMO_REVENUE,
+    "assortativity": ORACLE_ASSORTATIVITY,
+    "reciprocity": ORACLE_RECIPROCITY,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
