@@ -274,6 +274,8 @@ HEADLINE = [
     "promo_revenue",
     "assortativity",
     "reciprocity",
+    "ljung_box",
+    "hurst_exponent",
 ]
 
 

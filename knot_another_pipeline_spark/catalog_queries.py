@@ -13855,6 +13855,145 @@ FROM tot, mut
 """
 
 
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box whiteness test per event_type over the time-ordered
+    value series (operators/temporal.py ljung_box): one window pass +
+    one aggregate, textbook ACF from moment sums, Wilson–Hilferty χ²
+    p-value."""
+    from knot_another_pipeline_spark.operators.temporal import ljung_box
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    return ljung_box(
+        ev,
+        series_col="event_type",
+        order_col="ts",
+        value_col="value",
+        max_lag=5,
+        tiebreak_col="event_id",
+    )
+
+
+def _ljung_box_oracle_sql(max_lag: int = 5) -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(v, {k}) OVER w AS l{k}" for k in range(1, max_lag + 1)
+    )
+    mom = ",\n         ".join(
+        f"sum(v * l{k}) AS sp{k},\n         "
+        f"sum(CASE WHEN l{k} IS NOT NULL THEN v + l{k} END) AS se{k}"
+        for k in range(1, max_lag + 1)
+    )
+    # n·ĉ_k = Σ x_t·x_{t−k} − x̄·Σ(x_t + x_{t−k}) + (n−k)·x̄²  — the
+    # exact moment-sum identity the Spark operator reduces (coalesce
+    # mirrors its treatment of lag-short series)
+    terms = " + ".join(
+        f"pow((coalesce(sp{k}, 0e0) - (sx / n) * coalesce(se{k}, 0e0)"
+        f" + (n - {k}) * (sx / n) * (sx / n)) / c0, 2) / (n - {k})"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH s AS (
+  SELECT event_type AS series, CAST(value AS DOUBLE) AS v, ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+lagd AS (
+  SELECT series, v,
+         {lag_cols}
+  FROM s WINDOW w AS (PARTITION BY series ORDER BY ts, event_id)),
+g AS (
+  SELECT series, CAST(count(*) AS DOUBLE) AS n, sum(v) AS sx,
+         sum(v * v) AS sxx,
+         {mom}
+  FROM lagd GROUP BY series),
+c AS (SELECT *, sxx - n * (sx / n) * (sx / n) AS c0 FROM g),
+q AS (
+  SELECT series, n,
+         CASE WHEN n > {max_lag} AND c0 > 0
+              THEN n * (n + 2e0) * ({terms}) END AS q_stat
+  FROM c)
+SELECT series, CAST(n AS BIGINT) AS n,
+       CAST({max_lag} AS INT) AS max_lag,
+       round(q_stat, 6) AS q_stat,
+       round({_wh_chi2_p_sql('q_stat', str(float(max_lag)))}, 6) AS p_value
+FROM q
+ORDER BY series
+"""
+
+
+ORACLE_LJUNG_BOX = _ljung_box_oracle_sql(5)
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range Hurst exponent per event_type value series
+    (operators/temporal.py hurst_exponent): trending vs mean-reverting
+    in one number, blocks of 8/16/32/64, log-log least squares."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        hurst_exponent,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    return hurst_exponent(
+        ev,
+        series_col="event_type",
+        order_col="ts",
+        value_col="value",
+        scales=(8, 16, 32, 64),
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_HURST_EXPONENT = """
+WITH s0 AS (
+  SELECT event_type AS series, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+expl AS (
+  SELECT series, v, idx, sc.scale,
+         CAST(floor(idx / sc.scale) AS BIGINT) AS blk
+  FROM s0, (SELECT unnest([8, 16, 32, 64]) AS scale) sc),
+scored AS (
+  SELECT series, scale, blk,
+         sum(v) OVER wb AS run,
+         row_number() OVER wb AS pos,
+         count(*) OVER wall AS cnt,
+         sum(v) OVER wall AS bsum,
+         sum(v * v) OVER wall AS bsq
+  FROM expl
+  WINDOW wb AS (PARTITION BY series, scale, blk ORDER BY idx
+                ROWS UNBOUNDED PRECEDING),
+         wall AS (PARTITION BY series, scale, blk)),
+blocks AS (
+  SELECT series, scale, blk,
+         max(run - pos * bsum / cnt) - min(run - pos * bsum / cnt) AS r,
+         sqrt(max(bsq) / max(cnt)
+              - (max(bsum) / max(cnt)) * (max(bsum) / max(cnt))) AS s
+  FROM scored WHERE cnt = scale
+  GROUP BY series, scale, blk),
+per_scale AS (
+  SELECT series, scale, avg(r / s) AS rs
+  FROM blocks WHERE s > 0
+  GROUP BY series, scale),
+fit AS (
+  SELECT series, CAST(count(*) AS DOUBLE) AS k,
+         sum(ln(scale)) AS su, sum(ln(rs)) AS sv,
+         sum(ln(scale) * ln(scale)) AS suu,
+         sum(ln(scale) * ln(rs)) AS suv
+  FROM per_scale WHERE rs > 0
+  GROUP BY series),
+n_per AS (SELECT series, CAST(count(*) AS BIGINT) AS n FROM s0 GROUP BY series)
+SELECT n_per.series, n,
+       CAST(coalesce(k, 0) AS INT) AS n_scales,
+       round(CASE WHEN k >= 2 AND suu - su * su / k > 0
+                  THEN (suv - su * sv / k) / (suu - su * su / k)
+             END, 6) AS hurst
+FROM n_per LEFT JOIN fit ON n_per.series = fit.series
+ORDER BY n_per.series
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -13892,6 +14031,8 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "assortativity": q_assortativity,
     "reciprocity": q_reciprocity,
+    "ljung_box": q_ljung_box,
+    "hurst_exponent": q_hurst_exponent,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -14217,6 +14358,8 @@ ORACLES = {
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "assortativity": ORACLE_ASSORTATIVITY,
     "reciprocity": ORACLE_RECIPROCITY,
+    "ljung_box": ORACLE_LJUNG_BOX,
+    "hurst_exponent": ORACLE_HURST_EXPONENT,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

@@ -43,8 +43,10 @@ __all__ = [
     "decayed_agg",
     "ewma_smooth",
     "holt_forecast",
+    "hurst_exponent",
     "interval_merge",
     "lag_correlation",
+    "ljung_box",
     "mann_kendall",
     "max_concurrency",
     "period_over_period",
@@ -1875,3 +1877,236 @@ def lag_correlation(
         F.round(corr, round_to).alias("corr"),
         (F.row_number().over(w) == 1).alias("is_best"),
     ).orderBy("lag")
+
+
+def ljung_box(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ljung–Box portmanteau test per series: is there ANY
+    autocorrelation in the first ``max_lag`` lags, in one number?
+    ``Q = n(n+2) Σ_k ρ̂_k²/(n−k)``, p-value against χ²(max_lag) — the
+    standard residual-whiteness gate after a forecast fit
+    (:func:`holt_forecast`, :func:`trend_fit`): if Q rejects, the model
+    left structure on the table.
+
+    Uses the TEXTBOOK autocorrelation estimator (deviations from the
+    one global series mean, normalized by the lag-0 sum of squares) —
+    deliberately not :func:`acf`'s pairwise-complete Pearson, which is
+    a different statistic with no χ² null.  Every ρ̂_k reduces from
+    moment sums collected in ONE aggregate over ONE window pass:
+
+        ĉ_k·n = Σ x_t x_{t−k} − x̄·Σ(x_t + x_{t−k}) + (n−k)·x̄²
+
+    so the plan is one per-series window (``max_lag`` row-local lag
+    columns), one hash aggregate on the series key, and row-local
+    arithmetic — one shuffle total, no join back for the mean, no
+    unpivot.  The p-value is the Wilson–Hilferty cube-root χ²
+    approximation (the same construction as ``kruskal_wallis`` /
+    ``cochran_q`` — portable to any SQL engine, no gamma function).
+
+    ``order_col`` must be unique per series or ``tiebreak_col``
+    supplied (the :func:`acf` contract).  Output per series: series,
+    n, max_lag, q_stat, p_value — NULL stat for constant series or
+    n ≤ max_lag.
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    order = [F.col("ord")] + ([F.col("_tb")] if tiebreak_col else [])
+    w = Window.partitionBy("series").orderBy(*order)
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("value"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    ).filter(F.col("value").isNotNull())
+    lagged = s.select(
+        "series",
+        "value",
+        *[
+            F.lag("value", k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("value").alias("_sx"),
+        F.sum(F.col("value") * F.col("value")).alias("_sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        aggs.append(F.sum(F.col("value") * lk).alias(f"_sp{k}"))
+        aggs.append(
+            F.sum(
+                F.when(lk.isNotNull(), F.col("value") + lk)
+            ).alias(f"_se{k}")
+        )
+    g = lagged.groupBy("series").agg(*aggs)
+    n = F.col("_n")
+    mean = F.col("_sx") / n
+    c0 = F.col("_sxx") - n * mean * mean  # = n·ĉ₀
+    q_terms = None
+    for k in range(1, max_lag + 1):
+        ck = (
+            F.coalesce(F.col(f"_sp{k}"), F.lit(0.0))
+            - mean * F.coalesce(F.col(f"_se{k}"), F.lit(0.0))
+            + (n - k) * mean * mean
+        )
+        rho2 = (ck / c0) * (ck / c0)
+        term = rho2 / (n - k)
+        q_terms = term if q_terms is None else q_terms + term
+    q = F.when(
+        (n > max_lag) & (c0 > 0), n * (n + 2.0) * q_terms
+    )
+    dof = F.lit(float(max_lag))
+    zwh = (F.cbrt(q / dof) - (1.0 - 2.0 / (9.0 * dof))) / F.sqrt(
+        2.0 / (9.0 * dof)
+    )
+    p = F.when(
+        zwh.isNotNull(),
+        F.when(zwh >= 0, normal_sf_two_sided(zwh) / 2).otherwise(
+            1.0 - normal_sf_two_sided(zwh) / 2
+        ),
+    )
+    return g.select(
+        "series",
+        n.cast("bigint").alias("n"),
+        F.lit(max_lag).cast("int").alias("max_lag"),
+        F.round(q, round_to).alias("q_stat"),
+        F.round(p, round_to).alias("p_value"),
+    ).orderBy("series")
+
+
+def hurst_exponent(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    scales: tuple[int, ...] = (8, 16, 32, 64),
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hurst exponent per series by classic rescaled-range (R/S)
+    analysis: H ≈ 0.5 for a random walk's increments (white noise),
+    H > 0.5 for long-memory / trending series, H < 0.5 for
+    mean-reverting ones — the one-number "does this metric trend or
+    revert" readout that decides whether yesterday's drift should
+    alarm (:func:`cusum_alarm`) or is just persistence.
+
+    Estimator: for each window size s in ``scales``, cut the series
+    into ⌊n/s⌋ full blocks; per block compute the range R of the
+    cumulative deviations from the block mean and the population
+    standard deviation S; average R/S over blocks (S = 0 blocks are
+    degenerate and excluded); H is the least-squares slope of
+    log(avg R/S) against log(s).
+
+    Scale shape: one row_number window per series, an explode by
+    |scales| (a 4× row multiplier, row-local), then ONE window pass
+    per (series, scale, block) — partitions are at most max(scales)
+    rows, so no single-partition funnels regardless of series length —
+    computing the running sum, position, and block moments together;
+    block range/std reduce in a (series, scale, block) aggregate, the
+    per-scale average in a (series, scale) aggregate, and the log-log
+    slope folds the ≤|scales| remaining rows per series.  Three
+    narrowing shuffles, all on compound keys that spread evenly.
+
+    ``order_col`` must be unique per series or ``tiebreak_col``
+    supplied (the :func:`acf` contract).  Output per series: series,
+    n, n_scales (scales with ≥1 usable block), hurst (NULL when fewer
+    than 2 scales are usable — a slope needs two points).
+    """
+    if len(scales) < 2:
+        raise ValueError(f"need >= 2 scales, got {scales!r}")
+    if any(s < 2 for s in scales) or len(set(scales)) != len(scales):
+        raise ValueError(f"scales must be distinct and >= 2: {scales!r}")
+    order = [F.col("ord")] + ([F.col("_tb")] if tiebreak_col else [])
+    widx = Window.partitionBy("series").orderBy(*order)
+    s0 = (
+        df.select(
+            F.col(series_col).alias("series"),
+            F.col(order_col).alias("ord"),
+            F.col(value_col).cast("double").alias("value"),
+            *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+        )
+        .filter(F.col("value").isNotNull())
+        .select(
+            "series",
+            "value",
+            (F.row_number().over(widx) - 1).alias("_idx"),
+        )
+    )
+    expl = s0.select(
+        "series",
+        "value",
+        "_idx",
+        F.explode(
+            F.array(*[F.lit(int(s)) for s in scales])
+        ).alias("_scale"),
+    ).withColumn("_blk", (F.col("_idx") / F.col("_scale")).cast("bigint"))
+    wb = Window.partitionBy("series", "_scale", "_blk").orderBy("_idx")
+    wall = wb.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = expl.select(
+        "series",
+        "_scale",
+        "_blk",
+        F.sum("value").over(wb).alias("_run"),
+        F.row_number().over(wb).alias("_pos"),
+        F.count(F.lit(1)).over(wall).alias("_cnt"),
+        F.sum("value").over(wall).alias("_bsum"),
+        F.sum(F.col("value") * F.col("value")).over(wall).alias("_bsq"),
+    ).withColumn(
+        "_z", F.col("_run") - F.col("_pos") * F.col("_bsum") / F.col("_cnt")
+    )
+    blocks = (
+        scored.filter(F.col("_cnt") == F.col("_scale"))
+        .groupBy("series", "_scale", "_blk")
+        .agg(
+            (F.max("_z") - F.min("_z")).alias("_r"),
+            F.sqrt(
+                F.max("_bsq") / F.max("_cnt")
+                - (F.max("_bsum") / F.max("_cnt"))
+                * (F.max("_bsum") / F.max("_cnt"))
+            ).alias("_s"),
+        )
+        .filter(F.col("_s") > 0)
+    )
+    per_scale = blocks.groupBy("series", "_scale").agg(
+        F.avg(F.col("_r") / F.col("_s")).alias("_rs"),
+        F.count(F.lit(1)).alias("_nblk"),
+    )
+    fit = per_scale.filter(F.col("_rs") > 0).groupBy("series").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.log("_scale")).alias("_su"),
+        F.sum(F.log("_rs")).alias("_sv"),
+        F.sum(F.log("_scale") * F.log("_scale")).alias("_suu"),
+        F.sum(F.log("_scale") * F.log("_rs")).alias("_suv"),
+    )
+    k = F.col("_k").cast("double")
+    denom = F.col("_suu") - F.col("_su") * F.col("_su") / k
+    slope = (F.col("_suv") - F.col("_su") * F.col("_sv") / k) / denom
+    n_per = s0.groupBy("series").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        n_per.join(fit, "series", "left")
+        .select(
+            "series",
+            F.col("n").cast("bigint").alias("n"),
+            F.coalesce(F.col("_k"), F.lit(0)).cast("int").alias("n_scales"),
+            F.round(
+                F.when((F.col("_k") >= 2) & (denom > 0), slope), round_to
+            ).alias("hurst"),
+        )
+        .orderBy("series")
+    )
