@@ -276,6 +276,8 @@ HEADLINE = [
     "reciprocity",
     "ljung_box",
     "hurst_exponent",
+    "delong_auc",
+    "fleiss_kappa",
 ]
 
 

@@ -13994,6 +13994,128 @@ ORDER BY n_per.series
 """
 
 
+def q_delong_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC with DeLong SE + 95% CI per weekday segment
+    (operators/evaluation.py delong_auc): the same scorer as
+    q_auc_scores, now with the error bar — placements from two rank
+    windows, never the O(n+·n-) pairwise join."""
+    from knot_another_pipeline_spark.operators.evaluation import delong_auc
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = events.select(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).cast("int").alias("wd"),
+        (F.col("value") / 491.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return delong_auc(
+        s, group_cols=["wd"], score_col="score", label_col="y"
+    )
+
+
+ORACLE_DELONG_AUC = """
+WITH s AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS INT) AS wd,
+         CAST(value AS DOUBLE) / 491.0 AS sc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT wd, y,
+         rank() OVER (PARTITION BY wd ORDER BY sc)
+           + (count(*) OVER (PARTITION BY wd, sc) - 1) / 2.0 AS pr,
+         rank() OVER (PARTITION BY wd, y ORDER BY sc)
+           + (count(*) OVER (PARTITION BY wd, y, sc) - 1) / 2.0 AS wr
+  FROM s),
+a AS (
+  SELECT wd, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         sum(CASE WHEN y = 1 THEN pr - wr END) AS d1,
+         sum(CASE WHEN y = 1 THEN (pr - wr) * (pr - wr) END) AS d1sq,
+         sum(CASE WHEN y = 0 THEN pr - wr END) AS d0,
+         sum(CASE WHEN y = 0 THEN (pr - wr) * (pr - wr) END) AS d0sq
+  FROM r GROUP BY 1),
+m AS (
+  SELECT wd, n_pos, n_neg,
+         CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN d1 / (n_pos * n_neg) END AS auc,
+         CASE WHEN n_pos >= 2 AND n_neg >= 2
+               AND (d1sq - d1 * d1 / n_pos) / (n_pos - 1)
+                   / (n_neg * n_neg) / n_pos
+                 + (d0sq - d0 * d0 / n_neg) / (n_neg - 1)
+                   / (n_pos * n_pos) / n_neg >= 0
+              THEN sqrt((d1sq - d1 * d1 / n_pos) / (n_pos - 1)
+                        / (n_neg * n_neg) / n_pos
+                      + (d0sq - d0 * d0 / n_neg) / (n_neg - 1)
+                        / (n_pos * n_pos) / n_neg) END AS se
+  FROM a)
+SELECT wd, n_pos, n_neg,
+       round(auc, 6) AS auc,
+       round(se, 6) AS se,
+       round(greatest(0e0, auc - 1.959963984540054e0 * se), 6) AS ci_lo,
+       round(least(1e0, auc + 1.959963984540054e0 * se), 6) AS ci_hi
+FROM m
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over synthetic multi-annotator labels — each
+    document's ratings are its hour-bucketed event neighbors' types
+    (operators/quality.py fleiss_kappa): items = (user, day) sessions,
+    ratings = that session's event types."""
+    from knot_another_pipeline_spark.operators.quality import fleiss_kappa
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    rated = ev.select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("@"),
+            F.col("ts").cast("date").cast("string"),
+        ).alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    return fleiss_kappa(rated, item_col="item", label_col="label")
+
+
+ORACLE_FLEISS_KAPPA = """
+WITH base AS (
+  SELECT user_id || '@' || CAST(CAST(ts AS DATE) AS VARCHAR) AS i,
+         event_type AS c
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+cells AS (
+  SELECT i, c, CAST(count(*) AS DOUBLE) AS n FROM base GROUP BY i, c),
+items AS (
+  SELECT i, sum(n) AS ni, sum(n * n) AS agree
+  FROM cells GROUP BY i HAVING sum(n) >= 2),
+pbar AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(ni) AS BIGINT) AS n_ratings,
+         avg((agree - ni) / (ni * (ni - 1))) AS pb
+  FROM items),
+shares AS (
+  SELECT c, sum(n) AS nc
+  FROM cells JOIN items USING (i) GROUP BY c),
+pe AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_categories,
+         sum(nc * nc) / (sum(nc) * sum(nc)) AS pv
+  FROM shares)
+SELECT n_items, n_ratings, k_categories,
+       round(CASE WHEN n_items > 0 THEN pb END, 6) AS p_bar,
+       round(CASE WHEN n_items > 0 THEN pv END, 6) AS p_e,
+       round(CASE WHEN n_items > 0 AND pv < 1
+                  THEN (pb - pv) / (1 - pv) END, 6) AS kappa
+FROM pbar, pe
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -14033,6 +14155,8 @@ QUERIES = {
     "reciprocity": q_reciprocity,
     "ljung_box": q_ljung_box,
     "hurst_exponent": q_hurst_exponent,
+    "delong_auc": q_delong_auc,
+    "fleiss_kappa": q_fleiss_kappa,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -14360,6 +14484,8 @@ ORACLES = {
     "reciprocity": ORACLE_RECIPROCITY,
     "ljung_box": ORACLE_LJUNG_BOX,
     "hurst_exponent": ORACLE_HURST_EXPONENT,
+    "delong_auc": ORACLE_DELONG_AUC,
+    "fleiss_kappa": ORACLE_FLEISS_KAPPA,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

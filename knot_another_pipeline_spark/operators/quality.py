@@ -3248,3 +3248,91 @@ def holm_adjust(
         )
         .orderBy("rank")
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    *,
+    item_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement among MANY raters —
+    the multi-annotator generalization of :func:`cohens_kappa`, and the
+    gate on crowdsourced label quality before ``majority_vote`` output
+    is trusted as training data.  Input is one row per individual
+    rating (item, assigned label); rater identity is irrelevant to the
+    statistic (Fleiss' design — raters need not even be the same people
+    across items).
+
+    Uses the variable-rater generalization: per item with ``n_i ≥ 2``
+    ratings, observed agreement ``P_i = (Σ_c n_ic² − n_i)/(n_i(n_i−1))``;
+    ``P̄`` averages P_i over items; chance agreement ``P_e = Σ_c p_c²``
+    with p_c the overall label shares (over included items); ``κ =
+    (P̄ − P_e)/(1 − P_e)``.  Items with a single rating carry no
+    agreement signal and are excluded from both P̄ and p_c — the same
+    exclusion the textbook equal-n formula makes implicitly.
+
+    Scale shape: one (item, label) cell count, one item-level
+    aggregate on the same item key (no second data pass), label totals
+    from the cells joined to the per-item n_i — every shuffle is on a
+    grouping key, nothing widens, and the final κ assembles from
+    three broadcast-sized scalar aggregates.
+
+    Output (single row): n_items, n_ratings, k_categories, p_bar,
+    p_e, kappa (NULL when no multi-rated item exists or P_e = 1 —
+    unanimous single-category data has undefined κ).
+    """
+    base = df.select(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
+    ).filter(F.col("_i").isNotNull() & F.col("_c").isNotNull())
+    cells = base.groupBy("_i", "_c").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    items = (
+        cells.groupBy("_i")
+        .agg(
+            F.sum("_n").alias("_ni"),
+            F.sum(F.col("_n") * F.col("_n")).alias("_agree"),
+        )
+        .filter(F.col("_ni") >= 2)
+    )
+    pbar = items.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_ni").cast("bigint").alias("n_ratings"),
+        F.avg(
+            (F.col("_agree") - F.col("_ni"))
+            / (F.col("_ni") * (F.col("_ni") - 1))
+        ).alias("_pbar"),
+    )
+    # label shares over the included items only (join on the item key
+    # both sides are already partitioned by)
+    shares = (
+        cells.join(items.select("_i"), "_i")
+        .groupBy("_c")
+        .agg(F.sum("_n").alias("_nc"))
+    )
+    pe = shares.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_categories"),
+        (
+            F.sum(F.col("_nc") * F.col("_nc"))
+            / (F.sum("_nc") * F.sum("_nc"))
+        ).alias("_pe"),
+    )
+    out = pbar.crossJoin(pe)
+    kappa = F.when(
+        (F.col("n_items") > 0) & (F.col("_pe") < 1.0),
+        (F.col("_pbar") - F.col("_pe")) / (1.0 - F.col("_pe")),
+    )
+    return out.select(
+        "n_items",
+        "n_ratings",
+        "k_categories",
+        F.round(F.when(F.col("n_items") > 0, F.col("_pbar")), round_to).alias(
+            "p_bar"
+        ),
+        F.round(F.when(F.col("n_items") > 0, F.col("_pe")), round_to).alias(
+            "p_e"
+        ),
+        F.round(kappa, round_to).alias("kappa"),
+    )
