@@ -278,6 +278,8 @@ HEADLINE = [
     "hurst_exponent",
     "delong_auc",
     "fleiss_kappa",
+    "energy_drift",
+    "twonn_dim",
 ]
 
 

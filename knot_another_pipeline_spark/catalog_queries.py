@@ -14116,6 +14116,142 @@ FROM pbar, pe
 """
 
 
+def q_energy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D energy distance per event_type between the first and
+    second half of the event window (operators/quality.py
+    energy_drift): the whole-shape drift statistic PSI's bins and KS's
+    max-gap both approximate, from one pooled-sort window pass."""
+    from knot_another_pipeline_spark.operators.quality import energy_drift
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    tagged = ev.select(
+        F.col("event_type"),
+        F.col("value"),
+        F.when(F.col("ts") < cut, F.lit("base"))
+        .otherwise(F.lit("cur"))
+        .alias("half"),
+    )
+    return energy_drift(
+        tagged,
+        value_col="value",
+        sample_col="half",
+        baseline="base",
+        current="cur",
+        group_cols=["event_type"],
+    )
+
+
+ORACLE_ENERGY_DRIFT = """
+WITH s AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1
+         END AS grp
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+scored AS (
+  SELECT g, v, grp,
+         coalesce(sum(CASE WHEN grp = 0 THEN 1e0 ELSE 0e0 END)
+                  OVER w, 0e0) AS cb,
+         coalesce(sum(CASE WHEN grp = 0 THEN v ELSE 0e0 END)
+                  OVER w, 0e0) AS sb,
+         coalesce(sum(CASE WHEN grp = 1 THEN 1e0 ELSE 0e0 END)
+                  OVER w, 0e0) AS cc,
+         coalesce(sum(CASE WHEN grp = 1 THEN v ELSE 0e0 END)
+                  OVER w, 0e0) AS sc
+  FROM s
+  WINDOW w AS (PARTITION BY g ORDER BY v, grp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+agg AS (
+  SELECT g,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_base,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur,
+         sum(CASE WHEN grp = 0 THEN cc * v - sc
+                  ELSE cb * v - sb END) AS x,
+         sum(CASE WHEN grp = 0 THEN cb * v - sb ELSE 0e0 END) AS wb,
+         sum(CASE WHEN grp = 1 THEN cc * v - sc ELSE 0e0 END) AS wc
+  FROM scored GROUP BY g)
+SELECT g AS event_type, n_base, n_cur,
+       round(CASE WHEN n_base > 0 AND n_cur > 0
+                  THEN x / (CAST(n_base AS DOUBLE) * n_cur) END, 6)
+         AS e_cross,
+       round(CASE WHEN n_base > 0
+                  THEN 2e0 * wb / (CAST(n_base AS DOUBLE) * n_base) END, 6)
+         AS e_within_base,
+       round(CASE WHEN n_cur > 0
+                  THEN 2e0 * wc / (CAST(n_cur AS DOUBLE) * n_cur) END, 6)
+         AS e_within_cur,
+       round(CASE WHEN n_base > 0 AND n_cur > 0
+                  THEN 2e0 * x / (CAST(n_base AS DOUBLE) * n_cur)
+                     - 2e0 * wb / (CAST(n_base AS DOUBLE) * n_base)
+                     - 2e0 * wc / (CAST(n_cur AS DOUBLE) * n_cur) END, 6)
+         AS energy_distance
+FROM agg
+ORDER BY event_type
+"""
+
+
+def q_twonn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic dimension of the embedding column per label
+    (operators/similarity.py twonn_dimension): is the 64-wide vector
+    really 64-dimensional?  Exact-2NN feeder at bench size; the MLE
+    reduces any k=2 neighbor table at scale."""
+    from knot_another_pipeline_spark.operators.similarity import (
+        twonn_dimension,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    return twonn_dimension(emb, group_cols=["label"])
+
+
+ORACLE_TWONN_DIM = """
+WITH e AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+pairs AS (
+  SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+         greatest(0e0,
+                  list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+                  - 2e0 * list_dot_product(a.v, b.v)) AS d2
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id),
+ranked AS (
+  SELECT label, qid, d2,
+         row_number() OVER (PARTITION BY label, qid
+                            ORDER BY d2 ASC, nid ASC) AS rk
+  FROM pairs),
+top2 AS (
+  SELECT label, qid,
+         min(CASE WHEN rk = 1 THEN d2 END) AS r1sq,
+         min(CASE WHEN rk = 2 THEN d2 END) AS r2sq
+  FROM ranked WHERE rk <= 2
+  GROUP BY label, qid
+  HAVING min(CASE WHEN rk = 1 THEN d2 END) IS NOT NULL
+     AND min(CASE WHEN rk = 2 THEN d2 END) IS NOT NULL),
+mu AS (
+  SELECT label,
+         CASE WHEN r1sq > 0 THEN ln(r2sq / r1sq) / 2e0 END AS lnmu
+  FROM top2),
+agg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(count(lnmu) AS BIGINT) AS n_used,
+         sum(lnmu) AS slm
+  FROM mu GROUP BY label)
+SELECT label, n_points, n_used,
+       round(CASE WHEN n_used > 0 AND slm > 0
+                  THEN CAST(n_used AS DOUBLE) / slm END, 6)
+         AS intrinsic_dim
+FROM agg
+ORDER BY label
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -14157,6 +14293,8 @@ QUERIES = {
     "hurst_exponent": q_hurst_exponent,
     "delong_auc": q_delong_auc,
     "fleiss_kappa": q_fleiss_kappa,
+    "energy_drift": q_energy_drift,
+    "twonn_dim": q_twonn_dim,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -14486,6 +14624,8 @@ ORACLES = {
     "hurst_exponent": ORACLE_HURST_EXPONENT,
     "delong_auc": ORACLE_DELONG_AUC,
     "fleiss_kappa": ORACLE_FLEISS_KAPPA,
+    "energy_drift": ORACLE_ENERGY_DRIFT,
+    "twonn_dim": ORACLE_TWONN_DIM,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

@@ -1608,3 +1608,106 @@ def silhouette_score(
         )
         .orderBy("label")
     )
+
+
+def twonn_dimension(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): from
+    each point's two nearest Euclidean neighbors, μ_i = r₂/r₁ follows
+    a Pareto law with exponent d, so the MLE is ``d = n / Σ ln μ_i``.
+    The number that says whether a 768-wide embedding column really
+    spans 768 directions or lives on a ~20-dimensional manifold —
+    which calibrates :func:`random_projection` / PCA target dims and
+    explains when :func:`lsh_bucket_topk` recall will be easy.
+
+    Exact-2NN feeder: the broadcast self-join + per-point top-2 window
+    — the same bench-size-deliberate pattern as
+    :func:`knn_label_noise`'s feeder (distances via the norm identity
+    ``d² = ‖a‖² + ‖b‖² − 2a·b``, no length-d intermediate per pair).
+    At corpus scale, compute the neighbor table with
+    :func:`lsh_bucket_topk` / :func:`ivf_topk` (k=2) instead and
+    reduce the same μ formula; the estimator only needs each point's
+    two nearest, not the join this feeder uses to find them.
+
+    Exact duplicates (r₁ = 0) carry no slope information and are
+    excluded from the MLE (the reference implementation's rule);
+    r₂ = r₁ ties contribute ln μ = 0.  Output per group (single row
+    ungrouped): n_points, n_used, intrinsic_dim (NULL when no usable
+    point or Σ ln μ = 0).
+    """
+    gcols = list(group_cols or [])
+    pts = df.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        *[F.col(c) for c in gcols],
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_nn"),
+    )
+    left = pts.select(
+        *[F.col(c).alias(f"_q_{c}") for c in gcols],
+        F.col("_id").alias("_qid"),
+        F.col("_v").alias("_qv"),
+        F.col("_nn").alias("_qn"),
+    )
+    cond = F.lit(True)
+    for c in gcols:
+        cond = cond & (F.col(f"_q_{c}") == F.col(c))
+    pairs = F.broadcast(left).join(pts, cond).filter(
+        F.col("_qid") != F.col("_id")
+    )
+    d2 = F.greatest(
+        F.lit(0.0),
+        F.col("_qn") + F.col("_nn") - 2.0 * dot(F.col("_qv"), F.col("_v")),
+    )
+    scored = pairs.select(
+        *[F.col(f"_q_{c}").alias(c) for c in gcols],
+        "_qid",
+        d2.alias("_d2"),
+        F.col("_id").alias("_nid"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols], F.col("_qid")).orderBy(
+        F.col("_d2").asc(), F.col("_nid").asc()
+    )
+    top2 = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 2)
+        .groupBy(*gcols, "_qid")
+        .agg(
+            F.min(F.when(F.col("_rk") == 1, F.col("_d2"))).alias("_r1sq"),
+            F.min(F.when(F.col("_rk") == 2, F.col("_d2"))).alias("_r2sq"),
+        )
+        .filter(F.col("_r1sq").isNotNull() & F.col("_r2sq").isNotNull())
+    )
+    # ln μ = ln(r2/r1) = (ln(r2²/r1²))/2 — stays in squared distances
+    mu = top2.select(
+        *gcols,
+        F.when(
+            F.col("_r1sq") > 0,
+            F.log(F.col("_r2sq") / F.col("_r1sq")) / 2.0,
+        ).alias("_lnmu"),
+    )
+    agg = mu.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.count("_lnmu").cast("bigint").alias("n_used"),
+        F.sum("_lnmu").alias("_slm"),
+    )
+    out = agg.select(
+        *gcols,
+        "n_points",
+        "n_used",
+        F.round(
+            F.when(
+                (F.col("n_used") > 0) & (F.col("_slm") > 0),
+                F.col("n_used").cast("double") / F.col("_slm"),
+            ),
+            round_to,
+        ).alias("intrinsic_dim"),
+    )
+    return out.orderBy(*gcols) if gcols else out
