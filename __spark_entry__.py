@@ -38,7 +38,7 @@ from knot_another_pipeline_spark.catalog_queries import ORACLES, QUERIES
 # qte_readout, lsh_tuning, srm_check, holm_adjust, forecast_revenue,
 # returned_revenue, priority_linestatus, promo_revenue, assortativity,
 # reciprocity, ljung_box, hurst_exponent, delong_auc, fleiss_kappa,
-# energy_drift, twonn_dim) are parked
+# energy_drift, twonn_dim, smd_balance) are parked
 # AFTER the 50-key
 # window — covered by the in-repo DuckDB differential now, first in
 # line for round-10's _NEW_KEYS slot.

@@ -280,6 +280,7 @@ HEADLINE = [
     "fleiss_kappa",
     "energy_drift",
     "twonn_dim",
+    "smd_balance",
 ]
 
 

@@ -13775,20 +13775,21 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # packed numeric node ids (orders as-is, parts offset into a
+    # disjoint range): every one of the three |E| shuffles carries the
+    # key, and bigints shuffle ~3x lighter than "o:123" strings — the
+    # probed-at-16x choice
     edges = li.select(
-        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
-            "src"
-        ),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
-            "dst"
-        ),
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10**12)).alias("dst"),
     ).distinct()
     return degree_assortativity(edges, directed=False)
 
 
 ORACLE_ASSORTATIVITY = """
 WITH e0 AS (
-  SELECT DISTINCT 'o:' || l_orderkey AS s, 'p:' || l_partkey AS d
+  SELECT DISTINCT l_orderkey AS s,
+         l_partkey + 1000000000000 AS d
   FROM lineitem),
 e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
 deg AS (SELECT s AS v, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY s),
@@ -14252,6 +14253,88 @@ ORDER BY label
 """
 
 
+def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted covariate balance (standardized mean differences)
+    between weekend and weekday event populations
+    (operators/evaluation.py smd_balance): value and hour-of-day as
+    covariates, a deterministic user-keyed Hájek weight."""
+    from knot_another_pipeline_spark.operators.evaluation import smd_balance
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    tagged = ev.select(
+        F.when(
+            (
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date"),
+                )
+                % 7
+            ).isin(5, 6),
+            F.lit("weekend"),
+        )
+        .otherwise(F.lit("weekday"))
+        .alias("arm"),
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+        (1.0 + (F.col("user_id") % 3) * 0.5).alias("w"),
+    )
+    return smd_balance(
+        tagged,
+        arm_col="arm",
+        treatment="weekend",
+        control="weekday",
+        covariate_cols=["value", "hour_of_day"],
+        weight_col="w",
+    )
+
+
+ORACLE_SMD_BALANCE = """
+WITH ev AS (
+  SELECT CASE WHEN (datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    % 7) IN (5, 6)
+              THEN 'weekend' ELSE 'weekday' END AS arm,
+         CAST(value AS DOUBLE) AS value,
+         CAST(hour(ts) AS DOUBLE) AS hour_of_day,
+         1.0e0 + (user_id % 3) * 0.5e0 AS w
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+long AS (
+  SELECT arm, w, 'value' AS covariate, value AS x FROM ev
+  UNION ALL
+  SELECT arm, w, 'hour_of_day' AS covariate, hour_of_day AS x FROM ev),
+m AS (
+  SELECT covariate,
+         CAST(sum(CASE WHEN arm = 'weekend' AND x IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+         CAST(sum(CASE WHEN arm = 'weekday' AND x IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         sum(CASE WHEN arm = 'weekend' AND x IS NOT NULL THEN w END) AS wt,
+         sum(CASE WHEN arm = 'weekend' THEN w * x END) AS wxt,
+         sum(CASE WHEN arm = 'weekend' THEN w * x * x END) AS wxxt,
+         sum(CASE WHEN arm = 'weekday' AND x IS NOT NULL THEN w END) AS wc,
+         sum(CASE WHEN arm = 'weekday' THEN w * x END) AS wxc,
+         sum(CASE WHEN arm = 'weekday' THEN w * x * x END) AS wxxc
+  FROM long GROUP BY covariate),
+s AS (
+  SELECT covariate, n_treat, n_control,
+         wxt / wt AS mt, wxc / wc AS mc,
+         wxxt / wt - (wxt / wt) * (wxt / wt) AS vt,
+         wxxc / wc - (wxc / wc) * (wxc / wc) AS vc
+  FROM m)
+SELECT covariate, n_treat, n_control,
+       round(mt, 6) AS mean_treat,
+       round(mc, 6) AS mean_control,
+       round(CASE WHEN sqrt((vt + vc) / 2e0) > 0
+                  THEN (mt - mc) / sqrt((vt + vc) / 2e0) END, 6) AS smd,
+       abs(CASE WHEN sqrt((vt + vc) / 2e0) > 0
+                THEN (mt - mc) / sqrt((vt + vc) / 2e0) END) <= 0.1e0
+         AS balanced
+FROM s
+ORDER BY covariate
+"""
+
+
 QUERIES = {
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
@@ -14295,6 +14378,7 @@ QUERIES = {
     "fleiss_kappa": q_fleiss_kappa,
     "energy_drift": q_energy_drift,
     "twonn_dim": q_twonn_dim,
+    "smd_balance": q_smd_balance,
     "deterministic_walks": q_deterministic_walks,
     "reach_census": q_reach_census,
     "substring_dedup": q_substring_dedup,
@@ -14626,6 +14710,7 @@ ORACLES = {
     "fleiss_kappa": ORACLE_FLEISS_KAPPA,
     "energy_drift": ORACLE_ENERGY_DRIFT,
     "twonn_dim": ORACLE_TWONN_DIM,
+    "smd_balance": ORACLE_SMD_BALANCE,
     "deterministic_walks": ORACLE_DETERMINISTIC_WALKS,
     "reach_census": ORACLE_REACH_CENSUS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,

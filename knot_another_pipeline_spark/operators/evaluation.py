@@ -56,6 +56,7 @@ __all__ = [
     "qte_readout",
     "ranking_metrics",
     "regression_report",
+    "smd_balance",
     "uplift_table",
 ]
 
@@ -2175,14 +2176,23 @@ def delong_auc(
     within-negative midrank)/n₊``; then ``Var(AUC) = S₁₀/n₊ +
     S₀₁/n₋`` with the usual n−1 sample variances.  No pairwise
     positive×negative join ever materializes — the classic O(n₊·n₋)
-    definition collapses to two rank windows.
+    definition collapses to rank arithmetic.
 
-    Scale shape: the pooled midrank window partitions by the group
-    key, the within-class midrank window by (group, label) — two
-    exchanges of narrow rows — and everything else is one hash
-    aggregate of per-row placements (sum + sum-of-squares per class,
-    so the variances reduce map-side).  ``z_crit`` is the normal
-    critical value passed as a literal, the :func:`mde_power`
+    Scale shape — the :func:`~.quality.mann_whitney` shared-group-
+    shuffle midrank construction, not per-row rank windows: rows
+    compress to (group, score) tie-cells first (ONE hash aggregate),
+    and within a tie-cell the placement difference d = pooled midrank
+    − within-class midrank is CONSTANT per class, so every per-row
+    sum collapses to cell-level arithmetic:
+
+        d₁(cell) = (C₋ + (n+1)/2) − (P₋ + (n₊+1)/2)
+
+    with C₋/P₋ the cumulative total/positive counts before the cell
+    — one cumulative window over the COMPRESSED cells per group, then
+    one final aggregate.  A full-row formulation needs four window
+    functions over every row; probed at 16× rows it went superlinear
+    (sort spill), which is why this shape exists.  ``z_crit`` is the
+    normal critical value passed as a literal, the :func:`mde_power`
     convention (default = two-sided 95%).
 
     Output per group: n_pos, n_neg, auc, se (NULL unless both classes
@@ -2194,41 +2204,37 @@ def delong_auc(
         F.col(score_col).cast("double").alias("_s"),
         F.col(label_col).cast("int").alias("_y"),
     ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
-    gp = [F.col(c) for c in group_cols]
-    pooled = F.rank().over(Window.partitionBy(*gp).orderBy("_s")) + (
-        F.count(F.lit(1)).over(Window.partitionBy(*gp, F.col("_s"))) - 1
-    ) / 2.0
-    within = F.rank().over(
-        Window.partitionBy(*gp, F.col("_y")).orderBy("_s")
-    ) + (
-        F.count(F.lit(1)).over(
-            Window.partitionBy(*gp, F.col("_y"), F.col("_s"))
-        )
-        - 1
-    ) / 2.0
-    ranked = s.withColumn("_pr", pooled).withColumn("_wr", within)
-    agg = ranked.groupBy(*group_cols).agg(
-        F.sum("_y").cast("bigint").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n_neg"),
-        # placement numerators: d = pooled − within (per class)
-        F.sum(F.when(F.col("_y") == 1, F.col("_pr") - F.col("_wr"))).alias(
-            "_d1"
-        ),
-        F.sum(
-            F.when(
-                F.col("_y") == 1,
-                (F.col("_pr") - F.col("_wr")) * (F.col("_pr") - F.col("_wr")),
-            )
-        ).alias("_d1sq"),
-        F.sum(F.when(F.col("_y") == 0, F.col("_pr") - F.col("_wr"))).alias(
-            "_d0"
-        ),
-        F.sum(
-            F.when(
-                F.col("_y") == 0,
-                (F.col("_pr") - F.col("_wr")) * (F.col("_pr") - F.col("_wr")),
-            )
-        ).alias("_d0sq"),
+    cells = s.groupBy(*group_cols, "_s").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_y").cast("double").alias("_np"),
+    )
+    wcum = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = cells.select(
+        *group_cols,
+        "_n",
+        "_np",
+        F.coalesce(F.sum("_n").over(wcum), F.lit(0.0)).alias("_cb"),
+        F.coalesce(F.sum("_np").over(wcum), F.lit(0.0)).alias("_pb"),
+    )
+    nn_cell = F.col("_n") - F.col("_np")  # negatives in the cell
+    neg_before = F.col("_cb") - F.col("_pb")
+    d1 = (F.col("_cb") + (F.col("_n") + 1) / 2.0) - (
+        F.col("_pb") + (F.col("_np") + 1) / 2.0
+    )
+    d0 = (F.col("_cb") + (F.col("_n") + 1) / 2.0) - (
+        neg_before + (nn_cell + 1) / 2.0
+    )
+    agg = scored.groupBy(*group_cols).agg(
+        F.sum("_np").cast("bigint").alias("n_pos"),
+        F.sum(nn_cell).cast("bigint").alias("n_neg"),
+        F.sum(F.col("_np") * d1).alias("_d1"),
+        F.sum(F.col("_np") * d1 * d1).alias("_d1sq"),
+        F.sum(nn_cell * d0).alias("_d0"),
+        F.sum(nn_cell * d0 * d0).alias("_d0sq"),
     )
     np_, nn_ = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
     # V10 mean = mean(d1)/n_neg = AUC; sample variances from moments
@@ -2262,3 +2268,93 @@ def delong_auc(
             F.least(F.lit(1.0), auc_ok + F.lit(z_crit) * se), round_to
         ).alias("ci_hi"),
     )
+
+
+def smd_balance(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    treatment: str,
+    control: str,
+    covariate_cols: list[str],
+    weight_col: str | None = None,
+    threshold: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Covariate balance audit by standardized mean difference — THE
+    pre-readout gate for observational comparisons and the check that
+    an IPW/DSIR weighting actually worked: ``SMD = (x̄_t − x̄_c) /
+    √((s²_t + s²_c)/2)`` per covariate, conventionally flagged above
+    0.1.  Run unweighted to diagnose raw imbalance; pass ``weight_col``
+    (e.g. :func:`~.features.dsir_weights` output or inverse-propensity
+    weights) to verify the weighted population is balanced before
+    :func:`cuped_readout` / :func:`did_readout` numbers are trusted.
+
+    Weighted moments use the Hájek (normalized-weight) estimator —
+    means and variances from Σw, Σwx, Σwx² per arm — so a handful of
+    huge weights cannot silently dominate a "balanced" verdict without
+    also inflating the variance term.
+
+    Scale shape: ONE hash aggregate over the whole input computes all
+    six moment sums for every covariate at once (2 arms × 3 moments ×
+    k covariates columns, map-side combined); the per-covariate rows
+    are then unpivoted from that single row driver-side — no second
+    data pass, no per-covariate jobs.  Rows in neither arm are
+    dropped; NULL covariate values are excluded per covariate (their
+    weight drops from that covariate's sums only).
+
+    Output per covariate: covariate, n_treat, n_control, mean_treat,
+    mean_control, smd (NULL when both variances are zero), balanced
+    (NULL propagates).
+    """
+    if not covariate_cols:
+        raise ValueError("covariate_cols must be non-empty")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    is_t = F.col(arm_col) == treatment
+    is_c = F.col(arm_col) == control
+    base = df.filter(is_t | is_c)
+    aggs = []
+    for c in covariate_cols:
+        x = F.col(c).cast("double")
+        for tag, pred in (("t", is_t), ("c", is_c)):
+            ok = pred & x.isNotNull()
+            aggs += [
+                F.sum(F.when(ok, w)).alias(f"_w_{tag}_{c}"),
+                F.sum(F.when(ok, w * x)).alias(f"_wx_{tag}_{c}"),
+                F.sum(F.when(ok, w * x * x)).alias(f"_wxx_{tag}_{c}"),
+                F.sum(F.when(ok, F.lit(1)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"_n_{tag}_{c}"),
+            ]
+    moments = base.agg(*aggs)
+    outs = []
+    for c in covariate_cols:
+        wt, wc = F.col(f"_w_t_{c}"), F.col(f"_w_c_{c}")
+        mt = F.col(f"_wx_t_{c}") / wt
+        mc = F.col(f"_wx_c_{c}") / wc
+        vt = F.col(f"_wxx_t_{c}") / wt - mt * mt
+        vc = F.col(f"_wxx_c_{c}") / wc - mc * mc
+        pooled = F.sqrt((vt + vc) / 2.0)
+        smd = F.when(
+            wt.isNotNull() & wc.isNotNull() & (pooled > 0),
+            (mt - mc) / pooled,
+        )
+        outs.append(
+            moments.select(
+                F.lit(c).alias("covariate"),
+                F.coalesce(F.col(f"_n_t_{c}"), F.lit(0)).alias("n_treat"),
+                F.coalesce(F.col(f"_n_c_{c}"), F.lit(0)).alias("n_control"),
+                F.round(mt, round_to).alias("mean_treat"),
+                F.round(mc, round_to).alias("mean_control"),
+                F.round(smd, round_to).alias("smd"),
+                (F.abs(smd) <= F.lit(float(threshold))).alias("balanced"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("covariate")

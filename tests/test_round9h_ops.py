@@ -165,3 +165,105 @@ def test_twonn_all_duplicates_is_null(spark):
     # every r1 = 0 -> nothing usable
     assert out["n_used"] == 0 and out["intrinsic_dim"] is None
     assert out["n_points"] == 5
+
+
+# ---------------------------------------------------------------------------
+# smd_balance
+
+
+def test_smd_balance_matches_weighted_bruteforce(spark):
+    rng = random.Random(19)
+    rows = []
+    for _ in range(400):
+        arm = "t" if rng.random() < 0.45 else "c"
+        x1 = rng.gauss(1.0 if arm == "t" else 0.0, 1.0)
+        x2 = None if rng.random() < 0.05 else rng.random()
+        rows.append((arm, x1, x2, rng.uniform(0.5, 2.0)))
+    from knot_another_pipeline_spark.operators.evaluation import smd_balance
+
+    got = {
+        r["covariate"]: r
+        for r in smd_balance(
+            spark.createDataFrame(
+                rows, "arm string, x1 double, x2 double, w double"
+            ),
+            arm_col="arm",
+            treatment="t",
+            control="c",
+            covariate_cols=["x1", "x2"],
+            weight_col="w",
+        ).collect()
+    }
+
+    def brute(col_ix):
+        def mom(arm):
+            sw = swx = swxx = 0.0
+            n = 0
+            for a, x1, x2, wgt in rows:
+                x = x1 if col_ix == 1 else x2
+                if a == arm and x is not None:
+                    sw += wgt
+                    swx += wgt * x
+                    swxx += wgt * x * x
+                    n += 1
+            m = swx / sw
+            return m, swxx / sw - m * m, n
+
+        mt, vt, nt = mom("t")
+        mc, vc, nc = mom("c")
+        return mt, mc, (mt - mc) / math.sqrt((vt + vc) / 2), nt, nc
+
+    for name, ix in (("x1", 1), ("x2", 2)):
+        mt, mc, smd, nt, nc = brute(ix)
+        r = got[name]
+        assert r["smd"] == pytest.approx(smd, abs=1e-6)
+        assert r["mean_treat"] == pytest.approx(mt, abs=1e-6)
+        assert r["mean_control"] == pytest.approx(mc, abs=1e-6)
+        assert (r["n_treat"], r["n_control"]) == (nt, nc)
+    # the shifted covariate is flagged, direction preserved
+    assert got["x1"]["balanced"] is False and got["x1"]["smd"] > 0
+
+
+def test_smd_balance_identical_arms_are_balanced(spark):
+    rows = [("t", float(i % 5)) for i in range(50)] + [
+        ("c", float(i % 5)) for i in range(50)
+    ]
+    from knot_another_pipeline_spark.operators.evaluation import smd_balance
+
+    out = smd_balance(
+        spark.createDataFrame(rows, "arm string, x double"),
+        arm_col="arm",
+        treatment="t",
+        control="c",
+        covariate_cols=["x"],
+    ).collect()[0]
+    assert out["smd"] == pytest.approx(0.0, abs=1e-9)
+    assert out["balanced"] is True
+
+
+def test_smd_balance_constant_covariate_is_null(spark):
+    rows = [("t", 3.0), ("t", 3.0), ("c", 3.0), ("c", 3.0)]
+    from knot_another_pipeline_spark.operators.evaluation import smd_balance
+
+    out = smd_balance(
+        spark.createDataFrame(rows, "arm string, x double"),
+        arm_col="arm",
+        treatment="t",
+        control="c",
+        covariate_cols=["x"],
+    ).collect()[0]
+    # zero pooled variance -> undefined, not 0/0
+    assert out["smd"] is None and out["balanced"] is None
+
+
+def test_smd_balance_rejects_empty_covariates(spark):
+    from knot_another_pipeline_spark.operators.evaluation import smd_balance
+
+    with pytest.raises(ValueError, match="covariate_cols"):
+        smd_balance(
+            spark.createDataFrame([("t", 1.0)], "arm string, x double"),
+            arm_col="arm",
+            treatment="t",
+            control="c",
+            covariate_cols=[],
+        )

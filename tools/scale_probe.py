@@ -76,6 +76,24 @@ OPS = [
     # + group stats over k-fold rows, output fixed at 3 layout rows —
     # the probe measures the range-shuffle + prefix-sum rank path.
     "layout_pruning",
+    # ljung_box / hurst_exponent on the shifted events replica: the
+    # event_type series set is FIXED (copies share types), so each
+    # series grows k-fold in length while output stays one row per
+    # series — the honest stress of the per-series window contract
+    # (ljung_box funnels each series through one partition; hurst's
+    # block windows re-spread on (series, scale, block)).
+    "ljung_box",
+    "hurst_exponent",
+    # delong_auc on the shifted events replica: 7 fixed weekday groups,
+    # rows per group grow k-fold, output fixed — measures the two rank
+    # windows + placement aggregate.
+    "delong_auc",
+    # energy_drift on the shifted events replica: the pooled-sort
+    # window sees k-fold rows (the fixed 2024-01-16 split means the
+    # year-shifted copies all land on the "current" side, so n_base
+    # stays fixed while n_cur grows — the pass cost is what scales,
+    # and that is the thing probed).
+    "energy_drift",
 ]
 OPS_SALTED = [
     "minhash_pairs",
@@ -111,7 +129,15 @@ OPS_TPCH = ["shipping_priority", "product_profit"]
 # instead fuse the copies through shared part nodes — part degrees grow
 # k-fold and the true 2-hop reach grows k^2, measuring the data, not
 # the plan (same argument as the word-salted near-dup replicas).
-OPS_GRAPH = ["pagerank", "reach_census", "deterministic_walks"]
+OPS_GRAPH = [
+    "pagerank",
+    "reach_census",
+    "deterministic_walks",
+    # assortativity on the disjoint-copies graph: per-copy degree
+    # distributions are preserved exactly, edges scale by k, output is
+    # one row — measures the two degree aggregates + edge join.
+    "assortativity",
+]
 OPS_ALL = OPS + OPS_SALTED + OPS_TPCH + OPS_GRAPH
 
 
