@@ -12406,11 +12406,16 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capture_recapture(docs, id_col="doc_id", pct_a=20, pct_b=20)
 
 
-def _hash64_pct_sql(expr: str, seed: int, pct: int) -> str:
+def _hash64_sql(expr: str, seed: int) -> str:
+    """DuckDB replay of functions/hashing.py hash64 (md5 → 60-bit int)."""
     return (
         f"CAST(concat('0x', substr(md5('{seed}:' || CAST({expr} AS VARCHAR))"
-        f", 1, 15)) AS BIGINT) % 100 < {pct}"
+        f", 1, 15)) AS BIGINT)"
     )
+
+
+def _hash64_pct_sql(expr: str, seed: int, pct: int) -> str:
+    return f"{_hash64_sql(expr, seed)} % 100 < {pct}"
 
 
 ORACLE_CAPTURE_RECAPTURE = f"""
@@ -13471,7 +13476,10 @@ ORDER BY q
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding selection from the corpus's own similarity
     distribution (operators/dedup.py lsh_tuning): exact Jaccard on a
-    30% hash-sample (stop-shingle cap 100), S-curve expectations per
+    30% hash-sample capped at 120 docs absolute (VERDICT r9 task #2 —
+    the cap binds at sf0.01's ~150-doc sample, so the differential
+    exercises it; at corpus scale it bounds the quadratic leg by
+    construction), stop-shingle cap 100, S-curve expectations per
     (bands, rows) candidate from one broadcast-grid aggregate — the
     full corpus is never paired."""
     from knot_another_pipeline_spark.operators.dedup import lsh_tuning
@@ -13483,18 +13491,24 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         threshold=0.5,
         sample_pct=30,
+        max_sample_docs=120,
         shingle_n=3,
         max_doc_freq=100,
     )
 
 
 ORACLE_LSH_TUNING = rf"""
-WITH toks AS (
+WITH sampled AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE {_hash64_pct_sql('doc_id', 1, 30)}
+  ORDER BY {_hash64_sql('doc_id', 1)}, doc_id
+  LIMIT 120),
+toks AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(trim(lower(text)), '\s+'),
                      x -> x != '') AS t
-  FROM documents
-  WHERE {_hash64_pct_sql('doc_id', 1, 30)}),
+  FROM sampled),
 sh0 AS ({_SHINGLES_SQL}),
 keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
 sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
@@ -14243,13 +14257,16 @@ agg AS (
   SELECT label, CAST(count(*) AS BIGINT) AS n_points,
          CAST(count(lnmu) AS BIGINT) AS n_used,
          sum(lnmu) AS slm
-  FROM mu GROUP BY label)
-SELECT label, n_points, n_used,
-       round(CASE WHEN n_used > 0 AND slm > 0
-                  THEN CAST(n_used AS DOUBLE) / slm END, 6)
+  FROM mu GROUP BY label),
+groups AS (SELECT DISTINCT label FROM e)
+SELECT g.label,
+       CAST(COALESCE(a.n_points, 0) AS BIGINT) AS n_points,
+       CAST(COALESCE(a.n_used, 0) AS BIGINT) AS n_used,
+       round(CASE WHEN a.n_used > 0 AND a.slm > 0
+                  THEN CAST(a.n_used AS DOUBLE) / a.slm END, 6)
          AS intrinsic_dim
-FROM agg
-ORDER BY label
+FROM groups g LEFT JOIN agg a ON g.label = a.label
+ORDER BY g.label
 """
 
 

@@ -2301,7 +2301,11 @@ def smd_balance(
     are then unpivoted from that single row driver-side — no second
     data pass, no per-covariate jobs.  Rows in neither arm are
     dropped; NULL covariate values are excluded per covariate (their
-    weight drops from that covariate's sums only).
+    weight drops from that covariate's sums only).  Rows whose weight
+    is NULL are excluded from BOTH the moment sums and the per-arm
+    counts, so n_treat/n_control always equal the rows that actually
+    contribute to the reported means/SMD (ADVICE r9 item #1 — counting
+    them while the moments dropped them overstated arm sizes).
 
     Output per covariate: covariate, n_treat, n_control, mean_treat,
     mean_control, smd (NULL when both variances are zero), balanced
@@ -2321,7 +2325,7 @@ def smd_balance(
     for c in covariate_cols:
         x = F.col(c).cast("double")
         for tag, pred in (("t", is_t), ("c", is_c)):
-            ok = pred & x.isNotNull()
+            ok = pred & x.isNotNull() & w.isNotNull()
             aggs += [
                 F.sum(F.when(ok, w)).alias(f"_w_{tag}_{c}"),
                 F.sum(F.when(ok, w * x)).alias(f"_wx_{tag}_{c}"),

@@ -1638,8 +1638,13 @@ def twonn_dimension(
     Exact duplicates (r₁ = 0) carry no slope information and are
     excluded from the MLE (the reference implementation's rule);
     r₂ = r₁ ties contribute ln μ = 0.  Output per group (single row
-    ungrouped): n_points, n_used, intrinsic_dim (NULL when no usable
-    point or Σ ln μ = 0).
+    ungrouped): n_points (points that had two same-group neighbors),
+    n_used, intrinsic_dim (NULL when no usable point or Σ ln μ = 0).
+    Degenerate groups — too small for any point to have two neighbors
+    (1 point, or 2 sharing an id) — still emit a row with n_points = 0
+    and NULL intrinsic_dim, via a left join from the distinct group
+    keys (ADVICE r9 item #2: the top-2 filter used to drop them from
+    the output entirely, contradicting this docstring).
     """
     gcols = list(group_cols or [])
     pts = df.filter(
@@ -1698,6 +1703,25 @@ def twonn_dimension(
         F.count("_lnmu").cast("bigint").alias("n_used"),
         F.sum("_lnmu").alias("_slm"),
     )
+    if gcols:
+        # Groups where NO point has two neighbors vanish before the
+        # groupBy; re-attach them from the distinct group keys so each
+        # emits (0, 0, NULL) instead of no row at all.
+        agg = (
+            pts.select(*gcols)
+            .distinct()
+            .join(agg, on=gcols, how="left")
+            .select(
+                *gcols,
+                F.coalesce("n_points", F.lit(0))
+                .cast("bigint")
+                .alias("n_points"),
+                F.coalesce("n_used", F.lit(0))
+                .cast("bigint")
+                .alias("n_used"),
+                "_slm",
+            )
+        )
     out = agg.select(
         *gcols,
         "n_points",

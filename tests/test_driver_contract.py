@@ -10,16 +10,16 @@ here so they cannot recur:
 
 2. The driver's correctness window has emitted exactly the first 50
    ``queries()`` keys every round, so rotation order IS the coverage
-   lever.  After round 8 every catalog key has a driver row, so the
-   window is a rolling regression gate (VERDICT r8 task #1):
-   ``test_round9_window_is_rolling_gate`` asserts this round's
-   never-gated additions lead (<=15) and the rest of the window is the
-   stalest-gated keys in the exact order ``tools/queue_order.py``
-   computes from the git-TRACKED artifacts.  Reading tracked artifacts
-   only (not the working-tree glob) is itself the round-8 fix: the
-   driver deposits CORRECTNESS_r{N}.json UNTRACKED after the final
-   commit, and counting it made these tests red-by-construction at
-   every round boundary.
+   lever.  The driver skipped its round-9 CORRECTNESS deposit, leaving
+   all 55 round-9 keys never-gated, so round 10 runs in backlog-drain
+   mode: ``test_round10_window_drains_backlog`` asserts the window is
+   the first 50 never-gated keys in catalog order (then new additions,
+   then the staleness rotation), all in the exact order
+   ``tools/queue_order.py`` computes from the git-TRACKED artifacts.
+   Reading tracked artifacts only (not the working-tree glob) is
+   itself the round-8 fix: the driver deposits CORRECTNESS_r{N}.json
+   UNTRACKED after the final commit, and counting it made these tests
+   red-by-construction at every round boundary.
 """
 
 from __future__ import annotations
@@ -69,43 +69,62 @@ def _gated_keys() -> set[str]:
     return set(queue_order.latest_round())
 
 
-def test_round9_window_is_rolling_gate():
-    """The 50-key driver window = this round's never-gated additions
-    (<=15, leading) + the stalest-gated keys in queue_order.py order."""
+def test_round10_window_drains_backlog():
+    """Round-10 policy (backlog-drain): the driver skipped its round-9
+    CORRECTNESS deposit, so all 55 round-9 keys are still never-gated.
+    While the never-gated backlog exceeds the 50-key window, the
+    window IS the first 50 backlog keys in catalog order; this round's
+    new additions park behind the backlog (they are newer debt), then
+    the staleness rotation.  The steady-state rule (<=15 new leads +
+    >=35 stale re-gates, round-9 policy) resumes once the backlog fits
+    the 15-key cap — the backlog-drain branch below then dissolves
+    into it because backlog + new additions fill <50 slots."""
     from tools import queue_order
 
     mod = _entry_module()
     ordered = mod._ordered_keys()
     assert len(ordered) == len(set(ordered)), "duplicate keys in queue"
     assert set(ordered) == set(QUERIES), "queue does not cover the catalog"
-    new = mod._NEW_KEYS
-    assert len(new) <= 15, "round-9 additions exceed the per-round cap"
     gated = _gated_keys()
-    assert not (set(new) & gated), "a 'new' key already has a driver row"
-    expected = (new + queue_order.stale_rotation())[:50]
-    assert ordered[:50] == expected, (
-        "window is not new-additions + stalest-gated; regenerate "
-        "__spark_entry__._STALE_ROTATION with tools/queue_order.py"
+    backlog = queue_order.backlog()
+    assert mod._BACKLOG == backlog, (
+        "committed _BACKLOG drifted from tools/queue_order.backlog(); "
+        "regenerate it"
     )
-    n_regated = 50 - len(new)
-    assert n_regated >= 35, "window must re-gate >=35 stale keys"
+    assert not (set(mod._NEW_KEYS) & gated), (
+        "a 'new' key already has a driver row"
+    )
+    assert not (set(mod._NEW_KEYS) & set(backlog)), (
+        "_NEW_KEYS duplicates a backlog key"
+    )
+    expected = (backlog + mod._NEW_KEYS + queue_order.stale_rotation())[:50]
+    assert ordered[:50] == expected, (
+        "window is not backlog + new-additions + stalest-gated; "
+        "regenerate the pinned lists with tools/queue_order.py"
+    )
+    if len(backlog) < 50:
+        # partially drained: whatever window slots the backlog and the
+        # new additions don't fill must re-gate the stalest keys
+        n_regate = 50 - min(50, len(backlog) + len(mod._NEW_KEYS))
+        rot = queue_order.stale_rotation()
+        assert ordered[50 - n_regate : 50] == rot[:n_regate]
 
 
 def test_queue_drains_never_gated_first():
-    """Steady-state rule (backlog closed in round 8): a never-gated key
-    is either one of this round's window leads (``_NEW_KEYS``, first in
-    the queue) or an over-cap addition parked BEHIND the 50-key driver
-    window — it waits for the next round's ``_NEW_KEYS`` slot instead
-    of displacing a pinned re-gate.  What must never happen is a
-    never-gated key sitting inside the window but behind gated keys:
-    there it would burn a driver slot without being first in line."""
+    """Invariant across both policies: a never-gated key is either in
+    the queue's lead block (``_BACKLOG + _NEW_KEYS``, before every
+    gated key) or parked BEHIND the 50-key driver window waiting for a
+    future lead slot.  What must never happen is a never-gated key
+    sitting inside the window but behind gated keys: there it would
+    burn a driver slot without being first in line."""
     mod = _entry_module()
     ordered = mod._ordered_keys()
     gated = _gated_keys() & set(ordered)
     never = [k for k in ordered if k not in gated]
     if not never:
         return
-    leads = set(mod._NEW_KEYS)
+    n_leads = len(mod._BACKLOG) + len(mod._NEW_KEYS)
+    leads = set(mod._BACKLOG) | set(mod._NEW_KEYS)
     stragglers = [
         k
         for k in never
@@ -117,7 +136,7 @@ def test_queue_drains_never_gated_first():
     )
     in_window = [k for k in never if ordered.index(k) < 50]
     for k in in_window:
-        assert ordered.index(k) < len(mod._NEW_KEYS), (
+        assert ordered.index(k) < n_leads, (
             f"window lead {k} queued behind a gated key"
         )
 

@@ -56,6 +56,28 @@ def stale_rotation() -> list[str]:
     return sorted(latest, key=lambda k: (latest[k], k))
 
 
+def backlog() -> list[str]:
+    """Never-driver-gated catalog keys, in catalog-dict order.
+
+    Normally small (<= the 15-per-round cap), but the driver skipped
+    its round-9 CORRECTNESS deposit, leaving all 55 round-9 keys
+    ungated — so round 10 fills the whole 50-key window from this
+    list (backlog-drain mode) instead of re-gating stale keys.
+    """
+    import sys
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from knot_another_pipeline_spark.catalog_queries import QUERIES
+
+    gated = set(latest_round())
+    return [k for k in QUERIES if k not in gated]
+
+
 if __name__ == "__main__":
+    print("# backlog (never gated, catalog order):")
+    for key in backlog():
+        print(key)
+    print("# stale rotation (gated, stalest first):")
     for key in stale_rotation():
         print(key)
