@@ -1002,3 +1002,217 @@ def window_funnel(
         .cast("int")
         .alias("funnel_level"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    *,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator per group — the
+    additive sibling of :func:`survival_curve`'s product-limit KM:
+    ``H(t) = Σ_{t_i ≤ t} d_i / n_i`` with variance
+    ``Var(t) = Σ d_i / n_i²``.  Hazard is the natural scale for
+    COMPARING risk over time (a straight H(t) means constant hazard, a
+    bend means the rate changed) and is better behaved than KM in
+    small risk sets; ``exp(−H)`` is the Fleming–Harrington survival
+    estimate.
+
+    Same input contract and scale shape as :func:`survival_curve`
+    (one row per subject, 1 = event / 0 = censored): one hash
+    aggregate to (group, duration) step rows, then cumulative-sum
+    windows over the aggregated step table — the subject scan is the
+    only pass over row volume.
+
+    Output per (group, event time): group, duration, at_risk, events,
+    censored, cum_hazard, hazard_se (√Var), fh_survival (exp(−H)).
+    Rows are emitted at event times only (d > 0); censored-only times
+    still shrink the risk set.
+    """
+    agg = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(duration_col).cast("double").alias("t"),
+            F.col(event_col).cast("int").alias("ev"),
+        )
+        .filter(F.col("t").isNotNull() & F.col("ev").isNotNull())
+        .groupBy("grp", "t")
+        .agg(
+            F.sum("ev").alias("d"),
+            F.sum(F.lit(1) - F.col("ev")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy("grp")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    n_risk = F.sum(F.col("d") + F.col("c")).over(full) - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0)
+    )
+    stepped = agg.withColumn("n_risk", n_risk)
+    dn = F.col("d").cast("double") / F.col("n_risk")
+    haz = F.sum(dn).over(cum)
+    var = F.sum(dn / F.col("n_risk")).over(cum)
+    return (
+        stepped.withColumn("cum_hazard", haz)
+        .withColumn("hazard_se", F.sqrt(var))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("grp").alias("group"),
+            F.col("t").alias("duration"),
+            F.col("n_risk").cast("bigint").alias("at_risk"),
+            F.col("d").cast("bigint").alias("events"),
+            F.col("c").cast("bigint").alias("censored"),
+            F.round("cum_hazard", round_to).alias("cum_hazard"),
+            F.round("hazard_se", round_to).alias("hazard_se"),
+            F.round(F.exp(-F.col("cum_hazard")), round_to).alias(
+                "fh_survival"
+            ),
+        )
+    )
+
+
+def log_rank_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-group log-rank test — "are these two survival curves the
+    same curve?", the standard significance companion to
+    :func:`survival_curve`: at every distinct event time t, group g's
+    observed deaths d_gt are compared to the hypergeometric
+    expectation e_gt = d_t·n_gt/n_t, with variance
+
+        v_t = d_t·(n_1t/n_t)·(1 − n_1t/n_t)·(n_t − d_t)/(n_t − 1),
+
+    and χ² = (Σ(d_1t − e_1t))² / Σv_t on 1 df (p via the shared
+    Wilson–Hilferty approximation).  Exactly two groups must be
+    present — more raises, fewer yields NULL stats.
+
+    Scale shape: one hash aggregate to (group, duration) step rows
+    (the only pass over subjects), a pivot to per-time two-group rows
+    via a (duration) aggregate, cumulative risk sets from suffix
+    windows over the step table, then ONE 1-row reduction.  The
+    windowed frames only ever see the aggregated step table.
+
+    Output: one row per group — group, n_subjects, observed, expected,
+    plus the shared chi2, df, p_value (identical on both rows, the
+    2-row readout convention of ``mcnemar_readout``-family tests).
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+
+    s = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("ev"),
+    ).filter(
+        F.col("grp").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("ev").isNotNull()
+    )
+    n_groups = s.select("grp").distinct().count()
+    if n_groups > 2:
+        raise ValueError(
+            f"log_rank_test is two-group only, got {n_groups} groups"
+        )
+    steps = s.groupBy("grp", "t").agg(
+        F.sum("ev").cast("double").alias("_d"),
+        F.count(F.lit(1)).cast("double").alias("_x"),
+    )
+    # Densify to the full (time × group) grid BEFORE the risk-set
+    # window: a group with no subject ending exactly at t has no step
+    # row there, and without the grid its at-risk count would read 0
+    # at another group's event time.  The grid is 2×|distinct t| rows.
+    allt = steps.select("t").distinct()
+    grps = steps.select("grp").distinct()
+    grid = allt.crossJoin(F.broadcast(grps))  # <=2 rows broadcast side
+    dense = grid.join(steps, ["grp", "t"], "left").select(
+        "grp",
+        "t",
+        F.coalesce("_d", F.lit(0.0)).alias("_d"),
+        F.coalesce("_x", F.lit(0.0)).alias("_x"),
+    )
+    # per-group risk set at t: subjects with duration >= t
+    wg = Window.partitionBy("grp").orderBy("t")
+    suffix = wg.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    at_risk = dense.withColumn("_n", F.sum("_x").over(suffix))
+    # two-group pivot per time (grp order: lexicographic MIN is group 1)
+    g1_row = grps.agg(F.min("grp").alias("_g1"))
+    pivoted = (
+        at_risk.crossJoin(F.broadcast(g1_row))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("grp") == F.col("_g1"), F.col("_d"))
+                  .otherwise(0.0)).alias("_d1"),
+            F.sum(F.when(F.col("grp") == F.col("_g1"), F.col("_n"))
+                  .otherwise(0.0)).alias("_n1"),
+            F.sum("_d").alias("_dt"),
+            F.sum("_n").alias("_nt"),
+        )
+        .filter(F.col("_dt") > 0)
+    )
+    d1, n1 = F.col("_d1"), F.col("_n1")
+    dt, nt = F.col("_dt"), F.col("_nt")
+    e1 = dt * n1 / nt
+    v = F.when(
+        nt > 1,
+        dt * (n1 / nt) * (1.0 - n1 / nt) * (nt - dt) / (nt - 1.0),
+    ).otherwise(F.lit(0.0))
+    total = pivoted.agg(
+        F.sum(d1).alias("_o1"),
+        F.sum(e1).alias("_e1"),
+        F.sum(dt).alias("_ot"),
+        F.sum(v).alias("_v"),
+    )
+    chi2 = F.when(
+        F.col("_v") > 0,
+        (F.col("_o1") - F.col("_e1"))
+        * (F.col("_o1") - F.col("_e1"))
+        / F.col("_v"),
+    )
+    # chi2 on 1 df: p = 2·(1−Φ(√chi2)) — exact, no WH needed at df=1
+    p = normal_sf_two_sided(F.sqrt(chi2))
+    summary = total.select(
+        F.col("_o1").alias("_obs1"),
+        F.col("_e1").alias("_exp1"),
+        F.col("_ot").alias("_obst"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.lit(1).cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    )
+    per_group = s.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.min("grp").alias("_self"),
+    )
+    first = per_group.select(F.min("grp").alias("_g1"))
+    out = (
+        per_group.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(first))
+        .select(
+            F.col("grp").alias("group"),
+            "n_subjects",
+            F.round(
+                F.when(F.col("grp") == F.col("_g1"), F.col("_obs1"))
+                .otherwise(F.col("_obst") - F.col("_obs1")),
+                round_to,
+            ).alias("observed"),
+            F.round(
+                F.when(F.col("grp") == F.col("_g1"), F.col("_exp1"))
+                .otherwise(F.col("_obst") - F.col("_exp1")),
+                round_to,
+            ).alias("expected"),
+            "chi2",
+            "df",
+            "p_value",
+        )
+        .orderBy("group")
+    )
+    return out

@@ -2362,3 +2362,112 @@ def smd_balance(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("covariate")
+
+
+def permutation_test(
+    df: DataFrame,
+    *,
+    id_col: str,
+    arm_col: str,
+    value_col: str,
+    treatment: str,
+    control: str,
+    n_perm: int = 200,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hash-seeded permutation test for a difference in means — the
+    assumption-free significance readout when neither the normal
+    approximation (:func:`cuped_readout`-style z) nor rank tests fit:
+    the null distribution is built by RE-RANDOMIZING the arm labels
+    and recomputing the statistic, so it is exact for whatever metric
+    distribution the data actually has (Fisher 1935; the standard
+    heavy-tail fallback in experimentation platforms).
+
+    Determinism contract: permutation s reassigns row i to the
+    pseudo-arm ``hash64(id_i, seed=s) % 2`` — reproducible arithmetic
+    the DuckDB oracle replays bit-for-bit, no RNG state anywhere.
+    Pseudo-arms are balanced in expectation (not exactly), which is
+    the standard "random relabeling" variant; the p-value uses the
+    add-one estimator ``(1 + #{|Δ_s| ≥ |Δ_obs|}) / (S + 1)`` so it is
+    never exactly 0.
+
+    Scale shape: the observed Δ is one conditional hash aggregate.
+    The S permutations come from ONE pass too: a broadcast crossJoin
+    with the S-row seed list, then a (seed) hash aggregate whose
+    map-side partial combine reduces each partition to S rows before
+    the shuffle — S·partitions rows move, never S·N.  Cost is S× the
+    scan's CPU (the hash is per (row, seed)), so pick S for the
+    precision you need: S = 200 resolves p ≈ 0.005.
+
+    Output (one row): n_treat, n_control, obs_diff, n_perm,
+    n_extreme, p_value (NULL diff when either arm is empty).
+    """
+    from knot_another_pipeline_spark.functions.hashing import hash64
+
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    spark = df.sparkSession
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(arm_col).cast("string").alias("_arm"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_v").isNotNull()
+        & F.col("_arm").isin([str(treatment), str(control)])
+    )
+    obs = s.agg(
+        F.sum(F.when(F.col("_arm") == str(treatment), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("_arm") == str(control), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.avg(F.when(F.col("_arm") == str(treatment), F.col("_v"))).alias(
+            "_mt"
+        ),
+        F.avg(F.when(F.col("_arm") == str(control), F.col("_v"))).alias(
+            "_mc"
+        ),
+    ).select(
+        "n_treat",
+        "n_control",
+        (F.col("_mt") - F.col("_mc")).alias("_obs"),
+    )
+    seeds = spark.createDataFrame(
+        [(int(i),) for i in range(1, n_perm + 1)], "seed long"
+    )
+    pseudo = F.pmod(hash64(F.col("_id"), seed=F.col("seed")), F.lit(2))
+    per_seed = (
+        s.crossJoin(F.broadcast(seeds))
+        .groupBy("seed")
+        .agg(
+            F.avg(F.when(pseudo == 1, F.col("_v"))).alias("_pt"),
+            F.avg(F.when(pseudo == 0, F.col("_v"))).alias("_pc"),
+        )
+        .select("seed", (F.col("_pt") - F.col("_pc")).alias("_pd"))
+    )
+    tally = per_seed.crossJoin(F.broadcast(obs)).agg(
+        F.max("n_treat").alias("n_treat"),
+        F.max("n_control").alias("n_control"),
+        F.max("_obs").alias("_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_perm"),
+        F.sum(
+            F.when(
+                F.abs(F.col("_pd")) >= F.abs(F.col("_obs")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme"),
+    )
+    return tally.select(
+        "n_treat",
+        "n_control",
+        F.round(F.col("_obs"), round_to).alias("obs_diff"),
+        "n_perm",
+        "n_extreme",
+        F.round(
+            (1.0 + F.col("n_extreme"))
+            / (F.col("n_perm").cast("double") + 1.0),
+            round_to,
+        ).alias("p_value"),
+    )

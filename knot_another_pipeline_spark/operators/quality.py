@@ -3442,3 +3442,282 @@ def energy_drift(
         ),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    a_col: str,
+    b_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family Wilcoxon signed-rank test — the PAIRED sibling of
+    :func:`mann_whitney`: each row is one subject measured twice
+    (before/after, variant A vs variant B on the same unit), and the
+    test asks whether the paired differences are symmetric about zero
+    without assuming normality.  The standard readout for "did the
+    rewrite move per-user latency" when the deltas are skewed.
+
+    Method (the standard normal approximation on W⁺, no continuity
+    correction): d = a − b; zero differences are DROPPED (the classic
+    Wilcoxon rule); |d| gets exact midranks per family;
+    W⁺ = Σ ranks of positive d; under H₀
+
+        E[W⁺] = n(n+1)/4,
+        Var[W⁺] = n(n+1)(2n+1)/24 − Σ(t³−t)/48   (ties on |d|),
+
+    z = (W⁺ − E)/√Var with the shared two-sided normal p.
+
+    One data shuffle: the midrank window and both aggregates share the
+    family hash partitioning; tie cubes come from a (family, |d|)
+    aggregate, never a self-join — the :func:`mann_whitney`
+    construction on |d|.
+
+    Output per family: group cols, n_pairs (nonzero d), n_zero,
+    w_plus, z, p_value (NULL z/p when n_pairs = 0 or Var = 0).
+    """
+    d = (F.col(a_col).cast("double") - F.col(b_col).cast("double"))
+    s = df.select(
+        *[F.col(c) for c in group_cols], d.alias("_d")
+    ).filter(F.col("_d").isNotNull())
+    gp = [F.col(c) for c in group_cols]
+    nz = s.filter(F.col("_d") != 0).withColumn("_ad", F.abs(F.col("_d")))
+    midrank = F.rank().over(Window.partitionBy(*gp).orderBy("_ad")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*gp, F.col("_ad"))) - 1
+    ) / 2.0
+    ranked = nz.withColumn("_r", midrank)
+    ties = (
+        ranked.groupBy(*group_cols, "_ad")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_tie3")
+        )
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_r"))).alias("_wp"),
+    )
+    zeros = s.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_d") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero")
+    )
+    j = agg.join(ties, group_cols).join(zeros, group_cols)
+    n = F.col("_n")
+    wp = F.coalesce(F.col("_wp"), F.lit(0.0))
+    mean_w = n * (n + 1.0) / 4.0
+    var_w = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("_tie3") / 48.0
+    z = F.when((n > 0) & (var_w > 0), (wp - mean_w) / F.sqrt(var_w))
+    return j.select(
+        *group_cols,
+        n.cast("bigint").alias("n_pairs"),
+        "n_zero",
+        F.round(wp, round_to).alias("w_plus"),
+        F.round(z, round_to).alias("z"),
+        F.round(normal_sf_two_sided(z), round_to).alias("p_value"),
+    ).orderBy(*group_cols)
+
+
+def friedman_test(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family Friedman test — the repeated-measures sibling of
+    :func:`kruskal_wallis`: k treatments measured on the SAME n blocks
+    (k ranking models scored on the same queries, k prompts on the
+    same documents), ranks taken WITHIN each block so between-block
+    level differences cancel by construction.
+
+    Cells collapse to one value per (block, treatment) by mean; only
+    COMPLETE blocks — those with all k of the family's treatments —
+    enter the test (the standard complete-block requirement; the
+    incomplete count is reported, not silently dropped).  Midranks
+    within block handle ties, with the tie-corrected statistic
+
+        Q = [12/(n·k·(k+1))]·ΣRⱼ² − 3n(k+1),
+        Q_c = Q / (1 − ΣT_b / (n·k·(k²−1))),   T_b = Σ(t³−t) in block b,
+
+    and p via the shared Wilson–Hilferty chi²(k−1) approximation.
+
+    Scale shape: cell means in one (family, block, treatment) hash
+    aggregate — the only pass over row volume; the rank window runs
+    per (family, block) on ≤ k rows; everything after reduces n·k
+    cells → k treatment rows → 1 family row.
+
+    Output per family: group cols, n_blocks, n_incomplete,
+    k_treatments, q_corrected, df, p_value (NULL when k < 2, n = 0,
+    or every block is fully tied).
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(block_col).cast("string").alias("_b"),
+        F.col(treatment_col).cast("string").alias("_trt"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_b").isNotNull()
+        & F.col("_trt").isNotNull()
+        & F.col("_v").isNotNull()
+    )
+    cells = s.groupBy(*group_cols, "_b", "_trt").agg(
+        F.avg("_v").alias("_v")
+    )
+    gp = [F.col(c) for c in group_cols]
+    k_fam = cells.groupBy(*group_cols).agg(
+        F.countDistinct("_trt").cast("double").alias("_k")
+    )
+    blk_sizes = cells.groupBy(*group_cols, "_b").agg(
+        F.count(F.lit(1)).cast("double").alias("_bn")
+    )
+    sized = blk_sizes.join(k_fam, group_cols)
+    complete = sized.filter(F.col("_bn") == F.col("_k")).select(
+        *group_cols, "_b"
+    )
+    n_incomplete = sized.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_bn") != F.col("_k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_incomplete")
+    )
+    kept = cells.join(complete, [*group_cols, "_b"], "left_semi")
+    midrank = F.rank().over(
+        Window.partitionBy(*gp, F.col("_b")).orderBy("_v")
+    ) + (
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*gp, F.col("_b"), F.col("_v"))
+        )
+        - 1
+    ) / 2.0
+    ranked = kept.withColumn("_r", midrank)
+    per_trt = ranked.groupBy(*group_cols, "_trt").agg(
+        F.sum("_r").alias("_rj")
+    )
+    fam = per_trt.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_kk"),
+        F.sum(F.col("_rj") * F.col("_rj")).alias("_rr"),
+    )
+    nblk = ranked.groupBy(*group_cols).agg(
+        F.countDistinct("_b").cast("double").alias("_n")
+    )
+    ties = (
+        ranked.groupBy(*group_cols, "_b", "_v")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_tie3")
+        )
+    )
+    j = (
+        fam.join(nblk, group_cols)
+        .join(ties, group_cols)
+        .join(n_incomplete, group_cols)
+    )
+    n, k = F.col("_n"), F.col("_kk")
+    q = 12.0 / (n * k * (k + 1.0)) * F.col("_rr") - 3.0 * n * (k + 1.0)
+    corr = 1.0 - F.col("_tie3") / (n * k * (k * k - 1.0))
+    qc = F.when((k >= 2) & (n > 0) & (corr > 0), q / corr)
+    dof = (k - 1.0)
+    zwh = (
+        F.cbrt(qc / dof) - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = F.when(
+        zwh.isNotNull(),
+        F.when(
+            zwh >= 0, normal_sf_two_sided(zwh) / 2
+        ).otherwise(1.0 - normal_sf_two_sided(zwh) / 2),
+    )
+    return j.select(
+        *group_cols,
+        n.cast("bigint").alias("n_blocks"),
+        "n_incomplete",
+        k.cast("bigint").alias("k_treatments"),
+        F.round(qc, round_to).alias("q_corrected"),
+        dof.cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    ).orderBy(*group_cols)
+
+
+def mood_median(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family Mood's median test — the blunt-but-robust k-class
+    location test: classify every value as above vs not-above the
+    FAMILY's grand median and chi²-test the resulting 2×k contingency
+    table.  Less powerful than :func:`kruskal_wallis` but immune to
+    outliers and unequal variances — the sanity check when KW and
+    ANOVA disagree.
+
+    The grand median is exact (one ``percentile`` aggregate per
+    family, matching the DuckDB oracle bit-for-bit; at raw-event scale
+    feed an aggregated input or accept approx drift), joined back
+    family-keyed; the 2×k table collapses from one conditional hash
+    aggregate; chi² = Σ(O−E)²/E over the 2k cells by algebra on the k
+    class rows, p via the shared Wilson–Hilferty chi²(k−1)
+    approximation.
+
+    Output per family: group cols, n_total, k_classes, chi2, df,
+    p_value (NULL when k < 2 or any expected margin is zero — e.g.
+    every value equal to the median).
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(class_col).cast("string").alias("_c"),
+    ).filter(F.col("_v").isNotNull() & F.col("_c").isNotNull())
+    med = s.groupBy(*group_cols).agg(
+        F.expr("percentile(_v, 0.5)").alias("_med")
+    )
+    tagged = s.join(med, group_cols).withColumn(
+        "_above", (F.col("_v") > F.col("_med")).cast("int")
+    )
+    per_class = tagged.groupBy(*group_cols, "_c").agg(
+        F.count(F.lit(1)).cast("double").alias("_nc"),
+        F.sum("_above").cast("double").alias("_ac"),
+    )
+    fam = per_class.groupBy(*group_cols).agg(
+        F.sum("_nc").alias("_n"),
+        F.sum("_ac").alias("_a"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        # chi2 = Σ_c [(a_c − n_c·p)²/(n_c·p) + ((n_c−a_c) − n_c·q)²/(n_c·q)]
+        # with p = A/N computed after; carry the per-class pieces as sums
+        F.sum(F.col("_ac") * F.col("_ac") / F.col("_nc")).alias("_saa"),
+    )
+    n, a, k = F.col("_n"), F.col("_a"), F.col("_k")
+    p_above = a / n
+    # algebra: Σ(a_c − n_c p)²/(n_c p q) = (Σa_c²/n_c − A²/N) / (p·q)
+    chi2 = F.when(
+        (k >= 2) & (p_above > 0) & (p_above < 1),
+        (F.col("_saa") - a * a / n) / (p_above * (1.0 - p_above)),
+    )
+    dof = k - 1.0
+    zwh = (
+        F.cbrt(chi2 / dof) - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = F.when(
+        zwh.isNotNull(),
+        F.when(
+            zwh >= 0, normal_sf_two_sided(zwh) / 2
+        ).otherwise(1.0 - normal_sf_two_sided(zwh) / 2),
+    )
+    return fam.select(
+        *group_cols,
+        n.cast("bigint").alias("n_total"),
+        k.cast("bigint").alias("k_classes"),
+        F.round(chi2, round_to).alias("chi2"),
+        dof.cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    ).orderBy(*group_cols)

@@ -41,6 +41,7 @@ __all__ = [
     "changepoint_detect",
     "cusum_alarm",
     "decayed_agg",
+    "dickey_fuller",
     "ewma_smooth",
     "holt_forecast",
     "hurst_exponent",
@@ -49,16 +50,20 @@ __all__ = [
     "ljung_box",
     "mann_kendall",
     "max_concurrency",
+    "page_hinkley",
     "period_over_period",
     "periodogram",
     "range_join",
     "resample_calendar",
     "rolling_stats",
+    "runs_test",
     "scd2_as_of",
     "scd2_history",
     "scd2_lookup",
     "seasonal_decompose",
     "seasonal_naive_error",
+    "seasonal_strength",
+    "spectral_entropy",
     "theil_sen",
     "time_weighted_avg",
     "trend_fit",
@@ -2110,3 +2115,448 @@ def hurst_exponent(
         )
         .orderBy("series")
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 10.0,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page–Hinkley sequential mean-shift detector per series — the
+    classic drift test the streaming-ML literature uses for concept
+    drift (Page 1954; Gama et al. 2014 survey): a cumulative deviation
+    from the RUNNING mean,
+
+        m_t = Σ_{i≤t} (x_i − x̄_i − δ),   PH_t = m_t − min_{s≤t} m_s,
+
+    alarming when PH_t > λ.  Complements :func:`cusum_alarm` (which
+    tests against a FIXED baseline mean): PH self-references the
+    running mean, so it needs no calibration window and catches slow
+    upward drifts a fixed-baseline CUSUM absorbs into its baseline.
+
+    Scale shape: three stacked cumulative windows (running mean →
+    cumulative deviation → running min), all over the SAME
+    (series, order) partitioning — one shuffle, one sort, whole-stage
+    codegen throughout.  Partitions are per-series; the intended input
+    is an already-aggregated series (daily/hourly metric rows), so a
+    partition is thousands of rows, not raw events.
+
+    ``order_col`` must be unique per series or ``tiebreak_col``
+    supplied.  Output per series: n, max_ph, n_alarms (rows with
+    PH > λ), first_alarm_ord (order value of the first alarm, NULL
+    when none), drift (any alarm).
+    """
+    if lam <= 0:
+        raise ValueError(f"lam must be positive, got {lam}")
+    order = [F.col("ord")] + ([F.col("_tb")] if tiebreak_col else [])
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("_x"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    ).filter(F.col("_x").isNotNull())
+    cum = (
+        Window.partitionBy("series")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        s.withColumn("_rmean", F.avg("_x").over(cum))
+        .withColumn(
+            "_m",
+            F.sum(
+                F.col("_x") - F.col("_rmean") - F.lit(float(delta))
+            ).over(cum),
+        )
+        .withColumn("_ph", F.col("_m") - F.min("_m").over(cum))
+    )
+    alarmed = staged.withColumn(
+        "_is_alarm", F.col("_ph") > F.lit(float(lam))
+    )
+    return (
+        alarmed.groupBy("series")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("_ph"), round_to).alias("max_ph"),
+            F.sum(F.when(F.col("_is_alarm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alarms"),
+            F.min(F.when(F.col("_is_alarm"), F.col("ord"))).alias(
+                "first_alarm_ord"
+            ),
+            F.max(F.col("_is_alarm").cast("int")).cast("boolean").alias(
+                "drift"
+            ),
+        )
+        .orderBy("series")
+    )
+
+
+def dickey_fuller(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    crit_5pct: float = -2.86,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Dickey–Fuller unit-root test per series (no augmentation lags,
+    with drift): regress Δy_t on y_{t−1} with an intercept and report
+    the t-statistic of the y_{t−1} coefficient γ.  γ near 0 (t above
+    the critical value) means a unit root — the series is a random
+    walk and yesterday's level says nothing mean-reverting; t below
+    ``crit_5pct`` (−2.86, the 5% constant-only DF critical value for
+    large n) rejects the unit root, licensing mean-reversion plays
+    (:func:`cusum_alarm` baselines, :func:`holt_forecast` damping).
+
+    The DF t-statistic is NOT Student-t distributed — its critical
+    values come from the Dickey–Fuller tables — so the output reports
+    the t-stat and a fixed-critical-value boolean, never a normal
+    p-value (the same fixed-α contract as ``proportion_test``).
+
+    Scale shape: one lag window per series (one shuffle), then the
+    closed-form OLS from six moment sums in ONE hash aggregate —
+    γ = Sxy/Sxx, RSS = Syy − γ·Sxy, se = √(RSS/(n−2)/Sxx), all
+    row-local arithmetic on the aggregate row.
+
+    Output per series: n_diffs, gamma, t_stat (NULL when n_diffs < 3
+    or the lagged level is constant), stationary_5pct.
+    """
+    order = [F.col("ord")] + ([F.col("_tb")] if tiebreak_col else [])
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("_y"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    ).filter(F.col("_y").isNotNull())
+    w = Window.partitionBy("series").orderBy(*order)
+    lagged = s.withColumn("_ylag", F.lag("_y").over(w)).filter(
+        F.col("_ylag").isNotNull()
+    )
+    pairs = lagged.select(
+        "series",
+        F.col("_ylag").alias("_x"),
+        (F.col("_y") - F.col("_ylag")).alias("_d"),
+    )
+    agg = pairs.groupBy("series").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_d").alias("_sd"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+        F.sum(F.col("_x") * F.col("_d")).alias("_sxd"),
+    )
+    n = F.col("_n")
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    sdd = F.col("_sdd") - F.col("_sd") * F.col("_sd") / n
+    sxd = F.col("_sxd") - F.col("_sx") * F.col("_sd") / n
+    gamma = sxd / sxx
+    rss = sdd - gamma * sxd
+    se = F.sqrt(rss / (n - 2.0) / sxx)
+    ok = (n >= 3) & (sxx > 0)
+    t = F.when(ok & (se > 0), gamma / se)
+    return agg.select(
+        "series",
+        n.cast("bigint").alias("n_diffs"),
+        F.round(F.when(ok, gamma), round_to).alias("gamma"),
+        F.round(t, round_to).alias("t_stat"),
+        (t < F.lit(float(crit_5pct))).alias("stationary_5pct"),
+    ).orderBy("series")
+
+
+def spectral_entropy(
+    df: DataFrame,
+    *,
+    series_col: str,
+    t_col: str,
+    value_col: str,
+    periods: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Normalized spectral entropy of each series over a CANDIDATE
+    period grid — "is this metric one clean cycle or broadband noise"
+    in one number: the Shannon entropy of the normalized
+    :func:`periodogram` powers, divided by log(k) so 0 means all
+    variance at one candidate period and 1 means power spread evenly
+    across all k candidates.  The standard tsfeatures/catch22-style
+    forecastability score: low entropy → seasonal-naive and
+    :func:`holt_forecast` will do well; high entropy → nothing
+    periodic to exploit at these scales.
+
+    Scale shape: identical to :func:`periodogram` — mean-centering
+    collapsed onto uncentered trig sums, ONE hash aggregate over
+    (rows × k candidates) from a broadcast crossJoin, then the entropy
+    folds the k per-period rows per series in a second tiny aggregate.
+    Zero-power candidates contribute 0 (lim p·ln p), constant series
+    yield NULL.
+
+    Output per series: series, n, n_active (candidates with power
+    > 0), spectral_entropy, dominant_period (the candidate with the
+    most power, ties toward the shorter period).
+    """
+    import math as _math
+
+    if not periods:
+        raise ValueError("periods must be non-empty")
+    if any(p <= 0 for p in periods):
+        raise ValueError(f"periods must be positive, got {periods}")
+    if len(set(periods)) < 2:
+        raise ValueError("need >= 2 distinct periods for an entropy")
+    spark = df.sparkSession
+    per = spark.createDataFrame(
+        [(float(p),) for p in periods], "period double"
+    )
+    t = F.col(t_col).cast("double")
+    y = F.col(value_col).cast("double")
+    s = df.select(
+        F.col(series_col).alias("series"), t.alias("_t"), y.alias("_y")
+    ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
+    ang = F.lit(2.0 * _math.pi) * F.col("_t") / F.col("period")
+    g = (
+        s.crossJoin(F.broadcast(per))
+        .groupBy("series", "period")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+            F.sum(F.col("_y") * F.cos(ang)).alias("_yc"),
+            F.sum(F.col("_y") * F.sin(ang)).alias("_ys"),
+            F.sum(F.cos(ang)).alias("_c"),
+            F.sum(F.sin(ang)).alias("_s"),
+        )
+    )
+    mean = F.col("_sy") / F.col("_n")
+    var = F.col("_syy") / F.col("_n") - mean * mean
+    cc = F.col("_yc") - mean * F.col("_c")
+    ss = F.col("_ys") - mean * F.col("_s")
+    # Relative power floor: a CONSTANT series leaves ~1e-13 rounding
+    # residue in the centered trig sums, which would read as "power".
+    # Real power scales like n²·var (a perfect tone hits ~(n·σ)²/4);
+    # 1e-20 of that is 7+ orders above the ~(n·σ·ε)² residue and 20
+    # below any signal, so the gate is engine-independent (the DuckDB
+    # oracle applies the same expression).
+    raw = cc * cc + ss * ss
+    tol = F.col("_n") * F.col("_n") * var * F.lit(1e-20)
+    pw = F.when((var > 0) & (raw > tol), raw).otherwise(F.lit(0.0))
+    powered = g.select(
+        "series",
+        "period",
+        F.col("_n"),
+        pw.alias("_pw"),
+    )
+    k = float(len(set(periods)))
+    ent = powered.groupBy("series").agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_pw") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_active"),
+        F.sum("_pw").alias("_tot"),
+        F.sum(
+            F.when(
+                F.col("_pw") > 0, F.col("_pw") * F.log(F.col("_pw"))
+            ).otherwise(F.lit(0.0))
+        ).alias("_plnp"),
+        F.min(
+            F.when(
+                F.col("_pw") > 0,
+                F.struct(
+                    (-F.col("_pw")).alias("_negp"),
+                    F.col("period").alias("period"),
+                ),
+            )
+        ).alias("_dom"),
+    )
+    # H = −Σ (p/T)·ln(p/T) = ln T − (Σ p·ln p)/T, normalized by ln k
+    h = (
+        F.log(F.col("_tot")) - F.col("_plnp") / F.col("_tot")
+    ) / F.lit(_math.log(k))
+    return ent.select(
+        "series",
+        "n",
+        "n_active",
+        F.round(F.when(F.col("_tot") > 0, h), round_to).alias(
+            "spectral_entropy"
+        ),
+        F.col("_dom.period").alias("dominant_period"),
+    ).orderBy("series")
+
+
+def runs_test(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per series — "is this sequence random
+    around its median, or does it streak?": values above the series
+    MEDIAN are +, below are − (exact-median values dropped, the
+    standard rule), R counts the maximal same-sign runs, and under
+    randomness
+
+        E[R] = 2·n₁·n₂/(n₁+n₂) + 1,
+        Var[R] = 2n₁n₂(2n₁n₂ − n₁ − n₂) / ((n₁+n₂)²(n₁+n₂−1)),
+
+    reported as z = (R − E[R])/√Var[R] with the shared two-sided
+    normal p.  Too few runs (z « 0) = positive serial dependence /
+    regime clumping; too many (z » 0) = oscillation.  The quick
+    pre-check before trusting :func:`ljung_box` lags or an
+    :func:`acf` shape on a short series.
+
+    Scale shape: the exact per-series median comes from ONE
+    ``percentile`` aggregate (a sort-based aggregate per series —
+    exact, matching the DuckDB oracle bit-for-bit; at raw-event scale
+    feed an aggregated series or swap in approx_percentile and accept
+    the oracle drift), broadcast back by a series-keyed join; the run
+    count is one lag window over the same (series, order)
+    partitioning — run boundaries are sign≠lag(sign) rows, so
+    R = Σ boundaries + 1 per series.
+
+    ``order_col`` must be unique per series or ``tiebreak_col``
+    supplied.  Output per series: n_above, n_below, runs, z, p_value
+    (NULL z/p when either sign is absent or Var = 0).
+    """
+    order = [F.col("ord")] + ([F.col("_tb")] if tiebreak_col else [])
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("_x"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    ).filter(F.col("_x").isNotNull())
+    med = s.groupBy("series").agg(
+        F.expr("percentile(_x, 0.5)").alias("_med")
+    )
+    signed = (
+        s.join(med, "series")
+        .filter(F.col("_x") != F.col("_med"))
+        .withColumn("_sgn", (F.col("_x") > F.col("_med")).cast("int"))
+    )
+    w = Window.partitionBy("series").orderBy(*order)
+    runs = signed.withColumn(
+        "_brk",
+        F.when(
+            F.lag("_sgn").over(w).isNull()
+            | (F.col("_sgn") != F.lag("_sgn").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("series").agg(
+        F.sum("_sgn").cast("double").alias("_n1"),
+        F.sum(1 - F.col("_sgn")).cast("double").alias("_n2"),
+        F.sum("_brk").cast("double").alias("_r"),
+    )
+    n1, n2, r = F.col("_n1"), F.col("_n2"), F.col("_r")
+    n = n1 + n2
+    mean_r = 2.0 * n1 * n2 / n + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1.0))
+    )
+    z = F.when((n1 > 0) & (n2 > 0) & (var_r > 0), (r - mean_r) / F.sqrt(var_r))
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+
+    return agg.select(
+        "series",
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        r.cast("bigint").alias("runs"),
+        F.round(z, round_to).alias("z"),
+        F.round(normal_sf_two_sided(z), round_to).alias("p_value"),
+    ).orderBy("series")
+
+
+def seasonal_strength(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """STL-style seasonal and trend STRENGTH per series (Hyndman's
+    tsfeatures definitions, on a moving-average decomposition):
+
+        trend_t     = centered MA of y over one period,
+        detrended_t = y_t − trend_t,
+        seasonal_j  = mean(detrended | t mod period = j),
+        remainder_t = detrended_t − seasonal_{t mod period},
+        F_seasonal  = max(0, 1 − Var(remainder)/Var(detrended)),
+        F_trend     = max(0, 1 − Var(remainder)/Var(y − seasonal)).
+
+    The two numbers that decide a forecasting pipeline's shape: high
+    F_seasonal → :func:`seasonal_naive_error`'s baseline is strong;
+    high F_trend → :func:`holt_forecast`'s level/trend terms matter.
+
+    CONTRACT: ``order_col`` must be a DENSE integer index per series
+    (day number, hour number — no gaps), because the centered MA is a
+    ROW window; feed an aggregated, gap-filled series.  Edge rows use
+    the partial window (the standard simple-MA convention, identical
+    in the DuckDB oracle's ROWS BETWEEN frame).
+
+    Scale shape: one (series, order) row window for the MA (one
+    shuffle), one (series, phase) window for the seasonal means (a
+    second shuffle on the compound key), then ONE variance aggregate
+    per series.  No joins, no per-phase passes; partitions are
+    per-series aggregated rows.
+
+    Output per series: n, seasonal_strength, trend_strength (NULL
+    when the detrended / deseasonalized variance is zero).
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    half = period // 2
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(value_col).cast("double").alias("_y"),
+    ).filter(F.col("_y").isNotNull() & F.col("ord").isNotNull())
+    w_ma = (
+        Window.partitionBy("series")
+        .orderBy("ord")
+        .rowsBetween(-half, half)
+    )
+    detr = s.withColumn(
+        "_trend", F.avg("_y").over(w_ma)
+    ).withColumn("_detr", F.col("_y") - F.col("_trend")).withColumn(
+        "_phase", F.pmod(F.col("ord"), F.lit(int(period)))
+    )
+    w_ph = Window.partitionBy("series", "_phase")
+    comp = detr.withColumn(
+        "_seas", F.avg("_detr").over(w_ph)
+    ).withColumn("_rem", F.col("_detr") - F.col("_seas"))
+    agg = comp.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.var_pop("_rem").alias("_vr"),
+        F.var_pop("_detr").alias("_vd"),
+        F.var_pop(F.col("_y") - F.col("_seas")).alias("_vt"),
+    )
+    return agg.select(
+        "series",
+        "n",
+        F.round(
+            F.when(
+                F.col("_vd") > 0,
+                F.greatest(F.lit(0.0), 1.0 - F.col("_vr") / F.col("_vd")),
+            ),
+            round_to,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.when(
+                F.col("_vt") > 0,
+                F.greatest(F.lit(0.0), 1.0 - F.col("_vr") / F.col("_vt")),
+            ),
+            round_to,
+        ).alias("trend_strength"),
+    ).orderBy("series")

@@ -1,0 +1,599 @@
+"""Round-10 operators: hand-verified and pure-Python-reference tests.
+
+Each new operator is checked against either a hand-computed constant
+or an independent pure-Python reference implemented inline (never the
+operator's own arithmetic), the same strategy as test_round9*_ops.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley
+
+
+def _ph_reference(xs, delta, lam):
+    m = 0.0
+    mn = 0.0
+    run = 0.0
+    out = []
+    for i, x in enumerate(xs, start=1):
+        run += x
+        m += x - run / i - delta
+        mn = min(mn, m)
+        out.append(m - mn)
+    return out
+
+
+def test_page_hinkley_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.temporal import page_hinkley
+
+    xs = [5.0, 5.2, 4.9, 5.1, 5.0, 9.0, 9.2, 9.1, 8.9, 9.3]
+    rows = [("s", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "series string, ord int, x double")
+    got = page_hinkley(
+        df, series_col="series", order_col="ord", value_col="x",
+        delta=0.1, lam=2.0,
+    ).collect()[0]
+    ref = _ph_reference(xs, 0.1, 2.0)
+    assert got["n"] == 10
+    assert got["max_ph"] == pytest.approx(max(ref), abs=1e-6)
+    assert got["n_alarms"] == sum(1 for v in ref if v > 2.0)
+    assert got["drift"] is True
+    first = next(i for i, v in enumerate(ref) if v > 2.0)
+    assert got["first_alarm_ord"] == first
+
+
+def test_page_hinkley_stable_series_no_drift(spark):
+    from knot_another_pipeline_spark.operators.temporal import page_hinkley
+
+    rows = [("s", i, 5.0 + 0.01 * (i % 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, "series string, ord int, x double")
+    got = page_hinkley(
+        df, series_col="series", order_col="ord", value_col="x", lam=1.0
+    ).collect()[0]
+    assert got["drift"] is False
+    assert got["first_alarm_ord"] is None
+    with pytest.raises(ValueError, match="lam"):
+        page_hinkley(
+            df, series_col="series", order_col="ord", value_col="x",
+            lam=0.0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# dickey_fuller
+
+
+def _df_reference(ys):
+    xs = ys[:-1]
+    ds = [b - a for a, b in zip(ys[:-1], ys[1:])]
+    n = len(ds)
+    mx, md = sum(xs) / n, sum(ds) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxd = sum((x - mx) * (d - md) for x, d in zip(xs, ds))
+    sdd = sum((d - md) ** 2 for d in ds)
+    g = sxd / sxx
+    rss = sdd - g * sxd
+    se = math.sqrt(rss / (n - 2) / sxx)
+    return n, g, g / se
+
+
+def test_dickey_fuller_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.temporal import dickey_fuller
+
+    # strongly mean-reverting AR(1): phi = 0.2 -> gamma = -0.8
+    ys = [10.0]
+    for i in range(40):
+        ys.append(0.2 * ys[-1] + ((i * 7) % 5 - 2.0))
+    rows = [("s", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series string, ord int, y double")
+    got = dickey_fuller(
+        df, series_col="series", order_col="ord", value_col="y"
+    ).collect()[0]
+    n, g, t = _df_reference(ys)
+    assert got["n_diffs"] == n
+    assert got["gamma"] == pytest.approx(g, abs=1e-6)
+    assert got["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert got["stationary_5pct"] is True
+
+
+def test_dickey_fuller_random_walk_not_stationary(spark):
+    from knot_another_pipeline_spark.operators.temporal import dickey_fuller
+
+    # a pure cumulative sum drifts; gamma ~ 0
+    steps = [((i * 13) % 7 - 3.0) for i in range(60)]
+    ys, acc = [], 0.0
+    for s in steps:
+        acc += s
+        ys.append(acc)
+    rows = [("w", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series string, ord int, y double")
+    got = dickey_fuller(
+        df, series_col="series", order_col="ord", value_col="y"
+    ).collect()[0]
+    n, g, t = _df_reference(ys)
+    assert got["t_stat"] == pytest.approx(t, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# spectral_entropy
+
+
+def test_spectral_entropy_pure_tone_vs_noise(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        spectral_entropy,
+    )
+
+    tone = [
+        ("tone", t, math.cos(2 * math.pi * t / 10.0)) for t in range(100)
+    ]
+    flat = [("flat", t, 3.5) for t in range(100)]
+    df = spark.createDataFrame(
+        tone + flat, "series string, t int, y double"
+    )
+    out = {
+        r["series"]: r
+        for r in spectral_entropy(
+            df, series_col="series", t_col="t", value_col="y",
+            periods=[5.0, 10.0, 20.0],
+        ).collect()
+    }
+    assert out["tone"]["dominant_period"] == 10.0
+    assert out["tone"]["spectral_entropy"] < 0.05
+    assert out["flat"]["spectral_entropy"] is None
+    assert out["flat"]["n_active"] == 0
+    with pytest.raises(ValueError, match="distinct"):
+        spectral_entropy(
+            df, series_col="series", t_col="t", value_col="y",
+            periods=[10.0],
+        )
+
+
+def test_spectral_entropy_broadband_near_one(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        spectral_entropy,
+    )
+
+    mix = [
+        (
+            "mix",
+            t,
+            math.cos(2 * math.pi * t / 5.0)
+            + math.cos(2 * math.pi * t / 10.0)
+            + math.cos(2 * math.pi * t / 20.0),
+        )
+        for t in range(200)
+    ]
+    df = spark.createDataFrame(mix, "series string, t int, y double")
+    got = spectral_entropy(
+        df, series_col="series", t_col="t", value_col="y",
+        periods=[5.0, 10.0, 20.0],
+    ).collect()[0]
+    # equal power at all three candidates -> entropy ~ 1
+    assert got["spectral_entropy"] > 0.95
+    assert got["n_active"] == 3
+
+
+# ---------------------------------------------------------------------------
+# runs_test
+
+
+def test_runs_test_hand_example(spark):
+    from knot_another_pipeline_spark.operators.temporal import runs_test
+
+    xs = [5.0, 6.0, 4.0, 3.0, 7.0, 8.0, 2.0, 1.0]  # ++--++--: R=4
+    rows = [("s", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "series string, ord int, x double")
+    got = runs_test(
+        df, series_col="series", order_col="ord", value_col="x"
+    ).collect()[0]
+    assert got["n_above"] == 4 and got["n_below"] == 4
+    assert got["runs"] == 4
+    mean_r = 2 * 16 / 8 + 1
+    var_r = 2 * 16 * (32 - 8) / (64 * 7)
+    assert got["z"] == pytest.approx((4 - mean_r) / math.sqrt(var_r), abs=1e-6)
+    assert 0 < got["p_value"] < 1
+
+
+def test_runs_test_median_values_dropped(spark):
+    from knot_another_pipeline_spark.operators.temporal import runs_test
+
+    # odd n: the median element itself must be dropped
+    xs = [1.0, 9.0, 5.0, 9.0, 1.0]  # median 5 dropped -> +-+- wait: -++-
+    rows = [("s", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "series string, ord int, x double")
+    got = runs_test(
+        df, series_col="series", order_col="ord", value_col="x"
+    ).collect()[0]
+    assert got["n_above"] == 2 and got["n_below"] == 2
+    assert got["runs"] == 3  # -, ++, -
+
+
+# ---------------------------------------------------------------------------
+# seasonal_strength
+
+
+def _seasonal_strength_reference(ys, period):
+    n = len(ys)
+    half = period // 2
+    trend = [
+        sum(ys[max(0, i - half) : min(n, i + half + 1)])
+        / len(ys[max(0, i - half) : min(n, i + half + 1)])
+        for i in range(n)
+    ]
+    detr = [y - t for y, t in zip(ys, trend)]
+    seas_mean = {}
+    for j in range(period):
+        vals = [detr[i] for i in range(n) if i % period == j]
+        seas_mean[j] = sum(vals) / len(vals)
+    seas = [seas_mean[i % period] for i in range(n)]
+    rem = [d - s for d, s in zip(detr, seas)]
+    deseas = [y - s for y, s in zip(ys, seas)]
+
+    def var(v):
+        m = sum(v) / len(v)
+        return sum((x - m) ** 2 for x in v) / len(v)
+
+    fs = max(0.0, 1 - var(rem) / var(detr)) if var(detr) > 0 else None
+    ft = max(0.0, 1 - var(rem) / var(deseas)) if var(deseas) > 0 else None
+    return fs, ft
+
+
+def test_seasonal_strength_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        seasonal_strength,
+    )
+
+    pattern = [10.0, 2.0, 3.0, 8.0, 1.0, 12.0, 4.0]
+    ys = [
+        pattern[i % 7] + 0.1 * i + 0.3 * ((i * 11) % 5) for i in range(42)
+    ]
+    rows = [("s", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series string, ord int, y double")
+    got = seasonal_strength(
+        df, series_col="series", order_col="ord", value_col="y", period=7
+    ).collect()[0]
+    fs, ft = _seasonal_strength_reference(ys, 7)
+    assert got["seasonal_strength"] == pytest.approx(fs, abs=1e-6)
+    assert got["trend_strength"] == pytest.approx(ft, abs=1e-6)
+    assert got["seasonal_strength"] > 0.8  # the pattern dominates
+    with pytest.raises(ValueError, match="period"):
+        seasonal_strength(
+            df, series_col="series", order_col="ord", value_col="y",
+            period=1,
+        )
+
+
+# ---------------------------------------------------------------------------
+# wilcoxon_signed_rank
+
+
+def test_wilcoxon_hand_example_with_ties(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        wilcoxon_signed_rank,
+    )
+
+    # diffs: 1.5, -0.5, 2.0, 0.0, -1.5, 3.0 -> nonzero ranks on |d|:
+    # 0.5->1, {1.5,1.5}->2.5, 2.0->4, 3.0->5; W+ = 2.5+4+5 = 11.5
+    pairs = [
+        (2.5, 1.0), (1.0, 1.5), (5.0, 3.0), (4.0, 4.0), (2.0, 3.5),
+        (6.0, 3.0),
+    ]
+    df = spark.createDataFrame(
+        [("g", a, b) for a, b in pairs], "fam string, a double, b double"
+    )
+    got = wilcoxon_signed_rank(
+        df, group_cols=["fam"], a_col="a", b_col="b"
+    ).collect()[0]
+    assert got["n_pairs"] == 5 and got["n_zero"] == 1
+    assert got["w_plus"] == pytest.approx(11.5)
+    var_w = 5 * 6 * 11 / 24 - (2**3 - 2) / 48
+    z = (11.5 - 5 * 6 / 4) / math.sqrt(var_w)
+    assert got["z"] == pytest.approx(z, abs=1e-6)
+    assert 0 < got["p_value"] < 1
+
+
+def test_wilcoxon_shifted_pairs_significant(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        wilcoxon_signed_rank,
+    )
+
+    rows = [("g", float(i), float(i) - 2.0 - 0.01 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, "fam string, a double, b double")
+    got = wilcoxon_signed_rank(
+        df, group_cols=["fam"], a_col="a", b_col="b"
+    ).collect()[0]
+    assert got["p_value"] < 0.001  # every diff positive
+    assert got["w_plus"] == pytest.approx(40 * 41 / 2)
+
+
+# ---------------------------------------------------------------------------
+# friedman_test
+
+
+def _friedman_reference(blocks):
+    """blocks: list of dicts treatment->value (complete blocks)."""
+    n = len(blocks)
+    trts = sorted(blocks[0])
+    k = len(trts)
+    rj = dict.fromkeys(trts, 0.0)
+    tie3 = 0.0
+    for b in blocks:
+        vals = sorted(b.values())
+        for t in trts:
+            v = b[t]
+            lo = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            rj[t] += lo + (eq + 1) / 2.0
+        seen = {}
+        for v in vals:
+            seen[v] = seen.get(v, 0) + 1
+        tie3 += sum(c**3 - c for c in seen.values())
+    q = 12.0 / (n * k * (k + 1)) * sum(r * r for r in rj.values()) - 3 * n * (
+        k + 1
+    )
+    corr = 1 - tie3 / (n * k * (k * k - 1))
+    return q / corr
+
+
+def test_friedman_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.quality import friedman_test
+
+    blocks = [
+        {"a": 1.0, "b": 2.0, "c": 3.0},
+        {"a": 1.5, "b": 3.0, "c": 2.0},
+        {"a": 1.0, "b": 1.0, "c": 4.0},  # tie inside a block
+        {"a": 2.0, "b": 5.0, "c": 6.0},
+        {"a": 0.5, "b": 2.5, "c": 2.5},  # tie
+    ]
+    rows = [
+        ("f", f"b{i}", t, v)
+        for i, b in enumerate(blocks)
+        for t, v in b.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "fam string, blk string, trt string, v double"
+    )
+    got = friedman_test(
+        df, group_cols=["fam"], block_col="blk", treatment_col="trt",
+        value_col="v",
+    ).collect()[0]
+    assert got["n_blocks"] == 5 and got["k_treatments"] == 3
+    assert got["n_incomplete"] == 0
+    assert got["q_corrected"] == pytest.approx(
+        _friedman_reference(blocks), abs=1e-6
+    )
+    assert got["df"] == 2
+    assert 0 <= got["p_value"] <= 1
+
+
+def test_friedman_incomplete_blocks_excluded(spark):
+    from knot_another_pipeline_spark.operators.quality import friedman_test
+
+    rows = [
+        ("f", "b1", "a", 1.0), ("f", "b1", "b", 2.0),
+        ("f", "b2", "a", 3.0), ("f", "b2", "b", 1.0),
+        ("f", "b3", "a", 2.0),  # incomplete: missing treatment b
+    ]
+    df = spark.createDataFrame(
+        rows, "fam string, blk string, trt string, v double"
+    )
+    got = friedman_test(
+        df, group_cols=["fam"], block_col="blk", treatment_col="trt",
+        value_col="v",
+    ).collect()[0]
+    assert got["n_blocks"] == 2
+    assert got["n_incomplete"] == 1
+
+
+# ---------------------------------------------------------------------------
+# mood_median
+
+
+def test_mood_median_hand_example(spark):
+    from knot_another_pipeline_spark.operators.quality import mood_median
+
+    # class A mostly above the grand median, class B mostly below
+    a = [10.0, 11.0, 12.0, 13.0, 2.0]
+    b = [1.0, 2.0, 3.0, 4.0, 12.0]
+    rows = [("f", "A", v) for v in a] + [("f", "B", v) for v in b]
+    df = spark.createDataFrame(rows, "fam string, cls string, v double")
+    got = mood_median(
+        df, group_cols=["fam"], value_col="v", class_col="cls"
+    ).collect()[0]
+    vals = sorted(a + b)
+    med = (vals[4] + vals[5]) / 2.0
+    above = {"A": sum(1 for v in a if v > med),
+             "B": sum(1 for v in b if v > med)}
+    n_tot, a_tot = 10, above["A"] + above["B"]
+    p = a_tot / n_tot
+    chi2 = sum(
+        (above[c] - 5 * p) ** 2 / (5 * p * (1 - p)) for c in ("A", "B")
+    )
+    assert got["n_total"] == 10 and got["k_classes"] == 2
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert got["df"] == 1
+
+
+def test_mood_median_degenerate_all_equal(spark):
+    from knot_another_pipeline_spark.operators.quality import mood_median
+
+    rows = [("f", c, 5.0) for c in ("A", "B") for _ in range(4)]
+    df = spark.createDataFrame(rows, "fam string, cls string, v double")
+    got = mood_median(
+        df, group_cols=["fam"], value_col="v", class_col="cls"
+    ).collect()[0]
+    assert got["chi2"] is None and got["p_value"] is None
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen / log_rank_test
+
+
+def test_nelson_aalen_hand_example(spark):
+    from knot_another_pipeline_spark.operators.behavior import nelson_aalen
+
+    rows = [
+        ("g", 1.0, 1), ("g", 2.0, 1), ("g", 2.0, 1), ("g", 3.0, 0),
+        ("g", 4.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, dur double, ev int")
+    out = {
+        r["duration"]: r
+        for r in nelson_aalen(
+            df, group_col="grp", duration_col="dur", event_col="ev"
+        ).collect()
+    }
+    assert set(out) == {1.0, 2.0, 4.0}  # censored-only t=3 emits no row
+    assert out[1.0]["cum_hazard"] == pytest.approx(0.2)
+    assert out[2.0]["cum_hazard"] == pytest.approx(0.7)
+    assert out[4.0]["cum_hazard"] == pytest.approx(1.7)
+    assert out[2.0]["hazard_se"] == pytest.approx(math.sqrt(0.165), abs=1e-6)
+    assert out[1.0]["fh_survival"] == pytest.approx(math.exp(-0.2), abs=1e-6)
+    assert out[2.0]["at_risk"] == 4
+
+
+def test_log_rank_hand_example_with_missing_step_rows(spark):
+    from knot_another_pipeline_spark.operators.behavior import log_rank_test
+
+    # A: [1 ev, 5 cens]; B: [2 ev, 3 ev].  At B's event times A has no
+    # step row, so this pins the time-grid densify (at-risk must be 1,
+    # not 0).  chi2 = (1 - 4/3)^2 / (13/18) = 0.153846
+    rows = [
+        ("A", 1.0, 1), ("A", 5.0, 0), ("B", 2.0, 1), ("B", 3.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, dur double, ev int")
+    out = {
+        r["group"]: r
+        for r in log_rank_test(
+            df, group_col="grp", duration_col="dur", event_col="ev"
+        ).collect()
+    }
+    assert out["A"]["observed"] == pytest.approx(1.0)
+    assert out["A"]["expected"] == pytest.approx(4.0 / 3.0, abs=1e-6)
+    assert out["B"]["observed"] == pytest.approx(2.0)
+    assert out["B"]["expected"] == pytest.approx(3.0 - 4.0 / 3.0, abs=1e-6)
+    assert out["A"]["chi2"] == pytest.approx(0.153846, abs=1e-5)
+    assert out["A"]["chi2"] == out["B"]["chi2"]
+    assert out["A"]["df"] == 1
+
+
+def test_log_rank_rejects_three_groups(spark):
+    from knot_another_pipeline_spark.operators.behavior import log_rank_test
+
+    rows = [("A", 1.0, 1), ("B", 2.0, 1), ("C", 3.0, 1)]
+    df = spark.createDataFrame(rows, "grp string, dur double, ev int")
+    with pytest.raises(ValueError, match="two-group"):
+        log_rank_test(
+            df, group_col="grp", duration_col="dur", event_col="ev"
+        )
+
+
+def test_log_rank_identical_groups_null_chi2_or_small(spark):
+    from knot_another_pipeline_spark.operators.behavior import log_rank_test
+
+    rows = [("A", float(t), 1) for t in range(1, 11)] + [
+        ("B", float(t), 1) for t in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "grp string, dur double, ev int")
+    out = log_rank_test(
+        df, group_col="grp", duration_col="dur", event_col="ev"
+    ).collect()
+    # identical curves: observed == expected, chi2 == 0
+    assert out[0]["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# permutation_test
+
+
+def test_permutation_test_obvious_effect(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        permutation_test,
+    )
+
+    rows = [(i, "t", 100.0 + (i % 3)) for i in range(60)] + [
+        (i + 1000, "c", 1.0 + (i % 3)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, arm string, v double")
+    got = permutation_test(
+        df, id_col="id", arm_col="arm", value_col="v",
+        treatment="t", control="c", n_perm=99,
+    ).collect()[0]
+    assert got["n_treat"] == 60 and got["n_control"] == 60
+    assert got["obs_diff"] == pytest.approx(99.0, abs=1e-6)
+    assert got["n_perm"] == 99
+    assert got["p_value"] == pytest.approx((1 + got["n_extreme"]) / 100.0)
+    assert got["p_value"] <= 0.05  # pseudo-arms never reproduce a 99-gap
+
+
+def test_permutation_test_null_effect_large_p(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        permutation_test,
+    )
+
+    rows = [(i, "t" if i % 2 == 0 else "c", float((i * 17) % 23))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, arm string, v double")
+    got = permutation_test(
+        df, id_col="id", arm_col="arm", value_col="v",
+        treatment="t", control="c", n_perm=50,
+    ).collect()[0]
+    assert got["p_value"] > 0.05
+    # deterministic: rerun gives the identical tally
+    again = permutation_test(
+        df, id_col="id", arm_col="arm", value_col="v",
+        treatment="t", control="c", n_perm=50,
+    ).collect()[0]
+    assert got["n_extreme"] == again["n_extreme"]
+    with pytest.raises(ValueError, match="n_perm"):
+        permutation_test(
+            df, id_col="id", arm_col="arm", value_col="v",
+            treatment="t", control="c", n_perm=0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# harmonic_centrality
+
+
+def test_harmonic_centrality_chain_and_isolate(spark):
+    from knot_another_pipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    roots = spark.createDataFrame([("a",), ("z",)], ["node"])
+    out = {
+        r["root"]: r
+        for r in harmonic_centrality(edges, roots=roots, hops=3).collect()
+    }
+    assert out["a"]["n_reach"] == 3
+    assert out["a"]["harmonic"] == pytest.approx(1 + 0.5 + 1 / 3, abs=1e-6)
+    assert out["z"]["n_reach"] == 0
+    assert out["z"]["harmonic"] == pytest.approx(0.0)
+
+
+def test_harmonic_centrality_min_distance_on_cycles(spark):
+    from knot_another_pipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    # a->b, a->c, b->c: c is reached at hop 1 (direct), never recounted
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    roots = spark.createDataFrame([("a",)], ["node"])
+    got = harmonic_centrality(edges, roots=roots, hops=3).collect()[0]
+    assert got["n_reach"] == 2  # b and c; a itself never counted
+    assert got["harmonic"] == pytest.approx(2.0)  # both at distance 1
+    with pytest.raises(ValueError, match="hops"):
+        harmonic_centrality(edges, roots=roots, hops=0)
