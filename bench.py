@@ -281,6 +281,20 @@ HEADLINE = [
     "energy_drift",
     "twonn_dim",
     "smd_balance",
+    # round-10 additions: series diagnostics, rank/permutation tests,
+    # survival hazard + log-rank, bounded harmonic centrality
+    "page_hinkley",
+    "dickey_fuller",
+    "spectral_entropy",
+    "runs_test",
+    "seasonal_strength",
+    "wilcoxon_pairs",
+    "friedman_rank",
+    "mood_median",
+    "permutation_diff",
+    "nelson_aalen",
+    "log_rank",
+    "harmonic_centrality",
 ]
 
 

@@ -14352,7 +14352,843 @@ ORDER BY covariate
 """
 
 
+# ---------------------------------------------------------------------------
+# round-10 additions
+
+
+_DAILY_COUNT_SERIES_SQL = """
+  SELECT event_type AS series,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS INTEGER) AS ord,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _daily_count_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count series per type with an INTEGER day index —
+    counts (exact in doubles) rather than value means, so every
+    downstream comparison/rank is bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("_day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y")).select(
+        "series",
+        F.datediff(F.col("_day"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("ord"),
+        "y",
+    )
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection on daily event volumes per type
+    (operators/temporal.py page_hinkley): three stacked cumulative
+    windows over one (series, day) shuffle; alarms where the
+    running-mean deviation exceeds lambda=25."""
+    from knot_another_pipeline_spark.operators.temporal import page_hinkley
+
+    return page_hinkley(
+        _daily_count_series(spark, sf_dir),
+        series_col="series", order_col="ord", value_col="y",
+        delta=0.0, lam=25.0,
+    )
+
+
+ORACLE_PAGE_HINKLEY = f"""
+WITH daily AS ({_DAILY_COUNT_SERIES_SQL}),
+staged AS (
+  SELECT series, ord, y,
+         avg(y) OVER (PARTITION BY series ORDER BY ord
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS rmean
+  FROM daily),
+cum AS (
+  SELECT series, ord,
+         sum(y - rmean - 0e0) OVER (PARTITION BY series ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM staged),
+ph AS (
+  SELECT series, ord,
+         m - min(m) OVER (PARTITION BY series ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM cum)
+SELECT series,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(ph), 6) AS max_ph,
+       CAST(sum(CASE WHEN ph > 25e0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       min(CASE WHEN ph > 25e0 THEN ord END) AS first_alarm_ord,
+       max(CASE WHEN ph > 25e0 THEN 1 ELSE 0 END) = 1 AS drift
+FROM ph GROUP BY series ORDER BY series
+"""
+
+
+def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root t-stat of daily event volumes per type
+    (operators/temporal.py dickey_fuller): one lag window, then the
+    closed-form OLS of the differences on the lagged level from six
+    moment sums in one hash aggregate."""
+    from knot_another_pipeline_spark.operators.temporal import dickey_fuller
+
+    return dickey_fuller(
+        _daily_count_series(spark, sf_dir),
+        series_col="series", order_col="ord", value_col="y",
+    )
+
+
+ORACLE_DICKEY_FULLER = f"""
+WITH daily AS ({_DAILY_COUNT_SERIES_SQL}),
+lagged AS (
+  SELECT series, y,
+         lag(y) OVER (PARTITION BY series ORDER BY ord) AS ylag
+  FROM daily),
+pairs AS (
+  SELECT series, ylag AS x, y - ylag AS d
+  FROM lagged WHERE ylag IS NOT NULL),
+a AS (
+  SELECT series, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(d) AS sd,
+         sum(x * x) AS sxx, sum(d * d) AS sdd, sum(x * d) AS sxd
+  FROM pairs GROUP BY series),
+m AS (
+  SELECT series, n,
+         sxx - sx * sx / n AS cxx,
+         sdd - sd * sd / n AS cdd,
+         sxd - sx * sd / n AS cxd
+  FROM a),
+f AS (
+  SELECT series, n, cxx,
+         cxd / cxx AS gamma,
+         cdd - (cxd / cxx) * cxd AS rss
+  FROM m),
+t AS (
+  SELECT series, n, gamma,
+         CASE WHEN n >= 3 AND cxx > 0
+                   AND sqrt(rss / (n - 2e0) / cxx) > 0
+              THEN gamma / sqrt(rss / (n - 2e0) / cxx) END AS t_stat,
+         n >= 3 AND cxx > 0 AS ok
+  FROM f)
+SELECT series, CAST(n AS BIGINT) AS n_diffs,
+       round(CASE WHEN ok THEN gamma END, 6) AS gamma,
+       round(t_stat, 6) AS t_stat,
+       t_stat < -2.86e0 AS stationary_5pct
+FROM t ORDER BY series
+"""
+
+
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of hourly event volumes per type over the
+    6h/12h/24h/168h candidate grid (operators/temporal.py
+    spectral_entropy): the periodogram trig-sum aggregate, powers
+    floored at 1e-20 of the n^2*var scale, entropy over the gated
+    power distribution."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        spectral_entropy,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series"),
+        (
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(
+                        F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    )
+                )
+                / F.lit(3600000000)
+            )
+        ).alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return spectral_entropy(
+        hourly,
+        series_col="series", t_col="t", value_col="y",
+        periods=[6.0, 12.0, 24.0, 168.0],
+    )
+
+
+ORACLE_SPECTRAL_ENTROPY = """
+WITH hourly AS (
+  SELECT event_type AS series,
+         CAST(floor(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                         ) AS DOUBLE) / 3600000000e0) AS DOUBLE) AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type,
+           floor(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                      ) AS DOUBLE) / 3600000000e0)),
+per AS (SELECT unnest([6e0, 12e0, 24e0, 168e0]) AS period),
+g AS (
+  SELECT series, period,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(y) AS sy, sum(y * y) AS syy,
+         sum(y * cos(2e0 * pi() * t / period)) AS yc,
+         sum(y * sin(2e0 * pi() * t / period)) AS ys,
+         sum(cos(2e0 * pi() * t / period)) AS c,
+         sum(sin(2e0 * pi() * t / period)) AS s
+  FROM hourly, per GROUP BY series, period),
+m AS (
+  SELECT series, period, n,
+         syy / n - (sy / n) * (sy / n) AS var,
+         yc - (sy / n) * c AS cc,
+         ys - (sy / n) * s AS ss
+  FROM g),
+p AS (
+  SELECT series, period, n,
+         CASE WHEN var > 0
+                   AND (cc * cc + ss * ss) > n * n * var * 1e-20
+              THEN cc * cc + ss * ss ELSE 0e0 END AS pw
+  FROM m),
+e AS (
+  SELECT series, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_active,
+         sum(pw) AS tot,
+         sum(CASE WHEN pw > 0 THEN pw * ln(pw) ELSE 0e0 END) AS plnp,
+         min(CASE WHEN pw > 0
+                  THEN struct_pack(negp := -pw, per := period) END) AS dom
+  FROM p GROUP BY series)
+SELECT series, n, n_active,
+       round(CASE WHEN tot > 0
+                  THEN (ln(tot) - plnp / tot) / ln(4e0) END, 6)
+         AS spectral_entropy,
+       dom.per AS dominant_period
+FROM e ORDER BY series
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily event volumes per type
+    (operators/temporal.py runs_test): exact median per series, signs
+    about it, run boundaries from one lag window."""
+    from knot_another_pipeline_spark.operators.temporal import runs_test
+
+    return runs_test(
+        _daily_count_series(spark, sf_dir),
+        series_col="series", order_col="ord", value_col="y",
+    )
+
+
+ORACLE_RUNS_TEST = f"""
+WITH daily AS ({_DAILY_COUNT_SERIES_SQL}),
+med AS (
+  SELECT series, quantile_cont(y, 0.5) AS med FROM daily GROUP BY series),
+signed AS (
+  SELECT d.series, d.ord,
+         CASE WHEN d.y > m.med THEN 1 ELSE 0 END AS sgn
+  FROM daily d JOIN med m ON m.series = d.series
+  WHERE d.y != m.med),
+runs AS (
+  SELECT series, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY series ORDER BY ord)
+                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS brk
+  FROM signed),
+agg AS (
+  SELECT series,
+         CAST(sum(sgn) AS DOUBLE) AS n1,
+         CAST(sum(1 - sgn) AS DOUBLE) AS n2,
+         CAST(sum(brk) AS DOUBLE) AS r
+  FROM runs GROUP BY series),
+zc AS (
+  SELECT series, n1, n2, r,
+         CASE WHEN n1 > 0 AND n2 > 0
+                   AND 2e0*n1*n2*(2e0*n1*n2 - n1 - n2)
+                       / ((n1+n2)*(n1+n2)*(n1+n2-1e0)) > 0
+              THEN (r - (2e0*n1*n2/(n1+n2) + 1e0))
+                   / sqrt(2e0*n1*n2*(2e0*n1*n2 - n1 - n2)
+                          / ((n1+n2)*(n1+n2)*(n1+n2-1e0))) END AS z
+  FROM agg)
+SELECT series,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS runs,
+       round(z, 6) AS z,
+       round({_nsf2_sql('z')}, 6) AS p_value
+FROM zc ORDER BY series
+"""
+
+
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal/trend strength of daily event volumes per
+    type at period 7 (operators/temporal.py seasonal_strength): one
+    centered-MA row window, one phase-mean window, one variance
+    aggregate."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        seasonal_strength,
+    )
+
+    return seasonal_strength(
+        _daily_count_series(spark, sf_dir),
+        series_col="series", order_col="ord", value_col="y", period=7,
+    )
+
+
+ORACLE_SEASONAL_STRENGTH = f"""
+WITH daily AS ({_DAILY_COUNT_SERIES_SQL}),
+detr AS (
+  SELECT series, ord, y,
+         y - avg(y) OVER (PARTITION BY series ORDER BY ord
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS dt,
+         ord % 7 AS phase
+  FROM daily),
+comp AS (
+  SELECT series, y, dt,
+         dt - avg(dt) OVER (PARTITION BY series, phase) AS rem,
+         avg(dt) OVER (PARTITION BY series, phase) AS seas
+  FROM detr),
+v AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n,
+         var_pop(rem) AS vr, var_pop(dt) AS vd,
+         var_pop(y - seas) AS vt
+  FROM comp GROUP BY series)
+SELECT series, n,
+       round(CASE WHEN vd > 0
+                  THEN greatest(0e0, 1e0 - vr / vd) END, 6)
+         AS seasonal_strength,
+       round(CASE WHEN vt > 0
+                  THEN greatest(0e0, 1e0 - vr / vt) END, 6)
+         AS trend_strength
+FROM v ORDER BY series
+"""
+
+
+def q_wilcoxon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank per event type: each user's morning
+    (hour < 12) vs evening mean value as the pair
+    (operators/quality.py wilcoxon_signed_rank).  Both sides rounded
+    to 6 decimals BEFORE the test so rank/tie decisions are
+    bit-identical across engines."""
+    from knot_another_pipeline_spark.operators.quality import (
+        wilcoxon_signed_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    per = (
+        ev.groupBy(F.col("event_type").alias("fam"), "user_id")
+        .agg(
+            F.round(
+                F.avg(F.when(F.hour("ts") < 12, F.col("value"))), 6
+            ).alias("a"),
+            F.round(
+                F.avg(F.when(F.hour("ts") >= 12, F.col("value"))), 6
+            ).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    return wilcoxon_signed_rank(per, group_cols=["fam"], a_col="a", b_col="b")
+
+
+ORACLE_WILCOXON_PAIRS = f"""
+WITH per AS (
+  SELECT event_type AS fam, user_id,
+         round(avg(CASE WHEN hour(ts) < 12 THEN value END), 6) AS a,
+         round(avg(CASE WHEN hour(ts) >= 12 THEN value END), 6) AS b
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+d AS (
+  SELECT fam, a - b AS d FROM per
+  WHERE a IS NOT NULL AND b IS NOT NULL),
+nz AS (SELECT fam, d, abs(d) AS ad FROM d WHERE d != 0),
+ranked AS (
+  SELECT fam, d,
+         rank() OVER (PARTITION BY fam ORDER BY ad)
+           + (CAST(count(*) OVER (PARTITION BY fam, ad) AS DOUBLE) - 1)
+             / 2e0 AS r
+  FROM nz),
+ties AS (
+  SELECT fam, sum(t * t * t - t) AS tie3 FROM (
+    SELECT fam, ad, CAST(count(*) AS DOUBLE) AS t FROM nz GROUP BY 1, 2)
+  GROUP BY fam),
+agg AS (
+  SELECT fam, CAST(count(*) AS DOUBLE) AS n,
+         sum(CASE WHEN d > 0 THEN r ELSE 0e0 END) AS wp
+  FROM ranked GROUP BY fam),
+zeros AS (
+  SELECT fam,
+         CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM d GROUP BY fam),
+zc AS (
+  SELECT a.fam, a.n, a.wp, z.n_zero,
+         CASE WHEN a.n > 0
+                   AND a.n*(a.n+1e0)*(2e0*a.n+1e0)/24e0 - t.tie3/48e0 > 0
+              THEN (a.wp - a.n*(a.n+1e0)/4e0)
+                   / sqrt(a.n*(a.n+1e0)*(2e0*a.n+1e0)/24e0 - t.tie3/48e0)
+              END AS z
+  FROM agg a JOIN ties t ON t.fam = a.fam JOIN zeros z ON z.fam = a.fam)
+SELECT fam, CAST(n AS BIGINT) AS n_pairs, n_zero,
+       round(wp, 6) AS w_plus,
+       round(z, 6) AS z,
+       round({_nsf2_sql('z')}, 6) AS p_value
+FROM zc ORDER BY fam
+"""
+
+
+def q_friedman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test per day-kind family (weekday vs weekend): blocks
+    are 30 user buckets, treatments the event types, cell values the
+    bucket's mean event value rounded to 6 decimals before ranking
+    (operators/quality.py friedman_test)."""
+    from knot_another_pipeline_spark.operators.quality import friedman_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    cells = ev.groupBy(
+        F.when(
+            (
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date"),
+                )
+                % 7
+            ).isin(5, 6),
+            F.lit("weekend"),
+        )
+        .otherwise(F.lit("weekday"))
+        .alias("fam"),
+        F.pmod(F.col("user_id"), F.lit(30)).alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    return friedman_test(
+        cells, group_cols=["fam"], block_col="blk", treatment_col="trt",
+        value_col="v",
+    )
+
+
+ORACLE_FRIEDMAN_RANK = f"""
+WITH cells AS (
+  SELECT CASE WHEN (datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    % 7) IN (5, 6)
+              THEN 'weekend' ELSE 'weekday' END AS fam,
+         CAST(user_id % 30 AS VARCHAR) AS blk,
+         event_type AS trt,
+         round(avg(value), 6) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2, 3),
+kf AS (SELECT fam, CAST(count(DISTINCT trt) AS DOUBLE) AS k
+       FROM cells GROUP BY fam),
+bs AS (SELECT fam, blk, CAST(count(*) AS DOUBLE) AS bn
+       FROM cells GROUP BY fam, blk),
+complete AS (
+  SELECT b.fam, b.blk FROM bs b JOIN kf ON kf.fam = b.fam
+  WHERE b.bn = kf.k),
+ninc AS (
+  SELECT b.fam,
+         CAST(sum(CASE WHEN b.bn != kf.k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_incomplete
+  FROM bs b JOIN kf ON kf.fam = b.fam GROUP BY b.fam),
+kept AS (
+  SELECT c.* FROM cells c SEMI JOIN complete p
+    ON p.fam = c.fam AND p.blk = c.blk),
+ranked AS (
+  SELECT fam, blk, trt, v,
+         rank() OVER (PARTITION BY fam, blk ORDER BY v)
+           + (CAST(count(*) OVER (PARTITION BY fam, blk, v) AS DOUBLE)
+              - 1) / 2e0 AS r
+  FROM kept),
+pt AS (SELECT fam, trt, sum(r) AS rj FROM ranked GROUP BY fam, trt),
+famagg AS (
+  SELECT fam, CAST(count(*) AS DOUBLE) AS kk, sum(rj * rj) AS rr
+  FROM pt GROUP BY fam),
+nb AS (SELECT fam, CAST(count(DISTINCT blk) AS DOUBLE) AS n
+       FROM ranked GROUP BY fam),
+tc AS (
+  SELECT fam, sum(t * t * t - t) AS tie3 FROM (
+    SELECT fam, blk, v, CAST(count(*) AS DOUBLE) AS t
+    FROM ranked GROUP BY fam, blk, v)
+  GROUP BY fam),
+q AS (
+  SELECT f.fam, nb.n, ninc.n_incomplete, f.kk,
+         CASE WHEN f.kk >= 2 AND nb.n > 0
+                   AND 1e0 - tc.tie3 / (nb.n * f.kk * (f.kk*f.kk - 1e0)) > 0
+              THEN (12e0 / (nb.n * f.kk * (f.kk + 1e0)) * f.rr
+                    - 3e0 * nb.n * (f.kk + 1e0))
+                   / (1e0 - tc.tie3 / (nb.n * f.kk * (f.kk*f.kk - 1e0)))
+              END AS qc
+  FROM famagg f
+  JOIN nb ON nb.fam = f.fam
+  JOIN tc ON tc.fam = f.fam
+  JOIN ninc ON ninc.fam = f.fam)
+SELECT fam, CAST(n AS BIGINT) AS n_blocks, n_incomplete,
+       CAST(kk AS BIGINT) AS k_treatments,
+       round(qc, 6) AS q_corrected,
+       CAST(kk - 1 AS BIGINT) AS df,
+       round({_wh_chi2_p_sql('qc', '(kk - 1e0)')}, 6) AS p_value
+FROM q ORDER BY fam
+"""
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test per order year: do the order-priority
+    classes sit differently around the year's median total price
+    (operators/quality.py mood_median)."""
+    from knot_another_pipeline_spark.operators.quality import mood_median
+
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    s = od.select(
+        F.year("o_orderdate").cast("string").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return mood_median(
+        s, group_cols=["yr"], value_col="price", class_col="prio"
+    )
+
+
+ORACLE_MOOD_MEDIAN = f"""
+WITH s AS (
+  SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
+         o_orderpriority AS prio,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+med AS (SELECT yr, quantile_cont(v, 0.5) AS med FROM s GROUP BY yr),
+tagged AS (
+  SELECT s.yr, s.prio, CASE WHEN s.v > m.med THEN 1 ELSE 0 END AS abv
+  FROM s JOIN med m ON m.yr = s.yr),
+pc AS (
+  SELECT yr, prio, CAST(count(*) AS DOUBLE) AS nc,
+         CAST(sum(abv) AS DOUBLE) AS ac
+  FROM tagged GROUP BY yr, prio),
+fam AS (
+  SELECT yr, sum(nc) AS n, sum(ac) AS a,
+         CAST(count(*) AS DOUBLE) AS k,
+         sum(ac * ac / nc) AS saa
+  FROM pc GROUP BY yr),
+c AS (
+  SELECT yr, n, k,
+         CASE WHEN k >= 2 AND a / n > 0 AND a / n < 1
+              THEN (saa - a * a / n) / ((a / n) * (1e0 - a / n)) END
+           AS chi2
+  FROM fam)
+SELECT yr, CAST(n AS BIGINT) AS n_total,
+       CAST(k AS BIGINT) AS k_classes,
+       round(chi2, 6) AS chi2,
+       CAST(k - 1 AS BIGINT) AS df,
+       round({_wh_chi2_p_sql('chi2', '(k - 1e0)')}, 6) AS p_value
+FROM c ORDER BY yr
+"""
+
+
+def q_permutation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded permutation test: purchase vs click mean event
+    value, 100 deterministic relabelings via hash64(event_id, seed)
+    (operators/evaluation.py permutation_test) — one broadcast seed
+    crossJoin whose map-side combine reduces to 100 rows/partition."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        permutation_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    return permutation_test(
+        ev,
+        id_col="event_id", arm_col="event_type", value_col="value",
+        treatment="purchase", control="click", n_perm=100,
+    )
+
+
+def _h64_mod2(seed_expr: str, id_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({seed_expr} AS VARCHAR)"
+        f" || ':' || CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % 2"
+    )
+
+
+ORACLE_PERMUTATION_DIFF = f"""
+WITH s AS (
+  SELECT event_id AS id, event_type AS arm, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+    AND event_type IN ('purchase', 'click')),
+obs AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treat,
+    CAST(sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_control,
+    avg(CASE WHEN arm = 'purchase' THEN v END)
+      - avg(CASE WHEN arm = 'click' THEN v END) AS obs
+  FROM s),
+seeds AS (SELECT unnest(range(1, 101)) AS seed),
+per AS (
+  SELECT seed,
+         avg(CASE WHEN {_h64_mod2('seed', 'id')} = 1 THEN v END)
+           - avg(CASE WHEN {_h64_mod2('seed', 'id')} = 0 THEN v END)
+           AS pd
+  FROM s, seeds GROUP BY seed),
+tally AS (
+  SELECT o.n_treat, o.n_control, o.obs,
+         CAST(count(*) AS BIGINT) AS n_perm,
+         CAST(sum(CASE WHEN abs(p.pd) >= abs(o.obs) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_extreme
+  FROM per p, obs o GROUP BY o.n_treat, o.n_control, o.obs)
+SELECT n_treat, n_control,
+       round(obs, 6) AS obs_diff,
+       n_perm, n_extreme,
+       round((1e0 + n_extreme) / (CAST(n_perm AS DOUBLE) + 1e0), 6)
+         AS p_value
+FROM tally
+"""
+
+
+def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, event_type) subjects with day-span durations and the
+    final-7-days right-censoring rule — the q_survival_curve framing."""
+    events = load_table(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("_hmax"))
+    return (
+        events.groupBy("user_id", F.col("event_type").alias("grp"))
+        .agg(F.min("ts").alias("_first"), F.max("ts").alias("_last"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "grp",
+            F.datediff(
+                F.col("_last").cast("date"), F.col("_first").cast("date")
+            ).cast("double").alias("dur"),
+            F.when(
+                F.col("_last") < F.col("_hmax") - F.expr("INTERVAL 7 DAYS"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("ev"),
+        )
+    )
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per event type on the
+    survival_curve subjects (operators/behavior.py nelson_aalen): one
+    step-table aggregate, cumulative-sum windows over it."""
+    from knot_another_pipeline_spark.operators.behavior import nelson_aalen
+
+    return nelson_aalen(
+        _survival_subjects(spark, sf_dir),
+        group_col="grp", duration_col="dur", event_col="ev",
+    )
+
+
+_SURVIVAL_SUBJECTS_SQL = """
+  SELECT user_id, event_type AS grp,
+         CAST(date_diff('day', CAST(min(ts) AS DATE),
+                        CAST(max(ts) AS DATE)) AS DOUBLE) AS dur,
+         CASE WHEN max(ts) < (SELECT max(ts) FROM events)
+                             - INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS ev
+  FROM events GROUP BY user_id, event_type
+"""
+
+
+ORACLE_NELSON_AALEN = f"""
+WITH subj AS ({_SURVIVAL_SUBJECTS_SQL}),
+agg AS (
+  SELECT grp, dur AS t, sum(ev) AS d, sum(1 - ev) AS c
+  FROM subj GROUP BY 1, 2),
+w AS (
+  SELECT grp, t, d, c,
+         sum(d + c) OVER (PARTITION BY grp)
+           - coalesce(sum(d + c) OVER
+               (PARTITION BY grp ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM agg),
+h AS (
+  SELECT *,
+         sum(CAST(d AS DOUBLE) / n_risk) OVER cum AS haz,
+         sum(CAST(d AS DOUBLE) / n_risk / n_risk) OVER cum AS hvar
+  FROM w
+  WINDOW cum AS (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT grp AS "group", t AS duration,
+       CAST(n_risk AS BIGINT) AS at_risk,
+       CAST(d AS BIGINT) AS events, CAST(c AS BIGINT) AS censored,
+       round(haz, 6) AS cum_hazard,
+       round(sqrt(hvar), 6) AS hazard_se,
+       round(exp(-haz), 6) AS fh_survival
+FROM h WHERE d > 0
+"""
+
+
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank test — even vs odd user ids, per-user
+    durations with the final-7-days censoring rule
+    (operators/behavior.py log_rank_test)."""
+    from knot_another_pipeline_spark.operators.behavior import log_rank_test
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    horizon = events.agg(F.max("ts").alias("_hmax"))
+    subj = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("_first"), F.max("ts").alias("_last"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd"))
+            .alias("cohort"),
+            F.datediff(
+                F.col("_last").cast("date"), F.col("_first").cast("date")
+            ).cast("double").alias("dur"),
+            F.when(
+                F.col("_last") < F.col("_hmax") - F.expr("INTERVAL 7 DAYS"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("ev"),
+        )
+    )
+    return log_rank_test(
+        subj, group_col="cohort", duration_col="dur", event_col="ev"
+    )
+
+
+ORACLE_LOG_RANK = f"""
+WITH subj AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+         CAST(date_diff('day', CAST(min(ts) AS DATE),
+                        CAST(max(ts) AS DATE)) AS DOUBLE) AS t,
+         CASE WHEN max(ts) < (SELECT max(ts) FROM events)
+                             - INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS ev
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+steps AS (
+  SELECT grp, t, CAST(sum(ev) AS DOUBLE) AS d,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM subj GROUP BY grp, t),
+grid AS (
+  SELECT t, grp FROM (SELECT DISTINCT t FROM steps),
+                     (SELECT DISTINCT grp FROM steps)),
+dense AS (
+  SELECT g.grp, g.t, coalesce(s.d, 0e0) AS d, coalesce(s.x, 0e0) AS x
+  FROM grid g LEFT JOIN steps s ON s.grp = g.grp AND s.t = g.t),
+ar AS (
+  SELECT grp, t, d,
+         sum(x) OVER (PARTITION BY grp ORDER BY t
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+  FROM dense),
+piv AS (
+  SELECT t,
+         sum(CASE WHEN grp = 'even' THEN d ELSE 0e0 END) AS d1,
+         sum(CASE WHEN grp = 'even' THEN n ELSE 0e0 END) AS n1,
+         sum(d) AS dt, sum(n) AS nt
+  FROM ar GROUP BY t HAVING sum(d) > 0),
+tot AS (
+  SELECT sum(d1) AS o1, sum(dt * n1 / nt) AS e1, sum(dt) AS ot,
+         sum(CASE WHEN nt > 1
+                  THEN dt * (n1/nt) * (1e0 - n1/nt) * (nt - dt) / (nt - 1e0)
+                  ELSE 0e0 END) AS v
+  FROM piv),
+stat AS (
+  SELECT o1, e1, ot,
+         CASE WHEN v > 0 THEN (o1 - e1) * (o1 - e1) / v END AS chi2
+  FROM tot),
+pg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_subjects
+  FROM subj GROUP BY grp)
+SELECT pg.grp AS "group", pg.n_subjects,
+       round(CASE WHEN pg.grp = 'even' THEN s.o1
+                  ELSE s.ot - s.o1 END, 6) AS observed,
+       round(CASE WHEN pg.grp = 'even' THEN s.e1
+                  ELSE s.ot - s.e1 END, 6) AS expected,
+       round(s.chi2, 6) AS chi2,
+       CAST(1 AS BIGINT) AS df,
+       round({_nsf2_sql('sqrt(s.chi2)')}, 6) AS p_value
+FROM pg, stat s
+ORDER BY pg.grp
+"""
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-hop harmonic centrality of every 101st order node on
+    the order<->part graph (operators/graph.py harmonic_centrality):
+    the reach_census frontier loop folding n_hop/h sums — nodes enter
+    at minimum distance exactly once."""
+    from knot_another_pipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    roots = (
+        li.filter(F.col("l_orderkey") % 101 == 0)
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    return harmonic_centrality(_walk_edges(li), roots=roots, hops=3)
+
+
+ORACLE_HARMONIC_CENTRALITY = """
+WITH e AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 'p:' || l_partkey AS src, 'o:' || l_orderkey AS dst
+  FROM lineitem),
+roots AS (
+  SELECT DISTINCT 'o:' || l_orderkey AS root
+  FROM lineitem WHERE l_orderkey % 101 = 0),
+r0 AS (SELECT root, root AS node FROM roots),
+f1 AS (
+  (SELECT DISTINCT r.root, e.dst AS node FROM r0 r JOIN e ON e.src = r.node)
+  EXCEPT (SELECT root, node FROM r0)),
+f2 AS (
+  (SELECT DISTINCT f.root, e.dst AS node FROM f1 f JOIN e ON e.src = f.node)
+  EXCEPT (SELECT root, node FROM r0 UNION ALL SELECT root, node FROM f1)),
+f3 AS (
+  (SELECT DISTINCT f.root, e.dst AS node FROM f2 f JOIN e ON e.src = f.node)
+  EXCEPT (SELECT root, node FROM r0 UNION ALL SELECT root, node FROM f1
+          UNION ALL SELECT root, node FROM f2)),
+c1 AS (SELECT root, CAST(count(*) AS DOUBLE) AS n FROM f1 GROUP BY root),
+c2 AS (SELECT root, CAST(count(*) AS DOUBLE) AS n FROM f2 GROUP BY root),
+c3 AS (SELECT root, CAST(count(*) AS DOUBLE) AS n FROM f3 GROUP BY root)
+SELECT r.root,
+       CAST(coalesce(c1.n, 0) + coalesce(c2.n, 0) + coalesce(c3.n, 0)
+            AS BIGINT) AS n_reach,
+       round(coalesce(c1.n, 0) / 1e0 + coalesce(c2.n, 0) / 2e0
+             + coalesce(c3.n, 0) / 3e0, 6) AS harmonic
+FROM roots r
+LEFT JOIN c1 ON c1.root = r.root
+LEFT JOIN c2 ON c2.root = r.root
+LEFT JOIN c3 ON c3.root = r.root
+ORDER BY r.root
+"""
+
+
 QUERIES = {
+    # round-10 additions: drift/unit-root/spectral/runs/seasonal series
+    # diagnostics, paired & k-sample rank tests, permutation inference,
+    # survival hazard + log-rank, bounded harmonic centrality
+    "page_hinkley": q_page_hinkley,
+    "dickey_fuller": q_dickey_fuller,
+    "spectral_entropy": q_spectral_entropy,
+    "runs_test": q_runs_test,
+    "seasonal_strength": q_seasonal_strength,
+    "wilcoxon_pairs": q_wilcoxon_pairs,
+    "friedman_rank": q_friedman_rank,
+    "mood_median": q_mood_median,
+    "permutation_diff": q_permutation_diff,
+    "nelson_aalen": q_nelson_aalen,
+    "log_rank": q_log_rank,
+    "harmonic_centrality": q_harmonic_centrality,
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
     # TPC-H plan shapes (Q2, Q3, Q7, Q8, Q9, Q11, Q15, Q16, Q20)
@@ -14689,6 +15525,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "page_hinkley": ORACLE_PAGE_HINKLEY,
+    "dickey_fuller": ORACLE_DICKEY_FULLER,
+    "spectral_entropy": ORACLE_SPECTRAL_ENTROPY,
+    "runs_test": ORACLE_RUNS_TEST,
+    "seasonal_strength": ORACLE_SEASONAL_STRENGTH,
+    "wilcoxon_pairs": ORACLE_WILCOXON_PAIRS,
+    "friedman_rank": ORACLE_FRIEDMAN_RANK,
+    "mood_median": ORACLE_MOOD_MEDIAN,
+    "permutation_diff": ORACLE_PERMUTATION_DIFF,
+    "nelson_aalen": ORACLE_NELSON_AALEN,
+    "log_rank": ORACLE_LOG_RANK,
+    "harmonic_centrality": ORACLE_HARMONIC_CENTRALITY,
     # round-9 additions
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,

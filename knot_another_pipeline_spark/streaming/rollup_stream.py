@@ -1070,3 +1070,51 @@ def streaming_msprt_monitor(
             "dqt",
         )
     )
+
+
+def streaming_page_hinkley_feeder(
+    stream: DataFrame,
+    *,
+    ts_col: str,
+    series_col: str,
+    value_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-tumbling-window mean increments — the streaming feeder for
+    the Page–Hinkley drift readout (``operators.temporal.
+    page_hinkley``): PH's running mean, cumulative deviation, and
+    running minimum are unbounded-lookback recurrences over ALL prior
+    looks, which append-mode watermarked aggregation correctly refuses
+    to express — the same stream-feeder/batch-view split as
+    :func:`streaming_msprt_monitor`.  The stream appends one bounded
+    row per closed (series, window); the batch view runs
+    ``page_hinkley(series_col="series", order_col="win_start",
+    value_col=sum/n)`` over the accumulated rows at query time.
+
+    State is bounded by open windows × live series (the
+    :func:`streaming_fairness_monitor` argument); payload rows never
+    accumulate in state.
+
+    Output per closed window: series, win_start, n, total (Σ value) —
+    mean reconstructs as total/n at read time so late re-emits of the
+    same window stay mergeable upstream.
+    """
+    v = F.col(value_col).cast("double")
+    base = stream.filter(v.isNotNull()).select(
+        F.col(ts_col).alias("_ts"),
+        F.col(series_col).cast("string").alias("series"),
+        v.alias("_v"),
+    )
+    return (
+        base.withWatermark("_ts", watermark)
+        .groupBy(
+            "series", F.window(F.col("_ts"), window_duration).alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_v").alias("total"),
+        )
+        .select(F.col("series"), F.col("win.start").alias("win_start"),
+                "n", "total")
+    )

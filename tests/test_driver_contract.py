@@ -86,26 +86,31 @@ def test_round10_window_drains_backlog():
     assert len(ordered) == len(set(ordered)), "duplicate keys in queue"
     assert set(ordered) == set(QUERIES), "queue does not cover the catalog"
     gated = _gated_keys()
-    backlog = queue_order.backlog()
-    assert mod._BACKLOG == backlog, (
-        "committed _BACKLOG drifted from tools/queue_order.backlog(); "
-        "regenerate it"
+    # queue_order.backlog() = every never-gated key in catalog order;
+    # _BACKLOG is the prior-round portion (this round's additions are
+    # never-gated too but belong to _NEW_KEYS — newer debt, queued
+    # behind keys that have already waited a full round)
+    never = queue_order.backlog()
+    new = set(mod._NEW_KEYS)
+    assert mod._BACKLOG == [k for k in never if k not in new], (
+        "committed _BACKLOG drifted from tools/queue_order.backlog() "
+        "minus _NEW_KEYS; regenerate it"
     )
-    assert not (set(mod._NEW_KEYS) & gated), (
-        "a 'new' key already has a driver row"
-    )
-    assert not (set(mod._NEW_KEYS) & set(backlog)), (
+    assert new <= set(never), "a 'new' key already has a driver row"
+    assert not (new & set(mod._BACKLOG)), (
         "_NEW_KEYS duplicates a backlog key"
     )
-    expected = (backlog + mod._NEW_KEYS + queue_order.stale_rotation())[:50]
+    expected = (
+        mod._BACKLOG + mod._NEW_KEYS + queue_order.stale_rotation()
+    )[:50]
     assert ordered[:50] == expected, (
         "window is not backlog + new-additions + stalest-gated; "
         "regenerate the pinned lists with tools/queue_order.py"
     )
-    if len(backlog) < 50:
+    if len(mod._BACKLOG) < 50:
         # partially drained: whatever window slots the backlog and the
         # new additions don't fill must re-gate the stalest keys
-        n_regate = 50 - min(50, len(backlog) + len(mod._NEW_KEYS))
+        n_regate = 50 - min(50, len(mod._BACKLOG) + len(mod._NEW_KEYS))
         rot = queue_order.stale_rotation()
         assert ordered[50 - n_regate : 50] == rot[:n_regate]
 

@@ -597,3 +597,84 @@ def test_harmonic_centrality_min_distance_on_cycles(spark):
     assert got["harmonic"] == pytest.approx(2.0)  # both at distance 1
     with pytest.raises(ValueError, match="hops"):
         harmonic_centrality(edges, roots=roots, hops=0)
+
+
+# ---------------------------------------------------------------------------
+# streaming_page_hinkley_feeder
+
+
+def test_streaming_page_hinkley_feeder_matches_batch(spark, tmp_path):
+    """Feeder rows equal the batch per-window aggregates, and feeding
+    the accumulated means into page_hinkley reproduces the batch PH
+    readout on the window-mean series exactly — the documented
+    stream-feeder/batch-view split."""
+    from knot_another_pipeline_spark.operators.temporal import page_hinkley
+    from knot_another_pipeline_spark.streaming.rollup_stream import (
+        streaming_page_hinkley_feeder,
+    )
+
+    rows = []
+    for h in range(4):
+        base = 5.0 if h < 2 else 11.0  # a level shift at hour 2
+        for i in range(12):
+            rows.append(
+                ("m", base + (i % 3) * 0.1, f"2025-01-01 0{h}:{i + 10:02d}:00")
+            )
+    rows.append(("m", 1.0, "2025-01-03 00:00:00"))  # watermark pusher
+    df = spark.createDataFrame(
+        rows, "series string, v double, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = tmp_path / "ph_in"
+    df.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = streaming_page_hinkley_feeder(
+        stream,
+        ts_col="ts", series_col="series", value_col="v",
+        window_duration="1 hour", watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ph_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    looks = spark.sql(
+        "SELECT * FROM ph_test WHERE win_start < timestamp '2025-01-02'"
+    )
+    assert looks.count() == 4
+    want = (
+        df.filter(F.col("ts") < F.lit("2025-01-02").cast("timestamp"))
+        .groupBy("series", F.date_trunc("hour", "ts").alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
+    got_m = {
+        (r["series"], str(r["win_start"])): (r["n"], round(r["total"], 9))
+        for r in looks.collect()
+    }
+    want_m = {
+        (r["series"], str(r["win_start"])): (r["n"], round(r["total"], 9))
+        for r in want.collect()
+    }
+    assert got_m == want_m
+    # composition: accumulated feeder rows -> the batch PH readout
+    means = looks.select(
+        "series",
+        F.col("win_start").alias("ord"),
+        (F.col("total") / F.col("n")).alias("x"),
+    )
+    via_stream = page_hinkley(
+        means, series_col="series", order_col="ord", value_col="x",
+        lam=2.0,
+    ).collect()[0]
+    direct = page_hinkley(
+        want.select(
+            "series",
+            F.col("win_start").alias("ord"),
+            (F.col("total") / F.col("n")).alias("x"),
+        ),
+        series_col="series", order_col="ord", value_col="x", lam=2.0,
+    ).collect()[0]
+    assert via_stream == direct
+    assert via_stream["drift"] is True  # the hour-2 level shift alarms

@@ -94,6 +94,30 @@ OPS = [
     # stays fixed while n_cur grows — the pass cost is what scales,
     # and that is the thing probed).
     "energy_drift",
+    # round-10 series diagnostics on the shifted events replica: the
+    # event_type series set is FIXED while each series grows k-fold in
+    # length (copies are disjoint years appended in time), so the
+    # stacked cumulative windows (page_hinkley), lag+OLS aggregate
+    # (dickey_fuller), trig-sum crossJoin (spectral_entropy), exact
+    # median + lag window (runs_test), and MA/phase windows
+    # (seasonal_strength) all see k-fold partition lengths with output
+    # fixed at one row per series.
+    "page_hinkley",
+    "dickey_fuller",
+    "spectral_entropy",
+    "runs_test",
+    "seasonal_strength",
+    # round-10 rank/permutation/survival probes, same replica: user ids
+    # shift per copy so subject counts scale by k with per-subject
+    # structure preserved (wilcoxon pairs, log_rank/nelson_aalen risk
+    # sets, friedman cell sizes — blocks stay 30 buckets/fam, cells
+    # grow k-fold inside); permutation_diff's 100-seed crossJoin sees
+    # exactly 100k-fold hash evaluations with a fixed 1-row output.
+    "wilcoxon_pairs",
+    "friedman_rank",
+    "permutation_diff",
+    "nelson_aalen",
+    "log_rank",
 ]
 OPS_SALTED = [
     "minhash_pairs",
@@ -121,7 +145,15 @@ OPS_SALTED = [
 # nation×year groups grow k-fold (Q9), exactly the 100 TB behavior.
 # Dates are NOT shifted: shifting would move copies across the probe
 # queries' date windows and change filter selectivity per copy.
-OPS_TPCH = ["shipping_priority", "product_profit"]
+OPS_TPCH = [
+    "shipping_priority",
+    "product_profit",
+    # mood_median on the orderkey-shifted replica: orders rows
+    # duplicate k-fold with identical prices/dates, so per-year
+    # medians and class shares are constant while the median
+    # percentile aggregate and the 2xk table scan k-fold rows.
+    "mood_median",
+]
 # Iterative/graph shapes, probed on a BOTH-KEYS-SHIFTED lineitem replica
 # (l_orderkey AND l_partkey shifted per copy): each copy is a DISJOINT
 # order<->part graph, so node count, walk count, and per-root reach all
@@ -137,6 +169,11 @@ OPS_GRAPH = [
     # distributions are preserved exactly, edges scale by k, output is
     # one row — measures the two degree aggregates + edge join.
     "assortativity",
+    # harmonic_centrality on the disjoint-copies graph: roots and every
+    # bounded-hop frontier scale linearly in k (copies never fuse), so
+    # the three frontier joins carry k-fold rows with per-root reach
+    # constant — the same argument as reach_census.
+    "harmonic_centrality",
 ]
 OPS_ALL = OPS + OPS_SALTED + OPS_TPCH + OPS_GRAPH
 
