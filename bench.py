@@ -295,6 +295,11 @@ HEADLINE = [
     "nelson_aalen",
     "log_rank",
     "harmonic_centrality",
+    "anderson_darling",
+    "krippendorff_alpha",
+    "l_diversity",
+    "tost_equivalence",
+    "mantel_haenszel",
 ]
 
 

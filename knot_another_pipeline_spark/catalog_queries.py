@@ -15173,6 +15173,333 @@ ORDER BY r.root
 """
 
 
+
+def _one_sided_p_sql(z: str) -> str:
+    """One-sided normal tail P(Z > z) from the shared A&S polynomial."""
+    return (
+        f"(CASE WHEN {z} >= 0 THEN ({_nsf2_sql(z)}) / 2"
+        f" ELSE 1e0 - ({_nsf2_sql(z)}) / 2 END)"
+    )
+
+
+_WEEKEND_SQL = (
+    "CASE WHEN (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)"
+    " IN (5, 6) THEN 1 ELSE 0 END"
+)
+
+
+def _weekend_flag() -> F.Column:
+    return F.when(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).isin(5, 6),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+
+
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling per event type: weekend vs weekday
+    value distributions (operators/quality.py anderson_darling) — the
+    tail-weighted drift test; one pooled window per family + one hash
+    aggregate, raw parquet doubles so the pooled order is bit-identical
+    across engines."""
+    from knot_another_pipeline_spark.operators.quality import (
+        anderson_darling,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = ev.select(
+        F.col("event_type").alias("fam"),
+        F.col("value").cast("double").alias("v"),
+        _weekend_flag().alias("y"),
+    )
+    return anderson_darling(
+        s, group_cols=["fam"], value_col="v", class_col="y"
+    )
+
+
+ORACLE_ANDERSON_DARLING = f"""
+WITH s AS (
+  SELECT event_type AS fam, CAST(value AS DOUBLE) AS v,
+         {_WEEKEND_SQL} AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+st AS (
+  SELECT fam,
+         CAST(row_number() OVER w AS DOUBLE) AS i,
+         CAST(sum(y) OVER (PARTITION BY fam ORDER BY v ASC, y DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS mi,
+         CAST(sum(y) OVER (PARTITION BY fam) AS DOUBLE) AS n1,
+         CAST(count(*) OVER (PARTITION BY fam) AS DOUBLE) AS nn
+  FROM s
+  WINDOW w AS (PARTITION BY fam ORDER BY v ASC, y DESC)),
+agg AS (
+  SELECT fam, max(n1) AS n1, max(nn) AS nn,
+         sum(CASE WHEN i < nn
+                  THEN (mi * nn - n1 * i) * (mi * nn - n1 * i)
+                       / (i * (nn - i)) ELSE 0e0 END) AS sm
+  FROM st GROUP BY fam),
+f AS (
+  SELECT fam, n1, nn - n1 AS n0,
+         CASE WHEN n1 > 0 AND nn - n1 > 0
+              THEN sm / (n1 * (nn - n1)) END AS ad
+  FROM agg)
+SELECT fam, CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+       round(ad, 6) AS ad_stat,
+       ad > 2.492e0 AS exceeds_5pct
+FROM f ORDER BY fam
+"""
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's nominal alpha over (user = unit, event_type =
+    rating): how internally consistent users' event types are vs the
+    corpus mix (operators/quality.py krippendorff_alpha) — two
+    narrowing aggregates, missing-rater-safe, single-event users
+    excluded as unpairable."""
+    from knot_another_pipeline_spark.operators.quality import (
+        krippendorff_alpha,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return krippendorff_alpha(
+        ev, unit_col="user_id", value_col="event_type"
+    )
+
+
+ORACLE_KRIPPENDORFF_ALPHA = """
+WITH s AS (
+  SELECT user_id AS u, event_type AS c
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+cells AS (
+  SELECT u, c, CAST(count(*) AS DOUBLE) AS nuc FROM s GROUP BY u, c),
+units AS (SELECT u, sum(nuc) AS mu FROM cells GROUP BY u),
+unpair AS (
+  SELECT CAST(sum(CASE WHEN mu < 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unpairable FROM units),
+j AS (
+  SELECT cells.u, cells.c, cells.nuc, units.mu
+  FROM cells JOIN units ON units.u = cells.u WHERE units.mu >= 2),
+don AS (
+  SELECT sum(nuc * (mu - nuc) / (mu - 1e0)) AS don,
+         CAST(count(DISTINCT c) AS BIGINT) AS k_categories,
+         CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+         sum(nuc) AS ntot
+  FROM j),
+ct AS (
+  SELECT sum(nc * nc) AS snc2 FROM (
+    SELECT c, sum(nuc) AS nc FROM j GROUP BY c)),
+f AS (
+  SELECT n_units, n_unpairable, ntot, k_categories,
+         don / ntot AS d_o,
+         (ntot * ntot - snc2) / (ntot * (ntot - 1e0)) AS d_e
+  FROM don, ct, unpair)
+SELECT n_units, n_unpairable, CAST(ntot AS BIGINT) AS n_ratings,
+       k_categories,
+       round(d_o, 6) AS d_o,
+       round(d_e, 6) AS d_e,
+       round(CASE WHEN d_e > 0 THEN 1e0 - d_o / d_e END, 6) AS alpha
+FROM f
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity release gate over (event_type, hour) quasi
+    classes with the user segment (user_id % 5) as the sensitive
+    attribute (operators/quality.py l_diversity_summary): the worst
+    class drives the verdict."""
+    from knot_another_pipeline_spark.operators.quality import (
+        l_diversity_summary,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    s = ev.select(
+        F.col("event_type").alias("etype"),
+        F.hour("ts").alias("hr"),
+        F.pmod(F.col("user_id"), F.lit(5)).cast("string").alias("seg"),
+    )
+    return l_diversity_summary(
+        s, quasi_cols=["etype", "hr"], sensitive_col="seg",
+        min_entropy_l=2.0,
+    )
+
+
+ORACLE_L_DIVERSITY = """
+WITH s AS (
+  SELECT event_type AS etype, hour(ts) AS hr,
+         CAST(user_id % 5 AS VARCHAR) AS seg
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+cells AS (
+  SELECT etype, hr, seg, CAST(count(*) AS DOUBLE) AS n
+  FROM s GROUP BY etype, hr, seg),
+cls AS (
+  SELECT etype, hr, sum(n) AS tot,
+         CAST(count(*) AS BIGINT) AS l,
+         sum(n * ln(n)) AS nln
+  FROM cells GROUP BY etype, hr),
+ent AS (SELECT *, exp(ln(tot) - nln / tot) AS el FROM cls)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(tot) AS BIGINT) AS n_rows,
+       CAST(min(tot) AS BIGINT) AS min_class_size,
+       CAST(min(l) AS BIGINT) AS min_distinct_l,
+       round(min(el), 6) AS min_entropy_l,
+       CAST(sum(CASE WHEN el < 2e0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       min(el) >= 2e0 AS release_ok
+FROM ent
+"""
+
+
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence per event type: is the weekend mean value
+    within +/-2.0 of the weekday mean
+    (operators/evaluation.py tost_equivalence) — one conditional hash
+    aggregate, Welch SE, both one-sided ps from the shared normal
+    polynomial."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        tost_equivalence,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = ev.select(
+        F.col("event_type").alias("fam"),
+        F.when(_weekend_flag() == 1, F.lit("weekend"))
+        .otherwise(F.lit("weekday"))
+        .alias("arm"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return tost_equivalence(
+        s, group_cols=["fam"], arm_col="arm", value_col="v",
+        treatment="weekend", control="weekday", margin=2.0,
+    )
+
+
+ORACLE_TOST_EQUIVALENCE = f"""
+WITH s AS (
+  SELECT event_type AS fam,
+         CASE WHEN {_WEEKEND_SQL} = 1 THEN 'weekend'
+              ELSE 'weekday' END AS arm,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+a AS (
+  SELECT fam,
+         sum(CASE WHEN arm = 'weekend' THEN 1e0 ELSE 0e0 END) AS nt,
+         sum(CASE WHEN arm = 'weekend' THEN v ELSE 0e0 END) AS st,
+         sum(CASE WHEN arm = 'weekend' THEN v * v ELSE 0e0 END) AS sqt,
+         sum(CASE WHEN arm = 'weekday' THEN 1e0 ELSE 0e0 END) AS nc,
+         sum(CASE WHEN arm = 'weekday' THEN v ELSE 0e0 END) AS sc,
+         sum(CASE WHEN arm = 'weekday' THEN v * v ELSE 0e0 END) AS sqc
+  FROM s GROUP BY fam),
+m AS (
+  SELECT fam, nt, nc,
+         st / nt - sc / nc AS diff,
+         sqrt(((sqt - nt * (st / nt) * (st / nt)) / (nt - 1e0)) / nt
+              + ((sqc - nc * (sc / nc) * (sc / nc)) / (nc - 1e0)) / nc)
+           AS se
+  FROM a),
+z AS (
+  SELECT fam, nt, nc,
+         CASE WHEN nt > 1 AND nc > 1 AND se > 0 THEN diff END AS diff,
+         CASE WHEN nt > 1 AND nc > 1 AND se > 0 THEN se END AS se,
+         (diff + 2e0) / se AS zlo,
+         (2e0 - diff) / se AS zhi
+  FROM m),
+p AS (
+  SELECT fam, nt, nc, diff, se,
+         CASE WHEN diff IS NOT NULL THEN
+           greatest({_one_sided_p_sql('zlo')}, {_one_sided_p_sql('zhi')})
+         END AS p_tost
+  FROM z)
+SELECT fam, CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_control,
+       round(diff, 6) AS diff,
+       round(se, 6) AS se,
+       round(p_tost, 6) AS p_tost,
+       p_tost < 0.05e0 AS equivalent
+FROM p ORDER BY fam
+"""
+
+
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across weekday strata: is a
+    high event value (> 50) associated with the purchase type after
+    controlling for day-of-week
+    (operators/evaluation.py mantel_haenszel)."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        mantel_haenszel,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = ev.select(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).cast("string").alias("wd"),
+        (F.col("value") > 50).alias("exposed"),
+        (F.col("event_type") == "purchase").alias("outcome"),
+    )
+    return mantel_haenszel(
+        s, stratum_col="wd", exposure_col="exposed", outcome_col="outcome"
+    )
+
+
+ORACLE_MANTEL_HAENSZEL = f"""
+WITH s AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS VARCHAR) AS wd,
+         value > 50 AS e,
+         event_type = 'purchase' AS o
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+cells AS (
+  SELECT wd,
+         sum(CASE WHEN e AND o THEN 1e0 ELSE 0e0 END) AS a,
+         sum(CASE WHEN e AND NOT o THEN 1e0 ELSE 0e0 END) AS b,
+         sum(CASE WHEN NOT e AND o THEN 1e0 ELSE 0e0 END) AS c,
+         sum(CASE WHEN NOT e AND NOT o THEN 1e0 ELSE 0e0 END) AS d
+  FROM s GROUP BY wd),
+n AS (SELECT *, a + b + c + d AS nn FROM cells),
+red AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata_all,
+         CAST(sum(CASE WHEN nn < 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_strata_skipped,
+         CAST(sum(nn) AS BIGINT) AS n_rows,
+         sum(CASE WHEN nn >= 2 THEN a * d / nn END) AS sad,
+         sum(CASE WHEN nn >= 2 THEN b * c / nn END) AS sbc,
+         sum(CASE WHEN nn >= 2 THEN a END) AS sa,
+         sum(CASE WHEN nn >= 2 THEN (a + b) * (a + c) / nn END) AS se_,
+         sum(CASE WHEN nn >= 2
+                  THEN (a + b) * (c + d) * (a + c) * (b + d)
+                       / (nn * nn * (nn - 1e0)) END) AS sv
+  FROM n),
+f AS (
+  SELECT n_strata_all - n_strata_skipped AS n_strata,
+         n_strata_skipped, n_rows,
+         CASE WHEN sbc > 0 THEN sad / sbc END AS or_mh,
+         CASE WHEN sv > 0 THEN (sa - se_) * (sa - se_) / sv END AS chi2
+  FROM red)
+SELECT n_strata, n_strata_skipped, n_rows,
+       round(or_mh, 6) AS or_mh,
+       round(chi2, 6) AS cmh_chi2,
+       CAST(1 AS BIGINT) AS df,
+       round({_nsf2_sql('sqrt(chi2)')}, 6) AS p_value
+FROM f
+"""
+
+
 QUERIES = {
     # round-10 additions: drift/unit-root/spectral/runs/seasonal series
     # diagnostics, paired & k-sample rank tests, permutation inference,
@@ -15189,6 +15516,11 @@ QUERIES = {
     "nelson_aalen": q_nelson_aalen,
     "log_rank": q_log_rank,
     "harmonic_centrality": q_harmonic_centrality,
+    "anderson_darling": q_anderson_darling,
+    "krippendorff_alpha": q_krippendorff_alpha,
+    "l_diversity": q_l_diversity,
+    "tost_equivalence": q_tost_equivalence,
+    "mantel_haenszel": q_mantel_haenszel,
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
     # TPC-H plan shapes (Q2, Q3, Q7, Q8, Q9, Q11, Q15, Q16, Q20)
@@ -15537,6 +15869,11 @@ ORACLES = {
     "nelson_aalen": ORACLE_NELSON_AALEN,
     "log_rank": ORACLE_LOG_RANK,
     "harmonic_centrality": ORACLE_HARMONIC_CENTRALITY,
+    "anderson_darling": ORACLE_ANDERSON_DARLING,
+    "krippendorff_alpha": ORACLE_KRIPPENDORFF_ALPHA,
+    "l_diversity": ORACLE_L_DIVERSITY,
+    "tost_equivalence": ORACLE_TOST_EQUIVALENCE,
+    "mantel_haenszel": ORACLE_MANTEL_HAENSZEL,
     # round-9 additions
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,

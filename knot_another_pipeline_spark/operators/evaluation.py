@@ -2471,3 +2471,181 @@ def permutation_test(
             round_to,
         ).alias("p_value"),
     )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    arm_col: str,
+    value_col: str,
+    treatment: str,
+    control: str,
+    margin: float,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family TOST equivalence test (two one-sided tests,
+    Schuirmann 1987) — the readout a "no-regression" launch actually
+    needs: a non-significant difference test is NOT evidence of
+    equivalence, TOST is.  H₀ is |Δ| ≥ margin; equivalence is claimed
+    when BOTH one-sided tests reject:
+
+        z_lo = (Δ + margin)/se,   z_hi = (margin − Δ)/se,
+        p_tost = max(P(Z > z_lo), P(Z > z_hi)),
+
+    with the Welch standard error from per-arm moment sums, one-sided
+    ps via the shared A&S normal polynomial (oracle-replayable), and
+    equivalent ⇔ p_tost < α.
+
+    Scale shape: everything collapses onto ONE conditional hash
+    aggregate (n/Σv/Σv² per arm per family) — the :func:`cuped`-family
+    shape; the TOST algebra is row-local on the family rows.
+
+    Output per family: group cols, n_treat, n_control, diff, se,
+    p_tost, equivalent (NULL stats when an arm is empty or se = 0).
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+
+    if margin <= 0:
+        raise ValueError(f"margin must be positive, got {margin}")
+    arm = F.col(arm_col).cast("string")
+    v = F.col(value_col).cast("double")
+    is_t = arm == str(treatment)
+    is_c = arm == str(control)
+    s = df.filter(v.isNotNull() & (is_t | is_c)).select(
+        *[F.col(c) for c in group_cols],
+        F.when(is_t, 1.0).otherwise(0.0).alias("_it"),
+        F.when(is_t, v).otherwise(0.0).alias("_vt"),
+        F.when(is_t, v * v).otherwise(0.0).alias("_qt"),
+        F.when(is_c, 1.0).otherwise(0.0).alias("_ic"),
+        F.when(is_c, v).otherwise(0.0).alias("_vc"),
+        F.when(is_c, v * v).otherwise(0.0).alias("_qc"),
+    )
+    agg = s.groupBy(*group_cols).agg(
+        F.sum("_it").alias("_nt"),
+        F.sum("_vt").alias("_st"),
+        F.sum("_qt").alias("_sqt"),
+        F.sum("_ic").alias("_nc"),
+        F.sum("_vc").alias("_sc"),
+        F.sum("_qc").alias("_sqc"),
+    )
+    nt, nc = F.col("_nt"), F.col("_nc")
+    mt = F.col("_st") / nt
+    mc = F.col("_sc") / nc
+    # unbiased per-arm variances
+    vt = (F.col("_sqt") - nt * mt * mt) / (nt - 1.0)
+    vc = (F.col("_sqc") - nc * mc * mc) / (nc - 1.0)
+    se = F.sqrt(vt / nt + vc / nc)
+    diff = mt - mc
+    ok = (nt > 1) & (nc > 1) & (se > 0)
+    z_lo = (diff + F.lit(float(margin))) / se
+    z_hi = (F.lit(float(margin)) - diff) / se
+
+    def one_sided(z):
+        # P(Z > z) from the shared two-sided polynomial
+        return F.when(
+            z >= 0, normal_sf_two_sided(z) / 2
+        ).otherwise(1.0 - normal_sf_two_sided(z) / 2)
+
+    p_tost = F.when(ok, F.greatest(one_sided(z_lo), one_sided(z_hi)))
+    return agg.select(
+        *group_cols,
+        nt.cast("bigint").alias("n_treat"),
+        nc.cast("bigint").alias("n_control"),
+        F.round(F.when(ok, diff), round_to).alias("diff"),
+        F.round(F.when(ok, se), round_to).alias("se"),
+        F.round(p_tost, round_to).alias("p_tost"),
+        (p_tost < F.lit(float(alpha))).alias("equivalent"),
+    ).orderBy(*group_cols)
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 analysis — the pooled odds ratio
+    and Cochran–MH χ² that answer "is exposure associated with outcome
+    AFTER controlling for the stratifier": the guard against
+    Simpson's-paradox reversals that a naive pooled 2×2 walks into
+    whenever the strata differ in both exposure mix and base rate.
+
+        OR_MH = Σ_s (a_s·d_s/n_s) / Σ_s (b_s·c_s/n_s),
+        χ²_CMH = (Σa_s − ΣE_s)² / ΣV_s,  E = (a+b)(a+c)/n,
+        V = (a+b)(c+d)(a+c)(b+d) / (n²(n−1)),
+
+    on 1 df; p via the exact-at-df-1 normal identity (the
+    ``log_rank_test`` convention).  Strata with n < 2 contribute
+    nothing to V and are excluded (reported in n_strata_skipped).
+
+    Scale shape: ONE conditional hash aggregate to per-stratum 2×2
+    cells (the only pass over rows, map-side combined), then a 1-row
+    reduce of the MH sums — no windows, no joins.
+
+    Output (one row): n_strata, n_strata_skipped, n_rows, or_mh (NULL
+    when Σbc/n = 0), cmh_chi2, df, p_value.
+    """
+    from knot_another_pipeline_spark.operators.quality import (
+        normal_sf_two_sided,
+    )
+
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    s = df.filter(e.isNotNull() & o.isNotNull()).select(
+        F.col(stratum_col).cast("string").alias("_s"),
+        F.when(e & o, 1.0).otherwise(0.0).alias("_a"),
+        F.when(e & ~o, 1.0).otherwise(0.0).alias("_b"),
+        F.when(~e & o, 1.0).otherwise(0.0).alias("_c"),
+        F.when(~e & ~o, 1.0).otherwise(0.0).alias("_d"),
+    )
+    cells = s.groupBy("_s").agg(
+        F.sum("_a").alias("_a"),
+        F.sum("_b").alias("_b"),
+        F.sum("_c").alias("_c"),
+        F.sum("_d").alias("_d"),
+    )
+    a, b, c, d = F.col("_a"), F.col("_b"), F.col("_c"), F.col("_d")
+    n = a + b + c + d
+    usable = n >= 2
+    red = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_all"),
+        F.sum(F.when(~usable, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_strata_skipped"),
+        F.sum(n).cast("bigint").alias("n_rows"),
+        F.sum(F.when(usable, a * d / n)).alias("_sad"),
+        F.sum(F.when(usable, b * c / n)).alias("_sbc"),
+        F.sum(F.when(usable, a)).alias("_sa"),
+        F.sum(F.when(usable, (a + b) * (a + c) / n)).alias("_se"),
+        F.sum(
+            F.when(
+                usable,
+                (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0)),
+            )
+        ).alias("_sv"),
+    )
+    or_mh = F.when(F.col("_sbc") > 0, F.col("_sad") / F.col("_sbc"))
+    chi2 = F.when(
+        F.col("_sv") > 0,
+        (F.col("_sa") - F.col("_se"))
+        * (F.col("_sa") - F.col("_se"))
+        / F.col("_sv"),
+    )
+    p = normal_sf_two_sided(F.sqrt(chi2))
+    return red.select(
+        (F.col("n_strata_all") - F.col("n_strata_skipped")).alias(
+            "n_strata"
+        ),
+        "n_strata_skipped",
+        "n_rows",
+        F.round(or_mh, round_to).alias("or_mh"),
+        F.round(chi2, round_to).alias("cmh_chi2"),
+        F.lit(1).cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    )

@@ -3721,3 +3721,227 @@ def mood_median(
         dof.cast("bigint").alias("df"),
         F.round(p, round_to).alias("p_value"),
     ).orderBy(*group_cols)
+
+
+def anderson_darling(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    crit_5pct: float = 2.492,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family two-sample Anderson–Darling test (Pettitt 1976) —
+    the tail-weighted sibling of :func:`ks_drift`: KS sees only the
+    single largest CDF gap, AD integrates the squared gap with
+    1/(F(1−F)) weighting, so shifts in the TAILS (exactly where
+    latency/spend/token-count drift lives) move it far sooner.
+
+        A² = (1/(n·m)) Σ_{i=1}^{N−1} (M_i·N − n·i)² / (i·(N−i)),
+
+    with M_i = how many of the first i pooled-order values are class 1
+    and N = n+m.  Compared against the fixed 5% critical value 2.492
+    (Pettitt's table) — the same fixed-α contract as
+    ``proportion_test``; AD p-values have no elementary closed form.
+
+    Tie discipline: the pooled order is (value, class) — within equal
+    values class-1 rows sort first, which pins M_i deterministically
+    so both engines compute the identical statistic (a tie's internal
+    permutation within one class cannot change M_i).
+
+    Scale shape: the ``mann_whitney`` contract — one pooled window
+    per family (row_number + running class-1 count share the same
+    (family, value, class) sort), then ONE hash aggregate of the
+    Σ term.  Families each pass through one sort task; feed
+    pre-aggregated or bounded families at raw-corpus scale.
+
+    Output per family: group cols, n1, n0, ad_stat (NULL when either
+    class is absent), exceeds_5pct.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(class_col).cast("int").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isin(0, 1))
+    gp = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*gp).orderBy(
+        F.col("_v").asc(), F.col("_y").desc()
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.partitionBy(*gp)
+    staged = s.select(
+        *group_cols,
+        F.row_number().over(w).cast("double").alias("_i"),
+        F.sum("_y").over(cum).cast("double").alias("_mi"),
+        F.sum("_y").over(full).cast("double").alias("_n1"),
+        F.count(F.lit(1)).over(full).cast("double").alias("_nn"),
+    )
+    i, mi = F.col("_i"), F.col("_mi")
+    n1, nn = F.col("_n1"), F.col("_nn")
+    term = F.when(
+        i < nn,
+        (mi * nn - n1 * i) * (mi * nn - n1 * i) / (i * (nn - i)),
+    ).otherwise(F.lit(0.0))
+    agg = staged.groupBy(*group_cols).agg(
+        F.max(n1).alias("_n1f"),
+        F.max(nn).alias("_nnf"),
+        F.sum(term).alias("_s"),
+    )
+    n1f, nnf = F.col("_n1f"), F.col("_nnf")
+    n0f = nnf - n1f
+    ad = F.when(
+        (n1f > 0) & (n0f > 0), F.col("_s") / (n1f * n0f)
+    )
+    return agg.select(
+        *group_cols,
+        n1f.cast("bigint").alias("n1"),
+        n0f.cast("bigint").alias("n0"),
+        F.round(ad, round_to).alias("ad_stat"),
+        (ad > F.lit(float(crit_5pct))).alias("exceeds_5pct"),
+    ).orderBy(*group_cols)
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL ratings — the inter-annotator
+    agreement coefficient that, unlike :func:`fleiss_kappa`, is
+    defined with MISSING ratings (units rated by any subset of
+    annotators) — the realistic label-quality gate for crowdsourced
+    LLM training labels where nobody rates everything.
+
+        α = 1 − D_o / D_e,
+        D_o = [Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1)] / n..,
+        D_e = Σ_c n_c·(n.. − n_c) / (n..·(n..−1)),
+
+    with n_uc = ratings of category c in unit u, m_u = ratings in
+    unit u, summed over PAIRABLE units (m_u ≥ 2; singletons carry no
+    agreement information and are excluded from n.. per the standard
+    definition, reported as n_unpairable).
+
+    Scale shape: two narrowing hash aggregates — (unit, category)
+    cells, then unit totals joined back cell-keyed (one shuffle each,
+    map-side combined) — and a final scalar reduce; category totals
+    reduce from the same cell table.  No windows, no pair joins: the
+    n_uc·(m_u − n_uc) algebra counts disagreeing pairs without
+    enumerating them.
+
+    Output (one row): n_units, n_unpairable, n_ratings (pairable),
+    k_categories, d_o, d_e, alpha (NULL when D_e = 0 — fewer than two
+    categories ever used).
+    """
+    s = df.select(
+        F.col(unit_col).alias("_u"),
+        F.col(value_col).cast("string").alias("_c"),
+    ).filter(F.col("_u").isNotNull() & F.col("_c").isNotNull())
+    cells = s.groupBy("_u", "_c").agg(
+        F.count(F.lit(1)).cast("double").alias("_nuc")
+    )
+    units = cells.groupBy("_u").agg(F.sum("_nuc").alias("_mu"))
+    pairable = units.filter(F.col("_mu") >= 2)
+    joined = cells.join(pairable, "_u")
+    do_num = joined.agg(
+        F.sum(
+            F.col("_nuc") * (F.col("_mu") - F.col("_nuc"))
+            / (F.col("_mu") - 1.0)
+        ).alias("_don"),
+        F.countDistinct("_c").cast("bigint").alias("k_categories"),
+        F.countDistinct("_u").cast("bigint").alias("n_units"),
+        F.sum(F.col("_nuc")).alias("_ntot"),
+    )
+    cat_tot = (
+        joined.groupBy("_c")
+        .agg(F.sum("_nuc").alias("_nc"))
+        .agg(
+            F.sum(F.col("_nc") * F.col("_nc")).alias("_snc2"),
+            F.sum("_nc").alias("_snc"),
+        )
+    )
+    unpair = units.agg(
+        F.sum(F.when(F.col("_mu") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unpairable")
+    )
+    out = (
+        do_num.crossJoin(F.broadcast(cat_tot))
+        .crossJoin(F.broadcast(unpair))
+    )
+    ntot = F.col("_ntot")
+    d_o = F.col("_don") / ntot
+    d_e = (ntot * ntot - F.col("_snc2")) / (ntot * (ntot - 1.0))
+    alpha = F.when(d_e > 0, 1.0 - d_o / d_e)
+    return out.select(
+        "n_units",
+        "n_unpairable",
+        ntot.cast("bigint").alias("n_ratings"),
+        "k_categories",
+        F.round(d_o, round_to).alias("d_o"),
+        F.round(d_e, round_to).alias("d_e"),
+        F.round(alpha, round_to).alias("alpha"),
+    )
+
+
+def l_diversity_summary(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    min_entropy_l: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Entropy l-diversity release gate — the one-row summary that
+    complements :func:`k_anonymity_audit`'s per-class rows: a class
+    can pass distinct-l while one sensitive value holds 99% of it, so
+    the entropy criterion (Machanavajjhala et al. 2007) requires
+    ``exp(H(class))`` ≥ l for EVERY class.  The dataset-level verdict
+    is driven by the WORST class.
+
+    Scale shape: two narrowing hash aggregates — (quasi, sensitive)
+    cells, then per-class entropy from the cell shares (the Σp·ln p
+    algebra needs only the cell counts and the class total, joined
+    back cell-keyed) — and a final scalar reduce.  No windows; the
+    worst class is a MIN, not a sort.
+
+    Output (one row): n_classes, n_rows, min_class_size,
+    min_distinct_l, min_entropy_l, n_classes_below (entropy-l <
+    ``min_entropy_l``), release_ok.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    s = df.select(
+        *[F.col(c) for c in quasi_cols],
+        F.col(sensitive_col).cast("string").alias("_s"),
+    ).filter(F.col("_s").isNotNull())
+    cells = s.groupBy(*quasi_cols, "_s").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("_n").alias("_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("_l"),
+        # H = ln(tot) - (Σ n·ln n)/tot
+        F.sum(F.col("_n") * F.log("_n")).alias("_nln"),
+    )
+    ent = classes.withColumn(
+        "_el",
+        F.exp(F.log(F.col("_tot")) - F.col("_nln") / F.col("_tot")),
+    )
+    return ent.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("_tot").cast("bigint").alias("n_rows"),
+        F.min("_tot").cast("bigint").alias("min_class_size"),
+        F.min("_l").cast("bigint").alias("min_distinct_l"),
+        F.round(F.min("_el"), round_to).alias("min_entropy_l"),
+        F.sum(
+            F.when(F.col("_el") < F.lit(float(min_entropy_l)), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_classes_below"),
+        (F.min("_el") >= F.lit(float(min_entropy_l))).alias("release_ok"),
+    )

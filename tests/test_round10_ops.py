@@ -678,3 +678,291 @@ def test_streaming_page_hinkley_feeder_matches_batch(spark, tmp_path):
     ).collect()[0]
     assert via_stream == direct
     assert via_stream["drift"] is True  # the hour-2 level shift alarms
+
+
+# ---------------------------------------------------------------------------
+# anderson_darling
+
+
+def _ad_reference(xs, ys):
+    pooled = sorted(
+        [(v, 1) for v in xs] + [(v, 0) for v in ys],
+        key=lambda t: (t[0], -t[1]),
+    )
+    n, m = len(xs), len(ys)
+    nn = n + m
+    mi, s = 0, 0.0
+    for i, (_, y) in enumerate(pooled[:-1], start=1):
+        mi += y
+        s += (mi * nn - n * i) ** 2 / (i * (nn - i))
+    return s / (n * m)
+
+
+def test_anderson_darling_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        anderson_darling,
+    )
+
+    xs = [1.0, 3.0, 5.0, 7.0, 9.0, 11.0]
+    ys = [2.0, 4.0, 6.0, 8.0, 10.0]
+    rows = [("f", v, 1) for v in xs] + [("f", v, 0) for v in ys]
+    df = spark.createDataFrame(rows, "fam string, v double, y int")
+    got = anderson_darling(
+        df, group_cols=["fam"], value_col="v", class_col="y"
+    ).collect()[0]
+    assert got["n1"] == 6 and got["n0"] == 5
+    assert got["ad_stat"] == pytest.approx(_ad_reference(xs, ys), abs=1e-6)
+    assert got["exceeds_5pct"] is False  # interleaved: same distribution
+
+
+def test_anderson_darling_separated_samples_exceed(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        anderson_darling,
+    )
+
+    xs = [float(i) for i in range(30)]
+    ys = [float(i) + 100.0 for i in range(30)]
+    rows = [("f", v, 1) for v in xs] + [("f", v, 0) for v in ys]
+    df = spark.createDataFrame(rows, "fam string, v double, y int")
+    got = anderson_darling(
+        df, group_cols=["fam"], value_col="v", class_col="y"
+    ).collect()[0]
+    assert got["ad_stat"] == pytest.approx(_ad_reference(xs, ys), abs=1e-6)
+    assert got["exceeds_5pct"] is True
+    # one-class family: NULL stat
+    df1 = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1)], "fam string, v double, y int"
+    )
+    r1 = anderson_darling(
+        df1, group_cols=["fam"], value_col="v", class_col="y"
+    ).collect()[0]
+    assert r1["ad_stat"] is None
+
+
+# ---------------------------------------------------------------------------
+# krippendorff_alpha
+
+
+def _kripp_reference(units):
+    """units: list of lists of category labels (one list per unit)."""
+    pairable = [u for u in units if len(u) >= 2]
+    ntot = sum(len(u) for u in pairable)
+    cats = sorted({c for u in pairable for c in u})
+    do_num = 0.0
+    for u in pairable:
+        m = len(u)
+        for c in cats:
+            nuc = u.count(c)
+            do_num += nuc * (m - nuc) / (m - 1)
+    d_o = do_num / ntot
+    nc = {c: sum(u.count(c) for u in pairable) for c in cats}
+    d_e = (ntot * ntot - sum(v * v for v in nc.values())) / (
+        ntot * (ntot - 1)
+    )
+    return 1 - d_o / d_e
+
+
+def test_krippendorff_alpha_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        krippendorff_alpha,
+    )
+
+    units = [
+        ["a", "a", "b"],
+        ["b", "b"],
+        ["a", "b", "b", "b"],
+        ["a"],          # unpairable: excluded, counted
+        ["c", "c", "c"],
+    ]
+    rows = [(i, c) for i, u in enumerate(units) for c in u]
+    df = spark.createDataFrame(rows, "unit long, label string")
+    got = krippendorff_alpha(
+        df, unit_col="unit", value_col="label"
+    ).collect()[0]
+    assert got["n_units"] == 4
+    assert got["n_unpairable"] == 1
+    assert got["n_ratings"] == 12
+    assert got["k_categories"] == 3
+    assert got["alpha"] == pytest.approx(_kripp_reference(units), abs=1e-6)
+
+
+def test_krippendorff_alpha_degenerate_cases(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        krippendorff_alpha,
+    )
+
+    # perfect agreement within every unit -> D_o = 0 -> alpha = 1
+    rows = [(1, "a"), (1, "a"), (2, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, "unit long, label string")
+    got = krippendorff_alpha(
+        df, unit_col="unit", value_col="label"
+    ).collect()[0]
+    assert got["alpha"] == pytest.approx(1.0)
+    # a single category ever used -> D_e = 0 -> NULL alpha
+    rows1 = [(1, "a"), (1, "a"), (2, "a"), (2, "a")]
+    df1 = spark.createDataFrame(rows1, "unit long, label string")
+    got1 = krippendorff_alpha(
+        df1, unit_col="unit", value_col="label"
+    ).collect()[0]
+    assert got1["alpha"] is None
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_summary
+
+
+def test_l_diversity_summary_hand_example(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        l_diversity_summary,
+    )
+
+    rows = (
+        # class (x,1): 4 rows, sensitive evenly split -> entropy-l = 2
+        [("x", 1, "s1"), ("x", 1, "s1"), ("x", 1, "s2"), ("x", 1, "s2")]
+        # class (y,2): 3 rows all same sensitive -> entropy-l = 1
+        + [("y", 2, "s1")] * 3
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sens string")
+    got = l_diversity_summary(
+        df, quasi_cols=["q1", "q2"], sensitive_col="sens",
+        min_entropy_l=2.0,
+    ).collect()[0]
+    assert got["n_classes"] == 2 and got["n_rows"] == 7
+    assert got["min_class_size"] == 3
+    assert got["min_distinct_l"] == 1
+    assert got["min_entropy_l"] == pytest.approx(1.0)
+    assert got["n_classes_below"] == 1
+    assert got["release_ok"] is False
+    with pytest.raises(ValueError, match="quasi_cols"):
+        l_diversity_summary(df, quasi_cols=[], sensitive_col="sens")
+
+
+# ---------------------------------------------------------------------------
+# tost_equivalence
+
+
+def _tost_reference(ts, cs, margin):
+    nt, nc = len(ts), len(cs)
+    mt, mc = sum(ts) / nt, sum(cs) / nc
+    vt = sum((x - mt) ** 2 for x in ts) / (nt - 1)
+    vc = sum((x - mc) ** 2 for x in cs) / (nc - 1)
+    se = math.sqrt(vt / nt + vc / nc)
+    diff = mt - mc
+
+    def sf(z):  # exact-enough normal tail for the test tolerance
+        return 0.5 * math.erfc(z / math.sqrt(2))
+
+    return diff, se, max(sf((diff + margin) / se), sf((margin - diff) / se))
+
+
+def test_tost_equivalence_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        tost_equivalence,
+    )
+
+    ts = [10.0 + 0.05 * ((i * 7) % 11) for i in range(50)]
+    cs = [10.1 + 0.05 * ((i * 5) % 11) for i in range(50)]
+    rows = [("f", "t", v) for v in ts] + [("f", "c", v) for v in cs]
+    df = spark.createDataFrame(rows, "fam string, arm string, v double")
+    got = tost_equivalence(
+        df, group_cols=["fam"], arm_col="arm", value_col="v",
+        treatment="t", control="c", margin=1.0,
+    ).collect()[0]
+    diff, se, p = _tost_reference(ts, cs, 1.0)
+    assert got["n_treat"] == 50 and got["n_control"] == 50
+    assert got["diff"] == pytest.approx(diff, abs=1e-6)
+    assert got["se"] == pytest.approx(se, abs=1e-6)
+    # A&S polynomial is good to ~7.5e-8 vs the exact erfc
+    assert got["p_tost"] == pytest.approx(p, abs=1e-5)
+    assert got["equivalent"] is True  # tiny diff, wide margin
+
+
+def test_tost_not_equivalent_when_diff_exceeds_margin(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        tost_equivalence,
+    )
+
+    rows = [("f", "t", 15.0 + (i % 3) * 0.1) for i in range(40)] + [
+        ("f", "c", 10.0 + (i % 3) * 0.1) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "fam string, arm string, v double")
+    got = tost_equivalence(
+        df, group_cols=["fam"], arm_col="arm", value_col="v",
+        treatment="t", control="c", margin=1.0,
+    ).collect()[0]
+    assert got["equivalent"] is False
+    assert got["p_tost"] > 0.5  # diff = 5 >> margin = 1
+    with pytest.raises(ValueError, match="margin"):
+        tost_equivalence(
+            df, group_cols=["fam"], arm_col="arm", value_col="v",
+            treatment="t", control="c", margin=0.0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# mantel_haenszel
+
+
+def _mh_reference(strata):
+    """strata: list of (a, b, c, d) 2x2 tuples."""
+    sad = sum(a * d / (a + b + c + d) for a, b, c, d in strata)
+    sbc = sum(b * c / (a + b + c + d) for a, b, c, d in strata)
+    sa = sum(a for a, _, _, _ in strata)
+    se_ = sum(
+        (a + b) * (a + c) / (a + b + c + d) for a, b, c, d in strata
+    )
+    sv = sum(
+        (a + b) * (c + d) * (a + c) * (b + d)
+        / ((a + b + c + d) ** 2 * (a + b + c + d - 1))
+        for a, b, c, d in strata
+    )
+    return sad / sbc, (sa - se_) ** 2 / sv
+
+
+def test_mantel_haenszel_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        mantel_haenszel,
+    )
+
+    strata = [(10, 5, 4, 12), (8, 9, 3, 14), (15, 6, 7, 10)]
+    rows = []
+    for s, (a, b, c, d) in enumerate(strata):
+        rows += [(f"s{s}", True, True)] * a
+        rows += [(f"s{s}", True, False)] * b
+        rows += [(f"s{s}", False, True)] * c
+        rows += [(f"s{s}", False, False)] * d
+    df = spark.createDataFrame(
+        rows, "stratum string, exposed boolean, outcome boolean"
+    )
+    got = mantel_haenszel(
+        df, stratum_col="stratum", exposure_col="exposed",
+        outcome_col="outcome",
+    ).collect()[0]
+    or_ref, chi2_ref = _mh_reference(strata)
+    assert got["n_strata"] == 3 and got["n_strata_skipped"] == 0
+    assert got["n_rows"] == sum(sum(t) for t in strata)
+    assert got["or_mh"] == pytest.approx(or_ref, abs=1e-6)
+    assert got["cmh_chi2"] == pytest.approx(chi2_ref, abs=1e-6)
+    assert got["df"] == 1
+    assert 0 < got["p_value"] < 1
+
+
+def test_mantel_haenszel_skips_tiny_strata(spark):
+    from knot_another_pipeline_spark.operators.evaluation import (
+        mantel_haenszel,
+    )
+
+    rows = [
+        ("big", True, True), ("big", True, False),
+        ("big", False, True), ("big", False, False),
+        ("tiny", True, True),  # n = 1: V undefined, skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "stratum string, exposed boolean, outcome boolean"
+    )
+    got = mantel_haenszel(
+        df, stratum_col="stratum", exposure_col="exposed",
+        outcome_col="outcome",
+    ).collect()[0]
+    assert got["n_strata"] == 1
+    assert got["n_strata_skipped"] == 1

@@ -118,6 +118,15 @@ OPS = [
     "permutation_diff",
     "nelson_aalen",
     "log_rank",
+    # anderson_darling's pooled per-family rank window sees k-fold rows
+    # per event type (the mann_whitney contract under stress);
+    # krippendorff/l_diversity/tost/mantel are narrowing aggregates over
+    # k-fold rows with fixed outputs.
+    "anderson_darling",
+    "krippendorff_alpha",
+    "l_diversity",
+    "tost_equivalence",
+    "mantel_haenszel",
 ]
 OPS_SALTED = [
     "minhash_pairs",
