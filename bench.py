@@ -300,6 +300,10 @@ HEADLINE = [
     "l_diversity",
     "tost_equivalence",
     "mantel_haenszel",
+    "heaps_law",
+    "tail_dependence",
+    "control_chart",
+    "abc_classes",
 ]
 
 

@@ -15500,6 +15500,242 @@ FROM f
 """
 
 
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the documents corpus in
+    doc-id order, 8 checkpoints
+    (operators/text_analysis.py heaps_law): one tokenize pass, one
+    type aggregate, broadcast checkpoint sums, log-log OLS."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        heaps_law,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_law(
+        docs, id_col="doc_id", text_col="text", n_checkpoints=8
+    )
+
+
+ORACLE_HEAPS_LAW = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x != '')) AS tok
+  FROM documents WHERE doc_id IS NOT NULL),
+dc AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS ntok
+  FROM toks GROUP BY doc_id),
+rk AS (
+  SELECT doc_id, ntok,
+         CAST(row_number() OVER (ORDER BY doc_id) AS DOUBLE) AS r
+  FROM dc),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS d, sum(ntok) AS n FROM rk),
+fs AS (
+  SELECT t.tok, min(rk.r) AS first_r
+  FROM toks t JOIN rk ON rk.doc_id = t.doc_id GROUP BY t.tok),
+cps AS (
+  SELECT DISTINCT CAST(ceil(j * (SELECT d FROM tot) / 8e0) AS DOUBLE) AS c
+  FROM (SELECT unnest(range(1, 9)) AS j)),
+va AS (
+  SELECT c, CAST(sum(CASE WHEN first_r <= c THEN 1 ELSE 0 END) AS DOUBLE)
+    AS v
+  FROM fs, cps GROUP BY c),
+na AS (
+  SELECT c, sum(CASE WHEN r <= c THEN ntok ELSE 0e0 END) AS nc
+  FROM rk, cps GROUP BY c),
+pts AS (
+  SELECT va.c, va.v, na.nc FROM va JOIN na ON na.c = va.c
+  WHERE va.v > 0 AND na.nc > 0),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         sum(ln(nc)) AS su, sum(ln(v)) AS sv,
+         sum(ln(nc) * ln(nc)) AS suu, sum(ln(nc) * ln(v)) AS suv
+  FROM pts),
+f AS (
+  SELECT k, suu - su * su / k AS denom,
+         (suv - su * sv / k) / (suu - su * su / k) AS beta,
+         sv / k - ((suv - su * sv / k) / (suu - su * su / k)) * su / k
+           AS lnk
+  FROM fit)
+SELECT CAST((SELECT d FROM tot) AS BIGINT) AS n_docs,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM fs) AS vocab,
+       round(CASE WHEN k >= 2 AND denom > 0 THEN beta END, 6) AS beta,
+       round(CASE WHEN k >= 2 AND denom > 0 THEN exp(lnk) END, 6)
+         AS k_coef
+FROM f
+"""
+
+
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper/lower tail dependence between line-item price and
+    quantity at q=0.9 (operators/quality.py tail_dependence): one
+    exact-percentile aggregate broadcast back, one conditional
+    aggregate."""
+    from knot_another_pipeline_spark.operators.quality import (
+        tail_dependence,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    return tail_dependence(
+        li, x_col="l_extendedprice", y_col="l_quantity", q=0.9
+    )
+
+
+ORACLE_TAIL_DEPENDENCE = """
+WITH s AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+q AS (
+  SELECT quantile_cont(x, 0.9) AS xq, quantile_cont(y, 0.9) AS yq,
+         quantile_cont(x, 0.09999999999999998) AS xl,
+         quantile_cont(y, 0.09999999999999998) AS yl
+  FROM s),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         max(q.xq) AS xq, max(q.yq) AS yq,
+         CAST(sum(CASE WHEN x > q.xq THEN 1 ELSE 0 END) AS DOUBLE) AS nxh,
+         CAST(sum(CASE WHEN x > q.xq AND y > q.yq THEN 1 ELSE 0 END)
+              AS DOUBLE) AS nbh,
+         CAST(sum(CASE WHEN x <= q.xl THEN 1 ELSE 0 END) AS DOUBLE) AS nxl,
+         CAST(sum(CASE WHEN x <= q.xl AND y <= q.yl THEN 1 ELSE 0 END)
+              AS DOUBLE) AS nbl
+  FROM s, q)
+SELECT n, 0.9e0 AS q,
+       round(xq, 6) AS x_hi, round(yq, 6) AS y_hi,
+       CAST(nxh AS BIGINT) AS n_x_hi,
+       round(CASE WHEN nxh > 0 THEN nbh / nxh END, 6) AS lambda_upper,
+       round(CASE WHEN nxl > 0 THEN nbl / nxl END, 6) AS lambda_lower
+FROM a
+"""
+
+
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals chart + Western Electric run rules on
+    daily event volumes per type (operators/temporal.py
+    control_chart): one moment aggregate joined back, one ordered
+    window pass over trailing row frames."""
+    from knot_another_pipeline_spark.operators.temporal import control_chart
+
+    return control_chart(
+        _daily_count_series(spark, sf_dir),
+        series_col="series", order_col="ord", value_col="y",
+    )
+
+
+ORACLE_CONTROL_CHART = f"""
+WITH daily AS ({_DAILY_COUNT_SERIES_SQL}),
+mom AS (
+  SELECT series, CAST(count(*) AS DOUBLE) AS n,
+         sum(y) AS sx, sum(y * y) AS sxx
+  FROM daily GROUP BY series),
+st AS (
+  SELECT series, n, sx / n AS mu,
+         sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0e0)) AS sig
+  FROM mom),
+tagged AS (
+  SELECT d.series, d.ord, (d.y - st.mu) / st.sig AS z
+  FROM daily d JOIN st ON st.series = d.series
+  WHERE st.sig > 0),
+ind AS (
+  SELECT series, ord, z,
+         CASE WHEN z > 0 THEN 1 ELSE 0 END AS up,
+         CASE WHEN z > 2 THEN 1 ELSE 0 END AS p2,
+         CASE WHEN z < -2 THEN 1 ELSE 0 END AS m2,
+         CASE WHEN z > 1 THEN 1 ELSE 0 END AS p1,
+         CASE WHEN z < -1 THEN 1 ELSE 0 END AS m1
+  FROM tagged),
+fl AS (
+  SELECT series, ord,
+         abs(z) > 3 AS r1,
+         count(*) OVER w3 >= 3
+           AND (sum(p2) OVER w3 >= 2 OR sum(m2) OVER w3 >= 2) AS r2,
+         count(*) OVER w5 >= 5
+           AND (sum(p1) OVER w5 >= 4 OR sum(m1) OVER w5 >= 4) AS r3,
+         count(*) OVER w8 >= 8
+           AND (sum(up) OVER w8 >= 8 OR sum(up) OVER w8 <= 0) AS r4
+  FROM ind
+  WINDOW
+    w3 AS (PARTITION BY series ORDER BY ord
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+    w5 AS (PARTITION BY series ORDER BY ord
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+    w8 AS (PARTITION BY series ORDER BY ord
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+agg AS (
+  SELECT series,
+         CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
+         CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+         CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3,
+         CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_r4,
+         CAST(sum(CASE WHEN r1 OR r2 OR r3 OR r4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_flagged,
+         min(CASE WHEN r1 OR r2 OR r3 OR r4 THEN ord END)
+           AS first_flag_ord
+  FROM fl GROUP BY series)
+SELECT st.series, CAST(st.n AS BIGINT) AS n,
+       round(st.mu, 6) AS mean,
+       round(st.sig, 6) AS sigma,
+       coalesce(a.n_r1, 0) AS n_r1,
+       coalesce(a.n_r2, 0) AS n_r2,
+       coalesce(a.n_r3, 0) AS n_r3,
+       coalesce(a.n_r4, 0) AS n_r4,
+       coalesce(a.n_flagged, 0) AS n_flagged,
+       a.first_flag_ord
+FROM st LEFT JOIN agg a ON a.series = st.series
+ORDER BY st.series
+"""
+
+
+def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by discounted revenue
+    (operators/relational.py abc_classes): one per-key aggregate
+    (values rounded before ranking), rank + running share over the
+    part dimension."""
+    from knot_another_pipeline_spark.operators.relational import abc_classes
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+    )
+    s = li.select(
+        F.col("l_partkey").alias("part"),
+        (
+            F.col("l_extendedprice").cast("double")
+            * (1.0 - F.col("l_discount").cast("double"))
+        ).alias("rev"),
+    )
+    return abc_classes(s, key_col="part", value_col="rev")
+
+
+ORACLE_ABC_CLASSES = """
+WITH per AS (
+  SELECT l_partkey AS key,
+         round(sum(CAST(l_extendedprice AS DOUBLE)
+                   * (1e0 - CAST(l_discount AS DOUBLE))), 6) AS value
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+tot AS (SELECT sum(value) AS t FROM per),
+rk AS (
+  SELECT key, value,
+         row_number() OVER (ORDER BY value DESC, key ASC) AS r,
+         sum(value) OVER (ORDER BY value DESC, key ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / (SELECT t FROM tot) AS cum
+  FROM per)
+SELECT key, value,
+       round(value / (SELECT t FROM tot), 6) AS share,
+       round(cum, 6) AS cum_share,
+       CASE WHEN cum <= 0.8e0 OR r = 1 THEN 'A'
+            WHEN cum <= 0.95e0 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM rk ORDER BY r
+"""
+
+
 QUERIES = {
     # round-10 additions: drift/unit-root/spectral/runs/seasonal series
     # diagnostics, paired & k-sample rank tests, permutation inference,
@@ -15521,6 +15757,10 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "tost_equivalence": q_tost_equivalence,
     "mantel_haenszel": q_mantel_haenszel,
+    "heaps_law": q_heaps_law,
+    "tail_dependence": q_tail_dependence,
+    "control_chart": q_control_chart,
+    "abc_classes": q_abc_classes,
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
     # TPC-H plan shapes (Q2, Q3, Q7, Q8, Q9, Q11, Q15, Q16, Q20)
@@ -15874,6 +16114,10 @@ ORACLES = {
     "l_diversity": ORACLE_L_DIVERSITY,
     "tost_equivalence": ORACLE_TOST_EQUIVALENCE,
     "mantel_haenszel": ORACLE_MANTEL_HAENSZEL,
+    "heaps_law": ORACLE_HEAPS_LAW,
+    "tail_dependence": ORACLE_TAIL_DEPENDENCE,
+    "control_chart": ORACLE_CONTROL_CHART,
+    "abc_classes": ORACLE_ABC_CLASSES,
     # round-9 additions
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,

@@ -3945,3 +3945,89 @@ def l_diversity_summary(
         .alias("n_classes_below"),
         (F.min("_el") >= F.lit(float(min_entropy_l))).alias("release_ok"),
     )
+
+
+def tail_dependence(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    q: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Empirical tail-dependence coefficients between two paired
+    metrics — "when X is extreme, is Y extreme TOO?", the question a
+    correlation coefficient cannot answer (Gaussian-looking pairs can
+    be tail-independent; risk co-movement lives in the tails):
+
+        λ_U = P(Y > F_Y⁻¹(q) | X > F_X⁻¹(q)),
+        λ_L = P(Y ≤ F_Y⁻¹(1−q) | X ≤ F_X⁻¹(1−q)),
+
+    with exact marginal quantiles.  λ near (1−q)·…·0 means the tails
+    are independent; λ ≫ 1−q means joint blowups — the usual argument
+    for capping by BOTH metrics in outlier filters rather than each
+    marginally.
+
+    Scale shape: one exact-percentile aggregate (two quantiles per
+    margin, one pass), broadcast back as a 1-row frame, then ONE
+    conditional hash aggregate over the pairs — no sorts beyond the
+    percentile's internal one, no joins on row volume.
+
+    Output (one row): n, q, x_hi, y_hi, n_x_hi, lambda_upper,
+    lambda_lower (NULL when the conditioning tail is empty).
+    """
+    if not (0.5 < q < 1.0):
+        raise ValueError(f"q must be in (0.5, 1), got {q}")
+    s = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    qs = s.agg(
+        F.expr(f"percentile(_x, {q!r})").alias("_xq"),
+        F.expr(f"percentile(_y, {q!r})").alias("_yq"),
+        F.expr(f"percentile(_x, {1.0 - q!r})").alias("_xl"),
+        F.expr(f"percentile(_y, {1.0 - q!r})").alias("_yl"),
+    )
+    agg = s.crossJoin(F.broadcast(qs)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("_xq").alias("_xqf"),
+        F.max("_yq").alias("_yqf"),
+        F.sum(F.when(F.col("_x") > F.col("_xq"), 1).otherwise(0))
+        .cast("double")
+        .alias("_nxh"),
+        F.sum(
+            F.when(
+                (F.col("_x") > F.col("_xq")) & (F.col("_y") > F.col("_yq")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("_nboth_hi"),
+        F.sum(F.when(F.col("_x") <= F.col("_xl"), 1).otherwise(0))
+        .cast("double")
+        .alias("_nxl"),
+        F.sum(
+            F.when(
+                (F.col("_x") <= F.col("_xl"))
+                & (F.col("_y") <= F.col("_yl")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("_nboth_lo"),
+    )
+    return agg.select(
+        "n",
+        F.lit(float(q)).alias("q"),
+        F.round(F.col("_xqf"), round_to).alias("x_hi"),
+        F.round(F.col("_yqf"), round_to).alias("y_hi"),
+        F.col("_nxh").cast("bigint").alias("n_x_hi"),
+        F.round(
+            F.when(F.col("_nxh") > 0, F.col("_nboth_hi") / F.col("_nxh")),
+            round_to,
+        ).alias("lambda_upper"),
+        F.round(
+            F.when(F.col("_nxl") > 0, F.col("_nboth_lo") / F.col("_nxl")),
+            round_to,
+        ).alias("lambda_lower"),
+    )

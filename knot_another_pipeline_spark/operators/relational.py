@@ -2417,3 +2417,70 @@ def promo_revenue(
             F.round(F.sum(rev), 2).alias("total_revenue"),
         )
     )
+
+
+def abc_classes(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """ABC / Pareto classification of keys by value concentration —
+    the warehouse classic: rank keys by value descending, class A
+    while the running share is ≤ ``a_cut`` (the vital few), B until
+    ``b_cut``, C for the long tail.  The sibling of
+    :func:`~knot_another_pipeline_spark.operators.quality.gini_concentration`
+    that names WHICH keys carry the mass instead of scoring how
+    unequal it is.
+
+    Classing rule: a key is A if the cumulative share UP TO AND
+    INCLUDING it is ≤ a_cut OR it is the first key (a single dominant
+    key is still class A); ties order by key ascending so the
+    assignment is total and engine-independent.  Per-key values are
+    rounded to ``round_to`` BEFORE ranking so aggregated doubles
+    cannot flip the order between engines.
+
+    Scale shape: one hash aggregate to per-key totals (the only pass
+    over row volume), then rank + running share over the KEY table —
+    one row per key, the ``fdr_adjust`` contract (dimension-sized by
+    construction; swap in ``global_rank`` + partition-offset prefix
+    sums for a billion-key table).
+
+    Output per key: key, value, share, cum_share, abc_class —
+    ordered by rank.
+    """
+    if not (0 < a_cut < b_cut < 1):
+        raise ValueError(
+            f"need 0 < a_cut < b_cut < 1, got {a_cut}, {b_cut}"
+        )
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.round(F.sum(F.col(value_col).cast("double")), round_to).alias(
+            "value"
+        )
+    ).filter(F.col("value").isNotNull())
+    total = per_key.agg(F.sum("value").alias("_tot"))
+    w = Window.orderBy(F.col("value").desc(), F.col("key").asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_cum", F.sum("value").over(cum) / F.col("_tot"))
+    )
+    cls = (
+        F.when(
+            (F.col("_cum") <= F.lit(float(a_cut))) | (F.col("_rk") == 1),
+            F.lit("A"),
+        )
+        .when(F.col("_cum") <= F.lit(float(b_cut)), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return ranked.select(
+        "key",
+        "value",
+        F.round(F.col("value") / F.col("_tot"), round_to).alias("share"),
+        F.round(F.col("_cum"), round_to).alias("cum_share"),
+        cls.alias("abc_class"),
+    ).orderBy(F.col("_rk"))

@@ -2560,3 +2560,131 @@ def seasonal_strength(
             round_to,
         ).alias("trend_strength"),
     ).orderBy("series")
+
+
+def control_chart(
+    df: DataFrame,
+    *,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shewhart individuals chart with the four classic Western
+    Electric run rules per series — the SPC readout operations teams
+    actually page on, catching both spikes and the slow drifts a
+    single 3σ limit misses:
+
+        R1: one point beyond 3σ,
+        R2: 2 of 3 consecutive beyond 2σ on the SAME side,
+        R3: 4 of 5 consecutive beyond 1σ on the same side,
+        R4: 8 consecutive points on the same side of the center line.
+
+    Center/σ come from the series itself (mean and population σ of
+    all points — the retrospective-chart convention; feed a
+    calibration slice when you need a frozen baseline), computed from
+    moment sums so both engines evaluate the identical arithmetic.
+
+    Scale shape: one moment aggregate per series joined back
+    series-keyed, then ONE ordered window pass computing every rule
+    from trailing ROW frames over ±1σ/±2σ/side indicator columns — no
+    self-joins, no per-rule passes; partitions are per-series
+    pre-aggregated rows (the :func:`page_hinkley` contract).
+
+    Output per series: n, mean, sigma, n_r1..n_r4 (points FLAGGED at
+    each rule — the point completing the run), n_flagged (any rule),
+    first_flag_ord (NULL when clean; σ = 0 series flag nothing).
+    """
+    order = [F.col("ord")] + ([F.col("_tb")] if tiebreak_col else [])
+    s = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("_x"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    ).filter(F.col("_x").isNotNull())
+    mom = s.groupBy("series").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    mean = F.col("_sx") / F.col("_n")
+    var = F.col("_sxx") / F.col("_n") - mean * mean
+    stats = mom.select(
+        "series",
+        mean.alias("_mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sig"),
+        F.col("_n").cast("bigint").alias("n"),
+    )
+    z = (F.col("_x") - F.col("_mu")) / F.col("_sig")
+    tagged = (
+        s.join(stats, "series")
+        .filter(F.col("_sig") > 0)
+        .withColumn("_z", z)
+        .withColumn("_up", (F.col("_z") > 0).cast("int"))
+        .withColumn("_p2", (F.col("_z") > 2).cast("int"))
+        .withColumn("_m2", (F.col("_z") < -2).cast("int"))
+        .withColumn("_p1", (F.col("_z") > 1).cast("int"))
+        .withColumn("_m1", (F.col("_z") < -1).cast("int"))
+    )
+    w = Window.partitionBy("series").orderBy(*order)
+    last3 = w.rowsBetween(-2, 0)
+    last5 = w.rowsBetween(-4, 0)
+    last8 = w.rowsBetween(-7, 0)
+    flagged = (
+        tagged.withColumn("_r1", F.abs(F.col("_z")) > 3)
+        .withColumn(
+            "_r2",
+            (F.count(F.lit(1)).over(last3) >= 3)
+            & (
+                (F.sum("_p2").over(last3) >= 2)
+                | (F.sum("_m2").over(last3) >= 2)
+            ),
+        )
+        .withColumn(
+            "_r3",
+            (F.count(F.lit(1)).over(last5) >= 5)
+            & (
+                (F.sum("_p1").over(last5) >= 4)
+                | (F.sum("_m1").over(last5) >= 4)
+            ),
+        )
+        .withColumn(
+            "_r4",
+            (F.count(F.lit(1)).over(last8) >= 8)
+            & (
+                (F.sum("_up").over(last8) >= 8)
+                | (F.sum("_up").over(last8) <= 0)
+            ),
+        )
+        .withColumn(
+            "_any",
+            F.col("_r1") | F.col("_r2") | F.col("_r3") | F.col("_r4"),
+        )
+    )
+    agg = flagged.groupBy("series").agg(
+        F.max("_mu").alias("_muf"),
+        F.max("_sig").alias("_sigf"),
+        F.sum(F.col("_r1").cast("int")).cast("bigint").alias("n_r1"),
+        F.sum(F.col("_r2").cast("int")).cast("bigint").alias("n_r2"),
+        F.sum(F.col("_r3").cast("int")).cast("bigint").alias("n_r3"),
+        F.sum(F.col("_r4").cast("int")).cast("bigint").alias("n_r4"),
+        F.sum(F.col("_any").cast("int")).cast("bigint").alias("n_flagged"),
+        F.min(F.when(F.col("_any"), F.col("ord"))).alias("first_flag_ord"),
+    )
+    # re-attach series with sigma = 0 (they flag nothing by contract)
+    return (
+        stats.join(agg, "series", "left")
+        .select(
+            "series",
+            "n",
+            F.round(F.col("_mu"), round_to).alias("mean"),
+            F.round(F.col("_sig"), round_to).alias("sigma"),
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in ("n_r1", "n_r2", "n_r3", "n_r4", "n_flagged")
+            ],
+            F.col("first_flag_ord"),
+        )
+        .orderBy("series")
+    )

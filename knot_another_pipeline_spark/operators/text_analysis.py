@@ -1808,3 +1808,128 @@ def boilerplate_segments(
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_checkpoints: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — ``V(N) ≈ K·N^β`` over the
+    corpus in document-id order: the one-line answer to "is this
+    corpus still teaching the tokenizer new types, or has vocabulary
+    growth saturated?"  β near the English-corpus 0.4–0.6 band means
+    healthy novelty; β collapsing toward 0 across crawl snapshots is
+    the classic duplicated/boilerplate-corpus smell that
+    :func:`repetition_stats` sees per-document and this sees
+    corpus-wide.
+
+    Estimator: documents are ranked by id; each TYPE records the rank
+    of its first-containing document (min over its postings); at
+    ``n_checkpoints`` evenly spaced document ranks c the pair
+    (N_c = tokens in docs ≤ c, V_c = types first seen ≤ c) is
+    measured, and β / ln K come from the log-log OLS over the
+    checkpoint pairs.
+
+    Scale shape: tokenization explodes once; types reduce by ONE
+    (type → min doc-rank, Σcount) hash aggregate; checkpoints are a
+    broadcast ≤n_checkpoints-row list, so both V_c and N_c collapse
+    from conditional sums in one aggregate each over the TYPE and DOC
+    tables (never the postings twice).  The doc-rank window is global
+    but runs on one row per DOCUMENT with only (id, token count)
+    carried — swap in a range-partitioned global_rank at
+    billion-document scale.
+
+    Output (one row): n_docs, n_tokens, vocab, beta, k_coef (NULL fit
+    when fewer than 2 usable checkpoints).
+    """
+    if n_checkpoints < 2:
+        raise ValueError(
+            f"n_checkpoints must be >= 2, got {n_checkpoints}"
+        )
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(F.col(text_col))).alias("_tok"),
+    ).filter(F.col("_id").isNotNull())
+    # one row per document with its token count, ranked by id
+    doc_counts = docs.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("double").alias("_ntok")
+    )
+    w = Window.orderBy("_id")
+    ranked_docs = doc_counts.withColumn(
+        "_rk", F.row_number().over(w).cast("double")
+    )
+    totals = ranked_docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_d"),
+        F.sum("_ntok").alias("_n"),
+    )
+    # type -> rank of first containing doc
+    first_seen = (
+        docs.join(ranked_docs.select("_id", "_rk"), "_id")
+        .groupBy("_tok")
+        .agg(F.min("_rk").alias("_first"))
+    )
+    spark = df.sparkSession
+    cps = spark.createDataFrame(
+        [(int(j),) for j in range(1, n_checkpoints + 1)], "j long"
+    )
+    # checkpoint document rank: ceil(j * D / K)
+    cp_ranks = cps.crossJoin(F.broadcast(totals)).select(
+        F.ceil(F.col("j") * F.col("_d") / F.lit(float(n_checkpoints)))
+        .cast("double")
+        .alias("_c")
+    ).distinct()
+    v_at = (
+        first_seen.crossJoin(F.broadcast(cp_ranks))
+        .groupBy("_c")
+        .agg(
+            F.sum(F.when(F.col("_first") <= F.col("_c"), 1).otherwise(0))
+            .cast("double")
+            .alias("_v")
+        )
+    )
+    n_at = (
+        ranked_docs.crossJoin(F.broadcast(cp_ranks))
+        .groupBy("_c")
+        .agg(
+            F.sum(
+                F.when(F.col("_rk") <= F.col("_c"), F.col("_ntok"))
+                .otherwise(0.0)
+            ).alias("_nc")
+        )
+    )
+    pts = v_at.join(n_at, "_c").filter(
+        (F.col("_v") > 0) & (F.col("_nc") > 0)
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum(F.log("_nc")).alias("_su"),
+        F.sum(F.log("_v")).alias("_sv"),
+        F.sum(F.log("_nc") * F.log("_nc")).alias("_suu"),
+        F.sum(F.log("_nc") * F.log("_v")).alias("_suv"),
+    )
+    k = F.col("_k")
+    denom = F.col("_suu") - F.col("_su") * F.col("_su") / k
+    beta = (F.col("_suv") - F.col("_su") * F.col("_sv") / k) / denom
+    lnk = F.col("_sv") / k - beta * F.col("_su") / k
+    vocab = first_seen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab")
+    )
+    return (
+        fit.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("_d").cast("bigint").alias("n_docs"),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            "vocab",
+            F.round(
+                F.when((k >= 2) & (denom > 0), beta), round_to
+            ).alias("beta"),
+            F.round(
+                F.when((k >= 2) & (denom > 0), F.exp(lnk)), round_to
+            ).alias("k_coef"),
+        )
+    )

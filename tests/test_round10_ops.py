@@ -966,3 +966,214 @@ def test_mantel_haenszel_skips_tiny_strata(spark):
     ).collect()[0]
     assert got["n_strata"] == 1
     assert got["n_strata_skipped"] == 1
+
+
+# ---------------------------------------------------------------------------
+# heaps_law
+
+
+def test_heaps_law_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import heaps_law
+
+    # vocabulary grows as new words appear in later docs
+    docs = []
+    for i in range(20):
+        words = [f"w{j}" for j in range(0, 5 + i * 2)]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = heaps_law(
+        df, id_col="doc_id", text_col="text", n_checkpoints=5
+    ).collect()[0]
+    # pure-python reference on the same checkpoint construction
+    toks = {i: t.lower().split() for i, t in docs}
+    order = sorted(toks)
+    first = {}
+    for rank, i in enumerate(order, start=1):
+        for t in toks[i]:
+            first.setdefault(t, rank)
+    D = len(order)
+    pts = []
+    for j in range(1, 6):
+        c = math.ceil(j * D / 5)
+        n_c = sum(len(toks[order[r - 1]]) for r in range(1, c + 1))
+        v_c = sum(1 for r in first.values() if r <= c)
+        if n_c > 0 and v_c > 0:
+            pts.append((math.log(n_c), math.log(v_c)))
+    k = len(pts)
+    su = sum(u for u, _ in pts)
+    sv = sum(v for _, v in pts)
+    suu = sum(u * u for u, _ in pts)
+    suv = sum(u * v for u, v in pts)
+    beta = (suv - su * sv / k) / (suu - su * su / k)
+    k_coef = math.exp(sv / k - beta * su / k)
+    assert got["n_docs"] == 20
+    assert got["n_tokens"] == sum(len(t) for t in toks.values())
+    assert got["vocab"] == len(first)
+    assert got["beta"] == pytest.approx(beta, abs=1e-6)
+    assert got["k_coef"] == pytest.approx(k_coef, abs=1e-5)
+    assert 0 < got["beta"] <= 1.2
+    with pytest.raises(ValueError, match="n_checkpoints"):
+        heaps_law(df, id_col="doc_id", text_col="text", n_checkpoints=1)
+
+
+def test_heaps_law_saturated_corpus_low_beta(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import heaps_law
+
+    # every doc repeats the same 5 words: vocabulary saturates at once
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(30)], ["doc_id", "text"]
+    )
+    got = heaps_law(
+        df, id_col="doc_id", text_col="text", n_checkpoints=5
+    ).collect()[0]
+    assert got["vocab"] == 5
+    assert got["beta"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# tail_dependence
+
+
+def test_tail_dependence_comonotone_vs_independent(spark):
+    from knot_another_pipeline_spark.operators.quality import tail_dependence
+
+    # comonotone: y = x -> both tails fully dependent
+    rows = [(float(i), float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = tail_dependence(df, x_col="x", y_col="y", q=0.9).collect()[0]
+    assert got["lambda_upper"] == pytest.approx(1.0)
+    assert got["lambda_lower"] == pytest.approx(1.0)
+    # anti-monotone: y = -x -> tails never co-occur
+    rows2 = [(float(i), float(-i)) for i in range(200)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    got2 = tail_dependence(df2, x_col="x", y_col="y", q=0.9).collect()[0]
+    assert got2["lambda_upper"] == pytest.approx(0.0)
+    assert got2["lambda_lower"] == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="q must"):
+        tail_dependence(df, x_col="x", y_col="y", q=0.4)
+
+
+def test_tail_dependence_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.quality import tail_dependence
+
+    rows = [
+        (float((i * 17) % 101), float((i * 29) % 103)) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    q = 0.8
+    got = tail_dependence(df, x_col="x", y_col="y", q=q).collect()[0]
+
+    def pct(vals, p):  # linear interpolation like Spark's percentile
+        s = sorted(vals)
+        pos = (len(s) - 1) * p
+        lo = int(math.floor(pos))
+        g = pos - lo
+        return s[lo] if g == 0 else s[lo] * (1 - g) + s[lo + 1] * g
+
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    xq, yq = pct(xs, q), pct(ys, q)
+    xl, yl = pct(xs, 1 - q), pct(ys, 1 - q)
+    n_hi = sum(1 for x in xs if x > xq)
+    both_hi = sum(1 for x, y in rows if x > xq and y > yq)
+    n_lo = sum(1 for x in xs if x <= xl)
+    both_lo = sum(1 for x, y in rows if x <= xl and y <= yl)
+    assert got["n_x_hi"] == n_hi
+    assert got["lambda_upper"] == pytest.approx(both_hi / n_hi, abs=1e-6)
+    assert got["lambda_lower"] == pytest.approx(both_lo / n_lo, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# control_chart
+
+
+def test_control_chart_rules_fire_correctly(spark):
+    from knot_another_pipeline_spark.operators.temporal import control_chart
+
+    # stable series with one huge spike: R1 fires at the spike
+    xs = [10.0, 12.0] * 15 + [100.0] + [10.0, 12.0] * 15
+    rows = [("s", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "series string, ord int, x double")
+    got = control_chart(
+        df, series_col="series", order_col="ord", value_col="x"
+    ).collect()[0]
+    assert got["n_r1"] >= 1
+    assert got["n_flagged"] >= 1
+    assert got["first_flag_ord"] is not None
+    # constant series: sigma = 0, flags nothing by contract
+    dfc = spark.createDataFrame(
+        [("c", i, 5.0) for i in range(20)],
+        "series string, ord int, x double",
+    )
+    gc = control_chart(
+        dfc, series_col="series", order_col="ord", value_col="x"
+    ).collect()[0]
+    assert gc["sigma"] == pytest.approx(0.0)
+    assert gc["n_flagged"] == 0
+    assert gc["first_flag_ord"] is None
+
+
+def test_control_chart_r4_same_side_run(spark):
+    from knot_another_pipeline_spark.operators.temporal import control_chart
+
+    # alternate around the mean, then 8+ points slightly above it:
+    # no 1/2/3-sigma breach, but R4 (8 same side) must fire
+    xs = [0.0, 4.0] * 12 + [2.5] * 9
+    rows = [("s", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "series string, ord int, x double")
+    got = control_chart(
+        df, series_col="series", order_col="ord", value_col="x"
+    ).collect()[0]
+    assert got["n_r4"] >= 1
+    mu = sum(xs) / len(xs)
+    sig = math.sqrt(sum((x - mu) ** 2 for x in xs) / len(xs))
+    assert got["mean"] == pytest.approx(mu, abs=1e-6)
+    assert got["sigma"] == pytest.approx(sig, abs=1e-6)
+    # the completing point of the first 8-run above the mean
+    first_r4 = None
+    side = [1 if x > mu else 0 for x in xs]
+    for i in range(7, len(xs)):
+        w = side[i - 7 : i + 1]
+        if sum(w) in (0, 8):
+            first_r4 = i
+            break
+    assert got["first_flag_ord"] == first_r4
+
+
+# ---------------------------------------------------------------------------
+# abc_classes
+
+
+def test_abc_classes_hand_example(spark):
+    from knot_another_pipeline_spark.operators.relational import abc_classes
+
+    rows = [
+        ("k1", 50.0), ("k2", 30.0), ("k3", 10.0), ("k4", 6.0),
+        ("k5", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["key"]: r for r in abc_classes(
+        df, key_col="k", value_col="v"
+    ).collect()}
+    # cum shares: .5, .8, .9, .96, 1.0
+    assert out["k1"]["abc_class"] == "A"
+    assert out["k2"]["abc_class"] == "A"  # cum .8 <= a_cut
+    assert out["k3"]["abc_class"] == "B"
+    assert out["k4"]["abc_class"] == "C"  # cum .96 > b_cut
+    assert out["k5"]["abc_class"] == "C"
+    assert out["k1"]["share"] == pytest.approx(0.5)
+    assert out["k2"]["cum_share"] == pytest.approx(0.8)
+
+
+def test_abc_classes_single_dominant_key_is_a(spark):
+    from knot_another_pipeline_spark.operators.relational import abc_classes
+
+    rows = [("big", 99.0), ("tiny", 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["key"]: r for r in abc_classes(
+        df, key_col="k", value_col="v"
+    ).collect()}
+    assert out["big"]["abc_class"] == "A"  # cum .99 > .8 but rank 1
+    assert out["tiny"]["abc_class"] == "C"
+    with pytest.raises(ValueError, match="a_cut"):
+        abc_classes(df, key_col="k", value_col="v", a_cut=0.9, b_cut=0.5)

@@ -127,6 +127,13 @@ OPS = [
     "l_diversity",
     "tost_equivalence",
     "mantel_haenszel",
+    # control_chart: the rule windows see k-fold series length, output
+    # one row per fixed event type.  heaps_law on the UNSALTED docs
+    # replica: copies repeat the same text, so vocab and beta are
+    # constant while the tokenize/explode volume scales by k — the
+    # probe measures the postings plan, not vocabulary growth.
+    "control_chart",
+    "heaps_law",
 ]
 OPS_SALTED = [
     "minhash_pairs",
@@ -162,6 +169,11 @@ OPS_TPCH = [
     # medians and class shares are constant while the median
     # percentile aggregate and the 2xk table scan k-fold rows.
     "mood_median",
+    # tail_dependence / abc_classes on the same replica: quantiles and
+    # per-part revenue shares are copy-invariant, row volume scales by
+    # k (abc output stays one row per part — parts are not shifted).
+    "tail_dependence",
+    "abc_classes",
 ]
 # Iterative/graph shapes, probed on a BOTH-KEYS-SHIFTED lineitem replica
 # (l_orderkey AND l_partkey shifted per copy): each copy is a DISJOINT
