@@ -36,7 +36,9 @@ __all__ = [
     "funnel",
     "funnel_timing",
     "journey_topk",
+    "log_rank_test",
     "markov_transitions",
+    "nelson_aalen",
     "next_event_examples",
     "rfm_segments",
     "survival_curve",

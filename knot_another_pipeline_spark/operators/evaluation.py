@@ -47,16 +47,19 @@ __all__ = [
     "ips_policy_value",
     "isotonic_calibration",
     "lift_table",
+    "mantel_haenszel",
     "mcnemar_readout",
     "mde_power",
     "msprt_from_moments",
     "msprt_readout",
     "pair_eval",
+    "permutation_test",
     "psi_stability",
     "qte_readout",
     "ranking_metrics",
     "regression_report",
     "smd_balance",
+    "tost_equivalence",
     "uplift_table",
 ]
 

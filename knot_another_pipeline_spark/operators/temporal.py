@@ -39,6 +39,7 @@ __all__ = [
     "acf",
     "asof_join",
     "changepoint_detect",
+    "control_chart",
     "cusum_alarm",
     "decayed_agg",
     "dickey_fuller",
