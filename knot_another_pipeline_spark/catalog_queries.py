@@ -14448,11 +14448,18 @@ lagged AS (
 pairs AS (
   SELECT series, ylag AS x, y - ylag AS d
   FROM lagged WHERE ylag IS NOT NULL),
-a AS (
+a0 AS (
   SELECT series, CAST(count(*) AS DOUBLE) AS n,
          sum(x) AS sx, sum(d) AS sd,
          sum(x * x) AS sxx, sum(d * d) AS sdd, sum(x * d) AS sxd
   FROM pairs GROUP BY series),
+a AS (
+  -- single-point series have no lag pair: re-attach from the series
+  -- list so they emit (n_diffs=0, NULL stats), mirroring the operator
+  SELECT b.series, coalesce(a0.n, 0e0) AS n, a0.sx, a0.sd,
+         a0.sxx, a0.sdd, a0.sxd
+  FROM (SELECT DISTINCT series FROM daily) b
+  LEFT JOIN a0 ON a0.series = b.series),
 m AS (
   SELECT series, n,
          sxx - sx * sx / n AS cxx,
@@ -14589,12 +14596,18 @@ runs AS (
          CASE WHEN lag(sgn) OVER (PARTITION BY series ORDER BY ord)
                    IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS brk
   FROM signed),
-agg AS (
+agg0 AS (
   SELECT series,
          CAST(sum(sgn) AS DOUBLE) AS n1,
          CAST(sum(1 - sgn) AS DOUBLE) AS n2,
          CAST(sum(brk) AS DOUBLE) AS r
   FROM runs GROUP BY series),
+agg AS (
+  -- med covers EVERY series; agg0 only series with an off-median
+  -- value -- left-join so an all-at-median series still emits a row
+  SELECT m.series, coalesce(a.n1, 0e0) AS n1,
+         coalesce(a.n2, 0e0) AS n2, coalesce(a.r, 0e0) AS r
+  FROM med m LEFT JOIN agg0 a ON a.series = m.series),
 zc AS (
   SELECT series, n1, n2, r,
          CASE WHEN n1 > 0 AND n2 > 0
@@ -14720,13 +14733,19 @@ zeros AS (
          CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
   FROM d GROUP BY fam),
 zc AS (
-  SELECT a.fam, a.n, a.wp, z.n_zero,
+  -- zeros covers EVERY family; agg/ties only families with a nonzero
+  -- diff — left-join so an all-tied family still emits a degenerate
+  -- row (the operator's contract)
+  SELECT z.fam, coalesce(a.n, 0e0) AS n, coalesce(a.wp, 0e0) AS wp,
+         z.n_zero,
          CASE WHEN a.n > 0
                    AND a.n*(a.n+1e0)*(2e0*a.n+1e0)/24e0 - t.tie3/48e0 > 0
               THEN (a.wp - a.n*(a.n+1e0)/4e0)
                    / sqrt(a.n*(a.n+1e0)*(2e0*a.n+1e0)/24e0 - t.tie3/48e0)
               END AS z
-  FROM agg a JOIN ties t ON t.fam = a.fam JOIN zeros z ON z.fam = a.fam)
+  FROM zeros z
+  LEFT JOIN agg a ON a.fam = z.fam
+  LEFT JOIN ties t ON t.fam = z.fam)
 SELECT fam, CAST(n AS BIGINT) AS n_pairs, n_zero,
        round(wp, 6) AS w_plus,
        round(z, 6) AS z,
@@ -14813,22 +14832,26 @@ tc AS (
     FROM ranked GROUP BY fam, blk, v)
   GROUP BY fam),
 q AS (
-  SELECT f.fam, nb.n, ninc.n_incomplete, f.kk,
-         CASE WHEN f.kk >= 2 AND nb.n > 0
-                   AND 1e0 - tc.tie3 / (nb.n * f.kk * (f.kk*f.kk - 1e0)) > 0
-              THEN (12e0 / (nb.n * f.kk * (f.kk + 1e0)) * f.rr
-                    - 3e0 * nb.n * (f.kk + 1e0))
-                   / (1e0 - tc.tie3 / (nb.n * f.kk * (f.kk*f.kk - 1e0)))
+  -- ninc/kf cover EVERY family; famagg/nb/tc only families with a
+  -- complete block -- left-join so an all-incomplete family still
+  -- emits a degenerate row (the operator's contract)
+  SELECT ninc.fam, coalesce(nb.n, 0e0) AS n, ninc.n_incomplete, kf.k,
+         CASE WHEN kf.k >= 2 AND nb.n > 0
+                   AND 1e0 - tc.tie3 / (nb.n * kf.k * (kf.k*kf.k - 1e0)) > 0
+              THEN (12e0 / (nb.n * kf.k * (kf.k + 1e0)) * f.rr
+                    - 3e0 * nb.n * (kf.k + 1e0))
+                   / (1e0 - tc.tie3 / (nb.n * kf.k * (kf.k*kf.k - 1e0)))
               END AS qc
-  FROM famagg f
-  JOIN nb ON nb.fam = f.fam
-  JOIN tc ON tc.fam = f.fam
-  JOIN ninc ON ninc.fam = f.fam)
+  FROM ninc
+  JOIN kf ON kf.fam = ninc.fam
+  LEFT JOIN famagg f ON f.fam = ninc.fam
+  LEFT JOIN nb ON nb.fam = ninc.fam
+  LEFT JOIN tc ON tc.fam = ninc.fam)
 SELECT fam, CAST(n AS BIGINT) AS n_blocks, n_incomplete,
-       CAST(kk AS BIGINT) AS k_treatments,
+       CAST(k AS BIGINT) AS k_treatments,
        round(qc, 6) AS q_corrected,
-       CAST(kk - 1 AS BIGINT) AS df,
-       round({_wh_chi2_p_sql('qc', '(kk - 1e0)')}, 6) AS p_value
+       CAST(k - 1 AS BIGINT) AS df,
+       round({_wh_chi2_p_sql('qc', '(k - 1e0)')}, 6) AS p_value
 FROM q ORDER BY fam
 """
 

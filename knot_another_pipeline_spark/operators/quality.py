@@ -3506,8 +3506,12 @@ def wilcoxon_signed_rank(
         .cast("bigint")
         .alias("n_zero")
     )
-    j = agg.join(ties, group_cols).join(zeros, group_cols)
-    n = F.col("_n")
+    # zeros covers EVERY family (it aggregates all pairs); agg/ties only
+    # families with a nonzero diff — left-join so an all-tied family
+    # still emits (n_pairs=0, w_plus=0, NULL z) instead of vanishing
+    # (the twonn_dimension ADVICE class of bug, pinned in tests).
+    j = zeros.join(agg, group_cols, "left").join(ties, group_cols, "left")
+    n = F.coalesce(F.col("_n"), F.lit(0.0))
     wp = F.coalesce(F.col("_wp"), F.lit(0.0))
     mean_w = n * (n + 1.0) / 4.0
     var_w = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("_tie3") / 48.0
@@ -3616,12 +3620,18 @@ def friedman_test(
             ).alias("_tie3")
         )
     )
+    # n_incomplete and k_fam cover EVERY family (they aggregate all
+    # blocks); fam/nblk/ties only families with >= 1 complete block —
+    # left-join so a family whose blocks are ALL incomplete still
+    # emits a row (n_blocks=0, NULL stats) instead of vanishing (the
+    # twonn_dimension ADVICE class of bug, pinned in tests).
     j = (
-        fam.join(nblk, group_cols)
-        .join(ties, group_cols)
-        .join(n_incomplete, group_cols)
+        n_incomplete.join(k_fam, group_cols)
+        .join(fam, group_cols, "left")
+        .join(nblk, group_cols, "left")
+        .join(ties, group_cols, "left")
     )
-    n, k = F.col("_n"), F.col("_kk")
+    n, k = F.coalesce(F.col("_n"), F.lit(0.0)), F.col("_k")
     q = 12.0 / (n * k * (k + 1.0)) * F.col("_rr") - 3.0 * n * (k + 1.0)
     corr = 1.0 - F.col("_tie3") / (n * k * (k * k - 1.0))
     qc = F.when((k >= 2) & (n > 0) & (corr > 0), q / corr)

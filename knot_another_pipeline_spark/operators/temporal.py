@@ -2255,6 +2255,16 @@ def dickey_fuller(
         F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
         F.sum(F.col("_x") * F.col("_d")).alias("_sxd"),
     )
+    # single-point series have no lag pair and would vanish from the
+    # pair aggregate — re-attach them from the input series list so
+    # they emit (n_diffs=0, NULL stats); NULL moment sums propagate
+    # NULL through every division below (ANSI-safe).
+    agg = (
+        s.select("series")
+        .distinct()
+        .join(agg, "series", "left")
+        .withColumn("_n", F.coalesce("_n", F.lit(0.0)))
+    )
     n = F.col("_n")
     sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
     sdd = F.col("_sdd") - F.col("_sd") * F.col("_sd") / n
@@ -2456,8 +2466,21 @@ def runs_test(
         F.sum(1 - F.col("_sgn")).cast("double").alias("_n2"),
         F.sum("_brk").cast("double").alias("_r"),
     )
+    # med covers EVERY series; agg only series with an off-median value
+    # — left-join so an all-at-median series still emits a degenerate
+    # row (0, 0, 0, NULL z) instead of vanishing.
+    agg = med.select("series").join(agg, "series", "left").select(
+        "series",
+        F.coalesce("_n1", F.lit(0.0)).alias("_n1"),
+        F.coalesce("_n2", F.lit(0.0)).alias("_n2"),
+        F.coalesce("_r", F.lit(0.0)).alias("_r"),
+    )
     n1, n2, r = F.col("_n1"), F.col("_n2"), F.col("_r")
-    n = n1 + n2
+    # NULL-guarded denominator: a degenerate series (every value at
+    # the median) reaches this with n = 0 or 1, and under ANSI mode a
+    # bare division by zero errors even inside an unchosen WHEN branch
+    # (codegen evaluates eagerly — the oneway_anova note).
+    n = F.when(n1 + n2 > 1, n1 + n2)
     mean_r = 2.0 * n1 * n2 / n + 1.0
     var_r = (
         2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1.0))

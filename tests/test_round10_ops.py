@@ -1177,3 +1177,76 @@ def test_abc_classes_single_dominant_key_is_a(spark):
     assert out["tiny"]["abc_class"] == "C"
     with pytest.raises(ValueError, match="a_cut"):
         abc_classes(df, key_col="k", value_col="v", a_cut=0.9, b_cut=0.5)
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs must emit rows, never vanish (the twonn ADVICE class)
+
+
+def test_degenerate_families_still_emit_rows(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        friedman_test,
+        wilcoxon_signed_rank,
+    )
+    from knot_another_pipeline_spark.operators.temporal import (
+        dickey_fuller,
+        runs_test,
+    )
+
+    # wilcoxon: one family all-tied, one normal
+    wdf = spark.createDataFrame(
+        [("tied", 1.0, 1.0), ("tied", 2.0, 2.0),
+         ("ok", 3.0, 1.0), ("ok", 1.0, 2.0), ("ok", 5.0, 1.0)],
+        "fam string, a double, b double",
+    )
+    w = {r["fam"]: r for r in wilcoxon_signed_rank(
+        wdf, group_cols=["fam"], a_col="a", b_col="b"
+    ).collect()}
+    assert set(w) == {"tied", "ok"}
+    assert w["tied"]["n_pairs"] == 0 and w["tied"]["n_zero"] == 2
+    assert w["tied"]["w_plus"] == 0.0 and w["tied"]["z"] is None
+
+    # friedman: one family with ONLY incomplete blocks
+    fdf = spark.createDataFrame(
+        [("bad", "b1", "t1", 1.0),          # missing t2: incomplete
+         ("bad", "b2", "t2", 2.0),          # missing t1: incomplete
+         ("good", "b1", "t1", 1.0), ("good", "b1", "t2", 2.0),
+         ("good", "b2", "t1", 3.0), ("good", "b2", "t2", 1.0)],
+        "fam string, blk string, trt string, v double",
+    )
+    f = {r["fam"]: r for r in friedman_test(
+        fdf, group_cols=["fam"], block_col="blk", treatment_col="trt",
+        value_col="v",
+    ).collect()}
+    assert set(f) == {"bad", "good"}
+    assert f["bad"]["n_blocks"] == 0 and f["bad"]["n_incomplete"] == 2
+    assert f["bad"]["k_treatments"] == 2
+    assert f["bad"]["q_corrected"] is None and f["bad"]["p_value"] is None
+    assert f["good"]["n_blocks"] == 2
+
+    # runs_test: one constant series (every value AT the median)
+    rdf = spark.createDataFrame(
+        [("flat", i, 5.0) for i in range(6)]
+        + [("ok", i, float(i % 3)) for i in range(9)],
+        "series string, ord int, x double",
+    )
+    r = {x["series"]: x for x in runs_test(
+        rdf, series_col="series", order_col="ord", value_col="x"
+    ).collect()}
+    assert set(r) == {"flat", "ok"}
+    assert r["flat"]["n_above"] == 0 and r["flat"]["runs"] == 0
+    assert r["flat"]["z"] is None and r["flat"]["p_value"] is None
+
+    # dickey_fuller: a single-point series
+    ddf = spark.createDataFrame(
+        [("one", 0, 5.0)]
+        + [("ok", i, float((i * 7) % 5)) for i in range(10)],
+        "series string, ord int, y double",
+    )
+    d = {x["series"]: x for x in dickey_fuller(
+        ddf, series_col="series", order_col="ord", value_col="y"
+    ).collect()}
+    assert set(d) == {"one", "ok"}
+    assert d["one"]["n_diffs"] == 0
+    assert d["one"]["gamma"] is None and d["one"]["t_stat"] is None
+    assert d["ok"]["n_diffs"] == 9

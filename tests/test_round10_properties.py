@@ -36,9 +36,13 @@ def test_wilcoxon_matches_bruteforce(spark, pairs):
     ds = [a - b for a, b in pairs]
     nz = [d for d in ds if d != 0]
     if not nz:
-        # every diff zero: the nonzero branch is empty, the inner join
-        # drops the family — no output row by construction
-        assert out == []
+        # every diff zero: the family still emits a degenerate row
+        # (n_pairs=0, NULL z) — families must never vanish
+        assert len(out) == 1
+        assert out[0]["n_pairs"] == 0
+        assert out[0]["n_zero"] == len(ds)
+        assert out[0]["w_plus"] == 0.0
+        assert out[0]["z"] is None
         return
     r = out[0]
     ads = sorted(abs(d) for d in nz)
