@@ -304,6 +304,10 @@ HEADLINE = [
     "tail_dependence",
     "control_chart",
     "abc_classes",
+    "rouge_bigram",
+    "token_jsd",
+    "distribution_overlap",
+    "cliffs_delta",
 ]
 
 

@@ -15759,6 +15759,252 @@ FROM rk ORDER BY r
 """
 
 
+
+def q_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 between each document and its id-successor
+    (operators/text_analysis.py rouge_n): clipped bigram-multiset
+    overlap in one (pair, gram) hash aggregate — co-located union,
+    no gram join."""
+    from knot_another_pipeline_spark.operators.text_analysis import rouge_n
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("_ref"),
+    )
+    pairs = docs.select("doc_id", F.col("text").alias("_cand")).join(
+        nxt, "doc_id"
+    )
+    return rouge_n(
+        pairs, id_col="doc_id", cand_col="_cand", ref_col="_ref", n=2
+    )
+
+
+ORACLE_ROUGE_BIGRAM = r"""
+WITH pairs AS (
+  SELECT a.doc_id AS id, a.text AS cand, b.text AS ref
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id IS NOT NULL),
+grams AS (
+  SELECT id, 'c' AS side,
+         unnest(list_transform(
+           range(1, greatest(len(list_filter(string_split_regex(
+             trim(lower(cand)), '\s+'), x -> x != '')), 1)),
+           i -> array_to_string(list_slice(list_filter(string_split_regex(
+             trim(lower(cand)), '\s+'), x -> x != ''), i, i + 1), ' ')))
+           AS g
+  FROM pairs
+  UNION ALL
+  SELECT id, 'r' AS side,
+         unnest(list_transform(
+           range(1, greatest(len(list_filter(string_split_regex(
+             trim(lower(ref)), '\s+'), x -> x != '')), 1)),
+           i -> array_to_string(list_slice(list_filter(string_split_regex(
+             trim(lower(ref)), '\s+'), x -> x != ''), i, i + 1), ' ')))
+           AS g
+  FROM pairs),
+cells AS (
+  SELECT id, g,
+         sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+         sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr
+  FROM grams GROUP BY id, g),
+pp0 AS (
+  SELECT id, sum(cc) AS nc, sum(cr) AS nr,
+         sum(least(cc, cr)) AS ov
+  FROM cells GROUP BY id),
+pp AS (
+  SELECT p.id, coalesce(pp0.nc, 0) AS nc, coalesce(pp0.nr, 0) AS nr,
+         coalesce(pp0.ov, 0) AS ov
+  FROM (SELECT DISTINCT id FROM pairs) p
+  LEFT JOIN pp0 ON pp0.id = p.id),
+sc AS (
+  SELECT id, nc, nr, ov,
+         CASE WHEN nr > 0 THEN CAST(ov AS DOUBLE) / nr END AS rec,
+         CASE WHEN nc > 0 THEN CAST(ov AS DOUBLE) / nc END AS prec
+  FROM pp)
+SELECT id, CAST(nc AS BIGINT) AS n_cand_grams,
+       CAST(nr AS BIGINT) AS n_ref_grams,
+       CAST(ov AS BIGINT) AS n_overlap,
+       round(rec, 6) AS rouge_recall,
+       round(prec, 6) AS rouge_precision,
+       round(CASE WHEN rec IS NOT NULL AND prec IS NOT NULL
+                       AND rec + prec > 0
+                  THEN 2e0 * rec * prec / (rec + prec)
+                  WHEN rec IS NOT NULL AND prec IS NOT NULL
+                  THEN 0e0 END, 6) AS rouge_f1
+FROM sc ORDER BY id
+"""
+
+
+def q_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    vs the rest of the corpus (operators/text_analysis.py token_jsd):
+    the rest is ALGEBRA (total - group), absent-token terms collapse
+    to a closed form — no group x vocab densify."""
+    from knot_another_pipeline_spark.operators.text_analysis import (
+        token_jsd,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    return token_jsd(docs, group_col="source", text_col="text")
+
+
+ORACLE_TOKEN_JSD = r"""
+WITH toks AS (
+  SELECT CAST(source AS VARCHAR) AS grp,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x != '')) AS tok
+  FROM documents WHERE source IS NOT NULL),
+cells AS (
+  SELECT grp, tok, CAST(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY grp, tok),
+tt AS (SELECT tok, sum(c) AS t FROM cells GROUP BY tok),
+gt AS (
+  SELECT grp, sum(c) AS gn, CAST(count(*) AS BIGINT) AS vocab
+  FROM cells GROUP BY grp),
+corpus AS (SELECT sum(gn) AS cn FROM gt),
+j AS (
+  SELECT cells.grp, cells.c, tt.t, gt.gn, gt.vocab,
+         CASE WHEN corpus.cn - gt.gn > 0
+              THEN corpus.cn - gt.gn END AS rn
+  FROM cells
+  JOIN tt ON tt.tok = cells.tok
+  JOIN gt ON gt.grp = cells.grp
+  CROSS JOIN corpus),
+terms AS (
+  SELECT grp, gn, vocab, rn,
+         c / gn AS p,
+         (t - c) / rn AS q
+  FROM j),
+pres AS (
+  SELECT grp, max(gn) AS gn, max(vocab) AS vocab, max(rn) AS rn,
+         sum(0.5e0 * p * ln(p / ((p + q) / 2e0)) / 0.6931471805599453e0
+             + CASE WHEN q > 0
+                    THEN 0.5e0 * q * ln(q / ((p + q) / 2e0))
+                         / 0.6931471805599453e0
+                    ELSE 0e0 END) AS ps,
+         sum(q) AS qpres
+  FROM terms GROUP BY grp)
+SELECT grp AS "group",
+       CAST(gn AS BIGINT) AS n_tokens,
+       vocab,
+       round(CASE WHEN rn > 0 THEN ps + (1e0 - qpres) / 2e0 END, 6)
+         AS jsd
+FROM pres ORDER BY grp
+"""
+
+
+def q_distribution_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping coefficient between weekend and weekday value
+    distributions per event type, 20 equal-width bins over the pooled
+    range (operators/quality.py distribution_overlap)."""
+    from knot_another_pipeline_spark.operators.quality import (
+        distribution_overlap,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = ev.select(
+        F.col("event_type").alias("fam"),
+        F.col("value").cast("double").alias("v"),
+        _weekend_flag().alias("y"),
+    )
+    return distribution_overlap(
+        s, group_cols=["fam"], value_col="v", class_col="y", n_bins=20
+    )
+
+
+ORACLE_DISTRIBUTION_OVERLAP = f"""
+WITH s AS (
+  SELECT event_type AS fam, CAST(value AS DOUBLE) AS v,
+         {_WEEKEND_SQL} AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+rng AS (SELECT fam, min(v) AS lo, max(v) AS hi FROM s GROUP BY fam),
+binned AS (
+  SELECT s.fam, s.y,
+         CASE WHEN r.hi > r.lo
+              THEN least(19, CAST(floor((s.v - r.lo)
+                   / ((r.hi - r.lo) / 20e0)) AS INTEGER))
+              ELSE 0 END AS bin
+  FROM s JOIN rng r ON r.fam = s.fam),
+cells AS (
+  SELECT fam, bin,
+         CAST(sum(y) AS DOUBLE) AS c1,
+         CAST(sum(1 - y) AS DOUBLE) AS c0
+  FROM binned GROUP BY fam, bin),
+famt AS (SELECT fam, sum(c1) AS n1, sum(c0) AS n0 FROM cells GROUP BY fam),
+o AS (
+  SELECT c.fam, f.n1, f.n0,
+         sum(least(c.c1 / CASE WHEN f.n1 > 0 THEN f.n1 END,
+                   c.c0 / CASE WHEN f.n0 > 0 THEN f.n0 END)) AS ovl
+  FROM cells c JOIN famt f ON f.fam = c.fam
+  GROUP BY c.fam, f.n1, f.n0)
+SELECT fam, CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+       20 AS n_bins,
+       round(CASE WHEN n1 > 0 AND n0 > 0 THEN ovl END, 6) AS ovl
+FROM o ORDER BY fam
+"""
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size of weekend vs weekday values per
+    event type (operators/quality.py cliffs_delta): the mann_whitney
+    midrank construction, delta = 2U/(n1*n0) - 1 with Romano magnitude
+    bands."""
+    from knot_another_pipeline_spark.operators.quality import cliffs_delta
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = ev.select(
+        F.col("event_type").alias("fam"),
+        F.col("value").cast("double").alias("v"),
+        _weekend_flag().alias("y"),
+    )
+    return cliffs_delta(
+        s, group_cols=["fam"], value_col="v", class_col="y"
+    )
+
+
+ORACLE_CLIFFS_DELTA = f"""
+WITH s AS (
+  SELECT event_type AS fam, CAST(value AS DOUBLE) AS v,
+         {_WEEKEND_SQL} AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+ranked AS (
+  SELECT fam, y,
+         rank() OVER (PARTITION BY fam ORDER BY v)
+           + (CAST(count(*) OVER (PARTITION BY fam, v) AS DOUBLE) - 1)
+             / 2e0 AS r
+  FROM s),
+agg AS (
+  SELECT fam,
+         CAST(sum(y) AS DOUBLE) AS n1,
+         CAST(sum(1 - y) AS DOUBLE) AS n0,
+         sum(CASE WHEN y = 1 THEN r END) AS r1
+  FROM ranked GROUP BY fam),
+d AS (
+  SELECT fam, n1, n0,
+         2e0 * (r1 - (CASE WHEN n1 > 0 THEN n1 END)
+                      * ((CASE WHEN n1 > 0 THEN n1 END) + 1e0) / 2e0)
+           / ((CASE WHEN n1 > 0 THEN n1 END)
+              * (CASE WHEN n0 > 0 THEN n0 END)) - 1e0 AS delta
+  FROM agg)
+SELECT fam, CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+       round(delta, 6) AS delta,
+       CASE WHEN abs(delta) < 0.147e0 THEN 'negligible'
+            WHEN abs(delta) < 0.33e0 THEN 'small'
+            WHEN abs(delta) < 0.474e0 THEN 'medium'
+            WHEN delta IS NOT NULL THEN 'large' END AS magnitude
+FROM d ORDER BY fam
+"""
+
+
 QUERIES = {
     # round-10 additions: drift/unit-root/spectral/runs/seasonal series
     # diagnostics, paired & k-sample rank tests, permutation inference,
@@ -15784,6 +16030,10 @@ QUERIES = {
     "tail_dependence": q_tail_dependence,
     "control_chart": q_control_chart,
     "abc_classes": q_abc_classes,
+    "rouge_bigram": q_rouge_bigram,
+    "token_jsd": q_token_jsd,
+    "distribution_overlap": q_distribution_overlap,
+    "cliffs_delta": q_cliffs_delta,
     # round-9 additions: exact substring dedup with first-copy retention
     # + per-source duplication scorecard + the NINE remaining classic
     # TPC-H plan shapes (Q2, Q3, Q7, Q8, Q9, Q11, Q15, Q16, Q20)
@@ -16141,6 +16391,10 @@ ORACLES = {
     "tail_dependence": ORACLE_TAIL_DEPENDENCE,
     "control_chart": ORACLE_CONTROL_CHART,
     "abc_classes": ORACLE_ABC_CLASSES,
+    "rouge_bigram": ORACLE_ROUGE_BIGRAM,
+    "token_jsd": ORACLE_TOKEN_JSD,
+    "distribution_overlap": ORACLE_DISTRIBUTION_OVERLAP,
+    "cliffs_delta": ORACLE_CLIFFS_DELTA,
     # round-9 additions
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,

@@ -4041,3 +4041,142 @@ def tail_dependence(
             round_to,
         ).alias("lambda_lower"),
     )
+
+
+def distribution_overlap(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    n_bins: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family overlapping coefficient (OVL) between two classes'
+    value distributions — the "how much do these two histograms
+    actually share" number in [0, 1] that a p-value cannot give: an
+    enormous sample makes a 0.98-overlap pair "significantly
+    different" (:func:`ks_drift` fires) while OVL says the practical
+    difference is 2%.
+
+        OVL = Σ_bins min(share₁(b), share₀(b)),
+
+    over ``n_bins`` equal-width bins spanning the FAMILY's pooled
+    [min, max] (degenerate families with min = max collapse to one
+    bin and OVL = 1 when both classes are present).
+
+    Scale shape: one (family) min/max aggregate joined back
+    family-keyed, then ONE (family, bin) conditional hash aggregate
+    and a ≤n_bins-row reduce per family — no sorts, no windows.
+
+    Output per family: group cols, n1, n0, n_bins, ovl (NULL when
+    either class is empty).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(class_col).cast("int").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isin(0, 1))
+    rng = s.groupBy(*group_cols).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    width = F.when(
+        F.col("_hi") > F.col("_lo"),
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)),
+    )
+    binned = s.join(rng, group_cols).withColumn(
+        "_bin",
+        F.when(width.isNull(), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
+            )
+        ),
+    )
+    cells = binned.groupBy(*group_cols, "_bin").agg(
+        F.sum("_y").cast("double").alias("_c1"),
+        F.sum(1 - F.col("_y")).cast("double").alias("_c0"),
+    )
+    fam = cells.groupBy(*group_cols).agg(
+        F.sum("_c1").alias("_n1"),
+        F.sum("_c0").alias("_n0"),
+    )
+    j = cells.join(fam, group_cols)
+    n1 = F.when(F.col("_n1") > 0, F.col("_n1"))
+    n0 = F.when(F.col("_n0") > 0, F.col("_n0"))
+    ovl_term = F.least(F.col("_c1") / n1, F.col("_c0") / n0)
+    out = j.groupBy(*group_cols).agg(
+        F.max("_n1").cast("bigint").alias("n1"),
+        F.max("_n0").cast("bigint").alias("n0"),
+        F.sum(ovl_term).alias("_ovl"),
+    )
+    return out.select(
+        *group_cols,
+        "n1",
+        "n0",
+        F.lit(int(n_bins)).alias("n_bins"),
+        F.round(
+            F.when((F.col("n1") > 0) & (F.col("n0") > 0), F.col("_ovl")),
+            round_to,
+        ).alias("ovl"),
+    ).orderBy(*group_cols)
+
+
+def cliffs_delta(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-family Cliff's delta — the rank-based EFFECT SIZE that
+    belongs next to every :func:`mann_whitney` z: δ = P(x₁ > x₀) −
+    P(x₁ < x₀) ∈ [−1, 1], i.e. how often a class-1 value beats a
+    class-0 value, net of losses.  Reported with Romano et al.'s
+    conventional magnitude bands (|δ| < .147 negligible, < .33 small,
+    < .474 medium, else large) so a "significant" z on a negligible
+    effect reads as exactly that.
+
+    Computed from the same midrank construction as ``mann_whitney``
+    (one shared family shuffle, tie cells never a self-join):
+    U₁ = R₁ − n₁(n₁+1)/2 counts wins + half-ties, so
+    δ = 2·U₁/(n₁·n₀) − 1 nets ties out exactly.
+
+    Output per family: group cols, n1, n0, delta (NULL when either
+    class is empty), magnitude (NULL with it).
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(class_col).cast("int").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isin(0, 1))
+    gp = [F.col(c) for c in group_cols]
+    midrank = F.rank().over(Window.partitionBy(*gp).orderBy("_v")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*gp, F.col("_v"))) - 1
+    ) / 2.0
+    ranked = s.withColumn("_r", midrank)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum(F.col("_y")).cast("double").alias("_n1"),
+        F.sum(1 - F.col("_y")).cast("double").alias("_n0"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("_r1"),
+    )
+    n1 = F.when(F.col("_n1") > 0, F.col("_n1"))
+    n0 = F.when(F.col("_n0") > 0, F.col("_n0"))
+    u1 = F.col("_r1") - n1 * (n1 + 1.0) / 2.0
+    delta = 2.0 * u1 / (n1 * n0) - 1.0
+    mag = (
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .when(delta.isNotNull(), F.lit("large"))
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n1").cast("bigint").alias("n1"),
+        F.col("_n0").cast("bigint").alias("n0"),
+        F.round(delta, round_to).alias("delta"),
+        mag.alias("magnitude"),
+    ).orderBy(*group_cols)

@@ -1933,3 +1933,183 @@ def heaps_law(
             ).alias("k_coef"),
         )
     )
+
+
+def rouge_n(
+    df: DataFrame,
+    *,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """ROUGE-N per (candidate, reference) text pair — the standard
+    n-gram overlap scorecard for generated-text evaluation (Lin 2004):
+    clipped n-gram counts (multiset intersection, so a candidate
+    repeating one reference gram ten times scores it once per
+    reference occurrence),
+
+        recall = Σ_g min(c_cand(g), c_ref(g)) / Σ_g c_ref(g),
+        precision = ... / Σ_g c_cand(g),   F1 = harmonic mean.
+
+    Scale shape: both sides explode to MULTISET n-grams through the
+    same codegen'd ``regexp_extract_all`` as ``shingle_table``, union
+    with a side tag, and clip in ONE (pair, gram) hash aggregate —
+    co-located by construction, no join; per-pair sums reduce in a
+    second keyed aggregate.  Everything is keyed by the pair id, so a
+    skewed gram never concentrates load.
+
+    Output per pair: id, n_cand_grams, n_ref_grams, n_overlap,
+    rouge_recall / rouge_precision (NULL when the respective side has
+    no n-gram, i.e. fewer than n tokens), rouge_f1 (NULL when either
+    is NULL or both are 0).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    pattern = rf"(?<=^| )(?=(\S+(?: \S+){{{n - 1}}}))"
+
+    def grams(col: str, tag: str) -> DataFrame:
+        norm = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.regexp_extract_all(norm, F.lit(pattern), 1)
+            ).alias("_g"),
+        ).withColumn("_side", F.lit(tag))
+
+    both = grams(cand_col, "c").unionByName(grams(ref_col, "r"))
+    cells = both.groupBy("_id", "_g").agg(
+        F.sum(F.when(F.col("_side") == "c", 1).otherwise(0)).alias("_cc"),
+        F.sum(F.when(F.col("_side") == "r", 1).otherwise(0)).alias("_cr"),
+    )
+    per_pair = cells.groupBy("_id").agg(
+        F.sum("_cc").cast("bigint").alias("n_cand_grams"),
+        F.sum("_cr").cast("bigint").alias("n_ref_grams"),
+        F.sum(F.least(F.col("_cc"), F.col("_cr")))
+        .cast("bigint")
+        .alias("n_overlap"),
+    )
+    # pairs where BOTH texts are shorter than n tokens never enter the
+    # gram union — re-attach from the input so they emit zero rows
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    per_pair = base.join(per_pair, "_id", "left").select(
+        "_id",
+        *[
+            F.coalesce(c, F.lit(0)).cast("bigint").alias(c)
+            for c in ("n_cand_grams", "n_ref_grams", "n_overlap")
+        ],
+    )
+    rec = F.when(
+        F.col("n_ref_grams") > 0,
+        F.col("n_overlap") / F.col("n_ref_grams"),
+    )
+    prec = F.when(
+        F.col("n_cand_grams") > 0,
+        F.col("n_overlap") / F.col("n_cand_grams"),
+    )
+    f1 = F.when(
+        rec.isNotNull() & prec.isNotNull() & ((rec + prec) > 0),
+        2.0 * rec * prec / (rec + prec),
+    ).when(
+        rec.isNotNull() & prec.isNotNull(), F.lit(0.0)
+    )
+    return per_pair.select(
+        F.col("_id").alias("id"),
+        "n_cand_grams",
+        "n_ref_grams",
+        "n_overlap",
+        F.round(rec, round_to).alias("rouge_recall"),
+        F.round(prec, round_to).alias("rouge_precision"),
+        F.round(f1, round_to).alias("rouge_f1"),
+    ).orderBy("id")
+
+
+def token_jsd(
+    df: DataFrame,
+    *,
+    group_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen–Shannon divergence (base 2, so 0..1) between each
+    group's unigram distribution and the REST of the corpus — the
+    "which source sounds different" readout that drives mixture
+    reweighting: JSD ≈ 0 means the source is linguistically redundant
+    with the pool, JSD → 1 means a disjoint vocabulary (a different
+    language, boilerplate, or spam).
+
+        JSD(p‖q) = ½·KL(p‖m) + ½·KL(q‖m),  m = (p+q)/2,
+
+    p = the group's token shares, q = the token shares of every OTHER
+    group pooled.  Symmetric, bounded, defined when either side has
+    zero mass on a token (the 0·log0 terms vanish).
+
+    Scale shape: one (group, token) count aggregate and one token
+    total aggregate over it; q's counts per token are total − group
+    (no anti-join — the complement is ALGEBRA), so the per-group term
+    table is the (group, token) cell table joined to the broadcast
+    token totals.  Tokens the group has zero count of still contribute
+    the q-side term: that sum collapses to a closed form over the
+    group's OWN cells plus one scalar (Σ q·log2(q/m) over absent
+    tokens needs m = q/2 there, so each absent token contributes
+    exactly q — total q-mass minus present-token q-mass), keeping the
+    plan at cell-table scale with no group × vocab densify.
+
+    Output per group: group, n_tokens, vocab (distinct tokens in the
+    group), jsd (NULL for the only-group corpus — no rest to compare).
+    """
+    toks = df.select(
+        F.col(group_col).cast("string").alias("_grp"),
+        F.explode(_tokens(F.col(text_col))).alias("_tok"),
+    ).filter(F.col("_grp").isNotNull())
+    cells = toks.groupBy("_grp", "_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    tok_tot = cells.groupBy("_tok").agg(F.sum("_c").alias("_t"))
+    grp_tot = cells.groupBy("_grp").agg(
+        F.sum("_c").alias("_gn"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    corpus = grp_tot.agg(F.sum("_gn").alias("_cn"))
+    j = (
+        cells.join(tok_tot, "_tok")
+        .join(grp_tot, "_grp")
+        .crossJoin(F.broadcast(corpus))
+    )
+    # shares: p over the group, q over the rest.  The rest size is
+    # NULL-guarded: a single-group corpus reaches the division with
+    # rest_n = 0, and ANSI mode errors on 0/0 even inside an unchosen
+    # branch (the oneway_anova note); NULL propagates to a NULL jsd.
+    rest_n = F.when(F.col("_cn") - F.col("_gn") > 0, F.col("_cn") - F.col("_gn"))
+    p = F.col("_c") / F.col("_gn")
+    qc = F.col("_t") - F.col("_c")  # rest count of this token
+    q = qc / rest_n
+    m = (p + q) / 2.0
+    ln2 = 0.6931471805599453
+    # present-token terms of ½KL(p||m) + ½KL(q||m) (q term only when
+    # the rest also has the token; 0·log0 vanishes)
+    term = 0.5 * p * F.log(p / m) / ln2 + F.when(
+        qc > 0, 0.5 * q * F.log(q / m) / ln2
+    ).otherwise(F.lit(0.0))
+    present = j.groupBy("_grp").agg(
+        F.sum(term).alias("_pres"),
+        F.max(F.col("_gn")).alias("_gn"),
+        F.max(F.col("vocab")).alias("vocab"),
+        F.max(rest_n).alias("_rn"),
+        # q-mass of tokens the group DOES have — the complement's
+        # closed form needs it: absent tokens have p = 0, m = q/2, so
+        # each contributes ½·q·log2(2) = q/2; Σ over absent = (1 − Σ
+        # present q)/2
+        F.sum(q).alias("_qpres"),
+    )
+    jsd = F.when(
+        F.col("_rn") > 0,
+        F.col("_pres") + (1.0 - F.col("_qpres")) / 2.0,
+    )
+    return present.select(
+        F.col("_grp").alias("group"),
+        F.col("_gn").cast("bigint").alias("n_tokens"),
+        "vocab",
+        F.round(jsd, round_to).alias("jsd"),
+    ).orderBy("group")

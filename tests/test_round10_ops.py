@@ -1250,3 +1250,243 @@ def test_degenerate_families_still_emit_rows(spark):
     assert d["one"]["n_diffs"] == 0
     assert d["one"]["gamma"] is None and d["one"]["t_stat"] is None
     assert d["ok"]["n_diffs"] == 9
+
+
+# ---------------------------------------------------------------------------
+# rouge_n
+
+
+def _rouge_reference(cand, ref, n):
+    def grams(t):
+        toks = t.lower().split()
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    from collections import Counter
+
+    cc, cr = Counter(grams(cand)), Counter(grams(ref))
+    overlap = sum(min(c, cr[g]) for g, c in cc.items())
+    nc, nr = sum(cc.values()), sum(cr.values())
+    rec = overlap / nr if nr else None
+    prec = overlap / nc if nc else None
+    return nc, nr, overlap, rec, prec
+
+
+def test_rouge_n_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import rouge_n
+
+    pairs = [
+        (1, "the cat sat on the mat", "the cat lay on the mat"),
+        (2, "a a a a", "a a b"),          # clipping matters here
+        (3, "completely different words", "nothing shared at all"),
+        (4, "one", "two words here"),     # cand too short for bigrams
+    ]
+    df = spark.createDataFrame(pairs, ["pid", "cand", "ref"])
+    out = {
+        r["id"]: r
+        for r in rouge_n(
+            df, id_col="pid", cand_col="cand", ref_col="ref", n=2
+        ).collect()
+    }
+    for pid, cand, ref in pairs:
+        nc, nr, ov, rec, prec = _rouge_reference(cand, ref, 2)
+        r = out[pid]
+        assert r["n_cand_grams"] == nc
+        assert r["n_ref_grams"] == nr
+        assert r["n_overlap"] == ov
+        if rec is None:
+            assert r["rouge_recall"] is None
+        else:
+            assert r["rouge_recall"] == pytest.approx(rec, abs=1e-6)
+        if prec is None:
+            assert r["rouge_precision"] is None
+        else:
+            assert r["rouge_precision"] == pytest.approx(prec, abs=1e-6)
+    # clipping: "a a a a" vs "a a b" shares min(3,1)=1 "a a" bigram...
+    assert out[2]["n_overlap"] == 1
+    # zero-overlap pair: F1 = 0.0, not NULL
+    assert out[3]["rouge_f1"] == 0.0
+    with pytest.raises(ValueError, match="n must"):
+        rouge_n(df, id_col="pid", cand_col="cand", ref_col="ref", n=0)
+
+
+def test_rouge_n_identical_texts_perfect(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import rouge_n
+
+    df = spark.createDataFrame(
+        [(1, "same exact text here", "same exact text here")],
+        ["pid", "cand", "ref"],
+    )
+    r = rouge_n(
+        df, id_col="pid", cand_col="cand", ref_col="ref", n=1
+    ).collect()[0]
+    assert r["rouge_recall"] == 1.0 and r["rouge_precision"] == 1.0
+    assert r["rouge_f1"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# token_jsd
+
+
+def _jsd_reference(groups):
+    """groups: dict group -> list of tokens. JSD of each vs the rest."""
+    from collections import Counter
+
+    out = {}
+    for g, toks in groups.items():
+        rest = [t for og, ts in groups.items() if og != g for t in ts]
+        if not rest:
+            out[g] = None
+            continue
+        cp, cq = Counter(toks), Counter(rest)
+        np_, nq = len(toks), len(rest)
+        jsd = 0.0
+        for t in set(cp) | set(cq):
+            p = cp[t] / np_
+            q = cq[t] / nq
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log2(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log2(q / m)
+        out[g] = jsd
+    return out
+
+
+def test_token_jsd_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import token_jsd
+
+    groups = {
+        "news": "the stock market rose today the market was up".split(),
+        "code": "def foo return x def bar return y".split(),
+        "mixed": "the market def foo today y".split(),
+    }
+    rows = [(g, " ".join(toks)) for g, toks in groups.items()]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {
+        r["group"]: r
+        for r in token_jsd(df, group_col="src", text_col="text").collect()
+    }
+    ref = _jsd_reference(groups)
+    for g in groups:
+        assert out[g]["n_tokens"] == len(groups[g])
+        assert out[g]["jsd"] == pytest.approx(ref[g], abs=1e-6)
+    # disjoint-vocabulary group diverges more than the overlapping one
+    assert out["code"]["jsd"] > out["mixed"]["jsd"]
+
+
+def test_token_jsd_single_group_null(spark):
+    from knot_another_pipeline_spark.operators.text_analysis import token_jsd
+
+    df = spark.createDataFrame(
+        [("only", "a b c a")], "src string, text string"
+    )
+    r = token_jsd(df, group_col="src", text_col="text").collect()[0]
+    assert r["jsd"] is None
+    assert r["vocab"] == 3
+
+
+# ---------------------------------------------------------------------------
+# distribution_overlap
+
+
+def test_distribution_overlap_identical_and_disjoint(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        distribution_overlap,
+    )
+
+    same = [("f", float(i % 10), y) for i in range(100) for y in (0, 1)]
+    df = spark.createDataFrame(same, "fam string, v double, y int")
+    r = distribution_overlap(
+        df, group_cols=["fam"], value_col="v", class_col="y", n_bins=10
+    ).collect()[0]
+    assert r["ovl"] == pytest.approx(1.0)
+    disj = [("f", float(i % 10), 1) for i in range(50)] + [
+        ("f", 100.0 + (i % 10), 0) for i in range(50)
+    ]
+    df2 = spark.createDataFrame(disj, "fam string, v double, y int")
+    r2 = distribution_overlap(
+        df2, group_cols=["fam"], value_col="v", class_col="y", n_bins=10
+    ).collect()[0]
+    assert r2["ovl"] == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        distribution_overlap(
+            df, group_cols=["fam"], value_col="v", class_col="y", n_bins=0
+        )
+
+
+def test_distribution_overlap_matches_reference(spark):
+    from knot_another_pipeline_spark.operators.quality import (
+        distribution_overlap,
+    )
+
+    rows = [("f", float((i * 7) % 23), i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "fam string, v double, y int")
+    nb = 8
+    got = distribution_overlap(
+        df, group_cols=["fam"], value_col="v", class_col="y", n_bins=nb
+    ).collect()[0]
+    vs = [(v, y) for _, v, y in rows]
+    lo, hi = min(v for v, _ in vs), max(v for v, _ in vs)
+    w = (hi - lo) / nb
+    from collections import Counter
+
+    b1 = Counter(min(nb - 1, int((v - lo) // w)) for v, y in vs if y == 1)
+    b0 = Counter(min(nb - 1, int((v - lo) // w)) for v, y in vs if y == 0)
+    n1, n0 = sum(b1.values()), sum(b0.values())
+    ovl = sum(min(b1[b] / n1, b0[b] / n0) for b in range(nb))
+    assert got["ovl"] == pytest.approx(ovl, abs=1e-6)
+    # degenerate family (all values equal): one bin, full overlap
+    dfd = spark.createDataFrame(
+        [("d", 5.0, y) for y in (0, 1) for _ in range(3)],
+        "fam string, v double, y int",
+    )
+    gd = distribution_overlap(
+        dfd, group_cols=["fam"], value_col="v", class_col="y"
+    ).collect()[0]
+    assert gd["ovl"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# cliffs_delta
+
+
+def test_cliffs_delta_matches_bruteforce(spark):
+    from knot_another_pipeline_spark.operators.quality import cliffs_delta
+
+    x1 = [3.0, 5.0, 7.0, 5.0, 9.0]
+    x0 = [1.0, 5.0, 2.0, 4.0]
+    rows = [("f", v, 1) for v in x1] + [("f", v, 0) for v in x0]
+    df = spark.createDataFrame(rows, "fam string, v double, y int")
+    got = cliffs_delta(
+        df, group_cols=["fam"], value_col="v", class_col="y"
+    ).collect()[0]
+    wins = sum(1 for a in x1 for b in x0 if a > b)
+    losses = sum(1 for a in x1 for b in x0 if a < b)
+    delta = (wins - losses) / (len(x1) * len(x0))
+    assert got["delta"] == pytest.approx(delta, abs=1e-6)
+    assert got["n1"] == 5 and got["n0"] == 4
+    assert got["magnitude"] in (
+        "negligible", "small", "medium", "large"
+    )
+    # one-class family: NULL delta and magnitude
+    df1 = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1)], "fam string, v double, y int"
+    )
+    g1 = cliffs_delta(
+        df1, group_cols=["fam"], value_col="v", class_col="y"
+    ).collect()[0]
+    assert g1["delta"] is None and g1["magnitude"] is None
+
+
+def test_cliffs_delta_extremes(spark):
+    from knot_another_pipeline_spark.operators.quality import cliffs_delta
+
+    rows = [("f", float(i + 100), 1) for i in range(10)] + [
+        ("f", float(i), 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "fam string, v double, y int")
+    got = cliffs_delta(
+        df, group_cols=["fam"], value_col="v", class_col="y"
+    ).collect()[0]
+    assert got["delta"] == pytest.approx(1.0)
+    assert got["magnitude"] == "large"

@@ -134,6 +134,16 @@ OPS = [
     # probe measures the postings plan, not vocabulary growth.
     "control_chart",
     "heaps_law",
+    # rouge_bigram pairs doc_id with doc_id+1, so id-shifted copies
+    # keep every pair within its copy; token_jsd's per-source shares
+    # are copy-invariant (sources repeat) while the token volume
+    # scales by k.  distribution_overlap / cliffs_delta run on the
+    # shifted events replica: per-type class shares are preserved,
+    # the binning/midrank passes see k-fold rows, output fixed.
+    "rouge_bigram",
+    "token_jsd",
+    "distribution_overlap",
+    "cliffs_delta",
 ]
 OPS_SALTED = [
     "minhash_pairs",
