@@ -2622,10 +2622,10 @@ j AS (
          row_number() OVER (PARTITION BY p.p ORDER BY c.bin) AS rn
   FROM p CROSS JOIN t
   JOIN c ON CAST(c.cum AS DOUBLE) >= p.p * t.total)
-SELECT p,
-       round(round(0.0 + bin * 2.5, 6)
+SELECT CAST(p AS DOUBLE) AS p,
+       CAST(round(round(0.0 + bin * 2.5, 6)
              + (round(0.0 + (bin + 1) * 2.5, 6) - round(0.0 + bin * 2.5, 6))
-               * ((p * total - (cum - n)) / n), 6) AS quantile
+               * ((p * total - (cum - n)) / n), 6) AS DOUBLE) AS quantile
 FROM j WHERE rn = 1
 """
 
@@ -2914,8 +2914,8 @@ WITH b AS (
            0), 19) AS bin
   FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)))
 SELECT bin,
-       round(0.0 + bin * 25.0, 6) AS bin_lo,
-       round(0.0 + (bin + 1) * 25.0, 6) AS bin_hi,
+       CAST(round(0.0 + bin * 25.0, 6) AS DOUBLE) AS bin_lo,
+       CAST(round(0.0 + (bin + 1) * 25.0, 6) AS DOUBLE) AS bin_hi,
        count(*) AS n
 FROM b GROUP BY bin
 """
@@ -10200,7 +10200,7 @@ SELECT th.grp AS group_key,
        CAST(th.n_cal AS BIGINT) AS n_cal,
        CAST(count(*) AS BIGINT) AS n_eval,
        round(th.threshold, 6) AS threshold,
-       round(0.9, 6) AS target,
+       CAST(round(0.9, 6) AS DOUBLE) AS target,
        round(sum(CASE WHEN e.score <= th.threshold THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS coverage
 FROM s e JOIN th ON e.grp = th.grp
@@ -13744,10 +13744,10 @@ def q_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRIORITY_LINESTATUS = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

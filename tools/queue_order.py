@@ -39,21 +39,46 @@ def tracked_correctness() -> list[str]:
     return sorted(os.path.join(REPO, rel) for rel in out)
 
 
-def latest_round() -> dict[str, int]:
-    """key -> round number of its most recent driver CORRECTNESS row."""
-    latest: dict[str, int] = {}
+def latest_rows() -> dict[str, tuple[int, dict]]:
+    """key -> (round, row) of its most recent driver CORRECTNESS row."""
+    latest: dict[str, tuple[int, dict]] = {}
     for path in tracked_correctness():
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         with open(path) as fh:
-            for key in json.load(fh):
-                latest[key] = max(rnd, latest.get(key, 0))
+            for key, row in json.load(fh).items():
+                if key not in latest or rnd > latest[key][0]:
+                    latest[key] = (rnd, row)
     return latest
 
 
+def latest_round() -> dict[str, int]:
+    """key -> round number of its most recent driver CORRECTNESS row."""
+    return {k: rnd for k, (rnd, _row) in latest_rows().items()}
+
+
+def _row_green(row: dict) -> bool:
+    return (
+        bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and row.get("hash_match", True) is not False
+        and not row.get("err")
+    )
+
+
 def stale_rotation() -> list[str]:
-    """Gated keys, stalest first (ascending latest round, then name)."""
-    latest = latest_round()
-    return sorted(latest, key=lambda k: (latest[k], k))
+    """Gated keys: red-latest-row keys first, then stalest-first.
+
+    A key whose most recent driver row is red (any of rows/schema/hash
+    false, or an err) jumps the staleness queue — a red row must be
+    re-gated the very next round so the fix's green row lands in the
+    driver record (round-10's ``priority_linestatus`` is the motivating
+    case).  Green keys follow ascending by latest-gated round, then
+    name.
+    """
+    rows = latest_rows()
+    return sorted(
+        rows, key=lambda k: (_row_green(rows[k][1]), rows[k][0], k)
+    )
 
 
 def backlog() -> list[str]:
