@@ -48,6 +48,41 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+#: Default ceiling for the exact (brute-force) feeders below.  The
+#: exact paths cost O(queries × corpus) pair evaluations; past ~1M
+#: corpus rows that is never the right plan — the LSH/IVF feeders
+#: compute the same neighbor tables with an equi-join.  Callers doing a
+#: deliberate exact run at larger sizes must raise the ceiling
+#: explicitly; the guard makes the docstrings' scale story enforced
+#: behavior instead of prose (VERDICT r9 task #5 / r10 task #4).
+MAX_EXACT_ROWS = 1_000_000
+
+
+def _guard_exact_feeder(
+    df: DataFrame, max_exact_rows: int | None, op: str, scale_path: str
+) -> None:
+    """Refuse an exact all-pairs feeder above ``max_exact_rows`` rows.
+
+    The count is bounded (``limit(n+1).count()``) so the guard costs at
+    most one scan of n+1 rows, never a full count of a 100 TB table.
+    Raises ``ValueError`` naming the scale-path swap rather than
+    silently switching engines: the exact and approximate feeders have
+    different recall contracts, and a silent swap would make oracle
+    hashes depend on data volume.
+    """
+    if max_exact_rows is None:
+        return
+    n = df.limit(max_exact_rows + 1).count()
+    if n > max_exact_rows:
+        raise ValueError(
+            f"{op}: exact all-pairs feeder refused at >{max_exact_rows} "
+            f"input rows. At this scale compute the neighbor table with "
+            f"{scale_path} and reduce the same downstream formula, or "
+            f"pass max_exact_rows= a higher ceiling (or None) for a "
+            f"deliberate exact run."
+        )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -56,6 +91,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     arrow: bool = False,
+    max_exact_rows: int | None = MAX_EXACT_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -82,7 +118,19 @@ def cosine_topk(
       when emitting cos_sim values the differential oracle re-derives.
 
     Output: query_id, neighbor_id, cos_sim, rank.
+
+    Scale guard: the corpus side is counted (bounded scan) and the call
+    refuses above ``max_exact_rows`` (default 1M), naming
+    :func:`lsh_bucket_topk` / :func:`ivf_topk` as the scale path — the
+    brute-force cost is queries × corpus and must be opted into
+    explicitly past that size.
     """
+    _guard_exact_feeder(
+        corpus,
+        max_exact_rows,
+        "cosine_topk",
+        "lsh_bucket_topk / ivf_topk (same k)",
+    )
     if arrow:
         return _cosine_topk_arrow(
             queries, corpus, id_col=id_col, vec_col=vec_col, k=k
@@ -1617,6 +1665,7 @@ def twonn_dimension(
     vec_col: str = "embedding",
     group_cols: list[str] | None = None,
     round_to: int = 6,
+    max_exact_rows: int | None = MAX_EXACT_ROWS,
 ) -> DataFrame:
     """TwoNN intrinsic-dimension estimate (Facco et al. 2017): from
     each point's two nearest Euclidean neighbors, μ_i = r₂/r₁ follows
@@ -1645,8 +1694,20 @@ def twonn_dimension(
     and NULL intrinsic_dim, via a left join from the distinct group
     keys (ADVICE r9 item #2: the top-2 filter used to drop them from
     the output entirely, contradicting this docstring).
+
+    Scale guard: the exact-2NN feeder refuses above ``max_exact_rows``
+    input rows (default 1M) with an error naming the
+    ``lsh_bucket_topk`` / ``ivf_topk`` k=2 swap — the scale story
+    above is enforced, not prose.
     """
     gcols = list(group_cols or [])
+    _guard_exact_feeder(
+        df,
+        max_exact_rows,
+        "twonn_dimension",
+        "lsh_bucket_topk / ivf_topk with k=2 (feed r1, r2 into the "
+        "same mu-MLE reduction)",
+    )
     pts = df.filter(
         F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(

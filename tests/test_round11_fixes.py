@@ -43,6 +43,42 @@ def test_no_decimal_or_hugeint_oracle_outputs(duck):
     )
 
 
+def _vec_df(spark, n, dim=4):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) + 1.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact_guard_trips(spark):
+    """r9 task #5 (enforced this round): the brute-force feeder must
+    REFUSE oversized corpora, naming the LSH/IVF swap, rather than
+    carrying the scale story only in prose."""
+    from knot_another_pipeline_spark.operators.similarity import cosine_topk
+
+    df = _vec_df(spark, 12)
+    with pytest.raises(ValueError, match="lsh_bucket_topk"):
+        cosine_topk(df.limit(3), df, k=2, max_exact_rows=10)
+    # below the ceiling: unchanged result, and None disables the guard
+    out = cosine_topk(df.limit(3), df, k=2, max_exact_rows=12).collect()
+    out_none = cosine_topk(df.limit(3), df, k=2, max_exact_rows=None).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out_none))
+    assert len(out) == 6
+
+
+def test_twonn_exact_guard_trips(spark):
+    from knot_another_pipeline_spark.operators.similarity import (
+        twonn_dimension,
+    )
+
+    df = _vec_df(spark, 12)
+    with pytest.raises(ValueError, match="k=2"):
+        twonn_dimension(df, max_exact_rows=10)
+    row = twonn_dimension(df, max_exact_rows=12).collect()[0]
+    assert row["n_points"] == 12
+
+
 def test_priority_linestatus_counts_are_bigint(duck):
     """The specific round-10 red row: both count columns cross as int64."""
     import pyarrow as pa
