@@ -318,7 +318,9 @@ def main() -> None:
     from knot_another_pipeline_spark.session import get_spark
     from knot_another_pipeline_spark.catalog_queries import (
         QUERIES,
+        q_layout_pruning_from_table,
         q_pairs_total_from_table,
+        stage_layouts,
         stage_pairs_daily,
     )
 
@@ -359,6 +361,18 @@ def main() -> None:
     bench_fns = dict(QUERIES)
     bench_fns["pairs_total"] = lambda s, _sf: q_pairs_total_from_table(
         s, pairs_stage
+    )
+    # Same staging split for layout_pruning (VERDICT r10 task #7): the
+    # three global sorts are a one-time layout build in a warehouse;
+    # the recurring cost — and what this key times — is the group-stats
+    # + box-intersection readout over the materialized layouts. The
+    # sorts' run-to-run jitter (range-partitioner sampling jobs on a
+    # shared host) was the whole BENCH_ALL spread on this key.
+    layouts_stage = tempfile.mkdtemp(prefix="bench_layouts_")
+    atexit.register(shutil.rmtree, layouts_stage, ignore_errors=True)
+    stage_layouts(spark, sf_dir, layouts_stage)
+    bench_fns["layout_pruning"] = lambda s, _sf: q_layout_pruning_from_table(
+        s, layouts_stage
     )
 
     # Best of N runs per query (default 2, override SPARK_GRAFT_SAMPLES):

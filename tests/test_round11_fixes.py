@@ -79,6 +79,27 @@ def test_twonn_exact_guard_trips(spark):
     assert row["n_points"] == 12
 
 
+def test_layout_pruning_staged_split_matches_fused(spark):
+    """bench.py's staged shape (layout_rankings materialized once,
+    layout_pruning_readout timed) must produce the identical readout
+    as the fused operator the catalog/driver runs."""
+    from knot_another_pipeline_spark.operators.relational import (
+        layout_pruning,
+        layout_pruning_readout,
+        layout_rankings,
+    )
+
+    rows = [(i, (i * 37) % 101, (i * 53) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, x long, y long")
+    kw = dict(x_col="x", y_col="y", id_col="event_id")
+    box = (10.0, 40.0, 20.0, 60.0)
+    fused = layout_pruning(df, box=box, group_rows=64, **kw).collect()
+    staged = layout_pruning_readout(
+        layout_rankings(df, **kw), box=box, group_rows=64
+    ).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, staged))
+
+
 def test_priority_linestatus_counts_are_bigint(duck):
     """The specific round-10 red row: both count columns cross as int64."""
     import pyarrow as pa
