@@ -308,6 +308,17 @@ HEADLINE = [
     "token_jsd",
     "distribution_overlap",
     "cliffs_delta",
+    # round-11 additions
+    "dau_mau",
+    "growth_accounting",
+    "activity_streaks",
+    "theil_index",
+    "hill_tail_index",
+    "eb_shrinkage",
+    "lorenz_curve",
+    "peak_detection",
+    "rank_biased_overlap",
+    "herfindahl_index",
 ]
 
 

@@ -16045,7 +16045,480 @@ FROM d ORDER BY fam
 """
 
 
+# --- round-11 additions: product-analytics ledgers (DAU/MAU,
+# growth accounting, streaks), inequality/concentration (Theil,
+# Lorenz, HHI), heavy-tail estimation (Hill), empirical-Bayes rate
+# shrinkage, peak detection, and rank-biased overlap ---
+
+
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly DAU/MAU stickiness over events (operators/behavior.py
+    dau_mau): average daily distinct users over the month's active
+    days divided by the month's distinct users — two distinct-pair
+    aggregates sharing one scan."""
+    from knot_another_pipeline_spark.operators.behavior import dau_mau
+
+    return dau_mau(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_DAU_MAU = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS mon,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+daily AS (
+  SELECT mon, day, count(*) AS dau FROM du GROUP BY 1, 2),
+pm AS (
+  SELECT mon, CAST(count(*) AS BIGINT) AS n_days, avg(dau) AS dau_avg
+  FROM daily GROUP BY 1),
+ma AS (
+  SELECT mon, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM du GROUP BY 1)
+SELECT pm.mon AS month, n_days,
+       round(dau_avg, 6) AS dau_avg, mau,
+       round(dau_avg / mau, 6) AS stickiness
+FROM pm JOIN ma ON pm.mon = ma.mon
+"""
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting (operators/behavior.py
+    growth_accounting): MAU decomposed into new/retained/resurrected
+    via one per-user lag, churned from the month ledger's own lag —
+    mau = new + retained + resurrected holds row by row."""
+    from knot_another_pipeline_spark.operators.behavior import (
+        growth_accounting,
+    )
+
+    return growth_accounting(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_GROWTH_ACCOUNTING = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS uid,
+         CAST(date_trunc('month', ts) AS DATE) AS mon
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+t AS (
+  SELECT uid, mon, year(mon) * 12 + month(mon) - 1 AS mi,
+         lag(year(mon) * 12 + month(mon) - 1)
+           OVER (PARTITION BY uid ORDER BY year(mon) * 12 + month(mon) - 1)
+           AS prev_mi
+  FROM activity),
+m AS (
+  SELECT mon, CAST(count(*) AS BIGINT) AS mau,
+         CAST(sum(CASE WHEN prev_mi IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN prev_mi = mi - 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN prev_mi IS NOT NULL AND prev_mi < mi - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM t GROUP BY mon),
+c AS (
+  SELECT *,
+         CAST(coalesce(lag(mau) OVER (ORDER BY mon), 0) - n_retained
+              AS BIGINT) AS n_churned
+  FROM m)
+SELECT mon AS month, mau, n_new, n_retained, n_resurrected, n_churned,
+       round(CASE WHEN n_churned > 0
+                  THEN (n_new + n_resurrected) * 1.0 / n_churned END,
+             6) AS quick_ratio
+FROM c
+"""
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day streaks (operators/behavior.py
+    activity_streaks): the gaps-and-islands day−row_number key, one
+    user-partitioned window + two hash aggregates."""
+    from knot_another_pipeline_spark.operators.behavior import (
+        activity_streaks,
+    )
+
+    return activity_streaks(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_ACTIVITY_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id AS usr, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+isl AS (
+  SELECT usr, d,
+         d - CAST(row_number() OVER (PARTITION BY usr ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM days),
+st AS (
+  SELECT usr, grp, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2)
+SELECT usr AS "user",
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM st GROUP BY usr
+"""
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T of per-customer lifetime spend decomposed between/within
+    nations (operators/quality.py theil_index): T = T_between +
+    T_within as an identity — the decomposable inequality companion
+    to gini_concentration."""
+    from knot_another_pipeline_spark.operators.quality import theil_index
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    df = spend.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        spend["o_custkey"] == F.col("c_custkey"),
+    )
+    return theil_index(df, group_cols=["c_nationkey"], value_col="spend")
+
+
+ORACLE_THEIL_INDEX = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS v FROM orders GROUP BY 1),
+s AS (
+  SELECT c_nationkey AS g, CAST(v AS DOUBLE) AS x
+  FROM spend JOIN customer ON o_custkey = c_custkey
+  WHERE v IS NOT NULL AND v > 0),
+pg AS (
+  SELECT g, count(*) * 1.0 AS ng, sum(x) AS sg, sum(x * ln(x)) AS slg
+  FROM s GROUP BY g),
+t AS (
+  SELECT sum(ng) AS n, sum(sg) AS sa, sum(slg) AS sl,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         sum(sg * ln(sg / ng)) AS sglmg
+  FROM pg)
+SELECT CAST(n AS BIGINT) AS n, n_groups,
+       round(sa / n, 6) AS mean,
+       round(sl / sa - ln(sa / n), 6) AS theil_total,
+       round(sglmg / sa - ln(sa / n), 6) AS theil_between,
+       round((sl / sa - ln(sa / n)) - (sglmg / sa - ln(sa / n)), 6)
+         AS theil_within
+FROM t
+"""
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-exponent estimate of event values per type
+    (operators/quality.py hill_tail_index): k=50 largest values vs the
+    (k+1)-th order statistic — one rank window, one log-ratio sum."""
+    from knot_another_pipeline_spark.operators.quality import (
+        hill_tail_index,
+    )
+
+    return hill_tail_index(
+        load_table(spark, sf_dir, "events"),
+        group_cols=["event_type"],
+        value_col="value",
+        id_col="event_id",
+        k=50,
+    )
+
+
+ORACLE_HILL_TAIL_INDEX = """
+WITH s AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x, event_id
+  FROM events WHERE value IS NOT NULL AND value > 0),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x DESC, event_id ASC) AS rn
+  FROM s),
+np AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos
+  FROM s GROUP BY 1),
+thr AS (
+  SELECT event_type, x AS thr FROM ranked WHERE rn = 51),
+summed AS (
+  SELECT r.event_type, sum(ln(r.x / t.thr)) AS slr, max(t.thr) AS thr
+  FROM ranked r JOIN thr t ON r.event_type = t.event_type
+  WHERE r.rn <= 50
+  GROUP BY r.event_type)
+SELECT np.event_type, n_pos,
+       CAST(50 AS INT) AS k,
+       round(thr, 6) AS threshold,
+       round(CASE WHEN slr > 0 THEN 50.0 / slr END, 6) AS hill_alpha,
+       round(CASE WHEN slr > 0 THEN 1.0 / (50.0 / slr) END, 6)
+         AS tail_index
+FROM np LEFT JOIN summed ON np.event_type = summed.event_type
+"""
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-part return
+    rates (operators/quality.py eb_shrinkage): method-of-moments
+    Beta prior over parts with >= 5 lines, posterior-mean rates."""
+    from knot_another_pipeline_spark.operators.quality import eb_shrinkage
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("ret"),
+        F.lit(1.0).alias("one"),
+    )
+    return eb_shrinkage(
+        li,
+        item_col="part",
+        success_col="ret",
+        trial_col="one",
+        min_trials=5,
+    )
+
+
+ORACLE_EB_SHRINKAGE = """
+WITH per_item AS (
+  SELECT l_partkey AS item,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS succ,
+         count(*) * 1.0 AS tri
+  FROM lineitem GROUP BY 1),
+rates AS (SELECT *, succ / tri AS rate FROM per_item),
+fit AS (
+  SELECT avg(rate) AS pbar, var_pop(rate) AS v
+  FROM rates WHERE tri >= 5),
+priors AS (
+  SELECT CASE WHEN v > 0 AND v < pbar * (1 - pbar)
+              THEN pbar * (pbar * (1 - pbar) / v - 1) END AS alpha,
+         CASE WHEN v > 0 AND v < pbar * (1 - pbar)
+              THEN (1 - pbar) * (pbar * (1 - pbar) / v - 1) END AS beta
+  FROM fit)
+SELECT item,
+       CAST(tri AS BIGINT) AS trials,
+       CAST(succ AS BIGINT) AS successes,
+       round(rate, 6) AS raw_rate,
+       round(alpha, 6) AS prior_alpha,
+       round(beta, 6) AS prior_beta,
+       round((succ + alpha) / (tri + alpha + beta), 6) AS shrunk_rate
+FROM rates CROSS JOIN priors
+"""
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles of per-customer lifetime spend
+    (operators/quality.py lorenz_curve): equal-count rank buckets via
+    the distributed global_rank, cumulative value share per decile."""
+    from knot_another_pipeline_spark.operators.quality import lorenz_curve
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    return lorenz_curve(
+        spend, value_col="spend", id_col="o_custkey", n_points=10
+    )
+
+
+ORACLE_LORENZ_CURVE = """
+WITH spend AS (
+  SELECT o_custkey AS id, CAST(sum(o_totalprice) AS DOUBLE) AS v
+  FROM orders GROUP BY 1),
+s AS (SELECT * FROM spend WHERE v IS NOT NULL AND v >= 0),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v ASC, id ASC) AS rk,
+         count(*) OVER () AS n, sum(v) OVER () AS tot
+  FROM s),
+b AS (
+  SELECT CAST(floor((rk - 1) * 10 / n) + 1 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(v) AS bsum, max(tot) AS tot
+  FROM ranked GROUP BY 1)
+SELECT bucket, n,
+       round(bsum, 6) AS bucket_sum,
+       round(CASE WHEN tot > 0 THEN
+               sum(bsum) OVER (ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) / tot END,
+             6) AS cum_share
+FROM b
+"""
+
+
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peaks in per-type daily event counts
+    (operators/temporal.py peak_detection): strictly above both
+    neighbors and >= 5% over the taller shoulder — one series
+    lag/lead window."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        peak_detection,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    return peak_detection(
+        daily,
+        series_cols=["event_type"],
+        ts_col="day",
+        value_col="cnt",
+        min_value=0.0,
+        min_prominence_ratio=0.05,
+    )
+
+
+ORACLE_PEAK_DETECTION = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, day, v,
+         lag(v) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+         lead(v) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+  FROM daily)
+SELECT event_type, day AS ts,
+       round(v, 6) AS value,
+       round(prev, 6) AS prev_value,
+       round(nxt, 6) AS next_value,
+       round(v / greatest(prev, nxt), 6) AS prominence_ratio
+FROM lagged
+WHERE prev IS NOT NULL AND nxt IS NOT NULL
+  AND v > prev AND v > nxt AND v >= 0.0
+  AND v >= greatest(prev, nxt) * 1.05
+"""
+
+
+def _rbo_weights(k: int, p: float) -> list[float]:
+    """W(m) = (1-p)/p * sum_{d=m..k} p^d/d — the same loop the
+    operator runs, so the literal doubles embedded in the oracle are
+    bit-identical to the Spark side's element_at array."""
+    tail = 0.0
+    weights = [0.0] * (k + 1)
+    for m in range(k, 0, -1):
+        tail += (p**m) / m
+        weights[m] = (1.0 - p) / p * tail
+    return weights[1:]
+
+
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO@20 (p=0.9) between the revenue-ranked and quantity-ranked
+    part leaderboards (operators/evaluation.py rank_biased_overlap):
+    top-weighted leaderboard agreement via the closed per-item weight
+    W(max(ra, rb)) — no per-depth prefix materialization."""
+    from knot_another_pipeline_spark.operators.evaluation import (
+        rank_biased_overlap,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "_m"
+        )
+    )
+    qty = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.sum("l_quantity").alias("_m")
+    )
+    w = Window.orderBy(F.col("_m").desc(), F.col("item").asc())
+    # rank windows are unpartitioned but the frames are top-k prunable
+    # and the item domain is the part dimension, not the fact table
+    ra = rev.select("item", F.row_number().over(w).alias("rank"))
+    rb = qty.select("item", F.row_number().over(w).alias("rank"))
+    return rank_biased_overlap(ra, rb, k=20, p=0.9)
+
+
+_RBO_W_SQL = ", ".join(repr(w) for w in _rbo_weights(20, 0.9))
+
+ORACLE_RANK_BIASED_OVERLAP = f"""
+WITH rev AS (
+  SELECT l_partkey AS item,
+         sum(l_extendedprice * (1 - l_discount)) AS m
+  FROM lineitem GROUP BY 1),
+qty AS (
+  SELECT l_partkey AS item, sum(l_quantity) AS m
+  FROM lineitem GROUP BY 1),
+ra AS (
+  SELECT item, row_number() OVER (ORDER BY m DESC, item ASC) AS r
+  FROM rev),
+rb AS (
+  SELECT item, row_number() OVER (ORDER BY m DESC, item ASC) AS r
+  FROM qty),
+matched AS (
+  SELECT greatest(ra.r, rb.r) AS mx
+  FROM ra JOIN rb ON ra.item = rb.item
+  WHERE ra.r <= 20 AND rb.r <= 20)
+SELECT CAST(20 AS INT) AS k,
+       round(0.9e0, 6) AS p,
+       CAST(count(*) AS BIGINT) AS n_common,
+       round(coalesce(sum(list_extract(CAST([{_RBO_W_SQL}] AS DOUBLE[]),
+                                       CAST(mx AS INT))), 0.0e0), 6) AS rbo
+FROM matched
+"""
+
+
+def q_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-revenue HHI per nation (operators/relational.py
+    herfindahl_index): firm totals then share-square sum — two
+    narrowing hash aggregates over broadcast-dimension joins."""
+    from knot_another_pipeline_spark.operators.relational import (
+        herfindahl_index,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    df = li.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        li["l_suppkey"] == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "n_name",
+        "s_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    return herfindahl_index(
+        df,
+        market_cols=["n_name"],
+        firm_col="s_suppkey",
+        value_col="rev",
+    )
+
+
+ORACLE_HERFINDAHL_INDEX = """
+WITH firm AS (
+  SELECT n_name, s_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS fv
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+  HAVING sum(l_extendedprice * (1 - l_discount)) > 0),
+mkt AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_firms,
+         sum(fv) AS tot, sum(fv * fv) AS sq
+  FROM firm GROUP BY 1)
+SELECT n_name, n_firms,
+       round(tot, 6) AS total_value,
+       round(sq / (tot * tot), 6) AS hhi,
+       round(1.0 / (sq / (tot * tot)), 6) AS effective_firms
+FROM mkt
+"""
+
+
 QUERIES = {
+    # round-11 additions: product-analytics ledgers, inequality/
+    # concentration, heavy-tail index, EB shrinkage, peaks, RBO
+    "dau_mau": q_dau_mau,
+    "growth_accounting": q_growth_accounting,
+    "activity_streaks": q_activity_streaks,
+    "theil_index": q_theil_index,
+    "hill_tail_index": q_hill_tail_index,
+    "eb_shrinkage": q_eb_shrinkage,
+    "lorenz_curve": q_lorenz_curve,
+    "peak_detection": q_peak_detection,
+    "rank_biased_overlap": q_rank_biased_overlap,
+    "herfindahl_index": q_herfindahl_index,
     # round-10 additions: drift/unit-root/spectral/runs/seasonal series
     # diagnostics, paired & k-sample rank tests, permutation inference,
     # survival hazard + log-rank, bounded harmonic centrality
@@ -16410,6 +16883,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dau_mau": ORACLE_DAU_MAU,
+    "growth_accounting": ORACLE_GROWTH_ACCOUNTING,
+    "activity_streaks": ORACLE_ACTIVITY_STREAKS,
+    "theil_index": ORACLE_THEIL_INDEX,
+    "hill_tail_index": ORACLE_HILL_TAIL_INDEX,
+    "eb_shrinkage": ORACLE_EB_SHRINKAGE,
+    "lorenz_curve": ORACLE_LORENZ_CURVE,
+    "peak_detection": ORACLE_PEAK_DETECTION,
+    "rank_biased_overlap": ORACLE_RANK_BIASED_OVERLAP,
+    "herfindahl_index": ORACLE_HERFINDAHL_INDEX,
     "page_hinkley": ORACLE_PAGE_HINKLEY,
     "dickey_fuller": ORACLE_DICKEY_FULLER,
     "spectral_entropy": ORACLE_SPECTRAL_ENTROPY,

@@ -28,13 +28,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "activity_streaks",
     "audience_overlap",
     "cohort_retention",
     "conversion_attribution",
     "covisitation_llr",
     "cumulative_users",
+    "dau_mau",
     "funnel",
     "funnel_timing",
+    "growth_accounting",
     "journey_topk",
     "log_rank_test",
     "markov_transitions",
@@ -1218,3 +1221,211 @@ def log_rank_test(
         .orderBy("group")
     )
     return out
+
+
+def dau_mau(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Monthly DAU/MAU stickiness — the product-analytics engagement
+    ratio ("what fraction of the monthly audience shows up on an
+    average day?").  The reference's event analysis stops at daily
+    volume counts (``apps/stat_explorer.py``); this is the standard
+    ratio those dashboards put next to them.
+
+    Definitions (deterministic, engine-portable):
+
+    - ``dau_avg`` averages daily distinct users over the month's
+      ACTIVE days (days with >= 1 event) — averaging over calendar
+      days would make the ratio depend on month length and on whether
+      the data covers partial months;
+    - ``mau`` is the month's distinct users; ``stickiness`` =
+      dau_avg / mau.
+
+    Scale shape: both sides reduce (day, user) / (month, user)
+    distinct pairs — two hash aggregates over the same scan, joined on
+    the handful of month rows.  No windows, no per-user state; the
+    events scan dominates, as it should at 100 TB.
+
+    Output: month (date), n_days, dau_avg, mau, stickiness.
+    """
+    base = events.select(
+        F.col(user_col).alias("_uid"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).filter(F.col("_uid").isNotNull() & F.col("_ts").isNotNull())
+    day_users = base.select(
+        F.date_trunc("month", F.col("_ts")).cast("date").alias("_month"),
+        F.col("_ts").cast("date").alias("_day"),
+        "_uid",
+    ).distinct()
+    daily = day_users.groupBy("_month", "_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_dau")
+    )
+    per_month = daily.groupBy("_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.avg("_dau").alias("_dau_avg"),
+    )
+    mau = (
+        day_users.select("_month", "_uid")
+        .distinct()
+        .groupBy("_month")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mau"))
+    )
+    return (
+        per_month.join(mau, "_month")
+        .select(
+            F.col("_month").alias("month"),
+            "n_days",
+            F.round("_dau_avg", round_to).alias("dau_avg"),
+            "mau",
+            F.round(F.col("_dau_avg") / F.col("mau"), round_to).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+def growth_accounting(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Monthly growth accounting (the MAU ledger): every month's active
+    users decompose EXACTLY into ``new`` (first month ever),
+    ``retained`` (also active the previous calendar month), and
+    ``resurrected`` (active some earlier month, but not the previous
+    one); ``churned`` counts the previous month's actives who did not
+    return this month.  The two identities every growth report is
+    built on — ``mau = new + retained + resurrected`` and
+    ``mau − mau_prev = new + resurrected − churned`` — hold row by
+    row, and ``quick_ratio`` = (new + resurrected) / churned (NULL
+    when nothing churned).
+
+    Scale shape: ONE shuffle by user builds the distinct (user, month)
+    activity table with a per-user lag (previous active month) and
+    running first month — the same user-partitioned window family as
+    :func:`cohort_retention`; classification is then row-local and the
+    month rollup is a tiny aggregate.  Churn needs no second pass:
+    ``churned(m) = mau(m−1) − retained(m)`` by definition, read from
+    the month table's own lag.  Month arithmetic is integer
+    ``year*12 + month`` (engine-portable, no month-length floats).
+
+    Output per month: month, mau, n_new, n_retained, n_resurrected,
+    n_churned, quick_ratio.
+    """
+    midx = lambda c: F.year(c) * F.lit(12) + F.month(c) - F.lit(1)  # noqa: E731
+    activity = (
+        events.select(
+            F.col(user_col).alias("_uid"),
+            F.date_trunc("month", F.col(ts_col).cast("timestamp"))
+            .cast("date")
+            .alias("_month"),
+        )
+        .filter(F.col("_uid").isNotNull() & F.col("_month").isNotNull())
+        .distinct()
+        .withColumn("_mi", midx(F.col("_month")))
+    )
+    w = Window.partitionBy("_uid").orderBy("_mi")
+    tagged = activity.select(
+        "_uid",
+        "_month",
+        "_mi",
+        F.lag("_mi").over(w).alias("_prev_mi"),
+    )
+    monthly = tagged.groupBy("_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("mau"),
+        F.sum(F.when(F.col("_prev_mi").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("_prev_mi") == F.col("_mi") - 1, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("_prev_mi").isNotNull()
+                & (F.col("_prev_mi") < F.col("_mi") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    wm = Window.orderBy(F.col("_month").asc())
+    # The month table is tiny (one row per calendar month), so the
+    # unpartitioned lag window is a driver-sized frame, not a funnel.
+    out = monthly.withColumn("_mau_prev", F.lag("mau").over(wm)).withColumn(
+        "n_churned",
+        (F.coalesce(F.col("_mau_prev"), F.lit(0)) - F.col("n_retained"))
+        .cast("bigint"),
+    )
+    return out.select(
+        F.col("_month").alias("month"),
+        "mau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned",
+        F.round(
+            F.when(
+                F.col("n_churned") > 0,
+                (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                / F.col("n_churned"),
+            ),
+            round_to,
+        ).alias("quick_ratio"),
+    ).orderBy("month")
+
+
+def activity_streaks(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user consecutive-day activity streaks — the classic
+    gaps-and-islands reduction (longest streak, streak count) behind
+    habit/engagement scoring and "N-day streak" product features.
+
+    The island key is the textbook rank trick: over each user's
+    DISTINCT active days in date order, ``day − row_number`` days is
+    constant exactly within a run of consecutive dates — one
+    user-partitioned window plus two hash aggregates, no self-join,
+    no per-user iteration.  Everything shuffles once on user_id; the
+    output is one row per user.
+
+    Output: user, n_active_days, n_streaks, longest_streak,
+    current span NOT included (no "as of" clock — deterministic
+    replay needs no wall time).
+    """
+    days = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).cast("timestamp").cast("date").alias("_day"),
+        )
+        .filter(F.col("user").isNotNull() & F.col("_day").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user").orderBy("_day")
+    islands = days.withColumn(
+        "_grp", F.date_sub(F.col("_day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user", "_grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_len")
+    )
+    return (
+        streaks.groupBy("user")
+        .agg(
+            F.sum("_len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("_len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("user")
+    )

@@ -56,6 +56,7 @@ __all__ = [
     "permutation_test",
     "psi_stability",
     "qte_readout",
+    "rank_biased_overlap",
     "ranking_metrics",
     "regression_report",
     "smd_balance",
@@ -2651,4 +2652,69 @@ def mantel_haenszel(
         F.round(chi2, round_to).alias("cmh_chi2"),
         F.lit(1).cast("bigint").alias("df"),
         F.round(p, round_to).alias("p_value"),
+    )
+
+
+def rank_biased_overlap(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    *,
+    item_col: str = "item",
+    rank_col: str = "rank",
+    k: int = 20,
+    p: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between two top-``k`` rankings — the top-weighted "how similar are
+    these two leaderboards?" number that plain set overlap gets wrong
+    (it ignores WHERE items agree) and rank correlations get wrong
+    (they need identical domains).  RBO@k =
+    ``(1−p)/p · Σ_{d=1..k} p^d · |A₁..d ∩ B₁..d| / d``; persistence
+    ``p`` sets how fast attention decays down the list (0.9 ≈ top-10
+    carries ~86% of the weight).
+
+    The depth sum never materializes per-depth prefixes: an item
+    entering both lists at ranks (ra, rb) is inside every prefix
+    intersection from depth ``m = max(ra, rb)`` on, so its total
+    contribution is the closed weight ``W(m) = (1−p)/p · Σ_{d=m..k}
+    p^d/d`` — precomputed as a k-entry literal array (k is a
+    parameter, never data-sized) and paid with ONE ``element_at`` per
+    matched item.  Cost: two rank filters, one equi-join on item, one
+    1-row aggregate — no explode, no series join.
+
+    Inputs are (item, rank) tables (1-based, dense, unique per side —
+    build them with a row_number window and a deterministic tiebreak).
+    Output (single row): k, p, n_common, rbo.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    # W(m) = (1-p)/p * sum_{d=m..k} p^d / d, for m = 1..k
+    tail = 0.0
+    weights = [0.0] * (k + 1)
+    for m in range(k, 0, -1):
+        tail += (p**m) / m
+        weights[m] = (1.0 - p) / p * tail
+    warr = F.array(*[F.lit(w) for w in weights[1:]])
+    a = ranking_a.select(
+        F.col(item_col).alias("_item"),
+        F.col(rank_col).cast("int").alias("_ra"),
+    ).filter(F.col("_ra") <= k)
+    b = ranking_b.select(
+        F.col(item_col).alias("_item"),
+        F.col(rank_col).cast("int").alias("_rb"),
+    ).filter(F.col("_rb") <= k)
+    joined = a.join(b, "_item").select(
+        F.greatest(F.col("_ra"), F.col("_rb")).alias("_m")
+    )
+    return joined.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.round(F.lit(float(p)), round_to).alias("p"),
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.round(
+            F.coalesce(F.sum(F.element_at(warr, F.col("_m"))), F.lit(0.0)),
+            round_to,
+        ).alias("rbo"),
     )

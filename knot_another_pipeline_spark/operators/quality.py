@@ -4180,3 +4180,292 @@ def cliffs_delta(
         F.round(delta, round_to).alias("delta"),
         mag.alias("magnitude"),
     ).orderBy(*group_cols)
+
+
+def theil_index(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil T inequality index with its exact between/within-group
+    decomposition — the inequality measure :func:`gini_concentration`
+    cannot give you: ``T = T_between + T_within`` holds as an identity
+    (Gini does not decompose), so "how much of the revenue inequality
+    is ACROSS nations vs WITHIN them" is a pair of numbers, not a
+    narrative.
+
+    Algebra (all from sums, no ranking):
+    ``T = Σ xᵢ ln xᵢ / Σx − ln(Σx/n)``;
+    ``T_between = Σ_g s_g ln(μ_g/μ)`` with ``s_g`` the group's value
+    share; ``T_within = T − T_between = Σ_g s_g T_g``.
+
+    Scale shape: one hash aggregate per group (n, Σx, Σ x ln x), then
+    a 1-row reduce — no window, no sort, the cheapest possible shape
+    for an inequality statistic (the definitional Gini needs a global
+    rank; Theil needs only ``x ln x``).  Non-positive values are
+    outside the index's domain and dropped (logarithms).
+
+    Output (single row): n, n_groups, mean, theil_total,
+    theil_between, theil_within.
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull() & (F.col("_x") > 0))
+    per_g = s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_ng"),
+        F.sum("_x").alias("_sg"),
+        F.sum(F.col("_x") * F.log("_x")).alias("_slg"),
+    )
+    tot = per_g.agg(
+        F.sum("_ng").alias("_n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_slg").alias("_sl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        # T_between needs mu inside the per-group log, but
+        # Σ s_g ln(μ_g/μ) = Σ s_g ln μ_g − ln μ  (shares sum to 1),
+        # so the per-group term is mu-free and one pass suffices.
+        F.sum(
+            (F.col("_sg")) * F.log(F.col("_sg") / F.col("_ng"))
+        ).alias("_sglmg"),
+    )
+    mu = F.col("_s") / F.col("_n")
+    t_total = F.col("_sl") / F.col("_s") - F.log(mu)
+    t_between = F.col("_sglmg") / F.col("_s") - F.log(mu)
+    return tot.select(
+        F.col("_n").cast("bigint").alias("n"),
+        "n_groups",
+        F.round(mu, round_to).alias("mean"),
+        F.round(t_total, round_to).alias("theil_total"),
+        F.round(t_between, round_to).alias("theil_between"),
+        F.round(t_total - t_between, round_to).alias("theil_within"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail exponent per group:
+    ``α̂ = k / Σ_{i=1..k} ln(x₍ᵢ₎ / x₍ₖ₊₁₎)`` over the k largest
+    values (x₍ₖ₊₁₎ the threshold order statistic) — the standard
+    answer to "HOW heavy is this heavy tail?" that
+    :func:`~.text_analysis.zipf_fit` asks of ranks and
+    ``tail_dependence`` asks of joint extremes.  α ≈ 1 is
+    Zipf-extreme (means barely exist), α > 2 has finite variance —
+    the number that decides whether mean-based SLAs and samplers are
+    even defined for this column.
+
+    Scale shape: per-group top-(k+1) via ONE rank window (the
+    grouped-top-k shape — per-partition heaps feed the window's sort,
+    never a global sort), then a row-local log ratio and one hash
+    aggregate.  The sum of log ratios is invariant to how ties order
+    among themselves (the multiset of top values is what enters), so
+    ``id_col`` tiebreaking only pins WHICH rows rank, not the α̂.
+    Groups with fewer than k+1 positive values emit NULL α̂ (the
+    estimator needs a threshold below the tail).
+
+    Output per group: group cols, n_pos, k, threshold, hill_alpha,
+    tail_index (= 1/α̂, the extreme-value γ).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_x"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_x").isNotNull() & (F.col("_x") > 0))
+    gp = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*gp).orderBy(
+        F.col("_x").desc(), F.col("_id").asc()
+    )
+    ranked = s.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k + 1
+    )
+    thr = ranked.filter(F.col("_rn") == k + 1).select(
+        *group_cols, F.col("_x").alias("_thr")
+    )
+    n_pos = s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos")
+    )
+    summed = (
+        ranked.filter(F.col("_rn") <= k)
+        .join(thr, list(group_cols), "inner")
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.log(F.col("_x") / F.col("_thr"))).alias("_slr"),
+            F.max("_thr").alias("_threshold"),
+        )
+    )
+    alpha = F.when(F.col("_slr") > 0, F.lit(float(k)) / F.col("_slr"))
+    return (
+        n_pos.join(summed, list(group_cols), "left")
+        .select(
+            *group_cols,
+            "n_pos",
+            F.lit(k).cast("int").alias("k"),
+            F.round("_threshold", round_to).alias("threshold"),
+            F.round(alpha, round_to).alias("hill_alpha"),
+            F.round(
+                F.when(alpha.isNotNull(), F.lit(1.0) / alpha), round_to
+            ).alias("tail_index"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def eb_shrinkage(
+    df: DataFrame,
+    *,
+    item_col: str,
+    success_col: str,
+    trial_col: str,
+    min_trials: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-item rates — the
+    standard cure for "this part has a 100% return rate (n=1)"
+    leaderboard noise: fit a Beta(α, β) prior to the ACROSS-item rate
+    distribution by method of moments, then report each item's
+    posterior mean ``(s + α)/(n + α + β)``, which shrinks small-n
+    items toward the global rate and leaves well-measured items alone.
+
+    Method of moments on the raw rates of items with
+    ``n ≥ min_trials``: with p̄ the mean rate and v the (population)
+    variance, ``ν = p̄(1−p̄)/v − 1``, ``α = p̄ν``, ``β = (1−p̄)ν``.
+    Degenerate fits — v = 0 (all rates equal) or v ≥ p̄(1−p̄) (more
+    dispersed than any beta) — emit NULL priors and NULL shrunk rates
+    rather than a fabricated prior.
+
+    Scale shape: one hash aggregate per item, one 1-row moment
+    reduce broadcast back — two narrowing passes, no window, no
+    iteration (no MLE loop: MoM is closed-form and deterministic,
+    which is what a differential oracle can replay).
+
+    Output per item: item, trials, successes, raw_rate, prior_alpha,
+    prior_beta, shrunk_rate.
+    """
+    per_item = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.col(success_col).cast("double").alias("_s"),
+            F.col(trial_col).cast("double").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .groupBy("item")
+        .agg(
+            F.sum("_s").alias("_succ"),
+            F.sum("_n").alias("_tri"),
+        )
+        .withColumn("_rate", F.col("_succ") / F.col("_tri"))
+    )
+    fit = per_item.filter(F.col("_tri") >= min_trials).agg(
+        F.avg("_rate").alias("_pbar"),
+        F.var_pop("_rate").alias("_v"),
+    )
+    nu = F.when(
+        (F.col("_v") > 0)
+        & (F.col("_v") < F.col("_pbar") * (1 - F.col("_pbar"))),
+        F.col("_pbar") * (1 - F.col("_pbar")) / F.col("_v") - 1,
+    )
+    priors = fit.select(
+        (F.col("_pbar") * nu).alias("_alpha"),
+        ((1 - F.col("_pbar")) * nu).alias("_beta"),
+    )
+    return (
+        per_item.crossJoin(F.broadcast(priors))
+        .select(
+            "item",
+            F.col("_tri").cast("bigint").alias("trials"),
+            F.col("_succ").cast("bigint").alias("successes"),
+            F.round("_rate", round_to).alias("raw_rate"),
+            F.round("_alpha", round_to).alias("prior_alpha"),
+            F.round("_beta", round_to).alias("prior_beta"),
+            F.round(
+                (F.col("_succ") + F.col("_alpha"))
+                / (F.col("_tri") + F.col("_alpha") + F.col("_beta")),
+                round_to,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("item")
+    )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    n_points: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lorenz-curve points: split the population (ranked by value
+    ascending) into ``n_points`` equal-count buckets and report each
+    bucket's cumulative share of the total — the "bottom 50% of
+    customers hold 9% of revenue" readout that makes
+    :func:`gini_concentration`'s scalar visible as a curve (the Gini
+    is twice the area between this curve and the diagonal).
+
+    Scale shape: one :func:`~.relational.global_rank`-style rank —
+    here a plain rank window is avoided: bucket membership needs only
+    the rank QUANTILE, so rows are bucketed by
+    ``floor((rank−1)·n_points / n)`` from a distributed rank
+    (row_number over a range-partition-friendly total order), then two
+    tiny aggregates (per-bucket sums, then a cumulative over
+    ``n_points`` rows).  Ties across a bucket boundary are pinned by
+    the ``id_col`` tiebreak, identically in every engine.
+
+    Output per bucket: bucket (1-based), n, bucket_sum, cum_share.
+    """
+    if n_points < 1:
+        raise ValueError(f"n_points must be >= 1, got {n_points}")
+    from knot_another_pipeline_spark.operators.relational import global_rank
+
+    s = df.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_v").isNotNull() & (F.col("_v") >= 0))
+    ranked = global_rank(
+        s, [F.col("_v"), F.col("_id")], rank_col="_rk"
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_tot")
+    )
+    bucketed = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (
+                F.floor(
+                    (F.col("_rk") - 1) * F.lit(n_points) / F.col("_n")
+                ) + 1
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_v").alias("_bsum"),
+            F.max("_tot").alias("_t"),
+        )
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # n_points rows — the unpartitioned cumulative window is a
+    # driver-sized frame, not a funnel.
+    return bucketed.select(
+        "bucket",
+        "n",
+        F.round("_bsum", round_to).alias("bucket_sum"),
+        F.round(
+            F.when(F.col("_t") > 0, F.sum("_bsum").over(wc) / F.col("_t")),
+            round_to,
+        ).alias("cum_share"),
+    ).orderBy("bucket")

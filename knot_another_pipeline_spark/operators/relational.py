@@ -2520,3 +2520,55 @@ def abc_classes(
         F.round(F.col("_cum"), round_to).alias("cum_share"),
         cls.alias("abc_class"),
     ).orderBy(F.col("_rk"))
+
+
+def herfindahl_index(
+    df: DataFrame,
+    *,
+    market_cols: list[str],
+    firm_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market:
+    ``HHI = Σ_firms share²`` (0→perfect competition, 1→monopoly) plus
+    the effective number of firms ``1/HHI`` — the antitrust-standard
+    companion to :func:`~.quality.gini_concentration` (Gini measures
+    inequality among participants; HHI measures how few participants
+    matter at all, and is the one regulators threshold).
+
+    Scale shape: two nested hash aggregates — firm totals within
+    market, then the share-square sum per market — both narrowing,
+    shuffling on (market, firm) then market.  No window, no sort; at
+    100 TB the fact-table scan dominates and the aggregates ride one
+    exchange each.  Firms with non-positive total value are excluded
+    from the market (a share needs positive mass); markets with no
+    positive firm vanish.
+
+    Output per market: market cols, n_firms, total_value, hhi,
+    effective_firms (= 1/HHI).
+    """
+    firm = (
+        df.select(
+            *[F.col(c) for c in market_cols],
+            F.col(firm_col).alias("_firm"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .groupBy(*market_cols, "_firm")
+        .agg(F.sum("_v").alias("_fv"))
+        .filter(F.col("_fv") > 0)
+    )
+    mkt = firm.groupBy(*market_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_firms"),
+        F.sum("_fv").alias("_tot"),
+        F.sum(F.col("_fv") * F.col("_fv")).alias("_sq"),
+    )
+    hhi = F.col("_sq") / (F.col("_tot") * F.col("_tot"))
+    return mkt.select(
+        *market_cols,
+        "n_firms",
+        F.round("_tot", round_to).alias("total_value"),
+        F.round(hhi, round_to).alias("hhi"),
+        F.round(F.lit(1.0) / hhi, round_to).alias("effective_firms"),
+    ).orderBy(*market_cols)

@@ -52,6 +52,7 @@ __all__ = [
     "mann_kendall",
     "max_concurrency",
     "page_hinkley",
+    "peak_detection",
     "period_over_period",
     "periodogram",
     "range_join",
@@ -2711,4 +2712,78 @@ def control_chart(
             F.col("first_flag_ord"),
         )
         .orderBy("series")
+    )
+
+
+def peak_detection(
+    df: DataFrame,
+    *,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    min_value: float = 0.0,
+    min_prominence_ratio: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Local-maximum peak detection over per-series ordered values —
+    the "which days spiked?" readout feeding anomaly triage and
+    seasonality eyeballing, complementing the alarm family
+    (``cusum_alarm`` / ``ewma_alarm`` flag level SHIFTS; this flags
+    individual summits).
+
+    A point is a peak when it is strictly greater than BOTH neighbors
+    (series endpoints never qualify — no one-sided inference), its
+    value is ≥ ``min_value``, and its prominence proxy
+    ``value / max(prev, next)`` is ≥ ``1 + min_prominence_ratio``
+    (e.g. 0.2 → at least 20% above the taller shoulder).  Strict
+    inequalities make plateaus peakless — deterministic, no
+    tie-direction convention to disagree on across engines.
+
+    Scale shape: one per-series lag/lead window (series-partitioned —
+    never a global sort) and a row-local predicate; output rows are
+    only the peaks.  At 100 TB the cost is the series shuffle, the
+    same exchange every other per-series temporal op here rides.
+
+    Output: series cols, ts, value, prev_value, next_value,
+    prominence_ratio — peaks only, ordered by series then ts.
+    """
+    s = df.select(
+        *[F.col(c) for c in series_cols],
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_ts").isNotNull() & F.col("_v").isNotNull())
+    gp = [F.col(c) for c in series_cols]
+    w = Window.partitionBy(*gp).orderBy("_ts")
+    lagged = s.select(
+        *series_cols,
+        "_ts",
+        "_v",
+        F.lag("_v").over(w).alias("_prev"),
+        F.lead("_v").over(w).alias("_next"),
+    )
+    shoulder = F.greatest(F.col("_prev"), F.col("_next"))
+    is_peak = (
+        F.col("_prev").isNotNull()
+        & F.col("_next").isNotNull()
+        & (F.col("_v") > F.col("_prev"))
+        & (F.col("_v") > F.col("_next"))
+        & (F.col("_v") >= F.lit(float(min_value)))
+        & (
+            F.col("_v")
+            >= shoulder * F.lit(1.0 + float(min_prominence_ratio))
+        )
+    )
+    return (
+        lagged.filter(is_peak)
+        .select(
+            *series_cols,
+            F.col("_ts").alias("ts"),
+            F.round("_v", round_to).alias("value"),
+            F.round("_prev", round_to).alias("prev_value"),
+            F.round("_next", round_to).alias("next_value"),
+            F.round(F.col("_v") / shoulder, round_to).alias(
+                "prominence_ratio"
+            ),
+        )
+        .orderBy(*series_cols, "ts")
     )

@@ -144,6 +144,21 @@ OPS = [
     "token_jsd",
     "distribution_overlap",
     "cliffs_delta",
+    # round-11 product-analytics ledgers on the shifted events replica:
+    # copies are disjoint users in disjoint years, so months, users,
+    # and streak islands all scale linearly in k with per-month /
+    # per-user structure preserved — dau_mau/growth_accounting measure
+    # the distinct-pair aggregates + per-user lag, activity_streaks the
+    # gaps-and-islands window.  hill_tail_index: event-type groups are
+    # fixed, rows grow k-fold, the top-51 rank window is what's
+    # probed (output one row per type).  peak_detection: each series
+    # grows k-fold in length (disjoint years appended), peaks scale
+    # ~linearly, the lag/lead window pass is the cost.
+    "dau_mau",
+    "growth_accounting",
+    "activity_streaks",
+    "hill_tail_index",
+    "peak_detection",
 ]
 OPS_SALTED = [
     "minhash_pairs",
@@ -184,6 +199,19 @@ OPS_TPCH = [
     # k (abc output stays one row per part — parts are not shifted).
     "tail_dependence",
     "abc_classes",
+    # round-11 on the orderkey-shifted replica (dims verbatim, per-
+    # customer/part/supplier volumes scale k-fold with shares
+    # invariant): theil_index / lorenz_curve measure the spend
+    # aggregate + rank path at k-fold spend mass (output fixed);
+    # eb_shrinkage the two-level moment fit (one row per part);
+    # rank_biased_overlap the two leaderboard rank windows (ranks are
+    # copy-invariant, rbo constant); herfindahl_index the nested
+    # share aggregates (one row per nation).
+    "theil_index",
+    "lorenz_curve",
+    "eb_shrinkage",
+    "rank_biased_overlap",
+    "herfindahl_index",
 ]
 # Iterative/graph shapes, probed on a BOTH-KEYS-SHIFTED lineitem replica
 # (l_orderkey AND l_partkey shifted per copy): each copy is a DISJOINT
