@@ -90,10 +90,36 @@ def expected_values() -> dict[str, str]:
             f"{op} {r['loglog_slope']:+.2f}"
             for op, r in probe["ops"].items()
         )
+        # Fitted slopes understate the top segment when fixed latency
+        # amortizes early (VERDICT r10 what's-wrong #2): quote the
+        # steepest per-segment time exponents alongside, so a key whose
+        # LAST doubling grows superlinearly cannot hide behind a
+        # sublinear fit.
+        seg_notes = []
+        for op, r in probe["ops"].items():
+            segs = r.get("segments") or {}
+            worst_key, worst = None, None
+            for seg, s in segs.items():
+                e = s.get("input_exponent")
+                if e is not None and (worst is None or e > worst):
+                    worst_key, worst = seg, e
+            if worst is not None and worst >= 0.7:
+                out_e = (segs[worst_key] or {}).get("output_exponent")
+                suffix = (
+                    f" vs output {out_e:.2f}" if out_e is not None else ""
+                )
+                seg_notes.append(
+                    f"{op} {worst_key} time exponent {worst:.2f}{suffix}"
+                )
+        seg_txt = (
+            "; steepest per-segment exponents: " + ", ".join(seg_notes)
+            if seg_notes
+            else "; no per-segment time exponent reaches 0.7"
+        )
         values["SCALE_PROBE"] = (
             f"log-log time-vs-rows slopes at {hi}x rows "
-            f"({probe['input_rows'][hi]['events']:,} events): {slopes} "
-            f"({os.path.basename(probes[-1])})"
+            f"({probe['input_rows'][hi]['events']:,} events): {slopes}"
+            f"{seg_txt} ({os.path.basename(probes[-1])})"
         )
     return values
 
