@@ -319,6 +319,9 @@ HEADLINE = [
     "peak_detection",
     "rank_biased_overlap",
     "herfindahl_index",
+    "gumbel_maxima",
+    "engle_granger",
+    "h_index",
 ]
 
 

@@ -16506,6 +16506,164 @@ FROM mkt
 """
 
 
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly block-maxima Gumbel fit of event values per type
+    (operators/temporal.py gumbel_maxima): method-of-moments location/
+    scale and the 99% monthly return level."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        gumbel_maxima,
+    )
+
+    return gumbel_maxima(
+        load_table(spark, sf_dir, "events"),
+        series_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        block="month",
+        return_p=0.99,
+    )
+
+
+ORACLE_GUMBEL_MAXIMA = """
+WITH blocks AS (
+  SELECT event_type AS series, date_trunc('month', ts) AS blk,
+         max(CAST(value AS DOUBLE)) AS mx
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+agg AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n_blocks,
+         avg(mx) AS m, stddev_samp(mx) AS s
+  FROM blocks GROUP BY 1),
+fit AS (
+  SELECT series, n_blocks, m, s,
+         CASE WHEN n_blocks >= 2 AND s > 0
+              THEN s * 0.7796968012336293 END AS beta
+  FROM agg)
+SELECT series, n_blocks,
+       round(m, 6) AS mean_max,
+       round(CASE WHEN n_blocks >= 2 AND s > 0 THEN s END, 6) AS sd_max,
+       round(m - 0.5772156649015329 * beta, 6) AS gumbel_loc,
+       round(beta, 6) AS gumbel_scale,
+       round((m - 0.5772156649015329 * beta) - beta * (-4.600149226776579), 6) AS return_level
+FROM fit
+"""
+
+
+def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration of the view vs click daily mean
+    value series (operators/temporal.py engle_granger): first-stage
+    OLS, then a no-drift ADF on the residuals against the -3.34 EG
+    critical value."""
+    from knot_another_pipeline_spark.operators.temporal import (
+        engle_granger,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    y = daily.filter(F.col("event_type") == "view").select(
+        "day", F.col("v").alias("y")
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("v").alias("x")
+    )
+    return engle_granger(
+        y.join(x, "day"), order_col="day", y_col="y", x_col="x"
+    )
+
+
+ORACLE_ENGLE_GRANGER = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, avg(CAST(value AS DOUBLE)) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT y.day, y.v AS yv, x.v AS xv
+  FROM (SELECT day, v FROM daily WHERE event_type = 'view') y
+  JOIN (SELECT day, v FROM daily WHERE event_type = 'click') x
+    ON y.day = x.day),
+mom AS (
+  SELECT count(*) * 1.0 AS n, sum(xv) AS sx, sum(yv) AS sy,
+         sum(xv * xv) AS sxx, sum(xv * yv) AS sxy
+  FROM pairs),
+coef AS (
+  SELECT n,
+         CASE WHEN n >= 4 AND (sxx - sx * sx / n) > 0
+              THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS beta,
+         sy / n
+           - (CASE WHEN n >= 4 AND (sxx - sx * sx / n) > 0
+                   THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END)
+             * sx / n AS alpha
+  FROM mom),
+resid AS (
+  SELECT p.day, p.yv - c.alpha - c.beta * p.xv AS r, c.n, c.beta, c.alpha
+  FROM pairs p CROSS JOIN coef c),
+lagged AS (
+  SELECT r, lag(r) OVER (ORDER BY day) AS rlag
+  FROM resid),
+adf AS (
+  SELECT count(*) * 1.0 AS m,
+         sum(rlag * (r - rlag)) AS srd,
+         sum(rlag * rlag) AS srr,
+         sum((r - rlag) * (r - rlag)) AS sdd
+  FROM lagged WHERE rlag IS NOT NULL),
+tt AS (
+  SELECT c.n, c.beta, c.alpha, a.m, a.srr,
+         a.srd / a.srr AS gamma,
+         sqrt((a.sdd - (a.srd / a.srr) * a.srd) / (a.m - 1.0) / a.srr)
+           AS se
+  FROM coef c LEFT JOIN adf a ON TRUE)
+SELECT CAST(n AS BIGINT) AS n,
+       round(beta, 6) AS beta,
+       round(alpha, 6) AS alpha,
+       round(CASE WHEN m >= 3 AND srr > 0 AND se > 0
+                  THEN gamma / se END, 6) AS adf_t,
+       (CASE WHEN m >= 3 AND srr > 0 AND se > 0
+             THEN gamma / se END) < -3.34e0 AS cointegrated_5pct
+FROM tt
+"""
+
+
+def q_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier h-index of line quantities (operators/quality.py
+    h_index): the largest h with >= h lines of >= h units — depth x
+    volume in one integer, one rank window + one aggregate."""
+    from knot_another_pipeline_spark.operators.quality import h_index
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_quantity",
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("rid"),
+    )
+    return h_index(
+        li,
+        group_cols=["l_suppkey"],
+        value_col="l_quantity",
+        id_col="rid",
+    )
+
+
+ORACLE_H_INDEX = """
+WITH ranked AS (
+  SELECT l_suppkey, CAST(l_quantity AS DOUBLE) AS v,
+         row_number() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY CAST(l_quantity AS DOUBLE) DESC,
+                    (l_orderkey * 100 + l_linenumber) ASC) AS rn
+  FROM lineitem WHERE l_quantity IS NOT NULL)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN v >= rn THEN 1 ELSE 0 END) AS BIGINT)
+         AS h_index,
+       round(sum(CASE WHEN v >= rn THEN 1 ELSE 0 END) / sqrt(count(*)),
+             6) AS h_ratio
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES = {
     # round-11 additions: product-analytics ledgers, inequality/
     # concentration, heavy-tail index, EB shrinkage, peaks, RBO
@@ -16519,6 +16677,9 @@ QUERIES = {
     "peak_detection": q_peak_detection,
     "rank_biased_overlap": q_rank_biased_overlap,
     "herfindahl_index": q_herfindahl_index,
+    "gumbel_maxima": q_gumbel_maxima,
+    "engle_granger": q_engle_granger,
+    "h_index": q_h_index,
     # round-10 additions: drift/unit-root/spectral/runs/seasonal series
     # diagnostics, paired & k-sample rank tests, permutation inference,
     # survival hazard + log-rank, bounded harmonic centrality
@@ -16893,6 +17054,9 @@ ORACLES = {
     "peak_detection": ORACLE_PEAK_DETECTION,
     "rank_biased_overlap": ORACLE_RANK_BIASED_OVERLAP,
     "herfindahl_index": ORACLE_HERFINDAHL_INDEX,
+    "gumbel_maxima": ORACLE_GUMBEL_MAXIMA,
+    "engle_granger": ORACLE_ENGLE_GRANGER,
+    "h_index": ORACLE_H_INDEX,
     "page_hinkley": ORACLE_PAGE_HINKLEY,
     "dickey_fuller": ORACLE_DICKEY_FULLER,
     "spectral_entropy": ORACLE_SPECTRAL_ENTROPY,

@@ -4469,3 +4469,61 @@ def lorenz_curve(
             round_to,
         ).alias("cum_share"),
     ).orderBy("bucket")
+
+
+def h_index(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group h-index: the largest ``h`` such that the group has at
+    least ``h`` rows with value ≥ ``h`` — the citation metric
+    generalized to any contribution profile ("a supplier with h-index
+    40 filled at least 40 orders of at least 40 units").  It is the
+    robust middle ground the existing lenses miss:
+    :func:`gini_concentration` normalizes away VOLUME, a plain top-k
+    ignores DEPTH; h answers both with one integer immune to a single
+    outlier row.
+
+    Computed from the sorted-rank identity ``h = #{i : v₍ᵢ₎ ≥ i}``
+    (values descending, i 1-based) — v₍ᵢ₎ ≥ i is a prefix property of
+    the descending sort, so the count IS the h-index.  One per-group
+    rank window plus one hash aggregate; ties need no tiebreak for
+    the RESULT (any permutation of equal values crosses the v ≥ i
+    diagonal at the same point), ``id_col`` just pins a total order.
+
+    Output per group: group cols, n, h_index, plus ``h_ratio`` =
+    h / √n — the scale-free score (√n is the h-index ceiling for a
+    group of n rows, achieved when all values ≥ √n).
+    """
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_v").isNotNull())
+    gp = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*gp).orderBy(
+        F.col("_v").desc(), F.col("_id").asc()
+    )
+    ranked = s.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("_v") >= F.col("_rn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("h_index"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "h_index",
+            F.round(
+                F.col("h_index") / F.sqrt(F.col("n")), round_to
+            ).alias("h_ratio"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -43,7 +43,9 @@ __all__ = [
     "cusum_alarm",
     "decayed_agg",
     "dickey_fuller",
+    "engle_granger",
     "ewma_smooth",
+    "gumbel_maxima",
     "holt_forecast",
     "hurst_exponent",
     "interval_merge",
@@ -2787,3 +2789,181 @@ def peak_detection(
         )
         .orderBy(*series_cols, "ts")
     )
+
+
+def gumbel_maxima(
+    df: DataFrame,
+    *,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    block: str = "month",
+    return_p: float = 0.99,
+    round_to: int = 6,
+) -> DataFrame:
+    """Block-maxima Gumbel fit per series — the extreme-value answer to
+    "what's the worst value we should expect per year?" that
+    :func:`~.quality.hill_tail_index` (tail SHAPE) and plain
+    percentiles (within-sample only) cannot give: take each block's
+    (default calendar month's) maximum, fit Gumbel(μ, β) by method of
+    moments (``β = s·√6/π``, ``μ = m − γ_E·β`` with the
+    Euler–Mascheroni γ_E), and report the ``return_p`` return level
+    ``μ − β·ln(−ln(p))`` — the level exceeded in a block with
+    probability 1−p.
+
+    Moments, not MLE: closed-form, deterministic, replayable in any
+    SQL engine — the house rule for every fitted statistic here
+    (:func:`dickey_fuller`'s OLS, ``eb_shrinkage``'s Beta MoM).
+
+    Scale shape: one (series, block) hash aggregate — the block
+    maxima table, ~n_series×n_blocks rows regardless of input size —
+    then one per-series moment aggregate.  No window at all; the scan
+    dominates at 100 TB.  Series with fewer than 2 blocks (no sample
+    s.d.) or zero variance emit NULL fit columns.
+
+    Output per series: series, n_blocks, mean_max, sd_max,
+    gumbel_loc, gumbel_scale, return_level.
+    """
+    import math as _math
+
+    if not (0.0 < return_p < 1.0):
+        raise ValueError(f"return_p must be in (0, 1), got {return_p}")
+    euler_gamma = 0.5772156649015329
+    sqrt6_over_pi = 0.7796968012336293  # sqrt(6)/pi
+    blocks = (
+        df.select(
+            F.col(series_col).alias("series"),
+            F.date_trunc(block, F.col(ts_col).cast("timestamp")).alias(
+                "_blk"
+            ),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull() & F.col("_blk").isNotNull())
+        .groupBy("series", "_blk")
+        .agg(F.max("_v").alias("_mx"))
+    )
+    agg = blocks.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.avg("_mx").alias("_m"),
+        F.stddev_samp("_mx").alias("_s"),
+    )
+    ok = (F.col("n_blocks") >= 2) & (F.col("_s") > 0)
+    scale = F.when(ok, F.col("_s") * F.lit(sqrt6_over_pi))
+    loc = F.col("_m") - F.lit(euler_gamma) * scale
+    rl = loc - scale * F.lit(_math.log(-_math.log(return_p)))
+    return agg.select(
+        "series",
+        "n_blocks",
+        F.round("_m", round_to).alias("mean_max"),
+        F.round(F.when(ok, F.col("_s")), round_to).alias("sd_max"),
+        F.round(loc, round_to).alias("gumbel_loc"),
+        F.round(scale, round_to).alias("gumbel_scale"),
+        F.round(rl, round_to).alias("return_level"),
+    ).orderBy("series")
+
+
+def engle_granger(
+    df: DataFrame,
+    *,
+    order_col: str,
+    y_col: str,
+    x_col: str,
+    group_cols: list[str] | None = None,
+    crit_5pct: float = -3.34,
+    round_to: int = 6,
+) -> DataFrame:
+    """Engle–Granger two-step cointegration readout per group: OLS
+    ``y = α + β·x`` (closed form from moment sums), then a no-drift
+    Dickey–Fuller regression of Δr on r_{t−1} over the residuals —
+    the test for "do these two series share a common stochastic
+    trend?" that correlation cannot answer (two independent random
+    walks correlate spuriously; they never cointegrate).  The ADF
+    t-stat is compared to the Engle–Granger 5% critical value (−3.34
+    for the constant-included first stage, MacKinnon), not a normal
+    quantile — same fixed-α contract as :func:`dickey_fuller`.
+
+    Scale shape: one hash aggregate for the OLS moments, a broadcast
+    join of the per-group (α, β) row back onto the pairs, one lag
+    window per group for Δr, one closing moment aggregate — two
+    narrow shuffles total, everything else row-local algebra.
+
+    Output per group (single row ungrouped): n, beta, alpha, adf_t,
+    cointegrated_5pct (NULL stats when n < 4 or a degenerate x).
+    """
+    gcols = list(group_cols or [])
+    s = df.select(
+        *[F.col(c) for c in gcols],
+        F.col(order_col).alias("_ord"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(x_col).cast("double").alias("_x"),
+    ).filter(F.col("_y").isNotNull() & F.col("_x").isNotNull())
+    mom = s.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n")
+    beta = F.when((F.col("_n") >= 4) & (sxx > 0), sxy / sxx)
+    coef = mom.select(
+        *gcols,
+        beta.alias("_beta"),
+        (F.col("_sy") / F.col("_n")
+         - beta * F.col("_sx") / F.col("_n")).alias("_alpha"),
+        F.col("_n").cast("bigint").alias("n"),
+    )
+    joined = (
+        s.join(F.broadcast(coef), gcols) if gcols
+        else s.crossJoin(F.broadcast(coef))
+    )
+    resid = joined.select(
+        *gcols,
+        "_ord",
+        "n",
+        "_beta",
+        "_alpha",
+        (
+            F.col("_y") - F.col("_alpha") - F.col("_beta") * F.col("_x")
+        ).alias("_r"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("_ord")
+    lagged = resid.withColumn("_rlag", F.lag("_r").over(w)).filter(
+        F.col("_rlag").isNotNull()
+    )
+    adf = lagged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("double").alias("_m"),
+        F.sum(F.col("_rlag") * (F.col("_r") - F.col("_rlag"))).alias(
+            "_srd"
+        ),
+        F.sum(F.col("_rlag") * F.col("_rlag")).alias("_srr"),
+        F.sum(
+            (F.col("_r") - F.col("_rlag")) * (F.col("_r") - F.col("_rlag"))
+        ).alias("_sdd"),
+    )
+    # Degenerate-family contract: a group too short (or with a NULL
+    # first-stage fit — every residual NULL, so no lag pairs survive)
+    # must still emit its row with NULL stats, never vanish.  The
+    # coefficient table carries every group, so it anchors a left join.
+    if gcols:
+        out = coef.join(adf, gcols, "left")
+    else:
+        out = coef.withColumn("_k", F.lit(1)).join(
+            adf.withColumn("_k", F.lit(1)), "_k", "left"
+        )
+    gamma = F.col("_srd") / F.col("_srr")
+    rss = F.col("_sdd") - gamma * F.col("_srd")
+    se = F.sqrt(rss / (F.col("_m") - 1.0) / F.col("_srr"))
+    ok = (F.col("_m") >= 3) & (F.col("_srr") > 0)
+    t = F.when(ok & (se > 0), gamma / se)
+    sel = [
+        *gcols,
+        F.col("n"),
+        F.round("_beta", round_to).alias("beta"),
+        F.round("_alpha", round_to).alias("alpha"),
+        F.round(t, round_to).alias("adf_t"),
+        (t < F.lit(float(crit_5pct))).alias("cointegrated_5pct"),
+    ]
+    out = out.select(*sel)
+    return out.orderBy(*gcols) if gcols else out

@@ -367,3 +367,138 @@ def test_herfindahl_drops_nonpositive_firms(spark):
         df, market_cols=["mkt"], firm_col="firm", value_col="v"
     ).collect()[0]
     assert row["n_firms"] == 1 and row["hhi"] == pytest.approx(1.0)
+
+
+# --- second batch: gumbel_maxima, engle_granger, h_index --------------
+
+
+def test_gumbel_maxima_by_hand(spark):
+    import math
+
+    from knot_another_pipeline_spark.operators.temporal import (
+        gumbel_maxima,
+    )
+
+    # monthly maxima: Jan 10, Feb 20, Mar 30 -> m=20, s=10
+    rows = [
+        ("s", dt.datetime(2024, 1, 5), 10.0),
+        ("s", dt.datetime(2024, 1, 9), 3.0),
+        ("s", dt.datetime(2024, 2, 5), 20.0),
+        ("s", dt.datetime(2024, 3, 5), 30.0),
+        ("s", dt.datetime(2024, 3, 9), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    r = gumbel_maxima(
+        df, series_col="g", ts_col="ts", value_col="v", return_p=0.99
+    ).collect()[0]
+    beta = 10.0 * math.sqrt(6) / math.pi
+    loc = 20.0 - 0.5772156649015329 * beta
+    rl = loc - beta * math.log(-math.log(0.99))
+    assert r["n_blocks"] == 3
+    assert r["mean_max"] == pytest.approx(20.0)
+    assert r["gumbel_scale"] == pytest.approx(beta, abs=1e-6)
+    assert r["gumbel_loc"] == pytest.approx(loc, abs=1e-6)
+    assert r["return_level"] == pytest.approx(rl, abs=1e-6)
+    assert r["return_level"] > r["mean_max"]
+
+
+def test_gumbel_maxima_degenerate_null(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        gumbel_maxima,
+    )
+
+    # one block -> no sample sd -> NULL fit
+    df = spark.createDataFrame(
+        [("s", dt.datetime(2024, 1, 5), 10.0)],
+        "g string, ts timestamp, v double",
+    )
+    r = gumbel_maxima(
+        df, series_col="g", ts_col="ts", value_col="v"
+    ).collect()[0]
+    assert r["n_blocks"] == 1 and r["gumbel_scale"] is None
+    with pytest.raises(ValueError):
+        gumbel_maxima(
+            df, series_col="g", ts_col="ts", value_col="v", return_p=1.0
+        )
+
+
+def _eg_ref(pairs):
+    import math
+
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    alpha = sy / n - beta * sx / n
+    r = [y - alpha - beta * x for x, y in pairs]
+    dr = [(r[i - 1], r[i] - r[i - 1]) for i in range(1, n)]
+    m = len(dr)
+    srd = sum(a * b for a, b in dr)
+    srr = sum(a * a for a, b in dr)
+    sdd = sum(b * b for a, b in dr)
+    gamma = srd / srr
+    se = math.sqrt((sdd - gamma * srd) / (m - 1) / srr)
+    return beta, alpha, gamma / se
+
+
+def test_engle_granger_cointegrated_pair(spark):
+    import math
+
+    from knot_another_pipeline_spark.operators.temporal import (
+        engle_granger,
+    )
+
+    # x: a deterministic wander; y = 2x + 1 + small stationary wiggle
+    xs = [math.sin(i / 3.0) * 5 + i * 0.1 for i in range(40)]
+    ys = [2 * x + 1 + (0.3 if i % 2 else -0.3) for i, x in enumerate(xs)]
+    rows = [(i, ys[i], xs[i]) for i in range(40)]
+    df = spark.createDataFrame(rows, "t int, y double, x double")
+    r = engle_granger(df, order_col="t", y_col="y", x_col="x").collect()[0]
+    beta, alpha, t = _eg_ref(list(zip(xs, ys)))
+    assert r["beta"] == pytest.approx(beta, abs=1e-5)
+    assert r["alpha"] == pytest.approx(alpha, abs=1e-5)
+    assert r["adf_t"] == pytest.approx(t, abs=1e-4)
+    # the alternating residual is strongly mean-reverting
+    assert r["cointegrated_5pct"] is True
+
+
+def test_engle_granger_short_series_null(spark):
+    from knot_another_pipeline_spark.operators.temporal import (
+        engle_granger,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 2.0)], "t int, y double, x double"
+    )
+    r = engle_granger(df, order_col="t", y_col="y", x_col="x").collect()[0]
+    assert r["beta"] is None and r["adf_t"] is None
+
+
+def test_h_index_by_hand(spark):
+    from knot_another_pipeline_spark.operators.quality import h_index
+
+    # classic: values [10, 8, 5, 4, 3] -> h = 4; [2, 2, 2] -> h = 2
+    rows = [("a", v, i) for i, v in enumerate([10.0, 8.0, 5.0, 4.0, 3.0])]
+    rows += [("b", 2.0, i) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    out = {
+        r["g"]: r
+        for r in h_index(
+            df, group_cols=["g"], value_col="v", id_col="id"
+        ).collect()
+    }
+    assert out["a"]["h_index"] == 4 and out["a"]["n"] == 5
+    assert out["b"]["h_index"] == 2
+    assert out["a"]["h_ratio"] == pytest.approx(4 / 5**0.5, abs=1e-6)
+
+
+def test_h_index_tie_invariant(spark):
+    from knot_another_pipeline_spark.operators.quality import h_index
+
+    # equal values: any tie order crosses the v >= i diagonal once
+    rows = [("g", 3.0, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    r = h_index(df, group_cols=["g"], value_col="v", id_col="id").collect()[0]
+    assert r["h_index"] == 3

@@ -159,6 +159,14 @@ OPS = [
     "activity_streaks",
     "hill_tail_index",
     "peak_detection",
+    # gumbel_maxima: the (series, month) block-maxima table grows
+    # k-fold in blocks (disjoint years) at fixed series count — the
+    # probe measures the two narrowing aggregates.  engle_granger:
+    # the view/click daily pair series grows k-fold in length; the
+    # OLS moments, residual lag window, and ADF aggregate all see
+    # k-fold rows with a fixed 1-row output.
+    "gumbel_maxima",
+    "engle_granger",
 ]
 OPS_SALTED = [
     "minhash_pairs",
@@ -212,6 +220,11 @@ OPS_TPCH = [
     "eb_shrinkage",
     "rank_biased_overlap",
     "herfindahl_index",
+    # h_index: per-supplier line counts grow k-fold (orderkey-shifted
+    # copies share suppliers), so the rank window sees k-fold rows per
+    # supplier; h itself grows with depth — output stays one row per
+    # supplier and the window pass is the probed cost.
+    "h_index",
 ]
 # Iterative/graph shapes, probed on a BOTH-KEYS-SHIFTED lineitem replica
 # (l_orderkey AND l_partkey shifted per copy): each copy is a DISJOINT
