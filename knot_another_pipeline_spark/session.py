@@ -93,7 +93,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     Used when the session is handed to us (driver harness, notebooks) so
     results are timezone-stable (UTC) and plans benefit from AQE regardless
     of how the session was built.
+
+    Memoized per session object: ``load_table`` calls this on every table
+    read, and each ``conf.set`` is a py4j round trip — a catalog-wide
+    bench pays hundreds of such calls for settings that never change
+    after the first application.
     """
+    if getattr(spark, "_knap_session_tuned", False):
+        return spark
     for key in _RUNTIME_CONF_KEYS:
         value = _BUILD_CONF.get(key)
         if value is None:
@@ -108,4 +115,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
                 RuntimeWarning,
                 stacklevel=2,
             )
+    try:
+        spark._knap_session_tuned = True
+    except Exception:
+        pass  # frozen/slotted session objects: re-tuning stays idempotent
     return spark
