@@ -3813,18 +3813,20 @@ FROM clipped GROUP BY event_type, q_lo, q_hi
 """
 
 
-def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts + clustering coefficient over the
-    part↔part same-order co-occurrence graph (operators/graph.py
-    triangle_stats): degree-ordered orientation bounds wedge fanout by
-    √(2m); the oracle counts triangles by the naive canonical triple
-    join, so a hash match proves the orientation finds each triangle
-    exactly once."""
-    from knot_another_pipeline_spark.operators.graph import triangle_stats
-
-    li = load_table(spark, sf_dir, "lineitem")
+def _coorder_part_edges(li: DataFrame) -> DataFrame:
+    """part↔part same-order co-occurrence edges (src < dst, one row per
+    order×pair) via the lp-self-join on the order key.  A posting-list
+    rewrite (groupBy l_orderkey + collect_set + row-local C(d, 2)
+    enumeration, the shape that won −7…−26% on covisitation_llr /
+    basket_rules / link_prediction's wedge step) was A/B'd here at
+    sf0.1 interleaved min-of-5 and LOST: triangle_stats 5.7 → 9.2 s
+    (+62%), k_core_parts +11% — both consumers re-reference the edge
+    frame through eager/lazy localCheckpoint pins whose LogicalRDD
+    hides statistics, and the postings' Generate tail replanned their
+    downstream joins to SMJ.  Negative result recorded so the next
+    round doesn't re-try it."""
     lp = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
+    return (
         lp.alias("a")
         .join(
             lp.alias("b"),
@@ -3836,7 +3838,19 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
     )
-    return triangle_stats(edges)
+
+
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient over the
+    part↔part same-order co-occurrence graph (operators/graph.py
+    triangle_stats): degree-ordered orientation bounds wedge fanout by
+    √(2m); the oracle counts triangles by the naive canonical triple
+    join, so a hash match proves the orientation finds each triangle
+    exactly once."""
+    from knot_another_pipeline_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_stats(_coorder_part_edges(li))
 
 
 ORACLE_TRIANGLE_STATS = """
@@ -7227,20 +7241,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knot_another_pipeline_spark.operators.graph import k_core
 
     li = load_table(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        lp.alias("a")
-        .join(
-            lp.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
-    return k_core(edges, k=_K_CORE_K, max_iter=_K_CORE_ITERS)
+    return k_core(_coorder_part_edges(li), k=_K_CORE_K, max_iter=_K_CORE_ITERS)
 
 
 def _k_core_oracle_sql(k: int, rounds: int) -> str:

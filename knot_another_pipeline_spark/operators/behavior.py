@@ -726,41 +726,47 @@ def covisitation_llr(
     predict.  "Basket" is any co-occurrence scope: an order, a user
     session, a document window.
 
-    Scale shape: baskets are deduped to distinct (basket, item) rows,
-    so the quadratic step is the standard self-join on the basket key
-    — bounded by basket size (order lines, not catalog size), the same
-    shape as ``basket_rules``.  ``min_count`` prunes pairs BEFORE the
-    margin joins.  Margins (per-item basket counts) join on each side
-    — item-cardinality tables, broadcast by AQE while small — and N is
+    Scale shape: each basket's distinct items are collected into ONE
+    posting list (group size bounded by basket size — order lines, not
+    catalog size) and the C(d, 2) co-occurrence pairs are enumerated
+    row-locally from it (guide §2.3/§2.4: one basket-key shuffle
+    replaces the two the self-join paid, and the per-item margins and
+    the basket total re-aggregate from the same postings frame —
+    ``collect_set`` IS the dedup, so the separate distinct shuffle
+    disappears too).  ``min_count`` prunes pairs BEFORE the margin
+    joins.  Margins (per-item basket counts) join on each side —
+    item-cardinality tables, broadcast by AQE while small — and N is
     a broadcast 1-row aggregate; the G² arithmetic is row-local.
 
     Output: item_a ≺ item_b, n_both, n_a, n_b, n_baskets, llr
     (rounded), llr ≥ 0 guaranteed up to fp rounding.
     """
+    from knot_another_pipeline_spark.functions.postings import (
+        sorted_pairs_from_postings,
+    )
+
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    bi = (
+    posts = (
         baskets.select(
             F.col(basket_col).alias("b"), F.col(item_col).alias("item")
         )
         .filter(F.col("b").isNotNull() & F.col("item").isNotNull())
-        .distinct()
+        .groupBy("b")
+        .agg(F.collect_set("item").alias("_items"))
     )
     pairs = (
-        bi.alias("x")
-        .join(
-            bi.alias("y"),
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.item") < F.col("y.item")),
+        sorted_pairs_from_postings(
+            posts, items_col="_items", a_col="item_a", b_col="item_b"
         )
-        .groupBy(
-            F.col("x.item").alias("item_a"), F.col("y.item").alias("item_b")
-        )
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= min_count)
     )
-    marg = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    total = bi.agg(F.countDistinct("b").alias("n_baskets"))
+    marg = posts.select(F.explode("_items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("n_item"))
+    total = posts.agg(F.count(F.lit(1)).alias("n_baskets"))
     joined = (
         pairs.join(
             marg.select(
@@ -824,35 +830,42 @@ def audience_overlap(
     readout behind campaign dedup, segment consolidation, and
     cannibalization checks.
 
-    Scale shape: memberships dedup to distinct (entity, segment) rows
-    first; the pair counts come from the entity-key self-join — the
-    quadratic step is bounded by SEGMENTS-PER-ENTITY (a handful), not
-    segment cardinality or corpus size, exactly the ``basket_rules``/
-    ``covisitation_llr`` shape.  Per-segment sizes re-aggregate from
-    the same deduped frame and join back on the segment key
-    (segment-cardinality tables, broadcast by AQE).
+    Scale shape: each entity's distinct segments are collected into
+    ONE posting list (group size bounded by SEGMENTS-PER-ENTITY — a
+    handful, not segment cardinality or corpus size) and the pair
+    counts are enumerated row-locally from it — one entity-key shuffle
+    instead of the two a self-join pays, and ``collect_set`` IS the
+    dedup so the separate distinct shuffle disappears (guide
+    §2.3/§2.4; same shape as ``covisitation_llr``).  Per-segment sizes
+    re-aggregate from the same postings frame and join back on the
+    segment key (segment-cardinality tables, broadcast by AQE).
 
     Output: segment_a ≺ segment_b, n_both, n_a, n_b,
     containment_a_in_b (= share of A also in B), containment_b_in_a,
     jaccard (rounded).
     """
-    m = (
+    from knot_another_pipeline_spark.functions.postings import (
+        sorted_pairs_from_postings,
+    )
+
+    posts = (
         df.select(
             F.col(entity_col).alias("e"), F.col(segment_col).alias("s")
         )
         .filter(F.col("e").isNotNull() & F.col("s").isNotNull())
-        .distinct()
+        .groupBy("e")
+        .agg(F.collect_set("s").alias("_segs"))
     )
     pairs = (
-        m.alias("x")
-        .join(
-            m.alias("y"),
-            (F.col("x.e") == F.col("y.e")) & (F.col("x.s") < F.col("y.s")),
+        sorted_pairs_from_postings(
+            posts, items_col="_segs", a_col="segment_a", b_col="segment_b"
         )
-        .groupBy(F.col("x.s").alias("segment_a"), F.col("y.s").alias("segment_b"))
+        .groupBy("segment_a", "segment_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    sizes = m.groupBy("s").agg(F.count(F.lit(1)).alias("n_seg"))
+    sizes = posts.select(F.explode("_segs").alias("s")).groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_seg")
+    )
     out = pairs.join(
         sizes.select(F.col("s").alias("segment_a"), F.col("n_seg").alias("n_a")),
         "segment_a",

@@ -232,16 +232,28 @@ def ngram_jaccard_pairs(
     set sizes; J = inter / (|A|+|B|-inter).
 
     ``max_doc_freq`` is the stop-shingle cap: a shingle appearing in d
-    docs contributes d² rows to the self-join, so one boilerplate shingle
-    is a job-killer at corpus scale. With the cap set, shingle document
-    frequencies are pre-counted (one cheap aggregate) and shingles with
-    df > cap are dropped *before* the join; Jaccard is then computed over
-    the capped shingle sets on both the intersection and size sides, so
-    the metric stays internally consistent. Production default: a few
-    hundred (boilerplate lives in the df ≫ 10³ tail; true near-dup pairs
-    share plenty of rare shingles).
+    docs contributes d² rows to the intersection counts, so one
+    boilerplate shingle is a job-killer at corpus scale. With the cap
+    set, shingle document frequencies are pre-counted (one cheap
+    aggregate) and shingles with df > cap are dropped *before* postings
+    are collected; Jaccard is then computed over the capped shingle
+    sets on both the intersection and size sides, so the metric stays
+    internally consistent. Production default: a few hundred
+    (boilerplate lives in the df ≫ 10³ tail; true near-dup pairs share
+    plenty of rare shingles).
+
+    The intersection counts come from POSTING LISTS, not a self-join
+    (guide §2.3/§2.4): one groupBy collects the df-capped ids per
+    shingle (group size bounded by the cap), then the C(d, 2) ordered
+    pairs are enumerated row-locally — the shingle strings shuffle
+    once instead of riding both sides of a self-equi-join, and the
+    pair stream goes straight into the (id_a, id_b) count aggregate.
     Output: id_a, id_b, jaccard.
     """
+    from knot_another_pipeline_spark.functions.postings import (
+        sorted_pairs_from_postings,
+    )
+
     if max_doc_freq is not None:
         keep = (
             shingles.groupBy("shingle")
@@ -251,15 +263,14 @@ def ngram_jaccard_pairs(
         )
         shingles = shingles.join(keep, "shingle")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    posts = shingles.groupBy("shingle").agg(
+        F.collect_list("id").alias("_ids")
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+        sorted_pairs_from_postings(
+            posts, items_col="_ids", a_col="id_a", b_col="id_b"
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sza = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -1046,7 +1057,12 @@ def _deletion_variants(frame: DataFrame) -> DataFrame:
     distance ≤ 1 necessarily share a key, so an equi-join on ``_v`` is
     an exact-recall candidate generator for distance 1.
     ``Column.substr`` takes Column args, so the variant is pure
-    codegen; md5 keeps the join key narrow through the shuffle."""
+    codegen; ``xxhash64`` keeps the join key narrow through the
+    shuffle — 8 bytes vs the 32-char md5 hex it replaced (guide §2.3
+    "narrower types"), provably result-safe because BOTH consumers
+    (:func:`fuzzy_match_pairs`, :func:`blocking_quality`) verify every
+    candidate with an exact ``levenshtein`` afterward, so a hash
+    collision can only add a candidate, never a result row."""
     fr = frame.withColumn(
         "_i",
         F.explode(F.sequence(F.lit(0), F.length("txt"))),
@@ -1057,7 +1073,7 @@ def _deletion_variants(frame: DataFrame) -> DataFrame:
             F.col("txt").substr(F.col("_i") + 1, F.length("txt")),
         )
     )
-    return fr.withColumn("_v", F.md5(variant)).drop("_i")
+    return fr.withColumn("_v", F.xxhash64(variant)).drop("_i")
 
 
 def fuzzy_match_pairs(
@@ -1528,14 +1544,17 @@ def containment_pairs(
     a in b with |A| ≪ |B| means a adds nothing b doesn't already have.
 
     Same scale shape as :func:`ngram_jaccard_pairs`: the quadratic
-    step is a postings self-join on the shingle key, bounded by the
-    ``max_doc_freq`` stop-shingle cap (df > cap shingles are dropped
-    before the join — one boilerplate shingle is d² rows; containment
-    is then measured over the capped sets on both numerator and
-    denominator, so the metric stays internally consistent).  Each
-    undirected intersection is computed ONCE (``id < id`` join) and
-    fanned into the two directed rows row-locally — the join cost
-    isn't paid twice for an asymmetric measure.
+    step is posting-list pair enumeration on the shingle key, bounded
+    by the ``max_doc_freq`` stop-shingle cap (df > cap shingles are
+    dropped before postings are collected — one boilerplate shingle is
+    d² rows; containment is then measured over the capped sets on both
+    numerator and denominator, so the metric stays internally
+    consistent).  The shingle strings shuffle once into the postings
+    aggregate instead of riding both sides of a self-equi-join (guide
+    §2.3/§2.4).  Each undirected intersection is computed ONCE
+    (``id < id`` pair orientation) and fanned into the two directed
+    rows row-locally — the pair cost isn't paid twice for an
+    asymmetric measure.
 
     Output: id_a, id_b (direction: containment OF id_a IN id_b),
     size_a, inter, containment — pairs with C ≥ ``min_containment``.
@@ -1544,6 +1563,10 @@ def containment_pairs(
         raise ValueError(
             f"min_containment must be in [0, 1], got {min_containment}"
         )
+    from knot_another_pipeline_spark.functions.postings import (
+        sorted_pairs_from_postings,
+    )
+
     if max_doc_freq is not None:
         keep = (
             shingles.groupBy("shingle")
@@ -1553,15 +1576,14 @@ def containment_pairs(
         )
         shingles = shingles.join(keep, "shingle")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    posts = shingles.groupBy("shingle").agg(
+        F.collect_list("id").alias("_ids")
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+        sorted_pairs_from_postings(
+            posts, items_col="_ids", a_col="u", b_col="v"
         )
-        .groupBy(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     szu = sizes.select(F.col("id").alias("u"), F.col("sz").alias("sz_u"))
@@ -2132,10 +2154,14 @@ def blocking_quality(
       comes from the exact-recall FastSS deletion-neighborhood
       equi-join (:func:`_deletion_variants`, linear in corpus size) —
       never an all-pairs verify;
-    - blocked-truth counting joins the (small) truth-pair table to the
-      per-id block keys twice and compares — two broadcast-able maps.
+    - each side's block keys RIDE THROUGH the variant join, so
+      blocked-truth counting is row-local on the truth pairs — no
+      join-back onto per-id block keys — and n_truth_pairs /
+      n_truth_blocked come from ONE aggregate over the single truth
+      subtree (guide §2.4: the two-aggregate form compiled the
+      deletion join twice).
 
-    Four 1-row aggregates crossJoined at the end; every shuffle is
+    Three 1-row aggregates crossJoined at the end; every shuffle is
     key-bounded. Output (one row): n_rows, n_candidate_pairs,
     n_truth_pairs, n_truth_blocked, reduction_ratio (NULL when n < 2),
     pairs_completeness (NULL when no truth pairs).
@@ -2167,8 +2193,8 @@ def blocking_quality(
             .alias("n_candidate_pairs")
         )
     )
-    va = _deletion_variants(base.select("id", "txt")).alias("a")
-    vb = _deletion_variants(base.select("id", "txt")).alias("b")
+    va = _deletion_variants(base).alias("a")
+    vb = _deletion_variants(base).alias("b")
     truth = (
         va.join(
             vb,
@@ -2180,38 +2206,26 @@ def blocking_quality(
             F.col("b.id").alias("id_b"),
             F.col("a.txt").alias("ta"),
             F.col("b.txt").alias("tb"),
+            *[F.col(f"a.{c}").alias(f"_a_{c}") for c in block_cols],
+            *[F.col(f"b.{c}").alias(f"_b_{c}") for c in block_cols],
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.levenshtein("ta", "tb") <= max_distance)
-        .select("id_a", "id_b")
-    )
-    keys = base.select("id", *block_cols)
-    blocked = truth.join(
-        keys.select(
-            F.col("id").alias("id_a"),
-            *[F.col(c).alias(f"_a_{c}") for c in block_cols],
-        ),
-        "id_a",
-    ).join(
-        keys.select(
-            F.col("id").alias("id_b"),
-            *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-        ),
-        "id_b",
     )
     same_block = F.lit(True)
     for c in block_cols:
         same_block = same_block & (
             F.col(f"_a_{c}") == F.col(f"_b_{c}")
         )
-    t_counts = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
-    b_counts = blocked.agg(
-        F.sum(same_block.cast("bigint")).alias("_nb")
-    ).select(F.coalesce("_nb", F.lit(0)).alias("n_truth_blocked"))
+    t_counts = truth.agg(
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+        F.coalesce(F.sum(same_block.cast("bigint")), F.lit(0)).alias(
+            "n_truth_blocked"
+        ),
+    )
     return (
         n_rows.crossJoin(F.broadcast(cand))
         .crossJoin(F.broadcast(t_counts))
-        .crossJoin(F.broadcast(b_counts))
         .select(
             F.col("n_rows").cast("bigint").alias("n_rows"),
             "n_candidate_pairs",

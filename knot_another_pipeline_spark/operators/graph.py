@@ -291,12 +291,34 @@ def common_neighbor_scores(
             F.col("node").alias("nbr")
         )
         apex = adj.join(F.broadcast(hubs), "nbr", "left_anti")
-    w1 = apex.select(F.col("nbr"), F.col("node").alias("node_a"))
-    w2 = apex.select(F.col("nbr"), F.col("node").alias("node_b"))
+    if max_degree is not None:
+        # Posting-list wedge enumeration (guide §2.3/§2.4): the apex
+        # cap bounds each shared-neighbor group at ``max_degree``
+        # nodes, so ONE groupBy collects the neighborhood and the
+        # C(d, 2) wedges are enumerated row-locally — one shuffle of
+        # the apex key instead of the two the wedge self-join paid.
+        # Bit-identical pair multiset (same a < b orientation).
+        from knot_another_pipeline_spark.functions.postings import (
+            sorted_pairs_from_postings,
+        )
+
+        posts = apex.groupBy("nbr").agg(
+            F.collect_list("node").alias("_nodes")
+        )
+        wedges = sorted_pairs_from_postings(
+            posts, items_col="_nodes", a_col="node_a", b_col="node_b"
+        )
+    else:
+        # Uncapped apex groups are unbounded (a hub's whole
+        # neighborhood in one aggregation buffer) — keep the self-join,
+        # whose quadratic risk the caller explicitly accepted.
+        w1 = apex.select(F.col("nbr"), F.col("node").alias("node_a"))
+        w2 = apex.select(F.col("nbr"), F.col("node").alias("node_b"))
+        wedges = w1.join(w2, "nbr").filter(
+            F.col("node_a") < F.col("node_b")
+        )
     pairs = (
-        w1.join(w2, "nbr")
-        .filter(F.col("node_a") < F.col("node_b"))
-        .groupBy("node_a", "node_b")
+        wedges.groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
         .filter(F.col("common_neighbors") >= min_common)
     )

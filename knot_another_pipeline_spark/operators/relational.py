@@ -961,22 +961,27 @@ def basket_rules(
 
     Plan shape, biggest-first:
 
-    1. distinct (basket, item) — one hash aggregate; presence, not
-       quantity, is what the metrics are defined over.
+    1. ONE basket-key aggregate collects each basket's DISTINCT items
+       into a posting list (``collect_set`` — presence, not quantity,
+       is what the metrics are defined over, and the set semantics IS
+       the dedup, so no separate distinct shuffle).
     2. A per-basket size guard DROPS baskets with more than
-       ``max_basket_size`` distinct items (computed with one window on
-       the same basket partitioning).  The pair fanout is
-       size²/basket; one degenerate mega-basket (a crawler account, a
-       default/test user) would otherwise emit billions of pairs from
-       a single task.  The cap is the documented dial — the same guard
-       family as the dedup operators' df-cap — and dropped baskets are
+       ``max_basket_size`` distinct items (a row-local ``size()``
+       filter on the posting list — the window the self-join
+       formulation needed is gone).  The pair fanout is size²/basket;
+       one degenerate mega-basket (a crawler account, a default/test
+       user) would otherwise emit billions of pairs from a single
+       task.  The cap is the documented dial — the same guard family
+       as the dedup operators' df-cap — and dropped baskets are
        whole-basket drops, so the metrics stay internally consistent.
-    3. Self equi-join on the basket key with ``item_a < item_b`` as an
-       in-join filter (each unordered pair produced once), then one
-       map-side-combinable count aggregate — at most |items|² rows out
-       regardless of input size.  Never an all-pairs cross join.
-    4. Item frequencies and the basket total join back onto the pair
-       table: |items|-row and 1-row broadcasts under AQE.
+    3. The C(size, 2) unordered pairs are enumerated ROW-LOCALLY from
+       each posting list (guide §2.3/§2.4: one basket shuffle instead
+       of the two a self-equi-join pays), then one map-side-combinable
+       count aggregate — at most |items|² rows out regardless of input
+       size.  Never an all-pairs cross join.
+    4. Item frequencies and the basket total re-aggregate from the
+       same postings frame and join back onto the pair table:
+       |items|-row and 1-row broadcasts under AQE.
     5. Each unordered pair emits BOTH rule directions (a→b and b→a) via
        a row-local union, so confidence is per-antecedent.
 
@@ -984,30 +989,31 @@ def basket_rules(
     at scale most pairs occur once and carry no signal.
     Output: antecedent, consequent, pair_n, support, confidence, lift.
     """
+    from knot_another_pipeline_spark.functions.postings import (
+        sorted_pairs_from_postings,
+    )
+
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
     if max_basket_size < 2:
         raise ValueError(f"max_basket_size must be >= 2, got {max_basket_size}")
-    items = (
+    posts = (
         df.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
         .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
-        .distinct()
+        .groupBy("basket")
+        .agg(F.collect_set("item").alias("_items"))
+        .filter(F.size("_items") <= max_basket_size)
     )
-    sized = items.withColumn(
-        "_bsize", F.count(F.lit(1)).over(Window.partitionBy("basket"))
-    ).filter(F.col("_bsize") <= max_basket_size)
-    kept = sized.select("basket", "item")
-    n_baskets = kept.select("basket").distinct().agg(
-        F.count(F.lit(1)).alias("_n_baskets")
-    )
-    item_n = kept.groupBy("item").agg(F.count(F.lit(1)).alias("_item_n"))
-    a = kept.select("basket", F.col("item").alias("item_a"))
-    b = kept.select("basket", F.col("item").alias("item_b"))
+    n_baskets = posts.agg(F.count(F.lit(1)).alias("_n_baskets"))
+    item_n = posts.select(F.explode("_items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("_item_n"))
     pairs = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        sorted_pairs_from_postings(
+            posts, items_col="_items", a_col="item_a", b_col="item_b"
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_count)
