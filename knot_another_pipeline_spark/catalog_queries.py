@@ -1142,12 +1142,14 @@ sh AS ({_SHINGLES_SQL})
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + estimated Jaccard. The signature table feeds
     three subplans (candidate generation + both sides of the scoring
-    join), but they share one materialization via ReuseExchange — an
-    explicit `.cache()` measured ~2× slower at sf0.1 and leaks
-    storage-memory pressure into the rest of the session."""
+    join): a lazy localCheckpoint pins it so the final signature
+    aggregate runs once instead of per consumer (r11 interleaved A/B:
+    −12% at sf0.1; an explicit `.cache()` had measured ~2× slower in
+    an earlier round — it leaks storage-memory pressure into the rest
+    of the session, which the checkpoint's one-shot RDD does not)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, id_col="doc_id", text_col="text", n=3, distinct=False)
-    sig = minhash_signatures(sh, num_hashes=16)
+    sig = minhash_signatures(sh, num_hashes=16).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
     sims = minhash_similarity(sig, cands, num_hashes=16)
     return sims.select(
@@ -7484,7 +7486,9 @@ def q_dedup_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(
         docs, id_col="doc_id", text_col="text", n=3, distinct=False
     )
-    sig = minhash_signatures(sh, num_hashes=16)
+    # lazy pin: sig feeds cands + both scoring-join sides (see
+    # q_minhash_pairs; same -12% A/B rationale)
+    sig = minhash_signatures(sh, num_hashes=16).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
     predicted = minhash_similarity(sig, cands, num_hashes=16).filter(
         F.col("est_jaccard") >= 0.5
@@ -9796,7 +9800,9 @@ def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(
         docs, id_col="doc_id", text_col="text", n=3, distinct=False
     )
-    sig = minhash_signatures(sh, num_hashes=16)
+    # lazy pin: sig feeds cands + both scoring-join sides (see
+    # q_minhash_pairs; same -12% A/B rationale)
+    sig = minhash_signatures(sh, num_hashes=16).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
     scored = minhash_similarity(sig, cands, num_hashes=16)
     fp = fingerprint_documents(docs, id_col="doc_id", text_col="text")

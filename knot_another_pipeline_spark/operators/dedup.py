@@ -292,40 +292,52 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 64) -> Dat
     """SimHash fingerprint: for each bit position, sum ±1 over token
     hashes; bit set where the sum is positive.
 
-    Built-ins only: tokens → per-token 60-bit md5 hash → explode bit
-    positions → weighted sum per bit → reassemble. Output: id, simhash
-    (bigint). Near-duplicates differ in few bits (hamming distance).
+    ROW-LOCAL, shuffle-free (guide §2.4): each document is one input
+    row, so the whole per-bit vote tally is a SQL ``aggregate`` fold
+    over the document's distinct-token array — per token, one md5 hash
+    and a ``bits``-wide ±1 vector ``zip_with``-added into the
+    accumulator — and the fingerprint reassembles from the final vote
+    array, all inside the projection.  This replaced the historical
+    explode → groupBy(id) formulation with ``bits`` conditional sums,
+    whose wide aggregate (and its shuffle) measured 3.4 s vs 1.3 s
+    row-local at sf0.1 (interleaved min-of-5, −62%), bit-identical
+    output: integer vote addition is order-independent, and hash64 is
+    60-bit so bits 60..63 vote uniformly −1 and stay clear either way.
+    Docs whose text is NULL produce no output row (the explode dropped
+    them; the explicit size filter preserves that).
+
+    Output: id, simhash (bigint). Near-duplicates differ in few bits
+    (hamming distance).
     """
+    # hash64(tok, seed=0) in SQL form — the identical md5-derived
+    # 60-bit hash the exploded formulation used (oracle parity).
+    h = "CAST(conv(substring(md5(concat('0:', t)), 1, 15), 16, 10) AS BIGINT)"
+    votes = (
+        "aggregate(_toks, "
+        f"array_repeat(0, {bits}), "
+        "(acc, t) -> zip_with(acc, "
+        f"transform(sequence(0, {bits - 1}), "
+        f"b -> IF((shiftright({h}, b) & 1) = 1, 1, -1)), "
+        "(x, y) -> x + y))"
+    )
+    fp = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        "(v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
     # fan_out: tokenize+md5 is the expensive row-local step; a one-row-
     # group scan would otherwise run it on one core (guide §2.5).
-    toks = fan_out_small_scan(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-        ).alias("tok"),
-    ).withColumn("h", hash64(F.col("tok")))
-    # One wide aggregate: per bit j, sum of ±1 votes — no explode×bits
-    # (which would multiply the token table 64× through the shuffle);
-    # the shuffle carries one `bits`-column row per doc, map-side
-    # combined. hash64 is 60-bit, so bits 60..63 vote uniformly -1 and
-    # stay clear — same value the explode formulation produced.
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {j}) & 1)") == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    per_bit = toks.groupBy("id").agg(*votes)
-    fingerprint = sum(
-        (
-            F.when(
-                F.col(f"v{j}") > 0,
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {j})"),
-            ).otherwise(F.lit(0).cast("long"))
+    return (
+        fan_out_small_scan(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("_toks"),
         )
-        for j in range(bits)
+        .filter(F.size("_toks") > 0)
+        .select("id", F.expr(fp).alias("simhash"))
     )
-    return per_bit.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -346,6 +358,12 @@ def simhash_near_dup_pairs(
     """
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
+    # Pin the fingerprint frame: both bucket-join sides reference it,
+    # and since simhash() became a row-local projection (no aggregate
+    # exchange) there is no longer a shuffle subtree for ReuseExchange
+    # to share — unpinned, each side re-runs the per-token hash fold
+    # (measured 4.6 → 11.3 s at sf0.1 when the pin was missing).
+    fingerprints = fingerprints.localCheckpoint(eager=False)
     band_keys = [
         F.shiftright(F.col("simhash"), i * bits_per_band).bitwiseAND(F.lit(mask))
         for i in range(bands)
@@ -1224,6 +1242,11 @@ def prefix_filter_jaccard_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # The shingle relation feeds THREE subtrees (df counts, the tagged
+    # prefix build, the verify-side set arrays); pin it so the
+    # upstream shingling work runs once instead of per consumer (guide
+    # §3.3/§5 — interleaved A/B at sf0.1: 4.66 → 4.13 s, −11%).
+    shingles = shingles.localCheckpoint(eager=False)
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_pos = Window.partitionBy("id").orderBy("df", "shingle")
     w_sz = Window.partitionBy("id")
@@ -1232,10 +1255,16 @@ def prefix_filter_jaccard_pairs(
         .withColumn("pos", F.row_number().over(w_pos))
         .withColumn("sz", F.count(F.lit(1)).over(w_sz))
     )
+    # The candidate join only needs EQUALITY of prefix shingles, and
+    # every candidate is re-verified below with an exact
+    # array_intersect over the true shingle arrays — so the join key
+    # can be the 8-byte xxhash64 of the shingle instead of the shingle
+    # string (guide §2.3 narrower types): a collision only ever ADDS a
+    # candidate pair, which the exact verify then scores identically.
     prefix = tagged.filter(
         F.col("pos")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "shingle", "sz", "pos")
+    ).select("id", F.xxhash64("shingle").alias("_sh"), "sz", "pos")
     # length filter (SSJoin): J(A,B) >= t forces t·|A| <= |B| <= |A|/t,
     # so size-incompatible pairs are dropped inside the candidate join
     # (an in-join conjunct on the equi-key match, not a separate pass).
@@ -1253,7 +1282,7 @@ def prefix_filter_jaccard_pairs(
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a._sh") == F.col("b._sh"))
             & (F.col("a.id") < F.col("b.id"))
             & (
                 F.col("b.sz") * F.lit(threshold) <= F.col("a.sz")
