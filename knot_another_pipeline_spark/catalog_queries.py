@@ -11933,6 +11933,21 @@ def _walk_edges(li: DataFrame) -> DataFrame:
     )
 
 
+def _walk_edges_bip(li: DataFrame) -> DataFrame:
+    """BIGINT-encoded ``_walk_edges`` (even=order, odd=part, both
+    directions): the frontier queries shuffle the narrow key through
+    every hop and decode to the ``o:``/``p:`` strings only in the final
+    projection (guide §2.3; same relabeling as the pagerank family —
+    counts are bit-identical because the encoding is 1:1)."""
+    fwd = li.select(
+        _bip_even(F.col("l_orderkey")).alias("src"),
+        _bip_odd(F.col("l_partkey")).alias("dst"),
+    )
+    return fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def q_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-seeded random-walk corpus (operators/graph.py
     deterministic_walks) over the order<->part graph: 2 walks x 3 steps
@@ -12006,17 +12021,21 @@ def q_reach_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knot_another_pipeline_spark.operators.graph import reach_census
 
     li = load_table(spark, sf_dir, "lineitem")
+    # BIGINT node encoding through every hop's join/distinct shuffles;
+    # decode to the "o:"/"p:" strings only in the final projection
+    # (guide §2.3 — the pagerank-family relabeling, r12).
     roots = (
         li.filter(F.col("l_orderkey") % 101 == 0)
-        .select(
-            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
-                "node"
-            )
-        )
+        .select(_bip_even(F.col("l_orderkey")).alias("node"))
         .distinct()
     )
-    out = reach_census(_walk_edges(li), roots=roots, hops=2)
-    return out.orderBy("root")
+    out = reach_census(_walk_edges_bip(li), roots=roots, hops=2)
+    return out.select(
+        _bip_decode(F.col("root"), "o:", "p:").alias("root"),
+        "n_hop1",
+        "n_hop2",
+        "n_reach",
+    ).orderBy("root")
 
 
 ORACLE_REACH_CENSUS = """
@@ -15247,16 +15266,20 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # BIGINT node encoding through the 3 hop loops; decode + re-sort on
+    # the decoded string so the output ordering is unchanged (guide
+    # §2.3 — the pagerank-family relabeling, r12).
     roots = (
         li.filter(F.col("l_orderkey") % 101 == 0)
-        .select(
-            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
-                "node"
-            )
-        )
+        .select(_bip_even(F.col("l_orderkey")).alias("node"))
         .distinct()
     )
-    return harmonic_centrality(_walk_edges(li), roots=roots, hops=3)
+    out = harmonic_centrality(_walk_edges_bip(li), roots=roots, hops=3)
+    return out.select(
+        _bip_decode(F.col("root"), "o:", "p:").alias("root"),
+        "n_reach",
+        "harmonic",
+    ).orderBy("root")
 
 
 ORACLE_HARMONIC_CENTRALITY = """

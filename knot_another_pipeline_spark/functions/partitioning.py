@@ -19,7 +19,17 @@ downstream values are unchanged.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
+
+#: Memo of the compiled plan's partition count per DataFrame OBJECT.
+#: ``df.rdd.getNumPartitions()`` costs ~15 ms of physical planning per
+#: call; with ``load_table`` returning the same memoized DataFrame
+#: object across query builds, the count is a pure function of the
+#: object (plans are immutable). Weak keys: dropping the DataFrame
+#: drops the memo entry.
+_NPART_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def fan_out_small_scan(df: DataFrame) -> DataFrame:
@@ -42,9 +52,18 @@ def fan_out_small_scan(df: DataFrame) -> DataFrame:
     if n <= 1:
         return df
     try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: no RDD handle — leave untouched
-        return df
+        cur = _NPART_MEMO.get(df)
+    except TypeError:  # unhashable/not weakref-able DataFrame variant
+        cur = None
+    if cur is None:
+        try:
+            cur = df.rdd.getNumPartitions()
+        except Exception:  # Spark Connect: no RDD handle — leave untouched
+            return df
+        try:
+            _NPART_MEMO[df] = cur
+        except TypeError:
+            pass
     if cur >= max(2, n // 2):
         return df
     return df.repartition(n)

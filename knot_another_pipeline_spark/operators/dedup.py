@@ -566,6 +566,8 @@ def connected_components(
     free_intermediate_checkpoints: bool = False,
     scratch_dir: str | None = None,
     pin: str = "parquet",
+    half_steps_per_round: int = 2,
+    pointer_jumps: int = 1,
 ) -> DataFrame:
     """Union near-duplicate pairs into duplicate GROUPS: the step that
     turns any pair generator's output (MinHash/SimHash/embedding/semantic)
@@ -577,7 +579,14 @@ def connected_components(
     neighbors' labels, then follows one parent pointer — O(log diameter)
     half-steps. Each pinned ROUND composes TWO half-steps (the loop's
     cost at convergence is per-round job latency, not data, so batching
-    halves the round trips for the same propagation work), and the
+    halves the round trips for the same propagation work;
+    ``half_steps_per_round``/``pointer_jumps`` expose the composition —
+    r12 interleaved A/B at sf0.1 over the MinHash pairs measured every
+    deeper composition SLOWER at the same fixpoint: (2,2) 5.4 s,
+    (3,1) 4.2 s, (3,2) 8.2 s, (4,2) 18.8 s vs (2,1) 4.0 s min-of-3 —
+    the composed, unpinned plan re-instantiates the propagation
+    subtrees and its AQE planning outgrows the saved round trips, so
+    the defaults stay (2,1)), and the
     convergence metric rides the round's own write job via ``observe()``
     (CollectMetrics) — no read-back count job, no new-vs-old shuffle
     join. ``max_iterations`` bounds pinned rounds, i.e. up to
@@ -771,22 +780,31 @@ def connected_components(
             ).alias("component"),
         )
         # pointer jumping: component <- label[component]. Labels only
-        # decrease, so the parent's label is always <= ours; one extra
+        # decrease, so the parent's label is always <= ours; each extra
         # self-join per half-step turns O(diameter) convergence into
         # O(log diameter) — the difference between shallow dup-clusters
         # and a pathological chain costing dozens of rounds.
-        return propagated.join(
-            propagated.select(
-                F.col("id").alias("component"),
-                F.col("component").alias("parent_comp"),
-            ),
-            "component",
-            "left",
-        ).select(
-            "id",
-            "_old",
-            F.coalesce("parent_comp", F.col("component")).alias("component"),
-        )
+        # ``pointer_jumps`` chains several jumps inside ONE half-step:
+        # the composed plan stays shallow (its input is the pinned
+        # round), and every jump is one keyed self-join that can halve
+        # the remaining pointer depth — fewer pinned rounds for the
+        # same fixpoint (r12 A/B below).
+        for _ in range(max(1, pointer_jumps)):
+            propagated = propagated.join(
+                propagated.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("parent_comp"),
+                ),
+                "component",
+                "left",
+            ).select(
+                "id",
+                "_old",
+                F.coalesce("parent_comp", F.col("component")).alias(
+                    "component"
+                ),
+            )
+        return propagated
 
     def _fast_half_step(cur: DataFrame | None) -> DataFrame:
         """Numeric-id half-step: the self-loops folded into ``bidir``
@@ -817,17 +835,21 @@ def connected_components(
                 .agg(F.min("nc").alias("component"))
                 .withColumnRenamed("a", "id")
             )
-        return propagated.join(
-            propagated.select(
-                F.col("id").alias("component"),
-                F.col("component").alias("parent_comp"),
-            ),
-            "component",
-            "left",
-        ).select(
-            "id",
-            F.coalesce("parent_comp", F.col("component")).alias("component"),
-        )
+        for _ in range(max(1, pointer_jumps)):
+            propagated = propagated.join(
+                propagated.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("parent_comp"),
+                ),
+                "component",
+                "left",
+            ).select(
+                "id",
+                F.coalesce("parent_comp", F.col("component")).alias(
+                    "component"
+                ),
+            )
+        return propagated
 
     try:
         prev_sum = None
@@ -839,9 +861,10 @@ def connected_components(
             # work, and the composed plan stays shallow because its
             # input is the pinned parquet scan, never the previous
             # round's plan.
+            n_half = max(1, half_steps_per_round)
             if numeric_ids:
                 cur = None if it == 0 else labels
-                for _ in range(2):
+                for _ in range(n_half):
                     cur = _fast_half_step(cur)
                 new_plan = cur
                 metric = F.sum(
@@ -851,7 +874,7 @@ def connected_components(
                 cur = labels.select(
                     "id", F.col("component").alias("_old"), "component"
                 )
-                for _ in range(2):
+                for _ in range(n_half):
                     cur = _half_step(cur)
                 new_plan = cur.select(
                     "id",

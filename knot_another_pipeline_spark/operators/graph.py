@@ -1024,10 +1024,14 @@ def reach_census(
     # edge side with ZERO exchange and ZERO sort — one extra exchange
     # at pin time replaces hops× (exchange+sort) of the full edge list
     # (guide §2.4: establish the partitioning once, reuse it each hop).
+    # Node ids pass through AS TYPED (guide §2.3 narrow keys: callers
+    # supply compact BIGINT encodings and decode after; the former
+    # unconditional cast-to-string forced every hop's shuffle onto
+    # string keys). Root and edge key types must be join-compatible.
     e = (
         edges.select(
-            F.col(src_col).alias("src").cast("string"),
-            F.col(dst_col).alias("dst").cast("string"),
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
         )
         .distinct()
         .repartition("src")
@@ -1035,7 +1039,7 @@ def reach_census(
         .localCheckpoint(eager=True)
     )
     base = (
-        roots.select(F.col(root_col).alias("root").cast("string"))
+        roots.select(F.col(root_col).alias("root"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1274,10 +1278,12 @@ def harmonic_centrality(
     # As in reach_census, the pin is repartitioned by src and sorted
     # within partitions so each hop's sort-merge join reads the edge
     # side exchange-free and sort-free (guide §2.4).
+    # Keys pass through AS TYPED (guide §2.3 narrow keys) — same
+    # contract as reach_census above.
     e = (
         edges.select(
-            F.col(src_col).alias("src").cast("string"),
-            F.col(dst_col).alias("dst").cast("string"),
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
         )
         .distinct()
         .repartition("src")
@@ -1285,7 +1291,7 @@ def harmonic_centrality(
         .localCheckpoint(eager=True)
     )
     base = (
-        roots.select(F.col(root_col).alias("root").cast("string"))
+        roots.select(F.col(root_col).alias("root"))
         .distinct()
         .localCheckpoint(eager=True)
     )
