@@ -1578,7 +1578,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = semantic_dedup_pairs(
         emb, id_col="vec_id", vec_col="embedding", num_clusters=16,
-        threshold=0.4,
+        threshold=0.4, unroll_dim=64,
     )
     return out.select(
         "id_a", "id_b",
@@ -7388,7 +7388,14 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    normed = emb.select(
+    # The per-row normalize + relevance dots are interpreted HOF folds;
+    # parallelize the one-row-group scan before them (guide §2.5 —
+    # r12 profile: the candidate pin was a 1.1 s single-task job).
+    from knot_another_pipeline_spark.functions.partitioning import (
+        fan_out_small_scan,
+    )
+
+    normed = fan_out_small_scan(emb).select(
         "vec_id",
         "embedding",
         F.transform(

@@ -184,8 +184,14 @@ def dsir_weights(
     a = F.lit(float(alpha))
 
     def _buckets(df: DataFrame, col: str, with_id: bool) -> DataFrame:
+        # tokenize + hash is the heavy row-local step: parallelize a
+        # one-row-group scan (guide §2.5; no-op on parallel inputs)
+        from knot_another_pipeline_spark.functions.partitioning import (
+            fan_out_small_scan,
+        )
+
         cols = [F.col(id_col).alias("id")] if with_id else []
-        return df.select(
+        return fan_out_small_scan(df).select(
             *cols, F.explode(_tokens(F.col(col))).alias("tok")
         ).select(*(["id"] if with_id else []),
                  F.pmod(hash64(F.col("tok")), d).alias("bucket"))

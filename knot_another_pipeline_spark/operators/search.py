@@ -192,6 +192,7 @@ def hybrid_search(
         id_col=vec_id_col,
         vec_col=vec_col,
         k=k_each,
+        fan_out=True,  # r12: −20% on hybrid_search (guide §2.5)
     ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("vec_rank"))
     fused = (
         lex_ranked.join(vec, "id", "full_outer")

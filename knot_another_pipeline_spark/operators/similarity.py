@@ -27,8 +27,53 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from knot_another_pipeline_spark.functions.hashing import hash64
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ as a left-to-right double fold (deterministic order)."""
+def _dot_fold_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def dot(
+    a: Column | str, b: Column | str, *, unroll_dim: int | None = None
+) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right double fold (deterministic order).
+
+    ``unroll_dim`` (requires both inputs as COLUMN NAME strings): when
+    the caller KNOWS the vector length, the fold is unrolled into an
+    explicit add-chain of ``getItem`` terms guarded by a runtime size
+    check that falls back to the fold for rows of any other length —
+    semantics never depend on the hint being right. The chain starts
+    from the same ``0.0`` and adds in the same left-to-right order, so
+    the IEEE result is bit-identical to the fold. Measured on the
+    124k-pair confirm shape at sf0.1: fold 0.63 s, guarded chain
+    0.43 s (filter shape 0.60 → 0.28 s); the UNguarded chain is
+    SLOWER than the fold (2.0 s) — keep the guard. The whole guarded
+    expression is built as ONE ``F.expr`` parse because constructing
+    the 64-term chain through py4j Column operators costs ~0.4 s of
+    driver time per call site (measured r12), which had erased the
+    execution win.
+    """
+    if unroll_dim and unroll_dim >= 1:
+        if not (isinstance(a, str) and isinstance(b, str)):
+            raise TypeError(
+                "dot(unroll_dim=...) requires column-name strings so the "
+                "chain builds as one SQL parse; pass Columns only on the "
+                "fold path"
+            )
+        chain = "0.0D" + "".join(
+            f" + CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(unroll_dim)
+        )
+        return F.expr(
+            f"CASE WHEN size({a}) = {unroll_dim} "
+            f"AND size({b}) = {unroll_dim} THEN {chain} "
+            f"ELSE {_dot_fold_sql(a, b)} END"
+        )
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -36,7 +81,30 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str, *, unroll_dim: int | None = None) -> Column:
+    """√Σ aᵢ² — same fold/unroll contract as :func:`dot`."""
+    if unroll_dim and unroll_dim >= 1:
+        if not isinstance(a, str):
+            raise TypeError(
+                "l2_norm(unroll_dim=...) requires a column-name string; "
+                "pass a Column only on the fold path"
+            )
+        chain = "0.0D" + "".join(
+            f" + CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+            for i in range(unroll_dim)
+        )
+        fold = (
+            f"aggregate({a}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * "
+            f"CAST(v AS DOUBLE))"
+        )
+        return F.sqrt(
+            F.expr(
+                f"CASE WHEN size({a}) = {unroll_dim} THEN {chain} "
+                f"ELSE {fold} END"
+            )
+        )
+    if isinstance(a, str):
+        a = F.col(a)
     return F.sqrt(
         F.aggregate(
             a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
@@ -92,6 +160,7 @@ def cosine_topk(
     k: int = 5,
     arrow: bool = False,
     max_exact_rows: int | None = MAX_EXACT_ROWS,
+    fan_out: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -142,7 +211,17 @@ def cosine_topk(
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    # Corpus side carries the per-query interpreted dot folds —
+    # parallelize a one-row-group scan (guide §2.5; no-op at scale).
+    # Caller-gated: the repartition costs one shuffle, a win only when
+    # queries×corpus work is large (hybrid_search −20%; knn/ann_recall
+    # measured neutral-to-worse and keep the default).
+    from knot_another_pipeline_spark.functions.partitioning import (
+        fan_out_small_scan,
+    )
+
+    _corpus = corpus.filter(F.col(vec_col).isNotNull())
+    c = (fan_out_small_scan(_corpus) if fan_out else _corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
@@ -464,6 +543,8 @@ def assign_cells(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    unroll_dim: int | None = None,
+    fan_out: bool = False,
 ) -> DataFrame:
     """Voronoi cell assignment: each corpus vector → its max-cosine
     centroid (ties toward the lowest cent_id).
@@ -487,10 +568,23 @@ def assign_cells(
             f"{id_type!r} (hash string ids to a bigint first, e.g. "
             "functions.hashing.hash64)"
         )
-    c = corpus.select(
+    # The C-per-row centroid dots are interpreted HOF folds — the
+    # expensive row-local step of every IVF/SemDeDup chain; an
+    # unsplittable one-row-group scan would run them single-threaded
+    # (guide §2.5 input skew; r12 profile: 1.0-1.1 s single-task jobs
+    # at sf0.1). fan_out is a no-op on already-parallel scans, but the
+    # repartition itself costs one shuffle, so it is CALLER-GATED:
+    # worth it when per-row work is large (ivf_topk's C=64 dots,
+    # SemDeDup: measured −25%/−4%), a measured LOSS for small-C callers
+    # (kmeans_step +27%, cluster_purity +19% — they keep the default).
+    from knot_another_pipeline_spark.functions.partitioning import (
+        fan_out_small_scan,
+    )
+
+    c = (fan_out_small_scan(corpus) if fan_out else corpus).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("n"),
+        l2_norm(f"`{vec_col}`", unroll_dim=unroll_dim).alias("n"),
     )
     # -cent_id makes struct-max break ties toward the lowest centroid id,
     # matching the oracle's row_number ordering exactly.
@@ -498,7 +592,8 @@ def assign_cells(
         c.crossJoin(F.broadcast(cents))
         .withColumn(
             "cent_cos",
-            dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn")),
+            dot("v", "centv", unroll_dim=unroll_dim)
+            / (F.col("n") * F.col("centn")),
         )
         .groupBy("id")
         .agg(
@@ -524,6 +619,7 @@ def ivf_topk(
     num_centroids: int = 64,
     nprobe: int = 2,
     k: int = 5,
+    unroll_dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
     cells around a *fixed-size* deterministic centroid set, then search
@@ -553,7 +649,10 @@ def ivf_topk(
         corpus, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
     )
     assigned = (
-        assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+        assign_cells(
+            corpus, cents, id_col=id_col, vec_col=vec_col,
+            unroll_dim=unroll_dim, fan_out=True,
+        )
         .withColumnRenamed("id", "neighbor_id")
         .withColumnRenamed("v", "cv")
         .withColumnRenamed("n", "cn")
@@ -561,14 +660,18 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
+        l2_norm(f"`{vec_col}`", unroll_dim=unroll_dim).alias("qn"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cent_cos").desc(), F.col("cent_id").asc()
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("cent_cos", dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn")))
+        .withColumn(
+            "cent_cos",
+            dot("qv", "centv", unroll_dim=unroll_dim)
+            / (F.col("qn") * F.col("centn")),
+        )
         .withColumn("cent_rank", F.row_number().over(probe_w))
         .filter(F.col("cent_rank") <= nprobe)
         .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
@@ -576,7 +679,11 @@ def ivf_topk(
     scored = (
         probes.join(assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "cos_sim",
+            dot("qv", "cv", unroll_dim=unroll_dim)
+            / (F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

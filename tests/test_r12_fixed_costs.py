@@ -14,6 +14,8 @@ import os
 import shutil
 import time
 
+from pyspark.sql import functions as F
+
 from knot_another_pipeline_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -60,3 +62,30 @@ def test_fan_out_memo_consistent(spark):
     out2 = fan_out_small_scan(df)  # second call takes the memoized count
     assert out1.schema == out2.schema
     assert out1.count() == out2.count() == df.count()
+
+
+def test_dot_unroll_bit_identical_and_guarded(spark):
+    """dot/l2_norm unroll_dim: bit-identical to the fold on matching
+    lengths, and the size guard falls back to the fold (same value) on
+    any other length — including empty and null arrays."""
+    from knot_another_pipeline_spark.operators.similarity import dot, l2_norm
+
+    rows = [
+        (1, [1.5, -2.25, 3.0, 0.125], [0.5, 4.0, -1.0, 8.0]),   # len 4
+        (2, [1e-300, 1e300, -1e300, 1.0], [1.0, 1.0, 1.0, 1.0]),  # cancellation
+        (3, [0.1, 0.2], [0.3, 0.4]),                              # shorter
+        (4, [], []),                                              # empty
+        (5, None, [1.0, 2.0, 3.0, 4.0]),                          # null side
+    ]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    got = df.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("fold"),
+        dot("a", "b", unroll_dim=4).alias("unrolled"),
+        l2_norm(F.col("a")).alias("nfold"),
+        l2_norm("a", unroll_dim=4).alias("nunrolled"),
+    ).collect()
+    for r in got:
+        # bitwise comparison via repr of doubles (None == None too)
+        assert repr(r["fold"]) == repr(r["unrolled"]), r
+        assert repr(r["nfold"]) == repr(r["nunrolled"]), r
