@@ -1197,8 +1197,12 @@ def fuzzy_match_pairs(
         block_keys = list(block_cols)
         probe = blocked
     if max_distance == 1:
-        a = _deletion_variants(blocked).alias("a")
-        b = _deletion_variants(probe).alias("b")
+        # The variant join ships only (id, block keys, _v) — txt, the
+        # wide payload, re-attaches per side AFTER the pair dedup when
+        # the relation is down to the few candidates (guide §2.3:
+        # shuffle keys and metadata instead of payloads; r12).
+        a = _deletion_variants(blocked).drop("txt").alias("a")
+        b = _deletion_variants(probe).drop("txt").alias("b")
         cond = (F.col("a.id") < F.col("b.id")) & (
             F.col("a._v") == F.col("b._v")
         )
@@ -1209,14 +1213,22 @@ def fuzzy_match_pairs(
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.col("a.txt").alias("text_a"),
-                F.col("b.txt").alias("text_b"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        return cands.withColumn(
-            "distance", F.levenshtein("text_a", "text_b")
-        ).filter(F.col("distance") <= max_distance)
+        ta = blocked.select(
+            F.col("id").alias("id_a"), F.col("txt").alias("text_a")
+        )
+        tb = blocked.select(
+            F.col("id").alias("id_b"), F.col("txt").alias("text_b")
+        )
+        return (
+            cands.join(ta, "id_a")
+            .join(tb, "id_b")
+            .select("id_a", "id_b", "text_a", "text_b")
+            .withColumn("distance", F.levenshtein("text_a", "text_b"))
+            .filter(F.col("distance") <= max_distance)
+        )
     a = blocked.alias("a")
     b = probe.alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (
@@ -2256,23 +2268,41 @@ def blocking_quality(
             .alias("n_candidate_pairs")
         )
     )
-    va = _deletion_variants(base).alias("a")
-    vb = _deletion_variants(base).alias("b")
-    truth = (
-        va.join(
-            vb,
+    # The variant self-join ships ONLY (id, _v) — 16 bytes/row — through
+    # its exchanges; txt and the block keys re-attach per side AFTER the
+    # pair dedup, when the relation is down to the few true candidates
+    # (guide §2.3 "shuffle keys and metadata instead of payloads": the
+    # former form carried txt + block cols through BOTH sides of the
+    # ~len(txt)×-exploded variant exchange and the pair-dedup shuffle).
+    va = _deletion_variants(base.select("id", "txt")).select(
+        F.col("id").alias("id_a"), "_v"
+    )
+    vb = _deletion_variants(base.select("id", "txt")).select(
+        F.col("id").alias("id_b"), "_v"
+    )
+    cand_pairs = (
+        va.alias("a")
+        .join(
+            vb.alias("b"),
             (F.col("a._v") == F.col("b._v"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.txt").alias("ta"),
-            F.col("b.txt").alias("tb"),
-            *[F.col(f"a.{c}").alias(f"_a_{c}") for c in block_cols],
-            *[F.col(f"b.{c}").alias(f"_b_{c}") for c in block_cols],
-        )
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pa = base.select(
+        F.col("id").alias("id_a"),
+        F.col("txt").alias("ta"),
+        *[F.col(c).alias(f"_a_{c}") for c in block_cols],
+    )
+    pb = base.select(
+        F.col("id").alias("id_b"),
+        F.col("txt").alias("tb"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+    )
+    truth = (
+        cand_pairs.join(pa, "id_a")
+        .join(pb, "id_b")
         .filter(F.levenshtein("ta", "tb") <= max_distance)
     )
     same_block = F.lit(True)

@@ -793,13 +793,13 @@ def community_quality(
             F.coalesce("cv", F.lit("(none)")).alias("cv"),
         )
     )
-    m_row = tagged.agg(F.count(F.lit(1)).alias("m"))
-    internal = (
-        tagged.filter(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("community"))
-        .agg(F.count(F.lit(1)).alias("internal_edges"))
-    )
-    # per-community cut and volume from the endpoint expansion
+    # ONE aggregate over the endpoint expansion yields every per-
+    # community metric (r12 — the former three passes over the tagged
+    # join re-instantiated its subtree each time): an internal edge
+    # contributes its two same-community endpoint rows, so
+    # internal_edges = (non-cut endpoints)/2, and the global edge count
+    # is Σ volume / 2, computed from the already-tiny per-community
+    # frame instead of a third pass over the edges.
     ends = tagged.select(
         F.explode(
             F.array(
@@ -811,13 +811,18 @@ def community_quality(
     pervol = ends.groupBy("community").agg(
         F.count(F.lit(1)).alias("volume"),
         F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).alias("cut_edges"),
+        (
+            F.sum(F.when(F.col("is_cut"), 0).otherwise(1)) / F.lit(2)
+        ).cast("bigint").alias("internal_edges"),
+    )
+    m_row = pervol.agg(
+        (F.sum("volume") / F.lit(2)).cast("bigint").alias("m")
     )
     nnodes = amap.groupBy(F.col("c").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
     joined = (
-        pervol.join(internal, "community", "left")
-        .join(nnodes, "community", "left")
+        pervol.join(nnodes, "community", "left")
         .crossJoin(F.broadcast(m_row))
         .select(
             "community",
@@ -897,32 +902,40 @@ def deterministic_walks(
         )
     from knot_another_pipeline_spark.functions.hashing import hash64
 
-    # The deduped edge list is pinned once, then the ranked adjacency
-    # and the degree table are pinned FROM it: the step-t output branch
+    # The ranked adjacency is pinned once: the step-t output branch
     # nests t frontier joins, so without materialization the union of
-    # step branches re-instantiates the dedup/window/degree subplans
-    # per branch (exchange reuse does not survive the per-branch
+    # step branches re-instantiates the dedup/window subplans per
+    # branch (exchange reuse does not survive the per-branch
     # re-planning), turning a steps-long chain into O(steps²) passes
     # over the adjacency.  Checkpointing also gives AQE exact sizes, so
     # the tiny walk frontier broadcasts against the big adjacency
     # instead of shuffling it each step.
-    e = (
+    from pyspark.sql import Window
+
+    # ONE pinned pass builds the whole adjacency state (r12): the rank
+    # window and the out-degree come from the same src-partitioned
+    # window shuffle, and the degree table is the rnk=1 slice of the
+    # pinned frame — row-local, no extra aggregate. This replaces the
+    # former THREE eager checkpoints (edge dedup, ranked adjacency,
+    # degree table = three jobs + an extra groupBy shuffle) with one.
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
         edges.select(
             F.col(src_col).alias("src").cast("string"),
             F.col(dst_col).alias("dst").cast("string"),
         )
         .distinct()
+        .select(
+            "src",
+            "dst",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias(
+                "outdeg"
+            ),
+        )
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("src").orderBy("dst")
-    adj = e.select(
-        "src", "dst", F.row_number().over(w).alias("rnk")
-    ).localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint(eager=True)
+    deg = adj.filter(F.col("rnk") == 1).select("src", "outdeg")
 
     frontier = (
         starts.select(F.col(start_col).alias("node").cast("string"))
