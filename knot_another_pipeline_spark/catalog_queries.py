@@ -3536,9 +3536,11 @@ def _bip_decode(col: Column, even_prefix: str, odd_prefix: str) -> Column:
     bit-identical (verified by set-equality A/B at sf0.01 and sf0.1
     for pagerank, personalized_pagerank, label_propagation,
     community_quality, hits_authority; measured −21% to −31% each).
-    NOT applied where the string order or hash leaks into results:
-    link_prediction (lexicographic pair orientation) and
+    NOT applied where the string hash leaks into results:
     deterministic_walks (hash64 of the node string drives the walk).
+    link_prediction's lexicographic pair orientation is restored by a
+    decode-then-reorient final projection (r12), so its wedge/degree
+    shuffles ride the BIGINT keys too.
     """
     return F.when(
         col % 2 == 0,
@@ -4507,12 +4509,33 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # BIGINT node encoding through the wedge/degree/anti-join shuffles
+    # (guide §2.3, r12 — the pagerank-family relabeling). cn/jaccard are
+    # symmetric and degrees attach per node, so the only orientation-
+    # sensitive step is the FINAL pair canonicalization: decode, then
+    # re-orient each pair to the lexicographic (string) order the
+    # declared output always had, swapping the degree columns with it.
     edges = li.select(
-        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        _bip_even(F.col("l_orderkey")).alias("src"),
+        _bip_odd(F.col("l_partkey")).alias("dst"),
     )
-    return common_neighbor_scores(
+    out = common_neighbor_scores(
         edges, min_common=2, max_degree=10, exclude_existing=True
+    )
+    sa = _bip_decode(F.col("node_a"), "o:", "p:")
+    sb = _bip_decode(F.col("node_b"), "o:", "p:")
+    first_a = sa <= sb
+    return out.select(
+        F.least(sa, sb).alias("node_a"),
+        F.greatest(sa, sb).alias("node_b"),
+        "common_neighbors",
+        F.when(first_a, F.col("degree_a"))
+        .otherwise(F.col("degree_b"))
+        .alias("degree_a"),
+        F.when(first_a, F.col("degree_b"))
+        .otherwise(F.col("degree_a"))
+        .alias("degree_b"),
+        "jaccard",
     )
 
 
