@@ -45,6 +45,26 @@ from knot_another_pipeline_spark.functions.partitioning import (
     fan_out_small_scan,
 )
 
+#: Pin the raw shingle relation in the posting-list pair operators
+#: (ngram_jaccard_pairs / containment_pairs) so their two different-key
+#: aggregates don't each re-run the tokenize chain. Module-level only so
+#: an interleaved A/B can toggle it inside one session; always True in
+#: production code paths.
+_PIN_SHINGLES = True
+
+#: Round index from which ``connected_components`` forces at least one
+#: pointer jump per half-step regardless of ``pointer_jumps`` — the
+#: O(log diameter) backstop for jump-free defaults. 8 jump-free rounds
+#: x 3 half-steps cover diameter ~24 cheaply; anything deeper is a
+#: pathological chain where the jump joins earn their exchanges.
+_JUMP_ESCALATION_ROUND = 8
+
+#: Diagnostics: pinned-round count of the most recent
+#: ``connected_components`` call in this process — measurement tooling
+#: (scale probes, composition A/Bs) reads it to report convergence
+#: depth; never used by query logic.
+_LAST_CC_ROUNDS = 0
+
 
 def latest_row_dedup(
     df: DataFrame, keys: list[str], order_col: str, tiebreak: str | None = None
@@ -254,6 +274,14 @@ def ngram_jaccard_pairs(
         sorted_pairs_from_postings,
     )
 
+    # The raw shingle relation feeds TWO aggregates with DIFFERENT keys
+    # (df/keep by shingle, sizes by id) plus the cap join's probe side —
+    # with the posting rewrite there is no self-join exchange left for
+    # Spark to reuse, so without a pin the upstream tokenize+explode
+    # chain compiles (and runs) once per consumer. Pin it lazily
+    # (guide §3.3/§5), same as prefix_filter_jaccard_pairs.
+    if _PIN_SHINGLES:
+        shingles = shingles.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         keep = (
             shingles.groupBy("shingle")
@@ -577,32 +605,42 @@ def connected_components(
     free_intermediate_checkpoints: bool = False,
     scratch_dir: str | None = None,
     pin: str = "parquet",
-    half_steps_per_round: int = 2,
-    pointer_jumps: int = 1,
+    half_steps_per_round: int | None = None,
+    pointer_jumps: int | None = None,
 ) -> DataFrame:
     """Union near-duplicate pairs into duplicate GROUPS: the step that
     turns any pair generator's output (MinHash/SimHash/embedding/semantic)
     into one canonical representative per cluster — without it, "A≈B,
     B≈C" keeps both B and C.
 
-    Min-label propagation with pointer jumping: every node starts as its
-    own component; each half-step takes the min of its own and its
-    neighbors' labels, then follows one parent pointer — O(log diameter)
-    half-steps. Each pinned ROUND composes TWO half-steps (the loop's
-    cost at convergence is per-round job latency, not data, so batching
-    halves the round trips for the same propagation work;
-    ``half_steps_per_round``/``pointer_jumps`` expose the composition —
-    r12 interleaved A/B at sf0.1 over the MinHash pairs measured every
-    deeper composition SLOWER at the same fixpoint: (2,2) 5.4 s,
-    (3,1) 4.2 s, (3,2) 8.2 s, (4,2) 18.8 s vs (2,1) 4.0 s min-of-3 —
-    the composed, unpinned plan re-instantiates the propagation
-    subtrees and its AQE planning outgrows the saved round trips, so
-    the defaults stay (2,1)), and the
-    convergence metric rides the round's own write job via ``observe()``
-    (CollectMetrics) — no read-back count job, no new-vs-old shuffle
-    join. ``max_iterations`` bounds pinned rounds, i.e. up to
-    ``2 * max_iterations`` half-steps. The round's state is pinned to a
-    two-slot PARQUET scratch (``scratch_dir``).
+    Min-label propagation: every node starts as its own component; each
+    half-step takes the min of its own and its neighbors' labels, then
+    follows ``pointer_jumps`` parent pointers. Each pinned ROUND
+    composes ``half_steps_per_round`` half-steps (the loop's cost at
+    convergence is per-round job latency, not data, so batching cuts
+    the round trips for the same propagation work). Defaults are
+    JUMP-FREE (3, 0): the jump self-joins cost two exchanges per
+    half-step, and on real near-dup graphs plain propagation reaches
+    the same fixpoint in the same number of pinned rounds — r12
+    interleaved A/B at sf0.1 over the MinHash pairs (min-of-4, same
+    fixpoint, rounds in parens): (2,1) 4.17 s (6), (2,0) 3.63 s (9),
+    (3,0) 3.68 s (6), (4,0) 3.71 s (5), (5,0) 3.32 s (4), (6,0)
+    3.43 s (4) — (3,0) picked over the deeper compositions for the
+    shallower composed plan at equal time. An earlier r12 A/B measured
+    every deeper JUMPED composition slower: (2,2) 5.4 s, (3,1) 4.2 s,
+    (3,2) 8.2 s, (4,2) 18.8 s vs (2,1) 4.0 s. The O(log diameter)
+    guarantee is kept by ESCALATION, not defaults: from round
+    ``_JUMP_ESCALATION_ROUND`` every half-step forces ≥1 pointer jump,
+    so a pathological chain converges in O(log d) rounds after a
+    bounded cheap prefix. Convergence detection rides the round's own
+    write job via ``observe()`` (CollectMetrics) — no read-back count
+    job — and on the numeric fast path EVERY composed half-step
+    carries a label-sum probe, so stagnation inside a round ends the
+    loop without a confirming extra round (labels are monotone
+    non-increasing, so any two equal adjacent sums are exact proof).
+    ``max_iterations`` bounds pinned rounds, i.e. up to
+    ``half_steps_per_round * max_iterations`` half-steps. The round's
+    state is pinned to a two-slot PARQUET scratch (``scratch_dir``).
 
     Numeric ids additionally get a leaner half-step: self-loops folded
     into the edge list make min-over-neighbors include the node's own
@@ -702,6 +740,17 @@ def connected_components(
         edges.schema["a"].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     )
+    # Type-aware composition defaults (docstring A/B tables): the
+    # numeric fast path converges in the SAME pinned rounds without
+    # pointer jumps (its half-step is join+groupBy only, so dropping
+    # the jump removes two exchanges per half-step for free), while
+    # the generic body's graphs (e.g. dbscan's grid-cell adjacency,
+    # which has genuine chains) measured 8 jump-free rounds vs 4
+    # jumped — there the jumps earn their exchanges.
+    if half_steps_per_round is None:
+        half_steps_per_round = 3 if numeric_ids else 2
+    if pointer_jumps is None:
+        pointer_jumps = 0 if numeric_ids else 1
     undirected = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -710,6 +759,13 @@ def connected_components(
         undirected = undirected.union(
             nodes.select("a", F.col("a").alias("b"))
         )
+    # NOT pre-partitioned by the label-join key: repartition(N, "b") +
+    # dropDuplicates would let every round's join reuse the edge
+    # layout (guide §2.4), but the pre-partitioned scan pins the join
+    # stages at N tasks and defeats AQE's coalescing — measured at
+    # sf0.1 (min-of-4 interleaved): 4.8 → 6.6 s (2,1) / 3.9 → 5.7 s
+    # (3,0). On a cluster where the loop is data-bound the trade
+    # reverses; revisit with a size gate if CC inputs ever dominate.
     bidir = undirected.distinct().localCheckpoint(eager=True)
     bidir_ids = _persistent_ids() - pre_existing
     # Identity labels: only the GENERIC (non-numeric) loop body joins
@@ -763,7 +819,7 @@ def connected_components(
             os.path.join(scratch, "labels_a"),
             os.path.join(scratch, "labels_b"),
         ]
-    def _half_step(cur: DataFrame) -> DataFrame:
+    def _half_step(cur: DataFrame, jumps: int) -> DataFrame:
         """One min-label propagation + one pointer jump over (id,
         component, _old); ``_old`` (the label at ROUND start) is carried
         through untouched so the convergence flag can be computed after
@@ -800,7 +856,7 @@ def connected_components(
         # round), and every jump is one keyed self-join that can halve
         # the remaining pointer depth — fewer pinned rounds for the
         # same fixpoint (r12 A/B below).
-        for _ in range(max(1, pointer_jumps)):
+        for _ in range(max(0, jumps)):
             propagated = propagated.join(
                 propagated.select(
                     F.col("id").alias("component"),
@@ -817,7 +873,7 @@ def connected_components(
             )
         return propagated
 
-    def _fast_half_step(cur: DataFrame | None) -> DataFrame:
+    def _fast_half_step(cur: DataFrame | None, jumps: int) -> DataFrame:
         """Numeric-id half-step: the self-loops folded into ``bidir``
         make min-over-neighbors include the node's own label, so
         propagation needs NO join-back with the previous labels — one
@@ -846,7 +902,7 @@ def connected_components(
                 .agg(F.min("nc").alias("component"))
                 .withColumnRenamed("a", "id")
             )
-        for _ in range(max(1, pointer_jumps)):
+        for _ in range(max(0, jumps)):
             propagated = propagated.join(
                 propagated.select(
                     F.col("id").alias("component"),
@@ -863,6 +919,8 @@ def connected_components(
         return propagated
 
     try:
+        global _LAST_CC_ROUNDS
+        _LAST_CC_ROUNDS = 0
         prev_sum = None
         for it in range(max_iterations):
             # TWO half-steps composed per pinned round (VERDICT r8 task
@@ -873,10 +931,38 @@ def connected_components(
             # input is the pinned parquet scan, never the previous
             # round's plan.
             n_half = max(1, half_steps_per_round)
+            # Convergence BACKSTOP: jump-free propagation advances one
+            # edge per half-step, so a pathological chain could exceed
+            # the round budget. From round _JUMP_ESCALATION_ROUND on,
+            # at least one pointer jump per half-step restores the
+            # O(log diameter) guarantee; the measured near-dup graphs
+            # converge long before the escalation ever fires.
+            jumps_it = (
+                pointer_jumps
+                if it < _JUMP_ESCALATION_ROUND
+                else max(1, pointer_jumps)
+            )
+            mid_obs: list[Observation] = []
             if numeric_ids:
                 cur = None if it == 0 else labels
-                for _ in range(n_half):
-                    cur = _fast_half_step(cur)
+                for step in range(n_half):
+                    cur = _fast_half_step(cur, jumps_it)
+                    if step < n_half - 1:
+                        # Zero-job convergence probe: the label sum
+                        # after EVERY composed half-step rides the same
+                        # write job as the round itself; any two equal
+                        # adjacent sums certify the fixpoint (labels
+                        # are monotone non-increasing), so stagnation
+                        # inside a round breaks the loop without a
+                        # confirming extra round.
+                        ob = Observation(f"cc_mid_{it}_{step}_{id(cur)}")
+                        cur = cur.observe(
+                            ob,
+                            F.sum(
+                                F.col("component").cast("decimal(38,0)")
+                            ).alias("m"),
+                        )
+                        mid_obs.append(ob)
                 new_plan = cur
                 metric = F.sum(
                     F.col("component").cast("decimal(38,0)")
@@ -886,7 +972,7 @@ def connected_components(
                     "id", F.col("component").alias("_old"), "component"
                 )
                 for _ in range(n_half):
-                    cur = _half_step(cur)
+                    cur = _half_step(cur, jumps_it)
                 new_plan = cur.select(
                     "id",
                     "component",
@@ -921,11 +1007,23 @@ def connected_components(
                 _free(labels_ids)  # old round's blocks go
                 labels_ids = new_ids
             labels = new_labels
+            _LAST_CC_ROUNDS = it + 1
             if numeric_ids:
-                # labels are monotone non-increasing per node, so equal
-                # consecutive sums <=> a fixed point (exact in decimal;
-                # None==None covers the empty-graph case).
-                if it > 0 and m == prev_sum:
+                # labels are monotone non-increasing per node, so ANY
+                # two equal consecutive sums along the half-step chain
+                # — previous round's final, this round's mid-step
+                # probes, this round's final — certify a fixed point
+                # (exact in decimal; None==None covers the empty
+                # graph). Later steps of a converged round are
+                # identity maps, so the pinned state IS the fixpoint.
+                chain = (
+                    ([prev_sum] if it > 0 else [])
+                    + [ob.get["m"] for ob in mid_obs]
+                    + [m]
+                )
+                if any(
+                    x == y for x, y in zip(chain, chain[1:])
+                ):
                     break
                 prev_sum = m
             elif (m or 0) == 0:
@@ -1642,6 +1740,11 @@ def containment_pairs(
         sorted_pairs_from_postings,
     )
 
+    # Same two-consumer shape as ngram_jaccard_pairs post-rewrite (df/
+    # keep by shingle, sizes by id, no reusable self-join exchange):
+    # pin the raw shingles so the tokenize chain runs once.
+    if _PIN_SHINGLES:
+        shingles = shingles.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         keep = (
             shingles.groupBy("shingle")

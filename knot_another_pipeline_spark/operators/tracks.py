@@ -422,8 +422,15 @@ def dbscan_grid(
     )
     # dense-CELL adjacency graph: bounded by grid size (not points), so
     # the cheaper block-storage round pin is safe here — the parquet
-    # pin's per-round file commit would dominate this tiny loop
-    comp = connected_components(pairs, pin="local_checkpoint")
+    # pin's per-round file commit would dominate this tiny loop.
+    # Explicit JUMPED composition: grid adjacency has genuine chains
+    # (an anchorage strip is a path of cells), where jump-free
+    # propagation measured 8 rounds vs 4 — unlike the near-dup pair
+    # graphs the jump-free numeric default is tuned for.
+    comp = connected_components(
+        pairs, pin="local_checkpoint", half_steps_per_round=2,
+        pointer_jumps=1,
+    )
     members = dense.join(
         comp.withColumnRenamed("id", "nkey"), "nkey", "left"
     )

@@ -47,16 +47,27 @@ def _tracked(pattern: str) -> list[str]:
 
 
 def latest_bench() -> tuple[str, dict]:
-    best: tuple[str, dict] | None = None
+    """Newest round's MAIN bench artifact.
+
+    The driver also deposits low-core companion runs (e.g.
+    ``BENCH_r11_c8.json`` at local[8], for the scaling measurement)
+    which sort lexicographically AFTER the round's main file; quoting
+    one as the headline number would overstate the engine's time by
+    the core ratio. Among parseable artifacts, prefer the highest
+    round, and within a round the run with the most cpus.
+    """
+    best: tuple[int, int, str, dict] | None = None
     for path in _tracked("BENCH_r*.json"):
         with open(path) as fh:
             doc = json.load(fh)
         parsed = doc.get("parsed")
         if parsed and parsed.get("value") is not None:
-            best = (path, doc)
+            key = (int(doc.get("n", 0)), int(doc.get("cpus", 0)))
+            if best is None or key >= best[:2]:
+                best = (*key, path, doc)
     if best is None:
         raise SystemExit("no parseable BENCH_r*.json artifact found")
-    return best
+    return best[2], best[3]
 
 
 def expected_values() -> dict[str, str]:
