@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from knot_another_pipeline_spark.functions.geo import grid_cell, valid_coords
 from knot_another_pipeline_spark.functions.hashing import stable_bucket
+from knot_another_pipeline_spark.functions.partitioning import fan_out_small_scan
 from knot_another_pipeline_spark.functions.timestamps import normalize_timestamp
 from knot_another_pipeline_spark.operators import relational
 from knot_another_pipeline_spark.operators.dedup import (
@@ -5260,8 +5261,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the tokenize+explode feeding the word counts is
+    # expensive row-local work on a one-row-group scan (guide §2.5)
     words = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        fan_out_small_scan(docs)
+        .select(F.explode(_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -5626,7 +5630,8 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        fan_out_small_scan(docs)
+        .select(F.explode(_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

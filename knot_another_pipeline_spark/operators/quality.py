@@ -1444,14 +1444,20 @@ def cohens_kappa(
     perfect).
 
     ``κ = (p_o − p_e)/(1 − p_e)`` with ``p_o`` = observed agreement
-    rate (one aggregate) and ``p_e = Σ_c p_a(c)·p_b(c)`` from the two
-    marginal distributions — each a groupBy on the label key joined on
-    category (full outer: a label only one rater ever uses still
-    shapes its marginal).  Three bounded shuffles, no windows, no
-    collect.  Rows where either label is NULL are dropped (abstentions
-    are a coverage question, not an agreement question).  Perfect
-    chance agreement (``p_e = 1``: both raters constant on the same
-    label) leaves kappa undefined → NULL.
+    rate and ``p_e = Σ_c p_a(c)·p_b(c)`` from the two marginal
+    distributions.  Everything derives from ONE contingency-table
+    aggregate ``groupBy(a, b).count()`` (r12, guide §2.4): the input —
+    and whatever expensive labeling chain feeds it — is scanned once
+    into a single exchange that every downstream aggregate reuses
+    (the old shape's three direct aggregates each re-instantiated the
+    upstream; measured two ~1.4 s duplicate jobs on label_agreement's
+    detect-language chain).  The marginals and totals are re-aggregates
+    of the C²-row table; all intermediate counts are exact integers
+    (≤2⁵³) so sums are order-independent and the output is
+    bit-identical to the three-pass form.  Rows where either label is
+    NULL are dropped (abstentions are a coverage question, not an
+    agreement question).  Perfect chance agreement (``p_e = 1``: both
+    raters constant on the same label) leaves kappa undefined → NULL.
 
     Output (one row): n, p_observed, p_expected, kappa.
     """
@@ -1459,17 +1465,23 @@ def cohens_kappa(
         F.col(rater_a).cast("string").alias("_a"),
         F.col(rater_b).cast("string").alias("_b"),
     ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-    obs = s.agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
-        F.sum((F.col("_a") == F.col("_b")).cast("long"))
+    # contingency table: C_a × C_b rows, bounded by label cardinality
+    ct = s.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    obs = ct.agg(
+        F.sum("_cnt").cast("double").alias("_n"),
+        F.sum(
+            F.when(F.col("_a") == F.col("_b"), F.col("_cnt")).otherwise(
+                F.lit(0)
+            )
+        )
         .cast("double")
         .alias("_agree"),
     )
-    ma = s.groupBy(F.col("_a").alias("_cat")).agg(
-        F.count(F.lit(1)).cast("double").alias("_ca")
+    ma = ct.groupBy(F.col("_a").alias("_cat")).agg(
+        F.sum("_cnt").cast("double").alias("_ca")
     )
-    mb = s.groupBy(F.col("_b").alias("_cat")).agg(
-        F.count(F.lit(1)).cast("double").alias("_cb")
+    mb = ct.groupBy(F.col("_b").alias("_cat")).agg(
+        F.sum("_cnt").cast("double").alias("_cb")
     )
     pe = (
         ma.join(mb, "_cat", "full_outer")

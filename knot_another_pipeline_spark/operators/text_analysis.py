@@ -964,6 +964,11 @@ def bpe_learn(
         # linearly in the merges applied so far
         full_recount = n_merges <= 16
     if full_recount:
+        # Pin the word-frequency table: every rank's recount re-reads
+        # it, and without the pin each collect re-runs the caller's
+        # whole tokenize+aggregate chain (r12 profile: the rank-1 job
+        # alone paid ~2 s of upstream on the catalog corpus).
+        words = words.localCheckpoint(eager=False)
         learned: list[tuple[str, str]] = []
         out: list[tuple[int, str, str, int]] = []
         for rank in range(1, n_merges + 1):
